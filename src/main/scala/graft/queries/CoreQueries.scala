@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.SeriesOps
+
+/** Core time-series operator queries over `events`, mirroring the
+  * reference's pipeline semantics (SURVEY.md §2.2/§2.4/§2.5). A series
+  * is one user_id's `value` sequence ordered by `event_id` (FIXTURES.md:
+  * ts increases with event_id, so event_id is the canonical seq key —
+  * it also sidesteps the parquet ns-vs-µs timestamp mismatch between
+  * Spark and DuckDB). */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // A3a global stats + A3b RMS + P2 null-drop (app.py:1706-1710, 1037-1048)
+    Q("ts_profile",
+      (s, dir) => {
+        val e = Tables.events(s, dir).na.drop(Seq("value"))
+        e.agg(
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"),
+          round(avg(col("value")), 6).as("avg_v"),
+          round(var_pop(col("value")), 4).as("var_v"),
+          round(sqrt(avg(col("value") * col("value"))), 6).as("rms_v"),
+          count(lit(1)).as("n"))
+      },
+      Some("""SELECT round(min(value),6) AS min_v, round(max(value),6) AS max_v,
+             |       round(avg(value),6) AS avg_v, round(var_pop(value),4) AS var_v,
+             |       round(sqrt(avg(value*value)),6) AS rms_v, count(*) AS n
+             |FROM events WHERE value IS NOT NULL""".stripMargin)),
+
+    // A3c per-series length stats, rounded 3 like the reference (app.py:224-232)
+    Q("ts_length_stats",
+      (s, dir) => {
+        val lens = Tables.events(s, dir).na.drop(Seq("value"))
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        lens.agg(
+          min(col("n")).as("min_len"),
+          max(col("n")).as("max_len"),
+          round(avg(col("n")), 3).as("avg_len"))
+      },
+      Some("""SELECT min(n) AS min_len, max(n) AS max_len, round(avg(n),3) AS avg_len
+             |FROM (SELECT user_id, count(*) AS n FROM events
+             |      WHERE value IS NOT NULL GROUP BY user_id)""".stripMargin)),
+
+    // A2 distinct series keys (app.py:208-209)
+    Q("ts_distinct_series",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id").as("series_id")).distinct().orderBy("series_id"),
+      Some("SELECT DISTINCT user_id AS series_id FROM events ORDER BY series_id")),
+
+    // N1 + N2 whole-column normalization appended per-row (app.py:358-382)
+    Q("ts_normalize",
+      (s, dir) => SeriesOps.withNormalized(Tables.events(s, dir), "value")
+        .select(col("event_id"),
+          round(col("min_max"), 6).as("min_max"),
+          round(col("z_score"), 6).as("z_score"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, round((value - mn)/(mx - mn),6) AS min_max,
+             |       round((value - av)/sd,6) AS z_score
+             |FROM events, (SELECT min(value) AS mn, max(value) AS mx, avg(value) AS av,
+             |              stddev_pop(value) AS sd FROM events WHERE value IS NOT NULL)
+             |WHERE value IS NOT NULL ORDER BY event_id""".stripMargin)),
+
+    // A1 group-split summary: first/last (by seq) + sum per series
+    Q("ts_series_stats",
+      (s, dir) => Tables.events(s, dir).na.drop(Seq("value"))
+        .groupBy(col("user_id").as("series_id"))
+        .agg(count(lit(1)).as("n"),
+          round(min_by(col("value"), col("event_id")), 6).as("first_v"),
+          round(max_by(col("value"), col("event_id")), 6).as("last_v"),
+          round(sum(col("value")), 4).as("sum_v"))
+        .orderBy("series_id"),
+      Some("""SELECT user_id AS series_id, count(*) AS n,
+             |       round(arg_min(value, event_id),6) AS first_v,
+             |       round(arg_max(value, event_id),6) AS last_v,
+             |       round(sum(value),4) AS sum_v
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY user_id ORDER BY series_id""".stripMargin)),
+
+    // A1 full ragged collect: the long→nested transform itself (§1.4)
+    Q("ts_series_arrays",
+      (s, dir) => SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        .select(col("series_id"), transform(col("values"), v => round(v, 6)).as("vals"))
+        .orderBy("series_id"),
+      Some("""SELECT user_id AS series_id,
+             |       list_transform(list(value ORDER BY event_id), x -> round(x,6)) AS vals
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY user_id ORDER BY series_id""".stripMargin)),
+
+    // W1 truncation to global min length (app.py:246-261)
+    Q("ts_truncate",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        SeriesOps.truncate(ser)
+          .select(col("series_id"),
+            size(col("values")).cast("long").as("n_kept"),
+            round(SeriesOps.arraySum(col("values")), 4).as("sum_kept"))
+          .orderBy("series_id")
+      },
+      Some("""WITH lens AS (SELECT user_id, count(*) AS n FROM events
+             |              WHERE value IS NOT NULL GROUP BY user_id),
+             |m AS (SELECT min(n) AS L FROM lens),
+             |r AS (SELECT user_id, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |      FROM events WHERE value IS NOT NULL)
+             |SELECT user_id AS series_id, count(*) AS n_kept, round(sum(value),4) AS sum_kept
+             |FROM r, m WHERE rn <= m.L GROUP BY user_id ORDER BY series_id""".stripMargin)),
+
+    // W2 zero padding to global max length (app.py:266-280)
+    Q("ts_pad",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+          .withColumn("orig_n", size(col("values")).cast("long"))
+        SeriesOps.pad(ser)
+          .select(col("series_id"),
+            size(col("values")).cast("long").as("padded_len"),
+            (size(col("values")).cast("long") - col("orig_n")).as("zeros_added"),
+            round(SeriesOps.arraySum(col("values")), 4).as("sum_v"))
+          .orderBy("series_id")
+      },
+      Some("""WITH lens AS (SELECT user_id, count(*) AS n, round(sum(value),4) AS sum_v
+             |              FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |m AS (SELECT max(n) AS M FROM lens)
+             |SELECT user_id AS series_id, m.M AS padded_len, m.M - n AS zeros_added, sum_v
+             |FROM lens, m ORDER BY series_id""".stripMargin)),
+
+    // W3+W3b sliding window w=10 s=5, drop_remainder (app.py:285-295, 1788-1793)
+    Q("ts_sliding_window",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        SeriesOps.slidingWindow(ser, 10, 5)
+          .select(col("series_id"), col("win_id").cast("long").as("win_id"),
+            round(SeriesOps.arraySum(col("window")), 4).as("win_sum"))
+          .orderBy("series_id", "win_id")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |             count(*) OVER (PARTITION BY user_id) AS n,
+             |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |           FROM events WHERE value IS NOT NULL),
+             |w AS (SELECT user_id, rn, n,
+             |        sum(value) OVER (PARTITION BY user_id ORDER BY rn
+             |                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sm
+             |      FROM r)
+             |SELECT user_id AS series_id, (rn-1)//5 AS win_id, round(sm,4) AS win_sum
+             |FROM w WHERE (rn-1)%5 = 0 AND rn+9 <= n
+             |ORDER BY series_id, win_id""".stripMargin)),
+
+    // P5 approx-equality point lookup: numpy isclose semantics
+    // (rtol=1e-5, atol=1e-8, app.py:958-973)
+    Q("pt_isclose_lookup",
+      (s, dir) => Tables.events(s, dir)
+        .filter(abs(col("value") - lit(250.0)) <= lit(1e-8) + lit(1e-5) * abs(lit(250.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE abs(value - 250.0) <= 1e-8 + 1e-5*abs(250.0)
+             |ORDER BY event_id""".stripMargin)),
+
+    // P4-flavored deterministic outlier predicate: |z| > 3 over the
+    // whole-column z-score (the DBSCAN-noise variant is ml_dbscan_outliers)
+    Q("pt_zscore_outliers",
+      (s, dir) => SeriesOps.withNormalized(Tables.events(s, dir), "value")
+        .filter(abs(col("z_score")) > 3.0)
+        .select(col("event_id"), col("user_id"), round(col("z_score"), 6).as("z"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, round((value - av)/sd,6) AS z
+             |FROM events, (SELECT avg(value) AS av, stddev_pop(value) AS sd
+             |              FROM events WHERE value IS NOT NULL)
+             |WHERE value IS NOT NULL AND abs((value - av)/sd) > 3.0
+             |ORDER BY event_id""".stripMargin)),
+
+    // Scalar-function surface (§2.9): round/abs/sqrt/pow/acos/cos/concat
+    Q("fn_scalar_surface",
+      (s, dir) => Tables.events(s, dir).na.drop(Seq("value"))
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          round(col("value"), 2).as("r2"),
+          round(abs(-col("value")), 6).as("abs_v"),
+          round(sqrt(col("value")), 6).as("sqrt_v"),
+          round(pow(col("value"), 2.0), 4).as("pow_v"),
+          round(cos(acos(lit(1.0) / (lit(1.0) + col("value") / 1000.0))), 6).as("trig_v"),
+          concat(lit("Process "), col("user_id").cast("string")).as("label"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, round(value,2) AS r2, round(abs(-value),6) AS abs_v,
+             |       round(sqrt(value),6) AS sqrt_v, round(pow(value,2.0),4) AS pow_v,
+             |       round(cos(acos(1.0/(1.0 + value/1000.0))),6) AS trig_v,
+             |       'Process ' || CAST(user_id AS VARCHAR) AS label
+             |FROM events WHERE value IS NOT NULL AND event_id < 100
+             |ORDER BY event_id""".stripMargin)),
+
+    // JSON extraction over events.props ([EXT], SURVEY.md §7.2 P6)
+    Q("json_extract_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("json_agg_by_type",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(avg(k),6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Event-time tumbling window (streaming-ready form of W3; batch
+    // semantics identical to Structured Streaming's window())
+    Q("evt_tumbling_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("wstart_s"), col("event_type"),
+          col("n"), col("sum_v"))
+        .orderBy("wstart_s", "event_type"),
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart_s,
+             |       event_type, count(*) AS n, round(sum(value),4) AS sum_v
+             |FROM events GROUP BY 1, 2 ORDER BY wstart_s, event_type""".stripMargin)),
+
+    // Sliding event-time window: 1h length, 30min slide → each event in 2 windows
+    Q("evt_sliding_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("wstart_s"), col("n"), col("sum_v"))
+        .orderBy("wstart_s"),
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)
+             |                 - to_seconds(k*1800)) AS BIGINT) AS wstart_s,
+             |       count(*) AS n, round(sum(value),4) AS sum_v
+             |FROM events, (SELECT unnest([0,1]) AS k)
+             |GROUP BY 1 ORDER BY wstart_s""".stripMargin))
+  )
+}

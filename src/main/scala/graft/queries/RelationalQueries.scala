@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational coverage over the TPC-H-ish tables: joins (broadcast +
+  * shuffle), multi-way joins, distinct aggregation, analytic windows,
+  * top-k. The reference never joins on data values (SURVEY.md §2.3) —
+  * these come "free" from Catalyst and anchor the 100-TB scale story:
+  * small dims are broadcast, the lineitem side never shuffles for them.
+  */
+object RelationalQueries {
+
+  import org.apache.spark.sql.Column
+
+  /** Monetary sums are computed in exact DECIMAL, not double: parquet
+    * doubles carry 2-decimal values, and a double-sum rounded at 2
+    * decimals lands exactly on the .xx5 half-way boundary, where
+    * partial-agg order noise flips the last cent vs the oracle. The
+    * decimal path is order-independent and exact on both engines; the
+    * result is cast back to double at the edge. */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+  private def factor(c: Column): Column = c.cast("decimal(4,2)")
+  private def sum2(c: Column): Column = round(sum(c), 2).cast("double")
+
+  private val discPrice =
+    money(col("l_extendedprice")) * factor(lit(1) - col("l_discount"))
+  private val charge =
+    money(col("l_extendedprice")) * factor(lit(1) - col("l_discount")) *
+      factor(lit(1) + col("l_tax"))
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1-shaped scan+agg: the bench workhorse (map-side partial agg,
+    // 4 groups, no shuffle pressure).
+    Q("q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum2(money(col("l_quantity"))).as("sum_qty"),
+          sum2(money(col("l_extendedprice"))).as("sum_base_price"),
+          sum2(discPrice).as("sum_disc_price"),
+          sum2(charge).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_disc_price,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_charge,
+             |  round(avg(l_quantity),6) AS avg_qty,
+             |  round(avg(l_extendedprice),6) AS avg_price,
+             |  round(avg(l_discount),6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-shaped 3-way join; customer+orders broadcast-able sides at
+    // test SF, shuffle join at 100 TB — Catalyst/AQE picks per stats.
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg(sum2(discPrice).as("revenue"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // TPC-H Q5-shaped 6-way join through region→nation→(customer,supplier)
+    Q("q5_local_supplier_volume",
+      (s, dir) => {
+        val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, dir)
+        val c = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey")
+            && c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum2(discPrice).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Broadcast dim join: part is always the small side — explicit hint.
+    Q("join_part_brand",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum2(money(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n,
+             |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Semi/anti joins: orders with vs without any high-quantity lineitem.
+    Q("join_semi_anti",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"))
+        val semi = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_big_line").as("side"), col("n"))
+        val anti = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_big_line").as("side"), col("n"))
+        semi.unionAll(anti).orderBy("side")
+      },
+      Some("""SELECT 'with_big_line' AS side, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |UNION ALL
+             |SELECT 'without_big_line' AS side, count(*) AS n FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |ORDER BY side""".stripMargin)),
+
+    // Distinct aggregation (expand + two-phase agg in Spark)
+    Q("agg_distinct_counts",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("parts"),
+          countDistinct(col("l_suppkey")).as("supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+             |       count(DISTINCT l_suppkey) AS supps, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Analytic window: running quantity per supplier over a unique order
+    Q("win_running_sum",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Long.MinValue, 0)
+        Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS UNBOUNDED PRECEDING),4) AS running_qty
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Global top-k on stored values (exact comparison, unique tiebreak)
+    Q("topk_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Set ops: customers in BUILDING segment vs customers with open orders
+    Q("set_ops_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val seg = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        val open = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")).distinct()
+        val inter = seg.intersect(open).agg(count(lit(1)).as("n"))
+          .select(lit("both").as("which"), col("n"))
+        val exc = seg.except(open).agg(count(lit(1)).as("n"))
+          .select(lit("seg_only").as("which"), col("n"))
+        inter.unionAll(exc).orderBy("which")
+      },
+      Some("""SELECT 'both' AS which, count(*) AS n FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')
+             |UNION ALL
+             |SELECT 'seg_only' AS which, count(*) AS n FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')
+             |ORDER BY which""".stripMargin))
+  )
+}

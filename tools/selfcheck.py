@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare each
+graft.Verify parquet output against its DuckDB oracle at sf0.01.
+Columns sorted by name, rows sorted by all columns, values compared
+exactly (like a hash would). Usage: tools/selfcheck.py <outdir> [sfdir]"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp cols to ns, ints to int64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(np.asarray(v).tolist()) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+fails, passes, nosql = [], [], []
+dirs = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracle) - dirs):
+    fails.append((name, "no output dir — query crashed in Verify"))
+for name in sorted(dirs):
+    p = os.path.join(outdir, name)
+    got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{p}/*.parquet"))],
+                    ignore_index=True) if glob.glob(f"{p}/*.parquet") else pd.DataFrame()
+    if name not in oracle:
+        nosql.append((name, len(got)))
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"schema: got {list(g.columns)} vs oracle {list(e.columns)}"))
+    elif len(g) != len(e):
+        fails.append((name, f"rows: got {len(g)} vs oracle {len(e)}"))
+    else:
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            passes.append(name)
+        except AssertionError as ex:
+            fails.append((name, str(ex).split("\n")[0] + " | " + "\n".join(str(ex).split("\n")[1:3])))
+
+print(f"PASS {len(passes)}: {passes}")
+for n, rows in nosql:
+    print(f"NOSQL {n}: rows={rows}" + (" !! EMPTY" if rows == 0 else ""))
+for n, msg in fails:
+    print(f"FAIL {n}: {msg}")
+sys.exit(1 if fails else 0)
