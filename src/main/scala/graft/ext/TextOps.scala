@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * ([EXT] — no reference counterpart; SURVEY.md §7.2 P6). All pure
+  * DataFrame transforms built from codegen'd built-ins (no UDFs):
+  * whitespace tokenization, word shingles, quality scoring, stopword
+  * language-ID voting, canonical fingerprinting.
+  *
+  * Scale notes: everything here is embarrassingly parallel per
+  * document except the langid stopword join, which broadcasts a
+  * ~50-row dictionary. Shingle explosion multiplies rows by ~doc
+  * length — downstream consumers aggregate back to doc_id or pair
+  * keys, so the wide intermediate never materializes.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokensCol(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** One row per (id, token) — duplicates kept (frequency-weighted). */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol))).as("w"))
+
+  /** Distinct word n-shingles per id: (id, s). Docs shorter than n
+    * words yield no shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokensCol(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("t")) - n),
+          i => concat_ws(" ", slice(col("t"), i + lit(1), lit(n))))).as("s"))
+      .distinct()
+
+  /** Stopword dictionaries (public high-frequency word lists) used by
+    * language-ID voting and the quality score's stopword ratio. */
+  val stopwords: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "to" -> "en",
+    "in" -> "en", "is" -> "en", "it" -> "en", "that" -> "en", "for" -> "en",
+    "der" -> "de", "die" -> "de", "das" -> "de", "und" -> "de", "ist" -> "de",
+    "nicht" -> "de", "ein" -> "de", "eine" -> "de", "mit" -> "de", "zu" -> "de",
+    "le" -> "fr", "la" -> "fr", "les" -> "fr", "des" -> "fr", "et" -> "fr",
+    "est" -> "fr", "une" -> "fr", "dans" -> "fr", "que" -> "fr", "pour" -> "fr",
+    "el" -> "es", "los" -> "es", "las" -> "es", "es" -> "es", "una" -> "es",
+    "para" -> "es", "con" -> "es", "por" -> "es", "como" -> "es", "se" -> "es",
+    "的" -> "zh", "是" -> "zh", "在" -> "zh", "了" -> "zh", "和" -> "zh")
+
+  /** SQL VALUES clause for the same dictionary (oracle parity). */
+  def stopwordValuesSql: String =
+    stopwords.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  private val enStopArray: Column =
+    array(stopwords.filter(_._2 == "en").map(w => lit(w._1)): _*)
+
+  /** Quality scoring: length/word/punctuation/digit/stopword ratios
+    * (all codegen'd expressions, one pass over the text). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val chars = length(t)
+    val noPunct = regexp_replace(t, "[.,;:!?()]", "")
+    val noDigit = regexp_replace(t, "[0-9]", "")
+    df.select(
+      col(idCol),
+      chars.cast("long").as("chars"),
+      size(toks).cast("long").as("words"),
+      round(chars.cast("double") / size(toks), 4).as("avg_word_len"),
+      round((chars - length(noPunct)).cast("double") / chars, 6).as("punct_ratio"),
+      round((chars - length(noDigit)).cast("double") / chars, 6).as("digit_ratio"),
+      round(size(filter(toks, w => array_contains(enStopArray, w))).cast("double")
+        / size(toks), 6).as("stopword_ratio"))
+  }
+
+  /** Language-ID by stopword voting: most stopword hits wins, ties
+    * broken by language code; no hits → 'und'. The dictionary is
+    * broadcast (≪ data); one shuffle on id for the argmax. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(stopwords.toDF("w", "lang"))
+    val hits = tokens(df, idCol, textCol)
+      .join(dict, "w")
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("hits").desc, col("lang").asc)
+    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol), col("lang"), col("hits"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Canonical document fingerprint: md5 of lowercased text with
+    * whitespace collapsed — the exact-dup key modulo formatting. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary")).as("fp"))
+
+  /** Token-count estimators: whitespace words, alnum regex tokens, and
+    * a BPE-ish chars/4 estimate. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokensCol(col(textCol))).cast("long").as("n_ws"),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** [EXT] training-data-pipeline queries over `documents`/`embeddings`:
+  * dedup (exact / Jaccard / MinHash-LSH / SimHash / cosine), similarity
+  * search, and text analysis. Every hash is md5-derived so the DuckDB
+  * oracle reproduces values bit-for-bit. */
+object ExtQueries {
+
+  /** Shared DuckDB CTEs: distinct 3-word shingles per doc. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+      |       FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i) u
+      |       WHERE len(t) >= 3)""".stripMargin
+
+  /** Shared DuckDB CTEs: 32-bit simhash per doc from token md5 nibbles. */
+  private val simhashCte =
+    """tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+      |bits AS (SELECT doc_id, b,
+      |           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), b//4 + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+      |                THEN 1 ELSE -1 END AS v
+      |         FROM tk, (SELECT unnest(range(32)) AS b)),
+      |votes AS (SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY 1, 2),
+      |sh32 AS (SELECT doc_id,
+      |           CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |         FROM votes GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: one shuffle on md5(text)
+    Q("dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin)),
+
+    // Exact 3-gram Jaccard near-dup pairs (inverted-index join)
+    Q("dedup_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+              |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash-LSH: 8 md5-string minhashes, r=1 bands → candidates,
+    // then exact-Jaccard verification of candidates only (scale path)
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 3, 8, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM mh a JOIN mh b ON a.h = b.h AND a.mv = b.mv AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b)
+              |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+              |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-doc 32-bit SimHash fingerprints
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $simhashCte
+              |SELECT doc_id, simhash FROM sh32 ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs at Hamming ≤ 1 (vocab overlap in the
+    // synthetic corpus correlates fingerprints, so the cutoff is tight)
+    Q("dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 1)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $simhashCte
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sh32 a JOIN sh32 b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs
+    Q("dedup_cosine_pairs",
+      (s, dir) => Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact cosine top-5 neighbors for query vectors vec_id < 10
+    Q("sim_topk_cosine",
+      (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sc AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |         list_cosine_similarity(q.v, e.v) AS cosine
+             |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM sc)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Language-ID by stopword voting (broadcast dictionary)
+    Q("text_langid",
+      (s, dir) => TextOps.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH sw(word, lang) AS (VALUES ${TextOps.stopwordValuesSql}),
+              |tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |       FROM documents),
+              |sc AS (SELECT doc_id, lang, count(*) AS hits FROM tk
+              |       JOIN sw USING (word) GROUP BY 1, 2),
+              |best AS (SELECT doc_id, lang, hits,
+              |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+              |         FROM sc)
+              |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+              |       coalesce(b.hits, 0) AS hits
+              |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length/punct/digit/stopword ratios
+    Q("text_quality",
+      (s, dir) => TextOps.quality(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS chars,
+             |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS words,
+             |  round(length(text) / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS avg_word_len,
+             |  round((length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g'))) / length(text), 6) AS punct_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 6) AS digit_ratio,
+             |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |        w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))
+             |        / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace, alnum-regex, BPE-ish chars/4
+    Q("text_token_counts",
+      (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_alnum,
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Canonical fingerprint: md5 of whitespace-collapsed lowercase text
+    Q("text_fingerprint",
+      (s, dir) => TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
