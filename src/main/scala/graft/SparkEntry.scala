@@ -9,11 +9,11 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("ts_series_stats")(spark, "/root/testdata/sf0.001")
+    Pipeline.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E1/E4 embedding operators (reference: app.py:677-691).
+  *
+  * PCA via spark.ml on the rectangular series matrix. sklearn's PCA
+  * mean-centers; MLlib's does not — we center explicitly so the
+  * embedding matches the reference's geometry (up to component sign,
+  * which is arbitrary in both).
+  *
+  * E2 (UMAP, app.py:661-667) and E3 (conv autoencoder, app.py:490-641)
+  * have no Spark-native equivalents (SURVEY.md §2.7): both operator
+  * slots are served by this deterministic linear embedding (PCA ≡ a
+  * linear autoencoder's optimum) — a documented semantic deviation.
+  */
+object Embedding {
+
+  /** Mean-center the `values` arrays (per-dimension global mean). */
+  def centered(series: DataFrame): DataFrame = {
+    val withVec = series.withColumn("__fv", array_to_vector(col("values")))
+    val mean = withVec.select(Summarizer.mean(col("__fv")).as("m"))
+      .head().getAs[Vector]("m").toArray
+    series.withColumn("values",
+      zip_with(col("values"), lit(mean), (x, m) => x - m))
+  }
+
+  /** k-component PCA scores: (series_id, emb: array<double>[k]).
+    * Requires equal-length `values` (run truncate/pad/DTW first). */
+  def pcaEmbed(series: DataFrame, k: Int): DataFrame = {
+    val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
+    val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+    model.transform(c)
+      .withColumn("emb", vector_to_array(col("__pca")))
+      .select(col("series_id"), col("emb"))
+  }
+
+  /** 2-D embedding export (E4, app.py:1983-1994): (series_id, x, y). */
+  def pca2d(series: DataFrame): DataFrame =
+    pcaEmbed(series, 2).select(col("series_id"),
+      col("emb")(0).as("x"), col("emb")(1).as("y"))
+
+  /** 3-D variant used by the reference's 3-D scatter. */
+  def pca3d(series: DataFrame): DataFrame =
+    pcaEmbed(series, 3).select(col("series_id"),
+      col("emb")(0).as("x"), col("emb")(1).as("y"), col("emb")(2).as("z"))
+
+  /** Explained-variance percentages of the top `n` components,
+    * rounded to 1 decimal like the reference (app.py:680). */
+  def pcaVariancePct(series: DataFrame, n: Int): DataFrame = {
+    val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
+    val k = math.min(n, c.head().getAs[Vector]("__fv").size)
+    val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+    val spark = series.sparkSession
+    import spark.implicits._
+    model.explainedVariance.toArray.zipWithIndex
+      .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
+      .toSeq.toDF("component", "var_pct")
+  }
+}

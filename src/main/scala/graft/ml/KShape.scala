@@ -1,0 +1,155 @@
+package graft.ml
+
+import breeze.linalg.{eigSym, DenseMatrix}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C3: K-Shape clustering, implemented from the public SIGMOD'15 paper
+  * (Paparrizos & Gravano, "k-Shape: Efficient and Accurate Clustering
+  * of Time Series") — the reference calls a kshape library on the 2-D
+  * embedding and is in fact broken as written (app.py:731-737 imports
+  * the module and calls it; SURVEY.md §2.8 C3).
+  *
+  * Distance: SBD(x,y) = 1 − max_w NCCc_w(x,y). Shape extraction: the
+  * max eigenvector of Q·M·Q with M = Σ aligned·alignedᵀ and
+  * Q = I − 11ᵀ/m.
+  *
+  * Scale design (MLlib-KMeans-shaped): centroids (k×m doubles) are
+  * broadcast; assignment is a map-side pass; refinement aggregates one
+  * m×m Gram matrix per cluster (groupByKey + streamed fold — memory is
+  * O(m²) per cluster, independent of member count); the k small Gram
+  * matrices come to the driver for an eigendecomposition. Per-pair NCC
+  * is the direct O(m²) form — swap in an FFT correlation for long
+  * series; the orchestration is unchanged.
+  */
+object KShape {
+
+  def znorm(x: Array[Double]): Array[Double] = {
+    val m = x.sum / x.length
+    val sd = math.sqrt(x.map(v => (v - m) * (v - m)).sum / x.length)
+    if (sd == 0) x.map(_ - m) else x.map(v => (v - m) / sd)
+  }
+
+  private def norm2(x: Array[Double]): Double = math.sqrt(x.map(v => v * v).sum)
+
+  /** Max normalized cross-correlation over all shifts + argmax shift. */
+  def nccMax(x: Array[Double], y: Array[Double]): (Double, Int) = {
+    val m = x.length
+    val den = norm2(x) * norm2(y)
+    if (den == 0) return (0.0, 0)
+    var best = Double.NegativeInfinity
+    var bestS = 0
+    var s = -(m - 1)
+    while (s <= m - 1) {
+      var cc = 0.0
+      var i = math.max(0, -s)
+      val end = math.min(m, m - s)
+      while (i < end) { cc += x(i + s) * y(i); i += 1 }
+      val v = cc / den
+      if (v > best) { best = v; bestS = s }
+      s += 1
+    }
+    (best, bestS)
+  }
+
+  def sbd(x: Array[Double], y: Array[Double]): Double = 1.0 - nccMax(x, y)._1
+
+  /** Shift x by s with zero fill (align x to the reference that
+    * produced s via nccMax(x, ref)). */
+  def shifted(x: Array[Double], s: Int): Array[Double] = {
+    val out = Array.fill(x.length)(0.0)
+    var i = 0
+    while (i < x.length) {
+      val j = i - s
+      if (j >= 0 && j < x.length) out(j) = x(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Fit k shape clusters. Input (series_id, values) with equal-length
+    * arrays; series are z-normalized internally (paper §3.1).
+    * Deterministic: init cluster = series_id mod k (the reference is
+    * nondeterministic here; documented deviation), ties to lowest k.
+    * Output: (series_id, cluster). */
+  def fit(series: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val ds = series.select(col("series_id").cast("long"), col("values"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, znorm(v)) }
+      .toDF("series_id", "values").cache()
+    val m = ds.head().getAs[Seq[Double]]("values").length
+
+    var assigned = ds.withColumn("cluster",
+      (col("series_id") % k).cast("int")).cache()
+    var centroids: Array[Array[Double]] = Array.fill(k)(Array.fill(m)(0.0))
+
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // Refinement: per-cluster Gram of centroid-aligned members.
+      val grams = assigned.as[(Long, Array[Double], Int)]
+        .groupByKey(_._3)
+        .mapGroups { (c, it) =>
+          val cent = bc.value(c)
+          val zeroCent = cent.forall(_ == 0.0)
+          val g = Array.fill(m * m)(0.0)
+          var n = 0
+          it.foreach { case (_, v, _) =>
+            val a = if (zeroCent) v else shifted(v, nccMax(v, cent)._2)
+            var i = 0
+            while (i < m) {
+              var j = 0
+              while (j < m) { g(i * m + j) += a(i) * a(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          (c, n, g)
+        }.collect()
+
+      val newCentroids = centroids.clone()
+      grams.foreach { case (c, n, g) =>
+        if (n > 0) {
+          val gm = new DenseMatrix(m, m, g) // symmetric, order irrelevant
+          // Q·M·Q with Q = I − 11ᵀ/m
+          val q = DenseMatrix.eye[Double](m) -:- DenseMatrix.fill(m, m)(1.0 / m)
+          val mc = q * gm * q
+          val es = eigSym((mc +:+ mc.t) *:* 0.5)
+          val top = es.eigenvectors(::, es.eigenvalues.length - 1).toArray
+          // sign: make the max-|.|, element positive (deterministic)
+          val idx = top.indices.maxBy(i => math.abs(top(i)))
+          val fixed = if (top(idx) < 0) top.map(-_) else top
+          newCentroids(c) = znorm(fixed)
+        }
+      }
+      centroids = newCentroids
+      bc.destroy()
+
+      // Assignment: argmin SBD to the broadcast centroids.
+      val bc2 = spark.sparkContext.broadcast(centroids)
+      val next = ds.as[(Long, Array[Double])]
+        .map { case (id, v) =>
+          val cents = bc2.value
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val d = sbd(v, cents(c))
+            if (d < bestD - 1e-12) { best = c; bestD = d }
+            c += 1
+          }
+          (id, v, best)
+        }.toDF("series_id", "values", "cluster").cache()
+
+      val moved = next.select("series_id", "cluster")
+        .except(assigned.select("series_id", "cluster")).count()
+      assigned.unpersist()
+      assigned = next
+      stable = moved == 0
+      iter += 1
+    }
+    assigned.select(col("series_id"), col("cluster"))
+  }
+}

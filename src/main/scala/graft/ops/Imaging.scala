@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** I1/I2/I3 imaging operators (reference: app.py:394-473).
+  *
+  * RP and GAF are pure Spark higher-order-function compositions (no
+  * UDFs, fully codegen-eligible): a series of length m becomes an m×m
+  * array<array<double>> column. The reference casts to uint8 for the
+  * CNN input; we keep doubles (the AE substitute is linear — SURVEY.md
+  * §2.7 E3) and let callers floor if byte parity matters.
+  */
+object Imaging {
+
+  /** I1 Recurrence Plot: Z_ij = |v_i − v_j| scaled to 0..255 by the
+    * matrix max (= series range). app.py:394-402. */
+  def rp(values: Column): Column = {
+    val range = array_max(values) - array_min(values)
+    transform(values, x =>
+      transform(values, y => abs(x - y) / range * lit(255.0)))
+  }
+
+  /** I2 Gramian Angular Field: min-max rescale to [−1,1] (clamped),
+    * φ = arccos, G_ij = (1 + cos(φ_i + φ_j))·255/2. app.py:412-448. */
+  def gaf(values: Column): Column = {
+    val mn = array_min(values)
+    val mx = array_max(values)
+    val scaled = transform(values, v =>
+      least(lit(1.0), greatest(lit(-1.0),
+        (v * 2 - mx - mn) / (mx - mn))))
+    val phi = transform(scaled, v => acos(v))
+    transform(phi, a =>
+      transform(phi, b => (lit(1.0) + cos(a + b)) * lit(255.0) / lit(2.0)))
+  }
+
+  /** I3 image resize to size×size: area-average when shrinking,
+    * bilinear when growing (cv2.INTER_AREA / INTER_LINEAR analogue —
+    * same sampling scheme, not OpenCV's exact kernel taps; app.py:
+    * 457-473). Scalar UDF over array<array<double>>. */
+  val resize: (Seq[Seq[Double]], Int) => Seq[Seq[Double]] = (img, size) => {
+    val n = img.length
+    if (n == 0) Seq.empty
+    else if (n == size) img
+    else if (n > size) {
+      // area average over the source box of each target pixel
+      (0 until size).map { i =>
+        val r0 = i * n / size; val r1 = math.max(r0 + 1, (i + 1) * n / size)
+        (0 until size).map { j =>
+          val c0 = j * n / size; val c1 = math.max(c0 + 1, (j + 1) * n / size)
+          var s = 0.0
+          for (r <- r0 until r1; c <- c0 until c1) s += img(r)(c)
+          s / ((r1 - r0) * (c1 - c0))
+        }
+      }
+    } else {
+      // bilinear upsample (align_corners=false convention, like cv2)
+      (0 until size).map { i =>
+        val fy = (i + 0.5) * n / size - 0.5
+        val y0 = math.max(0, math.min(n - 1, math.floor(fy).toInt))
+        val y1 = math.min(n - 1, y0 + 1)
+        val wy = math.max(0.0, math.min(1.0, fy - y0))
+        (0 until size).map { j =>
+          val fx = (j + 0.5) * n / size - 0.5
+          val x0 = math.max(0, math.min(n - 1, math.floor(fx).toInt))
+          val x1 = math.min(n - 1, x0 + 1)
+          val wx = math.max(0.0, math.min(1.0, fx - x0))
+          (img(y0)(x0) * (1 - wy) * (1 - wx) + img(y0)(x1) * (1 - wy) * wx
+            + img(y1)(x0) * wy * (1 - wx) + img(y1)(x1) * wy * wx)
+        }
+      }
+    }
+  }
+
+  def resizeUdf = udf(resize)
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dtw, Imaging, SeriesOps}
+import graft.ml._
+
+/** ML-stage queries (SURVEY.md §2.6-§2.8): embedding, clustering,
+  * trace-back, DTW, imaging. The ML fits themselves are not
+  * SQL-expressible (driver does the weaker rows>0 check); the
+  * deterministic pieces — argmin-per-group trace-back (A4/J2), RP/GAF
+  * matrices (I1/I2) — carry full DuckDB oracles. */
+object MlQueries {
+
+  /** The reference's working dataset: whole-column min-max normalized
+    * values, grouped into per-user series (SURVEY.md §1.4). */
+  private def normalizedSeries(s: SparkSession, dir: String): DataFrame =
+    SeriesOps.collectSeries(
+      SeriesOps.withNormalized(Tables.events(s, dir), "value"),
+      "user_id", "min_max", "event_id")
+
+  /** Deterministic 2-D feature embedding used by the oracle-checkable
+    * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
+    * inputs rounded so both engines see identical doubles. */
+  private def featureEmbedding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).na.drop(Seq("value"))
+      .groupBy(col("user_id").as("series_id"))
+      .agg(round(avg(col("value")), 6).as("x"),
+        round(stddev_pop(col("value")), 6).as("y"))
+
+  /** Single series of the smallest user_id (imaging queries). */
+  private def minUserSeries(s: SparkSession, dir: String): DataFrame = {
+    val ser = SeriesOps.collectSeries(
+      Tables.events(s, dir), "user_id", "value", "event_id")
+    val mn = ser.agg(min(col("series_id")).as("__mid"))
+    ser.crossJoin(broadcast(mn)).filter(col("series_id") === col("__mid"))
+      .select(col("series_id"), col("values"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // E1: PCA 2-D embedding of padded normalized series (rows-only)
+    Q("ml_pca_embedding",
+      (s, dir) => Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir)))
+        .select(col("series_id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+        .orderBy("series_id")),
+
+    // E1: explained-variance % of top 10 components (rows-only)
+    Q("ml_pca_variance",
+      (s, dir) => Embedding.pcaVariancePct(
+        SeriesOps.pad(normalizedSeries(s, dir)), 10).orderBy("component")),
+
+    // A5+C4: silhouette model-selection scan, top-5 ks (rows-only)
+    Q("ml_silhouette_scan",
+      (s, dir) => Clustering.silhouetteScan(
+        Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir))), 10)),
+
+    // C1: seeded KMeans at the scan's best k (rows-only)
+    Q("ml_kmeans_clusters",
+      (s, dir) => {
+        val emb = Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir))).cache()
+        val bestK = Clustering.silhouetteScan(emb, 10).head().getInt(0)
+        Clustering.kmeans(emb, bestK).select("series_id", "cluster")
+          .orderBy("series_id")
+      }),
+
+    // A4+J2 trace-back on the deterministic feature embedding — oracle-checked
+    Q("ml_centroid_representatives",
+      (s, dir) => {
+        val assigned = featureEmbedding(s, dir)
+          .withColumn("cluster", col("series_id") % 4)
+        TraceBack.centroidRepresentatives(assigned)
+          .select(col("cluster"), col("rep_id"),
+            round(col("cx"), 4).as("cx"), round(col("cy"), 4).as("cy"))
+          .orderBy("cluster")
+      },
+      Some("""WITH f AS (SELECT user_id, round(avg(value),6) AS x,
+             |                  round(stddev_pop(value),6) AS y, user_id % 4 AS cluster
+             |           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |c AS (SELECT cluster, avg(x) AS cx, avg(y) AS cy FROM f GROUP BY cluster),
+             |d AS (SELECT f.user_id, f.cluster, c.cx, c.cy,
+             |        sqrt(pow(f.x - c.cx, 2) + pow(f.y - c.cy, 2)) AS dist
+             |      FROM f JOIN c USING (cluster)),
+             |r AS (SELECT cluster, user_id, cx, cy,
+             |        row_number() OVER (PARTITION BY cluster ORDER BY dist, user_id) AS rk
+             |      FROM d)
+             |SELECT cluster, user_id AS rep_id, round(cx,4) AS cx, round(cy,4) AS cy
+             |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin)),
+
+    // C2: custom distributed DBSCAN (grid cells + label propagation)
+    Q("ml_dbscan_clusters",
+      (s, dir) => Dbscan.run(featureEmbedding(s, dir), 3.0, 4)
+        .orderBy("series_id")),
+
+    // C7: DBSCAN noise trace-back to raw series stats (rows-only)
+    Q("ml_dbscan_outliers",
+      (s, dir) => {
+        val assigned = Dbscan.run(featureEmbedding(s, dir), 3.0, 4)
+        val stats = Tables.events(s, dir).na.drop(Seq("value"))
+          .groupBy(col("user_id").as("series_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        TraceBack.outlierSeries(assigned, stats).orderBy("series_id")
+      }),
+
+    // C3: K-Shape on truncated series (rows-only)
+    Q("ml_kshape_clusters",
+      (s, dir) => KShape.fit(
+        SeriesOps.truncate(normalizedSeries(s, dir)), 3, maxIter = 5)
+        .orderBy("series_id")),
+
+    // W4: DTW-stretch every series to the longest one's length (rows-only)
+    Q("ml_dtw_stretch",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(
+          Tables.events(s, dir), "user_id", "value", "event_id").cache()
+        val longest = ser.withColumn("__n", size(col("values")))
+          .orderBy(desc("__n"), asc("series_id"))
+          .head().getAs[Seq[Double]]("values").toArray
+        val stretchUdf = udf((v: Seq[Double]) =>
+          Dtw.stretch(v.toArray, longest))
+        ser.select(col("series_id"),
+          stretchUdf(col("values")).as("stretched"))
+          .select(col("series_id"),
+            size(col("stretched")).cast("long").as("len"),
+            round(SeriesOps.arraySum(col("stretched")), 4).as("sum_v"))
+          .orderBy("series_id")
+      }),
+
+    // I1 Recurrence Plot of the smallest user's series — oracle-checked
+    Q("img_rp_matrix",
+      (s, dir) => minUserSeries(s, dir)
+        .select(posexplode(Imaging.rp(col("values"))).as(Seq("i0", "row")))
+        .select(col("i0"), posexplode(col("row")).as(Seq("j0", "rp")))
+        .select((col("i0") + 1).cast("long").as("i"),
+          (col("j0") + 1).cast("long").as("j"),
+          round(col("rp"), 4).as("rp"))
+        .orderBy("i", "j"),
+      Some("""WITH u AS (SELECT min(user_id) AS uid FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT user_id, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |      FROM events WHERE value IS NOT NULL),
+             |sv AS (SELECT rn, value FROM r, u WHERE user_id = u.uid),
+             |mm AS (SELECT max(value) - min(value) AS rng FROM sv)
+             |SELECT a.rn AS i, b.rn AS j,
+             |       round(abs(a.value - b.value) / rng * 255, 4) AS rp
+             |FROM sv a, sv b, mm ORDER BY i, j""".stripMargin)),
+
+    // I2 Gramian Angular Field of the same series — oracle-checked
+    Q("img_gaf_matrix",
+      (s, dir) => minUserSeries(s, dir)
+        .select(posexplode(Imaging.gaf(col("values"))).as(Seq("i0", "row")))
+        .select(col("i0"), posexplode(col("row")).as(Seq("j0", "gaf")))
+        .select((col("i0") + 1).cast("long").as("i"),
+          (col("j0") + 1).cast("long").as("j"),
+          round(col("gaf"), 4).as("gaf"))
+        .orderBy("i", "j"),
+      Some("""WITH u AS (SELECT min(user_id) AS uid FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT user_id, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |      FROM events WHERE value IS NOT NULL),
+             |sv AS (SELECT rn, value FROM r, u WHERE user_id = u.uid),
+             |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM sv),
+             |p AS (SELECT rn, acos(least(1.0, greatest(-1.0,
+             |        (value * 2 - mx - mn) / (mx - mn)))) AS phi FROM sv, mm)
+             |SELECT a.rn AS i, b.rn AS j,
+             |       round((1 + cos(a.phi + b.phi)) * 255 / 2, 4) AS gaf
+             |FROM p a, p b ORDER BY i, j""".stripMargin))
+  )
+}
