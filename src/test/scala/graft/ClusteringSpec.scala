@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SeriesOps
+import graft.ml.{Clustering, Dbscan, Embedding, KShape, TraceBack}
+
+/** E1/C1/C2/C4/A4/A5 on the FIXTURES.md generators: two_blob_clusters
+  * (sine vs ramp), noise_plus_blobs (+3 far outliers), shifted_pairs
+  * (K-Shape's raison d'être). */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 64
+
+  /** 2×20 distinct shapes: sine vs ramp, slight deterministic jitter. */
+  private def twoBlobs = {
+    val rows = (0 until 40).map { i =>
+      val vals =
+        if (i < 20) (0 until L).map(t => math.sin(2 * math.Pi * t / 16.0) + 0.001 * ((i * 7 + t) % 5)).toArray
+        else (0 until L).map(t => t / 32.0 - 1.0 + 0.001 * ((i * 11 + t) % 5)).toArray
+      (i.toLong, vals)
+    }
+    rows.toDF("series_id", "values")
+  }
+
+  test("PCA separates the two shape blobs; KMeans k=2 recovers the partition (E1+C1)") {
+    val emb = Embedding.pca2d(twoBlobs).cache()
+    val assigned = Clustering.kmeans(emb, 2, seed = 10)
+      .select("series_id", "cluster").as[(Long, Int)].collect().toMap
+    val g1 = (0L until 20L).map(assigned).toSet
+    val g2 = (20L until 40L).map(assigned).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2)
+  }
+
+  test("silhouette scan prefers k=2 for two blobs (A5+C4)") {
+    val emb = Embedding.pca2d(twoBlobs)
+    val top = Clustering.silhouetteScan(emb, 6).head()
+    assert(top.getInt(0) == 2)
+    assert(top.getDouble(1) > 50.0) // well-separated
+  }
+
+  test("centroid representative is the member nearest the class mean (A4)") {
+    val emb = Seq(
+      (1L, 0.0, 0.0, 0), (2L, 1.0, 0.0, 0), (3L, 0.4, 0.0, 0),
+      (4L, 10.0, 10.0, 1), (5L, 12.0, 10.0, 1),
+      (6L, -99.0, -99.0, -1) // noise is skipped (app.py:1003-1034)
+    ).toDF("series_id", "x", "y", "cluster")
+    val reps = TraceBack.centroidRepresentatives(emb)
+      .select("cluster", "rep_id").as[(Int, Long)].collect().toMap
+    assert(reps == Map(0 -> 3L, 1 -> 4L))
+  }
+
+  test("DBSCAN labels far points −1 and separates the blobs (C2+C7)") {
+    val pts = (
+      (0 until 20).map(i => (i.toLong, 0.0 + (i % 5) * 0.1, 0.0 + (i / 5) * 0.1)) ++
+      (20 until 40).map(i => (i.toLong, 10.0 + (i % 5) * 0.1, 10.0 + ((i - 20) / 5) * 0.1)) ++
+      Seq((40L, 100.0, 100.0), (41L, -100.0, 50.0), (42L, 50.0, -100.0))
+    ).toDF("series_id", "x", "y")
+    val out = Dbscan.run(pts, eps = 0.5, minPts = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(40L, 41L, 42L).forall(out(_) == -1L))
+    val c1 = (0L until 20L).map(out).toSet
+    val c2 = (20L until 40L).map(out).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2 && !c1.contains(-1L))
+  }
+
+  test("SBD is shift-invariant and bounded (C3 core property)") {
+    val x = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
+    val shifted = x.drop(2) ++ x.take(2) // small circular shift
+    assert(KShape.sbd(x, x) < 1e-9)
+    // zero-padded (non-circular) alignment loses shift/L of the energy,
+    // so the SBD floor for a shifted copy is ≈ shift/L = 2/64
+    assert(KShape.sbd(KShape.znorm(x), KShape.znorm(shifted)) < 0.05)
+    val y = (0 until 64).map(_ => 1.0).toArray
+    val d = KShape.sbd(KShape.znorm(x), KShape.znorm(y))
+    assert(d >= 0.0 && d <= 2.0)
+  }
+
+  test("K-Shape groups phase-shifted copies that raw-value KMeans would split (C3)") {
+    val base1 = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
+    val base2 = (0 until 64).map(t => (t % 32) / 16.0 - 1.0).toArray // sawtooth
+    val rows = (0 until 8).map { i =>
+      val shift = (i % 4) * 5
+      val src = if (i < 4) base1 else base2
+      (i.toLong, src.drop(shift) ++ src.take(shift))
+    }
+    val out = KShape.fit(rows.toDF("series_id", "values"), 2, maxIter = 8)
+      .as[(Long, Int)].collect().toMap
+    val g1 = (0L until 4L).map(out).toSet
+    val g2 = (4L until 8L).map(out).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SeriesOps
+
+/** Properties from SURVEY.md §5 item 2, semantics per app.py:140-295. */
+class SeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raggedFixture = Seq(
+    ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+    ("b", 4L, 10.0), ("b", 5L, 20.0),
+    ("c", 6L, 5.0), ("c", 7L, 6.0), ("c", 8L, 7.0), ("c", 9L, 8.0)
+  ).toDF("p", "seq", "v")
+
+  test("withNormalized: min_max ∈ [0,1] with min→0 max→1; z-score pop mean 0 std 1") {
+    val n = SeriesOps.withNormalized(raggedFixture, "v")
+    val mm = n.agg(min("min_max"), max("min_max")).head()
+    assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 1.0)
+    val z = n.agg(avg("z_score"), stddev_pop("z_score")).head()
+    assert(math.abs(z.getDouble(0)) < 1e-12 && math.abs(z.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("withNormalized drops null values (P2, app.py:184)") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(SeriesOps.withNormalized(df, "v").count() == 2)
+  }
+
+  test("collectSeries keeps seq order within ragged groups (A1)") {
+    val s = SeriesOps.collectSeries(raggedFixture, "p", "v", "seq")
+      .orderBy("series_id").as[(String, Seq[Double])].collect()
+    assert(s.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(s(0)._2 == Seq(1.0, 2.0, 3.0))
+    assert(s(1)._2 == Seq(10.0, 20.0))
+    assert(s(2)._2 == Seq(5.0, 6.0, 7.0, 8.0))
+  }
+
+  test("truncate cuts every series to the global min length (W1)") {
+    val t = SeriesOps.truncate(SeriesOps.collectSeries(raggedFixture, "p", "v", "seq"))
+      .select(col("series_id"), col("values")).as[(String, Seq[Double])].collect()
+    assert(t.forall(_._2.length == 2))
+    assert(t.find(_._1 == "c").get._2 == Seq(5.0, 6.0)) // prefix kept
+  }
+
+  test("pad right-pads with zeros to the global max length (W2)") {
+    val p = SeriesOps.pad(SeriesOps.collectSeries(raggedFixture, "p", "v", "seq"))
+      .select(col("series_id"), col("values")).as[(String, Seq[Double])].collect()
+    assert(p.forall(_._2.length == 4))
+    assert(p.find(_._1 == "b").get._2 == Seq(10.0, 20.0, 0.0, 0.0))
+  }
+
+  test("slidingWindow: floor((n-w)/s)+1 windows, each a contiguous slice (W3)") {
+    val one = Seq(("s", (1 to 200).map(_.toDouble).toArray))
+      .toDF("series_id", "values")
+    assert(SeriesOps.slidingWindow(one, 10, 1).count() == 191)
+    val w36 = SeriesOps.slidingWindow(one, 25, 5)
+    assert(w36.count() == 36)
+    val first = w36.filter(col("win_id") === 1).head()
+      .getAs[collection.Seq[Double]]("window")
+    assert(first.toSeq == (6 to 30).map(_.toDouble)) // window 1 starts at offset s=5
+  }
+
+  test("slidingWindow drops series shorter than w (drop_remainder)") {
+    val df = Seq(("s", Array(1.0, 2.0))).toDF("series_id", "values")
+    assert(SeriesOps.slidingWindow(df, 10, 1).count() == 0)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** [EXT] operator semantics on hand-built fixtures. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words appear here now today friends"),
+    (5L, "der hund ist nicht ein fisch und das ist gut")  // German stopwords
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to min doc_id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"dup_count" > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 1L && g.head.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("jaccardPairs: identical docs score 1.0, near-dups high, distinct absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshPairs finds the planted dups (candidates → exact verify)") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash32: identical texts get identical fingerprints; hamming 0") {
+    val fp = Dedup.simhash32(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) >= 0 && fp(1L) < (1L << 32))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("langId votes en for English stopwords, de for German (deterministic ties)") {
+    val out = TextOps.langId(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) == "en" && out(5L) == "de")
+    assert(out(4L) == "und") // no stopword hits
+  }
+
+  test("quality ratios are well-defined and bounded") {
+    val q = TextOps.quality(docs, "doc_id", "text").collect()
+    q.foreach { r =>
+      assert(r.getAs[Long]("chars") > 0)
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("stopword_ratio") >= 0 && r.getAs[Double]("stopword_ratio") <= 1)
+    }
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val d2 = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(d2, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("bruteForceTopK returns k exact neighbors ranked by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id = 0", 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.length == 2)
+    assert(out(0)._3 == 1L) // rank 1 = nearest
+    assert(out(1)._3 == 2L)
+  }
+}
