@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all ++ MlQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all ++
+      MlQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

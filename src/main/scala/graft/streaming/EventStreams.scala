@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10 + §7.2 P6 [EXT]).
+  *
+  * The reference has no stream processing; its sliding window (W3,
+  * app.py:285-295) is the natural seed for event-time windows. These
+  * are the streaming-ready forms: the batch queries
+  * `evt_tumbling_window`/`evt_sliding_window` share the exact same
+  * `window()` semantics, so batch outputs are the oracle for the
+  * streaming path (verified in StreamingSpec).
+  *
+  * Scale notes: watermark + windowed agg is incremental state, keyed
+  * by (window, type) — state size is bounded by watermark horizon, not
+  * stream length. Sessionization state is per-user and evicted on
+  * event-time timeout.
+  */
+object EventStreams {
+
+  /** Parquet schema for streaming reads of the driver's events table
+    * (ts is TIMESTAMP(NANOS); with the nanos-as-long conf it arrives
+    * as LongType nanos — converted to micros TimestampType here). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream the events table from an sf directory (the streaming file
+    * source requires a directory; the glob picks the events parquet). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time counts per type, append-mode capable. */
+  def tumblingCounts(events: DataFrame, watermark: String, width: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding event-time window aggregate. */
+  def slidingCounts(events: DataFrame, watermark: String,
+      width: String, slide: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("wstart"), col("n"), col("sum_v"))
+
+  /** Built-in session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, watermark: String, gap: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, events: Long, sum_v: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value sum across micro-batches (update mode). */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.events
+          var s = prev.sum_v
+          it.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(uid, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import graft.ext.Multimodal
+import graft.sources.CsvSeries
+
+/** Multimodal binary plumbing + CSV source/sink surface. */
+class MultimodalSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asBinaryTable produces binary payload + byte metadata") {
+    val df = Seq((1L, "héllo")).toDF("doc_id", "text")
+    val row = Multimodal.asBinaryTable(df, "doc_id", "text", "text/plain").head()
+    assert(row.getAs[Array[Byte]]("content").length == 6) // é is 2 bytes utf-8
+    assert(row.getAs[Long]("n_bytes") == 6)
+    assert(row.getAs[String]("media_type") == "text/plain")
+  }
+
+  test("extractFeatures is deterministic, batched per partition, normalized") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](0, 1, 2, 3)),
+      Multimodal.MediaRow(2L, Array[Byte](0, 1, 2, 3)),
+      Multimodal.MediaRow(3L, Array.fill[Byte](100)(-1))).toDS().repartition(2)
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(out(0).feature.toSeq == out(1).feature.toSeq) // deterministic
+    assert(math.abs(out(2).feature.sum - 1.0) < 1e-9)    // histogram normalized
+    assert(out(2).width == 10 && out(2).height == 10)    // sqrt(100)
+  }
+
+  test("sampleFrames takes every stride-th fixed-size chunk") {
+    val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
+    val frames = Multimodal.sampleFrames(media, 64, 2).collect()
+    // chunks: 64,64,64,64,44 → indices 0..4, stride 2 → 0,2,4
+    assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 2L, 4L))
+    assert(frames.map(_.getAs[Long]("frame_bytes")).sum == 64 + 64 + 44)
+  }
+
+  test("euc-kr CSV path scan decodes Korean headers/values (S1)") {
+    val dir = Files.createTempDirectory("graftcsv")
+    val f = dir.resolve("series.csv")
+    val content = "공정,측정값\nA,1.5\nA,2.5\nB,3.5\n"
+    Files.write(f, content.getBytes(java.nio.charset.Charset.forName("euc-kr")))
+    val df = CsvSeries.readCsv(spark, f.toString, "측정값")
+    assert(df.columns.toSeq == Seq("공정", "측정값"))
+    assert(df.count() == 3)
+    assert(df.agg(org.apache.spark.sql.functions.sum("측정값")).head().getDouble(0) == 7.5)
+  }
+
+  test("base64 upload decode parses like the file scan (S2)") {
+    val csv = "p,v\nx,1.25\ny,2.75\n"
+    val b64 = java.util.Base64.getEncoder.encodeToString(csv.getBytes("UTF-8"))
+    val df = CsvSeries.readUploadBase64(spark, b64, "v")
+    assert(df.count() == 2)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 4.0)
+  }
+
+  test("CSV sink round-trips with header (K1)") {
+    val dir = Files.createTempDirectory("graftsink").toString + "/out"
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    CsvSeries.writeCsv(df, dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Structured Streaming semantics: the windowed streaming aggregates
+  * must equal their batch `window()` counterparts over the same data
+  * (batch = oracle), and custom keyed state accumulates per user. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  private val rows = Seq(
+    Ev(1L, ts(0), 1.0), Ev(1L, ts(1), 2.0), Ev(2L, ts(2), 3.0),
+    Ev(1L, ts(16), 4.0), Ev(2L, ts(17), 5.0), Ev(2L, ts(33), 6.0))
+
+  test("streaming tumbling window equals the batch window() aggregate") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = mem.toDF().withColumn("event_type", lit("e"))
+    val q = EventStreams.tumblingCounts(events, "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("tumb").select("wstart", "n", "sum_v")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    q.stop()
+    val batch = rows.toDF().withColumn("event_type", lit("e"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start"), col("n"), col("sum_v"))
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(got.toSeq == batch.toSeq)
+  }
+
+  test("session windows split on the gap") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("sess")
+      .select("user_id", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    // user 1: events at 0,1 then 16 → sessions (2, 1); user 2: 2, 17, 33 → (1,1,1)
+    assert(got(1L) == Seq(1L, 2L))
+    assert(got(2L) == Seq(1L, 1L, 1L))
+  }
+
+  test("mapGroupsWithState accumulates running user totals across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("run").outputMode("update").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val last = spark.table("run").groupBy("user_id")
+      .agg(max("events").as("events"), max("sum_v").as("sum_v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    q.stop()
+    assert(last(1L) == ((3L, 7.0)))
+    assert(last(2L) == ((3L, 14.0)))
+  }
+}
