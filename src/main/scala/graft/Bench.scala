@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen + parquet footer reads, so the first
+    // timed query doesn't absorb session start-up cost
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, sfDir).limit(1).count()
+      Tables.events(spark, sfDir).limit(1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

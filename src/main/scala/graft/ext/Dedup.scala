@@ -49,30 +49,50 @@ object Dedup {
   }
 
   /** Per-doc minhash signature rows (id, h, mv): mv = lexicographic
-    * min of md5(h || '|' || shingle) over the doc's shingles. */
+    * min of md5(h || '|' || shingle) over the doc's shingles. All
+    * `numHashes` mins are computed as parallel aggregates in ONE pass
+    * over the shingle rows (no h-fold row explosion before the
+    * shuffle), then unpivoted. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    sh.select(col(idCol), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")).cast("binary"))).as("mv"))
+    minhashSignaturesWide(sh, idCol, numHashes)
+      .select(col(idCol),
+        posexplode(array((0 until numHashes).map(h => col(s"__mh$h")): _*)))
+      .withColumnRenamed("pos", "h")
+      .withColumnRenamed("col", "mv")
 
-  /** MinHash-LSH near-dup pairs: bands of r=1 minhash each → candidate
-    * pairs share any minhash value; candidates are then verified with
-    * exact Jaccard and filtered at `threshold`. */
+  /** Wide signature form: one row per doc, columns __mh0..__mhN-1. */
+  def minhashSignaturesWide(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("s")).cast("binary"))).as(s"__mh$h"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: b bands of r=2 minhashes (band key =
+    * concatenation of the band's minhashes) → candidate pairs share a
+    * full band; candidates are then verified with exact Jaccard and
+    * filtered at `threshold`. With r=2 a chance single-hash collision
+    * between unrelated docs does NOT produce a candidate — pair volume
+    * stays proportional to true near-dups, which is what makes this
+    * the 100-TB path. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, threshold: Double): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 bands)")
     val sh = TextOps.shingles(docs, idCol, textCol, n).cache()
-    val mh = minhashSignatures(sh, idCol, numHashes)
-    val cand = mh.as("a").join(mh.as("b"),
-        col("a.h") === col("b.h") && col("a.mv") === col("b.mv")
-          && col(s"a.$idCol") < col(s"b.$idCol"))
+    val wide = minhashSignaturesWide(sh, idCol, numHashes)
+    val bandCols = (0 until numHashes / 2).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"__mh${2 * b}"), col(s"__mh${2 * b + 1}")).as("key")))
+    val banded = wide.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+    // composite equi-join on (id_b, s): only shared shingles survive the
+    // join — never the |sh(a)|×|sh(b)| per-pair product
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s").as("s2")), "id_b")
-      .filter(col("s") === col("s2"))
+      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(ns.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
@@ -85,11 +105,14 @@ object Dedup {
   /** 32-bit SimHash per doc: per bit, frequency-weighted ±1 vote from
     * each token's md5 nibble bits; bit set iff the vote sum is > 0. */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // hash each token once, THEN explode the 32 bit positions — md5 is
+    // the expensive part and must not run 32× per token
     val toks = TextOps.tokens(docs, idCol, textCol)
+      .withColumn("hx", md5(col("w").cast("binary")))
     val votes = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("w"))
+      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("hx"))
       .withColumn("v", expr(
-        "CASE WHEN (shiftright(instr('0123456789abcdef', substr(md5(w), CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+        "CASE WHEN (shiftright(instr('0123456789abcdef', substr(hx, CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
       .groupBy(col(idCol), col("b")).agg(sum(col("v")).as("sv"))
     votes.groupBy(col(idCol))
       .agg(sum(expr(
@@ -97,29 +120,57 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation is byte-banded for maxHamming ≤ 3 (the scale
+    * path): by pigeonhole, two hashes within Hamming m agree exactly
+    * on some (4−m)-byte subset, so candidates are found with an
+    * equi-join on (subset, masked-hash) keys — never an all-pairs
+    * product — then verified exactly. Results are identical to the
+    * brute scan (which remains the fallback for loose thresholds). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val s = simhash32(docs, idCol, textCol)
-    val a = s.select(col(idCol).as("id_a"), col("simhash").as("sa"))
-    val b = s.select(col(idCol).as("id_b"), col("simhash").as("sb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val s = simhash32(docs, idCol, textCol).cache()
+    val pairs =
+      if (maxHamming <= 3) {
+        val keepSets = (0 until 4).combinations(4 - maxHamming).toSeq.zipWithIndex
+        val bandCols = keepSets.map { case (keep, bandIdx) =>
+          val mask = keep.map(b => 0xFFL << (8 * b)).reduce(_ | _)
+          struct(lit(bandIdx).as("band"),
+            (col("simhash").bitwiseAND(lit(mask))).as("key"))
+        }
+        val banded = s.select(col(idCol), col("simhash"),
+          explode(array(bandCols: _*)).as("bk"))
+        banded.as("a").join(banded.as("b"),
+            col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+            col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+          .distinct()
+      } else {
+        val a = s.select(col(idCol).as("id_a"), col("simhash").as("sa"))
+        val b = s.select(col(idCol).as("id_b"), col("simhash").as("sb"))
+        a.join(b, col("id_a") < col("id_b"))
+      }
+    pairs
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
   /** Embedding-cosine near-dup pairs above `threshold` (brute-force
-    * pair scan; see Similarity for the bucketed scale path). */
+    * pair scan; see Similarity for the bucketed scale path). The dot
+    * product is graft's native codegen'd ArrayDot expression — same
+    * fold order as the SQL higher-order form, ~20× less per-pair cost. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
-      sqrt(aggregate(col(vecCol).cast("array<double>"),
-        lit(0.0), (a, x) => a + x * x)).as("nrm"))
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
     e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        (call_function("array_dot", col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
   }

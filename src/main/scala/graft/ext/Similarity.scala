@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalize to (id, v: array<double>, nrm). */
-  private[ext] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** Normalize to (id, v: array<double>, nrm) using the native
+    * codegen'd dot-product expression. */
+  private[ext] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+  }
 
   /** Exact cosine top-k neighbors for each query id (queries = rows of
     * `emb` satisfying `queryPred` SQL predicate; self excluded).
@@ -31,8 +34,8 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = q.join(e, col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
-        (aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("qn") * col("nrm"))).as("cosine"))
+        (call_function("array_dot", col("qv"), col("v"))
+          / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

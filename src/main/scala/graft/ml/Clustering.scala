@@ -18,9 +18,17 @@ object Clustering {
   private def withFeatures(emb: DataFrame): DataFrame =
     emb.withColumn("__f", array_to_vector(array(col("x"), col("y"))))
 
+  /** Small embeddings (the reference regime: one point per series) are
+    * crushed to one partition before the iterative fits — per-iteration
+    * task overhead otherwise dominates. Big inputs stay distributed. */
+  private def compactIfSmall(f: DataFrame): DataFrame = {
+    val cached = f.cache()
+    if (cached.count() < 100000) cached.coalesce(1) else cached
+  }
+
   /** C1: seeded KMeans assignment: adds `cluster` int column. */
   def kmeans(emb: DataFrame, k: Int, seed: Long = 10): DataFrame = {
-    val f = withFeatures(emb)
+    val f = compactIfSmall(withFeatures(emb))
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
     model.transform(f).drop("__f")
@@ -36,19 +44,36 @@ object Clustering {
 
   /** A5: silhouette model-selection scan k = 2..maxK, top `keep` ks by
     * score desc (score×100 rounded 2, app.py:790-808; seed 10 like the
-    * reference's scan). Driver-side loop over ≤ maxK-1 fits — each fit
-    * is a distributed job; the scan itself is tiny. */
+    * reference's scan).
+    *
+    * Reference-regime fast path: the embedding is one point per series
+    * — tiny even at 100 TB of raw events — so for < 10⁵ points the
+    * whole scan (seeded KMeans++ + EXACT euclidean silhouette, the
+    * sklearn semantics the reference uses; MLlib's evaluator computes
+    * the squared-euclidean variant) runs on the driver. Larger inputs
+    * fall back to distributed MLlib fits. */
   def silhouetteScan(emb: DataFrame, maxK: Int, keep: Int = 5): DataFrame = {
-    val f = withFeatures(emb).cache()
-    val scores = (2 to maxK).map { k =>
-      val m = new KMeans().setK(k).setSeed(10)
-        .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
-      val s = new ClusteringEvaluator().setFeaturesCol("__f")
-        .setPredictionCol("cluster").evaluate(m.transform(f))
-      (k, math.rint(s * 100 * 100) / 100)
-    }
     val spark = emb.sparkSession
     import spark.implicits._
+    val n = emb.cache().count()
+    val scores =
+      if (n < 100000) {
+        val pts = emb.select(col("x").cast("double"), col("y").cast("double"))
+          .as[(Double, Double)].collect()
+        (2 to maxK).map { k =>
+          val labels = Local.kmeans(pts, k, seed = 10)
+          (k, math.rint(Local.silhouette(pts, labels, k) * 100 * 100) / 100)
+        }
+      } else {
+        val f = withFeatures(emb).cache()
+        (2 to maxK).map { k =>
+          val m = new KMeans().setK(k).setSeed(10)
+            .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
+          val s = new ClusteringEvaluator().setFeaturesCol("__f")
+            .setPredictionCol("cluster").evaluate(m.transform(f))
+          (k, math.rint(s * 100 * 100) / 100)
+        }
+      }
     scores.sortBy { case (k, s) => (-s, k) }.take(keep)
       .toDF("k", "silhouette_pct")
   }

@@ -1,5 +1,6 @@
 package graft.ml
 
+import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,10 @@ import org.apache.spark.sql.functions._
   * output deterministic regardless of partitioning.
   */
 object Dbscan {
+
+  /** Core-core edge count below which connected components run as a
+    * driver union-find instead of iterative distributed joins. */
+  private val maxDriverEdges = 5000000L
 
   /** Input: (series_id, x, y). Output: (series_id, cluster) with
     * cluster = min series_id of the component's core points, −1 noise. */
@@ -56,22 +61,47 @@ object Dbscan {
       .join(core.select(col("id").as("id2")), "id2")
       .select(col("id"), col("id2"))
       .cache()
-    // localCheckpoint each round: truncates the iterative plan lineage,
-    // which otherwise grows past what the driver can even analyze.
-    var labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val prop = coreEdges
-        .join(labels.select(col("id").as("id2"), col("label")), "id2")
-        .groupBy("id").agg(min(col("label")).as("nl"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      iter += 1
+
+    // Reference-regime fast path (SURVEY.md §7.5 #4): the core-core
+    // edge list fits on the driver → union-find there instead of
+    // O(diameter) distributed rounds. Same result (canonical min-id
+    // labels) either way; the distributed path remains for scale.
+    val nEdges = coreEdges.count()
+    var labels: DataFrame = null
+    if (nEdges <= maxDriverEdges) {
+      import spark.implicits._
+      val parent = mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      coreEdges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val coreIds = core.as[Long].collect()
+      labels = coreIds.map(id => (id, find(id))).toSeq.toDF("id", "label")
+    } else {
+      // localCheckpoint each round: truncates the iterative plan
+      // lineage, which otherwise outgrows the driver's analyzer.
+      labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val prop = coreEdges
+          .join(labels.select(col("id").as("id2"), col("label")), "id2")
+          .groupBy("id").agg(min(col("label")).as("nl"))
+        val next = labels.join(prop, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
     }
 
     // Border points: non-core with >=1 core neighbor → that core's label.

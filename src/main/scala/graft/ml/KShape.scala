@@ -67,12 +67,88 @@ object KShape {
     out
   }
 
+  /** Shape extraction: max eigenvector of Q·M·Q (Q = I − 11ᵀ/m) with
+    * deterministic sign (max-|·| element positive), z-normalized. */
+  private def extractShape(gram: Array[Double], m: Int): Array[Double] = {
+    val gm = new DenseMatrix(m, m, gram) // symmetric, order irrelevant
+    val q = DenseMatrix.eye[Double](m) -:- DenseMatrix.fill(m, m)(1.0 / m)
+    val mc = q * gm * q
+    val es = eigSym((mc +:+ mc.t) *:* 0.5)
+    val top = es.eigenvectors(::, es.eigenvalues.length - 1).toArray
+    val idx = top.indices.maxBy(i => math.abs(top(i)))
+    znorm(if (top(idx) < 0) top.map(-_) else top)
+  }
+
+  private def addOuter(g: Array[Double], a: Array[Double], m: Int): Unit = {
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < m) { g(i * m + j) += a(i) * a(j); j += 1 }
+      i += 1
+    }
+  }
+
+  private def argminSbd(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = sbd(v, cents(c))
+      if (d < bestD - 1e-12) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-local fit for the reference regime (SURVEY.md §7.5 #4) —
+    * identical algorithm, no per-iteration job overhead. */
+  private def localFit(data: Array[(Long, Array[Double])], k: Int,
+      maxIter: Int): Array[(Long, Int)] = {
+    val m = data.head._2.length
+    val z = data.map { case (id, v) => (id, znorm(v)) }
+    var labels = z.map { case (id, _) => (id % k).toInt }
+    var centroids = Array.fill(k)(Array.fill(m)(0.0))
+    var iter = 0
+    while (iter < maxIter) {
+      val next = centroids.clone()
+      for (c <- 0 until k) {
+        val members = z.indices.filter(labels(_) == c)
+        if (members.nonEmpty) {
+          val zeroCent = centroids(c).forall(_ == 0.0)
+          val g = Array.fill(m * m)(0.0)
+          members.foreach { i =>
+            val v = z(i)._2
+            val a = if (zeroCent) v else shifted(v, nccMax(v, centroids(c))._2)
+            addOuter(g, a, m)
+          }
+          next(c) = extractShape(g, m)
+        }
+      }
+      centroids = next
+      labels = z.map { case (_, v) => argminSbd(v, centroids) }
+      iter += 1
+    }
+    z.map(_._1).zip(labels)
+  }
+
   /** Fit k shape clusters. Input (series_id, values) with equal-length
     * arrays; series are z-normalized internally (paper §3.1).
     * Deterministic: init cluster = series_id mod k (the reference is
     * nondeterministic here; documented deviation), ties to lowest k.
-    * Output: (series_id, cluster). */
+    * Small inputs (< 10⁵ series) run entirely on the driver; the
+    * distributed path below is the same algorithm with per-cluster
+    * Gram aggregation on executors. Output: (series_id, cluster). */
   def fit(series: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    if (series.count() < 100000) {
+      val spark = series.sparkSession
+      import spark.implicits._
+      val data = series.select(col("series_id").cast("long"), col("values"))
+        .as[(Long, Array[Double])].collect()
+      return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
+    }
+    fitDistributed(series, k, maxIter)
+  }
+
+  private def fitDistributed(series: DataFrame, k: Int, maxIter: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
     val ds = series.select(col("series_id").cast("long"), col("values"))
@@ -86,8 +162,7 @@ object KShape {
     var centroids: Array[Array[Double]] = Array.fill(k)(Array.fill(m)(0.0))
 
     var iter = 0
-    var stable = false
-    while (iter < maxIter && !stable) {
+    while (iter < maxIter) {
       val bc = spark.sparkContext.broadcast(centroids)
       // Refinement: per-cluster Gram of centroid-aligned members.
       val grams = assigned.as[(Long, Array[Double], Int)]
@@ -99,12 +174,7 @@ object KShape {
           var n = 0
           it.foreach { case (_, v, _) =>
             val a = if (zeroCent) v else shifted(v, nccMax(v, cent)._2)
-            var i = 0
-            while (i < m) {
-              var j = 0
-              while (j < m) { g(i * m + j) += a(i) * a(j); j += 1 }
-              i += 1
-            }
+            addOuter(g, a, m)
             n += 1
           }
           (c, n, g)
@@ -112,18 +182,7 @@ object KShape {
 
       val newCentroids = centroids.clone()
       grams.foreach { case (c, n, g) =>
-        if (n > 0) {
-          val gm = new DenseMatrix(m, m, g) // symmetric, order irrelevant
-          // Q·M·Q with Q = I − 11ᵀ/m
-          val q = DenseMatrix.eye[Double](m) -:- DenseMatrix.fill(m, m)(1.0 / m)
-          val mc = q * gm * q
-          val es = eigSym((mc +:+ mc.t) *:* 0.5)
-          val top = es.eigenvectors(::, es.eigenvalues.length - 1).toArray
-          // sign: make the max-|.|, element positive (deterministic)
-          val idx = top.indices.maxBy(i => math.abs(top(i)))
-          val fixed = if (top(idx) < 0) top.map(-_) else top
-          newCentroids(c) = znorm(fixed)
-        }
+        if (n > 0) newCentroids(c) = extractShape(g, m)
       }
       centroids = newCentroids
       bc.destroy()
@@ -131,23 +190,13 @@ object KShape {
       // Assignment: argmin SBD to the broadcast centroids.
       val bc2 = spark.sparkContext.broadcast(centroids)
       val next = ds.as[(Long, Array[Double])]
-        .map { case (id, v) =>
-          val cents = bc2.value
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val d = sbd(v, cents(c))
-            if (d < bestD - 1e-12) { best = c; bestD = d }
-            c += 1
-          }
-          (id, v, best)
-        }.toDF("series_id", "values", "cluster").cache()
+        .map { case (id, v) => (id, v, argminSbd(v, bc2.value)) }
+        .toDF("series_id", "values", "cluster").cache()
 
-      val moved = next.select("series_id", "cluster")
-        .except(assigned.select("series_id", "cluster")).count()
+      // fixed-iteration loop: a distributed stability check would cost
+      // two extra shuffles per round for a rare early exit
       assigned.unpersist()
       assigned = next
-      stable = moved == 0
       iter += 1
     }
     assigned.select(col("series_id"), col("cluster"))

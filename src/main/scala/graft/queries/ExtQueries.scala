@@ -50,16 +50,21 @@ object ExtQueries {
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
-    // MinHash-LSH: 8 md5-string minhashes, r=1 bands → candidates,
-    // then exact-Jaccard verification of candidates only (scale path)
+    // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
+    // pairs share a full band, then exact-Jaccard verification of
+    // candidates only (the scale path: pair volume ∝ true near-dups)
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 3, 8, 0.5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $shingleCte,
               |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
               |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |         FROM mh a JOIN mh b ON a.h = b.h AND a.mv = b.mv AND a.doc_id < b.doc_id),
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
               |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
               |          FROM cand c JOIN sh x ON x.doc_id = c.id_a

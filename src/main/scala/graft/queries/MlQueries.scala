@@ -13,29 +13,41 @@ import graft.ml._
   * matrices (I1/I2) — carry full DuckDB oracles. */
 object MlQueries {
 
+  /** S3 scan memoization (app.py:156-178 → df.cache()): the ML queries
+    * share the series pipeline; cache it once per (session, dir). */
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def memoized(key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(key, build.cache())
+
   /** The reference's working dataset: whole-column min-max normalized
     * values, grouped into per-user series (SURVEY.md §1.4). */
   private def normalizedSeries(s: SparkSession, dir: String): DataFrame =
-    SeriesOps.collectSeries(
-      SeriesOps.withNormalized(Tables.events(s, dir), "value"),
-      "user_id", "min_max", "event_id")
+    memoized(s"ns|$dir") {
+      SeriesOps.collectSeries(
+        SeriesOps.withNormalized(Tables.events(s, dir), "value"),
+        "user_id", "min_max", "event_id")
+    }
 
   /** Deterministic 2-D feature embedding used by the oracle-checkable
     * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
     * inputs rounded so both engines see identical doubles. */
   private def featureEmbedding(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).na.drop(Seq("value"))
-      .groupBy(col("user_id").as("series_id"))
-      .agg(round(avg(col("value")), 6).as("x"),
-        round(stddev_pop(col("value")), 6).as("y"))
+    memoized(s"fe|$dir") {
+      Tables.events(s, dir).na.drop(Seq("value"))
+        .groupBy(col("user_id").as("series_id"))
+        .agg(round(avg(col("value")), 6).as("x"),
+          round(stddev_pop(col("value")), 6).as("y"))
+    }
 
-  /** Single series of the smallest user_id (imaging queries). */
+  /** Single series of the smallest user_id (imaging queries). The
+    * min-user filter lands BEFORE the group-collect: only that user's
+    * rows are aggregated, not every series. */
   private def minUserSeries(s: SparkSession, dir: String): DataFrame = {
-    val ser = SeriesOps.collectSeries(
-      Tables.events(s, dir), "user_id", "value", "event_id")
-    val mn = ser.agg(min(col("series_id")).as("__mid"))
-    ser.crossJoin(broadcast(mn)).filter(col("series_id") === col("__mid"))
-      .select(col("series_id"), col("values"))
+    val ev = Tables.events(s, dir).na.drop(Seq("value"))
+    val mn = ev.agg(min(col("user_id")).as("__mid"))
+    val one = ev.crossJoin(broadcast(mn))
+      .filter(col("user_id") === col("__mid"))
+    SeriesOps.collectSeries(one, "user_id", "value", "event_id")
   }
 
   val all: Seq[Q] = Seq(
