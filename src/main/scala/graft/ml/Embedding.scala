@@ -50,6 +50,18 @@ object Embedding {
     pcaEmbed(series, 3).select(col("series_id"),
       col("emb")(0).as("x"), col("emb")(1).as("y"), col("emb")(2).as("z"))
 
+  /** E3 substitute: the reference's AutoEncoder path (series → RP/GAF
+    * image → resize → conv encoder → 2-D latent, app.py:490-641) with
+    * a LINEAR encoder: image → flatten → mean-centered PCA-to-2 (the
+    * optimum any linear autoencoder converges to). Deterministic,
+    * seed-free; documented deviation (SURVEY.md §2.7 E3 — no conv nets
+    * in MLlib / offline env). `imaging` ∈ {"rp", "gaf"}. */
+  def aeSubstitute(series: DataFrame, imaging: String, imgSize: Int): DataFrame = {
+    val flat = series.withColumn("values",
+      graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")))
+    pca2d(flat)
+  }
+
   /** Explained-variance percentages of the top `n` components,
     * rounded to 1 decimal like the reference (app.py:680). */
   def pcaVariancePct(series: DataFrame, n: Int): DataFrame = {

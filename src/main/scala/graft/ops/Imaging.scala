@@ -73,4 +73,67 @@ object Imaging {
   }
 
   def resizeUdf = udf(resize)
+
+  /** Fused imaging + area-resize kernel for the AE-substitute path:
+    * series → RP/GAF matrix → size×size area average, computed per
+    * output cell in one tight loop (never materializing the m×m
+    * boxed matrix — the HOF form is kept for the oracle-checked
+    * single-series matrix queries, this for the 10⁴+-series path).
+    * Returns the flattened size×size image. */
+  def fusedImageUdf(imaging: String, size: Int) = udf((values: Seq[Double]) => {
+    val v = values.toArray
+    val n = v.length
+    val mn = v.min; val mx = v.max
+    val rng = mx - mn
+    val cell: (Int, Int) => Double = imaging match {
+      case "rp" => (i, j) => math.abs(v(i) - v(j)) / rng * 255.0
+      case "gaf" =>
+        val phi = v.map(x => math.acos(math.min(1.0, math.max(-1.0, (2 * x - mx - mn) / rng))))
+        (i, j) => (1.0 + math.cos(phi(i) + phi(j))) * 127.5
+      case other => throw new IllegalArgumentException(s"unknown imaging: $other")
+    }
+    val out = new Array[Double](size * size)
+    if (n <= size) {
+      // grow: bilinear on the virtual matrix (same convention as resize)
+      var i = 0
+      while (i < size) {
+        val fy = (i + 0.5) * n / size - 0.5
+        val y0 = math.max(0, math.min(n - 1, math.floor(fy).toInt))
+        val y1 = math.min(n - 1, y0 + 1)
+        val wy = math.max(0.0, math.min(1.0, fy - y0))
+        var j = 0
+        while (j < size) {
+          val fx = (j + 0.5) * n / size - 0.5
+          val x0 = math.max(0, math.min(n - 1, math.floor(fx).toInt))
+          val x1 = math.min(n - 1, x0 + 1)
+          val wx = math.max(0.0, math.min(1.0, fx - x0))
+          out(i * size + j) =
+            cell(y0, x0) * (1 - wy) * (1 - wx) + cell(y0, x1) * (1 - wy) * wx +
+              cell(y1, x0) * wy * (1 - wx) + cell(y1, x1) * wy * wx
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < size) {
+        val r0 = i * n / size; val r1 = math.max(r0 + 1, (i + 1) * n / size)
+        var j = 0
+        while (j < size) {
+          val c0 = j * n / size; val c1 = math.max(c0 + 1, (j + 1) * n / size)
+          var s = 0.0
+          var r = r0
+          while (r < r1) {
+            var c = c0
+            while (c < c1) { s += cell(r, c); c += 1 }
+            r += 1
+          }
+          out(i * size + j) = s / ((r1 - r0) * (c1 - c0))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out
+  })
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Dtw, Imaging, SeriesOps}
-import graft.ml._
+import graft.ml.{Clustering, Dbscan, Embedding, KShape, Silhouette, TraceBack}
 
 /** ML-stage queries (SURVEY.md §2.6-§2.8): embedding, clustering,
   * trace-back, DTW, imaging. The ML fits themselves are not
@@ -37,6 +37,19 @@ object MlQueries {
         .groupBy(col("user_id").as("series_id"))
         .agg(round(avg(col("value")), 6).as("x"),
           round(stddev_pop(col("value")), 6).as("y"))
+    }
+
+  /** W4 DTW alignment of every series to the longest one (memoized —
+    * shared by the stretch query and the DTW combination pipeline). */
+  private def dtwAligned(s: SparkSession, dir: String): DataFrame =
+    memoized(s"dtw|$dir") {
+      val ser = SeriesOps.collectSeries(
+        Tables.events(s, dir), "user_id", "value", "event_id").cache()
+      val longest = ser.withColumn("__n", size(col("values")))
+        .orderBy(desc("__n"), asc("series_id"))
+        .head().getAs[Seq[Double]]("values").toArray
+      val stretchUdf = udf((v: Seq[Double]) => Dtw.stretch(v.toArray, longest))
+      ser.select(col("series_id"), stretchUdf(col("values")).as("values"))
     }
 
   /** Single series of the smallest user_id (imaging queries). The
@@ -123,21 +136,77 @@ object MlQueries {
 
     // W4: DTW-stretch every series to the longest one's length (rows-only)
     Q("ml_dtw_stretch",
+      (s, dir) => dtwAligned(s, dir)
+        .select(col("series_id"),
+          size(col("values")).cast("long").as("len"),
+          round(SeriesOps.arraySum(col("values")), 4).as("sum_v"))
+        .orderBy("series_id")),
+
+    // Full combination path: DTW align → PCA embed → seeded KMeans —
+    // one of the reference's "36 combinations" (README.md:18) end-to-end
+    Q("ml_pipeline_dtw_kmeans",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(
-          Tables.events(s, dir), "user_id", "value", "event_id").cache()
-        val longest = ser.withColumn("__n", size(col("values")))
-          .orderBy(desc("__n"), asc("series_id"))
-          .head().getAs[Seq[Double]]("values").toArray
-        val stretchUdf = udf((v: Seq[Double]) =>
-          Dtw.stretch(v.toArray, longest))
-        ser.select(col("series_id"),
-          stretchUdf(col("values")).as("stretched"))
-          .select(col("series_id"),
-            size(col("stretched")).cast("long").as("len"),
-            round(SeriesOps.arraySum(col("stretched")), 4).as("sum_v"))
+        val emb = Embedding.pca2d(dtwAligned(s, dir))
+        Clustering.kmeans(emb, 3).groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster")
+      }),
+
+    // E3-substitute path: series → GAF image → resize → linear AE (PCA)
+    Q("ml_ae_embedding",
+      (s, dir) => {
+        val ser = SeriesOps.pad(normalizedSeries(s, dir))
+          .filter(array_max(col("values")) > array_min(col("values")))
+        Embedding.aeSubstitute(ser, "gaf", 8)
+          .select(col("series_id"), round(col("x"), 6).as("x"),
+            round(col("y"), 6).as("y"))
           .orderBy("series_id")
       }),
+
+    // E1 3-D embedding (the reference's 3-D scatter path)
+    Q("ml_pca_embedding_3d",
+      (s, dir) => Embedding.pca3d(SeriesOps.pad(normalizedSeries(s, dir)))
+        .select(col("series_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"), round(col("z"), 6).as("z"))
+        .orderBy("series_id")),
+
+    // C5 per-sample silhouette on the deterministic embedding — oracle-checked
+    Q("ml_silhouette_samples",
+      (s, dir) => Silhouette.samples(
+          featureEmbedding(s, dir).withColumn("cluster", col("series_id") % 4))
+        .select(col("series_id"), col("cluster"),
+          round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+          round(col("s"), 6).as("s"))
+        .orderBy("series_id"),
+      Some("""WITH f AS (SELECT user_id, round(avg(value),6) AS x,
+             |                  round(stddev_pop(value),6) AS y, user_id % 4 AS cluster
+             |           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |sz AS (SELECT cluster AS cb, count(*) AS csize FROM f GROUP BY cluster),
+             |pr AS (SELECT a.user_id AS series_id, a.cluster AS ca, b.cluster AS cb,
+             |         sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)) AS d
+             |       FROM f a JOIN f b ON a.user_id != b.user_id),
+             |sums AS (SELECT series_id, ca, cb, sum(d) AS sd FROM pr GROUP BY 1, 2, 3),
+             |m AS (SELECT s.series_id, s.ca, s.cb,
+             |        CASE WHEN s.cb = s.ca THEN s.sd / (z.csize - 1)
+             |             ELSE s.sd / z.csize END AS meanD
+             |      FROM sums s JOIN sz z ON z.cb = s.cb),
+             |av AS (SELECT m.series_id, meanD AS a FROM m JOIN sz z ON z.cb = m.ca
+             |       WHERE m.cb = m.ca AND z.csize > 1),
+             |bv AS (SELECT series_id, min(meanD) AS b FROM m WHERE cb != ca GROUP BY 1)
+             |SELECT f.user_id AS series_id, f.cluster,
+             |       round(av.a, 6) AS a, round(bv.b, 6) AS b,
+             |       round(CASE WHEN av.a IS NULL OR bv.b IS NULL THEN 0.0
+             |             ELSE (bv.b - av.a) / greatest(av.a, bv.b) END, 6) AS s
+             |FROM f LEFT JOIN av ON av.series_id = f.user_id
+             |LEFT JOIN bv ON bv.series_id = f.user_id
+             |ORDER BY series_id""".stripMargin)),
+
+    // IVF approximate top-k: bucket-pruned search (rows-only; recall
+    // vs the exact brute force is asserted in IvfSpec)
+    Q("sim_ivf_topk",
+      (s, dir) => graft.ml.Ivf.topK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "vec_id < 10", 5, 16, 4)
+        .orderBy("q_id", "rank")),
 
     // I1 Recurrence Plot of the smallest user's series — oracle-checked
     Q("img_rp_matrix",

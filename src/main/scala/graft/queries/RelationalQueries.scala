@@ -174,6 +174,20 @@ object RelationalQueries {
              |    ROWS UNBOUNDED PRECEDING),4) AS running_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Two-phase salted aggregation (skew mitigation; identical result
+    // to the plain GROUP BY, which is the oracle)
+    Q("agg_salted_sum",
+      (s, dir) => graft.ops.SkewOps.saltedSumCount(
+          Tables.lineitem(s, dir), Seq("l_returnflag"),
+          money(col("l_quantity")), col("l_orderkey"), 16)
+        .select(col("l_returnflag"),
+          round(col("sum_v"), 2).cast("double").as("sum_qty"), col("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Global top-k on stored values (exact comparison, unique tiebreak)
     Q("topk_orders",
       (s, dir) => Tables.orders(s, dir)

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Similarity
+import graft.ml.Ivf
+
+/** IVF ANN vs exact brute force: recall@5 over the sf0.001 embeddings.
+  * IVF trades recall for a bucket-pruned scan; with nprobe=4 of
+  * nlist=16 it must still recover most true neighbors. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF recall@5 vs brute force ≥ 0.6 with nprobe/nlist = 1/4") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 20", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ivf.topK(emb, "vec_id", "embedding", "vec_id < 20", 5, 16, 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      val hit = approx.getOrElse(q, Set.empty)
+      exact(q).count(hit.contains).toDouble / exact(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean")
+  }
+
+  test("IVF returns exactly k ranked rows per query") {
+    val out = Ivf.topK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "vec_id < 5", 5, 8, 2)
+      .select("q_id", "rank").as[(Long, Long)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+  }
+
+  test("per-sample silhouette: well-separated points score near 1, misplaced negative") {
+    val pts = (
+      (0 until 10).map(i => (i.toLong, 0.0 + i * 0.01, 0.0, 0)) ++
+      (10 until 20).map(i => (i.toLong, 100.0 + i * 0.01, 0.0, 1)) ++
+      Seq((20L, 0.05, 0.0, 1)) // labeled 1 but sits inside cluster 0
+    ).toSeq.toDF("series_id", "x", "y", "cluster")
+    val s = graft.ml.Silhouette.samples(pts)
+      .select("series_id", "s").as[(Long, Double)].collect().toMap
+    assert(s(0L) > 0.9)
+    assert(s(20L) < 0.0)
+  }
+}
