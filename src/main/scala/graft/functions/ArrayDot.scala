@@ -63,6 +63,22 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions hook: makes graft's native expressions
+  * available in every session created with
+  * `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * standard way to ship the functions with the library on a cluster.
+  * (No custom Rule/Strategy is needed for reference parity —
+  * SURVEY.md §4 — so functions are the only injection.) */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArrayDot].getCanonicalName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+}
+
 /** Registration + Column helpers for graft's native expressions. */
 object GraftFunctions {
   /** Register SQL-callable names on the session (idempotent). */

@@ -174,6 +174,22 @@ object RelationalQueries {
              |    ROWS UNBOUNDED PRECEDING),4) AS running_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // TPC-H Q6-shaped forecasting-revenue filter+agg: every predicate
+    // reaches the parquet scan (PushedFilters), 4 columns read
+    Q("q6_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum2(money(col("l_extendedprice")) * factor(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
     // Two-phase salted aggregation (skew mitigation; identical result
     // to the plain GROUP BY, which is the oracle)
     Q("agg_salted_sum",

@@ -76,6 +76,24 @@ class ClusteringSpec extends SparkSpec {
     assert(d >= 0.0 && d <= 2.0)
   }
 
+  test("golden pipeline: pad → PCA → silhouette-k → KMeans → representatives recovers blobs") {
+    // SURVEY.md §5.3: the flagship chain on a deterministic fixture with
+    // pinned structure — one representative from each shape blob.
+    // equal-length fixture: zero-pad tails are themselves discriminative
+    // shape features (PCA finds sub-blobs — verified), so the golden
+    // chain runs on aligned data; pad raggedness is property-tested in
+    // SeriesOpsSpec
+    val padded = graft.ops.SeriesOps.pad(twoBlobs)
+    val emb = Embedding.pca2d(padded).cache()
+    val k = Clustering.silhouetteScan(emb, 6).head().getInt(0)
+    assert(k == 2)
+    val assigned = Clustering.kmeans(emb, k, seed = 10)
+    val reps = TraceBack.centroidRepresentatives(assigned)
+      .select("rep_id").as[Long].collect().toSet
+    assert(reps.size == 2)
+    assert(reps.exists(_ < 20) && reps.exists(_ >= 20)) // one per blob
+  }
+
   test("K-Shape groups phase-shifted copies that raw-value KMeans would split (C3)") {
     val base1 = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
     val base2 = (0 until 64).map(t => (t % 32) / 16.0 - 1.0).toArray // sawtooth

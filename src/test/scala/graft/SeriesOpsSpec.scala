@@ -64,4 +64,16 @@ class SeriesOpsSpec extends SparkSpec {
     val df = Seq(("s", Array(1.0, 2.0))).toDF("series_id", "values")
     assert(SeriesOps.slidingWindow(df, 10, 1).count() == 0)
   }
+
+  test("const series: normalization raises, matching the reference's ZeroDivisionError") {
+    // FIXTURES.md const_series edge: max == min. The reference's Python
+    // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
+    // mode the engine likewise raises on the 0-range division — the
+    // SAME defined behavior (fail loudly, no silent NaNs).
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val ex = intercept[Exception] {
+      SeriesOps.withNormalized(df, "v").select("min_max").head()
+    }
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
 }
