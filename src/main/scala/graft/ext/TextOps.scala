@@ -99,6 +99,61 @@ object TextOps {
     df.select(col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary")).as("fp"))
 
+  /** Winnowing document fingerprints (rolling-hash k-grams, Schleimer
+    * et al., SIGMOD 2003 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every k-char-gram of the canonical text
+    * with a base-31 polynomial (exact in BIGINT — max value
+    * 127·31⁷·8 ≈ 2·10¹³, so no modular step and no cross-engine
+    * drift), then select the trailing-window minima as the
+    * fingerprint set. Output: per-doc fingerprint summary
+    * (id, n_fp, fp_min, fp_max, fp_sum). */
+  case class FpSummary(n_fp: Long, fp_min: Long, fp_max: Long, fp_sum: Long)
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    // True O(n) rolling kernel per doc: the hash of gram i derives from
+    // gram i−1 with one multiply-add (exact 64-bit integer arithmetic,
+    // identical values to the per-position polynomial the DuckDB
+    // oracle evaluates — the SQL-expression form costs O(n·k)
+    // interpreted substrings and a 10⁶-row window shuffle instead).
+    val top = math.pow(31, k - 1).toLong
+    val fpUdf = udf((t: String) => {
+      val n = t.length
+      if (n < k) None
+      else {
+        val m = n - k + 1
+        val hs = new Array[Long](m)
+        var h = 0L
+        var j = 0
+        while (j < k) { h = h * 31 + t.charAt(j).toLong; j += 1 }
+        hs(0) = h
+        var i = 1
+        while (i < m) {
+          h = (h - t.charAt(i - 1).toLong * top) * 31 + t.charAt(i + k - 1).toLong
+          hs(i) = h
+          i += 1
+        }
+        // winnow: keep h(i) iff it is the min of the trailing w-window
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        i = 0
+        while (i < m) {
+          var mn = Long.MaxValue
+          var p = math.max(0, i - w + 1)
+          while (p <= i) { if (hs(p) < mn) mn = hs(p); p += 1 }
+          if (hs(i) == mn) sel += hs(i)
+          i += 1
+        }
+        Some(FpSummary(sel.size.toLong, sel.head, sel.last, sel.sum))
+      }
+    })
+    val canon = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol), fpUdf(canon).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col(idCol), col("fp.n_fp").as("n_fp"),
+        col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
+        col("fp.fp_sum").as("fp_sum"))
+  }
+
   /** Token-count estimators: whitespace words, alnum regex tokens, and
     * a BPE-ish chars/4 estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

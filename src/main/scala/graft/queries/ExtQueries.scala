@@ -161,6 +161,25 @@ object ExtQueries {
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
+    Q("text_winnowing",
+      (s, dir) => TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              |           FROM documents),
+              |g AS (SELECT doc_id, i,
+              |        ${(0 until 8).map(j => s"CAST(ascii(substr(t, CAST(i + $j AS INT), 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}").mkString(" + ")} AS hv
+              |      FROM c, LATERAL (SELECT unnest(range(1, length(t) - 6)) AS i) u
+              |      WHERE length(t) >= 8),
+              |wm AS (SELECT doc_id, hv,
+              |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+              |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+              |       FROM g),
+              |sel AS (SELECT DISTINCT doc_id, hv FROM wm WHERE hv = wmin)
+              |SELECT doc_id, count(*) AS n_fp, min(hv) AS fp_min, max(hv) AS fp_max,
+              |       CAST(sum(hv) AS BIGINT) AS fp_sum
+              |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Canonical fingerprint: md5 of whitespace-collapsed lowercase text
     Q("text_fingerprint",
       (s, dir) => TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
