@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
-  /** Core-core edge count below which connected components run as a
-    * driver union-find instead of iterative distributed joins. */
-  private val maxDriverEdges = 5000000L
-
   /** Input: (series_id, x, y). Output: (series_id, cluster) with
-    * cluster = min series_id of the component's core points, −1 noise. */
-  def run(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    * cluster = min series_id of the component's core points, −1 noise.
+    * `maxDriverEdges` gates the driver union-find fast path; set 0 to
+    * force the distributed label-propagation path (tested for parity
+    * in ClusteringSpec). */
+  def run(points: DataFrame, eps: Double, minPts: Int,
+      maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = points.sparkSession
     val pts = points.select(col("series_id").cast("long").as("id"),
       col("x").cast("double"), col("y").cast("double"))

@@ -50,6 +50,49 @@ object Embedding {
     pcaEmbed(series, 3).select(col("series_id"),
       col("emb")(0).as("x"), col("emb")(1).as("y"), col("emb")(2).as("z"))
 
+  /** E2 substitute: the reference's UMAP slot (app.py:661-667) served
+    * by classical metric MDS — double-centered euclidean Gram matrix,
+    * top-2 eigenvectors scaled by √λ. Deterministic (no random init;
+    * the reference seeds UMAP but its output is library-version
+    * dependent — documented deviation). Driver-side eigendecomposition
+    * of the n×n Gram: fine for the reference regime (one point per
+    * series); for larger n use Nyström sampling with the same
+    * signature. */
+  def mds2d(series: DataFrame): DataFrame = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val spark = series.sparkSession
+    import spark.implicits._
+    val data = series.select(col("series_id").cast("long"), col("values"))
+      .as[(Long, Array[Double])].collect()
+    val n = data.length
+    val d2 = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      var s = 0.0
+      val a = data(i)._2; val b = data(j)._2
+      var t = 0
+      while (t < a.length) { val df = a(t) - b(t); s += df * df; t += 1 }
+      d2(i)(j) = s; d2(j)(i) = s
+    }
+    val rowMean = d2.map(r => r.sum / n)
+    val totMean = rowMean.sum / n
+    val g = DenseMatrix.tabulate(n, n) { (i, j) =>
+      -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + totMean)
+    }
+    val es = eigSym((g +:+ g.t) *:* 0.5)
+    val m = es.eigenvalues.length
+    def comp(idx: Int): Array[Double] = {
+      val ev = math.max(0.0, es.eigenvalues(m - 1 - idx))
+      val v = es.eigenvectors(::, m - 1 - idx).toArray
+      // deterministic sign: max-|.| element positive
+      val mi = v.indices.maxBy(i => math.abs(v(i)))
+      val sgn = if (v(mi) < 0) -1.0 else 1.0
+      v.map(_ * sgn * math.sqrt(ev))
+    }
+    val (c0, c1) = (comp(0), comp(1))
+    data.indices.map(i => (data(i)._1, c0(i), c1(i)))
+      .toDF("series_id", "x", "y")
+  }
+
   /** E3 substitute: the reference's AutoEncoder path (series → RP/GAF
     * image → resize → conv encoder → 2-D latent, app.py:490-641) with
     * a LINEAR encoder: image → flatten → mean-centered PCA-to-2 (the

@@ -148,7 +148,7 @@ object KShape {
     fitDistributed(series, k, maxIter)
   }
 
-  private def fitDistributed(series: DataFrame, k: Int, maxIter: Int): DataFrame = {
+  private[graft] def fitDistributed(series: DataFrame, k: Int, maxIter: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
     val ds = series.select(col("series_id").cast("long"), col("values"))

@@ -163,6 +163,13 @@ object MlQueries {
           .orderBy("series_id")
       }),
 
+    // E2-substitute path: classical MDS manifold embedding (UMAP slot)
+    Q("ml_mds_embedding",
+      (s, dir) => Embedding.mds2d(SeriesOps.pad(normalizedSeries(s, dir)))
+        .select(col("series_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"))
+        .orderBy("series_id")),
+
     // E1 3-D embedding (the reference's 3-D scatter path)
     Q("ml_pca_embedding_3d",
       (s, dir) => Embedding.pca3d(SeriesOps.pad(normalizedSeries(s, dir)))

@@ -64,6 +64,32 @@ class ClusteringSpec extends SparkSpec {
     assert(c1.size == 1 && c2.size == 1 && c1 != c2 && !c1.contains(-1L))
   }
 
+  test("DBSCAN distributed label propagation matches the driver union-find path") {
+    val pts = (
+      (0 until 20).map(i => (i.toLong, 0.0 + (i % 5) * 0.1, 0.0 + (i / 5) * 0.1)) ++
+      (20 until 40).map(i => (i.toLong, 10.0 + (i % 5) * 0.1, 10.0 + ((i - 20) / 5) * 0.1)) ++
+      Seq((40L, 100.0, 100.0))
+    ).toDF("series_id", "x", "y")
+    val local = Dbscan.run(pts, 0.5, 4).as[(Long, Long)].collect().toMap
+    val dist = Dbscan.run(pts, 0.5, 4, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+  }
+
+  test("K-Shape distributed path matches the driver-local path") {
+    val base = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
+    val saw = (0 until 64).map(t => (t % 32) / 16.0 - 1.0).toArray
+    val rows = (0 until 8).map { i =>
+      val shift = (i % 4) * 5
+      val src = if (i < 4) base else saw
+      (i.toLong, src.drop(shift) ++ src.take(shift))
+    }
+    val df = rows.toDF("series_id", "values")
+    val local = KShape.fit(df, 2, maxIter = 4).as[(Long, Int)].collect().toMap
+    val dist = KShape.fitDistributed(df, 2, maxIter = 4).as[(Long, Int)].collect().toMap
+    assert(local == dist)
+  }
+
   test("SBD is shift-invariant and bounded (C3 core property)") {
     val x = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
     val shifted = x.drop(2) ++ x.take(2) // small circular shift
