@@ -25,14 +25,19 @@ object TextOps {
     df.select(col(idCol), explode(tokensCol(col(textCol))).as("w"))
 
   /** Distinct word n-shingles per id: (id, s). Docs shorter than n
-    * words yield no shingles. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), tokensCol(col(textCol)).as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("t")) - n),
-          i => concat_ws(" ", slice(col("t"), i + lit(1), lit(n))))).as("s"))
-      .distinct()
+    * words yield no shingles. Compiled sliding-window kernel — the
+    * equivalent higher-order-function form (transform(sequence) +
+    * slice + concat_ws + global distinct) evaluates interpreted
+    * lambdas per window and shuffles for the distinct; this dedupes
+    * per doc in one pass and produces identical (id, s) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val shingleUdf = udf((t: String) => {
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length < n) Array.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+    })
+    df.select(col(idCol), explode(shingleUdf(col(textCol))).as("s"))
+  }
 
   /** Stopword dictionaries (public high-frequency word lists) used by
     * language-ID voting and the quality score's stopword ratio. */

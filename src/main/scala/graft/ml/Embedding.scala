@@ -65,30 +65,42 @@ object Embedding {
     val data = series.select(col("series_id").cast("long"), col("values"))
       .as[(Long, Array[Double])].collect()
     val n = data.length
-    val d2 = Array.ofDim[Double](n, n)
-    for (i <- 0 until n; j <- i + 1 until n) {
-      var s = 0.0
-      val a = data(i)._2; val b = data(j)._2
-      var t = 0
-      while (t < a.length) { val df = a(t) - b(t); s += df * df; t += 1 }
-      d2(i)(j) = s; d2(j)(i) = s
-    }
+    // squared distances via one BLAS gemm: d²(i,j) = q_i + q_j − 2·(XXᵀ)_ij
+    val x = DenseMatrix(data.map(_._2): _*)
+    val xxt = x * x.t
+    val q = (0 until n).map(i => xxt(i, i)).toArray
+    val d2 = Array.tabulate(n, n)((i, j) =>
+      math.max(0.0, q(i) + q(j) - 2.0 * xxt(i, j)))
     val rowMean = d2.map(r => r.sum / n)
     val totMean = rowMean.sum / n
     val g = DenseMatrix.tabulate(n, n) { (i, j) =>
       -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + totMean)
     }
-    val es = eigSym((g +:+ g.t) *:* 0.5)
-    val m = es.eigenvalues.length
-    def comp(idx: Int): Array[Double] = {
-      val ev = math.max(0.0, es.eigenvalues(m - 1 - idx))
-      val v = es.eigenvectors(::, m - 1 - idx).toArray
-      // deterministic sign: max-|.| element positive
-      val mi = v.indices.maxBy(i => math.abs(v(i)))
-      val sgn = if (v(mi) < 0) -1.0 else 1.0
-      v.map(_ * sgn * math.sqrt(ev))
+    // top-2 eigenpairs via deterministic power iteration with deflation
+    // (full eigSym is O(n³); the Gram's leading eigenvalues are the
+    // only ones MDS needs, and they are positive for euclidean input)
+    val gs = (g +:+ g.t) *:* 0.5
+    def topComponent(prev: Seq[breeze.linalg.DenseVector[Double]]): (Double, Array[Double]) = {
+      var v = breeze.linalg.DenseVector.fill(n)(1.0 / math.sqrt(n.toDouble))
+      var it = 0
+      while (it < 200) {
+        var w = gs * v
+        prev.foreach { p => w = w - p * (p dot w) }
+        val nm = breeze.linalg.norm(w)
+        if (nm > 0) v = w / nm
+        it += 1
+      }
+      val lambda = v dot (gs * v)
+      val arr = v.toArray
+      val mi = arr.indices.maxBy(i => math.abs(arr(i)))
+      val sgn = if (arr(mi) < 0) -1.0 else 1.0
+      (math.max(0.0, lambda), arr.map(_ * sgn))
     }
-    val (c0, c1) = (comp(0), comp(1))
+    val (l0, v0raw) = topComponent(Nil)
+    val v0 = breeze.linalg.DenseVector(v0raw)
+    val (l1, v1raw) = topComponent(Seq(v0))
+    val c0 = v0raw.map(_ * math.sqrt(l0))
+    val c1 = v1raw.map(_ * math.sqrt(l1))
     data.indices.map(i => (data(i)._1, c0(i), c1(i)))
       .toDF("series_id", "x", "y")
   }
