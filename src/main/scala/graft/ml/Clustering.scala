@@ -26,9 +26,26 @@ object Clustering {
     if (cached.count() < 100000) cached.coalesce(1) else cached
   }
 
-  /** C1: seeded KMeans assignment: adds `cluster` int column. */
+  /** C1: seeded KMeans assignment: adds `cluster` int column. Small
+    * inputs use the driver-local seeded k-means++ (bitwise
+    * deterministic — MLlib's k-means|| init samples per partition, so
+    * its result depends on partitioning even with a fixed seed);
+    * larger inputs use the distributed MLlib fit. */
   def kmeans(emb: DataFrame, k: Int, seed: Long = 10): DataFrame = {
-    val f = compactIfSmall(withFeatures(emb))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cached = emb.cache()
+    if (cached.count() < 100000) {
+      val rows = cached
+        .select(col("series_id").cast("long"), col("x").cast("double"),
+          col("y").cast("double"))
+        .orderBy(col("series_id"))
+        .as[(Long, Double, Double)].collect()
+      val labels = Local.kmeans(rows.map(r => (r._2, r._3)), k, seed)
+      val labelDf = rows.map(_._1).zip(labels).toSeq.toDF("series_id", "cluster")
+      return cached.join(labelDf, "series_id")
+    }
+    val f = compactIfSmall(withFeatures(cached))
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
     model.transform(f).drop("__f")
@@ -58,7 +75,10 @@ object Clustering {
     val n = emb.cache().count()
     val scores =
       if (n < 100000) {
+        // deterministic collect order: the seeded k-means++ init indexes
+        // into this array, so partitioning must not leak into results
         val pts = emb.select(col("x").cast("double"), col("y").cast("double"))
+          .orderBy(col("series_id"))
           .as[(Double, Double)].collect()
         (2 to maxK).map { k =>
           val labels = Local.kmeans(pts, k, seed = 10)

@@ -30,9 +30,59 @@ object Embedding {
       zip_with(col("values"), lit(mean), (x, m) => x - m))
   }
 
+  /** Driver-local PCA for the reference regime: covariance from the
+    * id-sorted collected matrix + LAPACK eigSym — bitwise deterministic
+    * regardless of partitioning (MLlib's treeAggregate covariance and
+    * near-degenerate eigenpairs rotate between partitionings on tiny
+    * inputs, which flips downstream model selection). Sign rule:
+    * max-|·| loading positive. Returns (ids, scores, varRatio). */
+  private def pcaLocal(series: DataFrame, k: Int):
+      (Array[Long], Array[Array[Double]], Array[Double]) = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val spark = series.sparkSession
+    import spark.implicits._
+    val data = series.select(col("series_id").cast("long"), col("values"))
+      .orderBy(col("series_id"))
+      .as[(Long, Array[Double])].collect()
+    val n = data.length
+    val m = data.head._2.length
+    val mean = new Array[Double](m)
+    data.foreach(r => { var j = 0; while (j < m) { mean(j) += r._2(j); j += 1 } })
+    var j = 0
+    while (j < m) { mean(j) /= n; j += 1 }
+    val x = DenseMatrix.tabulate(n, m)((i, jj) => data(i)._2(jj) - mean(jj))
+    val cov = (x.t * x) *:* (1.0 / (n - 1).toDouble)
+    val es = eigSym((cov +:+ cov.t) *:* 0.5)
+    val total = es.eigenvalues.toArray.map(math.max(0.0, _)).sum
+    val kk = math.min(k, m)
+    val comps = (0 until kk).map { c =>
+      val v = es.eigenvectors(::, m - 1 - c).toArray
+      val mi = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(mi) < 0) v.map(-_) else v
+    }
+    val scores = data.indices.map { i =>
+      comps.map { comp =>
+        var s = 0.0; var t = 0
+        while (t < m) { s += (data(i)._2(t) - mean(t)) * comp(t); t += 1 }
+        s
+      }.toArray
+    }.toArray
+    val varRatio = (0 until kk).map(c =>
+      math.max(0.0, es.eigenvalues(m - 1 - c)) / math.max(total, 1e-300)).toArray
+    (data.map(_._1), scores, varRatio)
+  }
+
   /** k-component PCA scores: (series_id, emb: array<double>[k]).
-    * Requires equal-length `values` (run truncate/pad/DTW first). */
+    * Requires equal-length `values` (run truncate/pad/DTW first).
+    * Small inputs use the deterministic local path; larger ones the
+    * distributed MLlib fit. */
   def pcaEmbed(series: DataFrame, k: Int): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    if (series.count() < 100000) {
+      val (ids, scores, _) = pcaLocal(series, k)
+      return ids.zip(scores).toSeq.toDF("series_id", "emb")
+    }
     val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
     model.transform(c)
@@ -63,6 +113,7 @@ object Embedding {
     val spark = series.sparkSession
     import spark.implicits._
     val data = series.select(col("series_id").cast("long"), col("values"))
+      .orderBy(col("series_id")) // partition-order-independent float sums
       .as[(Long, Array[Double])].collect()
     val n = data.length
     // squared distances via one BLAS gemm: d²(i,j) = q_i + q_j − 2·(XXᵀ)_ij
@@ -120,11 +171,17 @@ object Embedding {
   /** Explained-variance percentages of the top `n` components,
     * rounded to 1 decimal like the reference (app.py:680). */
   def pcaVariancePct(series: DataFrame, n: Int): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    if (series.count() < 100000) {
+      val (_, _, ratio) = pcaLocal(series, n)
+      return ratio.zipWithIndex
+        .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
+        .toSeq.toDF("component", "var_pct")
+    }
     val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
-    val spark = series.sparkSession
-    import spark.implicits._
     model.explainedVariance.toArray.zipWithIndex
       .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
       .toSeq.toDF("component", "var_pct")

@@ -142,6 +142,7 @@ object KShape {
       val spark = series.sparkSession
       import spark.implicits._
       val data = series.select(col("series_id").cast("long"), col("values"))
+        .orderBy(col("series_id")) // partition-order-independent results
         .as[(Long, Array[Double])].collect()
       return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
     }
