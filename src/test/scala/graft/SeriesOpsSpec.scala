@@ -65,6 +65,20 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.slidingWindow(df, 10, 1).count() == 0)
   }
 
+  test("asof join: most recent right row at or before left time, per key") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(5)), (2L, 10L, ts(1)), (3L, 20L, ts(9)))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, ts(2), "a"), (10L, ts(5), "b"), (10L, ts(7), "c"),
+      (20L, ts(1), "x")).toDF("k", "t", "payload")
+    val out = graft.ops.AsofJoin.asof(left, right, "k", "t")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(out(1L) == "b") // equal timestamp is visible (>= semantics)
+    assert(out(2L) == null) // no right row at or before t=1
+    assert(out(3L) == "x")
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
