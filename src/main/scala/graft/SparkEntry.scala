@@ -8,9 +8,13 @@ import graft.queries._
   * this object is just the registry the driver reads. */
 object SparkEntry {
 
-  private def registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all ++
+  private def registry: Seq[Q] = {
+    val all = CoreQueries.all ++ RelationalQueries.all ++ ExtQueries.all ++
       MlQueries.all ++ MultimodalQueries.all
+    val dup = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names would be silently dropped: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,7 +18,7 @@ object Similarity {
 
   /** Normalize to (id, v: array<double>, nrm) using the native
     * codegen'd dot-product expression. */
-  private[ext] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[graft] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
@@ -36,6 +36,12 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"),
         (call_function("array_dot", col("qv"), col("v"))
           / (col("qn") * col("nrm"))).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared deterministic ranking + output shape for exact and ANN
+    * top-k (one definition keeps IvfSpec's recall comparison honest). */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -32,7 +32,7 @@ object TextOps {
     * per doc in one pass and produces identical (id, s) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val shingleUdf = udf((t: String) => {
-      val toks = t.trim.toLowerCase.split("\\s+")
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       if (toks.length < n) Array.empty[String]
       else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
     })

@@ -45,6 +45,7 @@ object Embedding {
       .orderBy(col("series_id"))
       .as[(Long, Array[Double])].collect()
     val n = data.length
+    require(n >= 2, s"PCA needs at least 2 series, got $n")
     val m = data.head._2.length
     val mean = new Array[Double](m)
     data.foreach(r => { var j = 0; while (j < m) { mean(j) += r._2(j); j += 1 } })
@@ -79,11 +80,12 @@ object Embedding {
   def pcaEmbed(series: DataFrame, k: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    if (series.count() < 100000) {
-      val (ids, scores, _) = pcaLocal(series, k)
+    val cached = series.cache() // size-gate count + collect share one pass
+    if (cached.count() < 100000) {
+      val (ids, scores, _) = pcaLocal(cached, k)
       return ids.zip(scores).toSeq.toDF("series_id", "emb")
     }
-    val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
+    val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
     model.transform(c)
       .withColumn("emb", vector_to_array(col("__pca")))
@@ -132,7 +134,12 @@ object Embedding {
     // only ones MDS needs, and they are positive for euclidean input)
     val gs = (g +:+ g.t) *:* 0.5
     def topComponent(prev: Seq[breeze.linalg.DenseVector[Double]]): (Double, Array[Double]) = {
-      var v = breeze.linalg.DenseVector.fill(n)(1.0 / math.sqrt(n.toDouble))
+      // init must NOT be the all-ones vector: double-centering puts 1⃗
+      // exactly in gs's null space, so power iteration from it would
+      // stall on rounding noise. A linear ramp with its mean removed is
+      // deterministic and generically overlaps the top eigenvector.
+      val init = breeze.linalg.DenseVector.tabulate(n)(i => i - (n - 1) / 2.0)
+      var v = init / math.max(breeze.linalg.norm(init), 1e-300)
       var it = 0
       while (it < 200) {
         var w = gs * v
@@ -173,13 +180,14 @@ object Embedding {
   def pcaVariancePct(series: DataFrame, n: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    if (series.count() < 100000) {
-      val (_, _, ratio) = pcaLocal(series, n)
+    val cached = series.cache()
+    if (cached.count() < 100000) {
+      val (_, _, ratio) = pcaLocal(cached, n)
       return ratio.zipWithIndex
         .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
         .toSeq.toDF("component", "var_pct")
     }
-    val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
+    val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
     model.explainedVariance.toArray.zipWithIndex

@@ -26,8 +26,7 @@ object Ivf {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
 
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+    val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
       .cache()
 
@@ -56,11 +55,6 @@ object Ivf {
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("qv"), col("vn")).as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("n_id"), round(col("cosine"), 5).as("cosine"))
+    graft.ext.Similarity.rankTopK(scored, k)
   }
 }

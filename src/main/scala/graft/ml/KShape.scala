@@ -138,15 +138,16 @@ object KShape {
     * distributed path below is the same algorithm with per-cluster
     * Gram aggregation on executors. Output: (series_id, cluster). */
   def fit(series: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
-    if (series.count() < 100000) {
-      val spark = series.sparkSession
+    val cached = series.cache() // size-gate count + collect share one pass
+    if (cached.count() < 100000) {
+      val spark = cached.sparkSession
       import spark.implicits._
-      val data = series.select(col("series_id").cast("long"), col("values"))
+      val data = cached.select(col("series_id").cast("long"), col("values"))
         .orderBy(col("series_id")) // partition-order-independent results
         .as[(Long, Array[Double])].collect()
       return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
     }
-    fitDistributed(series, k, maxIter)
+    fitDistributed(cached, k, maxIter)
   }
 
   private[graft] def fitDistributed(series: DataFrame, k: Int, maxIter: Int): DataFrame = {

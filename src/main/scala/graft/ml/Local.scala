@@ -92,8 +92,12 @@ private[ml] object Local {
           if (c != labels(i) && counts(c) > 0) b = math.min(b, sums(c) / counts(c))
           c += 1
         }
-        total += (b - a) / math.max(a, b)
-        valid += 1
+        // degenerate clustering (every other cluster empty): s := 0, so
+        // a single-cluster fit can never win the silhouette scan
+        if (b != Double.MaxValue) {
+          total += (b - a) / math.max(a, b)
+          valid += 1
+        }
       }
       i += 1
     }

@@ -32,19 +32,28 @@ object AsofJoin {
       timeCol: String): DataFrame = {
     val payloadCols = rightDf.columns.filterNot(c => c == keyCol || c == timeCol)
     val leftCols = leftDf.columns
+    // the whole right payload is carried as ONE struct (non-null for
+    // every right row even when its fields are null) so the join can
+    // never stitch fields from different right rows and a legitimately
+    // NULL payload field survives
     val lTagged = leftDf.withColumn("__side", lit(1))
-    val rTagged = payloadCols.foldLeft(
-      rightDf.withColumn("__side", lit(0)))((df, c) =>
-      df.withColumnRenamed(c, s"__r_$c"))
-    val all = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightDf.select(payloadCols.map(col): _*).schema.fields)))
+    val rTagged = rightDf.withColumn("__side", lit(0))
+      .withColumn("__r", struct(payloadCols.map(col): _*))
+      .drop(payloadCols: _*)
+    val all = lTagged.select((Seq(keyCol, timeCol, "__side", "__r") ++
+        leftCols.filterNot(c => c == keyCol || c == timeCol)).map(col): _*)
+      .unionByName(rTagged.select(col(keyCol), col(timeCol), col("__side"),
+        col("__r")), allowMissingColumns = true)
     // right rows sort before left rows at the same timestamp → visible
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(all)((df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val carried = all.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val out = carried.filter(col("__side") === 1)
-    payloadCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__r_$c", c))
+    payloadCols.foldLeft(out)((df, c) => df.withColumn(c, col("__r")(c)))
       .select((leftCols ++ payloadCols).map(col): _*)
   }
 }

@@ -14,15 +14,17 @@ import graft.ml.{Clustering, Dbscan, Embedding, KShape, Silhouette, TraceBack}
 object MlQueries {
 
   /** S3 scan memoization (app.py:156-178 → df.cache()): the ML queries
-    * share the series pipeline; cache it once per (session, dir). */
+    * share the series pipeline; cache it once per (session, dir). The
+    * key includes the session identity so a cached plan bound to a
+    * stopped session is never replayed into a new one. */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def memoized(key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(key, build.cache())
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(s"${System.identityHashCode(s)}|$key", build.cache())
 
   /** The reference's working dataset: whole-column min-max normalized
     * values, grouped into per-user series (SURVEY.md §1.4). */
   private def normalizedSeries(s: SparkSession, dir: String): DataFrame =
-    memoized(s"ns|$dir") {
+    memoized(s, s"ns|$dir") {
       SeriesOps.collectSeries(
         SeriesOps.withNormalized(Tables.events(s, dir), "value"),
         "user_id", "min_max", "event_id")
@@ -32,7 +34,7 @@ object MlQueries {
     * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
     * inputs rounded so both engines see identical doubles. */
   private def featureEmbedding(s: SparkSession, dir: String): DataFrame =
-    memoized(s"fe|$dir") {
+    memoized(s, s"fe|$dir") {
       Tables.events(s, dir).na.drop(Seq("value"))
         .groupBy(col("user_id").as("series_id"))
         .agg(round(avg(col("value")), 6).as("x"),
@@ -42,7 +44,7 @@ object MlQueries {
   /** W4 DTW alignment of every series to the longest one (memoized —
     * shared by the stretch query and the DTW combination pipeline). */
   private def dtwAligned(s: SparkSession, dir: String): DataFrame =
-    memoized(s"dtw|$dir") {
+    memoized(s, s"dtw|$dir") {
       val ser = SeriesOps.collectSeries(
         Tables.events(s, dir), "user_id", "value", "event_id").cache()
       val longest = ser.withColumn("__n", size(col("values")))

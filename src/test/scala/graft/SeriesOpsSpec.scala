@@ -79,6 +79,18 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out(3L) == "x")
   }
 
+  test("asof join carries the matched right row atomically (null fields survive)") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(3))).toDF("id", "k", "t")
+    val right = Seq((10L, ts(1), Some(5.0), Some(6.0)),
+      (10L, ts(2), None, Some(7.0))).toDF("k", "t", "a", "b")
+    val row = graft.ops.AsofJoin.asof(left, right, "k", "t")
+      .select("a", "b").head()
+    // the t=2 row matches; its NULL a must not be backfilled from t=1
+    assert(row.isNullAt(0) && row.getDouble(1) == 7.0)
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
