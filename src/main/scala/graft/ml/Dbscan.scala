@@ -112,9 +112,14 @@ object Dbscan {
 
     val coreLabels = labels.select(col("id"), col("label").as("cluster"))
     val assigned = coreLabels.unionByName(borderLabels)
-    pts.select(col("id"))
+    // materialize the (small) result eagerly so the working caches can
+    // be freed instead of accumulating across a long session
+    val result = pts.select(col("id"))
       .join(assigned, Seq("id"), "left")
       .select(col("id").as("series_id"),
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      .localCheckpoint()
+    Seq(coreEdges, core, edges, pts).foreach(_.unpersist())
+    result
   }
 }

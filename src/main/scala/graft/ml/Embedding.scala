@@ -83,6 +83,7 @@ object Embedding {
     val cached = series.cache() // size-gate count + collect share one pass
     if (cached.count() < 100000) {
       val (ids, scores, _) = pcaLocal(cached, k)
+      cached.unpersist() // scores are driver-materialized
       return ids.zip(scores).toSeq.toDF("series_id", "emb")
     }
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))

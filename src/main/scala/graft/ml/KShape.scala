@@ -145,6 +145,7 @@ object KShape {
       val data = cached.select(col("series_id").cast("long"), col("values"))
         .orderBy(col("series_id")) // partition-order-independent results
         .as[(Long, Array[Double])].collect()
+      cached.unpersist() // result is driver-materialized; free the input
       return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
     }
     fitDistributed(cached, k, maxIter)
