@@ -31,15 +31,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Exact n-gram (word-shingle) Jaccard pairs ≥ threshold.
-    * Inverted-index join: only pairs sharing ≥1 shingle are scored. */
+    *
+    * Candidate generation is an inverted-index self-join restricted to
+    * shingles with document frequency ≤ `maxDf`: a stop-shingle that
+    * appears in d docs fans out d·(d−1)/2 candidate rows while carrying
+    * ~zero Jaccard evidence, so hot shingles are pruned BEFORE the join
+    * (the skew kill-switch that keeps this plan alive at corpus scale).
+    * Verification is exact Jaccard over ALL shingles (composite-keyed
+    * (id, s) equi-join — never a per-pair product), so reported values
+    * are unpruned; only recall of pairs whose every shared shingle is
+    * hot is affected, and such pairs sit far below any useful
+    * threshold. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
     val sh = TextOps.shingles(docs, idCol, textCol, n).cache()
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("s"), "s")
+    val cand = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("i"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(ns.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
       .join(ns.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
@@ -102,15 +119,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 32-bit SimHash per doc: per bit, frequency-weighted ±1 vote from
-    * each token's md5 nibble bits; bit set iff the vote sum is > 0. */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // hash each token once, THEN explode the 32 bit positions — md5 is
-    // the expensive part and must not run 32× per token
+  /** nBits-wide SimHash per doc: per bit, frequency-weighted ±1 vote
+    * from the token's md5 nibble bits; bit set iff the vote sum is > 0.
+    * md5's 32 hex nibbles supply up to 128 independent bits. */
+  private def simhashBits(docs: DataFrame, idCol: String, textCol: String,
+      nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+    // hash each token once, THEN explode the bit positions — md5 is
+    // the expensive part and must not run nBits× per token
     val toks = TextOps.tokens(docs, idCol, textCol)
       .withColumn("hx", md5(col("w").cast("binary")))
     val votes = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("hx"))
+      .select(col(idCol), explode(sequence(lit(0), lit(nBits - 1))).as("b"), col("hx"))
       .withColumn("v", expr(
         "CASE WHEN (shiftright(instr('0123456789abcdef', substr(hx, CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
       .groupBy(col(idCol), col("b")).agg(sum(col("v")).as("sv"))
@@ -118,6 +138,46 @@ object Dedup {
       .agg(sum(expr(
         "CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
         .as("simhash"))
+  }
+
+  /** 32-bit SimHash (DuckDB-oracle width; birthday collisions make 32
+    * bits candidate-noisy beyond ~10⁶ docs — use simhash64 at scale). */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBits(docs, idCol, textCol, 32)
+
+  /** 64-bit SimHash: the corpus-scale fingerprint width. At 10⁹ docs
+    * the expected number of 32-bit birthday collisions (~10¹⁷ candidate
+    * pairs) swamps true near-dups; 64 bits keeps chance band collisions
+    * rare relative to real ones. Bit 63 uses Long's sign bit — fine,
+    * Hamming/bands operate on the two's-complement pattern. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBits(docs, idCol, textCol, 64)
+
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming (≤ 3): four
+    * 16-bit bands; by pigeonhole any pair within Hamming 3 agrees on at
+    * least one full band, so candidates come from an equi-join on
+    * (band, 16-bit band value) — never an all-pairs product — then get
+    * exact Hamming verification. This is the scale-path twin of
+    * [[simhashPairs]] with collision-resistant width. */
+  def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding covers Hamming <= 3, got $maxHamming")
+    val s = simhash64(docs, idCol, textCol).cache()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = s.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming.

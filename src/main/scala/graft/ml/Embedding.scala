@@ -107,12 +107,28 @@ object Embedding {
     * by classical metric MDS — double-centered euclidean Gram matrix,
     * top-2 eigenvectors scaled by √λ. Deterministic (no random init;
     * the reference seeds UMAP but its output is library-version
-    * dependent — documented deviation). Driver-side eigendecomposition
-    * of the n×n Gram: fine for the reference regime (one point per
-    * series); for larger n use Nyström sampling with the same
-    * signature. */
-  def mds2d(series: DataFrame): DataFrame = {
-    import breeze.linalg.{eigSym, DenseMatrix}
+    * dependent — documented deviation).
+    *
+    * Size-gated like pcaEmbed/kmeans: under `gate` series the exact
+    * O(n²) Gram is built on the driver; at or above it the landmark
+    * (Nyström) path runs — m ≪ n landmarks get the exact driver MDS,
+    * every point is then triangulated distributively from its squared
+    * distances to the broadcast landmarks (de Silva & Tenenbaum 2004).
+    * With numLandmarks ≥ n the landmark path reproduces the exact one
+    * (parity-tested in ClusteringSpec). */
+  def mds2d(series: DataFrame, gate: Long = 100000L,
+      numLandmarks: Int = 1000): DataFrame = {
+    val cached = series.cache() // size-gate count + collect share one pass
+    if (cached.count() < gate) {
+      val out = mdsLocal(cached)
+      cached.unpersist() // result is driver-materialized
+      out
+    } else landmarkMds(cached, numLandmarks)
+  }
+
+  /** Exact classical MDS on the driver (reference regime, n < gate). */
+  private def mdsLocal(series: DataFrame): DataFrame = {
+    import breeze.linalg.{DenseMatrix}
     val spark = series.sparkSession
     import spark.implicits._
     val data = series.select(col("series_id").cast("long"), col("values"))
@@ -162,6 +178,72 @@ object Embedding {
     val c1 = v1raw.map(_ * math.sqrt(l1))
     data.indices.map(i => (data(i)._1, c0(i), c1(i)))
       .toDF("series_id", "x", "y")
+  }
+
+  private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Landmark (Nyström) MDS — the distributed scale path. Driver cost
+    * is O(m²·dim + m³) for m landmarks regardless of n; the per-point
+    * triangulation is an embarrassingly parallel map over the broadcast
+    * landmark matrix (O(m·dim) per point, no shuffle at all). Landmark
+    * choice is a deterministic md5-ordered sample, so results are
+    * partitioning-invariant. */
+  private[graft] def landmarkMds(series: DataFrame, numLandmarks: Int): DataFrame = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val spark = series.sparkSession
+    import spark.implicits._
+    val lm = series.select(col("series_id").cast("long"), col("values"))
+      .withColumn("__h", md5(col("series_id").cast("string")))
+      .orderBy(col("__h"), col("series_id")) // deterministic pseudo-random spread
+      .limit(numLandmarks)
+      .select(col("series_id"), col("values"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1) // stable driver-side order for the float sums below
+    val m = lm.length
+    require(m >= 3, s"landmark MDS needs >= 3 landmarks, got $m")
+    // exact MDS on the landmark set: double-centered squared distances
+    val d2 = Array.tabulate(m, m)((i, j) => sqdist(lm(i)._2, lm(j)._2))
+    val rowMean = d2.map(_.sum / m)
+    val totMean = rowMean.sum / m
+    val b = DenseMatrix.tabulate(m, m) { (i, j) =>
+      -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + totMean)
+    }
+    val es = eigSym((b +:+ b.t) *:* 0.5)
+    // projection rows p_k = v_k / √λ_k with deterministic sign
+    def proj(c: Int): Array[Double] = {
+      val l = es.eigenvalues(m - 1 - c)
+      val v = es.eigenvectors(::, m - 1 - c).toArray
+      if (l <= 1e-12) Array.fill(m)(0.0)
+      else {
+        val mi = v.indices.maxBy(i => math.abs(v(i)))
+        val s = if (v(mi) < 0) -1.0 else 1.0
+        v.map(x => s * x / math.sqrt(l))
+      }
+    }
+    val bcVals = spark.sparkContext.broadcast(lm.map(_._2))
+    val bcMu = spark.sparkContext.broadcast(rowMean)
+    val bcP = spark.sparkContext.broadcast((proj(0), proj(1)))
+    // x = −½·p_k·(δ − μ): distance-based triangulation; reproduces the
+    // landmarks' own MDS coordinates exactly, and classical MDS when
+    // the landmark set is the whole input
+    val embed = udf { (v: Seq[Double]) =>
+      val vals = bcVals.value; val mu = bcMu.value
+      val (q0, q1) = bcP.value
+      val va = v.toArray
+      var x = 0.0; var y = 0.0; var i = 0
+      while (i < vals.length) {
+        val dd = sqdist(va, vals(i)) - mu(i)
+        x += q0(i) * dd; y += q1(i) * dd
+        i += 1
+      }
+      (-0.5 * x, -0.5 * y)
+    }
+    series.select(col("series_id"), embed(col("values")).as("__e"))
+      .select(col("series_id"), col("__e._1").as("x"), col("__e._2").as("y"))
   }
 
   /** E3 substitute: the reference's AutoEncoder path (series → RP/GAF

@@ -80,15 +80,23 @@ object CoreQueries {
              |FROM events WHERE value IS NOT NULL
              |GROUP BY user_id ORDER BY series_id""".stripMargin)),
 
-    // A1 full ragged collect: the long→nested transform itself (§1.4)
+    // A1 full ragged collect: the long→nested transform itself (§1.4).
+    // The nested arrays round-trip through posexplode back to long form
+    // (series_id, idx, val) so the output is hashable scalars — the
+    // driver's pandas compare cannot sort/hash array columns — while
+    // still exercising collectSeries' group-collect + in-array ordering
+    // end to end (a wrong order or dropped element shifts every idx).
     Q("ts_series_arrays",
       (s, dir) => SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
-        .select(col("series_id"), transform(col("values"), v => round(v, 6)).as("vals"))
-        .orderBy("series_id"),
+        .select(col("series_id"), posexplode(col("values")).as(Seq("idx0", "val")))
+        .select(col("series_id"), (col("idx0") + 1).cast("long").as("idx"),
+          round(col("val"), 6).as("val"))
+        .orderBy("series_id", "idx"),
       Some("""SELECT user_id AS series_id,
-             |       list_transform(list(value ORDER BY event_id), x -> round(x,6)) AS vals
+             |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx,
+             |       round(value, 6) AS val
              |FROM events WHERE value IS NOT NULL
-             |GROUP BY user_id ORDER BY series_id""".stripMargin)),
+             |ORDER BY series_id, idx""".stripMargin)),
 
     // W1 truncation to global min length (app.py:246-261)
     Q("ts_truncate",
@@ -149,14 +157,25 @@ object CoreQueries {
              |ORDER BY series_id, win_id""".stripMargin)),
 
     // P5 approx-equality point lookup: numpy isclose semantics
-    // (rtol=1e-5, atol=1e-8, app.py:958-973)
+    // (rtol=1e-5, atol=1e-8, app.py:958-973). The reference probes a
+    // hovered ACTUAL point, which by construction always matches — so
+    // the probe here is derived from the data (the first event's value)
+    // rather than a constant, guaranteeing the theta predicate is
+    // exercised on ≥1 row. One-row agg broadcast; the scan itself never
+    // shuffles.
     Q("pt_isclose_lookup",
-      (s, dir) => Tables.events(s, dir)
-        .filter(abs(col("value") - lit(250.0)) <= lit(1e-8) + lit(1e-5) * abs(lit(250.0)))
-        .select(col("event_id"), col("user_id"), col("value"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id, user_id, value FROM events
-             |WHERE abs(value - 250.0) <= 1e-8 + 1e-5*abs(250.0)
+      (s, dir) => {
+        val ev = Tables.events(s, dir).na.drop(Seq("value"))
+        val probe = ev.agg(min_by(col("value"), col("event_id")).as("__p"))
+        ev.crossJoin(broadcast(probe))
+          .filter(abs(col("value") - col("__p")) <= lit(1e-8) + lit(1e-5) * abs(col("__p")))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT arg_min(value, event_id) AS pv FROM events
+             |           WHERE value IS NOT NULL)
+             |SELECT event_id, user_id, value FROM events, p
+             |WHERE value IS NOT NULL AND abs(value - pv) <= 1e-8 + 1e-5*abs(pv)
              |ORDER BY event_id""".stripMargin)),
 
     // P4-flavored deterministic outlier predicate: |z| > 3 over the
@@ -264,6 +283,35 @@ object CoreQueries {
              |                 - to_seconds(k*1800)) AS BIGINT) AS wstart_s,
              |       count(*) AS n, round(sum(value),4) AS sum_v
              |FROM events, (SELECT unnest([0,1]) AS k)
-             |GROUP BY 1 ORDER BY wstart_s""".stripMargin))
+             |GROUP BY 1 ORDER BY wstart_s""".stripMargin)),
+
+    // Gap-based session windows per user (batch twin of
+    // EventStreams.sessionCounts, same session_window() operator).
+    // Spark merges an event into the open session iff ts < prev end
+    // (= prev ts + gap, half-open), so the oracle's island break is
+    // diff >= gap. Session end = last event + gap, like the operator.
+    Q("evt_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("sess_start_s"),
+          unix_timestamp(col("w.end")).as("sess_end_s"),
+          col("n"), col("sum_v"))
+        .orderBy("user_id", "sess_start_s"),
+      Some("""WITH o AS (SELECT user_id, ts, value,
+             |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+             |                  THEN 1 ELSE 0 END AS brk
+             |           FROM events),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                               ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM o)
+             |SELECT user_id,
+             |       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+             |       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end_s,
+             |       count(*) AS n, round(sum(value),4) AS sum_v
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start_s""".stripMargin))
   )
 }

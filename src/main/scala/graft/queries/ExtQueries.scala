@@ -16,6 +16,23 @@ object ExtQueries {
       |       FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i) u
       |       WHERE len(t) >= 3)""".stripMargin
 
+  /** Shared DuckDB CTEs: 64-bit simhash per doc from token md5 nibbles.
+    * Bit 63 lands on BIGINT's sign bit; DuckDB overflow-checks `1<<63`,
+    * so that bit is added as the Long.MinValue literal — the same
+    * two's-complement pattern Spark's shiftleft(1L, 63) produces. */
+  private val simhash64Cte =
+    """tk64 AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+      |bits64 AS (SELECT doc_id, b,
+      |             CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), b//4 + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+      |                  THEN 1 ELSE -1 END AS v
+      |           FROM tk64, (SELECT unnest(range(64)) AS b)),
+      |votes64 AS (SELECT doc_id, b, sum(v) AS sv FROM bits64 GROUP BY 1, 2),
+      |sh64 AS (SELECT doc_id,
+      |           CAST(sum(CASE WHEN sv <= 0 THEN 0
+      |                         WHEN b = 63 THEN (-9223372036854775807 - 1)
+      |                         ELSE (1::BIGINT << b) END) AS BIGINT) AS simhash
+      |         FROM votes64 GROUP BY doc_id)""".stripMargin
+
   /** Shared DuckDB CTEs: 32-bit simhash per doc from token md5 nibbles. */
   private val simhashCte =
     """tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
@@ -37,15 +54,24 @@ object ExtQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
              |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin)),
 
-    // Exact 3-gram Jaccard near-dup pairs (inverted-index join)
+    // Exact 3-gram Jaccard near-dup pairs. Candidates come from the
+    // inverted-index join over shingles with df ≤ 100 (hot-shingle skew
+    // guard — a no-op on this corpus, max df is ~25 at sf0.1, but the
+    // kill-switch that keeps the plan alive on real text at scale);
+    // Jaccard itself is exact over all shingles.
     Q("dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5, 100)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $shingleCte,
+              |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+              |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c <= 100),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
               |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2)
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b)
               |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
@@ -91,6 +117,20 @@ object ExtQueries {
               |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
               |FROM sh32 a JOIN sh32 b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // 64-bit SimHash near-dup pairs at Hamming ≤ 3: the corpus-scale
+    // fingerprint width (32-bit saturates with birthday collisions at
+    // ~10⁹ docs). Candidates via 4×16-bit pigeonhole bands — equi-join,
+    // never all-pairs — then exact Hamming verification.
+    Q("dedup_simhash64_pairs",
+      (s, dir) => Dedup.simhash64Pairs(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $simhash64Cte
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dup pairs

@@ -16,10 +16,22 @@ object MlQueries {
   /** S3 scan memoization (app.py:156-178 → df.cache()): the ML queries
     * share the series pipeline; cache it once per (session, dir). The
     * key includes the session identity so a cached plan bound to a
-    * stopped session is never replayed into a new one. */
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(s"${System.identityHashCode(s)}|$key", build.cache())
+    * stopped session is never replayed into a new one. Bounded LRU:
+    * evicted entries are unpersisted, so a long-lived session touching
+    * many dirs can't accumulate unbounded executor cache. */
+  private val MaxMemo = 16
+  private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+      if (size() > MaxMemo) { e.getValue.unpersist(); true } else false
+  }
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = s"${System.identityHashCode(s)}|$key"
+    memo.synchronized {
+      val hit = memo.get(k)
+      if (hit != null) hit
+      else { val df = build.cache(); memo.put(k, df); df }
+    }
+  }
 
   /** The reference's working dataset: whole-column min-max normalized
     * values, grouped into per-user series (SURVEY.md §1.4). */

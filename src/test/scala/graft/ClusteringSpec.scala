@@ -120,6 +120,33 @@ class ClusteringSpec extends SparkSpec {
     assert(reps.exists(_ < 20) && reps.exists(_ >= 20)) // one per blob
   }
 
+  test("landmark MDS (distributed path) matches exact driver MDS when landmarks = all") {
+    // gate=0 forces the landmark path; with numLandmarks ≥ n the
+    // triangulation provably reproduces classical MDS — so the two
+    // paths must agree up to eigensolver tolerance
+    val exact = Embedding.mds2d(twoBlobs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val lmds = Embedding.mds2d(twoBlobs, gate = 0, numLandmarks = 100)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(exact.keySet == lmds.keySet)
+    exact.foreach { case (id, (x, y)) =>
+      val (lx, ly) = lmds(id)
+      assert(math.abs(x - lx) < 1e-4 && math.abs(y - ly) < 1e-4,
+        s"series $id: exact ($x,$y) vs landmark ($lx,$ly)")
+    }
+  }
+
+  test("landmark MDS with m << n still separates the two shape blobs") {
+    val out = Embedding.mds2d(twoBlobs, gate = 0, numLandmarks = 10)
+      .as[(Long, Double, Double)].collect()
+    // blob members must be mutually closer than cross-blob pairs on x
+    val a = out.filter(_._1 < 20).map(_._2)
+    val b = out.filter(_._1 >= 20).map(_._2)
+    val sep = math.abs(a.sum / a.length - b.sum / b.length)
+    val spread = math.max(a.max - a.min, b.max - b.min)
+    assert(sep > spread, s"blobs not separated: sep=$sep spread=$spread")
+  }
+
   test("K-Shape groups phase-shifted copies that raw-value KMeans would split (C3)") {
     val base1 = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
     val base2 = (0 until 64).map(t => (t % 32) / 16.0 - 1.0).toArray // sawtooth

@@ -45,6 +45,37 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhash64: identical fingerprints for dups; banded pairs = brute force") {
+    val fp = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.toSet.size > 1) // distinct docs get distinct hashes
+    val banded = Dedup.simhash64Pairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // pigeonhole guarantee: the banded equi-join finds EXACTLY the
+    // brute-force Hamming ≤ 3 pair set
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded == brute)
+    assert(banded((1L, 2L)) == 0L)
+  }
+
+  test("jaccardPairs df cap prunes candidate generation, not scoring") {
+    // default cap: no shingle in the fixture is hot, identical result
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped && capped.nonEmpty)
+    // maxDf=1 prunes every shared shingle (df ≥ 2 by definition of
+    // "shared") → candidate generation finds nothing
+    val all1 = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0, maxDf = 1).count()
+    assert(all1 == 0)
+  }
+
   test("langId votes en for English stopwords, de for German (deterministic ties)") {
     val out = TextOps.langId(docs, "doc_id", "text")
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
