@@ -37,26 +37,31 @@ object Dedup {
     * appears in d docs fans out d·(d−1)/2 candidate rows while carrying
     * ~zero Jaccard evidence, so hot shingles are pruned BEFORE the join
     * (the skew kill-switch that keeps this plan alive at corpus scale).
-    * Verification is exact Jaccard over ALL shingles (composite-keyed
-    * (id, s) equi-join — never a per-pair product), so reported values
-    * are unpruned; only recall of pairs whose every shared shingle is
-    * hot is affected, and such pairs sit far below any useful
+    * Jaccard stays exact over ALL shingles via a rare/hot split: the
+    * self-join over rare shingles yields both the candidate pairs and
+    * their rare-intersection counts in one pass (no re-join of the full
+    * shingle set), and the few hot shingles are patched in afterwards
+    * with a join restricted to the candidates — a near-no-op when the
+    * hot set is small or empty. Only recall of pairs whose EVERY shared
+    * shingle is hot is lost, and such pairs sit far below any useful
     * threshold. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
     val sh = TextOps.shingles(docs, idCol, textCol, n).cache()
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val rare = sh.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select("s"), "s")
-    val cand = rare.as("x").join(rare.as("y"),
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val rare = sh.join(dfreq.filter(col("__df") <= maxDf).select("s"), "s")
+    val hot = sh.join(dfreq.filter(col("__df") > maxDf).select("s"), "s")
+    val rareInter = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("i_rare"))
+    val hotInter = rareInter.select("id_a", "id_b")
+      .join(hot.select(col(idCol).as("id_a"), col("s")), "id_a")
+      .join(hot.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i_hot"))
+    val inter = rareInter.join(hotInter, Seq("id_a", "id_b"), "left")
+      .withColumn("i", col("i_rare") + coalesce(col("i_hot"), lit(0L)))
     inter
       .join(ns.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
       .join(ns.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
@@ -121,23 +126,30 @@ object Dedup {
 
   /** nBits-wide SimHash per doc: per bit, frequency-weighted ±1 vote
     * from the token's md5 nibble bits; bit set iff the vote sum is > 0.
-    * md5's 32 hex nibbles supply up to 128 independent bits. */
+    * md5's 32 hex nibbles supply up to 128 independent bits.
+    *
+    * All nBits vote sums are parallel aggregates of ONE groupBy on the
+    * doc id (the minhashSignaturesWide pattern): no per-bit row
+    * explosion, no (id, bit) shuffle — the shuffle carries one row per
+    * doc with nBits columns instead of tokens×nBits rows. */
   private def simhashBits(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
-    // hash each token once, THEN explode the bit positions — md5 is
-    // the expensive part and must not run nBits× per token
+    // hash each token once — md5 is the expensive part and must not run
+    // nBits× per token; the nibble/bit extraction is constant-folded
+    // per aggregate and stays inside whole-stage codegen
     val toks = TextOps.tokens(docs, idCol, textCol)
       .withColumn("hx", md5(col("w").cast("binary")))
-    val votes = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(nBits - 1))).as("b"), col("hx"))
-      .withColumn("v", expr(
-        "CASE WHEN (shiftright(instr('0123456789abcdef', substr(hx, CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col(idCol), col("b")).agg(sum(col("v")).as("sv"))
-    votes.groupBy(col(idCol))
-      .agg(sum(expr(
-        "CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val voteAggs = (0 until nBits).map { b =>
+      sum(expr(
+        s"CASE WHEN (shiftright(instr('0123456789abcdef', substr(hx, ${b / 4 + 1}, 1)) - 1, ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"__sv$b")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val assemble = (0 until nBits).map { b =>
+      when(col(s"__sv$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col(idCol), assemble.as("simhash"))
   }
 
   /** 32-bit SimHash (DuckDB-oracle width; birthday collisions make 32

@@ -65,13 +65,17 @@ object ExtQueries {
       Some(s"""WITH $shingleCte,
               |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
               |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c <= 100),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
-              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
-              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-              |          GROUP BY c.id_a, c.id_b)
+              |hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c > 100),
+              |ri AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ir
+              |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2),
+              |hi AS (SELECT ri.id_a, ri.id_b, count(*) AS ih
+              |       FROM ri JOIN hot x ON x.doc_id = ri.id_a
+              |       JOIN hot y ON y.doc_id = ri.id_b AND y.s = x.s
+              |       GROUP BY 1, 2),
+              |inter AS (SELECT ri.id_a, ri.id_b, ir + coalesce(ih, 0) AS i
+              |          FROM ri LEFT JOIN hi USING (id_a, id_b)),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
               |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
