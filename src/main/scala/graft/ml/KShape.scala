@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * m×m Gram matrix per cluster (groupByKey + streamed fold — memory is
   * O(m²) per cluster, independent of member count); the k small Gram
   * matrices come to the driver for an eigendecomposition. Per-pair NCC
-  * is the direct O(m²) form — swap in an FFT correlation for long
-  * series; the orchestration is unchanged.
+  * uses the paper's FFT correlation (O(m log m)) for series ≥ 128
+  * points and the direct O(m²) loop below that crossover.
   */
 object KShape {
 
@@ -32,20 +32,63 @@ object KShape {
 
   private def norm2(x: Array[Double]): Double = math.sqrt(x.map(v => v * v).sum)
 
-  /** Max normalized cross-correlation over all shifts + argmax shift. */
-  def nccMax(x: Array[Double], y: Array[Double]): (Double, Int) = {
+  /** Direct-form switchover: below this length the O(m²) loop beats
+    * the FFT's constant factor (3 complex transforms + boxing). */
+  private val FftMinLen = 128
+
+  /** Cross-correlation at every shift s ∈ [-(m-1), m-1], returned as an
+    * array indexed s + m − 1. Direct O(m²) form. */
+  private[graft] def ccDirect(x: Array[Double], y: Array[Double]): Array[Double] = {
     val m = x.length
-    val den = norm2(x) * norm2(y)
-    if (den == 0) return (0.0, 0)
-    var best = Double.NegativeInfinity
-    var bestS = 0
+    val out = new Array[Double](2 * m - 1)
     var s = -(m - 1)
     while (s <= m - 1) {
       var cc = 0.0
       var i = math.max(0, -s)
       val end = math.min(m, m - s)
       while (i < end) { cc += x(i + s) * y(i); i += 1 }
-      val v = cc / den
+      out(s + m - 1) = cc
+      s += 1
+    }
+    out
+  }
+
+  /** Same correlation via FFT in O(m log m) (Paparrizos & Gravano §3.2:
+    * NCC is the paper's own FFT-based step): zero-pad to the next power
+    * of two ≥ 2m, CC = IFFT(FFT(x)·conj(FFT(y))); negative shifts wrap
+    * to the tail of the circular result. */
+  private[graft] def ccFft(x: Array[Double], y: Array[Double]): Array[Double] = {
+    import breeze.linalg.DenseVector
+    import breeze.signal.{fourierTr, iFourierTr}
+    val m = x.length
+    var n = 1
+    while (n < 2 * m) n <<= 1
+    def pad(a: Array[Double]) = DenseVector(java.util.Arrays.copyOf(a, n))
+    val fx = fourierTr(pad(x))
+    val fy = fourierTr(pad(y))
+    val prod = DenseVector.tabulate(n)(i => fx(i) * fy(i).conjugate)
+    val cc = iFourierTr(prod)
+    val out = new Array[Double](2 * m - 1)
+    var s = -(m - 1)
+    while (s <= m - 1) {
+      out(s + m - 1) = cc((s + n) % n).real
+      s += 1
+    }
+    out
+  }
+
+  /** Max normalized cross-correlation over all shifts + argmax shift
+    * (ascending-shift scan, strict >: ties pick the lowest shift). */
+  def nccMax(x: Array[Double], y: Array[Double]): (Double, Int) = {
+    val m = x.length
+    val den = norm2(x) * norm2(y)
+    if (den == 0) return (0.0, 0)
+    val cc = if (m >= FftMinLen) ccFft(x, y) else ccDirect(x, y)
+    var best = Double.NegativeInfinity
+    var bestS = 0
+    var s = -(m - 1)
+    while (s <= m - 1) {
+      val v = cc(s + m - 1) / den
       if (v > best) { best = v; bestS = s }
       s += 1
     }

@@ -90,6 +90,19 @@ class ClusteringSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("FFT cross-correlation matches the direct form at every shift") {
+    // lengths straddling the FFT switchover, non-power-of-2 included
+    for (m <- Seq(5, 64, 127, 128, 200, 256)) {
+      val x = (0 until m).map(t => math.sin(0.37 * t) + 0.1 * ((t * 13) % 7)).toArray
+      val y = (0 until m).map(t => math.cos(0.23 * t) - 0.05 * ((t * 7) % 5)).toArray
+      val d = KShape.ccDirect(x, y)
+      val f = KShape.ccFft(x, y)
+      d.indices.foreach { i =>
+        assert(math.abs(d(i) - f(i)) < 1e-8, s"m=$m shift-index $i: ${d(i)} vs ${f(i)}")
+      }
+    }
+  }
+
   test("SBD is shift-invariant and bounded (C3 core property)") {
     val x = (0 until 64).map(t => math.sin(2 * math.Pi * t / 16.0)).toArray
     val shifted = x.drop(2) ++ x.take(2) // small circular shift

@@ -9,6 +9,59 @@ package graft
 class GoldenSpec extends SparkSpec {
   import spark.implicits._
 
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def clusterMap(name: String): Map[Long, Long] = {
+    import org.apache.spark.sql.functions.col
+    run(name).select(col("series_id").cast("long"), col("cluster").cast("long"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  // The driver can't DuckDB-oracle the ML fits (no_oracle rows), but the
+  // pipelines are deterministic end to end (seeded KMeans, id-mod init
+  // K-Shape, driver-local PCA/MDS with pinned sign rules) — so their
+  // exact sf0.001 outputs are pinned here. A diff means a SEMANTIC
+  // change to the fit, not partitioning noise.
+  test("golden: ml_kmeans_clusters exact labels on sf0.001") {
+    assert(clusterMap("ml_kmeans_clusters") == Map(
+      0L -> 9L, 1L -> 8L, 2L -> 4L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 0L,
+      7L -> 2L, 8L -> 1L, 9L -> 5L, 10L -> 9L, 11L -> 3L, 12L -> 6L,
+      13L -> 7L, 14L -> 2L))
+  }
+
+  test("golden: ml_kshape_clusters exact labels on sf0.001") {
+    assert(clusterMap("ml_kshape_clusters") == Map(
+      0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      7L -> 1L, 8L -> 1L, 9L -> 0L, 10L -> 2L, 11L -> 2L, 12L -> 0L,
+      13L -> 1L, 14L -> 0L))
+  }
+
+  test("golden: ml_dbscan_clusters exact labels + outlier set on sf0.001") {
+    assert(clusterMap("ml_dbscan_clusters") == Map(
+      0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> -1L,
+      7L -> -1L, 8L -> -1L, 9L -> -1L, 10L -> -1L, 11L -> 1L, 12L -> 1L,
+      13L -> -1L, 14L -> -1L))
+    val outliers = run("ml_dbscan_outliers")
+      .select("series_id").as[Long].collect().toSet
+    assert(outliers == Set(6L, 7L, 8L, 9L, 10L, 13L, 14L))
+  }
+
+  test("golden: ml_silhouette_scan top-5 ks on sf0.001") {
+    val top = run("ml_silhouette_scan").as[(Int, Double)].collect().toSeq
+    assert(top == Seq(10 -> 57.88, 2 -> 47.81, 9 -> 45.12, 8 -> 43.23, 3 -> 41.5))
+  }
+
+  test("golden: ml_pca_variance percentages on sf0.001") {
+    val v = run("ml_pca_variance").as[(Int, Double)].collect().toSeq
+    assert(v == Seq(1 -> 16.8, 2 -> 13.2, 3 -> 10.5, 4 -> 9.9, 5 -> 8.3,
+      6 -> 7.2, 7 -> 6.9, 8 -> 5.3, 9 -> 4.8, 10 -> 4.7))
+  }
+
+  test("golden: ml_pipeline_dtw_kmeans membership histogram on sf0.001") {
+    val hist = run("ml_pipeline_dtw_kmeans").as[(Int, Long)].collect().toSeq
+    assert(hist == Seq(0 -> 6L, 1 -> 3L, 2 -> 6L))
+  }
+
   test("flagship golden on sf0.001: pinned k, memberships, representatives") {
     // verified bitwise identical across local[4]/local[8]/local[32]
     // after the driver-local PCA/KMeans determinism fix
