@@ -23,40 +23,86 @@ object Dtw {
 
   private def dist(a: Double, b: Double): Double = math.abs(a - b)
 
-  /** Window-constrained DTW; `window` = allowed (i, j) cells, or all. */
+  /** Window-constrained DTW; `window` = allowed (i, j) cells, or all.
+    * Dense inputs run a flat-array DP (no hashing, no boxing); windowed
+    * inputs a LongMap keyed by (i << 32 | j) — identical recurrence and
+    * tie-breaking (diagonal, then up, then left) in both. */
   def dtwPath(x: Array[Double], y: Array[Double],
-      window: Option[Set[(Int, Int)]] = None): (Double, Path) = {
-    val n = x.length; val m = y.length
-    val cells: Iterator[(Int, Int)] = window match {
-      case Some(w) => w.iterator
-      case None => for (i <- (0 until n).iterator; j <- 0 until m) yield (i, j)
-    }
-    val cost = mutable.HashMap.empty[(Int, Int), Double]
-    val sorted = cells.toArray.sortBy(identity)
-    for ((i, j) <- sorted) {
-      val d = dist(x(i), y(j))
-      val prev =
-        if (i == 0 && j == 0) 0.0
-        else {
-          val c = List(
-            cost.get((i - 1, j - 1)), cost.get((i - 1, j)), cost.get((i, j - 1))
-          ).flatten
-          if (c.isEmpty) Double.PositiveInfinity else c.min
-        }
-      cost((i, j)) = d + prev
-    }
-    // backtrack, preferring diagonal, then (i-1, j), then (i, j-1)
+      window: Option[Set[(Int, Int)]] = None): (Double, Path) = window match {
+    case None => dtwDense(x, y)
+    case Some(w) => dtwSparse(x, y, w)
+  }
+
+  /** Backtrack preferring diagonal, then (i-1, j), then (i, j-1). */
+  private def backtrack(n: Int, m: Int, has: (Int, Int) => Boolean,
+      costAt: (Int, Int) => Double): Path = {
     val path = mutable.ArrayBuffer.empty[(Int, Int)]
     var i = n - 1; var j = m - 1
     path += ((i, j))
     while (i > 0 || j > 0) {
       val cands = List((i - 1, j - 1), (i - 1, j), (i, j - 1))
-        .filter { case (a, b) => a >= 0 && b >= 0 && cost.contains((a, b)) }
-      val (ni, nj) = cands.minBy { case c => (cost(c), cands.indexOf(c)) }
+        .filter { case (a, b) => a >= 0 && b >= 0 && has(a, b) }
+      val (ni, nj) = cands.minBy { case c => (costAt(c._1, c._2), cands.indexOf(c)) }
       i = ni; j = nj
       path += ((i, j))
     }
-    (cost((n - 1, m - 1)), path.reverse.toIndexedSeq)
+    path.reverse.toIndexedSeq
+  }
+
+  private def dtwDense(x: Array[Double], y: Array[Double]): (Double, Path) = {
+    val n = x.length; val m = y.length
+    val cost = new Array[Double](n * m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val d = dist(x(i), y(j))
+        val prev =
+          if (i == 0 && j == 0) 0.0
+          else {
+            var p = Double.PositiveInfinity
+            if (i > 0 && j > 0) p = math.min(p, cost((i - 1) * m + j - 1))
+            if (i > 0) p = math.min(p, cost((i - 1) * m + j))
+            if (j > 0) p = math.min(p, cost(i * m + j - 1))
+            p
+          }
+        cost(i * m + j) = d + prev
+        j += 1
+      }
+      i += 1
+    }
+    val path = backtrack(n, m, (_, _) => true, (a, b) => cost(a * m + b))
+    (cost(n * m - 1), path)
+  }
+
+  private def dtwSparse(x: Array[Double], y: Array[Double],
+      w: Set[(Int, Int)]): (Double, Path) = {
+    val n = x.length; val m = y.length
+    def key(i: Int, j: Int): Long = (i.toLong << 32) | (j.toLong & 0xFFFFFFFFL)
+    // long-key sort == lexicographic (i, j): every predecessor of a
+    // cell is processed before it
+    val keys = w.iterator.map { case (i, j) => key(i, j) }.toArray
+    java.util.Arrays.sort(keys)
+    val cost = mutable.LongMap.empty[Double]
+    var c = 0
+    while (c < keys.length) {
+      val i = (keys(c) >>> 32).toInt; val j = keys(c).toInt
+      val d = dist(x(i), y(j))
+      val prev =
+        if (i == 0 && j == 0) 0.0
+        else {
+          var p = Double.PositiveInfinity
+          if (i > 0 && j > 0) p = math.min(p, cost.getOrElse(key(i - 1, j - 1), p))
+          if (i > 0) p = math.min(p, cost.getOrElse(key(i - 1, j), p))
+          if (j > 0) p = math.min(p, cost.getOrElse(key(i, j - 1), p))
+          p
+        }
+      cost(keys(c)) = d + prev
+      c += 1
+    }
+    val path = backtrack(n, m,
+      (a, b) => cost.contains(key(a, b)), (a, b) => cost(key(a, b)))
+    (cost(key(n - 1, m - 1)), path)
   }
 
   private def reduceByHalf(x: Array[Double]): Array[Double] =
