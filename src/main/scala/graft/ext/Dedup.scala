@@ -229,10 +229,70 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Embedding-cosine near-dup pairs via signed-random-projection LSH
+    * (Charikar 2002) — the corpus-scale path for [[cosinePairs]].
+    *
+    * nBits hyperplanes are derived deterministically from md5 (weight
+    * w(b,i) = first-8-hex-digits(md5("b|i"))/2³¹ − 1), so the DuckDB
+    * oracle reproduces the signatures bit-for-bit. A vector's signature
+    * bit b is sign(r_b · v); near-parallel vectors agree on most bits,
+    * so candidates are pairs sharing one FULL band of `rowsPerBand`
+    * bits — an equi-join on (band, bits), never an all-pairs product —
+    * then exact-cosine verified at `threshold`. Probe cost is
+    * O(docs × nBits × dim) map-side; pair cost is candidates only.
+    * Recall for a pair at angle θ is 1 − (1 − (1−θ/π)^r)^bands. */
+  def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    require(nBits >= rowsPerBand && nBits % rowsPerBand == 0 && nBits <= 31,
+      s"nBits must be a multiple of rowsPerBand and <= 31, got $nBits/$rowsPerBand")
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+      .cache()
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val sigBits = (0 until nBits).map { b =>
+      when(call_function("array_dot", col("v"),
+        typedLit(hyperplane(b, dim))) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val sig = e.withColumn("sig", sigBits)
+    val numBands = nBits / rowsPerBand
+    val mask = (1 << rowsPerBand) - 1
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (call_function("array_dot", col("va"), col("vb"))
+          / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane b over `dim` dims: each
+    * weight is uniform-ish in [−1, 1) from md5's first 8 hex digits. */
+  private def hyperplane(b: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val hex = md.digest(s"$b|$i".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` (brute-force
-    * pair scan; see Similarity for the bucketed scale path). The dot
-    * product is graft's native codegen'd ArrayDot expression — same
-    * fold order as the SQL higher-order form, ~20× less per-pair cost. */
+    * pair scan; see [[cosineLshPairs]] / Similarity.Ivf for the bucketed
+    * scale paths). The dot product is graft's native codegen'd ArrayDot
+    * expression — same fold order as the SQL higher-order form, ~20×
+    * less per-pair cost. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val spark = emb.sparkSession

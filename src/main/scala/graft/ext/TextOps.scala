@@ -166,4 +166,21 @@ object TextOps {
       size(tokensCol(col(textCol))).cast("long").as("n_ws"),
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+
+  /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
+    * §A1.1): unique-word ratio and the most-frequent-bigram fraction.
+    * Pure array higher-order functions — per-row, no shuffle, no UDF;
+    * the bigram scan is O(u·n) per doc (u = distinct bigrams), fine for
+    * document-sized n. top_bigram_frac is null for single-word docs. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokensCol(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("bg", when(col("n") >= 2, expr(
+        "transform(sequence(0, int(n) - 2), i -> concat(element_at(w, int(i) + 1), ' ', element_at(w, int(i) + 2)))")))
+      .select(col(idCol),
+        col("n").as("n_words"),
+        round(size(array_distinct(col("w"))) / col("n"), 6).as("uniq_word_ratio"),
+        round(expr(
+          "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
+          / (col("n") - 1), 6).as("top_bigram_frac"))
 }

@@ -137,6 +137,40 @@ object ExtQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Embedding-cosine near-dups via signed-random-projection LSH
+    // (Charikar 2002): md5-derived hyperplanes → 30-bit signatures →
+    // 6 bands of 5 bits → candidates share a full band → exact-cosine
+    // verify. Both engines derive identical hyperplanes from md5, so
+    // signatures, candidates, and survivors match bit-for-bit. At this
+    // corpus's weak 0.45 threshold (≈63°) recall is deliberately
+    // partial (7 of 14 brute pairs; ~18% candidate rate) — sign-LSH
+    // selectivity grows sharply toward the ≥0.9 cosine regime real
+    // near-dup corpora sit in; the planted-pair regime is spec-tested
+    // in TextDedupSpec.
+    Q("dedup_cosine_lsh",
+      (s, dir) => Dedup.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          0.45, nBits = 30, rowsPerBand = 5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT b, i,
+             |             sum((strpos('0123456789abcdef', substr(md5(b::VARCHAR || '|' || i::VARCHAR), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
+             |           FROM (SELECT unnest(range(30)) AS b), (SELECT unnest(range(64)) AS i), (SELECT unnest(range(8)) AS j)
+             |           GROUP BY b, i),
+             |wl AS (SELECT b, list(wt ORDER BY i) AS wv FROM w GROUP BY b),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sig AS (SELECT e.vec_id, wl.b,
+             |          CASE WHEN list_dot_product(e.v, wl.wv) > 0 THEN 1 ELSE 0 END AS bit
+             |        FROM e CROSS JOIN wl),
+             |bands AS (SELECT vec_id, b // 5 AS band,
+             |            CAST(sum(bit << (b % 5)) AS BIGINT) AS key
+             |          FROM sig GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |         FROM bands a JOIN bands b
+             |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+             |SELECT c.id_a, c.id_b, round(list_cosine_similarity(x.v, y.v), 5) AS cosine
+             |FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+             |WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Embedding-cosine near-dup pairs
     Q("dedup_cosine_pairs",
       (s, dir) => Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
@@ -204,6 +238,22 @@ object ExtQueries {
              |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_alnum,
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Repetition quality signals (Gopher-style): unique-word ratio +
+    // most-frequent-bigram fraction, all array HOFs (no shuffle)
+    Q("text_repetition",
+      (s, dir) => TextOps.repetition(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             |  round(len(list_distinct(w)) / len(w), 6) AS uniq_word_ratio,
+             |  round(CASE WHEN len(w) >= 2 THEN
+             |    list_max(list_transform(list_distinct(bg), b -> len(list_filter(bg, x -> x = b)))) / (len(w) - 1)
+             |  END, 6) AS top_bigram_frac
+             |FROM (SELECT doc_id, w,
+             |        list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS bg
+             |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |            FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
 
     // Winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
     Q("text_winnowing",

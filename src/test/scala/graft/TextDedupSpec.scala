@@ -76,6 +76,25 @@ class TextDedupSpec extends SparkSpec {
     assert(all1 == 0)
   }
 
+  test("cosineLshPairs: planted near-identical pair found; output ⊆ brute pairs") {
+    // deterministic vectors; 0 and 1 are near-identical (cosine ≈ 1),
+    // the rest quasi-random — the regime sign-LSH is built for
+    val vecs = (0L until 20L).map { k =>
+      val base = if (k <= 1) 0L else k
+      val v = Array.tabulate(16)(i => math.sin(base * 7.3 + i * 1.7))
+      if (k == 1L) v(0) += 0.01
+      (k, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val lsh = Dedup.cosineLshPairs(emb, "vec_id", "embedding", 0.9, nBits = 30, rowsPerBand = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.99))
+    val brute = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // exact verification ⇒ 100% precision: LSH can only miss, never add
+    assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+  }
+
   test("langId votes en for English stopwords, de for German (deterministic ties)") {
     val out = TextOps.langId(docs, "doc_id", "text")
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
