@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * The reference reads path CSVs as euc-kr (app.py:159) and uploads as
   * utf-8 base64 (app.py:1616-1618); the value column is cast to float
-  * on load (app.py:160). XLS upload is out of scope (no OSS Spark
+  * on load (app.py:160). Its Excel branch (app.py:1620-1625 — any
+  * filename containing "xls") is served here by a pure-JDK `.xlsx`
+  * (OOXML) parse; legacy BIFF `.xls` stays out of scope (no OSS
   * reader in the offline env; SURVEY.md §2.1 S2).
   */
 object CsvSeries {
@@ -40,6 +42,124 @@ object CsvSeries {
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(lines)
       .withColumn(valueCol, col(valueCol).cast("float").cast("double"))
+  }
+
+  /** S2b: Excel upload (the reference's `'xls' in filename` branch,
+    * app.py:1620-1625 → pd.read_excel). Modern `.xlsx` is OOXML — a
+    * zip of XML parts — so the parse is pure JDK (ZipInputStream +
+    * StAX): shared strings + the first worksheet, first row as the
+    * header, remaining cells as strings, value column cast
+    * float→double exactly like the CSV path. The parse is driver-side
+    * (uploads are single in-memory bodies by construction); the result
+    * is a normal distributed DataFrame. */
+  def readUploadXlsxBase64(spark: SparkSession, b64Body: String, valueCol: String): DataFrame = {
+    val bytes = java.util.Base64.getDecoder.decode(b64Body)
+    val (shared, sheetXml) = xlsxParts(bytes)
+    val rows = xlsxRows(sheetXml, shared)
+    require(rows.nonEmpty, "empty worksheet")
+    val header = rows.head
+    val width = header.length
+    val data = rows.tail.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width).toSeq))
+    val schema = org.apache.spark.sql.types.StructType(header.map(h =>
+      org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toSeq), schema)
+      .withColumn(valueCol, col(valueCol).cast("float").cast("double"))
+  }
+
+  /** Extract sharedStrings + first worksheet XML from the xlsx zip. */
+  private def xlsxParts(bytes: Array[Byte]): (IndexedSeq[String], Array[Byte]) = {
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var shared: Array[Byte] = null
+    val sheets = scala.collection.mutable.TreeMap.empty[String, Array[Byte]]
+    var e = zis.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (name == "xl/sharedStrings.xml" ||
+          (name.startsWith("xl/worksheets/") && name.endsWith(".xml"))) {
+        val buf = new java.io.ByteArrayOutputStream()
+        zis.transferTo(buf)
+        if (name == "xl/sharedStrings.xml") shared = buf.toByteArray
+        else sheets(name) = buf.toByteArray
+      }
+      e = zis.getNextEntry
+    }
+    require(sheets.nonEmpty, "no worksheet part in xlsx body")
+    val sst =
+      if (shared == null) IndexedSeq.empty[String]
+      else {
+        val r = xmlReader(shared)
+        val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+        while (r.hasNext) {
+          r.next()
+          if (r.isStartElement && r.getLocalName == "si") out += new StringBuilder
+          else if (r.isStartElement && r.getLocalName == "t" && out.nonEmpty)
+            out.last ++= r.getElementText
+        }
+        out.map(_.toString).toIndexedSeq
+      }
+    (sst, sheets.head._2)
+  }
+
+  /** Worksheet XML → rows of cell strings, column-aligned via the A1
+    * references (sparse cells land in the right slot, gaps are null). */
+  private def xlsxRows(sheetXml: Array[Byte],
+      shared: IndexedSeq[String]): Vector[Array[String]] = {
+    def colIdx(ref: String): Int =
+      ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+    val r = xmlReader(sheetXml)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var cells: scala.collection.mutable.TreeMap[Int, String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inValue = false
+    var inInline = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next()
+      if (r.isStartElement) r.getLocalName match {
+        case "row" => cells = scala.collection.mutable.TreeMap.empty
+        case "c" =>
+          val ref = Option(r.getAttributeValue(null, "r"))
+          cellCol = ref.map(colIdx).getOrElse(if (cells.isEmpty) 0 else cells.lastKey + 1)
+          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+        case "is" => inInline = true; sb.clear()
+        case "v" => inValue = true; sb.clear()
+        case "t" if inInline => sb ++= r.getElementText
+        case _ => ()
+      }
+      else if (r.hasText && inValue) sb ++= r.getText
+      else if (r.isEndElement) r.getLocalName match {
+        case "v" =>
+          inValue = false
+          val raw = sb.toString
+          cells(cellCol) = if (cellType == "s") shared(raw.trim.toInt) else raw
+        case "is" =>
+          inInline = false
+          cells(cellCol) = sb.toString
+          sb.clear()
+        case "row" =>
+          if (cells.nonEmpty) {
+            val w = cells.lastKey + 1
+            val arr = new Array[String](w)
+            cells.foreach { case (i, v) => arr(i) = v }
+            rows += arr
+          }
+          cells = null
+        case _ => ()
+      }
+    }
+    rows.toVector
+  }
+
+  /** Hardened StAX reader (no DTDs / external entities). */
+  private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes), "UTF-8")
   }
 
   /** S4: preview head (app.py:1634-1636). */

@@ -54,6 +54,39 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 4.0)
   }
 
+  test("xlsx upload decode: shared strings, sparse cells, inline strings (S2b)") {
+    // hand-built minimal OOXML workbook: header via shared strings, a
+    // sparse row (missing B), an inline-string cell, numeric values
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<si><t>proc</t></si><si><r><t>va</t></r><r><t>l</t></r></si><si><t>P1</t></si></sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.25</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>P2</t></is></c><c r="B3"><v>2.75</v></c></row>
+        |<row r="4"><c r="B4"><v>0.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    for ((name, content) <- Seq(
+        "xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)) {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val df = CsvSeries.readUploadXlsxBase64(spark, b64, "val")
+    assert(df.columns.toSeq == Seq("proc", "val"))
+    val rows = df.collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(rows.length == 3)
+    assert(rows(0) == ("P1", Some(1.25)))
+    assert(rows(1) == ("P2", Some(2.75)))
+    assert(rows(2) == (null, Some(0.5))) // sparse A4 lands as null
+    assert(df.agg(org.apache.spark.sql.functions.sum("val")).head().getDouble(0) == 4.5)
+  }
+
   test("CSV sink round-trips with header (K1)") {
     val dir = Files.createTempDirectory("graftsink").toString + "/out"
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
