@@ -46,8 +46,14 @@ object Dedup {
     * shingle is hot is lost, and such pairs sit far below any useful
     * threshold. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
-    val sh = TextOps.shingles(docs, idCol, textCol, n).cache()
+      n: Int, threshold: Double, maxDf: Int = 100): DataFrame =
+    jaccardPairsFrom(
+      TextOps.shingles(docs, idCol, textCol, n).cache(), idCol, threshold, maxDf)
+
+  /** [[jaccardPairs]] over a precomputed (ideally cached/memoized)
+    * shingle table — lets one shingling pass feed several dedup ops. */
+  def jaccardPairsFrom(sh: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val rare = sh.join(dfreq.filter(col("__df") <= maxDf).select("s"), "s")
@@ -97,9 +103,14 @@ object Dedup {
     * stays proportional to true near-dups, which is what makes this
     * the 100-TB path. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, threshold: Double): DataFrame =
+    minhashLshPairsFrom(
+      TextOps.shingles(docs, idCol, textCol, n).cache(), idCol, numHashes, threshold)
+
+  /** [[minhashLshPairs]] over a precomputed shingle table. */
+  def minhashLshPairsFrom(sh: DataFrame, idCol: String,
+      numHashes: Int, threshold: Double): DataFrame = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 bands)")
-    val sh = TextOps.shingles(docs, idCol, textCol, n).cache()
     val wide = minhashSignaturesWide(sh, idCol, numHashes)
     val bandCols = (0 until numHashes / 2).map(b =>
       struct(lit(b).as("band"),

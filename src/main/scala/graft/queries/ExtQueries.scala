@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -45,6 +46,12 @@ object ExtQueries {
       |           CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
       |         FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** One shingling pass per (session, dir), shared by the Jaccard and
+    * MinHash-LSH queries (S3 memoization, bounded LRU). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"sh3|$dir")(
+      TextOps.shingles(Tables.documents(s, dir), "doc_id", "text", 3))
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one shuffle on md5(text)
@@ -60,7 +67,7 @@ object ExtQueries {
     // kill-switch that keeps the plan alive on real text at scale);
     // Jaccard itself is exact over all shingles.
     Q("dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5, 100)
+      (s, dir) => Dedup.jaccardPairsFrom(docShingles(s, dir), "doc_id", 0.5, 100)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $shingleCte,
               |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
@@ -84,7 +91,7 @@ object ExtQueries {
     // pairs share a full band, then exact-Jaccard verification of
     // candidates only (the scale path: pair volume ∝ true near-dups)
     Q("dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 3, 8, 0.5)
+      (s, dir) => Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $shingleCte,
               |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv

@@ -13,25 +13,10 @@ import graft.ml.{Clustering, Dbscan, Embedding, KShape, Silhouette, TraceBack}
   * matrices (I1/I2) — carry full DuckDB oracles. */
 object MlQueries {
 
-  /** S3 scan memoization (app.py:156-178 → df.cache()): the ML queries
-    * share the series pipeline; cache it once per (session, dir). The
-    * key includes the session identity so a cached plan bound to a
-    * stopped session is never replayed into a new one. Bounded LRU:
-    * evicted entries are unpersisted, so a long-lived session touching
-    * many dirs can't accumulate unbounded executor cache. */
-  private val MaxMemo = 16
-  private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
-      if (size() > MaxMemo) { e.getValue.unpersist(); true } else false
-  }
-  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(s)}|$key"
-    memo.synchronized {
-      val hit = memo.get(k)
-      if (hit != null) hit
-      else { val df = build.cache(); memo.put(k, df); df }
-    }
-  }
+  /** S3 scan memoization: the ML queries share the series pipeline —
+    * cache it once per (session, dir) via the bounded [[Memo]]. */
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    Memo.cached(s, key)(build)
 
   /** The reference's working dataset: whole-column min-max normalized
     * values, grouped into per-user series (SURVEY.md §1.4). */

@@ -157,22 +157,30 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Analytic window: running quantity per supplier over a unique order
+    // The synthetic lineitem does NOT have unique (l_orderkey,
+    // l_linenumber) (≈118k dup pairs at sf0.1), so l_quantity is the
+    // final ORDER BY tie-breaker: rows still tied are then identical in
+    // every summed column, making each running prefix
+    // permutation-invariant — without it the cumulative sum is
+    // engine-dependent at scale factors where the dups appear.
     Q("win_running_sum",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Long.MinValue, 0)
         Tables.lineitem(s, dir)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS UNBOUNDED PRECEDING),4) AS running_qty
-             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin)),
 
     // TPC-H Q6-shaped forecasting-revenue filter+agg: every predicate
     // reaches the parquet scan (PushedFilters), 4 columns read
