@@ -34,23 +34,48 @@ object Imaging {
       transform(phi, b => (lit(1.0) + cos(a + b)) * lit(255.0) / lit(2.0)))
   }
 
-  /** I3 image resize to size×size: area-average when shrinking,
-    * bilinear when growing (cv2.INTER_AREA / INTER_LINEAR analogue —
-    * same sampling scheme, not OpenCV's exact kernel taps; app.py:
-    * 457-473). Scalar UDF over array<array<double>>. */
+  /** Separable INTER_AREA taps: for target index i over n→size, the
+    * covered source span is [i·scale, (i+1)·scale); each overlapped
+    * source pixel contributes its fractional coverage — OpenCV's exact
+    * float-path INTER_AREA weighting (integer ratios reduce to plain
+    * box averages). Returns (first source index, weights). */
+  private def areaTaps(n: Int, size: Int): Array[(Int, Array[Double])] = {
+    val scale = n.toDouble / size
+    Array.tabulate(size) { i =>
+      val s0 = i * scale; val s1 = (i + 1) * scale
+      val r0 = math.floor(s0).toInt
+      val r1 = math.min(n, math.ceil(s1 - 1e-12).toInt)
+      (r0, Array.tabulate(r1 - r0) { k =>
+        val r = r0 + k
+        math.min(s1, r + 1.0) - math.max(s0, r.toDouble)
+      })
+    }
+  }
+
+  /** I3 image resize to size×size: fractional-coverage area average
+    * when shrinking, half-pixel-center bilinear when growing — the
+    * exact cv2.INTER_AREA / INTER_LINEAR float-path formulas the
+    * reference calls (app.py:457-473). Scalar UDF over
+    * array<array<double>>. */
   val resize: (Seq[Seq[Double]], Int) => Seq[Seq[Double]] = (img, size) => {
     val n = img.length
     if (n == 0) Seq.empty
     else if (n == size) img
     else if (n > size) {
-      // area average over the source box of each target pixel
+      val scale = n.toDouble / size
+      val taps = areaTaps(n, size)
       (0 until size).map { i =>
-        val r0 = i * n / size; val r1 = math.max(r0 + 1, (i + 1) * n / size)
+        val (r0, wr) = taps(i)
         (0 until size).map { j =>
-          val c0 = j * n / size; val c1 = math.max(c0 + 1, (j + 1) * n / size)
+          val (c0, wc) = taps(j)
           var s = 0.0
-          for (r <- r0 until r1; c <- c0 until c1) s += img(r)(c)
-          s / ((r1 - r0) * (c1 - c0))
+          var a = 0
+          while (a < wr.length) {
+            var b = 0
+            while (b < wc.length) { s += wr(a) * wc(b) * img(r0 + a)(c0 + b); b += 1 }
+            a += 1
+          }
+          s / (scale * scale)
         }
       }
     } else {
@@ -115,20 +140,22 @@ object Imaging {
         i += 1
       }
     } else {
+      val scale = n.toDouble / size
+      val taps = areaTaps(n, size)
       var i = 0
       while (i < size) {
-        val r0 = i * n / size; val r1 = math.max(r0 + 1, (i + 1) * n / size)
+        val (r0, wr) = taps(i)
         var j = 0
         while (j < size) {
-          val c0 = j * n / size; val c1 = math.max(c0 + 1, (j + 1) * n / size)
+          val (c0, wc) = taps(j)
           var s = 0.0
-          var r = r0
-          while (r < r1) {
-            var c = c0
-            while (c < c1) { s += cell(r, c); c += 1 }
-            r += 1
+          var a = 0
+          while (a < wr.length) {
+            var b = 0
+            while (b < wc.length) { s += wr(a) * wc(b) * cell(r0 + a, c0 + b); b += 1 }
+            a += 1
           }
-          out(i * size + j) = s / ((r1 - r0) * (c1 - c0))
+          out(i * size + j) = s / (scale * scale)
           j += 1
         }
         i += 1

@@ -51,4 +51,17 @@ class ImagingSpec extends SparkSpec {
     val out = Imaging.resize(img, 1)
     assert(math.abs(out.head.head - 3.0) < 1e-12)
   }
+
+  test("resize non-integer shrink uses fractional coverage (cv2 INTER_AREA)") {
+    // 3→2, scale 1.5: target (0,0) covers rows/cols [0, 1.5) with
+    // weights [1, 0.5] — hand-computed cv2 float-path values
+    val img = Seq(Seq(0.0, 1.0, 2.0), Seq(3.0, 4.0, 5.0), Seq(6.0, 7.0, 8.0))
+    val out = Imaging.resize(img, 2)
+    val expect = Seq(Seq(3.0, 6.0), Seq(12.0, 15.0)).map(_.map(_ / 2.25))
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(out(i)(j) - expect(i)(j)) < 1e-12, s"($i,$j): ${out(i)(j)}")
+    // weights normalize: constant image stays constant at any ratio
+    val const = Imaging.resize(Seq.fill(5)(Seq.fill(5)(7.0)), 3)
+    const.foreach(_.foreach(v => assert(math.abs(v - 7.0) < 1e-12)))
+  }
 }
