@@ -42,11 +42,15 @@ object Dedup {
     * their rare-intersection counts in one pass (no re-join of the full
     * shingle set), and the few hot shingles are patched in afterwards
     * with a join restricted to the candidates — a near-no-op when the
-    * hot set is small or empty. Only recall of pairs whose EVERY shared
-    * shingle is hot is lost, and such pairs sit far below any useful
-    * threshold. */
+    * hot set is small or empty. Pairs whose EVERY shared shingle is hot
+    * are LOST — including giant boilerplate clusters where each
+    * member's shingles all exceed maxDf (those are exactly what
+    * [[exactGroups]] and [[minhashLshPairsFrom]] still catch, since
+    * minhash signatures keep hot shingles). The cap therefore defaults
+    * OFF; callers opt in per corpus with a df budget that exceeds their
+    * largest expected near-dup cluster. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Int = 100): DataFrame =
+      n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
     jaccardPairsFrom(
       TextOps.shingles(docs, idCol, textCol, n).cache(), idCol, threshold, maxDf)
 
@@ -248,14 +252,22 @@ object Dedup {
     * oracle reproduces the signatures bit-for-bit. A vector's signature
     * bit b is sign(r_b · v); near-parallel vectors agree on most bits,
     * so candidates are pairs sharing one FULL band of `rowsPerBand`
-    * bits — an equi-join on (band, bits), never an all-pairs product —
-    * then exact-cosine verified at `threshold`. Probe cost is
-    * O(docs × nBits × dim) map-side; pair cost is candidates only.
-    * Recall for a pair at angle θ is 1 − (1 − (1−θ/π)^r)^bands. */
+    * bits, found with an equi-join on (band, bits) and then
+    * exact-cosine verified at `threshold`.
+    *
+    * Scale honesty: candidate volume is Σ_bands Σ_keys C(bucket, 2) —
+    * per-band collision probability is (1−θ/π)^r for angle θ, so SHORT
+    * bands (small rowsPerBand) make the join a constant fraction of
+    * all pairs and only LONG bands (r ≥ 8–16, plausible for the
+    * ≥0.9-cosine regime real near-dup corpora sit in) give genuinely
+    * sub-quadratic candidates. The Long signature admits r up to 63;
+    * pick r so that 2^r ≫ expected bucket load, and widen to multiple
+    * signature words if more bands are needed. Recall for a pair at
+    * angle θ is 1 − (1 − (1−θ/π)^r)^bands. */
   def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    require(nBits >= rowsPerBand && nBits % rowsPerBand == 0 && nBits <= 31,
-      s"nBits must be a multiple of rowsPerBand and <= 31, got $nBits/$rowsPerBand")
+    require(nBits >= rowsPerBand && nBits % rowsPerBand == 0 && nBits <= 63,
+      s"nBits must be a multiple of rowsPerBand and <= 63, got $nBits/$rowsPerBand")
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
@@ -264,11 +276,11 @@ object Dedup {
     val dim = e.select(size(col("v"))).head().getInt(0)
     val sigBits = (0 until nBits).map { b =>
       when(call_function("array_dot", col("v"),
-        typedLit(hyperplane(b, dim))) > 0, lit(1 << b)).otherwise(lit(0))
+        typedLit(hyperplane(b, dim))) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = e.withColumn("sig", sigBits)
     val numBands = nBits / rowsPerBand
-    val mask = (1 << rowsPerBand) - 1
+    val mask = (1L << rowsPerBand) - 1
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("key"))

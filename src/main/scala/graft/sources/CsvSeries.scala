@@ -57,7 +57,12 @@ object CsvSeries {
     val (shared, sheetXml) = xlsxParts(bytes)
     val rows = xlsxRows(sheetXml, shared)
     require(rows.nonEmpty, "empty worksheet")
-    val header = rows.head
+    // blank header cells (e.g. an unnamed index column) get positional
+    // names like the CSV reader's _c0 convention instead of nulls that
+    // would blow up schema resolution
+    val header = rows.head.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"_c$i" else h
+    }
     val width = header.length
     val data = rows.tail.map(r =>
       org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width).toSeq))
@@ -68,21 +73,32 @@ object CsvSeries {
       .withColumn(valueCol, col(valueCol).cast("float").cast("double"))
   }
 
-  /** Extract sharedStrings + first worksheet XML from the xlsx zip. */
+  /** Extract sharedStrings + the workbook's FIRST worksheet (by
+    * xl/workbook.xml sheet order resolved through the relationships
+    * part — zip part names like sheet3.xml don't track tab order when
+    * sheets have been deleted/reordered; lexicographic part name is
+    * only the fallback when either part is absent). */
   private def xlsxParts(bytes: Array[Byte]): (IndexedSeq[String], Array[Byte]) = {
     val zis = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     var shared: Array[Byte] = null
+    var workbook: Array[Byte] = null
+    var rels: Array[Byte] = null
     val sheets = scala.collection.mutable.TreeMap.empty[String, Array[Byte]]
     var e = zis.getNextEntry
     while (e != null) {
       val name = e.getName
-      if (name == "xl/sharedStrings.xml" ||
+      if (name == "xl/sharedStrings.xml" || name == "xl/workbook.xml" ||
+          name == "xl/_rels/workbook.xml.rels" ||
           (name.startsWith("xl/worksheets/") && name.endsWith(".xml"))) {
         val buf = new java.io.ByteArrayOutputStream()
         zis.transferTo(buf)
-        if (name == "xl/sharedStrings.xml") shared = buf.toByteArray
-        else sheets(name) = buf.toByteArray
+        name match {
+          case "xl/sharedStrings.xml" => shared = buf.toByteArray
+          case "xl/workbook.xml" => workbook = buf.toByteArray
+          case "xl/_rels/workbook.xml.rels" => rels = buf.toByteArray
+          case _ => sheets(name) = buf.toByteArray
+        }
       }
       e = zis.getNextEntry
     }
@@ -92,15 +108,60 @@ object CsvSeries {
       else {
         val r = xmlReader(shared)
         val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+        var rphDepth = 0 // skip phonetic-run annotations (<rPh><t>…)
         while (r.hasNext) {
           r.next()
-          if (r.isStartElement && r.getLocalName == "si") out += new StringBuilder
-          else if (r.isStartElement && r.getLocalName == "t" && out.nonEmpty)
-            out.last ++= r.getElementText
+          if (r.isStartElement) r.getLocalName match {
+            case "si" => out += new StringBuilder
+            case "rPh" => rphDepth += 1
+            case "t" if rphDepth == 0 && out.nonEmpty => out.last ++= r.getElementText
+            case _ => ()
+          }
+          else if (r.isEndElement && r.getLocalName == "rPh") rphDepth -= 1
         }
         out.map(_.toString).toIndexedSeq
       }
-    (sst, sheets.head._2)
+    val part = firstSheetPart(workbook, rels).flatMap(sheets.get)
+      .getOrElse(sheets.head._2)
+    (sst, part)
+  }
+
+  /** Resolve the first <sheet> of xl/workbook.xml through the
+    * workbook relationships to its zip part name. */
+  private def firstSheetPart(workbook: Array[Byte],
+      rels: Array[Byte]): Option[String] = {
+    if (workbook == null || rels == null) return None
+    var firstRid: String = null
+    val wr = xmlReader(workbook)
+    while (wr.hasNext && firstRid == null) {
+      wr.next()
+      if (wr.isStartElement && wr.getLocalName == "sheet") {
+        // r:id is namespaced; scan attributes by local name
+        var i = 0
+        while (i < wr.getAttributeCount && firstRid == null) {
+          if (wr.getAttributeLocalName(i) == "id")
+            firstRid = wr.getAttributeValue(i)
+          i += 1
+        }
+      }
+    }
+    if (firstRid == null) return None
+    val rr = xmlReader(rels)
+    while (rr.hasNext) {
+      rr.next()
+      if (rr.isStartElement && rr.getLocalName == "Relationship" &&
+          rr.getAttributeValue(null, "Id") == firstRid) {
+        val target = rr.getAttributeValue(null, "Target")
+        if (target != null) {
+          val norm =
+            if (target.startsWith("/")) target.drop(1)
+            else if (target.startsWith("xl/")) target
+            else s"xl/$target"
+          return Some(norm)
+        }
+      }
+    }
+    None
   }
 
   /** Worksheet XML → rows of cell strings, column-aligned via the A1

@@ -87,6 +87,48 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("val")).head().getDouble(0) == 4.5)
   }
 
+  test("xlsx upload: workbook tab order, phonetic runs, blank header cells (S2b)") {
+    // first workbook tab lives in sheet3.xml (sheet1.xml is a stale
+    // decoy — happens when tabs are deleted/reordered in Excel); the
+    // shared string carries an rPh phonetic annotation that must NOT
+    // leak into the text; A1 is missing so column 0 needs a _c0 name
+    val workbook =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="1" r:id="rId9"/></sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin
+    val shared =
+      """<?xml version="1.0"?><sst><si><t>东京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si><si><t>val</t></si></sst>"""
+    val decoy =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>WRONG</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet3 =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2"><v>3.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    for ((name, content) <- Seq(
+        "xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/sharedStrings.xml" -> shared,
+        "xl/worksheets/sheet1.xml" -> decoy, "xl/worksheets/sheet3.xml" -> sheet3)) {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val df = CsvSeries.readUploadXlsxBase64(spark, b64, "val")
+    assert(df.columns.toSeq == Seq("_c0", "val"))
+    val row = df.collect().head
+    assert(row.getString(0) == "东京") // no phonetic-run leakage
+    assert(row.getDouble(1) == 3.5)   // and from the right sheet
+  }
+
   test("CSV sink round-trips with header (K1)") {
     val dir = Files.createTempDirectory("graftsink").toString + "/out"
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
