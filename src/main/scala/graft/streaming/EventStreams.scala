@@ -65,6 +65,16 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Streaming exact dedup on a key, state bounded by the watermark
+    * horizon (dropDuplicatesWithinWatermark): the streaming twin of
+    * the batch `dedup_exact` hash-groupBy — late re-sends of an
+    * already-seen key inside the watermark are dropped, and state for
+    * keys older than the watermark is evicted, so memory is
+    * O(keys per horizon), not O(stream). */
+  def dedupEvents(events: DataFrame, watermark: String, keyCols: String*): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, events: Long, sum_v: Double)
 

@@ -53,6 +53,23 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == Seq(1L, 1L, 1L))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark, equals batch distinct") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dup = rows ++ rows.take(4) // re-send the first four events
+    val q = EventStreams.dedupEvents(mem.toDF(), "1 hour", "user_id", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(dup: _*)
+    q.processAllAvailable()
+    val got = spark.table("dedup").select("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+    q.stop()
+    val batch = rows.toDF().dropDuplicates("user_id", "ts")
+      .as[Ev].collect().map(e => (e.user_id, e.ts, e.value))
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
