@@ -62,6 +62,33 @@ class GoldenSpec extends SparkSpec {
     assert(hist == Seq(0 -> 6L, 1 -> 3L, 2 -> 6L))
   }
 
+  private def digest(name: String): String = {
+    val s = run(name).collect().map(_.toSeq.mkString(",")).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  // Row-content md5 digests over each query's own deterministic ORDER
+  // BY — compact exact pins for the embedding/ANN/multimodal queries
+  // whose full outputs are too wide to inline. ml_pca_embedding and
+  // ml_mds_embedding share a digest by THEOREM, not accident:
+  // classical MDS of euclidean distances reproduces PCA scores, and
+  // both paths use the same max-|loading| sign rule and 6dp rounding.
+  test("golden: embedding/ANN/multimodal digests on sf0.001") {
+    val pins = Map(
+      "ml_pca_embedding" -> "141e1b8a488a69e6ac7a11c337beca14",
+      "ml_pca_embedding_3d" -> "53e0a32a7615721a6d798ff2e1790a83",
+      "ml_mds_embedding" -> "141e1b8a488a69e6ac7a11c337beca14",
+      "ml_ae_embedding" -> "63b05ebe9f9c84f809082e539e495245",
+      "ml_dtw_stretch" -> "9c043300d16d1d8eef4193a9d8427a46",
+      "sim_ivf_topk" -> "ea250d44e0e96b7b782ebd2135c04495",
+      "multimodal_features" -> "da67292b0e99f3346c195a926ba476d4",
+      "multimodal_frames" -> "bfc37e8bad10637b90010db016cad7ab")
+    val got = pins.keys.toSeq.sorted.map(q => q -> digest(q))
+    val bad = got.filter { case (q, d) => d != pins(q) }
+    assert(bad.isEmpty, s"digest drift: $bad")
+  }
+
   test("flagship golden on sf0.001: pinned k, memberships, representatives") {
     // verified bitwise identical across local[4]/local[8]/local[32]
     // after the driver-local PCA/KMeans determinism fix
