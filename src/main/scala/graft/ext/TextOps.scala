@@ -167,6 +167,41 @@ object TextOps {
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
 
+  /** PII scrubbing: count and redact email addresses and URLs. The
+    * patterns are deliberately conservative character-class regexes
+    * that mean the same thing in Java regex and DuckDB's RE2 (no
+    * lookaround, no backrefs), so the oracle reproduces the redacted
+    * text bit-for-bit; the redacted column is fingerprinted (md5)
+    * rather than emitted raw. Per-row, no shuffle. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ \\t\\n]+"
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(t, urlRe, "<URL>"), emailRe, "<EMAIL>")
+    // Column API, not expr(): a SQL string literal would eat the
+    // regex backslashes (Spark parses \ escapes in literals)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(urlRe), lit(0))).cast("long").as("n_urls"),
+      md5(scrubbed.cast("binary")).as("redacted_fp"))
+  }
+
+  /** Deterministic train/val/test split by content-stable hash:
+    * bucket = first 8 md5 hex digits of the id mod 100. Stable across
+    * runs, partitionings, and engines (the standard way to split a
+    * corpus without materializing an assignment table). */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10) % 100").cast("int")
+    df.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1): unique-word ratio and the most-frequent-bigram fraction.
     * Pure array higher-order functions — per-row, no shuffle, no UDF;

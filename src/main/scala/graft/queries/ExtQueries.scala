@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -261,6 +262,48 @@ object ExtQueries {
              |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
              |            FROM documents))
              |ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: email/URL counts + md5 of the redacted text
+    // (conservative char-class regexes that mean the same thing in
+    // Java regex and DuckDB RE2). The synthetic corpus contains no
+    // PII at all, so the query plants one deterministic email + URL
+    // per row first — otherwise the green would be vacuous (0 matches
+    // proves nothing about the scrub path); planted-content semantics
+    // are also spec-tested on fixtures in TextDedupSpec.
+    Q("text_redact",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+            lit("@example.com via https://example.org/d/"),
+            col("doc_id").cast("string")).as("text"))
+        TextOps.redact(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |  text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
+             |  '@example.com via https://example.org/d/' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+             |  md5(regexp_replace(regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+             |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash-based train/val/test split (90/5/5): bucket =
+    // first 8 md5 hex digits of the id mod 100 — stable across runs,
+    // partitionings, and engines
+    Q("text_split_assign",
+      (s, dir) => TextOps.splitAssign(Tables.documents(s, dir), "doc_id", 90, 5)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 90 THEN 'train'
+             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)),
 
     // Winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
     Q("text_winnowing",

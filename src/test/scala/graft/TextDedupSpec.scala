@@ -111,6 +111,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("redact counts and scrubs emails/URLs; splitAssign is a stable 100-bucket hash") {
+    val d = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or see https://x.io/p?q=1 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.redact(d, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 1L && out(0)._3 == 1L)
+    assert(out(1)._2 == 0L && out(1)._3 == 0L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail me at <EMAIL> or see <URL> thanks".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(0)._4 == expected, "redacted fingerprint mismatch")
+
+    val split = TextOps.splitAssign(docs, "doc_id").collect()
+    split.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(r.getAs[String]("split") == expect)
+    }
+    // stable: recomputation yields identical assignments
+    assert(TextOps.splitAssign(docs, "doc_id").collect().toSeq == split.toSeq)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val d2 = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(d2, "doc_id", "text").as[(Long, String)].collect().toMap
