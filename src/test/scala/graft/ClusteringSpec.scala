@@ -90,6 +90,42 @@ class ClusteringSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("samplesSquared (O(n·k) scale path) matches brute-force squared silhouette") {
+    val pts = Seq(
+      (1L, 0.0, 0.0, 0), (2L, 1.0, 0.5, 0), (3L, 0.4, 0.1, 0),
+      (4L, 10.0, 10.0, 1), (5L, 12.0, 10.0, 1), (6L, 11.0, 12.0, 1),
+      (7L, -5.0, 8.0, 2) // singleton → s = 0
+    )
+    val got = graft.ml.Silhouette.samplesSquared(
+        pts.toDF("series_id", "x", "y", "cluster"))
+      .as[(Long, Int, Option[Double], Option[Double], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def d2(a: (Long, Double, Double, Int), b: (Long, Double, Double, Int)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3; dx * dx + dy * dy
+    }
+    pts.foreach { p =>
+      val own = pts.filter(q => q._4 == p._4 && q._1 != p._1)
+      val expA = if (own.isEmpty) None else Some(own.map(d2(p, _)).sum / own.length)
+      val others = pts.filter(_._4 != p._4).groupBy(_._4)
+        .map { case (_, qs) => qs.map(d2(p, _)).sum / qs.length }
+      val expB = if (others.isEmpty) None else Some(others.min)
+      val (_, _, a, b, s) = got(p._1)
+      (expA, a) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"a for ${p._1}")
+        case (ea, ga) => assert(ea.isEmpty == ga.isEmpty, s"a presence for ${p._1}")
+      }
+      (expB, b) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"b for ${p._1}")
+        case (eb, gb) => assert(eb.isEmpty == gb.isEmpty, s"b presence for ${p._1}")
+      }
+      val expS = (expA, expB) match {
+        case (Some(ea), Some(eb)) => (eb - ea) / math.max(ea, eb)
+        case _ => 0.0
+      }
+      assert(math.abs(s - expS) < 1e-9, s"s for ${p._1}")
+    }
+  }
+
   test("FFT cross-correlation matches the direct form at every shift") {
     // lengths straddling the FFT switchover, non-power-of-2 included
     for (m <- Seq(5, 64, 127, 128, 200, 256)) {
