@@ -182,6 +182,27 @@ object RelationalQueries {
              |FROM lineitem
              |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin)),
 
+    // lag/lead/ntile analytic windows over the per-user event sequence
+    // (event_id is unique within a user → tie-free ordering)
+    Q("win_lag_lead",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, dir).na.drop(Seq("value"))
+          .select(col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_prev"),
+            round(lead(col("value"), 1).over(w) - col("value"), 6).as("delta_next"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  round(value - lag(value) OVER w, 6) AS delta_prev,
+             |  round(lead(value) OVER w - value, 6) AS delta_next,
+             |  ntile(4) OVER w AS quartile
+             |FROM events WHERE value IS NOT NULL
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // TPC-H Q6-shaped forecasting-revenue filter+agg: every predicate
     // reaches the parquet scan (PushedFilters), 4 columns read
     Q("q6_forecast_revenue",
