@@ -151,24 +151,41 @@ object Dedup {
     * doc id (the minhashSignaturesWide pattern): no per-bit row
     * explosion, no (id, bit) shuffle — the shuffle carries one row per
     * doc with nBits columns instead of tokens×nBits rows. */
+  /** Per-token md5 nibbles (id, __nib0..__nib15), Memo-cached per doc
+    * plan: hash each token ONCE and decode each hex nibble once in a
+    * projection — the vote aggregates then reduce plain int columns
+    * with shift/mask, keeping the generated agg class small and fully
+    * codegen'd. One pass feeds the 32-bit fingerprint, 32-bit pairs,
+    * AND 64-bit pairs queries (the 32-bit nibble set is a prefix of
+    * the 64-bit one), so a suite touching all three tokenizes the
+    * corpus once, not three times. */
+  private def tokenNibbles(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.queries.Memo.cached(docs.sparkSession,
+      s"simhashnibs|$idCol|$textCol|${docs.queryExecution.logical.semanticHash()}") {
+      val toks = TextOps.tokens(docs, idCol, textCol)
+        .withColumn("hx", md5(col("w").cast("binary")))
+      val nibCols = (0 until 16).map(i =>
+        expr(s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1").as(s"__nib$i"))
+      toks.select((col(idCol) +: nibCols): _*)
+    }
+
   private def simhashBits(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
-    // hash each token once — md5 is the expensive part and must not run
-    // nBits× per token; the nibble/bit extraction is constant-folded
-    // per aggregate and stays inside whole-stage codegen
-    val toks = TextOps.tokens(docs, idCol, textCol)
-      .withColumn("hx", md5(col("w").cast("binary")))
     val voteAggs = (0 until nBits).map { b =>
-      sum(expr(
-        s"CASE WHEN (shiftright(instr('0123456789abcdef', substr(hx, ${b / 4 + 1}, 1)) - 1, ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"__sv$b")
+      sum(expr(s"((__nib${b / 4} >> ${b % 4}) & 1) * 2 - 1")).as(s"__sv$b")
     }
-    val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = tokenNibbles(docs, idCol, textCol)
+      .groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
     val assemble = (0 until nBits).map { b =>
       when(col(s"__sv$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    votes.select(col(idCol), assemble.as("simhash"))
+    // one row per doc — Memo-cached so the fingerprint query and the
+    // pairs query over the same docs share a single signature pass
+    graft.queries.Memo.cached(docs.sparkSession,
+      s"simhash$nBits|$idCol|$textCol|${docs.queryExecution.logical.semanticHash()}")(
+      votes.select(col(idCol), assemble.as("simhash")))
   }
 
   /** 32-bit SimHash (DuckDB-oracle width; birthday collisions make 32
@@ -184,23 +201,40 @@ object Dedup {
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashBits(docs, idCol, textCol, 64)
 
-  /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming (≤ 3): four
-    * 16-bit bands; by pigeonhole any pair within Hamming 3 agrees on at
-    * least one full band, so candidates come from an equi-join on
-    * (band, 16-bit band value) — never an all-pairs product — then get
-    * exact Hamming verification. This is the scale-path twin of
-    * [[simhashPairs]] with collision-resistant width. */
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming (≤ 3) via
+    * block banding (Manku, Jain & Das Sarma, WWW 2007): the 64 bits
+    * split into 6 blocks (4×11 + 2×10 bits). A pair within Hamming 3
+    * differs in at most 3 blocks, so by pigeonhole it AGREES on some 3
+    * of the 6 — candidates come from an equi-join on C(6,3)=20 combo
+    * keys of ~32 masked bits each, then exact Hamming verification.
+    *
+    * Why 3-of-6 and not 4×16-bit single bands: the combo key space is
+    * 2³¹⁻³³ per combo vs 2¹⁶ per band. At 10⁹ docs a 16-bit band holds
+    * ~15k docs/bucket by CHANCE alone (~4.5×10¹¹ candidate pairs before
+    * any real correlation); a ≥31-bit combo key yields expected chance
+    * candidates ≈ Σ_combos C(n,2)/2^bits ≈ 20·(10¹⁸/2)/2³¹ ≈ 5×10⁹ —
+    * a few per doc, each verified with one xor+popcount. 20 keys/doc
+    * costs 5× the banded rows of the old scheme; the join output
+    * collapses by ~100×, which is the side that matters. */
   def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding covers Hamming <= 3, got $maxHamming")
-    val s = simhash64(docs, idCol, textCol).cache()
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
+      s"3-of-6 block banding covers Hamming <= 3, got $maxHamming")
+    val s = simhash64(docs, idCol, textCol) // Memo-cached inside
+
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blockMasks = widths.zip(offsets).map { case (w, o) =>
+      (if (w == 64) -1L else ((1L << w) - 1)) << o
+    }
+    val comboCols = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (blocks, idx) =>
+        val mask = blocks.map(blockMasks).reduce(_ | _)
+        struct(lit(idx).as("band"),
+          col("simhash").bitwiseAND(lit(mask)).as("key"))
     }
     val banded = s.select(col(idCol), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
+      explode(array(comboCols: _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -221,7 +255,7 @@ object Dedup {
     * brute scan (which remains the fallback for loose thresholds). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val s = simhash32(docs, idCol, textCol).cache()
+    val s = simhash32(docs, idCol, textCol) // Memo-cached inside
     val pairs =
       if (maxHamming <= 3) {
         val keepSets = (0 until 4).combinations(4 - maxHamming).toSeq.zipWithIndex

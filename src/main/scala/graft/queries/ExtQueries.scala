@@ -133,8 +133,11 @@ object ExtQueries {
 
     // 64-bit SimHash near-dup pairs at Hamming ≤ 3: the corpus-scale
     // fingerprint width (32-bit saturates with birthday collisions at
-    // ~10⁹ docs). Candidates via 4×16-bit pigeonhole bands — equi-join,
-    // never all-pairs — then exact Hamming verification.
+    // ~10⁹ docs). Candidates via Manku WWW'07 3-of-6 block banding —
+    // C(6,3)=20 combo keys of ~32 masked bits, equi-join, never
+    // all-pairs — then exact Hamming verification. The oracle verifies
+    // the PAIR SET brute-force (banding is recall-lossless for H ≤ 3 by
+    // pigeonhole, so the sets must match exactly).
     Q("dedup_simhash64_pairs",
       (s, dir) => Dedup.simhash64Pairs(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy("id_a", "id_b"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stopped session is never replayed into a new one. Bounded LRU:
   * evicted entries are unpersisted, so a long-lived session touching
   * many dirs can't accumulate unbounded executor cache. */
-private[queries] object Memo {
+private[graft] object Memo {
   private val MaxEntries = 16
   private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
