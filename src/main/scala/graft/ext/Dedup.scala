@@ -80,6 +80,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The dedup DECISION: transitive closure of near-dup pairs →
+    * (doc_id, keep_id, keep). Pair emitters ([[jaccardPairs]],
+    * [[minhashLshPairsFrom]], [[simhash64Pairs]], [[cosineLshPairs]])
+    * find edges; a real pipeline ends by keeping one canonical doc per
+    * connected component and dropping the rest — keep_id = min doc_id
+    * of the component (deterministic across partitionings), singletons
+    * keep themselves.
+    *
+    * Scale: connected components via [[graft.ml.Components]] — driver
+    * union-find while the edge list (~#true near-dups, tiny vs corpus)
+    * fits, O(diameter) distributed min-label propagation above. The
+    * final assignment is one left join of docs against the component
+    * labels. */
+  def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = graft.ml.Components.minLabel(
+      pairs.select(col("id_a"), col("id_b")))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("keep_id"))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+  }
+
   /** Per-doc minhash signature rows (id, h, mv): mv = lexicographic
     * min of md5(h || '|' || shingle) over the doc's shingles. All
     * `numHashes` mins are computed as parallel aggregates in ONE pass
@@ -143,14 +166,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** nBits-wide SimHash per doc: per bit, frequency-weighted ±1 vote
-    * from the token's md5 nibble bits; bit set iff the vote sum is > 0.
-    * md5's 32 hex nibbles supply up to 128 independent bits.
-    *
-    * All nBits vote sums are parallel aggregates of ONE groupBy on the
-    * doc id (the minhashSignaturesWide pattern): no per-bit row
-    * explosion, no (id, bit) shuffle — the shuffle carries one row per
-    * doc with nBits columns instead of tokens×nBits rows. */
   /** Per-token md5 nibbles (id, __nib0..__nib15), Memo-cached per doc
     * plan: hash each token ONCE and decode each hex nibble once in a
     * projection — the vote aggregates then reduce plain int columns
@@ -170,6 +185,14 @@ object Dedup {
       toks.select((col(idCol) +: nibCols): _*)
     }
 
+  /** nBits-wide SimHash per doc: per bit, frequency-weighted ±1 vote
+    * from the token's md5 nibble bits; bit set iff the vote sum is > 0.
+    * md5's 32 hex nibbles supply up to 128 independent bits.
+    *
+    * All nBits vote sums are parallel aggregates of ONE groupBy on the
+    * doc id (the minhashSignaturesWide pattern): no per-bit row
+    * explosion, no (id, bit) shuffle — the shuffle carries one row per
+    * doc with nBits columns instead of tokens×nBits rows. */
   private def simhashBits(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")

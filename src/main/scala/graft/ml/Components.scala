@@ -1,0 +1,79 @@
+package graft.ml
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Undirected connected components with canonical min-id labels —
+  * shared by DBSCAN cluster formation ([[Dbscan]]) and dedup group
+  * closure (graft.ext.Dedup.dedupGroups).
+  *
+  * Scale design: the driver union-find fast path is gated on edge
+  * count (union-find is O(E α(E)) and the edge list for near-dup
+  * graphs is ~#true-dups, tiny relative to the corpus); above the gate,
+  * iterative min-label propagation runs O(graph diameter) rounds, each
+  * one equi-join + groupBy shuffling only the edge list — the standard
+  * large-graph CC shape. Labels are canonical (min member id), so both
+  * paths produce identical output regardless of partitioning. */
+private[graft] object Components {
+
+  /** edges: first two columns are (id, id2) castable to long, either
+    * or both directions. Returns (id, label) for every id that appears
+    * in `edges`; label = min id of the component. `maxDriverEdges`
+    * gates the driver union-find path; 0 forces the distributed path
+    * (parity-tested in ClusteringSpec). */
+  def minLabel(edges0: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    val c0 = edges0.columns(0)
+    val c1 = edges0.columns(1)
+    val dir = edges0.select(col(c0).cast("long").as("id"),
+      col(c1).cast("long").as("id2"))
+    // symmetrize: min-label propagation must flow both ways
+    val edges = dir.union(dir.select(col("id2").as("id"), col("id").as("id2")))
+      .cache()
+    val nEdges = edges.count()
+    val result =
+      if (nEdges <= maxDriverEdges) {
+        import spark.implicits._
+        val parent = mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val collected = edges.as[(Long, Long)].collect()
+        collected.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = collected.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        ids.toSeq.map(id => (id, find(id))).toDF("id", "label")
+          .localCheckpoint()
+      } else {
+        // localCheckpoint each round: truncates the iterative plan
+        // lineage, which otherwise outgrows the driver's analyzer.
+        var labels = edges.select(col("id")).distinct()
+          .select(col("id"), col("id").as("label")).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          val prop = edges
+            .join(labels.select(col("id").as("id2"), col("label")), "id2")
+            .groupBy("id").agg(min(col("label")).as("nl"))
+          val next = labels.join(prop, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels
+      }
+    edges.unpersist()
+    result
+  }
+}

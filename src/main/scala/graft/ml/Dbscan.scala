@@ -1,6 +1,5 @@
 package graft.ml
 
-import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,47 +61,13 @@ object Dbscan {
       .select(col("id"), col("id2"))
       .cache()
 
-    // Reference-regime fast path (SURVEY.md §7.5 #4): the core-core
-    // edge list fits on the driver → union-find there instead of
-    // O(diameter) distributed rounds. Same result (canonical min-id
-    // labels) either way; the distributed path remains for scale.
-    val nEdges = coreEdges.count()
-    var labels: DataFrame = null
-    if (nEdges <= maxDriverEdges) {
-      import spark.implicits._
-      val parent = mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      coreEdges.as[(Long, Long)].collect().foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val coreIds = core.as[Long].collect()
-      labels = coreIds.map(id => (id, find(id))).toSeq.toDF("id", "label")
-    } else {
-      // localCheckpoint each round: truncates the iterative plan
-      // lineage, which otherwise outgrows the driver's analyzer.
-      labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 50) {
-        val prop = coreEdges
-          .join(labels.select(col("id").as("id2"), col("label")), "id2")
-          .groupBy("id").agg(min(col("label")).as("nl"))
-        val next = labels.join(prop, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-    }
+    // Reference-regime fast path (SURVEY.md §7.5 #4): small edge lists
+    // union-find on the driver, else O(diameter) min-label propagation —
+    // both canonical min-id labels, extracted into the shared
+    // [[Components]] helper (also the dedup-group-closure engine).
+    // Every core has a self-edge (distance 0 ≤ eps), so the node set
+    // Components derives from the edge list covers all cores.
+    val labels = Components.minLabel(coreEdges, maxDriverEdges)
 
     // Border points: non-core with >=1 core neighbor → that core's label.
     val borderLabels = edges

@@ -112,6 +112,44 @@ object ExtQueries {
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // The dedup DECISION: transitive closure of the MinHash-LSH pairs →
+    // one canonical keep per connected component (keep_id = min doc_id),
+    // singletons keep themselves. Pairs alone don't dedup anything; this
+    // is the operator a real pipeline ends with. Oracle: DuckDB
+    // WITH RECURSIVE reachability closure over the identical pair set.
+    Q("dedup_groups",
+      (s, dir) => Dedup.dedupGroups(Tables.documents(s, dir), "doc_id",
+          Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+              |SELECT d.doc_id,
+              |       coalesce(least(l.m, d.doc_id), d.doc_id) AS keep_id,
+              |       (coalesce(least(l.m, d.doc_id), d.doc_id) = d.doc_id) AS keep
+              |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-doc 32-bit SimHash fingerprints
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")

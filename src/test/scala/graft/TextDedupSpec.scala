@@ -63,6 +63,30 @@ class TextDedupSpec extends SparkSpec {
     assert(banded((1L, 2L)) == 0L)
   }
 
+  test("dedupGroups closes pair chains transitively; singletons keep themselves") {
+    // chain 1-2, 2-3 (no direct 1-3 edge) must collapse to one group
+    // keyed by min id; 4 and 5 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val g = Dedup.dedupGroups(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(g(1L) == (1L, true))
+    assert(g(2L) == (1L, false))
+    assert(g(3L) == (1L, false)) // transitive: reached only through 2
+    assert(g(4L) == (4L, true) && g(5L) == (5L, true))
+    assert(g.size == 5)
+  }
+
+  test("Components.minLabel: driver union-find == distributed label propagation") {
+    // two components + an isolated self-loop, edges in mixed directions
+    val edges = Seq((7L, 3L), (3L, 9L), (12L, 11L), (20L, 20L)).toDF("id_a", "id_b")
+    val driver = graft.ml.Components.minLabel(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.ml.Components.minLabel(edges, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+    assert(driver == Map(7L -> 3L, 3L -> 3L, 9L -> 3L, 12L -> 11L, 11L -> 11L, 20L -> 20L))
+  }
+
   test("jaccardPairs df cap prunes candidate generation, not scoring") {
     // default cap: no shingle in the fixture is hot, identical result
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
