@@ -27,6 +27,32 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(out(2).width == 10 && out(2).height == 10)    // sqrt(100)
   }
 
+  test("real image decode: BMP round-trip reproduces closed-form pixel stats; PNG too") {
+    // syntheticBmp pixel channels are pure functions of (id, x, y) —
+    // recompute the expected moments directly and compare to the
+    // decoded values (BMP is lossless, so equality is exact)
+    val id = 42L
+    val decoded = Multimodal.decodeImage(Multimodal.syntheticBmp(id))
+    assert(decoded.isDefined)
+    val (w, h, feat) = decoded.get
+    assert(w == 8 && h == 8)
+    val rs = for (y <- 0 until 8; x <- 0 until 8) yield ((id * 31 + x * 7 + y * 13) % 256).toDouble
+    val meanR = rs.sum / 64.0
+    val stdR = math.sqrt(rs.map(v => v * v).sum / 64.0 - meanR * meanR)
+    assert(feat(0) == meanR && feat(3) == stdR)
+
+    // PNG path (lossless too): re-encode the same pattern as PNG
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticBmp(id)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = Multimodal.decodeImage(bos.toByteArray)
+    assert(png.isDefined && png.get._3.toSeq == feat.toSeq)
+
+    // non-image payloads fall back to the byte-histogram stub
+    assert(Multimodal.decodeImage("plain text, not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
     val frames = Multimodal.sampleFrames(media, 64, 2).collect()
