@@ -31,11 +31,12 @@ object Clustering {
     * deterministic — MLlib's k-means|| init samples per partition, so
     * its result depends on partitioning even with a fixed seed);
     * larger inputs use the distributed MLlib fit. */
-  def kmeans(emb: DataFrame, k: Int, seed: Long = 10): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int, seed: Long = 10,
+      gate: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cached = emb.cache()
-    if (cached.count() < 100000) {
+    if (cached.count() < gate) {
       val rows = cached
         .select(col("series_id").cast("long"), col("x").cast("double"),
           col("y").cast("double"))

@@ -52,25 +52,34 @@ private[graft] object Components {
         ids.toSeq.map(id => (id, find(id))).toDF("id", "label")
           .localCheckpoint()
       } else {
+        // Small edge lists compact to one partition before iterating —
+        // per-round task-scheduling overhead otherwise dominates (the
+        // Clustering.compactIfSmall pattern). Big graphs stay
+        // distributed; the propagation logic is identical either way.
+        val work = if (nEdges < 100000) edges.coalesce(1).cache() else edges
         // localCheckpoint each round: truncates the iterative plan
-        // lineage, which otherwise outgrows the driver's analyzer.
-        var labels = edges.select(col("id")).distinct()
+        // lineage, which otherwise outgrows the driver's analyzer. The
+        // previous label rides along in the checkpointed frame so the
+        // convergence test is a filter over it, not another join —
+        // 2 jobs per round instead of 3.
+        var labels = work.select(col("id")).distinct()
           .select(col("id"), col("id").as("label")).localCheckpoint()
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 50) {
-          val prop = edges
+          val prop = work
             .join(labels.select(col("id").as("id2"), col("label")), "id2")
             .groupBy("id").agg(min(col("label")).as("nl"))
           val next = labels.join(prop, Seq("id"), "left")
             .select(col("id"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+              col("label").as("old"))
             .localCheckpoint()
-          changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(col("label") =!= col("old")).count()
-          labels = next
+          changed = next.filter(col("label") =!= col("old")).count()
+          labels = next.select("id", "label")
           iter += 1
         }
+        if (work ne edges) work.unpersist()
         labels
       }
     edges.unpersist()

@@ -207,6 +207,93 @@ object MlQueries {
              |LEFT JOIN bv ON bv.series_id = f.user_id
              |ORDER BY series_id""".stripMargin)),
 
+    // Every ML fit is size-gated: driver-local kernel in the reference
+    // regime, distributed path above. The fixture specs prove path
+    // parity; THIS query proves it end-to-end in driver context on the
+    // driver's own data: run BOTH paths (gate forced to 0) and emit
+    // per-algorithm mismatch counts, golden-pinned to zero. Input is
+    // capped at 60 series so the harness costs O(1) regardless of sf.
+    // What each row pins is the strongest invariant the algorithm pair
+    // actually guarantees:
+    //  - dbscan/kshape: EXACT label equality (the distributed forms are
+    //    the same algorithm re-partitioned);
+    //  - mds: first-component coordinates at eigensolver tolerance 1e-4
+    //    (λ1 is well-separated; λ2/λ3 can be near-degenerate on real
+    //    data, where the second axis is not identifiable — the two
+    //    paths see row-permuted Gram matrices and may pick different
+    //    bases of the same eigen-subspace. Full-coordinate parity on a
+    //    separated-spectrum fixture is asserted in ClusteringSpec);
+    //  - kmeans: clustering-COST parity (distributed SSE ≤ 1.25× the
+    //    driver path's). Label equality is undefined across inits:
+    //    MLlib's k-means|| and the driver k-means++ converge to
+    //    different local optima of the same objective, and k-means||'s
+    //    optimum varies with partitioning (measured SSE ratios 0.96 to
+    //    1.16 across local[4..32] on these dirs) — the bound catches a
+    //    mis-wired distributed path (ratio ≫ 2), not init luck.
+    Q("ml_dist_path_parity",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        // shared inputs materialized BEFORE the concurrent branches so
+        // no two branches race to fill the same cache
+        val fe = featureEmbedding(s, dir)
+          .filter(col("series_id") < 60).cache()
+        val serT = SeriesOps.truncate(normalizedSeries(s, dir))
+          .filter(col("series_id") < 60).cache()
+        val serP = SeriesOps.pad(normalizedSeries(s, dir))
+          .filter(col("series_id") < 60).cache()
+        val (nKm, _, nSer) = (fe.count(), serT.count(), serP.count())
+
+        def labelMismatch(a: DataFrame, b: DataFrame): (Long, Long) = {
+          val j = a.select(col("series_id"), col("cluster").cast("long").as("ca"))
+            .join(b.select(col("series_id"), col("cluster").cast("long").as("cb")),
+              "series_id").cache()
+          val out = (j.count(), j.filter(col("ca") =!= col("cb")).count())
+          j.unpersist()
+          out
+        }
+        def sse(assigned: DataFrame): Double = {
+          val cent = assigned.groupBy("cluster")
+            .agg(avg("x").as("cx"), avg("y").as("cy"))
+          assigned.join(cent, "cluster")
+            .agg(sum(pow(col("x") - col("cx"), 2)
+              + pow(col("y") - col("cy"), 2)).as("s"))
+            .head().getDouble(0)
+        }
+
+        // the four path-pairs are independent — run them as concurrent
+        // driver-side jobs; wall time is the slowest branch, not the sum
+        val fDb = Future(labelMismatch(
+          Dbscan.run(fe, 3.0, 4),
+          Dbscan.run(fe, 3.0, 4, maxDriverEdges = 0)))
+        val fKs = Future(labelMismatch(
+          KShape.fit(serT, 3, maxIter = 3),
+          KShape.fitDistributed(serT, 3, maxIter = 3)))
+        val fKm = Future(sse(Clustering.kmeans(fe, 3, gate = 0)) <=
+          1.25 * sse(Clustering.kmeans(fe, 3)))
+        val fMds = Future {
+          val jm = Embedding.mds2d(serP)
+            .select(col("series_id"), col("x").as("xa"))
+            .join(Embedding.mds2d(serP, gate = 0, numLandmarks = nSer.toInt)
+              .select(col("series_id"), col("x").as("xb")), "series_id").cache()
+          val out = (jm.count(), jm.filter(abs(col("xa") - col("xb")) > 1e-4).count())
+          jm.unpersist()
+          out
+        }
+        val (nDb, mDb) = Await.result(fDb, Duration.Inf)
+        val (nKs, mKs) = Await.result(fKs, Duration.Inf)
+        val costOk = Await.result(fKm, Duration.Inf)
+        val (nMds, mMds) = Await.result(fMds, Duration.Inf)
+        Seq(serP, serT, fe).foreach(_.unpersist())
+
+        Seq(("dbscan", nDb, mDb), ("kmeans_cost", nKm, if (costOk) 0L else 1L),
+          ("kshape", nKs, mKs), ("mds_landmark_c1", nMds, mMds))
+          .toDF("algo", "n", "n_mismatch").orderBy("algo")
+      }),
+
     // IVF approximate top-k: bucket-pruned search (rows-only; recall
     // vs the exact brute force is asserted in IvfSpec)
     Q("sim_ivf_topk",

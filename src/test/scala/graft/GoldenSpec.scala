@@ -62,6 +62,16 @@ class GoldenSpec extends SparkSpec {
     assert(hist == Seq(0 -> 6L, 1 -> 3L, 2 -> 6L))
   }
 
+  test("golden: ml_dist_path_parity — distributed paths match driver paths exactly") {
+    // the driver-context proof that every size-gated fit's distributed
+    // path (gate forced to 0) agrees with the driver-local path: zero
+    // mismatches, pinned
+    val rows = run("ml_dist_path_parity")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("dbscan", 15L, 0L), ("kmeans_cost", 15L, 0L),
+      ("kshape", 15L, 0L), ("mds_landmark_c1", 15L, 0L)), s"parity drift: $rows")
+  }
+
   private def digest(name: String): String = {
     val s = run(name).collect().map(_.toSeq.mkString(",")).mkString("|")
     java.security.MessageDigest.getInstance("MD5")
