@@ -272,6 +272,34 @@ object CoreQueries {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Hot-key-safe as-of: same semantics through the time-chunk-salted
+    // path (8 chunks) — checked against the SAME independent DuckDB
+    // ASOF oracle as the unsalted query, so the salting's boundary
+    // carries are proven result-identical, not just parity-tested
+    Q("evt_asof_join_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).na.drop(Seq("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        graft.ops.AsofJoin.asofSalted(purchases, clicks, "user_id", "ts", 8)
+          .select(col("event_id"), col("user_id"),
+            round(col("value"), 6).as("purchase_value"),
+            round(col("click_value"), 6).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+             |           FROM events WHERE event_type = 'click' AND value IS NOT NULL
+             |           GROUP BY user_id, ts),
+             |p AS (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'purchase' AND value IS NOT NULL)
+             |SELECT p.event_id, p.user_id, round(p.value,6) AS purchase_value,
+             |       round(c.click_value,6) AS click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Sliding event-time window: 1h length, 30min slide → each event in 2 windows
     Q("evt_sliding_window",
       (s, dir) => Tables.events(s, dir)

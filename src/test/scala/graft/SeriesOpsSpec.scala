@@ -79,6 +79,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out(3L) == "x")
   }
 
+  test("asofSalted == asof on a skewed fixture (one hot key, chunk-boundary carries)") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    // hot key 1: long interleaved history; key 2: sparse right rows so
+    // several chunks hold left rows with NO in-chunk right predecessor
+    // (exercises the pass-2 boundary heal); key 3: left rows only
+    val left = ((0 until 200).map(i => (i.toLong, 1L, ts(i * 3 + 1))) ++
+      (200 until 240).map(i => (i.toLong, 2L, ts((i - 200) * 17))) ++
+      Seq((240L, 3L, ts(50)))).toDF("id", "k", "t")
+    val right = ((0 until 150).map(i => (1L, ts(i * 4), s"h$i")) ++
+      Seq((2L, ts(2), "s0"), (2L, ts(300), "s1"))).toDF("k", "t", "payload")
+    val plain = graft.ops.AsofJoin.asof(left, right, "k", "t")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    for (chunks <- Seq(1, 4, 32)) {
+      val salted = graft.ops.AsofJoin.asofSalted(left, right, "k", "t", chunks)
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      assert(salted == plain, s"salted($chunks) diverged from plain asof")
+    }
+  }
+
   test("asof join carries the matched right row atomically (null fields survive)") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
