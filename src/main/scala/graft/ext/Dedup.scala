@@ -51,8 +51,17 @@ object Dedup {
     * largest expected near-dup cluster. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
-    jaccardPairsFrom(
-      TextOps.shingles(docs, idCol, textCol, n).cache(), idCol, threshold, maxDf)
+    jaccardPairsFrom(memoShingles(docs, idCol, textCol, n), idCol, threshold, maxDf)
+
+  /** Shingle table cached through the bounded LRU (evict → unpersist),
+    * not a bare .cache(): repeated standalone calls must not accumulate
+    * executor cache, and one shingling pass serves every dedup op over
+    * the same docs. */
+  private def memoShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    graft.queries.Memo.cached(docs.sparkSession,
+      s"shingles|$n|$idCol|$textCol|${docs.queryExecution.logical.semanticHash()}")(
+      TextOps.shingles(docs, idCol, textCol, n))
 
   /** [[jaccardPairs]] over a precomputed (ideally cached/memoized)
     * shingle table — lets one shingling pass feed several dedup ops. */
@@ -60,6 +69,15 @@ object Dedup {
       threshold: Double, maxDf: Int): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    if (maxDf != Int.MaxValue) {
+      // a capped run must be distinguishable from an exact one: report
+      // how many shingles the cap actually pruned (0 ⇒ the cap was a
+      // no-op and recall is exact)
+      val nHot = dfreq.filter(col("__df") > maxDf).count()
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
+          s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
+    }
     val rare = sh.join(dfreq.filter(col("__df") <= maxDf).select("s"), "s")
     val hot = sh.join(dfreq.filter(col("__df") > maxDf).select("s"), "s")
     val rareInter = rare.as("x").join(rare.as("y"),
@@ -135,8 +153,7 @@ object Dedup {
     * the 100-TB path. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, threshold: Double): DataFrame =
-    minhashLshPairsFrom(
-      TextOps.shingles(docs, idCol, textCol, n).cache(), idCol, numHashes, threshold)
+    minhashLshPairsFrom(memoShingles(docs, idCol, textCol, n), idCol, numHashes, threshold)
 
   /** [[minhashLshPairs]] over a precomputed shingle table. */
   def minhashLshPairsFrom(sh: DataFrame, idCol: String,
@@ -331,10 +348,20 @@ object Dedup {
       s"nBits must be a multiple of rowsPerBand and <= 63, got $nBits/$rowsPerBand")
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
-      .cache()
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    val e = graft.queries.Memo.cached(spark,
+      s"coslsh|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}")(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v")))))
+    // derive + validate the vector dimension in one tiny aggregate: an
+    // empty table yields an empty pair frame (not a head() crash), and
+    // ragged dimensions fail loudly instead of silently mis-projecting
+    val dimRow = e.agg(min(size(col("v"))).as("mn"), max(size(col("v"))).as("mx")).head()
+    if (dimRow.isNullAt(0))
+      return e.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    require(dimRow.getInt(0) == dimRow.getInt(1),
+      s"embedding dims not uniform: ${dimRow.getInt(0)} vs ${dimRow.getInt(1)}")
+    val dim = dimRow.getInt(0)
     val sigBits = (0 until nBits).map { b =>
       when(call_function("array_dot", col("v"),
         typedLit(hyperplane(b, dim))) > 0, lit(1L << b)).otherwise(lit(0L))

@@ -55,6 +55,10 @@ object Ivf {
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("qv"), col("vn")).as("cosine"))
-    graft.ext.Similarity.rankTopK(scored, k)
+    // the result is #queries × k rows — materialize it eagerly so the
+    // corpus cache is freed instead of accumulating across a session
+    val out = graft.ext.Similarity.rankTopK(scored, k).localCheckpoint()
+    e.unpersist()
+    out
   }
 }

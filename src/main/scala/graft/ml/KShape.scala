@@ -245,6 +245,11 @@ object KShape {
       assigned = next
       iter += 1
     }
-    assigned.select(col("series_id"), col("cluster"))
+    // materialize the (small) label table eagerly so the working caches
+    // are freed instead of accumulating across a long session
+    val result = assigned.select(col("series_id"), col("cluster")).localCheckpoint()
+    assigned.unpersist()
+    ds.unpersist()
+    result
   }
 }

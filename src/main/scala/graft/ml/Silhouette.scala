@@ -75,6 +75,14 @@ object Silhouette {
         (r.getAs[Long]("n"), r.getAs[Double]("sx"), r.getAs[Double]("sy"),
           r.getAs[Double]("sq"))))
       .sortBy(_._1)
+    // all-noise input: array() of zero struct columns is unresolvable,
+    // so short-circuit to an empty frame with the output schema. (The
+    // k inline struct columns below are fine to k ~ 10³; a corpus with
+    // far more clusters would switch to broadcast-joining the stats
+    // table instead of inlining it.)
+    if (stats.isEmpty)
+      return pts.select(col("series_id"), col("cluster"),
+        lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("s")).limit(0)
     // mean squared distance to cluster c, excluding self when own
     val meanCols = stats.map { case (c, (n, sx, sy, sq)) =>
       val p2 = col("x") * col("x") + col("y") * col("y")

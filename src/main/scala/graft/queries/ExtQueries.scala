@@ -200,9 +200,10 @@ object ExtQueries {
       (s, dir) => Dedup.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           0.45, nBits = 30, rowsPerBand = 5)
         .orderBy("id_a", "id_b"),
-      Some("""WITH w AS (SELECT b, i,
+      Some("""WITH dims AS (SELECT max(len(CAST(embedding AS DOUBLE[]))) AS d FROM embeddings),
+             |w AS (SELECT b, i,
              |             sum((strpos('0123456789abcdef', substr(md5(b::VARCHAR || '|' || i::VARCHAR), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
-             |           FROM (SELECT unnest(range(30)) AS b), (SELECT unnest(range(64)) AS i), (SELECT unnest(range(8)) AS j)
+             |           FROM (SELECT unnest(range(30)) AS b), (SELECT unnest(range((SELECT d FROM dims))) AS i), (SELECT unnest(range(8)) AS j)
              |           GROUP BY b, i),
              |wl AS (SELECT b, list(wt ORDER BY i) AS wv FROM w GROUP BY b),
              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

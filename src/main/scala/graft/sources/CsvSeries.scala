@@ -64,6 +64,11 @@ object CsvSeries {
       if (h == null || h.isEmpty) s"_c$i" else h
     }
     val width = header.length
+    // sparse rows pad with nulls (legitimate — missing cells); rows
+    // WIDER than the header would silently lose data, so fail loudly
+    val wide = rows.tail.indexWhere(_.length > width)
+    require(wide < 0, s"xlsx: data row ${wide + 2} has ${
+      if (wide >= 0) rows.tail(wide).length else 0} cells but the header row has $width")
     val data = rows.tail.map(r =>
       org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width).toSeq))
     val schema = org.apache.spark.sql.types.StructType(header.map(h =>
@@ -196,7 +201,18 @@ object CsvSeries {
         case "v" =>
           inValue = false
           val raw = sb.toString
-          cells(cellCol) = if (cellType == "s") shared(raw.trim.toInt) else raw
+          cells(cellCol) =
+            if (cellType == "s") {
+              // a corrupt workbook must fail with a description, not a
+              // bare IndexOutOfBounds/NumberFormat from the decoder
+              val idx =
+                try raw.trim.toInt
+                catch { case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"xlsx: malformed shared-string index '$raw'") }
+              require(idx >= 0 && idx < shared.length,
+                s"xlsx: shared-string index $idx out of range (table has ${shared.length} entries)")
+              shared(idx)
+            } else raw
         case "is" =>
           inInline = false
           cells(cellCol) = sb.toString

@@ -113,6 +113,44 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("val")).head().getDouble(0) == 4.5)
   }
 
+  test("xlsx upload fails loudly on corrupt shared strings and over-wide rows") {
+    def workbook(sheet: String, nShared: Int = 1): String = {
+      val shared = s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">${
+        (0 until nShared).map(i => s"<si><t>s$i</t></si>").mkString}</sst>"""
+      val bos = new java.io.ByteArrayOutputStream()
+      val zip = new java.util.zip.ZipOutputStream(bos)
+      for ((name, content) <- Seq(
+          "xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)) {
+        zip.putNextEntry(new java.util.zip.ZipEntry(name))
+        zip.write(content.getBytes("UTF-8"))
+        zip.closeEntry()
+      }
+      zip.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val pre = """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    val post = "</sheetData></worksheet>"
+    // shared-string index beyond the table
+    val badIdx = workbook(pre +
+      """<row r="1"><c r="A1" t="s"><v>7</v></c></row>""" + post)
+    val e1 = intercept[IllegalArgumentException] {
+      CsvSeries.readUploadXlsxBase64(spark, badIdx, "v") }
+    assert(e1.getMessage.contains("shared-string index"))
+    // non-numeric shared-string index
+    val badNum = workbook(pre +
+      """<row r="1"><c r="A1" t="s"><v>x9</v></c></row>""" + post)
+    val e2 = intercept[IllegalArgumentException] {
+      CsvSeries.readUploadXlsxBase64(spark, badNum, "v") }
+    assert(e2.getMessage.contains("malformed shared-string index"))
+    // data row wider than the header must not silently truncate
+    val wide = workbook(pre +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""" +
+      """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>""" + post)
+    val e3 = intercept[IllegalArgumentException] {
+      CsvSeries.readUploadXlsxBase64(spark, wide, "s0") }
+    assert(e3.getMessage.contains("header row has 1"))
+  }
+
   test("xlsx upload: workbook tab order, phonetic runs, blank header cells (S2b)") {
     // first workbook tab lives in sheet3.xml (sheet1.xml is a stale
     // decoy — happens when tabs are deleted/reordered in Excel); the

@@ -119,6 +119,22 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
   }
 
+  test("cosineLshPairs: empty input yields empty pairs; ragged dims fail loudly") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Dedup.cosineLshPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+    val ragged = Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosineLshPairs(ragged, "vec_id", "embedding", 0.5) }
+    assert(e.getMessage.contains("dims not uniform"))
+  }
+
+  test("silhouette samplesSquared: all-noise input returns an empty frame, not an error") {
+    val pts = Seq((1L, 0.0, 0.0, -1), (2L, 1.0, 1.0, -1))
+      .toDF("series_id", "x", "y", "cluster")
+    assert(graft.ml.Silhouette.samplesSquared(pts).count() == 0)
+  }
+
   test("langId votes en for English stopwords, de for German (deterministic ties)") {
     val out = TextOps.langId(docs, "doc_id", "text")
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
