@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: everything here is embarrassingly parallel per
   * document except the langid stopword join, which broadcasts a
-  * ~50-row dictionary. Shingle explosion multiplies rows by ~doc
+  * 200-row dictionary. Shingle explosion multiplies rows by ~doc
   * length — downstream consumers aggregate back to doc_id or pair
   * keys, so the wide intermediate never materializes.
   */
@@ -39,8 +39,15 @@ object TextOps {
     df.select(col(idCol), explode(shingleUdf(col(textCol))).as("s"))
   }
 
-  /** Stopword dictionaries (public high-frequency word lists) used by
-    * language-ID voting and the quality score's stopword ratio. */
+  /** Stopword dictionaries (public high-frequency word lists), 20
+    * languages × 10 words, used by language-ID voting and the quality
+    * score's stopword ratio. Words were chosen to be distinctive —
+    * no word is shared across languages — so votes never split on a
+    * single token. Honest limits: the tokenizer is whitespace-based,
+    * so unsegmented scripts (zh/ja running text without spaces, Thai)
+    * only match when the corpus is pre-segmented; a production
+    * pipeline would swap in a segmenter upstream, nothing else
+    * changes. */
   val stopwords: Seq[(String, String)] = Seq(
     "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "to" -> "en",
     "in" -> "en", "is" -> "en", "it" -> "en", "that" -> "en", "for" -> "en",
@@ -50,17 +57,58 @@ object TextOps {
     "est" -> "fr", "une" -> "fr", "dans" -> "fr", "que" -> "fr", "pour" -> "fr",
     "el" -> "es", "los" -> "es", "las" -> "es", "es" -> "es", "una" -> "es",
     "para" -> "es", "con" -> "es", "por" -> "es", "como" -> "es", "se" -> "es",
-    "的" -> "zh", "是" -> "zh", "在" -> "zh", "了" -> "zh", "和" -> "zh")
+    "的" -> "zh", "是" -> "zh", "在" -> "zh", "了" -> "zh", "和" -> "zh",
+    "我" -> "zh", "有" -> "zh", "他" -> "zh", "这" -> "zh", "不" -> "zh",
+    "não" -> "pt", "também" -> "pt", "já" -> "pt", "você" -> "pt", "seu" -> "pt",
+    "sua" -> "pt", "pelo" -> "pt", "pela" -> "pt", "às" -> "pt", "então" -> "pt",
+    "il" -> "it", "gli" -> "it", "che" -> "it", "non" -> "it", "sono" -> "it",
+    "della" -> "it", "nel" -> "it", "più" -> "it", "anche" -> "it", "questo" -> "it",
+    "de" -> "nl", "het" -> "nl", "een" -> "nl", "van" -> "nl", "dat" -> "nl",
+    "niet" -> "nl", "zijn" -> "nl", "voor" -> "nl", "met" -> "nl", "op" -> "nl",
+    "и" -> "ru", "в" -> "ru", "не" -> "ru", "на" -> "ru", "что" -> "ru",
+    "он" -> "ru", "как" -> "ru", "это" -> "ru", "по" -> "ru", "но" -> "ru",
+    "の" -> "ja", "に" -> "ja", "は" -> "ja", "を" -> "ja", "た" -> "ja",
+    "が" -> "ja", "で" -> "ja", "て" -> "ja", "と" -> "ja", "です" -> "ja",
+    "이" -> "ko", "그" -> "ko", "저" -> "ko", "것" -> "ko", "수" -> "ko",
+    "및" -> "ko", "등" -> "ko", "에서" -> "ko", "그리고" -> "ko", "하지만" -> "ko",
+    "في" -> "ar", "من" -> "ar", "على" -> "ar", "أن" -> "ar", "إلى" -> "ar",
+    "عن" -> "ar", "مع" -> "ar", "هذا" -> "ar", "كان" -> "ar", "لا" -> "ar",
+    "है" -> "hi", "का" -> "hi", "की" -> "hi", "के" -> "hi", "में" -> "hi",
+    "और" -> "hi", "से" -> "hi", "को" -> "hi", "पर" -> "hi", "यह" -> "hi",
+    "bir" -> "tr", "ve" -> "tr", "bu" -> "tr", "için" -> "tr", "ile" -> "tr",
+    "olarak" -> "tr", "çok" -> "tr", "daha" -> "tr", "gibi" -> "tr", "ama" -> "tr",
+    "i" -> "pl", "w" -> "pl", "nie" -> "pl", "na" -> "pl", "się" -> "pl",
+    "jest" -> "pl", "do" -> "pl", "z" -> "pl", "że" -> "pl", "jak" -> "pl",
+    "och" -> "sv", "att" -> "sv", "det" -> "sv", "som" -> "sv", "en" -> "sv",
+    "är" -> "sv", "av" -> "sv", "för" -> "sv", "den" -> "sv", "till" -> "sv",
+    "yang" -> "id", "dan" -> "id", "di" -> "id", "ini" -> "id", "itu" -> "id",
+    "dengan" -> "id", "untuk" -> "id", "tidak" -> "id", "dari" -> "id", "akan" -> "id",
+    "và" -> "vi", "của" -> "vi", "là" -> "vi", "có" -> "vi", "không" -> "vi",
+    "được" -> "vi", "trong" -> "vi", "cho" -> "vi", "này" -> "vi", "người" -> "vi",
+    "και" -> "el", "το" -> "el", "να" -> "el", "του" -> "el", "με" -> "el",
+    "για" -> "el", "είναι" -> "el", "από" -> "el", "την" -> "el", "στο" -> "el",
+    "در" -> "fa", "به" -> "fa", "از" -> "fa", "که" -> "fa", "این" -> "fa",
+    "را" -> "fa", "با" -> "fa", "است" -> "fa", "برای" -> "fa", "آن" -> "fa")
 
   /** SQL VALUES clause for the same dictionary (oracle parity). */
   def stopwordValuesSql: String =
     stopwords.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
 
-  private val enStopArray: Column =
-    array(stopwords.filter(_._2 == "en").map(w => lit(w._1)): _*)
+  /** All 200 stopwords as one literal array — the union dictionary for
+    * the language-agnostic stopword ratio (words are distinct across
+    * languages, so membership is unambiguous). */
+  private val allStopArray: Column =
+    array(stopwords.map(w => lit(w._1)): _*)
+
+  /** SQL array literal of the same union dictionary (oracle parity). */
+  def stopwordArraySql: String =
+    stopwords.map(w => s"'${w._1}'").mkString("[", ",", "]")
 
   /** Quality scoring: length/word/punctuation/digit/stopword ratios
-    * (all codegen'd expressions, one pass over the text). */
+    * (all codegen'd expressions, one pass over the text). The stopword
+    * ratio counts hits against the union dictionary of all 20
+    * languages, so a fluent non-English doc scores high and gibberish
+    * scores ~0 in any language the dictionary covers. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokensCol(t)
@@ -74,7 +122,7 @@ object TextOps {
       round(chars.cast("double") / size(toks), 4).as("avg_word_len"),
       round((chars - length(noPunct)).cast("double") / chars, 6).as("punct_ratio"),
       round((chars - length(noDigit)).cast("double") / chars, 6).as("digit_ratio"),
-      round(size(filter(toks, w => array_contains(enStopArray, w))).cast("double")
+      round(size(filter(toks, w => array_contains(allStopArray, w))).cast("double")
         / size(toks), 6).as("stopword_ratio"))
   }
 

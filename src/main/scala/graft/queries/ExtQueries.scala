@@ -264,20 +264,21 @@ object ExtQueries {
               |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
-    // Quality scoring: length/punct/digit/stopword ratios
+    // Quality scoring: length/punct/digit/stopword ratios — the
+    // stopword ratio uses the full 20-language union dictionary
     Q("text_quality",
       (s, dir) => TextOps.quality(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  CAST(length(text) AS BIGINT) AS chars,
-             |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS words,
-             |  round(length(text) / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS avg_word_len,
-             |  round((length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g'))) / length(text), 6) AS punct_ratio,
-             |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 6) AS digit_ratio,
-             |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |        w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))
-             |        / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stopword_ratio
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS chars,
+              |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS words,
+              |  round(length(text) / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS avg_word_len,
+              |  round((length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g'))) / length(text), 6) AS punct_ratio,
+              |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 6) AS digit_ratio,
+              |  round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Token counting: whitespace, alnum-regex, BPE-ish chars/4
     Q("text_token_counts",

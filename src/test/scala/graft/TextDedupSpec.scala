@@ -142,6 +142,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == "und") // no stopword hits
   }
 
+  test("langId covers non-Latin scripts: Cyrillic, Arabic, Greek, Devanagari") {
+    val d = Seq(
+      (1L, "это не то что он сказал но как всегда"),          // ru
+      (2L, "هذا من أفضل ما كان في هذه المدينة على الإطلاق"),  // ar
+      (3L, "αυτό είναι το καλύτερο για την πόλη και το μέλλον"), // el
+      (4L, "यह शहर के लोगों का है और सबसे अच्छा है"),            // hi
+      (5L, "ini adalah yang terbaik dan tidak akan berubah")  // id
+    ).toDF("doc_id", "text")
+    val out = TextOps.langId(d, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "ru", 2L -> "ar", 3L -> "el", 4L -> "hi", 5L -> "id"))
+    // union-dictionary stopword ratio is language-agnostic: the Russian
+    // doc scores well above zero without a single English stopword
+    val q = TextOps.quality(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("stopword_ratio")).toMap
+    assert(q(1L) > 0.3)
+  }
+
   test("quality ratios are well-defined and bounded") {
     val q = TextOps.quality(docs, "doc_id", "text").collect()
     q.foreach { r =>
