@@ -20,9 +20,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipeline.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Definition
+    * order is preserved (ListMap): a plain HashMap reshuffles iteration
+    * order every time a query is added, which made bench-to-bench
+    * per-query comparisons meaningless (whichever query hashed to the
+    * front absorbed the cold-JVM warmup) and defeated the Memo families
+    * (a closure query could run before the pair query whose cache it
+    * shares). Registry order runs cheap relational/series queries
+    * first and keeps each Memo-sharing family adjacent. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    scala.collection.immutable.ListMap(registry.map(q => q.name -> q.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

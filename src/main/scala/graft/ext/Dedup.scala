@@ -69,14 +69,15 @@ object Dedup {
       threshold: Double, maxDf: Int): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    if (maxDf != Int.MaxValue) {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (maxDf != Int.MaxValue && log.isInfoEnabled) {
       // a capped run must be distinguishable from an exact one: report
       // how many shingles the cap actually pruned (0 ⇒ the cap was a
-      // no-op and recall is exact)
+      // no-op and recall is exact). The count is a real Spark job, so
+      // it only runs when INFO logging asks for it.
       val nHot = dfreq.filter(col("__df") > maxDf).count()
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .info(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
-          s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
+      log.info(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
+        s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
     }
     val rare = sh.join(dfreq.filter(col("__df") <= maxDf).select("s"), "s")
     val hot = sh.join(dfreq.filter(col("__df") > maxDf).select("s"), "s")
@@ -229,9 +230,17 @@ object Dedup {
   }
 
   /** 32-bit SimHash (DuckDB-oracle width; birthday collisions make 32
-    * bits candidate-noisy beyond ~10⁶ docs — use simhash64 at scale). */
+    * bits candidate-noisy beyond ~10⁶ docs — use simhash64 at scale).
+    *
+    * Derived from the 64-bit fingerprint's low half rather than its own
+    * aggregation pass: bit b < 32 reads the same md5 nibble and the
+    * same vote sum in both widths, so simhash32 ≡ simhash64 & 2³²−1
+    * exactly — and a suite computing both widths runs ONE signature
+    * pass instead of two (the Memo-cached simhash64 table serves
+    * every simhash query). */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashBits(docs, idCol, textCol, 32)
+    simhash64(docs, idCol, textCol)
+      .select(col(idCol), col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("simhash"))
 
   /** 64-bit SimHash: the corpus-scale fingerprint width. At 10⁹ docs
     * the expected number of 32-bit birthday collisions (~10¹⁷ candidate

@@ -27,13 +27,10 @@ private[graft] object Components {
     val c0 = edges0.columns(0)
     val c1 = edges0.columns(1)
     val dir = edges0.select(col(c0).cast("long").as("id"),
-      col(c1).cast("long").as("id2"))
-    // symmetrize: min-label propagation must flow both ways
-    val edges = dir.union(dir.select(col("id2").as("id"), col("id").as("id2")))
-      .cache()
-    val nEdges = edges.count()
+      col(c1).cast("long").as("id2")).cache()
+    val nEdges = dir.count()
     val result =
-      if (nEdges <= maxDriverEdges) {
+      if (2 * nEdges <= maxDriverEdges) {
         import spark.implicits._
         val parent = mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -43,7 +40,9 @@ private[graft] object Components {
           while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        val collected = edges.as[(Long, Long)].collect()
+        // union-find treats every edge as undirected, so the directed
+        // list is collected as-is — no symmetrization pass needed
+        val collected = dir.as[(Long, Long)].collect()
         collected.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -52,11 +51,20 @@ private[graft] object Components {
         ids.toSeq.map(id => (id, find(id))).toDF("id", "label")
           .localCheckpoint()
       } else {
+        // min-label propagation DOES need both directions — symmetrize
+        // only on this path
+        val edges = dir.union(dir.select(col("id2").as("id"), col("id").as("id2")))
         // Small edge lists compact to one partition before iterating —
         // per-round task-scheduling overhead otherwise dominates (the
         // Clustering.compactIfSmall pattern). Big graphs stay
         // distributed; the propagation logic is identical either way.
-        val work = if (nEdges < 100000) edges.coalesce(1).cache() else edges
+        val small = nEdges < 50000
+        val work = if (small) edges.coalesce(1).cache() else edges.cache()
+        // under the small gate the label table is tiny too: broadcast
+        // it into the propagation join so each round is one exchange
+        // (the groupBy), not three. Big graphs keep shuffle joins —
+        // labels are O(nodes) there and must not be broadcast.
+        def lhs(df: DataFrame): DataFrame = if (small) broadcast(df) else df
         // localCheckpoint each round: truncates the iterative plan
         // lineage, which otherwise outgrows the driver's analyzer. The
         // previous label rides along in the checkpointed frame so the
@@ -68,9 +76,9 @@ private[graft] object Components {
         var iter = 0
         while (changed > 0 && iter < 50) {
           val prop = work
-            .join(labels.select(col("id").as("id2"), col("label")), "id2")
+            .join(lhs(labels.select(col("id").as("id2"), col("label"))), "id2")
             .groupBy("id").agg(min(col("label")).as("nl"))
-          val next = labels.join(prop, Seq("id"), "left")
+          val next = labels.join(lhs(prop), Seq("id"), "left")
             .select(col("id"),
               least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
               col("label").as("old"))
@@ -79,10 +87,10 @@ private[graft] object Components {
           labels = next.select("id", "label")
           iter += 1
         }
-        if (work ne edges) work.unpersist()
+        work.unpersist()
         labels
       }
-    edges.unpersist()
+    dir.unpersist()
     result
   }
 }

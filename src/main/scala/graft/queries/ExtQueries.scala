@@ -53,6 +53,13 @@ object ExtQueries {
     Memo.cached(s, s"sh3|$dir")(
       TextOps.shingles(Tables.documents(s, dir), "doc_id", "text", 3))
 
+  /** One MinHash-LSH pair pass per (session, dir) — shared by the pair
+    * query and the group-closure query, which would otherwise run the
+    * whole signature + band-join + verify pipeline twice. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"mhp|$dir")(
+      Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one shuffle on md5(text)
@@ -92,8 +99,7 @@ object ExtQueries {
     // pairs share a full band, then exact-Jaccard verification of
     // candidates only (the scale path: pair volume ∝ true near-dups)
     Q("dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""WITH $shingleCte,
               |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
               |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
@@ -119,7 +125,7 @@ object ExtQueries {
     // WITH RECURSIVE reachability closure over the identical pair set.
     Q("dedup_groups",
       (s, dir) => Dedup.dedupGroups(Tables.documents(s, dir), "doc_id",
-          Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
+          minhashPairs(s, dir))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $shingleCte,
               |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv

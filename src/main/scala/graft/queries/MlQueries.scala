@@ -212,7 +212,7 @@ object MlQueries {
     // parity; THIS query proves it end-to-end in driver context on the
     // driver's own data: run BOTH paths (gate forced to 0) and emit
     // per-algorithm mismatch counts, golden-pinned to zero. Input is
-    // capped at 60 series so the harness costs O(1) regardless of sf.
+    // capped at 40 series so the harness costs O(1) regardless of sf.
     // What each row pins is the strongest invariant the algorithm pair
     // actually guarantees:
     //  - dbscan/kshape: EXACT label equality (the distributed forms are
@@ -240,11 +240,11 @@ object MlQueries {
         // shared inputs materialized BEFORE the concurrent branches so
         // no two branches race to fill the same cache
         val fe = featureEmbedding(s, dir)
-          .filter(col("series_id") < 60).cache()
+          .filter(col("series_id") < 40).cache()
         val serT = SeriesOps.truncate(normalizedSeries(s, dir))
-          .filter(col("series_id") < 60).cache()
+          .filter(col("series_id") < 40).cache()
         val serP = SeriesOps.pad(normalizedSeries(s, dir))
-          .filter(col("series_id") < 60).cache()
+          .filter(col("series_id") < 40).cache()
         val (nKm, _, nSer) = (fe.count(), serT.count(), serP.count())
 
         def labelMismatch(a: DataFrame, b: DataFrame): (Long, Long) = {
