@@ -43,4 +43,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("array_dot"), "native expression missing from plan")
     assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
   }
+
+  test("asof join: ONE shuffle on the key, no range-join explosion") {
+    // the union + keyed-window formulation must not degrade into a
+    // range join (BroadcastNestedLoop/CartesianProduct) and shuffles
+    // exactly once — the Exchange feeding the window sort
+    import org.apache.spark.sql.functions.col
+    val left = spark.range(100).select(col("id"),
+      (col("id") % 5).as("k"), (col("id") * 10).as("t"))
+    val right = spark.range(20).select((col("id") % 5).as("k"),
+      (col("id") * 37).as("t"), col("id").as("payload"))
+    val plan = formatted(graft.ops.AsofJoin.asof(left, right, "k", "t"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of degraded into a product join")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
+  }
+
+  test("langid: the 200-word dictionary joins via broadcast, not a shuffle") {
+    val plan = formatted(run("text_langid"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "stopword dictionary not broadcast")
+  }
+
+  test("multimodal decode: binary payloads reach mapPartitions without shuffling") {
+    // the decode query's plan must not move payload bytes through an
+    // Exchange — decode happens where the data sits, only the tiny
+    // per-image stats shuffle afterwards (here: none at all before sort)
+    val plan = formatted(run("multimodal_image_decode"))
+    val header = plan.linesIterator.takeWhile(!_.startsWith("(")).toVector
+    val mapIdx = header.indexWhere(_.contains("MapPartitions"))
+    assert(mapIdx >= 0, "mapPartitions decode node missing")
+    // in the tree header a node's INPUTS print below it — an Exchange
+    // below the MapPartitions line would mean the decode consumes
+    // shuffled payload bytes. (The Exchange above it is fine: that one
+    // shuffles only the tiny per-image stats for the final sort.)
+    val upstreamEx = header.drop(mapIdx + 1).exists(_.contains("Exchange"))
+    assert(!upstreamEx, s"payload bytes shuffled before decode:\n${header.mkString("\n")}")
+  }
 }
