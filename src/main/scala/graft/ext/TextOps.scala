@@ -250,6 +250,45 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: keep a document iff its hash
+    * bucket (same content-stable md5 bucket as [[splitAssign]]) falls
+    * under its stratum's percentage. The standard corpus-curation move
+    * — downsample the dominant language/source, keep the rest — with
+    * zero randomness: the same doc is kept or dropped on every run,
+    * every partitioning, every engine. Map-side filter only; no
+    * shuffle, no sampling state. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val bucket = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10) % 100").cast("int")
+    val pct = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.withColumn("__b", bucket).filter(col("__b") < pct).drop("__b")
+  }
+
+  /** Greedy sequential token packing: assign docs (in id order, within
+    * a partition key) to consecutive bins of ~`binTokens` tokens — the
+    * shape of a training-shard packer. A doc lands in the bin its
+    * cumulative predecessor count fills: bin = floor(cumsum_before /
+    * binTokens); bins can overflow by at most one doc (greedy, no doc
+    * splitting — documented semantics, matching how sequence packers
+    * batch before truncation).
+    *
+    * Scale: the window partitions by `partCol` (e.g. the split-assign
+    * bucket), so each partition's cumsum is independent — no global
+    * ordering, one shuffle on the partition key. */
+  def packBins(df: DataFrame, idCol: String, tokensCol: String,
+      partCol: String, binTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(partCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__before") / binTokens).cast("long"))
+      .drop("__before")
+  }
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1): unique-word ratio and the most-frequent-bigram fraction.
     * Pure array higher-order functions — per-row, no shuffle, no UDF;

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{ceil, col, concat, length, lit}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -353,6 +353,52 @@ object ExtQueries {
              |  CASE WHEN bucket < 90 THEN 'train'
              |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Stratified corpus sampling: downsample dominant English to 20%,
+    // keep 60% of everything else — deterministic md5 buckets, no
+    // randomness, pure map-side filter (no shuffle at any scale)
+    Q("sample_stratified",
+      (s, dir) => TextOps.sampleStratified(Tables.documents(s, dir),
+          "doc_id", "lang", Map("en" -> 20), 60)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents)
+             |SELECT doc_id, lang FROM b
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy token packing into ~2048-token training bins, independent
+    // per train/val/test split (the window partitions on the split key:
+    // no global ordering, one shuffle)
+    Q("text_pack_bins",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withTok = docs.select(col("doc_id"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+        val joined = withTok.join(
+          TextOps.splitAssign(docs, "doc_id").select("doc_id", "split"), "doc_id")
+        TextOps.packBins(joined, "doc_id", "n_tokens", "split", 2048L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS n_tokens,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_tokens,
+             |        CASE WHEN bucket < 90 THEN 'train'
+             |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+             |      FROM b),
+             |c AS (SELECT doc_id, split, n_tokens,
+             |        coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |      FROM s)
+             |SELECT doc_id, split, n_tokens,
+             |       CAST(floor(bef / 2048) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
     Q("text_winnowing",

@@ -193,6 +193,37 @@ class TextDedupSpec extends SparkSpec {
     assert(TextOps.splitAssign(docs, "doc_id").collect().toSeq == split.toSeq)
   }
 
+  test("sampleStratified is deterministic, honors per-stratum rates, never shuffles") {
+    val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = TextOps.sampleStratified(d, "doc_id", "lang", Map("en" -> 10), 50)
+      .as[(Long, String)].collect()
+    // determinism: same result on recomputation
+    val again = TextOps.sampleStratified(d, "doc_id", "lang", Map("en" -> 10), 50)
+      .as[(Long, String)].collect()
+    assert(kept.toSeq == again.toSeq)
+    val (en, de) = (kept.count(_._2 == "en"), kept.count(_._2 == "de"))
+    // ~10% of 200 en, ~50% of 200 de (md5 buckets: loose bounds)
+    assert(en > 5 && en < 40, s"en kept $en of 200 at 10%")
+    assert(de > 70 && de < 130, s"de kept $de of 200 at 50%")
+    // pure filter: no Exchange in the plan
+    val plan = TextOps.sampleStratified(d, "doc_id", "lang", Map("en" -> 10), 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sampling must not shuffle")
+  }
+
+  test("packBins: greedy cumulative assignment, overflow by at most one doc") {
+    val d = Seq((1L, 100L, "a"), (2L, 100L, "a"), (3L, 100L, "a"),
+      (4L, 100L, "a"), (5L, 250L, "a"), (6L, 10L, "b"))
+      .toDF("doc_id", "n_tokens", "part")
+    val out = TextOps.packBins(d, "doc_id", "n_tokens", "part", 250L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // part a cumsum-before: 0,100,200,300,400 → bins 0,0,0,1,1
+    // (doc 3 overflows bin 0 to 300 tokens — greedy, no splitting)
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val d2 = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(d2, "doc_id", "text").as[(Long, String)].collect().toMap
