@@ -38,6 +38,15 @@ object MlQueries {
           round(stddev_pop(col("value")), 6).as("y"))
     }
 
+  /** PCA 2-D embedding of the padded normalized series (memoized — the
+    * embedding query, the silhouette scan, and the KMeans query all
+    * consume the same fit; without sharing each ran its own series
+    * collect + covariance + eigendecomposition). */
+  private def pcaEmb(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"pca2d|$dir") {
+      Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir)))
+    }
+
   /** W4 DTW alignment of every series to the longest one (memoized —
     * shared by the stretch query and the DTW combination pipeline). */
   private def dtwAligned(s: SparkSession, dir: String): DataFrame =
@@ -66,7 +75,7 @@ object MlQueries {
 
     // E1: PCA 2-D embedding of padded normalized series (rows-only)
     Q("ml_pca_embedding",
-      (s, dir) => Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir)))
+      (s, dir) => pcaEmb(s, dir)
         .select(col("series_id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
         .orderBy("series_id")),
 
@@ -77,13 +86,12 @@ object MlQueries {
 
     // A5+C4: silhouette model-selection scan, top-5 ks (rows-only)
     Q("ml_silhouette_scan",
-      (s, dir) => Clustering.silhouetteScan(
-        Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir))), 10)),
+      (s, dir) => Clustering.silhouetteScan(pcaEmb(s, dir), 10)),
 
     // C1: seeded KMeans at the scan's best k (rows-only)
     Q("ml_kmeans_clusters",
       (s, dir) => {
-        val emb = Embedding.pca2d(SeriesOps.pad(normalizedSeries(s, dir))).cache()
+        val emb = pcaEmb(s, dir) // Memo-cached, shared with the scan query
         val bestK = Clustering.silhouetteScan(emb, 10).head().getInt(0)
         Clustering.kmeans(emb, bestK).select("series_id", "cluster")
           .orderBy("series_id")
