@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   *  - MinHash + LSH: md5-string minhashes, band-bucket join, then
   *    exact-Jaccard verification of candidates only. The 100-TB path:
   *    cost is O(docs × hashes) + O(candidate pairs), never all pairs.
-  *  - SimHash: 32-bit frequency-weighted fingerprint; near-dups =
-  *    small Hamming distance. Fingerprinting is one pass; the pair
-  *    scan here is brute-force (fine ≤10⁶ docs) — at scale, bucket by
-  *    bit-bands exactly like MinHash-LSH.
+  *  - SimHash: frequency-weighted fingerprints (32-bit oracle width,
+  *    64-bit corpus width — the 32-bit value is the 64-bit low half,
+  *    one shared signature pass). Pairs via pigeonhole banding:
+  *    byte-subset bands at 32 bits, Manku WWW'07 3-of-6 block keys at
+  *    64 — equi-joins, never all-pairs, recall-lossless for the
+  *    supported Hamming radii.
   *  - Embedding cosine: near-dup = cosine above threshold; brute
-  *    pairs here, IVF/LSH bucketing in Similarity for the scale path.
+  *    pairs as the oracle baseline, signed-random-projection LSH and
+  *    IVF bucketing (Similarity) as the scale paths.
+  *  - Group closure ([[dedupGroups]]): pairs → connected components →
+  *    one canonical keep per group — the decision a pipeline ends with.
   *
   * All hashes are md5-derived so the DuckDB oracle can reproduce them
   * bit-for-bit (no murmur/xxhash divergence between engines).

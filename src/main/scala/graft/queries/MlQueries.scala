@@ -57,7 +57,13 @@ object MlQueries {
         .orderBy(desc("__n"), asc("series_id"))
         .head().getAs[Seq[Double]]("values").toArray
       val stretchUdf = udf((v: Seq[Double]) => Dtw.stretch(v.toArray, longest))
-      ser.select(col("series_id"), stretchUdf(col("values")).as("values"))
+      // materialize the aligned series eagerly so the input cache can
+      // be released (it lives outside the Memo LRU and would otherwise
+      // persist for the session)
+      val out = ser.select(col("series_id"), stretchUdf(col("values")).as("values"))
+        .localCheckpoint()
+      ser.unpersist()
+      out
     }
 
   /** Single series of the smallest user_id (imaging queries). The
