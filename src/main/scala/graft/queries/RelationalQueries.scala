@@ -156,6 +156,28 @@ object RelationalQueries {
              |       count(DISTINCT l_suppkey) AS supps, count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact interpolated percentiles per group: Spark `percentile` and
+    // DuckDB `quantile_cont` both sort and linearly interpolate at
+    // rank p·(n−1), so the doubles agree at 6dp. (percentile_approx /
+    // t-digest sketches are the 100-TB form; the exact agg is the
+    // oracle-checkable one — it shuffles only per-group sorted values
+    // and is fine to ~10⁸ rows per group.)
+    Q("agg_quantiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "qv")))
+        .select(col("l_returnflag"), col("pos").cast("long").as("pos"),
+          round(col("qv"), 6).as("qv"))
+        .orderBy("l_returnflag", "pos"),
+      Some("""WITH q AS (SELECT l_returnflag,
+             |  quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(u.i AS BIGINT) AS pos, round(qs[u.i + 1], 6) AS qv
+             |FROM q, LATERAL (SELECT unnest(range(5)) AS i) u
+             |ORDER BY l_returnflag, pos""".stripMargin)),
+
     // Analytic window: running quantity per supplier over a unique order
     // The synthetic lineitem does NOT have unique (l_orderkey,
     // l_linenumber) (≈118k dup pairs at sf0.1), so l_quantity is the
