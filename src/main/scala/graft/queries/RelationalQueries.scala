@@ -156,6 +156,63 @@ object RelationalQueries {
              |       count(DISTINCT l_suppkey) AS supps, count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ROLLUP hierarchy: per (flag, status), per flag, grand total —
+    // SURVEY §2.4 lists grouping sets as "Catalyst provides"; this row
+    // proves the provided semantics match ANSI (DuckDB ROLLUP) exactly,
+    // including the NULL subtotal rows and GROUPING() markers
+    Q("agg_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum2(money(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
+    // Pivot: one column per line status, decimal-exact sums — the
+    // oracle spells the same thing as conditional aggregation
+    Q("agg_pivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum2(money(col("l_quantity"))))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(round(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_f,
+             |  CAST(round(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL++ sketch vs exact distinct: the oracle can't reproduce the
+    // sketch estimate, so the query emits the SELF-VALIDATING form —
+    // the exact count plus a within-5% flag computed from the sketch.
+    // DuckDB recomputes the exact count and pins the flag TRUE: the row
+    // goes red if the sketch ever drifts out of tolerance. (The sketch
+    // is the 100-TB path: fixed memory per group vs the exact
+    // expand+two-phase distinct.)
+    Q("agg_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact,
+             |       TRUE AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles per group: Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate at
     // rank p·(n−1), so the doubles agree at 6dp. (percentile_approx /
