@@ -85,4 +85,37 @@ object SeriesOps {
       .withColumnRenamed("pos", "win_id")
       .withColumnRenamed("col", "window")
   }
+
+  /** Resample to a fixed interval with LOCF gap-fill: bucket each
+    * key's observations to `intervalSec`-wide bins (bin value = mean),
+    * materialize every bin between the key's first and last
+    * observation, and carry the last observed bin value forward into
+    * empty bins (last-observation-carried-forward — the canonical
+    * time-series regularization the reference lacks because its time
+    * axis is positional).
+    *
+    * Scale: one shuffle onto the key for the bin aggregation; the bin
+    * grid is generated per key with `sequence` + explode (rows ∝ bins,
+    * never a cross join); the fill is one ordered window per key.
+    * Output: (keyCol, bin_start_s, n_obs, v: filled mean, is_gap). */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      vc: String, intervalSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bin = floor(unix_timestamp(col(tsCol)) / intervalSec).cast("long")
+    val agged = df.na.drop(Seq(vc))
+      .withColumn("__bin", bin)
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("n_obs"), avg(col(vc)).as("__v"))
+    val grid = agged.groupBy(col(keyCol))
+      .agg(min(col("__bin")).as("__b0"), max(col("__bin")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("__bin"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(agged, Seq(keyCol, "__bin"), "left")
+      .withColumn("v", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col(keyCol), (col("__bin") * intervalSec).as("bin_start_s"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("v"), (col("n_obs").isNull).as("is_gap"))
+  }
 }

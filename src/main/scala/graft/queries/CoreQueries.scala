@@ -232,6 +232,33 @@ object CoreQueries {
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Resample per user to 1h bins with LOCF gap-fill — the canonical
+    // time-series regularization (the reference's time axis is purely
+    // positional, so it has no counterpart; any TS engine user needs
+    // it). Empty bins carry the last observed bin mean forward and are
+    // flagged is_gap.
+    Q("evt_resample_locf",
+      (s, dir) => SeriesOps.resampleLocf(
+          Tables.events(s, dir), "user_id", "ts", "value", 3600L)
+        .select(col("user_id"), col("bin_start_s"), col("n_obs"),
+          round(col("v"), 6).as("v"), col("is_gap"))
+        .orderBy("user_id", "bin_start_s"),
+      Some("""WITH a AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bin,
+             |             count(*) AS n_obs, avg(value) AS v
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bin
+             |      FROM (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+             |            FROM a GROUP BY user_id)),
+             |f AS (SELECT g.user_id, g.bin, coalesce(a.n_obs, 0) AS n_obs,
+             |        last_value(a.v IGNORE NULLS) OVER (
+             |          PARTITION BY g.user_id ORDER BY g.bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             |        a.n_obs IS NULL AS is_gap
+             |      FROM g LEFT JOIN a USING (user_id, bin))
+             |SELECT user_id, bin * 3600 AS bin_start_s, n_obs,
+             |       round(v, 6) AS v, is_gap
+             |FROM f ORDER BY user_id, bin_start_s""".stripMargin)),
+
     // Event-time tumbling window (streaming-ready form of W3; batch
     // semantics identical to Structured Streaming's window())
     Q("evt_tumbling_window",

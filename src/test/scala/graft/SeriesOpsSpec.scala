@@ -79,6 +79,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out(3L) == "x")
   }
 
+  test("resampleLocf: empty bins carry the last observed mean and are flagged") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    // key 1: obs in bins 0 and 3 (gap bins 1-2 must carry bin 0's mean);
+    // key 2: single bin (no grid expansion)
+    val ev = Seq(
+      (1L, ts(10), 2.0), (1L, ts(20), 4.0), (1L, ts(3 * 3600 + 5), 9.0),
+      (2L, ts(7200 + 1), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.SeriesOps.resampleLocf(ev, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out.size == 5)
+    assert(out((1L, 0L)) == (2L, 3.0, false))          // mean of 2,4
+    assert(out((1L, 3600L)) == (0L, 3.0, true))        // gap: carries 3.0
+    assert(out((1L, 7200L)) == (0L, 3.0, true))
+    assert(out((1L, 3L * 3600)) == (1L, 9.0, false))
+    assert(out((2L, 7200L)) == (1L, 5.0, false))
+  }
+
   test("asofSalted == asof on a skewed fixture (one hot key, chunk-boundary carries)") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
