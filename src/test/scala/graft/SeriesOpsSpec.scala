@@ -119,6 +119,45 @@ class SeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofSalted == asof on seeded random data (200 keys, ragged histories)") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 3000).map { i =>
+      (i.toLong, rnd.nextInt(200).toLong, new Timestamp(rnd.nextInt(100000) * 1000L))
+    }.toDF("id", "k", "t")
+    val right = (0 until 1500).map { i =>
+      (rnd.nextInt(200).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), s"p$i")
+    }.distinct.toDF("k", "t", "payload")
+      // contract: right unique per (key, time)
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("payload").as("payload"))
+    val plain = graft.ops.AsofJoin.asof(left, right, "k", "t")
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    val salted = graft.ops.AsofJoin.asofSalted(left, right, "k", "t", 16)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("resampleLocf invariants on seeded random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val ev = (0 until 2000).map { _ =>
+      (rnd.nextInt(30).toLong, new Timestamp(rnd.nextInt(50 * 3600) * 1000L),
+        rnd.nextDouble() * 100)
+    }.toDF("user_id", "ts", "value")
+    val out = graft.ops.SeriesOps.resampleLocf(ev, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (_, rows) =>
+      val bins = rows.map(_._2).sorted
+      // contiguous grid from first to last bin, step = interval
+      assert(bins.zip(bins.tail).forall { case (a, b) => b - a == 3600L })
+      // first bin is observed (grid starts at first observation)
+      assert(!rows.minBy(_._2)._5)
+      // gap rows have zero observations and a non-null carried value
+      rows.foreach { r => assert(r._5 == (r._3 == 0L)) }
+    }
+  }
+
   test("asof join carries the matched right row atomically (null fields survive)") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
