@@ -61,6 +61,41 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_bytes")).sum == 64 + 64 + 44)
   }
 
+  test("JSONL corpus ingest quarantines corrupt lines instead of failing the scan") {
+    val dir = Files.createTempDirectory("graftjsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.write(f, Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}""",
+      """this is not json at all""",
+      """{"doc_id": 3, "text": "ok", "lang": "en", "source": "book"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val (clean, corrupt) = graft.sources.DocSources.readJsonl(spark, f.toString)
+    assert(clean.count() == 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    assert(corrupt.count() == 1)
+    assert(corrupt.head().getString(0).contains("not json"))
+  }
+
+  test("training-shard writer: deterministic partitioned parquet, exact round-trip") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i", if (i % 10 < 8) "train" else "val"))
+      .toDF("doc_id", "text", "split")
+    val out = Files.createTempDirectory("graftshards").toString
+    graft.sources.DocSources.writeTrainingShards(docs, "doc_id", "split", out, 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    // exact content round-trip
+    val orig = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val got = back.select("doc_id", "text", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == orig)
+    // partitioned layout by split, bounded shard counts
+    val trainFiles = new java.io.File(s"$out/split=train")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(trainFiles >= 1 && trainFiles <= 4, s"train shards: $trainFiles")
+  }
+
   test("euc-kr CSV path scan decodes Korean headers/values (S1)") {
     val dir = Files.createTempDirectory("graftcsv")
     val f = dir.resolve("series.csv")
