@@ -266,6 +266,7 @@ object Embedding {
     val cached = series.cache()
     if (cached.count() < 100000) {
       val (_, _, ratio) = pcaLocal(cached, n)
+      cached.unpersist() // result is driver-materialized
       return ratio.zipWithIndex
         .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
         .toSeq.toDF("component", "var_pct")
@@ -273,6 +274,7 @@ object Embedding {
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+    cached.unpersist() // variance ratios live in the fitted model
     model.explainedVariance.toArray.zipWithIndex
       .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
       .toSeq.toDF("component", "var_pct")

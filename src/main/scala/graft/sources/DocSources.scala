@@ -28,11 +28,13 @@ object DocSources {
   /** Read a JSONL corpus with per-row corrupt-record quarantine.
     * Returns (clean rows, corrupt raw lines). */
   def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(docSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
-      .cache()
+    // one scan feeds both outputs; cached via the bounded LRU
+    // (evict → unpersist), never a bare .cache()
+    val raw = graft.queries.Memo.cached(spark, s"jsonl|$path")(
+      spark.read.schema(docSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path))
     val clean = raw.filter(col("_corrupt").isNull && col("doc_id").isNotNull)
       .drop("_corrupt")
     val corrupt = raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
