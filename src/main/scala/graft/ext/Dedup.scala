@@ -84,7 +84,13 @@ object Dedup {
       log.info(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
         s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
     }
-    val rare = sh.join(dfreq.filter(col("__df") <= maxDf).select("s"), "s")
+    // df=1 shingles can never be SHARED, so they are provably dead
+    // weight in the self-join — pruning them shrinks the join input by
+    // the (typically large) unique-shingle fraction without touching
+    // recall; per-doc totals `ns` still count every shingle, so the
+    // Jaccard denominator stays exact.
+    val rare = sh.join(
+      dfreq.filter(col("__df") >= 2 && col("__df") <= maxDf).select("s"), "s")
     val hot = sh.join(dfreq.filter(col("__df") > maxDf).select("s"), "s")
     val rareInter = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
