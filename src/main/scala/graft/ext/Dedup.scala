@@ -75,14 +75,19 @@ object Dedup {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    if (maxDf != Int.MaxValue && log.isInfoEnabled) {
-      // a capped run must be distinguishable from an exact one: report
-      // how many shingles the cap actually pruned (0 ⇒ the cap was a
-      // no-op and recall is exact). The count is a real Spark job, so
-      // it only runs when INFO logging asks for it.
-      val nHot = dfreq.filter(col("__df") > maxDf).count()
-      log.info(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
-        s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
+    if (maxDf != Int.MaxValue) {
+      // a capped run must be distinguishable from an exact one. The
+      // presence notice is free; the actual pruned-shingle COUNT is a
+      // real Spark job hidden inside a lazy builder, so it only runs
+      // at DEBUG (INFO is most clusters' default level — an eager
+      // count there would surprise at 100-TB shingle volumes).
+      if (log.isDebugEnabled) {
+        val nHot = dfreq.filter(col("__df") > maxDf).count()
+        log.debug(s"jaccardPairs df-cap $maxDf pruned $nHot hot shingle(s) " +
+          s"from candidate generation${if (nHot == 0) " (no-op: recall exact)" else ""}")
+      } else log.info(
+        s"jaccardPairs df-cap $maxDf active: recall excludes pairs whose " +
+          "every shared shingle is hot (enable DEBUG for the pruned count)")
     }
     // df=1 shingles can never be SHARED, so they are provably dead
     // weight in the self-join — pruning them shrinks the join input by

@@ -44,7 +44,13 @@ object Multimodal {
     * and engine-reproducible for integer channels when n is a power of
     * two, which is what lets the DuckDB oracle recompute them. */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // a recognized-but-corrupt payload (valid signature, truncated data)
+    // makes ImageIO.read THROW rather than return null — and one bad
+    // record must not kill a 100-TB job, so decode failures degrade to
+    // the byte-histogram fallback exactly like unrecognized formats
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
     if (img == null) None
     else {
       val w = img.getWidth

@@ -17,20 +17,26 @@ import org.apache.spark.sql.functions._
   * paths produce identical output regardless of partitioning. */
 private[graft] object Components {
 
-  /** edges: first two columns are (id, id2) castable to long, either
-    * or both directions. Returns (id, label) for every id that appears
-    * in `edges`; label = min id of the component. `maxDriverEdges`
-    * gates the driver union-find path; 0 forces the distributed path
-    * (parity-tested in ClusteringSpec). */
-  def minLabel(edges0: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
+  /** edges: first two columns are (id, id2) castable to long. Returns
+    * (id, label) for every id that appears in `edges`; label = min id
+    * of the component. `maxDriverEdges` gates the driver union-find
+    * path; 0 forces the distributed path (parity-tested in
+    * ClusteringSpec). Set `alreadySymmetric = true` when the edge list
+    * carries both directions (DBSCAN's cell join does) — propagation
+    * then skips the symmetrizing union, and the gate compares the raw
+    * edge count (the caller's historical semantics); with false, the
+    * gate accounts for the doubling the symmetrize adds. */
+  def minLabel(edges0: DataFrame, maxDriverEdges: Long = 5000000L,
+      alreadySymmetric: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     val c0 = edges0.columns(0)
     val c1 = edges0.columns(1)
     val dir = edges0.select(col(c0).cast("long").as("id"),
       col(c1).cast("long").as("id2")).cache()
     val nEdges = dir.count()
+    val effEdges = if (alreadySymmetric) nEdges else 2 * nEdges
     val result =
-      if (2 * nEdges <= maxDriverEdges) {
+      if (effEdges <= maxDriverEdges) {
         import spark.implicits._
         val parent = mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -52,8 +58,10 @@ private[graft] object Components {
           .localCheckpoint()
       } else {
         // min-label propagation DOES need both directions — symmetrize
-        // only on this path
-        val edges = dir.union(dir.select(col("id2").as("id"), col("id").as("id2")))
+        // only when the caller's list is one-directional
+        val edges =
+          if (alreadySymmetric) dir
+          else dir.union(dir.select(col("id2").as("id"), col("id").as("id2")))
         // Small edge lists compact to one partition before iterating —
         // per-round task-scheduling overhead otherwise dominates (the
         // Clustering.compactIfSmall pattern). Big graphs stay
@@ -74,7 +82,7 @@ private[graft] object Components {
           .select(col("id"), col("id").as("label")).localCheckpoint()
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 50) {
+        while (changed > 0 && iter < 200) {
           val prop = work
             .join(lhs(labels.select(col("id").as("id2"), col("label"))), "id2")
             .groupBy("id").agg(min(col("label")).as("nl"))
@@ -87,6 +95,14 @@ private[graft] object Components {
           labels = next.select("id", "label")
           iter += 1
         }
+        // silently-unconverged labels would make the dedup keep/drop
+        // decision WRONG on chain components longer than the round cap
+        // — fail loudly instead. (Real graphs with diameter > 200 want
+        // an alternating-contraction CC, not more rounds.)
+        require(changed == 0,
+          s"min-label propagation did not converge in $iter rounds " +
+            "(component diameter exceeds the cap) — raise the round cap " +
+            "or use a contraction-based CC for this graph")
         work.unpersist()
         labels
       }

@@ -67,7 +67,8 @@ object Dbscan {
     // [[Components]] helper (also the dedup-group-closure engine).
     // Every core has a self-edge (distance 0 ≤ eps), so the node set
     // Components derives from the edge list covers all cores.
-    val labels = Components.minLabel(coreEdges, maxDriverEdges)
+    val labels = Components.minLabel(coreEdges, maxDriverEdges,
+      alreadySymmetric = true) // the cell join emits both directions
 
     // Border points: non-core with >=1 core neighbor → that core's label.
     val borderLabels = edges

@@ -80,12 +80,15 @@ object Embedding {
   def pcaEmbed(series: DataFrame, k: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    val cached = series.cache() // size-gate count + collect share one pass
-    if (cached.count() < 100000) {
-      val (ids, scores, _) = pcaLocal(cached, k)
-      cached.unpersist() // scores are driver-materialized
+    // gate probe via a limited count — no cache()+unpersist() on the
+    // caller-visible plan (see mds2d); the distributed path below
+    // caches for its two passes (mean + transform) and leaves the
+    // entry to plan-identity dedup
+    if (series.limit(100000).count() < 100000) {
+      val (ids, scores, _) = pcaLocal(series, k)
       return ids.zip(scores).toSeq.toDF("series_id", "emb")
     }
+    val cached = series.cache()
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
     model.transform(c)
@@ -118,12 +121,12 @@ object Embedding {
     * (parity-tested in ClusteringSpec). */
   def mds2d(series: DataFrame, gate: Long = 100000L,
       numLandmarks: Int = 1000): DataFrame = {
-    val cached = series.cache() // size-gate count + collect share one pass
-    if (cached.count() < gate) {
-      val out = mdsLocal(cached)
-      cached.unpersist() // result is driver-materialized
-      out
-    } else landmarkMds(cached, numLandmarks)
+    // gate probe via a limited count — no cache()+unpersist() on the
+    // caller-visible plan (that would evict a cache entry the caller
+    // may share; Spark's cache manager matches by plan, not reference)
+    val probe = math.min(gate, Int.MaxValue.toLong).toInt
+    val below = gate > 0 && series.limit(probe).count() < gate
+    if (below) mdsLocal(series) else landmarkMds(series, numLandmarks)
   }
 
   /** Exact classical MDS on the driver (reference regime, n < gate). */
@@ -263,18 +266,18 @@ object Embedding {
   def pcaVariancePct(series: DataFrame, n: Int): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    val cached = series.cache()
-    if (cached.count() < 100000) {
-      val (_, _, ratio) = pcaLocal(cached, n)
-      cached.unpersist() // result is driver-materialized
+    // gate probe via a limited count — no cache()+unpersist() on the
+    // caller-visible plan (see mds2d)
+    if (series.limit(100000).count() < 100000) {
+      val (_, _, ratio) = pcaLocal(series, n)
       return ratio.zipWithIndex
         .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
         .toSeq.toDF("component", "var_pct")
     }
+    val cached = series.cache()
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
-    cached.unpersist() // variance ratios live in the fitted model
     model.explainedVariance.toArray.zipWithIndex
       .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
       .toSeq.toDF("component", "var_pct")

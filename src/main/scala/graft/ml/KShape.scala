@@ -181,17 +181,21 @@ object KShape {
     * distributed path below is the same algorithm with per-cluster
     * Gram aggregation on executors. Output: (series_id, cluster). */
   def fit(series: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
-    val cached = series.cache() // size-gate count + collect share one pass
-    if (cached.count() < 100000) {
-      val spark = cached.sparkSession
-      import spark.implicits._
-      val data = cached.select(col("series_id").cast("long"), col("values"))
-        .orderBy(col("series_id")) // partition-order-independent results
-        .as[(Long, Array[Double])].collect()
-      cached.unpersist() // result is driver-materialized; free the input
+    val spark = series.sparkSession
+    import spark.implicits._
+    // gate probe = ONE action collecting at most gate+1 rows: if they
+    // all arrived, the local fit already holds its input. No
+    // cache()+unpersist() here — unpersisting a caller-visible plan
+    // evicts the cache entry a caller may share (Spark's cache manager
+    // matches by plan, not by reference).
+    val gate = 100000
+    val data = series.select(col("series_id").cast("long"), col("values"))
+      .orderBy(col("series_id")) // partition-order-independent results
+      .limit(gate + 1)
+      .as[(Long, Array[Double])].collect()
+    if (data.length <= gate)
       return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
-    }
-    fitDistributed(cached, k, maxIter)
+    fitDistributed(series, k, maxIter)
   }
 
   private[graft] def fitDistributed(series: DataFrame, k: Int, maxIter: Int): DataFrame = {

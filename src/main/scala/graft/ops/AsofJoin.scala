@@ -87,20 +87,25 @@ object AsofJoin {
       timeCol: String, numChunks: Int = 32): DataFrame = {
     require(numChunks >= 1, s"numChunks must be >= 1, got $numChunks")
     val (all0, leftCols, payloadCols) = unioned(leftDf, rightDf, keyCol, timeCol)
-    // global time bounds (two scalar aggregates) → equal-width chunks.
-    // Both sides share the boundaries, so equal timestamps always land
-    // in the same chunk and the in-chunk __side ordering still decides
-    // visibility.
-    val b = all0.agg(min(col(timeCol).cast("double")).as("mn"),
-      max(col(timeCol).cast("double")).as("mx")).head()
-    if (b.isNullAt(0)) return finish( // both sides empty of usable rows
+    // Global time bounds → equal-width chunks. Both sides share the
+    // boundaries, so equal timestamps always land in the same chunk
+    // and the in-chunk __side ordering still decides visibility. The
+    // bounds come from per-side single-column aggregates (the scans
+    // prune to timeCol) — NOT from the materialized union, which would
+    // add a full-width scan of both inputs just for two scalars.
+    val tc = col(timeCol).cast("double")
+    val bl = leftDf.agg(min(tc).as("mn"), max(tc).as("mx")).head()
+    val br = rightDf.agg(min(tc).as("mn"), max(tc).as("mx")).head()
+    val bounds = Seq(bl, br).flatMap(r =>
+      if (r.isNullAt(0)) Nil else Seq((r.getDouble(0), r.getDouble(1))))
+    if (bounds.isEmpty) return finish( // both sides empty of usable rows
       all0.withColumn("__r", col("__r")), leftCols, payloadCols, col("__r"))
-    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val mn = bounds.map(_._1).min
+    val mx = bounds.map(_._2).max
     val span = math.max(mx - mn, 1e-9)
-    val chunkOf = least(lit(numChunks - 1),
-      floor((col(timeCol).cast("double") - lit(mn)) / lit(span) * numChunks))
-      .cast("int")
-    val all = all0.withColumn("__chunk", chunkOf)
+    def chunkOf(t: Column): Column = least(lit(numChunks - 1),
+      floor((t.cast("double") - lit(mn)) / lit(span) * numChunks)).cast("int")
+    val all = all0.withColumn("__chunk", chunkOf(col(timeCol)))
 
     // pass 1: carry within (key, chunk)
     val w1 = Window.partitionBy(col(keyCol), col("__chunk"))
@@ -109,9 +114,12 @@ object AsofJoin {
     val carried = all.withColumn("__r1", last(col("__r"), ignoreNulls = true).over(w1))
 
     // pass 2: per-(key, chunk) last right payload, carried across
-    // strictly-earlier chunks on the full key × chunk grid
-    val rSide = all.filter(col("__side") === 0)
-      .select(col(keyCol), col("__chunk"), col(timeCol), col("__r"))
+    // strictly-earlier chunks on the full key × chunk grid. Built
+    // straight from rightDf (pruned scan of the right side only), not
+    // by re-deriving and re-filtering the whole union.
+    val rSide = rightDf.select(col(keyCol), col(timeCol),
+        struct(payloadCols.map(col): _*).as("__r"))
+      .withColumn("__chunk", chunkOf(col(timeCol)))
     val chunkLast = rSide.groupBy(col(keyCol), col("__chunk"))
       .agg(max_by(col("__r"), col(timeCol)).as("__rl"))
     val grid = rSide.select(col(keyCol)).distinct()

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * JSONL and leave as partitioned parquet shards).
   *
   * Scale notes: JSONL scans parallelize per file split like any text
-  * source; corrupt records are quarantined per row (PERMISSIVE), never
-  * failing the scan — at 100 TB a single bad line must not kill the
-  * job, and the quarantine count is an explicit output, not a silent
-  * drop. The shard writer repartitions by (split, shard) so each
-  * output file is one task's stream — no post-hoc file merge — and
-  * sorts within partitions by id for deterministic, diff-able shards.
+  * source; quarantine is per row — at 100 TB a single bad line must
+  * not kill the job — and `clean` + `quarantined` together account for
+  * every non-blank input line (nothing is silently dropped: lines that
+  * parse but lack the required id are quarantined too, not vanished).
+  * Parsing is a plain `from_json` projection over a text scan, so both
+  * outputs replan safely with no dependence on cache state. The shard
+  * writer repartitions by (split, shard) so each output file is one
+  * task's stream — no post-hoc file merge — and sorts within
+  * partitions by id for deterministic, diff-able shards.
   */
 object DocSources {
 
@@ -22,23 +25,20 @@ object DocSources {
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("_corrupt", StringType)))
+    StructField("source", StringType)))
 
-  /** Read a JSONL corpus with per-row corrupt-record quarantine.
-    * Returns (clean rows, corrupt raw lines). */
+  /** Read a JSONL corpus. Returns (clean rows, quarantined raw lines).
+    * A line is clean iff it parses AND carries a doc_id; every other
+    * non-blank line lands in the quarantine with its raw text. */
   def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    // one scan feeds both outputs; cached via the bounded LRU
-    // (evict → unpersist), never a bare .cache()
-    val raw = graft.queries.Memo.cached(spark, s"jsonl|$path")(
-      spark.read.schema(docSchema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path))
-    val clean = raw.filter(col("_corrupt").isNull && col("doc_id").isNotNull)
-      .drop("_corrupt")
-    val corrupt = raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
-    (clean, corrupt)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_json(col("value"), docSchema).as("j"))
+    val ok = col("j").isNotNull && col("j.doc_id").isNotNull
+    val clean = parsed.filter(ok).select(col("j.*"))
+    val quarantined = parsed.filter(!ok).select(col("value").as("raw_line"))
+    (clean, quarantined)
   }
 
   /** Write deterministic training shards: `shardsPerSplit` parquet

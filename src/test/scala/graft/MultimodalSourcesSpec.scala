@@ -51,6 +51,12 @@ class MultimodalSourcesSpec extends SparkSpec {
 
     // non-image payloads fall back to the byte-histogram stub
     assert(Multimodal.decodeImage("plain text, not an image".getBytes("UTF-8")).isEmpty)
+
+    // recognized-but-corrupt payload (valid BMP header, truncated body):
+    // must degrade to None, never throw — one bad record can't be
+    // allowed to kill a job
+    val truncated = Multimodal.syntheticBmp(7L).take(20)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
   }
 
   test("sampleFrames takes every stride-th fixed-size chunk") {
@@ -61,20 +67,25 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_bytes")).sum == 64 + 64 + 44)
   }
 
-  test("JSONL corpus ingest quarantines corrupt lines instead of failing the scan") {
+  test("JSONL corpus ingest: clean + quarantine account for every non-blank line") {
     val dir = Files.createTempDirectory("graftjsonl")
     val f = dir.resolve("docs.jsonl")
     Files.write(f, Seq(
       """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
       """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}""",
       """this is not json at all""",
+      """{"text": "valid json but no id", "lang": "en"}""",
+      "",
       """{"doc_id": 3, "text": "ok", "lang": "en", "source": "book"}"""
     ).mkString("\n").getBytes("UTF-8"))
-    val (clean, corrupt) = graft.sources.DocSources.readJsonl(spark, f.toString)
+    val (clean, quarantined) = graft.sources.DocSources.readJsonl(spark, f.toString)
     assert(clean.count() == 3)
     assert(clean.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
-    assert(corrupt.count() == 1)
-    assert(corrupt.head().getString(0).contains("not json"))
+    // BOTH failure modes quarantined with raw text: unparsable line AND
+    // parsable line missing the required id — nothing silently dropped
+    val q = quarantined.as[String].collect()
+    assert(q.length == 2)
+    assert(q.exists(_.contains("not json")) && q.exists(_.contains("no id")))
   }
 
   test("training-shard writer: deterministic partitioned parquet, exact round-trip") {
