@@ -183,18 +183,19 @@ object KShape {
   def fit(series: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    // gate probe = ONE action collecting at most gate+1 rows: if they
-    // all arrived, the local fit already holds its input. No
-    // cache()+unpersist() here — unpersisting a caller-visible plan
-    // evicts the cache entry a caller may share (Spark's cache manager
-    // matches by plan, not by reference).
+    // gate probe via a limited COUNT (column-pruned — no series arrays
+    // move for the probe; a limit+collect probe would ship gate+1 full
+    // arrays to the driver on large inputs). No cache()+unpersist()
+    // here — unpersisting a caller-visible plan evicts the cache entry
+    // a caller may share (Spark's cache manager matches by plan, not
+    // by reference).
     val gate = 100000
-    val data = series.select(col("series_id").cast("long"), col("values"))
-      .orderBy(col("series_id")) // partition-order-independent results
-      .limit(gate + 1)
-      .as[(Long, Array[Double])].collect()
-    if (data.length <= gate)
+    if (series.limit(gate + 1).count() <= gate) {
+      val data = series.select(col("series_id").cast("long"), col("values"))
+        .orderBy(col("series_id")) // partition-order-independent results
+        .as[(Long, Array[Double])].collect()
       return localFit(data, k, maxIter).toSeq.toDF("series_id", "cluster")
+    }
     fitDistributed(series, k, maxIter)
   }
 
