@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, length, lit}
+import org.apache.spark.sql.functions.{ceil, col, concat, length, lit, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -370,17 +370,23 @@ object ExtQueries {
              |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
              |ORDER BY doc_id""".stripMargin)),
 
-    // Greedy token packing into ~2048-token training bins, independent
-    // per train/val/test split (the window partitions on the split key:
-    // no global ordering, one shuffle)
+    // Greedy token packing into ~2048-token training bins. The window
+    // partitions on the 100-value HASH BUCKET, not the 3-value split:
+    // each bucket packs independently (bucket ⇒ split, so bins never
+    // straddle splits) and the sort work spreads over 100 partitions —
+    // a 3-way split key would funnel a corpus-scale sort into 3 tasks.
     Q("text_pack_bins",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val withTok = docs.select(col("doc_id"),
           ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
         val joined = withTok.join(
-          TextOps.splitAssign(docs, "doc_id").select("doc_id", "split"), "doc_id")
-        TextOps.packBins(joined, "doc_id", "n_tokens", "split", 2048L)
+          TextOps.splitAssign(docs, "doc_id").select("doc_id", "bucket"), "doc_id")
+        TextOps.packBins(joined, "doc_id", "n_tokens", "bucket", 2048L)
+          .withColumn("split", // bucket ⇒ split, no second join needed
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val").otherwise("test"))
+          .select("doc_id", "bucket", "split", "n_tokens", "bin")
           .orderBy("doc_id")
       },
       Some("""WITH b AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS n_tokens,
@@ -388,15 +394,15 @@ object ExtQueries {
              |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
              |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
              |  FROM documents),
-             |s AS (SELECT doc_id, n_tokens,
+             |s AS (SELECT doc_id, n_tokens, bucket,
              |        CASE WHEN bucket < 90 THEN 'train'
              |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
              |      FROM b),
-             |c AS (SELECT doc_id, split, n_tokens,
-             |        coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             |c AS (SELECT doc_id, bucket, split, n_tokens,
+             |        coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
              |      FROM s)
-             |SELECT doc_id, split, n_tokens,
+             |SELECT doc_id, bucket, split, n_tokens,
              |       CAST(floor(bef / 2048) AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
 
