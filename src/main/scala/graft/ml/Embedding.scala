@@ -139,7 +139,7 @@ object Embedding {
       .as[(Long, Array[Double])].collect()
     val n = data.length
     // squared distances via one BLAS gemm: d²(i,j) = q_i + q_j − 2·(XXᵀ)_ij
-    val x = DenseMatrix(data.map(_._2): _*)
+    val x = DenseMatrix(data.map(_._2).toIndexedSeq: _*)
     val xxt = x * x.t
     val q = (0 until n).map(i => xxt(i, i)).toArray
     val d2 = Array.tabulate(n, n)((i, j) =>

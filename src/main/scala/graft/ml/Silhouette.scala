@@ -92,7 +92,7 @@ object Silhouette {
         when(own && lit(n) > 1, total / lit((n - 1).toDouble))
           .when(!own, total / lit(n.toDouble)).as("m")).as(s"__m$c")
     }
-    val withM = pts.withColumn("__ms", array(meanCols: _*))
+    val withM = pts.withColumn("__ms", array(meanCols.toIndexedSeq: _*))
     withM
       .withColumn("a", expr("filter(__ms, e -> e.own)[0].m"))
       .withColumn("b", expr("array_min(transform(filter(__ms, e -> NOT e.own), e -> e.m))"))

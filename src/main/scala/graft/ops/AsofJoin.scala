@@ -38,10 +38,10 @@ object AsofJoin {
     val lTagged = leftDf.withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
-          rightDf.select(payloadCols.map(col): _*).schema.fields)))
+          rightDf.select(payloadCols.toIndexedSeq.map(col): _*).schema.fields)))
     val rTagged = rightDf.withColumn("__side", lit(0))
-      .withColumn("__r", struct(payloadCols.map(col): _*))
-      .drop(payloadCols: _*)
+      .withColumn("__r", struct(payloadCols.toIndexedSeq.map(col): _*))
+      .drop(payloadCols.toIndexedSeq: _*)
     val all = lTagged.select((Seq(keyCol, timeCol, "__side", "__r") ++
         leftCols.filterNot(c => c == keyCol || c == timeCol)).map(col): _*)
       .unionByName(rTagged.select(col(keyCol), col(timeCol), col("__side"),
@@ -53,7 +53,7 @@ object AsofJoin {
       payloadCols: Array[String], rCol: Column): DataFrame = {
     val out = carried.filter(col("__side") === 1)
     payloadCols.foldLeft(out)((df, c) => df.withColumn(c, rCol(c)))
-      .select((leftCols ++ payloadCols).map(col): _*)
+      .select((leftCols ++ payloadCols).toIndexedSeq.map(col): _*)
   }
 
   /** leftDf(keyCol, timeCol, ...), rightDf(keyCol, timeCol, payload*).
@@ -118,7 +118,7 @@ object AsofJoin {
     // straight from rightDf (pruned scan of the right side only), not
     // by re-deriving and re-filtering the whole union.
     val rSide = rightDf.select(col(keyCol), col(timeCol),
-        struct(payloadCols.map(col): _*).as("__r"))
+        struct(payloadCols.toIndexedSeq.map(col): _*).as("__r"))
       .withColumn("__chunk", chunkOf(col(timeCol)))
     val chunkLast = rSide.groupBy(col(keyCol), col("__chunk"))
       .agg(max_by(col("__r"), col(timeCol)).as("__rl"))
