@@ -283,8 +283,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(partCol), col(tokensCol).cast("long").as("n_tokens"))
-      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // input columns pass through untouched (callers carry labels like
+    // the split name alongside); only `bin` is added
+    df.withColumn("__before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
       .withColumn("bin", floor(col("__before") / binTokens).cast("long"))
       .drop("__before")
   }

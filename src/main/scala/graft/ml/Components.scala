@@ -97,13 +97,20 @@ private[graft] object Components {
         }
         // silently-unconverged labels would make the dedup keep/drop
         // decision WRONG on chain components longer than the round cap
-        // — fail loudly instead. (Real graphs with diameter > 200 want
-        // an alternating-contraction CC, not more rounds.)
-        require(changed == 0,
-          s"min-label propagation did not converge in $iter rounds " +
-            "(component diameter exceeds the cap) — raise the round cap " +
-            "or use a contraction-based CC for this graph")
+        // — fail loudly instead (conservatively: a run whose FINAL
+        // round still changed labels is unverified, even if it happened
+        // to land on the fixpoint). Caches are released BEFORE the
+        // throw so an aborted run leaks nothing. Real graphs with
+        // diameter > 200 want an alternating-contraction CC, not more
+        // rounds.
         work.unpersist()
+        if (changed != 0) {
+          dir.unpersist()
+          throw new IllegalStateException(
+            s"min-label propagation did not converge in $iter rounds " +
+              "(component diameter exceeds the cap) — raise the round cap " +
+              "or use a contraction-based CC for this graph")
+        }
         labels
       }
     dir.unpersist()

@@ -81,14 +81,16 @@ object Embedding {
     val spark = series.sparkSession
     import spark.implicits._
     // gate probe via a limited count — no cache()+unpersist() on the
-    // caller-visible plan (see mds2d); the distributed path below
-    // caches for its two passes (mean + transform) and leaves the
-    // entry to plan-identity dedup
+    // caller-visible plan (see mds2d). The distributed path's cache
+    // (input reused by the mean pass, the fit, and the transform) goes
+    // through the bounded Memo LRU so repeated large-input calls can't
+    // accumulate executor storage.
     if (series.limit(100000).count() < 100000) {
       val (ids, scores, _) = pcaLocal(series, k)
       return ids.zip(scores).toSeq.toDF("series_id", "emb")
     }
-    val cached = series.cache()
+    val cached = graft.queries.Memo.cached(spark,
+      s"pcaembed|${series.queryExecution.logical.semanticHash()}")(series)
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
     model.transform(c)
@@ -274,10 +276,14 @@ object Embedding {
         .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
         .toSeq.toDF("component", "var_pct")
     }
-    val cached = series.cache()
-    val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
+    // cache the DERIVED plan (not the caller-visible one) for the
+    // head + fit passes, and release it: the variance ratios live in
+    // the fitted model, so nothing consumes the cache afterwards
+    val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
+      .cache()
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
     val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+    c.unpersist()
     model.explainedVariance.toArray.zipWithIndex
       .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
       .toSeq.toDF("component", "var_pct")

@@ -190,7 +190,7 @@ object KShape {
     // a caller may share (Spark's cache manager matches by plan, not
     // by reference).
     val gate = 100000
-    if (series.limit(gate + 1).count() <= gate) {
+    if (series.limit(gate).count() < gate) { // strict: n == gate goes distributed, like the sibling gates
       val data = series.select(col("series_id").cast("long"), col("values"))
         .orderBy(col("series_id")) // partition-order-independent results
         .as[(Long, Array[Double])].collect()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, length, lit, when}
+import org.apache.spark.sql.functions.{ceil, col, concat, length, lit}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -380,12 +380,12 @@ object ExtQueries {
         val docs = Tables.documents(s, dir)
         val withTok = docs.select(col("doc_id"),
           ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+        // splitAssign's own split column rides through packBins — the
+        // bucket→split mapping lives in ONE Scala definition
         val joined = withTok.join(
-          TextOps.splitAssign(docs, "doc_id").select("doc_id", "bucket"), "doc_id")
+          TextOps.splitAssign(docs, "doc_id").select("doc_id", "bucket", "split"),
+          "doc_id")
         TextOps.packBins(joined, "doc_id", "n_tokens", "bucket", 2048L)
-          .withColumn("split", // bucket ⇒ split, no second join needed
-            when(col("bucket") < 90, "train")
-              .when(col("bucket") < 95, "val").otherwise("test"))
           .select("doc_id", "bucket", "split", "n_tokens", "bin")
           .orderBy("doc_id")
       },

@@ -217,8 +217,7 @@ class TextDedupSpec extends SparkSpec {
       (4L, 100L, "a"), (5L, 250L, "a"), (6L, 10L, "b"))
       .toDF("doc_id", "n_tokens", "part")
     val out = TextOps.packBins(d, "doc_id", "n_tokens", "part", 250L)
-      .as[(Long, String, Long, Long)].collect()
-      .map(r => r._1 -> r._4).toMap
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
     // part a cumsum-before: 0,100,200,300,400 → bins 0,0,0,1,1
     // (doc 3 overflows bin 0 to 300 tokens — greedy, no splitting)
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
