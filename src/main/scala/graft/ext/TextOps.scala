@@ -250,6 +250,32 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** Per-document top-k TF-IDF terms (SURVEY §7.2 names TF-IDF among
+    * the built-in mappings): tf = term count within the doc, idf =
+    * ln(N / df) over raw document frequency. Ties rank by term asc, so
+    * output is deterministic across engines (identical double math on
+    * both sides).
+    *
+    * Scale: two aggregations (per-doc tf, per-term df) + one join on
+    * the term and one per-doc top-k window. The df table is
+    * vocabulary-sized — it joins sort-merge at corpus scale rather
+    * than broadcasting. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count().toDouble
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "w")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+    val win = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk").cast("long").as("rk"),
+        col("w").as("term"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** Deterministic stratified sampling: keep a document iff its hash
     * bucket (same content-stable md5 bucket as [[splitAssign]]) falls
     * under its stratum's percentage. The standard corpus-curation move

@@ -354,6 +354,25 @@ object ExtQueries {
              |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc top-3 TF-IDF terms (tf × ln(N/df), ties by term) — the
+    // classic content-keyword extractor; identical double math in both
+    // engines makes even the ranking deterministic
+    Q("text_tfidf",
+      (s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |            FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |sc AS (SELECT doc_id, w, tf * ln(nn.n / df) AS tfidf,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY tf * ln(nn.n / df) DESC, w) AS rk
+             |       FROM tf JOIN dfq USING (w), nn)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term,
+             |       round(tfidf, 6) AS tfidf
+             |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // Stratified corpus sampling: downsample dominant English to 20%,
     // keep 60% of everything else — deterministic md5 buckets, no
     // randomness, pure map-side filter (no shuffle at any scale)

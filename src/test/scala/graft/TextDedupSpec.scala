@@ -193,6 +193,21 @@ class TextDedupSpec extends SparkSpec {
     assert(TextOps.splitAssign(docs, "doc_id").collect().toSeq == split.toSeq)
   }
 
+  test("tfidfTopK surfaces distinctive terms, suppresses corpus-wide ones") {
+    val d = Seq(
+      (1L, "apple banana apple apple shared"),
+      (2L, "cherry cherry shared tomato"),
+      (3L, "shared words only here")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopK(d, "doc_id", "text", 2)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    // 'shared' appears in every doc → idf = ln(1) = 0 → never ranked
+    // above doc-distinctive terms
+    assert(top(1L).head == "apple")
+    assert(top(2L).head == "cherry")
+    assert(!top(1L).contains("shared") && !top(2L).contains("shared"))
+  }
+
   test("sampleStratified is deterministic, honors per-stratum rates, never shuffles") {
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
