@@ -263,6 +263,33 @@ object RelationalQueries {
 
     // lag/lead/ntile analytic windows over the per-user event sequence
     // (event_id is unique within a user → tie-free ordering)
+    // Rolling per-series statistics over the trailing 5-event frame —
+    // the classic smoothing/outlier-context operator. Both engines
+    // accumulate the SAME ordered frame, so the float sums agree and
+    // the rows hash-match at 6dp.
+    Q("win_rolling_stats",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(-4, 0)
+        Tables.events(s, dir).na.drop(Seq("value"))
+          .select(col("user_id"), col("event_id"),
+            round(avg(col("value")).over(w), 6).as("ma5"),
+            round(min(col("value")).over(w), 6).as("min5"),
+            round(max(col("value")).over(w), 6).as("max5"),
+            count(lit(1)).over(w).as("n5"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  round(avg(value) OVER w, 6) AS ma5,
+             |  round(min(value) OVER w, 6) AS min5,
+             |  round(max(value) OVER w, 6) AS max5,
+             |  count(*) OVER w AS n5
+             |FROM events WHERE value IS NOT NULL
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     Q("win_lag_lead",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
