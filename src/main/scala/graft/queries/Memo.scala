@@ -9,7 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * evicted entries are unpersisted, so a long-lived session touching
   * many dirs can't accumulate unbounded executor cache. */
 private[graft] object Memo {
-  private val MaxEntries = 16
+  // 48 covers the full 80-query bench suite's distinct keys (scans + shared
+  // passes) without mid-suite eviction; still bounded so a long-lived session
+  // touching many dirs can't grow without limit.
+  private val MaxEntries = 48
   private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
       if (size() > MaxEntries) { e.getValue.unpersist(); true } else false
