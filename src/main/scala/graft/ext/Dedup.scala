@@ -71,7 +71,33 @@ object Dedup {
   /** [[jaccardPairs]] over a precomputed (ideally cached/memoized)
     * shingle table — lets one shingling pass feed several dedup ops. */
   def jaccardPairsFrom(sh: DataFrame, idCol: String,
-      threshold: Double, maxDf: Int): DataFrame = {
+      threshold: Double, maxDf: Int): DataFrame =
+    candidateIntersections(sh, idCol, maxDf)
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Asymmetric near-dup: containment C = |A∩B| / min(|A|,|B|) ≥
+    * threshold. Catches doc-inside-doc duplication (a page quoting
+    * another wholesale, a doc embedded in a crawl concatenation) that
+    * symmetric Jaccard misses when sizes differ — |A∩B|/|A∪B| stays
+    * small however completely the smaller doc is contained. Same
+    * inverted-index candidate machinery (and the same df-cap recall
+    * caveat) as [[jaccardPairsFrom]]. */
+  def containmentPairsFrom(sh: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int): DataFrame =
+    candidateIntersections(sh, idCol, maxDf)
+      .withColumn("containment", col("i") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared candidate + intersection pass: (id_a, id_b, i, na, nb) for
+    * every pair sharing ≥1 shingle of df ∈ [2, maxDf], with exact
+    * intersection counts over ALL shingles (rare/hot split — see
+    * [[jaccardPairs]] for the recall caveat when maxDf is finite). */
+  private def candidateIntersections(sh: DataFrame, idCol: String,
+      maxDf: Int): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -110,9 +136,7 @@ object Dedup {
     inter
       .join(ns.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
       .join(ns.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("i"), col("na"), col("nb"))
   }
 
   /** The dedup DECISION: transitive closure of near-dup pairs →

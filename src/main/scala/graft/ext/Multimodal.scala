@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing ([EXT]): image/audio/video as opaque
   * `binary` columns with typed metadata. IMAGE decode is REAL —
   * javax.imageio (pure JDK: PNG/BMP/JPEG/GIF/TIFF), oracle-checked on
-  * deterministic generated bitmaps. Payloads no image reader
-  * recognizes fall back to byte-histogram moments; that fallback is
-  * the one remaining STUB, and only because audio/video codecs
+  * deterministic generated bitmaps. AUDIO decode is REAL —
+  * javax.sound.sampled (pure JDK: WAV/AIFF/AU containers, PCM),
+  * oracle-checked on deterministic generated WAVs. Payloads neither
+  * reader recognizes fall back to byte-histogram moments; that
+  * fallback is the one remaining STUB, and only because VIDEO codecs
   * genuinely don't ship with the JDK — swap it for an ffmpeg binding
   * in production, nothing around it changes.
   *
@@ -79,10 +81,96 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via javax.sound.sampled (pure JDK: WAV/AIFF/AU
+    * containers, PCM payloads). Parses the container header for format
+    * metadata, decodes the PCM frames, and returns
+    * (sampleRateHz, channels, nSamples, [mean, rms, zeroCrossings,
+    * min, max]) over all samples (channels interleaved). Returns None
+    * when no registered reader recognizes the payload or the encoding
+    * is not integer PCM. Like [[decodeImage]], a recognized-but-corrupt
+    * payload degrades to None rather than killing the job. */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long, Array[Double])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || bits % 8 != 0 || bits == 0 || bits > 32) return None
+      val raw = ais.readAllBytes()
+      val bytesPer = bits / 8
+      val n = raw.length / bytesPer
+      var i = 0
+      var sum, sumSq = 0.0
+      var mn = Double.MaxValue
+      var mx = Double.MinValue
+      var zc = 0L
+      var prevNonNeg = true
+      while (i < n) {
+        var v = 0L
+        var b = 0
+        while (b < bytesPer) {
+          val off = i * bytesPer + b
+          val by = raw(off) & 0xFFL
+          if (fmt.isBigEndian) v = (v << 8) | by
+          else v = v | (by << (8 * b))
+          b += 1
+        }
+        // sign-extend signed PCM; shift unsigned PCM to signed range
+        val s =
+          if (signed) (v << (64 - bits)) >> (64 - bits)
+          else v - (1L << (bits - 1))
+        val d = s.toDouble
+        sum += d; sumSq += d * d
+        if (d < mn) mn = d
+        if (d > mx) mx = d
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      if (n == 0) None
+      else Some((fmt.getSampleRate, fmt.getChannels, n.toLong,
+        Array(sum / n, math.sqrt(sumSq / n), zc.toDouble, mn, mx)))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Deterministic 16-bit mono PCM WAV for id: sample t is a pure
+    * integer function of (id, t), so an external oracle recomputes the
+    * decoded statistics without seeing the bytes (n a power of two →
+    * the integer moments divide exactly in doubles). Encoded through
+    * the same javax.sound.sampled container writer the decode parses. */
+  def syntheticWavSample(id: Long, t: Int): Int =
+    ((id * 37 + t * 13 + (t.toLong * t % 97) * 5) % 4001 - 2000).toInt
+
+  def syntheticWav(id: Long, n: Int = 64, sampleRate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = syntheticWavSample(id, t)
+      data(2 * t) = (s & 0xFF).toByte // 16-bit little-endian signed PCM
+      data(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Fallback for payloads that are NOT decodable images: byte
     * histogram moments standing in for real feature extraction.
-    * STUB — audio/video codecs genuinely don't ship with the JDK;
-    * replace this body with an ffmpeg binding in production. */
+    * STUB — video codecs genuinely don't ship with the JDK (image and
+    * PCM-audio decode are real, above); replace this body with an
+    * ffmpeg binding in production. */
   private[ext] def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     // >>> STUB: byte-histogram stand-in (audio/video codecs absent) <<<
     val hist = new Array[Double](16)

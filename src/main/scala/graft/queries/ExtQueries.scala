@@ -60,6 +60,39 @@ object ExtQueries {
     Memo.cached(s, s"mhp|$dir")(
       Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
 
+  /** One cosine-LSH pair pass per (session, dir) — shared by the pair
+    * query and the semantic group-closure query. */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"coslshp|$dir")(
+      Dedup.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        0.45, nBits = 30, rowsPerBand = 5))
+
+  /** Shared DuckDB CTEs: cosine-LSH candidate pairs ≥ 0.45 over
+    * md5-derived signed-random-projection signatures (30 bits, 6 bands
+    * of 5) — byte-identical to [[graft.ext.Dedup.cosineLshPairs]]. */
+  private val cosineLshCte =
+    """dims AS (SELECT max(len(CAST(embedding AS DOUBLE[]))) AS d FROM embeddings),
+      |w AS (SELECT b, i,
+      |             sum((strpos('0123456789abcdef', substr(md5(b::VARCHAR || '|' || i::VARCHAR), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
+      |           FROM (SELECT unnest(range(30)) AS b), (SELECT unnest(range((SELECT d FROM dims))) AS i), (SELECT unnest(range(8)) AS j)
+      |           GROUP BY b, i),
+      |wl AS (SELECT b, list(wt ORDER BY i) AS wv FROM w GROUP BY b),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sig AS (SELECT e.vec_id, wl.b,
+      |          CASE WHEN list_dot_product(e.v, wl.wv) > 0 THEN 1 ELSE 0 END AS bit
+      |        FROM e CROSS JOIN wl),
+      |bands AS (SELECT vec_id, b // 5 AS band,
+      |            CAST(sum(bit << (b % 5)) AS BIGINT) AS key
+      |          FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |cpairs AS (SELECT c.id_a, c.id_b,
+      |             round(list_cosine_similarity(x.v, y.v), 5) AS cosine
+      |           FROM cand c JOIN e x ON x.vec_id = c.id_a
+      |           JOIN e y ON y.vec_id = c.id_b
+      |           WHERE list_cosine_similarity(x.v, y.v) >= 0.45)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one shuffle on md5(text)
@@ -94,6 +127,32 @@ object ExtQueries {
               |SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Asymmetric containment |A∩B|/min(|A|,|B|) ≥ 0.8: doc-inside-doc
+    // duplication (wholesale quoting, crawl concatenations) that
+    // symmetric Jaccard misses when sizes differ. Shares the shingle
+    // pass and the inverted-index candidate machinery with the Jaccard
+    // query.
+    Q("dedup_containment_pairs",
+      (s, dir) => Dedup.containmentPairsFrom(docShingles(s, dir), "doc_id", 0.8, 100)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+              |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c BETWEEN 2 AND 100),
+              |hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c > 100),
+              |ri AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ir
+              |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2),
+              |hi AS (SELECT ri.id_a, ri.id_b, count(*) AS ih
+              |       FROM ri JOIN hot x ON x.doc_id = ri.id_a
+              |       JOIN hot y ON y.doc_id = ri.id_b AND y.s = x.s
+              |       GROUP BY 1, 2),
+              |inter AS (SELECT ri.id_a, ri.id_b, ir + coalesce(ih, 0) AS i
+              |          FROM ri LEFT JOIN hi USING (id_a, id_b)),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+              |SELECT id_a, id_b, round(i / least(na.n, nb.n), 6) AS containment
+              |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |WHERE i / least(na.n, nb.n) >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
     // pairs share a full band, then exact-Jaccard verification of
@@ -203,29 +262,33 @@ object ExtQueries {
     // near-dup corpora sit in; the planted-pair regime is spec-tested
     // in TextDedupSpec.
     Q("dedup_cosine_lsh",
-      (s, dir) => Dedup.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          0.45, nBits = 30, rowsPerBand = 5)
-        .orderBy("id_a", "id_b"),
-      Some("""WITH dims AS (SELECT max(len(CAST(embedding AS DOUBLE[]))) AS d FROM embeddings),
-             |w AS (SELECT b, i,
-             |             sum((strpos('0123456789abcdef', substr(md5(b::VARCHAR || '|' || i::VARCHAR), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
-             |           FROM (SELECT unnest(range(30)) AS b), (SELECT unnest(range((SELECT d FROM dims))) AS i), (SELECT unnest(range(8)) AS j)
-             |           GROUP BY b, i),
-             |wl AS (SELECT b, list(wt ORDER BY i) AS wv FROM w GROUP BY b),
-             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |sig AS (SELECT e.vec_id, wl.b,
-             |          CASE WHEN list_dot_product(e.v, wl.wv) > 0 THEN 1 ELSE 0 END AS bit
-             |        FROM e CROSS JOIN wl),
-             |bands AS (SELECT vec_id, b // 5 AS band,
-             |            CAST(sum(bit << (b % 5)) AS BIGINT) AS key
-             |          FROM sig GROUP BY 1, 2),
-             |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             |         FROM bands a JOIN bands b
-             |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-             |SELECT c.id_a, c.id_b, round(list_cosine_similarity(x.v, y.v), 5) AS cosine
-             |FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
-             |WHERE list_cosine_similarity(x.v, y.v) >= 0.45
-             |ORDER BY id_a, id_b""".stripMargin)),
+      (s, dir) => cosinePairs(s, dir).orderBy("id_a", "id_b"),
+      Some(s"""WITH $cosineLshCte
+              |SELECT id_a, id_b, cosine FROM cpairs
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SEMANTIC dedup end-to-end (SemDeDup-shaped, but with
+    // deterministic LSH buckets instead of k-means cells so the oracle
+    // reproduces it): cosine-LSH pairs → transitive closure → one
+    // canonical keep per embedding-space component. The same
+    // pair→closure→keep machinery as dedup_groups, over embedding
+    // similarity instead of lexical overlap.
+    Q("dedup_cosine_groups",
+      (s, dir) => Dedup.dedupGroups(Tables.embeddings(s, dir), "vec_id",
+          cosinePairs(s, dir))
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE $cosineLshCte,
+              |edges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+              |          UNION ALL SELECT id_b, id_a FROM cpairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e2.b FROM reach rc JOIN edges e2 ON rc.r = e2.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+              |SELECT d.vec_id,
+              |       coalesce(least(l.m, d.vec_id), d.vec_id) AS keep_id,
+              |       (coalesce(least(l.m, d.vec_id), d.vec_id) = d.vec_id) AS keep
+              |FROM embeddings d LEFT JOIN lab l ON l.id = d.vec_id
+              |ORDER BY vec_id""".stripMargin)),
 
     // Embedding-cosine near-dup pairs
     Q("dedup_cosine_pairs",

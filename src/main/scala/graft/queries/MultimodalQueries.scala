@@ -51,6 +51,44 @@ object MultimodalQueries {
              |  round(sqrt(avg(b*b) - avg(b)*avg(b)), 6) AS std_b
              |FROM px GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // REAL audio decode: synthesize a 64-sample 16-bit PCM WAV per doc,
+    // decode it with javax.sound.sampled (container header + PCM
+    // frames), emit amplitude statistics — oracle-checked against the
+    // closed-form sample function (n=64 is a power of two, so the
+    // integer moments divide exactly in doubles on both engines)
+    Q("multimodal_audio_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val (rate, ch, n, st) =
+              Multimodal.decodeAudio(Multimodal.syntheticWav(id)).get
+            (id, rate.toLong, ch.toLong, n, st(0), st(1), st(2).toLong,
+              st(3).toLong, st(4).toLong)
+          }
+        }.toDF("id", "sample_rate", "channels", "n_samples", "mean_amp",
+            "rms", "zero_crossings", "s_min", "s_max")
+          .withColumn("mean_amp", round(col("mean_amp"), 6))
+          .withColumn("rms", round(col("rms"), 6))
+          .orderBy("id")
+      },
+      Some("""WITH s AS (SELECT doc_id, t,
+             |    ((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000 AS v
+             |  FROM documents, (SELECT unnest(range(64)) AS t)),
+             |w AS (SELECT doc_id, t, v,
+             |        lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+             |      FROM s)
+             |SELECT doc_id AS id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels, CAST(64 AS BIGINT) AS n_samples,
+             |  round(avg(v), 6) AS mean_amp,
+             |  round(sqrt(avg(CAST(v AS DOUBLE)*v)), 6) AS rms,
+             |  CAST(count(*) FILTER (WHERE pv IS NOT NULL
+             |    AND (v >= 0) != (pv >= 0)) AS BIGINT) AS zero_crossings,
+             |  CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+             |FROM w GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

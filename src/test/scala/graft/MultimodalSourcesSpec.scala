@@ -59,6 +59,28 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeImage(truncated).isEmpty)
   }
 
+  test("real audio decode: WAV round-trip reproduces closed-form sample stats") {
+    // syntheticWav samples are pure functions of (id, t) — recompute
+    // the expected amplitude stats directly and compare to the decoded
+    // values (PCM is lossless; n=64 is a power of two, so the moment
+    // divisions are exact in doubles)
+    val id = 42L
+    val decoded = Multimodal.decodeAudio(Multimodal.syntheticWav(id))
+    assert(decoded.isDefined)
+    val (rate, channels, n, st) = decoded.get
+    assert(rate == 8000f && channels == 1 && n == 64L)
+    val ss = (0 until 64).map(t => Multimodal.syntheticWavSample(id, t).toDouble)
+    assert(st(0) == ss.sum / 64.0)
+    assert(st(1) == math.sqrt(ss.map(v => v * v).sum / 64.0))
+    val zc = (1 until 64).count(t => (ss(t) >= 0) != (ss(t - 1) >= 0))
+    assert(st(2) == zc.toDouble && st(3) == ss.min && st(4) == ss.max)
+
+    // non-audio payloads: None, never throw (bad record ≠ dead job)
+    assert(Multimodal.decodeAudio("plain text, not audio".getBytes("UTF-8")).isEmpty)
+    val truncated = Multimodal.syntheticWav(7L).take(30)
+    assert(Multimodal.decodeAudio(truncated).isEmpty)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
     val frames = Multimodal.sampleFrames(media, 64, 2).collect()

@@ -29,6 +29,25 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containmentPairs: a doc wholly inside a bigger one scores 1.0 where Jaccard fails") {
+    // doc 7 is a strict prefix of doc 6: every 3-shingle of 7 appears
+    // in 6, so containment = 1.0 while Jaccard = 5/16 misses a 0.5 bar
+    val d = Seq(
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma"),
+      (7L, "alpha beta gamma delta epsilon zeta eta"),
+      (8L, "unrelated content entirely separate tokens only")
+    ).toDF("doc_id", "text")
+    val sh = graft.ext.TextOps.shingles(d, "doc_id", "text", 3)
+    val cont = Dedup.containmentPairsFrom(sh, "doc_id", 0.8, Int.MaxValue)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(cont((6L, 7L)) == 1.0)
+    assert(!cont.keys.exists { case (a, b) => a == 8L || b == 8L })
+    val jac = Dedup.jaccardPairsFrom(sh, "doc_id", 0.5, Int.MaxValue)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 6L && p._2 == 7L)) // Jaccard blind spot
+  }
+
   test("minhashLshPairs finds the planted dups (candidates → exact verify)") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
