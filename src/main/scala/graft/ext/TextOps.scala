@@ -317,6 +317,48 @@ object TextOps {
       .drop("__before")
   }
 
+  /** Per-stratum cap: keep the top `n` rows of each stratum (domain,
+    * source, site) by `qualityCol` descending, ties broken by `idCol`
+    * ascending — the standard web-corpus curation move that stops one
+    * hot domain from dominating the training mix.
+    *
+    * Scale: a single rank window partitioned by the stratum sorts every
+    * hot stratum's rows in ONE task, so the cap is computed in two
+    * phases instead — a salted pre-prune (each (stratum, salt) slice
+    * keeps its local top n, bounding any task's sort to 1/`salts` of
+    * the hottest stratum) followed by an exact rank over the surviving
+    * ≤ n·salts rows per stratum. Output and ranks are identical to the
+    * direct window: a stratum's true top n always survives its slice. */
+  def sourceCap(df: DataFrame, idCol: String, strataCol: String,
+      qualityCol: String, n: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(qualityCol).desc, col(idCol).asc)
+    val pre = Window.partitionBy(col(strataCol),
+      pmod(hash(col(idCol)), lit(salts))).orderBy(ord: _*)
+    val fin = Window.partitionBy(col(strataCol)).orderBy(ord: _*)
+    df.withColumn("__r", row_number().over(pre)).filter(col("__r") <= n)
+      .withColumn("rank", row_number().over(fin).cast("long"))
+      .filter(col("rank") <= n)
+      .drop("__r")
+  }
+
+  /** Corpus-level n-gram duplication coverage (the RefinedWeb /
+    * MassiveText-style boilerplate signal): per doc, the fraction of
+    * its shingles that also appear in at least one OTHER doc's shingle
+    * set. High coverage with no single near-dup partner = boilerplate
+    * assembled from common fragments — invisible to pairwise dedup.
+    * One df-count pass over the (shared, memoized) shingle table and
+    * one join back; docs too short to shingle produce no row. */
+  def ngramCoverage(sh: DataFrame, idCol: String): DataFrame = {
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__df") >= 2, 1)).as("n_shared"))
+      .withColumn("dup_coverage",
+        round(col("n_shared") / col("n_shingles"), 6))
+  }
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1): unique-word ratio and the most-frequent-bigram fraction.
     * Pure array higher-order functions — per-row, no shuffle, no UDF;

@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Key-distribution profiler: top-k heavy hitters per profiled
+    * column, with each value's share of its column's rows. The planning
+    * tool behind every skew mitigation in this repo (salted aggs, df
+    * caps, AQE skew joins): run it BEFORE the expensive job to learn
+    * which keys need salting.
+    *
+    * Scale: each profile is groupBy(value).count() — map-side partial
+    * aggregation collapses the input to one row per distinct value
+    * before the shuffle — then orderBy().limit(k), which Spark executes
+    * as TakeOrderedAndProject (per-partition top-k, merged on the
+    * driver): no single task ever sorts the full distinct-value set,
+    * so even a high-cardinality column profiles safely. The rank
+    * window only touches the k surviving rows. */
+  def heavyHitters(profiles: Seq[(String, DataFrame, String)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    profiles.map { case (label, df, c) =>
+      val counts = df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("__tot"))
+      val top = counts.orderBy(col("cnt").desc, col("value").asc).limit(k)
+      top.crossJoin(broadcast(total))
+        .withColumn("share", round(col("cnt") / col("__tot"), 6))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("value").asc)).cast("long"))
+        .select(lit(label).as("col"), col("value"), col("cnt"),
+          col("share"), col("rank"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Salted sum/count: groupBy(keys :+ salt) → partial, then merge.
     * `saltSource` must be a deterministic high-cardinality column. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,

@@ -452,6 +452,63 @@ object ExtQueries {
              |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Per-source cap: keep the top-5 docs per source by length — the
+    // domain-cap curation move. Two-phase salted top-n under the hood
+    // (no single task sorts a hot source); ranks identical to a direct
+    // window by construction, which is exactly what the oracle runs.
+    Q("text_source_cap",
+      (s, dir) => TextOps.sourceCap(Tables.documents(s, dir),
+          "doc_id", "source", "n_chars", 5)
+        .select("doc_id", "source", "n_chars", "rank")
+        .orderBy("source", "rank"),
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Corpus-level n-gram duplication coverage (boilerplate signal):
+    // fraction of each doc's shingles that appear in ≥1 other doc.
+    // High coverage + no pairwise near-dup partner = assembled
+    // boilerplate, invisible to pair-based dedup. Shares the memoized
+    // shingle pass.
+    Q("text_ngram_coverage",
+      (s, dir) => TextOps.ngramCoverage(docShingles(s, dir), "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH $shingleCte,
+              |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+              |cov AS (SELECT sh.doc_id, count(*) AS n_sh,
+              |          count(*) FILTER (WHERE c >= 2) AS n_shared
+              |        FROM sh JOIN dfr USING (s) GROUP BY sh.doc_id)
+              |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+              |       CAST(n_shared AS BIGINT) AS n_shared,
+              |       round(n_shared / n_sh, 6) AS dup_coverage
+              |FROM cov ORDER BY doc_id""".stripMargin)),
+
+    // Key-distribution profiler: top-5 heavy hitters + share for the
+    // three grouping keys this suite aggregates on. The planning pass
+    // a 100-TB pipeline runs BEFORE committing to a partitioning.
+    Q("profile_heavy_hitters",
+      (s, dir) => graft.ops.SkewOps.heavyHitters(Seq(
+          ("events.event_type", Tables.events(s, dir), "event_type"),
+          ("documents.source", Tables.documents(s, dir), "source"),
+          ("documents.lang", Tables.documents(s, dir), "lang")), 5)
+        .orderBy("col", "rank"),
+      Some("""WITH u AS (
+             |  SELECT 'events.event_type' AS col, event_type AS value, count(*) AS cnt
+             |    FROM events GROUP BY 2
+             |  UNION ALL SELECT 'documents.source', source, count(*) FROM documents GROUP BY 2
+             |  UNION ALL SELECT 'documents.lang', lang, count(*) FROM documents GROUP BY 2),
+             |t AS (SELECT col, sum(cnt) AS tot FROM u GROUP BY col),
+             |r AS (SELECT u.col, value, cnt, round(cnt / tot, 6) AS share,
+             |        row_number() OVER (PARTITION BY u.col
+             |          ORDER BY cnt DESC, value) AS rank
+             |      FROM u JOIN t USING (col))
+             |SELECT col, value, CAST(cnt AS BIGINT) AS cnt, share,
+             |       CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5 ORDER BY col, rank""".stripMargin)),
+
     // Greedy token packing into ~2048-token training bins. The window
     // partitions on the 100-value HASH BUCKET, not the 3-value split:
     // each bucket packs independently (bucket ⇒ split, so bins never

@@ -48,6 +48,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!jac.exists(p => p._1 == 6L && p._2 == 7L)) // Jaccard blind spot
   }
 
+  test("sourceCap: salted two-phase top-n equals the direct window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot stratum (40 rows), one small (3 rows), quality ties
+    val rows = (0 until 40).map(i => (i.toLong, "hot", (i % 7).toLong)) ++
+      Seq((100L, "cold", 5L), (101L, "cold", 5L), (102L, "cold", 9L))
+    val df = rows.toDF("doc_id", "source", "q")
+    val got = graft.ext.TextOps.sourceCap(df, "doc_id", "source", "q", 4, salts = 4)
+      .select("doc_id", "source", "rank")
+      .as[(Long, String, Long)].collect().toSet
+    val w = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    val want = df.withColumn("rank", org.apache.spark.sql.functions
+        .row_number().over(w).cast("long"))
+      .filter($"rank" <= 4).select("doc_id", "source", "rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._2 == "hot") == 4 && got.count(_._2 == "cold") == 3)
+  }
+
+  test("heavyHitters: top-k by count with deterministic tie order and exact shares") {
+    val ev = Seq("a", "a", "a", "b", "b", "c", "d").map(Tuple1(_)).toDF("k")
+    val hh = graft.ops.SkewOps.heavyHitters(Seq(("t.k", ev, "k")), 3)
+      .as[(String, String, Long, Double, Long)].collect().sortBy(_._5)
+    assert(hh.map(r => (r._2, r._3, r._5)).toSeq ==
+      Seq(("a", 3L, 1L), ("b", 2L, 2L), ("c", 1L, 3L))) // "c" < "d" tie-break
+    assert(hh.head._4 == math.rint(3.0 / 7 * 1e6) / 1e6)
+  }
+
   test("minhashLshPairs finds the planted dups (candidates → exact verify)") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
