@@ -162,6 +162,51 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** INCREMENTAL dedup — the shape production dedup actually runs: a
+    * NEW batch of docs (today's crawl) is deduplicated against an
+    * immutable existing corpus AND against itself, emitting a per-batch
+    * -doc keep/drop decision without ever re-pairing corpus docs with
+    * each other. A batch doc is dropped when it near-dups (MinHash-LSH
+    * candidates, exact-Jaccard verified at `threshold`) any corpus doc
+    * or any earlier (smaller-id) batch doc; `dup_of` is the smallest
+    * such partner, null for kept docs.
+    *
+    * Scale: the corpus side appears ONLY through its banded signature
+    * table — at 100 TB that table is computed once, persisted
+    * (bucketed by band key), and probed by each day's batch; the
+    * corpus×corpus quadratic never runs. The probe is an equi-join of
+    * corpus bands against the (typically small) batch bands — AQE
+    * broadcasts the batch side when it fits — plus a batch×batch self
+    * band-join that is quadratic only in the batch. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, threshold: Double): DataFrame = {
+    val shC = memoShingles(corpus, idCol, textCol, n)
+    val shB = memoShingles(batch, idCol, textCol, n)
+    val bandedC = minhashBanded(shC, idCol, numHashes)
+    val bandedB = minhashBanded(shB, idCol, numHashes)
+    val cb = bandedC.as("a").join(bandedB.as("b"), col("a.bk") === col("b.bk"))
+      .select(col(s"a.$idCol").as("partner"), col(s"b.$idCol").as("doc"))
+    val bb = bandedB.as("a").join(bandedB.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("partner"), col(s"b.$idCol").as("doc"))
+    val cand = cb.unionAll(bb).distinct()
+    val shAll = shC.select(col(idCol), col("s"))
+      .unionAll(shB.select(col(idCol), col("s")))
+    val ns = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(shAll.select(col(idCol).as("partner"), col("s")), "partner")
+      .join(shAll.select(col(idCol).as("doc"), col("s")), Seq("doc", "s"))
+      .groupBy("doc", "partner").agg(count(lit(1)).as("i"))
+    val verified = inter
+      .join(ns.select(col(idCol).as("partner"), col("nsh").as("na")), "partner")
+      .join(ns.select(col(idCol).as("doc"), col("nsh").as("nb")), "doc")
+      .filter(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
+    val dupOf = verified.groupBy("doc").agg(min(col("partner")).as("dup_of"))
+    batch.select(col(idCol).cast("long").as(idCol))
+      .join(dupOf.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   /** Per-doc minhash signature rows (id, h, mv): mv = lexicographic
     * min of md5(h || '|' || shingle) over the doc's shingles. All
     * `numHashes` mins are computed as parallel aggregates in ONE pass
@@ -196,15 +241,22 @@ object Dedup {
       n: Int, numHashes: Int, threshold: Double): DataFrame =
     minhashLshPairsFrom(memoShingles(docs, idCol, textCol, n), idCol, numHashes, threshold)
 
-  /** [[minhashLshPairs]] over a precomputed shingle table. */
-  def minhashLshPairsFrom(sh: DataFrame, idCol: String,
-      numHashes: Int, threshold: Double): DataFrame = {
+  /** (id, bk) banded minhash rows: numHashes/2 bands of r=2, band key =
+    * concatenation of the band's two minhashes. */
+  private def minhashBanded(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 bands)")
     val wide = minhashSignaturesWide(sh, idCol, numHashes)
     val bandCols = (0 until numHashes / 2).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"__mh${2 * b}"), col(s"__mh${2 * b + 1}")).as("key")))
-    val banded = wide.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    wide.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** [[minhashLshPairs]] over a precomputed shingle table. */
+  def minhashLshPairsFrom(sh: DataFrame, idCol: String,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val banded = minhashBanded(sh, idCol, numHashes)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

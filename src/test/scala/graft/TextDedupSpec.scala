@@ -48,6 +48,26 @@ class TextDedupSpec extends SparkSpec {
     assert(!jac.exists(p => p._1 == 6L && p._2 == 7L)) // Jaccard blind spot
   }
 
+  test("incrementalDedup: batch docs drop against corpus and earlier batch docs only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document with its own distinct content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // dup of corpus 1
+      (11L, "fresh new unique content never seen before anywhere"),
+      (12L, "fresh new unique content never seen before anywhere") // dup of 11
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 3, 8, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (10L, Some(1L), false),   // dropped against the corpus
+      (11L, None, true),        // first of its content: kept
+      (12L, Some(11L), false))) // dropped against the EARLIER batch doc
+  }
+
   test("sourceCap: salted two-phase top-n equals the direct window exactly") {
     import org.apache.spark.sql.expressions.Window
     // one hot stratum (40 rows), one small (3 rows), quality ties
