@@ -95,8 +95,17 @@ object Dedup {
   /** Shared candidate + intersection pass: (id_a, id_b, i, na, nb) for
     * every pair sharing ≥1 shingle of df ∈ [2, maxDf], with exact
     * intersection counts over ALL shingles (rare/hot split — see
-    * [[jaccardPairs]] for the recall caveat when maxDf is finite). */
+    * [[jaccardPairs]] for the recall caveat when maxDf is finite).
+    * Memo-cached (bounded LRU): Jaccard and containment are different
+    * thresholds over the SAME pass, so a suite running both pays for
+    * the inverted-index self-join once. */
   private def candidateIntersections(sh: DataFrame, idCol: String,
+      maxDf: Int): DataFrame =
+    graft.queries.Memo.cached(sh.sparkSession,
+      s"candint|$idCol|$maxDf|${sh.queryExecution.logical.semanticHash()}")(
+      candidateIntersectionsUncached(sh, idCol, maxDf))
+
+  private def candidateIntersectionsUncached(sh: DataFrame, idCol: String,
       maxDf: Int): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
