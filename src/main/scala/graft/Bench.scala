@@ -54,9 +54,12 @@ object Bench {
     }.mkString("{\n", ",\n", "\n  }")
     val fullJson =
       s"""{\n  "metric": "total", "value": ${f(totalMin)}, "value_cold": ${f(totalCold)},\n  "unit": "sec", "timing": "min_of_2_consecutive_runs", "sf": "$sfDir",\n  "queries": $full\n}\n"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_local.json"),
-      fullJson.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // only a FULL-suite run overwrites the detail file — a filtered
+    // local iteration must not clobber the last complete picture
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_local.json"),
+        fullJson.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // compact one-liner: largest queries first, aggregate the tail into "rest"
     // so the line stays under ~1700 chars
     val sorted = results.toSeq.sortBy { case (_, (mn, _)) => -mn }
