@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: the cheap full-scan passes a pipeline runs
+  * before committing 100 TB to an expensive job (complements
+  * [[SkewOps.heavyHitters]], which profiles key skew).
+  */
+object Profile {
+
+  /** Per-column null/missing ratios, one row per (table, column).
+    * ONE pass per table: all columns' null counts are parallel
+    * aggregates of a single global aggregation — no per-column jobs,
+    * no shuffle of the raw rows (partial aggregation reduces each
+    * partition to one row). */
+  def nullRatios(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (label, df) =>
+      val aggs = count(lit(1)).as("__n") +:
+        df.columns.toSeq.map(c =>
+          count(when(col(c).isNull, 1)).as(s"__nn_$c"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = df.columns.toSeq.map(c =>
+        s"'$c', __nn_$c").mkString(", ")
+      one.selectExpr(s"stack(${df.columns.length}, $stacked) AS (col, n_null)",
+          "__n AS n_rows")
+        .select(lit(label).as("tbl"), col("col"), col("n_rows"),
+          col("n_null"), round(col("n_null") / col("n_rows"), 6).as("null_ratio"))
+    }.reduce(_.unionAll(_))
+}

@@ -367,6 +367,25 @@ object CoreQueries {
              |       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end_s,
              |       count(*) AS n, round(sum(value),4) AS sum_v
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, sess_start_s""".stripMargin))
+             |ORDER BY user_id, sess_start_s""".stripMargin)),
+
+    // Event-time interval join (click → same-user purchases within 30
+    // minutes after). THE SAME code runs as a stream-stream join with
+    // watermark-bounded state (StreamingSpec asserts streaming ==
+    // batch); this batch twin is the oracle-checked form.
+    Q("evt_interval_join",
+      (s, dir) => graft.streaming.EventStreams.clickPurchaseIntervalJoin(
+          Tables.events(s, dir), "10 minutes", 1800)
+        .orderBy("click_id", "purchase_id"),
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+             |           WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT c.click_id, p.purchase_id, c.user_id,
+             |       CAST(floor(epoch(p.ts)) AS BIGINT)
+             |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+             |FROM c JOIN p ON c.user_id = p.user_id AND p.ts > c.ts
+             |  AND p.ts <= c.ts + INTERVAL 1800 SECOND
+             |ORDER BY click_id, purchase_id""".stripMargin))
   )
 }

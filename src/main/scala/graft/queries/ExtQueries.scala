@@ -543,6 +543,40 @@ object ExtQueries {
              |       CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5 ORDER BY col, rank""".stripMargin)),
 
+    // Per-column null/missing profile: the pre-flight data-quality scan
+    // (one single-pass aggregation per table, all columns in parallel)
+    Q("profile_null_ratios",
+      (s, dir) => graft.ops.Profile.nullRatios(Seq(
+          ("events", Tables.events(s, dir)),
+          ("documents", Tables.documents(s, dir))))
+        .orderBy("tbl", "col"),
+      Some("""WITH t(tbl, col, n_rows, n_null) AS (
+             |  SELECT 'events', 'event_id', count(*),
+             |    count(*) FILTER (WHERE event_id IS NULL) FROM events
+             |  UNION ALL SELECT 'events', 'ts', count(*),
+             |    count(*) FILTER (WHERE ts IS NULL) FROM events
+             |  UNION ALL SELECT 'events', 'user_id', count(*),
+             |    count(*) FILTER (WHERE user_id IS NULL) FROM events
+             |  UNION ALL SELECT 'events', 'event_type', count(*),
+             |    count(*) FILTER (WHERE event_type IS NULL) FROM events
+             |  UNION ALL SELECT 'events', 'value', count(*),
+             |    count(*) FILTER (WHERE value IS NULL) FROM events
+             |  UNION ALL SELECT 'events', 'props', count(*),
+             |    count(*) FILTER (WHERE props IS NULL) FROM events
+             |  UNION ALL SELECT 'documents', 'doc_id', count(*),
+             |    count(*) FILTER (WHERE doc_id IS NULL) FROM documents
+             |  UNION ALL SELECT 'documents', 'text', count(*),
+             |    count(*) FILTER (WHERE text IS NULL) FROM documents
+             |  UNION ALL SELECT 'documents', 'lang', count(*),
+             |    count(*) FILTER (WHERE lang IS NULL) FROM documents
+             |  UNION ALL SELECT 'documents', 'source', count(*),
+             |    count(*) FILTER (WHERE source IS NULL) FROM documents
+             |  UNION ALL SELECT 'documents', 'n_chars', count(*),
+             |    count(*) FILTER (WHERE n_chars IS NULL) FROM documents)
+             |SELECT tbl, col, n_rows, n_null,
+             |       round(n_null / n_rows, 6) AS null_ratio
+             |FROM t ORDER BY tbl, col""".stripMargin)),
+
     // Greedy token packing into ~2048-token training bins. The window
     // partitions on the 100-value HASH BUCKET, not the 3-value split:
     // each bucket packs independently (bucket ⇒ split, so bins never

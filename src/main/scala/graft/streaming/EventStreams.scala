@@ -75,6 +75,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Stream-stream event-time interval join: each click joined to the
+    * same user's purchases within (click_ts, click_ts + bound]. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, so Spark can size the join state buffer and evict
+    * rows older than the watermark + bound — the state stays
+    * O(events per horizon), not O(stream). The batch twin
+    * (evt_interval_join) is the oracle; StreamingSpec asserts the
+    * streaming result equals it exactly. */
+  def clickPurchaseIntervalJoin(events: DataFrame, watermark: String,
+      boundSeconds: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      expr(s"c_user = p_user AND p_ts > c_ts " +
+        s"AND p_ts <= c_ts + interval $boundSeconds seconds"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, events: Long, sum_v: Double)
 

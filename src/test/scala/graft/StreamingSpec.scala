@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == Seq(1L, 1L, 1L))
   }
 
+  test("stream-stream interval join equals the batch join over the same data") {
+    implicit val sql = spark.sqlContext
+    val evs = Seq(
+      (1L, 1L, ts(0), "click"), (2L, 1L, ts(10), "purchase"), // in bound (10m ≤ 30m)
+      (3L, 1L, ts(45), "purchase"),                           // out of bound for click 1
+      (4L, 2L, ts(5), "click"), (5L, 2L, ts(4), "purchase"),  // purchase BEFORE click: excluded
+      (6L, 3L, ts(7), "click"))                               // user with no purchase
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = EventStreams.clickPurchaseIntervalJoin(stream, "10 minutes", 1800)
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val got = spark.table("ij").as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = EventStreams.clickPurchaseIntervalJoin(
+      evs.toDF().toDF("event_id", "user_id", "ts", "event_type"), "10 minutes", 1800)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got == Set((1L, 2L, 1L, 600L)))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark, equals batch distinct") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
