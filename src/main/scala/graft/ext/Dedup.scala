@@ -171,6 +171,23 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** Character-level edit-distance verification over an already-banded
+    * candidate pair set: Levenshtein ≤ maxDist. The expensive O(n·k)
+    * metric runs ONLY on candidates an LSH/banding stage produced —
+    * never all-pairs — which is the only shape that survives corpus
+    * scale (full Levenshtein over C(n,2) is quadratic twice over).
+    * Spark's 3-arg levenshtein early-exits beyond the threshold
+    * (banded DP, O(n·maxDist) not O(n·m)), returning −1 past it. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, maxDist: Int): DataFrame =
+    candidates.select(col("id_a"), col("id_b"))
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+
   /** INCREMENTAL dedup — the shape production dedup actually runs: a
     * NEW batch of docs (today's crawl) is deduplicated against an
     * immutable existing corpus AND against itself, emitting a per-batch

@@ -215,6 +215,38 @@ object ExtQueries {
               |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // Edit-distance verify over the banded MinHash candidates: the
+    // expensive character-level metric touches ONLY pairs the LSH
+    // stage produced (Spark's 3-arg levenshtein early-exits past the
+    // threshold)
+    Q("dedup_edit_distance",
+      (s, dir) => Dedup.editDistancePairs(Tables.documents(s, dir),
+          "doc_id", "text", minhashPairs(s, dir), 100)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5)
+              |SELECT p.id_a, p.id_b,
+              |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+              |FROM pairs p JOIN documents da ON da.doc_id = p.id_a
+              |JOIN documents db ON db.doc_id = p.id_b
+              |WHERE levenshtein(da.text, db.text) <= 100
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // INCREMENTAL dedup: docs ≥ 400 are "today's batch", deduped
     // against the immutable corpus (docs < 400) and against themselves
     // — the corpus×corpus quadratic never runs. Per-batch-doc keep/drop

@@ -178,6 +178,26 @@ object RelationalQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
 
+    // CUBE: all 2^k grouping-set combinations in one pass (the OLAP
+    // twin of ROLLUP's hierarchy)
+    Q("agg_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum2(money(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
     // Pivot: one column per line status, decimal-exact sums — the
     // oracle spells the same thing as conditional aggregation
     Q("agg_pivot",
@@ -267,6 +287,33 @@ object RelationalQueries {
     // the classic smoothing/outlier-context operator. Both engines
     // accumulate the SAME ordered frame, so the float sums agree and
     // the rows hash-match at 6dp.
+    // Time-RANGE window frame: trailing 1-hour per-user stats keyed on
+    // EVENT TIME, not row position — rangeBetween over epoch seconds,
+    // so same-second events are peers on both engines. The row-frame
+    // twin is win_rolling_stats.
+    Q("win_time_range",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-3599L, 0L)
+        Tables.events(s, dir).na.drop(Seq("value"))
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("ts_s"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 6).as("sum_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  count(*) OVER w AS n_1h,
+             |  round(sum(value) OVER w, 6) AS sum_1h
+             |FROM (SELECT user_id, event_id, value,
+             |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+             |      FROM events WHERE value IS NOT NULL)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     Q("win_rolling_stats",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
