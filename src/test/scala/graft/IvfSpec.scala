@@ -25,6 +25,23 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall $mean")
   }
 
+  test("int8-quantized top-5 keeps high recall vs exact (quantization noise only)") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 20", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", "vec_id < 20", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      exact(q).count(quant.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // int8 is a far gentler approximation than IVF bucket pruning:
+    // expect near-perfect neighbor agreement, not just "most"
+    assert(mean >= 0.9, s"mean recall $mean")
+  }
+
   test("IVF returns exactly k ranked rows per query") {
     val out = Ivf.topK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", "vec_id < 5", 5, 8, 2)
