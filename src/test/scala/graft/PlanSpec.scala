@@ -81,4 +81,38 @@ class PlanSpec extends SparkSpec {
     val upstreamEx = header.drop(mapIdx + 1).exists(_.contains("Exchange"))
     assert(!upstreamEx, s"payload bytes shuffled before decode:\n${header.mkString("\n")}")
   }
+
+  test("source cap: the first (pre-prune) window partitions on the salt, not the bare stratum") {
+    val plan = formatted(run("text_source_cap"))
+    // two Window nodes (salted pre-prune, then exact rank) and the
+    // salted one keyed by pmod(hash(...)) — a refactor that collapses
+    // back to ONE window over the raw stratum would re-create the
+    // hot-domain single-task sort
+    // distinct node ids, excluding WindowGroupLimit helper nodes, and
+    // counting each node once (formatted output repeats ids in the
+    // details section)
+    val windows = "\\((\\d+)\\) Window(?!\\w)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(windows == 2, s"expected 2 Window nodes, got $windows")
+    assert(plan.contains("pmod(hash("), "salted partition key missing from plan")
+  }
+
+  test("heavy hitters: top-k executes as TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(run("profile_heavy_hitters"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "per-partition top-k missing — a full sort of the distinct values would not scale")
+  }
+
+  test("quantized top-k: scales are a literal; vectors are never exploded") {
+    // ONE Generate is allowed in the whole multi-job pipeline — the
+    // posexplode that AGGREGATES the per-dim scales. The quantize step
+    // itself must be a literal-array transform (codegen'd projection),
+    // so the scored plan contains no Generate at all.
+    val df = graft.ext.Similarity.quantizedTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", "vec_id < 5", 3)
+    val plan = formatted(df)
+    assert(!plan.contains("Generate"),
+      "vector explode leaked into the scoring plan")
+    assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
+  }
 }
