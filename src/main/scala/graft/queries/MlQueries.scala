@@ -245,7 +245,7 @@ object MlQueries {
     //    1.16 across local[4..32] on these dirs) — the bound catches a
     //    mis-wired distributed path (ratio ≫ 2), not init luck.
     Q("ml_dist_path_parity",
-      (s, dir) => {
+      (s, dir) => memoized(s, s"parity|$dir") {
         val spark = s
         import spark.implicits._
         import scala.concurrent.{Await, Future}
