@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, length, lit}
+import org.apache.spark.sql.functions.{ceil, col, concat, length, lit, lower, size, split, trim}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -670,6 +670,73 @@ object ExtQueries {
              |SELECT doc_id, bucket, split, n_tokens,
              |       CAST(floor(bef / 2048) AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // END-TO-END CURATION PIPELINE (the composition a training-data
+    // build actually ships): near-dedup keep-list (MinHash-LSH pairs →
+    // closure, Memo-shared with the standalone queries) → quality
+    // filter (≥ 20 words) → deterministic train/val/test split →
+    // greedy token packing per hash bucket. One oracle-checked query
+    // proves the stages COMPOSE — same bucket→split→bin invariants as
+    // the standalone forms, over the deduped+filtered survivor set.
+    Q("pipeline_curate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keep = Dedup.dedupGroups(docs, "doc_id", minhashPairs(s, dir))
+          .filter(col("keep")).select("doc_id")
+        val kept = docs.join(keep, "doc_id")
+          .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 20)
+        val withTok = kept.select(col("doc_id"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+        val joined = withTok.join(
+          TextOps.splitAssign(kept, "doc_id").select("doc_id", "bucket", "split"),
+          "doc_id")
+        TextOps.packBins(joined, "doc_id", "n_tokens", "bucket", 2048L)
+          .select("doc_id", "split", "bucket", "n_tokens", "bin")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e2.b FROM reach rc JOIN edges e2 ON rc.r = e2.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+              |f AS (SELECT d.doc_id, d.text FROM documents d
+              |      LEFT JOIN lab l ON l.id = d.doc_id
+              |      WHERE coalesce(least(l.m, d.doc_id), d.doc_id) = d.doc_id
+              |      AND len(string_split_regex(lower(trim(d.text)), '\\s+')) >= 20),
+              |bk AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS n_tokens,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+              |  FROM f),
+              |sp AS (SELECT doc_id, n_tokens, bucket,
+              |         CASE WHEN bucket < 90 THEN 'train'
+              |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+              |       FROM bk),
+              |cm AS (SELECT doc_id, split, bucket, n_tokens,
+              |         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              |       FROM sp)
+              |SELECT doc_id, split, bucket, n_tokens,
+              |       CAST(floor(bef / 2048) AS BIGINT) AS bin
+              |FROM cm ORDER BY doc_id""".stripMargin)),
 
     // Winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
     Q("text_winnowing",
