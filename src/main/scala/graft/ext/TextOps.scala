@@ -359,6 +359,51 @@ object TextOps {
         round(col("n_shared") / col("n_shingles"), 6))
   }
 
+  /** Corpus vocabulary: global top-k tokens by total occurrence count,
+    * with per-token document frequency — the first pass of tokenizer /
+    * vocab construction and the input to stopword-list induction.
+    *
+    * Scale: one hash aggregation over the exploded token stream (the
+    * map side combines per partition, so the shuffle carries one row
+    * per distinct (partition, token), not per occurrence), then a
+    * global top-k that executes as TakeOrderedAndProject — k rows per
+    * partition cross the wire, never the full vocabulary. Ties break
+    * by token ascending so the cut is deterministic. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(desc("n_total"), asc("token"))
+      .limit(k)
+
+  /** Fixed-size character chunking with overlap: split each document
+    * into windows of `chunkChars` characters starting every
+    * `chunkChars - overlap` positions — the standard context-window /
+    * RAG-passage chunker. The final chunk is short when the text runs
+    * out (no padding); empty documents yield no chunks; every
+    * character of a non-empty document is covered by ≥ 1 chunk, and no
+    * chunk is fully contained in its predecessor (a start position is
+    * emitted only while it contributes ≥ 1 new character, i.e.
+    * start < len - overlap — so a doc shorter than one chunk yields
+    * exactly one chunk, never a redundant all-overlap tail).
+    *
+    * Scale: per-row sequence + substr, no shuffle, no UDF — the chunk
+    * explosion is the output, not an intermediate. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkChars > overlap,
+      s"need 0 <= overlap < chunkChars, got $overlap/$chunkChars")
+    val step = chunkChars - overlap
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0),
+          greatest(length(col(textCol)) - overlap - 1, lit(0)), lit(step))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col(textCol).substr(col("col") + 1, lit(chunkChars)).as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1): unique-word ratio and the most-frequent-bigram fraction.
     * Pure array higher-order functions — per-row, no shuffle, no UDF;

@@ -451,6 +451,29 @@ object ExtQueries {
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Corpus vocabulary: top-50 tokens by occurrence with doc frequency
+    // (tokenizer/vocab construction first pass; TakeOrderedAndProject)
+    Q("text_vocab",
+      (s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), "doc_id", "text", 50),
+      Some("""SELECT t AS token, count(*) AS n_total,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM (SELECT doc_id,
+             |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             |      FROM documents)
+             |GROUP BY token ORDER BY n_total DESC, token LIMIT 50""".stripMargin)),
+
+    // Context-window chunking: 256-char chunks, 32-char overlap (RAG /
+    // training-window passage splitter; per-row sequence+substr)
+    Q("text_chunk",
+      (s, dir) => TextOps.chunk(Tables.documents(s, dir), "doc_id", "text", 256, 32)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""SELECT doc_id, CAST(i // 224 AS BIGINT) AS chunk_id,
+             |       substr(text, CAST(i AS INT) + 1, 256) AS chunk,
+             |       CAST(length(substr(text, CAST(i AS INT) + 1, 256)) AS BIGINT) AS n_chars
+             |FROM documents, LATERAL
+             |  (SELECT unnest(range(0, greatest(len(text) - 32, 1), 224)) AS i) u
+             |WHERE len(text) > 0 ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Repetition quality signals (Gopher-style): unique-word ratio +
     // most-frequent-bigram fraction, all array HOFs (no shuffle)
     Q("text_repetition",

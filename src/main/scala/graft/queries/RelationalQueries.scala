@@ -198,6 +198,30 @@ object RelationalQueries {
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
 
+    // GROUPING SETS with arbitrary (non-hierarchical) sets: per-flag,
+    // per-status, and grand total in one pass — the case ROLLUP/CUBE
+    // can't express. Uses the Dataset groupingSets API (Spark 4).
+    Q("agg_grouping_sets",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum2(money(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
     // Pivot: one column per line status, decimal-exact sums — the
     // oracle spells the same thing as conditional aggregation
     Q("agg_pivot",

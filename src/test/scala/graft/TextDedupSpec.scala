@@ -310,6 +310,32 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("chunk covers every character, honors overlap, drops empty docs") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunk(d, "doc_id", "text", 4, 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2))
+    // doc 1 (10 chars, step 2): starts 0,2,4,6 — start 8 would add no
+    // new character (all-overlap tail), so it is not emitted
+    val c1 = out.filter(_._1 == 1L).map(_._3)
+    assert(c1.sameElements(Seq("abcd", "cdef", "efgh", "ghij")))
+    // consecutive chunks share exactly `overlap` characters
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.drop(2) == b.take(a.length - 2)) case _ => }
+    assert(out.filter(_._1 == 2L).map(_._3).sameElements(Seq("abc")))
+    assert(!out.exists(_._1 == 3L)) // empty doc: no chunks
+    // reassembling first `step` chars of each chunk + last tail = original
+    assert(c1.init.map(_.take(2)).mkString + c1.last == "abcdefghij")
+  }
+
+  test("vocabTopK ranks by total count with deterministic token tie-break") {
+    val d = Seq((1L, "b b a a c"), (2L, "a b z")).toDF("doc_id", "text")
+    val v = TextOps.vocabTopK(d, "doc_id", "text", 3)
+      .as[(String, Long, Long)].collect()
+    assert(v.map(_._1).sameElements(Seq("a", "b", "c"))) // a=3,b=3 tie → asc; c,z tie at 1 → c
+    assert(v(0)._2 == 3L && v(0)._3 == 2L) // 'a' appears 3x across 2 docs
+    assert(v(2)._2 == 1L && v(2)._3 == 1L)
+  }
+
   test("bruteForceTopK returns k exact neighbors ranked by cosine") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
