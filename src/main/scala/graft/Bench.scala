@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * box). Both totals are reported: "value" = sum of per-query mins,
   * "value_cold" = sum of first-run times (comparable to rounds 1-3, which
   * timed a single cold run).
+  *
+  * Queries whose ENTIRE result is Memo-cached (second run = a cache read,
+  * ~0s) are listed in [[fullMemoQueries]] and report their cold time as the
+  * per-query number, so "value" never quotes cache-hit latency as
+  * steady-state cost.
+  *
+  * The JSON line is printed AFTER spark.stop() with the log level raised to
+  * ERROR, so it is the last line of process output — the driver's parser
+  * keys on that.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,10 +49,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // queries that Memo the whole result: min-of-2 would measure a cache
+    // read, so their reported steady-state number is the cold run
+    val fullMemoQueries = Set("ml_dist_path_parity")
     val results = selected.map { case (name, fn) =>
       val t1 = time(fn)
       val t2 = time(fn)
-      name -> (math.min(t1, t2), t1)
+      val steady = if (fullMemoQueries(name)) t1 else math.min(t1, t2)
+      name -> (steady, t1)
     }
     val totalMin = results.values.map(_._1).sum
     val totalCold = results.values.map(_._2).sum
@@ -68,19 +81,29 @@ object Bench {
     val sb = new StringBuilder
     var used = 0
     var kept = 0
+    // stop at the FIRST entry that doesn't fit: entries are sorted desc, so
+    // the tail is then exactly sorted.drop(kept) and the printed parts +
+    // rest_sec always sum to "value"
+    var fits = true
     sorted.foreach { case (k, (mn, _)) =>
       val ent = s""""$k":${f(mn)}"""
-      if (used + ent.length + 1 <= budget) {
+      if (fits && used + ent.length + 1 <= budget) {
         if (kept > 0) sb.append(',')
         sb.append(ent); used += ent.length + 1; kept += 1
-      }
+      } else fits = false
     }
     val rest = sorted.drop(kept)
     val restStr =
       if (rest.isEmpty) ""
       else s""","rest_n":${rest.size},"rest_sec":${f(rest.map(_._2._1).sum)}"""
-    println(header + "{" + sb.toString + "}" + restStr +
-      s""","detail":"BENCH_FULL_local.json"}""")
+    val line = header + "{" + sb.toString + "}" + restStr +
+      s""","detail":"BENCH_FULL_local.json"}"""
+    // nothing may trail the JSON line: silence Spark, stop the session,
+    // flush stderr, THEN print
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }
