@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.SeriesOps
-import graft.ml.{Clustering, Embedding, TraceBack}
+import graft.ml.{Clustering, TraceBack}
+import graft.queries.MlQueries
 
 /** The flagship end-to-end pipeline (SURVEY.md §7.3) — the reference's
   * whole purpose (README.md:15-20) over the driver's `events` table:
@@ -17,10 +17,9 @@ import graft.ml.{Clustering, Embedding, TraceBack}
   * coordinates, member count. */
 object Pipeline {
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val ser = SeriesOps.collectSeries(
-      SeriesOps.withNormalized(Tables.events(spark, dir), "value"),
-      "user_id", "min_max", "event_id")
-    val emb = Embedding.pca2d(SeriesOps.pad(ser)).cache()
+    // the Memo-cached PCA embedding shared with the ML query family —
+    // no bare session-lifetime cache here (bounded LRU owns the release)
+    val emb = MlQueries.pcaEmb(spark, dir)
     val bestK = Clustering.silhouetteScan(emb, 8).head().getInt(0)
     val assigned = Clustering.kmeans(emb, bestK)
     val reps = TraceBack.centroidRepresentatives(assigned)

@@ -18,38 +18,41 @@ object Clustering {
   private def withFeatures(emb: DataFrame): DataFrame =
     emb.withColumn("__f", array_to_vector(array(col("x"), col("y"))))
 
-  /** Small embeddings (the reference regime: one point per series) are
-    * crushed to one partition before the iterative fits — per-iteration
-    * task overhead otherwise dominates. Big inputs stay distributed. */
-  private def compactIfSmall(f: DataFrame): DataFrame = {
-    val cached = f.cache()
-    if (cached.count() < 100000) cached.coalesce(1) else cached
-  }
-
   /** C1: seeded KMeans assignment: adds `cluster` int column. Small
     * inputs use the driver-local seeded k-means++ (bitwise
     * deterministic — MLlib's k-means|| init samples per partition, so
     * its result depends on partitioning even with a fixed seed);
-    * larger inputs use the distributed MLlib fit. */
+    * larger inputs use the distributed MLlib fit.
+    *
+    * No bare cache of the caller's plan: the gate is a column-pruned
+    * limited count (the repo's probe idiom — unpersisting a
+    * caller-visible plan can evict a cache entry the caller shares,
+    * since Spark's cache manager matches canonicalized plans). The
+    * distributed path caches only the DERIVED `__f` plan and releases
+    * it after an eager materialize, like Ivf.topK. */
   def kmeans(emb: DataFrame, k: Int, seed: Long = 10,
       gate: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cached = emb.cache()
-    if (cached.count() < gate) {
-      val rows = cached
+    if (gate > 0 && emb.limit(gate.toInt).count() < gate) {
+      val rows = emb
         .select(col("series_id").cast("long"), col("x").cast("double"),
           col("y").cast("double"))
         .orderBy(col("series_id"))
         .as[(Long, Double, Double)].collect()
       val labels = Local.kmeans(rows.map(r => (r._2, r._3)), k, seed)
       val labelDf = rows.map(_._1).zip(labels).toSeq.toDF("series_id", "cluster")
-      return cached.join(labelDf, "series_id")
+      return emb.join(broadcast(labelDf), "series_id")
     }
-    val f = compactIfSmall(withFeatures(cached))
+    // distributed: MLlib's iterative fit re-reads its input every
+    // iteration — persist the derived plan, materialize the (small)
+    // assignment eagerly, release the working cache
+    val f = withFeatures(emb).cache()
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
-    model.transform(f).drop("__f")
+    val out = model.transform(f).drop("__f").localCheckpoint()
+    f.unpersist()
+    out
   }
 
   /** C4: mean silhouette (squared-euclidean, like sklearn's default
@@ -73,9 +76,10 @@ object Clustering {
   def silhouetteScan(emb: DataFrame, maxK: Int, keep: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = emb.cache().count()
+    // gate probe, not a bare cache of the caller's plan (see kmeans)
+    val gate = 100000
     val scores =
-      if (n < 100000) {
+      if (emb.limit(gate).count() < gate) {
         // deterministic collect order: the seeded k-means++ init indexes
         // into this array, so partitioning must not leak into results
         val pts = emb.select(col("x").cast("double"), col("y").cast("double"))
@@ -86,14 +90,18 @@ object Clustering {
           (k, math.rint(Local.silhouette(pts, labels, k) * 100 * 100) / 100)
         }
       } else {
+        // derived-plan cache for the k fits, released once the scores
+        // (plain doubles — already materialized) are in hand
         val f = withFeatures(emb).cache()
-        (2 to maxK).map { k =>
+        val out = (2 to maxK).map { k =>
           val m = new KMeans().setK(k).setSeed(10)
             .setFeaturesCol("__f").setPredictionCol("cluster").fit(f)
           val s = new ClusteringEvaluator().setFeaturesCol("__f")
             .setPredictionCol("cluster").evaluate(m.transform(f))
           (k, math.rint(s * 100 * 100) / 100)
         }
+        f.unpersist()
+        out
       }
     scores.sortBy { case (k, s) => (-s, k) }.take(keep)
       .toDF("k", "silhouette_pct")

@@ -111,12 +111,32 @@ object KShape {
   }
 
   /** Shape extraction: max eigenvector of Q·M·Q (Q = I − 11ᵀ/m) with
-    * deterministic sign (max-|·| element positive), z-normalized. */
+    * deterministic sign (max-|·| element positive), z-normalized.
+    * Q·M·Q is computed by double-centering (M[i,j] − rowMean[i] −
+    * colMean[j] + totalMean) — O(m²), vs the two O(m³) dense multiplies
+    * of the literal form; M is symmetric (a sum of outer products), so
+    * the centered matrix is exactly symmetric and feeds eigSym directly. */
   private def extractShape(gram: Array[Double], m: Int): Array[Double] = {
-    val gm = new DenseMatrix(m, m, gram) // symmetric, order irrelevant
-    val q = DenseMatrix.eye[Double](m) -:- DenseMatrix.fill(m, m)(1.0 / m)
-    val mc = q * gm * q
-    val es = eigSym((mc +:+ mc.t) *:* 0.5)
+    val rowMean = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      var s = 0.0; var j = 0
+      while (j < m) { s += gram(i * m + j); j += 1 }
+      rowMean(i) = s / m
+      i += 1
+    }
+    val totalMean = rowMean.sum / m
+    val centered = new Array[Double](m * m)
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < m) {
+        centered(i * m + j) = gram(i * m + j) - rowMean(i) - rowMean(j) + totalMean
+        j += 1
+      }
+      i += 1
+    }
+    val es = eigSym(new DenseMatrix(m, m, centered))
     val top = es.eigenvectors(::, es.eigenvalues.length - 1).toArray
     val idx = top.indices.maxBy(i => math.abs(top(i)))
     znorm(if (top(idx) < 0) top.map(-_) else top)
@@ -143,31 +163,48 @@ object KShape {
   }
 
   /** Driver-local fit for the reference regime (SURVEY.md §7.5 #4) —
-    * identical algorithm, no per-iteration job overhead. */
+    * identical algorithm, no per-iteration job overhead. Refinement
+    * parallelizes across CLUSTERS and assignment across fixed index
+    * chunks (each cluster's Gram is accumulated sequentially in member
+    * order and chunk results are concatenated in order, so labels are
+    * bitwise identical to the sequential form). */
   private def localFit(data: Array[(Long, Array[Double])], k: Int,
       maxIter: Int): Array[(Long, Int)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val m = data.head._2.length
     val z = data.map { case (id, v) => (id, znorm(v)) }
     var labels = z.map { case (id, _) => (id % k).toInt }
     var centroids = Array.fill(k)(Array.fill(m)(0.0))
+    val chunk = math.max(1, z.length / math.max(1, Runtime.getRuntime.availableProcessors()))
     var iter = 0
     while (iter < maxIter) {
-      val next = centroids.clone()
-      for (c <- 0 until k) {
+      val cur = centroids
+      val refined = (0 until k).map { c => Future {
         val members = z.indices.filter(labels(_) == c)
-        if (members.nonEmpty) {
-          val zeroCent = centroids(c).forall(_ == 0.0)
+        if (members.isEmpty) None
+        else {
+          val zeroCent = cur(c).forall(_ == 0.0)
           val g = Array.fill(m * m)(0.0)
           members.foreach { i =>
             val v = z(i)._2
-            val a = if (zeroCent) v else shifted(v, nccMax(v, centroids(c))._2)
+            val a = if (zeroCent) v else shifted(v, nccMax(v, cur(c))._2)
             addOuter(g, a, m)
           }
-          next(c) = extractShape(g, m)
+          Some(extractShape(g, m))
         }
+      }}
+      val next = centroids.clone()
+      refined.zipWithIndex.foreach { case (fu, c) =>
+        Await.result(fu, Duration.Inf).foreach(next(c) = _)
       }
       centroids = next
-      labels = z.map { case (_, v) => argminSbd(v, centroids) }
+      val cents = centroids
+      labels = Await.result(
+        Future.sequence(z.indices.grouped(chunk).map(idxs =>
+          Future(idxs.map(i => argminSbd(z(i)._2, cents)))).toSeq),
+        Duration.Inf).flatten.toArray
       iter += 1
     }
     z.map(_._1).zip(labels)
