@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, length, lit, lower, size, split, trim}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, length, lit, lower, md5, size, split, substring, transform, trim}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -92,6 +92,67 @@ object ExtQueries {
       |           FROM cand c JOIN e x ON x.vec_id = c.id_a
       |           JOIN e y ON y.vec_id = c.id_b
       |           WHERE list_cosine_similarity(x.v, y.v) >= 0.45)""".stripMargin
+
+  /** The corpus plus 25 planted near-duplicates: vec_id < 25 copied to
+    * vec_id + 10000 with deterministic multiplicative md5 noise
+    * (x · (1 + 0.05·w), w = first-8-hex(md5("p|id|i"))/2³¹ − 1 — the
+    * oracle-reproducible analogue of the hyperplane weights), cosine to
+    * the original ≈ 0.9996. The corpus's natural max pairwise cosine is
+    * ~0.51, so a production-threshold (≥ 0.9) query needs planted
+    * support to demonstrate recall. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // noise FIRST, id shift in a separate projection: in one select the
+    // lambda's col("vec_id") would resolve to the (vec_id + 10000)
+    // LATERAL alias, not the input column — keying the noise on the
+    // shifted id and silently diverging from the oracle
+    val planted = e.filter(col("vec_id") < 25)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.05) *
+            (conv(substring(md5(concat_ws("|", lit("p"), col("vec_id"), i)), 1, 8), 16, 10)
+              .cast("double") / lit(2147483648.0) - 1))).as("embedding"))
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    e.unionByName(planted)
+  }
+
+  /** Shared DuckDB CTEs: the planted-union corpus (mirrors
+    * [[plantedEmbeddings]]) through production-band cosine LSH — 48
+    * bits, 6 bands of 8 — at threshold 0.9. */
+  private val cosineLshProdCte =
+    """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims2 AS (SELECT max(len(v)) AS d FROM base),
+      |pwt AS (SELECT vec_id, i,
+      |          sum((strpos('0123456789abcdef', substr(md5('p|' || vec_id || '|' || i), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
+      |        FROM (SELECT vec_id FROM base WHERE vec_id < 25),
+      |             (SELECT unnest(range((SELECT d FROM dims2))) AS i),
+      |             (SELECT unnest(range(8)) AS j)
+      |        GROUP BY vec_id, i),
+      |pl AS (SELECT b.vec_id + 10000 AS vec_id,
+      |              list(b.v[p.i+1] * (1 + 0.05 * p.wt) ORDER BY p.i) AS v
+      |       FROM base b JOIN pwt p ON p.vec_id = b.vec_id
+      |       GROUP BY b.vec_id),
+      |e2 AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+      |w2 AS (SELECT b, i,
+      |         sum((strpos('0123456789abcdef', substr(md5(b::VARCHAR || '|' || i::VARCHAR), j+1, 1)) - 1) * power(16, 7-j)) / 2147483648.0 - 1.0 AS wt
+      |       FROM (SELECT unnest(range(48)) AS b), (SELECT unnest(range((SELECT d FROM dims2))) AS i), (SELECT unnest(range(8)) AS j)
+      |       GROUP BY b, i),
+      |wl2 AS (SELECT b, list(wt ORDER BY i) AS wv FROM w2 GROUP BY b),
+      |sig2 AS (SELECT e2.vec_id, wl2.b,
+      |           CASE WHEN list_dot_product(e2.v, wl2.wv) > 0 THEN 1 ELSE 0 END AS bit
+      |         FROM e2 CROSS JOIN wl2),
+      |bands2 AS (SELECT vec_id, b // 8 AS band,
+      |             CAST(sum(bit << (b % 8)) AS BIGINT) AS key
+      |           FROM sig2 GROUP BY 1, 2),
+      |cand2 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |          FROM bands2 a JOIN bands2 b
+      |          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |cpairs2 AS (SELECT c.id_a, c.id_b,
+      |              round(list_cosine_similarity(x.v, y.v), 5) AS cosine
+      |            FROM cand2 c JOIN e2 x ON x.vec_id = c.id_a
+      |            JOIN e2 y ON y.vec_id = c.id_b
+      |            WHERE list_cosine_similarity(x.v, y.v) >= 0.9)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -331,6 +392,23 @@ object ExtQueries {
       (s, dir) => cosinePairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""WITH $cosineLshCte
               |SELECT id_a, id_b, cosine FROM cpairs
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The SAME operator at the parameterization its scaladoc prescribes
+    // for corpus scale: 48 signature bits, 6 bands × 8 rows, threshold
+    // 0.9 — over the corpus plus 25 planted near-duplicates (the
+    // natural max pairwise cosine here is ~0.51, so the production
+    // threshold needs planted support). Per-band collision for a
+    // planted pair (θ ≈ 1.7°) is ~0.93, so recall over 6 bands is
+    // ~1 − 10⁻⁷, while a 0.45-cosine pair collides per-band at ~3% —
+    // candidates stay sub-quadratic on a real near-dup corpus. Recall
+    // on planted pairs is additionally spec-asserted (TextDedupSpec).
+    Q("dedup_cosine_lsh_prod",
+      (s, dir) => Dedup.cosineLshPairs(plantedEmbeddings(s, dir), "vec_id",
+          "embedding", 0.9, nBits = 48, rowsPerBand = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $cosineLshProdCte
+              |SELECT id_a, id_b, cosine FROM cpairs2
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // SEMANTIC dedup end-to-end (SemDeDup-shaped, but with

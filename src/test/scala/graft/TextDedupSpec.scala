@@ -185,6 +185,29 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
   }
 
+  test("cosineLshPairs at production bands (8 rows): planted recall >= 0.9, precision exact") {
+    // 30 base vectors + a perturbed near-duplicate of each (cosine
+    // ≈ 0.999) — the ≥0.9-cosine regime the operator's scaladoc
+    // prescribes r ≥ 8 for. Recall = found planted pairs / planted.
+    val vecs = (0L until 30L).flatMap { k =>
+      val v = Array.tabulate(16)(i => math.sin(k * 7.3 + i * 1.7))
+      val dup = v.zipWithIndex.map { case (x, i) =>
+        x * (1 + 0.03 * math.sin(k * 13.1 + i * 3.7)) }
+      Seq((k, v), (k + 1000L, dup))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val found = Dedup.cosineLshPairs(emb, "vec_id", "embedding", 0.9,
+        nBits = 48, rowsPerBand = 8)
+      .as[(Long, Long, Double)].collect()
+    val planted = (0L until 30L).map(k => (k, k + 1000L)).toSet
+    val hit = found.map(p => (p._1, p._2)).toSet.intersect(planted)
+    assert(hit.size >= 27, s"planted recall ${hit.size}/30 below 0.9")
+    // exact-cosine verification ⇒ every emitted pair really is >= 0.9
+    val brute = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(found.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+  }
+
   test("cosineLshPairs: empty input yields empty pairs; ragged dims fail loudly") {
     val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
     assert(Dedup.cosineLshPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
