@@ -77,6 +77,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Substring-level duplicated-SPAN extraction (the sub-document
+    * granularity of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): locate the maximal shared character
+    * spans between near-dup docs, not just flag the pair.
+    *
+    * Mechanics: every k-char-gram of the canonical text is hashed with
+    * the winnowing kernel's exact base-31 polynomial ([[TextOps
+    * .spanHashUdf]]). Candidate pairs come from the winnowed-minima
+    * inverted index (the winnowing guarantee: any shared run of
+    * ≥ w+k−1 chars shares at least one fingerprint, so no span above
+    * the minSpan floor can be missed by candidate generation), with
+    * the same df ≤ maxDf hot-key cap (and recall caveat) as
+    * [[jaccardPairsFrom]]. For each candidate pair, positions in A
+    * whose gram hash also occurs in B are grouped into maximal
+    * consecutive runs (gaps-and-islands over a per-pair window); a run
+    * of g grams is a shared span of g+k−1 chars. Spans below minSpan
+    * chars are dropped.
+    *
+    * Scale: the inverted-index join is banded (winnow minima ≈ 2/(w+1)
+    * of grams, df-capped); span extraction touches candidate pairs
+    * only — cost O(Σ_pairs doc length), never corpus². The per-pair
+    * window sort is keyed by (id_a, id_b) — skew = one very duplicated
+    * pair, bounded by doc length. Base-31 char polynomials are NOT
+    * injective (a·31+b = (a+1)·31+(b−31)), so a false shared gram is
+    * possible in principle — both engines compute identical hashes, so
+    * results still match the oracle bit-for-bit.
+    *
+    * Output: (id_a, id_b, n_spans, longest_span, longest_start,
+    * dup_chars) — longest_start is the 1-based char position in A's
+    * canonical text (ties → smallest start). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minSpan: Int = 30, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val base = graft.queries.Memo.cached(spark,
+      s"spanh|$k|$w|$idCol|$textCol|${docs.queryExecution.logical.semanticHash()}")(
+      docs.select(col(idCol).as("id"),
+        TextOps.spanHashUdf(k, w)(TextOps.canonCol(textCol)).as("z"))
+        .filter(col("z").isNotNull))
+    // banded candidates: winnowed minima, hot keys capped at maxDf
+    val fp = base.select(col("id"), explode(col("z.fp")).as("f"))
+    val dfreq = fp.groupBy("f").agg(count(lit(1)).as("__df"))
+    val fpr = fp.join(dfreq.filter(col("__df") <= maxDf), "f")
+    val cand = fpr.as("a").join(fpr.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // positions in A whose gram also occurs anywhere in B
+    val ph = base.select(col("id"), posexplode(col("z.hs")).as(Seq("idx", "h")))
+      .select(col("id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
+    val hb = ph.select(col("id").as("id_b"), col("h")).distinct()
+    val shared = cand
+      .join(ph.select(col("id").as("id_a"), col("pos"), col("h")), "id_a")
+      .join(hb, Seq("id_b", "h"))
+      .select("id_a", "id_b", "pos")
+    // gaps-and-islands: consecutive shared positions form one span
+    val wSpec = Window.partitionBy("id_a", "id_b").orderBy("pos")
+    val spans = shared
+      .withColumn("grp", col("pos") - row_number().over(wSpec))
+      .groupBy("id_a", "id_b", "grp")
+      .agg(min("pos").as("span_start"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+    spans.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"),
+        max(struct(col("span_len"), (-col("span_start")).as("ns"))).as("__m"),
+        sum(col("span_len")).as("dup_chars"))
+      .select(col("id_a"), col("id_b"), col("n_spans"),
+        col("__m.span_len").as("longest_span"),
+        (-col("__m.ns")).as("longest_start"), col("dup_chars"))
+  }
+
   /** Asymmetric near-dup: containment C = |A∩B| / min(|A|,|B|) ≥
     * threshold. Catches doc-inside-doc duplication (a page quoting
     * another wholesale, a doc embedded in a crawl concatenation) that

@@ -161,16 +161,19 @@ object TextOps {
     * fingerprint set. Output: per-doc fingerprint summary
     * (id, n_fp, fp_min, fp_max, fp_sum). */
   case class FpSummary(n_fp: Long, fp_min: Long, fp_max: Long, fp_sum: Long)
+  case class SpanHashes(hs: Array[Long], fp: Array[Long])
 
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
-    // True O(n) rolling kernel per doc: the hash of gram i derives from
-    // gram i−1 with one multiply-add (exact 64-bit integer arithmetic,
-    // identical values to the per-position polynomial the DuckDB
-    // oracle evaluates — the SQL-expression form costs O(n·k)
-    // interpreted substrings and a 10⁶-row window shuffle instead).
+  /** The shared rolling-hash + winnow kernel: all k-char-gram hashes in
+    * document order plus the distinct winnowed minima sorted ascending.
+    * True O(n) per doc: the hash of gram i derives from gram i−1 with
+    * one multiply-add (exact 64-bit integer arithmetic, identical
+    * values to the per-position polynomial the DuckDB oracle
+    * evaluates — the SQL-expression form costs O(n·k) interpreted
+    * substrings and a 10⁶-row window shuffle instead). Null for docs
+    * shorter than k. */
+  private[graft] def spanHashUdf(k: Int, w: Int) = {
     val top = math.pow(31, k - 1).toLong
-    val fpUdf = udf((t: String) => {
+    udf((t: String) => {
       val n = t.length
       if (n < k) None
       else {
@@ -196,16 +199,24 @@ object TextOps {
           if (hs(i) == mn) sel += hs(i)
           i += 1
         }
-        Some(FpSummary(sel.size.toLong, sel.head, sel.last, sel.sum))
+        Some(SpanHashes(hs, sel.toArray))
       }
     })
-    val canon = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    df.select(col(idCol), fpUdf(canon).as("fp"))
-      .filter(col("fp").isNotNull)
-      .select(col(idCol), col("fp.n_fp").as("n_fp"),
-        col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
-        col("fp.fp_sum").as("fp_sum"))
   }
+
+  /** Canonical text for the k-gram kernels: lowercased, whitespace
+    * collapsed, trimmed — formatting must not break span identity. */
+  private[graft] def canonCol(textCol: String) =
+    trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol), spanHashUdf(k, w)(canonCol(textCol)).as("z"))
+      .filter(col("z").isNotNull)
+      .select(col(idCol), size(col("z.fp")).cast("long").as("n_fp"),
+        element_at(col("z.fp"), 1).as("fp_min"),
+        element_at(col("z.fp"), -1).as("fp_max"),
+        aggregate(col("z.fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
 
   /** Token-count estimators: whitespace words, alnum regex tokens, and
     * a BPE-ish chars/4 estimate. */

@@ -215,6 +215,53 @@ object ExtQueries {
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / least(na.n, nb.n) >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Substring-level duplicated-SPAN extraction (Lee et al. 2022
+    // granularity): WHERE the duplication lives, not just that a pair
+    // is similar — maximal shared char runs ≥ 30 between candidate
+    // pairs from the winnowed-fingerprint inverted index. The
+    // winnowing guarantee (a shared run of ≥ w+k−1 chars shares a
+    // fingerprint) makes candidate generation lossless above the span
+    // floor, modulo the same df ≤ 100 hot-key cap as the Jaccard
+    // family.
+    Q("dedup_span_pairs",
+      (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              |           FROM documents),
+              |g AS (SELECT doc_id, i,
+              |        ${(0 until 8).map(j => s"CAST(ascii(substr(t, CAST(i + $j AS INT), 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}").mkString(" + ")} AS hv
+              |      FROM c, LATERAL (SELECT unnest(range(1, length(t) - 6)) AS i) u
+              |      WHERE length(t) >= 8),
+              |wm AS (SELECT doc_id, i, hv,
+              |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+              |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+              |       FROM g),
+              |sel AS (SELECT DISTINCT doc_id, hv FROM wm WHERE hv = wmin),
+              |dfc AS (SELECT hv, count(*) AS nfp FROM sel GROUP BY hv),
+              |selr AS (SELECT sel.doc_id, sel.hv FROM sel JOIN dfc USING (hv) WHERE nfp <= 100),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM selr a JOIN selr b ON a.hv = b.hv AND a.doc_id < b.doc_id),
+              |hb AS (SELECT DISTINCT doc_id, hv FROM g),
+              |shp AS (SELECT cd.id_a, cd.id_b, g.i AS pos
+              |        FROM cand cd JOIN g ON g.doc_id = cd.id_a
+              |        JOIN hb ON hb.doc_id = cd.id_b AND hb.hv = g.hv),
+              |isl AS (SELECT id_a, id_b, pos,
+              |          pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+              |        FROM shp),
+              |sp AS (SELECT id_a, id_b, min(pos) AS span_start,
+              |         count(*) + 7 AS span_len
+              |       FROM isl GROUP BY id_a, id_b, grp
+              |       HAVING count(*) + 7 >= 30),
+              |agg AS (SELECT id_a, id_b, count(*) AS n_spans,
+              |          max(span_len) AS longest_span,
+              |          CAST(sum(span_len) AS BIGINT) AS dup_chars
+              |        FROM sp GROUP BY 1, 2)
+              |SELECT a.id_a AS id_a, a.id_b AS id_b, a.n_spans, a.longest_span,
+              |       min(s.span_start) AS longest_start, a.dup_chars
+              |FROM agg a JOIN sp s ON s.id_a = a.id_a AND s.id_b = a.id_b
+              |  AND s.span_len = a.longest_span
+              |GROUP BY 1, 2, 3, 4, 6 ORDER BY 1, 2""".stripMargin)),
+
     // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
     // pairs share a full band, then exact-Jaccard verification of
     // candidates only (the scale path: pair volume ∝ true near-dups)

@@ -185,6 +185,32 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
   }
 
+  test("duplicatedSpans: planted shared paragraph located exactly; unrelated docs silent") {
+    // docs 1 and 2 share one exact 69-char paragraph at different
+    // offsets inside otherwise-different text; doc 3 is unrelated.
+    // The chars ADJACENT to the paragraph differ between the docs
+    // (';' vs '!'), so no gram crossing the boundary is shared and the
+    // maximal island is exactly the paragraph — with matching flanks
+    // (e.g. both docs spacing the paragraph identically) the operator
+    // would correctly report the longer run including them.
+    val para = "the quick brown fox jumps over the lazy dog near a riverbank at dawn"
+    val d = Seq(
+      (1L, s"intro text alpha;$para; and then some trailing words"),
+      (2L, s"completely different opening here with words!$para! closing remark"),
+      (3L, "nothing in common with the others at all whatsoever entirely distinct")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", minSpan = 30,
+        maxDf = Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(spans.length == 1)
+    val (a, b, nSpans, longest, start, dupChars) = spans.head
+    assert((a, b) == (1L, 2L) && nSpans == 1L && dupChars == longest)
+    assert(longest == para.length,
+      s"expected span of ${para.length} chars, got $longest")
+    // 1-based start in doc 1's canonical text: after "intro text alpha;"
+    assert(start == "intro text alpha;".length + 1)
+  }
+
   test("cosineLshPairs at production bands (8 rows): planted recall >= 0.9, precision exact") {
     // 30 base vectors + a perturbed near-duplicate of each (cosine
     // ≈ 0.999) — the ≥0.9-cosine regime the operator's scaladoc
