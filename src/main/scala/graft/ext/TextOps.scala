@@ -218,31 +218,74 @@ object TextOps {
         element_at(col("z.fp"), -1).as("fp_max"),
         aggregate(col("z.fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
 
-  /** Token-count estimators: whitespace words, alnum regex tokens, and
-    * a BPE-ish chars/4 estimate. */
+  /** Deterministic subword merge table for [[tokenCounts]]: common
+    * English character n-grams (public frequency lists), longest
+    * first, frequency-ordered within a length. Compiled into ONE
+    * alternation regex with a single-char fallback: regex matching is
+    * leftmost-first with in-order alternation preference in BOTH Java
+    * regex and DuckDB's RE2, so "match the tokenizer regex repeatedly"
+    * IS a greedy longest-preference subword tokenizer that the oracle
+    * reproduces verbatim — the broadcast merge table is a literal in
+    * the plan and the count stays codegen'd (no UDF). */
+  private[graft] val bpeVocab: Seq[String] = Seq(
+    "tion", "ment", "that", "with", "this", "here", "ther", "ight",
+    "the", "ing", "and", "ion", "ent", "for", "her", "ter", "hat",
+    "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons",
+    "nce", "men", "ith", "ted", "ers", "pro", "are", "ess", "not",
+    "ive", "was", "ect", "rea", "com", "eve", "per", "int", "est",
+    "sta", "ica", "ist",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+    "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch",
+    "ll", "be", "ma", "si", "om", "ur")
+  private[graft] val bpeRe: String =
+    (bpeVocab :+ "[a-z0-9]").mkString("(", "|", ")")
+
+  /** Token counts: whitespace words, alnum regex tokens, an actual
+    * greedy-subword tokenization over the fixed merge table above
+    * (n_bpe), and the chars/4 rule of thumb kept for comparison
+    * (n_bpe_est). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       size(tokensCol(col(textCol))).cast("long").as("n_ws"),
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
+      size(regexp_extract_all(lower(col(textCol)), lit(bpeRe), lit(0)))
+        .cast("long").as("n_bpe"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
 
-  /** PII scrubbing: count and redact email addresses and URLs. The
-    * patterns are deliberately conservative character-class regexes
-    * that mean the same thing in Java regex and DuckDB's RE2 (no
-    * lookaround, no backrefs), so the oracle reproduces the redacted
-    * text bit-for-bit; the redacted column is fingerprinted (md5)
-    * rather than emitted raw. Per-row, no shuffle. */
+  /** PII scrubbing: count and redact email addresses, URLs, phone
+    * numbers and IPv4 addresses. The patterns are deliberately
+    * conservative character-class regexes that mean the same thing in
+    * Java regex and DuckDB's RE2 (no lookaround, no backrefs), so the
+    * oracle reproduces the redacted text bit-for-bit; the redacted
+    * column is fingerprinted (md5) rather than emitted raw. Per-row,
+    * no shuffle.
+    *
+    * Conservative by design: the phone shape requires separators
+    * (+CC / (NXX) / dashes / dots) so a bare 10-digit run is NOT
+    * flagged — fewer false redactions at the cost of missing unpunctuated
+    * numbers; the IPv4 \b boundaries are ASCII-identical in both
+    * engines but will match the leading 4 octets of a longer dotted
+    * run (e.g. a version string 1.2.3.4.5). Scrub order is URL →
+    * email → phone → IP, so digits inside a URL are already gone when
+    * the number passes run; the n_* counts are over the RAW text. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlRe = "https?://[^ \\t\\n]+"
+  val phoneRe = "(\\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}"
+  val ipv4Re = "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
   def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val scrubbed = regexp_replace(
-      regexp_replace(t, urlRe, "<URL>"), emailRe, "<EMAIL>")
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(t, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>"), ipv4Re, "<IP>")
     // Column API, not expr(): a SQL string literal would eat the
     // regex backslashes (Spark parses \ escapes in literals)
     df.select(col(idCol),
       size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t, lit(urlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
       md5(scrubbed.cast("binary")).as("redacted_fp"))
   }
 

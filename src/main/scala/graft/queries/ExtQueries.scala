@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, length, lit, lower, md5, size, split, substring, transform, trim}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, length, lit, lower, lpad, md5, size, split, substring, transform, trim}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -566,13 +566,15 @@ object ExtQueries {
               |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Token counting: whitespace, alnum-regex, BPE-ish chars/4
+    // Token counting: whitespace, alnum-regex, actual greedy-subword
+    // merges over the fixed vocab (n_bpe), and chars/4 (n_bpe_est)
     Q("text_token_counts",
       (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws,
+      Some(s"""SELECT doc_id,
+             |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws,
              |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_alnum,
+             |  CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe,
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -627,18 +629,29 @@ object ExtQueries {
         val planted = Tables.documents(s, dir).select(col("doc_id"),
           concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
             lit("@example.com via https://example.org/d/"),
-            col("doc_id").cast("string")).as("text"))
+            col("doc_id").cast("string"),
+            lit(" call +1 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.42")).as("text"))
         TextOps.redact(planted, "doc_id", "text").orderBy("doc_id")
       },
       Some("""WITH planted AS (SELECT doc_id,
              |  text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
-             |  '@example.com via https://example.org/d/' || CAST(doc_id AS VARCHAR) AS text
+             |  '@example.com via https://example.org/d/' || CAST(doc_id AS VARCHAR) ||
+             |  ' call +1 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.42' AS text
              |  FROM documents)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
              |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
-             |  md5(regexp_replace(regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g'),
-             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+             |  CAST(len(regexp_extract_all(text, '(\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(text, '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b')) AS BIGINT) AS n_ips,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |      'https?://[^ \t\n]+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '(\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'),
+             |      '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g')) AS redacted_fp
              |FROM planted ORDER BY doc_id""".stripMargin)),
 
     // Deterministic hash-based train/val/test split (90/5/5): bucket =

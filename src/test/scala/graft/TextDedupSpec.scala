@@ -185,6 +185,19 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
   }
 
+  test("tokenCounts n_bpe: greedy subword segmentation over the fixed merge table") {
+    // hand-derived segmentations under leftmost-first, longest-listed-
+    // first alternation: "the|the|or|y|of|th|ing|s" = 8,
+    // "int|er|n|at|ion|al|i|z|at|ion" = 10, digits fall back per-char
+    val d = Seq(
+      (1L, "the theory of things"),
+      (2L, "internationalization"),
+      (3L, "a1 b2")).toDF("doc_id", "text")
+    val out = TextOps.tokenCounts(d, "doc_id", "text")
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 8L, 2L -> 10L, 3L -> 4L), s"got $out")
+  }
+
   test("duplicatedSpans: planted shared paragraph located exactly; unrelated docs silent") {
     // docs 1 and 2 share one exact 69-char paragraph at different
     // offsets inside otherwise-different text; doc 3 is unrelated.
@@ -284,18 +297,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("redact counts and scrubs emails/URLs; splitAssign is a stable 100-bucket hash") {
+  test("redact counts and scrubs emails/URLs/phones/IPs; splitAssign is a stable 100-bucket hash") {
     val d = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or see https://x.io/p?q=1 thanks"),
-      (2L, "no pii here at all")).toDF("doc_id", "text")
+      (2L, "no pii here at all"),
+      (3L, "call +1 (555) 123-4567 or 555.000.1234 from host 192.168.0.7 now"),
+      // conservative-by-design cases: bare 10 digits are NOT a phone;
+      // a 5-part dotted run still exposes its leading-octets match
+      (4L, "order 5551234567 shipped v1.2.3.4.5")).toDF("doc_id", "text")
     val out = TextOps.redact(d, "doc_id", "text")
-      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
-    assert(out(0)._2 == 1L && out(0)._3 == 1L)
-    assert(out(1)._2 == 0L && out(1)._3 == 0L)
-    val expected = java.security.MessageDigest.getInstance("MD5")
-      .digest("mail me at <EMAIL> or see <URL> thanks".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    assert(out(0)._4 == expected, "redacted fingerprint mismatch")
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 1L && out(0)._3 == 1L && out(0)._4 == 0L && out(0)._5 == 0L)
+    assert(out(1)._2 == 0L && out(1)._3 == 0L && out(1)._4 == 0L && out(1)._5 == 0L)
+    assert(out(2)._4 == 2L && out(2)._5 == 1L, s"phones/ips: ${out(2)}")
+    assert(out(3)._4 == 0L && out(3)._5 == 1L, s"conservative cases: ${out(3)}")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(0)._6 == md5hex("mail me at <EMAIL> or see <URL> thanks"),
+      "redacted fingerprint mismatch")
+    assert(out(2)._6 == md5hex("call <PHONE> or <PHONE> from host <IP> now"),
+      "phone/ip redaction mismatch")
 
     val split = TextOps.splitAssign(docs, "doc_id").collect()
     split.foreach { r =>
