@@ -277,15 +277,43 @@ object Dedup {
     * broadcasts the batch side when it fits — plus a batch×batch self
     * band-join that is quadratic only in the batch. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, n: Int, numHashes: Int, threshold: Double): DataFrame = {
+      textCol: String, n: Int, numHashes: Int, threshold: Double): DataFrame =
+    incrementalDedupFrom(
+      minhashBandedFlat(memoShingles(corpus, idCol, textCol, n), idCol, numHashes),
+      corpus, batch, idCol, textCol, n, numHashes, threshold)
+
+  /** Write the corpus's banded MinHash signature table BUCKETED by the
+    * band key — the persisted half of the incremental-dedup story:
+    * at 100 TB the corpus signatures are computed once, land bucketed
+    * on (band, key), and every day's probe equi-join reads them
+    * co-partitioned — zero Exchange on the corpus side, only the
+    * (small) batch side shuffles (asserted in BucketingSpec). */
+  def persistBandedSignatures(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, table: String,
+      buckets: Int): Unit =
+    minhashBandedFlat(memoShingles(corpus, idCol, textCol, n), idCol, numHashes)
+      .write.format("parquet").bucketBy(buckets, "band", "key")
+      .sortBy("band", "key").mode("overwrite").saveAsTable(table)
+
+  /** [[incrementalDedup]] with the corpus candidates read from a
+    * precomputed banded signature table (id, band, key) — pass
+    * `spark.table(...)` of a [[persistBandedSignatures]] table to get
+    * the probe join without reshuffling the corpus side. The corpus
+    * docs are still consulted for exact-Jaccard verification, but only
+    * for candidate partners (a semi-join-sized read, not a corpus
+    * scan-and-shuffle). */
+  def incrementalDedupFrom(bandedC: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, threshold: Double): DataFrame = {
     val shC = memoShingles(corpus, idCol, textCol, n)
     val shB = memoShingles(batch, idCol, textCol, n)
-    val bandedC = minhashBanded(shC, idCol, numHashes)
-    val bandedB = minhashBanded(shB, idCol, numHashes)
-    val cb = bandedC.as("a").join(bandedB.as("b"), col("a.bk") === col("b.bk"))
+    val bandedB = minhashBandedFlat(shB, idCol, numHashes)
+    val cb = bandedC.as("a").join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col(s"a.$idCol").as("partner"), col(s"b.$idCol").as("doc"))
     val bb = bandedB.as("a").join(bandedB.as("b"),
-        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("partner"), col(s"b.$idCol").as("doc"))
     val cand = cb.unionAll(bb).distinct()
     val shAll = shC.select(col(idCol), col("s"))
@@ -341,6 +369,14 @@ object Dedup {
 
   /** (id, bk) banded minhash rows: numHashes/2 bands of r=2, band key =
     * concatenation of the band's two minhashes. */
+  /** [[minhashBanded]] with the band struct flattened to (band, key)
+    * top-level columns — the bucketable layout [[persistBandedSignatures]]
+    * writes and the incremental probes join on. */
+  private[graft] def minhashBandedFlat(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    minhashBanded(sh, idCol, numHashes)
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
   private def minhashBanded(sh: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 bands)")

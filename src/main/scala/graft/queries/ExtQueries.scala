@@ -389,6 +389,52 @@ object ExtQueries {
               |FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
               |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin)),
 
+    // PERSIST-AND-PROBE dedup — the incremental operator's actual
+    // 100-TB deployment shape run end-to-end: the corpus's banded
+    // signatures are WRITTEN bucketed by (band, key) once per
+    // (session, corpus), and the batch probe reads them co-partitioned
+    // (zero Exchange on the corpus side — asserted structurally in
+    // BucketingSpec). Identical keep/drop semantics to
+    // dedup_incremental, so the same oracle must hash-match.
+    Q("dedup_persist_probe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") < 400)
+        val db = "graft_probe"
+        val table = s"$db.bands_${math.abs(dir.hashCode)}"
+        if (!s.catalog.tableExists(table)) {
+          val loc = new java.io.File(
+            sys.props("java.io.tmpdir"), "graft_probe_db").getAbsolutePath
+          s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+          Dedup.persistBandedSignatures(corpus, "doc_id", "text", 3, 8, table, 8)
+        }
+        Dedup.incrementalDedupFrom(s.table(table), corpus,
+            docs.filter(col("doc_id") >= 400), "doc_id", "text", 3, 8, 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS partner, b.doc_id AS doc
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND b.doc_id >= 400
+              |         AND (a.doc_id < 400 OR a.doc_id < b.doc_id)),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.doc, c.partner, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.partner
+              |          JOIN sh y ON y.doc_id = c.doc AND y.s = x.s
+              |          GROUP BY 1, 2),
+              |dup AS (SELECT doc, min(partner) AS dup_of FROM inter
+              |        JOIN ns na ON na.doc_id = partner
+              |        JOIN ns nb ON nb.doc_id = doc
+              |        WHERE i / (na.n + nb.n - i) >= 0.5 GROUP BY doc)
+              |SELECT d.doc_id, dup.dup_of, (dup.dup_of IS NULL) AS keep
+              |FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
+              |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin)),
+
     // Per-doc 32-bit SimHash fingerprints
     Q("dedup_simhash",
       (s, dir) => Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
