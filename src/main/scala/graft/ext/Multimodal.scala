@@ -166,13 +166,112 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed MP4/ISO-BMFF container metadata: major brand (ftyp),
+    * movie timescale + duration in ticks (mvhd), track count (trak). */
+  case class Mp4Meta(brand: String, timescale: Long, duration: Long, nTracks: Int)
+
+  /** REAL MP4 container metadata via a pure-JDK ISO-BMFF box walk
+    * (ISO/IEC 14496-12 box grammar: 4-byte big-endian size, 4-byte
+    * type; size==1 → 64-bit largesize follows): reads the ftyp major
+    * brand, the moov/mvhd timescale + duration (version 0 and 1
+    * layouts), and counts moov/trak boxes. No codec needed — duration
+    * and track structure live in the container, not the bitstream.
+    * Returns None for anything malformed (truncated box, missing
+    * ftyp/moov/mvhd) rather than throwing: one bad record must not
+    * kill a 100-TB job. */
+  private[graft] def parseMp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    // walk boxes in [from, to); f receives (boxType, payloadOff, payloadEnd)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var pos = from
+      while (pos < to) {
+        if (pos + 8 > to) return false
+        var size = u32(pos)
+        var hdr = 8
+        if (size == 1) {
+          if (pos + 16 > to) return false
+          size = u64(pos + 8); hdr = 16
+        } else if (size == 0) size = (to - pos).toLong // box runs to end
+        if (size < hdr || pos + size > to) return false
+        f(new String(bytes, pos + 4, 4, "US-ASCII"), pos + hdr, pos + size.toInt)
+        pos += size.toInt
+      }
+      true
+    }
+    try {
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      var tracks = 0
+      val ok = walk(0, bytes.length) { (typ, off, end) =>
+        typ match {
+          case "ftyp" if end - off >= 4 && brand == null =>
+            brand = new String(bytes, off, 4, "US-ASCII")
+          case "moov" =>
+            val inner = walk(off, end) { (t, o, e) =>
+              t match {
+                case "mvhd" if e - o >= 4 =>
+                  val version = bytes(o) & 0xFF
+                  if (version == 0 && e - o >= 20) {
+                    timescale = u32(o + 12); duration = u32(o + 16)
+                  } else if (version == 1 && e - o >= 28) {
+                    timescale = u32(o + 20); duration = u64(o + 24)
+                  }
+                case "trak" => tracks += 1
+                case _ => ()
+              }
+            }
+            if (!inner) { timescale = -1 } // malformed moov → None
+          case _ => ()
+        }
+      }
+      if (ok && brand != null && timescale > 0 && duration >= 0)
+        Some(Mp4Meta(brand, timescale, duration, tracks))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
+    * moov(mvhd v0 + trak×k) with duration = (id·97 + 41) mod 100000
+    * ticks at timescale 1000 and k = 1 + id mod 3 tracks — pure
+    * integer functions of id, so an external oracle recomputes the
+    * parsed metadata without seeing the bytes. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val nTracks = 1 + (id % 3).toInt
+    val duration = (id * 97 + 41) % 100000
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(1000) ++ be32(duration) ++
+        be32(0x00010000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ // volume + reserved
+        new Array[Byte](36) ++ new Array[Byte](24) ++ // matrix + predefined
+        be32(nTracks + 1L)) // next_track_ID
+    val traks = (0 until nTracks).flatMap(i =>
+      box("trak", box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L)))).toArray
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+
   /** Fallback for payloads that are NOT decodable images: byte
     * histogram moments standing in for real feature extraction.
-    * STUB — video codecs genuinely don't ship with the JDK (image and
-    * PCM-audio decode are real, above); replace this body with an
-    * ffmpeg binding in production. */
+    * STUB — and since [[parseMp4Metadata]] reads real video CONTAINER
+    * metadata (brand, duration, tracks) codec-free, the fence now
+    * covers only FRAME/pixel decode of video bitstreams, which
+    * genuinely needs codecs the JDK doesn't ship (image and PCM-audio
+    * decode are real, above); replace this body with an ffmpeg binding
+    * in production. */
   private[ext] def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-    // >>> STUB: byte-histogram stand-in (audio/video codecs absent) <<<
+    // >>> STUB: byte-histogram stand-in (video FRAME decode only) <<<
     val hist = new Array[Double](16)
     bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
     val n = math.max(1, bytes.length)

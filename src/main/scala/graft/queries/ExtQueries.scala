@@ -401,11 +401,18 @@ object ExtQueries {
         val docs = Tables.documents(s, dir)
         val corpus = docs.filter(col("doc_id") < 400)
         val db = "graft_probe"
-        val table = s"$db.bands_${math.abs(dir.hashCode)}"
+        val name = s"bands_${math.abs(dir.hashCode)}"
+        val table = s"$db.$name"
         if (!s.catalog.tableExists(table)) {
           val loc = new java.io.File(
             sys.props("java.io.tmpdir"), "graft_probe_db").getAbsolutePath
           s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+          // a PREVIOUS session's managed-table directory may survive its
+          // (in-memory) catalog entry — saveAsTable refuses to create
+          // over an existing location, so clear the leftover first
+          val p = new org.apache.hadoop.fs.Path(s"$loc/$name")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
           Dedup.persistBandedSignatures(corpus, "doc_id", "text", 3, 8, table, 8)
         }
         Dedup.incrementalDedupFrom(s.table(table), corpus,

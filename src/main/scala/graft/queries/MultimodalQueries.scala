@@ -89,6 +89,30 @@ object MultimodalQueries {
              |  CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
              |FROM w GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // REAL video CONTAINER metadata: synthesize a minimal valid MP4
+    // per doc (ftyp + moov/mvhd + trak×k, all pure functions of the
+    // id), walk its ISO-BMFF boxes codec-free, emit brand/timescale/
+    // duration/track-count — oracle-checked against the closed forms.
+    // Narrows the video stub to FRAME decode only.
+    Q("multimodal_video_metadata",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val m = Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(id)).get
+            (id, m.brand, m.timescale, m.duration, m.nTracks.toLong)
+          }
+        }.toDF("id", "brand", "timescale", "duration_ticks", "n_tracks")
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 'isom' AS brand,
+             |  CAST(1000 AS BIGINT) AS timescale,
+             |  CAST((doc_id*97 + 41) % 100000 AS BIGINT) AS duration_ticks,
+             |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+             |FROM documents ORDER BY id""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

@@ -81,6 +81,22 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(truncated).isEmpty)
   }
 
+  test("MP4 box walk: synthetic container parses to closed-form metadata; malformed -> None") {
+    // syntheticMp4 fields are pure functions of the id
+    for (id <- Seq(0L, 5L, 41L, 1234L)) {
+      val m = Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(id))
+      assert(m.isDefined, s"id=$id should parse")
+      assert(m.get == Multimodal.Mp4Meta("isom", 1000L,
+        (id * 97 + 41) % 100000, 1 + (id % 3).toInt), s"id=$id got ${m.get}")
+    }
+    // malformed payloads: None, never throw (bad record != dead job)
+    assert(Multimodal.parseMp4Metadata("plain text, not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(9L).take(40)).isEmpty)
+    assert(Multimodal.parseMp4Metadata(Array.emptyByteArray).isEmpty)
+    // a WAV is a valid container for ANOTHER format — no ftyp, so None
+    assert(Multimodal.parseMp4Metadata(Multimodal.syntheticWav(3L)).isEmpty)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
     val frames = Multimodal.sampleFrames(media, 64, 2).collect()
