@@ -474,4 +474,79 @@ object TextOps {
         round(expr(
           "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
           / (col("n") - 1), 6).as("top_bigram_frac"))
+
+  /** Benchmark decontamination (GPT-3 appendix C / PaLM style): flag
+    * every training document that shares an n-gram shingle with the
+    * held-out evaluation set. Input is the (id, s) shingle table (one
+    * shared pass — the same table dedup and coverage read) plus a
+    * predicate marking eval docs; output is one row per TRAIN doc with
+    * its shingle count, the number of shingles also present in any
+    * eval doc, and the contamination flag.
+    *
+    * Scale: the eval side collapses to its DISTINCT shingle set — a
+    * benchmark suite is megabytes against a 100-TB corpus, so it is
+    * broadcast and the corpus-side shingle stream never shuffles for
+    * the probe; the per-doc rollup is the one keyed aggregation. */
+  def decontaminate(sh: DataFrame, idCol: String, isEval: Column): DataFrame = {
+    val evalSh = sh.filter(isEval).select(col("s")).distinct()
+    sh.filter(!isEval)
+      .join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_eval_hits"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
+
+  /** Intra-document exact line dedup (the within-doc half of Lee et
+    * al. 2022's "Deduplicating Training Data Makes Language Models
+    * Better"): drop every repeat of a line already seen earlier in the
+    * same document, keeping first occurrences in order. Output is the
+    * per-doc summary — total lines, kept lines, and the md5 of the
+    * cleaned text (so the oracle checks the reconstruction, not just
+    * the counts).
+    *
+    * Scale: explode to (id, pos, line), one keyed aggregation to
+    * first-occurrence per (id, line), one rollup back to id with the
+    * kept lines reassembled by sorted struct — no window, no UDF, and
+    * the only shuffle key is the doc id the pipeline is already
+    * partitioned by. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("__first"), count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("__first"), col("line")))),
+            x => x("line"))).cast("binary")).as("clean_fp"))
+      .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
+  }
+
+  /** Extended Gopher quality rules (Rae et al. 2021 §A1.1) beyond
+    * [[quality]]'s ratios: mean/max word length (over words, not
+    * characters-including-spaces), fraction of words containing an
+    * alphabetic character, fraction of purely-numeric words, and the
+    * symbol-to-word ratio ('#' and '...' occurrences per word). All
+    * per-row array HOFs and codegen'd string ops — no shuffle. */
+  def qualityGopher(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      round(expr(s"aggregate(transform(split(lower(trim($textCol)), '\\\\s+'), x -> length(x)), 0L, (a, x) -> a + x)")
+        .cast("double") / size(toks), 4).as("mean_word_len"),
+      expr(s"array_max(transform(split(lower(trim($textCol)), '\\\\s+'), x -> length(x)))")
+        .cast("long").as("max_word_len"),
+      round(size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / size(toks), 6)
+        .as("alpha_word_ratio"),
+      round(size(filter(toks, x => x.rlike("^[0-9]+$"))).cast("double") / size(toks), 6)
+        .as("num_word_ratio"),
+      round((nHash + nEllipsis).cast("double") / size(toks), 6).as("symbol_word_ratio"))
+  }
 }

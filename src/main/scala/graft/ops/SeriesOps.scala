@@ -118,4 +118,86 @@ object SeriesOps {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         col("v"), (col("n_obs").isNull).as("is_gap"))
   }
+
+  /** Resample to a fixed interval with LINEAR interpolation gap-fill:
+    * same binning/grid as [[resampleLocf]], but an empty bin takes
+    * `prev + (next - prev) · (bin - prevBin)/(nextBin - prevBin)` from
+    * its nearest observed neighbours. The grid spans each key's first
+    * to last observed bin, so every gap has both neighbours — no
+    * extrapolation case exists by construction.
+    *
+    * Scale: identical shape to LOCF — one shuffle onto the key, two
+    * ordered window passes (backward + forward) instead of one.
+    *
+    * The bin means are quantized to `quantizeDp` decimals BEFORE
+    * interpolating: the blend `pv + (nv−pv)·frac` amplifies last-ulp
+    * engine differences in `avg` across the rounding boundary of the
+    * reported value (measured: 11 of 105k rows at 6dp), so the
+    * operator is defined as interpolating the reported bin values —
+    * identical decimal inputs make the IEEE arithmetic, and thus the
+    * output, bitwise engine-independent.
+    * Output: (keyCol, bin_start_s, n_obs, v: filled mean, is_gap). */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      vc: String, intervalSec: Long, quantizeDp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bin = floor(unix_timestamp(col(tsCol)) / intervalSec).cast("long")
+    val agged = df.na.drop(Seq(vc))
+      .withColumn("__bin", bin)
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(avg(col(vc)), quantizeDp).as("__v"))
+    val grid = agged.groupBy(col(keyCol))
+      .agg(min(col("__bin")).as("__b0"), max(col("__bin")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("__bin"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsBin = when(col("__v").isNotNull, col("__bin"))
+    grid.join(agged, Seq(keyCol, "__bin"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pb", last(obsBin, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nb", first(obsBin, ignoreNulls = true).over(wNext))
+      .withColumn("v", when(col("__v").isNotNull, col("__v")).otherwise(
+        col("__pv") + (col("__nv") - col("__pv")) *
+          ((col("__bin") - col("__pb")).cast("double") /
+            (col("__nb") - col("__pb")).cast("double"))))
+      .select(col(keyCol), (col("__bin") * intervalSec).as("bin_start_s"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("v"), (col("n_obs").isNull).as("is_gap"))
+  }
+
+  /** Robust per-key outlier statistics: median + MAD (median absolute
+    * deviation) per key, and the count of points whose modified z-score
+    * `0.6745·(v − median)/MAD` (Iglewicz–Hoaglin) exceeds 3.5. The
+    * robust twin of the global z-score outlier scan — a handful of
+    * extreme points cannot drag the threshold the way they drag
+    * mean/stddev.
+    *
+    * Scale: three key-partitioned aggregations (median; MAD over the
+    * deviations; the outlier count) with the data re-joined on the key
+    * between them — each join is keyed the same way, so AQE reuses the
+    * partitioning. Exact interpolated percentiles; at 100 TB the same
+    * shape runs with `approx_percentile` and nothing else changes.
+    * Output: (keyCol, n, med, mad, n_outliers). */
+  def madOutlierStats(df: DataFrame, keyCol: String, vc: String): DataFrame = {
+    val clean = df.na.drop(Seq(vc))
+    val med = clean.groupBy(col(keyCol))
+      .agg(percentile(col(vc), lit(0.5)).as("med"))
+    val dev = clean.join(med, Seq(keyCol))
+      .withColumn("__ad", abs(col(vc) - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(first(col("med")).as("med"),
+        percentile(col("__ad"), lit(0.5)).as("mad"))
+    dev.drop("med").join(mad, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 &&
+            lit(0.6745) * col("__ad") / col("mad") > lit(3.5), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -259,6 +259,74 @@ object CoreQueries {
              |       round(v, 6) AS v, is_gap
              |FROM f ORDER BY user_id, bin_start_s""".stripMargin)),
 
+    // Linear-interpolation resample: same bin grid as LOCF, gaps take
+    // the distance-weighted blend of nearest observed neighbours (the
+    // grid spans first..last observed bin, so neighbours always exist).
+    // Output quantization is floor(x·1e6 + 0.5)/1e6 rather than
+    // round(x, 6): the blend of 6dp-quantized neighbours lands EXACTLY
+    // on 7th-decimal ties (frac = 1/2, 1/4, …), where Spark's
+    // BigDecimal round and DuckDB's multiply-based round disagree on
+    // the same double — floor is the same cliff in both engines.
+    Q("evt_resample_interp",
+      (s, dir) => SeriesOps.resampleInterp(
+          Tables.events(s, dir), "user_id", "ts", "value", 3600L)
+        .select(col("user_id"), col("bin_start_s"), col("n_obs"),
+          (floor(col("v") * 1e6 + 0.5) / 1e6).as("v"), col("is_gap"))
+        .orderBy("user_id", "bin_start_s"),
+      Some("""WITH a AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bin,
+             |             count(*) AS n_obs, round(avg(value), 6) AS v
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bin
+             |      FROM (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+             |            FROM a GROUP BY user_id)),
+             |f AS (SELECT g.user_id, g.bin, coalesce(a.n_obs, 0) AS n_obs, a.v,
+             |        last_value(a.v IGNORE NULLS) OVER (
+             |          PARTITION BY g.user_id ORDER BY g.bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |        last_value(CASE WHEN a.v IS NOT NULL THEN g.bin END IGNORE NULLS) OVER (
+             |          PARTITION BY g.user_id ORDER BY g.bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             |        first_value(a.v IGNORE NULLS) OVER (
+             |          PARTITION BY g.user_id ORDER BY g.bin
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN a.v IS NOT NULL THEN g.bin END IGNORE NULLS) OVER (
+             |          PARTITION BY g.user_id ORDER BY g.bin
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+             |        a.n_obs IS NULL AS is_gap
+             |      FROM g LEFT JOIN a USING (user_id, bin))
+             |SELECT user_id, bin * 3600 AS bin_start_s, n_obs,
+             |       floor((CASE WHEN NOT is_gap THEN v
+             |             ELSE pv + (nv - pv) *
+             |                  (CAST(bin - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+             |             END) * 1e6 + 0.5) / 1e6 AS v,
+             |       is_gap
+             |FROM f ORDER BY user_id, bin_start_s""".stripMargin)),
+
+    // Robust per-user outlier stats: median + MAD + modified-z-score
+    // outlier count (Iglewicz–Hoaglin 0.6745·|v−med|/MAD > 3.5) — the
+    // robust twin of pt_zscore_outliers; exact interpolated medians
+    // (the proven-parity percentile/quantile_cont pair)
+    Q("pt_mad_outliers",
+      (s, dir) => SeriesOps.madOutlierStats(
+          Tables.events(s, dir), "user_id", "value")
+        .select(col("user_id"), col("n"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+             |m AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+             |      FROM c GROUP BY user_id),
+             |d AS (SELECT c.user_id, abs(c.value - m.med) AS ad, m.med AS med
+             |      FROM c JOIN m USING (user_id)),
+             |md AS (SELECT user_id, quantile_cont(ad, 0.5) AS mad
+             |       FROM d GROUP BY user_id)
+             |SELECT d.user_id, count(*) AS n,
+             |       round(any_value(d.med), 6) AS med,
+             |       round(any_value(md.mad), 6) AS mad,
+             |       CAST(sum(CASE WHEN md.mad > 0 AND 0.6745 * d.ad / md.mad > 3.5
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (user_id)
+             |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin)),
+
     // Event-time tumbling window (streaming-ready form of W3; batch
     // semantics identical to Structured Streaming's window())
     Q("evt_tumbling_window",

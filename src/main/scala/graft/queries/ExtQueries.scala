@@ -976,6 +976,102 @@ object ExtQueries {
       (s, dir) => TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: docs with doc_id % 50 == 0 stand in
+    // for the held-out eval set; every train doc sharing a 3-word
+    // shingle with any eval doc is flagged. Shares the memoized
+    // shingle pass; the eval shingle set is broadcast (a benchmark
+    // suite is megabytes against a 100-TB corpus).
+    Q("text_decontaminate",
+      (s, dir) => TextOps.decontaminate(docShingles(s, dir), "doc_id",
+          col("doc_id") % 50 === 0)
+        .orderBy("doc_id"),
+      Some(s"""WITH $shingleCte,
+              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+              |c AS (SELECT t.doc_id, count(*) AS n_shingles,
+              |        count(ev.s) AS n_eval_hits
+              |      FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) t
+              |      LEFT JOIN ev ON t.s = ev.s
+              |      GROUP BY t.doc_id)
+              |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              |       CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+              |       n_eval_hits > 0 AS contaminated
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Intra-document line dedup (Lee et al. 2022, within-doc half):
+    // repeated lines dropped keeping first occurrence. The synthetic
+    // corpus is single-line, so each doc plants its own first-50-chars
+    // line twice plus a unique tail — the oracle checks counts AND the
+    // md5 of the reconstructed cleaned text.
+    Q("text_dedup_lines",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            substring(col("text"), 1, 50), substring(col("text"), 1, 50),
+            concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+        TextOps.dedupLines(planted, "doc_id", "text")
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("n_dropped"), col("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |  text || chr(10) || substr(text, 1, 50) || chr(10) ||
+             |  substr(text, 1, 50) || chr(10) || 'tail ' ||
+             |  CAST(doc_id AS VARCHAR) AS text FROM documents),
+             |l AS (SELECT doc_id, i AS pos, ls[CAST(i AS INT) + 1] AS line
+             |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |            FROM planted),
+             |           LATERAL (SELECT unnest(range(len(ls))) AS i) u),
+             |f AS (SELECT doc_id, line, min(pos) AS first_pos, count(*) AS c
+             |      FROM l GROUP BY 1, 2),
+             |a AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_kept,
+             |        md5(string_agg(line, chr(10) ORDER BY first_pos)) AS clean_fp
+             |      FROM f GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |       CAST(n_kept AS BIGINT) AS n_kept,
+             |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_fp
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Extended Gopher quality rules: word-length stats, alpha/numeric
+    // word fractions, symbol-to-word ratio — per-row HOFs, no shuffle
+    Q("text_quality_gopher",
+      (s, dir) => TextOps.qualityGopher(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(w) AS BIGINT) AS n_words,
+             |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS mean_word_len,
+             |  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_word_len,
+             |  round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w), 6) AS alpha_word_ratio,
+             |  round(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) / len(w), 6) AS num_word_ratio,
+             |  round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+             |         (length(text) - length(replace(text, '...', ''))) / 3) / len(w), 6) AS symbol_word_ratio
+             |FROM (SELECT doc_id, text,
+             |        string_split_regex(lower(trim(text)), '\s+') AS w
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-pre-filtered exact incremental dedup: batch (doc_id >= 400)
+    // vs corpus (< 400) by canonical fingerprint. The Bloom filter only
+    // prunes the verify join (no false negatives), so the result is
+    // EXACTLY the anti-join answer — which is what the oracle computes.
+    Q("dedup_bloom_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomIncrementalExact(docs.filter(col("doc_id") < 400),
+            docs.filter(col("doc_id") >= 400), "doc_id", "text",
+            expectedItems = 100000L, fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      Some("""WITH cfp AS (SELECT DISTINCT
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents WHERE doc_id < 400),
+             |bfp AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents WHERE doc_id >= 400)
+             |SELECT b.doc_id, (c.fp IS NOT NULL) AS is_dup,
+             |       (c.fp IS NULL) AS keep
+             |FROM bfp b LEFT JOIN cfp c ON b.fp = c.fp
+             |ORDER BY b.doc_id""".stripMargin))
   )
 }

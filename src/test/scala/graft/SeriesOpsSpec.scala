@@ -170,6 +170,55 @@ class SeriesOpsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getDouble(1) == 7.0)
   }
 
+  test("resampleInterp: gaps blend nearest neighbours by bin distance") {
+    import java.sql.Timestamp
+    def ts(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // key 1 observes bins 0 and 3 (values 1.0, 7.0): gaps at bins 1, 2
+    // interpolate to 3.0 and 5.0; observed bins keep their mean
+    val df = Seq((1L, ts(0), 1.0), (1L, ts(3), 7.0))
+      .toDF("k", "t", "v")
+    val out = SeriesOps.resampleInterp(df, "k", "t", "v", 3600L)
+      .orderBy("bin_start_s")
+      .select("bin_start_s", "n_obs", "v", "is_gap")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.map(_._3).toSeq == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(out.map(_._4).toSeq == Seq(false, true, true, false))
+    assert(out.map(_._2).toSeq == Seq(1L, 0L, 0L, 1L))
+  }
+
+  test("resampleInterp == resampleLocf on gap-free data; multi-obs bins average") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq((1L, ts(0), 2.0), (1L, ts(100), 4.0), // bin 0 mean 3.0
+      (1L, ts(3700), 5.0)).toDF("k", "t", "v")
+    val interp = SeriesOps.resampleInterp(df, "k", "t", "v", 3600L)
+      .orderBy("bin_start_s").select("v").as[Double].collect().toSeq
+    val locf = SeriesOps.resampleLocf(df, "k", "t", "v", 3600L)
+      .orderBy("bin_start_s").select("v").as[Double].collect().toSeq
+    assert(interp == Seq(3.0, 5.0) && interp == locf)
+  }
+
+  test("madOutlierStats: median/MAD exact on a fixture; planted spike counted") {
+    // values 1..9 plus a 1000.0 spike: median = 5.5, deviations
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> MAD = 2.5;
+    // only the spike's modified z (0.6745*994.5/2.5 = 268) > 3.5
+    val df = ((1 to 9).map(v => (1L, v.toDouble)) :+ (1L, 1000.0))
+      .toDF("k", "v")
+    val r = SeriesOps.madOutlierStats(df, "k", "v")
+      .select("n", "med", "mad", "n_outliers")
+      .as[(Long, Double, Double, Long)].head()
+    assert(r == ((10L, 5.5, 2.5, 1L)))
+  }
+
+  test("madOutlierStats: zero MAD (constant majority) flags no outliers") {
+    // 5 identical values and one offset: MAD = 0 -> the guard must
+    // report 0 outliers, not divide by zero
+    val df = (Seq.fill(5)(3.0) :+ 100.0).map(("k", _)).toDF("k", "v")
+    val r = SeriesOps.madOutlierStats(df, "k", "v")
+      .select("mad", "n_outliers").as[(Double, Long)].head()
+    assert(r == ((0.0, 0L)))
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI

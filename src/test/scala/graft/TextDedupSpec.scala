@@ -406,6 +406,70 @@ class TextDedupSpec extends SparkSpec {
     assert(v(2)._2 == 1L && v(2)._3 == 1L)
   }
 
+  test("decontaminate flags exactly the train docs sharing a shingle with eval") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),              // eval
+      (1L, "zeta alpha beta gamma eta"),                   // shares "alpha beta gamma"
+      (2L, "totally unrelated training words here only"),  // clean
+      (3L, "delta epsilon zeta eta theta")                 // no 3-shingle shared
+    ).toDF("doc_id", "text")
+    val sh = TextOps.shingles(d, "doc_id", "text", 3)
+    val out = TextOps.decontaminate(sh, "doc_id", col("doc_id") === 0)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(0L))                    // eval docs excluded
+    assert(out(1L)._4 && out(1L)._3 == 1L)       // one contaminated shingle
+    assert(!out(2L)._4 && out(2L)._3 == 0L)
+    assert(!out(3L)._4)                          // word overlap != shingle overlap
+  }
+
+  test("dedupLines drops repeats keeping first occurrence, fp matches rebuilt text") {
+    import org.apache.spark.sql.functions.md5
+    val d = Seq(
+      (1L, "keep me\ndup line\nmiddle\ndup line\nlast"),
+      (2L, "only\nunique\nlines")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(d, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "n_dropped", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 5L && out(1L)._3 == 4L && out(1L)._4 == 1L)
+    assert(out(2L)._2 == 3L && out(2L)._3 == 3L && out(2L)._4 == 0L)
+    val expected = Seq("keep me\ndup line\nmiddle\nlast")
+      .toDF("t").select(md5($"t".cast("binary"))).as[String].head()
+    assert(out(1L)._5 == expected)
+  }
+
+  test("qualityGopher: word-length stats and symbol ratios on a fixture") {
+    val d = Seq((1L, "aa bbbb 123 c#c ...")).toDF("doc_id", "text")
+    // words: aa(2) bbbb(4) 123(3) c#c(3) ...(3) -> mean 3.0, max 4
+    // alpha words: aa, bbbb, c#c = 3/5; numeric words: 123 = 1/5
+    // symbols: one '#' + one '...' = 2/5
+    val r = TextOps.qualityGopher(d, "doc_id", "text")
+      .select("n_words", "mean_word_len", "max_word_len",
+        "alpha_word_ratio", "num_word_ratio", "symbol_word_ratio")
+      .as[(Long, Double, Long, Double, Double, Double)].head()
+    assert(r == ((5L, 3.0, 4L, 0.6, 0.2, 0.4)))
+  }
+
+  test("bloomIncrementalExact == exact anti-join; bloom never drops a true new doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "corpus only content right here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog"), // canonical dup of 1
+      (11L, "genuinely new content never in the corpus"),
+      (12L, "corpus only content right here")                // exact dup of 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalExact(corpus, batch, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.01)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 && !out(10L)._3) // whitespace/case-canonical dup dropped
+    assert(!out(11L)._2 && out(11L)._3) // new doc kept (no false negatives)
+    assert(out(12L)._2 && !out(12L)._3)
+    assert(out.size == 3)
+  }
+
   test("bruteForceTopK returns k exact neighbors ranked by cosine") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
