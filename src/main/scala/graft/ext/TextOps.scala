@@ -525,6 +525,26 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** Per-domain URL profile: extract the host of every URL in every
+    * document and aggregate to (domain, n_urls, n_docs) — the first
+    * pass of domain-blocklist filtering and per-domain capping (the
+    * curation moves FineWeb/RefinedWeb apply before anything else).
+    * The host character class is written explicitly ([^/ \t\n]) so the
+    * pattern means the same thing in Java regex and RE2.
+    *
+    * Scale: per-row extraction (codegen'd), one aggregation keyed on
+    * domain; domain is Zipf-skewed, but the map-side partial agg
+    * collapses each partition to one row per distinct domain before
+    * the shuffle, so hot domains cost one merged counter, not a hot
+    * reducer. */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit("https?://([^/ \t\n]+)"), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Extended Gopher quality rules (Rae et al. 2021 §A1.1) beyond
     * [[quality]]'s ratios: mean/max word length (over words, not
     * characters-including-spaces), fraction of words containing an

@@ -27,4 +27,27 @@ object Profile {
         .select(lit(label).as("tbl"), col("col"), col("n_rows"),
           col("n_null"), round(col("n_null") / col("n_rows"), 6).as("null_ratio"))
     }.reduce(_.unionAll(_))
+
+  /** Embedding-corpus profile: the pre-flight scan before any ANN /
+    * semantic-dedup job — row count, dimensionality (min and max, so a
+    * ragged corpus fails loudly rather than silently truncating dot
+    * products), L2-norm distribution, and degenerate-vector counts
+    * (zero norm breaks cosine; NaN/Inf poisons every distance).
+    * ONE pass, all parallel aggregates over per-row codegen'd
+    * expressions — no shuffle (partial agg reduces each partition to
+    * one row). */
+  def embeddingProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val nrm = sqrt(call_function("array_dot", v, v))
+    emb.select(v.as("__v"), nrm.as("__nrm"))
+      .agg(count(lit(1)).as("n"),
+        min(size(col("__v"))).cast("long").as("dim_min"),
+        max(size(col("__v"))).cast("long").as("dim_max"),
+        round(avg(col("__nrm")), 6).as("avg_norm"),
+        round(min(col("__nrm")), 6).as("min_norm"),
+        round(max(col("__nrm")), 6).as("max_norm"),
+        count(when(col("__nrm") === 0.0, 1)).as("n_zero"),
+        count(when(col("__nrm").isNaN, 1)).as("n_nan"))
+  }
 }

@@ -48,6 +48,34 @@ object SkewOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** Count-min-sketch frequency estimates (Cormode & Muthukrishnan
+    * 2005) for every distinct value of a key column: the sketch is
+    * built in ONE distributive pass (`df.stat.countMinSketch` — each
+    * partition sketches locally, sketches merge associatively) and
+    * broadcast; estimates are read per distinct key. The 100-TB
+    * story: frequency answers from a few-KB summary without holding
+    * per-key counters — the exact groupBy this suite uses as the
+    * oracle is what the sketch REPLACES at scale.
+    *
+    * Estimates never undercount; with distinct keys ≪ width (2/eps)
+    * and a fixed seed the collision pattern is deterministic and, in
+    * the profiled-keys regime, estimates equal exact counts — which
+    * is what the oracle asserts (the error bound itself is
+    * spec-tested on a planted wide key set). The probe is a Scala UDF
+    * over the broadcast sketch — justified: no codegen'd probe exists
+    * for a driver-built CountMinSketch, and the per-row work is one
+    * hash of a short string. */
+  def cmsEstimates(df: DataFrame, keyCol: String, eps: Double,
+      confidence: Double, seed: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sketch = df.stat.countMinSketch(col(keyCol).cast("string"),
+      eps, confidence, seed)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val est = udf((k: String) => bc.value.estimateCount(k))
+    df.select(col(keyCol).cast("string").as("value")).distinct()
+      .withColumn("est_count", est(col("value")))
+  }
+
   /** Salted sum/count: groupBy(keys :+ salt) → partial, then merge.
     * `saltSource` must be a deterministic high-cardinality column. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,

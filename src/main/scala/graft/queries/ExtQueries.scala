@@ -849,6 +849,62 @@ object ExtQueries {
              |       round(n_null / n_rows, 6) AS null_ratio
              |FROM t ORDER BY tbl, col""".stripMargin)),
 
+    // Count-min-sketch frequency estimates for the event_type keys:
+    // ONE distributive sketch pass replaces the exact groupBy at
+    // corpus scale. In the profiled-keys regime (distinct keys ≪
+    // 2/eps) estimates equal exact counts — the oracle asserts exactly
+    // that; the overcount bound on a planted wide key set is
+    // spec-tested in PlanSpec's sibling suite.
+    Q("profile_cms_counts",
+      (s, dir) => graft.ops.SkewOps.cmsEstimates(
+          Tables.events(s, dir), "event_type", 0.001, 0.99, 42)
+        .orderBy("value"),
+      Some("""SELECT CAST(event_type AS VARCHAR) AS value,
+             |       count(*) AS est_count
+             |FROM events GROUP BY 1 ORDER BY value""".stripMargin)),
+
+    // Embedding-corpus pre-flight profile: dims, norm distribution,
+    // degenerate vectors — one pass, parallel aggregates, no shuffle
+    Q("profile_embedding_norms",
+      (s, dir) => graft.ops.Profile.embeddingProfile(
+          Tables.embeddings(s, dir), "embedding"),
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+             |SELECT count(*) AS n,
+             |       CAST(min(len(v)) AS BIGINT) AS dim_min,
+             |       CAST(max(len(v)) AS BIGINT) AS dim_max,
+             |       round(avg(nrm), 6) AS avg_norm,
+             |       round(min(nrm), 6) AS min_norm,
+             |       round(max(nrm), 6) AS max_norm,
+             |       count(*) FILTER (WHERE nrm = 0) AS n_zero,
+             |       count(*) FILTER (WHERE isnan(nrm)) AS n_nan
+             |FROM n""".stripMargin)),
+
+    // Per-domain URL profile (blocklist / domain-cap pre-pass). The
+    // synthetic corpus contains no URLs, so each doc plants two with
+    // deterministic id-derived hosts — 20 site domains, 5 cdn domains.
+    Q("text_url_domains",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" see https://site"),
+            (col("doc_id") % 20).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/x")).as("text"))
+        TextOps.urlDomains(planted, "doc_id", "text").orderBy("domain")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |  text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+             |  '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+             |  ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR) ||
+             |  '.example.org/x' AS text FROM documents),
+             |u AS (SELECT doc_id,
+             |        unnest(regexp_extract_all(text, 'https?://([^/ \t\n]+)', 1)) AS domain
+             |      FROM planted)
+             |SELECT domain, count(*) AS n_urls,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
+
     // Greedy token packing into ~2048-token training bins. The window
     // partitions on the 100-value HASH BUCKET, not the 3-value split:
     // each bucket packs independently (bucket ⇒ split, so bins never

@@ -322,6 +322,15 @@ object MlQueries {
         "vec_id", "embedding", "vec_id < 10", 5, 16, 4)
         .orderBy("q_id", "rank")),
 
+    // Cluster-balanced (semantic diversity) sampling: KMeans buckets
+    // the embedding space, a deterministic md5-ranked cap keeps ≤ 20
+    // per cluster (golden digest + semantics in ClusterSampleSpec)
+    Q("sample_cluster_balanced",
+      (s, dir) => graft.ml.ClusterSample.clusterBalancedSample(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8, 20)
+        .select(col("vec_id"), col("centroid_id"), col("rank"))
+        .orderBy("centroid_id", "rank")),
+
     // I1 Recurrence Plot of the smallest user's series — oracle-checked
     Q("img_rp_matrix",
       (s, dir) => minUserSeries(s, dir)

@@ -60,4 +60,31 @@ class IvfSpec extends SparkSpec {
     assert(s(0L) > 0.9)
     assert(s(20L) < 0.0)
   }
+
+  test("clusterBalancedSample enforces the per-cluster cap deterministically") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // cap 4 with 8 clusters: by pigeonhole some cluster holds ≥ ⌈n/8⌉
+    // members, so the cap MUST drop rows — the balancing is exercised
+    val out = graft.ml.ClusterSample
+      .clusterBalancedSample(emb, "vec_id", "embedding", 8, 4)
+      .select("vec_id", "centroid_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    val byCluster = out.groupBy(_._2)
+    // cap respected, ranks are 1..size within each cluster
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length <= 4, s"cluster $c over cap: ${rows.length}")
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong),
+        s"cluster $c ranks not contiguous")
+    }
+    // no doc sampled twice; dominant clusters were actually downsampled
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.length < n && out.length >= 4)
+    // determinism: a second run selects the identical set
+    val again = graft.ml.ClusterSample
+      .clusterBalancedSample(emb, "vec_id", "embedding", 8, 4)
+      .select("vec_id", "centroid_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Profile, SkewOps}
+
+/** Profiler-operator semantics on hand-built fixtures: CMS error
+  * bounds, embedding-corpus stats, URL-domain extraction. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cmsEstimates: never undercounts, overcount within eps·N on a wide key set") {
+    // 200 keys with frequencies 1..200 (N = 20100) — far above the
+    // profiled-keys regime, so collisions are likely and the CMS
+    // guarantee (exact <= est <= exact + eps·N at the confidence) is
+    // the thing to assert, not equality
+    val rows = (0 until 200).flatMap(i => Seq.fill(i + 1)(s"k$i"))
+    val df = rows.toDF("k")
+    val n = rows.size
+    val eps = 0.01
+    val est = SkewOps.cmsEstimates(df, "k", eps, 0.99, 42)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k undercounted: ${est(k)} < $c")
+      assert(est(k) <= c + (eps * n).toLong + 1, s"$k overcount beyond bound")
+    }
+  }
+
+  test("cmsEstimates is deterministic for a fixed seed") {
+    val df = (0 until 50).map(i => s"k${i % 7}").toDF("k")
+    val a = SkewOps.cmsEstimates(df, "k", 0.001, 0.99, 7)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val b = SkewOps.cmsEstimates(df, "k", 0.001, 0.99, 7)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("embeddingProfile: dims, norm stats, and degenerate-vector counts") {
+    val emb = Seq(
+      Array(3.0f, 4.0f),   // norm 5
+      Array(0.0f, 0.0f),   // zero vector
+      Array(1.0f, 0.0f)    // norm 1
+    ).toDF("embedding")
+    val r = Profile.embeddingProfile(emb, "embedding")
+      .as[(Long, Long, Long, Double, Double, Double, Long, Long)].head()
+    assert(r == ((3L, 2L, 2L, 2.0, 0.0, 5.0, 1L, 0L)))
+  }
+
+  test("urlDomains: hosts extracted and aggregated across docs") {
+    val d = Seq(
+      (1L, "intro https://a.example.com/x words http://b.example.org/y tail"),
+      (2L, "see https://a.example.com/z only")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.urlDomains(d, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("a.example.com") == ((2L, 2L)))
+    assert(out("b.example.org") == ((1L, 1L)))
+    assert(out.size == 2)
+  }
+}
