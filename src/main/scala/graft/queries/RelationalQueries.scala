@@ -144,6 +144,35 @@ object RelationalQueries {
              |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
              |ORDER BY side""".stripMargin)),
 
+    // Binned range join: events.value against value bands via the
+    // fixed-width bin-grid equi-join (ops/RangeJoin) — identical
+    // result to the naive range-predicate join the oracle runs, but
+    // the plan is a hash join, never BroadcastNestedLoop (PlanSpec
+    // pins the shape)
+    Q("join_range_binned",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("b1_tiny", 0.0, 10.0), ("b2_low", 10.0, 25.0),
+          ("b3_mid", 25.0, 50.0), ("b4_high", 50.0, 100.0),
+          ("b5_extreme", 100.0, 1000.0)).toDF("band", "lo", "hi")
+        graft.ops.RangeJoin.pointInInterval(
+            Tables.events(s, dir).na.drop(Seq("value")).select(col("value")),
+            "value", bands, "lo", "hi", 25.0)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+          .orderBy("band")
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('b1_tiny', 0.0, 10.0), ('b2_low', 10.0, 25.0),
+             |  ('b3_mid', 25.0, 50.0), ('b4_high', 50.0, 100.0),
+             |  ('b5_extreme', 100.0, 1000.0))
+             |SELECT band, count(*) AS n, round(sum(value), 4) AS sum_v
+             |FROM events e JOIN bands b
+             |  ON e.value >= b.lo AND e.value < b.hi
+             |WHERE e.value IS NOT NULL
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // Distinct aggregation (expand + two-phase agg in Spark)
     Q("agg_distinct_counts",
       (s, dir) => Tables.lineitem(s, dir)

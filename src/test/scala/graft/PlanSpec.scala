@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
   }
 
+  test("binned range join plans as a hash join, never a nested-loop product") {
+    val plan = formatted(run("join_range_binned"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join degraded into a product join")
+    assert(plan.contains("HashJoin"), s"expected a hash join on the bin key:\n$plan")
+  }
+
   test("langid: the 200-word dictionary joins via broadcast, not a shuffle") {
     val plan = formatted(run("text_langid"))
     assert(plan.contains("BroadcastHashJoin"),

@@ -46,6 +46,27 @@ class ProfileSpec extends SparkSpec {
     assert(r == ((3L, 2L, 2L, 2.0, 0.0, 5.0, 1L, 0L)))
   }
 
+  test("binned range join == naive predicate join, boundaries half-open") {
+    import org.apache.spark.sql.functions.col
+    // seeded values hitting bin edges, interval edges, and overlaps
+    val rng = new scala.util.Random(7)
+    val pts = ((0 until 300).map(_ => rng.nextDouble() * 120) ++
+      Seq(0.0, 10.0, 25.0, 50.0, 99.999, 100.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "value")
+    val iv = Seq(("a", 0.0, 10.0), ("b", 5.0, 30.0), // overlapping
+      ("c", 30.0, 100.0), ("d", 100.0, 120.0)).toDF("band", "lo", "hi")
+    val binned = graft.ops.RangeJoin
+      .pointInInterval(pts, "value", iv, "lo", "hi", 13.0)
+      .select("pid", "band").as[(Long, String)].collect().toSet
+    val naive = pts.join(iv, col("value") >= col("lo") && col("value") < col("hi"))
+      .select("pid", "band").as[(Long, String)].collect().toSet
+    assert(binned == naive)
+    // half-open: value 10.0 is in band b (5..30), NOT band a (0..10)
+    val at10 = pts.filter(col("value") === 10.0)
+      .select("pid").as[Long].head()
+    assert(naive.contains((at10, "b")) && !naive.contains((at10, "a")))
+  }
+
   test("urlDomains: hosts extracted and aggregated across docs") {
     val d = Seq(
       (1L, "intro https://a.example.com/x words http://b.example.org/y tail"),
