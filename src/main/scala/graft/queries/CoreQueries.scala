@@ -327,6 +327,29 @@ object CoreQueries {
              |FROM d JOIN md USING (user_id)
              |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin)),
 
+    // Stream-static enrichment join, batch twin: events enriched with
+    // the customer market segment (user_id = c_custkey), rolled up per
+    // (segment, type). The streaming form is the same join
+    // (EventStreams.enrichWithDim, broadcast dim, stateless append);
+    // StreamingSpec asserts streaming == batch on a fixture.
+    Q("evt_static_enrich",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        graft.streaming.EventStreams
+          .enrichWithDim(Tables.events(s, dir), dim, "user_id")
+          .groupBy(coalesce(col("segment"), lit("none")).as("segment"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+          .orderBy("segment", "event_type")
+      },
+      Some("""SELECT coalesce(c.c_mktsegment, 'none') AS segment,
+             |       e.event_type, count(*) AS n,
+             |       round(sum(e.value), 4) AS sum_v
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin)),
+
     // Event-time tumbling window (streaming-ready form of W3; batch
     // semantics identical to Structured Streaming's window())
     Q("evt_tumbling_window",

@@ -100,6 +100,19 @@ object EventStreams {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
   }
 
+  /** Stream-static enrichment join: each streaming event joined to a
+    * STATIC dimension snapshot (the standard dimension-enrichment
+    * shape — user profile, account tier, market segment). Stateless:
+    * works in append mode with no watermark, because the static side
+    * is fixed per micro-batch. The dim is broadcast, so the stream
+    * side never shuffles — the only viable shape when the stream is
+    * the 100-TB side; a dim too big to broadcast becomes a shuffled
+    * join of each micro-batch, same code. Batch twin:
+    * `evt_static_enrich` (same join, oracle-checked); StreamingSpec
+    * asserts streaming == batch. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, events: Long, sum_v: Double)
 

@@ -92,6 +92,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("stream-static enrichment join equals the batch join; unmatched keys survive") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold")).toDF("user_id", "segment") // user 2 unmatched
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, "user_id")
+      .select("user_id", "ts", "value", "segment")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("enrich")
+      .as[(Long, Timestamp, Double, Option[String])].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    q.stop()
+    val batch = rows.toDF().join(dim, Seq("user_id"), "left")
+      .select("user_id", "ts", "value", "segment")
+      .as[(Long, Timestamp, Double, Option[String])].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got.toSeq == batch.toSeq)
+    assert(got.exists(_._4.isEmpty) && got.exists(_._4.contains("gold")))
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
