@@ -327,6 +327,33 @@ object CoreQueries {
              |FROM d JOIN md USING (user_id)
              |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin)),
 
+    // Ordered funnel: users progressing view → click → purchase, each
+    // step within 24h of the previous stage's first qualifying event
+    // (strict in-order semantics, min-based — deterministic)
+    Q("evt_funnel_stages",
+      (s, dir) => graft.ops.Funnel.stages(Tables.events(s, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), "24 HOURS")
+        .orderBy("stage"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE event_type = 'click' AND ts >= s1.t
+             |         AND ts <= s1.t + INTERVAL 24 HOUR
+             |       GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE event_type = 'purchase' AND ts >= s2.t
+             |         AND ts <= s2.t + INTERVAL 24 HOUR
+             |       GROUP BY e.user_id)
+             |SELECT * FROM (
+             |  SELECT 1 AS stage, 'view' AS name,
+             |         (SELECT count(*) FROM s1) AS n_keys
+             |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+             |ORDER BY stage""".stripMargin)),
+
     // Stream-static enrichment join, batch twin: events enriched with
     // the customer market segment (user_id = c_custkey), rolled up per
     // (segment, type). The streaming form is the same join

@@ -219,6 +219,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(r == ((0.0, 0L)))
   }
 
+  test("funnel stages: strict order, per-step horizon, min-based stage times") {
+    import java.sql.Timestamp
+    def ts(h: Int) = new Timestamp(h * 3600L * 1000L)
+    val ev = Seq(
+      // A completes in order within horizon
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // B: click 25h after first view -> stops at stage 1
+      (2L, ts(0), "view"), (2L, ts(25), "click"),
+      // C: click with no view -> never enters the funnel
+      (3L, ts(0), "click"), (3L, ts(1), "purchase"),
+      // D: purchase BEFORE click doesn't count; later purchase does
+      (4L, ts(0), "view"), (4L, ts(1), "purchase"), (4L, ts(2), "click"),
+      (4L, ts(3), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Funnel.stages(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "24 HOURS")
+      .orderBy("stage").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 2L)))
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
