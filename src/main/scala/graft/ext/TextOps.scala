@@ -525,6 +525,35 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** Unigram token entropy + perplexity per document — the lexical-
+    * diversity quality signal (templated/boilerplate text scores low,
+    * fluent prose high; a standard curation feature alongside the
+    * Gopher ratios). H = −Σ p·ln p over the doc's word frequencies,
+    * perplexity = exp(H).
+    *
+    * Engine-parity note: the sum is a SEQUENTIAL FOLD over the terms
+    * in sorted-word order (collect_list → sort_array → aggregate), not
+    * a floating-point `sum()` aggregate — distributed sum order is
+    * nondeterministic and last-ulp differences would flip the rounded
+    * digit; the sorted fold makes the arithmetic identical in any
+    * engine and at any parallelism. One keyed shuffle (the per-word
+    * counts); the fold is per-row. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("w"), col("c")))).as("__wc"))
+      .withColumn("__h", -expr(
+        "aggregate(transform(__wc, r -> (r.c / n) * ln(r.c / n)), 0.0D, (a, x) -> a + x)"))
+      .select(col(idCol),
+        col("n").cast("long").as("n_words"),
+        col("n_distinct"),
+        round(col("__h"), 6).as("entropy"),
+        round(exp(col("__h")), 4).as("perplexity"))
+
   /** Per-domain URL profile: extract the host of every URL in every
     * document and aggregate to (domain, n_urls, n_docs) — the first
     * pass of domain-blocklist filtering and per-domain capping (the

@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
 object ClusterSample {
 
   /** Output: (idCol, centroid_id, samp_key, rank) — rows surviving the
-    * per-cluster cap, rank 1..cap within each cluster by md5 order. */
+    * per-cluster cap, rank 1..cap within each cluster by md5 order.
+    * The assignment (the KMeans fit) is memoized per (session, input,
+    * params): repeated sampling calls — different caps over the same
+    * clustering — re-fit nothing. */
   def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, cap: Int, seed: Long = 42): DataFrame = {
-    val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-      .withColumn("__f", array_to_vector(col("vn")))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
-      .setFeaturesCol("__f").setPredictionCol("centroid_id").fit(e)
-    val assigned = model.transform(e)
-      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
-      .withColumn("samp_key",
-        md5(concat(lit("cbs|"), col(idCol).cast("string")).cast("binary")))
+    val assigned = graft.queries.Memo.cached(emb.sparkSession,
+      s"cbs|$nClusters|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}") {
+      val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+        .withColumn("__f", array_to_vector(col("vn")))
+      val model = new KMeans().setK(nClusters).setSeed(seed)
+        .setFeaturesCol("__f").setPredictionCol("centroid_id").fit(e)
+      model.transform(e)
+        .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+        .withColumn("samp_key",
+          md5(concat(lit("cbs|"), col(idCol).cast("string")).cast("binary")))
+    }
     graft.ext.TextOps.sourceCap(assigned, idCol, "centroid_id", "samp_key", cap)
   }
 }

@@ -1089,6 +1089,30 @@ object ExtQueries {
              |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_fp
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // Unigram entropy + perplexity (lexical diversity): sequential
+    // sorted-order fold, so the FP arithmetic is engine- and
+    // parallelism-identical
+    Q("text_entropy",
+      (s, dir) => TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |      FROM documents),
+             |tc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+             |       FROM tk GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+             |         count(*) AS n_distinct,
+             |         list({'w': w, 'c': c} ORDER BY w) AS wc
+             |       FROM tc GROUP BY doc_id),
+             |e AS (SELECT doc_id, n, n_distinct,
+             |        -list_reduce(list_transform(wc, r -> (r.c / n) * ln(r.c / n)),
+             |                     (a, x) -> a + x) AS h
+             |      FROM ag)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             |       CAST(n_distinct AS BIGINT) AS n_distinct,
+             |       round(h, 6) AS entropy, round(exp(h), 4) AS perplexity
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // Extended Gopher quality rules: word-length stats, alpha/numeric
     // word fractions, symbol-to-word ratio — per-row HOFs, no shuffle
     Q("text_quality_gopher",

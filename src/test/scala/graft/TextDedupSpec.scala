@@ -451,6 +451,21 @@ class TextDedupSpec extends SparkSpec {
     assert(r == ((5L, 3.0, 4L, 0.6, 0.2, 0.4)))
   }
 
+  test("tokenEntropy: uniform text scores ln(k), repeated word lowers it") {
+    val d = Seq(
+      (1L, "aa bb aa"),          // p = 2/3, 1/3 -> H ≈ 0.636514
+      (2L, "a b c d"),           // uniform k=4 -> H = ln 4
+      (3L, "same same same")     // single type -> H = 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(d, "doc_id", "text")
+      .select("doc_id", "n_words", "n_distinct", "entropy", "perplexity")
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3L && out(1L)._3 == 2L && out(1L)._4 == 0.636514)
+    assert(out(2L)._4 == BigDecimal(math.log(4)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble && out(2L)._5 == 4.0)
+    assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
+  }
+
   test("bloomIncrementalExact == exact anti-join; bloom never drops a true new doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
