@@ -347,6 +347,51 @@ object TextOps {
     df.withColumn("__b", bucket).filter(col("__b") < pct).drop("__b")
   }
 
+  /** Mixture reweighting: sample each stratum at the rate that steers
+    * the kept corpus toward `targetShares` (the data-mixing step of a
+    * training pipeline — "25% English, 30% German, …"). Per-stratum
+    * keep rate = min(1, target·N / n_s), quantized to basis points and
+    * applied with the same content-stable md5 bucket as
+    * [[sampleStratified]] (bucket-of-10000 for rate resolution), so
+    * the same doc is kept or dropped on every run, partitioning, and
+    * engine. Strata absent from `targetShares` get rate 0 (blocklist
+    * semantics); over-requested strata cap at keeping everything —
+    * this sampler only removes, it cannot replicate (upsampling is a
+    * repeat-epoch decision downstream, not a row transform).
+    *
+    * Scale: one count aggregation for the stratum totals, rates joined
+    * back as a broadcast (strata ≪ corpus), then a map-side filter —
+    * the corpus itself never shuffles. */
+  def sampleMixture(df: DataFrame, idCol: String, strataCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    // grand total via an unpartitioned window over the per-stratum
+    // counts (strata ≪ corpus, so the single-partition window is a
+    // no-op cost) — a crossJoin of two aggregates of the same df trips
+    // self-join attribute disambiguation. NOTE the two count columns
+    // differ by more than case: Spark resolves names
+    // case-INsensitively by default, so "__n"/"__N" would silently be
+    // one column (withColumn REPLACES instead of adding).
+    val totals = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n_s"))
+      .withColumn("__n_tot", sum(col("__n_s")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val tgt = targetShares.toSeq.toDF(strataCol, "__share")
+    val rates = totals.join(tgt, Seq(strataCol), "left")
+      .withColumn("__rate_bp",
+        least(lit(10000L),
+          floor(coalesce(col("__share"), lit(0.0)) * col("__n_tot") / col("__n_s")
+            * lit(10000.0)).cast("long")))
+      .select(col(strataCol), col("__rate_bp"))
+    val bucket = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10) % 10000").cast("long")
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("__b", bucket)
+      .filter(col("__b") < col("__rate_bp"))
+      .drop("__b", "__rate_bp")
+  }
+
   /** Greedy sequential token packing: assign docs (in id order, within
     * a partition key) to consecutive bins of ~`binTokens` tokens — the
     * shape of a training-shard packer. A doc lands in the bin its

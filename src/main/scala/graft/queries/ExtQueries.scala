@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, length, lit, lower, lpad, md5, size, split, substring, transform, trim}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, count, length, lit, lower, lpad, md5, size, split, substring, transform, trim}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -757,6 +757,34 @@ object ExtQueries {
              |SELECT doc_id, lang FROM b
              |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
              |ORDER BY doc_id""".stripMargin)),
+
+    // Mixture reweighting (the data-mixing step): steer the kept
+    // corpus toward target language shares — en downsampled, de
+    // over-requested (rate caps at keep-everything), fr absent from
+    // the targets (dropped, blocklist semantics)
+    Q("sample_mixture",
+      (s, dir) => TextOps.sampleMixture(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.25, "zh" -> 0.05, "es" -> 0.10, "de" -> 0.30))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang"),
+      Some("""WITH t AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |g AS (SELECT count(*) AS N FROM documents),
+             |tg(lang, share) AS (VALUES
+             |  ('en', CAST(0.25 AS DOUBLE)), ('zh', CAST(0.05 AS DOUBLE)),
+             |  ('es', CAST(0.10 AS DOUBLE)), ('de', CAST(0.30 AS DOUBLE))),
+             |r AS (SELECT t.lang,
+             |        least(10000, CAST(floor(coalesce(tg.share, 0.0) * g.N / t.n
+             |          * 10000.0) AS BIGINT)) AS rate_bp
+             |      FROM t CROSS JOIN g LEFT JOIN tg ON tg.lang = t.lang),
+             |b AS (SELECT doc_id, lang,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 10000 AS BIGINT) AS bucket
+             |  FROM documents)
+             |SELECT b.lang AS lang, count(*) AS n_kept
+             |FROM b JOIN r ON r.lang = b.lang
+             |WHERE b.bucket < r.rate_bp
+             |GROUP BY b.lang ORDER BY b.lang""".stripMargin)),
 
     // Per-source cap: keep the top-5 docs per source by length — the
     // domain-cap curation move. Two-phase salted top-n under the hood

@@ -451,6 +451,32 @@ class TextDedupSpec extends SparkSpec {
     assert(r == ((5L, 3.0, 4L, 0.6, 0.2, 0.4)))
   }
 
+  test("sampleMixture: rates steer shares, cap keeps everything, absent stratum drops") {
+    // 80 'big', 16 'rare', 10 'mid', 4 'bad' docs; N = 110
+    val d = ((0 until 80).map(i => (i.toLong, "big")) ++
+      (80 until 96).map(i => (i.toLong, "rare")) ++
+      (96 until 106).map(i => (i.toLong, "mid")) ++
+      (106 until 110).map(i => (i.toLong, "bad"))).toDF("doc_id", "lang")
+    val shares = Map("big" -> 0.2, "rare" -> 0.9, "mid" -> 0.3)
+    val kept = TextOps.sampleMixture(d, "doc_id", "lang", shares)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // big: rate = 0.2*110/80 = 0.275 -> ~22 of 80 kept (md5 buckets, not exact)
+    assert(byLang("big") > 10 && byLang("big") < 40, s"big kept ${byLang.get("big")}")
+    // rare: rate = 0.9*110/16 = 6.2 -> capped at 1.0, ALL 16 kept
+    assert(byLang("rare") == 16)
+    // mid: rate = 0.3*110/10 = 3.3 -> ALSO capped, ALL 10 kept. This is
+    // the amplification sentinel: a bug that drops the N/n_s factor
+    // (rate = bare share) keeps only ~30% here and fails loudly.
+    assert(byLang("mid") == 10, s"mid kept ${byLang.get("mid")} — N/n amplification lost?")
+    // bad: no target -> dropped entirely
+    assert(!byLang.contains("bad"))
+    // deterministic: same selection on a second run
+    val again = TextOps.sampleMixture(d, "doc_id", "lang", shares)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.map(_._1).sorted.sameElements(again))
+  }
+
   test("tokenEntropy: uniform text scores ln(k), repeated word lowers it") {
     val d = Seq(
       (1L, "aa bb aa"),          // p = 2/3, 1/3 -> H ≈ 0.636514
