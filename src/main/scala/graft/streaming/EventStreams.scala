@@ -100,6 +100,58 @@ object EventStreams {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
   }
 
+  /** Streaming incremental exact dedup via foreachBatch — the
+    * daily-crawl loop as a stream: each micro-batch of documents is
+    * deduplicated (canonical fingerprint) against itself (earlier =
+    * smaller id wins) and against the ACCUMULATED corpus of previously
+    * kept docs, keep/drop decisions land in `decisionsDir`, and kept
+    * docs append to the corpus at `corpusDir` — so a doc that dups
+    * anything kept in ANY earlier micro-batch is dropped.
+    *
+    * foreachBatch is the right tool (not a stream-stream join): the
+    * corpus side is a growing TABLE, not a stream with a watermark,
+    * and each batch's decisions must see all previous batches'
+    * outcomes — exactly-once per epoch, batch-at-a-time. The
+    * corpus probe reuses [[graft.ext.Dedup.bloomIncrementalExact]]:
+    * at 100 TB the corpus appears as its Bloom + fingerprint table,
+    * and definite-new batch docs never join. Start the returned
+    * writer with `.start()`/`.trigger(...)` as usual. */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, decisionsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        // intra-batch: first occurrence (smallest id) of a fingerprint wins
+        val fp = graft.ext.TextOps.fingerprint(batch, idCol, textCol)
+        val intra = batch.join(fp, idCol)
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col(idCol))))
+        val intraKept = intra.filter(col("__rk") === 1).drop("__rk", "fp")
+        // inter-batch: probe the accumulated corpus (bootstrap = empty)
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+        val decided =
+          if (!hasCorpus)
+            intraKept.select(col(idCol), lit(false).as("is_dup"), lit(true).as("keep"))
+          else graft.ext.Dedup.bloomIncrementalExact(
+            spark.read.parquet(corpusDir), intraKept, idCol, textCol,
+            expectedItems = 1000000L, fpp = 0.01)
+        val all = batch.select(col(idCol))
+          .join(decided, Seq(idCol), "left")
+          .select(col(idCol), lit(batchId).as("batch_id"),
+            coalesce(col("keep"), lit(false)).as("keep"),
+            when(col("keep").isNull, lit("intra_batch_dup"))
+              .when(!col("keep"), lit("corpus_dup"))
+              .otherwise(lit("new")).as("reason"))
+          .localCheckpoint() // decide BEFORE the corpus append below mutates the input
+        all.write.mode("append").parquet(decisionsDir)
+        batch.join(all.filter(col("keep")).select(col(idCol)), idCol)
+          .write.mode("append").parquet(corpusDir)
+        ()
+    }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

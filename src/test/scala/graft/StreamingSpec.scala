@@ -113,6 +113,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._4.isEmpty) && got.exists(_._4.contains("gold")))
   }
 
+  test("foreachBatch incremental dedup: decisions see intra-batch and all earlier batches") {
+    implicit val sql = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.incrementalDedupSink(docs, "doc_id", "text",
+      corpusDir, decisionsDir).start()
+    // batch 0: 1 kept, 2 dups 1 intra-batch, 3 fresh
+    mem.addData((1L, "alpha beta gamma"), (2L, "alpha  BETA gamma"), (3L, "delta"))
+    q.processAllAvailable()
+    // batch 1: 10 dups batch-0's doc 1 (cross-batch), 11 fresh,
+    // 12 dups 11 intra-batch
+    mem.addData((10L, "ALPHA beta gamma"), (11L, "epsilon"), (12L, "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val dec = spark.read.parquet(decisionsDir)
+      .as[(Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dec(1L)._3 && dec(1L)._4 == "new")
+    assert(!dec(2L)._3 && dec(2L)._4 == "intra_batch_dup")
+    assert(dec(3L)._3)
+    assert(!dec(10L)._3 && dec(10L)._4 == "corpus_dup") // dup across batches
+    assert(dec(11L)._3 && dec(11L)._4 == "new")
+    assert(!dec(12L)._3 && dec(12L)._4 == "intra_batch_dup")
+    // the corpus holds exactly the kept docs
+    val corpus = spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().sorted
+    assert(corpus.sameElements(Seq(1L, 3L, 11L)))
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
