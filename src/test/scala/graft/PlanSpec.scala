@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
   }
 
+  test("decontaminate: the eval shingle set joins via broadcast, corpus side never shuffles for the probe") {
+    val plan = formatted(run("text_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), "eval shingle set not broadcast")
+  }
+
+  test("mixture sampler: rates join via broadcast — the corpus is filtered map-side") {
+    val plan = formatted(run("sample_mixture"))
+    assert(plan.contains("BroadcastHashJoin"), "rate table not broadcast")
+  }
+
   test("binned range join plans as a hash join, never a nested-loop product") {
     val plan = formatted(run("join_range_binned"))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
