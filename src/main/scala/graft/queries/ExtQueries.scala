@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, count, length, lit, lower, lpad, md5, size, split, substring, transform, trim}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -876,6 +876,36 @@ object ExtQueries {
              |SELECT tbl, col, n_rows, n_null,
              |       round(n_null / n_rows, 6) AS null_ratio
              |FROM t ORDER BY tbl, col""".stripMargin)),
+
+    // Pairwise Pearson correlations over the lineitem numerics — the
+    // feature-redundancy pre-flight scan (all 6 pairs as parallel
+    // aggregates of ONE pass; no shuffle of the rows)
+    Q("profile_correlations",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+          yield (cols(i), cols(j))
+        val aggs = pairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+        Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${pairs.size}, ${pairs.map { case (a, b) =>
+            s"'$a', '$b', ${a}__$b" }.mkString(", ")}) AS (col_a, col_b, corr)")
+          .orderBy("col_a", "col_b")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             |         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_discount',
+             |         round(corr(l_quantity, l_discount), 6) FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_tax',
+             |         round(corr(l_quantity, l_tax), 6) FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             |         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             |         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+             |  UNION ALL SELECT 'l_discount', 'l_tax',
+             |         round(corr(l_discount, l_tax), 6) FROM lineitem)
+             |ORDER BY col_a, col_b""".stripMargin)),
 
     // Count-min-sketch frequency estimates for the event_type keys:
     // ONE distributive sketch pass replaces the exact groupBy at
