@@ -39,6 +39,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each query, the top-k most similar neighbors INSIDE a cosine band
+    * [loSim, hiSim) — similar enough to be informative negatives,
+    * strictly below the near-dup ceiling (a near-dup used as a
+    * negative poisons the loss; a random negative teaches nothing).
+    * Exact banded form — the oracle baseline; at corpus scale the
+    * candidate set comes from the same IVF cells / LSH bands as ANN
+    * ([[graft.ml.Ivf]], [[Dedup.cosineLshPairs]]) with this band
+    * filter applied to the candidates, identical downstream shape.
+    * Deterministic: ties broken by neighbor id. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, loSim: Double, hiSim: Double): DataFrame = {
+    require(loSim < hiSim, s"need loSim < hiSim, got [$loSim, $hiSim)")
+    val e = prep(emb, idCol, vecCol)
+    val q = e.filter(expr(queryPred))
+      .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(e, col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        (call_function("array_dot", col("qv"), col("v"))
+          / (col("qn") * col("nrm"))).as("cosine"))
+      .filter(col("cosine") >= loSim && col("cosine") < hiSim)
+    rankTopK(scored, k)
+  }
+
   /** Int8 symmetric per-dimension quantization + exact top-k over the
     * DEQUANTIZED vectors: q_d = floor(v_d/s_d·127 + 0.5) with
     * s_d = max|v_d| over the corpus (floor(x+0.5) instead of round —

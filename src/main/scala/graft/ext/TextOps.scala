@@ -570,6 +570,44 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** Unicode-script profile per document: the fraction of characters
+    * in each major script block (explicit codepoint RANGES, not
+    * \p{script=...} classes — range syntax means byte-identical
+    * semantics in Java regex and RE2, independent of either engine's
+    * Unicode table version) plus the dominant script. This is the
+    * segmentation-free complement to [[langId]]: stopword voting needs
+    * word boundaries, script ratios do not — unsegmented zh/ja/ko text
+    * classifies correctly here (the documented langId limitation).
+    * Per-row codegen'd regex counts, no shuffle. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val total = length(t)
+    // \x{...} codepoint syntax parses identically in Java regex and
+    // RE2 (\uXXXX does not exist in RE2)
+    val ranges = Seq(
+      "latin" -> "A-Za-z",
+      "han" -> "\\x{4e00}-\\x{9fff}",
+      "kana" -> "\\x{3040}-\\x{309f}\\x{30a0}-\\x{30ff}",
+      "hangul" -> "\\x{ac00}-\\x{d7af}",
+      "cyrillic" -> "\\x{0400}-\\x{04ff}",
+      "arabic" -> "\\x{0600}-\\x{06ff}",
+      "devanagari" -> "\\x{0900}-\\x{097f}")
+    val counts = ranges.map { case (name, cls) =>
+      name -> (total - length(regexp_replace(t, s"[$cls]", ""))) }
+    val ratios = counts.map { case (name, c) =>
+      round(c.cast("double") / total, 6).as(s"${name}_ratio") }
+    // dominant script: max count, ties by the fixed range order above
+    val dominant = counts.tail.foldLeft(
+      (lit("latin"), counts.head._2)) { case ((bestN, bestC), (name, c)) =>
+      (when(c > bestC, lit(name)).otherwise(bestN),
+        when(c > bestC, c).otherwise(bestC))
+    }
+    df.select(
+      (Seq(col(idCol), total.cast("long").as("chars")) ++ ratios :+
+        when(dominant._2 > 0, dominant._1).otherwise(lit("none"))
+          .as("dominant_script")): _*)
+  }
+
   /** Unigram token entropy + perplexity per document — the lexical-
     * diversity quality signal (templated/boilerplate text scores low,
     * fluent prose high; a standard curation feature alongside the

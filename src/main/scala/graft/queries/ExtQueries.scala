@@ -560,6 +560,24 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Hard-negative mining: top-5 neighbors inside the cosine band
+    // [0.2, 0.45) per query — informative contrastive negatives below
+    // the near-dup ceiling (the corpus's natural max cosine is ~0.51)
+    Q("sim_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5, 0.2, 0.45)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sc AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |         list_cosine_similarity(q.v, e.v) AS cosine
+             |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+             |b AS (SELECT * FROM sc WHERE cosine >= 0.2 AND cosine < 0.45),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM b)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // Int8-quantized cosine top-k: the 4×-memory-compression ANN
     // variant, oracle-checked against DuckDB performing the identical
     // quantize→dequantize→rank pipeline
@@ -1146,6 +1164,45 @@ object ExtQueries {
              |       CAST(n_kept AS BIGINT) AS n_kept,
              |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_fp
              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Unicode-script profile: per-script character ratios + dominant
+    // script from explicit codepoint ranges — the segmentation-free
+    // complement to stopword language-ID (classifies unsegmented
+    // zh/ja/ko text, the documented langid limitation)
+    Q("text_script_profile",
+      (s, dir) => TextOps.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id, length(text) AS chars,
+             |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS c_latin,
+             |  length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS c_han,
+             |  length(text) - length(regexp_replace(text, '[\x{3040}-\x{309f}\x{30a0}-\x{30ff}]', '', 'g')) AS c_kana,
+             |  length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS c_hangul,
+             |  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyrillic,
+             |  length(text) - length(regexp_replace(text, '[\x{0600}-\x{06ff}]', '', 'g')) AS c_arabic,
+             |  length(text) - length(regexp_replace(text, '[\x{0900}-\x{097f}]', '', 'g')) AS c_devanagari
+             |  FROM documents)
+             |SELECT doc_id, CAST(chars AS BIGINT) AS chars,
+             |  round(CAST(c_latin AS DOUBLE) / chars, 6) AS latin_ratio,
+             |  round(CAST(c_han AS DOUBLE) / chars, 6) AS han_ratio,
+             |  round(CAST(c_kana AS DOUBLE) / chars, 6) AS kana_ratio,
+             |  round(CAST(c_hangul AS DOUBLE) / chars, 6) AS hangul_ratio,
+             |  round(CAST(c_cyrillic AS DOUBLE) / chars, 6) AS cyrillic_ratio,
+             |  round(CAST(c_arabic AS DOUBLE) / chars, 6) AS arabic_ratio,
+             |  round(CAST(c_devanagari AS DOUBLE) / chars, 6) AS devanagari_ratio,
+             |  CASE WHEN greatest(c_latin, c_han, c_kana, c_hangul,
+             |                     c_cyrillic, c_arabic, c_devanagari) = 0 THEN 'none'
+             |       WHEN c_latin = greatest(c_latin, c_han, c_kana, c_hangul,
+             |                     c_cyrillic, c_arabic, c_devanagari) THEN 'latin'
+             |       WHEN c_han = greatest(c_han, c_kana, c_hangul,
+             |                     c_cyrillic, c_arabic, c_devanagari) THEN 'han'
+             |       WHEN c_kana = greatest(c_kana, c_hangul,
+             |                     c_cyrillic, c_arabic, c_devanagari) THEN 'kana'
+             |       WHEN c_hangul = greatest(c_hangul,
+             |                     c_cyrillic, c_arabic, c_devanagari) THEN 'hangul'
+             |       WHEN c_cyrillic = greatest(c_cyrillic, c_arabic, c_devanagari) THEN 'cyrillic'
+             |       WHEN c_arabic = greatest(c_arabic, c_devanagari) THEN 'arabic'
+             |       ELSE 'devanagari' END AS dominant_script
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Unigram entropy + perplexity (lexical diversity): sequential
     // sorted-order fold, so the FP arithmetic is engine- and

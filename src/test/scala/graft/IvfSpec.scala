@@ -61,6 +61,20 @@ class IvfSpec extends SparkSpec {
     assert(s(20L) < 0.0)
   }
 
+  test("hardNegatives: the band keeps informative negatives, drops near-dups and noise") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(1.0f, 0.1f)),   // cos ≈ 0.995 — near-dup, above band
+      (2L, Array(1.0f, 1.0f)),   // cos ≈ 0.707 — the hard negative
+      (3L, Array(0.3f, 1.0f)),   // cos ≈ 0.287 — below band
+      (4L, Array(-1.0f, 0.0f))   // cos = −1  — useless
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "vec_id = 0", 5, 0.5, 0.95)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L)))
+  }
+
   test("clusterBalancedSample enforces the per-cluster cap deterministically") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()

@@ -451,6 +451,30 @@ class TextDedupSpec extends SparkSpec {
     assert(r == ((5L, 3.0, 4L, 0.6, 0.2, 0.4)))
   }
 
+  test("scriptProfile classifies unsegmented CJK that stopword langid cannot") {
+    val d = Seq(
+      (1L, "hello world"),
+      (2L, "这是一个没有空格的中文句子"),   // unsegmented Han, no spaces
+      (3L, "これはテストです"),             // hiragana + katakana
+      (4L, "привет мир"),
+      (5L, "abc 中文")                      // latin 3 vs han 2 -> latin
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(d, "doc_id", "text")
+      .select("doc_id", "dominant_script").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "latin", 2L -> "han", 3L -> "kana",
+      4L -> "cyrillic", 5L -> "latin"))
+    // han_ratio of the pure-Han doc is 1.0
+    val hr = TextOps.scriptProfile(d, "doc_id", "text")
+      .filter($"doc_id" === 2).select("han_ratio").as[Double].head()
+    assert(hr == 1.0)
+    // the documented langId limitation, demonstrated: the unsegmented
+    // doc is ONE whitespace token, so stopword voting abstains ('und')
+    // while the script profile classifies it
+    val lang = TextOps.langId(d, "doc_id", "text")
+      .filter($"doc_id" === 2).select("pred_lang").as[String].head()
+    assert(lang == "und")
+  }
+
   test("sampleMixture: rates steer shares, cap keeps everything, absent stratum drops") {
     // 80 'big', 16 'rare', 10 'mid', 4 'bad' docs; N = 110
     val d = ((0 until 80).map(i => (i.toLong, "big")) ++
