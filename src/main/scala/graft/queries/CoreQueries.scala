@@ -327,6 +327,47 @@ object CoreQueries {
              |FROM d JOIN md USING (user_id)
              |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin)),
 
+    // Distinct users per tumbling window (exact; the approx twin at
+    // corpus scale is approx_count_distinct in the same shape)
+    Q("evt_window_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("wstart_s"),
+          col("n_users"), col("n_events"))
+        .orderBy("wstart_s"),
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart_s,
+             |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY wstart_s""".stripMargin)),
+
+    // Hour-over-hour retention: of the users active in hour h, how
+    // many are also active in hour h+1 (the cohort-retention kernel;
+    // one shuffle on (user, hour), then a self-join on the hour+1 key)
+    Q("evt_retention",
+      (s, dir) => {
+        val active = Tables.events(s, dir)
+          .select(col("user_id"),
+            floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+          .distinct()
+        active.as("a").join(active.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.h") === col("a.h") + 1, "left")
+          .groupBy(col("a.h").as("h"))
+          .agg(count(lit(1)).as("n_active"),
+            count(col("b.user_id")).as("n_retained"))
+          .withColumn("retention", round(col("n_retained") / col("n_active"), 6))
+          .orderBy("h")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+             |           FROM events)
+             |SELECT a.h, count(*) AS n_active,
+             |       count(b.user_id) AS n_retained,
+             |       round(count(b.user_id) / count(*), 6) AS retention
+             |FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.h = a.h + 1
+             |GROUP BY a.h ORDER BY a.h""".stripMargin)),
+
     // Ordered funnel: users progressing view → click → purchase, each
     // step within 24h of the previous stage's first qualifying event
     // (strict in-order semantics, min-based — deterministic)

@@ -560,6 +560,38 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Positive-pair generation (the contrastive twin of hard-negative
+    // mining, Contriever/SimCSE style): two non-overlapping chunks of
+    // the SAME document form a positive pair. Deterministic: chunk 0
+    // pairs with the document's LAST chunk (maximally distant — no
+    // shared overlap chars when the doc has ≥ 2 chunks).
+    Q("pair_positive_chunks",
+      (s, dir) => {
+        val ch = TextOps.chunk(Tables.documents(s, dir), "doc_id", "text", 256, 32)
+        val first = ch.filter(col("chunk_id") === 0)
+          .select(col("doc_id"), col("chunk").as("anchor"))
+        val last = ch.groupBy(col("doc_id"))
+          .agg(org.apache.spark.sql.functions.max(col("chunk_id")).as("__last"))
+        ch.join(last, "doc_id").filter(col("chunk_id") === col("__last"))
+          .filter(col("__last") > 0)
+          .select(col("doc_id"), col("chunk").as("positive"))
+          .join(first, "doc_id")
+          .select(col("doc_id"), col("anchor"), col("positive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, CAST(i // 224 AS BIGINT) AS chunk_id,
+             |       substr(text, CAST(i AS INT) + 1, 256) AS chunk
+             |     FROM documents, LATERAL
+             |       (SELECT unnest(range(0, greatest(len(text) - 32, 1), 224)) AS i) u
+             |     WHERE len(text) > 0),
+             |lastc AS (SELECT doc_id, max(chunk_id) AS last_id FROM ch GROUP BY doc_id)
+             |SELECT a.doc_id, a.chunk AS anchor, b.chunk AS positive
+             |FROM ch a
+             |JOIN lastc l ON l.doc_id = a.doc_id
+             |JOIN ch b ON b.doc_id = a.doc_id AND b.chunk_id = l.last_id
+             |WHERE a.chunk_id = 0 AND l.last_id > 0
+             |ORDER BY a.doc_id""".stripMargin)),
+
     // Hard-negative mining: top-5 neighbors inside the cosine band
     // [0.2, 0.45) per query — informative contrastive negatives below
     // the near-dup ceiling (the corpus's natural max cosine is ~0.51)
