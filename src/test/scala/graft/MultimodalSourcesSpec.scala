@@ -126,6 +126,36 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(q.exists(_.contains("not json")) && q.exists(_.contains("no id")))
   }
 
+  test("gzip JSONL ingest: compressed corpora read transparently, quarantine intact") {
+    // real crawls arrive as .jsonl.gz — Spark's text source decompresses
+    // by extension; the quarantine path must behave identically
+    val dir = Files.createTempDirectory("graftjsonlgz")
+    val f = dir.resolve("docs.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write(Seq(
+      """{"doc_id": 1, "text": "compressed hello", "lang": "en", "source": "web"}""",
+      """broken line""",
+      """{"doc_id": 2, "text": "ok", "lang": "fr", "source": "web"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val (clean, quarantined) = graft.sources.DocSources.readJsonl(spark, f.toString)
+    assert(clean.count() == 2)
+    assert(quarantined.as[String].collect().toSeq == Seq("broken line"))
+  }
+
+  test("ORC round-trip: the warehouse interchange format reads back exactly") {
+    val dir = Files.createTempDirectory("graftorc").toString + "/events_orc"
+    val ev = Tables.events(spark, sf).limit(500)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == ev.schema)
+    val a = ev.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("training-shard writer: deterministic partitioned parquet, exact round-trip") {
     val docs = (0L until 200L)
       .map(i => (i, s"doc $i", if (i % 10 < 8) "train" else "val"))

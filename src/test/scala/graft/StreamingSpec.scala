@@ -144,6 +144,35 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.sameElements(Seq(1L, 3L, 11L)))
   }
 
+  test("foreachBatch dedup sink resumes from a checkpoint without reprocessing") {
+    implicit val sql = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val (corpusDir, decisionsDir, ckpt) =
+      (s"$tmp/corpus", s"$tmp/decisions", s"$tmp/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    def start() = EventStreams.incrementalDedupSink(docs, "doc_id", "text",
+      corpusDir, decisionsDir).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    mem.addData((1L, "alpha content"))
+    q1.processAllAvailable(); q1.stop()
+    // new data arrives while the query is DOWN; the restart must pick
+    // up only the unprocessed offsets — batch 0 is not re-delivered
+    mem.addData((2L, "alpha content"), (3L, "fresh content"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val dec = spark.read.parquet(decisionsDir)
+      .as[(Long, Long, Boolean, String)].collect()
+    assert(dec.length == 3, s"expected 3 decisions, got ${dec.toSeq}") // doc 1 decided exactly once
+    val byId = dec.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3)
+    assert(!byId(2L)._3 && byId(2L)._4 == "corpus_dup") // dups the pre-restart corpus
+    assert(byId(3L)._3)
+    val corpus = spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().sorted
+    assert(corpus.sameElements(Seq(1L, 3L)))
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
