@@ -285,6 +285,67 @@ object ExtQueries {
               |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
               |WHERE i / (na.n + nb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // LSH quality, measured IN the driver gate: MinHash-LSH pairs vs
+    // the exact inverted-index Jaccard ground truth at the same 0.5
+    // threshold — recall/precision as an oracle-checked query, not
+    // just a spec assertion. Shares both memoized passes; the two
+    // pair sets differ only where banding misses a true pair (recall)
+    // or a pair's shared shingles are all df-capped hot (precision).
+    Q("dedup_lsh_recall",
+      (s, dir) => {
+        val exact = Dedup.jaccardPairsFrom(docShingles(s, dir), "doc_id", 0.5, 100)
+          .select(col("id_a"), col("id_b"))
+        val lsh = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nB = exact.join(lsh, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_both"))
+        nE.crossJoin(nL).crossJoin(nB)
+          .withColumn("recall",
+            org.apache.spark.sql.functions.round(col("n_both") / col("n_exact"), 6))
+          .withColumn("precision",
+            org.apache.spark.sql.functions.round(col("n_both") / col("n_lsh"), 6))
+      },
+      Some(s"""WITH $shingleCte,
+              |dfr AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+              |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c <= 100),
+              |hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s) WHERE c > 100),
+              |ri AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ir
+              |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2),
+              |hi AS (SELECT ri.id_a, ri.id_b, count(*) AS ih
+              |       FROM ri JOIN hot x ON x.doc_id = ri.id_a
+              |       JOIN hot y ON y.doc_id = ri.id_b AND y.s = x.s
+              |       GROUP BY 1, 2),
+              |inter AS (SELECT ri.id_a, ri.id_b, ir + coalesce(ih, 0) AS i
+              |          FROM ri LEFT JOIN hi USING (id_a, id_b)),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |ex AS (SELECT id_a, id_b FROM inter
+              |       JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |       WHERE i / (na.n + nb.n - i) >= 0.5),
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |mbands AS (SELECT doc_id, h // 2 AS band,
+              |             string_agg(mv, '' ORDER BY h) AS key
+              |           FROM mh GROUP BY doc_id, h // 2),
+              |mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |          FROM mbands a JOIN mbands b
+              |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |minter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |           FROM mcand c JOIN sh x ON x.doc_id = c.id_a
+              |           JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |           GROUP BY 1, 2),
+              |lsh AS (SELECT id_a, id_b FROM minter
+              |        JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |        WHERE i / (na.n + nb.n - i) >= 0.5)
+              |SELECT (SELECT count(*) FROM ex) AS n_exact,
+              |       (SELECT count(*) FROM lsh) AS n_lsh,
+              |       (SELECT count(*) FROM ex JOIN lsh USING (id_a, id_b)) AS n_both,
+              |       round((SELECT count(*) FROM ex JOIN lsh USING (id_a, id_b))
+              |             / (SELECT count(*) FROM ex), 6) AS recall,
+              |       round((SELECT count(*) FROM ex JOIN lsh USING (id_a, id_b))
+              |             / (SELECT count(*) FROM lsh), 6) AS precision""".stripMargin)),
+
     // The dedup DECISION: transitive closure of the MinHash-LSH pairs →
     // one canonical keep per connected component (keep_id = min doc_id),
     // singletons keep themselves. Pairs alone don't dedup anything; this
