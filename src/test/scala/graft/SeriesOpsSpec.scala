@@ -158,6 +158,36 @@ class SeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterp invariants on seeded random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(13)
+    val ev = (0 until 2000).map { _ =>
+      (rnd.nextInt(30).toLong, new Timestamp(rnd.nextInt(50 * 3600) * 1000L),
+        rnd.nextDouble() * 100)
+    }.toDF("user_id", "ts", "value")
+    val out = graft.ops.SeriesOps.resampleInterp(ev, "user_id", "ts", "value", 3600L)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val bins = sorted.map(_._2)
+      // contiguous grid; both endpoints observed (no extrapolation case)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b - a == 3600L })
+      assert(!sorted.head._5 && !sorted.last._5)
+      // every interpolated value lies between its nearest observed
+      // neighbours (monotone blend — never overshoots)
+      val obs = sorted.zipWithIndex.filter(!_._1._5).map(_._2)
+      obs.zip(obs.tail).foreach { case (i, j) =>
+        val (lo, hi) = (math.min(sorted(i)._4, sorted(j)._4),
+          math.max(sorted(i)._4, sorted(j)._4))
+        (i + 1 until j).foreach { g =>
+          assert(sorted(g)._4 >= lo - 1e-9 && sorted(g)._4 <= hi + 1e-9,
+            s"gap value ${sorted(g)._4} outside [$lo, $hi]")
+        }
+      }
+      rows.foreach { r => assert(r._5 == (r._3 == 0L)) }
+    }
+  }
+
   test("asof join carries the matched right row atomically (null fields survive)") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
