@@ -535,6 +535,56 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("bloomIncrementalExact == plain anti-join on seeded random corpora") {
+    import org.apache.spark.sql.functions.{col, lower, md5, regexp_replace, trim}
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def text() = Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusTexts = Vector.fill(200)(text())
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // half the batch re-samples corpus texts (guaranteed dups modulo
+    // random collisions), half is fresh random text (may still collide
+    // — the small vocab makes collisions likely, which is the point)
+    val batch = (0 until 100).map { i =>
+      val t = if (i % 2 == 0) corpusTexts(rnd.nextInt(corpusTexts.size)) else text()
+      ((1000 + i).toLong, t)
+    }.toDF("doc_id", "text")
+    val got = Dedup.bloomIncrementalExact(corpus, batch, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    def fp(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+    val expected = fp(batch).join(fp(corpus).select("fp").distinct()
+        .withColumnRenamed("fp", "fp"), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 100)
+    got.foreach { case (id, keep) =>
+      assert(keep == expected.contains(id), s"doc $id keep=$keep != anti-join")
+    }
+  }
+
+  test("decontaminate: eval docs never appear; flags are monotone in the eval set") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("one", "two", "three", "four", "five", "six", "seven")
+    def text() = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val d = (0 until 120).map(i => (i.toLong, text())).toDF("doc_id", "text")
+    val sh = TextOps.shingles(d, "doc_id", "text", 3)
+    val small = TextOps.decontaminate(sh, "doc_id", col("doc_id") < 10)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    val large = TextOps.decontaminate(sh, "doc_id", col("doc_id") < 30)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(small.keySet.forall(_ >= 10) && large.keySet.forall(_ >= 30))
+    // a bigger eval set can only ADD contamination on the shared train docs
+    large.keySet.foreach { id =>
+      if (small.getOrElse(id, false)) assert(large(id),
+        s"doc $id lost its contamination flag when the eval set grew")
+    }
+    // the tiny vocab guarantees the property is exercised, not vacuous
+    assert(small.values.exists(identity) && large.values.exists(identity))
+  }
+
   test("bruteForceTopK returns k exact neighbors ranked by cosine") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
