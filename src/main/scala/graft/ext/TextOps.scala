@@ -570,6 +570,45 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** Corpus bigram language-model scoring (perplexity filtering, the
+    * KenLM-shaped quality step of CCNet/LLaMA-style pipelines, here
+    * with the LM trained on the corpus itself): every doc is scored by
+    * the mean log-probability of its word bigrams under add-one
+    * smoothing, P(b|a) = (C(ab)+1)/(C(a·)+V) — templated/boilerplate
+    * text compresses well (low perplexity), gibberish does not.
+    *
+    * Engine parity: the per-doc mean of ln P is a SEQUENTIAL fold in
+    * bigram-position order (the same sorted-fold discipline as
+    * [[tokenEntropy]]) — an fp `sum()` would be partial-order
+    * nondeterministic. Scale: two count aggregations (bigram +
+    * context) and one bigram-keyed join back; the hot join key is a
+    * Zipf-skewed bigram, collapsed by map-side partial aggregation
+    * before the shuffle. Docs under 2 words yield no row. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokensCol(col(textCol)).as("w"))
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "struct(element_at(w, int(i) + 1) AS a, element_at(w, int(i) + 2) AS b))"))
+        .as(Seq("pos", "ab")))
+      .select(col(idCol), col("pos"), col("ab.a").as("a"), col("ab.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = toks.select(explode(col("w")).as("x"))
+      .agg(countDistinct(col("x")).as("__V"))
+    bg.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("c_ab") + lit(1.0)) / (col("c_a") + col("__V"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("lp")))).as("__s"))
+      .withColumn("__sum", expr(
+        "aggregate(transform(__s, x -> x.lp), 0.0D, (acc, x) -> acc + x)"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum") / col("n_bigrams"), 6).as("avg_logp"),
+        round(exp(-(col("__sum") / col("n_bigrams"))), 4).as("ppl"))
+  }
+
   /** Unicode-script profile per document: the fraction of characters
     * in each major script block (explicit codepoint RANGES, not
     * \p{script=...} classes — range syntax means byte-identical

@@ -1258,6 +1258,34 @@ object ExtQueries {
              |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_fp
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // Corpus bigram LM scoring: per-doc mean bigram log-prob +
+    // perplexity under add-one smoothing (the perplexity-filter
+    // quality step; sorted-fold determinism like text_entropy)
+    Q("text_lm_score",
+      (s, dir) => TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |        string_split_regex(lower(trim(text)), '\s+') AS w
+             |      FROM documents),
+             |bg AS (SELECT doc_id, i AS pos,
+             |         w[CAST(i AS INT) + 1] AS a, w[CAST(i AS INT) + 2] AS b
+             |       FROM tk, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) u
+             |       WHERE len(w) >= 2),
+             |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+             |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+             |vv AS (SELECT count(DISTINCT x) AS V
+             |       FROM (SELECT unnest(w) AS x FROM tk)),
+             |sc AS (SELECT bg.doc_id, bg.pos,
+             |         ln((c_ab + 1.0) / (c_a + V)) AS lp
+             |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv),
+             |ag AS (SELECT doc_id, count(*) AS n_bigrams,
+             |         list(lp ORDER BY pos) AS ls FROM sc GROUP BY doc_id),
+             |s AS (SELECT doc_id, n_bigrams,
+             |        list_reduce(ls, (acc, x) -> acc + x) AS sm FROM ag)
+             |SELECT doc_id, n_bigrams, round(sm / n_bigrams, 6) AS avg_logp,
+             |       round(exp(-(sm / n_bigrams)), 4) AS ppl
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Unicode-script profile: per-script character ratios + dominant
     // script from explicit codepoint ranges — the segmentation-free
     // complement to stopword language-ID (classifies unsegmented

@@ -501,6 +501,26 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.map(_._1).sorted.sameElements(again))
   }
 
+  test("lmScore: hand-computed add-one bigram probabilities on a 2-doc corpus") {
+    // corpus: "a b a" + "a b" -> C(a,b)=2, C(b,a)=1; contexts C(a·)=2,
+    // C(b·)=1; V=2. P(b|a)=(2+1)/(2+2)=0.75, P(a|b)=(1+1)/(1+2)=2/3.
+    // doc1 avg = (ln .75 + ln 2/3)/2 = -0.346574, ppl = e^0.346574 = 1.4142
+    // doc2 avg = ln .75 = -0.287682, ppl = 4/3
+    val d = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(d, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_logp", "ppl")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, -0.346574, 1.4142)))
+    assert(out(2L) == ((2L, 1L, -0.287682, 1.3333)))
+    // boilerplate scores more probable than rare word sequences: a doc
+    // repeating the corpus's dominant bigram has higher avg_logp
+    val c2 = (Seq((1L, "x y x y x y"), (2L, "x y")) ++
+      Seq((3L, "p q"))).toDF("doc_id", "text")
+    val s2 = TextOps.lmScore(c2, "doc_id", "text")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(s2(1L) > s2(3L), "dominant-bigram doc should outscore the rare one")
+  }
+
   test("tokenEntropy: uniform text scores ln(k), repeated word lowers it") {
     val d = Seq(
       (1L, "aa bb aa"),          // p = 2/3, 1/3 -> H ≈ 0.636514
