@@ -570,6 +570,29 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** Term-blocklist safety filter: flag every document containing any
+    * blocklisted term as a whole token — the safety/compliance gate of
+    * a curation pipeline (slurs, regulated terms, site blocklists).
+    * Output keeps the evidence (hit count + alphabetically-first
+    * matched term) so filtering decisions are auditable, not just a
+    * boolean. The dictionary is broadcast (≪ data, the langId shape);
+    * one keyed aggregation. Matching is exact-token — substring/fuzzy
+    * variants compose from [[shingles]]/`rlike` upstream. */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(terms.toDF("w"))
+    val hits = tokens(df, idCol, textCol).join(dict, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nh"), min(col("w")).as("first_term"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        col("first_term"),
+        col("__nh").isNotNull.as("blocked"))
+  }
+
   /** Corpus bigram language-model scoring (perplexity filtering, the
     * KenLM-shaped quality step of CCNet/LLaMA-style pipelines, here
     * with the LM trained on the corpus itself): every doc is scored by

@@ -1258,6 +1258,25 @@ object ExtQueries {
              |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_fp
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // Term-blocklist safety gate: stand-in dictionary of common tokens
+    // (the corpus is synthetic-clean; mechanics and evidence columns
+    // are what's under test — real deployments swap the term list)
+    Q("text_blocklist",
+      (s, dir) => TextOps.blocklist(Tables.documents(s, dir), "doc_id", "text",
+          Seq("the", "data", "système", "zzz_never_present"))
+        .orderBy("doc_id"),
+      Some("""WITH dict(w) AS (VALUES ('the'), ('data'), ('système'),
+             |  ('zzz_never_present')),
+             |tk AS (SELECT doc_id,
+             |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |       FROM documents),
+             |h AS (SELECT doc_id, count(*) AS n_hits, min(w) AS first_term
+             |      FROM tk JOIN dict USING (w) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             |       h.first_term, (h.n_hits IS NOT NULL) AS blocked
+             |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Corpus bigram LM scoring: per-doc mean bigram log-prob +
     // perplexity under add-one smoothing (the perplexity-filter
     // quality step; sorted-fold determinism like text_entropy)

@@ -501,6 +501,22 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.map(_._1).sorted.sameElements(again))
   }
 
+  test("blocklist: whole-token matching with auditable evidence") {
+    val d = Seq(
+      (1L, "clean text entirely fine"),
+      (2L, "contains badword right here"),
+      (3L, "badwords is a DIFFERENT token"),     // substring must not match
+      (4L, "badword badword otherbad badword")   // multiple hits, min() term
+    ).toDF("doc_id", "text")
+    val out = TextOps.blocklist(d, "doc_id", "text", Seq("badword", "otherbad"))
+      .select("doc_id", "n_hits", "first_term", "blocked")
+      .as[(Long, Long, Option[String], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, None, false)))
+    assert(out(2L) == ((2L, 1L, Some("badword"), true)))
+    assert(out(3L) == ((3L, 0L, None, false)))
+    assert(out(4L) == ((4L, 4L, Some("badword"), true)))
+  }
+
   test("lmScore: hand-computed add-one bigram probabilities on a 2-doc corpus") {
     // corpus: "a b a" + "a b" -> C(a,b)=2, C(b,a)=1; contexts C(a·)=2,
     // C(b·)=1; V=2. P(b|a)=(2+1)/(2+2)=0.75, P(a|b)=(1+1)/(1+2)=2/3.
