@@ -113,6 +113,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._4.isEmpty) && got.exists(_._4.contains("gold")))
   }
 
+  test("watermark drops late data in append mode once the window is finalized") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = mem.toDF().withColumn("event_type", lit("e"))
+    val q = EventStreams.tumblingCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    // window [0,10) gets 2 events; the watermark then advances past
+    // 10:00 + 5min via a much later event, finalizing the window
+    mem.addData(Ev(1L, ts(1), 1.0), Ev(1L, ts(2), 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1L, ts(40), 3.0))
+    q.processAllAvailable()
+    // a LATE arrival into the finalized [0,10) window must be dropped
+    mem.addData(Ev(2L, ts(3), 100.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1L, ts(55), 4.0)) // advance watermark past [40,50)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late").select("wstart", "n", "sum_v")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime).toSeq
+    // [0,10) emitted with ONLY the on-time events; the late 100.0 never lands
+    assert(got.exists(r => r._2 == 2L && r._3 == 3.0),
+      s"finalized window wrong or missing: $got")
+    assert(!got.exists(_._3 >= 100.0), s"late event leaked into results: $got")
+  }
+
   test("foreachBatch incremental dedup: decisions see intra-batch and all earlier batches") {
     implicit val sql = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
