@@ -156,6 +156,40 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graftdpo").toString + "/t"
+    val init = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "day", "v")
+    init.write.partitionBy("day").parquet(dir)
+    // dynamic mode: overwriting day=a must leave day=b untouched —
+    // the daily-reprocess idiom (static mode would wipe the table)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((10L, "a", 10.0)).toDF("id", "day", "v")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val back = spark.read.parquet(dir).select("id", "day", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((3L, "b", 3.0), (10L, "a", 10.0)))
+  }
+
+  test("mergeSchema reads evolved parquet: old files null the new column") {
+    val dir = Files.createTempDirectory("graftevolve").toString + "/t"
+    Seq((1L, "x")).toDF("id", "text").write.parquet(s"$dir/batch1")
+    Seq((2L, "y", "en")).toDF("id", "text", "lang").write.parquet(s"$dir/batch2")
+    val back = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch1", s"$dir/batch2")
+    assert(back.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    val rows = back.select("id", "lang").as[(Long, Option[String])]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, None), (2L, Some("en"))))
+  }
+
   test("training-shard writer: deterministic partitioned parquet, exact round-trip") {
     val docs = (0L until 200L)
       .map(i => (i, s"doc $i", if (i % 10 < 8) "train" else "val"))
