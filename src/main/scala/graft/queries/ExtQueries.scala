@@ -931,6 +931,63 @@ object ExtQueries {
               |       round(n_shared / n_sh, 6) AS dup_coverage
               |FROM cov ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc novelty against everything EARLIER (id order as arrival
+    // order): fraction of a doc's shingles not seen in any smaller-id
+    // doc — the curriculum/ordering view of duplication that pairwise
+    // dedup doesn't give. Shares the memoized shingle pass.
+    Q("text_novelty",
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+        val firstSeen = sh.groupBy(col("s"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("__first"))
+        sh.join(firstSeen, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(org.apache.spark.sql.functions.when(
+              col("__first") < col("doc_id"), 1)).as("n_seen_before"))
+          .withColumn("novelty",
+            round((col("n_shingles") - col("n_seen_before")) / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+              |c AS (SELECT sh.doc_id, count(*) AS n_shingles,
+              |        count(*) FILTER (WHERE first_doc < sh.doc_id) AS n_seen_before
+              |      FROM sh JOIN fs USING (s) GROUP BY sh.doc_id)
+              |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              |       CAST(n_seen_before AS BIGINT) AS n_seen_before,
+              |       round((n_shingles - n_seen_before) / n_shingles, 6) AS novelty
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Per-source quality rollup: the dashboard a curation run ends
+    // with — doc counts and mean quality signals per source
+    Q("profile_source_quality",
+      (s, dir) => {
+        val q = TextOps.quality(Tables.documents(s, dir), "doc_id", "text")
+        Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .join(q, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(org.apache.spark.sql.functions.avg(col("chars")), 2).as("avg_chars"),
+            round(org.apache.spark.sql.functions.avg(col("words")), 2).as("avg_words"),
+            round(org.apache.spark.sql.functions.avg(col("stopword_ratio")), 6)
+              .as("avg_stopword_ratio"))
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS chars,
+              |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS words,
+              |  round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
+              |  FROM documents)
+              |SELECT d.source, count(*) AS n_docs,
+              |       round(avg(q.chars), 2) AS avg_chars,
+              |       round(avg(q.words), 2) AS avg_words,
+              |       round(avg(q.stopword_ratio), 6) AS avg_stopword_ratio
+              |FROM documents d JOIN q ON q.doc_id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // Key-distribution profiler: top-5 heavy hitters + share for the
     // three grouping keys this suite aggregates on. The planning pass
     // a 100-TB pipeline runs BEFORE committing to a partitioning.
