@@ -67,6 +67,57 @@ class ProfileSpec extends SparkSpec {
     assert(naive.contains((at10, "b")) && !naive.contains((at10, "a")))
   }
 
+  test("interleave: Morton bits land in the right positions; locality holds") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // (a=0b101, b=0b011) -> z interleaves as b2a2 b1a1 b0a0 = 0b011011...
+    // compute: a bits at even positions, b bits at odd:
+    // a=5 (101): positions 0,4 -> 1+16=17; b=3 (011): positions 1,3 -> 2+8=10
+    // z = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.ops.ZOrder.interleave(col("a"), col("b"), 3).as("z"))
+      .as[Long].head()
+    assert(z == 27L)
+    // zero interleaved with zero is zero; max with max fills 2*bits
+    val z0 = Seq((0L, 0L)).toDF("a", "b")
+      .select(graft.ops.ZOrder.interleave(col("a"), col("b"), 4).as("z")).as[Long].head()
+    val zm = Seq((15L, 15L)).toDF("a", "b")
+      .select(graft.ops.ZOrder.interleave(col("a"), col("b"), 4).as("z")).as[Long].head()
+    assert(z0 == 0L && zm == 255L)
+  }
+
+  test("z-ordered layout: every file is tight in BOTH dimensions vs a time-sorted write") {
+    import org.apache.spark.sql.functions.{col, floor, unix_timestamp}
+    val tmp = java.nio.file.Files.createTempDirectory("graftz").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+    // control: sorted by hour only — each file spans ~the full user range
+    ev.repartitionByRange(8, col("h")).sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(s"$tmp/by_time")
+    graft.ops.ZOrder.writeZOrdered(ev, "user_id", "h", s"$tmp/zorder", 8)
+    def meanRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min(col(c)),
+            org.apache.spark.sql.functions.max(col(c)))
+          .as[(Long, Long)].head()
+        (r._2 - r._1).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val naive = meanRange(s"$tmp/by_time", "user_id")
+    val zed = meanRange(s"$tmp/zorder", "user_id")
+    // the z-layout's user_id footer ranges must be substantially
+    // tighter — that tightness IS the row-group pruning win
+    assert(zed < naive * 0.7, s"z-order user_id range $zed !< 0.7 * $naive")
+    // and the data itself round-trips exactly (layout-only change)
+    val a = spark.read.parquet(s"$tmp/zorder").orderBy("event_id").collect()
+    val b = ev.orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("urlDomains: hosts extracted and aggregated across docs") {
     val d = Seq(
       (1L, "intro https://a.example.com/x words http://b.example.org/y tail"),
