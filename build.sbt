@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench suite caches ~100 DataFrames (Memo families
+  // + per-doc array tables) in one local[32] JVM; at 8g the round-5
+  // suite spent more time in GC/storage eviction than in queries
+  // (byte-identical queries slowed ~9×). The sandbox has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").map(_.split(" ").toSeq).getOrElse(Seq.empty)

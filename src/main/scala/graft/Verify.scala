@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same per-query suite clock as Bench: bound peak storage to the
+      // recent Memo families instead of the whole 127-query run
+      graft.queries.Memo.advance()
+      graft.queries.Memo.releaseStale(24)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -107,8 +107,9 @@ object Dedup {
     * gaps-and-islands window — moved ~6·10⁸ position rows through two
     * shuffles and a sort, 25–56 s; this form runs the same exact
     * semantics in ~8 s, bounded by Σ_pairs |A| log |B| binary-search
-    * probes.) Beyond broadcast size (corpus docs ≫ 10⁶) the same plan
-    * runs with the array table shuffled on the pair key; candidates
+    * probes.) Beyond `maxBroadcastBytes` (estimated at 8 bytes per
+    * corpus char — the size gate is measured, not assumed) the same
+    * plan runs with the array table shuffled on the pair key; candidates
     * cluster per doc, so each array crosses the wire O(partners)
     * times, still never per position. Base-31 char polynomials are NOT
     * injective (a·31+b = (a+1)·31+(b−31)), so a false shared gram is
@@ -119,7 +120,8 @@ object Dedup {
     * dup_chars) — longest_start is the 1-based char position in A's
     * canonical text (ties → smallest start). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minSpan: Int = 30, maxDf: Int = 100): DataFrame = {
+      k: Int = 8, w: Int = 4, minSpan: Int = 30, maxDf: Int = 100,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = docs.sparkSession
     val base = graft.queries.Memo.cached(spark,
       s"spanh|$k|$w|$idCol|$textCol|${docs.queryExecution.logical.semanticHash()}")(
@@ -159,9 +161,24 @@ object Dedup {
     val arrA = base.select(col("id").as("id_a"), col("z.hs").as("__hsA"))
     val arrB = base.select(col("id").as("id_b"),
       array_sort(array_distinct(col("z.hs"))).as("__bsB"))
-    val spans = cand
-      .join(broadcast(arrA), "id_a")
-      .join(broadcast(arrB), "id_b")
+    // size-GATED broadcast (VERDICT r5 #2): the per-doc array table is
+    // ~8 bytes per corpus character — i.e. ~the corpus itself — so an
+    // unconditional hint would drive the whole corpus through the
+    // driver at scale instead of degrading. The estimate is one agg
+    // over the Memo-cached base (already materialized by the fp pass
+    // above). Below the gate: double broadcast, arrays stream from the
+    // broadcast into the kernel with no shuffle. Above it: the same
+    // plan with the array tables shuffled on the pair key — candidates
+    // cluster per doc, so each array crosses the wire O(partners)
+    // times, still never per position.
+    val estBytes = 8L * base.agg(coalesce(sum(size(col("z.hs"))), lit(0L)))
+      .head().getLong(0)
+    val joined =
+      if (estBytes <= maxBroadcastBytes)
+        cand.join(broadcast(arrA), "id_a").join(broadcast(arrB), "id_b")
+      else
+        cand.join(arrA, "id_a").join(arrB, "id_b")
+    val spans = joined
       .select(col("id_a"), col("id_b"),
         explode(spanKernel(col("__hsA"), col("__bsB"))).as("sp"))
       .select(col("id_a"), col("id_b"),

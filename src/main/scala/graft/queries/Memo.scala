@@ -5,30 +5,85 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** S3 scan memoization (app.py:156-178 → df.cache()), shared by the ML
   * and [EXT] query families: one cached DataFrame per (session, key).
   * The key includes the session identity so a cached plan bound to a
-  * stopped session is never replayed into a new one. Bounded LRU:
-  * evicted entries are unpersisted, so a long-lived session touching
-  * many dirs can't accumulate unbounded executor cache. */
+  * stopped session is never replayed into a new one.
+  *
+  * Sizing is STRUCTURAL, not hand-tuned. Three incidents (round-3
+  * minhash 39 s; 48 entries at 114 queries; 96 entries at 127 queries)
+  * each traced to the same mechanism: a constant capacity silently
+  * falling below the suite's distinct-key working set, so mid-suite LRU
+  * eviction recomputed whole shared pipelines inside whichever later
+  * query touched them. Capacity is now derived from the query registry
+  * (2× its size, floor 192 — far above the ~one-key-per-call-site
+  * working set), so adding queries can never shrink coverage below the
+  * suite again. The LRU is a BACKSTOP for long-lived interactive
+  * sessions touching many dirs, not the suite's working-set manager —
+  * that job belongs to [[releaseStale]], driven by the bench/verify
+  * loop, which releases entries no recent query touched (families are
+  * registry-adjacent, so an entry untouched for a whole window of
+  * queries is dead for the rest of the run). [[evictionCount]] feeds
+  * the bench canary: any capacity eviction during a suite run is a
+  * regression signal, reported in the bench JSON. */
 private[graft] object Memo {
-  // Sized to cover the FULL bench suite's distinct keys (scans + shared
-  // passes) without mid-suite eviction — an evicted shared pass silently
-  // recomputes its whole upstream pipeline inside whichever later query
-  // touches it (the round-3 bench mystery: minhash 39 s; resurfaced at
-  // 114 queries when 48 entries no longer covered the suite —
-  // dedup_edit_distance 0.4 s → 6.6 s). 96 covers the 115-query suite
-  // with headroom; still bounded so a long-lived session touching many
-  // dirs can't grow without limit.
-  private val MaxEntries = 96
+  /** Derived capacity: 2× the registry so the LRU can never again be
+    * undersized for the suite it serves (each query touches ~1-3 keys,
+    * most shared). Lazy: evaluated on first use, after the registry
+    * objects are initialized. */
+  private lazy val MaxEntries: Int =
+    math.max(192, 2 * graft.SparkEntry.queries.size)
+
+  /** Capacity evictions since JVM start (staleness releases NOT
+    * counted). Nonzero during a suite run means the derived capacity
+    * is undersized again — the bench prints it as `memo_evictions`
+    * and warns; MemoSpec pins the derivation. */
+  @volatile var evictionCount: Long = 0L
+
+  private var tick: Long = 0L
+  private val lastTouch = new java.util.HashMap[String, Long]
   private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
-      if (size() > MaxEntries) { e.getValue.unpersist(); true } else false
+      if (size() > MaxEntries) {
+        e.getValue.unpersist(); lastTouch.remove(e.getKey); evictionCount += 1; true
+      } else false
   }
 
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = s"${System.identityHashCode(s)}|$key"
     memo.synchronized {
       val hit = memo.get(k)
-      if (hit != null) hit
-      else { val df = build.cache(); memo.put(k, df); df }
+      if (hit != null) { lastTouch.put(k, tick); hit }
+      else { val df = build.cache(); memo.put(k, df); lastTouch.put(k, tick); df }
     }
   }
+
+  /** Advance the suite clock — the bench/verify loop calls this once
+    * per completed query, so entry ages are measured in queries, not
+    * wall time. */
+  def advance(): Unit = memo.synchronized { tick += 1 }
+
+  /** Unpersist and drop every entry not touched within the last
+    * `window` queries. Memo-sharing families are registry-adjacent
+    * (SparkEntry keeps them so), so an entry a whole window of queries
+    * ignored is dead for the rest of the run; releasing it bounds peak
+    * storage memory to the recent families' working set instead of the
+    * whole suite's. A too-eager release is a performance bug, never a
+    * correctness bug — the entry would simply recompute. Returns the
+    * number released. */
+  def releaseStale(window: Int): Int = memo.synchronized {
+    val cutoff = tick - window
+    val it = memo.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (lastTouch.get(e.getKey) < cutoff) {
+        e.getValue.unpersist(); lastTouch.remove(e.getKey); it.remove(); n += 1
+      }
+    }
+    n
+  }
+
+  /** Current entry count (bench reporting). */
+  def entryCount: Int = memo.synchronized { memo.size() }
+
+  /** Derived capacity (spec pin). */
+  private[graft] def capacity: Int = MaxEntries
 }

@@ -224,6 +224,30 @@ class TextDedupSpec extends SparkSpec {
     assert(start == "intro text alpha;".length + 1)
   }
 
+  test("duplicatedSpans: shuffled fallback (gate=0) == broadcast path bit-for-bit") {
+    // the size gate must change the JOIN STRATEGY only, never the
+    // result: force the shuffled path with maxBroadcastBytes = 0 and
+    // diff against the broadcast path on a fixture with several
+    // overlapping docs (shared paragraph + a second repeated sentence)
+    val para = "the quick brown fox jumps over the lazy dog near a riverbank at dawn"
+    val sent = "rain fell steadily on the old tin roof all night"
+    val d = Seq(
+      (1L, s"intro alpha;$para; middle words here. $sent. tail one"),
+      (2L, s"different opening!$para! but $sent? closing"),
+      (3L, s"unrelated body of text $sent with its own framing around it"),
+      (4L, "nothing shared with anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    def run(gate: Long) = Dedup.duplicatedSpans(d, "doc_id", "text",
+        minSpan = 30, maxDf = Int.MaxValue, maxBroadcastBytes = gate)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L)
+    assert(viaBroadcast.nonEmpty, "fixture must produce spans")
+    assert(viaShuffle == viaBroadcast,
+      s"fallback diverged:\n  broadcast=$viaBroadcast\n  shuffled=$viaShuffle")
+  }
+
   test("cosineLshPairs at production bands (8 rows): planted recall >= 0.9, precision exact") {
     // 30 base vectors + a perturbed near-duplicate of each (cosine
     // ≈ 0.999) — the ≥0.9-cosine regime the operator's scaladoc
