@@ -403,7 +403,10 @@ object Dedup {
     val cfp = TextOps.fingerprint(corpus, idCol, textCol)
     val bfp = TextOps.fingerprint(batch, idCol, textCol)
     val bloom = cfp.stat.bloomFilter("fp", expectedItems, fpp)
-    val mightContain = udf((s: String) => bloom.mightContain(s))
+    // null fingerprint (null text): SQL join semantics say null never
+    // matches, so it is definite-new — and the guard keeps the probe
+    // from NPE-ing (stat.bloomFilter itself skips nulls on build)
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
     val flagged = bfp.withColumn("__maybe", mightContain(col("fp")))
     val definiteNew = flagged.filter(!col("__maybe"))
       .select(col(idCol), lit(false).as("is_dup"))

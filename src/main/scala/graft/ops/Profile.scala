@@ -32,7 +32,10 @@ object Profile {
     * semantic-dedup job — row count, dimensionality (min and max, so a
     * ragged corpus fails loudly rather than silently truncating dot
     * products), L2-norm distribution, and degenerate-vector counts
-    * (zero norm breaks cosine; NaN/Inf poisons every distance).
+    * (zero norm breaks cosine; NaN/Inf poisons every distance — and
+    * they are counted SEPARATELY: a +Inf component yields an Inf norm,
+    * not NaN, so an n_nan-only count would let a degenerate corpus
+    * profile clean).
     * ONE pass, all parallel aggregates over per-row codegen'd
     * expressions — no shuffle (partial agg reduces each partition to
     * one row). */
@@ -48,6 +51,8 @@ object Profile {
         round(min(col("__nrm")), 6).as("min_norm"),
         round(max(col("__nrm")), 6).as("max_norm"),
         count(when(col("__nrm") === 0.0, 1)).as("n_zero"),
-        count(when(col("__nrm").isNaN, 1)).as("n_nan"))
+        count(when(col("__nrm").isNaN, 1)).as("n_nan"),
+        // sqrt never returns -Inf, so +Inf is the only infinite norm
+        count(when(col("__nrm") === Double.PositiveInfinity, 1)).as("n_inf"))
   }
 }

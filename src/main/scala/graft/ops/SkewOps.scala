@@ -72,8 +72,18 @@ object SkewOps {
       eps, confidence, seed)
     val bc = spark.sparkContext.broadcast(sketch)
     val est = udf((k: String) => bc.value.estimateCount(k))
-    df.select(col(keyCol).cast("string").as("value")).distinct()
+    // a CMS stores no nulls (countMinSketch skips them, and the probe
+    // would NPE) — the null-key row is answered exactly, so a
+    // null-bearing keyspace agrees with the exact-groupBy oracle
+    // instead of crashing the task
+    val keyed = df.select(col(keyCol).cast("string").as("value"))
+    val nonNull = keyed.filter(col("value").isNotNull).distinct()
       .withColumn("est_count", est(col("value")))
+    val nullRow = keyed.filter(col("value").isNull)
+      .agg(count(lit(1)).as("est_count"))
+      .select(lit(null).cast("string").as("value"), col("est_count"))
+      .filter(col("est_count") > 0)
+    nonNull.unionByName(nullRow)
   }
 
   /** Salted sum/count: groupBy(keys :+ salt) → partial, then merge.

@@ -1103,7 +1103,8 @@ object ExtQueries {
              |       round(min(nrm), 6) AS min_norm,
              |       round(max(nrm), 6) AS max_norm,
              |       count(*) FILTER (WHERE nrm = 0) AS n_zero,
-             |       count(*) FILTER (WHERE isnan(nrm)) AS n_nan
+             |       count(*) FILTER (WHERE isnan(nrm)) AS n_nan,
+             |       count(*) FILTER (WHERE isinf(nrm)) AS n_inf
              |FROM n""".stripMargin)),
 
     // Per-domain URL profile (blocklist / domain-cap pre-pass). The

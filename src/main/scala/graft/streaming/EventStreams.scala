@@ -111,8 +111,18 @@ object EventStreams {
     * foreachBatch is the right tool (not a stream-stream join): the
     * corpus side is a growing TABLE, not a stream with a watermark,
     * and each batch's decisions must see all previous batches'
-    * outcomes — exactly-once per epoch, batch-at-a-time. The
-    * corpus probe reuses [[graft.ext.Dedup.bloomIncrementalExact]]:
+    * outcomes. foreachBatch's contract is at-least-once per epoch, so
+    * the epoch body is IDEMPOTENT rather than assumed-exactly-once:
+    * both dirs are partitioned by batch_id and written with dynamic
+    * partition OVERWRITE, and the probe corpus is restricted to
+    * strictly-earlier batch partitions — a replayed epoch (failure
+    * after one write committed but before the checkpoint did) never
+    * sees its own partial output, recomputes identical decisions, and
+    * overwrites its own partitions instead of appending contradictory
+    * duplicate rows. [[dedupEpoch]] is that body, factored out so the
+    * replay property is testable directly.
+    *
+    * The corpus probe reuses [[graft.ext.Dedup.bloomIncrementalExact]]:
     * at 100 TB the corpus appears as its Bloom + fingerprint table,
     * and definite-new batch docs never join. Start the returned
     * writer with `.start()`/`.trigger(...)` as usual. */
@@ -120,37 +130,58 @@ object EventStreams {
       corpusDir: String, decisionsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        // intra-batch: first occurrence (smallest id) of a fingerprint wins
-        val fp = graft.ext.TextOps.fingerprint(batch, idCol, textCol)
-        val intra = batch.join(fp, idCol)
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col(idCol))))
-        val intraKept = intra.filter(col("__rk") === 1).drop("__rk", "fp")
-        // inter-batch: probe the accumulated corpus (bootstrap = empty)
-        val fs = new org.apache.hadoop.fs.Path(corpusDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
-        val decided =
-          if (!hasCorpus)
-            intraKept.select(col(idCol), lit(false).as("is_dup"), lit(true).as("keep"))
-          else graft.ext.Dedup.bloomIncrementalExact(
-            spark.read.parquet(corpusDir), intraKept, idCol, textCol,
-            expectedItems = 1000000L, fpp = 0.01)
-        val all = batch.select(col(idCol))
-          .join(decided, Seq(idCol), "left")
-          .select(col(idCol), lit(batchId).as("batch_id"),
-            coalesce(col("keep"), lit(false)).as("keep"),
-            when(col("keep").isNull, lit("intra_batch_dup"))
-              .when(!col("keep"), lit("corpus_dup"))
-              .otherwise(lit("new")).as("reason"))
-          .localCheckpoint() // decide BEFORE the corpus append below mutates the input
-        all.write.mode("append").parquet(decisionsDir)
-        batch.join(all.filter(col("keep")).select(col(idCol)), idCol)
-          .write.mode("append").parquet(corpusDir)
-        ()
+        dedupEpoch(batch, batchId, idCol, textCol, corpusDir, decisionsDir)
     }
+
+  /** One idempotent dedup epoch (the foreachBatch body): running it
+    * twice with the same (batch, batchId) leaves both dirs exactly as
+    * one run would. */
+  private[graft] def dedupEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      corpusDir: String, decisionsDir: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // intra-batch: first occurrence (smallest id) of a fingerprint wins
+    val fp = graft.ext.TextOps.fingerprint(batch, idCol, textCol)
+    val intra = batch.join(fp, idCol)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+    val intraKept = intra.filter(col("__rk") === 1).drop("__rk", "fp")
+    // inter-batch: probe the accumulated corpus (bootstrap = empty).
+    // Only strictly-earlier partitions: a replayed epoch must not see
+    // its own (possibly partial) append as "corpus".
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    val corpusPrior =
+      if (!hasCorpus) None
+      else Some(spark.read.parquet(corpusDir)
+        .filter(col("batch_id") < batchId)) // partition-pruned scan
+    val decided = corpusPrior match {
+      case None =>
+        intraKept.select(col(idCol), lit(false).as("is_dup"), lit(true).as("keep"))
+      case Some(corpus) => graft.ext.Dedup.bloomIncrementalExact(
+        corpus, intraKept, idCol, textCol,
+        expectedItems = 1000000L, fpp = 0.01)
+    }
+    val all = batch.select(col(idCol))
+      .join(decided, Seq(idCol), "left")
+      .select(col(idCol), lit(batchId).as("batch_id"),
+        coalesce(col("keep"), lit(false)).as("keep"),
+        when(col("keep").isNull, lit("intra_batch_dup"))
+          .when(!col("keep"), lit("corpus_dup"))
+          .otherwise(lit("new")).as("reason"))
+      .localCheckpoint() // decide BEFORE the corpus write below mutates the input
+    all.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(decisionsDir)
+    batch.join(all.filter(col("keep")).select(col(idCol)), idCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    ()
+  }
 
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment

@@ -26,6 +26,17 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("cmsEstimates: null keys answered exactly, not NPE'd") {
+    // the sketch stores no nulls (countMinSketch skips them; the probe
+    // UDF would NPE) — the null-key row must come back with its EXACT
+    // count, agreeing with the exact-groupBy oracle on null-bearing data
+    val df = (Seq("a", "a", "b") ++ Seq.fill(3)(null: String)).toDF("k")
+    val est = SkewOps.cmsEstimates(df, "k", 0.001, 0.99, 42)
+      .as[(Option[String], Long)].collect().toMap
+    assert(est(Some("a")) == 2L && est(Some("b")) == 1L)
+    assert(est(None) == 3L, s"null-key row wrong: $est")
+  }
+
   test("cmsEstimates is deterministic for a fixed seed") {
     val df = (0 until 50).map(i => s"k${i % 7}").toDF("k")
     val a = SkewOps.cmsEstimates(df, "k", 0.001, 0.99, 7)
@@ -42,8 +53,22 @@ class ProfileSpec extends SparkSpec {
       Array(1.0f, 0.0f)    // norm 1
     ).toDF("embedding")
     val r = Profile.embeddingProfile(emb, "embedding")
-      .as[(Long, Long, Long, Double, Double, Double, Long, Long)].head()
-    assert(r == ((3L, 2L, 2L, 2.0, 0.0, 5.0, 1L, 0L)))
+      .as[(Long, Long, Long, Double, Double, Double, Long, Long, Long)].head()
+    assert(r == ((3L, 2L, 2L, 2.0, 0.0, 5.0, 1L, 0L, 0L)))
+  }
+
+  test("embeddingProfile: an Inf component is flagged as n_inf, not hidden") {
+    // +Inf component → Inf norm (NOT NaN: only Inf−Inf yields NaN), so
+    // an n_nan-only profile would pass a degenerate corpus as clean
+    val emb = Seq(
+      Array(1.0f, 2.0f),
+      Array(Float.PositiveInfinity, 1.0f),
+      Array(Float.NaN, 1.0f)
+    ).toDF("embedding")
+    val r = Profile.embeddingProfile(emb, "embedding")
+      .select("n", "n_zero", "n_nan", "n_inf")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 0L, 1L, 1L)), s"got $r")
   }
 
   test("binned range join == naive predicate join, boundaries half-open") {

@@ -156,6 +156,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val dec = spark.read.parquet(decisionsDir)
+      .select(col("doc_id"), col("batch_id").cast("long"), col("keep"), col("reason"))
       .as[(Long, Long, Boolean, String)].collect()
       .map(r => r._1 -> r).toMap
     assert(dec(1L)._3 && dec(1L)._4 == "new")
@@ -188,6 +189,7 @@ class StreamingSpec extends SparkSpec {
     val q2 = start()
     q2.processAllAvailable(); q2.stop()
     val dec = spark.read.parquet(decisionsDir)
+      .select(col("doc_id"), col("batch_id").cast("long"), col("keep"), col("reason"))
       .as[(Long, Long, Boolean, String)].collect()
     assert(dec.length == 3, s"expected 3 decisions, got ${dec.toSeq}") // doc 1 decided exactly once
     val byId = dec.map(r => r._1 -> r).toMap
@@ -197,6 +199,36 @@ class StreamingSpec extends SparkSpec {
     val corpus = spark.read.parquet(corpusDir).select("doc_id")
       .as[Long].collect().sorted
     assert(corpus.sameElements(Seq(1L, 3L)))
+  }
+
+  test("dedup epoch replay is idempotent: re-running a batch changes nothing") {
+    // foreachBatch is at-least-once: a failure after the decisions (or
+    // corpus) write committed but before the CHECKPOINT commit replays
+    // the whole epoch. The epoch body must therefore be idempotent —
+    // the replay must not append duplicate/contradictory decision rows
+    // (doc first 'new', then 'corpus_dup' because its own partial
+    // corpus append became visible).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_replay").toString
+    val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
+    val b0 = Seq((1L, "alpha beta"), (2L, "fresh text")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "ALPHA  beta"), (11L, "novel words")).toDF("doc_id", "text")
+    EventStreams.dedupEpoch(b0, 0L, "doc_id", "text", corpusDir, decisionsDir)
+    EventStreams.dedupEpoch(b1, 1L, "doc_id", "text", corpusDir, decisionsDir)
+    def snapshot() = (
+      spark.read.parquet(decisionsDir)
+        .select(col("doc_id"), col("batch_id").cast("long"), col("keep"), col("reason"))
+        .as[(Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq,
+      spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().sorted.toSeq)
+    val before = snapshot()
+    // worst-case replay: batch 1 runs AGAIN after its own writes landed
+    EventStreams.dedupEpoch(b1, 1L, "doc_id", "text", corpusDir, decisionsDir)
+    val after = snapshot()
+    assert(after == before, s"replay mutated state:\n  before=$before\n  after=$after")
+    // and the decisions themselves are right: 10 dups batch-0's doc 1
+    val byId = before._1.map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 == "corpus_dup" && !byId(10L)._3)
+    assert(byId(11L)._4 == "new" && byId(11L)._3)
+    assert(before._2 == Seq(1L, 2L, 11L))
   }
 
   test("mapGroupsWithState accumulates running user totals across batches") {

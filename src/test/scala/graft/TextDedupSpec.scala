@@ -595,6 +595,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("bloomIncrementalExact: null text is definite-new (SQL join semantics), not an NPE") {
+    // null text → null fingerprint; null never equals anything in the
+    // exact anti-join this operator must reproduce, so the doc is kept
+    // — and the probe must not NPE on the null reaching the UDF
+    val corpus = Seq((1L, "kept corpus doc"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null: String), (11L, "kept corpus doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalExact(corpus, batch, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.01)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!out(10L)._2 && out(10L)._3, s"null-text doc must be definite-new: $out")
+    assert(out(11L)._2 && !out(11L)._3)
+  }
+
   test("bloomIncrementalExact == plain anti-join on seeded random corpora") {
     import org.apache.spark.sql.functions.{col, lower, md5, regexp_replace, trim}
     val rnd = new scala.util.Random(17)
