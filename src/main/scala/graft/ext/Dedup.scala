@@ -192,6 +192,50 @@ object Dedup {
         (-col("__m.ns")).as("longest_start"), col("dup_chars"))
   }
 
+  /** Span-level dedup INTERVENTION (Lee et al. 2022's actual fix, not
+    * just its diagnosis): [[duplicatedSpans]] finds WHERE duplication
+    * lives; this composes it with substring surgery on the kept corpus
+    * — for each doc appearing as the LATER side (id_b) of a span pair,
+    * one intervention removes every occurrence of the longest
+    * duplicated span (ties → smallest source id, then smallest start,
+    * both inherited from duplicatedSpans' deterministic aggregation)
+    * from the doc's canonical text. The earlier doc keeps its copy, so
+    * exactly one copy of the span survives per pair — dedup at sub-doc
+    * granularity, where whole-doc dedup sees two "different" docs.
+    *
+    * Scale: the spans frame is ∝ true duplication (tiny); the surgery
+    * is two keyed joins of that frame against the corpus (shuffle on
+    * the doc id, the corpus never fans out) and per-row string ops.
+    * Output: (doc_id, src_id, span_len, orig_len, trimmed_len,
+    * trimmed_fp) — trimmed_fp = md5 of the post-surgery text, the
+    * keep-list integration handle. */
+  def trimSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minSpan: Int = 30, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicatedSpans(docs, idCol, textCol, k, w, minSpan, maxDf)
+    val best = spans
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id_b"))
+          .orderBy(desc("longest_span"), asc("id_a"), asc("longest_start"))))
+      .filter(col("__rk") === 1)
+      .select(col("id_b"), col("id_a"), col("longest_start"), col("longest_span"))
+    val canon = docs.select(col(idCol).as("__cid"),
+      TextOps.canonCol(textCol).as("__ct"))
+    val withSpanText = best
+      .join(canon.withColumnRenamed("__cid", "id_a").withColumnRenamed("__ct", "__ta"), "id_a")
+      .select(col("id_b"), col("id_a"), col("longest_span"),
+        col("__ta").substr(col("longest_start"), col("longest_span")).as("__span"))
+    withSpanText
+      .join(canon.withColumnRenamed("__cid", "id_b").withColumnRenamed("__ct", "__tb"), "id_b")
+      .select(col("id_b").as("doc_id"), col("id_a").as("src_id"),
+        col("longest_span").as("span_len"),
+        length(col("__tb")).cast("long").as("orig_len"),
+        length(call_function("replace", col("__tb"), col("__span")))
+          .cast("long").as("trimmed_len"),
+        md5(call_function("replace", col("__tb"), col("__span")).cast("binary"))
+          .as("trimmed_fp"))
+  }
+
   /** Asymmetric near-dup: containment C = |A∩B| / min(|A|,|B|) ≥
     * threshold. Catches doc-inside-doc duplication (a page quoting
     * another wholesale, a doc embedded in a crawl concatenation) that

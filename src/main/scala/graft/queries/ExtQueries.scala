@@ -47,6 +47,40 @@ object ExtQueries {
       |           CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
       |         FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB CTEs: winnowed-fingerprint span candidates →
+    * per-pair maximal shared-gram islands `sp` (id_a, id_b,
+    * span_start, span_len ≥ 30) plus the canonical-text CTE `c` —
+    * byte-identical semantics to [[graft.ext.Dedup.duplicatedSpans]]'
+    * banding + kernel walk. Shared by the span-pair diagnosis query
+    * and the trim-spans intervention query. */
+  private val spanCte =
+    s"""c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |           FROM documents),
+       |g AS (SELECT doc_id, i,
+       |        ${(0 until 8).map(j => s"CAST(ascii(substr(t, CAST(i + $j AS INT), 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}").mkString(" + ")} AS hv
+       |      FROM c, LATERAL (SELECT unnest(range(1, length(t) - 6)) AS i) u
+       |      WHERE length(t) >= 8),
+       |wm AS (SELECT doc_id, i, hv,
+       |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+       |       FROM g),
+       |sel AS (SELECT DISTINCT doc_id, hv FROM wm WHERE hv = wmin),
+       |dfc AS (SELECT hv, count(*) AS nfp FROM sel GROUP BY hv),
+       |selr AS (SELECT sel.doc_id, sel.hv FROM sel JOIN dfc USING (hv) WHERE nfp <= 100),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM selr a JOIN selr b ON a.hv = b.hv AND a.doc_id < b.doc_id),
+       |hb AS (SELECT DISTINCT doc_id, hv FROM g),
+       |shp AS (SELECT cd.id_a, cd.id_b, g.i AS pos
+       |        FROM cand cd JOIN g ON g.doc_id = cd.id_a
+       |        JOIN hb ON hb.doc_id = cd.id_b AND hb.hv = g.hv),
+       |isl AS (SELECT id_a, id_b, pos,
+       |          pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+       |        FROM shp),
+       |sp AS (SELECT id_a, id_b, min(pos) AS span_start,
+       |         count(*) + 7 AS span_len
+       |       FROM isl GROUP BY id_a, id_b, grp
+       |       HAVING count(*) + 7 >= 30)""".stripMargin
+
   /** One shingling pass per (session, dir), shared by the Jaccard and
     * MinHash-LSH queries (S3 memoization, bounded LRU). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -226,32 +260,7 @@ object ExtQueries {
     Q("dedup_span_pairs",
       (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-              |           FROM documents),
-              |g AS (SELECT doc_id, i,
-              |        ${(0 until 8).map(j => s"CAST(ascii(substr(t, CAST(i + $j AS INT), 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}").mkString(" + ")} AS hv
-              |      FROM c, LATERAL (SELECT unnest(range(1, length(t) - 6)) AS i) u
-              |      WHERE length(t) >= 8),
-              |wm AS (SELECT doc_id, i, hv,
-              |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
-              |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
-              |       FROM g),
-              |sel AS (SELECT DISTINCT doc_id, hv FROM wm WHERE hv = wmin),
-              |dfc AS (SELECT hv, count(*) AS nfp FROM sel GROUP BY hv),
-              |selr AS (SELECT sel.doc_id, sel.hv FROM sel JOIN dfc USING (hv) WHERE nfp <= 100),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |         FROM selr a JOIN selr b ON a.hv = b.hv AND a.doc_id < b.doc_id),
-              |hb AS (SELECT DISTINCT doc_id, hv FROM g),
-              |shp AS (SELECT cd.id_a, cd.id_b, g.i AS pos
-              |        FROM cand cd JOIN g ON g.doc_id = cd.id_a
-              |        JOIN hb ON hb.doc_id = cd.id_b AND hb.hv = g.hv),
-              |isl AS (SELECT id_a, id_b, pos,
-              |          pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
-              |        FROM shp),
-              |sp AS (SELECT id_a, id_b, min(pos) AS span_start,
-              |         count(*) + 7 AS span_len
-              |       FROM isl GROUP BY id_a, id_b, grp
-              |       HAVING count(*) + 7 >= 30),
+      Some(s"""WITH $spanCte,
               |agg AS (SELECT id_a, id_b, count(*) AS n_spans,
               |          max(span_len) AS longest_span,
               |          CAST(sum(span_len) AS BIGINT) AS dup_chars
@@ -261,6 +270,39 @@ object ExtQueries {
               |FROM agg a JOIN sp s ON s.id_a = a.id_a AND s.id_b = a.id_b
               |  AND s.span_len = a.longest_span
               |GROUP BY 1, 2, 3, 4, 6 ORDER BY 1, 2""".stripMargin)),
+
+    // The Lee et al. 2022 INTERVENTION, not just the diagnosis: trim
+    // the longest duplicated span from the later doc of each span
+    // pair, leaving the earlier doc's copy as the corpus's single
+    // copy. One surgery per victim doc (longest span, ties → smallest
+    // source id); trimmed_fp is the keep-list handle for the curated
+    // rewrite.
+    Q("text_trim_spans",
+      (s, dir) => Dedup.trimSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $spanCte,
+              |agg AS (SELECT id_a, id_b, max(span_len) AS longest_span
+              |        FROM sp GROUP BY 1, 2),
+              |pairs AS (SELECT a.id_a, a.id_b, a.longest_span,
+              |            min(s.span_start) AS longest_start
+              |          FROM agg a JOIN sp s ON s.id_a = a.id_a AND s.id_b = a.id_b
+              |            AND s.span_len = a.longest_span
+              |          GROUP BY 1, 2, 3),
+              |best AS (SELECT id_b, id_a, longest_start, longest_span,
+              |           row_number() OVER (PARTITION BY id_b
+              |             ORDER BY longest_span DESC, id_a, longest_start) AS rk
+              |         FROM pairs),
+              |tr AS (SELECT b.id_b AS doc_id, b.id_a AS src_id,
+              |         b.longest_span AS span_len, length(cb.t) AS orig_len,
+              |         replace(cb.t, substr(ca.t, CAST(b.longest_start AS INT),
+              |           CAST(b.longest_span AS INT)), '') AS trimmed
+              |       FROM best b JOIN c ca ON ca.doc_id = b.id_a
+              |       JOIN c cb ON cb.doc_id = b.id_b WHERE b.rk = 1)
+              |SELECT doc_id, src_id, span_len,
+              |       CAST(orig_len AS BIGINT) AS orig_len,
+              |       CAST(length(trimmed) AS BIGINT) AS trimmed_len,
+              |       md5(trimmed) AS trimmed_fp
+              |FROM tr ORDER BY doc_id""".stripMargin)),
 
     // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
     // pairs share a full band, then exact-Jaccard verification of

@@ -248,6 +248,30 @@ class TextDedupSpec extends SparkSpec {
       s"fallback diverged:\n  broadcast=$viaBroadcast\n  shuffled=$viaShuffle")
   }
 
+  test("trimSpans: longest duplicated span surgically removed from the LATER doc only") {
+    val para = "the quick brown fox jumps over the lazy dog near a riverbank at dawn"
+    val d = Seq(
+      (1L, s"intro text alpha;$para; and then some trailing words"),
+      (2L, s"completely different opening here with words!$para! closing remark"),
+      (3L, "nothing in common with the others at all whatsoever entirely distinct")
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimSpans(d, "doc_id", "text", maxDf = Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    // exactly one intervention: doc 2 (the later doc) loses the span;
+    // docs 1 and 3 are untouched (no row)
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val (docId, srcId, spanLen, origLen, trimmedLen, fp) = out.head
+    assert(docId == 2L && srcId == 1L && spanLen == para.length)
+    assert(trimmedLen == origLen - para.length)
+    // the fp is the md5 of B's canonical text with the span excised
+    val canon2 = s"completely different opening here with words!$para! closing remark"
+      .toLowerCase.replaceAll("\\s+", " ").trim
+    val expected = canon2.replace(para, "")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == md, s"fp mismatch")
+  }
+
   test("cosineLshPairs at production bands (8 rows): planted recall >= 0.9, precision exact") {
     // 30 base vectors + a perturbed near-duplicate of each (cosine
     // ≈ 0.999) — the ≥0.9-cosine regime the operator's scaladoc
