@@ -167,15 +167,25 @@ object Multimodal {
   }
 
   /** Parsed MP4/ISO-BMFF container metadata: major brand (ftyp),
-    * movie timescale + duration in ticks (mvhd), track count (trak). */
-  case class Mp4Meta(brand: String, timescale: Long, duration: Long, nTracks: Int)
+    * movie timescale + duration in ticks (mvhd), track count (trak),
+    * per-track codec 4ccs in trak order (stsd first sample entry),
+    * total sync-sample (keyframe) count across tracks (stss
+    * entry_count), and the first track's first keyframe sample number
+    * (−1 when no track carries an stss). */
+  case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+      nTracks: Int, codecs: Seq[String] = Nil, nKeyframes: Long = 0L,
+      firstKeyframe: Long = -1L)
 
   /** REAL MP4 container metadata via a pure-JDK ISO-BMFF box walk
     * (ISO/IEC 14496-12 box grammar: 4-byte big-endian size, 4-byte
     * type; size==1 → 64-bit largesize follows): reads the ftyp major
     * brand, the moov/mvhd timescale + duration (version 0 and 1
-    * layouts), and counts moov/trak boxes. No codec needed — duration
-    * and track structure live in the container, not the bitstream.
+    * layouts), counts moov/trak boxes, and descends each
+    * trak→mdia→minf→stbl for the stsd codec identifier (the first
+    * sample entry's 4cc — 'avc1'/'hev1'/'mp4v'/…) and the stss
+    * sync-sample table (keyframe count + first keyframe sample
+    * number). Still codec-free: these live in the container's sample
+    * TABLES, not the bitstream — only pixel decode needs a codec.
     * Returns None for anything malformed (truncated box, missing
     * ftyp/moov/mvhd) rather than throwing: one bad record must not
     * kill a 100-TB job. */
@@ -206,6 +216,17 @@ object Multimodal {
       var timescale = -1L
       var duration = -1L
       var tracks = 0
+      val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var nKeyframes = 0L
+      var firstKeyframe = -1L
+      // descend box path segments (e.g. mdia→minf→stbl) under [from,to)
+      def descend(from: Int, to: Int, path: List[String])(
+          f: (String, Int, Int) => Unit): Unit = path match {
+        case Nil => walk(from, to)(f); ()
+        case seg :: rest =>
+          walk(from, to) { (t, o, e) => if (t == seg) descend(o, e, rest)(f) }
+          ()
+      }
       val ok = walk(0, bytes.length) { (typ, off, end) =>
         typ match {
           case "ftyp" if end - off >= 4 && brand == null =>
@@ -220,7 +241,21 @@ object Multimodal {
                   } else if (version == 1 && e - o >= 28) {
                     timescale = u32(o + 20); duration = u64(o + 24)
                   }
-                case "trak" => tracks += 1
+                case "trak" =>
+                  tracks += 1
+                  descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                    t4 match {
+                      case "stsd" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
+                        // FullBox(4) + entry_count(4) + entry size(4) + 4cc
+                        codecs += new String(bytes, o4 + 12, 4, "US-ASCII")
+                      case "stss" if e4 - o4 >= 8 =>
+                        val n = u32(o4 + 4)
+                        nKeyframes += n
+                        if (firstKeyframe < 0 && n > 0 && e4 - o4 >= 12)
+                          firstKeyframe = u32(o4 + 8)
+                      case _ => ()
+                    }
+                  }
                 case _ => ()
               }
             }
@@ -229,16 +264,22 @@ object Multimodal {
         }
       }
       if (ok && brand != null && timescale > 0 && duration >= 0)
-        Some(Mp4Meta(brand, timescale, duration, tracks))
+        Some(Mp4Meta(brand, timescale, duration, tracks,
+          codecs.toSeq, nKeyframes, firstKeyframe))
       else None
     } catch { case _: Exception => None }
   }
 
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
-    * moov(mvhd v0 + trak×k) with duration = (id·97 + 41) mod 100000
-    * ticks at timescale 1000 and k = 1 + id mod 3 tracks — pure
-    * integer functions of id, so an external oracle recomputes the
-    * parsed metadata without seeing the bytes. */
+    * moov(mvhd v0 + trak×k), each trak carrying a full
+    * mdia/minf/stbl with an stsd sample entry and an stss sync-sample
+    * table. All fields are pure integer functions of id, so an
+    * external oracle recomputes the parsed metadata without seeing
+    * the bytes: duration = (id·97 + 41) mod 100000 ticks at timescale
+    * 1000; k = 1 + id mod 3 tracks; track i's codec cycles
+    * avc1/hev1/mp4v by (id+i) mod 3; track i's stss holds
+    * (id·13 + 7i) mod 20 + 1 keyframes starting at sample
+    * (id mod 5) + 1 + i, step 2. */
   def syntheticMp4(id: Long): Array[Byte] = {
     def be32(v: Long) = Array[Byte](
       ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
@@ -257,8 +298,21 @@ object Multimodal {
         Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ // volume + reserved
         new Array[Byte](36) ++ new Array[Byte](24) ++ // matrix + predefined
         be32(nTracks + 1L)) // next_track_ID
-    val traks = (0 until nTracks).flatMap(i =>
-      box("trak", box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L)))).toArray
+    val codecNames = Seq("avc1", "hev1", "mp4v")
+    val traks = (0 until nTracks).flatMap { i =>
+      val codec = codecNames(((id + i) % 3).toInt)
+      // minimal sample entry: 6 reserved bytes + 2-byte data_ref_index
+      val stsd = box("stsd", be32(0) ++ be32(1) ++
+        box(codec, new Array[Byte](8)))
+      val kf = ((id * 13 + 7 * i) % 20 + 1).toInt
+      val first = (id % 5) + 1 + i
+      val stss = box("stss", be32(0) ++ be32(kf.toLong) ++
+        (0 until kf).flatMap(j => be32(first + 2L * j)).toArray)
+      val stbl = box("stbl", stsd ++ stss)
+      box("trak",
+        box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L)) ++
+          box("mdia", box("minf", stbl)))
+    }.toArray
     ftyp ++ box("moov", mvhd ++ traks)
   }
 

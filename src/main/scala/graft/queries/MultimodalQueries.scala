@@ -102,16 +102,27 @@ object MultimodalQueries {
         ids.mapPartitions { it =>
           it.map { id =>
             val m = Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(id)).get
-            (id, m.brand, m.timescale, m.duration, m.nTracks.toLong)
+            (id, m.brand, m.timescale, m.duration, m.nTracks.toLong,
+              m.codecs.mkString(","), m.nKeyframes, m.firstKeyframe)
           }
-        }.toDF("id", "brand", "timescale", "duration_ticks", "n_tracks")
+        }.toDF("id", "brand", "timescale", "duration_ticks", "n_tracks",
+            "codecs", "n_keyframes", "first_keyframe")
           .orderBy("id")
       },
-      Some("""SELECT doc_id AS id, 'isom' AS brand,
+      Some("""WITH tr AS (SELECT doc_id, i,
+             |    CASE (doc_id + i) % 3 WHEN 0 THEN 'avc1'
+             |         WHEN 1 THEN 'hev1' ELSE 'mp4v' END AS codec,
+             |    (doc_id*13 + 7*i) % 20 + 1 AS kf
+             |  FROM documents,
+             |    LATERAL (SELECT unnest(range(1 + doc_id % 3)) AS i) u)
+             |SELECT doc_id AS id, 'isom' AS brand,
              |  CAST(1000 AS BIGINT) AS timescale,
              |  CAST((doc_id*97 + 41) % 100000 AS BIGINT) AS duration_ticks,
-             |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
-             |FROM documents ORDER BY id""".stripMargin)),
+             |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+             |  string_agg(codec, ',' ORDER BY i) AS codecs,
+             |  CAST(sum(kf) AS BIGINT) AS n_keyframes,
+             |  CAST(doc_id % 5 + 1 AS BIGINT) AS first_keyframe
+             |FROM tr GROUP BY doc_id ORDER BY id""".stripMargin)),
 
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",

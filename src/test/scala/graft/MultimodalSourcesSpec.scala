@@ -83,11 +83,16 @@ class MultimodalSourcesSpec extends SparkSpec {
 
   test("MP4 box walk: synthetic container parses to closed-form metadata; malformed -> None") {
     // syntheticMp4 fields are pure functions of the id
+    val codecNames = Seq("avc1", "hev1", "mp4v")
     for (id <- Seq(0L, 5L, 41L, 1234L)) {
       val m = Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(id))
       assert(m.isDefined, s"id=$id should parse")
+      val k = 1 + (id % 3).toInt
+      val expCodecs = (0 until k).map(i => codecNames(((id + i) % 3).toInt))
+      val expKf = (0 until k).map(i => (id * 13 + 7 * i) % 20 + 1).sum
       assert(m.get == Multimodal.Mp4Meta("isom", 1000L,
-        (id * 97 + 41) % 100000, 1 + (id % 3).toInt), s"id=$id got ${m.get}")
+        (id * 97 + 41) % 100000, k, expCodecs, expKf, id % 5 + 1),
+        s"id=$id got ${m.get}")
     }
     // malformed payloads: None, never throw (bad record != dead job)
     assert(Multimodal.parseMp4Metadata("plain text, not a video".getBytes("UTF-8")).isEmpty)
