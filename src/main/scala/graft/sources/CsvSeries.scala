@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * The reference reads path CSVs as euc-kr (app.py:159) and uploads as
   * utf-8 base64 (app.py:1616-1618); the value column is cast to float
   * on load (app.py:160). Its Excel branch (app.py:1620-1625 — any
-  * filename containing "xls") is served here by a pure-JDK `.xlsx`
-  * (OOXML) parse; legacy BIFF `.xls` stays out of scope (no OSS
-  * reader in the offline env; SURVEY.md §2.1 S2).
+  * filename containing "xls") is served here by pure-JDK parses of
+  * BOTH container generations: `.xlsx` (OOXML zip + StAX) and legacy
+  * BIFF8 `.xls` ([[XlsBiff]]: CFB sector walk + BIFF record scan),
+  * dispatched on magic bytes (SURVEY.md §2.1 S2).
   */
 object CsvSeries {
 
@@ -55,19 +56,49 @@ object CsvSeries {
   def readUploadXlsxBase64(spark: SparkSession, b64Body: String, valueCol: String): DataFrame = {
     val bytes = java.util.Base64.getDecoder.decode(b64Body)
     val (shared, sheetXml) = xlsxParts(bytes)
-    val rows = xlsxRows(sheetXml, shared)
+    rowsToDf(spark, xlsxRows(sheetXml, shared), valueCol, "xlsx")
+  }
+
+  /** S2c: legacy BIFF8 `.xls` upload (the same reference branch —
+    * `'xls' in filename`, app.py:1620-1625 — covers pre-2007 files,
+    * which pandas routes to xlrd). Pure JDK: [[XlsBiff]] walks the CFB
+    * container to the Workbook stream and scans BIFF8 cell records.
+    * Same header/row assembly and value cast as the other upload
+    * paths. */
+  def readUploadXlsBase64(spark: SparkSession, b64Body: String, valueCol: String): DataFrame = {
+    val bytes = java.util.Base64.getDecoder.decode(b64Body)
+    rowsToDf(spark, XlsBiff.rows(bytes), valueCol, "xls")
+  }
+
+  /** Upload dispatch on magic bytes — the reference's filename sniff
+    * (`'xls' in filename`) can't distinguish the two Excel container
+    * generations, but the first bytes can: `PK` (zip) → OOXML .xlsx,
+    * `D0 CF 11 E0` (CFB) → BIFF8 .xls; anything else fails loudly
+    * instead of mis-parsing. */
+  def readUploadExcelBase64(spark: SparkSession, b64Body: String, valueCol: String): DataFrame = {
+    val bytes = java.util.Base64.getDecoder.decode(b64Body)
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte)
+      readUploadXlsxBase64(spark, b64Body, valueCol)
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 &&
+        (bytes(1) & 0xFF) == 0xCF && (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0)
+      readUploadXlsBase64(spark, b64Body, valueCol)
+    else throw new IllegalArgumentException(
+      "upload is neither OOXML (.xlsx, zip magic) nor BIFF8 (.xls, CFB magic)")
+  }
+
+  /** Shared upload row assembly: first row is the header (blank cells
+    * get positional _cN names), sparse rows pad with nulls, rows wider
+    * than the header fail loudly, value column cast float→double like
+    * the CSV path. */
+  private def rowsToDf(spark: SparkSession, rows: Vector[Array[String]],
+      valueCol: String, what: String): DataFrame = {
     require(rows.nonEmpty, "empty worksheet")
-    // blank header cells (e.g. an unnamed index column) get positional
-    // names like the CSV reader's _c0 convention instead of nulls that
-    // would blow up schema resolution
     val header = rows.head.zipWithIndex.map { case (h, i) =>
       if (h == null || h.isEmpty) s"_c$i" else h
     }
     val width = header.length
-    // sparse rows pad with nulls (legitimate — missing cells); rows
-    // WIDER than the header would silently lose data, so fail loudly
     val wide = rows.tail.indexWhere(_.length > width)
-    require(wide < 0, s"xlsx: data row ${wide + 2} has ${
+    require(wide < 0, s"$what: data row ${wide + 2} has ${
       if (wide >= 0) rows.tail(wide).length else 0} cells but the header row has $width")
     val data = rows.tail.map(r =>
       org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width).toSeq))

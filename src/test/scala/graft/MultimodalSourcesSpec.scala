@@ -346,6 +346,147 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(row.getDouble(1) == 3.5)   // and from the right sheet
   }
 
+  // ---- hand-built BIFF8 .xls fixture (MS-CFB + MS-XLS layouts) ----
+
+  private def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32b(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def biffRec(typ: Int, body: Array[Byte]) =
+    le16b(typ) ++ le16b(body.length) ++ body
+  private def biffBof(dt: Int) = biffRec(0x0809,
+    le16b(0x0600) ++ le16b(dt) ++ le16b(0) ++ le16b(0) ++ le32b(0) ++ le32b(0))
+  private def sstStr(s: String, utf16: Boolean) =
+    le16b(s.length) ++ Array[Byte](if (utf16) 1 else 0) ++
+      (if (utf16) s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+       else s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  private def labelSst(r: Int, c: Int, isst: Int) =
+    biffRec(0x00FD, le16b(r) ++ le16b(c) ++ le16b(0) ++ le32b(isst))
+
+  /** Workbook stream: globals(BOF+SST+BOUNDSHEET+EOF) + sheet
+    * substream. Header (user_id, value, note); row1 = RK-int 42,
+    * NUMBER 3.25, "hello"; row2 = MULRK (7, RK÷100 12.34), UTF-16
+    * "Ωmega". */
+  private def biffWorkbook(): Array[Byte] = {
+    val sst = biffRec(0x00FC, le32b(5) ++ le32b(5) ++
+      sstStr("user_id", utf16 = false) ++ sstStr("value", utf16 = false) ++
+      sstStr("note", utf16 = false) ++ sstStr("hello", utf16 = false) ++
+      sstStr("Ωmega", utf16 = true))
+    val bofG = biffBof(0x0005)
+    val eof = biffRec(0x000A, Array.emptyByteArray)
+    val sheetName = "Sheet1".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bsLen = 4 + (4 + 2 + 1 + 1 + sheetName.length)
+    val sheetPos = bofG.length + sst.length + bsLen + eof.length
+    val boundsheet = biffRec(0x0085,
+      le32b(sheetPos) ++ le16b(0) ++ Array[Byte](sheetName.length.toByte, 0) ++ sheetName)
+    val numberBits = java.lang.Double.doubleToLongBits(3.25)
+    val number = biffRec(0x0203, le16b(1) ++ le16b(1) ++ le16b(0) ++
+      (0 until 8).map(i => ((numberBits >> (8 * i)) & 0xFF).toByte).toArray)
+    val rk42 = biffRec(0x027E, le16b(1) ++ le16b(0) ++ le16b(0) ++ le32b((42L << 2) | 2))
+    val mulrk = biffRec(0x00BD, le16b(2) ++ le16b(0) ++
+      le16b(0) ++ le32b((7L << 2) | 2) ++          // col0: int 7
+      le16b(0) ++ le32b((1234L << 2) | 2 | 1) ++    // col1: 1234/100 = 12.34
+      le16b(1))
+    val sheet = biffBof(0x0010) ++
+      labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+      rk42 ++ number ++ labelSst(1, 2, 3) ++
+      mulrk ++ labelSst(2, 2, 4) ++ eof
+    bofG ++ sst ++ boundsheet ++ eof ++ sheet
+  }
+
+  /** Minimal CFB container around a Workbook stream. useMini=true puts
+    * the stream in 64-byte mini sectors under the root entry (where a
+    * real small .xls lands); false pads it to the 4096 cutoff so it
+    * lives in regular FAT sectors. */
+  private def cfb(wb0: Array[Byte], useMini: Boolean): Array[Byte] = {
+    val Free = 0xFFFFFFFFL; val End = 0xFFFFFFFEL; val FatS = 0xFFFFFFFDL
+    def dirEnt(name: String, typ: Int, start: Long, size: Long): Array[Byte] = {
+      val e = new Array[Byte](128)
+      val nm = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      System.arraycopy(nm, 0, e, 0, nm.length)
+      System.arraycopy(le16b(nm.length + 2), 0, e, 64, 2)
+      e(66) = typ.toByte; e(67) = 1
+      for (off <- Seq(68, 72, 76)) System.arraycopy(le32b(Free), 0, e, off, 4)
+      System.arraycopy(le32b(start), 0, e, 116, 4)
+      System.arraycopy(le32b(size), 0, e, 120, 4)
+      e
+    }
+    def pad(a: Array[Byte], to: Int) = a ++ new Array[Byte](((to - a.length % to) % to))
+    val header = new Array[Byte](512)
+    System.arraycopy(Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), 0, header, 0, 8)
+    System.arraycopy(le16b(0x3E), 0, header, 24, 2)
+    System.arraycopy(le16b(3), 0, header, 26, 2)
+    System.arraycopy(le16b(0xFFFE), 0, header, 28, 2)
+    System.arraycopy(le16b(9), 0, header, 30, 2)   // 512-byte sectors
+    System.arraycopy(le16b(6), 0, header, 32, 2)   // 64-byte mini sectors
+    System.arraycopy(le32b(1), 0, header, 44, 4)   // one FAT sector
+    System.arraycopy(le32b(1), 0, header, 48, 4)   // dir at sector 1
+    System.arraycopy(le32b(4096), 0, header, 56, 4)
+    System.arraycopy(le32b(0), 0, header, 72, 4)   // no DIFAT sectors
+    System.arraycopy(le32b(End), 0, header, 68, 4)
+    System.arraycopy(le32b(0), 0, header, 76, 4)   // DIFAT[0] = FAT sector 0
+    for (i <- 1 until 109) System.arraycopy(le32b(Free), 0, header, 76 + 4 * i, 4)
+    val fat = scala.collection.mutable.ArrayBuffer.fill(128)(Free)
+    fat(0) = FatS; fat(1) = End
+    if (!useMini) {
+      val wb = pad(wb0 ++ new Array[Byte](math.max(0, 4096 - wb0.length)), 512)
+      val k = wb.length / 512
+      for (i <- 0 until k) fat(2 + i) = if (i == k - 1) End else 3L + i
+      System.arraycopy(le32b(End), 0, header, 60, 4) // no mini FAT
+      val dir = pad(dirEnt("Root Entry", 5, End, 0) ++
+        dirEnt("Workbook", 2, 2, wb.length.toLong), 512)
+      header ++ fat.flatMap(le32b).toArray ++ dir ++ wb
+    } else {
+      require(wb0.length < 4096)
+      val m = (wb0.length + 63) / 64
+      val miniContainer = pad(wb0 ++ new Array[Byte](m * 64 - wb0.length), 512)
+      val cSec = miniContainer.length / 512
+      fat(2) = End // mini FAT chain
+      for (i <- 0 until cSec) fat(3 + i) = if (i == cSec - 1) End else 4L + i
+      val miniFat = scala.collection.mutable.ArrayBuffer.fill(128)(Free)
+      for (i <- 0 until m) miniFat(i) = if (i == m - 1) End else i + 1L
+      System.arraycopy(le32b(2), 0, header, 60, 4)
+      System.arraycopy(le32b(1), 0, header, 64, 4)
+      val dir = pad(dirEnt("Root Entry", 5, 3, (m * 64).toLong) ++
+        dirEnt("Workbook", 2, 0, wb0.length.toLong), 512)
+      header ++ fat.flatMap(le32b).toArray ++ dir ++
+        miniFat.flatMap(le32b).toArray ++ miniContainer
+    }
+  }
+
+  test("BIFF8 .xls upload: mini-stream container, SST/RK/NUMBER/MULRK cells (S2c)") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(cfb(biffWorkbook(), useMini = true))
+    val df = CsvSeries.readUploadXlsBase64(spark, b64, "value")
+    assert(df.columns.toSeq == Seq("user_id", "value", "note"))
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(rows.length == 2)
+    assert(rows(0) == (("42", 3.25, "hello")))
+    assert(rows(1) == (("7", 12.34f.toDouble, "Ωmega")))
+  }
+
+  test("BIFF8 .xls upload: regular-FAT container parses identically (S2c)") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(cfb(biffWorkbook(), useMini = false))
+    val df = CsvSeries.readUploadXlsBase64(spark, b64, "value")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("42", "7"))
+  }
+
+  test("Excel upload dispatch on magic bytes; garbage fails loudly (S2)") {
+    val xls = java.util.Base64.getEncoder.encodeToString(cfb(biffWorkbook(), useMini = true))
+    assert(CsvSeries.readUploadExcelBase64(spark, xls, "value").count() == 2)
+    val garbage = java.util.Base64.getEncoder.encodeToString(
+      "not a spreadsheet at all".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      CsvSeries.readUploadExcelBase64(spark, garbage, "value")
+    }
+    assert(e.getMessage.contains("neither OOXML"))
+    // truncated CFB: loud, not a mis-parse
+    val trunc = java.util.Base64.getEncoder.encodeToString(
+      cfb(biffWorkbook(), useMini = true).take(200))
+    intercept[IllegalArgumentException] {
+      CsvSeries.readUploadXlsBase64(spark, trunc, "value")
+    }
+  }
+
   test("CSV sink round-trips with header (K1)") {
     val dir = Files.createTempDirectory("graftsink").toString + "/out"
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
