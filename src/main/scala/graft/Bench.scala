@@ -69,7 +69,19 @@ object Bench {
       graft.queries.Memo.releaseStale(24)
       name -> (steady, t1)
     }
-    val (harness, headline) = results.partition { case (n, _) => harnessQueries(n) }
+    // ambient-stall defense: a host-level pause spanning a query's two
+    // ADJACENT runs inflates its min-of-2 (observed: random queries
+    // spiking 0.3 s → 3-8 s, a different one each full run). Re-time
+    // slow-looking queries once more at the END of the suite —
+    // decorrelated in time from the original stall — and keep the min.
+    // Full-Memo queries are excluded (their number is the cold run by
+    // design); genuinely slow queries cost one extra steady-state run.
+    val retried = results.map { case (name, (steady, cold)) =>
+      if (!fullMemoQueries(name) && steady > 1.5)
+        name -> (math.min(steady, time(selected(name))), cold)
+      else name -> (steady, cold)
+    }
+    val (harness, headline) = retried.partition { case (n, _) => harnessQueries(n) }
     val totalMin = headline.values.map(_._1).sum
     val totalCold = headline.values.map(_._2).sum
     val harnessSec = harness.values.map(_._1).sum
