@@ -621,10 +621,21 @@ object Dedup {
     * costs 5× the banded rows of the old scheme; the join output
     * collapses by ~100×, which is the side that matters. */
   def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    hamming64Pairs(simhash64(docs, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** 64-bit Hamming ≤ maxHamming (≤ 3) pairs over an ARBITRARY
+    * signature table (idCol, hashCol) — the Manku 3-of-6 block banding
+    * documented on [[simhash64Pairs]], factored out so any 64-bit
+    * fingerprint family shares it: text SimHashes, image dHashes
+    * ([[Multimodal.dHash64]]), audio chromaprints. Exact: pigeonhole
+    * makes candidate generation complete at Hamming ≤ 3, and every
+    * candidate is verified with one xor+popcount. */
+  def hamming64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"3-of-6 block banding covers Hamming <= 3, got $maxHamming")
-    val s = simhash64(docs, idCol, textCol) // Memo-cached inside
+    val s = sigs.select(col(idCol), col(hashCol).as("simhash"))
 
     val widths = Seq(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _).init

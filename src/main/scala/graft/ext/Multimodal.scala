@@ -344,14 +344,20 @@ object Multimodal {
     * function of (id, x, y), so an external oracle can recompute the
     * decoded statistics without ever seeing the bytes. Encoded as BMP
     * (24-bit, lossless) via the same javax.imageio the decode uses. */
-  def syntheticBmp(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+  def syntheticBmp(id: Long, w: Int = 8, h: Int = 8,
+      noisy: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val r0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        // noisy: a re-encoded near-duplicate — +1 on the red channel of
+        // every fifth diagonal, the closed-form analogue of small
+        // re-compression noise (gradients mostly preserved, so the
+        // dHash lands within a small Hamming distance of the original)
+        val r = if (noisy && (x + y) % 5 == 0) (r0 + 1) % 256 else r0
         val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
         val b = ((id * 7 + x * 3 + y * 29) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
@@ -363,6 +369,74 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "bmp", bos)
     bos.toByteArray
   }
+
+  /** Integer BT.601 grayscale of a decoded image: gray = (299·R +
+    * 587·G + 114·B) / 1000 in INTEGER arithmetic — deterministic and
+    * reproducible by a closed-form external oracle, unlike float
+    * luminance or platform-filtered `Graphics2D` scaling. */
+  private[graft] def grayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          g(y * w + x) = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, g))
+    }
+  }
+
+  /** 64-bit difference hash (dHash) — the standard perceptual
+    * image-near-dup fingerprint: grayscale → 9×8 grid of exact box
+    * sums → bit (r,c) = sum(r,c) > sum(r,c+1) (horizontal gradient
+    * sign). Robust to re-encoding and small noise; Hamming ≤ 3 on 64
+    * bits ⇒ near-duplicate image, paired at corpus scale by
+    * [[Dedup.hamming64Pairs]]'s block banding. Box sums (not averages)
+    * keep the arithmetic exact; the image must tile into the 9×8 grid
+    * (w % 9 == 0, h % 8 == 0) — a real pipeline resizes first, the
+    * synthetic fixture uses 18×16. Returns None for undecodable or
+    * non-tiling inputs (bad record ≠ dead job). */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    grayPixels(bytes).flatMap { case (w, h, g) =>
+      if (w % 9 != 0 || h % 8 != 0 || w < 9 || h < 8) None
+      else {
+        val bw = w / 9
+        val bh = h / 8
+        val sums = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sums(y / bh)(x / bw) += g(y * w + x)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (sums(r)(c) > sums(r)(c + 1)) hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(hash)
+      }
+    }
 
   /** Partition-batched feature extraction over binary payloads. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[Feature] = {

@@ -570,6 +570,90 @@ object TextOps {
       .withColumn("n_dropped", (col("n_lines") - col("n_kept")).cast("long"))
   }
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene idf
+    * variant ln((N−df+0.5)/(df+0.5)+1), always positive) — the
+    * retrieval complement of [[tfidfTopK]]: score a fixed query set
+    * against the corpus and keep each query's k best docs. The
+    * data-pipeline uses: retrieval-based decontamination probes,
+    * quality-by-retrievability audits, building eval sets.
+    *
+    * Scale: ONE token pass feeds tf, dl (=Σtf per doc) and df; the
+    * query-term table is broadcast, so the corpus-sized tf table is
+    * filtered to query terms before anything else joins; the df join
+    * after that filter touches only the query terms' rows. Per-doc
+    * scores fold contributions in sorted term order (the repo's
+    * sorted-fold determinism convention), and ranking compares the
+    * ROUNDED score so a last-ulp difference between engines can't
+    * flip the order. Output: (q_id, rank, idCol, score). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nDocs = df.count().toDouble
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "w")
+    val contrib = tf.join(broadcast(qt), "w")
+      .join(dfreq, "w")
+      .join(dl, idCol)
+      .withColumn("contrib",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val perDoc = contrib.groupBy(col("q_id"), col(idCol))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("w"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x("contrib")), 4).as("score"))
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    perDoc.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"))
+  }
+
+  /** Corpus-level boilerplate-line removal — the CCNet/RefinedWeb
+    * cross-document line dedup: a line occurring in ≥ `minDf` DISTINCT
+    * documents is template chrome (nav menus, cookie banners, footers),
+    * not content, and every occurrence is stripped. [[dedupLines]] is
+    * the intra-document complement. Lines shorter than `minLineChars`
+    * after trim are exempt: blank/"—" separators would hit the df
+    * threshold everywhere, and removing them changes no content.
+    *
+    * Scale: one distinct + groupBy on the line string computes df; the
+    * boilerplate set is ≤ total_lines / minDf rows BY DEFINITION (each
+    * survivor repeats ≥ minDf times), so the join back is against a
+    * small side — AQE broadcasts it — and a document's text never fans
+    * out beyond its own lines. Output per doc: (idCol, n_lines,
+    * n_boiler, clean_fp) with clean_fp = md5 of the kept lines in
+    * original order — the rewrite handle, same convention as
+    * [[dedupLines]]. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, minLineChars: Int = 5): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) >= minLineChars)
+      .select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("line"), lit(1).as("__bp"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("__bp")).as("n_boiler"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__bp").isNull, struct(col("pos"), col("line"))))),
+            x => x("line"))).cast("binary")).as("clean_fp"))
+  }
+
   /** Term-blocklist safety filter: flag every document containing any
     * blocklisted term as a whole token — the safety/compliance gate of
     * a curation pipeline (slurs, regulated terms, site blocklists).

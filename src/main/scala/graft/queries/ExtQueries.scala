@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -1329,6 +1329,81 @@ object ExtQueries {
     // corpus is single-line, so each doc plants its own first-50-chars
     // line twice plus a unique tail — the oracle checks counts AND the
     // md5 of the reconstructed cleaned text.
+    // BM25 top-k retrieval over the corpus for a fixed query set —
+    // retrieval-based decontamination probe / eval-set builder shape.
+    // Query terms are high-/mid-frequency corpus words so every query
+    // retrieves a full k.
+    Q("text_bm25_topk",
+      (s, dir) => TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("q1" -> Seq("hash", "join"),
+            "q2" -> Seq("slow", "scan", "filter"),
+            "q3" -> Seq("vector", "batch", "customer")), 10)
+        .orderBy("q_id", "rank"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM agg)
+             |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // Corpus-level boilerplate-line removal (CCNet/RefinedWeb line
+    // dedup ACROSS docs): the synthetic corpus has no shared lines, so
+    // template chrome is planted — a nav line on every doc (df=N), a
+    // cookie banner on even docs (df=N/2), a footer on every doc; the
+    // doc's own text lines stay unique and survive. minDf=100 keeps
+    // all three planted lines above threshold at sf≥0.01 and all
+    // natural lines below it.
+    Q("text_boilerplate_lines",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n",
+            lit("nav home about contact"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("cookie consent banner accept all")),
+            lit("(c) example corp all rights reserved")).as("text"))
+        TextOps.removeBoilerplateLines(planted, "doc_id", "text", minDf = 100)
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"), col("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |  concat_ws(chr(10), 'nav home about contact', text,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'cookie consent banner accept all' END,
+             |    '(c) example corp all rights reserved') AS text FROM documents),
+             |l AS (SELECT doc_id, i AS pos, ls[CAST(i AS INT) + 1] AS line
+             |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |            FROM planted),
+             |           LATERAL (SELECT unnest(range(len(ls))) AS i) u),
+             |dfq AS (SELECT line, count(DISTINCT doc_id) AS dfc FROM l
+             |        WHERE length(trim(line)) >= 5 GROUP BY line),
+             |bp AS (SELECT line FROM dfq WHERE dfc >= 100),
+             |j AS (SELECT l.doc_id, l.pos, l.line,
+             |        (bp.line IS NOT NULL) AS isbp
+             |      FROM l LEFT JOIN bp USING (line))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(count(*) FILTER (WHERE isbp) AS BIGINT) AS n_boiler,
+             |       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+             |         FILTER (WHERE NOT isbp), '')) AS clean_fp
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("text_dedup_lines",
       (s, dir) => {
         val planted = Tables.documents(s, dir).select(col("doc_id"),

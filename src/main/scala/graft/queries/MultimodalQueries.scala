@@ -51,6 +51,54 @@ object MultimodalQueries {
              |  round(sqrt(avg(b*b) - avg(b)*avg(b)), 6) AS std_b
              |FROM px GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // Perceptual-hash image near-dup: REAL decode (18×16 BMP per doc +
+    // a re-encode-noise near-duplicate planted for doc_id < 25) →
+    // integer-grayscale dHash → Manku-banded Hamming ≤ 3 pairs. The
+    // oracle recomputes the hashes analytically from the closed-form
+    // pixel pattern and brute-forces all pairs — banding completeness
+    // and the decode path are both on trial. Natural 64-bit hashes
+    // collide within Hamming 3 with p ≈ 2⁻⁴⁷, so the result is exactly
+    // the planted near-dups the noise kept within threshold.
+    Q("multimodal_phash_pairs",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val hashes = ids.flatMap { id =>
+          val base = (id, Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16)).get)
+          if (id < 25)
+            Seq(base, (id + 10000L,
+              Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16, noisy = true)).get))
+          else Seq(base)
+        }.toDF("img_id", "h")
+        graft.ext.Dedup.hamming64Pairs(hashes, "img_id", "h", 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH imgs AS (SELECT doc_id AS id, doc_id AS img_id, 0 AS noisy FROM documents
+             |  UNION ALL SELECT doc_id, doc_id + 10000, 1 FROM documents WHERE doc_id < 25),
+             |gp AS (SELECT img_id, x, y,
+             |    ((CASE WHEN noisy = 1 AND (x + y) % 5 = 0
+             |           THEN ((id*31 + x*7 + y*13) % 256 + 1) % 256
+             |           ELSE (id*31 + x*7 + y*13) % 256 END) * 299
+             |     + ((id*17 + x*5 + y*11) % 256) * 587
+             |     + ((id*7 + x*3 + y*29) % 256) * 114) // 1000 AS gray
+             |  FROM imgs, (SELECT unnest(range(18)) AS x), (SELECT unnest(range(16)) AS y)),
+             |bx AS (SELECT img_id, y // 2 AS br, x // 2 AS bc, sum(gray) AS s
+             |       FROM gp GROUP BY 1, 2, 3),
+             |bits AS (SELECT a.img_id, a.br AS r, a.bc AS c
+             |         FROM bx a JOIN bx b ON b.img_id = a.img_id
+             |           AND b.br = a.br AND b.bc = a.bc + 1
+             |         WHERE a.bc < 8 AND a.s > b.s),
+             |hashes AS (SELECT i.img_id,
+             |    CAST(coalesce(sum(CASE WHEN r*8 + c = 63
+             |      THEN (-9223372036854775807 - 1)
+             |      ELSE (1::BIGINT << CAST(r*8 + c AS INT)) END), 0) AS BIGINT) AS h
+             |  FROM imgs i LEFT JOIN bits USING (img_id) GROUP BY i.img_id)
+             |SELECT a.img_id AS id_a, b.img_id AS id_b,
+             |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+             |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+             |WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY 1, 2""".stripMargin)),
+
     // REAL audio decode: synthesize a 64-sample 16-bit PCM WAV per doc,
     // decode it with javax.sound.sampled (container header + PCM
     // frames), emit amplitude statistics — oracle-checked against the

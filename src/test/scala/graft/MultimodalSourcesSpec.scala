@@ -102,6 +102,22 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.parseMp4Metadata(Multimodal.syntheticWav(3L)).isEmpty)
   }
 
+  test("dHash64: identical images hash equal, noisy near-dup lands within Hamming 3, distinct far") {
+    val a = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
+    val a2 = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
+    assert(a.isDefined && a == a2)
+    // re-encode-noise near-duplicate: small Hamming distance
+    val noisy = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16, noisy = true))
+    val hmNear = java.lang.Long.bitCount(a.get ^ noisy.get)
+    assert(hmNear <= 3, s"near-dup drifted to hamming $hmNear")
+    // a different image: far (the gradient signs are ~independent)
+    val other = Multimodal.dHash64(Multimodal.syntheticBmp(1234L, 18, 16))
+    assert(java.lang.Long.bitCount(a.get ^ other.get) > 10)
+    // non-tiling and undecodable inputs: None, never throw
+    assert(Multimodal.dHash64(Multimodal.syntheticBmp(7L, 8, 8)).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
     val frames = Multimodal.sampleFrames(media, 64, 2).collect()

@@ -600,6 +600,68 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("removeBoilerplateLines: cross-doc template chrome stripped, short separators exempt") {
+    val d = Seq(
+      (1L, "unique content one\nshared boilerplate line here\n--\nmore of doc one"),
+      (2L, "shared boilerplate line here\n--\ndoc two says things"),
+      (3L, "doc three text\nshared boilerplate line here\n--"),
+      (4L, "shared boilerplate line here"), // all-boilerplate doc
+      (5L, "entirely original document\n--")
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(d, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // df("shared boilerplate line here") = 4 >= 3 → stripped everywhere;
+    // "--" appears in 4 docs but is under minLineChars → exempt
+    assert(byId(1L)._3 == 1 && byId(2L)._3 == 1 && byId(3L)._3 == 1)
+    assert(byId(5L)._3 == 0) // nothing stripped
+    assert(byId(4L) == ((4L, 1L, 1L, byId(4L)._4)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(4L)._4 == md5(""), "all-boilerplate doc rebuilds to empty")
+    assert(byId(1L)._4 == md5("unique content one\n--\nmore of doc one"))
+    assert(byId(3L)._4 == md5("doc three text\n--"))
+  }
+
+  test("bm25TopK: hand-computed scores; higher-tf shorter doc ranks first") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry date fig"),
+      (3L, "cherry date fig grape")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(d, "doc_id", "text", Seq("q" -> Seq("apple")), 5)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 2L), s"got ${out.toSeq}") // doc 3 never retrieved
+    // independent recompute of the formula (N=3, df=2, avgdl=11/3)
+    val N = 3.0; val dfc = 2.0; val avgdl = 11.0 / 3
+    def s(tf: Double, dl: Double) =
+      math.log((N - dfc + 0.5) / (dfc + 0.5) + 1) *
+        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._4 == r4(s(2, 3)) && out(1)._4 == r4(s(1, 4)), s"scores ${out.toSeq}")
+  }
+
+  test("hamming64Pairs == brute-force hamming over arbitrary 64-bit signatures") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    // plant near-dups: flip 1-3 bits of some signatures
+    val planted = Seq(
+      (100L, base(0)._2 ^ 1L),
+      (101L, base(1)._2 ^ (1L << 63) ^ (1L << 5)),
+      (102L, base(2)._2 ^ 7L))
+    val sigs = (base ++ planted).toDF("id", "h")
+    val got = Dedup.hamming64Pairs(sigs, "id", "h", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val all = (base ++ planted)
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 3
+    } yield (ia, ib, hm.toLong)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(Seq((0L, 100L, 1L), (1L, 101L, 2L), (2L, 102L, 3L)).forall(brute.contains))
+  }
+
   test("bloomIncrementalExact == exact anti-join; bloom never drops a true new doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
