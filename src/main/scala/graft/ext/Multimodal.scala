@@ -148,11 +148,17 @@ object Multimodal {
   def syntheticWavSample(id: Long, t: Int): Int =
     ((id * 37 + t * 13 + (t.toLong * t % 97) * 5) % 4001 - 2000).toInt
 
-  def syntheticWav(id: Long, n: Int = 64, sampleRate: Float = 8000f): Array[Byte] = {
+  /** mod > 0 compresses the sample into (−mod, mod) via remainder —
+    * sign-of-dividend in BOTH JVM and SQL engines, so the quiet
+    * variant stays closed-form reproducible (plants silent windows
+    * for the energy profiler). */
+  def syntheticWav(id: Long, n: Int = 64, sampleRate: Float = 8000f,
+      mod: Int = 0): Array[Byte] = {
     val data = new Array[Byte](n * 2)
     var t = 0
     while (t < n) {
-      val s = syntheticWavSample(id, t)
+      val s0 = syntheticWavSample(id, t)
+      val s = if (mod > 0) s0 % mod else s0
       data(2 * t) = (s & 0xFF).toByte // 16-bit little-endian signed PCM
       data(2 * t + 1) = ((s >> 8) & 0xFF).toByte
       t += 1
@@ -164,6 +170,64 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Raw PCM samples of a decoded 16-bit signed little-endian mono
+    * stream (the shape [[syntheticWav]] writes and crawl audio is
+    * normalized to before analysis). None for anything else — decode
+    * failures degrade, never throw. */
+  private[graft] def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val raw = ais.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Windowed PCM energy profile — the audio pre-filter of a
+    * multimodal curation pipeline (silence / dead-air detection before
+    * any expensive feature extraction): fixed-size sample windows →
+    * integer sum-of-squares, RMS, and a silence flag from an EXACT
+    * integer compare (sum_sq < silenceSumSq), so the flag is
+    * engine-reproducible with no float threshold ambiguity. Decode is
+    * real (javax.sound PCM). Scale: decode runs per partition, only
+    * (id, win, sum_sq) rows ever shuffle — the audio payload does not.
+    * Trailing partial windows are dropped (fixed-denominator RMS). */
+  def audioEnergyWindows(media: Dataset[MediaRow], window: Int,
+      silenceSumSq: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      pcmSamples(row.content) match {
+        case None => Iterator.empty
+        case Some(s) =>
+          s.grouped(window).zipWithIndex
+            .filter(_._1.length == window)
+            .map { case (w, i) =>
+              var ss = 0L
+              var j = 0
+              while (j < window) { ss += w(j).toLong * w(j); j += 1 }
+              (row.id, i.toLong, ss, math.sqrt(ss.toDouble / window),
+                ss < silenceSumSq)
+            }
+      }
+    }.toDF("id", "win", "sum_sq", "rms", "silent")
   }
 
   /** Parsed MP4/ISO-BMFF container metadata: major brand (ftyp),

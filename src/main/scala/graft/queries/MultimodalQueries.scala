@@ -137,6 +137,36 @@ object MultimodalQueries {
              |  CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
              |FROM w GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // Windowed audio energy / silence profile over REAL PCM decode:
+    // every 7th doc gets a mod-compressed (quiet) WAV so the silence
+    // flag fires on planted windows; the oracle recomputes the sample
+    // function analytically (% is sign-of-dividend remainder in both
+    // engines, sums are exact BIGINTs, and the silence flag is an
+    // integer compare — no float threshold ambiguity)
+    Q("multimodal_audio_energy",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticWav(id, mod = if (id % 7 == 0) 16 else 0))))
+        Multimodal.audioEnergyWindows(media, 16, 100000L)
+          .withColumn("rms", round(col("rms"), 6))
+          .orderBy("id", "win")
+      },
+      Some("""WITH s AS (SELECT doc_id, t,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN (((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000) % 16
+             |      ELSE ((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000
+             |    END AS v
+             |  FROM documents, (SELECT unnest(range(64)) AS t))
+             |SELECT doc_id AS id, t // 16 AS win,
+             |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS sum_sq,
+             |  round(sqrt(CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) / 16.0), 6) AS rms,
+             |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) < 100000 AS silent
+             |FROM s GROUP BY doc_id, t // 16 ORDER BY id, win""".stripMargin)),
+
     // REAL video CONTAINER metadata: synthesize a minimal valid MP4
     // per doc (ftyp + moov/mvhd + trak×k, all pure functions of the
     // id), walk its ISO-BMFF boxes codec-free, emit brand/timescale/

@@ -81,6 +81,34 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(truncated).isEmpty)
   }
 
+  test("audioEnergyWindows: PCM windows match closed form, silence flag exact, bad bytes degrade") {
+    // quiet doc (mod=16): every 16-sample window's integer sum-of-squares
+    // is bounded by 16*15^2 = 3600 < threshold -> all silent; loud doc
+    // keeps the full +/-2000 swing -> none silent
+    val media = Seq(
+      Multimodal.MediaRow(14L, Multimodal.syntheticWav(14L, mod = 16)), // 14 % 7 == 0
+      Multimodal.MediaRow(3L, Multimodal.syntheticWav(3L)),
+      Multimodal.MediaRow(9L, "not audio at all".getBytes("UTF-8"))).toDS()
+    val rows = Multimodal.audioEnergyWindows(media, 16, 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(r => (r._1, r._2))
+    assert(rows.map(_._1).distinct.toSeq == Seq(3L, 14L)) // bad bytes -> no rows, no throw
+    assert(rows.count(_._1 == 14L) == 4 && rows.count(_._1 == 3L) == 4) // 64/16 windows
+    for ((id, win, ss, rms, silent) <- rows) {
+      val mod = if (id % 7 == 0) 16 else 0
+      val exp = (win.toInt * 16 until win.toInt * 16 + 16).map { t =>
+        val s0 = Multimodal.syntheticWavSample(id, t)
+        val s = if (mod > 0) s0 % mod else s0
+        s.toLong * s
+      }.sum
+      assert(ss == exp && rms == math.sqrt(exp.toDouble / 16) && silent == (exp < 100000L))
+    }
+    assert(rows.filter(_._1 == 14L).forall(_._5) && !rows.filter(_._1 == 3L).exists(_._5))
+    // trailing partial window dropped: 40 samples at window 16 -> 2 windows
+    val short = Seq(Multimodal.MediaRow(5L, Multimodal.syntheticWav(5L, n = 40))).toDS()
+    assert(Multimodal.audioEnergyWindows(short, 16, 100000L).count() == 2)
+  }
+
   test("MP4 box walk: synthetic container parses to closed-form metadata; malformed -> None") {
     // syntheticMp4 fields are pure functions of the id
     val codecNames = Seq("avc1", "hev1", "mp4v")
