@@ -50,8 +50,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // queries that Memo the whole result: min-of-2 would measure a cache
-    // read, so their reported steady-state number is the cold run
-    val fullMemoQueries = Set("ml_dist_path_parity")
+    // read, so their reported steady-state number is the cold run.
+    // dedup_span_pairs qualifies since the aggregated span frame became
+    // the Memo'd unit shared with text_trim_spans (which still reports
+    // min-of-2: its surgery joins are real per-run work).
+    val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs")
     // test HARNESSES, not operators: ml_dist_path_parity runs four
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately

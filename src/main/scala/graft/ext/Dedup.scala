@@ -171,25 +171,35 @@ object Dedup {
     // plan with the array tables shuffled on the pair key — candidates
     // cluster per doc, so each array crosses the wire O(partners)
     // times, still never per position.
-    val estBytes = 8L * base.agg(coalesce(sum(size(col("z.hs"))), lit(0L)))
-      .head().getLong(0)
-    val joined =
-      if (estBytes <= maxBroadcastBytes)
-        cand.join(broadcast(arrA), "id_a").join(broadcast(arrB), "id_b")
-      else
-        cand.join(arrA, "id_a").join(arrB, "id_b")
-    val spans = joined
-      .select(col("id_a"), col("id_b"),
-        explode(spanKernel(col("__hsA"), col("__bsB"))).as("sp"))
-      .select(col("id_a"), col("id_b"),
-        col("sp._1").as("span_start"), col("sp._2").as("span_len"))
-    spans.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_spans"),
-        max(struct(col("span_len"), (-col("span_start")).as("ns"))).as("__m"),
-        sum(col("span_len")).as("dup_chars"))
-      .select(col("id_a"), col("id_b"), col("n_spans"),
-        col("__m.span_len").as("longest_span"),
-        (-col("__m.ns")).as("longest_start"), col("dup_chars"))
+    // The aggregated span frame is ∝ true duplication (tiny) while the
+    // pass that produces it is the suite's most expensive — Memo the
+    // RESULT so the diagnosis (dedup_span_pairs) and the intervention
+    // (text_trim_spans) pay for candidate join + kernel + agg once.
+    // The size-gate probe lives inside the block: on a memo hit no
+    // action runs at all.
+    graft.queries.Memo.cached(spark,
+      s"spans|$k|$w|$minSpan|$maxDf|$maxBroadcastBytes|$idCol|$textCol|" +
+        s"${docs.queryExecution.logical.semanticHash()}") {
+      val estBytes = 8L * base.agg(coalesce(sum(size(col("z.hs"))), lit(0L)))
+        .head().getLong(0)
+      val joined =
+        if (estBytes <= maxBroadcastBytes)
+          cand.join(broadcast(arrA), "id_a").join(broadcast(arrB), "id_b")
+        else
+          cand.join(arrA, "id_a").join(arrB, "id_b")
+      val spans = joined
+        .select(col("id_a"), col("id_b"),
+          explode(spanKernel(col("__hsA"), col("__bsB"))).as("sp"))
+        .select(col("id_a"), col("id_b"),
+          col("sp._1").as("span_start"), col("sp._2").as("span_len"))
+      spans.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_spans"),
+          max(struct(col("span_len"), (-col("span_start")).as("ns"))).as("__m"),
+          sum(col("span_len")).as("dup_chars"))
+        .select(col("id_a"), col("id_b"), col("n_spans"),
+          col("__m.span_len").as("longest_span"),
+          (-col("__m.ns")).as("longest_start"), col("dup_chars"))
+    }
   }
 
   /** Span-level dedup INTERVENTION (Lee et al. 2022's actual fix, not
