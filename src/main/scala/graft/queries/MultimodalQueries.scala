@@ -15,6 +15,51 @@ import graft.ext.Multimodal
   * byte-histogram fallback for non-image media. */
 object MultimodalQueries {
 
+  /** One decode+dHash pass per (session, dir) — Memo-shared by the
+    * pair query and the group-closure query (REAL javax.imageio decode
+    * of 55k 18×16 BMPs at sf0.1 dominates; the banded Hamming join
+    * over the ~5k hash rows is cheap enough to run per query). */
+  private def phashHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"phash|$dir") {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].flatMap { id =>
+        val base = (id, Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16)).get)
+        if (id < 25)
+          Seq(base, (id + 10000L,
+            Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16, noisy = true)).get))
+        else Seq(base)
+      }.toDF("img_id", "h")
+    }
+
+  /** Shared DuckDB CTEs: analytic dHash recomputation + Hamming ≤ 3
+    * pairs — byte-identical to [[phashHashes]] + `hamming64Pairs`. */
+  private val phashCte =
+    """imgs AS (SELECT doc_id AS id, doc_id AS img_id, 0 AS noisy FROM documents
+      |  UNION ALL SELECT doc_id, doc_id + 10000, 1 FROM documents WHERE doc_id < 25),
+      |gp AS (SELECT img_id, x, y,
+      |    ((CASE WHEN noisy = 1 AND (x + y) % 5 = 0
+      |           THEN ((id*31 + x*7 + y*13) % 256 + 1) % 256
+      |           ELSE (id*31 + x*7 + y*13) % 256 END) * 299
+      |     + ((id*17 + x*5 + y*11) % 256) * 587
+      |     + ((id*7 + x*3 + y*29) % 256) * 114) // 1000 AS gray
+      |  FROM imgs, (SELECT unnest(range(18)) AS x), (SELECT unnest(range(16)) AS y)),
+      |bx AS (SELECT img_id, y // 2 AS br, x // 2 AS bc, sum(gray) AS s
+      |       FROM gp GROUP BY 1, 2, 3),
+      |bits AS (SELECT a.img_id, a.br AS r, a.bc AS c
+      |         FROM bx a JOIN bx b ON b.img_id = a.img_id
+      |           AND b.br = a.br AND b.bc = a.bc + 1
+      |         WHERE a.bc < 8 AND a.s > b.s),
+      |hashes AS (SELECT i.img_id,
+      |    CAST(coalesce(sum(CASE WHEN r*8 + c = 63
+      |      THEN (-9223372036854775807 - 1)
+      |      ELSE (1::BIGINT << CAST(r*8 + c AS INT)) END), 0) AS BIGINT) AS h
+      |  FROM imgs i LEFT JOIN bits USING (img_id) GROUP BY i.img_id),
+      |ppairs AS (SELECT a.img_id AS id_a, b.img_id AS id_b,
+      |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // REAL image decode: synthesize an 8×8 BMP per doc, decode it with
@@ -60,44 +105,36 @@ object MultimodalQueries {
     // collide within Hamming 3 with p ≈ 2⁻⁴⁷, so the result is exactly
     // the planted near-dups the noise kept within threshold.
     Q("multimodal_phash_pairs",
+      (s, dir) => graft.ext.Dedup.hamming64Pairs(phashHashes(s, dir), "img_id", "h", 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $phashCte
+             |SELECT id_a, id_b, hamming FROM ppairs ORDER BY 1, 2""".stripMargin)),
+
+    // Image dup GROUPS: connected-component closure over the Hamming
+    // pairs (a burst of re-encodes chains A~B~C even when A~C drifts
+    // past the threshold) → per-image keep/drop with min-id canonical
+    // representative. Same pair→closure→keep machinery as
+    // dedup_groups, over perceptual hashes instead of shingles; the
+    // decode+hash pass is Memo-shared with the pair query.
+    Q("multimodal_phash_groups",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val hashes = ids.flatMap { id =>
-          val base = (id, Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16)).get)
-          if (id < 25)
-            Seq(base, (id + 10000L,
-              Multimodal.dHash64(Multimodal.syntheticBmp(id, 18, 16, noisy = true)).get))
-          else Seq(base)
-        }.toDF("img_id", "h")
-        graft.ext.Dedup.hamming64Pairs(hashes, "img_id", "h", 3)
-          .orderBy("id_a", "id_b")
+        val hashes = phashHashes(s, dir)
+        graft.ext.Dedup.dedupGroups(hashes.select(col("img_id")), "img_id",
+            graft.ext.Dedup.hamming64Pairs(hashes, "img_id", "h", 3))
+          .orderBy("img_id")
       },
-      Some("""WITH imgs AS (SELECT doc_id AS id, doc_id AS img_id, 0 AS noisy FROM documents
-             |  UNION ALL SELECT doc_id, doc_id + 10000, 1 FROM documents WHERE doc_id < 25),
-             |gp AS (SELECT img_id, x, y,
-             |    ((CASE WHEN noisy = 1 AND (x + y) % 5 = 0
-             |           THEN ((id*31 + x*7 + y*13) % 256 + 1) % 256
-             |           ELSE (id*31 + x*7 + y*13) % 256 END) * 299
-             |     + ((id*17 + x*5 + y*11) % 256) * 587
-             |     + ((id*7 + x*3 + y*29) % 256) * 114) // 1000 AS gray
-             |  FROM imgs, (SELECT unnest(range(18)) AS x), (SELECT unnest(range(16)) AS y)),
-             |bx AS (SELECT img_id, y // 2 AS br, x // 2 AS bc, sum(gray) AS s
-             |       FROM gp GROUP BY 1, 2, 3),
-             |bits AS (SELECT a.img_id, a.br AS r, a.bc AS c
-             |         FROM bx a JOIN bx b ON b.img_id = a.img_id
-             |           AND b.br = a.br AND b.bc = a.bc + 1
-             |         WHERE a.bc < 8 AND a.s > b.s),
-             |hashes AS (SELECT i.img_id,
-             |    CAST(coalesce(sum(CASE WHEN r*8 + c = 63
-             |      THEN (-9223372036854775807 - 1)
-             |      ELSE (1::BIGINT << CAST(r*8 + c AS INT)) END), 0) AS BIGINT) AS h
-             |  FROM imgs i LEFT JOIN bits USING (img_id) GROUP BY i.img_id)
-             |SELECT a.img_id AS id_a, b.img_id AS id_b,
-             |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-             |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
-             |WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY 1, 2""".stripMargin)),
+      Some(s"""WITH RECURSIVE $phashCte,
+             |edges AS (SELECT id_a AS a, id_b AS b FROM ppairs
+             |          UNION ALL SELECT id_b, id_a FROM ppairs),
+             |reach AS (SELECT a AS id, b AS r FROM edges
+             |          UNION
+             |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+             |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+             |SELECT i.img_id,
+             |       coalesce(least(l.m, i.img_id), i.img_id) AS keep_id,
+             |       (coalesce(least(l.m, i.img_id), i.img_id) = i.img_id) AS keep
+             |FROM imgs i LEFT JOIN lab l ON l.id = i.img_id
+             |ORDER BY i.img_id""".stripMargin)),
 
     // REAL audio decode: synthesize a 64-sample 16-bit PCM WAV per doc,
     // decode it with javax.sound.sampled (container header + PCM
