@@ -803,6 +803,46 @@ object TextOps {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** URL canonicalization — the normalization a crawl pipeline applies
+    * BEFORE any url-level dedup, so syntactic variants of one page
+    * collapse to one key: lowercase scheme and host, drop the scheme's
+    * default port (443 for https, 80 for http — only its own), strip
+    * trailing path slashes, drop tracking params (utm_*, fbclid,
+    * gclid, ref_src), sort surviving params for order independence,
+    * drop the fragment. Entirely codegen'd regexp/array-HOF column
+    * work — no UDF, no shuffle; the downstream dedup's one shuffle is
+    * on the canonical key. */
+  def canonicalUrlCol(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref_src)=")))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** URL-level dedup: canonicalize, then one keep/drop decision per
+    * row — keeper = min id per canonical key, with the variant count
+    * as evidence. One shuffle on the canonical key (window over it);
+    * at crawl scale the key is ~unique outside true dup clusters, so
+    * no skew concern. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon_url"))
+    df.select(col(idCol), col(urlCol).as("url"),
+        canonicalUrlCol(col(urlCol)).as("canon_url"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+      .withColumn("n_variants", count(lit(1)).over(w))
+  }
+
   /** Extended Gopher quality rules (Rae et al. 2021 §A1.1) beyond
     * [[quality]]'s ratios: mean/max word length (over words, not
     * characters-including-spaces), fraction of words containing an

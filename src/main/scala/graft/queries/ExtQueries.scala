@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim, when}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -1173,6 +1173,57 @@ object ExtQueries {
              |SELECT domain, count(*) AS n_urls,
              |       count(DISTINCT doc_id) AS n_docs
              |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // URL canonicalization + url-level dedup — the crawl-pipeline step
+    // BEFORE any text dedup. Each doc plants one messy URL (closed-form
+    // variants of the id: upper/lower scheme and host, explicit default
+    // port, trailing slash, shuffled tracking params, fragment); the
+    // canonicalizer — pure codegen'd regexp/HOF column work — is on
+    // trial against the closed-form expected canonical, which the
+    // oracle recomputes directly from doc_id without reimplementing the
+    // parser. Same-page variants (id mod lcm(160,7)=1120) collapse to
+    // a min-id keeper.
+    Q("text_url_dedup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val messy = Tables.documents(s, dir).select(d,
+          concat(
+            when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+            lit("://"),
+            when(d % 3 === 0,
+                upper(concat(lit("www.site"), (d % 40).cast("string"), lit(".com"))))
+              .otherwise(concat(lit("www.site"), (d % 40).cast("string"), lit(".com"))),
+            when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+            lit("/articles/item"), (d % 160).cast("string"),
+            when(d % 4 === 0, lit("/")).otherwise(lit("")),
+            when(d % 2 === 0,
+                concat(lit("?utm_source=feed&ref="), (d % 7).cast("string")))
+              .otherwise(concat(lit("?ref="), (d % 7).cast("string"),
+                lit("&utm_campaign=x"))),
+            when(d % 6 === 0, lit("#section2")).otherwise(lit(""))).as("url"))
+        TextOps.urlDedup(messy, "doc_id", "url").orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+             |    (CASE WHEN doc_id % 3 = 0
+             |          THEN upper('www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com')
+             |          ELSE 'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+             |    '/articles/item' || CAST(doc_id % 160 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 2 = 0
+             |          THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+             |          ELSE '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x' END) ||
+             |    (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url,
+             |    'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
+             |    '.com/articles/item' || CAST(doc_id % 160 AS VARCHAR) ||
+             |    '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS canon_url
+             |  FROM documents)
+             |SELECT doc_id, url, canon_url,
+             |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
+             |  (doc_id = min(doc_id) OVER (PARTITION BY canon_url)) AS keep,
+             |  count(*) OVER (PARTITION BY canon_url) AS n_variants
+             |FROM u ORDER BY doc_id""".stripMargin)),
 
     // Greedy token packing into ~2048-token training bins. The window
     // partitions on the 100-value HASH BUCKET, not the 3-value split:

@@ -600,6 +600,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("canonicalUrlCol: case, default ports, tracking params, param order, slash, fragment") {
+    val cases = Seq(
+      // scheme+host lowercased, fragment dropped
+      ("HTTPS://WWW.Example.COM/Page#frag", "https://www.example.com/Page"),
+      // https:443 dropped, http:80 dropped — each scheme only its own
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      ("https://a.com:8080/x", "https://a.com:8080/x"),
+      // trailing slash(es) stripped; bare host stays bare
+      ("https://a.com/x//", "https://a.com/x"),
+      ("https://a.com/", "https://a.com"),
+      // tracking params dropped, survivors sorted; all-tracking -> no '?'
+      ("https://a.com/x?utm_source=s&b=2&a=1&fbclid=f", "https://a.com/x?a=1&b=2"),
+      ("https://a.com/x?utm_campaign=c&gclid=g", "https://a.com/x"),
+      // path case preserved (paths are case-sensitive, hosts are not)
+      ("https://A.com/CaseSensitive?z=1&y=2", "https://a.com/CaseSensitive?y=2&z=1"))
+    val out = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrlCol(
+        org.apache.spark.sql.functions.col("url"))).as[String].collect()
+    for (((_, exp), got) <- cases.zip(out)) assert(got == exp, s"expected $exp got $got")
+
+    // urlDedup: variants of one page collapse to the min-id keeper
+    val dup = Seq(
+      (1L, "https://a.com/x?utm_source=s"), (2L, "HTTPS://A.COM:443/x/"),
+      (3L, "https://a.com/y")).toDF("doc_id", "url")
+    val dec = TextOps.urlDedup(dup, "doc_id", "url")
+      .select("doc_id", "keep_id", "keep", "n_variants")
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(dec.toSeq == Seq((1L, 1L, true, 2L), (2L, 1L, false, 2L), (3L, 3L, true, 1L)))
+  }
+
   test("removeBoilerplateLines: cross-doc template chrome stripped, short separators exempt") {
     val d = Seq(
       (1L, "unique content one\nshared boilerplate line here\n--\nmore of doc one"),
