@@ -230,6 +230,25 @@ object Multimodal {
     }.toDF("id", "win", "sum_sq", "rms", "silent")
   }
 
+  /** Silence-trim INTERVENTION over an [[audioEnergyWindows]] frame —
+    * the dead-air removal a speech-data pipeline applies before
+    * feature extraction (silent windows carry no trainable signal but
+    * cost the same decode/transform compute): per doc, drop the silent
+    * windows and report what survives. kept_rms is the RMS over the
+    * KEPT windows only (null when everything was silent — an all-dead
+    * clip is a drop candidate, not a divide-by-zero). One map-side
+    * partial agg on the already-tiny (id, win) frame — the audio
+    * payload was never part of it. */
+  def audioTrimSilence(energy: DataFrame, window: Int): DataFrame = {
+    val kept = count(lit(1)) - sum(when(col("silent"), 1L).otherwise(0L))
+    energy.groupBy("id").agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+      (kept * window).as("kept_samples"),
+      round(sqrt(sum(when(!col("silent"), col("sum_sq")))
+        / (kept * window).cast("double")), 6).as("kept_rms"))
+  }
+
   /** Parsed MP4/ISO-BMFF container metadata: major brand (ftyp),
     * movie timescale + duration in ticks (mvhd), track count (trak),
     * per-track codec 4ccs in trak order (stsd first sample entry),

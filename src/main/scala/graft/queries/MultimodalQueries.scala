@@ -204,6 +204,42 @@ object MultimodalQueries {
              |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) < 100000 AS silent
              |FROM s GROUP BY doc_id, t // 16 ORDER BY id, win""".stripMargin)),
 
+    // Silence-trim intervention composed on the energy diagnosis: per
+    // doc, silent windows dropped, kept-sample count and kept-window
+    // RMS reported (null for all-silent clips — drop candidates).
+    // Recomputes the cheap energy frame rather than Memo-ing it: the
+    // 64-sample decode is trivial next to the convention cost of a
+    // fully-memoized headline query.
+    Q("multimodal_audio_trim",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticWav(id, mod = if (id % 7 == 0) 16 else 0))))
+        Multimodal.audioTrimSilence(
+            Multimodal.audioEnergyWindows(media, 16, 100000L), 16)
+          .orderBy("id")
+      },
+      Some("""WITH s AS (SELECT doc_id, t,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN (((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000) % 16
+             |      ELSE ((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000
+             |    END AS v
+             |  FROM documents, (SELECT unnest(range(64)) AS t)),
+             |w AS (SELECT doc_id, t // 16 AS win,
+             |        CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS ss
+             |      FROM s GROUP BY 1, 2)
+             |SELECT doc_id AS id, count(*) AS n_windows,
+             |  CAST(count(*) FILTER (WHERE ss < 100000) AS BIGINT) AS n_silent,
+             |  CAST((count(*) - count(*) FILTER (WHERE ss < 100000)) * 16 AS BIGINT)
+             |    AS kept_samples,
+             |  round(sqrt(CAST(sum(ss) FILTER (WHERE ss >= 100000) AS BIGINT)
+             |    / CAST((count(*) - count(*) FILTER (WHERE ss < 100000)) * 16 AS DOUBLE)), 6)
+             |    AS kept_rms
+             |FROM w GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     // REAL video CONTAINER metadata: synthesize a minimal valid MP4
     // per doc (ftyp + moov/mvhd + trak×k, all pure functions of the
     // id), walk its ISO-BMFF boxes codec-free, emit brand/timescale/

@@ -107,6 +107,20 @@ class MultimodalSourcesSpec extends SparkSpec {
     // trailing partial window dropped: 40 samples at window 16 -> 2 windows
     val short = Seq(Multimodal.MediaRow(5L, Multimodal.syntheticWav(5L, n = 40))).toDS()
     assert(Multimodal.audioEnergyWindows(short, 16, 100000L).count() == 2)
+
+    // silence-trim intervention: all-silent clip -> 0 kept samples and a
+    // NULL kept_rms (drop candidate, not a divide-by-zero); loud clip
+    // keeps everything and its kept_rms spans exactly the kept windows
+    val trimmed = Multimodal.audioTrimSilence(
+        Multimodal.audioEnergyWindows(media, 16, 100000L), 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(trimmed(14L) == ((4L, 4L, 0L, None)))
+    val loudSs = rows.filter(_._1 == 3L).map(_._3).sum
+    val expRms = BigDecimal(math.sqrt(loudSs.toDouble / 64))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(trimmed(3L) == ((4L, 0L, 64L, Some(expRms))))
   }
 
   test("MP4 box walk: synthetic container parses to closed-form metadata; malformed -> None") {
