@@ -126,6 +126,33 @@ object TextOps {
         / size(toks), 6).as("stopword_ratio"))
   }
 
+  /** Per-source quality-threshold CALIBRATION: the step that turns a
+    * quality score into per-source keep cutoffs (sources differ in
+    * score distribution, so one global threshold over- or under-prunes
+    * a source). Quantiles are rank-based and EXACT — cutoff_p = the
+    * ceil(p·n)-th smallest score, pure integer arithmetic on ranks, no
+    * float interpolation — so the cutoffs are engine-reproducible and
+    * each is an actual observed score. Scale: one window sort per
+    * source partition; at corpus scale calibration runs on a per-source
+    * sample (cutoffs are distribution estimates — sampling is the
+    * design, not a concession), so the sort never sees 100 TB. */
+  def qualityCalibrate(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = quality(df, idCol, textCol)
+      .select(col(idCol), col("stopword_ratio").as("score"))
+      .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
+    val w = Window.partitionBy(col(srcCol))
+    val rn = row_number().over(w.orderBy(col("score"), col(idCol)))
+    val n = count(lit(1)).over(w)
+    scored.select(col(srcCol), col("score"), rn.as("__rn"), n.as("__n"))
+      .groupBy(srcCol)
+      .agg(max(col("__n")).as("n_docs"),
+        max(when(col("__rn") === expr("(__n + 9) div 10"), col("score"))).as("p10"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("score"))).as("p50"),
+        max(when(col("__rn") === expr("(__n * 9 + 9) div 10"), col("score"))).as("p90"))
+  }
+
   /** Language-ID by stopword voting: most stopword hits wins, ties
     * broken by language code; no hits → 'und'. The dictionary is
     * broadcast (≪ data); one shuffle on id for the argmax. */

@@ -772,6 +772,33 @@ object ExtQueries {
               |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Per-source quality-threshold calibration: rank-based EXACT
+    // quantiles of the stopword-ratio score (cutoff_p = the ceil(p·n)-th
+    // smallest score — integer rank arithmetic, no float interpolation,
+    // every cutoff an actually-observed score) so each source gets its
+    // own keep threshold. At corpus scale this runs on a per-source
+    // sample; cutoffs are distribution estimates by nature.
+    Q("text_quality_calibrate",
+      (s, dir) => TextOps.qualityCalibrate(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy("source"),
+      Some(s"""WITH q AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS score
+              |  FROM documents),
+              |j AS (SELECT d.source, q.doc_id, q.score
+              |      FROM q JOIN documents d USING (doc_id)),
+              |r AS (SELECT source, score,
+              |        row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY source) AS n
+              |      FROM j)
+              |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+              |  max(CASE WHEN rn = (n + 9) // 10 THEN score END) AS p10,
+              |  max(CASE WHEN rn = (n + 1) // 2 THEN score END) AS p50,
+              |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN score END) AS p90
+              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // Token counting: whitespace, alnum-regex, actual greedy-subword
     // merges over the fixed vocab (n_bpe), and chars/4 (n_bpe_est)
     Q("text_token_counts",

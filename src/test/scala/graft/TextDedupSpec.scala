@@ -600,6 +600,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("qualityCalibrate: rank-based cutoffs hit the exact ceil(p*n)-th smallest score") {
+    // 10 docs with k stopwords out of 10 words -> score = k/10; ranks:
+    // p10 = 1st smallest, p50 = 5th, p90 = 9th. Filler tokens are
+    // non-stopwords; 'the' is a stopword in every dictionary variant.
+    val docs = (1 to 10).map { k =>
+      (k.toLong, (Seq.fill(k)("the") ++ Seq.fill(10 - k)("zzqx")).mkString(" "), "web")
+    }.toDF("doc_id", "text", "source")
+    val out = TextOps.qualityCalibrate(docs, "doc_id", "text", "source")
+      .select("source", "n_docs", "p10", "p50", "p90")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq(("web", 10L, 0.1, 0.5, 0.9)))
+    // n = 1: all three cutoffs collapse to the single score
+    val one = Seq((1L, "the zzqx", "s1")).toDF("doc_id", "text", "source")
+    val o1 = TextOps.qualityCalibrate(one, "doc_id", "text", "source")
+      .select("p10", "p50", "p90").as[(Double, Double, Double)].head()
+    assert(o1 == ((0.5, 0.5, 0.5)))
+  }
+
   test("canonicalUrlCol: case, default ports, tracking params, param order, slash, fragment") {
     val cases = Seq(
       // scheme+host lowercased, fragment dropped
