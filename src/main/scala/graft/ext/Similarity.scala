@@ -63,6 +63,44 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Quantization ERROR PROFILE — the audit run before committing a
+    * corpus to the int8 ANN path ([[quantizedTopK]]'s scheme, same
+    * scales, same floor(x+0.5) grid): per vector, mean/max absolute
+    * reconstruction error, relative L2 error, and the cosine between
+    * the vector and its dequantized self. The decision artifact: if
+    * min cosine ~ 1 and relative L2 stays small, int8 is safe for this
+    * corpus; outlier rows name the vectors that would degrade first.
+    * Every float reduction is an ordered left fold over the array
+    * (aggregate HOF), so results are engine- and partition-order-
+    * independent; per-row HOF work only, no shuffle after the one
+    * scale aggregation. */
+  def quantizationProfile(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val scales = e0.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x"))).as("s"))
+      .orderBy("i").select("s").as[Double].collect()
+    val e = e0.withColumn("__s", typedLit(scales.toSeq))
+      .withColumn("qv", expr(
+        """transform(v, (x, i) -> CASE WHEN __s[i] = 0 THEN 0.0D
+          |  ELSE floor(x / __s[i] * 127 + 0.5) * __s[i] / 127 END)""".stripMargin))
+      .drop("__s")
+    val sumAbs = expr(
+      "aggregate(zip_with(v, qv, (a, b) -> abs(a - b)), 0D, (acc, x) -> acc + x)")
+    val sumSq = expr(
+      "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    e.select(col(idCol),
+      round(sumAbs / size(col("v")), 6).as("mean_abs_err"),
+      round(expr("array_max(zip_with(v, qv, (a, b) -> abs(a - b)))"), 6).as("max_abs_err"),
+      round(sqrt(sumSq) / sqrt(call_function("array_dot", col("v"), col("v"))), 6)
+        .as("rel_l2_err"),
+      round(call_function("array_dot", col("v"), col("qv"))
+        / (sqrt(call_function("array_dot", col("v"), col("v")))
+          * sqrt(call_function("array_dot", col("qv"), col("qv")))), 6).as("cos_self"))
+  }
+
   /** Int8 symmetric per-dimension quantization + exact top-k over the
     * DEQUANTIZED vectors: q_d = floor(v_d/s_d·127 + 0.5) with
     * s_d = max|v_d| over the corpus (floor(x+0.5) instead of round —

@@ -173,6 +173,23 @@ object TextOps {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Tokenizer fertility per language — tokens-per-word by predicted
+    * language, the audit that tells you which languages your tokenizer
+    * serves poorly (high fertility → more sequence length per word →
+    * less effective context and higher training cost for that
+    * language). Composes [[langId]] with [[tokenCounts]]; all
+    * aggregates are exact integer sums (the one double, fertility, is
+    * a single division of two exact longs), so the result is
+    * partition-order-independent with no sorted-fold machinery. */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    langId(df, idCol, textCol)
+      .join(tokenCounts(df, idCol, textCol), Seq(idCol))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_words"),
+        sum(col("n_bpe")).as("total_tokens"),
+        round(sum(col("n_bpe")).cast("double") / sum(col("n_ws")), 4).as("fertility"))
+
   /** Canonical document fingerprint: md5 of lowercased text with
     * whitespace collapsed — the exact-dup key modulo formatting. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

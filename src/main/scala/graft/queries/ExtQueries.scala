@@ -739,6 +739,47 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Quantization error profile: the audit before committing the
+    // corpus to the int8 ANN path — per-vector reconstruction error
+    // and self-cosine under the exact quantizedTopK grid. Every float
+    // reduction is an ordered left fold on BOTH engines (aggregate HOF
+    // / list_reduce over position-ordered lists), so the doubles match
+    // bit-for-bit before rounding.
+    Q("sim_quant_error",
+      (s, dir) => Similarity.quantizationProfile(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dims AS (SELECT max(len(v)) AS d FROM e),
+             |sc AS (SELECT i, max(abs(v[i])) AS s
+             |       FROM e, (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i)
+             |       GROUP BY i),
+             |qt AS (SELECT e.vec_id,
+             |         list(CASE WHEN sc.s = 0 THEN 0.0
+             |              ELSE floor(v[sc.i] / sc.s * 127 + 0.5) * sc.s / 127 END
+             |              ORDER BY sc.i) AS qv
+             |       FROM e, sc GROUP BY e.vec_id),
+             |j AS (SELECT e.vec_id, e.v, q.qv FROM e JOIN qt q USING (vec_id)),
+             |m AS (SELECT vec_id, len(v) AS d,
+             |        list_reduce([abs(v[i] - qv[i]) for i in range(1, len(v) + 1)],
+             |          (a, x) -> a + x) AS sum_abs,
+             |        list_aggregate([abs(v[i] - qv[i]) for i in range(1, len(v) + 1)],
+             |          'max') AS max_abs,
+             |        list_reduce([(v[i] - qv[i]) * (v[i] - qv[i]) for i in range(1, len(v) + 1)],
+             |          (a, x) -> a + x) AS sum_sq,
+             |        list_reduce([v[i] * qv[i] for i in range(1, len(v) + 1)],
+             |          (a, x) -> a + x) AS vq,
+             |        list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)],
+             |          (a, x) -> a + x) AS vv,
+             |        list_reduce([qv[i] * qv[i] for i in range(1, len(v) + 1)],
+             |          (a, x) -> a + x) AS qq
+             |      FROM j)
+             |SELECT vec_id, round(sum_abs / d, 6) AS mean_abs_err,
+             |  round(max_abs, 6) AS max_abs_err,
+             |  round(sqrt(sum_sq) / sqrt(vv), 6) AS rel_l2_err,
+             |  round(vq / (sqrt(vv) * sqrt(qq)), 6) AS cos_self
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     // Language-ID by stopword voting (broadcast dictionary)
     Q("text_langid",
       (s, dir) => TextOps.langId(Tables.documents(s, dir), "doc_id", "text")
@@ -755,6 +796,34 @@ object ExtQueries {
               |       coalesce(b.hits, 0) AS hits
               |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility per language: tokens-per-word by predicted
+    // lang — the audit of which languages the tokenizer serves poorly.
+    // Exact integer sums; the one double is a single division.
+    Q("text_fertility",
+      (s, dir) => TextOps.tokenizerFertility(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("pred_lang"),
+      Some(s"""WITH sw(word, lang) AS (VALUES ${TextOps.stopwordValuesSql}),
+              |tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |       FROM documents),
+              |sc AS (SELECT doc_id, lang, count(*) AS hits FROM tk
+              |       JOIN sw USING (word) GROUP BY 1, 2),
+              |best AS (SELECT doc_id, lang, hits,
+              |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+              |         FROM sc),
+              |lid AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+              |        FROM documents d
+              |        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)),
+              |tc AS (SELECT doc_id,
+              |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents)
+              |SELECT pred_lang, count(*) AS n_docs,
+              |  CAST(sum(n_ws) AS BIGINT) AS total_words,
+              |  CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+              |  round(sum(n_bpe) / sum(n_ws), 4) AS fertility
+              |FROM lid JOIN tc USING (doc_id)
+              |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin)),
 
     // Quality scoring: length/punct/digit/stopword ratios — the
     // stopword ratio uses the full 20-language union dictionary
