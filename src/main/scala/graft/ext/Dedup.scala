@@ -340,6 +340,30 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** Quality-aware dedup: like [[dedupGroups]], but the survivor of
+    * each near-dup cluster is the HIGHEST-QUALITY member (ties → the
+    * smaller id), not the smallest id — the curation policy real
+    * pipelines want, since the first-crawled copy of a page is often
+    * the worst one (truncated, boilerplate-heavy). `scored` supplies
+    * (idCol, score); keeper selection is one max-struct aggregation
+    * per cluster label — same closure machinery, one extra tiny join
+    * keyed on the label, no new shuffle of the corpus. */
+  def dedupGroupsBest(scored: DataFrame, idCol: String,
+      scoreCol: String, pairs: DataFrame): DataFrame = {
+    val labels = graft.ml.Components.minLabel(
+      pairs.select(col("id_a"), col("id_b")))
+    val withLabel = scored
+      .select(col(idCol).cast("long").as(idCol), col(scoreCol).as("__score"))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("label"), col(idCol)))
+    val best = withLabel.groupBy("group_id")
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__nid"))).as("__b"))
+      .select(col("group_id"), (-col("__b.__nid")).as("keep_id"))
+    withLabel.join(best, "group_id")
+      .select(col(idCol), col("group_id"), col("__score").as("score"),
+        col("keep_id"), (col(idCol) === col("keep_id")).as("keep"))
+  }
+
   /** Character-level edit-distance verification over an already-banded
     * candidate pair set: Levenshtein ≤ maxDist. The expensive O(n·k)
     * metric runs ONLY on candidates an LSH/banding stage produced —

@@ -304,6 +304,61 @@ object ExtQueries {
               |       md5(trimmed) AS trimmed_fp
               |FROM tr ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedup: the survivor of each near-dup cluster is
+    // the highest-quality member (stopword-ratio score, ties → smaller
+    // id), not the smallest id — first-crawled copies are often the
+    // worst ones. Shares the Memo'd minhash pair pass with
+    // dedup_groups; one extra label-keyed join.
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val scored = TextOps.quality(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("stopword_ratio"))
+        Dedup.dedupGroupsBest(scored, "doc_id", "stopword_ratio",
+            minhashPairs(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+              |q AS (SELECT doc_id,
+              |        round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |            w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |          / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS score
+              |      FROM documents),
+              |g AS (SELECT d.doc_id,
+              |        coalesce(least(l.m, d.doc_id), d.doc_id) AS group_id, q.score
+              |      FROM documents d JOIN q USING (doc_id)
+              |      LEFT JOIN lab l ON l.id = d.doc_id),
+              |b AS (SELECT group_id, doc_id AS keep_id,
+              |        row_number() OVER (PARTITION BY group_id
+              |          ORDER BY score DESC, doc_id) AS rk
+              |      FROM g)
+              |SELECT g.doc_id, g.group_id, g.score, b.keep_id,
+              |       (g.doc_id = b.keep_id) AS keep
+              |FROM g JOIN (SELECT group_id, keep_id FROM b WHERE rk = 1) b
+              |  USING (group_id)
+              |ORDER BY g.doc_id""".stripMargin)),
+
     // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
     // pairs share a full band, then exact-Jaccard verification of
     // candidates only (the scale path: pair volume ∝ true near-dups)

@@ -600,6 +600,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("dedupGroupsBest: cluster keeper is max-score (ties -> smaller id); singletons self-keep") {
+    val scored = Seq((1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupGroupsBest(scored, "doc_id", "score", pairs)
+      .select("doc_id", "group_id", "keep_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // chained component {1,2,3}: keeper is 2 (0.5 ties with 3, smaller id wins),
+    // NOT min-id 1 (the lowest-quality member)
+    assert(out.toSeq == Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (4L, 4L, 4L, true)))
+  }
+
   test("qualityCalibrate: rank-based cutoffs hit the exact ceil(p*n)-th smallest score") {
     // 10 docs with k stopwords out of 10 words -> score = k/10; ranks:
     // p10 = 1st smallest, p50 = 5th, p90 = 9th. Filler tokens are
