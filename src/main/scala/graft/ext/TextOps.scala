@@ -460,6 +460,36 @@ object TextOps {
       .drop("__before")
   }
 
+  /** Packed-sequence BOUNDARY artifact: what a trainer actually
+    * consumes next to the packed bins — for each (partition, bin), the
+    * ordered docs with their start offsets inside the bin (the
+    * attention-mask reset points), doc count, and the token mass of
+    * docs starting in the bin. Same greedy-chop semantics as
+    * [[packBins]] (a doc straddling a boundary belongs to the bin its
+    * first token lands in). The per-bin doc list is assembled with a
+    * sort_array over collected structs — deterministic regardless of
+    * partition order — and emitted as a compact `id@offset;…` string.
+    * Scale: one window per partition key (same shuffle as packBins),
+    * then a map-side groupBy on (part, bin); bins hold ~binTokens/
+    * avg-doc tokens docs, so no collect grows with the corpus. */
+  def packedBoundaries(df: DataFrame, idCol: String, tokensCol: String,
+      partCol: String, binTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__before") / binTokens).cast("long"))
+      .withColumn("__off", col("__before") - col("bin") * binTokens)
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("bin_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__off"), col(idCol).as("__id")))),
+          x => concat(x("__id").cast("string"), lit("@"), x("__off").cast("string"))),
+          ";").as("doc_offsets"))
+  }
+
   /** Per-stratum cap: keep the top `n` rows of each stratum (domain,
     * source, site) by `qualityCol` descending, ties broken by `idCol`
     * ascending — the standard web-corpus curation move that stops one

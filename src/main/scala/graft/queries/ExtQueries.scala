@@ -1412,6 +1412,40 @@ object ExtQueries {
              |       CAST(floor(bef / 2048) AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Packed-sequence boundary artifact: per (bucket, bin) the ordered
+    // doc start offsets — the attention-mask reset points a trainer
+    // consumes next to the packed bins. Deterministic id@offset;...
+    // string via sorted-struct assembly.
+    Q("text_pack_boundaries",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withTok = docs.select(col("doc_id"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+        val joined = withTok.join(
+          TextOps.splitAssign(docs, "doc_id").select("doc_id", "bucket"),
+          "doc_id")
+        TextOps.packedBoundaries(joined, "doc_id", "n_tokens", "bucket", 2048L)
+          .orderBy("bucket", "bin")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS n_tokens,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents),
+             |c AS (SELECT doc_id, bucket, n_tokens,
+             |        coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |      FROM b),
+             |o AS (SELECT doc_id, bucket, n_tokens,
+             |        CAST(floor(bef / 2048) AS BIGINT) AS bin,
+             |        bef - CAST(floor(bef / 2048) AS BIGINT) * 2048 AS off
+             |      FROM c)
+             |SELECT bucket, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             |  string_agg(CAST(doc_id AS VARCHAR) || '@' || CAST(off AS VARCHAR),
+             |    ';' ORDER BY off, doc_id) AS doc_offsets
+             |FROM o GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin)),
+
     // END-TO-END CURATION PIPELINE (the composition a training-data
     // build actually ships): near-dedup keep-list (MinHash-LSH pairs →
     // closure, Memo-shared with the standalone queries) → quality
