@@ -120,6 +120,30 @@ class PlanSpec extends SparkSpec {
       "per-partition top-k missing — a full sort of the distinct values would not scale")
   }
 
+  test("url dedup: pure column work — no UDF, one shuffle on the canonical key") {
+    val df = graft.ext.TextOps.urlDedup(
+      Tables.documents(spark, sf).selectExpr("doc_id",
+        "concat('https://h', doc_id % 5, '.com/p?utm_source=x&a=', doc_id % 3) AS url"),
+      "doc_id", "url")
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "canonicalizer must stay codegen'd column work")
+    // formatted mode puts the node header "(n) Exchange" and its
+    // hashpartitioning arguments on separate lines — count headers
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle on canon_url, saw $exchanges")
+    assert(plan.contains("hashpartitioning(canon_url"),
+      "the one shuffle must key on the canonical url")
+  }
+
+  test("quantization profile: literal scales, no Generate in the per-row error math") {
+    val df = graft.ext.Similarity.quantizationProfile(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val plan = formatted(df)
+    assert(!plan.contains("Generate"),
+      "vector explode leaked into the profile plan — errors must be per-row HOF work")
+  }
+
   test("quantized top-k: scales are a literal; vectors are never exploded") {
     // ONE Generate is allowed in the whole multi-job pipeline — the
     // posexplode that AGGREGATES the per-dim scales. The quantize step
