@@ -353,6 +353,73 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Per-track sample-size tables (stsz) from the same pure-JDK box
+    * walk — the container-level BITRATE profile (frame-size
+    * distribution over time) a video curation pass uses to spot
+    * broken/padded/black-frame files before any pixel decode. Returns
+    * the per-trak (in moov order) sample sizes; a track with a fixed
+    * sample_size != 0 expands to sample_count copies (the spec's
+    * constant-size shorthand). None when the container is malformed —
+    * degrade, never throw. Fence note: this narrows the video stub
+    * further; only pixel/bitstream decode remains stubbed. */
+  private[graft] def parseMp4SampleSizes(bytes: Array[Byte]): Option[Seq[Array[Long]]] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var pos = from
+      while (pos < to) {
+        if (pos + 8 > to) return false
+        var size = u32(pos)
+        var hdr = 8
+        if (size == 1) {
+          if (pos + 16 > to) return false
+          size = u64(pos + 8); hdr = 16
+        } else if (size == 0) size = (to - pos).toLong
+        if (size < hdr || pos + size > to) return false
+        f(new String(bytes, pos + 4, 4, "US-ASCII"), pos + hdr, pos + size.toInt)
+        pos += size.toInt
+      }
+      true
+    }
+    try {
+      var sawMoov = false
+      val perTrack = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      def descend(from: Int, to: Int, path: List[String])(
+          f: (String, Int, Int) => Unit): Unit = path match {
+        case Nil => walk(from, to)(f); ()
+        case seg :: rest =>
+          walk(from, to) { (t, o, e) => if (t == seg) descend(o, e, rest)(f) }
+          ()
+      }
+      val ok = walk(0, bytes.length) { (typ, off, end) =>
+        if (typ == "moov") {
+          sawMoov = true
+          walk(off, end) { (t, o, e) =>
+            if (t == "trak") {
+              var sizes: Array[Long] = Array.emptyLongArray
+              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                if (t4 == "stsz" && e4 - o4 >= 12) {
+                  val fixed = u32(o4 + 4)
+                  val n = u32(o4 + 8).toInt
+                  sizes =
+                    if (fixed != 0) Array.fill(n)(fixed)
+                    else if (e4 - o4 >= 12 + 4L * n)
+                      Array.tabulate(n)(j => u32(o4 + 12 + 4 * j))
+                    else Array.emptyLongArray
+                }
+              }
+              perTrack += sizes
+            }
+          }
+          ()
+        }
+      }
+      if (ok && sawMoov) Some(perTrack.toSeq) else None
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
     * moov(mvhd v0 + trak×k), each trak carrying a full
     * mdia/minf/stbl with an stsd sample entry and an stss sync-sample
@@ -391,7 +458,13 @@ object Multimodal {
       val first = (id % 5) + 1 + i
       val stss = box("stss", be32(0) ++ be32(kf.toLong) ++
         (0 until kf).flatMap(j => be32(first + 2L * j)).toArray)
-      val stbl = box("stbl", stsd ++ stss)
+      // per-sample size table (sample_size=0 → explicit entries):
+      // closed-form sizes so the bitrate profile is oracle-checkable
+      val ns = ((id * 11 + 5 * i) % 30 + 2).toInt
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(ns.toLong) ++
+        (0 until ns).flatMap(j =>
+          be32((id * 7 + i * 3 + j.toLong * j) % 900 + 100)).toArray)
+      val stbl = box("stbl", stsd ++ stss ++ stsz)
       box("trak",
         box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L)) ++
           box("mdia", box("minf", stbl)))

@@ -275,6 +275,40 @@ object MultimodalQueries {
              |  CAST(doc_id % 5 + 1 AS BIGINT) AS first_keyframe
              |FROM tr GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // Container-level video BITRATE profile: per-track frame-size
+    // stats from the stsz sample tables (spot broken/padded files
+    // before any pixel decode) — still pure-JDK box walking; only
+    // bitstream decode remains stubbed. Oracle recomputes the
+    // closed-form sample sizes.
+    Q("multimodal_video_bitrate",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        ids.flatMap { id =>
+          Multimodal.parseMp4SampleSizes(Multimodal.syntheticMp4(id)).get
+            .zipWithIndex.map { case (sz, i) =>
+              (id, i.toLong, sz.length.toLong, sz.sum, sz.max,
+                BigDecimal(sz.sum.toDouble / sz.length)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+        }.toDF("id", "track", "n_samples", "total_bytes", "max_sample",
+            "mean_sample")
+          .orderBy("id", "track")
+      },
+      Some("""WITH tr AS (SELECT doc_id, i FROM documents,
+             |    LATERAL (SELECT unnest(range(1 + doc_id % 3)) AS i) u),
+             |sz AS (SELECT doc_id, i, j,
+             |         ((doc_id*7 + i*3 + j*j) % 900) + 100 AS s
+             |       FROM tr,
+             |    LATERAL (SELECT unnest(range((doc_id*11 + 5*i) % 30 + 2)) AS j) v)
+             |SELECT doc_id AS id, CAST(i AS BIGINT) AS track,
+             |  count(*) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS total_bytes,
+             |  CAST(max(s) AS BIGINT) AS max_sample,
+             |  round(sum(s) / count(*), 4) AS mean_sample
+             |FROM sz GROUP BY doc_id, i ORDER BY id, track""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

@@ -136,6 +136,30 @@ class MultimodalSourcesSpec extends SparkSpec {
         (id * 97 + 41) % 100000, k, expCodecs, expKf, id % 5 + 1),
         s"id=$id got ${m.get}")
     }
+    // stsz sample-size tables: per-track closed-form sizes round-trip
+    for (id <- Seq(0L, 5L, 41L, 1234L)) {
+      val szs = Multimodal.parseMp4SampleSizes(Multimodal.syntheticMp4(id)).get
+      val k = 1 + (id % 3).toInt
+      assert(szs.length == k, s"id=$id expected $k tracks")
+      for (i <- 0 until k) {
+        val ns = ((id * 11 + 5 * i) % 30 + 2).toInt
+        assert(szs(i).toSeq ==
+          (0 until ns).map(j => (id * 7 + i * 3 + j.toLong * j) % 900 + 100),
+          s"id=$id track=$i")
+      }
+    }
+    // constant-size shorthand (sample_size != 0, no table): expands to
+    // sample_count copies
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def bx(t: String, p: Array[Byte]) = be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val fixedMp4 = bx("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      bx("moov", bx("trak", bx("mdia", bx("minf", bx("stbl",
+        bx("stsz", be32(0) ++ be32(512) ++ be32(3)))))))
+    assert(Multimodal.parseMp4SampleSizes(fixedMp4).get.map(_.toSeq) ==
+      Seq(Seq(512L, 512L, 512L)))
+    assert(Multimodal.parseMp4SampleSizes("garbage".getBytes("UTF-8")).isEmpty)
+
     // malformed payloads: None, never throw (bad record != dead job)
     assert(Multimodal.parseMp4Metadata("plain text, not a video".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseMp4Metadata(Multimodal.syntheticMp4(9L).take(40)).isEmpty)
