@@ -358,11 +358,21 @@ object TextOps {
     * the term and one per-doc top-k window. The df table is
     * vocabulary-sized — it joins sort-merge at corpus scale rather
     * than broadcasting. */
+  /** One (id, w, tf) pass per (session, input) — Memo-shared by the
+    * TF-IDF and BM25 retrieval queries, which are registry-adjacent
+    * (within the staleness window): both need exactly this tokenize +
+    * per-doc-term count shuffle, so a suite running both pays once. */
+  private[graft] def termFrequencies(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.queries.Memo.cached(df.sparkSession,
+      s"tf|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}")(
+      tokens(df, idCol, textCol)
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf")))
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.count().toDouble
-    val tf = tokens(df, idCol, textCol)
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "w")
       .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
@@ -666,8 +676,7 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val nDocs = df.count().toDouble
-    val tf = tokens(df, idCol, textCol)
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
