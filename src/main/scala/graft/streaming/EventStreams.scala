@@ -183,6 +183,72 @@ object EventStreams {
     ()
   }
 
+  /** Streaming URL-level dedup via foreachBatch — the crawl-frontier
+    * loop: each micro-batch of (id, url) rows is canonicalized
+    * ([[graft.ext.TextOps.canonicalUrlCol]]), deduplicated against
+    * itself (min id per canonical key wins) and against the
+    * accumulated corpus of previously KEPT canonical URLs, so a page
+    * refetched under any syntactic variant in any later crawl is
+    * dropped before its body is ever fetched/stored. Same
+    * idempotent-epoch discipline as [[incrementalDedupSink]]: both
+    * dirs are partitioned by batch_id with dynamic partition
+    * overwrite, and the probe reads strictly-earlier partitions only.
+    * The corpus table stores just (id, canon_url, batch_id) —
+    * key-sized, not page-sized — so at crawl scale the probe is a join
+    * against a canonical-key table, prunable by partition. */
+  def incrementalUrlDedupSink(docs: DataFrame, idCol: String, urlCol: String,
+      corpusDir: String, decisionsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        urlDedupEpoch(batch, batchId, idCol, urlCol, corpusDir, decisionsDir)
+    }
+
+  /** One idempotent URL-dedup epoch (the foreachBatch body): running
+    * it twice with the same (batch, batchId) leaves both dirs exactly
+    * as one run would. */
+  private[graft] def urlDedupEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, urlCol: String,
+      corpusDir: String, decisionsDir: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val withCanon = batch.withColumn("__canon",
+      graft.ext.TextOps.canonicalUrlCol(col(urlCol)))
+    val intra = withCanon.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("__canon")).orderBy(col(idCol))))
+    val intraKept = intra.filter(col("__rk") === 1).drop("__rk")
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    val decided =
+      if (!hasCorpus)
+        intraKept.select(col(idCol), col("__canon"), lit(true).as("keep"))
+      else {
+        val prior = spark.read.parquet(corpusDir)
+          .filter(col("batch_id") < batchId) // partition-pruned scan
+          .select(col("canon_url").as("__canon")).distinct()
+        intraKept.join(prior.withColumn("__dup", lit(true)), Seq("__canon"), "left")
+          .select(col(idCol), col("__canon"), col("__dup").isNull.as("keep"))
+      }
+    val all = withCanon.select(col(idCol), col("__canon"))
+      .join(decided.select(col(idCol), col("keep")), Seq(idCol), "left")
+      .select(col(idCol), col("__canon").as("canon_url"),
+        lit(batchId).as("batch_id"),
+        coalesce(col("keep"), lit(false)).as("keep"),
+        when(col("keep").isNull, lit("intra_batch_dup"))
+          .when(!col("keep"), lit("corpus_dup"))
+          .otherwise(lit("new")).as("reason"))
+      .localCheckpoint() // decide BEFORE the corpus write mutates the input
+    all.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(decisionsDir)
+    all.filter(col("keep"))
+      .select(col(idCol), col("canon_url"), col("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    ()
+  }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

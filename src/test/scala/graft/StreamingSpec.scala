@@ -171,6 +171,55 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.sameElements(Seq(1L, 3L, 11L)))
   }
 
+  test("foreachBatch url dedup: canonical variants collapse within and across batches") {
+    implicit val sql = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_surl").toString
+    val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
+    val mem = MemoryStream[(Long, String)]
+    val urls = mem.toDF().toDF("doc_id", "url")
+    val q = EventStreams.incrementalUrlDedupSink(urls, "doc_id", "url",
+      corpusDir, decisionsDir).start()
+    // batch 0: 2 is a syntactic variant of 1 (case + port + tracking
+    // param + trailing slash); 3 is a different page
+    mem.addData((1L, "https://a.com/x?utm_source=s"),
+      (2L, "HTTPS://A.COM:443/x/"), (3L, "https://a.com/y"))
+    q.processAllAvailable()
+    // batch 1: 10 refetches page x under yet another variant; 11 fresh
+    mem.addData((10L, "https://a.com/x#frag"), (11L, "https://b.com/z"))
+    q.processAllAvailable()
+    q.stop()
+    val dec = spark.read.parquet(decisionsDir)
+      .select(col("doc_id"), col("keep"), col("reason"))
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(dec(1L)._2 && dec(1L)._3 == "new")
+    assert(!dec(2L)._2 && dec(2L)._3 == "intra_batch_dup")
+    assert(dec(3L)._2)
+    assert(!dec(10L)._2 && dec(10L)._3 == "corpus_dup")
+    assert(dec(11L)._2 && dec(11L)._3 == "new")
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().sorted.sameElements(Seq(1L, 3L, 11L)))
+  }
+
+  test("url dedup epoch replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_surl_replay").toString
+    val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
+    val b0 = Seq((1L, "https://a.com/x"), (2L, "https://a.com/y")).toDF("doc_id", "url")
+    val b1 = Seq((10L, "HTTPS://a.com:443/x/"), (11L, "https://c.com/w")).toDF("doc_id", "url")
+    EventStreams.urlDedupEpoch(b0, 0L, "doc_id", "url", corpusDir, decisionsDir)
+    EventStreams.urlDedupEpoch(b1, 1L, "doc_id", "url", corpusDir, decisionsDir)
+    def snapshot() = (
+      spark.read.parquet(decisionsDir)
+        .select(col("doc_id"), col("batch_id").cast("long"), col("keep"), col("reason"))
+        .as[(Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq,
+      spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().sorted.toSeq)
+    val before = snapshot()
+    EventStreams.urlDedupEpoch(b1, 1L, "doc_id", "url", corpusDir, decisionsDir)
+    assert(snapshot() == before, "replay mutated state")
+    val byId = before._1.map(r => r._1 -> r).toMap
+    assert(!byId(10L)._3 && byId(10L)._4 == "corpus_dup")
+    assert(byId(11L)._3 && before._2 == Seq(1L, 2L, 11L))
+  }
+
   test("foreachBatch dedup sink resumes from a checkpoint without reprocessing") {
     implicit val sql = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
