@@ -53,8 +53,11 @@ object Bench {
     // read, so their reported steady-state number is the cold run.
     // dedup_span_pairs qualifies since the aggregated span frame became
     // the Memo'd unit shared with text_trim_spans (which still reports
-    // min-of-2: its surgery joins are real per-run work).
-    val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs")
+    // min-of-2: its surgery joins are real per-run work); likewise
+    // multimodal_audio_energy, whose decode+window frame is the Memo'd
+    // unit shared with the silence-trim intervention.
+    val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs",
+      "multimodal_audio_energy")
     // test HARNESSES, not operators: ml_dist_path_parity runs four
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately

@@ -32,6 +32,22 @@ object MultimodalQueries {
       }.toDF("img_id", "h")
     }
 
+  /** One synth+decode+window pass per (session, dir) — Memo-shared by
+    * the energy diagnosis and the silence-trim intervention (the 50k
+    * WAV decodes dominate both at sf0.1). The energy query itself is
+    * therefore fully Memo'd and reports cold in the bench
+    * (fullMemoQueries). */
+  private def audioEnergy(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"aen|$dir") {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id,
+          Multimodal.syntheticWav(id, mod = if (id % 7 == 0) 16 else 0))))
+      Multimodal.audioEnergyWindows(media, 16, 100000L)
+    }
+
   /** Shared DuckDB CTEs: analytic dHash recomputation + Hamming ≤ 3
     * pairs — byte-identical to [[phashHashes]] + `hamming64Pairs`. */
   private val phashCte =
@@ -181,17 +197,9 @@ object MultimodalQueries {
     // engines, sums are exact BIGINTs, and the silence flag is an
     // integer compare — no float threshold ambiguity)
     Q("multimodal_audio_energy",
-      (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val media = ids.mapPartitions(_.map(id =>
-          Multimodal.MediaRow(id,
-            Multimodal.syntheticWav(id, mod = if (id % 7 == 0) 16 else 0))))
-        Multimodal.audioEnergyWindows(media, 16, 100000L)
-          .withColumn("rms", round(col("rms"), 6))
-          .orderBy("id", "win")
-      },
+      (s, dir) => audioEnergy(s, dir)
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("id", "win"),
       Some("""WITH s AS (SELECT doc_id, t,
              |    CASE WHEN doc_id % 7 = 0
              |      THEN (((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000) % 16
@@ -207,21 +215,10 @@ object MultimodalQueries {
     // Silence-trim intervention composed on the energy diagnosis: per
     // doc, silent windows dropped, kept-sample count and kept-window
     // RMS reported (null for all-silent clips — drop candidates).
-    // Recomputes the cheap energy frame rather than Memo-ing it: the
-    // 64-sample decode is trivial next to the convention cost of a
-    // fully-memoized headline query.
+    // Shares the Memo'd decode+window pass with the energy query.
     Q("multimodal_audio_trim",
-      (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val media = ids.mapPartitions(_.map(id =>
-          Multimodal.MediaRow(id,
-            Multimodal.syntheticWav(id, mod = if (id % 7 == 0) 16 else 0))))
-        Multimodal.audioTrimSilence(
-            Multimodal.audioEnergyWindows(media, 16, 100000L), 16)
-          .orderBy("id")
-      },
+      (s, dir) => Multimodal.audioTrimSilence(audioEnergy(s, dir), 16)
+        .orderBy("id"),
       Some("""WITH s AS (SELECT doc_id, t,
              |    CASE WHEN doc_id % 7 = 0
              |      THEN (((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000) % 16
