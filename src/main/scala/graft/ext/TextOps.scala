@@ -173,6 +173,27 @@ object TextOps {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Corpus SNAPSHOT DIFF — the daily-delta audit between two corpus
+    * versions (yesterday's build vs today's): per doc id, whether it
+    * was added, removed, changed (canonical fingerprint differs —
+    * formatting-only edits don't count), or unchanged. The artifact
+    * that tells an incremental pipeline what to re-embed / re-dedup /
+    * re-shard instead of rebuilding everything. One full-outer join on
+    * the id (one shuffle per side, fingerprints are row-local); at
+    * corpus scale both sides are id-bucketed tables, so the join is
+    * co-partitioned. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val of = fingerprint(oldDf, idCol, textCol).withColumnRenamed("fp", "__ofp")
+    val nf = fingerprint(newDf, idCol, textCol).withColumnRenamed("fp", "__nfp")
+    of.join(nf, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Tokenizer fertility per language — tokens-per-word by predicted
     * language, the audit that tells you which languages your tokenizer
     * serves poorly (high fertility → more sequence length per word →

@@ -1539,6 +1539,45 @@ object ExtQueries {
       Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Corpus snapshot diff: the daily-delta audit — today's simulated
+    // snapshot drops ids % 13 == 0, appends ' v2' to surviving
+    // ids % 17 == 0 (content change), and clones ids % 31 == 0 as new
+    // +1000000 docs. Per-id added/removed/changed/unchanged status
+    // from canonical fingerprints; tells an incremental pipeline what
+    // to re-embed/re-dedup instead of rebuilding.
+    Q("text_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("new doc "), col("text")).as("text")))
+        TextOps.corpusDiff(docs, newSnap, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH old AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ofp
+             |  FROM documents),
+             |nw AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(
+             |      CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END),
+             |      '\s+', ' ', 'g'))) AS nfp
+             |  FROM documents WHERE doc_id % 13 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    md5(trim(regexp_replace(lower('new doc ' || text), '\s+', ' ', 'g')))
+             |  FROM documents WHERE doc_id % 31 = 0),
+             |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.ofp, n.nfp
+             |      FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN ofp IS NULL THEN 'added'
+             |       WHEN nfp IS NULL THEN 'removed'
+             |       WHEN ofp != nfp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: docs with doc_id % 50 == 0 stand in
     // for the held-out eval set; every train doc sharing a 3-word
     // shingle with any eval doc is flagged. Shares the memoized
