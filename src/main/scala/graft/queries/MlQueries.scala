@@ -30,6 +30,14 @@ object MlQueries {
   /** Deterministic 2-D feature embedding used by the oracle-checkable
     * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
     * inputs rounded so both engines see identical doubles. */
+  /** One DBSCAN run per (session, dir) — the labels frame is one row
+    * per series (tiny) while the run is an iterative grid-join + CC
+    * algorithm; Memo-shared by the clusters and outlier-trace-back
+    * queries so the suite pays for the iteration once. The clusters
+    * query is therefore fully Memo'd and reports cold in the bench. */
+  private def dbscanLabels(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"dbs|$dir")(Dbscan.run(featureEmbedding(s, dir), 3.0, 4))
+
   private def featureEmbedding(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"fe|$dir") {
       Tables.events(s, dir).na.drop(Seq("value"))
@@ -136,13 +144,13 @@ object MlQueries {
 
     // C2: custom distributed DBSCAN (grid cells + label propagation)
     Q("ml_dbscan_clusters",
-      (s, dir) => Dbscan.run(featureEmbedding(s, dir), 3.0, 4)
+      (s, dir) => dbscanLabels(s, dir)
         .orderBy("series_id")),
 
     // C7: DBSCAN noise trace-back to raw series stats (rows-only)
     Q("ml_dbscan_outliers",
       (s, dir) => {
-        val assigned = Dbscan.run(featureEmbedding(s, dir), 3.0, 4)
+        val assigned = dbscanLabels(s, dir)
         val stats = Tables.events(s, dir).na.drop(Seq("value"))
           .groupBy(col("user_id").as("series_id"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
