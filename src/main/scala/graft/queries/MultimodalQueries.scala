@@ -17,8 +17,8 @@ object MultimodalQueries {
 
   /** One decode+dHash pass per (session, dir) — Memo-shared by the
     * pair query and the group-closure query (REAL javax.imageio decode
-    * of 55k 18×16 BMPs at sf0.1 dominates; the banded Hamming join
-    * over the ~5k hash rows is cheap enough to run per query). */
+    * of ~5k 18×16 BMPs at sf0.1 dominates; the banded Hamming join
+    * over the hash rows is cheap enough to run per query). */
   private def phashHashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"phash|$dir") {
@@ -33,7 +33,7 @@ object MultimodalQueries {
     }
 
   /** One synth+decode+window pass per (session, dir) — Memo-shared by
-    * the energy diagnosis and the silence-trim intervention (the 50k
+    * the energy diagnosis and the silence-trim intervention (the ~5k
     * WAV decodes dominate both at sf0.1). The energy query itself is
     * therefore fully Memo'd and reports cold in the bench
     * (fullMemoQueries). */
