@@ -32,6 +32,15 @@ object MultimodalQueries {
       }.toDF("img_id", "h")
     }
 
+  /** Banded Hamming pairs over the Memo'd hashes — itself Memo'd (the
+    * pair frame is dup-sized) so the pair query and the group closure
+    * pay for the banded join once; the pair query reports cold
+    * (fullMemoQueries). */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"phashp|$dir")(
+      graft.ext.Dedup.hamming64Pairs(phashHashes(s, dir), "img_id", "h", 3))
+
   /** One synth+decode+window pass per (session, dir) — Memo-shared by
     * the energy diagnosis and the silence-trim intervention (the ~5k
     * WAV decodes dominate both at sf0.1). The energy query itself is
@@ -121,8 +130,7 @@ object MultimodalQueries {
     // collide within Hamming 3 with p ≈ 2⁻⁴⁷, so the result is exactly
     // the planted near-dups the noise kept within threshold.
     Q("multimodal_phash_pairs",
-      (s, dir) => graft.ext.Dedup.hamming64Pairs(phashHashes(s, dir), "img_id", "h", 3)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => phashPairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""WITH $phashCte
              |SELECT id_a, id_b, hamming FROM ppairs ORDER BY 1, 2""".stripMargin)),
 
@@ -133,12 +141,10 @@ object MultimodalQueries {
     // dedup_groups, over perceptual hashes instead of shingles; the
     // decode+hash pass is Memo-shared with the pair query.
     Q("multimodal_phash_groups",
-      (s, dir) => {
-        val hashes = phashHashes(s, dir)
-        graft.ext.Dedup.dedupGroups(hashes.select(col("img_id")), "img_id",
-            graft.ext.Dedup.hamming64Pairs(hashes, "img_id", "h", 3))
-          .orderBy("img_id")
-      },
+      (s, dir) => graft.ext.Dedup.dedupGroups(
+          phashHashes(s, dir).select(col("img_id")), "img_id",
+          phashPairs(s, dir))
+        .orderBy("img_id"),
       Some(s"""WITH RECURSIVE $phashCte,
              |edges AS (SELECT id_a AS a, id_b AS b FROM ppairs
              |          UNION ALL SELECT id_b, id_a FROM ppairs),
