@@ -943,8 +943,12 @@ object TextOps {
     val kept = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref_src)=")))
     val qs = array_join(kept, "&")
-    concat(scheme, lit("://"), host, path,
-      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    // best-effort passthrough for non-absolute-URL input (relative
+    // links, garbage rows): a crawl pipeline must not mint the
+    // degenerate "://" key and silently group unrelated junk together
+    when(scheme === "" || host === "", u)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
   }
 
   /** URL-level dedup: canonicalize, then one keep/drop decision per

@@ -647,7 +647,11 @@ class TextDedupSpec extends SparkSpec {
       ("https://a.com/x?utm_source=s&b=2&a=1&fbclid=f", "https://a.com/x?a=1&b=2"),
       ("https://a.com/x?utm_campaign=c&gclid=g", "https://a.com/x"),
       // path case preserved (paths are case-sensitive, hosts are not)
-      ("https://A.com/CaseSensitive?z=1&y=2", "https://a.com/CaseSensitive?y=2&z=1"))
+      ("https://A.com/CaseSensitive?z=1&y=2", "https://a.com/CaseSensitive?y=2&z=1"),
+      // non-absolute-URL input: best-effort passthrough, never "://"
+      ("/relative/path?a=1", "/relative/path?a=1"),
+      ("not a url at all", "not a url at all"),
+      ("", ""))
     val out = cases.map(_._1).toDF("url")
       .select(TextOps.canonicalUrlCol(
         org.apache.spark.sql.functions.col("url"))).as[String].collect()
