@@ -403,9 +403,13 @@ object Multimodal {
                 if (t4 == "stsz" && e4 - o4 >= 12) {
                   val fixed = u32(o4 + 4)
                   val n = u32(o4 + 8).toInt
+                  // the explicit path is bounded by the box payload; the
+                  // constant-size path has no table to validate against,
+                  // so cap the expansion — a crafted count must not OOM
+                  // the task (Error, not Exception: uncatchable here)
                   sizes =
-                    if (fixed != 0) Array.fill(n)(fixed)
-                    else if (e4 - o4 >= 12 + 4L * n)
+                    if (fixed != 0 && n >= 0 && n <= (1 << 24)) Array.fill(n)(fixed)
+                    else if (fixed == 0 && n >= 0 && e4 - o4 >= 12 + 4L * n)
                       Array.tabulate(n)(j => u32(o4 + 12 + 4 * j))
                     else Array.emptyLongArray
                 }
