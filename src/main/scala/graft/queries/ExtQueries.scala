@@ -304,6 +304,56 @@ object ExtQueries {
               |       md5(trimmed) AS trimmed_fp
               |FROM tr ORDER BY doc_id""".stripMargin)),
 
+    // Split LEAKAGE audit: near-dup pairs that straddle the
+    // train/val/test boundary — the eval-integrity check a pipeline
+    // runs after splitting, since a val doc whose near-dup sits in
+    // train silently inflates eval scores. Rides the Memo'd minhash
+    // pair pass; two broadcast-sized split joins, no new corpus
+    // shuffle.
+    Q("text_split_leakage",
+      (s, dir) => {
+        val splits = TextOps.splitAssign(Tables.documents(s, dir), "doc_id")
+          .select(col("doc_id"), col("split"))
+        minhashPairs(s, dir)
+          .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+            col("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b,
+              |            round(i / (na.n + nb.n - i), 6) AS jaccard
+              |          FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |sp AS (SELECT doc_id,
+              |    CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |           substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |         FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+              |  FROM documents),
+              |spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+              |          WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+              |        FROM sp)
+              |SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b, p.jaccard
+              |FROM pairs p JOIN spl a ON a.doc_id = p.id_a
+              |JOIN spl b ON b.doc_id = p.id_b
+              |WHERE a.split != b.split ORDER BY p.id_a, p.id_b""".stripMargin)),
+
     // Quality-aware dedup: the survivor of each near-dup cluster is
     // the highest-quality member (stopword-ratio score, ties → smaller
     // id), not the smallest id — first-crawled copies are often the
