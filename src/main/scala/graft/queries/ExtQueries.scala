@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, length, lit, lower, lpad, md5, round, size, split, substring, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, greatest, least, length, lit, lower, lpad, md5, round, size, split, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -353,6 +353,53 @@ object ExtQueries {
               |FROM pairs p JOIN spl a ON a.doc_id = p.id_a
               |JOIN spl b ON b.doc_id = p.id_b
               |WHERE a.split != b.split ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    // Cross-source duplication matrix: near-dup pair counts and mean
+    // similarity per (source_a, source_b) — which feeds are redundant
+    // with which (a mirror site, a re-crawl, a scraped aggregator).
+    // Third consumer of the one Memo'd minhash pair pass.
+    Q("text_source_overlap",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        minhashPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+          .groupBy(least(col("source_a"), col("source_b")).as("src_1"),
+            greatest(col("source_a"), col("source_b")).as("src_2"))
+          // mean over EXACT integer micro-jaccards (values are 6dp by
+          // construction), not a float sum — partition-order free
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(round(col("jaccard") * 1e6, 0).cast("long"))
+              / (count(lit(1)) * lit(1e6)), 6).as("mean_jaccard"))
+          .orderBy("src_1", "src_2")
+      },
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b,
+              |            round(i / (na.n + nb.n - i), 6) AS jaccard
+              |          FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5)
+              |SELECT least(a.source, b.source) AS src_1,
+              |       greatest(a.source, b.source) AS src_2,
+              |       count(*) AS n_pairs,
+              |       round(CAST(sum(CAST(round(p.jaccard * 1000000, 0) AS BIGINT)) AS BIGINT)
+              |         / (count(*) * 1000000.0), 6) AS mean_jaccard
+              |FROM pairs p JOIN documents a ON a.doc_id = p.id_a
+              |JOIN documents b ON b.doc_id = p.id_b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Quality-aware dedup: the survivor of each near-dup cluster is
     // the highest-quality member (stopword-ratio score, ties → smaller
