@@ -1543,6 +1543,103 @@ object ExtQueries {
              |    ';' ORDER BY off, doc_id) AS doc_offsets
              |FROM o GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin)),
 
+    // ROUND-6 REFRESH PIPELINE: the incremental composition a crawl
+    // refresh actually runs — snapshot diff (process only added/changed
+    // docs) → url-level dedup on the delta → quality gate at the
+    // delta's own calibrated p10 cutoff → packed-boundary artifact for
+    // the re-train shard. Proves the round-6 stages COMPOSE; every
+    // stage is the same public operator the standalone queries use.
+    // The oracle derives the delta from the snapshot construction's
+    // closed form (fingerprint-differs ⇔ text edited, by construction).
+    Q("pipeline_refresh",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val d = col("doc_id")
+        val newSnap = docs.filter(d % 13 =!= 0)
+          .withColumn("text", when(d % 17 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(d % 31 === 0)
+            .select((d + 1000000L).as("doc_id"),
+              concat(lit("new doc "), col("text")).as("text")))
+        val delta = TextOps.corpusDiff(docs, newSnap, "doc_id", "text")
+          .filter(col("status").isin("added", "changed"))
+          .join(newSnap, Seq("doc_id"))
+        val withUrl = delta.withColumn("url", concat(
+          when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
+          when(d % 3 === 0,
+              upper(concat(lit("www.site"), (d % 40).cast("string"), lit(".com"))))
+            .otherwise(concat(lit("www.site"), (d % 40).cast("string"), lit(".com"))),
+          lit("/articles/item"), (d % 160).cast("string"),
+          when(d % 2 === 0,
+              concat(lit("?utm_source=feed&ref="), (d % 7).cast("string")))
+            .otherwise(concat(lit("?ref="), (d % 7).cast("string"),
+              lit("&utm_campaign=x")))))
+        val urlKept = TextOps.urlDedup(withUrl.select(col("doc_id"), col("url")),
+            "doc_id", "url")
+          .filter(col("keep")).select("doc_id")
+        val survivors = delta.join(urlKept, "doc_id")
+        val cut = TextOps.qualityCalibrate(
+            survivors.withColumn("src", lit("all")), "doc_id", "text", "src")
+          .select(col("p10"))
+        val scored = TextOps.quality(survivors, "doc_id", "text")
+          .select(col("doc_id"), col("stopword_ratio"))
+        import org.apache.spark.sql.functions.broadcast
+        val gated = scored.crossJoin(broadcast(cut))
+          .filter(col("stopword_ratio") >= col("p10"))
+          .select("doc_id")
+        val withTok = survivors.join(gated, "doc_id")
+          .select(col("doc_id"),
+            ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+          .join(TextOps.splitAssign(
+            survivors.join(gated, "doc_id"), "doc_id")
+            .select("doc_id", "bucket"), "doc_id")
+        TextOps.packedBoundaries(withTok, "doc_id", "n_tokens", "bucket", 2048L)
+          .orderBy("bucket", "bin")
+      },
+      Some(s"""WITH delta AS (
+              |  SELECT doc_id, text || ' v2' AS text FROM documents
+              |    WHERE doc_id % 17 = 0 AND doc_id % 13 != 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, 'new doc ' || text FROM documents
+              |    WHERE doc_id % 31 = 0),
+              |uk AS (SELECT doc_id, text,
+              |         row_number() OVER (PARTITION BY
+              |           'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
+              |           '.com/articles/item' || CAST(doc_id % 160 AS VARCHAR) ||
+              |           '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+              |           ORDER BY doc_id) AS rk
+              |       FROM delta),
+              |surv AS (SELECT doc_id, text FROM uk WHERE rk = 1),
+              |q AS (SELECT doc_id, text,
+              |        round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |            w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |          / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS score
+              |      FROM surv),
+              |r AS (SELECT doc_id, text, score,
+              |        row_number() OVER (ORDER BY score, doc_id) AS rn,
+              |        count(*) OVER () AS n
+              |      FROM q),
+              |cut AS (SELECT max(CASE WHEN rn = (n + 9) // 10 THEN score END) AS p10 FROM r),
+              |gated AS (SELECT doc_id, text FROM r, cut WHERE score >= cut.p10),
+              |b AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS n_tokens,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+              |  FROM gated),
+              |c AS (SELECT doc_id, bucket, n_tokens,
+              |        coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              |      FROM b),
+              |o AS (SELECT doc_id, bucket, n_tokens,
+              |        CAST(floor(bef / 2048) AS BIGINT) AS bin,
+              |        bef - CAST(floor(bef / 2048) AS BIGINT) * 2048 AS off
+              |      FROM c)
+              |SELECT bucket, bin, count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+              |  string_agg(CAST(doc_id AS VARCHAR) || '@' || CAST(off AS VARCHAR),
+              |    ';' ORDER BY off, doc_id) AS doc_offsets
+              |FROM o GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin)),
+
     // END-TO-END CURATION PIPELINE (the composition a training-data
     // build actually ships): near-dedup keep-list (MinHash-LSH pairs →
     // closure, Memo-shared with the standalone queries) → quality
