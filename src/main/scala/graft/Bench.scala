@@ -57,7 +57,8 @@ object Bench {
     // multimodal_audio_energy, whose decode+window frame is the Memo'd
     // unit shared with the silence-trim intervention.
     val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs",
-      "multimodal_audio_energy", "ml_dbscan_clusters", "multimodal_phash_pairs")
+      "multimodal_audio_energy", "ml_dbscan_clusters", "multimodal_phash_pairs",
+      "text_corpus_diff")
     // test HARNESSES, not operators: ml_dist_path_parity runs four
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately

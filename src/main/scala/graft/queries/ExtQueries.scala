@@ -90,6 +90,26 @@ object ExtQueries {
   /** One MinHash-LSH pair pass per (session, dir) — shared by the pair
     * query and the group-closure query, which would otherwise run the
     * whole signature + band-join + verify pipeline twice. */
+  /** The simulated "today" snapshot (drops ids %13, edits %17, adds
+    * %31 clones) and its per-id diff status vs the base corpus —
+    * Memo-shared by the standalone diff query and the refresh
+    * pipeline. Returns (doc_id, status, text) where text is the NEW
+    * snapshot's text (null for removed docs). */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"snapdiff|$dir") {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val d = col("doc_id")
+      val newSnap = docs.filter(d % 13 =!= 0)
+        .withColumn("text", when(d % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(d % 31 === 0)
+          .select((d + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("text")).as("text")))
+      TextOps.corpusDiff(docs, newSnap, "doc_id", "text")
+        .join(newSnap.withColumnRenamed("text", "__nt"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("__nt").as("text"))
+    }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, s"mhp|$dir")(
       Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
@@ -1553,17 +1573,10 @@ object ExtQueries {
     // closed form (fingerprint-differs ⇔ text edited, by construction).
     Q("pipeline_refresh",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val d = col("doc_id")
-        val newSnap = docs.filter(d % 13 =!= 0)
-          .withColumn("text", when(d % 17 === 0,
-            concat(col("text"), lit(" v2"))).otherwise(col("text")))
-          .unionByName(docs.filter(d % 31 === 0)
-            .select((d + 1000000L).as("doc_id"),
-              concat(lit("new doc "), col("text")).as("text")))
-        val delta = TextOps.corpusDiff(docs, newSnap, "doc_id", "text")
+        val delta = snapshotDiff(s, dir)
           .filter(col("status").isin("added", "changed"))
-          .join(newSnap, Seq("doc_id"))
+          .select("doc_id", "text")
         val withUrl = delta.withColumn("url", concat(
           when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
           when(d % 3 === 0,
@@ -1740,17 +1753,8 @@ object ExtQueries {
     // from canonical fingerprints; tells an incremental pipeline what
     // to re-embed/re-dedup instead of rebuilding.
     Q("text_corpus_diff",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
-          .withColumn("text", when(col("doc_id") % 17 === 0,
-            concat(col("text"), lit(" v2"))).otherwise(col("text")))
-          .unionByName(docs.filter(col("doc_id") % 31 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              concat(lit("new doc "), col("text")).as("text")))
-        TextOps.corpusDiff(docs, newSnap, "doc_id", "text")
-          .orderBy("doc_id")
-      },
+      (s, dir) => snapshotDiff(s, dir).select("doc_id", "status")
+        .orderBy("doc_id"),
       Some("""WITH old AS (SELECT doc_id,
              |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ofp
              |  FROM documents),
