@@ -600,6 +600,41 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("canonicalUrlCol is idempotent; corpusDiff of a corpus with itself is all-unchanged") {
+    // canonicalization is a normal form: applying it twice must be a
+    // no-op, else url-dedup keys depend on how often a pipeline stage
+    // ran. Covers absolute URLs, passthrough cases, and the port rules.
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Page/?utm_source=s&b=2&a=1#frag",
+      "http://a.com:80/x?gclid=g", "https://a.com:8080/", "/relative?x=1",
+      "garbage", "", "https://h.com/p?z=9&y=8&utm_campaign=c")
+    val once = urls.toDF("url")
+      .select(TextOps.canonicalUrlCol(
+        org.apache.spark.sql.functions.col("url")).as("c1"))
+    val twice = once.select(TextOps.canonicalUrlCol(
+      org.apache.spark.sql.functions.col("c1")).as("c2"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+
+    // diff(x, x) = all unchanged — the no-op refresh must plan no work
+    val docs = Seq((1L, "alpha beta"), (2L, "Gamma  delta")).toDF("doc_id", "text")
+    val st = TextOps.corpusDiff(docs, docs, "doc_id", "text")
+      .select("status").distinct().as[String].collect()
+    assert(st.toSeq == Seq("unchanged"))
+  }
+
+  test("quantizationProfile: constant and zero dims reconstruct exactly") {
+    // a dim at its own scale quantizes to code 127 exactly; a zero dim
+    // has scale 0 and must map to 0.0, not NaN — both yield zero error
+    // and self-cosine 1 for a vector living only in those dims
+    val emb = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.quantizationProfile(emb, "vec_id", "embedding")
+      .select("vec_id", "mean_abs_err", "max_abs_err", "rel_l2_err", "cos_self")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    for ((_, mae, mxe, rl2, cs) <- out)
+      assert(mae == 0.0 && mxe == 0.0 && rl2 == 0.0 && cs == 1.0)
+  }
+
   test("dedupGroupsBest: cluster keeper is max-score (ties -> smaller id); singletons self-keep") {
     val scored = Seq((1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9))
       .toDF("doc_id", "score")
