@@ -74,19 +74,32 @@ object Similarity {
     * (aggregate HOF), so results are engine- and partition-order-
     * independent; per-row HOF work only, no shuffle after the one
     * scale aggregation. */
-  def quantizationProfile(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val spark = emb.sparkSession
+  /** The int8 grid shared by [[quantizedTopK]] and
+    * [[quantizationProfile]] — ONE definition so the audit can never
+    * desynchronize from the ANN path it audits: per-dim scales
+    * collected (metadata-sized) and broadcast as a literal, then
+    * q_d = floor(v_d/s_d·127 + 0.5)·s_d/127 in a single codegen'd
+    * transform writing `outCol`. Returns (scales, dequantized frame);
+    * scales is empty iff the input has no rows. */
+  private def dequantized(e0: DataFrame, outCol: String): (Array[Double], DataFrame) = {
+    val spark = e0.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    val e0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val scales = e0.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(max(abs(col("x"))).as("s"))
       .orderBy("i").select("s").as[Double].collect()
     val e = e0.withColumn("__s", typedLit(scales.toSeq))
-      .withColumn("qv", expr(
+      .withColumn(outCol, expr(
         """transform(v, (x, i) -> CASE WHEN __s[i] = 0 THEN 0.0D
           |  ELSE floor(x / __s[i] * 127 + 0.5) * __s[i] / 127 END)""".stripMargin))
       .drop("__s")
+    (scales, e)
+  }
+
+  def quantizationProfile(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val e0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val (_, e) = dequantized(e0, "qv")
     val sumAbs = expr(
       "aggregate(zip_with(v, qv, (a, b) -> abs(a - b)), 0D, (acc, x) -> acc + x)")
     val sumSq = expr(
@@ -114,20 +127,13 @@ object Similarity {
   def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: String, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val e0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val scales = e0.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i").agg(max(abs(col("x"))).as("s"))
-      .orderBy("i").select("s").as[Double].collect()
+    val (scales, eq) = dequantized(e0, "__qv")
     if (scales.isEmpty)
       return e0.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id"), lit(0.0).as("cosine")).limit(0)
-    val e = e0.withColumn("__s", typedLit(scales.toSeq))
-      .withColumn("v", expr(
-        """transform(v, (x, i) -> CASE WHEN __s[i] = 0 THEN 0.0D
-          |  ELSE floor(x / __s[i] * 127 + 0.5) * __s[i] / 127 END)""".stripMargin))
-      .drop("__s")
+    val e = eq.drop("v").withColumnRenamed("__qv", "v")
       .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
     val q = e.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -137,11 +137,18 @@ object TextOps {
     * sample (cutoffs are distribution estimates — sampling is the
     * design, not a concession), so the sort never sees 100 TB. */
   def qualityCalibrate(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    calibrateScores(quality(df, idCol, textCol)
+      .select(col(idCol), col("stopword_ratio").as("score"))
+      .join(df.select(col(idCol), col(srcCol)), Seq(idCol)), idCol, srcCol)
+
+  /** Rank-exact cutoffs over an ALREADY-SCORED frame (idCol, score,
+    * srcCol) — the entry point for pipelines that computed the quality
+    * score once and need both the cutoffs and the per-doc gate from
+    * the same pass. */
+  def calibrateScores(scored: DataFrame, idCol: String,
       srcCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = quality(df, idCol, textCol)
-      .select(col(idCol), col("stopword_ratio").as("score"))
-      .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
     val w = Window.partitionBy(col(srcCol))
     val rn = row_number().over(w.orderBy(col("score"), col(idCol)))
     val n = count(lit(1)).over(w)
@@ -939,7 +946,9 @@ object TextOps {
       .otherwise(hostport)
     val path = regexp_replace(
       regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchor before any '#': a '?' inside the fragment (legal per RFC
+    // 3986) must not mint fragment tokens into the canonical key
+    val query = regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
     val kept = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref_src)=")))
     val qs = array_join(kept, "&")

@@ -87,9 +87,6 @@ object ExtQueries {
     Memo.cached(s, s"sh3|$dir")(
       TextOps.shingles(Tables.documents(s, dir), "doc_id", "text", 3))
 
-  /** One MinHash-LSH pair pass per (session, dir) — shared by the pair
-    * query and the group-closure query, which would otherwise run the
-    * whole signature + band-join + verify pipeline twice. */
   /** The simulated "today" snapshot (drops ids %13, edits %17, adds
     * %31 clones) and its per-id diff status vs the base corpus —
     * Memo-shared by the standalone diff query and the refresh
@@ -110,6 +107,10 @@ object ExtQueries {
         .select(col("doc_id"), col("status"), col("__nt").as("text"))
     }
 
+  /** One MinHash-LSH pair pass per (session, dir) — shared by the pair
+    * query, the group-closure queries, the split-leakage audit, and
+    * the source-overlap matrix, which would otherwise each run the
+    * whole signature + band-join + verify pipeline. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, s"mhp|$dir")(
       Dedup.minhashLshPairsFrom(docShingles(s, dir), "doc_id", 8, 0.5))
@@ -1563,6 +1564,38 @@ object ExtQueries {
              |    ';' ORDER BY off, doc_id) AS doc_offsets
              |FROM o GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin)),
 
+    // Corpus snapshot diff: the daily-delta audit — today's simulated
+    // snapshot drops ids % 13 == 0, appends ' v2' to surviving
+    // ids % 17 == 0 (content change), and clones ids % 31 == 0 as new
+    // +1000000 docs. Per-id added/removed/changed/unchanged status
+    // from canonical fingerprints; tells an incremental pipeline what
+    // to re-embed/re-dedup instead of rebuilding. Registered BEFORE
+    // pipeline_refresh: the fullMemo builder must run first so its
+    // reported cold time is the real snapshot-diff cost.
+    Q("text_corpus_diff",
+      (s, dir) => snapshotDiff(s, dir).select("doc_id", "status")
+        .orderBy("doc_id"),
+      Some("""WITH old AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ofp
+             |  FROM documents),
+             |nw AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(
+             |      CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END),
+             |      '\s+', ' ', 'g'))) AS nfp
+             |  FROM documents WHERE doc_id % 13 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    md5(trim(regexp_replace(lower('new doc ' || text), '\s+', ' ', 'g')))
+             |  FROM documents WHERE doc_id % 31 = 0),
+             |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.ofp, n.nfp
+             |      FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN ofp IS NULL THEN 'added'
+             |       WHEN nfp IS NULL THEN 'removed'
+             |       WHEN ofp != nfp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     // ROUND-6 REFRESH PIPELINE: the incremental composition a crawl
     // refresh actually runs — snapshot diff (process only added/changed
     // docs) → url-level dedup on the delta → quality gate at the
@@ -1591,20 +1624,21 @@ object ExtQueries {
             "doc_id", "url")
           .filter(col("keep")).select("doc_id")
         val survivors = delta.join(urlKept, "doc_id")
-        val cut = TextOps.qualityCalibrate(
-            survivors.withColumn("src", lit("all")), "doc_id", "text", "src")
-          .select(col("p10"))
+        // quality is computed ONCE; the cutoff and the per-doc gate
+        // both derive from the same scored frame
         val scored = TextOps.quality(survivors, "doc_id", "text")
-          .select(col("doc_id"), col("stopword_ratio"))
+          .select(col("doc_id"), col("stopword_ratio").as("score"))
+          .withColumn("src", lit("all"))
+        val cut = TextOps.calibrateScores(scored, "doc_id", "src")
+          .select(col("p10"))
         import org.apache.spark.sql.functions.broadcast
-        val gated = scored.crossJoin(broadcast(cut))
-          .filter(col("stopword_ratio") >= col("p10"))
-          .select("doc_id")
-        val withTok = survivors.join(gated, "doc_id")
+        val gatedSurv = survivors.join(
+          scored.crossJoin(broadcast(cut))
+            .filter(col("score") >= col("p10")).select("doc_id"), "doc_id")
+        val withTok = gatedSurv
           .select(col("doc_id"),
             ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
-          .join(TextOps.splitAssign(
-            survivors.join(gated, "doc_id"), "doc_id")
+          .join(TextOps.splitAssign(gatedSurv, "doc_id")
             .select("doc_id", "bucket"), "doc_id")
         TextOps.packedBoundaries(withTok, "doc_id", "n_tokens", "bucket", 2048L)
           .orderBy("bucket", "bin")
@@ -1745,36 +1779,6 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Corpus snapshot diff: the daily-delta audit — today's simulated
-    // snapshot drops ids % 13 == 0, appends ' v2' to surviving
-    // ids % 17 == 0 (content change), and clones ids % 31 == 0 as new
-    // +1000000 docs. Per-id added/removed/changed/unchanged status
-    // from canonical fingerprints; tells an incremental pipeline what
-    // to re-embed/re-dedup instead of rebuilding.
-    Q("text_corpus_diff",
-      (s, dir) => snapshotDiff(s, dir).select("doc_id", "status")
-        .orderBy("doc_id"),
-      Some("""WITH old AS (SELECT doc_id,
-             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ofp
-             |  FROM documents),
-             |nw AS (SELECT doc_id,
-             |    md5(trim(regexp_replace(lower(
-             |      CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END),
-             |      '\s+', ' ', 'g'))) AS nfp
-             |  FROM documents WHERE doc_id % 13 != 0
-             |  UNION ALL
-             |  SELECT doc_id + 1000000,
-             |    md5(trim(regexp_replace(lower('new doc ' || text), '\s+', ' ', 'g')))
-             |  FROM documents WHERE doc_id % 31 = 0),
-             |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.ofp, n.nfp
-             |      FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
-             |SELECT doc_id,
-             |  CASE WHEN ofp IS NULL THEN 'added'
-             |       WHEN nfp IS NULL THEN 'removed'
-             |       WHEN ofp != nfp THEN 'changed'
-             |       ELSE 'unchanged' END AS status
-             |FROM j ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: docs with doc_id % 50 == 0 stand in
     // for the held-out eval set; every train doc sharing a 3-word

@@ -27,9 +27,6 @@ object MlQueries {
         "user_id", "min_max", "event_id")
     }
 
-  /** Deterministic 2-D feature embedding used by the oracle-checkable
-    * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
-    * inputs rounded so both engines see identical doubles. */
   /** One DBSCAN run per (session, dir) — the labels frame is one row
     * per series (tiny) while the run is an iterative grid-join + CC
     * algorithm; Memo-shared by the clusters and outlier-trace-back
@@ -38,6 +35,9 @@ object MlQueries {
   private def dbscanLabels(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"dbs|$dir")(Dbscan.run(featureEmbedding(s, dir), 3.0, 4))
 
+  /** Deterministic 2-D feature embedding used by the oracle-checkable
+    * trace-back and DBSCAN queries: x = avg(value), y = stddev_pop,
+    * inputs rounded so both engines see identical doubles. */
   private def featureEmbedding(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"fe|$dir") {
       Tables.events(s, dir).na.drop(Seq("value"))

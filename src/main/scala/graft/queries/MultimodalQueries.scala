@@ -289,8 +289,11 @@ object MultimodalQueries {
         import spark.implicits._
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         ids.flatMap { id =>
+          // tracks without a usable stsz (the parser's degrade path
+          // yields an empty array) carry no size stats — skip them
+          // rather than crash the task on empty.max
           Multimodal.parseMp4SampleSizes(Multimodal.syntheticMp4(id)).get
-            .zipWithIndex.map { case (sz, i) =>
+            .zipWithIndex.filter(_._1.nonEmpty).map { case (sz, i) =>
               (id, i.toLong, sz.length.toLong, sz.sum, sz.max,
                 BigDecimal(sz.sum.toDouble / sz.length)
                   .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -152,7 +152,12 @@ object EventStreams {
     // its own (possibly partial) append as "corpus".
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    // bootstrap on "has at least one batch PARTITION", not bare
+    // dir-exists: an empty epoch's dynamic-overwrite write can leave a
+    // corpus dir holding only _SUCCESS, and a bare-parquet read of
+    // that fails schema inference on every later epoch
+    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(corpusDir, "batch_id=*")).nonEmpty
     val corpusPrior =
       if (!hasCorpus) None
       else Some(spark.read.parquet(corpusDir)
@@ -218,7 +223,10 @@ object EventStreams {
     val intraKept = intra.filter(col("__rk") === 1).drop("__rk")
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    // same partition-presence bootstrap as dedupEpoch: an empty epoch
+    // must not leave a schema-less corpus dir that kills later reads
+    val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(corpusDir, "batch_id=*")).nonEmpty
     val decided =
       if (!hasCorpus)
         intraKept.select(col(idCol), col("__canon"), lit(true).as("keep"))

@@ -200,6 +200,26 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.sameElements(Seq(1L, 3L, 11L)))
   }
 
+  test("dedup epochs survive an empty first batch (no schema-less corpus dir)") {
+    // an empty micro-batch writes a corpus dir with no partitions; the
+    // next epoch must treat that as bootstrap, not attempt a parquet
+    // read that fails schema inference and kills the stream forever
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sempty").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    EventStreams.urlDedupEpoch(empty, 0L, "doc_id", "url",
+      s"$tmp/uc", s"$tmp/ud")
+    val b1 = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    EventStreams.urlDedupEpoch(b1, 1L, "doc_id", "url", s"$tmp/uc", s"$tmp/ud")
+    assert(spark.read.parquet(s"$tmp/uc").select("doc_id").as[Long].collect()
+      .sameElements(Seq(1L)))
+    val emptyT = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    EventStreams.dedupEpoch(emptyT, 0L, "doc_id", "text", s"$tmp/tc", s"$tmp/td")
+    val t1 = Seq((1L, "alpha")).toDF("doc_id", "text")
+    EventStreams.dedupEpoch(t1, 1L, "doc_id", "text", s"$tmp/tc", s"$tmp/td")
+    assert(spark.read.parquet(s"$tmp/tc").select("doc_id").as[Long].collect()
+      .sameElements(Seq(1L)))
+  }
+
   test("url dedup epoch replay is idempotent") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_surl_replay").toString
     val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")

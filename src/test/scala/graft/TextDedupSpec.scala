@@ -683,6 +683,8 @@ class TextDedupSpec extends SparkSpec {
       ("https://a.com/x?utm_campaign=c&gclid=g", "https://a.com/x"),
       // path case preserved (paths are case-sensitive, hosts are not)
       ("https://A.com/CaseSensitive?z=1&y=2", "https://a.com/CaseSensitive?y=2&z=1"),
+      // a '?' inside the fragment is fragment content, not a query
+      ("https://a.com/x#sec?b=2", "https://a.com/x"),
       // non-absolute-URL input: best-effort passthrough, never "://"
       ("/relative/path?a=1", "/relative/path?a=1"),
       ("not a url at all", "not a url at all"),
