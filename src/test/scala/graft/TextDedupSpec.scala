@@ -600,6 +600,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._4 == 0.0 && out(3L)._5 == 1.0)
   }
 
+  test("packedBoundaries invariants: offsets ordered, first-start in-bin, counts consistent") {
+    // greedy-chop semantics: within a bin, offsets strictly increase,
+    // the FIRST doc's offset is < binTokens (later docs may start past
+    // the nominal boundary when a predecessor straddled it), n_docs
+    // matches the offset list, and total packed tokens are conserved
+    val docs = (1L to 57L).map(i => (i, (i * 37 % 190 + 10), (i % 3).toString))
+      .toDF("doc_id", "n_tokens", "bucket")
+    val out = TextOps.packedBoundaries(docs, "doc_id", "n_tokens", "bucket", 128L)
+      .select("bucket", "bin", "n_docs", "bin_tokens", "doc_offsets")
+      .as[(String, Long, Long, Long, String)].collect()
+    var total = 0L
+    for ((_, _, nDocs, binTokens, offs) <- out) {
+      val parts = offs.split(";").map { p =>
+        val Array(id, off) = p.split("@"); (id.toLong, off.toLong)
+      }
+      assert(parts.length == nDocs)
+      assert(parts.map(_._2).toSeq == parts.map(_._2).sorted.toSeq)
+      assert(parts.map(_._2).distinct.length == parts.length) // strictly increasing
+      assert(parts.head._2 < 128L)
+      total += binTokens
+    }
+    assert(total == (1L to 57L).map(i => i * 37 % 190 + 10).sum)
+  }
+
   test("canonicalUrlCol is idempotent; corpusDiff of a corpus with itself is all-unchanged") {
     // canonicalization is a normal form: applying it twice must be a
     // no-op, else url-dedup keys depend on how often a pipeline stage
