@@ -643,6 +643,30 @@ object TextOps {
           "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
           / (col("n") - 1), 6).as("top_bigram_frac"))
 
+  /** WITHIN-doc duplicate-line fractions (Rae et al. 2021 §A1.1's
+    * dup_line_frac / dup_line_char_frac — the Gopher rules
+    * [[repetition]]'s word/bigram ratios don't cover): fraction of a
+    * doc's lines that are repeats of an earlier line in the SAME doc,
+    * by line count and by character mass. Scraped pages fail these
+    * when templating repeats nav/footer blocks inside one page —
+    * cross-doc line dedup can't see it. Pure per-row array HOFs with
+    * exact integer char sums; no shuffle. */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    df.withColumn("__ls", lines)
+      .withColumn("__ds", array_distinct(col("__ls")))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__ds"))).cast("long").as("n_dup_lines"),
+        round((size(col("__ls")) - size(col("__ds"))).cast("double")
+          / size(col("__ls")), 6).as("dup_line_frac"),
+        round((expr("aggregate(transform(__ls, x -> length(x)), 0L, (a, x) -> a + x)")
+          - expr("aggregate(transform(__ds, x -> length(x)), 0L, (a, x) -> a + x)"))
+          .cast("double")
+          / expr("aggregate(transform(__ls, x -> length(x)), 0L, (a, x) -> a + x)"), 6)
+          .as("dup_char_frac"))
+  }
+
   /** Benchmark decontamination (GPT-3 appendix C / PaLM style): flag
     * every training document that shares an n-gram shingle with the
     * held-out evaluation set. Input is the (id, s) shingle table (one

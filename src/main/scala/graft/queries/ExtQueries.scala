@@ -1014,6 +1014,38 @@ object ExtQueries {
               |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // WITHIN-doc duplicate-line fractions (Gopher dup_line_frac /
+    // dup_line_char_frac): docs % 9 == 0 get the planted footer line
+    // TWICE — templating repeating blocks inside one page, which
+    // cross-doc line dedup can't see
+    Q("text_dup_lines",
+      (s, dir) => {
+        val d = col("doc_id")
+        val planted = Tables.documents(s, dir).select(d, concat(
+          col("text"), lit("\nall rights reserved line"),
+          when(d % 9 === 0, lit("\nall rights reserved line")).otherwise(lit("")),
+          lit("\ntail "), d.cast("string")).as("text"))
+        TextOps.dupLineStats(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |    text || chr(10) || 'all rights reserved line' ||
+             |    (CASE WHEN doc_id % 9 = 0
+             |          THEN chr(10) || 'all rights reserved line' ELSE '' END) ||
+             |    chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents),
+             |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+             |m AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
+             |        list_reduce(list_transform(ls, x -> length(x)),
+             |          (a, b) -> a + b) AS tc,
+             |        list_reduce(list_transform(list_distinct(ls), x -> length(x)),
+             |          (a, b) -> a + b) AS dc
+             |      FROM l)
+             |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+             |  CAST(nl - nd AS BIGINT) AS n_dup_lines,
+             |  round((nl - nd) / nl, 6) AS dup_line_frac,
+             |  round((tc - dc) / tc, 6) AS dup_char_frac
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Per-source quality-threshold calibration: rank-based EXACT
     // quantiles of the stopword-ratio score (cutoff_p = the ceil(p·n)-th
     // smallest score — integer rank arithmetic, no float interpolation,
