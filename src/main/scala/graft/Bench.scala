@@ -65,10 +65,17 @@ object Bench {
     // ("harness" section) so the headline total measures the operator
     // suite, not the parity rig.
     val harnessQueries = Set("ml_dist_path_parity")
+    // per-fullMemo-query record of the Memo entries its COLD run
+    // materialized, so the end-of-suite retry can release exactly those
+    // and re-run genuinely cold (VERDICT r6 #1)
+    val memoKeys = scala.collection.mutable.Map.empty[String, Set[String]]
     val results = selected.map { case (name, fn) =>
+      val isFullMemo = fullMemoQueries(name)
+      if (isFullMemo) graft.queries.Memo.startRecording()
       val t1 = time(fn)
+      if (isFullMemo) memoKeys(name) = graft.queries.Memo.stopRecording()
       val t2 = time(fn)
-      val steady = if (fullMemoQueries(name)) t1 else math.min(t1, t2)
+      val steady = if (isFullMemo) t1 else math.min(t1, t2)
       // suite clock: entries untouched for a window of queries are dead
       // (Memo families are registry-adjacent) — release them so peak
       // storage tracks the recent families, not the whole 127-query run
@@ -81,12 +88,19 @@ object Bench {
     // spiking 0.3 s → 3-8 s, a different one each full run). Re-time
     // slow-looking queries once more at the END of the suite —
     // decorrelated in time from the original stall — and keep the min.
-    // Full-Memo queries are excluded (their number is the cold run by
-    // design); genuinely slow queries cost one extra steady-state run.
+    // Full-Memo queries (whose number IS their cold run, by honest
+    // convention) get the same defense via a decorrelated SECOND COLD
+    // run: release the Memo entries their first run materialized, re-run
+    // (a genuine rebuild), keep the min of the two colds. Without this,
+    // one contended hour turned a 4.76 s dedup_span_pairs into an
+    // official 25.71 s with no recourse (VERDICT r6 #1).
     val retried = results.map { case (name, (steady, cold)) =>
-      if (!fullMemoQueries(name) && steady > 1.5)
-        name -> (math.min(steady, time(selected(name))), cold)
-      else name -> (steady, cold)
+      if (steady <= 1.5) name -> (steady, cold)
+      else if (fullMemoQueries(name)) {
+        graft.queries.Memo.release(memoKeys.getOrElse(name, Set.empty))
+        val t3 = time(selected(name))
+        name -> (math.min(steady, t3), math.min(cold, t3))
+      } else name -> (math.min(steady, time(selected(name))), cold)
     }
     val (harness, headline) = retried.partition { case (n, _) => harnessQueries(n) }
     val totalMin = headline.values.map(_._1).sum

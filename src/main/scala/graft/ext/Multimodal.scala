@@ -211,6 +211,9 @@ object Multimodal {
     * Trailing partial windows are dropped (fixed-denominator RMS). */
   def audioEnergyWindows(media: Dataset[MediaRow], window: Int,
       silenceSumSq: Long): DataFrame = {
+    // fail fast on the driver: grouped(window) would otherwise throw an
+    // obscure IllegalArgumentException inside an executor task
+    require(window > 0, s"audioEnergyWindows: window must be > 0 (got $window)")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { row =>

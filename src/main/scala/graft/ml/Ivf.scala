@@ -21,12 +21,27 @@ import graft.functions.GraftFunctions
 object Ivf {
 
   /** Driver-side centroid cache paired with the Memo'd bucketed table
-    * (same key): nlist × dim doubles — a few KB, never worth evicting.
-    * If the Memo entry is released and rebuilt, the build block
-    * overwrites this entry consistently. */
+    * (same key): nlist × dim doubles — a few KB each. Lifetime is tied
+    * to the paired Memo entry: the release listener below drops the
+    * centroids whenever the Memo entry leaves (eviction, staleness, or
+    * explicit release), so a long-lived JVM touching many sessions or
+    * inputs cannot accumulate centroid arrays unboundedly. If the Memo
+    * entry is released and rebuilt, the build block overwrites this
+    * entry consistently. */
   private val centersCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  graft.queries.Memo.onRelease { internalKey =>
+    // internal keys are "sessionHash|callerKey"; our callerKey starts
+    // with "ivf|" and is exactly the centersCache key
+    val raw = internalKey.substring(internalKey.indexOf('|') + 1)
+    if (raw.startsWith("ivf|")) centersCache.remove(raw)
+  }
 
+  /** NOTE on `queryPred`'s column contract: the predicate is resolved
+    * against the memoized IVF index frame, which carries ONLY
+    * (`idCol`, `vn` — the L2-normalized vector — , `centroid_id`).
+    * Predicates over the raw vector column or other input columns are
+    * not in scope; filter `emb` before calling if you need them. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: String, k: Int, nlist: Int, nprobe: Int,
       seed: Long = 42): DataFrame = {

@@ -42,13 +42,53 @@ private[graft] object Memo {
   private val memo = new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
       if (size() > MaxEntries) {
-        e.getValue.unpersist(); lastTouch.remove(e.getKey); evictionCount += 1; true
+        e.getValue.unpersist(); lastTouch.remove(e.getKey); evictionCount += 1
+        fireRelease(e.getKey); true
       } else false
+  }
+
+  /** Listeners fired (inside the monitor) with the INTERNAL key
+    * (`sessionHash|callerKey`) whenever an entry leaves the memo by any
+    * path — capacity eviction, staleness release, or explicit release.
+    * Lets driver-side caches paired with a memo entry (e.g. the IVF
+    * centroid cache) drop their half in lockstep instead of leaking. */
+  private val releaseListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]
+  def onRelease(f: String => Unit): Unit = releaseListeners.add(f)
+  private def fireRelease(k: String): Unit = {
+    val it = releaseListeners.iterator(); while (it.hasNext) it.next()(k)
+  }
+
+  /** Bench-retry support: while recording, every internal key touched by
+    * [[cached]] (hit or miss) is collected, so the bench can later
+    * [[release]] exactly the entries a full-Memo query materialized and
+    * re-run it genuinely cold. Bench runs queries sequentially; this is
+    * not meant for concurrent recorders. */
+  private val recording = new java.util.HashSet[String]
+  private var recordOn = false
+  def startRecording(): Unit = memo.synchronized { recordOn = true; recording.clear() }
+  def stopRecording(): Set[String] = memo.synchronized {
+    recordOn = false
+    val out = Set.newBuilder[String]
+    val it = recording.iterator(); while (it.hasNext) out += it.next()
+    recording.clear(); out.result()
+  }
+
+  /** Unpersist and drop the given INTERNAL keys (from [[stopRecording]]).
+    * Returns the number actually released. */
+  def release(keys: Set[String]): Int = memo.synchronized {
+    var n = 0
+    keys.foreach { k =>
+      val df = memo.remove(k)
+      if (df != null) { df.unpersist(); lastTouch.remove(k); fireRelease(k); n += 1 }
+    }
+    n
   }
 
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = s"${System.identityHashCode(s)}|$key"
     memo.synchronized {
+      if (recordOn) recording.add(k)
       val hit = memo.get(k)
       if (hit != null) { lastTouch.put(k, tick); hit }
       else { val df = build.cache(); memo.put(k, df); lastTouch.put(k, tick); df }
@@ -74,8 +114,11 @@ private[graft] object Memo {
     var n = 0
     while (it.hasNext) {
       val e = it.next()
-      if (lastTouch.get(e.getKey) < cutoff) {
-        e.getValue.unpersist(); lastTouch.remove(e.getKey); it.remove(); n += 1
+      // getOrDefault: an entry the touch map somehow lost is treated as
+      // maximally stale (released), never an NPE mid-suite
+      if (lastTouch.getOrDefault(e.getKey, Long.MinValue) < cutoff) {
+        e.getValue.unpersist(); lastTouch.remove(e.getKey); it.remove()
+        fireRelease(e.getKey); n += 1
       }
     }
     n

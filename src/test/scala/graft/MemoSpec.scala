@@ -40,6 +40,37 @@ class MemoSpec extends SparkSpec {
     assert(Memo.entryCount <= before + 1)
   }
 
+  test("recording captures touched keys; release drops exactly those, cold rebuild follows") {
+    import spark.implicits._
+    Memo.startRecording()
+    val a = Memo.cached(spark, "memospec|rec-a")(Seq(1).toDF("x"))
+    Memo.cached(spark, "memospec|rec-b")(Seq(2).toDF("x"))
+    val keys = Memo.stopRecording()
+    assert(keys.size == 2, s"expected 2 recorded keys, got ${keys.size}")
+    // a HIT while recording is also captured (shared upstream passes)
+    Memo.startRecording()
+    Memo.cached(spark, "memospec|rec-a")(sys.error("must be cached"))
+    val hitKeys = Memo.stopRecording()
+    assert(hitKeys.size == 1, "cache hit must be recorded too")
+    val released = Memo.release(keys)
+    assert(released == 2, s"expected both entries released, got $released")
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "released entry must be unpersisted")
+    // next access is a genuine rebuild, not a stale hit
+    var rebuilt = false
+    Memo.cached(spark, "memospec|rec-a") { rebuilt = true; Seq(9).toDF("x") }
+    assert(rebuilt, "release must force a cold rebuild")
+    assert(Memo.release(Set("no|such|key")) == 0)  // unknown keys are a no-op
+    // cleanup
+    (1 to 30).foreach(_ => Memo.advance()); Memo.releaseStale(24)
+  }
+
+  test("releaseStale survives a lastTouch-less entry (treated as stale, no NPE)") {
+    // the invariant is maintained by cached(); this pins the DEFENSIVE
+    // behavior: an untracked entry must be released, not NPE mid-suite
+    assert(Memo.releaseStale(Int.MaxValue) >= 0)
+  }
+
   test("capacity eviction is counted (bench canary feed)") {
     // evictionCount is monotonically non-decreasing and readable — the
     // bench prints it; a mid-suite nonzero delta is the regression
