@@ -262,6 +262,42 @@ object Multimodal {
       nTracks: Int, codecs: Seq[String] = Nil, nKeyframes: Long = 0L,
       firstKeyframe: Long = -1L)
 
+  /** Pure-JDK ISO-BMFF box primitives shared by every MP4 parser here
+    * (ISO/IEC 14496-12 box grammar: 4-byte big-endian size, 4-byte
+    * type; size==1 → 64-bit largesize follows; size==0 → to end). */
+  private final class BoxWalker(bytes: Array[Byte]) {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    /** Walk boxes in [from, to); f receives (boxType, payloadOff,
+      * payloadEnd). False on any malformed box. */
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var pos = from
+      while (pos < to) {
+        if (pos + 8 > to) return false
+        var size = u32(pos)
+        var hdr = 8
+        if (size == 1) {
+          if (pos + 16 > to) return false
+          size = u64(pos + 8); hdr = 16
+        } else if (size == 0) size = (to - pos).toLong
+        if (size < hdr || pos + size > to) return false
+        f(new String(bytes, pos + 4, 4, "US-ASCII"), pos + hdr, pos + size.toInt)
+        pos += size.toInt
+      }
+      true
+    }
+    /** Descend box path segments (e.g. mdia→minf→stbl) under [from,to). */
+    def descend(from: Int, to: Int, path: List[String])(
+        f: (String, Int, Int) => Unit): Unit = path match {
+      case Nil => walk(from, to)(f); ()
+      case seg :: rest =>
+        walk(from, to) { (t, o, e) => if (t == seg) descend(o, e, rest)(f) }
+        ()
+    }
+  }
+
   /** REAL MP4 container metadata via a pure-JDK ISO-BMFF box walk
     * (ISO/IEC 14496-12 box grammar: 4-byte big-endian size, 4-byte
     * type; size==1 → 64-bit largesize follows): reads the ftyp major
@@ -276,27 +312,8 @@ object Multimodal {
     * ftyp/moov/mvhd) rather than throwing: one bad record must not
     * kill a 100-TB job. */
   private[graft] def parseMp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] = {
-    def u32(off: Int): Long =
-      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
-        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
-    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    // walk boxes in [from, to); f receives (boxType, payloadOff, payloadEnd)
-    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
-      var pos = from
-      while (pos < to) {
-        if (pos + 8 > to) return false
-        var size = u32(pos)
-        var hdr = 8
-        if (size == 1) {
-          if (pos + 16 > to) return false
-          size = u64(pos + 8); hdr = 16
-        } else if (size == 0) size = (to - pos).toLong // box runs to end
-        if (size < hdr || pos + size > to) return false
-        f(new String(bytes, pos + 4, 4, "US-ASCII"), pos + hdr, pos + size.toInt)
-        pos += size.toInt
-      }
-      true
-    }
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, u64, walk, descend}
     try {
       var brand: String = null
       var timescale = -1L
@@ -305,14 +322,6 @@ object Multimodal {
       val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
       var nKeyframes = 0L
       var firstKeyframe = -1L
-      // descend box path segments (e.g. mdia→minf→stbl) under [from,to)
-      def descend(from: Int, to: Int, path: List[String])(
-          f: (String, Int, Int) => Unit): Unit = path match {
-        case Nil => walk(from, to)(f); ()
-        case seg :: rest =>
-          walk(from, to) { (t, o, e) => if (t == seg) descend(o, e, rest)(f) }
-          ()
-      }
       val ok = walk(0, bytes.length) { (typ, off, end) =>
         typ match {
           case "ftyp" if end - off >= 4 && brand == null =>
@@ -366,36 +375,11 @@ object Multimodal {
     * degrade, never throw. Fence note: this narrows the video stub
     * further; only pixel/bitstream decode remains stubbed. */
   private[graft] def parseMp4SampleSizes(bytes: Array[Byte]): Option[Seq[Array[Long]]] = {
-    def u32(off: Int): Long =
-      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
-        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
-    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
-      var pos = from
-      while (pos < to) {
-        if (pos + 8 > to) return false
-        var size = u32(pos)
-        var hdr = 8
-        if (size == 1) {
-          if (pos + 16 > to) return false
-          size = u64(pos + 8); hdr = 16
-        } else if (size == 0) size = (to - pos).toLong
-        if (size < hdr || pos + size > to) return false
-        f(new String(bytes, pos + 4, 4, "US-ASCII"), pos + hdr, pos + size.toInt)
-        pos += size.toInt
-      }
-      true
-    }
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, walk, descend}
     try {
       var sawMoov = false
       val perTrack = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-      def descend(from: Int, to: Int, path: List[String])(
-          f: (String, Int, Int) => Unit): Unit = path match {
-        case Nil => walk(from, to)(f); ()
-        case seg :: rest =>
-          walk(from, to) { (t, o, e) => if (t == seg) descend(o, e, rest)(f) }
-          ()
-      }
       val ok = walk(0, bytes.length) { (typ, off, end) =>
         if (typ == "moov") {
           sawMoov = true
@@ -425,6 +409,166 @@ object Multimodal {
       }
       if (ok && sawMoov) Some(perTrack.toSeq) else None
     } catch { case _: Exception => None }
+  }
+
+  /** Per-trak FIRST SAMPLE locator: (codec 4cc, absolute file offset,
+    * byte size) of sample 1, from stsd (codec) + stsz (first size,
+    * fixed or explicit) + stco/co64 (first chunk offset — sample 1 of
+    * chunk 1 starts at the chunk offset). The read path for
+    * self-contained sample formats like Motion-JPEG, where every
+    * sample is a complete compressed image (QuickTime File Format
+    * spec, 'jpeg'/'mjpa' video sample descriptions). Tracks missing
+    * any of the three tables, or whose sample range falls outside the
+    * file, are skipped — degrade, never throw. */
+  private[graft] def firstSamples(bytes: Array[Byte]): Option[Seq[(String, Long, Long)]] = {
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, u64, walk, descend}
+    try {
+      var sawMoov = false
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val ok = walk(0, bytes.length) { (typ, off, end) =>
+        if (typ == "moov") {
+          sawMoov = true
+          walk(off, end) { (t, o, e) =>
+            if (t == "trak") {
+              var codec: String = null
+              var size = -1L
+              var offset = -1L
+              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                t4 match {
+                  case "stsd" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
+                    codec = new String(bytes, o4 + 12, 4, "US-ASCII")
+                  case "stsz" if e4 - o4 >= 12 =>
+                    val fixed = u32(o4 + 4)
+                    val n = u32(o4 + 8)
+                    if (fixed != 0 && n >= 1) size = fixed
+                    else if (n >= 1 && e4 - o4 >= 16) size = u32(o4 + 12)
+                  case "stco" if e4 - o4 >= 12 && u32(o4 + 4) >= 1 =>
+                    offset = u32(o4 + 8)
+                  case "co64" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
+                    offset = u64(o4 + 8)
+                  case _ => ()
+                }
+              }
+              if (codec != null && size > 0 && offset >= 0 &&
+                  offset + size <= bytes.length)
+                out += ((codec, offset, size))
+            }
+          }
+          ()
+        }
+      }
+      if (ok && sawMoov) Some(out.toSeq) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** MJPEG sample-entry 4ccs (QuickTime File Format spec): every
+    * sample is a self-contained JPEG image. */
+  private[graft] val MjpegCodecs = Set("jpeg", "mjpa", "mjpb")
+
+  /** REAL video pixel decode for Motion-JPEG tracks — the one video
+    * codec decodable with the pure-JDK ImageIO path: locate the first
+    * sample of the first MJPEG track via the container tables, slice
+    * it out of mdat, decode the JPEG, and return
+    * (width, height, [meanGray, stdGray]) over raster band 0 (raw
+    * component values — no getRGB color-space conversion, so a
+    * grayscale JPEG's statistics are exact and closed-form-checkable).
+    * None when the payload is not MP4, has no MJPEG track, or the
+    * sample doesn't decode — callers fall through to the histogram
+    * stub exactly as for any other codec. */
+  private[graft] def decodeMjpegFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    firstSamples(bytes).flatMap { tracks =>
+      tracks.collectFirst { case (c, off, len) if MjpegCodecs(c) => (off, len) }
+        .flatMap { case (off, len) =>
+          val sample = java.util.Arrays.copyOfRange(
+            bytes, off.toInt, (off + len).toInt)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sample))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0.0
+            var sumSq = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0).toDouble
+                sum += v; sumSq += v * v
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            val mean = sum / n
+            Some((w, h, Array(mean, math.sqrt(sumSq / n - mean * mean))))
+          }
+        }
+    }
+
+  /** Deterministic MJPEG-in-MP4 fixture for id: ftyp + mdat carrying
+    * ONE complete JPEG sample + moov whose single trak's stsd says
+    * 'jpeg', stsz sizes the sample, and stco points at the mdat
+    * payload. The JPEG is a 16×16 grayscale image of four constant
+    * 8×8 quadrants g_q = (id·(31+6q) + 11+5q) mod 256, encoded at
+    * quality 1.0 (all-ones quant tables): a constant block is DC-only
+    * under the DCT, so the round-trip is bit-exact and an external
+    * oracle computes the decoded mean/std in closed form from id —
+    * the fixture discipline of syntheticBmp, extended through a lossy
+    * codec by staying on its lossless fixed points. */
+  def syntheticMjpegMp4(id: Long): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // the JPEG sample: 16×16 gray, four constant 8×8 quadrants
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val q = (y / 8) * 2 + (x / 8)
+        img.getRaster.setSample(x, y, 0, ((id * (31 + 6 * q) + 11 + 5 * q) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val jpeg = bos.toByteArray
+
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", jpeg)
+    val mdatPayloadOff = ftyp.length + 8L
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32((id * 97 + 41) % 100000) ++
+        be32(0x00010000L) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++
+        be32(2))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("jpeg", new Array[Byte](8)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(1) ++ be32(jpeg.length.toLong))
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    val trak = box("trak",
+      box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1)) ++
+        box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
@@ -481,12 +625,13 @@ object Multimodal {
 
   /** Fallback for payloads that are NOT decodable images: byte
     * histogram moments standing in for real feature extraction.
-    * STUB — and since [[parseMp4Metadata]] reads real video CONTAINER
-    * metadata (brand, duration, tracks) codec-free, the fence now
-    * covers only FRAME/pixel decode of video bitstreams, which
-    * genuinely needs codecs the JDK doesn't ship (image and PCM-audio
-    * decode are real, above); replace this body with an ffmpeg binding
-    * in production. */
+    * STUB — and the fence keeps narrowing: [[parseMp4Metadata]] reads
+    * real video CONTAINER metadata codec-free, and
+    * [[decodeMjpegFirstFrame]] decodes real PIXELS for Motion-JPEG
+    * tracks (the one video codec the JDK can decode). What remains
+    * stubbed is pixel decode of the predictive codecs (avc1/hev1/…),
+    * which genuinely needs ffmpeg; replace this body with that binding
+    * in production, nothing around it changes. */
   private[ext] def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     // >>> STUB: byte-histogram stand-in (video FRAME decode only) <<<
     val hist = new Array[Double](16)
@@ -498,10 +643,13 @@ object Multimodal {
     // >>> END STUB <<<
   }
 
-  /** Decode dispatch: real image decode first, byte-histogram fallback
-    * for non-image payloads. */
-  private[ext] def decode(bytes: Array[Byte]): (Int, Int, Array[Double]) =
-    decodeImage(bytes).getOrElse(byteHistogram(bytes))
+  /** Decode dispatch: real image decode first, then real MJPEG-track
+    * pixel decode for MP4 payloads, byte-histogram fallback for
+    * everything else (non-media payloads and non-JPEG video codecs). */
+  private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double]) =
+    decodeImage(bytes)
+      .orElse(decodeMjpegFirstFrame(bytes))
+      .getOrElse(byteHistogram(bytes))
 
   /** Deterministic w×h RGB test pattern for id: each channel is a pure
     * function of (id, x, y), so an external oracle can recompute the

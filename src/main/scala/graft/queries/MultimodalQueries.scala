@@ -315,6 +315,44 @@ object MultimodalQueries {
              |  round(sum(s) / count(*), 4) AS mean_sample
              |FROM sz GROUP BY doc_id, i ORDER BY id, track""".stripMargin)),
 
+    // REAL video PIXEL decode for Motion-JPEG tracks: one MJPEG-in-MP4
+    // fixture per doc (a complete JPEG sample in mdat, located via the
+    // stsd/stsz/stco tables), decoded through the shared decode
+    // dispatch (extractFeatures — the same operator non-video media
+    // uses). The JPEG is four constant 8×8 gray quadrants at quality
+    // 1.0 — DC-only blocks round-trip bit-exact through the lossy
+    // codec — so DuckDB recomputes the decoded mean/std analytically
+    // from doc_id without seeing a byte. Pixel decode of predictive
+    // codecs (avc1/…) remains the one fenced stub.
+    Q("multimodal_mjpeg_frames",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            Multimodal.MediaRow(id, Multimodal.syntheticMjpegMp4(id))))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(element_at(col("feature"), 1), 6).as("mean_gray"),
+            round(element_at(col("feature"), 2), 6).as("std_gray"))
+          .orderBy("id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (doc_id*31 + 11) % 256 AS g0, (doc_id*37 + 16) % 256 AS g1,
+             |    (doc_id*43 + 21) % 256 AS g2, (doc_id*49 + 26) % 256 AS g3
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g,
+             |    CAST(64*(g0*g0+g1*g1+g2*g2+g3*g3) AS DOUBLE)/256 AS meansq_g
+             |  FROM g)
+             |SELECT doc_id AS id, CAST(16 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

@@ -168,6 +168,36 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.parseMp4Metadata(Multimodal.syntheticWav(3L)).isEmpty)
   }
 
+  test("MJPEG-in-MP4: first-sample locate + real pixel decode match closed form; degrade paths hold") {
+    // decoded quadrant stats are exact: constant 8×8 blocks are DC-only
+    // under the DCT, and quality 1.0 quant tables are all ones
+    for (id <- Seq(0L, 7L, 63L, 255L, 1234L)) {
+      val mp4 = Multimodal.syntheticMjpegMp4(id)
+      // container locates exactly one 'jpeg' track with an in-range sample
+      val tracks = Multimodal.firstSamples(mp4).get
+      assert(tracks.length == 1 && tracks.head._1 == "jpeg", s"id=$id $tracks")
+      val g = (0 until 4).map(q => ((id * (31 + 6 * q) + 11 + 5 * q) % 256).toDouble)
+      val mean = g.sum * 64 / 256
+      val std = math.sqrt(g.map(v => v * v).sum * 64 / 256 - mean * mean)
+      val (w, h, feat) = Multimodal.decodeMjpegFirstFrame(mp4).get
+      assert(w == 16 && h == 16, s"id=$id ${w}x$h")
+      assert(feat(0) == mean, s"id=$id mean ${feat(0)} != $mean")
+      assert(math.abs(feat(1) - std) < 1e-12, s"id=$id std ${feat(1)} != $std")
+      // shared dispatch reaches the same numbers (operator path)
+      assert(Multimodal.decode(mp4) == ((16, 16, feat)) ||
+        Multimodal.decode(mp4)._3.sameElements(feat))
+    }
+    // a non-MJPEG container (avc1/hev1/mp4v tracks, no sample data)
+    // falls through to the documented histogram stub, never throws
+    val avc = Multimodal.syntheticMp4(3L)
+    assert(Multimodal.decodeMjpegFirstFrame(avc).isEmpty)
+    assert(Multimodal.decode(avc)._3.length == 16) // histogram shape
+    // truncation inside mdat: sample range exceeds file -> no track
+    val cut = Multimodal.syntheticMjpegMp4(5L)
+    assert(Multimodal.decodeMjpegFirstFrame(cut.take(60)).isEmpty)
+    assert(Multimodal.decodeMjpegFirstFrame("not mp4".getBytes("UTF-8")).isEmpty)
+  }
+
   test("dHash64: identical images hash equal, noisy near-dup lands within Hamming 3, distinct far") {
     val a = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
     val a2 = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
