@@ -257,6 +257,140 @@ object EventStreams {
     ()
   }
 
+  /** The STREAMING twin of the batch refresh pipeline
+    * (`pipeline_refresh`): snapshot-diff → URL dedup → quality gate →
+    * packed-boundary artifact, run incrementally as idempotent
+    * foreachBatch epochs so a crawl refresh can land shard-by-shard
+    * instead of waiting for the whole snapshot.
+    *
+    * Per epoch: (1) DIFF the micro-batch against the STATIC old-corpus
+    * fingerprint table (`oldFingerprints` = TextOps.fingerprint of the
+    * standing corpus) — only added/changed docs continue; (2) URL-dedup
+    * intra-epoch (min id per canonical URL) and against the canonical
+    * URLs kept by all EARLIER epochs (`urlStateDir`); (3) gate at
+    * `qualityCutoff` (stopword_ratio ≥ cutoff) — a FIXED pre-calibrated
+    * bar, because an epoch's own p10 would jitter with micro-batch
+    * boundaries; production gates a refresh against the standing
+    * corpus's calibrated bar, which the caller computes once with
+    * TextOps.calibrateScores; (4) PACK: per-doc bin/offset boundary
+    * rows whose offsets CONTINUE each bucket's running token total
+    * from all earlier epochs.
+    *
+    * Same idempotent-epoch discipline as [[incrementalDedupSink]]:
+    * both state dirs are batch_id-partitioned, written with dynamic
+    * partition overwrite, and probes read strictly-earlier partitions
+    * only — a replayed epoch recomputes identical rows over its own
+    * partitions. When the epochs partition the snapshot in id order
+    * (snapshot shards enumerated in order — the normal refresh shape),
+    * the accumulated output is row-identical to the one-shot batch
+    * pipeline at the same cutoff; out-of-order arrival instead defines
+    * packing by arrival order (offsets still contiguous per bucket).
+    * StreamingSpec proves the equivalence and the replay property. */
+  def incrementalRefreshSink(newDocs: DataFrame, idCol: String,
+      textCol: String, urlCol: String, oldFingerprints: DataFrame,
+      qualityCutoff: Double, binTokens: Long,
+      urlStateDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        refreshEpoch(batch, batchId, idCol, textCol, urlCol,
+          oldFingerprints, qualityCutoff, binTokens, urlStateDir, outDir)
+    }
+
+  /** One idempotent refresh epoch (the foreachBatch body). */
+  private[graft] def refreshEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, urlCol: String,
+      oldFingerprints: DataFrame, qualityCutoff: Double, binTokens: Long,
+      urlStateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    // 1. DIFF vs the standing corpus: keep added (no old fingerprint)
+    // and changed (fingerprint differs) docs only
+    val fp = graft.ext.TextOps.fingerprint(batch, idCol, textCol)
+    val delta = batch.join(fp, idCol)
+      .join(oldFingerprints.select(col(idCol), col("fp").as("__ofp")),
+        Seq(idCol), "left")
+      .filter(col("__ofp").isNull || col("__ofp") =!= col("fp"))
+      .drop("fp", "__ofp")
+
+    // 2. URL dedup: intra-epoch min-id per canonical URL, then drop
+    // anything an earlier epoch already kept
+    val withCanon = delta.withColumn("__canon",
+      graft.ext.TextOps.canonicalUrlCol(col(urlCol)))
+    val intra = withCanon.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__canon")).orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val fs = new org.apache.hadoop.fs.Path(urlStateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasPartitions(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir, "batch_id=*")).nonEmpty
+    val urlKept = {
+      val k =
+        if (!hasPartitions(urlStateDir)) intra
+        else {
+          val prior = spark.read.parquet(urlStateDir)
+            .filter(col("batch_id") < batchId) // partition-pruned scan
+            .select(col("canon_url").as("__canon")).distinct()
+          intra.join(prior.withColumn("__dup", lit(true)), Seq("__canon"), "left")
+            .filter(col("__dup").isNull).drop("__dup")
+        }
+      // freeze the epoch's URL decisions NOW: every later stage (and
+      // the url-state write itself) derives from this frame, so no
+      // lazy plan re-reads urlStateDir after this epoch writes it
+      k.localCheckpoint()
+    }
+
+    // 3. quality gate at the pre-calibrated bar
+    val gated = urlKept.join(
+      graft.ext.TextOps.quality(
+          urlKept.select(col(idCol), col(textCol)), idCol, textCol)
+        .filter(col("stopword_ratio") >= qualityCutoff)
+        .select(col(idCol)), idCol)
+
+    // 4. PACK: per-bucket offsets continue from all earlier epochs'
+    // totals (bucket count is tiny — broadcast the totals)
+    val withTok = gated
+      .select(col(idCol),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("n_tokens"))
+      .join(graft.ext.TextOps.splitAssign(gated, idCol)
+        .select(col(idCol), col("bucket")), idCol)
+    val priorTotals =
+      if (!hasPartitions(outDir))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("__prior",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(outDir)
+        .filter(col("batch_id") < batchId) // partition-pruned scan
+        .groupBy(col("bucket")).agg(sum(col("n_tokens")).as("__prior"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = withTok
+      .join(broadcast(priorTotals), Seq("bucket"), "left")
+      .withColumn("__before", coalesce(col("__prior"), lit(0L))
+        + coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .select(col(idCol), col("bucket"), col("n_tokens"),
+        floor(col("__before") / binTokens).cast("long").as("bin"),
+        (col("__before") - floor(col("__before") / binTokens) * binTokens)
+          .cast("long").as("off"),
+        lit(batchId).as("batch_id"))
+      .localCheckpoint() // freeze before the outDir overwrite below
+
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+    urlKept.select(col(idCol), col("__canon").as("canon_url"),
+        lit(batchId).as("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(urlStateDir)
+    ()
+  }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

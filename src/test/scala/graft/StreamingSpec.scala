@@ -316,4 +316,100 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((3L, 7.0)))
     assert(last(2L) == ((3L, 14.0)))
   }
+
+  test("streaming refresh pipeline: ordered epochs equal the one-shot batch; replay idempotent") {
+    implicit val sql = spark.sqlContext
+    import graft.ext.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srefresh").toString
+    val (urlDir, outDir) = (s"$tmp/urls", s"$tmp/out")
+
+    // old corpus + new snapshot, same closed-form family as the batch
+    // pipeline_refresh fixture: drop %13, edit %17, clone %31 as new ids
+    def mkText(id: Long): String =
+      if (id % 19 == 0) s"alpha beta gamma delta epsilon zeta $id"
+      else s"the of a alpha beta $id"
+    def mkUrl(id: Long): String = {
+      val base = s"www.site${id % 20}.com/page${id % 20}"
+      (id % 3) match {
+        case 0 => s"https://$base?utm_source=feed"
+        case 1 => s"HTTPS://${base.toUpperCase}#frag"
+        case _ => s"https://$base/"
+      }
+    }
+    val old = (0L until 600L).map(id => (id, mkText(id))).toDF("doc_id", "text")
+    val newSnap: Seq[(Long, String, String)] =
+      (0L until 600L).filter(_ % 13 != 0).map { id =>
+        val t = if (id % 17 == 0) mkText(id) + " v2" else mkText(id)
+        (id, t, mkUrl(id))
+      } ++ (0L until 600L).filter(_ % 31 == 0).map { id =>
+        (id + 1000L, "new doc " + mkText(id), mkUrl(id + 1000L))
+      }
+    val oldFp = TextOps.fingerprint(old, "doc_id", "text")
+    val cutoff = 0.3 // the pre-calibrated standing-corpus bar
+    val binTokens = 8L
+
+    // one-shot batch reference: same operators, whole delta at once
+    val snapDf = newSnap.toDF("doc_id", "text", "url")
+    val delta = snapDf.join(oldFp.withColumnRenamed("fp", "__ofp"),
+        Seq("doc_id"), "left")
+      .join(TextOps.fingerprint(snapDf, "doc_id", "text"), "doc_id")
+      .filter(col("__ofp").isNull || col("__ofp") =!= col("fp"))
+      .select("doc_id", "text", "url")
+    val urlKept = delta.join(
+      TextOps.urlDedup(delta.select(col("doc_id"), col("url")),
+        "doc_id", "url").filter(col("keep")).select("doc_id"), "doc_id")
+    val gated = urlKept.join(
+      TextOps.quality(urlKept.select(col("doc_id"), col("text")), "doc_id", "text")
+        .filter(col("stopword_ratio") >= cutoff).select("doc_id"), "doc_id")
+    val withTok = gated.select(col("doc_id"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_tokens"))
+      .join(TextOps.splitAssign(gated, "doc_id").select("doc_id", "bucket"), "doc_id")
+    val batchBins = TextOps.packedBoundaries(withTok, "doc_id", "n_tokens",
+        "bucket", binTokens)
+      .select("bucket", "bin", "n_docs", "bin_tokens", "doc_offsets")
+      .as[(Int, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // the gate and the url dedup must actually bite or the test is vacuous
+    assert(delta.count() > gated.count(), "quality gate dropped nothing")
+    assert(delta.count() > urlKept.count(), "url dedup dropped nothing")
+
+    // streaming: three id-ORDERED epochs of the same snapshot
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "url")
+    val q = EventStreams.incrementalRefreshSink(docs, "doc_id", "text", "url",
+      oldFp, cutoff, binTokens, urlDir, outDir).start()
+    val ordered = newSnap.sortBy(_._1)
+    val slices = ordered.grouped((ordered.size + 2) / 3).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    // accumulated per-doc boundary rows, re-aggregated with the exact
+    // packedBoundaries output shape
+    def streamBins() = spark.read.parquet(outDir)
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("off"), col("doc_id").as("__id")))),
+          x => concat(x("__id").cast("string"), lit("@"), x("off").cast("string"))),
+          ";").as("doc_offsets"))
+      .select("bucket", "bin", "n_docs", "bin_tokens", "doc_offsets")
+      .as[(Int, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamBins() == batchBins,
+      "N-epoch streaming output != one-shot batch output")
+    // offsets really CONTINUED across epochs: some bucket spans batches
+    val spanning = spark.read.parquet(outDir)
+      .groupBy("bucket").agg(countDistinct(col("batch_id")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(spanning > 0, "no bucket spans epochs — continuation untested")
+
+    // at-least-once replay: re-running the LAST epoch must change nothing
+    def snapshotState() = (
+      spark.read.parquet(outDir).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(urlDir).collect().map(_.toString).sorted.toSeq)
+    val before = snapshotState()
+    EventStreams.refreshEpoch(slices.last.toDF("doc_id", "text", "url"),
+      (slices.size - 1).toLong, "doc_id", "text", "url",
+      oldFp, cutoff, binTokens, urlDir, outDir)
+    assert(snapshotState() == before, "epoch replay mutated state")
+  }
 }
