@@ -59,7 +59,7 @@ object Bench {
     val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs",
       "multimodal_audio_energy", "ml_dbscan_clusters", "multimodal_phash_pairs",
       "text_corpus_diff")
-    // test HARNESSES, not operators: ml_dist_path_parity runs four
+    // test HARNESSES, not operators: ml_dist_path_parity runs five
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately
     // ("harness" section) so the headline total measures the operator

@@ -283,7 +283,16 @@ object MlQueries {
           .filter(col("series_id") < 40).cache()
         val serP = SeriesOps.pad(normalizedSeries(s, dir))
           .filter(col("series_id") < 40).cache()
-        val (nKm, _, nSer) = (fe.count(), serT.count(), serP.count())
+        // the [EXT] similarity stack's regime: ≥16-D embedding vectors
+        // (the 64-D embeddings table), not 2-D series features — the
+        // MDS driver/landmark twin must agree where the LLM-pipeline
+        // actually runs, not only on the reference's small space
+        val emb16 = Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("long").as("series_id"),
+            col("embedding").cast("array<double>").as("values"))
+          .filter(col("series_id") < 40).cache()
+        val (nKm, _, nSer, nEmb) =
+          (fe.count(), serT.count(), serP.count(), emb16.count())
 
         def labelMismatch(a: DataFrame, b: DataFrame): (Long, Long) = {
           val j = a.select(col("series_id"), col("cluster").cast("long").as("ca"))
@@ -302,7 +311,7 @@ object MlQueries {
             .head().getDouble(0)
         }
 
-        // the four path-pairs are independent — run them as concurrent
+        // the five path-pairs are independent — run them as concurrent
         // driver-side jobs; wall time is the slowest branch, not the sum
         val fDb = Future(labelMismatch(
           Dbscan.run(fe, 3.0, 4),
@@ -325,14 +334,25 @@ object MlQueries {
           jm.unpersist()
           out
         }
+        val fMds16 = Future {
+          val jm = Embedding.mds2d(emb16)
+            .select(col("series_id"), col("x").as("xa"))
+            .join(Embedding.mds2d(emb16, gate = 0, numLandmarks = nEmb.toInt)
+              .select(col("series_id"), col("x").as("xb")), "series_id").cache()
+          val out = (jm.count(), jm.filter(abs(col("xa") - col("xb")) > 1e-4).count())
+          jm.unpersist()
+          out
+        }
         val (nDb, mDb) = Await.result(fDb, Duration.Inf)
         val (nKs, mKs) = Await.result(fKs, Duration.Inf)
         val costOk = Await.result(fKm, Duration.Inf)
         val (nMds, mMds) = Await.result(fMds, Duration.Inf)
-        Seq(serP, serT, fe).foreach(_.unpersist())
+        val (nMds16, mMds16) = Await.result(fMds16, Duration.Inf)
+        Seq(serP, serT, fe, emb16).foreach(_.unpersist())
 
         Seq(("dbscan", nDb, mDb), ("kmeans_cost", nKm, if (costOk) 0L else 1L),
-          ("kshape", nKs, mKs), ("mds_landmark_c1", nMds, mMds))
+          ("kshape", nKs, mKs), ("mds_landmark_c1", nMds, mMds),
+          ("mds_landmark_c1_16d", nMds16, mMds16))
           .toDF("algo", "n", "n_mismatch").orderBy("algo")
       }),
 

@@ -69,7 +69,8 @@ class GoldenSpec extends SparkSpec {
     val rows = run("ml_dist_path_parity")
       .as[(String, Long, Long)].collect().toSeq
     assert(rows == Seq(("dbscan", 15L, 0L), ("kmeans_cost", 15L, 0L),
-      ("kshape", 15L, 0L), ("mds_landmark_c1", 15L, 0L)), s"parity drift: $rows")
+      ("kshape", 15L, 0L), ("mds_landmark_c1", 15L, 0L),
+      ("mds_landmark_c1_16d", 40L, 0L)), s"parity drift: $rows")
   }
 
   private def digest(name: String): String = {
