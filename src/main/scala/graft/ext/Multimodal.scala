@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * javax.imageio (pure JDK: PNG/BMP/JPEG/GIF/TIFF), oracle-checked on
   * deterministic generated bitmaps. AUDIO decode is REAL —
   * javax.sound.sampled (pure JDK: WAV/AIFF/AU containers, PCM),
-  * oracle-checked on deterministic generated WAVs. Payloads neither
-  * reader recognizes fall back to byte-histogram moments; that
-  * fallback is the one remaining STUB, and only because VIDEO codecs
-  * genuinely don't ship with the JDK — swap it for an ffmpeg binding
-  * in production, nothing around it changes.
+  * oracle-checked on deterministic generated WAVs. VIDEO pixel decode
+  * is REAL for Motion-JPEG tracks (first MP4 sample located via the
+  * container tables, decoded with the same ImageIO), oracle-checked on
+  * deterministic MJPEG-in-MP4 fixtures. Payloads none of those paths
+  * recognize fall back to byte-histogram moments; that fallback is the
+  * one remaining STUB, and only because PREDICTIVE video codecs
+  * (avc1/hev1/…) genuinely don't ship with the JDK — swap it for an
+  * ffmpeg binding in production, nothing around it changes.
   *
   * Scale notes: decode is mapPartitions (one codec init per partition,
   * not per row — the same shape a Pandas-UDF/mapInPandas batch has);
@@ -762,8 +765,9 @@ object Multimodal {
   }
 
   /** "Frame sampling": every `stride`-th fixed-size chunk of the
-    * payload (real chunking plumbing; decode of each frame is the same
-    * stub). Output one row per sampled frame. */
+    * payload (real chunking plumbing; each chunk goes through the
+    * shared [[decode]] dispatch — real for images and MJPEG samples,
+    * histogram fallback otherwise). Output one row per sampled frame. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { row =>
