@@ -326,6 +326,74 @@ object TextOps {
         .cast("long").as("n_bpe"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
 
+  /** Data-mixture planning (the DoReMi/Pile-style static-mixing step,
+    * [EXT] — no reference counterpart): given target mixture weights
+    * over a grouping column (language, domain, source) and a total
+    * training-token budget, derive per-group token availability and
+    * what hitting the target implies — `tokens_target` (the budget
+    * share), `epochs` (the repetition factor when the target exceeds
+    * availability; >1 means the group will be over-sampled across
+    * epochs) and `sample_rate` (the keep probability when availability
+    * exceeds the target, capped at 1). Groups absent from `weights`
+    * plan to zero. Tokens are the greedy-subword count (n_bpe) from
+    * [[tokenCounts]].
+    *
+    * Scale: one map-side-combined groupBy on the grouping column
+    * (cardinality = #languages/#sources ≪ corpus); the weight table is
+    * a broadcast map literal, so the whole plan is a single tiny
+    * shuffle regardless of corpus size. */
+  def mixturePlan(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val tok = tokenCounts(df, idCol, textCol).select(col(idCol), col("n_bpe"))
+    df.select(col(idCol), col(groupCol))
+      .join(tok, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("tokens_avail"))
+      .withColumn("weight",
+        coalesce(element_at(typedLit(weights), col(groupCol)), lit(0.0)))
+      .withColumn("tokens_target",
+        round(col("weight") * budgetTokens, 0).cast("long"))
+      .withColumn("epochs", round(
+        col("tokens_target").cast("double") / col("tokens_avail"), 6))
+      .withColumn("sample_rate", round(least(lit(1.0),
+        col("tokens_target").cast("double") / col("tokens_avail")), 6))
+  }
+
+  /** Quality-threshold YIELD CURVE ([EXT]): for each observed quality
+    * bin, how many documents and training tokens survive a keep-filter
+    * at `score >= threshold` — the chart a curation run is tuned from
+    * (pick the threshold where quality gain stops paying for token
+    * loss). Scores are the 6-dp stopword-ratio from [[quality]];
+    * binning is exact integer arithmetic on the micro-scaled score
+    * (bin = score·10⁶ div (10⁶/nBins)), so engines agree bit-for-bit.
+    *
+    * Scale: one pass over the corpus into ≤ nBins+1 aggregation rows,
+    * then the cumulative-from-top sums run in a single unpartitioned
+    * window over those ≤ 21 rows (post-aggregation frame, same regime
+    * as [[calibrateScores]] — documented, not a scale hazard). */
+  def yieldCurve(df: DataFrame, idCol: String, textCol: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val scored = quality(df, idCol, textCol)
+      .select(col(idCol), col("stopword_ratio").as("score"))
+    val tok = tokenCounts(df, idCol, textCol).select(col(idCol), col("n_bpe"))
+    val binned = scored.join(tok, Seq(idCol))
+      .withColumn("__bin", expr(
+        s"cast(round(score * 1000000, 0) as bigint) div ${1000000 / nBins}"))
+    val byBin = binned.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__docs"), sum(col("n_bpe")).as("__toks"))
+    val w = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBin.select(
+        round(col("__bin").cast("double") / nBins, 4).as("threshold"),
+        sum(col("__docs")).over(w).as("docs_ge"),
+        sum(col("__toks")).over(w).as("tokens_ge"))
+      .orderBy(col("threshold"))
+  }
+
   /** PII scrubbing: count and redact email addresses, URLs, phone
     * numbers and IPv4 addresses. The patterns are deliberately
     * conservative character-class regexes that mean the same thing in

@@ -477,6 +477,74 @@ object ExtQueries {
               |  USING (group_id)
               |ORDER BY g.doc_id""".stripMargin)),
 
+    // Dedup YIELD report: per source, docs/tokens surviving (a) exact
+    // md5 dedup and (b) near-dup closure — the before/after accounting
+    // every curation run publishes. Fourth consumer of the Memo'd
+    // minhash pair pass; the exact stage is one extra md5 groupBy.
+    Q("text_dedup_yield",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = TextOps.tokenCounts(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_ws"))
+        val exKeep = docs
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .join(Dedup.exactGroups(docs, "doc_id", "text").select("h", "keep_id"), "h")
+          .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("keep_exact"))
+        val nearKeep = Dedup.dedupGroups(docs, "doc_id", minhashPairs(s, dir))
+          .select(col("doc_id"), col("keep").as("keep_near"))
+        docs.select(col("doc_id"), col("source"))
+          .join(tok, "doc_id").join(exKeep, "doc_id").join(nearKeep, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("tokens_raw"),
+            sum(col("keep_exact").cast("long")).as("docs_after_exact"),
+            sum(when(col("keep_exact"), col("n_ws")).otherwise(0L)).as("tokens_after_exact"),
+            sum(col("keep_near").cast("long")).as("docs_after_near"),
+            sum(when(col("keep_near"), col("n_ws")).otherwise(0L)).as("tokens_after_near"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+              |tok AS (SELECT doc_id,
+              |          CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws
+              |        FROM documents),
+              |ex AS (SELECT doc_id,
+              |         (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
+              |       FROM documents),
+              |nr AS (SELECT d.doc_id,
+              |         (coalesce(least(l.m, d.doc_id), d.doc_id) = d.doc_id) AS keep_near
+              |       FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+              |SELECT d.source, count(*) AS n_docs,
+              |       CAST(sum(t.n_ws) AS BIGINT) AS tokens_raw,
+              |       CAST(sum(CASE WHEN ex.keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS docs_after_exact,
+              |       CAST(sum(CASE WHEN ex.keep_exact THEN t.n_ws ELSE 0 END) AS BIGINT) AS tokens_after_exact,
+              |       CAST(sum(CASE WHEN nr.keep_near THEN 1 ELSE 0 END) AS BIGINT) AS docs_after_near,
+              |       CAST(sum(CASE WHEN nr.keep_near THEN t.n_ws ELSE 0 END) AS BIGINT) AS tokens_after_near
+              |FROM documents d JOIN tok t USING (doc_id)
+              |JOIN ex USING (doc_id) JOIN nr USING (doc_id)
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // MinHash-LSH: 8 md5-string minhashes in 4 bands of r=2 → candidate
     // pairs share a full band, then exact-Jaccard verification of
     // candidates only (the scale path: pair volume ∝ true near-dups)
@@ -1084,6 +1152,55 @@ object ExtQueries {
              |  CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe,
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Data-mixture planning: per-language token availability vs target
+    // mixture weights and a 10M-token budget → epochs / sample rates
+    // (the static-mixing step of a training-data pipeline)
+    Q("text_mixture_plan",
+      (s, dir) => TextOps.mixturePlan(Tables.documents(s, dir), "doc_id",
+          "text", "lang",
+          Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+          10000000L)
+        .orderBy("lang"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT d.lang, count(*) AS n_docs,
+              |        CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM documents d JOIN tok t USING (doc_id) GROUP BY d.lang),
+              |p AS (SELECT lang, n_docs, tokens_avail,
+              |        CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+              |          WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1
+              |          ELSE 0.0 END AS DOUBLE) AS weight
+              |      FROM g),
+              |p2 AS (SELECT *, CAST(round(weight * 10000000, 0) AS BIGINT) AS tokens_target
+              |       FROM p)
+              |SELECT lang, n_docs, tokens_avail, weight, tokens_target,
+              |       round(CAST(tokens_target AS DOUBLE) / tokens_avail, 6) AS epochs,
+              |       round(least(CAST(1.0 AS DOUBLE),
+              |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
+              |FROM p2 ORDER BY lang""".stripMargin)),
+
+    // Quality-threshold yield curve: docs/tokens surviving a keep at
+    // score >= threshold, per observed 0.05-wide quality bin
+    // (cumulative from the top — the curation tuning chart)
+    Q("text_yield_curve",
+      (s, dir) => TextOps.yieldCurve(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH q AS (SELECT doc_id,
+              |         round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |             w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |           / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS score,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |b AS (SELECT CAST(round(score * 1000000, 0) AS BIGINT) // 50000 AS bin,
+              |        count(*) AS docs, CAST(sum(n_bpe) AS BIGINT) AS toks
+              |      FROM q GROUP BY 1)
+              |SELECT round(CAST(bin AS DOUBLE) / 20, 4) AS threshold,
+              |       CAST(sum(docs) OVER (ORDER BY bin DESC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_ge,
+              |       CAST(sum(toks) OVER (ORDER BY bin DESC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_ge
+              |FROM b ORDER BY threshold""".stripMargin)),
 
     // Corpus vocabulary: top-50 tokens by occurrence with doc frequency
     // (tokenizer/vocab construction first pass; TakeOrderedAndProject)

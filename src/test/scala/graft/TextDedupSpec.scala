@@ -885,4 +885,54 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0)._3 == 1L) // rank 1 = nearest
     assert(out(1)._3 == 2L)
   }
+
+  test("mixturePlan: targets from weights, epochs/rate math, absent group plans to zero") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val d = Seq(
+      (1L, "alpha beta gamma delta words here", "en"),
+      (2L, "more english text of some length", "en"),
+      (3L, "kurzer deutscher text", "de"),
+      (4L, "unplanned language text", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val avail = TextOps.tokenCounts(d, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(fsum("n_bpe").as("t"))
+      .as[(String, Long)].collect().toMap
+    val plan = TextOps.mixturePlan(d, "doc_id", "text", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), 1000L)
+      .orderBy("lang")
+      .as[(String, Long, Long, Double, Long, Double, Double)].collect()
+    val byLang = plan.map(r => r._1 -> r).toMap
+    // exact targets for exactly-representable weights
+    assert(byLang("en")._5 == 500L && byLang("de")._5 == 250L)
+    assert(byLang("en")._2 == 2 && byLang("en")._3 == avail("en"))
+    // epochs = target/avail; tiny corpus => target exceeds availability,
+    // so epochs > 1 and the keep-rate caps at 1.0
+    val enEpochs = BigDecimal(500.0 / avail("en"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byLang("en")._6 == enEpochs)
+    assert(byLang("en")._7 == 1.0 && byLang("de")._7 == 1.0)
+    // group with no target weight plans to zero, not an error
+    assert(byLang("xx")._4 == 0.0 && byLang("xx")._5 == 0L &&
+      byLang("xx")._6 == 0.0 && byLang("xx")._7 == 0.0)
+  }
+
+  test("yieldCurve: cumulative-from-top docs/tokens per quality bin") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val d = Seq(
+      (1L, "the the the the"),  // stopword_ratio 1.0 -> bin 20
+      (2L, "the xyzq"),         // 0.5 -> bin 10
+      (3L, "xyzq qqqz")         // 0.0 -> bin 0
+    ).toDF("doc_id", "text")
+    val curve = TextOps.yieldCurve(d, "doc_id", "text")
+      .as[(Double, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq == Seq(0.0, 0.5, 1.0))
+    // docs_ge cumulates upward from the top threshold
+    assert(curve.map(_._2).toSeq == Seq(3L, 2L, 1L))
+    // at threshold 0 every token survives; tokens_ge is non-increasing
+    val total = TextOps.tokenCounts(d, "doc_id", "text")
+      .agg(fsum("n_bpe")).as[Long].head()
+    assert(curve.head._3 == total)
+    assert(curve.map(_._3).toSeq == curve.map(_._3).toSeq.sorted.reverse)
+  }
 }
