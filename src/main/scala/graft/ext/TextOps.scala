@@ -394,6 +394,72 @@ object TextOps {
       .orderBy(col("threshold"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public
+    * paper; [EXT], no reference counterpart). Featurizes every
+    * document as hashed n-gram counts — whitespace unigrams + bigrams
+    * md5-hashed into `m` buckets — fits add-one-smoothed bucket
+    * distributions for the target subset (`targetPred`: the slice the
+    * model should be steered toward) and the raw corpus, and scores
+    * each document with the importance log-weight
+    * `log w(x) = Σ_b c_b(x)·(ln p̂_tgt[b] − ln p̂_raw[b])`.
+    * High-weight documents look like the target; resampling (or
+    * top-k selecting) by `w` shifts the raw corpus toward it.
+    *
+    * Determinism: bucket hashing is content-stable md5 (no
+    * engine-private hash seed), both smoothed log-ratios are computed
+    * in one fixed double expression, and the per-doc sum is an
+    * ordered left fold over bucket id — bit-identical on every
+    * engine, partitioning, and parallelism.
+    *
+    * Scale: the per-doc (id, bucket, count) frame is the only
+    * corpus-sized shuffle (one map-side-combined groupBy); both
+    * bucket distributions aggregate to `m` rows, their totals are a
+    * 2-scalar driver fetch (same regime as [[tfidfTopK]]'s doc
+    * count), and the m-row ratio table joins back broadcast — the
+    * corpus never shuffles a second time. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, m: Int = 64): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val spark = df.sparkSession
+    val toks = tokensCol(col(textCol))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val perDoc = df.select(col(idCol), col(textCol))
+      .select(col(idCol), explode(concat(toks, bigrams)).as("__ng"))
+      .select(col(idCol), expr(
+        s"cast(conv(substr(md5(__ng), 1, 8), 16, 10) as bigint) % $m").as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val byBucket = perDoc
+      .join(df.select(col(idCol), targetPred.as("__t")), Seq(idCol))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
+        sum(col("__c")).as("__cr"))
+    val tots = byBucket.agg(
+      coalesce(sum(col("__ct")), lit(0L)),
+      coalesce(sum(col("__cr")), lit(0L))).head()
+    val (tt, tr) = (tots.getLong(0), tots.getLong(1))
+    val ratio = spark.range(m).toDF("__b")
+      .join(byBucket, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            lit((tt + m).toDouble)) -
+          log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            lit((tr + m).toDouble))).as("__lr"))
+    perDoc.join(broadcast(ratio), Seq("__b"))
+      .select(col(idCol), col("__b"), col("__c"),
+        (col("__c").cast("double") * col("__lr")).as("__term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        round(aggregate(
+          sort_array(collect_list(struct(col("__b"), col("__term")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("log_w"))
+      .join(df.select(col(idCol), targetPred.as("is_target")), Seq(idCol))
+      .select(col(idCol), col("is_target"), col("n_ngrams"), col("log_w"))
+  }
+
   /** PII scrubbing: count and redact email addresses, URLs, phone
     * numbers and IPv4 addresses. The patterns are deliberately
     * conservative character-class regexes that mean the same thing in

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, greatest, least, length, lit, lower, lpad, md5, round, size, split, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, greatest, least, length, lit, lower, lpad, md5, round, row_number, size, split, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -1180,6 +1180,90 @@ object ExtQueries {
               |       round(least(CAST(1.0 AS DOUBLE),
               |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
               |FROM p2 ORDER BY lang""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. NeurIPS'23): hashed-ngram
+    // bucket distributions for target (lang='en') vs raw corpus,
+    // add-one smoothed, per-doc importance log-weight as an ordered
+    // fold — the model-free data-selection scorer
+    Q("text_dsir_weights",
+      (s, dir) => TextOps.dsirWeights(Tables.documents(s, dir), "doc_id",
+          "text", col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |         string_split_regex(lower(trim(text)), '\\s+') AS t
+              |       FROM documents),
+              |ngs AS (SELECT doc_id, unnest(t) AS ng FROM tk
+              |        UNION ALL
+              |        SELECT doc_id, t[i] || ' ' || t[i + 1] AS ng
+              |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+              |h AS (SELECT doc_id,
+              |        CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |            substr(md5(ng), j+1, 1)) - 1) * power(16, 7-j))
+              |          FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 64 AS BIGINT) AS b
+              |      FROM ngs),
+              |dc AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
+              |bb AS (SELECT b,
+              |         CAST(sum(CASE WHEN d.lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+              |         CAST(sum(c) AS BIGINT) AS cr
+              |       FROM dc JOIN documents d USING (doc_id) GROUP BY b),
+              |tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+              |          CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM bb),
+              |al AS (SELECT unnest(range(64)) AS b),
+              |ratio AS (SELECT al.b,
+              |            ln((coalesce(bb.ct, 0) + 1)::DOUBLE / (tot.tt + 64)) -
+              |            ln((coalesce(bb.cr, 0) + 1)::DOUBLE / (tot.tr + 64)) AS lr
+              |          FROM al LEFT JOIN bb ON al.b = bb.b, tot),
+              |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+              |        list_reduce(list(c * lr ORDER BY b), (x, y) -> x + y) AS lw
+              |      FROM dc JOIN ratio USING (b) GROUP BY doc_id)
+              |SELECT d.doc_id, (d.lang = 'en') AS is_target, w.n_ngrams,
+              |       round(w.lw, 6) AS log_w
+              |FROM w JOIN documents d USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR top-k selection: the 50 raw docs most target-like by
+    // importance weight (TakeOrderedAndProject — the selection step a
+    // training run actually materializes)
+    Q("text_dsir_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = TextOps.dsirWeights(Tables.documents(s, dir), "doc_id",
+            "text", col("lang") === "en")
+          .orderBy(col("log_w").desc, col("doc_id")).limit(50)
+        top.withColumn("rk", row_number().over(
+            Window.orderBy(col("log_w").desc, col("doc_id"))).cast("long"))
+          .select(col("rk"), col("doc_id"), col("is_target"), col("log_w"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |         string_split_regex(lower(trim(text)), '\\s+') AS t
+              |       FROM documents),
+              |ngs AS (SELECT doc_id, unnest(t) AS ng FROM tk
+              |        UNION ALL
+              |        SELECT doc_id, t[i] || ' ' || t[i + 1] AS ng
+              |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+              |h AS (SELECT doc_id,
+              |        CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |            substr(md5(ng), j+1, 1)) - 1) * power(16, 7-j))
+              |          FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 64 AS BIGINT) AS b
+              |      FROM ngs),
+              |dc AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
+              |bb AS (SELECT b,
+              |         CAST(sum(CASE WHEN d.lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+              |         CAST(sum(c) AS BIGINT) AS cr
+              |       FROM dc JOIN documents d USING (doc_id) GROUP BY b),
+              |tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+              |          CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM bb),
+              |al AS (SELECT unnest(range(64)) AS b),
+              |ratio AS (SELECT al.b,
+              |            ln((coalesce(bb.ct, 0) + 1)::DOUBLE / (tot.tt + 64)) -
+              |            ln((coalesce(bb.cr, 0) + 1)::DOUBLE / (tot.tr + 64)) AS lr
+              |          FROM al LEFT JOIN bb ON al.b = bb.b, tot),
+              |w AS (SELECT doc_id, round(list_reduce(list(c * lr ORDER BY b),
+              |          (x, y) -> x + y), 6) AS log_w
+              |      FROM dc JOIN ratio USING (b) GROUP BY doc_id)
+              |SELECT CAST(row_number() OVER (ORDER BY w.log_w DESC, w.doc_id) AS BIGINT) AS rk,
+              |       w.doc_id, (d.lang = 'en') AS is_target, w.log_w
+              |FROM w JOIN documents d USING (doc_id)
+              |ORDER BY w.log_w DESC, w.doc_id LIMIT 50""".stripMargin)),
 
     // Quality-threshold yield curve: docs/tokens surviving a keep at
     // score >= threshold, per observed 0.05-wide quality bin

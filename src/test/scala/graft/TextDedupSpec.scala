@@ -917,6 +917,73 @@ class TextDedupSpec extends SparkSpec {
       byLang("xx")._6 == 0.0 && byLang("xx")._7 == 0.0)
   }
 
+  test("dsirWeights: matches an independent reimplementation of the DSIR math") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "spark table scan fast", "en"),
+      (2L, "spark table scan fast", "en"),   // identical to 1 -> same weight
+      (3L, "der hund ist gut", "de"),
+      (4L, "spark", "de"),                   // single token: no bigrams
+      (5L, "table fast hund spark", "de")
+    ).toDF("doc_id", "text", "lang")
+    val m = 64
+    // independent model: MessageDigest md5 -> first 8 hex chars ->
+    // bucket, add-one smoothing, ordered fold over bucket id
+    def bucket(ng: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ng.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % m
+    }
+    val corpus = Seq(
+      (1L, "spark table scan fast", true), (2L, "spark table scan fast", true),
+      (3L, "der hund ist gut", false), (4L, "spark", false),
+      (5L, "table fast hund spark", false))
+    def ngrams(t: String): Seq[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val perDoc = corpus.map { case (id, t, tgt) =>
+      (id, tgt, ngrams(t).groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val ct = new Array[Long](m); val cr = new Array[Long](m)
+    perDoc.foreach { case (_, tgt, bc) => bc.foreach { case (b, c) =>
+      if (tgt) ct(b.toInt) += c
+      cr(b.toInt) += c
+    } }
+    val (tt, tr) = (ct.sum, cr.sum)
+    def lr(b: Int): Double =
+      math.log((ct(b) + 1).toDouble / (tt + m)) -
+        math.log((cr(b) + 1).toDouble / (tr + m))
+    val expected = perDoc.map { case (id, _, bc) =>
+      val lw = bc.toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (b, c)) => acc + c.toDouble * lr(b.toInt) }
+      id -> BigDecimal(lw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = TextOps.dsirWeights(d, "doc_id", "text", col("lang") === "en", m)
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    got.foreach { case (id, tgt, n, lw) =>
+      assert(tgt == (id <= 2L))
+      assert(n == ngrams(corpus(id.toInt - 1)._2).size, s"n_ngrams doc $id")
+      assert(lw == expected(id), s"log_w doc $id: got $lw want ${expected(id)}")
+    }
+    // identical docs score identically; the target look-alike outranks
+    // the disjoint non-target doc
+    assert(got(0)._4 == got(1)._4)
+    assert(got(0)._4 > got(2)._4)
+  }
+
+  test("dsirWeights: empty target subset degrades to uniform target model, no crash") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "alpha beta", "de"), (2L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(d, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").as[(Long, Boolean, Long, Double)].collect()
+    assert(out.length == 2 && out.forall(!_._2))
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
   test("yieldCurve: cumulative-from-top docs/tokens per quality bin") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val d = Seq(
