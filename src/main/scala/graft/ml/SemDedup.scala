@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper;
+  * [EXT], no reference counterpart): SEMANTIC deduplication in
+  * embedding space — the dedup stage that catches paraphrases and
+  * re-renderings that share almost no n-grams, invisible to
+  * MinHash/SimHash. A seeded KMeans buckets L2-normalized embeddings
+  * into semantic clusters; within each cluster, pairs at cosine ≥
+  * `eps` are semantic duplicates; per duplicate group the member with
+  * the LOWEST cosine to its cluster centroid survives (the paper's
+  * keep rule — the least-prototypical copy carries the most marginal
+  * information), ties broken toward the smaller id.
+  *
+  * Scale: the quadratic cosine scan is confined WITHIN clusters —
+  * the paper's own scaling trick: pair volume falls from C(n,2) to
+  * ~k·C(n/k,2), and the within-cluster self-join is an equi-join on
+  * centroid_id that AQE handles like any other skew-prone join. The
+  * KMeans fit reads a CANONICAL layout (fixed partition count keyed
+  * on id, sorted within partitions — [[ClusterSample]]'s regime), so
+  * the clustering, hence the dedup decision, is identical at any
+  * parallelism. The group closure reuses the shared union-find
+  * ([[Components.minLabel]]) and the keeper selection reuses
+  * [[graft.ext.Dedup.dedupGroupsBest]] with score = −cent_sim.
+  * The assignment (fit + centroid similarity) is memoized per
+  * (session, input, params): repeated calls at different `eps`
+  * re-fit nothing.
+  */
+object SemDedup {
+
+  /** Output: (idCol, centroid_id, group_id, cent_sim, keep_id, keep)
+    * — one row per input vector; `keep = false` rows are the semantic
+    * duplicates a curation pass drops. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, eps: Double, seed: Long = 42): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = graft.queries.Memo.cached(spark,
+      s"semdedup|$nClusters|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}") {
+      val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+        .withColumn("__f", array_to_vector(col("vn")))
+      val canon = e.repartition(8, col(idCol)).sortWithinPartitions(idCol)
+      val model = new KMeans().setK(nClusters).setSeed(seed)
+        .setFeaturesCol("__f").setPredictionCol("centroid_id").fit(canon)
+      // normalized centroids as a tiny broadcast lookup; cent_sim =
+      // cosine(vn, centroid) via the codegen'd array_dot
+      val centDf = model.clusterCenters.map(_.toArray).zipWithIndex
+        .map { case (c, i) =>
+          val n = math.sqrt(c.map(x => x * x).sum)
+          (i, (if (n == 0.0) c else c.map(_ / n)).toSeq)
+        }.toSeq.toDF("centroid_id", "cn")
+      model.transform(e)
+        .select(col(idCol), col("vn"), col("centroid_id"))
+        .join(broadcast(centDf), "centroid_id")
+        .withColumn("cent_sim",
+          call_function("array_dot", col("vn"), col("cn")))
+        .select(col(idCol), col("vn"),
+          col("centroid_id").cast("long").as("centroid_id"), col("cent_sim"))
+    }
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("__cos", call_function("array_dot", col("a.vn"), col("b.vn")))
+      .filter(col("__cos") >= eps)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    graft.ext.Dedup.dedupGroupsBest(
+        assigned.select(col(idCol), (-col("cent_sim")).as("__negsim")),
+        idCol, "__negsim", pairs)
+      .select(col(idCol), col("group_id"), col("keep_id"), col("keep"))
+      .join(assigned.select(col(idCol), col("centroid_id"), col("cent_sim")),
+        Seq(idCol))
+      .select(col(idCol), col("centroid_id"), col("group_id"),
+        round(col("cent_sim"), 6).as("cent_sim"), col("keep_id"), col("keep"))
+  }
+}

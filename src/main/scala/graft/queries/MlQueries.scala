@@ -453,6 +453,16 @@ object MlQueries {
         .select(col("vec_id"), col("centroid_id"), col("rank"))
         .orderBy("centroid_id", "rank")),
 
+    // SemDeDup (Abbas et al. 2023): seeded-KMeans semantic clusters,
+    // within-cluster cosine >= 0.45 duplicate groups, survivor = the
+    // LOWEST-centroid-similarity member (golden digest; SemDedupSpec
+    // pins the keep rule and cluster confinement on closed-form
+    // two-cluster fixtures)
+    Q("sem_dedup",
+      (s, dir) => graft.ml.SemDedup.semDedup(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8, 0.45)
+        .orderBy("vec_id")),
+
     // I1 Recurrence Plot of the smallest user's series — oracle-checked
     Q("img_rp_matrix",
       (s, dir) => minUserSeries(s, dir)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ml.SemDedup
+
+/** SemDeDup semantics on closed-form two-cluster fixtures: the
+  * within-cluster pairing, the lowest-centroid-similarity keep rule,
+  * and the degrade paths. Angles make the geometry auditable — unit
+  * vectors at angle θ have pairwise cosine cos(θa − θb). */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(deg: Double): Seq[Float] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+  }
+
+  // cluster A hugs 0°, cluster B hugs 90°; eps = 0.99 ≈ 8.1° pairs
+  // only (1,2) [Δ1°] and (4,5) [Δ2°] — (1,3)/(2,3) at Δ10°/9° and
+  // (4,6)/(5,6) at Δ10°/12° stay out, as does everything cross-cluster
+  private lazy val emb = Seq(
+    (1L, unit(0)), (2L, unit(1)), (3L, unit(10)),
+    (4L, unit(90)), (5L, unit(92)), (6L, unit(80))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup: within-cluster pairing, lowest-centroid-sim survivor") {
+    val out = SemDedup.semDedup(emb, "vec_id", "embedding", 2, 0.99)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // KMeans separates the two angle blobs
+    val ca = Seq(1L, 2L, 3L).map(byId(_)._2).distinct
+    val cb = Seq(4L, 5L, 6L).map(byId(_)._2).distinct
+    assert(ca.size == 1 && cb.size == 1 && ca != cb)
+    // groups: {1,2} and {4,5}; 3 and 6 singletons
+    assert(byId(1L)._3 == byId(2L)._3)
+    assert(byId(4L)._3 == byId(5L)._3)
+    assert(byId(3L)._3 != byId(1L)._3 && byId(6L)._3 != byId(4L)._3)
+    // keep rule: centroid A sits near 3.67°, so vec 1 (0°) is FARTHER
+    // from it than vec 2 (1°) → 1 survives; centroid B near 87.3°, so
+    // vec 5 (92°) is farther than vec 4 (90°) → 5 survives
+    assert(byId(1L)._6 && !byId(2L)._6 && byId(2L)._5 == 1L)
+    assert(byId(5L)._6 && !byId(4L)._6 && byId(4L)._5 == 5L)
+    // singletons keep themselves
+    assert(byId(3L)._6 && byId(3L)._5 == 3L)
+    assert(byId(6L)._6 && byId(6L)._5 == 6L)
+    // the survivor is the group's minimum centroid similarity
+    assert(byId(1L)._4 < byId(2L)._4)
+    assert(byId(5L)._4 < byId(4L)._4)
+  }
+
+  test("semDedup: eps above every pairwise cosine keeps everything") {
+    val out = SemDedup.semDedup(emb, "vec_id", "embedding", 2, 0.9999995)
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+    assert(out.length == 6 && out.forall(_._6))
+    assert(out.forall(r => r._5 == r._1))
+  }
+
+  test("semDedup: exact-duplicate vectors tie-break to the smaller id") {
+    val d = Seq((7L, unit(45)), (8L, unit(45)), (9L, unit(135)))
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(d, "vec_id", "embedding", 2, 0.99)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // identical vectors have identical cent_sim — the id breaks the tie
+    assert(byId(7L)._6 && !byId(8L)._6 && byId(8L)._5 == 7L)
+    assert(byId(9L)._6)
+  }
+}
