@@ -144,6 +144,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding-space eval-set decontamination ([EXT]): for every
+    * training vector, the nearest EVAL vector by exact cosine plus a
+    * contamination flag at `tau` — the semantic twin of the n-gram
+    * decontamination in [[graft.ext.TextOps]]: a train item whose
+    * embedding near-dups an eval item leaks the benchmark even when
+    * the texts share no n-grams (paraphrase, translation, OCR
+    * re-render). Output: (idCol, nearest_eval, max_cos, contaminated).
+    *
+    * Determinism: the nearest-eval argmax is a max-struct over
+    * (5dp-rounded cosine, −eval id) — ties at the comparison
+    * precision resolve to the smallest eval id on every engine.
+    *
+    * Scale: eval sets are small by definition (benchmark-sized vs a
+    * corpus), so the eval side broadcasts and the scan is a single
+    * map-side pass over the corpus with a map-side-combined max
+    * aggregation — the corpus never shuffles. */
+  def evalContamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val t = prep(train, idCol, vecCol)
+    val ev = prep(evalSet, idCol, vecCol)
+      .select(col(idCol).as("__eid"), col("v").as("__ev"),
+        col("nrm").as("__en"))
+    t.crossJoin(broadcast(ev))
+      .select(col(idCol), col("__eid"),
+        round(call_function("array_dot", col("v"), col("__ev"))
+          / (col("nrm") * col("__en")), 5).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("__eid")).as("__ne"))).as("__b"))
+      .select(col(idCol), (-col("__b.__ne")).as("nearest_eval"),
+        col("__b.__cos").as("max_cos"),
+        (col("__b.__cos") >= tau).as("contaminated"))
+  }
+
   /** Shared deterministic ranking + output shape for exact and ANN
     * top-k (one definition keeps IvfSpec's recall comparison honest). */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {

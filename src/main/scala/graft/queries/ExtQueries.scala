@@ -980,6 +980,30 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Embedding-space eval decontamination: nearest eval vector +
+    // contamination flag per train vector (eval = every 50th id,
+    // tau=0.4 — 6 semantic leaks planted above it in this corpus)
+    Q("sim_eval_contamination",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.evalContamination(
+            e.filter(col("vec_id") % 50 =!= 0),
+            e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ev AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+             |sc AS (SELECT t.vec_id, e2.vec_id AS eval_id,
+             |         round(list_cosine_similarity(t.v, e2.v), 5) AS cos
+             |       FROM tr t, ev e2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY cos DESC, eval_id) AS rk FROM sc)
+             |SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos,
+             |       cos >= 0.4 AS contaminated
+             |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
     // Quantization error profile: the audit before committing the
     // corpus to the int8 ANN path — per-vector reconstruction error
     // and self-cosine under the exact quantizedTopK grid. Every float

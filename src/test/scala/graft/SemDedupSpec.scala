@@ -56,6 +56,23 @@ class SemDedupSpec extends SparkSpec {
     assert(out.forall(r => r._5 == r._1))
   }
 
+  test("evalContamination: nearest eval, flag at tau, argmax tie to smaller eval id") {
+    import graft.ext.Similarity
+    // eval at 0° and 90°; train at 5° (near eval 100), 85° (near eval
+    // 200), 45° (equidistant — cosine ties at 5dp, smaller id wins)
+    val ev = Seq((100L, unit(0)), (200L, unit(90))).toDF("vec_id", "embedding")
+    val tr = Seq((1L, unit(5)), (2L, unit(85)), (3L, unit(45)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.evalContamination(tr, ev, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 100L && byId(1L)._4)   // cos5° ≈ .996 ≥ .9
+    assert(byId(2L)._2 == 200L && byId(2L)._4)   // cos5° ≈ .996 ≥ .9
+    assert(byId(3L)._2 == 100L && !byId(3L)._4)  // cos45° ≈ .707; tie → 100
+    assert(math.abs(byId(1L)._3 - math.cos(math.toRadians(5))) < 1e-4)
+  }
+
   test("semDedup: exact-duplicate vectors tie-break to the smaller id") {
     val d = Seq((7L, unit(45)), (8L, unit(45)), (9L, unit(135)))
       .toDF("vec_id", "embedding")
