@@ -56,9 +56,11 @@ object Bench {
     // min-of-2: its surgery joins are real per-run work); likewise
     // multimodal_audio_energy, whose decode+window frame is the Memo'd
     // unit shared with the silence-trim intervention.
+    // text_dsir_weights Memos the whole weight frame (the selector
+    // query reuses it), so it too reports its cold run.
     val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs",
       "multimodal_audio_energy", "ml_dbscan_clusters", "multimodal_phash_pairs",
-      "text_corpus_diff")
+      "text_corpus_diff", "text_dsir_weights")
     // test HARNESSES, not operators: ml_dist_path_parity runs five
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately

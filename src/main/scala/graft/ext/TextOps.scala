@@ -422,6 +422,12 @@ object TextOps {
       targetPred: Column, m: Int = 64): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
     val spark = df.sparkSession
+    // the whole weight frame (one small row per doc) is the Memo'd
+    // unit: the scorer (text_dsir_weights) builds it, the selector
+    // (text_dsir_select) reuses it — scoring pays for the ngram pass
+    // once per corpus, like every other shared-pass family
+    graft.queries.Memo.cached(spark,
+      s"dsir|$m|$targetPred|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}") {
     val toks = tokensCol(col(textCol))
     val bigrams = zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
@@ -458,6 +464,7 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("log_w"))
       .join(df.select(col(idCol), targetPred.as("is_target")), Seq(idCol))
       .select(col(idCol), col("is_target"), col("n_ngrams"), col("log_w"))
+    }
   }
 
   /** PII scrubbing: count and redact email addresses, URLs, phone
