@@ -467,6 +467,42 @@ object TextOps {
     }
   }
 
+  /** Code-vs-prose document routing ([EXT] — the corpus-construction
+    * step that sends source code and natural language down different
+    * curation paths, as every code-capable data pipeline does):
+    * per-document structural signals — code-sigil density
+    * (`{}[]();=` per char), indented-line fraction, statement-
+    * terminator line fraction, code-keyword count — and the routing
+    * decision (`route = 'code'` when sigil density ≥ 0.02 on the
+    * 6dp-rounded value AND ≥ 3 keyword hits, else `'prose'`).
+    * All regexes are RE2-compatible character classes that mean the
+    * same thing in Java regex and DuckDB; fractions divide exact
+    * integer counts and round at 6dp, and the route thresholds
+    * compare the ROUNDED density (integer-exact keyword count for
+    * the other arm), so the decision is engine-stable. Per-row
+    * column work only — no shuffle, no UDF. */
+  def structureRoute(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val nL = size(lines)
+    val indentFrac = round(
+      size(filter(lines, l => l.rlike("^(    |\t)"))).cast("double") / nL, 6)
+    val termFrac = round(
+      size(filter(lines, l => l.rlike("[;{}]\\s*$"))).cast("double") / nL, 6)
+    val sigilDensity = round(when(length(t) > 0,
+      size(regexp_extract_all(t, lit("[{}\\[\\]();=]"), lit(0))).cast("double")
+        / length(t)).otherwise(0.0), 6)
+    val kw = regexp_count(t, lit(
+      "\\b(val|var|def|class|import|return|if|for|while|fun|let|const)\\b"))
+      .cast("long")
+    df.select(col(idCol), nL.cast("long").as("n_lines"),
+        indentFrac.as("indent_frac"), termFrac.as("term_frac"),
+        sigilDensity.as("sigil_density"), kw.as("code_kw"))
+      .withColumn("route",
+        when(col("sigil_density") >= 0.02 && col("code_kw") >= 3, "code")
+          .otherwise("prose"))
+  }
+
   /** PII scrubbing: count and redact email addresses, URLs, phone
     * numbers and IPv4 addresses. The patterns are deliberately
     * conservative character-class regexes that mean the same thing in

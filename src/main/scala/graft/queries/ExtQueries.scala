@@ -1205,6 +1205,40 @@ object ExtQueries {
               |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
               |FROM p2 ORDER BY lang""".stripMargin)),
 
+    // Code-vs-prose routing: structural signals + routing decision;
+    // every 11th doc gets six closed-form code lines planted so both
+    // the signals and the 'code' route fire on known rows
+    Q("text_structure_route",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(lit("    val v = f(x);\n" * 6), col("text")))
+          .otherwise(col("text")))
+        TextOps.structureRoute(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN repeat('    val v = f(x);' || chr(10), 6) || text
+             |      ELSE text END AS txt
+             |  FROM documents),
+             |m AS (SELECT doc_id, string_split(txt, chr(10)) AS ls, len(txt) AS n,
+             |    len(regexp_extract_all(txt, '[{}\[\]();=]')) AS sig,
+             |    len(regexp_extract_all(txt,
+             |      '\b(val|var|def|class|import|return|if|for|while|fun|let|const)\b')) AS kw
+             |  FROM d),
+             |f AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^(    |\t)'))) AS DOUBLE)
+             |      / len(ls), 6) AS indent_frac,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '[;{}]\s*$'))) AS DOUBLE)
+             |      / len(ls), 6) AS term_frac,
+             |    round(CASE WHEN n > 0 THEN CAST(sig AS DOUBLE) / n ELSE 0.0 END, 6) AS sigil_density,
+             |    CAST(kw AS BIGINT) AS code_kw
+             |  FROM m)
+             |SELECT doc_id, n_lines, indent_frac, term_frac, sigil_density, code_kw,
+             |    CASE WHEN sigil_density >= 0.02 AND code_kw >= 3
+             |      THEN 'code' ELSE 'prose' END AS route
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // DSIR importance weights (Xie et al. NeurIPS'23): hashed-ngram
     // bucket distributions for target (lang='en') vs raw corpus,
     // add-one smoothed, per-doc importance log-weight as an ordered

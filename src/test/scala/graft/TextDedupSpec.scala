@@ -984,6 +984,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
   }
 
+  test("structureRoute: code signals fire on code, stay zero on prose") {
+    val code = "    val x = f(1);\n    val y = g(x);\nreturn y;"
+    val prose = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.structureRoute(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // code doc: 3 lines, 2 indented, 3 ';'-terminated, sigils
+    // =();×2 + ; = 9, keywords val,val,return
+    assert(byId(1L)._2 == 3 && byId(1L)._3 == 0.666667 && byId(1L)._4 == 1.0)
+    assert(byId(1L)._6 == 3L && byId(1L)._7 == "code")
+    assert(math.abs(byId(1L)._5 - 9.0 / code.length) < 1e-6)
+    // prose: single line, all signals zero
+    assert(byId(2L)._2 == 1 && byId(2L)._3 == 0.0 && byId(2L)._5 == 0.0 &&
+      byId(2L)._6 == 0L && byId(2L)._7 == "prose")
+    // empty text degrades to zeros, not NaN/crash
+    assert(byId(3L)._5 == 0.0 && byId(3L)._7 == "prose")
+  }
+
   test("yieldCurve: cumulative-from-top docs/tokens per quality bin") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val d = Seq(
