@@ -156,4 +156,40 @@ class PlanSpec extends SparkSpec {
       "vector explode leaked into the scoring plan")
     assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
   }
+
+  test("eval contamination: eval side broadcasts, corpus aggregates map-side, no corpus shuffle") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val df = graft.ext.Similarity.evalContamination(
+      e.filter(col("vec_id") % 50 =!= 0), e.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", 0.4)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "eval side is not broadcast")
+    // the only allowed Exchange is the broadcast of the eval side and
+    // the final-merge of the partial max aggregation (keyed on the
+    // train id) — the train×eval PAIR frame itself must never shuffle,
+    // which shows as a partial_max before any shuffle exchange
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      "no map-side combine before the shuffle")
+    assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
+  }
+
+  test("structure route: pure per-row column work — no shuffle, no UDF, no Generate") {
+    val df = graft.ext.TextOps.structureRoute(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val plan = formatted(df)
+    assert(!plan.contains("Exchange"), s"per-row router shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"),
+      "UDF or explode leaked into the router plan")
+  }
+
+  test("dsir weights: the m-row ratio table joins back via broadcast") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.ext.TextOps.dsirWeights(
+      Tables.documents(spark, sf), "doc_id", "text", col("lang") === "en")
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "ratio table did not broadcast — per-doc counts would shuffle against 64 rows")
+  }
 }
