@@ -2092,6 +2092,49 @@ object ExtQueries {
               |       n_eval_hits > 0 AS contaminated
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Composed contamination REPORT: n-gram decontamination × embedding
+    // contamination per train doc with a combined verdict
+    // (ngram/embedding/both/clean) — the audit artifact a training run
+    // publishes; both arms are the already-oracle'd operators composed,
+    // joined on the shared doc/vec id space
+    Q("text_contamination_report",
+      (s, dir) => {
+        val ng = TextOps.decontaminate(docShingles(s, dir), "doc_id",
+            col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("contaminated").as("ngram_hit"))
+        val e = Tables.embeddings(s, dir)
+        val emb = Similarity.evalContamination(
+            e.filter(col("vec_id") % 50 =!= 0),
+            e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 0.4)
+          .select(col("vec_id").as("doc_id"),
+            col("contaminated").as("embedding_hit"))
+        ng.join(emb, Seq("doc_id"))
+          .select(col("doc_id"), col("ngram_hit"), col("embedding_hit"),
+            when(col("ngram_hit") && col("embedding_hit"), "both")
+              .when(col("ngram_hit"), "ngram")
+              .when(col("embedding_hit"), "embedding")
+              .otherwise("clean").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+              |ngc AS (SELECT t.doc_id, count(ev.s) > 0 AS ngram_hit
+              |        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) t
+              |        LEFT JOIN ev ON t.s = ev.s GROUP BY t.doc_id),
+              |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |evv AS (SELECT * FROM emb WHERE vec_id % 50 = 0),
+              |trv AS (SELECT * FROM emb WHERE vec_id % 50 <> 0),
+              |mc AS (SELECT t.vec_id AS doc_id,
+              |         max(round(list_cosine_similarity(t.v, e2.v), 5)) >= 0.4 AS embedding_hit
+              |       FROM trv t, evv e2 GROUP BY t.vec_id)
+              |SELECT n.doc_id, n.ngram_hit, m.embedding_hit,
+              |       CASE WHEN n.ngram_hit AND m.embedding_hit THEN 'both'
+              |            WHEN n.ngram_hit THEN 'ngram'
+              |            WHEN m.embedding_hit THEN 'embedding'
+              |            ELSE 'clean' END AS verdict
+              |FROM ngc n JOIN mc m USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
+
     // Intra-document line dedup (Lee et al. 2022, within-doc half):
     // repeated lines dropped keeping first occurrence. The synthetic
     // corpus is single-line, so each doc plants its own first-50-chars
