@@ -11,14 +11,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * map to TimestampType. Read it as raw nanos (legacy conf, session-
-    * scoped) and floor-convert to a microsecond TimestampType column —
-    * the same instant DuckDB sees, sub-micro digits truncated. */
+  /** `events.ts` appears in two driver testdata generations: parquet
+    * TIMESTAMP(NANOS) (Spark 4 only maps it via the nanos-as-long
+    * legacy conf → LongType nanos) and plain TIMESTAMP(MICROS) without
+    * UTC adjustment (→ TIMESTAMP_NTZ). Normalize both to a microsecond
+    * TimestampType column — the same wall-clock instants DuckDB sees
+    * (session TZ is pinned to UTC everywhere), sub-micro digits
+    * truncated in the nanos generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -160,6 +160,60 @@ object TextOps {
         max(when(col("__rn") === expr("(__n * 9 + 9) div 10"), col("score"))).as("p90"))
   }
 
+  /** Model-based quality classification: a Naive Bayes unigram
+    * classifier TRAINED on the corpus from a weak rule label and
+    * applied back to every document — the distributed form of the
+    * classifier-filter step in public curation pipelines (CCNet /
+    * GPT-3's WebText classifier: label a seed set by rule, learn
+    * token weights, score the whole corpus). Naive Bayes is chosen
+    * over an iterative optimizer deliberately: training and scoring
+    * are pure counts + logs, so the fitted model and every score are
+    * exact, engine-reproducible relational algebra.
+    *
+    * `labels` is (idCol, label: boolean) — the weak rule output.
+    * Per-token Laplace-smoothed log-likelihood-ratio weights are
+    * rounded to 1e-6 and summed as exact integer micros, so doc
+    * scores are independent of partitioning and evaluation order.
+    * Output: (idCol, label_weak, nb_score, nb_pass, agree).
+    *
+    * Scale: rides the Memo'd (id, w, tf) pass shared with TF-IDF /
+    * BM25; class totals and the prior are 1-row broadcast cross-joins;
+    * the weight table is vocabulary-sized (AQE broadcasts it under
+    * threshold, sort-merge joins above); the per-doc reduce is one
+    * map-side-combinable aggregation keyed by id. */
+  def nbQuality(df: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame): DataFrame = {
+    val lab = labels.select(col(idCol), col("label"))
+    val tf = termFrequencies(df, idCol, textCol)
+    val tfl = tf.join(lab, Seq(idCol))
+    val cls = tfl.agg(
+      sum(when(col("label"), col("tf")).otherwise(0L)).as("n1"),
+      sum(when(not(col("label")), col("tf")).otherwise(0L)).as("n0"),
+      countDistinct(col("w")).as("v"))
+    val wt = tfl.groupBy(col("w")).agg(
+        sum(when(col("label"), col("tf")).otherwise(0L)).as("c1"),
+        sum(when(not(col("label")), col("tf")).otherwise(0L)).as("c0"))
+      .crossJoin(broadcast(cls))
+      .select(col("w"),
+        round((log((col("c1") + lit(1.0)) / (col("n1") + col("v"))) -
+               log((col("c0") + lit(1.0)) / (col("n0") + col("v")))) * 1e6, 0)
+          .cast("long").as("llr_micro"))
+    val sc = tf.join(wt, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("llr_micro")).as("s_micro"))
+    val prior = lab.agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("d1"),
+        sum(when(not(col("label")), 1L).otherwise(0L)).as("d0"))
+      .select(round(log(col("d1").cast("double") / col("d0")) * 1e6, 0)
+        .cast("long").as("p_micro"))
+    val total = col("p_micro") + col("s_micro")
+    lab.join(sc, Seq(idCol)).crossJoin(broadcast(prior))
+      .select(col(idCol), col("label").as("label_weak"),
+        round(total / 1e6, 6).as("nb_score"),
+        (total > 0).as("nb_pass"),
+        ((total > 0) === col("label")).as("agree"))
+  }
+
   /** Language-ID by stopword voting: most stopword hits wins, ties
     * broken by language code; no hits → 'und'. The dictionary is
     * broadcast (≪ data); one shuffle on id for the argmax. */

@@ -1165,6 +1165,52 @@ object ExtQueries {
               |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN score END) AS p90
               |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    // MODEL-BASED quality filter (CCNet / GPT-3 WebText-classifier
+    // shape): train a Naive Bayes unigram classifier on a weak rule
+    // label (stopword_ratio >= 0.03 — the corpus median, so both
+    // classes are populated at every SF), score every doc with the
+    // learned token weights. NB keeps train+score exact relational
+    // algebra, so the driver oracle checks the MODEL, not just the
+    // plumbing. Rides the Memo'd (id,w,tf) pass of the TF-IDF family.
+    Q("text_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = TextOps.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
+        TextOps.nbQuality(docs, "doc_id", "text", labels).orderBy("doc_id")
+      },
+      Some(s"""WITH lab AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) >= 0.03 AS label
+              |  FROM documents),
+              |tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              |  FROM documents),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |tfl AS (SELECT tf.doc_id, tf.w, tf.tf, lab.label
+              |        FROM tf JOIN lab USING (doc_id)),
+              |cls AS (SELECT sum(CASE WHEN label THEN tf ELSE 0 END) AS n1,
+              |               sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS n0,
+              |               count(DISTINCT w) AS v FROM tfl),
+              |wt AS (SELECT w,
+              |         CAST(round((ln((sum(CASE WHEN label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n1 + cls.v))
+              |                   - ln((sum(CASE WHEN NOT label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n0 + cls.v))) * 1000000, 0) AS BIGINT) AS llr_micro
+              |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
+              |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
+              |       FROM tf JOIN wt USING (w) GROUP BY 1),
+              |pr AS (SELECT CAST(round(ln(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1.0
+              |                / sum(CASE WHEN NOT label THEN 1 ELSE 0 END)) * 1000000, 0)
+              |         AS BIGINT) AS p_micro FROM lab)
+              |SELECT lab.doc_id, lab.label AS label_weak,
+              |  round((pr.p_micro + sc.s_micro) / 1000000.0, 6) AS nb_score,
+              |  (pr.p_micro + sc.s_micro) > 0 AS nb_pass,
+              |  ((pr.p_micro + sc.s_micro) > 0) = lab.label AS agree
+              |FROM lab JOIN sc USING (doc_id), pr
+              |ORDER BY lab.doc_id""".stripMargin)),
+
     // Token counting: whitespace, alnum-regex, actual greedy-subword
     // merges over the fixed vocab (n_bpe), and chars/4 (n_bpe_est)
     Q("text_token_counts",

@@ -21,25 +21,36 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet schema for streaming reads of the driver's events table
-    * (ts is TIMESTAMP(NANOS); with the nanos-as-long conf it arrives
-    * as LongType nanos — converted to micros TimestampType here). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Parquet schema for streaming reads of the driver's events table,
+    * parameterized on the ts physical type: the driver testdata has
+    * shipped both TIMESTAMP(NANOS) (nanos-as-long conf → LongType) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (→ TIMESTAMP_NTZ).
+    */
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Stream the events table from an sf directory (the streaming file
-    * source requires a directory; the glob picks the events parquet). */
+    * source requires a directory; the glob picks the events parquet).
+    * The streaming source needs an explicit schema, so the ts physical
+    * type is probed once from the file footer via a batch read; both
+    * generations normalize to micros TimestampType (session TZ is UTC,
+    * so the NTZ cast is value-preserving). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling event-time counts per type, append-mode capable. */
