@@ -157,16 +157,39 @@ object Similarity {
     * precision resolve to the smallest eval id on every engine.
     *
     * Scale: eval sets are small by definition (benchmark-sized vs a
-    * corpus), so the eval side broadcasts and the scan is a single
-    * map-side pass over the corpus with a map-side-combined max
-    * aggregation — the corpus never shuffles. */
+    * corpus), so the eval side normally broadcasts and the scan is a
+    * single map-side pass over the corpus with a map-side-combined max
+    * aggregation — the corpus never shuffles. But "small by
+    * definition" is a promise, not a measurement (the span kernel made
+    * the same promise in r5 and met a big input), so the broadcast is
+    * size-GATED: one metadata-sized agg measures the eval side; above
+    * `maxBroadcastBytes` the same pair coverage runs as a bucketed
+    * equi-join — train rows keep one bucket, eval rows replicate to
+    * all B buckets — so a large eval set degrades to a shuffle
+    * instead of driving itself through the driver. Both paths feed
+    * the identical scoring/argmax tail (spec-equal by construction +
+    * SimilaritySpec pins it). */
   def evalContamination(train: DataFrame, evalSet: DataFrame, idCol: String,
-      vecCol: String, tau: Double): DataFrame = {
+      vecCol: String, tau: Double,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val t = prep(train, idCol, vecCol)
     val ev = prep(evalSet, idCol, vecCol)
       .select(col(idCol).as("__eid"), col("v").as("__ev"),
         col("nrm").as("__en"))
-    t.crossJoin(broadcast(ev))
+    // ~8 bytes per vector element + id/norm/struct overhead per row
+    val est = ev.agg(coalesce(sum(size(col("__ev"))), lit(0L)).as("e"),
+      count(lit(1)).as("n")).head()
+    val estBytes = 8L * est.getLong(0) + 32L * est.getLong(1)
+    val paired =
+      if (estBytes <= maxBroadcastBytes) t.crossJoin(broadcast(ev))
+      else {
+        val b = math.max(1,
+          t.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        val tb = t.withColumn("__bk", pmod(hash(col(idCol)), lit(b)))
+        val eb = ev.withColumn("__bk", explode(sequence(lit(0), lit(b - 1))))
+        tb.join(eb, "__bk").drop("__bk")
+      }
+    paired
       .select(col(idCol), col("__eid"),
         round(call_function("array_dot", col("v"), col("__ev"))
           / (col("nrm") * col("__en")), 5).as("__cos"))

@@ -201,10 +201,15 @@ object TextOps {
     val sc = tf.join(wt, Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("tf") * col("llr_micro")).as("s_micro"))
+    // greatest(_,1): if the weak label ever degenerates to a single
+    // class at some SF, the un-clamped ratio is 0 or Infinity and the
+    // ANSI cast of round(ln) to long crashes — clamp both counts (the
+    // DuckDB oracle clamps identically, keeping bit-parity)
     val prior = lab.agg(
         sum(when(col("label"), 1L).otherwise(0L)).as("d1"),
         sum(when(not(col("label")), 1L).otherwise(0L)).as("d0"))
-      .select(round(log(col("d1").cast("double") / col("d0")) * 1e6, 0)
+      .select(round(log(greatest(col("d1"), lit(1L)).cast("double") /
+                        greatest(col("d0"), lit(1L))) * 1e6, 0)
         .cast("long").as("p_micro"))
     val total = col("p_micro") + col("s_micro")
     lab.join(sc, Seq(idCol)).crossJoin(broadcast(prior))

@@ -32,14 +32,14 @@ object ClusterSample {
       val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
         .withColumn("__f", array_to_vector(col("vn")))
-      // k-means||'s fit varies with the partitioning it sees (measured
-      // in ml_dist_path_parity: a label flip at local[8]/sf0.01), so
-      // the fit reads a CANONICAL layout — fixed partition count keyed
-      // on the id, sorted within partitions — making the model, hence
-      // which rows survive the cap, identical at any parallelism
-      val canon = e.repartition(8, col(idCol)).sortWithinPartitions(idCol)
+      // the fit reads [[CanonicalFit]]'s layout: a bounded seeded
+      // sample in a fixed id-keyed partitioning — the model, hence
+      // which rows survive the cap, is identical at any parallelism,
+      // and the fit cost is flat in corpus size; the full corpus is
+      // assigned map-side below via the model's broadcast centers
       val model = new KMeans().setK(nClusters).setSeed(seed)
-        .setFeaturesCol("__f").setPredictionCol("centroid_id").fit(canon)
+        .setFeaturesCol("__f").setPredictionCol("centroid_id")
+        .fit(CanonicalFit.fitInput(e, idCol, seed))
       model.transform(e)
         .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
         .withColumn("samp_key",

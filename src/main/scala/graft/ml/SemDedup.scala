@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * the paper's own scaling trick: pair volume falls from C(n,2) to
   * ~k·C(n/k,2), and the within-cluster self-join is an equi-join on
   * centroid_id that AQE handles like any other skew-prone join. The
-  * KMeans fit reads a CANONICAL layout (fixed partition count keyed
-  * on id, sorted within partitions — [[ClusterSample]]'s regime), so
-  * the clustering, hence the dedup decision, is identical at any
-  * parallelism. The group closure reuses the shared union-find
+  * KMeans fit reads [[CanonicalFit]]'s layout — a bounded seeded
+  * sample in a fixed id-keyed partitioning — so the clustering,
+  * hence the dedup decision, is identical at any parallelism AND the
+  * fit cost is flat in corpus size (the full corpus is assigned
+  * map-side via the model's broadcast centers, never reshaped for
+  * the fit). The group closure reuses the shared union-find
   * ([[Components.minLabel]]) and the keeper selection reuses
   * [[graft.ext.Dedup.dedupGroupsBest]] with score = −cent_sim.
   * The assignment (fit + centroid similarity) is memoized per
@@ -45,9 +47,9 @@ object SemDedup {
       val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
         .withColumn("__f", array_to_vector(col("vn")))
-      val canon = e.repartition(8, col(idCol)).sortWithinPartitions(idCol)
       val model = new KMeans().setK(nClusters).setSeed(seed)
-        .setFeaturesCol("__f").setPredictionCol("centroid_id").fit(canon)
+        .setFeaturesCol("__f").setPredictionCol("centroid_id")
+        .fit(CanonicalFit.fitInput(e, idCol, seed))
       // normalized centroids as a tiny broadcast lookup; cent_sim =
       // cosine(vn, centroid) via the codegen'd array_dot
       val centDf = model.clusterCenters.map(_.toArray).zipWithIndex

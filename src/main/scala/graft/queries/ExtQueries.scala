@@ -1201,8 +1201,8 @@ object ExtQueries {
               |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
               |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
               |       FROM tf JOIN wt USING (w) GROUP BY 1),
-              |pr AS (SELECT CAST(round(ln(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1.0
-              |                / sum(CASE WHEN NOT label THEN 1 ELSE 0 END)) * 1000000, 0)
+              |pr AS (SELECT CAST(round(ln(greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1) * 1.0
+              |                / greatest(sum(CASE WHEN NOT label THEN 1 ELSE 0 END), 1)) * 1000000, 0)
               |         AS BIGINT) AS p_micro FROM lab)
               |SELECT lab.doc_id, lab.label AS label_weak,
               |  round((pr.p_micro + sc.s_micro) / 1000000.0, 6) AS nb_score,

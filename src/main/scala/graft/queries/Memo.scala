@@ -59,11 +59,16 @@ private[graft] object Memo {
     val it = releaseListeners.iterator(); while (it.hasNext) it.next()(k)
   }
 
-  /** Bench-retry support: while recording, every internal key touched by
-    * [[cached]] (hit or miss) is collected, so the bench can later
-    * [[release]] exactly the entries a full-Memo query materialized and
-    * re-run it genuinely cold. Bench runs queries sequentially; this is
-    * not meant for concurrent recorders. */
+  /** Bench-retry support: while recording, every internal key whose
+    * entry [[cached]] MATERIALIZED (build-misses only — hits on
+    * pre-existing entries are NOT recorded) is collected, so the bench
+    * can later [[release]] exactly the entries a full-Memo query's cold
+    * run built and re-run it genuinely cold without evicting passes
+    * shared with other queries. (Recording hits too was VERDICT r7 #1:
+    * the fullMemo retry released shared passes, sabotaging the
+    * decorrelated-retry defense for every later sharing query.) Bench
+    * runs queries sequentially; this is not meant for concurrent
+    * recorders. */
   private val recording = new java.util.HashSet[String]
   private var recordOn = false
   def startRecording(): Unit = memo.synchronized { recordOn = true; recording.clear() }
@@ -88,10 +93,14 @@ private[graft] object Memo {
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = s"${System.identityHashCode(s)}|$key"
     memo.synchronized {
-      if (recordOn) recording.add(k)
       val hit = memo.get(k)
       if (hit != null) { lastTouch.put(k, tick); hit }
-      else { val df = build.cache(); memo.put(k, df); lastTouch.put(k, tick); df }
+      else {
+        // misses only: a hit means some earlier query owns this entry;
+        // recording it would let the bench retry release a shared pass
+        if (recordOn) recording.add(k)
+        val df = build.cache(); memo.put(k, df); lastTouch.put(k, tick); df
+      }
     }
   }
 

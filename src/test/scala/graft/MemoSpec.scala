@@ -40,18 +40,29 @@ class MemoSpec extends SparkSpec {
     assert(Memo.entryCount <= before + 1)
   }
 
-  test("recording captures touched keys; release drops exactly those, cold rebuild follows") {
+  test("recording captures MISSES only; release drops exactly those, cold rebuild follows") {
     import spark.implicits._
     Memo.startRecording()
     val a = Memo.cached(spark, "memospec|rec-a")(Seq(1).toDF("x"))
     Memo.cached(spark, "memospec|rec-b")(Seq(2).toDF("x"))
     val keys = Memo.stopRecording()
     assert(keys.size == 2, s"expected 2 recorded keys, got ${keys.size}")
-    // a HIT while recording is also captured (shared upstream passes)
+    // a HIT on a pre-existing entry is NOT recorded: that entry belongs
+    // to an earlier query, and releasing it would evict a shared pass
+    // (VERDICT r7 #1 — the fullMemo retry broke downstream sharers)
     Memo.startRecording()
     Memo.cached(spark, "memospec|rec-a")(sys.error("must be cached"))
     val hitKeys = Memo.stopRecording()
-    assert(hitKeys.size == 1, "cache hit must be recorded too")
+    assert(hitKeys.isEmpty,
+      s"hit on pre-existing entry must NOT be recorded, got $hitKeys")
+    // ...but a miss-then-hit within ONE recording window records the
+    // key once: the recorder materialized it, so it owns it
+    Memo.startRecording()
+    Memo.cached(spark, "memospec|rec-c")(Seq(3).toDF("x"))
+    Memo.cached(spark, "memospec|rec-c")(sys.error("must be cached"))
+    val ownKeys = Memo.stopRecording()
+    assert(ownKeys.size == 1, "self-materialized entry must be recorded once")
+    Memo.release(ownKeys)
     val released = Memo.release(keys)
     assert(released == 2, s"expected both entries released, got $released")
     assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,

@@ -73,6 +73,21 @@ class SemDedupSpec extends SparkSpec {
     assert(math.abs(byId(1L)._3 - math.cos(math.toRadians(5))) < 1e-4)
   }
 
+  test("evalContamination: bucketed fallback (gate forced to 0) equals the broadcast path") {
+    import graft.ext.Similarity
+    // a large-enough frame that several buckets are actually populated
+    val ev = (0 until 17).map(i => (100L + i, unit(i * 21 % 180)))
+      .toDF("vec_id", "embedding")
+    val tr = (0 until 53).map(i => (i.toLong, unit(i * 7 % 180)))
+      .toDF("vec_id", "embedding")
+    val bc = Similarity.evalContamination(tr, ev, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect().toSeq
+    val fb = Similarity.evalContamination(tr, ev, "vec_id", "embedding", 0.9,
+        maxBroadcastBytes = 0L)
+      .orderBy("vec_id").collect().toSeq
+    assert(bc == fb, "gated fallback must be bitwise-equal to the broadcast plan")
+  }
+
   test("semDedup: exact-duplicate vectors tie-break to the smaller id") {
     val d = Seq((7L, unit(45)), (8L, unit(45)), (9L, unit(135)))
       .toDF("vec_id", "embedding")
