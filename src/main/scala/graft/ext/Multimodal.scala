@@ -469,92 +469,181 @@ object Multimodal {
     * sample is a self-contained JPEG image. */
   private[graft] val MjpegCodecs = Set("jpeg", "mjpa", "mjpb")
 
-  /** REAL video pixel decode for Motion-JPEG tracks — the one video
-    * codec decodable with the pure-JDK ImageIO path: locate the first
-    * sample of the first MJPEG track via the container tables, slice
-    * it out of mdat, decode the JPEG, and return
-    * (width, height, [meanGray, stdGray]) over raster band 0 (raw
-    * component values — no getRGB color-space conversion, so a
-    * grayscale JPEG's statistics are exact and closed-form-checkable).
-    * None when the payload is not MP4, has no MJPEG track, or the
-    * sample doesn't decode — callers fall through to the histogram
-    * stub exactly as for any other codec. */
-  private[graft] def decodeMjpegFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
-    firstSamples(bytes).flatMap { tracks =>
-      tracks.collectFirst { case (c, off, len) if MjpegCodecs(c) => (off, len) }
-        .flatMap { case (off, len) =>
-          val sample = java.util.Arrays.copyOfRange(
-            bytes, off.toInt, (off + len).toInt)
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sample))
-            catch { case _: Exception => null }
-          if (img == null) None
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val raster = img.getRaster
-            var sum = 0.0
-            var sumSq = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = raster.getSample(x, y, 0).toDouble
-                sum += v; sumSq += v * v
-                x += 1
+  /** Per-trak ALL-SAMPLES locator for single-chunk tracks:
+    * (codec 4cc, chunk offset, per-sample byte sizes) from
+    * stsd + stsz + stco/co64. Sample j starts at
+    * chunkOff + Σ sizes[0..j-1] — the contiguous layout of a
+    * single-chunk track (stco entry_count 1), which is how
+    * self-contained short clips (and the MJPEG fixtures) are laid
+    * out. Range validation happens at decode time per sample, so a
+    * truncated tail degrades to the decodable prefix, never a throw. */
+  private[graft] def trackSamples(bytes: Array[Byte]): Option[Seq[(String, Long, Array[Long])]] = {
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, u64, walk, descend}
+    try {
+      var sawMoov = false
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Long])]
+      val ok = walk(0, bytes.length) { (typ, off, end) =>
+        if (typ == "moov") {
+          sawMoov = true
+          walk(off, end) { (t, o, e) =>
+            if (t == "trak") {
+              var codec: String = null
+              var sizes: Array[Long] = Array.emptyLongArray
+              var offset = -1L
+              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                t4 match {
+                  case "stsd" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
+                    codec = new String(bytes, o4 + 12, 4, "US-ASCII")
+                  case "stsz" if e4 - o4 >= 12 =>
+                    val fixed = u32(o4 + 4)
+                    val n = u32(o4 + 8).toInt
+                    // same bounds discipline as parseMp4SampleSizes: the
+                    // constant-size expansion is capped so a crafted
+                    // count can't OOM the task
+                    sizes =
+                      if (fixed != 0 && n >= 0 && n <= (1 << 24)) Array.fill(n)(fixed)
+                      else if (fixed == 0 && n >= 0 && e4 - o4 >= 12 + 4L * n)
+                        Array.tabulate(n)(j => u32(o4 + 12 + 4 * j))
+                      else Array.emptyLongArray
+                  case "stco" if e4 - o4 >= 12 && u32(o4 + 4) >= 1 =>
+                    offset = u32(o4 + 8)
+                  case "co64" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
+                    offset = u64(o4 + 8)
+                  case _ => ()
+                }
               }
-              y += 1
+              if (codec != null && sizes.nonEmpty && offset >= 0)
+                out += ((codec, offset, sizes))
             }
-            val n = (w.toLong * h).toDouble
-            val mean = sum / n
-            Some((w, h, Array(mean, math.sqrt(sumSq / n - mean * mean))))
+          }
+          ()
+        }
+      }
+      if (ok && sawMoov) Some(out.toSeq) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Band-0 raster moments of a decoded image: (width, height, mean,
+    * std) over raw component values — no getRGB color-space
+    * conversion, so a grayscale JPEG's statistics are exact and
+    * closed-form-checkable. */
+  private def grayStats(img: java.awt.image.BufferedImage): (Int, Int, Double, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0.0
+    var sumSq = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toDouble
+        sum += v; sumSq += v * v
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mean = sum / n
+    (w, h, mean, math.sqrt(sumSq / n - mean * mean))
+  }
+
+  /** REAL video pixel decode for Motion-JPEG tracks — the one video
+    * codec decodable with the pure-JDK ImageIO path: locate the
+    * samples of the first MJPEG track via the container tables
+    * ([[trackSamples]]), slice each out of mdat, decode the JPEG, and
+    * emit (frame 1-based, width, height, meanGray, stdGray) per
+    * sample — at most `maxFrames` (BOUNDED: a long clip costs
+    * O(maxFrames) decodes, not O(track length); MJPEG is all-intra,
+    * so every sample is a keyframe). Samples that fall outside the
+    * file or fail to decode are skipped — degrade, never throw.
+    * Empty when the payload is not MP4 or has no MJPEG track. */
+  private[graft] def decodeMjpegFrames(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] =
+    trackSamples(bytes).toSeq.flatMap { tracks =>
+      tracks.collectFirst {
+        case (c, off, sizes) if MjpegCodecs(c) && sizes.nonEmpty => (off, sizes)
+      }.toSeq.flatMap { case (off, sizes) =>
+        val bounded = sizes.take(maxFrames)
+        val starts = bounded.scanLeft(off)(_ + _)
+        bounded.indices.flatMap { i =>
+          val s = starts(i)
+          val len = bounded(i)
+          if (s < 0 || len <= 0 || s + len > bytes.length) None
+          else {
+            val sample = java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt)
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sample))
+              catch { case _: Exception => null }
+            if (img == null) None
+            else {
+              val (w, h, mean, std) = grayStats(img)
+              Some((i + 1, w, h, mean, std))
+            }
           }
         }
+      }
+    }
+
+  /** First-frame convenience over [[decodeMjpegFrames]] — the decode
+    * dispatch's MJPEG hook. None when no frame decodes — callers fall
+    * through to the histogram stub exactly as for any other codec. */
+  private[graft] def decodeMjpegFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeMjpegFrames(bytes, 1).headOption.map { case (_, w, h, mean, std) =>
+      (w, h, Array(mean, std))
     }
 
   /** Deterministic MJPEG-in-MP4 fixture for id: ftyp + mdat carrying
-    * ONE complete JPEG sample + moov whose single trak's stsd says
-    * 'jpeg', stsz sizes the sample, and stco points at the mdat
-    * payload. The JPEG is a 16×16 grayscale image of four constant
-    * 8×8 quadrants g_q = (id·(31+6q) + 11+5q) mod 256, encoded at
+    * `nFrames` complete JPEG samples laid out contiguously + moov
+    * whose single trak's stsd says 'jpeg', stsz lists every sample
+    * size explicitly, stss marks every sample a keyframe (MJPEG is
+    * all-intra), and stco points at the mdat payload. Each frame f is
+    * a 16×16 grayscale image of four constant 8×8 quadrants
+    * g_{q,f} = (id·(31+6q) + 11+5q + 29f) mod 256, encoded at
     * quality 1.0 (all-ones quant tables): a constant block is DC-only
     * under the DCT, so the round-trip is bit-exact and an external
-    * oracle computes the decoded mean/std in closed form from id —
-    * the fixture discipline of syntheticBmp, extended through a lossy
-    * codec by staying on its lossless fixed points. */
-  def syntheticMjpegMp4(id: Long): Array[Byte] = {
+    * oracle computes every decoded frame's mean/std in closed form
+    * from (id, f) — the fixture discipline of syntheticBmp, extended
+    * through a lossy codec by staying on its lossless fixed points. */
+  def syntheticMjpegMp4(id: Long, nFrames: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     def be32(v: Long) = Array[Byte](
       ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
       ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
-    // the JPEG sample: 16×16 gray, four constant 8×8 quadrants
-    val img = new java.awt.image.BufferedImage(
-      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    var y = 0
-    while (y < 16) {
-      var x = 0
-      while (x < 16) {
-        val q = (y / 8) * 2 + (x / 8)
-        img.getRaster.setSample(x, y, 0, ((id * (31 + 6 * q) + 11 + 5 * q) % 256).toInt)
-        x += 1
+    // one JPEG sample per frame: 16×16 gray, four constant 8×8 quadrants
+    def frameJpeg(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val q = (y / 8) * 2 + (x / 8)
+          img.getRaster.setSample(x, y, 0,
+            ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = wr.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); wr.dispose()
+      bos.toByteArray
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = wr.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(1.0f)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    wr.setOutput(ios)
-    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close(); wr.dispose()
-    val jpeg = bos.toByteArray
+    val jpegs = (0 until nFrames).map(frameJpeg)
 
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
-    val mdat = box("mdat", jpeg)
+    val mdat = box("mdat", jpegs.flatten.toArray)
     val mdatPayloadOff = ftyp.length + 8L
     val mvhd = box("mvhd",
       be32(0) ++ be32(0) ++ be32(0) ++
@@ -565,9 +654,12 @@ object Multimodal {
         be32(2))
     val stsd = box("stsd", be32(0) ++ be32(1) ++
       box("jpeg", new Array[Byte](8)))
-    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(1) ++ be32(jpeg.length.toLong))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames.toLong) ++
+      jpegs.flatMap(j => be32(j.length.toLong)).toArray)
+    val stss = box("stss", be32(0) ++ be32(nFrames.toLong) ++
+      (1 to nFrames).flatMap(f => be32(f.toLong)).toArray)
     val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
-    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    val stbl = box("stbl", stsd ++ stsz ++ stss ++ stco)
     val trak = box("trak",
       box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1)) ++
         box("mdia", box("minf", stbl)))

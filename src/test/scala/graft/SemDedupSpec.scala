@@ -88,6 +88,19 @@ class SemDedupSpec extends SparkSpec {
     assert(bc == fb, "gated fallback must be bitwise-equal to the broadcast plan")
   }
 
+  test("epsPairs: confined scan == co-clustered subset of the exact scan") {
+    import graft.ext.Dedup
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val asg = SemDedup.assignments(emb, "vec_id", "embedding", 2)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val within = exact.filter { case (a, b) => asg(a) == asg(b) }
+    val confined = SemDedup.epsPairs(emb, "vec_id", "embedding", 2, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(confined == within,
+      s"confined scan must find exactly the co-clustered exact pairs: $confined vs $within")
+  }
+
   test("semDedup: exact-duplicate vectors tie-break to the smaller id") {
     val d = Seq((7L, unit(45)), (8L, unit(45)), (9L, unit(135)))
       .toDF("vec_id", "embedding")
