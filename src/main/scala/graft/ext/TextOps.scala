@@ -480,25 +480,47 @@ object TextOps {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, m: Int = 64): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
-    val spark = df.sparkSession
     // the whole weight frame (one small row per doc) is the Memo'd
     // unit: the scorer (text_dsir_weights) builds it, the selector
     // (text_dsir_select) reuses it — scoring pays for the ngram pass
     // once per corpus, like every other shared-pass family
-    graft.queries.Memo.cached(spark,
+    graft.queries.Memo.cached(df.sparkSession,
       s"dsir|$m|$targetPred|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}") {
+      dsirScoreWith(df, idCol, textCol, targetPred,
+        dsirRatioTable(df, idCol, textCol, targetPred, m), m)
+    }
+  }
+
+  /** Hashed-ngram featurization shared by the DSIR paths: one
+    * (idCol, __b, __c) row per (doc, bucket) — whitespace unigrams +
+    * bigrams md5-hashed into m buckets, one map-side-combined groupBy. */
+  private def dsirBuckets(df: DataFrame, idCol: String, textCol: String,
+      m: Int): DataFrame = {
     val toks = tokensCol(col(textCol))
     val bigrams = zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val perDoc = df.select(col(idCol), col(textCol))
+    df.select(col(idCol), col(textCol))
       .select(col(idCol), explode(concat(toks, bigrams)).as("__ng"))
       .select(col(idCol), expr(
         s"cast(conv(substr(md5(__ng), 1, 8), 16, 10) as bigint) % $m").as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    val byBucket = perDoc
-      .join(df.select(col(idCol), targetPred.as("__t")), Seq(idCol))
+  }
+
+  /** The m-row importance log-ratio table fit on a REFERENCE corpus:
+    * (__b, __lr) with `__lr = ln p̂_tgt[b] − ln p̂_raw[b]`, add-one
+    * smoothed. This is DSIR's offline artifact — fit once, then
+    * broadcast-stable across any number of scoring passes or
+    * streaming epochs ([[graft.streaming.EventStreams
+    * .incrementalDsirSink]]). The bucket totals are a 2-scalar driver
+    * fetch (metadata-sized, same regime as tfidfTopK's doc count). */
+  def dsirRatioTable(ref: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, m: Int = 64): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val spark = ref.sparkSession
+    val byBucket = dsirBuckets(ref, idCol, textCol, m)
+      .join(ref.select(col(idCol), targetPred.as("__t")), Seq(idCol))
       .groupBy(col("__b"))
       .agg(sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
         sum(col("__c")).as("__cr"))
@@ -506,14 +528,26 @@ object TextOps {
       coalesce(sum(col("__ct")), lit(0L)),
       coalesce(sum(col("__cr")), lit(0L))).head()
     val (tt, tr) = (tots.getLong(0), tots.getLong(1))
-    val ratio = spark.range(m).toDF("__b")
+    spark.range(m).toDF("__b")
       .join(byBucket, Seq("__b"), "left")
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
             lit((tt + m).toDouble)) -
           log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
             lit((tr + m).toDouble))).as("__lr"))
-    perDoc.join(broadcast(ratio), Seq("__b"))
+  }
+
+  /** Score `docs` against a FIXED ratio table (the incremental /
+    * streaming path — and the tail of [[dsirWeights]], which fits the
+    * table on the same corpus). Because scoring is per-doc given the
+    * table, scoring a corpus in N slices and unioning equals scoring
+    * it at once — the equivalence the streaming DSIR epochs ride.
+    * Output: (idCol, is_target, n_ngrams, log_w); log_w is an ordered
+    * fold over bucket id — bit-identical at any parallelism. */
+  def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, ratio: DataFrame, m: Int = 64): DataFrame =
+    dsirBuckets(docs, idCol, textCol, m)
+      .join(broadcast(ratio), Seq("__b"))
       .select(col(idCol), col("__b"), col("__c"),
         (col("__c").cast("double") * col("__lr")).as("__term"))
       .groupBy(col(idCol))
@@ -521,10 +555,8 @@ object TextOps {
         round(aggregate(
           sort_array(collect_list(struct(col("__b"), col("__term")))),
           lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("log_w"))
-      .join(df.select(col(idCol), targetPred.as("is_target")), Seq(idCol))
+      .join(docs.select(col(idCol), targetPred.as("is_target")), Seq(idCol))
       .select(col(idCol), col("is_target"), col("n_ngrams"), col("log_w"))
-    }
-  }
 
   /** Code-vs-prose document routing ([EXT] — the corpus-construction
     * step that sends source code and natural language down different

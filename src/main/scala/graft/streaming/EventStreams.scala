@@ -402,6 +402,58 @@ object EventStreams {
     ()
   }
 
+  /** Incremental DSIR scoring epochs (the importance-resampling stage
+    * of a streaming refresh, composing with [[incrementalRefreshSink]]
+    * over the same snapshot feed): each micro-batch is scored against
+    * a FIXED m-row importance log-ratio table — DSIR's production
+    * shape: the table is [[graft.ext.TextOps.dsirRatioTable]]'s
+    * offline artifact, fit ONCE on reference snapshots and
+    * broadcast-stable across every epoch — and written as an
+    * idempotent batch_id partition (dynamic overwrite: a replayed
+    * epoch recomputes identical rows over its own partition). Scoring
+    * is per-doc given the table, so the accumulated state over N
+    * epochs is row-identical to the one-shot batch scorer on the
+    * union, and [[dsirSelectFromState]] equals batch
+    * `text_dsir_select` on the same snapshots (StreamingSpec proves
+    * both). The ratio frame is frozen via localCheckpoint at sink
+    * construction so epochs can never re-fit or re-read it. */
+  def incrementalDsirSink(newDocs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, ratio: DataFrame, m: Int,
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozenRatio = ratio.localCheckpoint()
+    newDocs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        dsirEpoch(batch, batchId, idCol, textCol, targetPred, frozenRatio, m,
+          stateDir)
+    }
+  }
+
+  /** One idempotent DSIR scoring epoch (the foreachBatch body). */
+  private[graft] def dsirEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, targetPred: org.apache.spark.sql.Column,
+      ratio: DataFrame, m: Int, stateDir: String): Unit = {
+    graft.ext.TextOps.dsirScoreWith(batch, idCol, textCol, targetPred, ratio, m)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
+  /** Deterministic top-k selection over the accumulated DSIR state:
+    * (rk, idCol, is_target, log_w) — the exact output shape of batch
+    * `text_dsir_select`, ties broken by id. The state is one small
+    * row per doc, so the TakeOrderedAndProject top-k is the only
+    * non-scan work. */
+  def dsirSelectFromState(spark: SparkSession, stateDir: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = spark.read.parquet(stateDir)
+      .orderBy(col("log_w").desc, col(idCol)).limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("log_w").desc, col(idCol))).cast("long"))
+      .select(col("rk"), col(idCol), col("is_target"), col("log_w"))
+  }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

@@ -412,4 +412,54 @@ class StreamingSpec extends SparkSpec {
       oldFp, cutoff, binTokens, urlDir, outDir)
     assert(snapshotState() == before, "epoch replay mutated state")
   }
+
+  test("streaming DSIR epochs: N-epoch selection equals batch dsir select; replay idempotent") {
+    implicit val sql = spark.sqlContext
+    import graft.ext.TextOps
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_sdsir").toString + "/state"
+    // closed-form corpus: target docs (id % 3 == 0) lean on one token
+    // family, the rest on another — weights separate the classes
+    def mkText(id: Long): String =
+      if (id % 3 == 0) s"alpha beta alpha gamma beta alpha $id"
+      else s"delta epsilon zeta delta epsilon $id"
+    val corpus = (0L until 300L).map(id => (id, mkText(id)))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val targetPred = col("doc_id") % 3 === 0
+
+    // batch reference: the text_dsir_select shape over the full corpus
+    import org.apache.spark.sql.expressions.Window
+    val batchTop = TextOps.dsirWeights(corpusDf, "doc_id", "text", targetPred)
+      .orderBy(col("log_w").desc, col("doc_id")).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("log_w").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("is_target"), col("log_w"))
+      .as[(Long, Long, Boolean, Double)].collect().toSeq
+
+    // the ratio table is fit ONCE on the same snapshots the batch saw,
+    // then broadcast-stable across all epochs
+    val ratio = TextOps.dsirRatioTable(corpusDf, "doc_id", "text", targetPred)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDsirSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", targetPred, ratio, 64, stateDir).start()
+    val slices = corpus.grouped(100).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    def selected() = EventStreams.dsirSelectFromState(spark, stateDir, "doc_id", 50)
+      .as[(Long, Long, Boolean, Double)].collect().toSeq
+    assert(selected() == batchTop,
+      "N-epoch DSIR selection != batch dsir select on the same snapshots")
+    // the selection really spans epochs (not all winners in one slice)
+    val winners = batchTop.map(_._2).toSet
+    assert(slices.count(_.exists(d => winners(d._1))) > 1,
+      "top-k fell inside one epoch — cross-epoch selection untested")
+
+    // at-least-once replay: re-scoring the last epoch changes nothing
+    val before = selected()
+    EventStreams.dsirEpoch(slices.last.toDF("doc_id", "text"),
+      (slices.size - 1).toLong, "doc_id", "text", targetPred,
+      ratio.localCheckpoint(), 64, stateDir)
+    assert(selected() == before, "DSIR epoch replay mutated the selection")
+  }
 }
