@@ -30,11 +30,17 @@ object Ivf {
     * entry consistently. */
   private val centersCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  /** PQ codebooks paired with the Memo'd coded table (same key):
+    * mSub × ksub × dsub doubles — a few KB. Same lifetime discipline
+    * as centersCache. */
+  private val pqBooks =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
   graft.queries.Memo.onRelease { internalKey =>
-    // internal keys are "sessionHash|callerKey"; our callerKey starts
-    // with "ivf|" and is exactly the centersCache key
+    // internal keys are "sessionHash|callerKey"; our callerKeys start
+    // with "ivf|" / "pq|" and are exactly the driver-cache keys
     val raw = internalKey.substring(internalKey.indexOf('|') + 1)
     if (raw.startsWith("ivf|")) centersCache.remove(raw)
+    if (raw.startsWith("pq|")) pqBooks.remove(raw)
   }
 
   /** NOTE on `queryPred`'s column contract: the predicate is resolved
@@ -163,7 +169,15 @@ object Ivf {
     val pool = cand.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= rerank).select("q_id", "n_id")
 
-    // exact re-rank over the survivors — same arithmetic as brute force
+    exactRerank(pool, emb, idCol, vecCol, k)
+  }
+
+  /** Exact cosine re-rank of a (q_id, n_id) candidate pool — the
+    * identical expression shape as bruteForceTopK, so a pool covering
+    * the true top-k yields bitwise the brute-force answer. Shared by
+    * the int8 and PQ compositions. */
+  private def exactRerank(pool: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
     val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
     val scored = pool
       .join(e.select(col(idCol).as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")), "q_id")
@@ -172,5 +186,122 @@ object Ivf {
         (call_function("array_dot", col("q_v"), col("n_v"))
           / (col("q_n") * col("n_n"))).as("cosine"))
     graft.ext.Similarity.rankTopK(scored, k)
+  }
+
+  /** IVF-PQ: PRODUCT-quantized ADC scoring inside the IVF probe, exact
+    * re-rank on the survivors — the FAISS-style IVFPQ production shape
+    * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", IEEE TPAMI 2011 — public paper; [EXT], no reference
+    * counterpart).
+    *
+    * The normalized vector splits into `mSub` contiguous subvectors;
+    * each subspace gets its own seeded ksub-centroid codebook (fit on
+    * [[CanonicalFit]]'s bounded sample — deterministic at any
+    * parallelism, flat in corpus size), and a vector's code is its
+    * per-subspace nearest-centroid ids: mSub·log2(ksub) BITS per
+    * vector (8×16 over 64 dims = 32 bits vs 512 bytes fp64 — the
+    * compression that lets a 100-TB corpus's index live in memory,
+    * where int8's fixed 4× cannot).
+    *
+    * Scoring is ADC (asymmetric distance computation): the query stays
+    * full-precision and precomputes one mSub×ksub lookup table of
+    * subspace dots against the codebook literal; each candidate's
+    * approximate dot is then an ordered fold of mSub table lookups —
+    * `aggregate(zip_with(code, sequence, ...), …)` over the broadcast
+    * LUT column, whole-stage-codegen'd, no UDF in the probe path (the
+    * one UDF is the offline ENCODER, a per-row argmin at index-build
+    * time). Candidates come from the probed IVF cells only; the top
+    * `rerank` per query by ADC score are re-scored with the exact
+    * brute-force cosine, so when the pool covers the true top-k the
+    * output is bitwise the brute-force answer. Deterministic
+    * end-to-end: seeded fits on canonical layout, encoder argmin ties
+    * to the smaller centroid id, ADC fold ordered by subspace, ranks
+    * tie-broken by neighbor id. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, nlist: Int, nprobe: Int, rerank: Int,
+      mSub: Int = 8, ksub: Int = 16, seed: Long = 42): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    require(mSub > 0 && ksub > 1, s"need mSub > 0, ksub > 1; got $mSub/$ksub")
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val probe = probeUdf(spark, centers, nprobe)
+
+    // offline index artifact: per-subspace codebooks + per-vector codes,
+    // memoized beside the IVF index (same build discipline)
+    val keyP = s"pq|${System.identityHashCode(spark)}|$nlist|$mSub|$ksub|$seed|$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}"
+    val coded = graft.queries.Memo.cached(spark, keyP) {
+      val dimRow = bucketed.agg(min(size(col("vn"))).as("mn"),
+        max(size(col("vn"))).as("mx")).head()
+      val dim = dimRow.getInt(0)
+      require(dim == dimRow.getInt(1),
+        s"embedding dims not uniform: $dim vs ${dimRow.getInt(1)}")
+      require(dim % mSub == 0, s"dim $dim not divisible by mSub=$mSub")
+      val dsub = dim / mSub
+      val fitIn = CanonicalFit.fitInput(bucketed, idCol, seed)
+      val books: Array[Array[Array[Double]]] = Array.tabulate(mSub) { m =>
+        val sub = fitIn.select(array_to_vector(
+          slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
+        new KMeans().setK(ksub).setSeed(seed + 31 * m)
+          .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
+          .clusterCenters.map(_.toArray)
+      }
+      pqBooks(keyP) = books
+      val bc = spark.sparkContext.broadcast(books)
+      // the offline ENCODER: per-row per-subspace argmin against the
+      // broadcast codebooks; strict < ties to the smaller centroid id
+      val enc = udf((vn: Seq[Double]) => {
+        val bs = bc.value
+        val ds = vn.length / bs.length
+        Array.tabulate(bs.length) { m =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < bs(m).length) {
+            var d = 0.0; var i = 0
+            while (i < ds) { val t = vn(m * ds + i) - bs(m)(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      })
+      bucketed.withColumn("pq_code", enc(col("vn")))
+    }
+    val books = pqBooks(keyP)
+    val dsub = books(0)(0).length
+    // flattened codebook literal: entry m·ksub + c = centroid subvector
+    val bookLit = typedLit(books.flatMap(_.map(_.toSeq)).toSeq)
+
+    // per-query ADC lookup table: dot of query subvector (i / ksub)
+    // against codebook entry i — one mSub×ksub array per query row
+    val lut = transform(bookLit, (cb, i) =>
+      aggregate(
+        zip_with(
+          slice(col("vn"), (i / lit(ksub)).cast("int") * dsub + lit(1), lit(dsub)),
+          cb, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+    val queries = coded.filter(expr(queryPred))
+      .select(col(idCol).as("q_id"), col("vn"))
+      .withColumn("__lut", lut)
+      .select(col("q_id"), col("__lut"),
+        explode(probe(col("vn"))).as("centroid_id"))
+
+    // ADC pre-rank: candidates in the probed cells, scored by mSub
+    // ordered table lookups; keep the top `rerank` per query
+    val cand = queries
+      .join(coded.select(col(idCol), col("pq_code"), col("centroid_id")),
+        "centroid_id")
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        aggregate(
+          zip_with(col("pq_code"), sequence(lit(0), lit(mSub - 1)), (c, m) =>
+            element_at(col("__lut"), m * lit(ksub) + c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("q_score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_score").desc, col("n_id").asc)
+    val pool = cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= rerank).select("q_id", "n_id")
+
+    exactRerank(pool, emb, idCol, vecCol, k)
   }
 }

@@ -444,6 +444,57 @@ object MlQueries {
              |       true AS recall_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // IVF-PQ composition (round 8 — the FAISS IVFPQ production shape,
+    // Jégou et al. TPAMI 2011): per-subspace codebooks (mSub 8 × ksub
+    // 32 → 40-bit codes, ~100× smaller than fp64 — the compression
+    // that fits a 100-TB corpus's index in memory), ADC scoring inside
+    // the probed cells via a per-query LUT (codegen'd HOF fold, no UDF
+    // in the probe path), exact re-rank of the top-200 survivors. At
+    // full probe the output is bitwise the brute-force answer, so the
+    // oracle is the brute-force top-5 itself — a green row pins ADC
+    // recall 1.0 at this regime AND end-to-end determinism. The pool
+    // is generous because i.i.d. random embeddings are PQ's
+    // adversarial case (no subspace structure), same caveat as the
+    // int8 row's nprobe.
+    Q("sim_ivf_pq_topk",
+      (s, dir) => graft.ml.Ivf.pqTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5, 16, 16, 200, 8, 32)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sc AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |         list_cosine_similarity(q.v, e.v) AS cosine
+             |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM sc)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // IVF-PQ at the PRUNED regime (nprobe 8 of 16): the honesty row —
+    // measured recall@5 vs brute force at the floor the spec pins
+    // (measured 0.90 at sf0.01; floor 0.8, mirroring the int8 row)
+    Q("sim_ivf_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = graft.ext.Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding", "vec_id < 10", 5)
+          .select(col("q_id"), col("n_id"))
+        val ann = graft.ml.Ivf.pqTopK(emb, "vec_id", "embedding",
+            "vec_id < 10", 5, 16, 8, 200, 8, 32)
+          .select(col("q_id"), col("n_id"))
+        val tot = exact.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val hit = exact.join(ann, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        tot.crossJoin(hit)
+          .select(col("n_queries"), col("n_exact"),
+            (col("n_hit") / col("n_exact") >= 0.8).as("recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries,
+             |       CAST(count(*) * 5 AS BIGINT) AS n_exact,
+             |       true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Cluster-balanced (semantic diversity) sampling: KMeans buckets
     // the embedding space, a deterministic md5-ranked cap keeps ≤ 20
     // per cluster (golden digest + semantics in ClusterSampleSpec)

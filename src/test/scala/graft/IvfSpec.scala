@@ -55,6 +55,50 @@ class IvfSpec extends SparkSpec {
     assert(ann.sameElements(exact))
   }
 
+  test("IVF-PQ with full probe recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    // full probe removes cell pruning; the ADC pre-rank's top-200 pool
+    // must contain the true top-5 and the exact re-rank is brute-force
+    // arithmetic — EQUAL, not merely close, despite 40-bit codes (mSub
+    // 8 × ksub 32 over 64 dims — ~100× smaller than fp64). The pool is
+    // deliberately generous: i.i.d. random embeddings are PQ's
+    // adversarial case (no subspace structure to exploit), the same
+    // caveat the quantized-IVF row documents for nprobe.
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 10", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    val ann = Ivf.pqTopK(emb, "vec_id", "embedding", "vec_id < 10", 5, 16, 16, 200, 8, 32)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    assert(ann.sameElements(exact))
+  }
+
+  test("IVF-PQ pruned probe keeps most true neighbors (ADC quality floor)") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 20", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Ivf.pqTopK(emb, "vec_id", "embedding", "vec_id < 20", 5, 16, 8, 200, 8, 32)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      exact(q).count(ann.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean")
+  }
+
+  test("IVF-PQ rejects a non-divisible subspace split and an undersized pool") {
+    intercept[IllegalArgumentException] {
+      Ivf.pqTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", "vec_id < 5", 5, 8, 2, 3) // rerank < k
+    }
+    intercept[IllegalArgumentException] {
+      // 64 dims, mSub 7 — not divisible; must fail loudly, not
+      // silently mis-slice
+      Ivf.pqTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", "vec_id < 5", 5, 8, 2, 10, mSub = 7)
+    }
+  }
+
   test("quantized-IVF rejects a rerank pool smaller than k") {
     intercept[IllegalArgumentException] {
       Ivf.quantizedTopK(Tables.embeddings(spark, sf),

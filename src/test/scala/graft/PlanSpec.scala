@@ -157,6 +157,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
   }
 
+  test("IVF-PQ: codebook is a literal, ADC is codegen'd HOF lookups — no per-dim explode") {
+    // the PQ probe path must stay inside whole-stage codegen: the LUT
+    // is a transform over the codebook LITERAL, candidate scoring is an
+    // aggregate over zip_with table lookups — no Generate of vector
+    // elements, no python. (The nprobe prober and the offline encoder
+    // are scala UDFs by design — probe explodes CELL IDS, ~nprobe rows
+    // per query, never vector dims.)
+    val df = graft.ml.Ivf.pqTopK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "vec_id < 5", 3, 8, 2, 10, 8, 16)
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
+    // Generate appears only for the nprobe cell-id explode — pin that
+    // no PosExplode of vector elements leaked into scoring
+    assert(!plan.contains("posexplode"), "per-dim explode leaked into the PQ plan")
+  }
+
   test("eval contamination: eval side broadcasts, corpus aggregates map-side, no corpus shuffle") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
