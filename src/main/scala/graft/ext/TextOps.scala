@@ -1108,8 +1108,19 @@ object TextOps {
     * nondeterministic. Scale: two count aggregations (bigram +
     * context) and one bigram-keyed join back; the hot join key is a
     * Zipf-skewed bigram, collapsed by map-side partial aggregation
-    * before the shuffle. Docs under 2 words yield no row. */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * before the shuffle. Docs under 2 words yield no row.
+    *
+    * The whole score frame (one small row per doc) is the Memo'd
+    * unit: the scorer (text_lm_score) builds it, the CCNet bucketer
+    * ([[pplBuckets]], text_ppl_buckets) reuses it — the LM pass runs
+    * once per corpus, like the other shared-pass families. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.queries.Memo.cached(df.sparkSession,
+      s"lmscore|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}") {
+      lmScoreUncached(df, idCol, textCol)
+    }
+
+  private def lmScoreUncached(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), tokensCol(col(textCol)).as("w"))
     val bg = toks.filter(size(col("w")) >= 2)
       .select(col(idCol), posexplode(expr(
@@ -1132,6 +1143,41 @@ object TextOps {
       .select(col(idCol), col("n_bigrams"),
         round(col("__sum") / col("n_bigrams"), 6).as("avg_logp"),
         round(exp(-(col("__sum") / col("n_bigrams"))), 4).as("ppl"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 — public paper; [EXT]): per language group,
+    * rank documents by LM perplexity ascending and split into
+    * head/middle/tail TERCILES — head is the lowest-perplexity third
+    * (the slice CCNet keeps outright), tail the highest (dropped or
+    * down-weighted). Rank-exact determinism: ties on the 4dp-rounded
+    * ppl break to the smaller id, and the terciles are `ntile(3)`
+    * over that total order — integer-exact and identical in Spark
+    * and DuckDB (earlier tiles take the remainder: a singleton group
+    * is all head). Docs under 2 words carry no LM score and are
+    * excluded (as in [[lmScore]]).
+    *
+    * Scale: rides the Memo'd [[lmScore]] pass; the ranking is one
+    * window per language partition (languages ≪ corpus — the skew is
+    * inherent to per-language ranking and bounded by the biggest
+    * language's corpus share, the same regime as
+    * [[qualityCalibrate]]'s per-source windows). */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(df, idCol, textCol)
+    val withG = scored.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("ppl").asc, col(idCol).asc)
+    withG
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(groupCol), col("ppl"), col("rk"), col("bucket"))
   }
 
   /** Unicode-script profile per document: the fraction of characters

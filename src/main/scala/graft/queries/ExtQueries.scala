@@ -2337,6 +2337,43 @@ object ExtQueries {
              |       round(exp(-(sm / n_bigrams)), 4) AS ppl
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. LREC
+    // 2020): per-language perplexity terciles over the Memo'd LM pass
+    // — head = lowest-ppl third (kept outright), tail = highest
+    // (dropped/down-weighted). Rank-exact: 4dp-ppl ties break to the
+    // smaller id, tercile cuts are integer comparisons.
+    Q("text_ppl_buckets",
+      (s, dir) => TextOps.pplBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |        string_split_regex(lower(trim(text)), '\s+') AS w
+             |      FROM documents),
+             |bg AS (SELECT doc_id, i AS pos,
+             |         w[CAST(i AS INT) + 1] AS a, w[CAST(i AS INT) + 2] AS b
+             |       FROM tk, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) u
+             |       WHERE len(w) >= 2),
+             |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+             |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+             |vv AS (SELECT count(DISTINCT x) AS V
+             |       FROM (SELECT unnest(w) AS x FROM tk)),
+             |sc AS (SELECT bg.doc_id, bg.pos,
+             |         ln((c_ab + 1.0) / (c_a + V)) AS lp
+             |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv),
+             |ag AS (SELECT doc_id, count(*) AS n_bigrams,
+             |         list(lp ORDER BY pos) AS ls FROM sc GROUP BY doc_id),
+             |s AS (SELECT doc_id, n_bigrams,
+             |        list_reduce(ls, (acc, x) -> acc + x) AS sm FROM ag),
+             |ppl AS (SELECT doc_id, round(exp(-(sm / n_bigrams)), 4) AS ppl FROM s),
+             |r AS (SELECT p.doc_id, d.lang, p.ppl,
+             |        row_number() OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS rk,
+             |        ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS t
+             |      FROM ppl p JOIN documents d USING (doc_id))
+             |SELECT doc_id, lang, ppl, CAST(rk AS BIGINT) AS rk,
+             |  CASE WHEN t = 1 THEN 'head'
+             |       WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Unicode-script profile: per-script character ratios + dominant
     // script from explicit codepoint ranges — the segmentation-free
     // complement to stopword language-ID (classifies unsegmented

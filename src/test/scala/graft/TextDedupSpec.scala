@@ -585,6 +585,30 @@ class TextDedupSpec extends SparkSpec {
     assert(s2(1L) > s2(3L), "dominant-bigram doc should outscore the rare one")
   }
 
+  test("pplBuckets: per-group terciles by perplexity, head = lowest third, short docs excluded") {
+    // group g1: six docs whose ppl ordering is forced by how often
+    // their bigrams repeat corpus-wide (more repeats -> more probable
+    // -> lower ppl); ntile(3) of 6 = 2/2/2. group g2: a singleton is
+    // all head (ntile puts the remainder in earlier tiles). A 1-word
+    // doc carries no LM score and must be absent.
+    val d = (
+      (1L to 6L).map(i => (i, "x y " * i.toInt + "end" + i, "g1")) :+
+      ((7L, "lone pair", "g2")) :+
+      ((8L, "single", "g2"))
+    ).toDF("doc_id", "text", "grp")
+    val out = graft.ext.TextOps.pplBuckets(d, "doc_id", "text", "grp")
+      .select("doc_id", "grp", "rk", "bucket")
+      .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(8L), "1-word doc must be excluded (no LM score)")
+    val g1 = out.values.filter(_._2 == "g1").toSeq.sortBy(_._3)
+    assert(g1.map(_._4) == Seq("head", "head", "middle", "middle", "tail", "tail"),
+      s"tercile cuts wrong: $g1")
+    // more dominant-bigram mass -> lower ppl -> earlier rank
+    assert(out(6L)._3 < out(1L)._3, "doc with most repeated bigrams must rank first")
+    assert(out(7L)._4 == "head" && out(7L)._3 == 1L,
+      "singleton group must be head (ntile remainder goes to earlier tiles)")
+  }
+
   test("tokenEntropy: uniform text scores ln(k), repeated word lowers it") {
     val d = Seq(
       (1L, "aa bb aa"),          // p = 2/3, 1/3 -> H ≈ 0.636514
