@@ -420,6 +420,44 @@ object TextOps {
         col("tokens_target").cast("double") / col("tokens_avail")), 6))
   }
 
+  /** Mixture-plan EXECUTION ([EXT]): apply [[mixturePlan]]'s per-group
+    * sample_rate as a deterministic keep-filter and report the
+    * realized selection — the step that turns the plan into an actual
+    * training-corpus subset. The rate is quantized to basis points
+    * (floor, like [[sampleMixture]]) and a doc survives when its
+    * content-stable md5 bucket falls under its group's rate, so the
+    * selection is reproducible, incremental-friendly (a doc's verdict
+    * never depends on other docs), and within one bucket-quantum of
+    * rate × availability per group. Output per group: the plan's
+    * target, the realized docs/tokens kept, and `fill_frac` =
+    * tokens_kept / tokens_target (the number a mixing run audits —
+    * under-filled groups need epochs > 1, i.e. repetition).
+    *
+    * Scale: the plan is a ≤|groups|-row broadcast; the keep-filter is
+    * per-row column work; the report one map-side-combined groupBy. */
+  def mixtureExecute(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = mixturePlan(df, idCol, textCol, groupCol, weights, budgetTokens)
+      .select(col(groupCol), col("tokens_target"),
+        floor(col("sample_rate") * 10000).cast("long").as("rate_bp"))
+    val tok = tokenCounts(df, idCol, textCol).select(col(idCol), col("n_bpe"))
+    val bucket = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10) % 10000").cast("long")
+    val kept = df.select(col(idCol), col(groupCol)).join(tok, Seq(idCol))
+      .join(broadcast(plan.select(col(groupCol), col("rate_bp"))), Seq(groupCol))
+      .withColumn("__b", bucket)
+      .filter(col("__b") < col("rate_bp"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_bpe")).as("tokens_kept"))
+    plan.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("tokens_target"), col("rate_bp"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        round(coalesce(col("tokens_kept"), lit(0L)).cast("double") /
+          greatest(col("tokens_target"), lit(1L)), 6).as("fill_frac"))
+  }
+
   /** Quality-threshold YIELD CURVE ([EXT]): for each observed quality
     * bin, how many documents and training tokens survive a keep-filter
     * at `score >= threshold` — the chart a curation run is tuned from

@@ -481,6 +481,49 @@ object ExtQueries {
     // md5 dedup and (b) near-dup closure — the before/after accounting
     // every curation run publishes. Fourth consumer of the Memo'd
     // minhash pair pass; the exact stage is one extra md5 groupBy.
+    // Cross-source near-dup audit MATRIX: MinHash-LSH pair counts per
+    // unordered source pair — the artifact that shows WHICH sources
+    // duplicate which (mirror-heavy pairs get a dedup pass ordered
+    // first; a source near-dupping everything is a crawl bug). Fifth
+    // consumer of the Memo'd minhash pair pass; the join against the
+    // (doc_id, source) projection is two id-equi-joins, pairs never
+    // fan out.
+    Q("dedup_source_matrix",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        minhashPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5)
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       count(*) AS n_pairs
+              |FROM pairs JOIN documents da ON da.doc_id = pairs.id_a
+              |JOIN documents db ON db.doc_id = pairs.id_b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("text_dedup_yield",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1250,6 +1293,48 @@ object ExtQueries {
               |       round(least(CAST(1.0 AS DOUBLE),
               |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
               |FROM p2 ORDER BY lang""".stripMargin)),
+
+    // Mixture-plan EXECUTION: the plan's per-language sample_rate
+    // applied as a deterministic md5-bucket keep-filter, with the
+    // realized docs/tokens and fill fraction per group — the audit
+    // row that shows whether the static mix actually lands on target
+    // (under-filled groups need epochs > 1). Same budget/weights as
+    // text_mixture_plan; rides its Memo'd token pass.
+    Q("text_mixture_execute",
+      (s, dir) => TextOps.mixtureExecute(Tables.documents(s, dir), "doc_id",
+          "text", "lang",
+          Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+          10000000L)
+        .orderBy("lang"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT d.lang, CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM documents d JOIN tok t USING (doc_id) GROUP BY d.lang),
+              |p AS (SELECT lang, tokens_avail,
+              |        CAST(round(CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+              |          WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1
+              |          ELSE 0.0 END AS DOUBLE) * 10000000, 0) AS BIGINT) AS tokens_target
+              |      FROM g),
+              |r AS (SELECT lang, tokens_target,
+              |        CAST(floor(round(least(CAST(1.0 AS DOUBLE),
+              |          CAST(tokens_target AS DOUBLE) / tokens_avail), 6) * 10000) AS BIGINT) AS rate_bp
+              |      FROM p),
+              |b AS (SELECT d.doc_id, d.lang, t.n_bpe,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |         substr(md5(CAST(d.doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 10000 AS BIGINT) AS bucket
+              |  FROM documents d JOIN tok t USING (doc_id)),
+              |k AS (SELECT b.lang, count(*) AS docs_kept,
+              |        CAST(sum(b.n_bpe) AS BIGINT) AS tokens_kept
+              |      FROM b JOIN r ON r.lang = b.lang
+              |      WHERE b.bucket < r.rate_bp GROUP BY b.lang)
+              |SELECT r.lang, r.tokens_target, r.rate_bp,
+              |       coalesce(k.docs_kept, 0) AS docs_kept,
+              |       coalesce(k.tokens_kept, 0) AS tokens_kept,
+              |       round(CAST(coalesce(k.tokens_kept, 0) AS DOUBLE)
+              |         / greatest(r.tokens_target, 1), 6) AS fill_frac
+              |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin)),
 
     // Code-vs-prose routing: structural signals + routing decision;
     // every 11th doc gets six closed-form code lines planted so both
