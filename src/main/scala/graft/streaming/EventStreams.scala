@@ -454,6 +454,39 @@ object EventStreams {
       .select(col("rk"), col(idCol), col("is_target"), col("log_w"))
   }
 
+  /** Incremental embedding-space eval-DECONTAMINATION epochs (the
+    * semantic-contamination audit as a streaming stage, composing with
+    * [[incrementalDsirSink]] over the same snapshot feed): each
+    * micro-batch of train vectors is scored against a FIXED eval set —
+    * frozen via localCheckpoint at sink construction, the same
+    * broadcast-stable-artifact discipline as the DSIR ratio table —
+    * and written as an idempotent batch_id partition. The nearest-eval
+    * argmax is per-train-vector (no cross-doc state), so the
+    * accumulated epochs are row-identical to the one-shot batch
+    * [[graft.ext.Similarity.evalContamination]] on the union
+    * (StreamingSpec proves it, replay included). */
+  def incrementalContaminationSink(newDocs: DataFrame, idCol: String,
+      vecCol: String, evalSet: DataFrame, tau: Double,
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozenEval = evalSet.localCheckpoint()
+    newDocs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        contaminationEpoch(batch, batchId, idCol, vecCol, frozenEval, tau,
+          stateDir)
+    }
+  }
+
+  /** One idempotent contamination-scoring epoch (the foreachBatch body). */
+  private[graft] def contaminationEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, evalSet: DataFrame, tau: Double,
+      stateDir: String): Unit = {
+    graft.ext.Similarity.evalContamination(batch, evalSet, idCol, vecCol, tau)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

@@ -462,4 +462,45 @@ class StreamingSpec extends SparkSpec {
       ratio.localCheckpoint(), 64, stateDir)
     assert(selected() == before, "DSIR epoch replay mutated the selection")
   }
+
+  test("streaming contamination epochs: accumulated state equals the one-shot batch audit") {
+    implicit val sql = spark.sqlContext
+    import graft.ext.Similarity
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_scontam").toString + "/state"
+    // planted geometry: unit vectors at closed-form angles; eval at 0°
+    // and 90°, train fanned between — some contaminated at tau, some not
+    def unit(deg: Int): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r), 0.0, 0.0)
+    }
+    val ev = Seq((100L, unit(0)), (200L, unit(90))).toDF("vec_id", "embedding")
+    val train = (0 until 90).map(i => (i.toLong, unit(i * 2)))
+    val trainDf = train.toDF("vec_id", "embedding")
+    val batchRef = Similarity.evalContamination(trainDf, ev, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect().toSeq
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.incrementalContaminationSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ev, 0.9, stateDir).start()
+    val slices = train.grouped(30).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    def accumulated() = spark.read.parquet(stateDir)
+      .select("vec_id", "nearest_eval", "max_cos", "contaminated")
+      .orderBy("vec_id").collect().toSeq
+    assert(accumulated() == batchRef,
+      "N-epoch contamination state != one-shot batch audit")
+    // both verdicts must actually occur or the test is vacuous
+    assert(batchRef.exists(_.getBoolean(3)) && batchRef.exists(!_.getBoolean(3)))
+
+    // at-least-once replay: re-scoring the last epoch changes nothing
+    val before = accumulated()
+    EventStreams.contaminationEpoch(slices.last.toDF("vec_id", "embedding"),
+      (slices.size - 1).toLong, "vec_id", "embedding",
+      ev.localCheckpoint(), 0.9, stateDir)
+    assert(accumulated() == before, "contamination epoch replay mutated state")
+  }
 }
