@@ -72,7 +72,8 @@ object Bench {
     // reading is a single sample — give it the same decorrelated
     // second-cold defense as fullMemo queries so one contended hour
     // can't inflate the official cold record (VERDICT r7 #4b/#8).
-    val coldRetryQueries = Set("pipeline_refresh", "sem_dedup")
+    val coldRetryQueries = Set("pipeline_refresh", "sem_dedup",
+      "sim_ivf_pq_topk")
     // test HARNESSES, not operators: ml_dist_path_parity runs five
     // algorithms down BOTH their driver and distributed paths to pin
     // zero mismatches — a deliberate 2× workload. Reported separately

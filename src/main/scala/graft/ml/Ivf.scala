@@ -238,14 +238,25 @@ object Ivf {
         s"embedding dims not uniform: $dim vs ${dimRow.getInt(1)}")
       require(dim % mSub == 0, s"dim $dim not divisible by mSub=$mSub")
       val dsub = dim / mSub
-      val fitIn = CanonicalFit.fitInput(bucketed, idCol, seed)
-      val books: Array[Array[Array[Double]]] = Array.tabulate(mSub) { m =>
-        val sub = fitIn.select(array_to_vector(
-          slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
-        new KMeans().setK(ksub).setSeed(seed + 31 * m)
-          .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
-          .clusterCenters.map(_.toArray)
-      }
+      // cache the bounded sample once: all mSub sub-fits read it
+      val fitIn = CanonicalFit.fitInput(bucketed, idCol, seed).cache()
+      // the mSub sub-fits are independent seeded jobs over a 1024-row
+      // frame — launch them concurrently (driver-side futures; Spark
+      // schedules concurrent jobs fine) so index build pays one fit's
+      // latency, not mSub of them. Future.sequence preserves subspace
+      // order, each fit is seeded: deterministic.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books: Array[Array[Array[Double]]] = Await.result(
+        Future.sequence((0 until mSub).map { m => Future {
+          val sub = fitIn.select(array_to_vector(
+            slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
+          new KMeans().setK(ksub).setSeed(seed + 31 * m)
+            .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
+            .clusterCenters.map(_.toArray)
+        }}),
+        scala.concurrent.duration.Duration.Inf).toArray
+      fitIn.unpersist()
       pqBooks(keyP) = books
       val bc = spark.sparkContext.broadcast(books)
       // the offline ENCODER: per-row per-subspace argmin against the
