@@ -62,10 +62,13 @@ object Bench {
     // unit shared with the silence-trim intervention.
     // text_dsir_weights Memos the whole weight frame (the selector
     // query reuses it), so it too reports its cold run; likewise
-    // text_lm_score, whose score frame the CCNet bucketer reuses.
+    // text_lm_score (score frame reused by the CCNet bucketer) and
+    // text_token_counts (count frame reused by the mixture/yield/pack
+    // family).
     val fullMemoQueries = Set("ml_dist_path_parity", "dedup_span_pairs",
       "multimodal_audio_energy", "ml_dbscan_clusters", "multimodal_phash_pairs",
-      "text_corpus_diff", "text_dsir_weights", "text_lm_score")
+      "text_corpus_diff", "text_dsir_weights", "text_lm_score",
+      "text_token_counts")
     // family leaders whose COLD run materializes a big shared pass
     // (pipeline_refresh: snapshot diff; sem_dedup: canonical k-means fit).
     // Their steady number is a real min-of-2, but the 10-15 s cold

@@ -415,55 +415,18 @@ object Multimodal {
   }
 
   /** Per-trak FIRST SAMPLE locator: (codec 4cc, absolute file offset,
-    * byte size) of sample 1, from stsd (codec) + stsz (first size,
-    * fixed or explicit) + stco/co64 (first chunk offset — sample 1 of
-    * chunk 1 starts at the chunk offset). The read path for
-    * self-contained sample formats like Motion-JPEG, where every
-    * sample is a complete compressed image (QuickTime File Format
-    * spec, 'jpeg'/'mjpa' video sample descriptions). Tracks missing
-    * any of the three tables, or whose sample range falls outside the
-    * file, are skipped — degrade, never throw. */
-  private[graft] def firstSamples(bytes: Array[Byte]): Option[Seq[(String, Long, Long)]] = {
-    val bw = new BoxWalker(bytes)
-    import bw.{u32, u64, walk, descend}
-    try {
-      var sawMoov = false
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-      val ok = walk(0, bytes.length) { (typ, off, end) =>
-        if (typ == "moov") {
-          sawMoov = true
-          walk(off, end) { (t, o, e) =>
-            if (t == "trak") {
-              var codec: String = null
-              var size = -1L
-              var offset = -1L
-              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
-                t4 match {
-                  case "stsd" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
-                    codec = new String(bytes, o4 + 12, 4, "US-ASCII")
-                  case "stsz" if e4 - o4 >= 12 =>
-                    val fixed = u32(o4 + 4)
-                    val n = u32(o4 + 8)
-                    if (fixed != 0 && n >= 1) size = fixed
-                    else if (n >= 1 && e4 - o4 >= 16) size = u32(o4 + 12)
-                  case "stco" if e4 - o4 >= 12 && u32(o4 + 4) >= 1 =>
-                    offset = u32(o4 + 8)
-                  case "co64" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
-                    offset = u64(o4 + 8)
-                  case _ => ()
-                }
-              }
-              if (codec != null && size > 0 && offset >= 0 &&
-                  offset + size <= bytes.length)
-                out += ((codec, offset, size))
-            }
-          }
-          ()
-        }
-      }
-      if (ok && sawMoov) Some(out.toSeq) else None
-    } catch { case _: Exception => None }
-  }
+    * byte size) of sample 1 — [[trackSamples]] narrowed to its head
+    * entry (sample 1 of chunk 1 starts at the first chunk offset,
+    * valid for any chunk count), with the same in-range guard the
+    * original locator applied. Tracks missing any table, or whose
+    * first sample falls outside the file, are skipped — degrade,
+    * never throw. */
+  private[graft] def firstSamples(bytes: Array[Byte]): Option[Seq[(String, Long, Long)]] =
+    trackSamples(bytes).map(_.collect {
+      case (codec, off, sizes)
+          if sizes.head > 0 && off + sizes.head <= bytes.length =>
+        (codec, off, sizes.head)
+    })
 
   /** MJPEG sample-entry 4ccs (QuickTime File Format spec): every
     * sample is a self-contained JPEG image. */
@@ -475,7 +438,12 @@ object Multimodal {
     * chunkOff + Σ sizes[0..j-1] — the contiguous layout of a
     * single-chunk track (stco entry_count 1), which is how
     * self-contained short clips (and the MJPEG fixtures) are laid
-    * out. Range validation happens at decode time per sample, so a
+    * out. Multi-chunk tracks (stco entry_count > 1) are OUT of the
+    * contiguous contract for samples past chunk 1 — the formula would
+    * slice wrong bytes, and a silent wrong-offset decode is worse
+    * than a degrade — so such tracks expose ONLY their first sample
+    * (sample 1 of chunk 1 always starts at the first chunk offset).
+    * Range validation happens at decode time per sample, so a
     * truncated tail degrades to the decodable prefix, never a throw. */
   private[graft] def trackSamples(bytes: Array[Byte]): Option[Seq[(String, Long, Array[Long])]] = {
     val bw = new BoxWalker(bytes)
@@ -491,6 +459,7 @@ object Multimodal {
               var codec: String = null
               var sizes: Array[Long] = Array.emptyLongArray
               var offset = -1L
+              var nChunks = 0L
               descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
                 t4 match {
                   case "stsd" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
@@ -507,14 +476,15 @@ object Multimodal {
                         Array.tabulate(n)(j => u32(o4 + 12 + 4 * j))
                       else Array.emptyLongArray
                   case "stco" if e4 - o4 >= 12 && u32(o4 + 4) >= 1 =>
-                    offset = u32(o4 + 8)
+                    nChunks = u32(o4 + 4); offset = u32(o4 + 8)
                   case "co64" if e4 - o4 >= 16 && u32(o4 + 4) >= 1 =>
-                    offset = u64(o4 + 8)
+                    nChunks = u32(o4 + 4); offset = u64(o4 + 8)
                   case _ => ()
                 }
               }
               if (codec != null && sizes.nonEmpty && offset >= 0)
-                out += ((codec, offset, sizes))
+                out += ((codec, offset,
+                  if (nChunks == 1) sizes else sizes.take(1)))
             }
           }
           ()

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-(session, eval-plan) cache of the eval-side size estimate for
+    * [[evalContamination]]'s broadcast gate — values are single Longs. */
+  private val evalSizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Normalize to (id, v: array<double>, nrm) using the native
     * codegen'd dot-product expression. */
   private[graft] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -176,10 +181,18 @@ object Similarity {
     val ev = prep(evalSet, idCol, vecCol)
       .select(col(idCol).as("__eid"), col("v").as("__ev"),
         col("nrm").as("__en"))
-    // ~8 bytes per vector element + id/norm/struct overhead per row
-    val est = ev.agg(coalesce(sum(size(col("__ev"))), lit(0L)).as("e"),
-      count(lit(1)).as("n")).head()
-    val estBytes = 8L * est.getLong(0) + 32L * est.getLong(1)
+    // ~8 bytes per vector element + id/norm/struct overhead per row.
+    // The measurement is cached per (session, eval plan): a streaming
+    // sink scoring epochs against a FROZEN eval set pays the probe
+    // once, not one extra Spark job per micro-batch. (Cache values are
+    // single Longs; growth is bounded by distinct eval plans per JVM.)
+    val estKey = s"${System.identityHashCode(evalSet.sparkSession)}|$idCol|$vecCol|" +
+      s"${evalSet.queryExecution.logical.semanticHash()}"
+    val estBytes = evalSizeCache.getOrElseUpdate(estKey, {
+      val est = ev.agg(coalesce(sum(size(col("__ev"))), lit(0L)).as("e"),
+        count(lit(1)).as("n")).head()
+      8L * est.getLong(0) + 32L * est.getLong(1)
+    })
     val paired =
       if (estBytes <= maxBroadcastBytes) t.crossJoin(broadcast(ev))
       else {

@@ -377,13 +377,21 @@ object TextOps {
     * greedy-subword tokenization over the fixed merge table above
     * (n_bpe), and the chars/4 rule of thumb kept for comparison
     * (n_bpe_est). */
+  /** The per-doc count frame is the Memo'd unit: six operators share
+    * it (token counting, mixture plan + execution, yield curves,
+    * dedup yield, packing), and the BPE-ish regex over every document
+    * is the dominant cost — pay it once per corpus, like the other
+    * shared-pass families. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      size(tokensCol(col(textCol))).cast("long").as("n_ws"),
-      size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
-      size(regexp_extract_all(lower(col(textCol)), lit(bpeRe), lit(0)))
-        .cast("long").as("n_bpe"),
-      ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+    graft.queries.Memo.cached(df.sparkSession,
+      s"tokcnt|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}") {
+      df.select(col(idCol),
+        size(tokensCol(col(textCol))).cast("long").as("n_ws"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).cast("long").as("n_alnum"),
+        size(regexp_extract_all(lower(col(textCol)), lit(bpeRe), lit(0)))
+          .cast("long").as("n_bpe"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+    }
 
   /** Data-mixture planning (the DoReMi/Pile-style static-mixing step,
     * [EXT] — no reference counterpart): given target mixture weights

@@ -251,11 +251,22 @@ object Ivf {
         Future.sequence((0 until mSub).map { m => Future {
           val sub = fitIn.select(array_to_vector(
             slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
-          new KMeans().setK(ksub).setSeed(seed + 31 * m)
+          val cs = new KMeans().setK(ksub).setSeed(seed + 31 * m)
             .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
             .clusterCenters.map(_.toArray)
+          // KMeans returns FEWER than ksub centers when the sample has
+          // fewer distinct subvectors (a constant/padded subspace —
+          // common in padded embedding layouts). The m·ksub+c
+          // flattening and the ADC LUT indexing assume exactly ksub
+          // entries per subspace, so PAD with copies of center 0:
+          // duplicates never win the encoder's strict-< argmin, codes
+          // never reference a pad, and the flattening stays aligned.
+          if (cs.length < ksub) cs ++ Array.fill(ksub - cs.length)(cs(0))
+          else cs
         }}),
-        scala.concurrent.duration.Duration.Inf).toArray
+        // finite deadline with a named failure beats an infinite hang
+        // holding the Memo monitor if a fit job wedges
+        scala.concurrent.duration.Duration(10, "min")).toArray
       fitIn.unpersist()
       pqBooks(keyP) = books
       val bc = spark.sparkContext.broadcast(books)

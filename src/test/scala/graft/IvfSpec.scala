@@ -86,6 +86,27 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall $mean")
   }
 
+  test("IVF-PQ survives a constant subspace (short codebook padded, alignment intact)") {
+    // second subspace is all zeros after normalization -> its sub-fit
+    // returns FEWER than ksub distinct centers; without padding, the
+    // m*ksub+c flattening misaligns and every ADC score is wrong/NULL.
+    // With full probe + all-candidate pool the output must still be
+    // bitwise the brute-force answer.
+    val vecs = (0 until 20).map { i =>
+      val a = math.toRadians((i * 17 % 180).toDouble)
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a),
+        0.0, 0.0, 0.0, 0.0))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 5", 3)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    val ann = Ivf.pqTopK(emb, "vec_id", "embedding", "vec_id < 5", 3,
+      2, 2, 19, mSub = 2, ksub = 8)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    assert(ann.sameElements(exact),
+      "constant-subspace PQ must still recover the exact top-k at full probe")
+  }
+
   test("IVF-PQ rejects a non-divisible subspace split and an undersized pool") {
     intercept[IllegalArgumentException] {
       Ivf.pqTopK(Tables.embeddings(spark, sf),

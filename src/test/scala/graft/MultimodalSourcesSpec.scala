@@ -215,19 +215,33 @@ class MultimodalSourcesSpec extends SparkSpec {
       // the bound truncates, never over-decodes
       assert(Multimodal.decodeMjpegFrames(mp4, 2).length == 2)
       // frame 1 of the multi-sample track == the single-frame fixture's
-      // frame (the dispatch's first-frame hook sees the same pixels)
-      assert(Multimodal.decodeMjpegFirstFrame(mp4).get ==
-        ((16, 16, Multimodal.decodeMjpegFirstFrame(Multimodal.syntheticMjpegMp4(id)).get._3))
-        || frames.head._4 == Multimodal.decodeMjpegFirstFrame(mp4).get._3(0))
+      // frame (the dispatch's first-frame hook sees the same pixels) —
+      // compared element-wise (tuple == on an Array is reference
+      // equality and proves nothing)
+      val ff = Multimodal.decodeMjpegFirstFrame(mp4).get
+      val single = Multimodal.decodeMjpegFirstFrame(Multimodal.syntheticMjpegMp4(id)).get
+      assert(ff._1 == single._1 && ff._2 == single._2 &&
+        ff._3.sameElements(single._3),
+        s"id=$id first frame of multi-sample track != single-frame fixture")
     }
-    // truncating after the first sample: prefix decodes, tail degrades.
-    // moov sits at the END of the fixture, so cut files lose the tables
-    // — build a surgically truncated file instead: keep headers, zero
-    // the LAST sample's bytes mid-mdat (ImageIO fails on it) and the
-    // decodable prefix must survive
+    // corrupt tail sample: moov sits at the END of the fixture, so a
+    // plain cut loses the tables — instead keep all headers and zero
+    // the LAST sample's bytes mid-mdat (ImageIO fails on it); the
+    // decodable prefix must survive, the bad frame is skipped
     val mp4 = Multimodal.syntheticMjpegMp4(9L, 3)
     val full = Multimodal.decodeMjpegFrames(mp4, 8)
     assert(full.length == 3)
+    val Some(Seq((codec, off, sizes))) = Multimodal.trackSamples(mp4): @unchecked
+    assert(codec == "jpeg" && sizes.length == 3)
+    val corrupt = mp4.clone()
+    val lastStart = (off + sizes(0) + sizes(1)).toInt
+    java.util.Arrays.fill(corrupt, lastStart, lastStart + sizes(2).toInt, 0.toByte)
+    val dec = Multimodal.decodeMjpegFrames(corrupt, 8)
+    assert(dec.map(_._1) == Seq(1, 2),
+      s"decodable prefix must survive a corrupt tail sample, got ${dec.map(_._1)}")
+    assert(dec.map(t => (t._2, t._3, t._4, t._5)) ==
+      full.take(2).map(t => (t._2, t._3, t._4, t._5)),
+      "surviving frames must be byte-identical to the intact decode")
     assert(Multimodal.decodeMjpegFrames("not mp4".getBytes("UTF-8"), 8).isEmpty)
   }
 
