@@ -243,6 +243,21 @@ class MultimodalSourcesSpec extends SparkSpec {
       full.take(2).map(t => (t._2, t._3, t._4, t._5)),
       "surviving frames must be byte-identical to the intact decode")
     assert(Multimodal.decodeMjpegFrames("not mp4".getBytes("UTF-8"), 8).isEmpty)
+    // multi-chunk guard: patch the fixture's stco entry_count to 2 —
+    // the contiguous formula is only valid within chunk 1, so the
+    // track must degrade to its FIRST sample (always correct), never
+    // decode wrong offsets for the rest
+    val patched = mp4.clone()
+    val stcoAt = (0 until patched.length - 4).find(i =>
+      patched(i) == 's' && patched(i + 1) == 't' && patched(i + 2) == 'c' &&
+        patched(i + 3) == 'o').get
+    patched(stcoAt + 11) = 2 // entry_count LSB (version/flags occupy +4..+7)
+    val multiChunk = Multimodal.decodeMjpegFrames(patched, 8)
+    assert(multiChunk.map(_._1) == Seq(1),
+      s"multi-chunk track must expose only sample 1, got ${multiChunk.map(_._1)}")
+    assert(multiChunk.head == full.head, "sample 1 of chunk 1 must still decode exactly")
+    // and the first-sample locator still sees the track
+    assert(Multimodal.firstSamples(patched).get.map(_._1) == Seq("jpeg"))
   }
 
   test("dHash64: identical images hash equal, noisy near-dup lands within Hamming 3, distinct far") {
