@@ -94,20 +94,51 @@ object Ivf {
   def topK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: String, k: Int, nlist: Int, nprobe: Int,
       seed: Long = 42): DataFrame = {
-    val spark = emb.sparkSession
-    GraftFunctions.register(spark)
     val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
-    val probe = probeUdf(spark, centers, nprobe)
+    probeAndRank(bucketed, centers, idCol, queryPred, k, nprobe)
+  }
 
+  /** The probe tail over an ALREADY-BUCKETED index frame
+    * (idCol, vn, centroid_id) and its centers — shared by [[topK]]
+    * and the streaming-ingested index
+    * ([[graft.streaming.EventStreams.ivfTopKFromState]]). */
+  private[graft] def probeAndRank(bucketed: DataFrame, centers: Array[Array[Double]],
+      idCol: String, queryPred: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = bucketed.sparkSession
+    GraftFunctions.register(spark)
+    val probe = probeUdf(spark, centers, nprobe)
     val queries = bucketed.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("vn").as("qv"),
         explode(probe(col("vn"))).as("centroid_id"))
-
     val scored = queries.join(bucketed, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("qv"), col("vn")).as("cosine"))
     graft.ext.Similarity.rankTopK(scored, k)
+  }
+
+  /** The fitted coarse-quantizer centers for `emb` — the OFFLINE index
+    * artifact a streaming ingest freezes (nlist × dim doubles,
+    * metadata-sized). Rides the memoized [[indexed]] fit. */
+  def fittedCenters(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42): Array[Array[Double]] =
+    indexed(emb, idCol, vecCol, nlist, seed)._2
+
+  /** Map-side assignment of vectors to FROZEN centers (nearest
+    * centroid = nprobe-1 probe over the broadcast center array): the
+    * incremental half of index maintenance — new vectors join the
+    * index without any re-fit, exactly how a production ANN index
+    * ingests. Output (idCol, vn, centroid_id) — [[indexed]]'s frame
+    * shape, so the probe tail is shared. */
+  private[graft] def assignWith(emb: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val probe = probeUdf(spark, centers, 1)
+    graft.ext.Similarity.prep(emb, idCol, vecCol)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col(idCol), col("vn"),
+        element_at(probe(col("vn")), 1).as("centroid_id"))
   }
 
   /** Production ANN composition: int8-quantized scoring INSIDE the IVF

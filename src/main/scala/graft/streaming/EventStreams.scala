@@ -487,6 +487,46 @@ object EventStreams {
       .partitionBy("batch_id").parquet(stateDir)
   }
 
+  /** Incremental IVF index INGEST (the vector-index maintenance shape
+    * of a production ANN stack): each micro-batch of embeddings is
+    * assigned map-side to a FROZEN coarse quantizer
+    * ([[graft.ml.Ivf.fittedCenters]] — the offline artifact, nlist×dim
+    * doubles in the closure; no re-fit ever happens on the stream) and
+    * appended to the bucketed index state as an idempotent batch_id
+    * partition. Assignment is per-vector, so the accumulated state is
+    * row-identical to assigning the union at once, and a probe over
+    * the state ([[ivfTopKFromState]]) equals the batch probe with the
+    * same centers (StreamingSpec proves both, replay included). */
+  def incrementalIvfSink(newEmb: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]],
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newEmb.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ivfEpoch(batch, batchId, idCol, vecCol, centers, stateDir)
+    }
+
+  /** One idempotent index-ingest epoch (the foreachBatch body). */
+  private[graft] def ivfEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, centers: Array[Array[Double]],
+      stateDir: String): Unit = {
+    graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
+  /** ANN search over the streaming-ingested index state: the shared
+    * IVF probe tail ([[graft.ml.Ivf.probeAndRank]]) over the
+    * accumulated bucketed frame — identical output to the batch probe
+    * with the same centers over the same vectors. */
+  def ivfTopKFromState(spark: SparkSession, stateDir: String, idCol: String,
+      centers: Array[Array[Double]], queryPred: String, k: Int,
+      nprobe: Int): DataFrame =
+    graft.ml.Ivf.probeAndRank(
+      spark.read.parquet(stateDir).select(col(idCol), col("vn"), col("centroid_id")),
+      centers, idCol, queryPred, k, nprobe)
+
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment
     * shape — user profile, account tier, market segment). Stateless:

@@ -503,4 +503,46 @@ class StreamingSpec extends SparkSpec {
       ev.localCheckpoint(), 0.9, stateDir)
     assert(accumulated() == before, "contamination epoch replay mutated state")
   }
+
+  test("streaming IVF ingest: probe over accumulated state equals the batch probe") {
+    implicit val sql = spark.sqlContext
+    import graft.ml.Ivf
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_sivf").toString + "/state"
+    val emb = Tables.embeddings(spark, sf)
+    // the frozen offline artifact: coarse quantizer fit ONCE on the
+    // standing corpus — the stream never re-fits
+    val centers = Ivf.fittedCenters(emb, "vec_id", "embedding", 8)
+
+    // batch reference: assignment + probe with the SAME centers
+    val batchRef = graft.ml.Ivf.probeAndRank(
+        graft.ml.Ivf.assignWith(emb, "vec_id", "embedding", centers),
+        centers, "vec_id", "vec_id < 10", 5, 4)
+      .orderBy("q_id", "rank").collect().toSeq
+
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.incrementalIvfSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centers, stateDir).start()
+    val slices = rows.grouped((rows.size + 2) / 3).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    def probed() = EventStreams.ivfTopKFromState(spark, stateDir, "vec_id",
+        centers, "vec_id < 10", 5, 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(probed() == batchRef,
+      "probe over N-epoch ingested index != batch probe with the same centers")
+    assert(batchRef.nonEmpty)
+    // the model's own assignment and the map-side frozen-center
+    // assignment agree (same argmin, same centers)
+    // replay: re-ingesting the last epoch changes nothing
+    val before = probed()
+    EventStreams.ivfEpoch(slices.last.toDF("vec_id", "embedding"),
+      (slices.size - 1).toLong, "vec_id", "embedding", centers, stateDir)
+    assert(probed() == before, "IVF ingest epoch replay mutated the index")
+  }
 }
