@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{ceil, col, concat, concat_ws, conv, corr, count, greatest, least, length, lit, lower, lpad, md5, round, row_number, size, split, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{aggregate, ceil, col, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextOps}
 
@@ -1694,6 +1694,61 @@ object ExtQueries {
 
     // Per-source quality rollup: the dashboard a curation run ends
     // with — doc counts and mean quality signals per source
+    // ONE-ROW corpus health report: the composed audit artifact a
+    // curation run publishes at the top of its summary — size, exact
+    // duplication, mean quality, language diversity — every number
+    // engine-exact (integer micro-sums for the fp mean; the language
+    // entropy is an ordered fold over lang, and IEEE negation symmetry
+    // makes Spark's (acc - x) chain equal DuckDB's -(ordered sum)).
+    Q("corpus_health_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs.agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("__nd"))
+        val tok = TextOps.tokenCounts(docs, "doc_id", "text")
+          .agg(sum(col("n_ws")).as("n_tokens"))
+        val q = TextOps.quality(docs, "doc_id", "text")
+          .agg(sum(round(col("stopword_ratio") * 1e6, 0).cast("long")).as("__swm"))
+        val langs = docs.groupBy("lang").agg(count(lit(1)).as("__c"))
+          .agg(count(lit(1)).as("n_langs"),
+            sort_array(collect_list(struct(col("lang"), col("__c")))).as("__lc"),
+            sum(col("__c")).as("__tot"))
+          .select(col("n_langs"),
+            round(aggregate(col("__lc"), lit(0.0), (acc, x) =>
+              acc - (x.getField("__c").cast("double") / col("__tot")) *
+                log(x.getField("__c").cast("double") / col("__tot"))), 6)
+              .as("lang_entropy"))
+        counts.crossJoin(tok).crossJoin(q).crossJoin(langs)
+          .select(col("n_docs"), col("n_tokens"),
+            round(lit(1.0) - col("__nd").cast("double") / col("n_docs"), 6)
+              .as("exact_dup_rate"),
+            round(col("__swm").cast("double") / col("n_docs") / 1e6, 6)
+              .as("mean_stopword_ratio"),
+            col("n_langs"), col("lang_entropy"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |          w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |          / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS sw
+              |  FROM documents),
+              |d AS (SELECT count(*) AS n_docs,
+              |        count(DISTINCT md5(text)) AS nd FROM documents),
+              |t AS (SELECT CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+              |        AS n_tokens FROM documents),
+              |sm AS (SELECT CAST(sum(CAST(round(sw * 1000000, 0) AS BIGINT)) AS BIGINT)
+              |         AS swm FROM q),
+              |lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+              |le AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+              |         round(-(list_reduce(
+              |           list((c * 1.0 / d.n_docs) * ln(c * 1.0 / d.n_docs) ORDER BY lang),
+              |           (x, y) -> x + y)), 6) AS lang_entropy
+              |       FROM lc, d GROUP BY d.n_docs)
+              |SELECT d.n_docs, t.n_tokens,
+              |       round(1.0 - nd * 1.0 / d.n_docs, 6) AS exact_dup_rate,
+              |       round(sm.swm * 1.0 / d.n_docs / 1000000, 6) AS mean_stopword_ratio,
+              |       le.n_langs, le.lang_entropy
+              |FROM d, t, sm, le""".stripMargin)),
+
     Q("profile_source_quality",
       (s, dir) => {
         val q = TextOps.quality(Tables.documents(s, dir), "doc_id", "text")
