@@ -516,6 +516,70 @@ object EventStreams {
       .partitionBy("batch_id").parquet(stateDir)
   }
 
+  /** Incremental SEMANTIC dedup at ingest (the SemDeDup decision as a
+    * streaming stage): each micro-batch of embeddings is assigned
+    * map-side to FROZEN semantic clusters and a vector is kept iff NO
+    * eps-cosine neighbor with a SMALLER id exists in its cluster —
+    * among earlier intra-batch ids or any prior epoch's state. This is
+    * the ONLINE keep rule (min-id wins): the batch operator's
+    * keep-lowest-centroid-similarity rule needs the whole duplicate
+    * group and cannot be decided at ingestion; min-id is
+    * closure-free, one join per side, and deterministic. When epochs
+    * arrive in id order (the refresh twin's documented regime) the
+    * accumulated state is row-identical to the one-shot batch twin
+    * `keep(b) = ∄ a<b co-clustered with cos ≥ eps` over the union —
+    * StreamingSpec proves it, replay included. State stores kept AND
+    * dropped rows (a later doc matching a dropped one must still
+    * drop: the rule quantifies over all smaller-id docs). */
+  def incrementalSemDedupSink(newEmb: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]], eps: Double,
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newEmb.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        semDedupEpoch(batch, batchId, idCol, vecCol, centers, eps, stateDir)
+    }
+
+  /** One idempotent semantic-dedup epoch (the foreachBatch body). */
+  private[graft] def semDedupEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, centers: Array[Array[Double]],
+      eps: Double, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    // freeze the assignment NOW: every side below (and the state write)
+    // derives from it, so no lazy plan re-reads stateDir post-write
+    val asg = graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasPrior =
+      fs.exists(new org.apache.hadoop.fs.Path(stateDir)) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(stateDir, "batch_id=*")).nonEmpty
+    val dupPrior =
+      if (!hasPrior) asg.select(col(idCol)).limit(0)
+      else asg.join(
+          spark.read.parquet(stateDir).filter(col("batch_id") < batchId)
+            .select(col(idCol).as("__pid"), col("vn").as("__pvn"),
+              col("centroid_id")),
+          Seq("centroid_id"))
+        // a<b even across epochs: out-of-order arrivals never let a
+        // LARGER prior id drop a smaller newcomer
+        .filter(col("__pid") < col(idCol) &&
+          call_function("array_dot", col("vn"), col("__pvn")) >= eps)
+        .select(col(idCol)).distinct()
+    val dupIntra = asg.as("a").join(asg.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          call_function("array_dot", col("a.vn"), col("b.vn")) >= eps)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    asg.join(dupPrior.union(dupIntra).distinct()
+        .withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("vn"), col("centroid_id"),
+        col("__d").isNull.as("keep"), lit(batchId).as("batch_id"))
+      .localCheckpoint() // freeze before the stateDir overwrite below
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
   /** ANN search over the streaming-ingested index state: the shared
     * IVF probe tail ([[graft.ml.Ivf.probeAndRank]]) over the
     * accumulated bucketed frame — identical output to the batch probe

@@ -545,4 +545,65 @@ class StreamingSpec extends SparkSpec {
       (slices.size - 1).toLong, "vec_id", "embedding", centers, stateDir)
     assert(probed() == before, "IVF ingest epoch replay mutated the index")
   }
+
+  test("streaming semantic dedup: min-id keeps equal the batch twin; replay idempotent") {
+    implicit val sql = spark.sqlContext
+    import graft.ml.Ivf
+    import org.apache.spark.sql.functions.call_function
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_ssem").toString + "/state"
+    // closed-form: unit vectors at angle (id·7)%360; every id%10==9 is
+    // planted AT an earlier id's angle — 39 back when possible (crosses
+    // at least one 20-wide epoch: the cross-epoch decision under test),
+    // 9 back otherwise (intra-epoch dups)
+    def dupBase(id: Long): Long =
+      if (id % 10 != 9) id else if (id >= 39) id - 39 else id - 9
+    def vec(id: Long): Seq[Double] = {
+      val r = math.toRadians((dupBase(id) * 7 % 360).toDouble)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val rows = (0L until 60L).map(id => (id, vec(id)))
+    val full = rows.toDF("vec_id", "embedding")
+    val centers = Ivf.fittedCenters(full, "vec_id", "embedding", 4)
+    val eps = 0.9999
+
+    // batch twin: keep(b) = no co-clustered eps-neighbor with smaller id
+    val asgAll = Ivf.assignWith(full, "vec_id", "embedding", centers)
+    val dupAll = asgAll.as("a").join(asgAll.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          call_function("array_dot", col("a.vn"), col("b.vn")) >= eps)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val twin = asgAll.join(dupAll.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("__d").isNull.as("keep"))
+      .orderBy("vec_id").as[(Long, Boolean)].collect().toSeq
+    assert(twin.exists(!_._2) && twin.exists(_._2), "twin must drop AND keep")
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.incrementalSemDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centers, eps, stateDir).start()
+    val slices = rows.grouped(20).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    def kept() = spark.read.parquet(stateDir)
+      .select("vec_id", "keep").orderBy("vec_id")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(kept() == twin, "N-epoch semantic-dedup state != batch min-id twin")
+    // the cross-epoch path actually fired: some doc was dropped against
+    // a PRIOR epoch's state (its dup partner sits in an earlier slice)
+    val bySlice = slices.map(_.map(_._1).toSet)
+    val crossDropped = twin.filter(!_._2).map(_._1).exists { b =>
+      val si = bySlice.indexWhere(_.contains(b))
+      si > 0 && bySlice.take(si).exists(_.contains(dupBase(b)))
+    }
+    assert(crossDropped, "no cross-epoch drop occurred — the prior-state join is untested")
+
+    // replay: re-running the last epoch changes nothing
+    val before = kept()
+    EventStreams.semDedupEpoch(slices.last.toDF("vec_id", "embedding"),
+      (slices.size - 1).toLong, "vec_id", "embedding", centers, eps, stateDir)
+    assert(kept() == before, "semantic-dedup epoch replay mutated state")
+  }
 }
