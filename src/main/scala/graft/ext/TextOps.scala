@@ -458,7 +458,9 @@ object TextOps {
       .filter(col("__b") < col("rate_bp"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("docs_kept"), sum(col("n_bpe")).as("tokens_kept"))
-    plan.join(kept, Seq(groupCol), "left")
+    // both report sides are ≤|groups| rows — broadcast keeps the whole
+    // post-filter tail shuffle-free
+    plan.join(broadcast(kept), Seq(groupCol), "left")
       .select(col(groupCol), col("tokens_target"), col("rate_bp"),
         coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),

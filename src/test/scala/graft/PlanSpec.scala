@@ -173,6 +173,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("posexplode"), "per-dim explode leaked into the PQ plan")
   }
 
+  test("mixture execute: the rate table broadcasts, the corpus filter is map-side") {
+    val df = graft.ext.TextOps.mixtureExecute(
+      Tables.documents(spark, sf), "doc_id", "text", "lang",
+      Map("en" -> 0.5, "de" -> 0.5), 1000000L)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastExchange"), "rate table is not broadcast")
+    assert(!plan.contains("BatchEvalPython"), "python UDF in the keep-filter")
+    // the per-doc keep decision must never sort-merge the corpus
+    // against the |groups|-row plan
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus shuffled to join the metadata-sized rate table")
+  }
+
   test("eval contamination: eval side broadcasts, corpus aggregates map-side, no corpus shuffle") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
