@@ -487,34 +487,70 @@ object EventStreams {
       .partitionBy("batch_id").parquet(stateDir)
   }
 
+  /** Write one epoch of centroid-keyed state: an external parquet
+    * table PARTITIONED by batch_id (dynamic overwrite → replaying an
+    * epoch rewrites exactly its own partition, idempotently) and
+    * BUCKETED by centroid_id — the probe key. This is the
+    * [[graft.ext.Dedup.persistBandedSignatures]] layout applied to
+    * streaming state: every downstream probe joins or filters on
+    * centroid_id, so the accumulated state reads co-partitioned and
+    * NEVER reshuffles — per-epoch probe cost is O(batch + touched
+    * cells), not O(total state) shuffled, the difference between a
+    * streaming index that survives 10k epochs at 100 TB and one that
+    * re-shuffles its whole history every micro-batch (BucketingSpec
+    * pins zero Exchange on the state side). First epoch creates the
+    * table; later epochs insertInto under dynamic partition-overwrite
+    * (bucketing is preserved: InsertIntoHadoopFsRelationCommand takes
+    * the bucket spec from the catalog relation). */
+  private def writeCentroidBucketedEpoch(out: DataFrame, stateTable: String,
+      buckets: Int): Unit = {
+    val spark = out.sparkSession
+    if (!spark.catalog.tableExists(stateTable)) {
+      out.write.format("parquet").partitionBy("batch_id")
+        .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+        .saveAsTable(stateTable)
+    } else {
+      // insertInto ignores writer-level partitionOverwriteMode (it is
+      // read from SQLConf only) — set-and-restore the session conf
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try out.write.mode("overwrite").insertInto(stateTable)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Incremental IVF index INGEST (the vector-index maintenance shape
     * of a production ANN stack): each micro-batch of embeddings is
     * assigned map-side to a FROZEN coarse quantizer
     * ([[graft.ml.Ivf.fittedCenters]] — the offline artifact, nlist×dim
     * doubles in the closure; no re-fit ever happens on the stream) and
-    * appended to the bucketed index state as an idempotent batch_id
-    * partition. Assignment is per-vector, so the accumulated state is
+    * appended to the index state as an idempotent batch_id partition,
+    * BUCKETED by centroid_id ([[writeCentroidBucketedEpoch]]) so the
+    * probe's cell join reads the accumulated index co-partitioned.
+    * Assignment is per-vector, so the accumulated state is
     * row-identical to assigning the union at once, and a probe over
     * the state ([[ivfTopKFromState]]) equals the batch probe with the
     * same centers (StreamingSpec proves both, replay included). */
   def incrementalIvfSink(newEmb: DataFrame, idCol: String, vecCol: String,
-      centers: Array[Array[Double]],
-      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      centers: Array[Array[Double]], stateTable: String,
+      buckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newEmb.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        ivfEpoch(batch, batchId, idCol, vecCol, centers, stateDir)
+        ivfEpoch(batch, batchId, idCol, vecCol, centers, stateTable, buckets)
     }
 
   /** One idempotent index-ingest epoch (the foreachBatch body). */
   private[graft] def ivfEpoch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centers: Array[Array[Double]],
-      stateDir: String): Unit = {
-    graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
-  }
+      stateTable: String, buckets: Int = 8): Unit =
+    writeCentroidBucketedEpoch(
+      graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
+        .withColumn("batch_id", lit(batchId)),
+      stateTable, buckets)
 
   /** Incremental SEMANTIC dedup at ingest (the SemDeDup decision as a
     * streaming stage): each micro-batch of embeddings is assigned
@@ -530,33 +566,37 @@ object EventStreams {
     * `keep(b) = ∄ a<b co-clustered with cos ≥ eps` over the union —
     * StreamingSpec proves it, replay included. State stores kept AND
     * dropped rows (a later doc matching a dropped one must still
-    * drop: the rule quantifies over all smaller-id docs). */
+    * drop: the rule quantifies over all smaller-id docs). The state
+    * table is bucketed by centroid_id ([[writeCentroidBucketedEpoch]])
+    * — the prior-epoch probe joins on exactly that key, so the
+    * accumulated state is read co-partitioned, never reshuffled. */
   def incrementalSemDedupSink(newEmb: DataFrame, idCol: String, vecCol: String,
-      centers: Array[Array[Double]], eps: Double,
-      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      centers: Array[Array[Double]], eps: Double, stateTable: String,
+      buckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newEmb.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        semDedupEpoch(batch, batchId, idCol, vecCol, centers, eps, stateDir)
+        semDedupEpoch(batch, batchId, idCol, vecCol, centers, eps,
+          stateTable, buckets)
     }
 
   /** One idempotent semantic-dedup epoch (the foreachBatch body). */
   private[graft] def semDedupEpoch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centers: Array[Array[Double]],
-      eps: Double, stateDir: String): Unit = {
+      eps: Double, stateTable: String, buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     // freeze the assignment NOW: every side below (and the state write)
-    // derives from it, so no lazy plan re-reads stateDir post-write
+    // derives from it, so no lazy plan re-reads the state post-write
     val asg = graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
       .localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasPrior =
-      fs.exists(new org.apache.hadoop.fs.Path(stateDir)) &&
-        fs.globStatus(new org.apache.hadoop.fs.Path(stateDir, "batch_id=*")).nonEmpty
+    val hasPrior = spark.catalog.tableExists(stateTable)
     val dupPrior =
       if (!hasPrior) asg.select(col(idCol)).limit(0)
       else asg.join(
-          spark.read.parquet(stateDir).filter(col("batch_id") < batchId)
+          // state side: bucketed on centroid_id — filter + rename
+          // preserve the bucketing, so this join reads the accumulated
+          // state co-partitioned (batch_id pruning cuts the scan to
+          // prior epochs; only the micro-batch side ever shuffles)
+          spark.table(stateTable).filter(col("batch_id") < batchId)
             .select(col(idCol).as("__pid"), col("vn").as("__pvn"),
               col("centroid_id")),
           Seq("centroid_id"))
@@ -570,25 +610,29 @@ object EventStreams {
           col(s"a.$idCol") < col(s"b.$idCol") &&
           call_function("array_dot", col("a.vn"), col("b.vn")) >= eps)
       .select(col(s"b.$idCol").as(idCol)).distinct()
-    asg.join(dupPrior.union(dupIntra).distinct()
+    val out = asg.join(dupPrior.union(dupIntra).distinct()
         .withColumn("__d", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("vn"), col("centroid_id"),
         col("__d").isNull.as("keep"), lit(batchId).as("batch_id"))
-      .localCheckpoint() // freeze before the stateDir overwrite below
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .localCheckpoint() // freeze before the state overwrite below
+    writeCentroidBucketedEpoch(out, stateTable, buckets)
   }
 
   /** ANN search over the streaming-ingested index state: the shared
     * IVF probe tail ([[graft.ml.Ivf.probeAndRank]]) over the
-    * accumulated bucketed frame — identical output to the batch probe
-    * with the same centers over the same vectors. */
-  def ivfTopKFromState(spark: SparkSession, stateDir: String, idCol: String,
+    * accumulated centroid-bucketed table — identical output to the
+    * batch probe over [[graft.ml.Ivf.assignWith]]-assigned state with
+    * the same centers (both paths share assignWith's argmin; the
+    * model-side assignment in [[graft.ml.Ivf.topK]] computes the same
+    * nearest centroid through MLlib's distance path and can differ
+    * only on exact ties). The state side of the probe's cell join is
+    * bucketed on centroid_id, so only the (query × nprobe) side
+    * shuffles — the accumulated index never does. */
+  def ivfTopKFromState(spark: SparkSession, stateTable: String, idCol: String,
       centers: Array[Array[Double]], queryPred: String, k: Int,
       nprobe: Int): DataFrame =
     graft.ml.Ivf.probeAndRank(
-      spark.read.parquet(stateDir).select(col(idCol), col("vn"), col("centroid_id")),
+      spark.table(stateTable).select(col(idCol), col("vn"), col("centroid_id")),
       centers, idCol, queryPred, k, nprobe)
 
   /** Stream-static enrichment join: each streaming event joined to a

@@ -507,8 +507,9 @@ class StreamingSpec extends SparkSpec {
   test("streaming IVF ingest: probe over accumulated state equals the batch probe") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
-    val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_sivf").toString + "/state"
+    val wh = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sivf LOCATION '$wh/sivf'")
+    val stateTable = "sivf.state"
     val emb = Tables.embeddings(spark, sf)
     // the frozen offline artifact: coarse quantizer fit ONCE on the
     // standing corpus — the stream never re-fits
@@ -526,12 +527,12 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = EventStreams.incrementalIvfSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      centers, stateDir).start()
+      centers, stateTable).start()
     val slices = rows.grouped((rows.size + 2) / 3).toSeq
     slices.foreach { s => mem.addData(s); q.processAllAvailable() }
     q.stop()
 
-    def probed() = EventStreams.ivfTopKFromState(spark, stateDir, "vec_id",
+    def probed() = EventStreams.ivfTopKFromState(spark, stateTable, "vec_id",
         centers, "vec_id < 10", 5, 4)
       .orderBy("q_id", "rank").collect().toSeq
     assert(probed() == batchRef,
@@ -542,16 +543,18 @@ class StreamingSpec extends SparkSpec {
     // replay: re-ingesting the last epoch changes nothing
     val before = probed()
     EventStreams.ivfEpoch(slices.last.toDF("vec_id", "embedding"),
-      (slices.size - 1).toLong, "vec_id", "embedding", centers, stateDir)
+      (slices.size - 1).toLong, "vec_id", "embedding", centers, stateTable)
     assert(probed() == before, "IVF ingest epoch replay mutated the index")
+    spark.sql("DROP DATABASE sivf CASCADE")
   }
 
   test("streaming semantic dedup: min-id keeps equal the batch twin; replay idempotent") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
     import org.apache.spark.sql.functions.call_function
-    val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_ssem").toString + "/state"
+    val wh = java.nio.file.Files.createTempDirectory("graft_ssem").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ssem LOCATION '$wh/ssem'")
+    val stateTable = "ssem.state"
     // closed-form: unit vectors at angle (id·7)%360; every id%10==9 is
     // planted AT an earlier id's angle — 39 back when possible (crosses
     // at least one 20-wide epoch: the cross-epoch decision under test),
@@ -582,12 +585,12 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Seq[Double])]
     val q = EventStreams.incrementalSemDedupSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      centers, eps, stateDir).start()
+      centers, eps, stateTable).start()
     val slices = rows.grouped(20).toSeq
     slices.foreach { s => mem.addData(s); q.processAllAvailable() }
     q.stop()
 
-    def kept() = spark.read.parquet(stateDir)
+    def kept() = spark.table(stateTable)
       .select("vec_id", "keep").orderBy("vec_id")
       .as[(Long, Boolean)].collect().toSeq
     assert(kept() == twin, "N-epoch semantic-dedup state != batch min-id twin")
@@ -603,7 +606,8 @@ class StreamingSpec extends SparkSpec {
     // replay: re-running the last epoch changes nothing
     val before = kept()
     EventStreams.semDedupEpoch(slices.last.toDF("vec_id", "embedding"),
-      (slices.size - 1).toLong, "vec_id", "embedding", centers, eps, stateDir)
+      (slices.size - 1).toLong, "vec_id", "embedding", centers, eps, stateTable)
     assert(kept() == before, "semantic-dedup epoch replay mutated state")
+    spark.sql("DROP DATABASE ssem CASCADE")
   }
 }
