@@ -97,7 +97,7 @@ class GoldenSpec extends SparkSpec {
       // (repartition-on-id + sort), making the model — and hence this
       // digest — independent of session parallelism
       "sample_cluster_balanced" -> "e4ebb6ecf6bb26c7e8e653556ef5fc6d",
-      "sem_dedup" -> "8ad880c1651a13beed1ef289abd6b8b6",
+      "sem_dedup" -> "a453b17d798a0db32d7c318bce1bb05a",
       "multimodal_features" -> "da67292b0e99f3346c195a926ba476d4",
       "multimodal_frames" -> "bfc37e8bad10637b90010db016cad7ab")
     val got = pins.keys.toSeq.sorted.map(q => q -> digest(q))

@@ -97,8 +97,37 @@ class SemDedupSpec extends SparkSpec {
     val within = exact.filter { case (a, b) => asg(a) == asg(b) }
     val confined = SemDedup.epsPairs(emb, "vec_id", "embedding", 2, 0.9)
       .as[(Long, Long)].collect().toSet
+    // multi-probe may only ADD exact pairs beyond the primary-cluster
+    // subset; here (no cross-blob exact pair at eps=0.9) it adds none
     assert(confined == within,
       s"confined scan must find exactly the co-clustered exact pairs: $confined vs $within")
+  }
+
+  test("epsPairs multi-probe: a pair straddling a primary boundary is caught via the shared second-nearest cell") {
+    import graft.ext.Dedup
+    // three blobs at 0°, 40°, 80°; 18° and 22° straddle the 0/40
+    // boundary (Δ4° → cos ≈ 0.9976 ≥ eps) with DIFFERENT primary
+    // clusters but each other's blob as second-nearest — the exact
+    // miss single-probe confinement is blind to
+    val d = Seq(
+      (1L, unit(0)), (2L, unit(2)), (3L, unit(5)),
+      (4L, unit(40)), (5L, unit(42)), (6L, unit(38)),
+      (7L, unit(80)), (8L, unit(78)), (9L, unit(82)),
+      (10L, unit(18)), (11L, unit(22))
+    ).toDF("vec_id", "embedding")
+    val eps = 0.997
+    val asg = SemDedup.assignments(d, "vec_id", "embedding", 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // the fixture only tests multi-probe if the straddle is real
+    assert(asg(10L) != asg(11L), "fixture: 18° and 22° must split primaries")
+    val confined = SemDedup.epsPairs(d, "vec_id", "embedding", 3, eps)
+      .as[(Long, Long)].collect().toSet
+    assert(confined.contains((10L, 11L)),
+      "multi-probe must catch the boundary-straddling eps-pair")
+    // and it stays honest: every found pair is a true eps-pair
+    val exact = Dedup.cosinePairs(d, "vec_id", "embedding", eps)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(confined.subsetOf(exact))
   }
 
   test("semDedup: exact-duplicate vectors tie-break to the smaller id") {
