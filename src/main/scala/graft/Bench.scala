@@ -91,8 +91,24 @@ object Bench {
       val isFullMemo = fullMemoQueries(name)
       val recordCold = isFullMemo || coldRetryQueries(name)
       if (recordCold) graft.queries.Memo.startRecording()
-      val t1 = time(fn)
-      if (recordCold) memoKeys(name) = graft.queries.Memo.stopRecording()
+      var t1 = time(fn)
+      if (recordCold) {
+        val (misses, hits) = graft.queries.Memo.stopRecordingWithHits()
+        memoKeys(name) = misses
+        // fake-cold guard (ADVICE r8): a fullMemo query whose timed
+        // "cold" run had ZERO misses found its entire result already in
+        // the Memo (an earlier query built it and the stale window
+        // happened not to evict it) — the official cold reading would be
+        // a ~0 s cache hit with no retry recourse, since miss-only
+        // recording recorded nothing. Release the hit entries and
+        // re-time: a genuine build, now recorded as this query's own.
+        if (isFullMemo && misses.isEmpty && hits.nonEmpty) {
+          graft.queries.Memo.release(hits)
+          graft.queries.Memo.startRecording()
+          t1 = time(fn)
+          memoKeys(name) = graft.queries.Memo.stopRecording()
+        }
+      }
       val t2 = time(fn)
       val steady = if (isFullMemo) t1 else math.min(t1, t2)
       // suite clock: entries untouched for a window of queries are dead
@@ -128,6 +144,21 @@ object Bench {
       } else name -> (math.min(steady, time(selected(name))), cold)
     }
     val (harness, headline) = retried.partition { case (n, _) => harnessQueries(n) }
+    // shared-pass FAMILIES (VERDICT r8 #3): consumers of one Memo'd
+    // pass. WHO pays the pass's cold build moves between members across
+    // rounds (miss-only recording: whoever runs first after an eviction
+    // pays), so a member-level swing is unarbitrable alone — the family
+    // SUM is the conserved quantity. Reported so "member A 0.9→2.4 s
+    // while member B 5.6→2.0 s" reads as cost MOVED (sum flat/down),
+    // not grew.
+    val families = Map(
+      "minhash_family" -> Seq("dedup_lsh_recall", "text_dedup_yield",
+        "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix"),
+      "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"))
+    val familySums = families.map { case (fam, members) =>
+      val present = members.flatMap(retried.get)
+      fam -> (present.map(_._1).sum, present.map(_._2).sum)
+    }
     val totalMin = headline.values.map(_._1).sum
     val totalCold = headline.values.map(_._2).sum
     val harnessSec = harness.values.map(_._1).sum
@@ -147,8 +178,11 @@ object Bench {
     val harnessFull = harness.map { case (k, (mn, cold)) =>
       s"""    "$k": {"min_sec": ${f(mn)}, "cold_sec": ${f(cold)}}"""
     }.mkString("{\n", ",\n", "\n  }")
+    val famFull = familySums.map { case (k, (mn, cold)) =>
+      s"""    "$k": {"min_sec": ${f(mn)}, "cold_sec": ${f(cold)}}"""
+    }.mkString("{\n", ",\n", "\n  }")
     val fullJson =
-      s"""{\n  "metric": "total", "value": ${f(totalMin)}, "value_cold": ${f(totalCold)},\n  "unit": "sec", "timing": "min_of_2_consecutive_runs", "sf": "$sfDir",\n  "harness_sec": ${f(harnessSec)}, "memo_evictions": $memoEvictions,\n  "queries": $full,\n  "harness": $harnessFull\n}\n"""
+      s"""{\n  "metric": "total", "value": ${f(totalMin)}, "value_cold": ${f(totalCold)},\n  "unit": "sec", "timing": "min_of_2_consecutive_runs", "sf": "$sfDir",\n  "harness_sec": ${f(harnessSec)}, "memo_evictions": $memoEvictions,\n  "families": $famFull,\n  "queries": $full,\n  "harness": $harnessFull\n}\n"""
     // only a FULL-suite run overwrites the detail file — a filtered
     // local iteration must not clobber the last complete picture
     if (only.isEmpty)
@@ -160,7 +194,9 @@ object Bench {
     val sorted = headline.toSeq.sortBy { case (_, (mn, _)) => -mn }
     val harnessStr = harness.map { case (k, (mn, _)) => s""""$k":${f(mn)}""" }
       .mkString("{", ",", "}")
-    val header = s"""{"metric":"total","value":${f(totalMin)},"value_cold":${f(totalCold)},"unit":"sec","timing":"min_of_2","harness":$harnessStr,"memo_evictions":$memoEvictions,"sf":"${new java.io.File(sfDir).getName}","queries":"""
+    val famStr = familySums.map { case (k, (mn, cold)) =>
+      s""""$k":{"min":${f(mn)},"cold":${f(cold)}}""" }.mkString("{", ",", "}")
+    val header = s"""{"metric":"total","value":${f(totalMin)},"value_cold":${f(totalCold)},"unit":"sec","timing":"min_of_2","harness":$harnessStr,"families":$famStr,"memo_evictions":$memoEvictions,"sf":"${new java.io.File(sfDir).getName}","queries":"""
     val budget = 1700 - header.length - 60
     val sb = new StringBuilder
     var used = 0

@@ -17,9 +17,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Per-(session, eval-plan) cache of the eval-side size estimate for
-    * [[evalContamination]]'s broadcast gate — values are single Longs. */
+    * [[evalContamination]]'s broadcast gate — values are single Longs.
+    * DOCUMENTED STALENESS (accepted, ADVICE r8): the key is the eval
+    * plan's semantic hash, so an eval set REWRITTEN at the same path
+    * (same logical plan, new files) keeps the old estimate for the
+    * session. The consequence is bounded — the estimate only routes
+    * between two spec-equal plans, so a stale reading can at worst
+    * pick the broadcast path for an eval set that outgrew the gate
+    * (mitigation for long-lived sessions: [[clearEvalSizeCache]]);
+    * correctness is never affected. */
   private val evalSizeCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Drop all cached eval-size estimates (long-lived session hygiene
+    * after rewriting an eval set in place). */
+  def clearEvalSizeCache(): Unit = evalSizeCache.clear()
 
   /** Normalize to (id, v: array<double>, nrm) using the native
     * codegen'd dot-product expression. */
@@ -196,8 +208,11 @@ object Similarity {
     val paired =
       if (estBytes <= maxBroadcastBytes) t.crossJoin(broadcast(ev))
       else {
-        val b = math.max(1,
+        // "auto" (AQE-managed) or other non-numeric values parse-fail:
+        // fall back to a fixed bucket count instead of throwing
+        val b = math.max(1, scala.util.Try(
           t.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(32))
         val tb = t.withColumn("__bk", pmod(hash(col(idCol)), lit(b)))
         val eb = ev.withColumn("__bk", explode(sequence(lit(0), lit(b - 1))))
         tb.join(eb, "__bk").drop("__bk")

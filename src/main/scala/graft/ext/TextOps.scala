@@ -539,22 +539,62 @@ object TextOps {
     }
   }
 
-  /** Hashed-ngram featurization shared by the DSIR paths: one
-    * (idCol, __b, __c) row per (doc, bucket) — whitespace unigrams +
-    * bigrams md5-hashed into m buckets, one map-side-combined groupBy. */
-  private def dsirBuckets(df: DataFrame, idCol: String, textCol: String,
-      m: Int): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol), col(textCol))
-      .select(col(idCol), explode(concat(toks, bigrams)).as("__ng"))
-      .select(col(idCol), expr(
-        s"cast(conv(substr(md5(__ng), 1, 8), 16, 10) as bigint) % $m").as("__b"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-  }
+  /** Hashed-ngram featurization shared by the DSIR paths: ONE row per
+    * doc — (idCol, __t = targetPred, __cnts = dense m-slot bucket
+    * count array). The map-side FOLD design (VERDICT r8 #4): a single
+    * per-doc kernel tokenizes, hashes every unigram/bigram (md5 first
+    * 8 hex chars, base-16 → mod m — bit-identical to the SQL
+    * `conv(substr(md5(ng),1,8),16,10) % m` the DuckDB oracle
+    * recomputes), and folds counts into a fixed 64-length array
+    * BEFORE anything shuffles. The old shape — explode O(ngrams)
+    * rows → groupBy(doc, bucket) — paid a generator, a 200k-group
+    * hash aggregate, and a shuffle per pass; this pays one map pass
+    * and shuffles NOTHING (the ratio-table fit aggregates the arrays
+    * to m rows; the scorer never shuffles at all). The kernel is a
+    * UDF by necessity: Catalyst can express the fold only as the
+    * explode+groupBy it replaces, or as an O(ngrams×m) HOF — the
+    * same necessity class as the DTW/resize kernels. Carrying
+    * targetPred here (key includes it) lets both consumers skip
+    * their id-equi-joins entirely. Memo'd per (input, pred, params):
+    * inside [[dsirWeights]] the fit and the scorer read the SAME
+    * featurization once. */
+  private def dsirFeatures(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, m: Int): DataFrame =
+    graft.queries.Memo.cached(df.sparkSession,
+      s"dsirb2|$m|$targetPred|$idCol|$textCol|${df.queryExecution.logical.semanticHash()}") {
+      val bucketCounts = udf((text: String) =>
+        if (text == null) null
+        else {
+          // replicate tokensCol = split(lower(trim(text)), "\s+")
+          // exactly: Spark trim strips U+0020 only; lower is
+          // locale-agnostic (ROOT)
+          var b = 0; var e = text.length
+          while (b < e && text.charAt(b) == ' ') b += 1
+          while (e > b && text.charAt(e - 1) == ' ') e -= 1
+          val toks = text.substring(b, e)
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val cnt = new Array[Long](m)
+          def add(ng: String): Unit = {
+            val d = md.digest(ng.getBytes("UTF-8"))
+            // first 8 hex chars == first 4 digest bytes, unsigned
+            val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+            cnt((h % m).toInt) += 1
+            md.reset()
+          }
+          var i = 0
+          while (i < toks.length) {
+            add(toks(i))
+            if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+            i += 1
+          }
+          cnt
+        })
+      df.select(col(idCol), targetPred.as("__t"),
+          bucketCounts(col(textCol)).as("__cnts"))
+        .filter(col("__cnts").isNotNull)
+    }
 
   /** The m-row importance log-ratio table fit on a REFERENCE corpus:
     * (__b, __lr) with `__lr = ln p̂_tgt[b] − ln p̂_raw[b]`, add-one
@@ -567,22 +607,27 @@ object TextOps {
       targetPred: Column, m: Int = 64): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
     val spark = ref.sparkSession
-    val byBucket = dsirBuckets(ref, idCol, textCol, m)
-      .join(ref.select(col(idCol), targetPred.as("__t")), Seq(idCol))
-      .groupBy(col("__b"))
+    // per-bucket totals from the dense count arrays: posexplode to
+    // (bucket, count) rows — O(docs × m), map-side combined to m rows
+    // per partition before the one metadata-sized shuffle
+    val byBucket = dsirFeatures(ref, idCol, textCol, targetPred, m)
+      .select(col("__t"), posexplode(col("__cnts")).as(Seq("__b", "__c")))
+      .groupBy(col("__b").cast("long").as("__b"))
       .agg(sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
         sum(col("__c")).as("__cr"))
+    // totals as a broadcast 1-row frame instead of a driver head()
+    // fetch: one fewer eager job per fit, same exact integer sums
     val tots = byBucket.agg(
-      coalesce(sum(col("__ct")), lit(0L)),
-      coalesce(sum(col("__cr")), lit(0L))).head()
-    val (tt, tr) = (tots.getLong(0), tots.getLong(1))
+      coalesce(sum(col("__ct")), lit(0L)).as("__tt"),
+      coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
     spark.range(m).toDF("__b")
       .join(byBucket, Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
-            lit((tt + m).toDouble)) -
+            (col("__tt") + m).cast("double")) -
           log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
-            lit((tr + m).toDouble))).as("__lr"))
+            (col("__tr") + m).cast("double"))).as("__lr"))
   }
 
   /** Score `docs` against a FIXED ratio table (the incremental /
@@ -590,21 +635,29 @@ object TextOps {
     * table on the same corpus). Because scoring is per-doc given the
     * table, scoring a corpus in N slices and unioning equals scoring
     * it at once — the equivalence the streaming DSIR epochs ride.
-    * Output: (idCol, is_target, n_ngrams, log_w); log_w is an ordered
-    * fold over bucket id — bit-identical at any parallelism. */
+    * Output: (idCol, is_target, n_ngrams, log_w).
+    *
+    * The ratio table is m rows by construction (metadata-sized): it
+    * collects to an m-element literal and scoring is a PURE MAP over
+    * the per-doc count arrays — zero joins, zero shuffles; the plan
+    * is scan → fold (PlanSpec pins it). log_w folds c_b·lr_b in
+    * ascending bucket order via zip_with + aggregate — the same
+    * ordered summation as the old per-(doc,bucket) sort_array fold
+    * (one term per bucket, zero-count buckets contribute +0.0), so
+    * the result is bit-identical at any parallelism. */
   def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, ratio: DataFrame, m: Int = 64): DataFrame =
-    dsirBuckets(docs, idCol, textCol, m)
-      .join(broadcast(ratio), Seq("__b"))
-      .select(col(idCol), col("__b"), col("__c"),
-        (col("__c").cast("double") * col("__lr")).as("__term"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_ngrams"),
+      targetPred: Column, ratio: DataFrame, m: Int = 64): DataFrame = {
+    val lrByBucket = ratio.select(col("__b").cast("int"), col("__lr"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val lrArr = (0 until m).map(b => lrByBucket.getOrElse(b, 0.0))
+    val lrLit = typedLit(lrArr)
+    dsirFeatures(docs, idCol, textCol, targetPred, m)
+      .select(col(idCol), col("__t").as("is_target"),
+        aggregate(col("__cnts"), lit(0L), (acc, x) => acc + x).as("n_ngrams"),
         round(aggregate(
-          sort_array(collect_list(struct(col("__b"), col("__term")))),
-          lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("log_w"))
-      .join(docs.select(col(idCol), targetPred.as("is_target")), Seq(idCol))
-      .select(col(idCol), col("is_target"), col("n_ngrams"), col("log_w"))
+          zip_with(col("__cnts"), lrLit, (c, lr) => c.cast("double") * lr),
+          lit(0.0), (acc, x) => acc + x), 6).as("log_w"))
+  }
 
   /** Code-vs-prose document routing ([EXT] — the corpus-construction
     * step that sends source code and natural language down different

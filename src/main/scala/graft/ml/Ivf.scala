@@ -35,6 +35,17 @@ object Ivf {
     * as centersCache. */
   private val pqBooks =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  /** Dedicated bounded daemon pool for the PQ sub-fits: the build runs
+    * while holding the global Memo monitor, so a wedged fit on the
+    * shared global ExecutionContext could starve every other
+    * Memo.cached caller in the JVM (ADVICE r8). 8 threads bounds
+    * concurrent fit jobs; daemon threads never block JVM exit. */
+  private lazy val pqFitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "pq-subfit"); t.setDaemon(true); t
+        }))
   graft.queries.Memo.onRelease { internalKey =>
     // internal keys are "sessionHash|callerKey"; our callerKeys start
     // with "ivf|" / "pq|" and are exactly the driver-cache keys
@@ -264,6 +275,10 @@ object Ivf {
     val coded = graft.queries.Memo.cached(spark, keyP) {
       val dimRow = bucketed.agg(min(size(col("vn"))).as("mn"),
         max(size(col("vn"))).as("mx")).head()
+      // empty input aggregates min/max to null — fail with a named
+      // error instead of an NPE inside the Memo build (ADVICE r8)
+      require(!dimRow.isNullAt(0),
+        "pqTopK: empty embeddings input — nothing to index")
       val dim = dimRow.getInt(0)
       require(dim == dimRow.getInt(1),
         s"embedding dims not uniform: $dim vs ${dimRow.getInt(1)}")
@@ -275,30 +290,35 @@ object Ivf {
       // frame — launch them concurrently (driver-side futures; Spark
       // schedules concurrent jobs fine) so index build pays one fit's
       // latency, not mSub of them. Future.sequence preserves subspace
-      // order, each fit is seeded: deterministic.
+      // order, each fit is seeded: deterministic. They run on a
+      // DEDICATED bounded pool — this build holds the global Memo
+      // monitor, so a wedged fit on the shared global pool could
+      // starve every other Memo.cached caller (ADVICE r8); try/finally
+      // guarantees the cached sample is released even when a fit throws.
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val books: Array[Array[Array[Double]]] = Await.result(
-        Future.sequence((0 until mSub).map { m => Future {
-          val sub = fitIn.select(array_to_vector(
-            slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
-          val cs = new KMeans().setK(ksub).setSeed(seed + 31 * m)
-            .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
-            .clusterCenters.map(_.toArray)
-          // KMeans returns FEWER than ksub centers when the sample has
-          // fewer distinct subvectors (a constant/padded subspace —
-          // common in padded embedding layouts). The m·ksub+c
-          // flattening and the ADC LUT indexing assume exactly ksub
-          // entries per subspace, so PAD with copies of center 0:
-          // duplicates never win the encoder's strict-< argmin, codes
-          // never reference a pad, and the flattening stays aligned.
-          if (cs.length < ksub) cs ++ Array.fill(ksub - cs.length)(cs(0))
-          else cs
-        }}),
-        // finite deadline with a named failure beats an infinite hang
-        // holding the Memo monitor if a fit job wedges
-        scala.concurrent.duration.Duration(10, "min")).toArray
-      fitIn.unpersist()
+      implicit val ec: scala.concurrent.ExecutionContext = pqFitEc
+      val books: Array[Array[Array[Double]]] =
+        try Await.result(
+          Future.sequence((0 until mSub).map { m => Future {
+            val sub = fitIn.select(array_to_vector(
+              slice(col("vn"), m * dsub + 1, dsub)).as("__f"))
+            val cs = new KMeans().setK(ksub).setSeed(seed + 31 * m)
+              .setFeaturesCol("__f").setPredictionCol("__c").fit(sub)
+              .clusterCenters.map(_.toArray)
+            // KMeans returns FEWER than ksub centers when the sample has
+            // fewer distinct subvectors (a constant/padded subspace —
+            // common in padded embedding layouts). The m·ksub+c
+            // flattening and the ADC LUT indexing assume exactly ksub
+            // entries per subspace, so PAD with copies of center 0:
+            // duplicates never win the encoder's strict-< argmin, codes
+            // never reference a pad, and the flattening stays aligned.
+            if (cs.length < ksub) cs ++ Array.fill(ksub - cs.length)(cs(0))
+            else cs
+          }}),
+          // finite deadline with a named failure beats an infinite hang
+          // holding the Memo monitor if a fit job wedges
+          scala.concurrent.duration.Duration(10, "min")).toArray
+        finally fitIn.unpersist()
       pqBooks(keyP) = books
       val bc = spark.sparkContext.broadcast(books)
       // the offline ENCODER: per-row per-subspace argmin against the

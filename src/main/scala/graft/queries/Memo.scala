@@ -70,13 +70,26 @@ private[graft] object Memo {
     * runs queries sequentially; this is not meant for concurrent
     * recorders. */
   private val recording = new java.util.HashSet[String]
+  private val recordingHits = new java.util.HashSet[String]
   private var recordOn = false
-  def startRecording(): Unit = memo.synchronized { recordOn = true; recording.clear() }
-  def stopRecording(): Set[String] = memo.synchronized {
+  def startRecording(): Unit = memo.synchronized {
+    recordOn = true; recording.clear(); recordingHits.clear()
+  }
+  def stopRecording(): Set[String] = stopRecordingWithHits()._1
+
+  /** Like [[stopRecording]] but also returns the keys that HIT during
+    * the window — the bench's fake-cold guard: a fullMemo query whose
+    * timed "cold" run had zero misses found its whole result
+    * pre-existing in the Memo, and the hit set names exactly the
+    * entries to release for a genuine rebuild (ADVICE r8 #1). */
+  def stopRecordingWithHits(): (Set[String], Set[String]) = memo.synchronized {
     recordOn = false
-    val out = Set.newBuilder[String]
-    val it = recording.iterator(); while (it.hasNext) out += it.next()
-    recording.clear(); out.result()
+    val miss = Set.newBuilder[String]
+    val it = recording.iterator(); while (it.hasNext) miss += it.next()
+    val hit = Set.newBuilder[String]
+    val it2 = recordingHits.iterator(); while (it2.hasNext) hit += it2.next()
+    recording.clear(); recordingHits.clear()
+    (miss.result(), hit.result())
   }
 
   /** Unpersist and drop the given INTERNAL keys (from [[stopRecording]]).
@@ -94,7 +107,10 @@ private[graft] object Memo {
     val k = s"${System.identityHashCode(s)}|$key"
     memo.synchronized {
       val hit = memo.get(k)
-      if (hit != null) { lastTouch.put(k, tick); hit }
+      if (hit != null) {
+        if (recordOn) recordingHits.add(k)
+        lastTouch.put(k, tick); hit
+      }
       else {
         // misses only: a hit means some earlier query owns this entry;
         // recording it would let the bench retry release a shared pass

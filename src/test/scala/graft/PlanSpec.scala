@@ -213,12 +213,19 @@ class PlanSpec extends SparkSpec {
       "UDF or explode leaked into the router plan")
   }
 
-  test("dsir weights: the m-row ratio table joins back via broadcast") {
+  test("dsir weights: scoring is a pure map over the count arrays — no join, no shuffle, no Generate") {
     import org.apache.spark.sql.functions.col
     val df = graft.ext.TextOps.dsirWeights(
       Tables.documents(spark, sf), "doc_id", "text", col("lang") === "en")
     val plan = formatted(df)
-    assert(plan.contains("BroadcastHashJoin"),
-      "ratio table did not broadcast — per-doc counts would shuffle against 64 rows")
+    // the m-row ratio table is collected to a literal at build time, so
+    // the per-doc scorer must be scan → kernel → fold: any Exchange or
+    // Generate here means the explode+groupBy shape crept back
+    assert(!plan.contains("Exchange"),
+      s"dsir scorer shuffled — map-side fold regressed:\n$plan")
+    assert(!plan.contains("Generate"),
+      "ngram explode leaked back into the scorer plan")
+    assert(!plan.contains("Join"),
+      "scorer joined — targetPred/ratio should ride the featurization pass")
   }
 }
