@@ -86,10 +86,23 @@ private[graft] object Components {
           val prop = work
             .join(lhs(labels.select(col("id").as("id2"), col("label"))), "id2")
             .groupBy("id").agg(min(col("label")).as("nl"))
-          val next = labels.join(lhs(prop), Seq("id"), "left")
+          val stepped = labels.join(lhs(prop), Seq("id"), "left")
             .select(col("id"),
               least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
               col("label").as("old"))
+          // pointer-jumping shortcut (label ← its label's label, min):
+          // halves the remaining path to the component min each round,
+          // so convergence takes O(log diameter) rounds instead of
+          // O(diameter) — the classic CC acceleration, and the
+          // difference between ~log₂(d) and d shuffle rounds on a
+          // 100-TB chain component. Monotone-decreasing toward the
+          // same min-id fixpoint, so labels are unchanged, only rounds.
+          val next = stepped.join(
+              lhs(stepped.select(col("id").as("__lid"), col("label").as("__ll"))),
+              col("label") === col("__lid"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+              col("old"))
             .localCheckpoint()
           changed = next.filter(col("label") =!= col("old")).count()
           labels = next.select("id", "label")
@@ -100,9 +113,9 @@ private[graft] object Components {
         // — fail loudly instead (conservatively: a run whose FINAL
         // round still changed labels is unverified, even if it happened
         // to land on the fixpoint). Caches are released BEFORE the
-        // throw so an aborted run leaks nothing. Real graphs with
-        // diameter > 200 want an alternating-contraction CC, not more
-        // rounds.
+        // throw so an aborted run leaks nothing. With pointer jumping
+        // the cap covers diameter ~2^200 — it remains as a defensive
+        // infinite-loop guard, no longer a real-graph limitation.
         work.unpersist()
         if (changed != 0) {
           dir.unpersist()

@@ -26,8 +26,25 @@ object Dbscan {
     * force the distributed label-propagation path (tested for parity
     * in ClusteringSpec). */
   def run(points: DataFrame, eps: Double, minPts: Int,
-      maxDriverEdges: Long = 5000000L): DataFrame = {
-    val spark = points.sparkSession
+      maxDriverEdges: Long = 5000000L): DataFrame =
+    runFrom(neighborhood(points, eps, minPts), minPts, maxDriverEdges,
+      unpersistAfter = true)
+
+  /** The gate-independent HALF of a DBSCAN run: grid cells, the 9-cell
+    * neighbor equi-join, degrees, core set, core-core edges — all
+    * cached. Split out so the parity harness can build this ONCE and
+    * run only the gate-DEPENDENT labeling tail down both paths (the
+    * paths under test are the CC engines, not the neighbor join —
+    * VERDICT r8 #6). Callers own the unpersist (via [[runFrom]]'s
+    * `unpersistAfter`). */
+  private[graft] case class Neighborhood(pts: DataFrame, edges: DataFrame,
+      core: DataFrame, coreEdges: DataFrame) {
+    def unpersist(): Unit =
+      Seq(coreEdges, core, edges, pts).foreach(_.unpersist())
+  }
+
+  private[graft] def neighborhood(points: DataFrame, eps: Double,
+      minPts: Int): Neighborhood = {
     val pts = points.select(col("series_id").cast("long").as("id"),
       col("x").cast("double"), col("y").cast("double"))
       .withColumn("cx", floor(col("x") / eps))
@@ -60,7 +77,13 @@ object Dbscan {
       .join(core.select(col("id").as("id2")), "id2")
       .select(col("id"), col("id2"))
       .cache()
+    Neighborhood(pts, edges, core, coreEdges)
+  }
 
+  /** The gate-DEPENDENT labeling tail over a prebuilt [[Neighborhood]]. */
+  private[graft] def runFrom(nb: Neighborhood, minPts: Int,
+      maxDriverEdges: Long, unpersistAfter: Boolean): DataFrame = {
+    import nb.{pts, edges, core, coreEdges}
     // Reference-regime fast path (SURVEY.md §7.5 #4): small edge lists
     // union-find on the driver, else O(diameter) min-label propagation —
     // both canonical min-id labels, extracted into the shared
@@ -85,7 +108,7 @@ object Dbscan {
       .select(col("id").as("series_id"),
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
       .localCheckpoint()
-    Seq(coreEdges, core, edges, pts).foreach(_.unpersist())
+    if (unpersistAfter) Seq(coreEdges, core, edges, pts).foreach(_.unpersist())
     result
   }
 }

@@ -276,21 +276,37 @@ object MlQueries {
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         // shared inputs materialized BEFORE the concurrent branches so
-        // no two branches race to fill the same cache
-        val fe = featureEmbedding(s, dir)
-          .filter(col("series_id") < 40).cache()
-        val serT = truncatedSeries(s, dir)
-          .filter(col("series_id") < 40).cache()
-        val serP = SeriesOps.pad(normalizedSeries(s, dir))
-          .filter(col("series_id") < 40).cache()
+        // no two branches race to fill the same cache. The rig then
+        // runs on a LOW-PARALLELISM CHILD SESSION (shuffle.partitions
+        // 4): the inputs are ≤40 rows by construction, but the
+        // branches are ITERATIVE (CC propagation, k-means|| rounds,
+        // K-Shape refinement) and at the suite's 32 shuffle partitions
+        // each iteration schedules ~32 near-empty tasks — pure rig
+        // overhead, ~half the harness cost (VERDICT r8 #6). Both
+        // gate paths are partitioning-independent BY CONSTRUCTION
+        // (canonical layouts; the golden pin is exactly that claim),
+        // so the child session changes nothing but the task count.
+        // Rows are handed over via collect (≤40 rows, metadata-sized).
+        val ps = s.newSession()
+        ps.conf.set("spark.sql.shuffle.partitions", "4")
+        def toChild(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          import scala.jdk.CollectionConverters._
+          ps.createDataFrame(df.collect().toSeq.asJava, df.schema).cache()
+        }
+        val fe = toChild(featureEmbedding(s, dir)
+          .filter(col("series_id") < 40))
+        val serT = toChild(truncatedSeries(s, dir)
+          .filter(col("series_id") < 40))
+        val serP = toChild(SeriesOps.pad(normalizedSeries(s, dir))
+          .filter(col("series_id") < 40))
         // the [EXT] similarity stack's regime: ≥16-D embedding vectors
         // (the 64-D embeddings table), not 2-D series features — the
         // MDS driver/landmark twin must agree where the LLM-pipeline
         // actually runs, not only on the reference's small space
-        val emb16 = Tables.embeddings(s, dir)
+        val emb16 = toChild(Tables.embeddings(s, dir)
           .select(col("vec_id").cast("long").as("series_id"),
             col("embedding").cast("array<double>").as("values"))
-          .filter(col("series_id") < 40).cache()
+          .filter(col("series_id") < 40))
         val (nKm, _, nSer, nEmb) =
           (fe.count(), serT.count(), serP.count(), emb16.count())
 
@@ -313,17 +329,30 @@ object MlQueries {
 
         // the five path-pairs are independent — run them as concurrent
         // driver-side jobs; wall time is the slowest branch, not the sum
-        val fDb = Future(labelMismatch(
-          Dbscan.run(fe, 3.0, 4),
-          Dbscan.run(fe, 3.0, 4, maxDriverEdges = 0)))
-        val fKs = Future(labelMismatch(
-          KShape.fit(serT, 3, maxIter = 3),
-          KShape.fitDistributed(serT, 3, maxIter = 3)))
+        val fDb = Future {
+          // the gate-independent neighbor join is built ONCE; only the
+          // gate-dependent CC labeling tails — the paths under test —
+          // run twice, CONCURRENTLY (VERDICT r8 #6: don't pay the
+          // shared half per path, nor the fast tail after the slow one)
+          val nb = Dbscan.neighborhood(fe, 3.0, 4)
+          nb.coreEdges.count() // materialize before the racing tails
+          val a = Future(Dbscan.runFrom(nb, 4, 5000000L, unpersistAfter = false))
+          val b = Future(Dbscan.runFrom(nb, 4, 0L, unpersistAfter = false))
+          try labelMismatch(Await.result(a, Duration.Inf),
+            Await.result(b, Duration.Inf))
+          finally nb.unpersist()
+        }
+        val fKs = Future {
+          val a = Future(KShape.fit(serT, 3, maxIter = 3))
+          val b = Future(KShape.fitDistributed(serT, 3, maxIter = 3))
+          labelMismatch(Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
+        }
         val fKm = Future {
           val feCanon = fe.repartition(8, col("series_id"))
             .sortWithinPartitions("series_id")
-          sse(Clustering.kmeans(feCanon, 3, gate = 0)) <=
-            2.0 * sse(Clustering.kmeans(fe, 3))
+          val a = Future(sse(Clustering.kmeans(feCanon, 3, gate = 0)))
+          val b = Future(sse(Clustering.kmeans(fe, 3)))
+          Await.result(a, Duration.Inf) <= 2.0 * Await.result(b, Duration.Inf)
         }
         val fMds = Future {
           val jm = Embedding.mds2d(serP)
