@@ -618,6 +618,52 @@ object EventStreams {
     writeCentroidBucketedEpoch(out, stateTable, buckets)
   }
 
+  /** Maintenance compaction for centroid-bucketed epoch state (the
+    * index-maintenance half of the streaming-state story): fold every
+    * partition with batch_id ≤ `upToBatch` into the single partition
+    * `upToBatch`, preserving rows, bucketing, and sort order. Epoch
+    * ingest leaves one batch_id directory × `buckets` files per
+    * micro-batch — at 10k epochs the FILE COUNT (and per-probe
+    * partition listing) becomes the bottleneck even though no probe
+    * ever reshuffles; periodic compaction caps it at
+    * O(uncompacted epochs × buckets). Row content is untouched, so
+    * every probe (prior-state join, cell filter, keep audit) reads
+    * identical data before and after — the BucketingSpec pin holds
+    * across a compaction.
+    *
+    * CONTRACT: only compact epochs the streaming checkpoint has
+    * committed PAST. foreachBatch redelivery (at-least-once) replays
+    * the last uncommitted batch id; replaying an epoch ≤ `upToBatch`
+    * after compaction would write its partition anew BESIDE the
+    * folded copy — double-counted rows, and a sem-dedup prior probe
+    * filtered to batch_id < i would no longer see the folded rows.
+    * Compact up to (committed batch − 1) and the replay window never
+    * intersects the folded range. The two-step rewrite
+    * (stage → overwrite-from-stage) is not atomic; a concurrent probe
+    * in the overwrite window should retry — the standard
+    * maintenance-job discipline, documented rather than hidden. (A
+    * stage-then-RENAME swap would halve the copy cost but directory
+    * rename-onto-existing semantics differ across catalogs/filesystems
+    * — the portable overwrite is worth the extra pass for a
+    * maintenance-cadence job.) */
+  def compactEpochState(spark: SparkSession, stateTable: String,
+      upToBatch: Long, buckets: Int = 8): Unit = {
+    val staging = stateTable + "_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.table(stateTable)
+      .withColumn("batch_id",
+        when(col("batch_id") <= upToBatch, lit(upToBatch))
+          .otherwise(col("batch_id")))
+      .write.format("parquet").partitionBy("batch_id")
+      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(staging)
+    spark.table(staging)
+      .write.format("parquet").partitionBy("batch_id")
+      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .mode("overwrite").saveAsTable(stateTable)
+    spark.sql(s"DROP TABLE $staging")
+  }
+
   /** ANN search over the streaming-ingested index state: the shared
     * IVF probe tail ([[graft.ml.Ivf.probeAndRank]]) over the
     * accumulated centroid-bucketed table — identical output to the

@@ -157,6 +157,22 @@ class BucketingSpec extends SparkSpec {
       (slices.size - 1).toLong, "vec_id", "embedding", centers, 0.9999,
       "sbspec.sem_state", 4)
     assert(s.table("sbspec.sem_state").count() == n0)
+    // maintenance compaction: fold epochs ≤ 1 into one partition —
+    // rows identical, partition count drops, the zero-Exchange probe
+    // pin STILL holds (bucketing survives the staging-table swap)
+    val before = s.table("sbspec.sem_state")
+      .orderBy("vec_id").collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Boolean]("keep"))).toSeq
+    EventStreams.compactEpochState(s, "sbspec.sem_state", 1L, 4)
+    val after = s.table("sbspec.sem_state")
+      .orderBy("vec_id").collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Boolean]("keep"))).toSeq
+    assert(after == before, "compaction must not change state rows")
+    val parts = s.table("sbspec.sem_state")
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(parts == Seq(1L, 2L), s"epochs 0-1 must fold into 1, got $parts")
+    assert(shuffleCount(probeOf(s.table("sbspec.sem_state"))) == 1,
+      "probe must stay shuffle-free on the state side after compaction")
     s.sql("DROP DATABASE sbspec CASCADE")
   }
 }
