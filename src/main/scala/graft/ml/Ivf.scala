@@ -112,16 +112,38 @@ object Ivf {
   /** The probe tail over an ALREADY-BUCKETED index frame
     * (idCol, vn, centroid_id) and its centers — shared by [[topK]]
     * and the streaming-ingested index
-    * ([[graft.streaming.EventStreams.ivfTopKFromState]]). */
+    * ([[graft.streaming.EventStreams.ivfTopKFromState]]).
+    *
+    * CELL PRUNING: an IVF probe should READ only the probed inverted
+    * lists, not scan the whole index — that is the entire point of the
+    * coarse quantizer. The distinct probed cell ids (≤ queries ×
+    * nprobe, query-sized metadata) are collected and pushed as an
+    * `isin` filter on the index side: over a centroid-bucketed state
+    * table Spark turns that into BUCKET PRUNING (SelectedBucketsCount
+    * in the scan), and over parquet it's a pushed filter — either way
+    * the untouched cells are never read. The collect is BOUNDED: with
+    * more than `maxPrunedCells` distinct cells (a corpus-sized query
+    * set probing most of the index) the filter is skipped and the
+    * join alone confines the pairing, exactly the pre-pruning plan.
+    * The equi-join keeps only matching cells regardless, so the
+    * filter changes I/O, never results. */
   private[graft] def probeAndRank(bucketed: DataFrame, centers: Array[Array[Double]],
-      idCol: String, queryPred: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, queryPred: String, k: Int, nprobe: Int,
+      maxPrunedCells: Int = 4096): DataFrame = {
     val spark = bucketed.sparkSession
     GraftFunctions.register(spark)
     val probe = probeUdf(spark, centers, nprobe)
     val queries = bucketed.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("vn").as("qv"),
         explode(probe(col("vn"))).as("centroid_id"))
-    val scored = queries.join(bucketed, "centroid_id")
+      .localCheckpoint() // one probe pass feeds both the cell list and the join
+    val probedCells = queries.select(col("centroid_id"))
+      .distinct().limit(maxPrunedCells + 1)
+      .collect().map(_.getInt(0))
+    val index =
+      if (probedCells.length > maxPrunedCells) bucketed
+      else bucketed.filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+    val scored = queries.join(index, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("qv"), col("vn")).as("cosine"))

@@ -591,13 +591,29 @@ object EventStreams {
     val hasPrior = spark.catalog.tableExists(stateTable)
     val dupPrior =
       if (!hasPrior) asg.select(col(idCol)).limit(0)
-      else asg.join(
+      else {
+        // cell pruning: the prior-state probe can only match rows in
+        // cells the micro-batch TOUCHES. The batch's distinct cells
+        // (≤ batch size, collected bounded) push down as an `isin` on
+        // the bucketed state — bucket pruning skips untouched cells'
+        // files, so the per-epoch read is O(state in touched cells),
+        // not O(total state), on top of the already-shuffle-free join.
+        // A batch touching > 4096 cells skips the filter (the join
+        // confines the pairing regardless; results never change).
+        val touched = asg.select(col("centroid_id")).distinct()
+          .limit(4097).collect().map(_.getInt(0))
+        val priorBase = spark.table(stateTable)
+          .filter(col("batch_id") < batchId)
+        val prior =
+          if (touched.length > 4096) priorBase
+          else priorBase.filter(
+            col("centroid_id").isin(touched.map(Int.box): _*))
+        asg.join(
           // state side: bucketed on centroid_id — filter + rename
           // preserve the bucketing, so this join reads the accumulated
           // state co-partitioned (batch_id pruning cuts the scan to
           // prior epochs; only the micro-batch side ever shuffles)
-          spark.table(stateTable).filter(col("batch_id") < batchId)
-            .select(col(idCol).as("__pid"), col("vn").as("__pvn"),
+          prior.select(col(idCol).as("__pid"), col("vn").as("__pvn"),
               col("centroid_id")),
           Seq("centroid_id"))
         // a<b even across epochs: out-of-order arrivals never let a
@@ -605,6 +621,7 @@ object EventStreams {
         .filter(col("__pid") < col(idCol) &&
           call_function("array_dot", col("vn"), col("__pvn")) >= eps)
         .select(col(idCol)).distinct()
+      }
     val dupIntra = asg.as("a").join(asg.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&

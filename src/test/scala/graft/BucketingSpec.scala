@@ -151,6 +151,17 @@ class BucketingSpec extends SparkSpec {
       .filter($"col_name" === "Location").select("data_type").as[String].head()
     assert(shuffleCount(probeOf(s.read.parquet(semLoc))) == 2,
       "control: a path read of the state should shuffle both sides")
+    // cell pruning: an IVF probe over the state must READ only the
+    // probed cells — the isin pushdown becomes bucket pruning
+    // (SelectedBucketsCount below total on the index-side scan)
+    val probedTopK = EventStreams.ivfTopKFromState(s, "sbspec.ivf_state",
+      "vec_id", centers, "vec_id < 1", 3, 1)
+    probedTopK.collect()
+    val scanCounts = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(probedTopK.queryExecution.executedPlan.toString)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(scanCounts.exists { case (sel, tot) => sel < tot },
+      s"IVF probe must bucket-prune to the probed cells, scans=$scanCounts")
     // epoch replay stayed idempotent under insertInto (dynamic overwrite)
     val n0 = s.table("sbspec.sem_state").count()
     EventStreams.semDedupEpoch(slices.last.toDF("vec_id", "embedding"),
