@@ -109,40 +109,45 @@ object Ivf {
     probeAndRank(bucketed, centers, idCol, queryPred, k, nprobe)
   }
 
+  /** Bounded cell pruning shared by every probe join (plain, int8,
+    * PQ, streaming-state): materialize the probe side once, collect
+    * its distinct probed cell ids (query-sized, capped at
+    * `maxPrunedCells`), and push them as an `isin` on the index side
+    * — bucket pruning over a bucketed state table, a pushed filter
+    * over parquet; untouched inverted lists are never read. Past the
+    * cap the filter is skipped and the equi-join alone confines the
+    * pairing. Returns (materialized queries, pruned index); results
+    * are identical with or without the filter — only I/O changes. */
+  private def pruneToCells(index: DataFrame, queriesRaw: DataFrame,
+      maxPrunedCells: Int = 4096): (DataFrame, DataFrame) = {
+    val queries = queriesRaw.localCheckpoint()
+    val cells = queries.select(col("centroid_id")).distinct()
+      .limit(maxPrunedCells + 1).collect().map(_.getInt(0))
+    val pruned =
+      if (cells.length > maxPrunedCells) index
+      else index.filter(col("centroid_id").isin(cells.map(Int.box): _*))
+    (queries, pruned)
+  }
+
   /** The probe tail over an ALREADY-BUCKETED index frame
     * (idCol, vn, centroid_id) and its centers — shared by [[topK]]
     * and the streaming-ingested index
     * ([[graft.streaming.EventStreams.ivfTopKFromState]]).
     *
-    * CELL PRUNING: an IVF probe should READ only the probed inverted
-    * lists, not scan the whole index — that is the entire point of the
-    * coarse quantizer. The distinct probed cell ids (≤ queries ×
-    * nprobe, query-sized metadata) are collected and pushed as an
-    * `isin` filter on the index side: over a centroid-bucketed state
-    * table Spark turns that into BUCKET PRUNING (SelectedBucketsCount
-    * in the scan), and over parquet it's a pushed filter — either way
-    * the untouched cells are never read. The collect is BOUNDED: with
-    * more than `maxPrunedCells` distinct cells (a corpus-sized query
-    * set probing most of the index) the filter is skipped and the
-    * join alone confines the pairing, exactly the pre-pruning plan.
-    * The equi-join keeps only matching cells regardless, so the
-    * filter changes I/O, never results. */
+    * Reads only the probed inverted lists via [[pruneToCells]] —
+    * an IVF probe that scans the whole index defeats the coarse
+    * quantizer; the pruning changes I/O, never results. */
   private[graft] def probeAndRank(bucketed: DataFrame, centers: Array[Array[Double]],
       idCol: String, queryPred: String, k: Int, nprobe: Int,
       maxPrunedCells: Int = 4096): DataFrame = {
     val spark = bucketed.sparkSession
     GraftFunctions.register(spark)
     val probe = probeUdf(spark, centers, nprobe)
-    val queries = bucketed.filter(expr(queryPred))
-      .select(col(idCol).as("q_id"), col("vn").as("qv"),
-        explode(probe(col("vn"))).as("centroid_id"))
-      .localCheckpoint() // one probe pass feeds both the cell list and the join
-    val probedCells = queries.select(col("centroid_id"))
-      .distinct().limit(maxPrunedCells + 1)
-      .collect().map(_.getInt(0))
-    val index =
-      if (probedCells.length > maxPrunedCells) bucketed
-      else bucketed.filter(col("centroid_id").isin(probedCells.map(Int.box): _*))
+    val (queries, index) = pruneToCells(bucketed,
+      bucketed.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"), col("vn").as("qv"),
+          explode(probe(col("vn"))).as("centroid_id")),
+      maxPrunedCells)
     val scored = queries.join(index, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
@@ -216,15 +221,16 @@ object Ivf {
         .drop("__s")
     }
 
-    val queries = coded.filter(expr(queryPred))
-      .select(col(idCol).as("q_id"), col("vn"),
-        col("code").as("q_code"))
-      .select(col("q_id"), col("q_code"),
-        explode(probe(col("vn"))).as("centroid_id"))
+    val (queries, codedPruned) = pruneToCells(coded,
+      coded.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"), col("vn"),
+          col("code").as("q_code"))
+        .select(col("q_id"), col("q_code"),
+          explode(probe(col("vn"))).as("centroid_id")))
 
-    // quantized pre-rank: candidates in the probed cells, scored on the
-    // int8 codes only; keep the top `rerank` per query
-    val cand = queries.join(coded, "centroid_id")
+    // quantized pre-rank: candidates in the probed cells (cell-pruned
+    // read), scored on the int8 codes only; keep the top `rerank` per query
+    val cand = queries.join(codedPruned, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         call_function("array_dot", col("q_code"), col("code")).as("q_score"))
@@ -375,16 +381,17 @@ object Ivf {
           slice(col("vn"), (i / lit(ksub)).cast("int") * dsub + lit(1), lit(dsub)),
           cb, (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x))
-    val queries = coded.filter(expr(queryPred))
-      .select(col(idCol).as("q_id"), col("vn"))
-      .withColumn("__lut", lut)
-      .select(col("q_id"), col("__lut"),
-        explode(probe(col("vn"))).as("centroid_id"))
+    val (queries, codedPruned) = pruneToCells(coded,
+      coded.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"), col("vn"))
+        .withColumn("__lut", lut)
+        .select(col("q_id"), col("__lut"),
+          explode(probe(col("vn"))).as("centroid_id")))
 
-    // ADC pre-rank: candidates in the probed cells, scored by mSub
-    // ordered table lookups; keep the top `rerank` per query
+    // ADC pre-rank: candidates in the probed cells (cell-pruned read),
+    // scored by mSub ordered table lookups; keep the top `rerank` per query
     val cand = queries
-      .join(coded.select(col(idCol), col("pq_code"), col("centroid_id")),
+      .join(codedPruned.select(col(idCol), col("pq_code"), col("centroid_id")),
         "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
