@@ -468,6 +468,62 @@ object TextOps {
           greatest(col("tokens_target"), lit(1L)), 6).as("fill_frac"))
   }
 
+  /** Temperature-flattened mixture planning ([EXT]): the multilingual
+    * up-sampling rule of mBERT / XLM-R (Devlin et al. 2019 app.;
+    * Conneau et al. 2020 §3.1) — instead of hand-set target weights
+    * ([[mixturePlan]]), each group's sampling weight is its token
+    * availability raised to `alpha` ∈ (0,1] and renormalized:
+    * p_g = avail_g^α / Σ_h avail_h^α. α = 1 reproduces the natural
+    * distribution; α → 0 approaches uniform, so low-resource groups
+    * are up-sampled at the expense of the head. Output per group:
+    * availability, the natural share, the flattened weight, `boost`
+    * (weight / natural share — the up-sampling factor the paper
+    * tunes), and the same tokens_target / epochs / sample_rate
+    * contract as [[mixturePlan]] so the two plans are drop-in
+    * interchangeable upstream of [[mixtureExecute]]-style selection.
+    *
+    * Cross-engine determinism: the flattened mass is quantized to
+    * integer micro-units (floor(f(avail)·10⁶)) before normalizing, so
+    * the denominator is an exact integer sum — no float-sum
+    * order-dependence. α = 0.5 (the common published setting) routes
+    * through `sqrt`, which IEEE 754 requires correctly rounded, so
+    * the oracle reproduces the plan bit-for-bit; other α use `pow`
+    * (documented ≤1-ulp engine variance, still deterministic per
+    * engine).
+    *
+    * Scale: identical to [[mixturePlan]] — one map-side-combined
+    * groupBy to ≤|groups| rows; the normalizing sums run in a single
+    * unpartitioned window over that tiny post-aggregation frame
+    * (documented regime, same as [[yieldCurve]]). */
+  def mixtureTemperature(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val tok = tokenCounts(df, idCol, textCol).select(col(idCol), col("n_bpe"))
+    val g = df.select(col(idCol), col(groupCol))
+      .join(tok, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("tokens_avail"))
+    val mass =
+      if (alpha == 0.5) sqrt(col("tokens_avail").cast("double"))
+      else pow(col("tokens_avail").cast("double"), alpha)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    g.withColumn("__mu", floor(mass * 1e6).cast("long"))
+      .withColumn("nat_share", round(
+        col("tokens_avail").cast("double") / sum(col("tokens_avail")).over(w), 6))
+      .withColumn("weight", round(
+        col("__mu").cast("double") / sum(col("__mu")).over(w), 6))
+      .withColumn("boost", round(col("weight") / col("nat_share"), 4))
+      .withColumn("tokens_target",
+        round(col("weight") * budgetTokens, 0).cast("long"))
+      .withColumn("epochs", round(
+        col("tokens_target").cast("double") / col("tokens_avail"), 6))
+      .withColumn("sample_rate", round(least(lit(1.0),
+        col("tokens_target").cast("double") / col("tokens_avail")), 6))
+      .drop("__mu")
+  }
+
   /** Quality-threshold YIELD CURVE ([EXT]): for each observed quality
     * bin, how many documents and training tokens survive a keep-filter
     * at `score >= threshold` — the chart a curation run is tuned from

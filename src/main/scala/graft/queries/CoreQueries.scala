@@ -545,6 +545,23 @@ object CoreQueries {
              |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
              |FROM c JOIN p ON c.user_id = p.user_id AND p.ts > c.ts
              |  AND p.ts <= c.ts + INTERVAL 1800 SECOND
-             |ORDER BY click_id, purchase_id""".stripMargin))
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // Source-format round-trips: the documents corpus through the two
+    // non-parquet corpus formats an LLM pipeline actually meets —
+    // JSONL (write → explicit-schema PERMISSIVE read, quarantine path
+    // empty on clean data) and ORC. The oracle is the parquet truth:
+    // any writer/reader infidelity (escaping, unicode, nulls, numeric
+    // width) breaks the hash. Corrupt-line quarantine + gzip reads are
+    // pinned in SourcesRoundTripSpec.
+    Q("source_jsonl_roundtrip",
+      (s, dir) => graft.sources.DocSources.jsonlRoundTrip(
+          Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    Q("source_orc_roundtrip",
+      (s, dir) => graft.sources.DocSources.orcRoundTrip(
+          Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
   )
 }

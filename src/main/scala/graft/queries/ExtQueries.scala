@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{aggregate, ceil, col, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Bpe, Dedup, Similarity, TextOps}
 
 /** [EXT] training-data-pipeline queries over `documents`/`embeddings`:
   * dedup (exact / Jaccard / MinHash-LSH / SimHash / cosine), similarity
@@ -1335,6 +1335,77 @@ object ExtQueries {
               |       round(CAST(coalesce(k.tokens_kept, 0) AS DOUBLE)
               |         / greatest(r.tokens_target, 1), 6) AS fill_frac
               |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin)),
+
+    // BPE tokenizer TRAINING, step 1 (Sennrich 2016): weighted
+    // adjacent symbol-pair counts over the word-frequency table with
+    // chars + '</w>' initial symbols — the fully-SQL-expressible head
+    // of the training loop, so it carries the family's oracle row.
+    // Top-20 under the training loop's exact total order.
+    Q("text_bpe_pair_counts",
+      (s, dir) => Bpe.pairCounts(Tables.documents(s, dir), "doc_id", "text")
+        .limit(20),
+      Some("""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |           FROM documents),
+             |wf AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY w),
+             |sy AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS s FROM wf),
+             |pr AS (SELECT s[i+1] AS l, s[i+2] AS r, freq
+             |       FROM sy, LATERAL (SELECT unnest(range(len(s)-1)) AS i) u),
+             |pc AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+             |       FROM pr GROUP BY l, r)
+             |SELECT l, r, pair_freq FROM pc
+             |ORDER BY pair_freq DESC, l, r LIMIT 20""".stripMargin)),
+
+    // BPE training, the full merge loop: 40 learned merges in rank
+    // order. Iterative global-argmax training is not SQL-expressible
+    // (no_oracle); BpeSpec pins the sf0.001 head exactly, proves
+    // driver/distributed path parity, and checks the trainer against
+    // an independent reimplementation.
+    Q("text_bpe_merges",
+      (s, dir) => Bpe.merges(Tables.documents(s, dir), "doc_id", "text", 40)
+        .orderBy("rank"),
+      None),
+
+    // BPE training, the payoff audit: tokenize the corpus with the 40
+    // freshly learned merges and report per-language fertility — the
+    // before/after a tokenizer-training run is judged on (compare
+    // text_fertility's fixed-vocab numbers). Rides the Memo'd train.
+    Q("text_bpe_fertility",
+      (s, dir) => Bpe.trainedFertility(Tables.documents(s, dir), "doc_id",
+          "text", "lang", 40)
+        .orderBy("lang"),
+      None),
+
+    // Temperature-flattened mixture (XLM-R alpha-sampling): weights
+    // derived from availability^0.5 instead of hand-set targets —
+    // low-resource languages up-sampled, head down-sampled. alpha=0.5
+    // routes through IEEE-exact sqrt and the flattened mass is
+    // quantized to integer micro-units before normalizing, so DuckDB
+    // reproduces the plan bit-for-bit. Rides the same Memo'd token
+    // pass as text_mixture_plan/_execute.
+    Q("text_mixture_temperature",
+      (s, dir) => TextOps.mixtureTemperature(Tables.documents(s, dir),
+          "doc_id", "text", "lang", 0.5, 10000000L)
+        .orderBy("lang"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT d.lang, count(*) AS n_docs,
+              |        CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM documents d JOIN tok t USING (doc_id) GROUP BY d.lang),
+              |m AS (SELECT *, CAST(floor(sqrt(CAST(tokens_avail AS DOUBLE)) * 1e6) AS BIGINT) AS mu
+              |      FROM g),
+              |n AS (SELECT *,
+              |        round(CAST(tokens_avail AS DOUBLE) / (SELECT sum(tokens_avail) FROM m), 6) AS nat_share,
+              |        round(CAST(mu AS DOUBLE) / (SELECT sum(mu) FROM m), 6) AS weight
+              |      FROM m),
+              |p AS (SELECT *, round(weight / nat_share, 4) AS boost,
+              |        CAST(round(weight * 10000000, 0) AS BIGINT) AS tokens_target
+              |      FROM n)
+              |SELECT lang, n_docs, tokens_avail, nat_share, weight, boost, tokens_target,
+              |       round(CAST(tokens_target AS DOUBLE) / tokens_avail, 6) AS epochs,
+              |       round(least(CAST(1.0 AS DOUBLE),
+              |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
+              |FROM p ORDER BY lang""".stripMargin)),
 
     // Code-vs-prose routing: structural signals + routing decision;
     // every 11th doc gets six closed-form code lines planted so both

@@ -41,6 +41,44 @@ object DocSources {
     (clean, quarantined)
   }
 
+  /** [[readJsonl]] generalized to any schema + id column — the same
+    * text-scan + `from_json` quarantine contract (explicit schema,
+    * never inference: at 100 TB, schema inference is a second full
+    * corpus scan before the first real one). */
+  def readJsonlAs(spark: SparkSession, path: String, schema: StructType,
+      idCol: String): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"), schema).as("j"))
+    val ok = col("j").isNotNull && col(s"j.$idCol").isNotNull
+    (parsed.filter(ok).select(col("j.*")),
+      parsed.filter(!ok).select(col("value").as("raw_line")))
+  }
+
+  /** Corpus round-trip through JSONL: write `df` to a scratch dir,
+    * read it back through the quarantine reader, return the read-back
+    * frame — the end-to-end (writer, reader) fidelity check for
+    * escaping, unicode, embedded newlines-as-\n, nulls, and numeric
+    * width. The scratch dir is keyed by the input plan so concurrent
+    * sessions don't collide. */
+  def jsonlRoundTrip(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val dir = scratch(df, "jsonl")
+    df.write.mode("overwrite").json(dir)
+    readJsonlAs(df.sparkSession, dir, df.schema, idCol)._1
+  }
+
+  /** Corpus round-trip through ORC (the other columnar landing format
+    * next to parquet), explicit schema on the read side. */
+  def orcRoundTrip(df: DataFrame): DataFrame = {
+    val dir = scratch(df, "orc")
+    df.write.mode("overwrite").orc(dir)
+    df.sparkSession.read.schema(df.schema).orc(dir)
+  }
+
+  private def scratch(df: DataFrame, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${tag}_" +
+      java.lang.Integer.toHexString(df.queryExecution.logical.semanticHash())
+
   /** Write deterministic training shards: `shardsPerSplit` parquet
     * files per split value, rows hash-assigned to shards by id (stable
     * across runs) and sorted by id within each shard. */

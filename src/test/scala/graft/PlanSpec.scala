@@ -228,4 +228,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       "scorer joined — targetPred/ratio should ride the featurization pass")
   }
+
+  test("bpe pair counts: HOF pair explode stays codegen'd — no UDF, no python") {
+    val plan = formatted(graft.ext.Bpe.pairCounts(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!plan.contains("BatchEvalPython"), "python in the pair-count path")
+    // the word-freq groupBy and the pair groupBy are the only wide ops;
+    // anything beyond 3 Exchanges (2 aggs + final sort) is a regression
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"pair counting over-shuffles ($exchanges):\n$plan")
+  }
+
+  test("temperature mixture: one corpus-sized shuffle; the window runs on the tiny group frame") {
+    val df = graft.ext.TextOps.mixtureTemperature(
+      Tables.documents(spark, sf), "doc_id", "text", "lang", 0.5, 1000000L)
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"),
+      "UDF/explode leaked into the plan math")
+    // corpus-sized work: the token join + the groupBy(lang); the
+    // normalizing window adds a single-partition Exchange over the
+    // ≤|groups|-row aggregate — documented regime, but nothing more
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"temperature plan over-shuffles ($exchanges):\n$plan")
+  }
 }
