@@ -56,6 +56,80 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-dimension corpus statistics of the embedding column ([EXT]):
+    * (dim, n, mean, std, min, max) — the whitening/pre-processing
+    * audit (dead dims, dominant dims, mis-scaled dims) run before
+    * fitting quantizers or PCA.
+    *
+    * Cross-engine determinism: cross-ROW sums of floats are
+    * order-dependent, so the means ride integer micro-sums — each
+    * value quantized to round(x·10⁶) (and its square to
+    * round(x²·10⁶)) before summing; the two exact integer sums give
+    * mean and E[x²] − mean² variance with identical double arithmetic
+    * in Spark and DuckDB. Overflow bound: |x| ≲ 30 → summands ≤ 10⁹,
+    * safe to ~10⁹ rows per dim; min/max are exact comparisons.
+    *
+    * Scale: one posexplode to (rows × dims) that immediately partial-
+    * aggregates — shuffle volume is partitions × dims rows, never the
+    * exploded set. */
+  def dimStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "xd")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("xd") * 1e6, 0).cast("long")).as("__s1"),
+        sum(round(col("xd") * col("xd") * 1e6, 0).cast("long")).as("__s2"),
+        min(col("xd")).as("__mn"), max(col("xd")).as("__mx"))
+      .select(col("dim"), col("n"),
+        round(col("__s1").cast("double") / col("n") / 1e6, 6).as("mean"),
+        // mean² via explicit product, not pow(): IEEE multiply is
+        // correctly rounded, so both engines produce the same bits
+        round(sqrt(greatest(lit(0.0),
+          col("__s2").cast("double") / col("n") / 1e6
+            - (col("__s1").cast("double") / col("n") / 1e6)
+              * (col("__s1").cast("double") / col("n") / 1e6))), 6).as("std"),
+        round(col("__mn"), 6).as("mn"), round(col("__mx"), 6).as("mx"))
+
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS 2022
+    * "Matryoshka Representation Learning"): for each prefix length k,
+    * how much of each vector's norm the first k dimensions capture —
+    * frac = sqrt(Σ_{i≤k} x_i² / Σ_i x_i²). High prefix fractions mean
+    * the embedding can be served truncated (k·4 bytes instead of
+    * d·4) with little retrieval loss; flat fractions mean it cannot.
+    * Output per k: (k, n_vecs, avg_frac, min_frac, max_frac).
+    *
+    * Determinism: the per-vector sums fold the array in index order
+    * on integer-quantized squares (round(x²·10⁶)), and the per-k
+    * averages sum the micro-quantized fractions — no float-sum order
+    * dependence anywhere. Scale: per-row column work + one
+    * map-side-combined groupBy over |ks| keys. */
+  def matryoshkaAudit(emb: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val v = col(vecCol).cast("array<double>")
+    def qsum(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, x => round(x * x * 1e6, 0).cast("long")),
+        lit(0L), (a, x) => a + x)
+    // the zero vector (full norm 0) audits as frac 0 via greatest(·,1);
+    // the fraction is carried ONLY as its micro-quantized integer
+    // round(sqrt(·)·10⁶) so every cross-row aggregate is exact
+    val perK = ks.map(k =>
+      struct(lit(k).as("k"),
+        round(sqrt(qsum(slice(col("__v"), 1, k)).cast("double") /
+          greatest(col("__full"), lit(1L)).cast("double")) * 1e6, 0)
+          .cast("long").as("fm")))
+    emb.filter(col(vecCol).isNotNull)
+      .select(v.as("__v"))
+      .withColumn("__full", qsum(col("__v")))
+      .select(explode(array(perK: _*)).as("p"))
+      .select(col("p.k").as("k"), col("p.fm").as("__fm"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__fm")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_frac"),
+        round(min(col("__fm")).cast("double") / 1e6, 6).as("min_frac"),
+        round(max(col("__fm")).cast("double") / 1e6, 6).as("max_frac"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for
     * each query, the top-k most similar neighbors INSIDE a cosine band
     * [loSim, hiSim) — similar enough to be informative negatives,

@@ -947,6 +947,59 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Per-dimension embedding statistics: the whitening/pre-processing
+    // audit (dead dims, dominant dims, mis-scaled dims) run before
+    // fitting quantizers or PCA. Cross-row float sums ride integer
+    // micro-quantization (round(x·1e6), round(x²·1e6)) so both
+    // engines aggregate exact integers; variance = E[x²] − mean² with
+    // mean² an explicit IEEE product, not pow().
+    Q("sim_dim_stats",
+      (s, dir) => Similarity.dimStats(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("dim"),
+      Some("""WITH z AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         unnest(embedding) AS x
+             |       FROM embeddings),
+             |e AS (SELECT dim, CAST(x AS DOUBLE) AS xd FROM z),
+             |a AS (SELECT dim, count(*) AS n,
+             |        CAST(sum(CAST(round(xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s1,
+             |        CAST(sum(CAST(round(xd * xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s2,
+             |        min(xd) AS mn0, max(xd) AS mx0
+             |      FROM e GROUP BY dim)
+             |SELECT dim, n,
+             |  round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean,
+             |  round(sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n / 1e6
+             |    - (CAST(s1 AS DOUBLE) / n / 1e6) * (CAST(s1 AS DOUBLE) / n / 1e6))), 6) AS std,
+             |  round(mn0, 6) AS mn, round(mx0, 6) AS mx
+             |FROM a ORDER BY dim""".stripMargin)),
+
+    // Matryoshka truncation audit (Kusupati NeurIPS'22): per prefix
+    // length k, the norm fraction the first k dims capture — whether
+    // the embedding can be served truncated (k·4 bytes) with little
+    // retrieval loss. Per-vector folds run in index order on
+    // integer-quantized squares; per-k aggregates sum micro-quantized
+    // fractions — no float-sum order dependence anywhere.
+    Q("sim_matryoshka",
+      (s, dir) => Similarity.matryoshkaAudit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", Seq(8, 16, 32, 64))
+        .orderBy("k"),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+             |         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+             |           x -> CAST(round(x * x * 1e6, 0) AS BIGINT)), 'sum') AS nrm_full
+             |       FROM embeddings WHERE embedding IS NOT NULL),
+             |ks AS (SELECT unnest([8, 16, 32, 64]) AS kk),
+             |f AS (SELECT ks.kk,
+             |        CAST(round(sqrt(
+             |          CAST(list_aggregate(list_transform(q.v[1:ks.kk],
+             |            x -> CAST(round(x * x * 1e6, 0) AS BIGINT)), 'sum') AS DOUBLE)
+             |          / CAST(greatest(q.nrm_full, 1) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS fm
+             |      FROM q, ks)
+             |SELECT kk AS k, count(*) AS n_vecs,
+             |  round(CAST(sum(fm) AS DOUBLE) / count(*) / 1e6, 6) AS avg_frac,
+             |  round(CAST(min(fm) AS DOUBLE) / 1e6, 6) AS min_frac,
+             |  round(CAST(max(fm) AS DOUBLE) / 1e6, 6) AS max_frac
+             |FROM f GROUP BY kk ORDER BY kk""".stripMargin)),
+
     // Positive-pair generation (the contrastive twin of hard-negative
     // mining, Contriever/SimCSE style): two non-overlapping chunks of
     // the SAME document form a positive pair. Deterministic: chunk 0

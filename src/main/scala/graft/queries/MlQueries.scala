@@ -422,6 +422,46 @@ object MlQueries {
              |       true AS recall_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // Recall-vs-nprobe CURVE: the tuning chart an ANN deployment reads
+    // (how many cells must I probe for the recall I need?). The raw
+    // per-point recalls depend on the seeded KMeans fit, but two facts
+    // are theorems and form the hash-checked contract: (1) recall is
+    // MONOTONE in nprobe — nearest-nprobe cell sets are nested, and an
+    // exact-top-5 member present in a candidate superset is always in
+    // its best-5 (at most 4 others outrank it); (2) at nprobe = nlist
+    // the candidate set is everything, so recall is exactly 1. All
+    // five points ride one Memo'd index fit.
+    Q("sim_ivf_recall_curve",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val exact = graft.ext.Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding", "vec_id < 10", 5)
+          .select(col("q_id"), col("n_id")).cache()
+        val nEx = exact.count()
+        val nQ = exact.select(countDistinct(col("q_id"))).head().getLong(0)
+        val probes = Seq(1, 2, 4, 8, 16)
+        val hits = probes.map { np =>
+          val ivf = graft.ml.Ivf.topK(emb, "vec_id", "embedding",
+              "vec_id < 10", 5, 16, np)
+            .select(col("q_id"), col("n_id"))
+          np -> exact.join(ivf, Seq("q_id", "n_id")).count()
+        }
+        exact.unpersist()
+        val rows = hits.zip(0L +: hits.map(_._2)).map {
+          case ((np, hit), prev) =>
+            (np, nQ, nEx, hit >= prev, np < 16 || hit == nEx)
+        }
+        rows.toDF("nprobe", "n_queries", "n_exact", "monotone_ok",
+          "full_probe_exact").orderBy("nprobe")
+      },
+      Some("""SELECT p.nprobe, q.nq AS n_queries,
+             |       CAST(q.nq * 5 AS BIGINT) AS n_exact,
+             |       true AS monotone_ok, true AS full_probe_exact
+             |FROM (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe) p,
+             |     (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q
+             |ORDER BY p.nprobe""".stripMargin)),
+
     // Quantized-IVF composition (production ANN shape): int8 scoring
     // inside the probed cells, exact re-rank of the top-50 survivors.
     // The exact re-rank uses the identical arithmetic as brute force,

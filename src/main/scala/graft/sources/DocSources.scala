@@ -30,15 +30,22 @@ object DocSources {
   /** Read a JSONL corpus. Returns (clean rows, quarantined raw lines).
     * A line is clean iff it parses AND carries a doc_id; every other
     * non-blank line lands in the quarantine with its raw text. */
-  def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
+  def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    readJsonlAs(spark, path, docSchema, "doc_id")
+
+  /** The one parsing contract behind every JSONL entry point (batch
+    * path reads AND streaming ingest epochs): non-blank lines are
+    * parsed with the explicit schema; a line is clean iff it parses
+    * AND carries the id; everything else is quarantined with its raw
+    * text. `lines` must have a single string column of raw lines. */
+  def parseJsonlLines(lines: DataFrame, schema: StructType,
+      idCol: String): (DataFrame, DataFrame) = {
+    val parsed = lines.select(col(lines.columns.head).as("value"))
       .filter(length(trim(col("value"))) > 0)
-      .select(col("value"),
-        from_json(col("value"), docSchema).as("j"))
-    val ok = col("j").isNotNull && col("j.doc_id").isNotNull
-    val clean = parsed.filter(ok).select(col("j.*"))
-    val quarantined = parsed.filter(!ok).select(col("value").as("raw_line"))
-    (clean, quarantined)
+      .select(col("value"), from_json(col("value"), schema).as("j"))
+    val ok = col("j").isNotNull && col(s"j.$idCol").isNotNull
+    (parsed.filter(ok).select(col("j.*")),
+      parsed.filter(!ok).select(col("value").as("raw_line")))
   }
 
   /** [[readJsonl]] generalized to any schema + id column — the same
@@ -46,14 +53,8 @@ object DocSources {
     * never inference: at 100 TB, schema inference is a second full
     * corpus scan before the first real one). */
   def readJsonlAs(spark: SparkSession, path: String, schema: StructType,
-      idCol: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
-      .select(col("value"), from_json(col("value"), schema).as("j"))
-    val ok = col("j").isNotNull && col(s"j.$idCol").isNotNull
-    (parsed.filter(ok).select(col("j.*")),
-      parsed.filter(!ok).select(col("value").as("raw_line")))
-  }
+      idCol: String): (DataFrame, DataFrame) =
+    parseJsonlLines(spark.read.text(path), schema, idCol)
 
   /** Corpus round-trip through JSONL: write `df` to a scratch dir,
     * read it back through the quarantine reader, return the read-back

@@ -439,6 +439,42 @@ object EventStreams {
       .partitionBy("batch_id").parquet(stateDir)
   }
 
+  /** Streaming JSONL corpus INGEST epochs — the pipeline's entry edge
+    * as a stream (production shape: `readStream.text` over an arrival
+    * directory of .jsonl/.jsonl.gz shards). Each micro-batch of raw
+    * lines runs the SAME parsing contract as the batch reader
+    * ([[graft.sources.DocSources.parseJsonlLines]] — explicit schema,
+    * never inference): clean rows land partitioned by batch_id at
+    * `cleanDir`, quarantined raw lines at `quarantineDir` — nothing
+    * silently dropped at the door, and the quarantine stays auditable
+    * per epoch. Stateless per epoch (no cross-epoch probe), so
+    * idempotency is just the dynamic-partition-overwrite discipline:
+    * a replayed epoch rewrites its own two partitions byte-identically
+    * (StreamingSpec proves epochs == batch read and replay no-op). */
+  def jsonlIngestSink(lines: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      cleanDir: String, quarantineDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        jsonlIngestEpoch(batch, batchId, schema, idCol, cleanDir, quarantineDir)
+    }
+
+  /** One idempotent ingest epoch (the foreachBatch body). */
+  private[graft] def jsonlIngestEpoch(batch: DataFrame, batchId: Long,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      cleanDir: String, quarantineDir: String): Unit = {
+    val (clean, quarantined) =
+      graft.sources.DocSources.parseJsonlLines(batch, schema, idCol)
+    clean.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(cleanDir)
+    quarantined.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(quarantineDir)
+  }
+
   /** Deterministic top-k selection over the accumulated DSIR state:
     * (rk, idCol, is_target, log_w) — the exact output shape of batch
     * `text_dsir_select`, ties broken by id. The state is one small
