@@ -1691,6 +1691,40 @@ object ExtQueries {
              |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // Training-shard EGRESS round-trip: the pipeline's exit edge —
+    // split-assign the corpus, write deterministic partitioned shards
+    // (hash-bucketed per split, id-sorted within shard — diff-able
+    // output files), read them back, return (doc_id, split, text
+    // fingerprint). Oracle = recomputing the split + fingerprint from
+    // the parquet truth: any row lost/duplicated/mangled by the shard
+    // writer breaks the hash.
+    Q("source_training_shards",
+      (s, dir) => {
+        val assigned = Tables.documents(s, dir)
+          .join(TextOps.splitAssign(Tables.documents(s, dir), "doc_id", 90, 5)
+            .select(col("doc_id"), col("split")), Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("split"))
+        val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.DocSources.writeTrainingShards(
+          assigned, "doc_id", "split", out, 4)
+        s.read.parquet(out)
+          .select(col("doc_id"), col("split"),
+            md5(col("text").cast("binary")).as("text_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents)
+             |SELECT d.doc_id,
+             |  CASE WHEN b.bucket < 90 THEN 'train'
+             |       WHEN b.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             |  md5(d.text) AS text_fp
+             |FROM documents d JOIN b ON b.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Per-doc top-3 TF-IDF terms (tf × ln(N/df), ties by term) — the
     // classic content-keyword extractor; identical double math in both
     // engines makes even the ranking deterministic
