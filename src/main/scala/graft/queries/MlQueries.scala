@@ -142,12 +142,45 @@ object MlQueries {
              |SELECT cluster, user_id AS rep_id, round(cx,4) AS cx, round(cy,4) AS cy
              |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin)),
 
-    // C2: custom distributed DBSCAN (grid cells + label propagation)
+    // C2: custom distributed DBSCAN (grid cells + label propagation).
+    // Fully oracle-checkable because the input embedding is the
+    // deterministic (avg, stddev) feature space and every DBSCAN
+    // decision is closed-form: eps-ball membership, degree >= minPts,
+    // min-core-id component labels (recursive-CTE transitive closure in
+    // DuckDB — O(sum |C|^2) pairs, fine at oracle scale; the engine
+    // side stays the grid-cell equi-join + min-label propagation that
+    // scales), border -> min core-neighbor label, else -1.
     Q("ml_dbscan_clusters",
       (s, dir) => dbscanLabels(s, dir)
-        .orderBy("series_id")),
+        .orderBy("series_id"),
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT user_id AS id, round(avg(value),6) AS x, round(stddev_pop(value),6) AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |e AS (
+             |  SELECT a.id AS id, b.id AS id2 FROM f a JOIN f b
+             |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9.0),
+             |deg AS (SELECT id, count(*) AS d FROM e GROUP BY id),
+             |core AS (SELECT id FROM deg WHERE d >= 4),
+             |ce AS (SELECT e.id, e.id2 FROM e JOIN core c1 ON c1.id=e.id JOIN core c2 ON c2.id=e.id2),
+             |reach(id, lbl) AS (
+             |  SELECT id, id2 FROM ce
+             |  UNION
+             |  SELECT r.id, ce.id2 FROM reach r JOIN ce ON ce.id = r.lbl),
+             |corelbl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+             |border AS (
+             |  SELECT e.id, min(cl.cluster) AS cluster
+             |  FROM e JOIN corelbl cl ON cl.id = e.id2
+             |  WHERE e.id NOT IN (SELECT id FROM core)
+             |  GROUP BY e.id),
+             |assigned AS (SELECT * FROM corelbl UNION ALL SELECT * FROM border)
+             |SELECT f.id AS series_id, CAST(coalesce(a.cluster, -1) AS BIGINT) AS cluster
+             |FROM f LEFT JOIN assigned a ON a.id = f.id
+             |ORDER BY series_id""".stripMargin)),
 
-    // C7: DBSCAN noise trace-back to raw series stats (rows-only)
+    // C7: DBSCAN noise trace-back to raw series stats. The noise SET
+    // needs no component labels at all — a point is noise iff it has no
+    // core point in its eps-ball (cores have themselves) — so the
+    // oracle is two aggregation levels, no recursion.
     Q("ml_dbscan_outliers",
       (s, dir) => {
         val assigned = dbscanLabels(s, dir)
@@ -155,7 +188,22 @@ object MlQueries {
           .groupBy(col("user_id").as("series_id"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
         TraceBack.outlierSeries(assigned, stats).orderBy("series_id")
-      }),
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id AS id, round(avg(value),6) AS x, round(stddev_pop(value),6) AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |e AS (
+             |  SELECT a.id AS id, b.id AS id2 FROM f a JOIN f b
+             |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9.0),
+             |deg AS (SELECT id, count(*) AS d FROM e GROUP BY id),
+             |core AS (SELECT id FROM deg WHERE d >= 4),
+             |withcore AS (SELECT DISTINCT e.id FROM e JOIN core c ON c.id = e.id2),
+             |stats AS (
+             |  SELECT user_id AS series_id, count(*) AS n, round(sum(value),4) AS sum_v
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+             |SELECT s.series_id, s.n, s.sum_v
+             |FROM stats s WHERE s.series_id NOT IN (SELECT id FROM withcore)
+             |ORDER BY s.series_id""".stripMargin)),
 
     // C3: K-Shape on truncated series (rows-only)
     Q("ml_kshape_clusters",
