@@ -141,7 +141,20 @@ object Bench {
         graft.queries.Memo.release(memoKeys.getOrElse(name, Set.empty))
         val t3 = time(selected(name))
         name -> (math.min(steady, t3), math.min(cold, t3))
-      } else name -> (math.min(steady, time(selected(name))), cold)
+      } else {
+        // Steady-regime retry (ADVICE r9 #1 generalized): mid-suite
+        // this query ran with its family's shared Memo passes warm;
+        // ~100 queries later the stale window has released them, so a
+        // direct end-of-suite re-time measures a shared-pass REBUILD,
+        // not the steady regime the min-of-2 convention reports
+        // (observed: text_split_leakage floored at ~1.7 s — the
+        // minhash-pass rebuild — while its steady cost is ~0.3 s; the
+        // family sum then read as grown when nothing regressed). One
+        // untimed warmup rebuilds whatever was released; the timed run
+        // re-measures the same warm regime as the original pair.
+        time(selected(name))
+        name -> (math.min(steady, time(selected(name))), cold)
+      }
     }
     val (harness, headline) = retried.partition { case (n, _) => harnessQueries(n) }
     // shared-pass FAMILIES (VERDICT r8 #3): consumers of one Memo'd

@@ -239,6 +239,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"pair counting over-shuffles ($exchanges):\n$plan")
   }
 
+  test("dim stats: the per-dim explode map-side-combines before its one shuffle") {
+    val plan = formatted(graft.ext.Similarity.dimStats(
+      Tables.embeddings(spark, sf), "vec_id", "embedding"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "UDF in the dim-stats path")
+    // the exploded (rows × dims) frame must collapse to partitions × dims
+    // rows BEFORE the exchange: partial HashAggregate below the shuffle
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side combine before the dim shuffle:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"dim stats over-shuffles ($exchanges):\n$plan")
+  }
+
+  test("matryoshka audit: per-vector HOF folds — no per-dim explode, one |ks|-key shuffle") {
+    val plan = formatted(graft.ext.Similarity.matryoshkaAudit(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", Seq(2, 4, 8)))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "UDF in the matryoshka path")
+    // prefix sums are slice+aggregate HOFs over the vector column; the
+    // only Generate allowed is the |ks|-row per-vector struct explode —
+    // a posexplode of vector ELEMENTS means the fold regressed
+    assert(!plan.contains("posexplode"),
+      s"per-dim explode leaked into the matryoshka plan:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"matryoshka over-shuffles ($exchanges):\n$plan")
+  }
+
   test("temperature mixture: one corpus-sized shuffle; the window runs on the tiny group frame") {
     val df = graft.ext.TextOps.mixtureTemperature(
       Tables.documents(spark, sf), "doc_id", "text", "lang", 0.5, 1000000L)
