@@ -302,6 +302,45 @@ object Similarity {
         (col("__b.__cos") >= tau).as("contaminated"))
   }
 
+  /** Embedding↔corpus referential-integrity audit — the gate a
+    * pipeline runs BEFORE handing an embedding table to the
+    * dedup/ANN/mixture stages (no reference analogue; [EXT] tier):
+    * every document must have a vector, no vector may point at a
+    * missing document, all vectors must share the modal
+    * dimensionality, and no vector may be all-zero (the classic
+    * embedder-failure sentinel that silently poisons cosine math).
+    * Output: a FIXED four-row surface — one row per issue, zero-count
+    * rows included so a clean corpus still asserts all four checks —
+    * with the offending count and the smallest offending id as the
+    * auditable handle.
+    *
+    * Scale: the two referential checks are single-key anti-joins (one
+    * shuffle each — or broadcast-anti when one side is
+    * dimension-sized); the dim and zero-vector checks are per-row
+    * column work feeding a |distinct dims|-row aggregate. Nothing is
+    * all-pairs; the only driver materialization is the modal dim
+    * (≤ |distinct dims| rows) and the four result rows. */
+  def embeddingIntegrity(docs: DataFrame, emb: DataFrame, docIdCol: String,
+      vecIdCol: String, vecCol: String): DataFrame = {
+    val d = docs.select(col(docIdCol).cast("long").as("id"))
+    val e = emb.select(col(vecIdCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val modalDim = e.groupBy(size(col("v")).as("dim"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("dim").asc)
+      .select("dim").head().getInt(0)
+    def issueRow(name: String, offenders: DataFrame) =
+      offenders.agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .select(lit(name).as("issue"), col("n"), col("min_id"))
+    issueRow("dim_mismatch", e.filter(size(col("v")) =!= modalDim))
+      .unionByName(issueRow("missing_embedding", d.join(e.select("id"), Seq("id"), "left_anti")))
+      .unionByName(issueRow("orphan_vector", e.select("id").join(d, Seq("id"), "left_anti")))
+      // exact max-|x| == 0 — float-exact on both engines, no tolerance
+      .unionByName(issueRow("zero_norm",
+        e.filter(array_max(transform(col("v"), x => abs(x))) === 0.0)))
+      .orderBy("issue")
+  }
+
   /** Shared deterministic ranking + output shape for exact and ANN
     * top-k (one definition keeps IvfSpec's recall comparison honest). */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {

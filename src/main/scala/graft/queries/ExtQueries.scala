@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, ceil, col, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, sort_array, split, struct, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{aggregate, ceil, col, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Bpe, Dedup, Similarity, TextOps}
 
@@ -999,6 +999,53 @@ object ExtQueries {
              |  round(CAST(min(fm) AS DOUBLE) / 1e6, 6) AS min_frac,
              |  round(CAST(max(fm) AS DOUBLE) / 1e6, 6) AS max_frac
              |FROM f GROUP BY kk ORDER BY kk""".stripMargin)),
+
+    // Embedding↔corpus referential-integrity audit: the gate before
+    // any dedup/ANN/mixture stage trusts the embedding table. The test
+    // corpus is clean, so the query PLANTS one deterministic defect of
+    // each class (dropped vectors, orphan ids, truncated dims, zeroed
+    // vectors — same pattern as text_redact's planted email) and the
+    // oracle replays the identical perturbation: the audit must find
+    // exactly the planted counts and smallest ids.
+    Q("sim_embedding_integrity",
+      (s, dir) => {
+        val e0 = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = e0.filter(col("vec_id") % 97 =!= 0)
+          .unionByName(e0.filter(col("vec_id") % 89 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+          .withColumn("embedding", when(col("vec_id") % 83 === 0,
+            slice(col("embedding"), lit(1), size(col("embedding")) - 1))
+            .otherwise(col("embedding")))
+          .withColumn("embedding", when(col("vec_id") % 79 === 0,
+            transform(col("embedding"), _ => lit(0.0)))
+            .otherwise(col("embedding")))
+        Similarity.embeddingIntegrity(Tables.documents(s, dir), planted,
+          "doc_id", "vec_id", "embedding")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p1 AS (SELECT vec_id, v FROM e0 WHERE vec_id % 97 <> 0
+             |       UNION ALL
+             |       SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 89 = 0),
+             |p2 AS (SELECT vec_id, CASE WHEN vec_id % 83 = 0
+             |         THEN v[1:len(v)-1] ELSE v END AS v FROM p1),
+             |pe AS (SELECT vec_id, CASE WHEN vec_id % 79 = 0
+             |         THEN list_transform(v, x -> 0.0) ELSE v END AS v FROM p2),
+             |md AS (SELECT len(v) AS dim FROM pe GROUP BY 1
+             |       ORDER BY count(*) DESC, dim ASC LIMIT 1),
+             |issues AS (
+             |  SELECT 'dim_mismatch' AS issue, count(*) AS n, min(vec_id) AS min_id
+             |  FROM pe WHERE len(v) <> (SELECT dim FROM md)
+             |  UNION ALL
+             |  SELECT 'missing_embedding', count(*), min(doc_id)
+             |  FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM pe)
+             |  UNION ALL
+             |  SELECT 'orphan_vector', count(*), min(vec_id)
+             |  FROM pe WHERE vec_id NOT IN (SELECT doc_id FROM documents)
+             |  UNION ALL
+             |  SELECT 'zero_norm', count(*), min(vec_id)
+             |  FROM pe WHERE list_max(list_transform(v, x -> abs(x))) = 0.0)
+             |SELECT issue, n, min_id FROM issues ORDER BY issue""".stripMargin)),
 
     // Positive-pair generation (the contrastive twin of hard-negative
     // mining, Contriever/SimCSE style): two non-overlapping chunks of

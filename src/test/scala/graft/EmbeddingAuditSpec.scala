@@ -37,6 +37,39 @@ class EmbeddingAuditSpec extends SparkSpec {
       (4, 2L, 0.5, 0.0, 1.0)))
   }
 
+  test("integrity: a clean corpus audits as four zero-count rows") {
+    val audit = Similarity.embeddingIntegrity(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      "doc_id", "vec_id", "embedding")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(audit == Seq(
+      ("dim_mismatch", 0L, None),
+      ("missing_embedding", 0L, None),
+      ("orphan_vector", 0L, None),
+      ("zero_norm", 0L, None)))
+  }
+
+  test("integrity: each planted defect class is found with its smallest id") {
+    // one doc with no vector, one orphan vector, one short vector, one
+    // zero vector — the audit must attribute each to the right row
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val emb = Seq(
+      (2L, Seq(1.0f, 2.0f)), // doc 1 missing
+      (3L, Seq(1.0f)),       // short
+      (4L, Seq(0.0f, 0.0f)), // zero
+      (5L, Seq(1.0f, 1.0f)),
+      (9L, Seq(2.0f, 2.0f))) // orphan
+      .toDF("vec_id", "embedding")
+    val audit = Similarity.embeddingIntegrity(docs, emb,
+      "doc_id", "vec_id", "embedding")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(audit == Seq(
+      ("dim_mismatch", 1L, Some(3L)),
+      ("missing_embedding", 1L, Some(1L)),
+      ("orphan_vector", 1L, Some(9L)),
+      ("zero_norm", 1L, Some(4L))))
+  }
+
   test("matryoshka: fractions are monotone non-decreasing in k on real data") {
     val audit = SparkEntry.queries("sim_matryoshka")(spark, sf)
       .orderBy("k")
