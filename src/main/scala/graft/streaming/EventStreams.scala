@@ -475,6 +475,63 @@ object EventStreams {
       .partitionBy("batch_id").parquet(quarantineDir)
   }
 
+  /** Embedding-integrity gate AT INGEST (streaming twin of
+    * [[graft.ext.Similarity.embeddingIntegrity]]): each micro-batch of
+    * vectors is audited row-by-row against a FROZEN expected
+    * dimensionality and a FROZEN doc-id dimension — the same
+    * frozen-parameter regime as every streaming stage here (sem-dedup
+    * freezes clusters, the contamination sink freezes the eval set).
+    * Per-row verdict precedence: orphan_vector (id not in the doc
+    * dimension) > dim_mismatch > zero_norm (exact max-|x| == 0).
+    * Clean rows land in acceptDir, offenders in quarantineDir with
+    * their issue label — both idempotent batch_id partitions, so a
+    * replayed epoch is a no-op and nothing enters an index unaudited.
+    *
+    * missing_embedding is deliberately absent: it is not decidable at
+    * ingest (a document's vector may arrive in a later epoch) — it
+    * stays a corpus-level audit run at epoch boundaries over the
+    * accumulated accept table. Scale: the doc-id dimension is one long
+    * per document; at corpus scale keep it bucketed by id so the
+    * orphan probe bucket-joins with only the micro-batch shuffling
+    * (the [[graft.ext.Dedup.persistBandedSignatures]]-style layout) — at
+    * dimension-table scale Spark broadcasts it. */
+  def embeddingAuditSink(newEmb: DataFrame, idCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, expectedDim: Int,
+      acceptDir: String, quarantineDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozenDocs = docs.select(col(docIdCol).cast("long").as("__did"))
+      .localCheckpoint()
+    newEmb.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        embeddingAuditEpoch(batch, batchId, idCol, vecCol, frozenDocs,
+          expectedDim, acceptDir, quarantineDir)
+    }
+  }
+
+  /** One idempotent audit epoch (the foreachBatch body). */
+  private[graft] def embeddingAuditEpoch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, frozenDocs: DataFrame, expectedDim: Int,
+      acceptDir: String, quarantineDir: String): Unit = {
+    val v = col(vecCol).cast("array<double>")
+    val flagged = batch
+      .join(frozenDocs, batch(idCol).cast("long") === frozenDocs("__did"), "left")
+      .withColumn("issue",
+        when(col("__did").isNull, lit("orphan_vector"))
+          .when(size(v) =!= expectedDim, lit("dim_mismatch"))
+          .when(array_max(transform(v, x => abs(x))) === 0.0, lit("zero_norm")))
+      .drop("__did")
+    flagged.filter(col("issue").isNull).drop("issue")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(acceptDir)
+    flagged.filter(col("issue").isNotNull)
+      .select(col(idCol), col("issue"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(quarantineDir)
+  }
+
   /** Deterministic top-k selection over the accumulated DSIR state:
     * (rk, idCol, is_target, log_w) — the exact output shape of batch
     * `text_dsir_select`, ties broken by id. The state is one small

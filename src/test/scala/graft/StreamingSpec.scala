@@ -504,6 +504,62 @@ class StreamingSpec extends SparkSpec {
     assert(accumulated() == before, "contamination epoch replay mutated state")
   }
 
+  test("streaming embedding-audit gate: planted defects quarantined per epoch; replay idempotent") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_saudit").toString
+    val acceptDir = base + "/accept"; val qDir = base + "/quar"
+    val docs = (1L to 10L).toDF("doc_id")
+    val dim = 3
+    // one defect of each class plus precedence overlaps: 98 is orphan
+    // AND short AND zero (orphan wins); 5 is wrong-dim AND zero (dim wins)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), // clean
+      (2L, Seq(0.0, 0.0, 0.0)), // zero_norm
+      (3L, Seq(1.0, 2.0)), // dim_mismatch
+      (99L, Seq(1.0, 1.0, 1.0)), // orphan_vector
+      (4L, Seq(0.5, 0.5, 0.5)), // clean (epoch 1)
+      (98L, Seq(0.0, 0.0)), // orphan + short + zero → orphan
+      (5L, Seq(0.0, 0.0, 0.0, 0.0))) // wrong dim + zero → dim
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.embeddingAuditSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      docs, "doc_id", dim, acceptDir, qDir).start()
+    val slices = rows.grouped(4).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    def accepted() = spark.read.parquet(acceptDir)
+      .select("vec_id").as[Long].collect().toSet
+    def quarantined() = spark.read.parquet(qDir)
+      .select(col("vec_id"), col("issue"), col("batch_id").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(accepted() == Set(1L, 4L))
+    assert(quarantined() == Set(
+      (2L, "zero_norm", 0L), (3L, "dim_mismatch", 0L),
+      (99L, "orphan_vector", 0L),
+      (98L, "orphan_vector", 1L), (5L, "dim_mismatch", 1L)))
+
+    // the corpus-level audit over the ACCEPTED table finds no per-row
+    // issue (the gate held the door); missing_embedding — the check the
+    // gate deliberately defers — reports the 8 docs whose vectors never
+    // arrived
+    val audit = graft.ext.Similarity.embeddingIntegrity(docs,
+        spark.read.parquet(acceptDir), "doc_id", "vec_id", "embedding")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(audit == Map("dim_mismatch" -> 0L, "orphan_vector" -> 0L,
+      "zero_norm" -> 0L, "missing_embedding" -> 8L))
+
+    // at-least-once replay: re-running epoch 1 changes nothing
+    val before = (accepted(), quarantined())
+    EventStreams.embeddingAuditEpoch(slices(1).toDF("vec_id", "embedding"),
+      1L, "vec_id", "embedding",
+      docs.select(col("doc_id").cast("long").as("__did")).localCheckpoint(),
+      dim, acceptDir, qDir)
+    assert((accepted(), quarantined()) == before,
+      "audit epoch replay mutated state")
+  }
+
   test("streaming IVF ingest: probe over accumulated state equals the batch probe") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
