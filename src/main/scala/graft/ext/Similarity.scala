@@ -325,10 +325,15 @@ object Similarity {
     val d = docs.select(col(docIdCol).cast("long").as("id"))
     val e = emb.select(col(vecIdCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val modalDim = e.groupBy(size(col("v")).as("dim"))
+    // a named failure beats head()'s NoSuchElementException on an
+    // empty table (same guard class as pqTopK's empty-input require)
+    val dimRows = e.groupBy(size(col("v")).as("dim"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("dim").asc)
-      .select("dim").head().getInt(0)
+      .select("dim").take(1)
+    require(dimRows.nonEmpty,
+      "embeddingIntegrity: embedding table is empty — no modal dimensionality to audit against")
+    val modalDim = dimRows(0).getInt(0)
     def issueRow(name: String, offenders: DataFrame) =
       offenders.agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
         .select(lit(name).as("issue"), col("n"), col("min_id"))

@@ -70,6 +70,15 @@ class EmbeddingAuditSpec extends SparkSpec {
       ("zero_norm", 1L, Some(4L))))
   }
 
+  test("integrity: empty embedding table fails with a named error, not an NPE") {
+    val docs = Seq(1L).toDF("doc_id")
+    val emb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingIntegrity(docs, emb, "doc_id", "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("matryoshka: fractions are monotone non-decreasing in k on real data") {
     val audit = SparkEntry.queries("sim_matryoshka")(spark, sf)
       .orderBy("k")
