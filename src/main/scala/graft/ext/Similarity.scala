@@ -89,6 +89,36 @@ object Similarity {
               * (col("__s1").cast("double") / col("n") / 1e6))), 6).as("std"),
         round(col("__mn"), 6).as("mn"), round(col("__mx"), 6).as("mx"))
 
+  /** Embedding DRIFT audit between two snapshots of the same corpus —
+    * the embedder-migration gate, and the production USE of
+    * [[dimStats]]: per dimension, join the stats of snapshot A
+    * (serving) and snapshot B (the re-embed candidate) and flag
+    * dimensions whose mean moved by more than `tol` × the larger
+    * per-dim std. A drifted geometry means coarse quantizers, PQ
+    * codebooks, and frozen SemDeDup clusters fitted on A are stale for
+    * B — re-fit before serving. Both stats frames ride dimStats'
+    * integer micro-quantization and 6-dp rounding, and the drift
+    * comparison runs on those rounded doubles with plain IEEE
+    * multiply/compare, so the verdict is bit-deterministic across
+    * engines and partitionings.
+    *
+    * Scale: two dimStats passes (each a map-side-combined shuffle to
+    * |dims| rows) + one |dims|-row join — the corpora appear only in
+    * the per-partition folds; nothing vector-sized ever joins. */
+  def dimDrift(embA: DataFrame, embB: DataFrame, idCol: String,
+      vecCol: String, tol: Double): DataFrame = {
+    val a = dimStats(embA, idCol, vecCol).select(col("dim"),
+      col("mean").as("mean_a"), col("std").as("std_a"))
+    val b = dimStats(embB, idCol, vecCol).select(col("dim"),
+      col("mean").as("mean_b"), col("std").as("std_b"))
+    a.join(b, Seq("dim"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(col("mean_b") - col("mean_a"), 6).as("delta_mean"),
+        col("std_a"), col("std_b"),
+        (abs(col("mean_b") - col("mean_a")) >
+          lit(tol) * greatest(col("std_a"), col("std_b"))).as("drifted"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al., NeurIPS 2022
     * "Matryoshka Representation Learning"): for each prefix length k,
     * how much of each vector's norm the first k dimensions capture —

@@ -973,6 +973,52 @@ object ExtQueries {
              |  round(mn0, 6) AS mn, round(mx0, 6) AS mx
              |FROM a ORDER BY dim""".stripMargin)),
 
+    // Embedding drift between snapshots (the embedder-migration gate —
+    // the production use of dim stats): snapshot B simulates a "new
+    // embedder version" by doubling every positive component of one
+    // vector in three (a deterministic geometry change whose per-dim
+    // magnitude varies with the data), and the audit must flag exactly
+    // the dimensions whose mean moved beyond tol × the larger std.
+    // Both engines compute the identical micro-quantized stats, so
+    // even the boolean verdicts are bit-deterministic.
+    Q("sim_dim_drift",
+      (s, dir) => {
+        val e0 = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val snapB = e0.withColumn("embedding",
+          when(col("vec_id") % 3 === 0,
+            transform(col("embedding"), x => when(x > 0, x * 2).otherwise(x)))
+            .otherwise(col("embedding")))
+        Similarity.dimDrift(e0, snapB, "vec_id", "embedding", 0.12)
+          .orderBy("dim")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |eb AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+             |         THEN list_transform(v, x -> CASE WHEN x > 0 THEN x * 2 ELSE x END)
+             |         ELSE v END AS v FROM e0),
+             |za AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS xd FROM e0),
+             |zb AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS xd FROM eb),
+             |sa AS (SELECT dim, count(*) AS n,
+             |         CAST(sum(CAST(round(xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s1,
+             |         CAST(sum(CAST(round(xd * xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s2
+             |       FROM za GROUP BY dim),
+             |sb AS (SELECT dim, count(*) AS n,
+             |         CAST(sum(CAST(round(xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s1,
+             |         CAST(sum(CAST(round(xd * xd * 1e6, 0) AS BIGINT)) AS BIGINT) AS s2
+             |       FROM zb GROUP BY dim),
+             |ma AS (SELECT dim, round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean_a,
+             |         round(sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n / 1e6
+             |           - (CAST(s1 AS DOUBLE) / n / 1e6) * (CAST(s1 AS DOUBLE) / n / 1e6))), 6) AS std_a
+             |       FROM sa),
+             |mb AS (SELECT dim, round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean_b,
+             |         round(sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n / 1e6
+             |           - (CAST(s1 AS DOUBLE) / n / 1e6) * (CAST(s1 AS DOUBLE) / n / 1e6))), 6) AS std_b
+             |       FROM sb)
+             |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) AS delta_mean,
+             |  std_a, std_b,
+             |  (abs(mean_b - mean_a) > 0.12 * greatest(std_a, std_b)) AS drifted
+             |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin)),
+
     // Matryoshka truncation audit (Kusupati NeurIPS'22): per prefix
     // length k, the norm fraction the first k dims capture — whether
     // the embedding can be served truncated (k·4 bytes) with little

@@ -70,6 +70,22 @@ class EmbeddingAuditSpec extends SparkSpec {
       ("zero_norm", 1L, Some(4L))))
   }
 
+  test("drift: a shifted dimension is flagged, an unchanged one is not") {
+    // dim 0: mean 0.5 -> 5.5 (shift = 10x its 0.5 std) -> drifted at tol 1
+    // dim 1: constant 10 both sides (std 0, delta 0) -> not drifted
+    val a = Seq((1L, Seq(0.0, 10.0)), (2L, Seq(1.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(5.0, 10.0)), (2L, Seq(6.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.dimDrift(a, b, "vec_id", "embedding", 1.0)
+      .orderBy("dim")
+      .as[(Int, Double, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(rows == Seq(
+      (0, 0.5, 5.5, 5.0, 0.5, 0.5, true),
+      (1, 10.0, 10.0, 0.0, 0.0, 0.0, false)))
+  }
+
   test("integrity: empty embedding table fails with a named error, not an NPE") {
     val docs = Seq(1L).toDF("doc_id")
     val emb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
