@@ -266,6 +266,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"matryoshka over-shuffles ($exchanges):\n$plan")
   }
 
+  test("dim drift: two dimStats collapses + a |dims|-row join — no UDF, bounded shuffles") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = formatted(graft.ext.Similarity.dimDrift(
+      e, e, "vec_id", "embedding", 0.1))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "UDF in the drift path")
+    // corpus-sized work is exactly the two per-snapshot dim collapses;
+    // the join runs on the |dims|-row frames
+    assert(plan.contains("partial_sum"),
+      s"no map-side combine before the dim shuffles:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"drift plan over-shuffles ($exchanges):\n$plan")
+  }
+
   test("temperature mixture: one corpus-sized shuffle; the window runs on the tiny group frame") {
     val df = graft.ext.TextOps.mixtureTemperature(
       Tables.documents(spark, sf), "doc_id", "text", "lang", 0.5, 1000000L)
