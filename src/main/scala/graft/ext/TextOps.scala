@@ -910,6 +910,47 @@ object TextOps {
       .drop("__b", "__rate_bp")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * via the exponential-race formulation): item i gets an arrival
+    * time T_i = −ln(u_i)/w_i — an Exp(w_i) draw from a deterministic
+    * md5-derived uniform — and the k earliest arrivals are exactly a
+    * weighted sample without replacement (P(first) = w_i/Σw, then
+    * renormalized over the remainder). Weighting by token mass is the
+    * epoch-sampling idiom: a 10k-token doc should be k× as likely to
+    * enter a token-budgeted subsample as a 1k-token one.
+    *
+    * Scale: `orderBy(T).limit(k)` compiles to TakeOrderedAndProject —
+    * every partition keeps a local k-heap and ships only its top k to
+    * the single merge; no global sort, no corpus shuffle (PlanSpec
+    * pins the plan shape). This IS the distributed weighted reservoir:
+    * the per-partition heap is the reservoir, the merge is the
+    * tournament.
+    *
+    * Determinism: u_i derives from md5(id) (the house content-stable
+    * bucket idiom — same sample on every run, partitioning, and
+    * engine); u = (h + 0.5)/2^32 is exact IEEE arithmetic on both
+    * engines, and the arrival time is floor-quantized to 1e-9 before
+    * ordering (ties broken by id) so a last-ulp libm `ln` divergence
+    * between the JVM and the oracle cannot flip the comparison. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sampleWeighted: k must be > 0 (got $k)")
+    val h = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10)").cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    // nonpositive weights would turn the division into ±Inf/NaN, and
+    // floor(NaN) casts to NULL which sorts FIRST ascending — silently
+    // winning the race. Pin them to the worst possible arrival instead:
+    // a w ≤ 0 row is deterministically never selected.
+    val arrival = when(col(weightCol) <= 0, lit(Long.MaxValue))
+      .otherwise(floor(-log(u) / col(weightCol).cast("double") * lit(1e9))
+        .cast("long"))
+    df.withColumn("__t", arrival)
+      .orderBy(col("__t"), col(idCol))
+      .limit(k)
+      .drop("__t")
+  }
+
   /** Greedy sequential token packing: assign docs (in id order, within
     * a partition key) to consecutive bins of ~`binTokens` tokens — the
     * shape of a training-shard packer. A doc lands in the bin its

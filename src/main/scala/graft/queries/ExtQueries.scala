@@ -1881,6 +1881,30 @@ object ExtQueries {
              |WHERE b.bucket < r.rate_bp
              |GROUP BY b.lang ORDER BY b.lang""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race), weight = token mass proxy n_chars: the
+    // token-budgeted subsample draw. Deterministic md5 uniforms, 1e-9
+    // floor-quantized arrival key; the plan is TakeOrderedAndProject
+    // (per-partition k-heaps, only k rows per partition move — the
+    // distributed reservoir, pinned in PlanSpec).
+    Q("sample_weighted",
+      (s, dir) => TextOps.sampleWeighted(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", 100)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, source, n_chars,
+             |  CAST((SELECT sum((strpos('0123456789abcdef',
+             |       substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+             |     FROM (SELECT unnest(range(8)) AS j)) AS DOUBLE) AS h
+             |  FROM documents),
+             |t AS (SELECT doc_id, source, n_chars,
+             |  CAST(floor(-ln((h + 0.5) / 4294967296.0)
+             |       / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS tt
+             |  FROM b),
+             |sel AS (SELECT doc_id, source, n_chars FROM t
+             |        ORDER BY tt, doc_id LIMIT 100)
+             |SELECT doc_id, source, n_chars FROM sel ORDER BY doc_id""".stripMargin)),
+
     // Per-source cap: keep the top-5 docs per source by length — the
     // domain-cap curation move. Two-phase salted top-n under the hood
     // (no single task sorts a hot source); ranks identical to a direct

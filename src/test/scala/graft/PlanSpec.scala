@@ -292,4 +292,20 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
     assert(exchanges <= 4, s"temperature plan over-shuffles ($exchanges):\n$plan")
   }
+
+  test("weighted reservoir: TakeOrderedAndProject (partition k-heaps), no global sort, no Exchange") {
+    // the operator itself, without the registered query's 100-row
+    // presentation orderBy (that final sort is driver-contract
+    // cosmetics over k rows, not part of the reservoir)
+    val df = graft.ext.TextOps.sampleWeighted(
+      Tables.documents(spark, sf).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", 100)
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit did not compile to the distributed top-k:\n$plan")
+    assert("\\(\\d+\\) Sort\\b".r.findFirstIn(plan).isEmpty,
+      s"a global Sort leaked into the reservoir plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the reservoir must not shuffle the corpus:\n$plan")
+  }
 }

@@ -549,6 +549,40 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.map(_._1).sorted.sameElements(again))
   }
 
+  test("sampleWeighted: exact-k weighted reservoir, independent reimplementation parity") {
+    // 200 heavy (w=1000) + 200 light (w=10) docs
+    val d = (0L until 400L).map(i => (i, if (i < 200) 1000L else 10L))
+      .toDF("doc_id", "w")
+    val got = TextOps.sampleWeighted(d, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.length == 50)
+    // deterministic on recomputation
+    val again = TextOps.sampleWeighted(d, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(again))
+    // weight monotonicity: Exp(1000) arrivals beat Exp(10) essentially
+    // always — the heavy half must dominate the sample
+    assert(got.count(_ < 200) >= 45, s"heavy docs under-sampled: $got")
+    // independent JVM reimplementation of the exponential race — exact
+    // set equality, not statistics
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arrival(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16).toDouble
+      math.floor(-math.log((h + 0.5) / 4294967296.0) / w.toDouble * 1e9).toLong
+    }
+    val expect = (0L until 400L).map(i => (i, if (i < 200) 1000L else 10L))
+      .map { case (i, w) => (arrival(i, w), i) }.sorted.take(50).map(_._2).sorted
+    assert(got.toSeq == expect.toSeq, "Spark race disagrees with the reimplementation")
+    // nonpositive weights are deterministically never selected
+    val withZero = (0L until 10L).map(i => (i, if (i == 3L) 0L else 100L))
+      .toDF("doc_id", "w")
+    val z = TextOps.sampleWeighted(withZero, "doc_id", "w", 9)
+      .select("doc_id").as[Long].collect()
+    assert(!z.contains(3L) && z.length == 9)
+  }
+
   test("blocklist: whole-token matching with auditable evidence") {
     val d = Seq(
       (1L, "clean text entirely fine"),
