@@ -910,6 +910,65 @@ object TextOps {
       .drop("__b", "__rate_bp")
   }
 
+  /** Cross-source vocabulary (word-shingle) overlap matrix WITHOUT a
+    * corpus self-join: per-source Datasketches HLL sketches (default
+    * lgK=16 → ±0.4% RSE, ≤64 KB each, mergeable) are built in one
+    * map-side-combined pass over the shingle frame, then
+    * inclusion-exclusion over the |sources|² pairwise sketch unions
+    * estimates every intersection — at 100 TB the corpus is scanned
+    * once and only |sources| sketches move; no shingle ever crosses
+    * the pair grid. (The house minhash `dedup_source_matrix` answers
+    * "which DOCS are near-dups across sources"; this answers "how much
+    * VOCABULARY do sources share" — the domain-diversity signal a
+    * mixture planner reads.)
+    *
+    * The exact columns (overlap, union) come from a distinct-shingle
+    * self-join — the oracle harness, fine at test scale, skipped at
+    * corpus scale where the sketch estimate IS the product. Raw
+    * estimates are deliberately NOT emitted: a Datasketches sketch's
+    * final sparse-vs-dense mode can depend on partition merge order,
+    * so the hash-stable surface is exact counts plus the tolerance
+    * verdict |est − exact| ≤ max(5, 0.05·union). Inclusion-exclusion
+    * error scales with the UNION (all three estimates contribute their
+    * RSE), so the union-relative tolerance is the honest contract —
+    * and ≥7σ at lgK=16, so the flag is deterministic in practice.
+    *
+    * `sh` is a (srcCol, "s") shingle frame (one row per doc-shingle,
+    * e.g. [[shingles]] keyed by source) — passed in so the caller can
+    * Memo-share the corpus-sized shingling pass. */
+  def sourceVocabOverlap(sh: DataFrame, srcCol: String,
+      lgK: Int = 16): DataFrame = {
+    val sk = sh.groupBy(col(srcCol))
+      .agg(hll_sketch_agg(col("s"), lit(lgK)).as("sk"))
+    val ex = sh.select(col(srcCol), col("s")).distinct()
+    val vocab = ex.groupBy(col(srcCol)).agg(count(lit(1)).as("vocab"))
+    val pairsExact = ex.toDF(srcCol, "s").as("a")
+      .join(ex.toDF(srcCol, "s").as("b"),
+        col("a.s") === col("b.s") && col(s"a.$srcCol") < col(s"b.$srcCol"))
+      .groupBy(col(s"a.$srcCol").as("source_a"),
+        col(s"b.$srcCol").as("source_b"))
+      .agg(count(lit(1)).as("overlap"))
+    val grid = sk.select(col(srcCol).as("source_a"), col("sk").as("sk_a"))
+      .crossJoin(sk.select(col(srcCol).as("source_b"), col("sk").as("sk_b")))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("est_inter",
+        hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+    grid
+      .join(pairsExact, Seq("source_a", "source_b"), "left")
+      .join(broadcast(vocab.toDF(srcCol, "vocab"))
+        .withColumnRenamed(srcCol, "source_a")
+        .withColumnRenamed("vocab", "vocab_a"), Seq("source_a"))
+      .join(broadcast(vocab.toDF(srcCol, "vocab"))
+        .withColumnRenamed(srcCol, "source_b")
+        .withColumnRenamed("vocab", "vocab_b"), Seq("source_b"))
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("union_sz", col("vocab_a") + col("vocab_b") - col("overlap"))
+      .select(col("source_a"), col("source_b"), col("overlap"), col("union_sz"),
+        (abs(col("est_inter") - col("overlap")) <=
+          greatest(lit(5.0), lit(0.05) * col("union_sz"))).as("sketch_ok"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * via the exponential-race formulation): item i gets an arrival
     * time T_i = −ln(u_i)/w_i — an Exp(w_i) draw from a deterministic

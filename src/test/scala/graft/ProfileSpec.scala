@@ -143,6 +143,30 @@ class ProfileSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("sourceVocabOverlap: exact counts on a planted fixture, sketch within tolerance, map-side sketch combine") {
+    val d = Seq(
+      (1L, "srcA", "w1 w2 w3 w4"),   // shingles {w1 w2 w3, w2 w3 w4}
+      (2L, "srcB", "w2 w3 w4 w5"),   // shingles {w2 w3 w4, w3 w4 w5}
+      (3L, "srcC", "x y z")          // shingle  {x y z}
+    ).toDF("doc_id", "source", "text")
+    val sh = graft.ext.TextOps.shingles(d, "source", "text", 3)
+    val out = graft.ext.TextOps.sourceVocabOverlap(sh, "source")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("srcA", "srcB")) == ((1L, 3L, true)))
+    assert(out(("srcA", "srcC")) == ((0L, 3L, true)))
+    assert(out(("srcB", "srcC")) == ((0L, 3L, true)))
+    assert(out.size == 3)
+    // the sketch build must partially aggregate before its one shuffle
+    // (per-source sketches merge map-side — the 100-TB shape)
+    val plan = graft.ext.TextOps.sourceVocabOverlap(sh, "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_sketch_agg"), "sketch aggregate missing from plan")
+    assert(plan.toLowerCase.contains("partial_hll_sketch_agg") ||
+      plan.contains("ObjectHashAggregate"),
+      s"no map-side sketch combine:\n$plan")
+  }
+
   test("urlDomains: hosts extracted and aggregated across docs") {
     val d = Seq(
       (1L, "intro https://a.example.com/x words http://b.example.org/y tail"),
