@@ -255,6 +255,42 @@ object Multimodal {
         / (kept * window).cast("double")), 6).as("kept_rms"))
   }
 
+  /** Audio near-dup fingerprint over an [[audioEnergyWindows]] frame —
+    * the Shazam constellation idea (Wang, ISMIR 2003) reduced to its
+    * integer core: per clip, the coarse per-window energy LEVEL
+    * (linear `bucket`-wide bins, capped at 15) concatenated with the
+    * DELTA TRITS (rise/flat/fall) between consecutive windows. Two
+    * clips whose loudness contour moves the same way land on the same
+    * fingerprint; grouping is ONE equi-shuffle on the fingerprint
+    * string — no pair enumeration anywhere, so a hot fingerprint costs
+    * a count, not a quadratic blow-up (the house banded-dedup rule
+    * applied to audio). Boundary-adjacent energies can split a true
+    * near-dup across buckets — the standard LSH trade, documented, and
+    * why the surface is "candidate groups", not verdicts.
+    *
+    * Integer-pure end to end (levels are integral division of the
+    * exact PCM sum-of-squares, trits are comparisons), so the DuckDB
+    * oracle replays it bit-for-bit from the synthetic PCM formula. */
+  def audioFingerprintGroups(energy: DataFrame,
+      bucket: Long = 4194304L): DataFrame = {
+    require(bucket > 0, s"audioFingerprintGroups: bucket must be > 0 (got $bucket)")
+    val prof = energy.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("win"), col("sum_sq")))).as("ws"))
+      .select(col("id"), expr("transform(ws, x -> x.sum_sq)").as("es"))
+    val fp = prof.select(col("id"), expr(
+      s"""concat(
+         |  concat_ws('|', transform(es, e -> cast(least(15L, e div ${bucket}L) as string))),
+         |  '#',
+         |  if(size(es) < 2, '',
+         |    concat_ws('', transform(sequence(0, size(es) - 2),
+         |      i -> case when es[i+1] > es[i] then '2'
+         |                when es[i+1] < es[i] then '0' else '1' end))))""".stripMargin)
+      .as("fp"))
+    fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Parsed MP4/ISO-BMFF container metadata: major brand (ftyp),
     * movie timescale + duration in ticks (mvhd), track count (trak),
     * per-track codec 4ccs in trak order (stsd first sample entry),

@@ -222,6 +222,32 @@ object MultimodalQueries {
     // doc, silent windows dropped, kept-sample count and kept-window
     // RMS reported (null for all-silent clips — drop candidates).
     // Shares the Memo'd decode+window pass with the energy query.
+    // Audio near-dup candidate groups: integer energy-level +
+    // delta-trit fingerprint (coarse loudness contour), one
+    // equi-shuffle on the fingerprint, no pair enumeration. Shares the
+    // Memo'd decode+window pass with the energy/trim queries.
+    Q("multimodal_audio_fingerprint",
+      (s, dir) => Multimodal.audioFingerprintGroups(audioEnergy(s, dir))
+        .orderBy("fp"),
+      Some("""WITH s AS (SELECT doc_id, t,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN (((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000) % 16
+             |      ELSE ((doc_id*37 + t*13 + (t*t % 97)*5) % 4001) - 2000
+             |    END AS v
+             |  FROM documents, (SELECT unnest(range(64)) AS t)),
+             |e AS (SELECT doc_id, t // 16 AS win, sum(CAST(v AS BIGINT)*v) AS ss
+             |      FROM s GROUP BY 1, 2),
+             |p AS (SELECT doc_id, list(ss ORDER BY win) AS es FROM e GROUP BY doc_id),
+             |f AS (SELECT doc_id,
+             |  array_to_string(list_transform(es, e -> CAST(least(15, e // 4194304) AS VARCHAR)), '|')
+             |  || '#' ||
+             |  array_to_string(list_transform(range(1, len(es)),
+             |    i -> CASE WHEN es[i+1] > es[i] THEN '2'
+             |              WHEN es[i+1] < es[i] THEN '0' ELSE '1' END), '') AS fp
+             |  FROM p)
+             |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_id
+             |FROM f GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin)),
+
     Q("multimodal_audio_trim",
       (s, dir) => Multimodal.audioTrimSilence(audioEnergy(s, dir), 16)
         .orderBy("id"),

@@ -123,6 +123,29 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(trimmed(3L) == ((4L, 0L, 64L, Some(expRms))))
   }
 
+  test("audioFingerprintGroups: planted contours group exactly, singletons drop, 1-window guard") {
+    // hand-built energy frame: level = sum_sq div 4194304 (cap 15),
+    // trits compare consecutive windows
+    val b = 4194304L
+    def e(id: Long, ss: Seq[Long]) =
+      ss.zipWithIndex.map { case (s, w) =>
+        (id, w.toLong, s, math.sqrt(s.toDouble / 16), s < 100000L) }
+    val energy = (
+      e(1L, Seq(10L * b, 20L * b, 20L * b, 5L * b)) ++  // 10|15|15|5#210 (20 capped at 15)
+      e(2L, Seq(10L * b, 20L * b, 20L * b, 5L * b)) ++  // same contour -> same group
+      e(3L, Seq(1L * b, 1L * b, 1L * b, 1L * b))        // singleton -> filtered
+    ).toDF("id", "win", "sum_sq", "rms", "silent")
+    val out = Multimodal.audioFingerprintGroups(energy)
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("10|15|15|5#210", 2L, 1L)), s"got ${out.toSeq}")
+    // single-window clips produce an empty trit tail, not an error
+    val one = e(7L, Seq(2L * b)).++(e(8L, Seq(2L * b)))
+      .toDF("id", "win", "sum_sq", "rms", "silent")
+    val g1 = Multimodal.audioFingerprintGroups(one)
+      .as[(String, Long, Long)].collect()
+    assert(g1.toSeq == Seq(("2#", 2L, 7L)))
+  }
+
   test("MP4 box walk: synthetic container parses to closed-form metadata; malformed -> None") {
     // syntheticMp4 fields are pure functions of the id
     val codecNames = Seq("avc1", "hev1", "mp4v")
