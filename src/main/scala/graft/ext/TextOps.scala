@@ -30,13 +30,22 @@ object TextOps {
     * slice + concat_ws + global distinct) evaluates interpreted
     * lambdas per window and shuffles for the distinct; this dedupes
     * per doc in one pass and produces identical (id, s) rows. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesKeyed(df, Seq(idCol), textCol, n)
+
+  /** [[shingles]] generalized to carry several key columns through the
+    * explode — lets ONE Memo'd corpus shingling pass feed consumers
+    * keyed on different columns (doc-level dedup, source-level
+    * sketches, (source, lang) rollup partials) instead of re-running
+    * the tokenizer per keying. */
+  def shinglesKeyed(df: DataFrame, keyCols: Seq[String], textCol: String,
+      n: Int): DataFrame = {
     val shingleUdf = udf((t: String) => {
       val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       if (toks.length < n) Array.empty[String]
       else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
     })
-    df.select(col(idCol), explode(shingleUdf(col(textCol))).as("s"))
+    df.select(keyCols.map(col) :+ explode(shingleUdf(col(textCol))).as("s"): _*)
   }
 
   /** Stopword dictionaries (public high-frequency word lists), 20
@@ -967,6 +976,40 @@ object TextOps {
       .select(col("source_a"), col("source_b"), col("overlap"), col("union_sz"),
         (abs(col("est_inter") - col("overlap")) <=
           greatest(lit(5.0), lit(0.05) * col("union_sz"))).as("sketch_ok"))
+  }
+
+  /** Sketch-rollup mergeability audit — the incremental
+    * pre-aggregation pattern that makes distinct-counting tractable at
+    * 100 TB: partial HLL sketches are built per (srcCol, subCol) cell
+    * (the "persisted daily partials" analog — in production they land
+    * in a rollup table and new data only touches its own cell), then
+    * UNIONED along subCol to answer the source-level question without
+    * rescanning the corpus. Emits, per source, the exact distinct
+    * count (oracle harness) and two verdicts: the rolled-up union
+    * within tolerance of exact, and a directly-built source-level
+    * sketch within the same tolerance — together they pin that union
+    * loses nothing material vs sketching the stream whole. Tolerance
+    * max(5, 3%·exact) ≈ 7.5σ at lgK=16, so the booleans are
+    * deterministic in practice; raw estimates stay internal (sketch
+    * mode can depend on partition merge order).
+    *
+    * `sh` is a (srcCol, subCol, "s") shingle frame (e.g.
+    * [[shinglesKeyed]]) so callers Memo-share the corpus pass. */
+  def sourceVocabRollup(sh: DataFrame, srcCol: String, subCol: String,
+      lgK: Int = 16): DataFrame = {
+    val partials = sh.groupBy(col(srcCol), col(subCol))
+      .agg(hll_sketch_agg(col("s"), lit(lgK)).as("sk"))
+    val rolled = partials.groupBy(col(srcCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_rollup"))
+    val direct = sh.groupBy(col(srcCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("s"), lit(lgK))).as("est_direct"))
+    val exact = sh.select(col(srcCol), col("s")).distinct()
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("vocab"))
+    val tol = greatest(lit(5.0), lit(0.03) * col("vocab"))
+    exact.join(rolled, srcCol).join(direct, srcCol)
+      .select(col(srcCol).as("source"), col("vocab"),
+        (abs(col("est_rollup") - col("vocab")) <= tol).as("rollup_ok"),
+        (abs(col("est_direct") - col("vocab")) <= tol).as("direct_ok"))
   }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,

@@ -87,6 +87,13 @@ object ExtQueries {
     Memo.cached(s, s"sh3|$dir")(
       TextOps.shingles(Tables.documents(s, dir), "doc_id", "text", 3))
 
+  /** One (source, lang)-keyed shingling pass per (session, dir),
+    * shared by the HLL overlap matrix and the sketch-rollup audit. */
+  private def srcShingles(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"shsl3|$dir")(
+      TextOps.shinglesKeyed(Tables.documents(s, dir),
+        Seq("source", "lang"), "text", 3))
+
   /** The simulated "today" snapshot (drops ids %13, edits %17, adds
     * %31 clones) and its per-id diff status vs the base corpus —
     * Memo-shared by the standalone diff query and the refresh
@@ -430,8 +437,7 @@ object ExtQueries {
     // source-keyed shingle pass, Memo'd (shared across bench retries).
     Q("profile_hll_overlap",
       (s, dir) => TextOps.sourceVocabOverlap(
-          Memo.cached(s, s"shsrc3|$dir")(TextOps.shingles(
-            Tables.documents(s, dir), "source", "text", 3)), "source")
+          srcShingles(s, dir).select("source", "s"), "source")
         .orderBy("source_a", "source_b"),
       Some("""WITH toks AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
              |          FROM documents),
@@ -451,6 +457,26 @@ object ExtQueries {
              |  TRUE AS sketch_ok
              |FROM g LEFT JOIN p ON p.source_a = g.source_a AND p.source_b = g.source_b
              |ORDER BY g.source_a, g.source_b""".stripMargin)),
+
+    // Sketch-rollup mergeability: partial HLL sketches per
+    // (source, lang) cell unioned along lang answer the per-source
+    // distinct-vocabulary question without rescanning — the
+    // incremental rollup-table pattern at 100 TB. Booleans pin both
+    // the rolled union and a direct source sketch within max(5, 3%)
+    // of exact. Shares the Memo'd (source, lang) shingle pass with
+    // the overlap matrix.
+    Q("profile_hll_rollup",
+      (s, dir) => TextOps.sourceVocabRollup(
+          srcShingles(s, dir), "source", "lang")
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+             |          FROM documents),
+             |sh AS (SELECT DISTINCT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |       FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i) u
+             |       WHERE len(t) >= 3)
+             |SELECT source, count(*) AS vocab,
+             |  TRUE AS rollup_ok, TRUE AS direct_ok
+             |FROM sh GROUP BY source ORDER BY source""".stripMargin)),
 
     // Quality-aware dedup: the survivor of each near-dup cluster is
     // the highest-quality member (stopword-ratio score, ties → smaller

@@ -167,6 +167,21 @@ class ProfileSpec extends SparkSpec {
       s"no map-side sketch combine:\n$plan")
   }
 
+  test("sourceVocabRollup: partial-sketch union answers the source question on a planted fixture") {
+    val d = Seq(
+      (1L, "srcA", "en", "w1 w2 w3 w4"),  // srcA/en: {w1 w2 w3, w2 w3 w4}
+      (2L, "srcA", "de", "w2 w3 w4 w5"),  // srcA/de: {w2 w3 w4, w3 w4 w5} — w2w3w4 shared across cells
+      (3L, "srcB", "en", "x y z")         // srcB/en: {x y z}
+    ).toDF("doc_id", "source", "lang", "text")
+    val sh = graft.ext.TextOps.shinglesKeyed(d, Seq("source", "lang"), "text", 3)
+    val out = graft.ext.TextOps.sourceVocabRollup(sh, "source", "lang")
+      .as[(String, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    // srcA vocab = 3 (the shared shingle counted once across cells —
+    // the union dedups, a sum of partials would say 4)
+    assert(out.toSeq == Seq(("srcA", 3L, true, true), ("srcB", 1L, true, true)),
+      s"got ${out.toSeq}")
+  }
+
   test("urlDomains: hosts extracted and aggregated across docs") {
     val d = Seq(
       (1L, "intro https://a.example.com/x words http://b.example.org/y tail"),
