@@ -596,11 +596,17 @@ object EventStreams {
     * (bucketing is preserved: InsertIntoHadoopFsRelationCommand takes
     * the bucket spec from the catalog relation). */
   private def writeCentroidBucketedEpoch(out: DataFrame, stateTable: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
+    writeKeyBucketedEpoch(out, stateTable, buckets, "centroid_id")
+
+  /** [[writeCentroidBucketedEpoch]] generalized to any probe key (the
+    * sketch-rollup state buckets by its source key, not a centroid). */
+  private def writeKeyBucketedEpoch(out: DataFrame, stateTable: String,
+      buckets: Int, keyCol: String): Unit = {
     val spark = out.sparkSession
     if (!spark.catalog.tableExists(stateTable)) {
       out.write.format("parquet").partitionBy("batch_id")
-        .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
         .saveAsTable(stateTable)
     } else {
       // insertInto ignores writer-level partitionOverwriteMode (it is
@@ -644,6 +650,55 @@ object EventStreams {
       graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
         .withColumn("batch_id", lit(batchId)),
       stateTable, buckets)
+
+  /** Incremental DISTINCT-COUNT rollup at ingest (the
+    * [[graft.ext.TextOps.sourceVocabRollup]] rollup table as a
+    * streaming stage): each micro-batch of documents folds into
+    * per-(srcCol, subCol) partial HLL sketches — |cells| rows of
+    * ≤64 KB sketch bytes — appended as an idempotent batch_id
+    * partition BUCKETED by srcCol, the probe key. The corpus itself
+    * never lands in the state: an epoch contributes only its sketch
+    * bytes, so state grows with epochs × cells, not rows — the
+    * fixed-memory shape that keeps "distinct vocabulary per source,
+    * continuously updated" viable at 100 TB ingest rates. The probe
+    * ([[hllRollupFromState]]) unions partials across (epoch, subCol)
+    * per source, reading the bucketed state co-partitioned — zero
+    * Exchange (StreamingSpec pins it). Estimates are
+    * mergeable-by-construction, so ordered epochs, shuffled epochs,
+    * and the one-shot batch sketch all agree within sketch tolerance
+    * of the exact count (the batch twin `profile_hll_rollup` pins the
+    * same contract). */
+  def incrementalHllRollupSink(docs: DataFrame, srcCol: String,
+      subCol: String, textCol: String, stateTable: String, n: Int = 3,
+      lgK: Int = 16, buckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        hllRollupEpoch(batch, batchId, srcCol, subCol, textCol,
+          stateTable, n, lgK, buckets)
+    }
+
+  /** One idempotent sketch-rollup epoch (the foreachBatch body). */
+  private[graft] def hllRollupEpoch(batch: DataFrame, batchId: Long,
+      srcCol: String, subCol: String, textCol: String, stateTable: String,
+      n: Int = 3, lgK: Int = 16, buckets: Int = 8): Unit = {
+    val out = graft.ext.TextOps
+      .shinglesKeyed(batch, Seq(srcCol, subCol), textCol, n)
+      .groupBy(col(srcCol), col(subCol))
+      .agg(hll_sketch_agg(col("s"), lit(lgK)).as("sk"))
+      .withColumn("batch_id", lit(batchId))
+    writeKeyBucketedEpoch(out, stateTable, buckets, srcCol)
+  }
+
+  /** Per-source distinct estimate over the accumulated rollup state:
+    * one union-merge of the partial sketches along (epoch, subCol),
+    * grouped on the bucket key so the state scan feeds the aggregate
+    * co-partitioned — no Exchange, per-probe cost O(epochs × cells)
+    * sketch bytes regardless of how many corpus rows ever streamed
+    * past. */
+  def hllRollupFromState(spark: SparkSession, stateTable: String,
+      srcCol: String): DataFrame =
+    spark.table(stateTable).groupBy(col(srcCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
 
   /** Incremental SEMANTIC dedup at ingest (the SemDeDup decision as a
     * streaming stage): each micro-batch of embeddings is assigned

@@ -718,4 +718,53 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet)
     assert(after == before, "ingest epoch replay mutated state")
   }
+
+  test("streaming HLL rollup: epoch partials union to the corpus answer; probe never shuffles; replay idempotent") {
+    implicit val sql = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS shll LOCATION '$wh/shll'")
+    val stateTable = "shll.state"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text")
+    val rows = docs.as[(Long, String, String, String)].collect()
+      .toSeq.sortBy(_._1)
+
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = EventStreams.incrementalHllRollupSink(
+      mem.toDF().toDF("doc_id", "source", "lang", "text"),
+      "source", "lang", "text", stateTable).start()
+    val slices = rows.grouped((rows.size + 2) / 3).toSeq
+    slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+
+    // the accumulated partials answer the per-source distinct question
+    // within sketch tolerance of the EXACT count over the full corpus
+    // (same contract the batch twin profile_hll_rollup pins)
+    def probed() = EventStreams.hllRollupFromState(spark, stateTable, "source")
+      .as[(String, Double)].collect().toMap
+    val exact = graft.ext.TextOps.shingles(docs, "source", "text", 3)
+      .distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val est = probed()
+    assert(est.keySet == exact.keySet)
+    for ((s, n) <- exact)
+      assert(math.abs(est(s) - n) <= math.max(5.0, 0.03 * n),
+        s"source $s: est ${est(s)} vs exact $n")
+    // state holds sketch bytes per (epoch, cell), never corpus rows
+    val stateRows = spark.table(stateTable).count()
+    assert(stateRows <= slices.size.toLong * est.size * 8,
+      s"state has $stateRows rows — is the corpus leaking into it?")
+    // the probe reads the bucketed state co-partitioned: zero Exchange
+    val plan = EventStreams.hllRollupFromState(spark, stateTable, "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rollup probe shuffles the state:\n$plan")
+    // replay: re-running the last epoch rewrites its partition with
+    // identical sketch bytes — estimates bitwise unchanged
+    EventStreams.hllRollupEpoch(
+      slices.last.toDF("doc_id", "source", "lang", "text"),
+      (slices.size - 1).toLong, "source", "lang", "text", stateTable)
+    assert(probed() == est, "rollup epoch replay changed the estimates")
+    spark.sql("DROP DATABASE shll CASCADE")
+  }
 }
