@@ -978,6 +978,47 @@ object TextOps {
           greatest(lit(5.0), lit(0.05) * col("union_sz"))).as("sketch_ok"))
   }
 
+  /** Per-source corpus-stats drift between two snapshots — the TEXT
+    * twin of [[graft.ext.Similarity.dimDrift]] and the gate a refresh
+    * pipeline runs before retraining on snapshot B: a source whose
+    * document count collapsed (crawler / robots change) or whose
+    * length distribution shifted (template change, truncation bug)
+    * invalidates downstream calibrations (quality cutoffs, mixture
+    * plans, packing bins) fitted on A. Verdicts per source:
+    * `len_drift` when |mean_b − mean_a| > relTol·mean_a, and
+    * `coverage_drift` when n_b < coverTol·n_a (a vanished source —
+    * full-outer join — counts 0 and trips it; its mean is NULL, a
+    * drop candidate surfaced, not a divide-by-zero).
+    *
+    * Scale: two map-side-combined groupBys on the source key + one
+    * |sources|-row join — the corpora never join each other. Means
+    * are quotients of exact integer sums (length + count), so both
+    * engines perform ONE identical IEEE division and the flag
+    * comparisons are deterministic. */
+  def statsDrift(a: DataFrame, b: DataFrame, srcCol: String,
+      textCol: String, relTol: Double = 0.05,
+      coverTol: Double = 0.9): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      df.groupBy(col(srcCol)).agg(
+        count(lit(1)).as(s"n$sfx"),
+        sum(length(col(textCol)).cast("long")).as(s"chars$sfx"))
+    side(a, "_a").join(side(b, "_b"), Seq(srcCol), "full")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("mean_len_a",
+        when(col("n_a") > 0,
+          round(col("chars_a") / col("n_a"), 6)))
+      .withColumn("mean_len_b",
+        when(col("n_b") > 0,
+          round(col("chars_b") / col("n_b"), 6)))
+      .select(col(srcCol).as("source"), col("n_a"), col("n_b"),
+        col("mean_len_a"), col("mean_len_b"),
+        coalesce(abs(col("chars_b") / col("n_b") - col("chars_a") / col("n_a"))
+          > lit(relTol) * (col("chars_a") / col("n_a")), lit(true))
+          .as("len_drift"),
+        (col("n_b") < lit(coverTol) * col("n_a")).as("coverage_drift"))
+  }
+
   /** Sketch-rollup mergeability audit — the incremental
     * pre-aggregation pattern that makes distinct-counting tractable at
     * 100 TB: partial HLL sketches are built per (srcCol, subCol) cell

@@ -2380,6 +2380,39 @@ object ExtQueries {
     // to re-embed/re-dedup instead of rebuilding. Registered BEFORE
     // pipeline_refresh: the fullMemo builder must run first so its
     // reported cold time is the real snapshot-diff cost.
+    // Per-source stats drift between snapshots (the text twin of
+    // sim_dim_drift): snapshot B deterministically perturbs the
+    // corpus — %13 ids dropped, %17 texts doubled (length shift),
+    // source src19 vanished entirely. Two map-side-combined groupBys
+    // + a |sources|-row full-outer join; the corpora never join.
+    Q("text_stats_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val b = docs.filter(col("doc_id") % 13 =!= 0 &&
+            col("source") =!= "src19")
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+        TextOps.statsDrift(docs, b, "source", "text").orderBy("source")
+      },
+      Some("""WITH b AS (SELECT source,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || text ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 != 0 AND source != 'src19'),
+             |sa AS (SELECT source, count(*) AS n_a, sum(length(text)) AS chars_a
+             |       FROM documents GROUP BY source),
+             |sb AS (SELECT source, count(*) AS n_b, sum(length(text)) AS chars_b
+             |       FROM b GROUP BY source),
+             |j AS (SELECT coalesce(sa.source, sb.source) AS source,
+             |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             |        chars_a, chars_b
+             |      FROM sa FULL OUTER JOIN sb ON sa.source = sb.source)
+             |SELECT source, n_a, n_b,
+             |  CASE WHEN n_a > 0 THEN round(chars_a / n_a, 6) END AS mean_len_a,
+             |  CASE WHEN n_b > 0 THEN round(chars_b / n_b, 6) END AS mean_len_b,
+             |  coalesce(abs(chars_b / n_b - chars_a / n_a)
+             |    > 0.05 * (chars_a / n_a), TRUE) AS len_drift,
+             |  n_b < 0.9 * n_a AS coverage_drift
+             |FROM j ORDER BY source""".stripMargin)),
+
     Q("text_corpus_diff",
       (s, dir) => snapshotDiff(s, dir).select("doc_id", "status")
         .orderBy("doc_id"),

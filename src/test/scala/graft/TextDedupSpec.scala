@@ -583,6 +583,30 @@ class TextDedupSpec extends SparkSpec {
     assert(!z.contains(3L) && z.length == 9)
   }
 
+  test("statsDrift: stable/shifted/vanished/new sources get the right verdicts") {
+    val a = Seq(
+      (1L, "stable", "aaaaaaaaaa"), (2L, "stable", "bbbbbbbbbb"),   // mean 10
+      (3L, "shifted", "cccccccccc"), (4L, "shifted", "dddddddddd"), // mean 10
+      (5L, "gone", "eeeeeeeeee")
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "stable", "aaaaaaaaaa"), (2L, "stable", "bbbbbbbbbb"),   // unchanged
+      (3L, "shifted", "cccccccccccccccccccc"),                      // mean 15 (+50%)
+      (4L, "shifted", "dddddddddd"),
+      (6L, "fresh", "ffffffffff")                                   // new source
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ext.TextOps.statsDrift(a, b, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out("stable") == ((2L, 2L, false, false)))
+    assert(out("shifted") == ((2L, 2L, true, false)), s"got ${out("shifted")}")
+    // vanished: count 0, len verdict defaults drifted, coverage trips
+    assert(out("gone") == ((1L, 0L, true, true)))
+    // new source: drifted length (no baseline), coverage can't trip on n_a=0
+    assert(out("fresh") == ((0L, 1L, true, false)))
+    assert(out.size == 4)
+  }
+
   test("blocklist: whole-token matching with auditable evidence") {
     val d = Seq(
       (1L, "clean text entirely fine"),
