@@ -350,6 +350,118 @@ object Similarity {
     * column work feeding a |distinct dims|-row aggregate. Nothing is
     * all-pairs; the only driver materialization is the modal dim
     * (≤ |distinct dims| rows) and the four result rows. */
+  /** Orthogonal Procrustes fit between two embedding snapshots
+    * (Schönemann, Psychometrika 1966) — the REMEDY once [[dimDrift]]
+    * flags an embedder migration: the orthogonal W minimizing
+    * ‖B·W − A‖_F over the ids both snapshots share, so artifacts
+    * fitted on A (codebooks, frozen centroids, IVF cells) keep
+    * serving snapshot-B vectors after a map-side `b·W`. W = U·Vᵀ from
+    * SVD(BᵀA).
+    *
+    * Scale: the id equi-join is the only shuffle; BᵀA is a dim×dim
+    * matrix (64×64 = 32 KB) accumulated in ONE map-side pass —
+    * per-partition outer-product sums, driver reduce — and the SVD
+    * runs driver-side on dim×dim. Corpus size never reaches the
+    * driver. Cross-partition float-sum order can move W by last ulps,
+    * so consumers read it through tolerance contracts
+    * ([[procrustesAudit]]), never bitwise pins. */
+  def fitProcrustes(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): Array[Array[Double]] = {
+    val paired = a.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__va"))
+      .join(b.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__vb")), "__id")
+      .select("__va", "__vb")
+    val spark = paired.sparkSession
+    import spark.implicits._
+    val ds = paired.as[(Seq[Double], Seq[Double])]
+    val first = ds.limit(1).collect()
+    require(first.nonEmpty, "fitProcrustes: snapshots share no ids")
+    val dim = first(0)._1.length
+    // column-major accumulation of M(i,j) = Σ vb(i)·va(j)  (= BᵀA)
+    val m = ds.mapPartitions { it =>
+      val acc = Array.ofDim[Double](dim * dim)
+      it.foreach { case (va, vb) =>
+        require(va.length == dim && vb.length == dim,
+          s"fitProcrustes: ragged embedding (expected dim $dim, " +
+            s"got ${va.length}/${vb.length})")
+        var i = 0
+        while (i < dim) {
+          val bi = vb(i); var j = 0
+          while (j < dim) { acc(i + j * dim) += bi * va(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (x, y) =>
+      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+    }
+    val dec = breeze.linalg.svd(new breeze.linalg.DenseMatrix(dim, dim, m))
+    val w = dec.U * dec.Vt
+    Array.tabulate(dim, dim)((i, j) => w(i, j))
+  }
+
+  /** Boolean-contract audit of a Procrustes alignment (the
+    * oracle-checkable face of [[fitProcrustes]], same pattern as the
+    * IVF recall contracts): emits one row per theorem —
+    * `n_aligned` (shared-id count), `orthogonality_micro`
+    * (round(max|WᵀW−I|·10⁶), must be 0), `pre_residual_micro` /
+    * `post_residual_micro` (Σ per-element round((Δ)²·10⁶) — exact
+    * integer sums, the house index-ordered micro-quantized fold).
+    * When B is an exact rotation of A the theorems are closed-form:
+    * pre > 0, post == 0, WᵀW == I — a DuckDB oracle replays pre
+    * bit-for-bit and pins the rest as literals. The mat-vec residual
+    * is a UDF (a 64×64 dense kernel, the documented non-expressible
+    * class); everything around it is one join + one aggregate. */
+  def procrustesAudit(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val wMat = fitProcrustes(a, b, idCol, vecCol)
+    val dim = wMat.length
+    var maxDev = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var s = 0.0; var k = 0
+        while (k < dim) { s += wMat(k)(i) * wMat(k)(j); k += 1 }
+        val dev = math.abs(s - (if (i == j) 1.0 else 0.0))
+        if (dev > maxDev) maxDev = dev
+        j += 1
+      }
+      i += 1
+    }
+    val postRes = udf((va: Seq[Double], vb: Seq[Double]) => {
+      var acc = 0L; var j = 0
+      while (j < dim) {
+        var s = 0.0; var i2 = 0
+        while (i2 < dim) { s += vb(i2) * wMat(i2)(j); i2 += 1 }
+        val d = s - va(j)
+        acc += math.round(d * d * 1e6)
+        j += 1
+      }
+      acc
+    })
+    val paired = a.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__va"))
+      .join(b.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__vb")), "__id")
+    val sums = paired.agg(
+      count(lit(1)).as("n"),
+      sum(expr("""aggregate(zip_with(__va, __vb,
+          (x, y) -> cast(round((y - x) * (y - x) * 1e6) as bigint)),
+        0L, (acc, q) -> acc + q)""")).as("pre"),
+      sum(postRes(col("__va"), col("__vb"))).as("post")).head()
+    val (n, pre, post) = (sums.getLong(0), sums.getLong(1), sums.getLong(2))
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(
+      ("n_aligned", n, n > 0),
+      ("orthogonality_micro", math.round(maxDev * 1e6), maxDev <= 1e-6),
+      ("post_residual_micro", post, post == 0L),
+      ("pre_residual_micro", pre, pre > 0L))
+      .toDF("audit", "v", "ok")
+  }
+
   def embeddingIntegrity(docs: DataFrame, emb: DataFrame, docIdCol: String,
       vecIdCol: String, vecCol: String): DataFrame = {
     val d = docs.select(col(docIdCol).cast("long").as("id"))

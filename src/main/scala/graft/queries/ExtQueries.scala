@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, ceil, col, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{aggregate, ceil, col, expr, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Bpe, Dedup, Similarity, TextOps}
 
@@ -1074,6 +1074,45 @@ object ExtQueries {
              |  std_a, std_b,
              |  (abs(mean_b - mean_a) > 0.12 * greatest(std_a, std_b)) AS drifted
              |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin)),
+
+    // Procrustes alignment audit — the REMEDY after sim_dim_drift
+    // fires: snapshot B is an EXACT block-Givens rotation of A
+    // (c=0.6, s=0.8 — rational literals, engine-identical), so the
+    // closed-form theorems hold: fitted W orthogonal, post-alignment
+    // residual exactly 0 in micro units, pre-residual > 0 and
+    // replayed bit-for-bit by the oracle via the index-ordered
+    // micro-quantized fold. Fit = one id join + one 64×64 map-side
+    // outer-product pass + a driver SVD; corpus never collects.
+    Q("sim_procrustes_align",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val snapB = emb.withColumn("embedding", expr(
+          """transform(sequence(0, size(embedding) - 1), d ->
+            |  case when d % 2 = 0
+            |    then 0.6D * cast(element_at(embedding, d + 1) as double)
+            |       - 0.8D * cast(element_at(embedding, d + 2) as double)
+            |    else 0.8D * cast(element_at(embedding, d) as double)
+            |       + 0.6D * cast(element_at(embedding, d + 1) as double)
+            |  end)""".stripMargin))
+        Similarity.procrustesAudit(emb, snapB, "vec_id", "embedding")
+          .orderBy("audit")
+      },
+      Some("""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |b AS (SELECT vec_id, list_transform(range(0, len(v)), d ->
+             |    CASE WHEN d % 2 = 0
+             |      THEN 0.6 * v[d + 1] - 0.8 * v[d + 2]
+             |      ELSE 0.8 * v[d] + 0.6 * v[d + 1] END) AS bv
+             |  FROM a),
+             |pre AS (SELECT CAST(sum(q) AS BIGINT) AS p FROM (
+             |  SELECT a.vec_id, list_sum(list_transform(range(1, len(bv) + 1),
+             |    i -> CAST(round((bv[i] - v[i]) * (bv[i] - v[i]) * 1e6, 0) AS BIGINT))) AS q
+             |  FROM a JOIN b ON a.vec_id = b.vec_id))
+             |SELECT * FROM (VALUES
+             |  ('n_aligned', (SELECT count(*) FROM embeddings), TRUE),
+             |  ('orthogonality_micro', CAST(0 AS BIGINT), TRUE),
+             |  ('post_residual_micro', CAST(0 AS BIGINT), TRUE),
+             |  ('pre_residual_micro', (SELECT p FROM pre), TRUE)) AS t(audit, v, ok)
+             |ORDER BY audit""".stripMargin)),
 
     // Matryoshka truncation audit (Kusupati NeurIPS'22): per prefix
     // length k, the norm fraction the first k dims capture — whether

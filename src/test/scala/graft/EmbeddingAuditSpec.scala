@@ -106,4 +106,46 @@ class EmbeddingAuditSpec extends SparkSpec {
       math.abs(audit.last._4 - 1.0) < 1e-9,
       "full-length prefix must capture the whole norm")
   }
+
+  test("procrustes: recovers a planted rotation, W orthogonal, residual collapses") {
+    import graft.ext.Similarity
+    // planted 4-d snapshot; rotation R = block-Givens (c, s) = (0.6, 0.8)
+    val c = 0.6; val s = 0.8
+    def rot(v: Seq[Double]): Seq[Double] =
+      Seq(c * v(0) - s * v(1), s * v(0) + c * v(1),
+        c * v(2) - s * v(3), s * v(2) + c * v(3))
+    val base = Seq(
+      1L -> Seq(1.0, 2.0, -1.0, 0.5), 2L -> Seq(0.2, -3.0, 4.0, 1.0),
+      3L -> Seq(-2.0, 0.1, 0.0, 2.5), 4L -> Seq(3.0, 3.0, -3.0, -1.0),
+      5L -> Seq(0.5, -0.5, 1.5, -2.0))
+    val a = base.toDF("vec_id", "embedding")
+    val b = base.map { case (id, v) => (id, rot(v)) }.toDF("vec_id", "embedding")
+    val w = Similarity.fitProcrustes(a, b, "vec_id", "embedding")
+    // the contract: W inverts the planted rotation — b·W reproduces a
+    for (((_, va), (_, vb)) <- base.zip(base.map { case (id, v) => (id, rot(v)) })) {
+      val back = (0 until 4).map(j =>
+        (0 until 4).map(i => vb(i) * w(i)(j)).sum)
+      for (d <- 0 until 4)
+        assert(math.abs(back(d) - va(d)) < 1e-9,
+          s"b·W != a at dim $d: ${back(d)} vs ${va(d)}")
+    }
+    // orthogonality
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => w(k)(i) * w(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // audit face: post-residual 0, pre-residual > 0, all ok
+    val audit = Similarity.procrustesAudit(a, b, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(audit("n_aligned") == ((5L, true)))
+    assert(audit("orthogonality_micro") == ((0L, true)))
+    assert(audit("post_residual_micro") == ((0L, true)))
+    assert(audit("pre_residual_micro")._1 > 0L && audit("pre_residual_micro")._2)
+    // disjoint snapshots fail loudly, not with an empty-collect NPE
+    val other = Seq(99L -> Seq(1.0, 0.0, 0.0, 0.0)).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.fitProcrustes(a, other, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("share no ids"))
+  }
 }
