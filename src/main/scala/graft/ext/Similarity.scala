@@ -488,6 +488,97 @@ object Similarity {
       .orderBy("issue")
   }
 
+  /** Binary (sign) quantization + Hamming prefilter top-k — the
+    * 32×-compression ANN tier below int8 ([[quantizedTopK]], 4×) and
+    * IVF-PQ ([[graft.ml.Ivf.pqTopK]], ~100× with codebooks): each
+    * vector collapses to one sign bit per dimension, packed into
+    * 64-bit words (`array<bigint>`, ⌈dim/64⌉ longs — a dim-64
+    * embedding is ONE long per row). Charikar (STOC'02) SimHash
+    * geometry: P[sign bit differs] = θ/π, so Hamming distance over
+    * sign codes is a monotone estimate of angle, good enough to rank
+    * CANDIDATES. Stage 1 scans codes only — `bit_count(a ^ b)` folded
+    * over the word arrays, pure codegen'd integer HOFs, no UDF — and
+    * keeps the `rerank` closest per query by (hamming asc, id asc).
+    * Stage 2 fetches full vectors for survivors ONLY and reranks by
+    * exact cosine through the shared [[rankTopK]] tail.
+    *
+    * Scale: the prefilter moves (q_id, n_id, int) triples — 12-byte
+    * rows, never vectors — through one per-query top-R window; the
+    * survivor fetch joins a |Q|·R-row frame (broadcast-sized by
+    * construction) back to the corpus, so the corpus itself is
+    * scanned (twice) but never shuffled. At 100 TB the sign codes are
+    * a 32×-smaller sidecar column that lives in page cache where the
+    * fp32 vectors cannot. Determinism: stage 1 is integer arithmetic
+    * (bit-identical everywhere); stage 2 is the house index-ordered
+    * dot-product fold. Missing high dims of ragged vectors read as
+    * sign-0 on both sides of the xor, contributing 0. */
+  def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val e0 = prep(emb, idCol, vecCol)
+    val dimRow = e0.agg(max(size(col("v"))).as("d")).head()
+    if (dimRow.isNullAt(0))
+      return e0.select(col(idCol).as("q_id"), lit(0L).as("rank"),
+        col(idCol).as("n_id"), lit(0.0).as("cosine"),
+        lit(0L).as("hamming")).limit(0)
+    val words = (dimRow.getInt(0) + 63) / 64
+    val e = e0.withColumn("__code", expr(
+      s"""transform(sequence(0, ${words - 1}), w ->
+         |  aggregate(sequence(0, 63), 0L, (acc, b) ->
+         |    CASE WHEN w * 64 + b < size(v)
+         |              AND element_at(v, w * 64 + b + 1) >= 0D
+         |         THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
+    val q = e.filter(expr(queryPred))
+      .select(col(idCol).as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("__code").as("__qc"))
+    val ham = q.select("q_id", "__qc")
+      .join(e.select(col(idCol).as("n_id"), col("__code")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), expr(
+        """CAST(aggregate(zip_with(__qc, __code, (a, b) -> bit_count(a ^ b)),
+          |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin).as("hamming"))
+    val pre = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val survivors = ham.withColumn("__r", row_number().over(pre))
+      .filter(col("__r") <= rerank).select("q_id", "n_id", "hamming")
+    val scored = survivors
+      .join(e.select(col(idCol).as("n_id"), col("v"), col("nrm")), Seq("n_id"))
+      .join(q.select(col("q_id"), col("qv"), col("qn")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (call_function("array_dot", col("qv"), col("v"))
+          / (col("qn") * col("nrm"))).as("cosine"), col("hamming"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), round(col("cosine"), 5).as("cosine"), col("hamming"))
+  }
+
+  /** Recall honesty gate for [[binaryHammingTopK]] at a PRUNED regime
+    * (same contract pattern as `sim_ivf_recall`): recall@k of the
+    * Hamming-prefiltered pipeline against the exact brute-force top-k
+    * over the same queries, as one auditable row
+    * (k, rerank, n_queries, hits, recall, pass-at-floor). Both stages
+    * are deterministic, so the row is bit-stable and a DuckDB oracle
+    * can replay the entire two-stage pipeline and land on the same
+    * integers. */
+  def binaryHammingRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, rerank: Int, floor: Double): DataFrame = {
+    val exact = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+      .select("q_id", "n_id")
+    val approx = binaryHammingTopK(emb, idCol, vecCol, queryPred, k, rerank)
+      .select("q_id", "n_id")
+    exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(lit(k).as("k"), lit(rerank).as("rerank"),
+        (col("n_exact") / k).cast("long").as("n_queries"),
+        col("hits"),
+        round(col("hits").cast("double") / col("n_exact"), 5).as("recall"),
+        (col("hits").cast("double") / col("n_exact") >= floor).as("pass"))
+  }
+
   /** Shared deterministic ranking + output shape for exact and ANN
     * top-k (one definition keeps IvfSpec's recall comparison honest). */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -1264,6 +1264,81 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Binary (sign) quantization + Hamming prefilter top-k: the
+    // 32×-compression ANN tier (Charikar SimHash geometry — one sign
+    // bit per dim, packed into longs, bit_count(xor) candidate scan,
+    // exact cosine rerank of the top-50 survivors). The oracle replays
+    // the identical two-stage pipeline — hamming as a per-dim
+    // sign-mismatch count (provably equal to the packed popcount) —
+    // so a green row pins BOTH stages bit-for-bit.
+    Q("sim_binary_hamming_topk",
+      (s, dir) => Similarity.binaryHammingTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5, 50)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ham AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |          len([i for i in range(1, len(q.v) + 1)
+             |               if (q.v[i] >= 0) <> (n.v[i] >= 0)]) AS hamming
+             |        FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+             |sv AS (SELECT q_id, n_id, hamming FROM (
+             |         SELECT q_id, n_id, hamming,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY hamming, n_id) AS r FROM ham)
+             |       WHERE r <= 50),
+             |sc AS (SELECT s.q_id, s.n_id, s.hamming,
+             |         list_cosine_similarity(q.v, n.v) AS cosine
+             |       FROM sv s JOIN e q ON q.vec_id = s.q_id
+             |                 JOIN e n ON n.vec_id = s.n_id),
+             |r AS (SELECT q_id, n_id, cosine, hamming,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cosine DESC, n_id) AS rank
+             |      FROM sc)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine, hamming
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Binary-Hamming honesty gate at a PRUNED regime (rerank 100 of
+    // ~500 candidates — measured recall 0.84, floor 0.75): recall@5
+    // vs exact brute force, one auditable row. i.i.d. random vectors
+    // are sign codes' ADVERSARIAL case (cosines concentrate near 0 at
+    // dim 64, so top-5 margins are below one Hamming step); clustered
+    // real-world embeddings rank far better at the same rerank.
+    // Deterministic end-to-end, so the oracle replays the whole
+    // two-stage pipeline and must land on the same integers — the
+    // recall VALUE is hash-checked, not just a floor.
+    Q("sim_binary_hamming_recall",
+      (s, dir) => Similarity.binaryHammingRecall(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "vec_id < 10", 5, 100, 0.75),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ham AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |          len([i for i in range(1, len(q.v) + 1)
+             |               if (q.v[i] >= 0) <> (n.v[i] >= 0)]) AS hamming
+             |        FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+             |sv AS (SELECT q_id, n_id FROM (
+             |         SELECT q_id, n_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY hamming, n_id) AS r FROM ham)
+             |       WHERE r <= 100),
+             |ap AS (SELECT q_id, n_id FROM (
+             |         SELECT s.q_id, s.n_id,
+             |           row_number() OVER (PARTITION BY s.q_id
+             |             ORDER BY list_cosine_similarity(q.v, n.v) DESC, s.n_id) AS rank
+             |         FROM sv s JOIN e q ON q.vec_id = s.q_id
+             |                   JOIN e n ON n.vec_id = s.n_id)
+             |       WHERE rank <= 5),
+             |ex AS (SELECT q_id, n_id FROM (
+             |         SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |           row_number() OVER (PARTITION BY q.vec_id
+             |             ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rank
+             |         FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+             |       WHERE rank <= 5),
+             |h AS (SELECT count(*) AS hits FROM ex SEMI JOIN ap USING (q_id, n_id)),
+             |t AS (SELECT count(*) AS n_exact FROM ex)
+             |SELECT 5 AS k, 100 AS rerank,
+             |       CAST(t.n_exact / 5 AS BIGINT) AS n_queries, h.hits,
+             |       round(CAST(h.hits AS DOUBLE) / t.n_exact, 5) AS recall,
+             |       CAST(h.hits AS DOUBLE) / t.n_exact >= 0.75 AS pass
+             |FROM h, t""".stripMargin)),
+
     // Embedding-space eval decontamination: nearest eval vector +
     // contamination flag per train vector (eval = every 50th id,
     // tau=0.4 — 6 semantic leaks planted above it in this corpus)

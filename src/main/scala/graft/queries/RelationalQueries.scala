@@ -308,6 +308,47 @@ object RelationalQueries {
              |FROM q, LATERAL (SELECT unnest(range(5)) AS i) u
              |ORDER BY l_returnflag, pos""".stripMargin)),
 
+    // The quantile SKETCH (percentile_approx, GK-style, accuracy 1e4)
+    // self-validated the agg_approx_distinct way: a sketch estimate is
+    // not oracle-reproducible, so the hash surface is two THEOREMS
+    // checked in rank space — (1) the returned value's rank interval
+    // [count(x<v)/n, count(x≤v)/n] must contain p within the sketch's
+    // ε=1/accuracy guarantee (+1% slack), (2) a GK sketch returns an
+    // OBSERVED value, never an interpolation. DuckDB recomputes n and
+    // pins both flags TRUE; sketch drift turns the row red. This is
+    // the proof behind agg_quantiles' "sketch is the 100-TB form"
+    // claim: one fixed-memory pass vs the exact per-group sort. (The
+    // rank-validation join is the honesty harness, not the production
+    // path — it broadcasts 3·|groups| rows back over one more scan.)
+    Q("agg_approx_quantiles",
+      (s, dir) => {
+        val ps = Seq(0.5, 0.9, 0.99)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("x"))
+        val ap = li.groupBy("g")
+          .agg(percentile_approx(col("x"),
+              array(ps.map(lit): _*), lit(10000)).as("avs"),
+            count(lit(1)).as("n"))
+          .select(col("g"), col("n"), posexplode(col("avs")).as(Seq("pi", "av")))
+          .select(col("g"), col("n"),
+            element_at(typedLit(ps), col("pi") + 1).as("p"), col("av"))
+        ap.join(li, Seq("g"))
+          .groupBy("g", "p", "n", "av")
+          .agg(sum(when(col("x") < col("av"), 1L).otherwise(0L)).as("__lo"),
+            sum(when(col("x") <= col("av"), 1L).otherwise(0L)).as("__hi"),
+            max(when(col("x") === col("av"), true).otherwise(false)).as("member_ok"))
+          .select(col("g"), col("p"), col("n"),
+            (col("p") >= col("__lo").cast("double") / col("n") - 0.0101 &&
+              col("p") <= col("__hi").cast("double") / col("n") + 0.0101)
+              .as("rank_ok"),
+            col("member_ok"))
+          .orderBy("g", "p")
+      },
+      Some("""SELECT l_returnflag AS g, CAST(p.p AS DOUBLE) AS p,
+             |       count(*) AS n, TRUE AS rank_ok, TRUE AS member_ok
+             |FROM lineitem, (SELECT unnest([0.5, 0.9, 0.99]) AS p) p
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Analytic window: running quantity per supplier over a unique order
     // The synthetic lineitem does NOT have unique (l_orderkey,
     // l_linenumber) (≈118k dup pairs at sf0.1), so l_quantity is the

@@ -186,4 +186,57 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
+
+  test("binary-Hamming with rerank ≥ corpus recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    // rerank = corpus size disables the prefilter entirely; the exact
+    // cosine rerank then IS brute force, so equality must be bitwise
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", "vec_id < 10", 5)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    val bh = Similarity.binaryHammingTopK(emb, "vec_id", "embedding", "vec_id < 10", 5, n)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().sorted
+    assert(bh.sameElements(exact))
+  }
+
+  test("binary-Hamming packed popcount equals per-dim sign-mismatch count") {
+    // ragged dims included: 70 dims spans two words with 58 padding
+    // bits that must contribute 0 on both sides of the xor
+    val vecs = Seq(
+      (0L, Array(0.5, -1.0, 0.0, 2.0, -0.1, 3.0, -4.0, 0.7, -2.2, 1.1)),
+      (1L, Array(-0.5, 1.0, -0.0, -2.0, 0.1, 3.0, 4.0, -0.7, 2.2, -1.1)),
+      (2L, Array.tabulate(70)(i => if (i % 3 == 0) -1.0 else 1.0)),
+      (3L, Array.tabulate(70)(i => if (i % 2 == 0) -1.0 else 1.0)),
+      (4L, Array(0.5, -1.0, 0.0, 2.0, -0.1, 3.0, -4.0, 0.7, -2.2, 1.1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(df, "vec_id", "embedding",
+        "vec_id = 0", 4, 4)
+      .select("n_id", "hamming").as[(Long, Long)].collect().toMap
+    def sign(x: Double) = x >= 0
+    def ham(a: Array[Double], b: Array[Double]): Long = {
+      val d = math.max(a.length, b.length)
+      // shorter vector's missing dims read as sign-0 bits (negative)
+      (0 until d).count(i =>
+        (i < a.length && sign(a(i))) != (i < b.length && sign(b(i)))).toLong
+    }
+    val q = vecs.head._2
+    vecs.tail.foreach { case (id, v) =>
+      assert(got(id) == ham(q, v), s"n_id $id: got ${got(id)}, want ${ham(q, v)}")
+    }
+    // the exact duplicate (id 4) has hamming 0 and must rank first
+    assert(got(4L) == 0L)
+  }
+
+  test("binary-Hamming prefilter always keeps an exact sign-duplicate") {
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vector 0 as id 999999: hamming 0 is
+    // the unique minimum, so even rerank=1 must surface it
+    val dup = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(999999L))
+    val planted = emb.unionByName(dup)
+    val top = Similarity.binaryHammingTopK(planted, "vec_id", "embedding",
+        "vec_id = 0", 1, 1)
+      .select("n_id", "hamming").as[(Long, Long)].collect()
+    assert(top.length == 1 && top(0) == ((999999L, 0L)), top.mkString(","))
+  }
 }

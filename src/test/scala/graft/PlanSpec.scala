@@ -293,6 +293,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"temperature plan over-shuffles ($exchanges):\n$plan")
   }
 
+  test("binary-Hamming prefilter: codegen'd popcount fold — no UDF, no python, no per-dim explode") {
+    // stage 1 must stay inside whole-stage codegen: sign packing is a
+    // transform/aggregate over sequence literals, candidate scoring is
+    // bit_count over zip_with — the 32×-compressed scan is pure
+    // integer column work end to end
+    val df = graft.ext.Similarity.binaryHammingTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", "vec_id < 5", 3, 10)
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython"), "python UDF in the hot path")
+    assert(!plan.contains("posexplode") && !plan.contains("Generate"),
+      s"per-dim explode leaked into the binary-Hamming plan:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"scala UDF leaked into the binary-Hamming plan:\n$plan")
+  }
+
   test("weighted reservoir: TakeOrderedAndProject (partition k-heaps), no global sort, no Exchange") {
     // the operator itself, without the registered query's 100-row
     // presentation orderBy (that final sort is driver-contract
