@@ -477,6 +477,85 @@ object TextOps {
           greatest(col("tokens_target"), lit(1L)), 6).as("fill_frac"))
   }
 
+  /** Mixture UPSAMPLING materializer ([EXT]): the missing half of
+    * [[mixtureExecute]] — execute only DOWN-samples (rates cap at
+    * keep-all) because over-requested groups are a repeat-epoch
+    * decision; this operator MAKES that decision concrete. Per group,
+    * [[mixturePlan]]'s `epochs` factor splits into ⌊epochs⌋ whole
+    * passes plus one fractional pass a doc joins iff its
+    * content-stable md5 bucket falls under the fractional share (the
+    * same bucket rule as [[sampleMixture]]/[[mixtureExecute]], so
+    * down-sampling groups reduce to execute's keep-filter). Output:
+    * one training row per (doc, epoch_idx) — the actual repeated
+    * corpus a static-mixing run feeds the trainer, with epoch_idx
+    * available for curriculum/shard interleaving downstream.
+    *
+    * Deterministic and incremental-friendly: a doc's repetition count
+    * depends only on its own id and its group's plan row. Scale: the
+    * plan is a ≤|groups|-row broadcast; repetition is a per-row
+    * sequence-explode whose output is exactly the training corpus
+    * being materialized — no shuffle anywhere. */
+  def mixtureMaterialize(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = mixturePlan(df, idCol, textCol, groupCol, weights, budgetTokens)
+      .select(col(groupCol),
+        floor(col("epochs")).cast("long").as("__full"),
+        floor((col("epochs") - floor(col("epochs"))) * 10000)
+          .cast("long").as("__frac_bp"))
+    val bucket = expr(
+      s"conv(substr(md5(cast($idCol AS STRING)), 1, 8), 16, 10) % 10000").cast("long")
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(plan), Seq(groupCol))
+      .withColumn("__reps", col("__full") +
+        when(bucket < col("__frac_bp"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__reps") - 1)).as("epoch_idx"))
+  }
+
+  /** Per-group quality GATE with a Wilson lower confidence bound
+    * ([EXT]): the RefinedWeb/C4-style curation decision at the
+    * source/domain level — a group is blocked when even the
+    * OPTIMISTIC read of its good-document fraction (the Wilson score
+    * interval's lower bound at z = 1.96, Wilson JASA 1927) falls
+    * under `cutoff`. The bound is the point of the operator: a
+    * 3-document group at p̂ = 1.0 is NOT trustworthy evidence of
+    * quality, and a naive p̂ ≥ cutoff rule would whitelist it; the
+    * Wilson bound shrinks toward 0 exactly as n does. "Good" =
+    * words ≥ `minWords` and digit_ratio ≤ `maxDigitRatio` (two of
+    * [[quality]]'s signals, computed with the identical expressions).
+    *
+    * Determinism: k and n are exact integers; the bound is evaluated
+    * in ONE fixed expression order (z as the literal 1.96 on both
+    * engines, sqrt/divide correctly rounded per IEEE 754), rounded to
+    * 6dp, and the blocked verdict compares the ROUNDED value — so
+    * even the booleans are engine-stable. Scale: per-row column work
+    * + one map-side-combined groupBy to |groups| rows. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minWords: Int, maxDigitRatio: Double,
+      cutoff: Double): DataFrame = {
+    val t = col(textCol)
+    val words = size(tokensCol(t))
+    val digitRatio = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double") / length(t)
+    val good = words >= minWords && digitRatio <= maxDigitRatio
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(good, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val ph = col("k").cast("double") / nD
+    val z = lit(1.96)
+    val z2 = z * z
+    val lo = (ph + z2 / (lit(2.0) * nD)
+      - z * sqrt(ph * (lit(1.0) - ph) / nD + z2 / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + z2 / nD)
+    agg.select(col(groupCol), col("n"), col("k"),
+      round(ph, 6).as("p_good"),
+      round(lo, 6).as("wilson_lo"),
+      (round(lo, 6) < cutoff).as("blocked"))
+  }
+
   /** Temperature-flattened mixture planning ([EXT]): the multilingual
     * up-sampling rule of mBERT / XLM-R (Devlin et al. 2019 app.;
     * Conneau et al. 2020 §3.1) — instead of hand-set target weights

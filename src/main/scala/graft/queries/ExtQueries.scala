@@ -1524,6 +1524,31 @@ object ExtQueries {
               |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN score END) AS p90
               |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Per-source quality GATE with the Wilson lower confidence bound
+    // (Wilson JASA 1927; the RefinedWeb/C4 domain-curation decision):
+    // a source is blocked when even the optimistic read of its
+    // good-doc fraction falls under the cutoff — small-n sources
+    // shrink toward blocked instead of being whitelisted on 3 lucky
+    // docs. Exact integer (k, n) + one fixed-order IEEE expression on
+    // both engines, verdict compared on the 6dp-rounded bound.
+    Q("text_quality_gate",
+      (s, dir) => TextOps.qualityGate(Tables.documents(s, dir),
+          "doc_id", "text", "source", 30, 0.1, 0.55)
+        .orderBy("source"),
+      Some("""WITH a AS (SELECT source, count(*) AS n,
+             |    CAST(sum(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 30
+             |          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) <= 0.1
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS k
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n, k,
+             |    (CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)
+             |     - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+             |         + (1.96 * 1.96) / (4.0 * n * n))) / (1.0 + (1.96 * 1.96) / n) AS lo
+             |  FROM a)
+             |SELECT source, n, k, round(CAST(k AS DOUBLE) / n, 6) AS p_good,
+             |  round(lo, 6) AS wilson_lo, round(lo, 6) < 0.55 AS blocked
+             |FROM w ORDER BY source""".stripMargin)),
+
     // MODEL-BASED quality filter (CCNet / GPT-3 WebText-classifier
     // shape): train a Naive Bayes unigram classifier on a weak rule
     // label (stopword_ratio >= 0.03 — the corpus median, so both
@@ -1651,6 +1676,44 @@ object ExtQueries {
               |       round(CAST(coalesce(k.tokens_kept, 0) AS DOUBLE)
               |         / greatest(r.tokens_target, 1), 6) AS fill_frac
               |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin)),
+
+    // Mixture UPSAMPLING materializer: the repeat-epoch decision the
+    // removal-only samplers defer, made concrete — one training row
+    // per (doc, epoch_idx), ⌊epochs⌋ whole passes + an md5-bucket
+    // fractional pass per group. Budget 100k tokens puts en at ~3
+    // epochs (oversampled), zh near 1.75, de under 1 (bucket-sampled
+    // only), es/fr absent (dropped): all three branches exercised.
+    // Rides the same Memo'd token pass as the plan/execute family.
+    Q("text_mixture_materialize",
+      (s, dir) => TextOps.mixtureMaterialize(Tables.documents(s, dir),
+          "doc_id", "text", "lang",
+          Map("en" -> 0.5, "zh" -> 0.1, "de" -> 0.05), 100000L)
+        .orderBy("doc_id", "epoch_idx"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT d.lang, CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM documents d JOIN tok t USING (doc_id) GROUP BY d.lang),
+              |p AS (SELECT lang, round(CAST(CAST(round(
+              |          CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+              |            WHEN 'de' THEN 0.05 ELSE 0.0 END AS DOUBLE) * 100000, 0)
+              |          AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
+              |      FROM g),
+              |pl AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS fullp,
+              |         CAST(floor((epochs - floor(epochs)) * 10000) AS BIGINT) AS frac_bp
+              |       FROM p),
+              |b AS (SELECT doc_id, lang,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |       substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |     FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 10000 AS BIGINT) AS bucket
+              |  FROM documents),
+              |r AS (SELECT b.doc_id, b.lang,
+              |        pl.fullp + CASE WHEN b.bucket < pl.frac_bp THEN 1 ELSE 0 END AS reps
+              |      FROM b JOIN pl ON pl.lang = b.lang)
+              |SELECT r.doc_id, r.lang, CAST(u.e AS BIGINT) AS epoch_idx
+              |FROM r, LATERAL (SELECT unnest(range(r.reps)) AS e) u
+              |WHERE r.reps > 0
+              |ORDER BY doc_id, epoch_idx""".stripMargin)),
 
     // BPE tokenizer TRAINING, step 1 (Sennrich 2016): weighted
     // adjacent symbol-pair counts over the word-frequency table with

@@ -1104,4 +1104,73 @@ class TextDedupSpec extends SparkSpec {
     assert(curve.head._3 == total)
     assert(curve.map(_._3).toSeq == curve.map(_._3).toSeq.sorted.reverse)
   }
+
+  test("mixtureMaterialize: per-doc reps bracket the group's epochs; dropped groups emit nothing") {
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("en" -> 0.5, "zh" -> 0.1)
+    val budget = 100000L
+    val plan = TextOps.mixturePlan(docs, "doc_id", "text", "lang",
+        weights, budget)
+      .select("lang", "epochs").as[(String, Double)].collect().toMap
+    val out = TextOps.mixtureMaterialize(docs, "doc_id", "text", "lang",
+        weights, budget)
+      .select("doc_id", "lang", "epoch_idx")
+      .as[(Long, String, Long)].collect()
+    // absent-weight groups plan to epochs 0 and must emit no rows
+    assert(out.forall(r => weights.contains(r._2)))
+    val reps = out.groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    reps.foreach { case ((id, g), n) =>
+      val e = plan(g)
+      assert(n == math.floor(e).toLong || n == math.ceil(e).toLong,
+        s"doc $id in $g repeated $n times, epochs $e")
+      // epoch indices are exactly 0..n-1
+      val idx = out.filter(r => r._1 == id && r._2 == g).map(_._3).sorted
+      assert(idx.sameElements(0L until n.toLong))
+    }
+    // the realized total matches epochs × group size: the whole passes
+    // are exact, the fractional pass is a deterministic md5-bucket
+    // draw whose count concentrates like a binomial — allow 4σ
+    weights.keys.foreach { g =>
+      val nDocs = docs.filter($"lang" === g).count()
+      val frac = plan(g) - math.floor(plan(g))
+      val sd = math.sqrt(nDocs * frac * (1 - frac))
+      val tot = out.count(_._2 == g).toDouble
+      assert(math.abs(tot - plan(g) * nDocs) <= 4 * sd + 2,
+        s"$g: materialized $tot vs epochs ${plan(g)} × $nDocs docs (4σ=${4 * sd})")
+    }
+    // deterministic: a second run emits the identical multiset
+    val again = TextOps.mixtureMaterialize(docs, "doc_id", "text", "lang",
+        weights, budget)
+      .select("doc_id", "lang", "epoch_idx")
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).sameElements(
+      again.sortBy(r => (r._1, r._3))))
+  }
+
+  test("qualityGate: the Wilson bound blocks a tiny perfect group that a naive p-hat rule would whitelist") {
+    val good = "this is a perfectly reasonable document with plenty of " +
+      "words and it keeps going for a while so the word count clears " +
+      "the minimum threshold easily without any digits at all"
+    val bad = "404 99 12 33"
+    // tiny: 3/3 good. big: 80/100 good. naive p-hat would rank tiny
+    // (1.0) above big (0.8); Wilson at n=3 drops the bound to ~0.44
+    val rows = (1 to 3).map(i => (i.toLong, good, "tiny")) ++
+      (1 to 80).map(i => (100L + i, good, "big")) ++
+      (1 to 20).map(i => (200L + i, bad, "big"))
+    val out = TextOps.qualityGate(rows.toDF("doc_id", "text", "src"),
+        "doc_id", "text", "src", 30, 0.1, 0.55)
+      .select("src", "n", "k", "p_good", "wilson_lo", "blocked")
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val tiny = out("tiny"); val big = out("big")
+    assert(tiny._4 == 1.0 && tiny._6, s"tiny must be blocked despite p=1: $tiny")
+    assert(big._4 == 0.8 && !big._6, s"big at p=0.8/n=100 must pass: $big")
+    // the bound is a lower bound and tightens with n
+    assert(tiny._5 < tiny._4 && big._5 < big._4)
+    assert(big._5 > tiny._5)
+    // closed-form check at n=3, k=3: lo = (1 + z²/6 − z·sqrt(z²/36)) / (1 + z²/3)
+    val z = 1.96
+    val expect = (1.0 + z * z / 6 - z * math.sqrt(z * z / 36)) / (1.0 + z * z / 3)
+    assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
+  }
 }
