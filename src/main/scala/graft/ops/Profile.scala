@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Small-file COMPACTION planner — the remedy for the classic
+    * warehouse pathology where a partitioned/bucketed layout leaves
+    * thousands of under-sized files whose per-file open/footer/task
+    * overhead dominates the scan (the inverse of data skipping): given
+    * per-cell byte masses (cell = file, shard, or partition — whatever
+    * the rewrite unit is), assign cells to target-sized rewrite bins
+    * by deterministic next-fit over the (bytes desc, cell asc) order.
+    * A cell lands in the bin where its cumulative prefix STARTS
+    * (bin = ⌊(cumsum − bytes) / target⌋), so bins are contiguous runs
+    * of the sorted order: totals are ≤ target + the bin's first cell,
+    * single cells above target get bins of their own (flagged
+    * `oversize` — they need splitting, not packing), and the plan is
+    * reproducible on any engine with integer arithmetic alone.
+    *
+    * Scale: the INPUT is metadata — one row per cell, i.e. per file or
+    * partition, never per record — so the single-partition ordering
+    * window runs over a frame that is ~10⁵ rows when the data is
+    * 100 TB (house regime: same documented shape as the mixture
+    * planners' post-aggregation windows). The actual rewrite then
+    * streams each bin's cells independently. */
+  def compactionPlan(cells: DataFrame, cellCols: Seq[String],
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bytesCol).desc +: cellCols.map(col(_).asc): _*)
+      .rowsBetween(Long.MinValue, 0)
+    cells.withColumn("__cum", sum(col(bytesCol)).over(w))
+      .select(cellCols.map(col) :+ col(bytesCol).as("bytes") :+
+        floor((col("__cum") - col(bytesCol)).cast("double") / targetBytes)
+          .cast("long").as("bin") :+
+        (col(bytesCol) > targetBytes).as("oversize"): _*)
+  }
+
   /** Per-column null/missing ratios, one row per (table, column).
     * ONE pass per table: all columns' null counts are parallel
     * aggregates of a single global aggregation — no per-column jobs,

@@ -2307,6 +2307,29 @@ object ExtQueries {
              |       CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5 ORDER BY col, rank""".stripMargin)),
 
+    // Small-file compaction plan: per-(source, lang) byte masses
+    // packed into 10 KB rewrite bins by deterministic next-fit over
+    // the (bytes desc, cell) order — the metadata-sized remedy for
+    // the warehouse small-file pathology. Cells above target flag
+    // oversize (they need splitting, not packing). Pure integer
+    // window arithmetic; both engines land on identical bins.
+    Q("profile_compaction_plan",
+      (s, dir) => graft.ops.Profile.compactionPlan(
+          Tables.documents(s, dir).groupBy("source", "lang")
+            .agg(sum(col("n_chars")).as("bytes")),
+          Seq("source", "lang"), "bytes", 10000L)
+        .orderBy(col("bin"), col("bytes").desc, col("source"), col("lang")),
+      Some("""WITH c AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+             |           FROM documents GROUP BY source, lang),
+             |s AS (SELECT source, lang, bytes,
+             |        sum(bytes) OVER (ORDER BY bytes DESC, source, lang
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM c)
+             |SELECT source, lang, bytes,
+             |  CAST(floor(CAST(cum - bytes AS DOUBLE) / 10000) AS BIGINT) AS bin,
+             |  bytes > 10000 AS oversize
+             |FROM s ORDER BY bin, bytes DESC, source, lang""".stripMargin)),
+
     // Per-column null/missing profile: the pre-flight data-quality scan
     // (one single-pass aggregation per table, all columns in parallel)
     Q("profile_null_ratios",

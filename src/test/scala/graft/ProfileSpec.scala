@@ -193,4 +193,30 @@ class ProfileSpec extends SparkSpec {
     assert(out("b.example.org") == ((1L, 1L)))
     assert(out.size == 2)
   }
+
+  test("compactionPlan: hand-computed next-fit bins; oversize cells bin alone; totals bounded") {
+    val cells = Seq(("a", 25000L), ("b", 12000L), ("c", 6000L),
+      ("d", 5000L), ("e", 4000L), ("f", 3000L), ("g", 500L))
+      .toDF("cell", "bytes")
+    val out = graft.ops.Profile.compactionPlan(cells, Seq("cell"), "bytes", 10000L)
+      .select("cell", "bytes", "bin", "oversize")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // cumsum over (25000, 12000, 6000, 5000, 4000, 3000, 500):
+    // starts at 0, 25000, 37000, 43000, 48000, 52000, 55000
+    assert(out("a")._3 == 0L && out("a")._4)
+    assert(out("b")._3 == 2L && out("b")._4)
+    assert(out("c")._3 == 3L && !out("c")._4)
+    assert(out("d")._3 == 4L && out("e")._3 == 4L) // 5000+4000 packed
+    assert(out("f")._3 == 5L && out("g")._3 == 5L) // 3000+500 packed
+    // an oversize cell always has its bin to itself (the next start
+    // jumps more than one whole target past its own)
+    val byBin = out.values.groupBy(_._3)
+    out.values.filter(_._4).foreach(o => assert(byBin(o._3).size == 1))
+    // every non-oversize bin total ≤ target + its first (largest) cell
+    byBin.values.foreach { bs =>
+      val tot = bs.map(_._2).sum
+      assert(tot <= 10000L + bs.map(_._2).max, s"bin overfull: $bs")
+    }
+  }
 }
