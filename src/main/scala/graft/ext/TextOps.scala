@@ -514,6 +514,38 @@ object TextOps {
         explode(sequence(lit(0L), col("__reps") - 1)).as("epoch_idx"))
   }
 
+  /** Deterministic TRAINING-ORDER interleave ([EXT]): the last step of
+    * the static-mixing chain (plan → [[mixtureMaterialize]] → THIS) —
+    * scatter the materialized (doc, epoch_idx) rows across `shards`
+    * output shards and give each row a position, using a
+    * content-stable md5 ordering key over (id, epoch_idx) so (a) the
+    * stream is a reproducible pseudo-random shuffle (two runs, any
+    * partitioning, same order), (b) a doc's repeated epochs land in
+    * DIFFERENT shards/positions instead of adjacent rows (the
+    * repetition-adjacency failure mode of naive upsampling), and (c)
+    * groups interleave instead of concatenating. A trainer reading
+    * shards round-robin by position consumes the exact mixture at
+    * every prefix.
+    *
+    * Scale: shard assignment is a per-row hash; positions are a
+    * row_number per shard — |rows|/shards per window partition, the
+    * standard partitioned-window shape (no global ordering anywhere,
+    * no single-partition window). */
+  def trainingOrder(rows: DataFrame, idCol: String, epochCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val key = md5(concat_ws("|", col(idCol).cast("string"),
+      col(epochCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    rows.withColumn("__k", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__k"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
   /** Per-group quality GATE with a Wilson lower confidence bound
     * ([EXT]): the RefinedWeb/C4-style curation decision at the
     * source/domain level — a group is blocked when even the

@@ -1715,6 +1715,55 @@ object ExtQueries {
               |WHERE r.reps > 0
               |ORDER BY doc_id, epoch_idx""".stripMargin)),
 
+    // Training-order interleave over the materialized mixture: the
+    // end of the static-mixing chain — md5-keyed pseudo-random
+    // scatter into 4 shards with per-shard positions, so repeated
+    // epochs of one doc never sit adjacent and every prefix of the
+    // round-robin read consumes the exact mixture. Same weights and
+    // budget as the materializer (rides its Memo'd token pass).
+    Q("text_training_order",
+      (s, dir) => TextOps.trainingOrder(
+          TextOps.mixtureMaterialize(Tables.documents(s, dir),
+            "doc_id", "text", "lang",
+            Map("en" -> 0.5, "zh" -> 0.1, "de" -> 0.05), 100000L),
+          "doc_id", "epoch_idx", 4)
+        .orderBy("shard", "pos"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT d.lang, CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM documents d JOIN tok t USING (doc_id) GROUP BY d.lang),
+              |p AS (SELECT lang, round(CAST(CAST(round(
+              |          CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+              |            WHEN 'de' THEN 0.05 ELSE 0.0 END AS DOUBLE) * 100000, 0)
+              |          AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
+              |      FROM g),
+              |pl AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS fullp,
+              |         CAST(floor((epochs - floor(epochs)) * 10000) AS BIGINT) AS frac_bp
+              |       FROM p),
+              |b AS (SELECT doc_id, lang,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |       substr(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1) * power(16, 7-j))
+              |     FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 10000 AS BIGINT) AS bucket
+              |  FROM documents),
+              |r AS (SELECT b.doc_id, b.lang,
+              |        pl.fullp + CASE WHEN b.bucket < pl.frac_bp THEN 1 ELSE 0 END AS reps
+              |      FROM b JOIN pl ON pl.lang = b.lang),
+              |m AS (SELECT r.doc_id, r.lang, CAST(u.e AS BIGINT) AS epoch_idx
+              |      FROM r, LATERAL (SELECT unnest(range(r.reps)) AS e) u
+              |      WHERE r.reps > 0),
+              |k AS (SELECT doc_id, lang, epoch_idx,
+              |        md5(CAST(doc_id AS VARCHAR) || '|' || CAST(epoch_idx AS VARCHAR)) AS kk
+              |      FROM m),
+              |sh AS (SELECT doc_id, lang, epoch_idx, kk,
+              |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+              |       substr(kk, j+1, 1)) - 1) * power(16, 7-j))
+              |     FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 4 AS BIGINT) AS shard
+              |  FROM k)
+              |SELECT doc_id, lang, epoch_idx, shard,
+              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
+              |FROM sh ORDER BY shard, pos""".stripMargin)),
+
     // BPE tokenizer TRAINING, step 1 (Sennrich 2016): weighted
     // adjacent symbol-pair counts over the word-frequency table with
     // chars + '</w>' initial symbols — the fully-SQL-expressible head

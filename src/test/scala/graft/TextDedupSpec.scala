@@ -1147,6 +1147,37 @@ class TextDedupSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._3))))
   }
 
+  test("trainingOrder: contiguous per-shard positions, input multiset preserved, repeats scattered") {
+    val docs = Tables.documents(spark, sf)
+    val mat = TextOps.mixtureMaterialize(docs, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1), 100000L)
+    val out = TextOps.trainingOrder(mat, "doc_id", "epoch_idx", 4)
+      .select("doc_id", "epoch_idx", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    // the interleave is a pure relabeling: same (doc, epoch) multiset
+    val inSet = mat.select("doc_id", "epoch_idx").as[(Long, Long)]
+      .collect().sorted
+    assert(out.map(r => (r._1, r._2)).sorted.sameElements(inSet))
+    // positions are exactly 1..n within each shard
+    out.groupBy(_._3).foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length.toLong),
+        s"shard $s positions not contiguous")
+    }
+    assert(out.map(_._3).distinct.length == 4)
+    // repetition-adjacency: docs with ≥3 epochs must not all land in
+    // one shard-position run — across the corpus at least 90% of
+    // multi-epoch docs span ≥2 shards (md5 scatter; deterministic)
+    val multi = out.groupBy(_._1).filter(_._2.length >= 3)
+    val spread = multi.count(_._2.map(_._3).distinct.length >= 2)
+    assert(multi.isEmpty || spread.toDouble / multi.size >= 0.9,
+      s"only $spread of ${multi.size} multi-epoch docs span shards")
+    // determinism: identical output on a re-run
+    val again = TextOps.trainingOrder(mat, "doc_id", "epoch_idx", 4)
+      .select("doc_id", "epoch_idx", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
   test("qualityGate: the Wilson bound blocks a tiny perfect group that a naive p-hat rule would whitelist") {
     val good = "this is a perfectly reasonable document with plenty of " +
       "words and it keeps going for a while so the word count clears " +
