@@ -167,7 +167,15 @@ object Bench {
     val families = Map(
       "minhash_family" -> Seq("dedup_lsh_recall", "text_dedup_yield",
         "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix"),
-      "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"))
+      "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"),
+      // VERDICT r9 #2: the audio queries share the Memo'd decode+window
+      // pass (whoever runs first after an eviction pays its build), and
+      // the spans tier shares the winnowed-minhash pair pass — member
+      // swings in either are only arbitrable as the family sum
+      "audio_family" -> Seq("multimodal_audio_decode", "multimodal_audio_energy",
+        "multimodal_audio_trim", "multimodal_audio_fingerprint"),
+      "spans_family" -> Seq("text_trim_spans", "dedup_span_pairs",
+        "dedup_containment_pairs", "dedup_cosine_lsh_prod"))
     val familySums = families.map { case (fam, members) =>
       val present = members.flatMap(retried.get)
       fam -> (present.map(_._1).sum, present.map(_._2).sum)

@@ -1,15 +1,16 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column ([EXT]).
   *
   * Two paths:
   *  - bruteForceTopK: exact cosine top-k via query×corpus join +
-  *    per-query window rank. Correct baseline; O(|Q|·|C|) — only sane
-  *    when the query set is small or the corpus is pre-filtered.
+  *    per-query bounded partial-agg rank ([[aggTopK]]). Correct
+  *    baseline; the scan is O(|Q|·|C|) — only sane when the query set
+  *    is small or the corpus is pre-filtered — but the top-k shuffle
+  *    is bounded (partitions × |Q| k-heaps), never |Q|·|C| rows.
   *  - IVF (in graft.ml.Ivf, spark.ml KMeans coarse quantizer): probe
   *    only the nearest nprobe centroids' buckets — the 100-TB path,
   *    turning the scan into a bucket-pruned join on centroid_id.
@@ -500,10 +501,14 @@ object Similarity {
     * over the word arrays, pure codegen'd integer HOFs, no UDF — and
     * keeps the `rerank` closest per query by (hamming asc, id asc).
     * Stage 2 fetches full vectors for survivors ONLY and reranks by
-    * exact cosine through the shared [[rankTopK]] tail.
+    * exact cosine through the same bounded [[aggTopK]] aggregation as
+    * [[rankTopK]] (one ordering definition, hamming carried in the
+    * payload slot).
     *
-    * Scale: the prefilter moves (q_id, n_id, int) triples — 12-byte
-    * rows, never vectors — through one per-query top-R window; the
+    * Scale: the prefilter's (q_id, n_id, int) candidate triples
+    * combine MAP-SIDE into bounded per-query k-heaps
+    * ([[graft.functions.TopKRows]]) — the shuffle carries
+    * partitions × |Q| buffers, never the |Q|·n scored rows; the
     * survivor fetch joins a |Q|·R-row frame (broadcast-sized by
     * construction) back to the corpus, so the corpus itself is
     * scanned (twice) but never shuffled. At 100 TB the sign codes are
@@ -516,18 +521,23 @@ object Similarity {
       queryPred: String, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val e0 = prep(emb, idCol, vecCol)
-    val dimRow = e0.agg(max(size(col("v"))).as("d")).head()
-    if (dimRow.isNullAt(0))
-      return e0.select(col(idCol).as("q_id"), lit(0L).as("rank"),
-        col(idCol).as("n_id"), lit(0.0).as("cosine"),
-        lit(0L).as("hamming")).limit(0)
-    val words = (dimRow.getInt(0) + 63) / 64
-    val e = e0.withColumn("__code", expr(
-      s"""transform(sequence(0, ${words - 1}), w ->
-         |  aggregate(sequence(0, 63), 0L, (acc, b) ->
-         |    CASE WHEN w * 64 + b < size(v)
-         |              AND element_at(v, w * 64 + b + 1) >= 0D
-         |         THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
+    // packed-word count as a LAZY 1-row broadcast agg (ADVICE r9: the
+    // former max-size .head() was an eager full-scan driver action at
+    // DataFrame-construction time, frozen from a separate scan). The
+    // crossJoin side is a single int row, so the planner broadcasts it
+    // and the word count is derived from the SAME plan it packs. An
+    // empty corpus yields an empty output frame with the full schema
+    // (no early-return special case needed).
+    val wdf = e0.agg(expr("CAST(floor((max(size(v)) + 63) / 64) AS INT)")
+      .as("__w"))
+    val e = e0.crossJoin(broadcast(wdf))
+      .withColumn("__code", expr(
+        """transform(sequence(0, __w - 1), w ->
+          |  aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |    CASE WHEN w * 64 + b < size(v)
+          |              AND element_at(v, w * 64 + b + 1) >= 0D
+          |         THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
+      .drop("__w")
     val q = e.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("__code").as("__qc"))
@@ -537,22 +547,25 @@ object Similarity {
       .select(col("q_id"), col("n_id"), expr(
         """CAST(aggregate(zip_with(__qc, __code, (a, b) -> bit_count(a ^ b)),
           |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin).as("hamming"))
-    val pre = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming").asc, col("n_id").asc)
-    val survivors = ham.withColumn("__r", row_number().over(pre))
-      .filter(col("__r") <= rerank).select("q_id", "n_id", "hamming")
+    // stage-1 prefilter: bounded top-`rerank` per query by (hamming
+    // asc, id asc) as a partial aggregation — the 12-byte candidate
+    // triples combine map-side instead of all |Q|·n shuffling into a
+    // window sort; hamming rides the exact long payload slot
+    val survivors = aggTopK(ham, rerank, "hamming", asc = true,
+        payCol = Some("hamming"))
+      .select(col("q_id"), col("n_id"), col("__pay").as("hamming"))
     val scored = survivors
       .join(e.select(col(idCol).as("n_id"), col("v"), col("nrm")), Seq("n_id"))
       .join(q.select(col("q_id"), col("qv"), col("qn")), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         (call_function("array_dot", col("qv"), col("v"))
           / (col("qn") * col("nrm"))).as("cosine"), col("hamming"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("n_id"), round(col("cosine"), 5).as("cosine"), col("hamming"))
+    // stage-2 exact rerank through the SAME bounded aggregation as
+    // rankTopK (one ordering definition — ADVICE r9 lockstep note),
+    // with hamming carried through the payload slot
+    aggTopK(scored, k, "cosine", asc = false, payCol = Some("hamming"))
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 5).as("cosine"), col("__pay").as("hamming"))
   }
 
   /** Recall honesty gate for [[binaryHammingTopK]] at a PRUNED regime
@@ -569,24 +582,51 @@ object Similarity {
       .select("q_id", "n_id")
     val approx = binaryHammingTopK(emb, idCol, vecCol, queryPred, k, rerank)
       .select("q_id", "n_id")
+    // n_queries counted directly (ADVICE r9: n_exact/k undercounts
+    // when a query has fewer than k neighbors); the recall divisions
+    // guard against an empty exact frame with greatest(·, 1)
     exact.join(approx, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("q_id")).as("n_queries")))
       .select(lit(k).as("k"), lit(rerank).as("rerank"),
-        (col("n_exact") / k).cast("long").as("n_queries"),
+        col("n_queries"),
         col("hits"),
-        round(col("hits").cast("double") / col("n_exact"), 5).as("recall"),
-        (col("hits").cast("double") / col("n_exact") >= floor).as("pass"))
+        round(col("hits").cast("double")
+          / greatest(col("n_exact"), lit(1L)), 5).as("recall"),
+        (col("hits").cast("double")
+          / greatest(col("n_exact"), lit(1L)) >= floor).as("pass"))
+  }
+
+  /** Per-query bounded top-k via map-side PARTIAL AGGREGATION — the
+    * scale replacement for `row_number() OVER (PARTITION BY q_id)`
+    * (VERDICT r9 #1): a [[graft.functions.TopKRows]] k-heap grouped by
+    * q_id, so the Exchange carries partitions × |Q| bounded buffers
+    * instead of every scored candidate row (|Q|·n for a full-scan
+    * tier — THE shuffle that kills a linear-scan prefilter at 100×
+    * corpus). Ordering is bitwise the window's: (keyCol asc|desc with
+    * Spark double semantics, n_id asc). Emits (q_id, rank, n_id,
+    * keyCol, __pay) in rank order; `payCol` rides along unsorted-on
+    * (exact long). n_id must be integral — the house embedding-id
+    * contract (it is cast to long through the aggregator). */
+  private[graft] def aggTopK(scored: DataFrame, k: Int, keyCol: String,
+      asc: Boolean, payCol: Option[String] = None): DataFrame = {
+    val tk = udaf(new graft.functions.TopKRows(k, asc),
+      graft.functions.TopKRows.inputEncoder)
+    val pay = payCol.map(col).getOrElse(lit(0L))
+    scored.groupBy(col("q_id"))
+      .agg(tk(col(keyCol).cast("double"), col("n_id").cast("long"),
+        pay.cast("long")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__i", "__h")))
+      .select(col("q_id"), (col("__i") + 1).cast("long").as("rank"),
+        col("__h.id").as("n_id"), col("__h.key").as(keyCol),
+        col("__h.pay").as("__pay"))
   }
 
   /** Shared deterministic ranking + output shape for exact and ANN
     * top-k (one definition keeps IvfSpec's recall comparison honest). */
-  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("n_id"), round(col("cosine"), 5).as("cosine"))
-  }
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    aggTopK(scored, k, "cosine", asc = false)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 5).as("cosine"))
 }

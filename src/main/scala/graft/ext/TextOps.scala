@@ -498,7 +498,12 @@ object TextOps {
   def mixtureMaterialize(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
+    // a weighted group whose docs hold ZERO tokens has no defined epoch
+    // factor (division by tokens_avail = 0 — engine-divergent: Spark
+    // nulls, DuckDB +inf); such groups deterministically emit nothing
+    // (ADVICE r9), same as a zero-weight group
     val plan = mixturePlan(df, idCol, textCol, groupCol, weights, budgetTokens)
+      .filter(col("tokens_avail") > 0)
       .select(col(groupCol),
         floor(col("epochs")).cast("long").as("__full"),
         floor((col("epochs") - floor(col("epochs"))) * 10000)
@@ -586,6 +591,56 @@ object TextOps {
       round(ph, 6).as("p_good"),
       round(lo, 6).as("wilson_lo"),
       (round(lo, 6) < cutoff).as("blocked"))
+  }
+
+  /** CALIBRATE → GATE → REPLAN: the composed curation round a real
+    * pipeline runs as ONE artifact (VERDICT r9 #8 — the
+    * corpus_health_report idiom applied to the quality tier):
+    *
+    *  1. [[qualityCalibrate]] fixes each source's keep cutoff at its
+    *     own p10 score (rank-exact, an observed score) — one global
+    *     threshold over- or under-prunes sources with different score
+    *     distributions;
+    *  2. [[qualityGate]]'s Wilson lower bound blocks entire sources
+    *     whose good-doc evidence is weak (small-n sources shrink
+    *     toward blocked instead of being whitelisted on 3 lucky docs);
+    *  3. the surviving corpus — docs at-or-above their source's
+    *     calibrated cutoff, from unblocked sources only — is handed to
+    *     [[mixturePlan]], whose per-group epochs/sample_rate now
+    *     reflect the post-curation availability (the interaction this
+    *     operator pins: pruning shrinks tokens_avail, which RAISES
+    *     epochs for over-requested groups — a replan that reads the
+    *     pre-curation plan under-fills every group).
+    *
+    * Output: [[mixturePlan]]'s per-group contract over the curated
+    * corpus. Every stage is rank/integer/fixed-IEEE deterministic, so
+    * a DuckDB oracle replays the whole composition. Scale: the cutoff
+    * and gate frames are |sources|-row broadcasts; the keep-filter is
+    * per-row; the replan is the usual |groups|-row aggregate — nothing
+    * beyond [[quality]]'s one corpus pass plus the token pass. */
+  def qualityReplan(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, groupCol: String, weights: Map[String, Double],
+      budgetTokens: Long, minWords: Int, maxDigitRatio: Double,
+      gateCutoff: Double): DataFrame = {
+    // ONE score-to-corpus join carries text + group along, so the
+    // curated frame feeds the replan directly — no second corpus-side
+    // shuffle to re-fetch columns by id
+    val scored = quality(df, idCol, textCol)
+      .select(col(idCol), col("stopword_ratio").as("score"))
+      .join(df.select(col(idCol), col(srcCol), col(groupCol),
+        col(textCol)), Seq(idCol))
+    val cuts = calibrateScores(
+        scored.select(col(idCol), col("score"), col(srcCol)), idCol, srcCol)
+      .select(col(srcCol), col("p10"))
+    val open = qualityGate(df, idCol, textCol, srcCol, minWords,
+      maxDigitRatio, gateCutoff)
+      .filter(not(col("blocked"))).select(col(srcCol))
+    val curated = scored
+      .join(broadcast(cuts), Seq(srcCol))
+      .filter(col("score") >= col("p10"))
+      .join(broadcast(open), Seq(srcCol), "left_semi")
+      .select(col(idCol), col(textCol), col(groupCol))
+    mixturePlan(curated, idCol, textCol, groupCol, weights, budgetTokens)
   }
 
   /** Temperature-flattened mixture planning ([EXT]): the multilingual

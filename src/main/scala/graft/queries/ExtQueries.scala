@@ -1277,8 +1277,9 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |ham AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-             |          len([i for i in range(1, len(q.v) + 1)
-             |               if (q.v[i] >= 0) <> (n.v[i] >= 0)]) AS hamming
+             |          len([i for i in range(1, greatest(len(q.v), len(n.v)) + 1)
+             |               if coalesce(q.v[i] >= 0, false) <> coalesce(n.v[i] >= 0, false)])
+             |            AS hamming
              |        FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
              |sv AS (SELECT q_id, n_id, hamming FROM (
              |         SELECT q_id, n_id, hamming,
@@ -1310,8 +1311,9 @@ object ExtQueries {
         "vec_id", "embedding", "vec_id < 10", 5, 100, 0.75),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |ham AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-             |          len([i for i in range(1, len(q.v) + 1)
-             |               if (q.v[i] >= 0) <> (n.v[i] >= 0)]) AS hamming
+             |          len([i for i in range(1, greatest(len(q.v), len(n.v)) + 1)
+             |               if coalesce(q.v[i] >= 0, false) <> coalesce(n.v[i] >= 0, false)])
+             |            AS hamming
              |        FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
              |sv AS (SELECT q_id, n_id FROM (
              |         SELECT q_id, n_id,
@@ -1332,11 +1334,12 @@ object ExtQueries {
              |         FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
              |       WHERE rank <= 5),
              |h AS (SELECT count(*) AS hits FROM ex SEMI JOIN ap USING (q_id, n_id)),
-             |t AS (SELECT count(*) AS n_exact FROM ex)
+             |t AS (SELECT count(*) AS n_exact,
+             |             count(DISTINCT q_id) AS n_queries FROM ex)
              |SELECT 5 AS k, 100 AS rerank,
-             |       CAST(t.n_exact / 5 AS BIGINT) AS n_queries, h.hits,
-             |       round(CAST(h.hits AS DOUBLE) / t.n_exact, 5) AS recall,
-             |       CAST(h.hits AS DOUBLE) / t.n_exact >= 0.75 AS pass
+             |       t.n_queries, h.hits,
+             |       round(CAST(h.hits AS DOUBLE) / greatest(t.n_exact, 1), 5) AS recall,
+             |       CAST(h.hits AS DOUBLE) / greatest(t.n_exact, 1) >= 0.75 AS pass
              |FROM h, t""".stripMargin)),
 
     // Embedding-space eval decontamination: nearest eval vector +
@@ -1549,6 +1552,66 @@ object ExtQueries {
              |  round(lo, 6) AS wilson_lo, round(lo, 6) < 0.55 AS blocked
              |FROM w ORDER BY source""".stripMargin)),
 
+    // CALIBRATE → GATE → REPLAN composed in one artifact (VERDICT r9
+    // #8): per-source p10 cutoffs prune each source's worst decile,
+    // the Wilson gate drops whole weak-evidence sources, and the
+    // mixture REPLANS over what survives — pinning the interaction
+    // (curation shrinks tokens_avail, which raises epochs /
+    // sample_rate vs the pre-curation text_mixture_plan). Same
+    // weights/budget as the plan query and same gate params as
+    // text_quality_gate, so the three rows triangulate.
+    Q("pipeline_quality_replan",
+      (s, dir) => TextOps.qualityReplan(Tables.documents(s, dir),
+          "doc_id", "text", "source", "lang",
+          Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+          10000000L, 30, 0.1, 0.55)
+        .orderBy("lang"),
+      Some(s"""WITH q AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS score
+              |  FROM documents),
+              |j AS (SELECT d.source, d.lang, q.doc_id, q.score
+              |      FROM q JOIN documents d USING (doc_id)),
+              |r AS (SELECT source, doc_id, score,
+              |        row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY source) AS n
+              |      FROM j),
+              |cut AS (SELECT source, max(CASE WHEN rn = (n + 9) // 10 THEN score END) AS p10
+              |        FROM r GROUP BY source),
+              |a AS (SELECT source, count(*) AS n,
+              |    CAST(sum(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 30
+              |          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) <= 0.1
+              |        THEN 1 ELSE 0 END) AS BIGINT) AS k
+              |  FROM documents GROUP BY source),
+              |wg AS (SELECT source,
+              |    (CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)
+              |     - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+              |         + (1.96 * 1.96) / (4.0 * n * n))) / (1.0 + (1.96 * 1.96) / n) AS lo
+              |  FROM a),
+              |open_src AS (SELECT source FROM wg WHERE round(lo, 6) >= 0.55),
+              |kept AS (SELECT j.doc_id, j.lang
+              |         FROM j JOIN cut USING (source) SEMI JOIN open_src USING (source)
+              |         WHERE j.score >= cut.p10),
+              |tok AS (SELECT doc_id,
+              |         CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeRe}')) AS BIGINT) AS n_bpe
+              |       FROM documents),
+              |g AS (SELECT k.lang, count(*) AS n_docs,
+              |        CAST(sum(t.n_bpe) AS BIGINT) AS tokens_avail
+              |      FROM kept k JOIN tok t USING (doc_id) GROUP BY k.lang),
+              |p AS (SELECT lang, n_docs, tokens_avail,
+              |        CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+              |          WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1
+              |          ELSE 0.0 END AS DOUBLE) AS weight
+              |      FROM g),
+              |p2 AS (SELECT *, CAST(round(weight * 10000000, 0) AS BIGINT) AS tokens_target
+              |       FROM p)
+              |SELECT lang, n_docs, tokens_avail, weight, tokens_target,
+              |       round(CAST(tokens_target AS DOUBLE) / tokens_avail, 6) AS epochs,
+              |       round(least(CAST(1.0 AS DOUBLE),
+              |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
+              |FROM p2 ORDER BY lang""".stripMargin)),
+
     // MODEL-BASED quality filter (CCNet / GPT-3 WebText-classifier
     // shape): train a Naive Bayes unigram classifier on a weak rule
     // label (stopword_ratio >= 0.03 — the corpus median, so both
@@ -1698,7 +1761,7 @@ object ExtQueries {
               |          CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
               |            WHEN 'de' THEN 0.05 ELSE 0.0 END AS DOUBLE) * 100000, 0)
               |          AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
-              |      FROM g),
+              |      FROM g WHERE tokens_avail > 0),
               |pl AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS fullp,
               |         CAST(floor((epochs - floor(epochs)) * 10000) AS BIGINT) AS frac_bp
               |       FROM p),
@@ -1737,7 +1800,7 @@ object ExtQueries {
               |          CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
               |            WHEN 'de' THEN 0.05 ELSE 0.0 END AS DOUBLE) * 100000, 0)
               |          AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
-              |      FROM g),
+              |      FROM g WHERE tokens_avail > 0),
               |pl AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS fullp,
               |         CAST(floor((epochs - floor(epochs)) * 10000) AS BIGINT) AS frac_bp
               |       FROM p),

@@ -1147,6 +1147,21 @@ class TextDedupSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._3))))
   }
 
+  test("mixtureMaterialize: a weighted group with zero tokens emits nothing (no null/inf epochs)") {
+    // ADVICE r9: tokens_avail = 0 divides engine-divergently (Spark
+    // null, DuckDB +inf) — the contract is such groups deterministically
+    // drop, like zero-weight groups
+    val docs = Seq((1L, "alpha beta gamma delta", "en"),
+        (2L, "", "xx"), (3L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.mixtureMaterialize(docs, "doc_id", "text", "lang",
+        Map("en" -> 0.5, "xx" -> 0.5), 100L)
+      .select("doc_id", "lang", "epoch_idx")
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 == "en"),
+      s"zero-token group must vanish, got ${out.toSeq}")
+  }
+
   test("trainingOrder: contiguous per-shard positions, input multiset preserved, repeats scattered") {
     val docs = Tables.documents(spark, sf)
     val mat = TextOps.mixtureMaterialize(docs, "doc_id", "text", "lang",

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bitwise parity of the bounded partial-agg top-k
+  * ([[graft.functions.TopKRows]] via Similarity.aggTopK) against the
+  * row_number window it replaced (VERDICT r9 #1): same rows, same
+  * ranks, same tie-breaks — including duplicate keys, tiny groups
+  * (fewer than k candidates), and groups far larger than the buffer
+  * capacity (forcing many mid-stream compactions). */
+class TopKSpec extends SparkSpec {
+
+  /** Deterministic pseudo-random scored frame: md5-derived keys with
+    * DELIBERATE duplicates (key quantized to 1dp) so tie-breaks by
+    * n_id actually fire. */
+  private def scored(nQ: Int, nPerQ: Int) = {
+    spark.range(nQ.toLong * nPerQ).select(
+      (col("id") % nQ).as("q_id"),
+      expr(s"id DIV $nQ").as("n_id"),
+      (round(conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+        .cast("double") / 65535.0, 1)).as("cosine"))
+  }
+
+  private def windowed(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), round(col("cosine"), 5).as("cosine"))
+  }
+
+  test("aggTopK == window row_number: dup keys, large groups, many compactions") {
+    val df = scored(7, 500) // 500 candidates/group >> cap(k=5)=32
+    val viaAgg = graft.ext.Similarity.rankTopK(df, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val viaWin = windowed(df, 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaAgg == viaWin)
+  }
+
+  test("groups smaller than k emit all their rows in rank order") {
+    val df = scored(5, 3)
+    val viaAgg = graft.ext.Similarity.rankTopK(df, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    val viaWin = windowed(df, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaAgg == viaWin)
+    assert(viaAgg.size == 15)
+  }
+
+  test("ascending mode + payload slot: hamming-style prefilter parity") {
+    val df = scored(4, 200)
+      .withColumn("hamming", (col("cosine") * 10).cast("long"))
+    val viaAgg = graft.ext.Similarity.aggTopK(
+        df.select(col("q_id"), col("n_id"), col("hamming")),
+        6, "hamming", asc = true, payCol = Some("hamming"))
+      .select(col("q_id"), col("rank"), col("n_id"),
+        col("__pay").as("hamming"))
+      .orderBy("q_id", "rank").collect().toSeq
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val viaWin = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("hamming"))
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaAgg == viaWin)
+  }
+
+  test("partition-count invariance: local[4] shuffles produce identical rows") {
+    val df = scored(3, 300)
+    val a = graft.ext.Similarity.rankTopK(df.repartition(1), 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = graft.ext.Similarity.rankTopK(df.repartition(13), 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+}
