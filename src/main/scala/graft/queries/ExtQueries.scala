@@ -1342,6 +1342,75 @@ object ExtQueries {
              |       CAST(h.hits AS DOUBLE) / greatest(t.n_exact, 1) >= 0.75 AS pass
              |FROM h, t""".stripMargin)),
 
+    // MULTI-INDEX HAMMING near-dup pairs (Norouzi CVPR 2012; the Manku
+    // banding applied to embedding sign codes): pairs within Hamming
+    // radius 15 of each other found via an EQUI-join on 16 band keys —
+    // no theta join anywhere in candidate generation. The oracle
+    // replays banding, candidate join, popcount verify, and cosine.
+    Q("sim_banded_hamming_pairs",
+      (s, dir) => Similarity.bandedHammingPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 15)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dd AS (SELECT max(len(v)) AS dim FROM e),
+             |bv AS (SELECT vec_id, v, bi,
+             |         CAST(list_sum([CASE WHEN coalesce(v[i + 1] >= 0, false)
+             |                 THEN CAST(1 AS BIGINT) << (i - (bi * dim) // 16)
+             |                 ELSE 0 END
+             |               for i in range((bi * dim) // 16, ((bi + 1) * dim) // 16)])
+             |           AS BIGINT) AS bval
+             |       FROM e, dd, (SELECT unnest(range(16)) AS bi)),
+             |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             |         FROM bv x JOIN bv y
+             |           ON x.bi = y.bi AND x.bval = y.bval AND x.vec_id < y.vec_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |          CAST(len([i for i in range(1, greatest(len(a.v), len(b.v)) + 1)
+             |               if coalesce(a.v[i] >= 0, false) <> coalesce(b.v[i] >= 0, false)])
+             |            AS BIGINT) AS hamming,
+             |          round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+             |        FROM cand c JOIN e a ON a.vec_id = c.id_a
+             |                    JOIN e b ON b.vec_id = c.id_b)
+             |SELECT id_a, id_b, hamming, cosine FROM ham
+             |WHERE hamming <= 15 ORDER BY id_a, id_b""".stripMargin)),
+
+    // The pigeonhole THEOREM gate for the banded tier: radius-15 pairs
+    // split into 16 bands MUST all match in ≥1 band, so recall vs the
+    // exact all-pairs scan is exactly 1.0 — pinned as equality, not a
+    // probabilistic floor (confined to vec_id < 1000 to bound the
+    // exact side's theta join at larger SFs).
+    Q("sim_banded_hamming_recall",
+      (s, dir) => Similarity.bandedHammingRecall(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 1000),
+        "vec_id", "embedding", 15),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 1000),
+             |dd AS (SELECT max(len(v)) AS dim FROM e),
+             |bv AS (SELECT vec_id, v, bi,
+             |         CAST(list_sum([CASE WHEN coalesce(v[i + 1] >= 0, false)
+             |                 THEN CAST(1 AS BIGINT) << (i - (bi * dim) // 16)
+             |                 ELSE 0 END
+             |               for i in range((bi * dim) // 16, ((bi + 1) * dim) // 16)])
+             |           AS BIGINT) AS bval
+             |       FROM e, dd, (SELECT unnest(range(16)) AS bi)),
+             |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             |         FROM bv x JOIN bv y
+             |           ON x.bi = y.bi AND x.bval = y.bval AND x.vec_id < y.vec_id),
+             |fnd AS (SELECT c.id_a, c.id_b
+             |        FROM cand c JOIN e a ON a.vec_id = c.id_a
+             |                    JOIN e b ON b.vec_id = c.id_b
+             |        WHERE len([i for i in range(1, greatest(len(a.v), len(b.v)) + 1)
+             |               if coalesce(a.v[i] >= 0, false) <> coalesce(b.v[i] >= 0, false)]) <= 15),
+             |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |       WHERE len([i for i in range(1, greatest(len(a.v), len(b.v)) + 1)
+             |              if coalesce(a.v[i] >= 0, false) <> coalesce(b.v[i] >= 0, false)]) <= 15),
+             |h AS (SELECT count(*) AS n_found FROM ex SEMI JOIN fnd USING (id_a, id_b)),
+             |t AS (SELECT count(*) AS n_exact FROM ex)
+             |SELECT 15 AS radius, 16 AS bands, t.n_exact, h.n_found,
+             |       round(CAST(h.n_found AS DOUBLE) / greatest(t.n_exact, 1), 5) AS recall,
+             |       h.n_found = t.n_exact AS pass
+             |FROM h, t""".stripMargin)),
+
     // Embedding-space eval decontamination: nearest eval vector +
     // contamination flag per train vector (eval = every 50th id,
     // tau=0.4 — 6 semantic leaks planted above it in this corpus)

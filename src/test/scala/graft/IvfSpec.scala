@@ -239,4 +239,50 @@ class IvfSpec extends SparkSpec {
       .select("n_id", "hamming").as[(Long, Long)].collect()
     assert(top.length == 1 && top(0) == ((999999L, 0L)), top.mkString(","))
   }
+
+  test("banded Hamming: pigeonhole completeness on a planted radius-edge pair") {
+    import org.apache.spark.sql.functions._
+    // base vector all-positive (sign bits all 1); a copy with exactly
+    // `radius` sign flips sits ON the edge (must be found); one with
+    // radius+1 flips sits just outside (must be excluded even though
+    // it may band-collide as a candidate)
+    val radius = 3
+    def vec(flips: Int) =
+      (0 until 16).map(i => if (i < flips) -1.0 else 1.0).toArray
+    val emb = Seq((1L, vec(0)), (2L, vec(radius)), (3L, vec(radius + 1)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.bandedHammingPairs(emb, "vec_id", "embedding", radius)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // (1,2) at hamming 3 = radius: in; (2,3) at hamming 1: in;
+    // (1,3) at hamming 4 > radius: out
+    assert(pairs == Set((1L, 2L, 3L), (2L, 3L, 1L)), pairs.toString)
+  }
+
+  test("banded Hamming recall gate: exactly 1.0 by theorem on the fixture") {
+    val row = Similarity.bandedHammingRecall(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 15)
+      .select("n_exact", "n_found", "recall")
+      .as[(Long, Long, Double)].head()
+    assert(row._1 == row._2 && row._3 == 1.0, row.toString)
+  }
+
+  test("banded Hamming candidates come from an equi-join on band keys, not a product join") {
+    val plan = Similarity.bandedHammingPairs(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 15)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"),
+      s"banded candidate generation degraded into a product join:\n$plan")
+    // the x–y candidate join must hash on the band keys (bi, bv); the
+    // only nested-loop joins allowed are the 1-ROW dim-broadcast
+    // crossJoins (withDim), which the corpus streams past map-side
+    val candJoin = plan.split("\n\n").exists(b =>
+      b.contains("HashJoin") && b.contains("bv#"))
+    assert(candJoin, s"no hash join on the band value key:\n$plan")
+    val badNlj = plan.split("\n\n").exists(b =>
+      b.matches("(?s)\\(\\d+\\) BroadcastNestedLoopJoin\\b.*") &&
+        !b.contains("Cross"))
+    assert(!badNlj, s"non-cross nested-loop join in the banded plan:\n$plan")
+  }
 }
