@@ -40,7 +40,11 @@ object Multimodal {
       md5(col(payloadCol).cast("binary")).as("checksum"))
 
   case class MediaRow(id: Long, content: Array[Byte])
-  case class Feature(id: Long, width: Int, height: Int, feature: Array[Double])
+  /** `decoded = false` marks the byte-histogram DEGRADE path (the
+    * permanent predictive-codec fence, COVERAGE.md): downstream sees
+    * typed features either way and filters on the flag. */
+  case class Feature(id: Long, width: Int, height: Int,
+    feature: Array[Double], decoded: Boolean)
 
   /** Real image decode via javax.imageio (pure JDK). Returns
     * (width, height, [meanR, meanG, meanB, stdR, stdG, stdB]) or None
@@ -851,11 +855,17 @@ object Multimodal {
   /** Decode dispatch: real image decode first, then real MJPEG-track
     * pixel decode for MP4 AND AVI payloads, byte-histogram fallback
     * for everything else (non-media payloads and predictive-codec
-    * video, which genuinely needs a native decoder). */
-  private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double]) =
+    * video, which genuinely needs a native decoder). The boolean is
+    * the DEGRADE flag: true for real pixels, false for the fallback
+    * — the permanent-fence contract consumers filter on. */
+  private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =
     decodeImage(bytes)
       .orElse(decodeMjpegFirstFrame(bytes))
-      .getOrElse(byteHistogram(bytes))
+      .map { case (w, h, f) => (w, h, f, true) }
+      .getOrElse {
+        val (w, h, f) = byteHistogram(bytes)
+        (w, h, f, false)
+      }
 
   /** Deterministic w×h RGB test pattern for id: each channel is a pure
     * function of (id, x, y), so an external oracle can recompute the
@@ -961,8 +971,8 @@ object Multimodal {
     media.mapPartitions { it =>
       // codec/session init would happen once per partition here
       it.map { row =>
-        val (w, h, feat) = decode(row.content)
-        Feature(row.id, w, h, feat)
+        val (w, h, feat, dec) = decode(row.content)
+        Feature(row.id, w, h, feat, dec)
       }
     }
   }
@@ -977,7 +987,7 @@ object Multimodal {
       row.content.grouped(frameBytes).zipWithIndex
         .filter(_._2 % stride == 0)
         .map { case (chunk, idx) =>
-          val (w, h, feat) = decode(chunk)
+          val (w, h, feat, _) = decode(chunk)
           (row.id, idx.toLong, chunk.length.toLong, w, h, feat)
         }
     }.toDF("id", "frame_idx", "frame_bytes", "width", "height", "feature")

@@ -481,7 +481,8 @@ object MultimodalQueries {
           .select(col("id"), col("content")).as[Multimodal.MediaRow]
         Multimodal.extractFeatures(media).toDF()
           .select(col("id"), col("width").cast("long").as("width"),
-            round(element_at(col("feature"), 1), 6).as("f0"))
+            round(element_at(col("feature"), 1), 6).as("f0"),
+            col("decoded"))
           .orderBy("id")
       }),
 

@@ -206,15 +206,18 @@ class MultimodalSourcesSpec extends SparkSpec {
       assert(w == 16 && h == 16, s"id=$id ${w}x$h")
       assert(feat(0) == mean, s"id=$id mean ${feat(0)} != $mean")
       assert(math.abs(feat(1) - std) < 1e-12, s"id=$id std ${feat(1)} != $std")
-      // shared dispatch reaches the same numbers (operator path)
-      assert(Multimodal.decode(mp4) == ((16, 16, feat)) ||
-        Multimodal.decode(mp4)._3.sameElements(feat))
+      // shared dispatch reaches the same numbers (operator path) and
+      // flags real pixels as decoded
+      val d = Multimodal.decode(mp4)
+      assert(d._3.sameElements(feat) && d._4, s"id=$id $d")
     }
     // a non-MJPEG container (avc1/hev1/mp4v tracks, no sample data)
-    // falls through to the documented histogram stub, never throws
+    // falls through to the documented histogram stub, never throws —
+    // and carries decoded = false, the permanent-fence degrade flag
     val avc = Multimodal.syntheticMp4(3L)
     assert(Multimodal.decodeMjpegFirstFrame(avc).isEmpty)
     assert(Multimodal.decode(avc)._3.length == 16) // histogram shape
+    assert(!Multimodal.decode(avc)._4, "fallback must flag decoded=false")
     // truncation inside mdat: sample range exceeds file -> no track
     val cut = Multimodal.syntheticMjpegMp4(5L)
     assert(Multimodal.decodeMjpegFirstFrame(cut.take(60)).isEmpty)
