@@ -248,17 +248,59 @@ object Ivf {
   /** Exact cosine re-rank of a (q_id, n_id) candidate pool — the
     * identical expression shape as bruteForceTopK, so a pool covering
     * the true top-k yields bitwise the brute-force answer. Shared by
-    * the int8 and PQ compositions. */
+    * the int8 and PQ compositions; `band` restricts to a cosine
+    * interval [lo, hi) BEFORE ranking (the hard-negative contract). */
   private def exactRerank(pool: DataFrame, emb: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
-    val scored = pool
+    val scored0 = pool
       .join(e.select(col(idCol).as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")), "q_id")
       .join(e.select(col(idCol).as("n_id"), col("v").as("n_v"), col("nrm").as("n_n")), "n_id")
       .select(col("q_id"), col("n_id"),
         (call_function("array_dot", col("q_v"), col("n_v"))
           / (col("q_n") * col("n_n"))).as("cosine"))
+    val scored = band match {
+      case Some((lo, hi)) =>
+        scored0.filter(col("cosine") >= lo && col("cosine") < hi)
+      case None => scored0
+    }
     graft.ext.Similarity.rankTopK(scored, k)
+  }
+
+  /** Hard-negative mining over the IVF index — the scale path
+    * [[graft.ext.Similarity.hardNegatives]]'s scaladoc promises
+    * (candidates from the probed cells, band filter applied to the
+    * candidates, identical downstream shape): each query pairs only
+    * with residents of its nprobe nearest cells, then the SURVIVORS
+    * are scored with the exact raw-vector cosine (the identical
+    * expression as the exact operator), band-filtered, and ranked
+    * through the shared bounded top-k. With a full probe
+    * (nprobe == nlist) the candidate set is the whole corpus, so the
+    * output is BITWISE the exact operator's — the oracle pin; a
+    * pruned probe trades recall for reading only nprobe/nlist of the
+    * corpus, the production regime (negatives near the query's cells
+    * are exactly the informative ones — far-cell vectors score below
+    * loSim anyway). */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, nlist: Int, nprobe: Int,
+      loSim: Double, hiSim: Double, seed: Long = 42): DataFrame = {
+    require(loSim < hiSim, s"need loSim < hiSim, got [$loSim, $hiSim)")
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val spark = bucketed.sparkSession
+    GraftFunctions.register(spark)
+    val probe = probeUdf(spark, centers, nprobe)
+    val (queries, index) = pruneToCells(bucketed,
+      bucketed.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"),
+          explode(probe(col("vn"))).as("centroid_id")))
+    // a corpus vector lives in exactly ONE cell, so the (query-cell ×
+    // residents) join yields each (q, n) pair at most once — no dedup
+    val pool = queries.join(index.select(col(idCol), col("centroid_id")),
+        "centroid_id")
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"))
+    exactRerank(pool, emb, idCol, vecCol, k, band = Some((loSim, hiSim)))
   }
 
   /** IVF-PQ: PRODUCT-quantized ADC scoring inside the IVF probe, exact

@@ -1238,6 +1238,27 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Hard negatives mined through the IVF index — the scale path the
+    // exact operator's scaladoc promises (candidates from the probed
+    // cells only, band filter on the exact cosine of the survivors,
+    // shared bounded top-k). Full probe (nprobe == nlist == 16, the
+    // Memo'd sim_ivf fit) covers the whole corpus, so the output is
+    // BITWISE the exact operator's — the oracle is the identical SQL.
+    Q("sim_hard_negatives_ivf",
+      (s, dir) => graft.ml.Ivf.hardNegatives(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 10", 5, 16, 16, 0.2, 0.45)
+        .orderBy("q_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sc AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |         list_cosine_similarity(q.v, e.v) AS cosine
+             |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+             |b AS (SELECT * FROM sc WHERE cosine >= 0.2 AND cosine < 0.45),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM b)
+             |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // Int8-quantized cosine top-k: the 4×-memory-compression ANN
     // variant, oracle-checked against DuckDB performing the identical
     // quantize→dequantize→rank pipeline

