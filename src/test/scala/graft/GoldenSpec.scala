@@ -98,7 +98,9 @@ class GoldenSpec extends SparkSpec {
       // digest — independent of session parallelism
       "sample_cluster_balanced" -> "e4ebb6ecf6bb26c7e8e653556ef5fc6d",
       "sem_dedup" -> "a453b17d798a0db32d7c318bce1bb05a",
-      "multimodal_features" -> "da67292b0e99f3346c195a926ba476d4",
+      // re-pinned when the decode dispatch grew the typed `decoded`
+      // degrade flag (permanent predictive-codec fence, COVERAGE.md)
+      "multimodal_features" -> "1a398d6ccb449a5934fc8ef3a473806e",
       "multimodal_frames" -> "bfc37e8bad10637b90010db016cad7ab")
     val got = pins.keys.toSeq.sorted.map(q => q -> digest(q))
     val bad = got.filter { case (q, d) => d != pins(q) }
