@@ -44,13 +44,18 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each query id (queries = rows of
     * `emb` satisfying `queryPred` SQL predicate; self excluded).
-    * Deterministic: ties broken by neighbor id. */
+    * Deterministic: ties broken by neighbor id. `corpus` (default:
+    * `emb` itself) restricts the NEIGHBOR side — the exact baseline a
+    * filtered ANN search ([[graft.ml.Ivf.filteredTopK]]) is graded
+    * against; queries always come from `emb`. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: String, k: Int): DataFrame = {
+      queryPred: String, k: Int,
+      corpus: Option[DataFrame] = None): DataFrame = {
     val e = prep(emb, idCol, vecCol)
     val q = e.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = q.join(e, col("q_id") =!= col(idCol))
+    val scored = q.join(corpus.map(prep(_, idCol, vecCol)).getOrElse(e),
+        col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
         (call_function("array_dot", col("qv"), col("v"))
           / (col("qn") * col("nrm"))).as("cosine"))

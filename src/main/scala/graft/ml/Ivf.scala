@@ -303,6 +303,67 @@ object Ivf {
     exactRerank(pool, emb, idCol, vecCol, k, band = Some((loSim, hiSim)))
   }
 
+  /** The index frame with the table's NON-vector columns riding the
+    * inverted lists (one id-equi-join at index-BUILD time, memoized
+    * with the index): the attribute sidecar every filtered search
+    * probes. At 100 TB this is the offline half of index maintenance
+    * — metadata lands next to (vn, centroid_id) once, so a query-time
+    * filter is a pushed predicate on the inverted-list scan, never a
+    * second corpus-sized join on the query path. */
+  private def attributedIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val spark = emb.sparkSession
+    val key = s"ivfattr|${System.identityHashCode(spark)}|$nlist|$seed|" +
+      s"$idCol|$vecCol|${emb.queryExecution.logical.semanticHash()}"
+    val attributed = graft.queries.Memo.cached(spark, key)(
+      bucketed.join(emb.drop(vecCol), Seq(idCol)))
+    (attributed, centers)
+  }
+
+  /** Filtered ANN search — the vector-DB "metadata filter" composition
+    * (FAISS IDSelector / payload-filter pre-filtering): approximate
+    * top-k where the NEIGHBOR side is restricted to rows satisfying
+    * `corpusPred`, a predicate over the table's non-vector columns
+    * (label, source, recency…). Queries come from the FULL table via
+    * `queryPred` — a query need not satisfy the corpus filter.
+    *
+    * This is PRE-filtering: the predicate evaluates inside the probed
+    * inverted-list scan ([[attributedIndex]]'s sidecar makes the
+    * columns available there), so ranking happens over the filtered
+    * candidates and every query still surfaces k survivors — the shape
+    * that stays correct when the filter is selective, where
+    * post-filtering a top-k would return fewer than k (or nothing).
+    * Survivors are scored with the exact raw-vector cosine through the
+    * shared [[exactRerank]] tail, so with a full probe
+    * (nprobe == nlist) the output is BITWISE the filtered brute-force
+    * answer — the oracle pin; a pruned probe reads only the probed
+    * cells' filtered residents, the production regime.
+    *
+    * Scale: cell pruning ([[pruneToCells]]) composes with the metadata
+    * predicate — both push down to the index scan, so I/O is
+    * (nprobe/nlist) × filter-selectivity of the corpus; the rerank
+    * pool ships through the bounded top-k aggregation, never a window
+    * over all scored pairs. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, corpusPred: String, k: Int, nlist: Int,
+      nprobe: Int, seed: Long = 42): DataFrame = {
+    val (attributed, centers) = attributedIndex(emb, idCol, vecCol, nlist, seed)
+    val spark = attributed.sparkSession
+    GraftFunctions.register(spark)
+    val probe = probeUdf(spark, centers, nprobe)
+    val (queries, index) = pruneToCells(attributed,
+      attributed.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"),
+          explode(probe(col("vn"))).as("centroid_id")))
+    val pool = queries.join(
+        index.filter(expr(corpusPred)).select(col(idCol), col("centroid_id")),
+        "centroid_id")
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"))
+    exactRerank(pool, emb, idCol, vecCol, k)
+  }
+
   /** IVF-PQ: PRODUCT-quantized ADC scoring inside the IVF probe, exact
     * re-rank on the survivors — the FAISS-style IVFPQ production shape
     * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor

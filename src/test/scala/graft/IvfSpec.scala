@@ -264,6 +264,28 @@ class IvfSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("filtered ANN: full probe is bitwise the filtered brute force; filter is PRE, not post") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        "vec_id < 10", 5, corpus = Some(emb.filter("label = 0")))
+      .orderBy("q_id", "rank").collect().toSeq
+    val full = graft.ml.Ivf.filteredTopK(emb, "vec_id", "embedding",
+        "vec_id < 10", "label = 0", 5, 16, 16)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full == exact, "full probe must reproduce the filtered brute force")
+    // PRE-filtering semantics: every surfaced neighbor satisfies the
+    // corpus predicate, and every query — including those NOT matching
+    // the filter themselves — still surfaces a full k (post-filtering
+    // a top-k could not: most of an unfiltered top-5 fails label = 0)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(full.forall(r => labels(r.getLong(2)) == 0),
+      "a neighbor escaped the corpus filter")
+    val perQuery = full.groupBy(_.getLong(0)).view.mapValues(_.size)
+    assert(perQuery.values.forall(_ == 5), perQuery.toMap.toString)
+    assert(perQuery.keys.exists(q => labels(q) != 0),
+      "fixture lost its unfiltered-query case — pick a query set spanning labels")
+  }
+
   test("banded Hamming: pigeonhole completeness on a planted radius-edge pair") {
     import org.apache.spark.sql.functions._
     // base vector all-positive (sign bits all 1); a copy with exactly
