@@ -166,6 +166,43 @@ object Similarity {
         round(max(col("__fm")).cast("double") / 1e6, 6).as("max_frac"))
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists (Cormack,
+    * Clarke & Büttcher, SIGIR 2009 — the standard hybrid-search
+    * combiner: rank-based, so a BM25 score and a cosine never need
+    * calibrating onto one scale). Each input is a (source-tag,
+    * ranked frame) pair with columns (q_id, doc_id, rank); a doc's
+    * fused score is Σ 1/(c + rank) over the lists that surfaced it,
+    * and the output is the top-k per query by (rrf desc, doc_id asc)
+    * with the supporting-list count riding along.
+    *
+    * Determinism: per-(q, doc) contributions fold in sorted
+    * source-tag order (the house sorted-fold idiom — IEEE addition
+    * is not associative across 3+ lists), the fused score compares
+    * ROUNDED (6 dp), and ties break on doc_id.
+    *
+    * Scale: one unionByName of the (already bounded, |Q|·k-row) rank
+    * lists, one keyed aggregation, and the bounded [[aggTopK]] tail —
+    * the fusion never touches a corpus-sized frame; cost lives in the
+    * upstream retrievers. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.map { case (src, df) =>
+      df.select(col("q_id"), col("doc_id"), lit(src).as("__src"),
+        (lit(1.0) / (lit(c) + col("rank").cast("double"))).as("__contrib"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy(col("q_id"), col("doc_id"))
+      .agg(round(aggregate(
+          array_sort(collect_list(struct(col("__src"), col("__contrib")))),
+          lit(0.0), (acc, x) => acc + x("__contrib")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    aggTopK(fused.select(col("q_id"), col("doc_id").as("n_id"),
+        col("rrf"), col("n_lists")), k, "rrf", asc = false,
+        payCol = Some("n_lists"))
+      .select(col("q_id"), col("rank"), col("n_id").as("doc_id"),
+        col("rrf"), col("__pay").as("n_lists"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for
     * each query, the top-k most similar neighbors INSIDE a cosine band
     * [loSim, hiSim) — similar enough to be informative negatives,

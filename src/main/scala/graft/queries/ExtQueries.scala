@@ -3129,6 +3129,81 @@ object ExtQueries {
              |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // Hybrid retrieval (round 10): BM25 lexical ranks fused with
+    // dense cosine ranks by reciprocal-rank fusion (Cormack et al.
+    // SIGIR'09) — the modern RAG/search-serving shape, rank-based so
+    // the two scores never need calibrating onto one scale. Lexical
+    // side shares text_bm25_topk's term fixture (and its Memo'd
+    // doc-length pass); dense side queries the embeddings of vec_id
+    // 1..3 standing in for q1..q3 (doc_id == vec_id by fixture
+    // construction). The oracle replays BOTH retrievers and the
+    // fusion end-to-end.
+    Q("sim_hybrid_rrf",
+      (s, dir) => {
+        val lex = TextOps.bm25TopK(Tables.documents(s, dir), "doc_id",
+            "text", Seq("q1" -> Seq("hash", "join"),
+              "q2" -> Seq("slow", "scan", "filter"),
+              "q3" -> Seq("vector", "batch", "customer")), 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            Tables.embeddings(s, dir), "vec_id", "embedding",
+            "vec_id IN (1, 2, 3)", 10)
+          .select(concat(lit("q"), col("q_id")).as("q_id"),
+            col("n_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq("dense" -> dense, "lex" -> lex), 10)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |lexr AS (SELECT q_id, doc_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY score DESC, doc_id) AS rank
+             |         FROM agg),
+             |lex AS (SELECT q_id, doc_id, rank FROM lexr WHERE rank <= 10),
+             |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dsc AS (SELECT q.vec_id AS qv, e.vec_id AS doc_id,
+             |          list_cosine_similarity(q.v, e.v) AS cosine
+             |        FROM ev q JOIN ev e ON q.vec_id IN (1, 2, 3)
+             |                           AND e.vec_id != q.vec_id),
+             |dr AS (SELECT qv, doc_id,
+             |         row_number() OVER (PARTITION BY qv
+             |           ORDER BY cosine DESC, doc_id) AS rank
+             |       FROM dsc),
+             |dense AS (SELECT 'q' || CAST(qv AS VARCHAR) AS q_id, doc_id, rank
+             |          FROM dr WHERE rank <= 10),
+             |u AS (SELECT q_id, doc_id, 'lex' AS src,
+             |        1.0 / (60 + rank) AS contrib FROM lex
+             |      UNION ALL
+             |      SELECT q_id, doc_id, 'dense', 1.0 / (60 + rank) FROM dense),
+             |f AS (SELECT q_id, doc_id,
+             |        round(sum(contrib ORDER BY src), 6) AS rrf,
+             |        count(*) AS n_lists
+             |      FROM u GROUP BY 1, 2),
+             |fr AS (SELECT q_id, doc_id, rrf, n_lists,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY rrf DESC, doc_id) AS rank
+             |       FROM f)
+             |SELECT q_id, rank, doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+             |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // Corpus-level boilerplate-line removal (CCNet/RefinedWeb line
     // dedup ACROSS docs): the synthetic corpus has no shared lines, so
     // template chrome is planted — a nav line on every doc (df=N), a

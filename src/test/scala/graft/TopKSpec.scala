@@ -77,4 +77,38 @@ class TopKSpec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq
     assert(a == b)
   }
+
+  test("rrfFuse: closed-form fusion, doc-id tie-break, list counts") {
+    import spark.implicits._
+    // lexical surfaces docs 1,2; dense surfaces docs 2,3. Doc 2 is in
+    // both lists (rank 2 + rank 1); docs 1 and 3 are single-list at
+    // rank 1 and rank 2 respectively.
+    val lex = Seq(("q1", 1L, 1L), ("q1", 2L, 2L))
+      .toDF("q_id", "rank", "doc_id").select("q_id", "doc_id", "rank")
+    val dense = Seq(("q1", 1L, 2L), ("q1", 2L, 3L))
+      .toDF("q_id", "rank", "doc_id").select("q_id", "doc_id", "rank")
+    val out = graft.ext.Similarity.rrfFuse(
+        Seq("dense" -> dense, "lex" -> lex), 3)
+      .select("q_id", "rank", "doc_id", "rrf", "n_lists")
+      .as[(String, Long, Long, Double, Long)].collect().sortBy(_._2)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 2: 1/61 (dense rank 1) + 1/62 (lex rank 2) — the both-lists
+    // winner; doc 1: 1/61; doc 3: 1/62
+    assert(out.map(t => (t._3, t._4, t._5)).toSeq == Seq(
+      (2L, r6(1.0 / 61 + 1.0 / 62), 2L),
+      (1L, r6(1.0 / 61), 1L),
+      (3L, r6(1.0 / 62), 1L)), out.mkString(", "))
+    // equal-rrf tie (docs at the same single-list rank) breaks on
+    // doc_id asc
+    val tied = Seq(("q2", 1L, 9L), ("q2", 2L, 5L))
+      .toDF("q_id", "rank", "doc_id").select("q_id", "doc_id", "rank")
+    val tiedDense = Seq(("q2", 1L, 4L), ("q2", 2L, 8L))
+      .toDF("q_id", "rank", "doc_id").select("q_id", "doc_id", "rank")
+    val t = graft.ext.Similarity.rrfFuse(
+        Seq("dense" -> tiedDense, "lex" -> tied), 4)
+      .select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    // ranks 1-2 are the two 1/61 docs (4 before 9), ranks 3-4 the two
+    // 1/62 docs (5 before 8)
+    assert(t.map(_._2).toSeq == Seq(4L, 9L, 5L, 8L), t.mkString(", "))
+  }
 }
