@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column ([EXT]).
@@ -201,6 +201,91 @@ object Similarity {
         payCol = Some("n_lists"))
       .select(col("q_id"), col("rank"), col("n_id").as("doc_id"),
         col("rrf"), col("__pay").as("n_lists"))
+  }
+
+  /** Maximal Marginal Relevance diversity rerank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily select k of each query's `pool`
+    * most-relevant candidates, each step maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — relevance traded against
+    * redundancy with what is ALREADY selected. The near-dup answer
+    * problem this solves is the retrieval-serving face of the dedup
+    * tier: top-k lists full of mutual near-duplicates waste a RAG
+    * context window exactly the way corpus near-dups waste a training
+    * epoch.
+    *
+    * Shape: this is a RERANK-stage operator — it runs on the bounded
+    * per-query pool an upstream retriever (ANN tier, [[rrfFuse]])
+    * already produced, never on the corpus. The candidate stage here
+    * is the exact [[bruteForceTopK]] (the oracle baseline; swap in an
+    * IVF tier at scale — identical downstream shape). The pairwise
+    * stage is an equi-join on q_id confined to pool² rows per query;
+    * the greedy selection is sequentially data-dependent (each pick
+    * changes every remaining score) — the documented
+    * non-relational-expressible class — and runs as a per-group local
+    * kernel over the bounded pool (the house DTW/eigen pattern): one
+    * groupBy collapses each query's candidates + pair sims, the
+    * kernel walks ≤ k·pool steps, nothing corpus-sized moves after
+    * the candidate stage.
+    *
+    * Determinism: rel and sim enter the kernel 5-dp rounded
+    * ([[rankTopK]]'s contract), scores compare 6-dp rounded
+    * (HALF_UP, matching both engines' round()), ties break on the
+    * smaller doc id, candidates iterate in sorted id order. Output:
+    * (q_id, step 1..k, doc_id, rel, score) where step 1's score is
+    * λ·rel (empty selected set ⇒ redundancy 0). */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, pool: Int, lam: Double): DataFrame = {
+    require(k <= pool, s"k=$k must be <= pool=$pool")
+    val cand = bruteForceTopK(emb, idCol, vecCol, queryPred, pool)
+      .select(col("q_id"), col("n_id"), col("cosine").as("rel"))
+    val e = prep(emb, idCol, vecCol)
+    val pairs = cand.select(col("q_id"), col("n_id").as("a"))
+      .join(cand.select(col("q_id"), col("n_id").as("b")), Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .join(e.select(col(idCol).as("a"), col("v").as("av"),
+        col("nrm").as("an")), Seq("a"))
+      .join(e.select(col(idCol).as("b"), col("v").as("bv"),
+        col("nrm").as("bn")), Seq("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(call_function("array_dot", col("av"), col("bv"))
+          / (col("an") * col("bn")), 5).as("sim"))
+    val kk = k
+    val greedy = udf { (cands: Seq[Row], sims: Seq[Row]) =>
+      val cs = cands.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val simMap = sims
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      val picked = scala.collection.mutable.Set.empty[Long]
+      while (sel.size < kk && picked.size < cs.size) {
+        var bestId = -1L; var bestRel = 0.0
+        var bestScore = Double.NegativeInfinity
+        cs.foreach { case (id, rel) =>
+          if (!picked(id)) {
+            val maxsim =
+              if (sel.isEmpty) 0.0
+              else sel.iterator.map(s => simMap((id, s._1))).max
+            val sc = BigDecimal(lam * rel - (1 - lam) * maxsim)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // ascending-id iteration: strict > keeps the SMALLEST id
+            // among score ties
+            if (sc > bestScore) { bestScore = sc; bestId = id; bestRel = rel }
+          }
+        }
+        picked += bestId
+        sel += ((bestId, bestRel, bestScore))
+      }
+      sel.zipWithIndex
+        .map { case ((id, rel, sc), i) => (i + 1L, id, rel, sc) }.toSeq
+    }
+    val cg = cand.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("n_id"), col("rel"))).as("__cands"))
+    val pg = pairs.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("__sims"))
+    cg.join(pg, Seq("q_id"), "left")
+      .select(col("q_id"), explode(greedy(col("__cands"),
+        coalesce(col("__sims"), array()))).as("__s"))
+      .select(col("q_id"), col("__s._1").as("step"), col("__s._2").as("doc_id"),
+        col("__s._3").as("rel"), col("__s._4").as("score"))
   }
 
   /** Hard-negative mining for contrastive / embedding training: for

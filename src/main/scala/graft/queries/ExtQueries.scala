@@ -11,6 +11,62 @@ import graft.ext.{Bpe, Dedup, Similarity, TextOps}
   * oracle reproduces values bit-for-bit. */
 object ExtQueries {
 
+  /** DuckDB oracle for `sim_mmr_rerank`: the greedy MMR selection
+    * UNROLLED into k CTE steps (greedy is sequentially data-dependent
+    * — each pick changes every remaining score — so it cannot be one
+    * relational expression; with k fixed, k plain SELECTs replay it
+    * exactly). The float constants are CAST to DOUBLE so both engines
+    * run the identical IEEE ops: DuckDB decimal literals would make
+    * (1 − 0.7) an exact decimal 0.3 where Scala's `1 - lam` is
+    * 0.30000000000000004. */
+  private def mmrOracleSql(k: Int, pool: Int): String = {
+    val mu = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (SELECT q_id, n_id, rel, score FROM (
+         |    SELECT g.q_id, g.n_id, g.rel, g.score,
+         |      row_number() OVER (PARTITION BY g.q_id
+         |        ORDER BY g.score DESC, g.n_id) AS rn
+         |    FROM (SELECT c.q_id, c.n_id, c.rel,
+         |            round(CAST(0.7 AS DOUBLE) * c.rel
+         |                  - $mu * max(p.sim), 6) AS score
+         |          FROM cand c
+         |          JOIN p ON p.q_id = c.q_id AND p.pa = c.n_id
+         |          JOIN sel${i - 1} sp ON sp.q_id = p.q_id AND sp.n_id = p.pb
+         |          WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |                            WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |          GROUP BY c.q_id, c.n_id, c.rel) g) WHERE rn = 1),
+         |sel$i AS (SELECT q_id, n_id FROM sel${i - 1}
+         |          UNION ALL SELECT q_id, n_id FROM s$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val union = (1 to k).map(i =>
+      s"SELECT q_id, CAST($i AS BIGINT) AS step, n_id AS doc_id, rel, score FROM s$i")
+      .mkString("\n      UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cs AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |         list_cosine_similarity(q.v, e.v) AS c
+       |       FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id != q.vec_id),
+       |cr AS (SELECT q_id, n_id, round(c, 5) AS rel,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+       |       FROM cs),
+       |cand AS (SELECT q_id, n_id, rel FROM cr WHERE rn <= $pool),
+       |p AS (SELECT a.q_id, a.n_id AS pa, b.n_id AS pb,
+       |        round(list_cosine_similarity(av.v, bv.v), 5) AS sim
+       |      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id != b.n_id
+       |      JOIN e av ON av.vec_id = a.n_id
+       |      JOIN e bv ON bv.vec_id = b.n_id),
+       |s1 AS (SELECT q_id, n_id, rel,
+       |         round(CAST(0.7 AS DOUBLE) * rel, 6) AS score
+       |       FROM (SELECT q_id, n_id, rel,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) DESC,
+       |                          n_id) AS rn
+       |             FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT q_id, n_id FROM s1)$steps
+       |SELECT q_id, step, doc_id, rel, score FROM (
+       |      $union)
+       |ORDER BY q_id, step""".stripMargin
+  }
+
   /** Shared DuckDB CTEs: distinct 3-word shingles per doc. */
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -1002,6 +1058,19 @@ object ExtQueries {
              |      FROM sc)
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // MMR diversity rerank (round 10 — Carbonell & Goldstein
+    // SIGIR'98): greedy λ·rel − (1−λ)·max-sim-to-selected over each
+    // query's top-20 pool, k=5, λ=0.7. The RAG-serving face of the
+    // dedup tier: near-dup answers crowd a context window the way
+    // corpus near-dups waste a training epoch. Greedy is sequentially
+    // data-dependent, so the oracle unrolls the k steps into plain
+    // CTEs (mmrOracleSql) and replays the selection exactly.
+    Q("sim_mmr_rerank",
+      (s, dir) => Similarity.mmrRerank(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "vec_id < 5", 5, 20, 0.7)
+        .orderBy("q_id", "step"),
+      Some(mmrOracleSql(5, 20))),
 
     // Per-dimension embedding statistics: the whitening/pre-processing
     // audit (dead dims, dominant dims, mis-scaled dims) run before

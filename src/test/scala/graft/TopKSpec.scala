@@ -78,6 +78,31 @@ class TopKSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mmrRerank: the near-dup of the top pick is demoted below the diverse doc") {
+    import spark.implicits._
+    // 2-D fixture, hand-walked: query (1,0); A/B/D nearly parallel at
+    // ~37° (mutual sims ≈ 0.9996-0.9999), C the mirror image (sim to
+    // them ≈ 0.27-0.29) with rel equal to A's. Pure-relevance top-3 is
+    // (D, A, C) — two near-dups up front; MMR at λ=0.5 picks D, then
+    // C (diversity beats A's higher raw rel), then A.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),   // the query
+      (2L, Array(0.8f, 0.6f)),   // A  rel 0.8
+      (3L, Array(0.79f, 0.61f)), // B  rel 0.7915, near-dup of A/D
+      (4L, Array(0.8f, -0.6f)),  // C  rel 0.8, diverse
+      (5L, Array(0.81f, 0.59f))  // D  rel 0.8083, near-dup of A/B
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.mmrRerank(
+        emb, "vec_id", "embedding", "vec_id = 1", 3, 4, 0.5)
+      .select("step", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(5L, 4L, 2L), out.mkString(", "))
+    val relOrder = graft.ext.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", "vec_id = 1", 3)
+      .select("rank", "n_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(relOrder.map(_._2).toSeq == Seq(5L, 2L, 4L),
+      s"fixture lost its near-dup-up-front shape: ${relOrder.mkString(", ")}")
+  }
+
   test("rrfFuse: closed-form fusion, doc-id tie-break, list counts") {
     import spark.implicits._
     // lexical surfaces docs 1,2; dense surfaces docs 2,3. Doc 2 is in
