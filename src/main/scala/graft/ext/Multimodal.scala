@@ -609,6 +609,30 @@ object Multimodal {
     * are skipped WITHOUT renumbering — degrade, never throw; empty
     * for non-AVI payloads. All sizes little-endian (RIFF), vs MP4's
     * big-endian boxes. */
+  /** Scene-cut detection over per-frame pixel statistics ([EXT]): flag
+    * frame transitions whose mean-luma jump exceeds `thresh` — the
+    * shot-boundary pre-pass of a video curation pipeline (sample one
+    * frame per SHOT instead of on a fixed stride, dedup near-identical
+    * shots, bound per-shot captioning cost). Input is any
+    * (id, frame, mean_gray) table — the [[decodeMjpegFrames]] /
+    * [[decodeAviMjpegFrames]] output shape, so it composes with both
+    * container walks. Per-id lag window: state is bounded by the
+    * decoder's maxFrames and the only shuffle key is the doc id the
+    * multimodal pipeline already partitions by. Frame 1 has no
+    * predecessor and is not a transition row; `delta` is signed
+    * (fade-in vs fade-out reads from the sign), the cut flag compares
+    * the UNROUNDED jump so the 6-dp display rounding can't flip it. */
+  def sceneCuts(frames: DataFrame, thresh: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("frame"))
+    frames
+      .withColumn("__prev", lag(col("mean_gray"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("id"), col("frame"),
+        round(col("mean_gray") - col("__prev"), 6).as("delta"),
+        (abs(col("mean_gray") - col("__prev")) >= thresh).as("is_cut"))
+  }
+
   private[graft] def decodeAviMjpegFrames(bytes: Array[Byte],
       maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
     def fcc(off: Int): String =

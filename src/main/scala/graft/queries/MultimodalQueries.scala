@@ -420,6 +420,45 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // Scene-cut detection (round 10): shot boundaries from the
+    // per-keyframe mean-luma deltas of the multiframe decode — the
+    // shot-boundary pre-pass of a video curation pipeline (sample per
+    // SHOT, not per stride). The quadrant fixture advances +29 mod 256
+    // per frame, so every possible delta is one of {+29, −35, −99,
+    // −163, −227} (q quadrants wrapping ⇒ (116 − 256q)/4) — threshold
+    // 30 flags exactly "≥1 quadrant wrapped", boundary-tie-free, and
+    // DuckDB replays the mod arithmetic analytically.
+    Q("multimodal_scene_cuts",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val fr = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val mp4 = Multimodal.syntheticMjpegMp4(id, 3 + (id % 2).toInt)
+            Multimodal.decodeMjpegFrames(mp4, 8).map { case (f, _, _, m, _) =>
+              (id, f.toLong, m)
+            }
+          }).toDF("id", "frame", "mean_gray")
+        Multimodal.sceneCuts(fr, 30.0).orderBy("id", "frame")
+      },
+      Some("""WITH fr AS (SELECT doc_id, f FROM documents,
+             |    LATERAL (SELECT unnest(range(3 + doc_id % 2)) AS f) u),
+             |g AS (SELECT doc_id, f,
+             |    (doc_id*31 + 11 + 29*f) % 256 AS g0,
+             |    (doc_id*37 + 16 + 29*f) % 256 AS g1,
+             |    (doc_id*43 + 21 + 29*f) % 256 AS g2,
+             |    (doc_id*49 + 26 + 29*f) % 256 AS g3
+             |  FROM fr),
+             |m AS (SELECT doc_id, f,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g FROM g),
+             |d AS (SELECT doc_id, f, mean_g,
+             |        lag(mean_g) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |      FROM m)
+             |SELECT doc_id AS id, CAST(f + 1 AS BIGINT) AS frame,
+             |  round(mean_g - prev, 6) AS delta,
+             |  (abs(mean_g - prev) >= 30.0) AS is_cut
+             |FROM d WHERE prev IS NOT NULL ORDER BY id, frame""".stripMargin)),
+
     // MJPEG-in-AVI keyframe decode (r8 item #7: the second all-intra
     // container covered with REAL pixel decode): same quadrant frames
     // as the MP4 fixture, carried in a RIFF/AVI movi LIST of '00dc'

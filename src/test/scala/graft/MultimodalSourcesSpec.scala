@@ -744,6 +744,20 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
   }
 
+  test("sceneCuts: flags only above-threshold jumps, per-id isolation, no frame-1 row") {
+    // id 1: 10 → 50 (jump 40, cut) → 55 (jump 5, no cut); id 2 is a
+    // steady clip whose first frame sits far from id 1's last — the
+    // per-id window must NOT see a cross-doc jump
+    val frames = Seq((1L, 1L, 10.0), (1L, 2L, 50.0), (1L, 3L, 55.0),
+        (2L, 1L, 200.0), (2L, 2L, 201.0))
+      .toDF("id", "frame", "mean_gray")
+    val out = graft.ext.Multimodal.sceneCuts(frames, 30.0)
+      .select("id", "frame", "delta", "is_cut")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 2L, 40.0, true), (1L, 3L, 5.0, false),
+      (2L, 2L, 1.0, false)), out.mkString(", "))
+  }
+
   test("CSV sink round-trips with header (K1)") {
     val dir = Files.createTempDirectory("graftsink").toString + "/out"
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
