@@ -382,8 +382,17 @@ object Similarity {
     if (scales.isEmpty)
       return e0.select(col(idCol).as("q_id"), lit(0L).as("rank"),
         col(idCol).as("n_id"), lit(0.0).as("cosine")).limit(0)
-    val e = eq.drop("v").withColumnRenamed("__qv", "v")
-      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+    // the coded table is the OFFLINE index artifact — Memo'd so the
+    // dequantize transform runs once per corpus row, ever. Left inline
+    // it sits under the |Q|·n theta join, where CollapseProject folds
+    // it into the post-join cosine and re-evaluates it once PER QUERY
+    // per row — measured 10× (=|Q|) slower than brute force at a 200k
+    // corpus in the round-10 stress before this barrier
+    val e = graft.queries.Memo.cached(spark, s"int8codes|" +
+        s"${System.identityHashCode(spark)}|$idCol|$vecCol|" +
+        s"${emb.queryExecution.logical.semanticHash()}")(
+      eq.drop("v").withColumnRenamed("__qv", "v")
+        .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v")))))
     val q = e.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = q.join(e, col("q_id") =!= col(idCol))
@@ -667,11 +676,26 @@ object Similarity {
         |              AND element_at(v, w * 64 + b + 1) >= 0D
         |         THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
 
+  /** Memo'd (id, v, nrm, __d, __code) frame — the packed sign codes as
+    * the OFFLINE index sidecar, shared by the Hamming scan tier, the
+    * banded tier, and the recall gates. Materializing matters, not
+    * just saving a pass: left inline, the packing fold sits under a
+    * |Q|·n theta join where CollapseProject folds it into the
+    * post-join expressions and re-evaluates it once per QUERY per
+    * corpus row — the int8 tier measured that collapse at 10× (=|Q|)
+    * slower than brute force on a 200k-vector corpus in the round-10
+    * stress. */
+  private def cachedCodes(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    graft.queries.Memo.cached(emb.sparkSession, s"signcodes|" +
+      s"${System.identityHashCode(emb.sparkSession)}|$idCol|$vecCol|" +
+      s"${emb.queryExecution.logical.semanticHash()}")(
+      withSignCode(withDim(prep(emb, idCol, vecCol))))
+
   def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: String, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val e0 = prep(emb, idCol, vecCol)
-    val e = withSignCode(withDim(e0)).drop("__d")
+    val e = cachedCodes(emb, idCol, vecCol).drop("__d")
     val q = e.filter(expr(queryPred))
       .select(col(idCol).as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("__code").as("__qc"))
@@ -761,8 +785,7 @@ object Similarity {
       radius: Int): DataFrame = {
     require(radius >= 0, s"radius must be non-negative, got $radius")
     val bands = radius + 1
-    val e0 = prep(emb, idCol, vecCol)
-    val e = withSignCode(withDim(e0))
+    val e = cachedCodes(emb, idCol, vecCol)
       // band b covers bit positions [b·dim/B, (b+1)·dim/B) — as even a
       // split as integer division allows, every band non-empty for
       // B ≤ dim; missing dims of ragged vectors read as sign 0, same
@@ -792,9 +815,9 @@ object Similarity {
           |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
       .filter(col("hamming") <= radius)
     verified
-      .join(e0.select(col(idCol).as("id_a"), col("v").as("__va"),
+      .join(e.select(col(idCol).as("id_a"), col("v").as("__va"),
         col("nrm").as("__na")), Seq("id_a"))
-      .join(e0.select(col(idCol).as("id_b"), col("v").as("__vb"),
+      .join(e.select(col(idCol).as("id_b"), col("v").as("__vb"),
         col("nrm").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"),
         round(call_function("array_dot", col("__va"), col("__vb"))
@@ -810,7 +833,7 @@ object Similarity {
     * DuckDB oracle replays both sides and lands on the same row. */
   def bandedHammingRecall(emb: DataFrame, idCol: String, vecCol: String,
       radius: Int): DataFrame = {
-    val e = withSignCode(withDim(prep(emb, idCol, vecCol))).drop("__d")
+    val e = cachedCodes(emb, idCol, vecCol).drop("__d")
     val a = e.select(col(idCol).as("id_a"), col("__code").as("__ca"))
     val b = e.select(col(idCol).as("id_b"), col("__code").as("__cb"))
     val exact = a.join(b, col("id_a") < col("id_b"))
