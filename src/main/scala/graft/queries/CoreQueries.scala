@@ -156,6 +156,32 @@ object CoreQueries {
              |FROM w WHERE (rn-1)%5 = 0 AND rn+9 <= n
              |ORDER BY series_id, win_id""".stripMargin)),
 
+    // EWMA smoothing (round 10, [EXT]): the denoising pre-pass before
+    // DTW/K-Shape. The recurrence is order-dependent by definition, so
+    // both engines run the identical index-ordered multiply-add chain
+    // — Spark as an array fold over the collected series, DuckDB as
+    // list_reduce over each prefix (same op sequence per point).
+    Q("ts_ewma",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.ewma(ser, 0.3).orderBy("series_id", "pos")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs
+             |      FROM r GROUP BY user_id),
+             |pts AS (SELECT user_id, i, vs[i] AS value,
+             |          list_reduce(vs[1:i], (y, x) ->
+             |            CAST(0.3 AS DOUBLE) * x
+             |            + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * y) AS ew
+             |        FROM l, LATERAL (SELECT unnest(range(1, len(vs) + 1)) AS i) u)
+             |SELECT user_id AS series_id, CAST(i AS BIGINT) AS pos,
+             |  floor(value * 1e6 + 0.5) / 1e6 AS value,
+             |  floor(ew * 1e6 + 0.5) / 1e6 AS ewma
+             |FROM pts ORDER BY series_id, pos""".stripMargin)),
+
     // P5 approx-equality point lookup: numpy isclose semantics
     // (rtol=1e-5, atol=1e-8, app.py:958-973). The reference probes a
     // hovered ACTUAL point, which by construction always matches — so

@@ -269,6 +269,19 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 2L)))
   }
 
+  test("ewma: hand-walked recurrence, constant-series fixpoint, first point = x1") {
+    val ser = Seq(
+      (1L, Seq(10.0, 20.0, 20.0)),  // y = 10, 13, 15.1 at α=0.3
+      (2L, Seq(7.0, 7.0, 7.0, 7.0)) // constant series is a fixpoint
+    ).toDF("series_id", "values")
+    val out = graft.ops.SeriesOps.ewma(ser, 0.3)
+      .select("series_id", "pos", "ewma")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(10.0, 13.0, 15.1),
+      out.mkString(", "))
+    assert(out.filter(_._1 == 2L).map(_._3).forall(_ == 7.0))
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
