@@ -303,6 +303,43 @@ object Ivf {
     exactRerank(pool, emb, idCol, vecCol, k, band = Some((loSim, hiSim)))
   }
 
+  /** Persist the fitted IVF index as an on-disk artifact: the
+    * inverted lists as parquet PARTITIONED BY centroid_id plus the
+    * centers as a tiny parquet table. This is the production
+    * offline/online split — the index is built once (batch, the
+    * expensive KMeans + assignment) and SERVED from disk by any later
+    * job/JVM; and because each inverted list is a partition directory,
+    * [[pruneToCells]]'s probed-cell `isin` becomes genuine PARTITION
+    * PRUNING on the serving scan: untouched inverted lists are never
+    * even opened (IvfSpec pins `PartitionFilters` on the loaded-probe
+    * plan). Layout: per-centroid dirs under `$path/lists`, the
+    * centers table under `$path/centers`. */
+  def saveIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long, path: String): Unit = {
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    bucketed.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Probe a [[saveIndex]] artifact: load the centers (metadata-sized
+    * collect) and run the SHARED probe tail over the partitioned
+    * lists. Bitwise the in-memory [[topK]] for the same build inputs —
+    * the artifact round-trips doubles exactly and the probe tail is
+    * one code path. */
+  def topKFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryPred: String, k: Int, nprobe: Int): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val centers = spark.read.parquet(s"$path/centers")
+      .orderBy("centroid_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    probeAndRank(lists, centers, idCol, queryPred, k, nprobe)
+  }
+
   /** The index frame with the table's NON-vector columns riding the
     * inverted lists (one id-equi-join at index-BUILD time, memoized
     * with the index): the attribute sidecar every filtered search

@@ -668,6 +668,36 @@ object MlQueries {
              |       true AS recall_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // IVF index persistence round-trip (round 10): the index saved as
+    // centroid-PARTITIONED parquet + a centers table, reloaded in the
+    // serving path, probed, and compared row-for-row against the
+    // in-memory probe — the offline-build/online-serve split, where
+    // pruneToCells' probed-cell isin becomes genuine PARTITION PRUNING
+    // on the serving scan (IvfSpec pins PartitionFilters). The
+    // contract row (n_rows, n_mismatch = 0) is derivable in SQL.
+    Q("sim_index_roundtrip",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString
+        graft.ml.Ivf.saveIndex(emb, "vec_id", "embedding", 16, 42, path)
+        val fresh = graft.ml.Ivf.topK(emb, "vec_id", "embedding",
+            "vec_id < 10", 5, 16, 4)
+          .select(col("q_id"), col("rank"),
+            col("n_id").as("n_a"), col("cosine").as("c_a"))
+        val loaded = graft.ml.Ivf.topKFromSaved(s, path, "vec_id",
+            "vec_id < 10", 5, 4)
+          .select(col("q_id"), col("rank"),
+            col("n_id").as("n_b"), col("cosine").as("c_b"))
+        fresh.join(loaded, Seq("q_id", "rank"), "full_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_a") === col("n_b")
+              && col("c_a") === col("c_b"), 0L).otherwise(1L)).as("n_mismatch"))
+      },
+      Some("""SELECT CAST(count(*) * 5 AS BIGINT) AS n_rows,
+             |       CAST(0 AS BIGINT) AS n_mismatch
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Cluster-balanced (semantic diversity) sampling: KMeans buckets
     // the embedding space, a deterministic md5-ranked cap keeps ≤ 20
     // per cluster (golden digest + semantics in ClusterSampleSpec)

@@ -286,6 +286,24 @@ class IvfSpec extends SparkSpec {
       "fixture lost its unfiltered-query case — pick a query set spanning labels")
   }
 
+  test("saved index: loaded probe is bitwise the in-memory probe AND partition-prunes") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    graft.ml.Ivf.saveIndex(emb, "vec_id", "embedding", 16, 42, path)
+    val fresh = graft.ml.Ivf.topK(emb, "vec_id", "embedding", "vec_id < 10", 5, 16, 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val loadedDf = graft.ml.Ivf.topKFromSaved(spark, path, "vec_id",
+      "vec_id < 10", 5, 4)
+    val loaded = loadedDf.orderBy("q_id", "rank").collect().toSeq
+    assert(loaded == fresh, "artifact probe must reproduce the in-memory probe")
+    // the probed-cell isin must reach the lists scan as PARTITION
+    // pruning — untouched inverted lists are never opened
+    val plan = loadedDf.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("centroid_id") && !pf.contains("PartitionFilters: []"),
+      s"probed-cell filter did not become partition pruning:\n$pf")
+  }
+
   test("banded Hamming: pigeonhole completeness on a planted radius-edge pair") {
     import org.apache.spark.sql.functions._
     // base vector all-positive (sign bits all 1); a copy with exactly
