@@ -338,6 +338,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("coded-table Memo barrier: int8/sign codes scan from cache, not inline under the join") {
+    // round-10 stress regression guard: left inline under the |Q|·n
+    // theta join, CollapseProject folds the dequantize/packing
+    // transform into the post-join expressions and re-evaluates it
+    // once per QUERY per corpus row (measured 10× = |Q| slower than
+    // brute force at 200k vectors). The Memo'd coded tables must
+    // surface as InMemoryTableScan in both tiers' plans.
+    val emb = Tables.embeddings(spark, sf)
+    val int8 = graft.ext.Similarity.quantizedTopK(
+      emb, "vec_id", "embedding", "vec_id < 10", 5)
+    assert(int8.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "int8 code table is no longer Memo-materialized before the scan join")
+    val bin = graft.ext.Similarity.binaryHammingTopK(
+      emb, "vec_id", "embedding", "vec_id < 10", 5, 50)
+    assert(bin.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "sign-code table is no longer Memo-materialized before the prefilter join")
+  }
+
   test("weighted reservoir: TakeOrderedAndProject (partition k-heaps), no global sort, no Exchange") {
     // the operator itself, without the registered query's 100-row
     // presentation orderBy (that final sort is driver-contract
