@@ -699,6 +699,68 @@ object TextOps {
       .drop("__mu")
   }
 
+  /** Water-filling token-budget allocation ([EXT]): the OPTIMAL
+    * answer to "spend budget B across sources proportionally to
+    * temperature weights w_i = √cap_i, but never above a source's
+    * availability cap_i" — i.e. maximize the min-boost allocation
+    * alloc_i = min(cap_i, λ·w_i) with λ chosen so Σ alloc_i = B
+    * (the classic water-filling level). [[mixtureTemperature]] plans
+    * the UNCONSTRAINED temperature shares; this is the constrained
+    * variant a real budget needs: small sources hit their cap (they
+    * cannot absorb their √-proportional share) and the excess
+    * redistributes to the rest through the single level λ — no
+    * iterative rebalancing.
+    *
+    * Exactness: weights are integer micro-units (⌊√cap·10³⌋, the
+    * [[mixtureTemperature]] idiom — 10³ keeps cap·Σw products within
+    * int64 at 10⁹-token sources; drop the unit further at larger
+    * scale), so the capped-set decision — cap_k·(Σw − cumw_k) ≤
+    * (B − cumcap_k)·w_k in r-sorted order, the cross-multiplied form
+    * of r_k ≤ λ_k — is EXACT integer arithmetic on both engines; only
+    * the final level λ and the uncapped allocations are (identical)
+    * float ops.
+    *
+    * Scale: one map-side-combined groupBy to ≤|sources| rows; every
+    * window runs on that post-aggregation frame (the documented
+    * tiny-frame regime shared with the temperature planner). */
+  def waterfillAllocate(df: DataFrame, groupCol: String, sizeCol: String,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac < 1,
+      s"budgetFrac must be in (0,1), got $budgetFrac")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val caps = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("cap"))
+      .withColumn("w", floor(sqrt(col("cap").cast("double")) * lit(1e3))
+        .cast("long"))
+    val ord = Window.partitionBy()
+      .orderBy((col("cap").cast("double") / col("w")).asc, col(groupCol).asc)
+    val staged = caps
+      .withColumn("__totcap", sum(col("cap")).over(all))
+      .withColumn("__totw", sum(col("w")).over(all))
+      .withColumn("__B",
+        floor(col("__totcap").cast("double") * lit(budgetFrac)).cast("long"))
+      .withColumn("__cumcap", sum(col("cap")).over(ord))
+      .withColumn("__cumw", sum(col("w")).over(ord))
+      .withColumn("capped", col("cap") * (col("__totw") - col("__cumw"))
+        <= (col("__B") - col("__cumcap")) * col("w"))
+    staged
+      .withColumn("__ccap",
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("__cw",
+        sum(when(col("capped"), col("w")).otherwise(0L)).over(all))
+      .withColumn("__lam", when(col("__totw") === col("__cw"),
+          lit(null).cast("double"))
+        .otherwise((col("__B") - col("__ccap")).cast("double")
+          / (col("__totw") - col("__cw")).cast("double")))
+      .select(col(groupCol), col("cap"), col("capped"),
+        when(col("capped"), col("cap"))
+          .otherwise(floor(col("__lam") * col("w")).cast("long")).as("alloc"),
+        (floor(col("__lam") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("lambda"))
+  }
+
   /** Quality-threshold YIELD CURVE ([EXT]): for each observed quality
     * bin, how many documents and training tokens survive a keep-filter
     * at `score >= threshold` — the chart a curation run is tuned from

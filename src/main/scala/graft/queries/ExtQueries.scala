@@ -2032,6 +2032,54 @@ object ExtQueries {
     // quantized to integer micro-units before normalizing, so DuckDB
     // reproduces the plan bit-for-bit. Rides the same Memo'd token
     // pass as text_mixture_plan/_execute.
+    // Water-filling budget allocation (round 10): the CONSTRAINED
+    // temperature mixture — spend half the corpus's tokens ∝ √cap
+    // weights, never above a source's availability; small sources hit
+    // their cap and the excess redistributes through the single
+    // water level λ. Every 5th source is deterministically shrunk
+    // (size DIV 50) so both branches (capped / λ-allocated) are
+    // populated at every SF; the capped-set decision is exact integer
+    // cross-multiplication, replayed identically in SQL.
+    Q("text_source_waterfill",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("sz", expr(
+          """CASE WHEN CAST(substring(source, 4) AS INT) % 5 = 0
+            |     THEN n_chars DIV 50 ELSE n_chars END""".stripMargin))
+        TextOps.waterfillAllocate(planted, "source", "sz", 0.5)
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+             |         THEN n_chars // 50 ELSE n_chars END AS sz
+             |  FROM documents),
+             |g AS (SELECT source, CAST(sum(sz) AS BIGINT) AS cap
+             |      FROM d GROUP BY source),
+             |w AS (SELECT source, cap,
+             |        CAST(floor(sqrt(CAST(cap AS DOUBLE)) * 1e3) AS BIGINT) AS w
+             |      FROM g),
+             |t AS (SELECT *, (SELECT sum(cap) FROM w) AS totcap,
+             |               (SELECT sum(w) FROM w) AS totw FROM w),
+             |b AS (SELECT *,
+             |        CAST(floor(CAST(totcap AS DOUBLE) * 0.5) AS BIGINT) AS B,
+             |        sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) AS cumcap,
+             |        sum(w) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) AS cumw
+             |      FROM t),
+             |c AS (SELECT *,
+             |        (cap * (totw - cumw) <= (B - cumcap) * w) AS capped
+             |      FROM b),
+             |f AS (SELECT *,
+             |        (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) FROM c) AS ccap,
+             |        (SELECT coalesce(sum(w) FILTER (WHERE capped), 0) FROM c) AS cw
+             |      FROM c),
+             |l AS (SELECT *, CASE WHEN totw = cw THEN NULL
+             |        ELSE CAST(B - ccap AS DOUBLE) / CAST(totw - cw AS DOUBLE)
+             |        END AS lam FROM f)
+             |SELECT source, cap, capped,
+             |  CASE WHEN capped THEN cap
+             |       ELSE CAST(floor(lam * w) AS BIGINT) END AS alloc,
+             |  floor(lam * 1e6 + 0.5) / 1e6 AS lambda
+             |FROM l ORDER BY source""".stripMargin)),
+
     Q("text_mixture_temperature",
       (s, dir) => TextOps.mixtureTemperature(Tables.documents(s, dir),
           "doc_id", "text", "lang", 0.5, 10000000L)

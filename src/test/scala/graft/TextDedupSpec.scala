@@ -1219,4 +1219,23 @@ class TextDedupSpec extends SparkSpec {
     val expect = (1.0 + z * z / 6 - z * math.sqrt(z * z / 36)) / (1.0 + z * z / 3)
     assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
   }
+
+  test("waterfill: hand-walked level, small source capped, budget conserved") {
+    // caps 100 and 10000 at budget 50% (B = 5050); micro-weights
+    // w = ⌊√cap·10³⌋ = 10000 and 100000. The small source cannot
+    // absorb its √-share → capped at 100; the level is
+    // λ = (5050 − 100)/100000 = 0.0495 → big gets ⌊λ·100000⌋ = 4950.
+    val docs = ((1 to 10).map(i => (i.toLong, "small", 10L)) ++
+      (1 to 10).map(i => (100L + i, "big", 1000L)))
+      .toDF("doc_id", "src", "sz")
+    val out = TextOps.waterfillAllocate(docs, "src", "sz", 0.5)
+      .select("src", "cap", "capped", "alloc", "lambda")
+      .as[(String, Long, Boolean, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("small") == (("small", 100L, true, 100L, 0.0495)), out("small").toString)
+    assert(out("big") == (("big", 10000L, false, 4950L, 0.0495)), out("big").toString)
+    // invariants: alloc never exceeds cap; total spend never exceeds B
+    assert(out.values.forall(r => r._4 <= r._2))
+    assert(out.values.map(_._4).sum <= 5050L)
+  }
 }
