@@ -1436,6 +1436,43 @@ object TextOps {
       .orderBy(desc("n_total"), asc("token"))
       .limit(k)
 
+  /** Vocabulary coverage curve ([EXT]): for each candidate vocabulary
+    * size N, the fraction of token OCCURRENCES covered by the N most
+    * frequent words — the chart a tokenizer budget is chosen from
+    * (where coverage flattens, added vocab buys nothing; the
+    * complement of the [[fertility]] trade-off).
+    *
+    * Scale: one token pass to the (word, freq) table (Memo'd —
+    * |vocab| rows, ≪ corpus), then each cutoff's top-N sum runs
+    * through sort+limit, which Spark compiles to
+    * TakeOrderedAndProject (per-partition N-heaps) — NO global sort
+    * or single-partition rank window over the vocabulary, which at a
+    * 100-TB corpus is itself a big table. Ties at the cut break by
+    * word ascending; coverage is quantized with the floor(x·1e6+0.5)
+    * halfway rule. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
+    val spark = df.sparkSession
+    val tf = graft.queries.Memo.cached(spark, s"tokfreq|" +
+      s"${System.identityHashCode(spark)}|$idCol|$textCol|" +
+      s"${df.queryExecution.logical.semanticHash()}")(
+      df.select(explode(tokensCol(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+    val totals = tf.agg(sum(col("f")).as("__tot"))
+    sizes.map { n =>
+      tf.orderBy(col("f").desc, col("w").asc).limit(n)
+        .agg(coalesce(sum(col("f")), lit(0L)).as("covered"),
+          count(col("f")).as("n_words"))
+        .withColumn("vocab_size", lit(n.toLong))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("n_words"), col("covered"),
+        col("__tot").as("total_tokens"),
+        (floor(col("covered").cast("double") / col("__tot") * lit(1e6)
+          + lit(0.5)).cast("double") / lit(1e6)).as("coverage"))
+  }
+
   /** Fixed-size character chunking with overlap: split each document
     * into windows of `chunkChars` characters starting every
     * `chunkChars - overlap` positions — the standard context-window /

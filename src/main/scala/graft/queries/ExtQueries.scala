@@ -2255,6 +2255,32 @@ object ExtQueries {
              |      FROM documents)
              |GROUP BY token ORDER BY n_total DESC, token LIMIT 50""".stripMargin)),
 
+    // Vocabulary coverage curve (round 10): occurrence coverage of the
+    // top-N words per candidate vocab size — the tokenizer-budget
+    // chart (where the curve flattens, added vocab buys nothing).
+    // Each cutoff is a TakeOrderedAndProject top-N sum over the Memo'd
+    // (word, freq) table — no global rank window over the vocabulary.
+    Q("text_vocab_coverage",
+      (s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir),
+          "doc_id", "text", Seq(1, 2, 4, 8, 16))
+        .orderBy("vocab_size"),
+      Some("""WITH tf AS (SELECT w, count(*) AS f
+             |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |        FROM documents) GROUP BY w),
+             |tot AS (SELECT sum(f) AS t FROM tf),
+             |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM tf),
+             |s(n) AS (VALUES (1), (2), (4), (8), (16)),
+             |cov AS (SELECT s.n AS vocab_size, count(r.f) AS n_words,
+             |          coalesce(sum(r.f), 0) AS covered
+             |        FROM s LEFT JOIN r ON r.rk <= s.n GROUP BY s.n)
+             |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+             |  CAST(n_words AS BIGINT) AS n_words,
+             |  CAST(covered AS BIGINT) AS covered,
+             |  (SELECT t FROM tot) AS total_tokens,
+             |  floor(CAST(covered AS DOUBLE) / (SELECT t FROM tot) * 1e6 + 0.5)
+             |    / 1e6 AS coverage
+             |FROM cov ORDER BY vocab_size""".stripMargin)),
+
     // Context-window chunking: 256-char chunks, 32-char overlap (RAG /
     // training-window passage splitter; per-row sequence+substr)
     Q("text_chunk",
