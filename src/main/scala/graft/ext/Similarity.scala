@@ -236,8 +236,15 @@ object Similarity {
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: String, k: Int, pool: Int, lam: Double): DataFrame = {
     require(k <= pool, s"k=$k must be <= pool=$pool")
-    val cand = bruteForceTopK(emb, idCol, vecCol, queryPred, pool)
-      .select(col("q_id"), col("n_id"), col("cosine").as("rel"))
+    val spark = emb.sparkSession
+    // the candidate pool feeds three DAG branches (the collapse, both
+    // sides of the pairwise join) — Memo'd so the |Q|·n candidate scan
+    // runs once, not once per branch; the cached frame is |Q|·pool rows
+    val cand = graft.queries.Memo.cached(spark, s"mmrcand|" +
+      s"${System.identityHashCode(spark)}|$idCol|$vecCol|$queryPred|$pool|" +
+      s"${emb.queryExecution.logical.semanticHash()}")(
+      bruteForceTopK(emb, idCol, vecCol, queryPred, pool)
+        .select(col("q_id"), col("n_id"), col("cosine").as("rel")))
     val e = prep(emb, idCol, vecCol)
     val pairs = cand.select(col("q_id"), col("n_id").as("a"))
       .join(cand.select(col("q_id"), col("n_id").as("b")), Seq("q_id"))

@@ -678,8 +678,13 @@ object MlQueries {
     Q("sim_index_roundtrip",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_idx").toString
+        // deterministic per input dir (not a fresh temp dir per call):
+        // overwrite-mode makes repeat bench/verify runs REUSE the same
+        // artifact path instead of leaking a directory per invocation
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_ivf_idx_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .take(12)).toString
         graft.ml.Ivf.saveIndex(emb, "vec_id", "embedding", 16, 42, path)
         val fresh = graft.ml.Ivf.topK(emb, "vec_id", "embedding",
             "vec_id < 10", 5, 16, 4)
