@@ -144,15 +144,20 @@ object Ivf {
     * quantizer; the pruning changes I/O, never results. */
   private[graft] def probeAndRank(bucketed: DataFrame, centers: Array[Array[Double]],
       idCol: String, queryPred: String, k: Int, nprobe: Int,
-      maxPrunedCells: Int = 4096): DataFrame = {
+      maxPrunedCells: Int = 4096, corpusPred: String = "true"): DataFrame = {
     val spark = bucketed.sparkSession
     GraftFunctions.register(spark)
     val probe = probeUdf(spark, centers, nprobe)
-    val (queries, index) = pruneToCells(bucketed,
+    val (queries, index0) = pruneToCells(bucketed,
       bucketed.filter(expr(queryPred))
         .select(col(idCol).as("q_id"), col("vn").as("qv"),
           explode(probe(col("vn"))).as("centroid_id")),
       maxPrunedCells)
+    // metadata pre-filter (the filteredTopK semantics over an
+    // arbitrary index frame, e.g. streamed state carrying attribute
+    // columns): composes with cell pruning INSIDE the index scan;
+    // queries above come from the UNfiltered frame
+    val index = index0.filter(expr(corpusPred))
     val scored = queries.join(index, "centroid_id")
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),

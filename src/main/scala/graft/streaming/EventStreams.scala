@@ -636,20 +636,31 @@ object EventStreams {
     * same centers (StreamingSpec proves both, replay included). */
   def incrementalIvfSink(newEmb: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]], stateTable: String,
-      buckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      buckets: Int = 8, metaCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newEmb.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        ivfEpoch(batch, batchId, idCol, vecCol, centers, stateTable, buckets)
+        ivfEpoch(batch, batchId, idCol, vecCol, centers, stateTable,
+          buckets, metaCols)
     }
 
-  /** One idempotent index-ingest epoch (the foreachBatch body). */
+  /** One idempotent index-ingest epoch (the foreachBatch body).
+    * `metaCols` is the attribute SIDECAR at ingest: the named batch
+    * columns land next to (vn, centroid_id) in the state row — a
+    * batch-sized id-join per epoch, never a corpus-sized one — so a
+    * later [[ivfFilteredTopKFromState]] can evaluate metadata
+    * predicates inside the bucketed inverted-list scan (the streaming
+    * twin of [[graft.ml.Ivf.filteredTopK]]'s offline sidecar). */
   private[graft] def ivfEpoch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centers: Array[Array[Double]],
-      stateTable: String, buckets: Int = 8): Unit =
-    writeCentroidBucketedEpoch(
-      graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
-        .withColumn("batch_id", lit(batchId)),
+      stateTable: String, buckets: Int = 8,
+      metaCols: Seq[String] = Nil): Unit = {
+    val asg = graft.ml.Ivf.assignWith(batch, idCol, vecCol, centers)
+    val out =
+      if (metaCols.isEmpty) asg
+      else asg.join(batch.select(idCol, metaCols: _*), Seq(idCol))
+    writeCentroidBucketedEpoch(out.withColumn("batch_id", lit(batchId)),
       stateTable, buckets)
+  }
 
   /** Incremental DISTINCT-COUNT rollup at ingest (the
     * [[graft.ext.TextOps.sourceVocabRollup]] rollup table as a
@@ -845,6 +856,21 @@ object EventStreams {
     graft.ml.Ivf.probeAndRank(
       spark.table(stateTable).select(col(idCol), col("vn"), col("centroid_id")),
       centers, idCol, queryPred, k, nprobe)
+
+  /** Filtered ANN serve over the STREAMED index — the streaming twin
+    * of [[graft.ml.Ivf.filteredTopK]]: `corpusPred` evaluates over the
+    * metadata columns the ingest's `metaCols` sidecar landed in the
+    * state rows, INSIDE the bucketed, cell-pruned inverted-list scan
+    * (pre-filtering — every query still surfaces k survivors).
+    * Queries come from the full state via `queryPred`; scoring and
+    * ranking are the shared [[graft.ml.Ivf.probeAndRank]] tail, so
+    * the result is row-identical to the batch probe over the same
+    * accumulated rows with the same centers and filter. */
+  def ivfFilteredTopKFromState(spark: SparkSession, stateTable: String,
+      idCol: String, centers: Array[Array[Double]], queryPred: String,
+      corpusPred: String, k: Int, nprobe: Int): DataFrame =
+    graft.ml.Ivf.probeAndRank(spark.table(stateTable),
+      centers, idCol, queryPred, k, nprobe, corpusPred = corpusPred)
 
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension snapshot (the standard dimension-enrichment

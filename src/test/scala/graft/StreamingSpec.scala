@@ -604,6 +604,49 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP DATABASE sivf CASCADE")
   }
 
+  test("streamed filtered ANN: metadata sidecar at ingest, filtered probe == batch, pre-filter semantics") {
+    implicit val sql = spark.sqlContext
+    import graft.ml.Ivf
+    val wh = java.nio.file.Files.createTempDirectory("graft_sfivf").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sfivf LOCATION '$wh/sfivf'")
+    val stateTable = "sfivf.state"
+    val emb = Tables.embeddings(spark, sf)
+    val centers = Ivf.fittedCenters(emb, "vec_id", "embedding", 8)
+
+    // batch reference: same assignment + the same filtered probe tail
+    val batchRef = Ivf.probeAndRank(
+        Ivf.assignWith(emb, "vec_id", "embedding", centers)
+          .join(emb.select("vec_id", "label"), Seq("vec_id")),
+        centers, "vec_id", "vec_id < 10", 5, 4, corpusPred = "label = 0")
+      .orderBy("q_id", "rank").collect().toSeq
+
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().toSeq.sortBy(_._1)
+      .map { case (id, v, l) => (id, v.toSeq, l) }
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = EventStreams.incrementalIvfSink(
+      mem.toDF().toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+      centers, stateTable, metaCols = Seq("label")).start()
+    rows.grouped((rows.size + 2) / 3).foreach { s =>
+      mem.addData(s); q.processAllAvailable()
+    }
+    q.stop()
+
+    val served = EventStreams.ivfFilteredTopKFromState(spark, stateTable,
+        "vec_id", centers, "vec_id < 10", "label = 0", 5, 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served == batchRef,
+      "filtered probe over streamed state != batch filtered probe")
+    assert(served.nonEmpty)
+    // pre-filter semantics: every surfaced neighbor satisfies the
+    // predicate; queries that do NOT satisfy it still surface rows
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(served.forall(r => labels(r.getLong(2)) == 0))
+    assert(served.map(_.getLong(0)).distinct.exists(q0 => labels(q0) != 0),
+      "fixture lost its unfiltered-query case")
+    spark.sql("DROP DATABASE sfivf CASCADE")
+  }
+
   test("streaming semantic dedup: min-id keeps equal the batch twin; replay idempotent") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
