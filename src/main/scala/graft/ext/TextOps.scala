@@ -1038,6 +1038,29 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** GROUPED train/val/test split ([EXT]): bucket on the md5 of a
+    * GROUP column (domain, source, author) so every document of a
+    * group lands in the same split — the standard fix for the
+    * leakage mode [[splitAssign]] is vulnerable to and `splitLeakage`
+    * audits for: near-duplicate documents cluster within a domain, so
+    * per-document hashing scatters a dup cluster across train and
+    * test and the eval set silently overlaps training. Same
+    * content-stable bucket arithmetic; per-row map-side work, zero
+    * shuffle; split fractions hold in expectation over GROUPS (a huge
+    * domain skews realized doc fractions — that is inherent to
+    * grouped splitting, not a bug). */
+  def splitAssignGrouped(df: DataFrame, idCol: String, groupCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = expr(
+      s"conv(substr(md5(cast($groupCol AS STRING)), 1, 8), 16, 10) % 100")
+      .cast("int")
+    df.select(col(idCol), col(groupCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Per-document top-k TF-IDF terms (SURVEY §7.2 names TF-IDF among
     * the built-in mappings): tf = term count within the doc, idf =
     * ln(N / df) over raw document frequency. Ties rank by term asc, so

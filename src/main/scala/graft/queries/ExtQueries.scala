@@ -1289,6 +1289,59 @@ object ExtQueries {
              |WHERE a.chunk_id = 0 AND l.last_id > 0
              |ORDER BY a.doc_id""".stripMargin)),
 
+    // Contrastive TRIPLET artifact (round 10): the composed training
+    // set an embedding run actually consumes — (anchor, positive,
+    // hard negative) per query doc, anchors/positives from the chunk
+    // pairer, negatives from the banded hard-negative miner, texts as
+    // md5 fingerprints (the clean_fp convention). Both arms are
+    // already-oracle'd operators; this row pins their composition.
+    Q("pair_training_triplets",
+      (s, dir) => {
+        val ch = TextOps.chunk(Tables.documents(s, dir), "doc_id", "text", 256, 32)
+        val first = ch.filter(col("chunk_id") === 0)
+          .select(col("doc_id"), md5(col("chunk").cast("binary")).as("anchor_fp"))
+        val lastIdx = ch.groupBy(col("doc_id"))
+          .agg(org.apache.spark.sql.functions.max(col("chunk_id")).as("__last"))
+        val pos = ch.join(lastIdx, "doc_id")
+          .filter(col("chunk_id") === col("__last") && col("__last") > 0)
+          .select(col("doc_id"), md5(col("chunk").cast("binary")).as("positive_fp"))
+        val neg = Similarity.hardNegatives(Tables.embeddings(s, dir),
+            "vec_id", "embedding", "vec_id < 10", 1, 0.2, 0.45)
+          .select(col("q_id").as("doc_id"), col("n_id").as("neg_id"),
+            col("cosine").as("neg_cosine"))
+        val negFp = first.select(col("doc_id").as("neg_id"),
+          col("anchor_fp").as("negative_fp"))
+        first.join(pos, "doc_id").join(neg, "doc_id").join(negFp, "neg_id")
+          .select(col("doc_id"), col("anchor_fp"), col("positive_fp"),
+            col("neg_id"), col("negative_fp"), col("neg_cosine"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, CAST(i // 224 AS BIGINT) AS chunk_id,
+             |       substr(text, CAST(i AS INT) + 1, 256) AS chunk
+             |     FROM documents, LATERAL
+             |       (SELECT unnest(range(0, greatest(len(text) - 32, 1), 224)) AS i) u
+             |     WHERE len(text) > 0),
+             |lastc AS (SELECT doc_id, max(chunk_id) AS last_id FROM ch GROUP BY doc_id),
+             |f AS (SELECT doc_id, md5(chunk) AS anchor_fp FROM ch WHERE chunk_id = 0),
+             |p AS (SELECT ch.doc_id, md5(ch.chunk) AS positive_fp
+             |      FROM ch JOIN lastc l ON l.doc_id = ch.doc_id
+             |        AND ch.chunk_id = l.last_id WHERE l.last_id > 0),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sc AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |         list_cosine_similarity(q.v, e.v) AS cosine
+             |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+             |bd AS (SELECT * FROM sc WHERE cosine >= 0.2 AND cosine < 0.45),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             |      FROM bd),
+             |n AS (SELECT q_id AS doc_id, n_id AS neg_id,
+             |        round(cosine, 5) AS neg_cosine FROM r WHERE rank = 1)
+             |SELECT f.doc_id, f.anchor_fp, p.positive_fp, n.neg_id,
+             |       nf.anchor_fp AS negative_fp, n.neg_cosine
+             |FROM f JOIN p USING (doc_id) JOIN n USING (doc_id)
+             |JOIN f nf ON nf.doc_id = n.neg_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Hard-negative mining: top-5 neighbors inside the cosine band
     // [0.2, 0.45) per query — informative contrastive negatives below
     // the near-dup ceiling (the corpus's natural max cosine is ~0.51)
@@ -2345,6 +2398,29 @@ object ExtQueries {
              |      '(\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'),
              |      '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g')) AS redacted_fp
              |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // GROUPED split (round 10): bucket on md5(source) so every doc of
+    // a source lands in one split — the standard fix for the leakage
+    // mode text_split_leakage audits (near-dups cluster within a
+    // domain; per-doc hashing scatters a dup cluster across train and
+    // test). A consistency bit pins the invariant in the output: every
+    // source maps to exactly one split.
+    Q("text_split_grouped",
+      (s, dir) => TextOps.splitAssignGrouped(Tables.documents(s, dir),
+          "doc_id", "source", 90, 5)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split"),
+      Some("""WITH b AS (SELECT doc_id, source,
+             |  CAST(CAST((SELECT sum((strpos('0123456789abcdef',
+             |         substr(md5(source), j+1, 1)) - 1) * power(16, 7-j))
+             |       FROM (SELECT unnest(range(8)) AS j)) AS BIGINT) % 100 AS INT) AS bucket
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN bucket < 90 THEN 'train'
+             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs
+             |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
 
     // Deterministic hash-based train/val/test split (90/5/5): bucket =
     // first 8 md5 hex digits of the id mod 100 — stable across runs,
