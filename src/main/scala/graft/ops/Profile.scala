@@ -42,6 +42,29 @@ object Profile {
         (col(bytesCol) > targetBytes).as("oversize"): _*)
   }
 
+  /** Execute a [[compactionPlan]]: co-write each bin's cells as one
+    * output partition and audit the result from the READ-BACK data —
+    * the rewrite half of small-file compaction (the planner says which
+    * cells share a file; this moves the rows). The input streams
+    * straight into the partitioned write — one shuffle onto the bin
+    * key, no driver materialization — and the audit counts come from
+    * re-reading the artifact, so a row lost or duplicated by the
+    * rewrite breaks the audit, not just a size estimate. Output per
+    * bin: (bin, n_cells, n_docs, bytes). */
+  def compactionExecute(df: DataFrame, cellCols: Seq[String],
+      sizeCol: String, targetBytes: Long, outDir: String): DataFrame = {
+    val cells = df.groupBy(cellCols.map(col): _*)
+      .agg(sum(col(sizeCol)).as("bytes"))
+    val plan = compactionPlan(cells, cellCols, "bytes", targetBytes)
+    df.join(plan.select(cellCols.map(col) :+ col("bin"): _*), cellCols)
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(countDistinct(struct(cellCols.map(col): _*)).as("n_cells"),
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("bytes"))
+  }
+
   /** Per-column null/missing ratios, one row per (table, column).
     * ONE pass per table: all columns' null counts are parallel
     * aggregates of a single global aggregation — no per-column jobs,

@@ -2751,6 +2751,36 @@ object ExtQueries {
              |  bytes > 10000 AS oversize
              |FROM s ORDER BY bin, bytes DESC, source, lang""".stripMargin)),
 
+    // Compaction EXECUTION (round 10): the planner's rewrite half —
+    // each bin's cells co-written as one output partition, audited
+    // from the READ-BACK artifact (a row lost or duplicated by the
+    // rewrite breaks the audit, not a size estimate). The oracle
+    // replays plan → cell-join → per-bin counts from the parquet truth.
+    Q("profile_compaction_execute",
+      (s, dir) => {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_compact_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .take(12)).toString
+        graft.ops.Profile.compactionExecute(
+            Tables.documents(s, dir).select("doc_id", "source", "lang", "n_chars"),
+            Seq("source", "lang"), "n_chars", 10000L, out)
+          .orderBy("bin")
+      },
+      Some("""WITH c AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+             |           FROM documents GROUP BY source, lang),
+             |s AS (SELECT source, lang, bytes,
+             |        sum(bytes) OVER (ORDER BY bytes DESC, source, lang
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM c),
+             |p AS (SELECT source, lang,
+             |        CAST(floor(CAST(cum - bytes AS DOUBLE) / 10000) AS BIGINT) AS bin
+             |      FROM s)
+             |SELECT p.bin, count(DISTINCT (p.source, p.lang)) AS n_cells,
+             |       count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS bytes
+             |FROM documents d JOIN p ON d.source = p.source AND d.lang = p.lang
+             |GROUP BY p.bin ORDER BY p.bin""".stripMargin)),
+
     // Per-column null/missing profile: the pre-flight data-quality scan
     // (one single-pass aggregation per table, all columns in parallel)
     Q("profile_null_ratios",
