@@ -1516,6 +1516,50 @@ object ExtQueries {
              |SELECT id_a, id_b, hamming, cosine FROM ham
              |WHERE hamming <= 15 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Hamming dedup GROUPS (round 10): the closure a pipeline ends
+    // with over the banded tier's pairs — the binary-code cousin of
+    // SemDeDup (32× smaller codes, pigeonhole-complete candidates).
+    // Pure composition: bandedHammingPairs edges → the shared
+    // Components closure → min-id keep rule; the oracle replays the
+    // band join and a WITH RECURSIVE reachability closure.
+    Q("sim_hamming_groups",
+      (s, dir) => Dedup.dedupGroups(
+          Tables.embeddings(s, dir).select(col("vec_id")), "vec_id",
+          Similarity.bandedHammingPairs(Tables.embeddings(s, dir),
+              "vec_id", "embedding", 15)
+            .select("id_a", "id_b"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dd AS (SELECT max(len(v)) AS dim FROM e),
+             |bv AS (SELECT vec_id, v, bi,
+             |         CAST(list_sum([CASE WHEN coalesce(v[i + 1] >= 0, false)
+             |                 THEN CAST(1 AS BIGINT) << (i - (bi * dim) // 16)
+             |                 ELSE 0 END
+             |               for i in range((bi * dim) // 16, ((bi + 1) * dim) // 16)])
+             |           AS BIGINT) AS bval
+             |       FROM e, dd, (SELECT unnest(range(16)) AS bi)),
+             |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             |         FROM bv x JOIN bv y
+             |           ON x.bi = y.bi AND x.bval = y.bval AND x.vec_id < y.vec_id),
+             |pairs AS (SELECT c.id_a, c.id_b
+             |        FROM cand c JOIN e a ON a.vec_id = c.id_a
+             |                    JOIN e b ON b.vec_id = c.id_b
+             |        WHERE len([i for i in range(1, greatest(len(a.v), len(b.v)) + 1)
+             |               if coalesce(a.v[i] >= 0, false) <> coalesce(b.v[i] >= 0, false)])
+             |              <= 15),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT a AS id, b AS r FROM edges
+             |          UNION
+             |          SELECT rc.id, ed.b FROM reach rc JOIN edges ed ON rc.r = ed.a),
+             |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+             |SELECT emb.vec_id,
+             |       coalesce(least(l.m, emb.vec_id), emb.vec_id) AS keep_id,
+             |       (coalesce(least(l.m, emb.vec_id), emb.vec_id) = emb.vec_id) AS keep
+             |FROM embeddings emb LEFT JOIN lab l ON l.id = emb.vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
     // The pigeonhole THEOREM gate for the banded tier: radius-15 pairs
     // split into 16 bands MUST all match in ≥1 band, so recall vs the
     // exact all-pairs scan is exactly 1.0 — pinned as equality, not a

@@ -1238,4 +1238,34 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.forall(r => r._4 <= r._2))
     assert(out.values.map(_._4).sum <= 5050L)
   }
+
+  test("waterfill properties: seeded random caps — feasibility, spend, prefix-capped") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val nSrc = 2 + rnd.nextInt(8)
+      val rows = (1 to nSrc).map(i =>
+        (i.toLong, s"s$i", (1 + rnd.nextInt(100000)).toLong))
+      val out = TextOps.waterfillAllocate(
+          rows.toDF("doc_id", "src", "sz"), "src", "sz", 0.5)
+        .select("src", "cap", "capped", "alloc")
+        .as[(String, Long, Boolean, Long)].collect().toSeq
+      val totCap = out.map(_._2).sum
+      val b = math.floor(totCap.toDouble * 0.5).toLong
+      // feasibility: alloc ≤ cap everywhere; budget never exceeded
+      assert(out.forall(r => r._4 <= r._2), out.mkString(", "))
+      val spend = out.map(_._4).sum
+      assert(spend <= b, s"overspent: $spend > $b")
+      // B < Σcap ⇒ the max-ratio source is never capped, and each
+      // uncapped floor loses < 1 token — spend lands within
+      // |uncapped| of the budget
+      val nUncapped = out.count(!_._3)
+      assert(nUncapped >= 1, "no uncapped source despite B < total cap")
+      assert(b - spend < nUncapped.toLong, s"slack ${b - spend} ≥ $nUncapped")
+      // capped set is a prefix of the cap/√cap (= √cap) ratio order
+      val sorted = out.sortBy(r => (math.sqrt(r._2.toDouble), r._1))
+      val firstUncapped = sorted.indexWhere(!_._3)
+      assert(sorted.drop(firstUncapped).forall(!_._3),
+        s"capped rows not a ratio-order prefix: $sorted")
+    }
+  }
 }
