@@ -126,8 +126,67 @@ object SeriesOps {
     * decimal expansion (BigDecimal HALF_UP) where DuckDB rounds in
     * float math, and a smoothed series hits the disagreement window at
     * ~10⁻⁴ per point (measured: 0.006% of sf0.1 rows before this). */
-  private def q6(c: Column): Column =
+  private[graft] def q6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
+  /** Classical additive seasonal decomposition, STL-lite ([EXT]):
+    * per series, trend = centered 5-point moving average (defined for
+    * interior points), seasonal = per-phase mean of the detrended
+    * values at phase (i−1) mod `period`, remainder = detrended −
+    * seasonal — the decomposition a time-series pipeline runs before
+    * clustering/anomaly flags so periodic structure doesn't read as
+    * distance.
+    *
+    * Determinism: every cross-point reduction is an INDEX-ORDERED
+    * fold over the collected series array (the [[ewma]] discipline) —
+    * the 5-point trend sum is written with explicit left association,
+    * phase sums fold ascending — so DuckDB replays the identical IEEE
+    * chains with list comprehensions + list_reduce. Output points are
+    * [[q6]]-quantized.
+    *
+    * Scale: zero shuffle beyond the series groupBy; all arithmetic is
+    * per-series array expressions (codegen'd HOFs, no UDF). */
+  def decompose(series: DataFrame, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val det =
+      """transform(sequence(1, size(values)), i ->
+        |  CASE WHEN i >= 3 AND i <= size(values) - 2 THEN
+        |    element_at(values, i) -
+        |    ((((element_at(values, i - 2) + element_at(values, i - 1))
+        |        + element_at(values, i))
+        |       + element_at(values, i + 1)) + element_at(values, i + 2)) / 5.0D
+        |  END)""".stripMargin
+    // ANSI guard: a phase with no interior points must yield NULL, not
+    // a double division by zero (which raises under Spark 4 ANSI)
+    val phaseList =
+      s"""filter(transform(sequence(1, size(values)), i ->
+         |      CASE WHEN (i - 1) % $period = p THEN element_at(__det, i) END),
+         |      x -> x IS NOT NULL)""".stripMargin
+    val seas =
+      s"""transform(sequence(0, ${period - 1}), p ->
+         |  CASE WHEN size($phaseList) > 0 THEN
+         |    aggregate($phaseList, CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+         |    / size($phaseList)
+         |  END)""".stripMargin
+    val out =
+      s"""filter(transform(sequence(1, size(values)), i ->
+         |  CASE WHEN i >= 3 AND i <= size(values) - 2 THEN
+         |    named_struct('pos', CAST(i AS BIGINT),
+         |      'value', element_at(values, i),
+         |      'trend', element_at(values, i) - element_at(__det, i),
+         |      'det', element_at(__det, i),
+         |      'seas', element_at(__seas, CAST((i - 1) % $period AS INT) + 1))
+         |  END), x -> x IS NOT NULL)""".stripMargin
+    series
+      .filter(size(col("values")) >= 5)
+      .withColumn("__det", expr(det))
+      .withColumn("__seas", expr(seas))
+      .select(col("series_id"), explode(expr(out)).as("o"))
+      .select(col("series_id"), col("o.pos").as("pos"),
+        q6(col("o.value")).as("value"), q6(col("o.trend")).as("trend"),
+        q6(col("o.seas")).as("seasonal"),
+        q6(col("o.det") - col("o.seas")).as("remainder"))
+  }
 
   /** Resample to a fixed interval with LOCF gap-fill: bucket each
     * key's observations to `intervalSec`-wide bins (bin value = mean),

@@ -182,6 +182,46 @@ object CoreQueries {
              |  floor(ew * 1e6 + 0.5) / 1e6 AS ewma
              |FROM pts ORDER BY series_id, pos""".stripMargin)),
 
+    // Seasonal decomposition, STL-lite (round 10, [EXT]): per series,
+    // trend = centered 5-point MA (interior points), seasonal =
+    // per-phase mean of the detrended values (period 4), remainder =
+    // detrended − seasonal. Every cross-point reduction is an
+    // index-ordered fold with explicit left association, so DuckDB
+    // replays the identical IEEE chains with list comprehensions +
+    // list_reduce; outputs on the floor(x·1e6+0.5) halfway rule.
+    Q("ts_decompose",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.decompose(ser, 4).orderBy("series_id", "pos")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |d AS (SELECT user_id, vs, len(vs) AS n,
+             |    [CASE WHEN i >= 3 AND i <= len(vs) - 2 THEN
+             |       vs[i] - ((((vs[i-2] + vs[i-1]) + vs[i]) + vs[i+1]) + vs[i+2]) / 5
+             |     END for i in range(1, len(vs) + 1)] AS det
+             |  FROM l WHERE len(vs) >= 5),
+             |sp AS (SELECT d.user_id, p.p,
+             |    CASE WHEN len([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |                   for i in range(1, n+1)] if x IS NOT NULL]) > 0 THEN
+             |      list_reduce([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |                   for i in range(1, n+1)] if x IS NOT NULL], (a, b) -> a + b)
+             |      / len([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |             for i in range(1, n+1)] if x IS NOT NULL])
+             |    END AS seas
+             |  FROM d, (SELECT unnest(range(4)) AS p) p)
+             |SELECT d.user_id AS series_id, CAST(u.i AS BIGINT) AS pos,
+             |  floor(vs[u.i]*1e6 + 0.5)/1e6 AS value,
+             |  floor((vs[u.i] - det[u.i])*1e6 + 0.5)/1e6 AS trend,
+             |  floor(sp.seas*1e6 + 0.5)/1e6 AS seasonal,
+             |  floor((det[u.i] - sp.seas)*1e6 + 0.5)/1e6 AS remainder
+             |FROM d, LATERAL (SELECT unnest(range(3, n - 1)) AS i) u
+             |JOIN sp ON sp.user_id = d.user_id AND sp.p = (u.i - 1) % 4
+             |ORDER BY series_id, pos""".stripMargin)),
+
     // P5 approx-equality point lookup: numpy isclose semantics
     // (rtol=1e-5, atol=1e-8, app.py:958-973). The reference probes a
     // hovered ACTUAL point, which by construction always matches — so
@@ -456,6 +496,43 @@ object CoreQueries {
       Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart_s,
              |       event_type, count(*) AS n, round(sum(value),4) AS sum_v
              |FROM events GROUP BY 1, 2 ORDER BY wstart_s, event_type""".stripMargin)),
+
+    // OHLC candle aggregation (round 10, [EXT]): per (user, hour),
+    // open/high/low/close of value — the classic time-series bar
+    // downsample. Open/close are min_by/max_by on the (ts, event_id)
+    // struct order: a pure AGGREGATE form (partial-agg map-side
+    // combine, no per-key window sort); event_id uniqueness makes the
+    // pick deterministic, so DuckDB's window formulation lands on the
+    // identical rows.
+    Q("evt_ohlc",
+      (s, dir) => Tables.events(s, dir).na.drop(Seq("value"))
+        .groupBy(col("user_id"),
+          unix_timestamp(window(col("ts"), "1 hour").getField("start"))
+            .as("wstart_s"))
+        .agg(
+          round(min_by(col("value"), struct(col("ts"), col("event_id"))), 4)
+            .as("open"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          round(max_by(col("value"), struct(col("ts"), col("event_id"))), 4)
+            .as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "wstart_s"),
+      Some("""WITH r AS (SELECT user_id, value,
+             |    CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart_s,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      time_bucket(INTERVAL '1 hour', ts)
+             |      ORDER BY ts, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      time_bucket(INTERVAL '1 hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT user_id, wstart_s,
+             |  round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+             |  round(max(value), 4) AS high, round(min(value), 4) AS low,
+             |  round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+             |  count(*) AS n
+             |FROM r GROUP BY 1, 2 ORDER BY user_id, wstart_s""".stripMargin)),
 
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-concurrent click value (DuckDB's native ASOF JOIN is the

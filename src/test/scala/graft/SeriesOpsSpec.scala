@@ -282,6 +282,24 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(_._3).forall(_ == 7.0))
   }
 
+  test("decompose: linear + zero-mean period-5 sawtooth separates exactly") {
+    // x_i = i + s[(i-1)%5] with s zero-mean: a 5-point centered MA
+    // spans one full period, so trend_i == i EXACTLY (integer sums,
+    // exact /5), detrended == s_phase, seasonal == s_phase, and the
+    // remainder vanishes — all in exact float arithmetic
+    val s5 = Seq(4.0, -3.0, 2.0, -1.0, -2.0)
+    val xs = (1 to 15).map(i => i.toDouble + s5((i - 1) % 5))
+    val ser = Seq((1L, xs)).toDF("series_id", "values")
+    val out = graft.ops.SeriesOps.decompose(ser, 5)
+      .select("pos", "trend", "seasonal", "remainder")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (3L to 13L), out.mkString(", "))
+    assert(out.forall(r => r._2 == r._1.toDouble), s"trend: ${out.mkString(", ")}")
+    assert(out.forall(r => r._3 == s5(((r._1 - 1) % 5).toInt)),
+      s"seasonal: ${out.mkString(", ")}")
+    assert(out.forall(_._4 == 0.0), s"remainder: ${out.mkString(", ")}")
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
