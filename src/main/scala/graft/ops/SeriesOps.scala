@@ -129,6 +129,63 @@ object SeriesOps {
   private[graft] def q6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
+  /** EWMA-residual anomaly flags ([EXT]): the time-structure-aware
+    * outlier detector — residual rᵢ = xᵢ − ewmaᵢ₋₁ (the one-step
+    * smoother forecast), flagged when |rᵢ − mean(r)| > `nSigma`·std(r)
+    * per series. The value-distribution detectors (`pt_zscore`,
+    * `pt_mad`) flag globally-extreme VALUES; this flags extreme
+    * JUMPS, which is what a sensor fault or level shift looks like on
+    * a trending series whose values are all "normal".
+    *
+    * Determinism: the EWMA rides [[ewma]]'s sequential-fold contract;
+    * the residual moments are EXACT INTEGER micro-sums
+    * (round(r·10⁶), round(r²·10⁶) — the dimStats idiom, order-free),
+    * so mean/std are single identical IEEE divisions on both engines
+    * and the flag compares exactly. Emits ONLY flagged points:
+    * (series_id, pos, value, resid, z) with resid [[q6]]-quantized
+    * and z 4-dp on the same halfway rule.
+    *
+    * Scale: zero shuffle beyond the series groupBy; per-series array
+    * folds. */
+  def ewmaAnomalies(series: DataFrame, alpha: Double,
+      nSigma: Double): DataFrame = {
+    val ew =
+      s"""aggregate(values, CAST(array() AS ARRAY<DOUBLE>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0 THEN x
+         |    ELSE CAST($alpha AS DOUBLE) * x
+         |         + (CAST(1 AS DOUBLE) - CAST($alpha AS DOUBLE))
+         |           * element_at(acc, -1) END))""".stripMargin
+    val resid =
+      """transform(sequence(2, size(values)), i ->
+        |  element_at(values, i) - element_at(__ew, i - 1))""".stripMargin
+    series
+      .filter(size(col("values")) >= 3)
+      .withColumn("__ew", expr(ew))
+      .withColumn("__r", expr(resid))
+      .withColumn("__n", size(col("__r")))
+      .withColumn("__s1", expr(
+        "aggregate(__r, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__s2", expr(
+        "aggregate(__r, 0L, (acc, x) -> acc + CAST(round(x * x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__std", sqrt(greatest(lit(0.0),
+        col("__s2").cast("double") / col("__n") / lit(1e6)
+          - col("__mean") * col("__mean"))))
+      .select(col("series_id"), col("__mean"), col("__std"),
+        posexplode(col("__r")).as(Seq("__i", "__rv")),
+        col("values"))
+      // __std > 0 guard: quantized moments can reach zero variance on
+      // sub-micro residual spreads while the RAW |r − mean| stays
+      // positive — without it the z division raises under ANSI
+      .filter(col("__std") > lit(0.0)
+        && abs(col("__rv") - col("__mean")) > lit(nSigma) * col("__std"))
+      .select(col("series_id"), (col("__i") + 2).cast("long").as("pos"),
+        q6(element_at(col("values"), col("__i") + 2)).as("value"),
+        q6(col("__rv")).as("resid"),
+        (floor((col("__rv") - col("__mean")) / col("__std") * lit(1e4)
+          + lit(0.5)).cast("double") / lit(1e4)).as("z"))
+  }
+
   /** Classical additive seasonal decomposition, STL-lite ([EXT]):
     * per series, trend = centered 5-point moving average (defined for
     * interior points), seasonal = per-phase mean of the detrended

@@ -182,6 +182,44 @@ object CoreQueries {
              |  floor(ew * 1e6 + 0.5) / 1e6 AS ewma
              |FROM pts ORDER BY series_id, pos""".stripMargin)),
 
+    // EWMA-residual anomaly flags (round 10, [EXT]): extreme one-step
+    // JUMPS per series (vs pt_zscore/pt_mad's extreme VALUES) —
+    // residual r_i = x_i − ewma_{i−1}, flagged at |r − mean(r)| >
+    // 3·std(r). Residual moments are exact integer micro-sums (the
+    // dimStats idiom, order-free), the EWMA rides ts_ewma's
+    // sequential-fold contract.
+    Q("ts_anomaly",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.ewmaAnomalies(ser, 0.3, 3.0).orderBy("series_id", "pos")
+      },
+      Some("""WITH r0 AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r0 GROUP BY user_id),
+             |w AS (SELECT user_id, vs, len(vs) AS n,
+             |    [vs[i] - list_reduce(vs[1:i-1], (y, x) ->
+             |       CAST(0.3 AS DOUBLE) * x
+             |       + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * y)
+             |     for i in range(2, len(vs) + 1)] AS r
+             |  FROM l WHERE len(vs) >= 3),
+             |m AS (SELECT user_id, vs, r, len(r) AS nr,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in r]) AS s1,
+             |    list_sum([CAST(round(x * x * 1e6) AS BIGINT) for x in r]) AS s2
+             |  FROM w),
+             |st AS (SELECT *, CAST(s1 AS DOUBLE) / nr / 1e6 AS meanr,
+             |    sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / nr / 1e6
+             |      - (CAST(s1 AS DOUBLE) / nr / 1e6) * (CAST(s1 AS DOUBLE) / nr / 1e6))) AS stdr
+             |  FROM m)
+             |SELECT user_id AS series_id, CAST(i + 1 AS BIGINT) AS pos,
+             |  floor(vs[i + 1] * 1e6 + 0.5) / 1e6 AS value,
+             |  floor(r[i] * 1e6 + 0.5) / 1e6 AS resid,
+             |  floor((r[i] - meanr) / stdr * 1e4 + 0.5) / 1e4 AS z
+             |FROM st, LATERAL (SELECT unnest(range(1, nr + 1)) AS i) u
+             |WHERE stdr > 0 AND abs(r[i] - meanr) > 3 * stdr
+             |ORDER BY series_id, pos""".stripMargin)),
+
     // Seasonal decomposition, STL-lite (round 10, [EXT]): per series,
     // trend = centered 5-point MA (interior points), seasonal =
     // per-phase mean of the detrended values (period 4), remainder =
