@@ -245,6 +245,134 @@ object SeriesOps {
         q6(col("o.det") - col("o.seas")).as("remainder"))
   }
 
+  /** Per-series autocorrelation function ([EXT]): acf(ℓ) =
+    * Σᵢ(xᵢ−x̄)(xᵢ₊ℓ−x̄) / Σᵢ(xᵢ−x̄)² for ℓ = 1..`maxLag` — the lag
+    * structure probe a clustering pipeline runs to pick window sizes
+    * and to separate trending from mean-reverting series before
+    * DTW/K-Shape.
+    *
+    * Determinism: the mean and both quadratic sums are EXACT INTEGER
+    * micro-sums (round(term·10⁶) summed as LONG — the dimStats idiom,
+    * order-free), so every engine computes the identical mean, the
+    * identical numerator/denominator integers, and one identical IEEE
+    * division per lag. Output acf is [[q6]]-quantized.
+    *
+    * Scale: zero shuffle beyond the series groupBy; O(maxLag·n)
+    * multiply-adds per series, all codegen'd array HOFs.
+    * Output: (series_id, lag, acf), series shorter than `minLen` or
+    * with zero quantized variance dropped. */
+  def acf(series: DataFrame, maxLag: Int, minLen: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    series
+      .filter(size(col("values")) >= math.max(minLen, maxLag + 1))
+      .withColumn("__n", size(col("values")))
+      .withColumn("__s1", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__den", expr(
+        """aggregate(values, 0L, (acc, x) ->
+          |  acc + CAST(round((x - __mean) * (x - __mean) * 1e6) AS LONG))""".stripMargin))
+      .filter(col("__den") > 0L)
+      .select(col("series_id"), col("__n"), col("__mean"), col("__den"),
+        col("values"),
+        explode(sequence(lit(1), least(lit(maxLag), col("__n") - 1))).as("__lag"))
+      .withColumn("__num", expr(
+        """aggregate(sequence(1, __n - __lag), 0L, (acc, i) ->
+          |  acc + CAST(round((element_at(values, i) - __mean)
+          |    * (element_at(values, i + __lag) - __mean) * 1e6) AS LONG))""".stripMargin))
+      .select(col("series_id"), col("__lag").cast("long").as("lag"),
+        q6(col("__num").cast("double") / col("__den").cast("double")).as("acf"))
+  }
+
+  /** Per-series CUSUM changepoint statistic ([EXT]): the standardized
+    * cumulative-sum scan Sₖ = (Σᵢ≤ₖ xᵢ − k·x̄) / (σ·√n) for
+    * k = 1..n−1; reports argmax |Sₖ| (the most likely single
+    * changepoint), the max statistic, and a change flag at the
+    * classical 95% Kolmogorov bound 1.358 — the level-shift detector
+    * that complements [[ewmaAnomalies]]' point-jump flags.
+    *
+    * Determinism: mean/std come from exact integer micro-moments (the
+    * [[ewmaAnomalies]] idiom) and every prefix sum Σᵢ≤ₖ xᵢ is itself
+    * an exact integer micro-sum, so all |Sₖ| are bit-identical IEEE
+    * chains on any engine — the argmax (first-max tie rule on exact
+    * doubles) and the threshold compare are therefore exact.
+    *
+    * Scale: zero shuffle beyond the series groupBy; the prefix scan is
+    * written as O(n²) slice-folds for oracle parity — fine at sensor
+    * lengths (n ≈ 10³–10⁴); a single-pass running-sum kernel is the
+    * drop-in for million-point series.
+    * Output: one row per series (series_id, cp_pos, stat 4dp, changed). */
+  def cusum(series: DataFrame, minLen: Int = 20,
+      threshold: Double = 1.358): DataFrame =
+    series
+      .filter(size(col("values")) >= minLen)
+      .withColumn("__n", size(col("values")))
+      .withColumn("__s1", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__s2", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__std", sqrt(greatest(lit(0.0),
+        col("__s2").cast("double") / col("__n") / lit(1e6)
+          - col("__mean") * col("__mean"))))
+      .filter(col("__std") > lit(0.0))
+      .withColumn("__S", expr(
+        """transform(sequence(1, __n - 1), k ->
+          |  abs((CAST(aggregate(slice(values, 1, k), 0L,
+          |         (acc, x) -> acc + CAST(round(x * 1e6) AS LONG)) AS DOUBLE) / 1e6
+          |       - CAST(k AS DOUBLE) * __mean)
+          |      / (__std * sqrt(CAST(__n AS DOUBLE)))))""".stripMargin))
+      .withColumn("__stat", array_max(col("__S")))
+      .select(col("series_id"),
+        expr("array_position(__S, __stat)").cast("long").as("cp_pos"),
+        (floor(col("__stat") * lit(1e4) + lit(0.5)).cast("double") / lit(1e4))
+          .as("stat"),
+        (col("__stat") > lit(threshold)).as("changed"))
+
+  /** Pairwise series Pearson correlation at lag 0 ([EXT]): every
+    * unordered pair of series, aligned by truncating all series to the
+    * global min length (the [[truncate]] contract), corr =
+    * Σ(aᵢ−ā)(bᵢ−b̄) / √(Σ(aᵢ−ā)²·Σ(bᵢ−b̄)²) — the co-movement matrix
+    * a clustering pipeline inspects before choosing a distance.
+    *
+    * Determinism: per-series means/denominators and the per-pair
+    * numerator are exact integer micro-sums ([[acf]] idiom); the final
+    * divide-by-sqrt is one identical IEEE chain. Output [[q6]]'d.
+    *
+    * Scale: the SERIES dimension is the small one (the nested table is
+    * one row per series), so the pair generation is a broadcast theta
+    * self-join on series_id — the point table never re-shuffles. At
+    * very large series counts the same numerator is a blocked Gram
+    * product (the ml/Embedding covariance path); pairs ∝ k² stays the
+    * caller's contract either way.
+    * Output: (s_a, s_b, corr) for s_a < s_b, zero-variance series
+    * dropped. */
+  def crossCorr(series: DataFrame): DataFrame = {
+    val stats = truncate(series)
+      .withColumn("__n", size(col("values")))
+      .filter(col("__n") >= 2)
+      .withColumn("__s1", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__den", expr(
+        """aggregate(values, 0L, (acc, x) ->
+          |  acc + CAST(round((x - __mean) * (x - __mean) * 1e6) AS LONG))""".stripMargin))
+      .filter(col("__den") > 0L)
+    val a = stats.select(col("series_id").as("s_a"), col("values").as("__va"),
+      col("__mean").as("__ma"), col("__den").as("__da"))
+    val b = stats.select(col("series_id").as("s_b"), col("values").as("__vb"),
+      col("__mean").as("__mb"), col("__den").as("__db"))
+    a.join(broadcast(b), col("s_a") < col("s_b"))
+      .withColumn("__num", expr(
+        """aggregate(zip_with(__va, __vb, (x, y) ->
+          |  CAST(round((x - __ma) * (y - __mb) * 1e6) AS LONG)),
+          |  0L, (acc, t) -> acc + t)""".stripMargin))
+      .select(col("s_a"), col("s_b"),
+        q6(col("__num").cast("double")
+          / sqrt(col("__da").cast("double") * col("__db").cast("double")))
+          .as("corr"))
+  }
+
   /** Resample to a fixed interval with LOCF gap-fill: bucket each
     * key's observations to `intervalSec`-wide bins (bin value = mean),
     * materialize every bin between the key's first and last

@@ -260,6 +260,105 @@ object CoreQueries {
              |JOIN sp ON sp.user_id = d.user_id AND sp.p = (u.i - 1) % 4
              |ORDER BY series_id, pos""".stripMargin)),
 
+    // Per-series autocorrelation, lags 1..5 (round 10, [EXT]): the lag
+    // structure probe. Mean and both quadratic sums are exact integer
+    // micro-sums (order-free), so both engines compute identical
+    // numerator/denominator integers and one identical division per
+    // lag; acf on the floor(x·1e6+0.5) halfway rule.
+    Q("ts_acf",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.acf(ser, 5).orderBy("series_id", "lag")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM l WHERE len(vs) >= 10),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6) AS BIGINT)
+             |        for x in vs]) AS den
+             |  FROM m),
+             |x AS (SELECT user_id, vs, n, mean, den, lg.lag AS lag
+             |  FROM d, (SELECT unnest(range(1, 6)) AS lag) lg
+             |  WHERE den > 0 AND lag <= n - 1)
+             |SELECT user_id AS series_id, CAST(lag AS BIGINT) AS lag,
+             |  floor(CAST(list_sum([CAST(round((vs[i] - mean) * (vs[i + lag] - mean) * 1e6)
+             |          AS BIGINT) for i in range(1, n - lag + 1)]) AS DOUBLE)
+             |    / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf
+             |FROM x ORDER BY series_id, lag""".stripMargin)),
+
+    // CUSUM changepoint scan per series (round 10, [EXT]): argmax |S_k|
+    // of the standardized cumulative sums, change flag at the 95%
+    // Kolmogorov bound. Every prefix sum is an exact integer micro-sum
+    // and mean/std come from exact integer micro-moments, so all |S_k|
+    // are bit-identical IEEE chains on both engines — argmax
+    // (first-max rule) and the threshold compare are exact.
+    Q("ts_cusum",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.cusum(ser).orderBy("series_id")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1,
+             |    list_sum([CAST(round(x * x * 1e6) AS BIGINT) for x in vs]) AS s2
+             |  FROM l WHERE len(vs) >= 20),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean,
+             |    sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n / 1e6
+             |      - (CAST(s1 AS DOUBLE) / n / 1e6) * (CAST(s1 AS DOUBLE) / n / 1e6))) AS stdv
+             |  FROM s),
+             |c AS (SELECT user_id, n, mean, stdv,
+             |    [abs((CAST(list_sum([CAST(round(vs[j] * 1e6) AS BIGINT)
+             |            for j in range(1, k + 1)]) AS DOUBLE) / 1e6
+             |          - CAST(k AS DOUBLE) * mean)
+             |         / (stdv * sqrt(CAST(n AS DOUBLE)))) for k in range(1, n)] AS S
+             |  FROM m WHERE stdv > 0)
+             |SELECT user_id AS series_id,
+             |  CAST(list_position(S, list_max(S)) AS BIGINT) AS cp_pos,
+             |  floor(list_max(S) * 1e4 + 0.5) / 1e4 AS stat,
+             |  list_max(S) > 1.358 AS changed
+             |FROM c ORDER BY series_id""".stripMargin)),
+
+    // Pairwise series correlation matrix (round 10, [EXT]): Pearson
+    // corr at lag 0 over min-length-truncated series, every unordered
+    // pair. The series dim is the SMALL one, so pair generation is a
+    // broadcast theta self-join on the one-row-per-series table; all
+    // sums are exact integer micro-sums.
+    Q("ts_crosscorr",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.crossCorr(ser).orderBy("s_a", "s_b")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |mn AS (SELECT min(len(vs)) AS L FROM l),
+             |t AS (SELECT user_id, vs[1:L] AS vs FROM l, mn WHERE L >= 2),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM t),
+             |m AS (SELECT user_id, vs, n, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6) AS BIGINT)
+             |        for x in vs]) AS den
+             |  FROM m)
+             |SELECT a.user_id AS s_a, b.user_id AS s_b,
+             |  floor(CAST(list_sum([CAST(round((a.vs[i] - a.mean) * (b.vs[i] - b.mean) * 1e6)
+             |          AS BIGINT) for i in range(1, a.n + 1)]) AS DOUBLE)
+             |    / sqrt(CAST(a.den AS DOUBLE) * CAST(b.den AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS corr
+             |FROM d a JOIN d b ON a.user_id < b.user_id
+             |WHERE a.den > 0 AND b.den > 0
+             |ORDER BY s_a, s_b""".stripMargin)),
+
     // P5 approx-equality point lookup: numpy isclose semantics
     // (rtol=1e-5, atol=1e-8, app.py:958-973). The reference probes a
     // hovered ACTUAL point, which by construction always matches — so
@@ -571,6 +670,40 @@ object CoreQueries {
              |  round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
              |  count(*) AS n
              |FROM r GROUP BY 1, 2 ORDER BY user_id, wstart_s""".stripMargin)),
+
+    // Event-type transition matrix (round 10, [EXT]): first-order
+    // Markov counts over each user's event_id-ordered stream —
+    // (from_type, to_type, n, p) with p row-normalized per from_type.
+    // One shuffle onto user_id for the lead() window (the partitioning
+    // the whole evt tier shares), then a tiny (types²) aggregate;
+    // counts are exact and p is one identical integer-ratio division,
+    // quantized on the floor(x·1e6+0.5) halfway rule.
+    Q("evt_transition",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+        val wf = Window.partitionBy("from_type")
+        pairs
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            floor(col("n").cast("double") / sum(col("n")).over(wf)
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH p AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+             |    * 1e6 + 0.5) / 1e6 AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
 
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-concurrent click value (DuckDB's native ASOF JOIN is the

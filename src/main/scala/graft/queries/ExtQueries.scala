@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, ceil, col, expr, collect_list, concat, concat_ws, conv, corr, count, countDistinct, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{aggregate, ceil, col, expr, collect_list, concat, concat_ws, conv, corr, count, countDistinct, floor, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Bpe, Dedup, Similarity, TextOps}
 
@@ -2858,6 +2858,33 @@ object ExtQueries {
              |SELECT tbl, col, n_rows, n_null,
              |       round(n_null / n_rows, 6) AS null_ratio
              |FROM t ORDER BY tbl, col""".stripMargin)),
+
+    // k-anonymity / l-diversity audit (round 10, [EXT]): the privacy
+    // pre-flight a training-data release runs — group sizes over the
+    // quasi-identifier tuple (nation, segment) and the distinct count
+    // of a bucketed sensitive attribute (acctbal per-1000 bucket) per
+    // QI group. A group of size < k re-identifies its members; a group
+    // with one sensitive bucket leaks the attribute even at size ≥ k.
+    // One shuffle onto the QI key (partial-agg map-side combine);
+    // counts exact, nothing floating.
+    Q("profile_k_anonymity",
+      (s, dir) => s.read.parquet(s"$dir/customer.parquet")
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+            .as("bal_buckets"))
+        .withColumn("k_anon", col("group_n") >= 5)
+        .withColumn("l_diverse", col("bal_buckets") >= 3)
+        .orderBy("nation", "segment"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |       c_mktsegment AS segment, count(*) AS group_n,
+             |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+             |         AS bal_buckets,
+             |       count(*) >= 5 AS k_anon,
+             |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+             |         AS l_diverse
+             |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin)),
 
     // Pairwise Pearson correlations over the lineitem numerics — the
     // feature-redundancy pre-flight scan (all 6 pairs as parallel

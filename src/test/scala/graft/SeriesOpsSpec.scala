@@ -300,6 +300,46 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out.forall(_._4 == 0.0), s"remainder: ${out.mkString(", ")}")
   }
 
+  test("acf: alternating series has acf(ℓ) = (-1)^ℓ·(n-ℓ)/n; const series dropped") {
+    val n = 12
+    val alt = Seq(("s", (1 to n).map(i => if (i % 2 == 1) 1.0 else -1.0).toArray))
+      .toDF("series_id", "values")
+    val got = SeriesOps.acf(alt, 3).orderBy("lag")
+      .as[(String, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    got.foreach { case (_, lag, a) =>
+      val expect = math.pow(-1.0, lag.toDouble) * (n - lag).toDouble / n
+      assert(math.abs(a - expect) < 2e-6, s"lag $lag: $a vs $expect")
+    }
+    val const = Seq(("k", Array.fill(n)(7.0))).toDF("series_id", "values")
+    assert(SeriesOps.acf(const, 3).count() == 0) // zero variance → dropped
+  }
+
+  test("cusum: mean shift at k flagged with cp_pos = k; bounded alternation is not") {
+    val step = Seq(("s", (Array.fill(10)(0.0) ++ Array.fill(10)(1.0))))
+      .toDF("series_id", "values")
+    val r = SeriesOps.cusum(step).as[(String, Long, Double, Boolean)].head()
+    assert(r._2 == 10L, s"cp_pos ${r._2}")
+    // |S_10| = 5 / (0.5·√20) = √5 ≈ 2.2360
+    assert(math.abs(r._3 - 2.2360) < 2e-4 && r._4)
+    val alt = Seq(("s", (1 to 20).map(i => if (i % 2 == 1) 1.0 else -1.0).toArray))
+      .toDF("series_id", "values")
+    val a = SeriesOps.cusum(alt).as[(String, Long, Double, Boolean)].head()
+    assert(!a._4, s"alternation flagged: $a") // max |S| = 1/√20 « 1.358
+  }
+
+  test("crossCorr: exact ±1 on linearly dependent series, pairs s_a < s_b only") {
+    val df = Seq(
+      ("a", Array(1.0, 2.0, 3.0, 4.0)),
+      ("b", Array(2.0, 4.0, 6.0, 8.0)),
+      ("c", Array(4.0, 3.0, 2.0, 1.0))).toDF("series_id", "values")
+    val got = SeriesOps.crossCorr(df).orderBy("s_a", "s_b")
+      .as[(String, String, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq(("a","b"), ("a","c"), ("b","c")))
+    assert(got(0)._3 == 1.0 && got(1)._3 == -1.0 && got(2)._3 == -1.0,
+      got.mkString(", "))
+  }
+
   test("const series: normalization raises, matching the reference's ZeroDivisionError") {
     // FIXTURES.md const_series edge: max == min. The reference's Python
     // loop raises ZeroDivisionError (app.py:365); under Spark 4 ANSI
