@@ -1476,12 +1476,7 @@ object TextOps {
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       sizes: Seq[Int]): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
-    val spark = df.sparkSession
-    val tf = graft.queries.Memo.cached(spark, s"tokfreq|" +
-      s"${System.identityHashCode(spark)}|$idCol|$textCol|" +
-      s"${df.queryExecution.logical.semanticHash()}")(
-      df.select(explode(tokensCol(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("f")))
+    val tf = tokenFreq(df, idCol, textCol)
     val totals = tf.agg(sum(col("f")).as("__tot"))
     sizes.map { n =>
       tf.orderBy(col("f").desc, col("w").asc).limit(n)
@@ -1494,6 +1489,95 @@ object TextOps {
         col("__tot").as("total_tokens"),
         (floor(col("covered").cast("double") / col("__tot") * lit(1e6)
           + lit(0.5)).cast("double") / lit(1e6)).as("coverage"))
+  }
+
+  /** The Memo'd (word, freq) table every vocabulary statistic shares —
+    * one token pass per corpus per session, |vocab| rows (≪ corpus). */
+  private def tokenFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.queries.Memo.cached(df.sparkSession, s"tokfreq|" +
+      s"${System.identityHashCode(df.sparkSession)}|$idCol|$textCol|" +
+      s"${df.queryExecution.logical.semanticHash()}")(
+      df.select(explode(tokensCol(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+
+  /** Zipf rank-frequency fit ([EXT]): OLS slope/intercept of
+    * ln(freq) on ln(rank) over the `topN` most frequent tokens — the
+    * corpus-statistics sanity check (natural language sits near slope
+    * −1; templated/synthetic corpora flatten or cliff). Shares the
+    * Memo'd [[tokenFreq]] pass with [[vocabCoverage]]; the top-N cut
+    * is sort+limit (TakeOrderedAndProject — per-partition heaps,
+    * never a global rank window over the vocabulary), the rank window
+    * runs over topN rows only.
+    *
+    * Determinism: each ln(rank)/ln(freq) is quantized to an exact
+    * integer micro value, all OLS moments are integer sums, and the
+    * closed-form slope/intercept is one identical IEEE chain on both
+    * engines — outputs on the floor(x·1e4+0.5) halfway rule.
+    * Output: one row (n_ranks, slope, intercept). */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 3, s"need topN >= 3, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val top = tokenFreq(df, idCol, textCol)
+      .orderBy(col("f").desc, col("w").asc).limit(topN)
+    // bounded window: topN rows, not the vocabulary
+    val w = Window.orderBy(col("f").desc, col("w").asc)
+    val q = top.withColumn("r", row_number().over(w))
+      .select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS LONG)").as("xq"),
+        expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS LONG)").as("yq"))
+    q.agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .withColumn("__slope",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .select(col("n").as("n_ranks"),
+        (floor(col("__slope") * lit(1e4) + lit(0.5)).cast("double") / lit(1e4))
+          .as("slope"),
+        (floor((col("sy").cast("double") - col("__slope") * col("sx").cast("double"))
+          / col("n").cast("double") / lit(1e6) * lit(1e4) + lit(0.5))
+          .cast("double") / lit(1e4)).as("intercept"))
+  }
+
+  /** Heaps'-law vocabulary growth curve ([EXT]): cumulative distinct
+    * vocabulary vs cumulative token count, sampled at `nBuckets`
+    * doc-id buckets — the sublinearity check (V ≈ K·N^β, β < 1 for
+    * natural language) and the "is more data still adding words"
+    * chart a tokenizer budget consults.
+    *
+    * Scale: a word's FIRST bucket is min(doc_id) over one token-keyed
+    * map-side-combined shuffle; per-bucket token/doc counts are one
+    * more; the cumulative window runs over nBuckets rows only. All
+    * counts exact integers — nothing floating anywhere.
+    * Output: (bucket, n_docs, tokens_cum, vocab_cum). */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val mx = df.agg(max(col(idCol)).cast("long").as("__mx"))
+    def bucketOf(idc: Column): Column =
+      least(lit(nBuckets - 1).cast("long"),
+        floor(idc.cast("double") * nBuckets / (col("__mx") + 1).cast("double"))
+          .cast("long"))
+    val tok = df.select(col(idCol).cast("long").as("__id"),
+        explode(tokensCol(col(textCol))).as("w"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__b", bucketOf(col("__id")))
+    val perBucket = tok.groupBy("__b")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("__id")).as("n_docs"))
+    val newWords = tok.groupBy("w").agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb").as("__b")).agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, 0) // nBuckets rows only
+    perBucket.join(newWords, Seq("__b"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .select(col("__b").as("bucket"), col("n_docs"),
+        sum(col("n_tok")).over(cum).as("tokens_cum"),
+        sum(col("n_new")).over(cum).as("vocab_cum"))
   }
 
   /** Fixed-size character chunking with overlap: split each document

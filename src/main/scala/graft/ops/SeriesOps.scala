@@ -245,6 +245,48 @@ object SeriesOps {
         q6(col("o.det") - col("o.seas")).as("remainder"))
   }
 
+  /** Holt's linear-trend (double exponential) smoothing per series
+    * ([EXT]): the level/trend upgrade of [[ewma]] — l₁ = x₁,
+    * b₁ = x₂ − x₁, then lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁) and
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁ — the smoother a trending sensor
+    * series needs (plain EWMA lags a trend by a constant offset).
+    *
+    * Determinism: the [[ewma]] contract — the coupled recurrence is
+    * order-dependent by definition and runs as ONE index-ordered
+    * array fold (struct accumulator carrying (l, b)); all α/β
+    * constants are SQL-evaluated casts so DuckDB replays the
+    * identical IEEE multiply-add chain with list_reduce over struct
+    * prefixes. Output [[q6]]-quantized.
+    *
+    * Scale: zero shuffle beyond the series groupBy; O(n) fold steps
+    * (O(n²) accumulator copying in expression eval, the ewma note).
+    * Output: (series_id, pos, value, level, trend), series shorter
+    * than 3 dropped. */
+  def holt(series: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val b = s"CAST($beta AS DOUBLE)"
+    val one = "CAST(1 AS DOUBLE)"
+    val newl = s"$a * element_at(values, i) + ($one - $a) " +
+      "* (element_at(acc, -1).l + element_at(acc, -1).b)"
+    val fold =
+      s"""aggregate(sequence(2, size(values)),
+         |  array(named_struct('l', element_at(values, 1),
+         |    'b', element_at(values, 2) - element_at(values, 1))),
+         |  (acc, i) -> acc || array(named_struct(
+         |    'l', $newl,
+         |    'b', $b * (($newl) - element_at(acc, -1).l)
+         |         + ($one - $b) * element_at(acc, -1).b)))""".stripMargin
+    series
+      .filter(size(col("values")) >= 3)
+      .withColumn("__st", expr(fold))
+      .select(col("series_id"),
+        posexplode(arrays_zip(col("values"), col("__st"))).as(Seq("__i", "__z")))
+      .select(col("series_id"), (col("__i") + 1).cast("long").as("pos"),
+        q6(col("__z.values")).as("value"),
+        q6(col("__z.__st.l")).as("level"),
+        q6(col("__z.__st.b")).as("trend"))
+  }
+
   /** Per-series autocorrelation function ([EXT]): acf(ℓ) =
     * Σᵢ(xᵢ−x̄)(xᵢ₊ℓ−x̄) / Σᵢ(xᵢ−x̄)² for ℓ = 1..`maxLag` — the lag
     * structure probe a clustering pipeline runs to pick window sizes

@@ -182,6 +182,44 @@ object CoreQueries {
              |  floor(ew * 1e6 + 0.5) / 1e6 AS ewma
              |FROM pts ORDER BY series_id, pos""".stripMargin)),
 
+    // Holt linear-trend smoothing (round 10, [EXT]): the level/trend
+    // upgrade of ts_ewma. Same sequential-fold contract — the coupled
+    // (l, b) recurrence runs as one index-ordered array fold with a
+    // struct accumulator; DuckDB replays the identical IEEE chain via
+    // list_reduce over struct prefixes.
+    Q("ts_holt",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.holt(ser, 0.5, 0.3).orderBy("series_id", "pos")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |st AS (SELECT user_id, vs, len(vs) AS n FROM l WHERE len(vs) >= 3),
+             |-- (l, b) state as a 2-list: DuckDB 1.0 list_reduce mis-evaluates
+             |-- struct-building lambdas (field cross-talk), list accumulators
+             |-- replay the exact IEEE chain
+             |o AS (SELECT user_id, i, vs[i] AS value,
+             |    list_reduce(
+             |      list_prepend([vs[1], vs[2] - vs[1]],
+             |        [[vs[j], CAST(0 AS DOUBLE)] for j in range(2, i + 1)]),
+             |      (acc, ob) -> [
+             |        CAST(0.5 AS DOUBLE) * ob[1]
+             |          + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (acc[1] + acc[2]),
+             |        CAST(0.3 AS DOUBLE)
+             |          * ((CAST(0.5 AS DOUBLE) * ob[1]
+             |              + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (acc[1] + acc[2]))
+             |             - acc[1])
+             |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc[2]]) AS s
+             |  FROM st, LATERAL (SELECT unnest(range(1, n + 1)) AS i) u)
+             |SELECT user_id AS series_id, CAST(i AS BIGINT) AS pos,
+             |  floor(value * 1e6 + 0.5) / 1e6 AS value,
+             |  floor(s[1] * 1e6 + 0.5) / 1e6 AS level,
+             |  floor(s[2] * 1e6 + 0.5) / 1e6 AS trend
+             |FROM o ORDER BY series_id, pos""".stripMargin)),
+
     // EWMA-residual anomaly flags (round 10, [EXT]): extreme one-step
     // JUMPS per series (vs pt_zscore/pt_mad's extreme VALUES) —
     // residual r_i = x_i − ewma_{i−1}, flagged at |r − mean(r)| >

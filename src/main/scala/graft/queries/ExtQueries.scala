@@ -2378,6 +2378,60 @@ object ExtQueries {
              |    / 1e6 AS coverage
              |FROM cov ORDER BY vocab_size""".stripMargin)),
 
+    // Zipf rank-frequency fit (round 10, [EXT]): OLS slope/intercept
+    // of ln(freq) on ln(rank) over the top-100 tokens — natural
+    // language sits near slope −1; templated corpora flatten. Shares
+    // the Memo'd token-frequency pass; all OLS moments are exact
+    // integer micro-sums of quantized lns, so the closed form is one
+    // identical IEEE chain on both engines.
+    Q("text_zipf_fit",
+      (s, dir) => TextOps.zipfFit(Tables.documents(s, dir),
+        "doc_id", "text", 100),
+      Some("""WITH tf AS (SELECT w, count(*) AS f
+             |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |        FROM documents) GROUP BY w),
+             |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+             |        FROM tf ORDER BY f DESC, w ASC LIMIT 100),
+             |q AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+             |             CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+             |      FROM top),
+             |s AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+             |             sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM q),
+             |fit AS (SELECT n, sx, sy,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+             |  FROM s)
+             |SELECT CAST(n AS BIGINT) AS n_ranks,
+             |  floor(slope_raw * 1e4 + 0.5) / 1e4 AS slope,
+             |  floor((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS intercept
+             |FROM fit""".stripMargin)),
+
+    // Heaps'-law vocabulary growth (round 10, [EXT]): cumulative
+    // vocabulary vs cumulative tokens at 20 doc-id buckets — the
+    // "is more data still adding words" chart. A word's first bucket
+    // is min(doc_id) over one token-keyed shuffle; the cumulative
+    // window runs over 20 rows only; all counts exact integers.
+    Q("text_heaps_law",
+      (s, dir) => TextOps.heapsCurve(Tables.documents(s, dir),
+        "doc_id", "text", 20).orderBy("bucket"),
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+             |tok AS (SELECT least(19, CAST(floor(CAST(doc_id AS DOUBLE) * 20
+             |            / CAST(m + 1 AS DOUBLE)) AS BIGINT)) AS b,
+             |          doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |        FROM documents, mx),
+             |pb AS (SELECT b, count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs
+             |       FROM tok GROUP BY b),
+             |nw AS (SELECT fb AS b, count(*) AS n_new
+             |       FROM (SELECT w, min(b) AS fb FROM tok GROUP BY w) GROUP BY fb)
+             |SELECT pb.b AS bucket, pb.n_docs,
+             |  sum(pb.n_tok) OVER (ORDER BY pb.b) AS tokens_cum,
+             |  sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pb.b) AS vocab_cum
+             |FROM pb LEFT JOIN nw ON pb.b = nw.b
+             |ORDER BY bucket""".stripMargin)),
+
     // Context-window chunking: 256-char chunks, 32-char overlap (RAG /
     // training-window passage splitter; per-row sequence+substr)
     Q("text_chunk",
@@ -2858,6 +2912,40 @@ object ExtQueries {
              |SELECT tbl, col, n_rows, n_null,
              |       round(n_null / n_rows, 6) AS null_ratio
              |FROM t ORDER BY tbl, col""".stripMargin)),
+
+    // Benford first-digit audit (round 10, [EXT]): the data-quality /
+    // fabrication screen over a monetary column — observed leading
+    // significant digit distribution vs Benford's log10(1 + 1/d).
+    // The digit comes from the INTEGER cents via string head (no
+    // cross-engine log10-of-data risk: log10 only touches the nine
+    // digit constants); freq is one integer-ratio division on the
+    // floor halfway rule. One map-side-combined 9-group aggregate.
+    Q("profile_benford",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val w = Window.partitionBy() // 9 rows
+        li.filter(col("l_extendedprice") > 0)
+          .select(substring(round(col("l_extendedprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("freq",
+            floor(col("n").cast("double") / sum(col("n")).over(w)
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .withColumn("expected",
+            floor(expr("log10(1.0D + 1.0D / CAST(digit AS DOUBLE))")
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+             |            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             |           FROM lineitem WHERE l_extendedprice > 0),
+             |g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit)
+             |SELECT digit, n,
+             |  floor(CAST(n AS DOUBLE) / sum(n) OVER () * 1e6 + 0.5) / 1e6 AS freq,
+             |  floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |    AS expected
+             |FROM g ORDER BY digit""".stripMargin)),
 
     // k-anonymity / l-diversity audit (round 10, [EXT]): the privacy
     // pre-flight a training-data release runs — group sizes over the

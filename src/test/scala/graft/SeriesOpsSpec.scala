@@ -328,6 +328,22 @@ class SeriesOpsSpec extends SparkSpec {
     assert(!a._4, s"alternation flagged: $a") // max |S| = 1/√20 « 1.358
   }
 
+  test("holt: exact trend-following on a linear ramp (level == value, trend == d)") {
+    // ramp x_i = 2i: init l₁ = x₁, b₁ = d = 2; inductively
+    // l = 0.5·xᵢ + 0.5·(xᵢ₋₁ + d) = xᵢ and b stays d — every FP op is
+    // exact on these integers, so the pin is equality, not tolerance.
+    val ramp = Seq(("s", (1 to 12).map(i => 2.0 * i).toArray))
+      .toDF("series_id", "values")
+    val got = SeriesOps.holt(ramp, 0.5, 0.3).orderBy("pos")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == 12)
+    assert(got.forall(r => r._4 == r._3), s"level != value: ${got.mkString(", ")}")
+    assert(got.forall(_._5 == 2.0), s"trend != 2: ${got.mkString(", ")}")
+    // shorter than 3 points → dropped
+    val tiny = Seq(("t", Array(1.0, 2.0))).toDF("series_id", "values")
+    assert(SeriesOps.holt(tiny, 0.5, 0.3).count() == 0)
+  }
+
   test("crossCorr: exact ±1 on linearly dependent series, pairs s_a < s_b only") {
     val df = Seq(
       ("a", Array(1.0, 2.0, 3.0, 4.0)),

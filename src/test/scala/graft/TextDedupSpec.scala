@@ -1268,4 +1268,36 @@ class TextDedupSpec extends SparkSpec {
         s"capped rows not a ratio-order prefix: $sorted")
     }
   }
+
+  test("zipfFit: a freq = C/r corpus fits slope ≈ −1; a uniform corpus fits 0") {
+    import spark.implicits._
+    // word r appears round(720/r) times → ln f ≈ ln 720 − ln r
+    val zipfDocs = Seq((1L, (1 to 12).flatMap(r =>
+      Seq.fill(math.round(720.0 / r).toInt)(s"w$r")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fit = TextOps.zipfFit(zipfDocs, "doc_id", "text", 12)
+      .as[(Long, Double, Double)].head()
+    assert(fit._1 == 12L)
+    assert(math.abs(fit._2 + 1.0) < 0.02, s"slope ${fit._2}")
+    val flat = Seq((1L, (1 to 12).flatMap(r => Seq.fill(50)(s"w$r")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val f2 = TextOps.zipfFit(flat, "doc_id", "text", 12)
+      .as[(Long, Double, Double)].head()
+    assert(f2._2 == 0.0, s"uniform slope ${f2._2}")
+  }
+
+  test("heapsCurve: all-new-words corpus has vocab_cum == tokens_cum; repeats flatten it") {
+    import spark.implicits._
+    val fresh = (0L until 20L).map(i => (i, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val c = TextOps.heapsCurve(fresh, "doc_id", "text", 4).orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(c.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c.forall(r => r._4 == r._3), c.mkString(", ")) // every token new
+    assert(c.last._3 == 60L && c.last._2 == 5L)
+    val repeats = (0L until 20L).map(i => (i, "same words only")).toDF("doc_id", "text")
+    val r = TextOps.heapsCurve(repeats, "doc_id", "text", 4).orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.last._4 == 3L && r.last._3 == 60L, r.mkString(", "))
+    assert(r.head._4 == 3L) // whole vocabulary seen in the first bucket
+  }
 }
