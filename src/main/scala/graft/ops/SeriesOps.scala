@@ -529,4 +529,75 @@ object SeriesOps {
             lit(0.6745) * col("__ad") / col("mad") > lit(3.5), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Piecewise Aggregate Approximation ([EXT], Keogh et al. KAIS 2001):
+    * z-normalize each series, split it into `w` contiguous segments
+    * (segment j covers positions floor((j−1)·n/w)+1 .. floor(j·n/w) —
+    * non-empty whenever n ≥ w) and emit each segment's mean — the
+    * dimensionality reduction a series-similarity index runs before
+    * symbolizing ([[sax]]) or indexing.
+    *
+    * Determinism: mean and variance come from exact integer micro-sums
+    * (the [[acf]] idiom), so z-scores are identical IEEE chains on both
+    * engines; each segment sum is again an exact integer micro-sum of
+    * quantized z-values and the final mean one identical division,
+    * emitted on the [[q6]] halfway rule. Segment boundaries are
+    * floor-of-double on exact integers — engine-agnostic.
+    *
+    * Scale: zero shuffle beyond the series groupBy; O(n) work per
+    * series in codegen'd HOF folds. Constant series (variance 0) are
+    * dropped, series shorter than max(minLen, w) are dropped.
+    * Output: (series_id, seg, paa). */
+  def paa(series: DataFrame, w: Int, minLen: Int = 10): DataFrame = {
+    require(w >= 2, s"need w >= 2, got $w")
+    series
+      .filter(size(col("values")) >= math.max(minLen, w))
+      .withColumn("__n", size(col("values")))
+      .withColumn("__s1", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__s2", expr(
+        """aggregate(values, 0L, (acc, x) ->
+          |  acc + CAST(round((x - __mean) * (x - __mean) * 1e6) AS LONG))""".stripMargin))
+      .filter(col("__s2") > 0L)
+      .withColumn("__std", sqrt(col("__s2").cast("double") / col("__n") / lit(1e6)))
+      .select(col("series_id"), col("__n"), col("__mean"), col("__std"),
+        col("values"), explode(sequence(lit(1), lit(w))).as("seg"))
+      .withColumn("__lo",
+        floor(((col("seg") - 1) * col("__n")).cast("double") / lit(w.toDouble))
+          .cast("int") + 1)
+      .withColumn("__hi",
+        floor((col("seg") * col("__n")).cast("double") / lit(w.toDouble)).cast("int"))
+      .withColumn("__zs", expr(
+        """aggregate(sequence(__lo, __hi), 0L, (acc, i) ->
+          |  acc + CAST(round((element_at(values, i) - __mean) / __std * 1e6)
+          |    AS LONG))""".stripMargin))
+      .select(col("series_id"), col("seg").cast("long").as("seg"),
+        q6(col("__zs").cast("double")
+          / (col("__hi") - col("__lo") + 1).cast("double") / lit(1e6)).as("paa"))
+  }
+
+  /** SAX symbolization ([EXT], Lin et al. DMKD 2007): bin each [[paa]]
+    * segment mean at the standard-normal quartile breakpoints
+    * (−0.6745, 0, 0.6745 — alphabet size 4) and concatenate the
+    * segment symbols in order into one word per series — the discrete
+    * series fingerprint that turns similarity into string equality
+    * (motif buckets, series dedup, suffix indexing).
+    *
+    * Determinism: [[paa]] values are already engine-exact 6-dp
+    * quantized doubles; the breakpoints are exact decimal literals, so
+    * binning is exact comparison; the word concatenation is ordered by
+    * the unique seg key. Scale: [[paa]]'s contract + one per-series
+    * collect of w symbols. Output: (series_id, word). */
+  def sax(series: DataFrame, w: Int, minLen: Int = 10): DataFrame =
+    paa(series, w, minLen)
+      .withColumn("__sym",
+        when(col("paa") < lit(-0.6745), lit("a"))
+          .when(col("paa") < lit(0.0), lit("b"))
+          .when(col("paa") < lit(0.6745), lit("c"))
+          .otherwise(lit("d")))
+      .groupBy("series_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("seg"), col("__sym").as("__y")))),
+        x => x("__y")), "").as("word"))
 }

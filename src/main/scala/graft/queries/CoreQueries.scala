@@ -220,6 +220,119 @@ object CoreQueries {
              |  floor(s[2] * 1e6 + 0.5) / 1e6 AS trend
              |FROM o ORDER BY series_id, pos""".stripMargin)),
 
+    // PAA dimensionality reduction (round 10, [EXT], Keogh KAIS 2001):
+    // z-normalized 8-segment means per series. Moments and segment
+    // sums are exact integer micro-sums, so both engines walk one
+    // identical IEEE chain; segment boundaries are floor-of-double on
+    // exact integers.
+    Q("ts_paa",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.paa(ser, 8).orderBy("series_id", "seg")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM l WHERE len(vs) >= 10),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6)
+             |        AS BIGINT) for x in vs]) AS s2 FROM m),
+             |v AS (SELECT *, sqrt(CAST(s2 AS DOUBLE) / n / 1e6) AS std
+             |  FROM d WHERE s2 > 0),
+             |b AS (SELECT user_id, vs, mean, std, sg.seg AS seg,
+             |    CAST(floor((sg.seg - 1) * n / 8.0) AS BIGINT) + 1 AS lo,
+             |    CAST(floor(sg.seg * n / 8.0) AS BIGINT) AS hi
+             |  FROM v, (SELECT unnest(range(1, 9)) AS seg) sg)
+             |SELECT user_id AS series_id, CAST(seg AS BIGINT) AS seg,
+             |  floor(CAST(list_sum([CAST(round((vs[i] - mean) / std * 1e6) AS BIGINT)
+             |      for i in range(lo, hi + 1)]) AS DOUBLE)
+             |    / CAST(hi - lo + 1 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS paa
+             |FROM b ORDER BY series_id, seg""".stripMargin)),
+
+    // SAX words (round 10, [EXT], Lin DMKD 2007): bin each PAA mean at
+    // the standard-normal quartile breakpoints into a 4-letter
+    // alphabet, concatenated per series — the discrete fingerprint
+    // that turns series similarity into string equality. Binning is
+    // exact comparison on the already-quantized paa values.
+    Q("ts_sax",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.sax(ser, 8).orderBy("series_id")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM l WHERE len(vs) >= 10),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6)
+             |        AS BIGINT) for x in vs]) AS s2 FROM m),
+             |v AS (SELECT *, sqrt(CAST(s2 AS DOUBLE) / n / 1e6) AS std
+             |  FROM d WHERE s2 > 0),
+             |b AS (SELECT user_id, vs, mean, std, sg.seg AS seg,
+             |    CAST(floor((sg.seg - 1) * n / 8.0) AS BIGINT) + 1 AS lo,
+             |    CAST(floor(sg.seg * n / 8.0) AS BIGINT) AS hi
+             |  FROM v, (SELECT unnest(range(1, 9)) AS seg) sg),
+             |p AS (SELECT user_id, seg,
+             |    floor(CAST(list_sum([CAST(round((vs[i] - mean) / std * 1e6) AS BIGINT)
+             |        for i in range(lo, hi + 1)]) AS DOUBLE)
+             |      / CAST(hi - lo + 1 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS paa
+             |  FROM b)
+             |SELECT user_id AS series_id,
+             |  string_agg(CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+             |    WHEN paa < 0.6745 THEN 'c' ELSE 'd' END, '' ORDER BY seg) AS word
+             |FROM p GROUP BY user_id ORDER BY series_id""".stripMargin)),
+
+    // SAX motif buckets (round 10, [EXT]): series sharing a 4-segment
+    // SAX word — the shape-dedup / motif-candidate pass (string
+    // equality instead of a pairwise distance scan; the time-series
+    // twin of the text tier's fingerprint dedup). One map-side-
+    // combined groupBy on the word.
+    Q("ts_sax_motifs",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.sax(ser, 4).groupBy("word")
+          .agg(count(lit(1)).as("n_series"), min("series_id").as("example"))
+          .filter(col("n_series") >= 2)
+          .orderBy(col("n_series").desc, col("word"))
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM l WHERE len(vs) >= 10),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6)
+             |        AS BIGINT) for x in vs]) AS s2 FROM m),
+             |v AS (SELECT *, sqrt(CAST(s2 AS DOUBLE) / n / 1e6) AS std
+             |  FROM d WHERE s2 > 0),
+             |b AS (SELECT user_id, vs, mean, std, sg.seg AS seg,
+             |    CAST(floor((sg.seg - 1) * n / 4.0) AS BIGINT) + 1 AS lo,
+             |    CAST(floor(sg.seg * n / 4.0) AS BIGINT) AS hi
+             |  FROM v, (SELECT unnest(range(1, 5)) AS seg) sg),
+             |p AS (SELECT user_id, seg,
+             |    floor(CAST(list_sum([CAST(round((vs[i] - mean) / std * 1e6) AS BIGINT)
+             |        for i in range(lo, hi + 1)]) AS DOUBLE)
+             |      / CAST(hi - lo + 1 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS paa
+             |  FROM b),
+             |w AS (SELECT user_id,
+             |    string_agg(CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+             |      WHEN paa < 0.6745 THEN 'c' ELSE 'd' END, '' ORDER BY seg) AS word
+             |  FROM p GROUP BY user_id)
+             |SELECT word, count(*) AS n_series, min(user_id) AS example
+             |FROM w GROUP BY word HAVING count(*) >= 2
+             |ORDER BY n_series DESC, word""".stripMargin)),
+
     // EWMA-residual anomaly flags (round 10, [EXT]): extreme one-step
     // JUMPS per series (vs pt_zscore/pt_mad's extreme VALUES) —
     // residual r_i = x_i − ewma_{i−1}, flagged at |r − mean(r)| >

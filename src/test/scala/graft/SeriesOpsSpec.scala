@@ -344,6 +344,46 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.holt(tiny, 0.5, 0.3).count() == 0)
   }
 
+  test("paa/sax: exact z-scores on a two-level step series; word pins the bins") {
+    // [0,0,0,0,4,4,4,4]: mean 2, var 4, std 2 → z = ±1 EXACTLY; w=4
+    // segments of 2 → paa [-1,-1,1,1]; bins: -1 < -0.6745 → 'a',
+    // 1 ≥ 0.6745 → 'd' → word "aadd". Every FP op exact.
+    val step = Seq(("s", Array(0.0, 0.0, 0.0, 0.0, 4.0, 4.0, 4.0, 4.0)))
+      .toDF("series_id", "values")
+    val p = SeriesOps.paa(step, 4, minLen = 4).orderBy("seg")
+      .as[(String, Long, Double)].collect()
+    assert(p.map(_._3).toSeq == Seq(-1.0, -1.0, 1.0, 1.0), p.mkString(", "))
+    val w = SeriesOps.sax(step, 4, minLen = 4).as[(String, String)].head()
+    assert(w._2 == "aadd")
+    // constant series (variance 0) dropped; n < w dropped
+    val const = Seq(("c", Array.fill(8)(3.0))).toDF("series_id", "values")
+    assert(SeriesOps.paa(const, 4, minLen = 4).count() == 0)
+    val tiny = Seq(("t", Array(1.0, 2.0, 3.0))).toDF("series_id", "values")
+    assert(SeriesOps.paa(tiny, 4, minLen = 4).count() == 0)
+    // ragged boundaries: n=10, w=4 → segments [1,2],[3,5],[6,7],[8,10]
+    val ragged = Seq(("r", (1 to 10).map(_.toDouble).toArray))
+      .toDF("series_id", "values")
+    val segs = SeriesOps.paa(ragged, 4, minLen = 4).orderBy("seg")
+      .as[(String, Long, Double)].collect()
+    assert(segs.length == 4)
+    assert(segs.map(_._3).sliding(2).forall(a => a(0) < a(1)),
+      s"ramp paa not increasing: ${segs.mkString(", ")}")
+  }
+
+  test("sax motifs: identical-shape series share a word") {
+    // same shape at different offsets/scales — z-normalization maps
+    // both to the same z sequence, so the SAX words are equal
+    val df = Seq(
+      ("a", Array(0.0, 0.0, 0.0, 0.0, 4.0, 4.0, 4.0, 4.0)),
+      ("b", Array(10.0, 10.0, 10.0, 10.0, 30.0, 30.0, 30.0, 30.0)),
+      ("c", Array(4.0, 4.0, 4.0, 4.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("series_id", "values")
+    val words = SeriesOps.sax(df, 4, minLen = 4)
+      .as[(String, String)].collect().toMap
+    assert(words("a") == words("b"))
+    assert(words("c") == "ddaa")
+  }
+
   test("crossCorr: exact ±1 on linearly dependent series, pairs s_a < s_b only") {
     val df = Seq(
       ("a", Array(1.0, 2.0, 3.0, 4.0)),
