@@ -577,6 +577,58 @@ object SeriesOps {
           / (col("__hi") - col("__lo") + 1).cast("double") / lit(1e6)).as("paa"))
   }
 
+  /** Periodogram at the first `maxK` Fourier frequencies ([EXT]): per
+    * series, power p_k = (a_k² + b_k²)/n of the z-normalized values at
+    * frequency k cycles/series, k = 1..maxK, plus the dominant-k flag —
+    * the seasonality probe run before [[decompose]] (which needs the
+    * period as an input) and before choosing DTW window widths.
+    *
+    * Determinism: mean/std come from exact integer micro-sums; each
+    * projection term is a product of TWO exact integers — round(z·10⁶)
+    * and round(cos|sin(2πki/n)·10⁴) — so a_k/b_k are exact integer
+    * sums (safe while n·|z|max ≲ 9·10⁸, far beyond any real series);
+    * the trig argument 2·π()·k·i/n is the identical left-associated
+    * IEEE chain on both engines, and a last-ulp libm cos divergence
+    * only matters within 10⁻¹⁰ of a quantization boundary. Power is
+    * one identical double chain, [[q6]]-quantized; dominant = first
+    * max over maxK rows (bounded window).
+    *
+    * Scale: zero shuffle beyond the series groupBy; O(maxK·n)
+    * codegen'd HOF multiply-adds; the dominant window partitions by
+    * series over maxK rows. Output: (series_id, k, power, dominant). */
+  def periodogram(series: DataFrame, maxK: Int, minLen: Int = 10): DataFrame = {
+    require(maxK >= 1, s"need maxK >= 1, got $maxK")
+    import org.apache.spark.sql.expressions.Window
+    def proj(fn: String): Column = expr(
+      s"""aggregate(sequence(1, __n), 0L, (acc, i) ->
+         |  acc + CAST(round((element_at(values, i) - __mean) / __std * 1e6)
+         |      AS LONG)
+         |    * CAST(round($fn(2 * pi() * __k * i / __n) * 1e4) AS LONG))"""
+        .stripMargin)
+    val base = series
+      .filter(size(col("values")) >= math.max(minLen, 2 * maxK))
+      .withColumn("__n", size(col("values")))
+      .withColumn("__s1", expr(
+        "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
+      .withColumn("__s2", expr(
+        """aggregate(values, 0L, (acc, x) ->
+          |  acc + CAST(round((x - __mean) * (x - __mean) * 1e6) AS LONG))""".stripMargin))
+      .filter(col("__s2") > 0L)
+      .withColumn("__std", sqrt(col("__s2").cast("double") / col("__n") / lit(1e6)))
+      .select(col("series_id"), col("__n"), col("__mean"), col("__std"),
+        col("values"), explode(sequence(lit(1), lit(maxK))).as("__k"))
+      .withColumn("__a", proj("cos").cast("double") / lit(1e10))
+      .withColumn("__b", proj("sin").cast("double") / lit(1e10))
+      .withColumn("power", q6(
+        (col("__a") * col("__a") + col("__b") * col("__b")) / col("__n")))
+    val w = Window.partitionBy("series_id") // maxK rows per series
+      .orderBy(col("power").desc, col("__k").asc)
+    base.withColumn("dominant", row_number().over(w) === 1)
+      .select(col("series_id"), col("__k").cast("long").as("k"),
+        col("power"), col("dominant"))
+  }
+
   /** SAX symbolization ([EXT], Lin et al. DMKD 2007): bin each [[paa]]
     * segment mean at the standard-normal quartile breakpoints
     * (−0.6745, 0, 0.6745 — alphabet size 4) and concatenate the

@@ -220,6 +220,48 @@ object CoreQueries {
              |  floor(s[2] * 1e6 + 0.5) / 1e6 AS trend
              |FROM o ORDER BY series_id, pos""".stripMargin)),
 
+    // Periodogram (round 10, [EXT]): per-series power at the first 5
+    // Fourier frequencies of the z-normalized values + dominant-k flag
+    // — the seasonality probe run before decompose (which needs the
+    // period) and DTW window choice. Each projection term is a product
+    // of two exact integers (z at 1e6, trig at 1e4) so a/b are exact
+    // integer sums; the trig argument is the identical left-associated
+    // IEEE chain on both engines.
+    Q("ts_periodogram",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.periodogram(ser, 5).orderBy("series_id", "k")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |s AS (SELECT user_id, vs, len(vs) AS n,
+             |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
+             |  FROM l WHERE len(vs) >= 10),
+             |m AS (SELECT *, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
+             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6)
+             |        AS BIGINT) for x in vs]) AS s2 FROM m),
+             |v AS (SELECT *, sqrt(CAST(s2 AS DOUBLE) / n / 1e6) AS std
+             |  FROM d WHERE s2 > 0),
+             |g AS (SELECT user_id, vs, n, mean, std, kk.k AS k
+             |  FROM v, (SELECT unnest(range(1, 6)) AS k) kk),
+             |p AS (SELECT user_id, k, n,
+             |    CAST(list_sum([CAST(round((vs[i] - mean) / std * 1e6) AS BIGINT)
+             |        * CAST(round(cos(2 * pi() * k * i / n) * 1e4) AS BIGINT)
+             |        for i in range(1, n + 1)]) AS DOUBLE) / 1e10 AS a,
+             |    CAST(list_sum([CAST(round((vs[i] - mean) / std * 1e6) AS BIGINT)
+             |        * CAST(round(sin(2 * pi() * k * i / n) * 1e4) AS BIGINT)
+             |        for i in range(1, n + 1)]) AS DOUBLE) / 1e10 AS b
+             |  FROM g),
+             |q AS (SELECT user_id, k,
+             |    floor((a * a + b * b) / n * 1e6 + 0.5) / 1e6 AS power FROM p)
+             |SELECT user_id AS series_id, CAST(k AS BIGINT) AS k, power,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY power DESC, k ASC) = 1 AS dominant
+             |FROM q ORDER BY series_id, k""".stripMargin)),
+
     // PAA dimensionality reduction (round 10, [EXT], Keogh KAIS 2001):
     // z-normalized 8-segment means per series. Moments and segment
     // sums are exact integer micro-sums, so both engines walk one

@@ -370,6 +370,23 @@ class SeriesOpsSpec extends SparkSpec {
       s"ramp paa not increasing: ${segs.mkString(", ")}")
   }
 
+  test("periodogram: planted pure cosine at k=2 dominates; constant series dropped") {
+    val n = 16
+    val planted = Seq(("s", (1 to n).map(i =>
+      math.cos(2 * math.Pi * 2 * i / n)).toArray)).toDF("series_id", "values")
+    val rows = SeriesOps.periodogram(planted, 5).orderBy("k")
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(rows.length == 5)
+    val dom = rows.filter(_._4)
+    assert(dom.length == 1 && dom.head._2 == 2L, rows.mkString(", "))
+    // energy concentration: k=2 carries ≥ 100× any other frequency
+    val p2 = rows.find(_._2 == 2L).get._3
+    assert(rows.filter(_._2 != 2L).forall(r => r._3 * 100 <= p2),
+      rows.mkString(", "))
+    val const = Seq(("c", Array.fill(16)(3.0))).toDF("series_id", "values")
+    assert(SeriesOps.periodogram(const, 5).count() == 0)
+  }
+
   test("sax motifs: identical-shape series share a word") {
     // same shape at different offsets/scales — z-normalization maps
     // both to the same z sequence, so the SAX words are equal
