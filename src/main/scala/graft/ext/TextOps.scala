@@ -1500,6 +1500,48 @@ object TextOps {
       df.select(explode(tokensCol(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f")))
 
+  /** Per-source unigram KL divergence from the corpus distribution
+    * ([EXT]): KL(p_src ‖ p_corpus) = Σ_w p(w|src)·ln(p(w|src)/p(w)) —
+    * the mixture-design measure of how far each source's vocabulary
+    * sits from the blend (a near-zero source adds nothing a uniform
+    * sample wouldn't; a high-KL source is the distribution-shifting
+    * one to up/down-weight deliberately). Every source word occurs in
+    * the corpus, so the ratio is always finite and positive.
+    *
+    * Determinism: all counts exact; p and q are single BIGINT/BIGINT
+    * double divisions, the per-word term p·ln(p/q) one identical IEEE
+    * chain quantized to round(t·10⁹) — the cross-engine sum is an
+    * exact integer sum (|Σt| ≤ ln vocab, so the integer total stays
+    * ≲ 10¹⁰ at any corpus size). Output [[graft.ops.SeriesOps.q6]]-
+    * style 6-dp.
+    *
+    * Scale: one tokenize pass → (source, word) map-side-combined
+    * groupBy (THE corpus-sized shuffle); word totals re-aggregate that
+    * |sources|·|vocab|-bounded table; source totals broadcast
+    * (|sources| rows); the word join shuffles the sw table once more
+    * on its natural key. Output: (source, n_tokens, n_words, kl). */
+  def sourceKl(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val sw = df.select(col(srcCol).as("source"),
+        explode(tokensCol(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum(col("c_sw")).as("c_s"))
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val tot = wTot.agg(sum(col("c_w")).as("c"))
+    sw.join(wTot, Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", round(
+        (col("c_sw").cast("double") / col("c_s"))
+          * log((col("c_sw").cast("double") / col("c_s"))
+            / (col("c_w").cast("double") / col("c"))) * lit(1e9), 0)
+        .cast("long"))
+      .groupBy("source")
+      .agg(max(col("c_s")).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        (floor(sum(col("__t")).cast("double") / lit(1e9) * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6)).as("kl"))
+  }
+
   /** Zipf rank-frequency fit ([EXT]): OLS slope/intercept of
     * ln(freq) on ln(rank) over the `topN` most frequent tokens — the
     * corpus-statistics sanity check (natural language sits near slope

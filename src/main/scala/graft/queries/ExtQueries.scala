@@ -2378,6 +2378,32 @@ object ExtQueries {
              |    / 1e6 AS coverage
              |FROM cov ORDER BY vocab_size""".stripMargin)),
 
+    // Per-source unigram KL from the corpus blend (round 10, [EXT]):
+    // the mixture-design distance — a high-KL source is the
+    // distribution-shifting one to weight deliberately. Counts exact;
+    // the per-word term p·ln(p/q) is one identical IEEE chain
+    // quantized at 1e9, summed as exact integers.
+    Q("text_source_kl",
+      (s, dir) => TextOps.sourceKl(Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+             |st AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY source),
+             |wt AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+             |t AS (SELECT sum(c_w) AS c FROM wt),
+             |j AS (SELECT sw.source,
+             |    CAST(round((CAST(c_sw AS DOUBLE) / c_s)
+             |      * ln((CAST(c_sw AS DOUBLE) / c_s)
+             |        / (CAST(c_w AS DOUBLE) / c)) * 1e9) AS BIGINT) AS tq,
+             |    c_s
+             |  FROM sw JOIN wt USING (w) JOIN st USING (source), t)
+             |SELECT source, CAST(max(c_s) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_words,
+             |  floor(CAST(sum(tq) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS kl
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     // Zipf rank-frequency fit (round 10, [EXT]): OLS slope/intercept
     // of ln(freq) on ln(rank) over the top-100 tokens — natural
     // language sits near slope −1; templated corpora flatten. Shares

@@ -1269,6 +1269,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceKl: identical sources give 0; disjoint halves give ln 2 each") {
+    import spark.implicits._
+    // both sources == corpus distribution → KL 0
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val k0 = TextOps.sourceKl(same, "source", "text")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(k0.forall(_._4 == 0.0), k0.mkString(", "))
+    // A = {x y}, B = {z z}: corpus = (x .25, y .25, z .5);
+    // KL(A) = ln 2, KL(B) = ln 2 — closed form, 6dp 0.693147
+    val split = Seq(("A", "x y"), ("B", "z z")).toDF("source", "text")
+    val k1 = TextOps.sourceKl(split, "source", "text")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(k1.map(_._4).toSeq == Seq(0.693147, 0.693147), k1.mkString(", "))
+    assert(k1.map(_._2).toSeq == Seq(2L, 2L) && k1.map(_._3).toSeq == Seq(2L, 1L))
+  }
+
   test("zipfFit: a freq = C/r corpus fits slope ≈ −1; a uniform corpus fits 0") {
     import spark.implicits._
     // word r appears round(720/r) times → ln f ≈ ln 720 − ln r
