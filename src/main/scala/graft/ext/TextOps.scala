@@ -1542,6 +1542,37 @@ object TextOps {
           .cast("double") / lit(1e6)).as("kl"))
   }
 
+  /** Good–Turing unseen-mass estimate per source ([EXT]): from each
+    * source's unigram counts, N (tokens), V (distinct words), n₁
+    * (hapaxes), n₂ (dis legomena), and the Good–Turing estimate of
+    * the UNSEEN vocabulary mass p₀ ≈ n₁/N — "how much of this
+    * source's distribution have we not sampled yet", the saturation
+    * check a crawl/tokenizer budget consults (a source with high
+    * unseen mass rewards more collection; a saturated one doesn't).
+    *
+    * Determinism: every statistic is an exact integer count; the two
+    * ratios are single BIGINT/BIGINT double divisions on the floor
+    * halfway rule. Scale: one tokenize pass → (source, word)
+    * map-side-combined groupBy, then a |sources|·|vocab|-bounded
+    * re-aggregation — nothing corpus-sized past the first shuffle.
+    * Output: (source, n_tokens, n_distinct, n_hapax, n_dis,
+    * unseen_mass, coverage). */
+  def goodTuring(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        explode(tokensCol(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"), col("n_dis"),
+        (floor(col("n_hapax").cast("double") / col("n_tokens")
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("unseen_mass"),
+        (floor((lit(1.0) - col("n_hapax").cast("double") / col("n_tokens"))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("coverage"))
+
   /** Zipf rank-frequency fit ([EXT]): OLS slope/intercept of
     * ln(freq) on ln(rank) over the `topN` most frequent tokens — the
     * corpus-statistics sanity check (natural language sits near slope

@@ -898,6 +898,60 @@ object CoreQueries {
              |    * 1e6 + 0.5) / 1e6 AS p
              |FROM c ORDER BY from_type, to_type""".stripMargin)),
 
+    // Inter-arrival time stats per user (round 10, [EXT]): mean gap +
+    // coefficient of variation of consecutive-event gaps — the
+    // burstiness screen (cv » 1 = bursty bot-like traffic, cv « 1 =
+    // metronomic scripted traffic; human activity sits near
+    // exponential cv ≈ 1). Gaps are exact integer SECONDS (micros div
+    // 1e6 — gaps here are minutes-to-days, so second truncation is
+    // noise-free), moments exact integer sums, cv one identical IEEE
+    // chain. One lag() on the user partitioning the evt tier shares,
+    // then a map-side-combined per-user aggregate.
+    Q("evt_interarrival",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("__us"))
+          .withColumn("__gap",
+            ((col("__us") - lag(col("__us"), 1).over(w)) / lit(1000000L))
+              .cast("long"))
+          .filter(col("__gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("__gap")).as("__s1"),
+            sum(col("__gap") * col("__gap")).as("__s2"))
+          .filter(col("n_gaps") >= 5 && col("__s1") > 0)
+          .withColumn("__mean", col("__s1").cast("double") / col("n_gaps"))
+          .withColumn("__var", col("__s2").cast("double") / col("n_gaps")
+            - col("__mean") * col("__mean"))
+          .select(col("user_id"), col("n_gaps"),
+            (floor(col("__mean") * lit(1e2) + lit(0.5)).cast("double") / lit(1e2))
+              .as("mean_gap_s"),
+            (floor(sqrt(greatest(col("__var"), lit(0.0))) / col("__mean")
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("cv"))
+          .withColumn("bursty", col("cv") > lit(1.0))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    (epoch_us(ts) - lag(epoch_us(ts))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+             |  FROM events),
+             |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS s1,
+             |    sum(gap * gap) AS s2
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+             |  HAVING count(*) >= 5 AND sum(gap) > 0),
+             |m AS (SELECT user_id, n_gaps,
+             |    CAST(s1 AS DOUBLE) / n_gaps AS mean,
+             |    CAST(s2 AS DOUBLE) / n_gaps
+             |      - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps) AS var
+             |  FROM a)
+             |SELECT user_id, n_gaps,
+             |  floor(mean * 1e2 + 0.5) / 1e2 AS mean_gap_s,
+             |  floor(sqrt(greatest(var, 0.0)) / mean * 1e6 + 0.5) / 1e6 AS cv,
+             |  floor(sqrt(greatest(var, 0.0)) / mean * 1e6 + 0.5) / 1e6 > 1.0 AS bursty
+             |FROM m ORDER BY user_id""".stripMargin)),
+
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-concurrent click value (DuckDB's native ASOF JOIN is the
     // independent oracle implementation)

@@ -2378,6 +2378,26 @@ object ExtQueries {
              |    / 1e6 AS coverage
              |FROM cov ORDER BY vocab_size""".stripMargin)),
 
+    // Good–Turing unseen mass per source (round 10, [EXT]): hapax
+    // count over tokens estimates the UNSEEN vocabulary mass — the
+    // crawl-saturation check (a high-unseen-mass source rewards more
+    // collection). All exact integer counts + two divisions.
+    Q("text_good_turing",
+      (s, dir) => TextOps.goodTuring(Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+      Some("""WITH sw AS (SELECT source, w, count(*) AS c
+             |  FROM (SELECT source,
+             |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |    FROM documents) GROUP BY source, w)
+             |SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
+             |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+             |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n_dis,
+             |  floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / sum(c) * 1e6 + 0.5) / 1e6 AS unseen_mass,
+             |  floor((1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / sum(c)) * 1e6 + 0.5) / 1e6 AS coverage
+             |FROM sw GROUP BY source ORDER BY source""".stripMargin)),
+
     // Per-source unigram KL from the corpus blend (round 10, [EXT]):
     // the mixture-design distance — a high-KL source is the
     // distribution-shifting one to weight deliberately. Counts exact;

@@ -1269,6 +1269,18 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("goodTuring: closed-form hapax mass; saturated source has 0 unseen mass") {
+    import spark.implicits._
+    // A: tokens (a a b) → N 3, V 2, hapax {b}, dis {a} → unseen 1/3
+    // B: (c c c c) → no hapax → unseen 0, coverage 1
+    val df = Seq(("A", "a a b"), ("B", "c c c c")).toDF("source", "text")
+    val r = TextOps.goodTuring(df, "source", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r(0) == (("A", 3L, 2L, 1L, 1L, 0.333333, 0.666667)), r(0).toString)
+    assert(r(1) == (("B", 4L, 1L, 0L, 0L, 0.0, 1.0)), r(1).toString)
+  }
+
   test("sourceKl: identical sources give 0; disjoint halves give ln 2 each") {
     import spark.implicits._
     // both sources == corpus distribution → KL 0
