@@ -145,45 +145,63 @@ object SeriesOps {
     * (series_id, pos, value, resid, z) with resid [[q6]]-quantized
     * and z 4-dp on the same halfway rule.
     *
-    * Scale: zero shuffle beyond the series groupBy; per-series array
-    * folds. */
+    * Scale: zero shuffle beyond the series groupBy; ONE per-series
+    * fold computing the EWMA recurrence, residuals, and both moment
+    * micro-sums in a single pass, bound once through a
+    * `transform(array(fold), a -> …)` lambda. The obvious chained
+    * `withColumn` spelling (ewma array → residual transform → two
+    * moment folds → mean/std) is 85× slower here: CollapseProject
+    * merges the chain into one projection, duplicating the fold into
+    * every consumer, and lambda-bearing HOFs are EXCLUDED from
+    * Spark's subexpression elimination — measured 42 s vs 0.5 s for
+    * the single-consumer [[ewma]] on the same 1,500 series. */
   def ewmaAnomalies(series: DataFrame, alpha: Double,
       nSigma: Double): DataFrame = {
-    val ew =
-      s"""aggregate(values, CAST(array() AS ARRAY<DOUBLE>),
-         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0 THEN x
-         |    ELSE CAST($alpha AS DOUBLE) * x
-         |         + (CAST(1 AS DOUBLE) - CAST($alpha AS DOUBLE))
-         |           * element_at(acc, -1) END))""".stripMargin
-    val resid =
-      """transform(sequence(2, size(values)), i ->
-        |  element_at(values, i) - element_at(__ew, i - 1))""".stripMargin
+    val a = s"CAST($alpha AS DOUBLE)"
+    // acc.prev = ewma_{i−1} when x_i arrives, so r_i = x − acc.prev
+    // reproduces the chained spelling's IEEE ops bit-for-bit (the
+    // DuckDB oracle replays the same multiply-add chain)
+    val fold =
+      s"""aggregate(values,
+         |  named_struct('prev', CAST(NULL AS DOUBLE),
+         |    'rs', CAST(array() AS ARRAY<DOUBLE>), 's1', 0L, 's2', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', CASE WHEN acc.prev IS NULL THEN x
+         |      ELSE $a * x + (CAST(1 AS DOUBLE) - $a) * acc.prev END,
+         |    'rs', CASE WHEN acc.prev IS NULL THEN acc.rs
+         |      ELSE acc.rs || array(x - acc.prev) END,
+         |    's1', CASE WHEN acc.prev IS NULL THEN acc.s1
+         |      ELSE acc.s1 + CAST(round((x - acc.prev) * 1e6) AS LONG) END,
+         |    's2', CASE WHEN acc.prev IS NULL THEN acc.s2
+         |      ELSE acc.s2 + CAST(round((x - acc.prev) * (x - acc.prev)
+         |        * 1e6) AS LONG) END))""".stripMargin
+    val mean = "(CAST(a.s1 AS DOUBLE) / size(a.rs) / 1e6)"
+    val std = "sqrt(greatest(CAST(0 AS DOUBLE), " +
+      s"CAST(a.s2 AS DOUBLE) / size(a.rs) / 1e6 - $mean * $mean))"
+    // __std > 0 guard: quantized moments can reach zero variance on
+    // sub-micro residual spreads while the RAW |r − mean| stays
+    // positive — flagged=false keeps the z division (double /0 →
+    // inf/NaN, never an ANSI error) out of the output
+    val flagged =
+      s"""flatten(transform(array($fold), a ->
+         |  filter(
+         |    transform(sequence(1, size(a.rs)), i -> named_struct(
+         |      'pos', CAST(i + 1 AS BIGINT),
+         |      'value', element_at(values, CAST(i + 1 AS INT)),
+         |      'resid', element_at(a.rs, i),
+         |      'z', (element_at(a.rs, i) - $mean) / $std,
+         |      'flag', $std > CAST(0 AS DOUBLE)
+         |        AND abs(element_at(a.rs, i) - $mean)
+         |          > CAST($nSigma AS DOUBLE) * $std)),
+         |    p -> p.flag)))""".stripMargin
     series
       .filter(size(col("values")) >= 3)
-      .withColumn("__ew", expr(ew))
-      .withColumn("__r", expr(resid))
-      .withColumn("__n", size(col("__r")))
-      .withColumn("__s1", expr(
-        "aggregate(__r, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"))
-      .withColumn("__s2", expr(
-        "aggregate(__r, 0L, (acc, x) -> acc + CAST(round(x * x * 1e6) AS LONG))"))
-      .withColumn("__mean", col("__s1").cast("double") / col("__n") / lit(1e6))
-      .withColumn("__std", sqrt(greatest(lit(0.0),
-        col("__s2").cast("double") / col("__n") / lit(1e6)
-          - col("__mean") * col("__mean"))))
-      .select(col("series_id"), col("__mean"), col("__std"),
-        posexplode(col("__r")).as(Seq("__i", "__rv")),
-        col("values"))
-      // __std > 0 guard: quantized moments can reach zero variance on
-      // sub-micro residual spreads while the RAW |r − mean| stays
-      // positive — without it the z division raises under ANSI
-      .filter(col("__std") > lit(0.0)
-        && abs(col("__rv") - col("__mean")) > lit(nSigma) * col("__std"))
-      .select(col("series_id"), (col("__i") + 2).cast("long").as("pos"),
-        q6(element_at(col("values"), col("__i") + 2)).as("value"),
-        q6(col("__rv")).as("resid"),
-        (floor((col("__rv") - col("__mean")) / col("__std") * lit(1e4)
-          + lit(0.5)).cast("double") / lit(1e4)).as("z"))
+      .select(col("series_id"), explode(expr(flagged)).as("__p"))
+      .select(col("series_id"), col("__p.pos").as("pos"),
+        q6(col("__p.value")).as("value"),
+        q6(col("__p.resid")).as("resid"),
+        (floor(col("__p.z") * lit(1e4) + lit(0.5)).cast("double")
+          / lit(1e4)).as("z"))
   }
 
   /** Classical additive seasonal decomposition, STL-lite ([EXT]):
