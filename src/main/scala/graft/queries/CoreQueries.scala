@@ -541,13 +541,15 @@ object CoreQueries {
              |    list_sum([CAST(round(x * 1e6) AS BIGINT) for x in vs]) AS s1
              |  FROM t),
              |m AS (SELECT user_id, vs, n, CAST(s1 AS DOUBLE) / n / 1e6 AS mean FROM s),
-             |d AS (SELECT *, list_sum([CAST(round((x - mean) * (x - mean) * 1e6) AS BIGINT)
-             |        for x in vs]) AS den
-             |  FROM m)
+             |q AS (SELECT user_id, n,
+             |    [CAST(CAST(round((x - mean) * 1e3) AS BIGINT) AS DOUBLE)
+             |     for x in vs] AS qc
+             |  FROM m),
+             |d AS (SELECT user_id, n, qc,
+             |    list_sum([x * x for x in qc]) AS den FROM q)
              |SELECT a.user_id AS s_a, b.user_id AS s_b,
-             |  floor(CAST(list_sum([CAST(round((a.vs[i] - a.mean) * (b.vs[i] - b.mean) * 1e6)
-             |          AS BIGINT) for i in range(1, a.n + 1)]) AS DOUBLE)
-             |    / sqrt(CAST(a.den AS DOUBLE) * CAST(b.den AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS corr
+             |  floor(list_sum([a.qc[i] * b.qc[i] for i in range(1, a.n + 1)])
+             |    / sqrt(a.den * b.den) * 1e4 + 0.5) / 1e4 AS corr
              |FROM d a JOIN d b ON a.user_id < b.user_id
              |WHERE a.den > 0 AND b.den > 0
              |ORDER BY s_a, s_b""".stripMargin)),
