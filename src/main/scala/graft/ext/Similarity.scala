@@ -606,6 +606,66 @@ object Similarity {
       .toDF("audit", "v", "ok")
   }
 
+  /** Embedding DIVERSITY audit ([EXT]): per label group (and one
+    * corpus row, label −1), the mean pairwise cosine between all
+    * member vectors and its complement `diversity = 1 − mean_cos` —
+    * the training-data diversity metric that tells a curation pipeline
+    * whether a source/cluster is adding new directions or piling mass
+    * on one mode (the corpus-level face of what [[mmrRerank]] fixes
+    * per query).
+    *
+    * THE SCALE TRICK: the O(n²)-looking quantity has an O(n) one-pass
+    * identity — for unit vectors, Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − n, so
+    * mean pairwise cosine = (‖S‖² − n) / (n(n−1)) where S is the
+    * group's vector SUM. No pair join exists at any scale: the plan
+    * is one map-side-combined per-(group, dim) aggregation (shuffle
+    * volume |groups|·dims rows) and a dims-sized fold per group; the
+    * corpus row derives by summing the per-label integer sums —
+    * additive, so the corpus never re-scans.
+    *
+    * Determinism: normalization divides by sqrt of the micro-quantized
+    * self-dot (Σ round(v_d²·10⁶), an exact integer on both engines);
+    * each per-dim component sum is again an exact integer micro-sum
+    * Σ round(v̂_d·10⁶); ‖S‖² folds the dims in index order. Groups with
+    * n = 1 emit NULL mean_cos/diversity (no pairs). Zero-norm vectors
+    * are excluded (the [[embeddingIntegrity]] sentinel class).
+    * Output: (label, n_vecs, mean_cos 6dp, diversity 6dp). */
+  def diversityAudit(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val nrm2 = "aggregate(__v, 0L, (acc, x) -> acc + CAST(round(x * x * 1e6) AS LONG))"
+    val dimSums = emb
+      .select(col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(expr(nrm2) > 0L)
+      .select(col("label"), posexplode(expr(
+        s"""transform(array(sqrt(CAST($nrm2 AS DOUBLE) / 1e6)), nrm ->
+           |  transform(__v, x -> CAST(round(x / nrm * 1e6) AS LONG)))[0]"""
+          .stripMargin)).as(Seq("dim", "__q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("__q")).as("__s"),
+        count(lit(1)).as("__n"))
+    val corpus = dimSums.groupBy(col("dim"))
+      .agg(sum(col("__s")).as("__s"), sum(col("__n")).as("__n"))
+      .select(lit(-1L).as("label"), col("dim"), col("__s"), col("__n"))
+    val meanCos =
+      """CASE WHEN n_vecs > 1 THEN
+        |  (aggregate(__ss, CAST(0 AS DOUBLE), (acc, s) ->
+        |     acc + (CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6))
+        |   - CAST(n_vecs AS DOUBLE))
+        |  / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+        |ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+    dimSums.unionByName(corpus)
+      .groupBy(col("label"))
+      .agg(max(col("__n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("dim"), col("__s")))),
+          x => x("__s")).as("__ss"))
+      .select(col("label"), col("n_vecs"),
+        (floor(expr(meanCos) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("mean_cos"),
+        (floor((lit(1.0) - expr(meanCos)) * lit(1e6) + lit(0.5)).cast("double")
+          / lit(1e6)).as("diversity"))
+  }
+
   def embeddingIntegrity(docs: DataFrame, emb: DataFrame, docIdCol: String,
       vecIdCol: String, vecCol: String): DataFrame = {
     val d = docs.select(col(docIdCol).cast("long").as("id"))

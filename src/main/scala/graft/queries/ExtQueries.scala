@@ -1210,6 +1210,46 @@ object ExtQueries {
              |  round(CAST(max(fm) AS DOUBLE) / 1e6, 6) AS max_frac
              |FROM f GROUP BY kk ORDER BY kk""".stripMargin)),
 
+    // Embedding diversity per label + corpus row (label -1): mean
+    // pairwise cosine via the O(n) sum-vector identity
+    // (sum_{i!=j} v.v = |S|^2 - n) — no pair join at any scale; the
+    // oracle replays the per-dim integer micro-sums and the identical
+    // dim-ordered fold.
+    Q("sim_diversity",
+      (s, dir) => Similarity.diversityAudit(Tables.embeddings(s, dir),
+          "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |n2 AS (SELECT label, v,
+             |    list_sum([CAST(round(x * x * 1e6) AS BIGINT) for x in v]) AS n2
+             |  FROM e),
+             |q AS (SELECT label,
+             |    [CAST(round(x / sqrt(CAST(n2 AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+             |     for x in v] AS qv
+             |  FROM n2 WHERE n2 > 0),
+             |d AS (SELECT label, u.i AS dim, qv[u.i] AS qd
+             |  FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) u),
+             |s AS (SELECT CAST(label AS BIGINT) AS label, dim,
+             |    sum(qd) AS sd, count(*) AS n FROM d GROUP BY 1, 2),
+             |sa AS (SELECT label, dim, sd, n FROM s
+             |  UNION ALL
+             |  SELECT -1, dim, sum(sd), sum(n) FROM s GROUP BY dim),
+             |g AS (SELECT label, max(n) AS n_vecs,
+             |    list(CAST(sd AS DOUBLE) / 1e6 * (CAST(sd AS DOUBLE) / 1e6)
+             |      ORDER BY dim) AS ss
+             |  FROM sa GROUP BY label),
+             |mc AS (SELECT label, n_vecs,
+             |    CASE WHEN n_vecs > 1 THEN
+             |      (list_reduce(ss, (a, b) -> a + b) - CAST(n_vecs AS DOUBLE))
+             |      / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+             |    ELSE NULL END AS m
+             |  FROM g)
+             |SELECT label, n_vecs,
+             |  floor(m * 1e6 + 0.5) / 1e6 AS mean_cos,
+             |  floor((1.0 - m) * 1e6 + 0.5) / 1e6 AS diversity
+             |FROM mc ORDER BY label""".stripMargin)),
+
     // Embedding↔corpus referential-integrity audit: the gate before
     // any dedup/ANN/mixture stage trusts the embedding table. The test
     // corpus is clean, so the query PLANTS one deterministic defect of
@@ -1807,6 +1847,58 @@ object ExtQueries {
              |SELECT source, n, k, round(CAST(k AS DOUBLE) / n, 6) AS p_good,
              |  round(lo, 6) AS wilson_lo, round(lo, 6) < 0.55 AS blocked
              |FROM w ORDER BY source""".stripMargin)),
+
+    // Poisson-bootstrap CI on mean stopword_ratio per source
+    // (Chamandy et al. 2012 — THE distributed bootstrap: all B
+    // replicates accumulate in one corpus pass, each row entering
+    // replicate b with a Poisson(1) weight inverted from the house
+    // md5-uniform; shuffle carries |sources|·B partial sums). The
+    // uncertainty companion to the Wilson gate: proportions get
+    // Wilson, arbitrary mean metrics get this.
+    Q("text_quality_bootstrap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = TextOps.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("stopword_ratio"))
+        TextOps.poissonBootstrapCI(
+          docs.select("doc_id", "source").join(m, "doc_id"),
+          "doc_id", "source", "stopword_ratio", 100, 0.10)
+          .orderBy("source")
+      },
+      Some(s"""WITH m AS (SELECT doc_id, source,
+              |    CAST(round(round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |        / len(string_split_regex(lower(trim(text)), '\\s+')), 6) * 1e6)
+              |      AS BIGINT) AS q
+              |  FROM documents),
+              |r AS (SELECT doc_id, source, q, rep
+              |  FROM m, (SELECT unnest(range(0, 100)) AS rep)),
+              |u AS (SELECT source, rep, q,
+              |    (CAST((SELECT sum((strpos('0123456789abcdef',
+              |         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), j+1, 1)) - 1)
+              |         * power(16, 7-j))
+              |       FROM (SELECT unnest(range(8)) AS j)) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+              |  FROM r),
+              |w AS (SELECT source, rep, q,
+              |    CASE WHEN uu < 0.36787944117144233 THEN 0
+              |         WHEN uu < 0.7357588823428847 THEN 1
+              |         WHEN uu < 0.9196986029286058 THEN 2
+              |         WHEN uu < 0.9810118431238462 THEN 3
+              |         WHEN uu < 0.9963401531726563 THEN 4
+              |         WHEN uu < 0.9994058151824183 THEN 5
+              |         ELSE 6 END AS w
+              |  FROM u),
+              |rm AS (SELECT source, rep,
+              |    CAST(sum(w * q) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 1e6 AS mm
+              |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+              |ms AS (SELECT source, list(mm ORDER BY mm) AS ms FROM rm GROUP BY 1),
+              |pt AS (SELECT source, count(*) AS n_docs, sum(q) AS sq FROM m GROUP BY 1)
+              |SELECT pt.source, n_docs,
+              |  floor(CAST(sq AS DOUBLE) / n_docs / 1e6 * 1e6 + 0.5) / 1e6 AS mean_q,
+              |  floor(ms[CAST(floor(0.05 * len(ms)) AS BIGINT) + 1] * 1e6 + 0.5) / 1e6 AS ci_lo,
+              |  floor(ms[len(ms) - CAST(floor(0.05 * len(ms)) AS BIGINT)] * 1e6 + 0.5) / 1e6 AS ci_hi
+              |FROM pt JOIN ms ON pt.source = ms.source
+              |ORDER BY pt.source""".stripMargin)),
 
     // CALIBRATE → GATE → REPLAN composed in one artifact (VERDICT r9
     // #8): per-source p10 cutoffs prune each source's worst decile,
