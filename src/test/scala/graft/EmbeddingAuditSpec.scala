@@ -148,4 +148,37 @@ class EmbeddingAuditSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("share no ids"))
   }
+
+  test("diversity: identical vectors cos 1, orthogonal pair cos 0, singleton NULL, corpus row additive") {
+    // label 0: two identical unit vectors → mean pairwise cos 1,
+    //          diversity 0
+    // label 1: two orthogonal unit vectors → mean cos 0, diversity 1
+    // label 2: a singleton → no pairs → NULL mean_cos/diversity
+    // a zero vector is excluded entirely (norm-0 sentinel)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.6f, 0.8f), 2),
+      (6L, Seq(0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.diversityAudit(df, "embedding", "label")
+      .orderBy("label")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    // corpus row (label -1): 5 vectors; sum-vector S/1e6 =
+    // (1+1+1+0.6, 1+0.8) = (3.6, 1.8) → |S|² = 12.96+3.24 = 16.2
+    // → mean cos = (16.2 − 5)/(5·4) = 0.56
+    assert(rows == Seq(
+      (-1L, 5L, Some(0.56), Some(0.44)),
+      (0L, 2L, Some(1.0), Some(0.0)),
+      (1L, 2L, Some(0.0), Some(1.0)),
+      (2L, 1L, None, None)))
+  }
+
+  test("diversity: zero-norm vectors never reach the audit") {
+    val df = Seq((1L, Seq(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.diversityAudit(df, "embedding", "label").count() == 0)
+  }
 }

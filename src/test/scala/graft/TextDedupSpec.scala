@@ -1220,6 +1220,28 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
   }
 
+  test("poissonBootstrapCI: constant metric collapses the CI to the point; CI brackets the mean; deterministic") {
+    // a constant metric has zero sampling variance: every replicate
+    // mean equals the point mean, so lo == mean == hi exactly
+    val const = (1 to 50).map(i => (i.toLong, "c", 0.25))
+      .toDF("doc_id", "src", "m")
+    val c = TextOps.poissonBootstrapCI(const, "doc_id", "src", "m", 50, 0.1)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(c.toSeq == Seq(("c", 50L, 0.25, 0.25, 0.25)))
+    // a spread metric: CI must bracket the point mean and have width
+    val spread = (1 to 200).map(i => (i.toLong, "s", (i % 10).toDouble))
+      .toDF("doc_id", "src", "m")
+    val s = TextOps.poissonBootstrapCI(spread, "doc_id", "src", "m", 100, 0.1)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(s._2 == 200L && s._3 == 4.5)
+    assert(s._4 < s._3 && s._3 < s._5, s"CI must bracket the mean: $s")
+    assert(s._4 > 3.5 && s._5 < 5.5, s"CI implausibly wide for n=200: $s")
+    // md5-derived weights: bit-identical on re-run
+    val again = TextOps.poissonBootstrapCI(spread, "doc_id", "src", "m", 100, 0.1)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(s == again)
+  }
+
   test("waterfill: hand-walked level, small source capped, budget conserved") {
     // caps 100 and 10000 at budget 50% (B = 5050); micro-weights
     // w = ⌊√cap·10³⌋ = 10000 and 100000. The small source cannot
