@@ -228,6 +228,61 @@ object TextOps {
         ((total > 0) === col("label")).as("agree"))
   }
 
+  /** Score-bin LIFT / reliability table for a classifier's output
+    * ([EXT]) — the gains-table artifact read before trusting a quality
+    * classifier as a curation filter: equal-width bins over the score
+    * range, per bin the doc count, positive-label fraction, and lift
+    * (bin positive rate / corpus positive rate). A well-behaved
+    * score has frac_pos rising monotonically with bin — flat lift
+    * means the classifier adds nothing over the base rate at that
+    * score range.
+    *
+    * SCALE SHAPE: deliberately NOT score deciles — an exact global
+    * decile needs a corpus-wide rank (one-partition window or a
+    * range-partitioned sort). Equal-width binning needs only a 1-row
+    * (min, max) broadcast agg and per-row integer arithmetic into a
+    * map-side-combined |bins|-row groupBy; nothing corpus-sized
+    * shuffles.
+    *
+    * Determinism: the score re-enters as its exact micro integer
+    * (round(score·10⁶) — [[nbQuality]] scores are 6-dp decimals, so
+    * the round-trip is exact), and bin = (t − lo)·B div (hi − lo) is
+    * pure integer arithmetic; frac/lift are single IEEE divisions of
+    * exact counts, 6-dp on the halfway rule. A degenerate range
+    * (hi == lo) collapses everything into bin 0. Empty bins are
+    * absent (their edges are derivable; emitting observed min/max
+    * per bin keeps every output column data-grounded).
+    * Output: (bin, n_docs, n_pos, score_lo, score_hi, frac_pos,
+    * lift). */
+  def classifierLift(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"classifierLift: need bins >= 2, got $bins")
+    val t = scored.select(
+      expr(s"CAST(round($scoreCol * 1e6) AS LONG)").as("__t"),
+      col(labelCol).cast("boolean").as("__y"))
+    val edges = t.agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"),
+      count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    t.crossJoin(broadcast(edges))
+      .withColumn("__bin", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit(bins - 1L),
+          expr(s"(__t - __lo) * $bins DIV (__hi - __lo)"))))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        (min(col("__t")).cast("double") / lit(1e6)).as("score_lo"),
+        (max(col("__t")).cast("double") / lit(1e6)).as("score_hi"),
+        max(col("__n")).as("__nn"), max(col("__np")).as("__nnp"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        col("score_lo"), col("score_hi"),
+        (floor(col("n_pos").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("frac_pos"),
+        when(col("__nnp") === 0L, lit(null).cast("double"))
+          .otherwise(floor(col("n_pos").cast("double") / col("n_docs").cast("double")
+            / (col("__nnp").cast("double") / col("__nn").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("lift"))
+  }
+
   /** Language-ID by stopword voting: most stopword hits wins, ties
     * broken by language code; no hits → 'und'. The dictionary is
     * broadcast (≪ data); one shuffle on id for the argmax. */

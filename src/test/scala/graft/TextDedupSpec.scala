@@ -1242,6 +1242,26 @@ class TextDedupSpec extends SparkSpec {
     assert(s == again)
   }
 
+  test("classifierLift: hand-walked bins, lift vs base rate, degenerate range collapses to bin 0") {
+    // scores 0.0..0.9 in 2 bins over range [0, 0.9]: bin = (t·2) div 9
+    // (micro ints) → scores 0.0-0.4 bin 0, 0.5-0.9 bin 1. Labels mark
+    // the top 3 scores positive → base rate 0.3, bin1 rate 3/5 = 0.6,
+    // lift 2.0; bin0 rate 0 with lift 0.
+    val rows = (0 until 10).map(i => (i / 10.0, i >= 7))
+      .toDF("nb_score", "label_weak")
+    val out = TextOps.classifierLift(rows, "nb_score", "label_weak", 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, 0L, 0.0, 0.4, 0.0, 0.0),
+      (1L, 5L, 3L, 0.5, 0.9, 0.6, 2.0)))
+    // all-equal scores: everything lands in bin 0, frac = base, lift 1
+    val flat = Seq((0.5, true), (0.5, false)).toDF("nb_score", "label_weak")
+    val f = TextOps.classifierLift(flat, "nb_score", "label_weak", 4)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(f == Seq((0L, 2L, 1L, 0.5, 0.5, 0.5, 1.0)))
+  }
+
   test("waterfill: hand-walked level, small source capped, budget conserved") {
     // caps 100 and 10000 at budget 50% (B = 5050); micro-weights
     // w = ⌊√cap·10³⌋ = 10000 and 100000. The small source cannot
