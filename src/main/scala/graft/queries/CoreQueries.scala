@@ -413,6 +413,61 @@ object CoreQueries {
              |WHERE stdr > 0 AND abs(r[i] - meanr) > 3 * stdr
              |ORDER BY series_id, pos""".stripMargin)),
 
+    // Matrix-profile-lite (round 10, [EXT]; Yeh et al. ICDM 2016):
+    // per series the closest z-normalized subsequence pair (motif)
+    // and the subsequence farthest from its nearest neighbor
+    // (discord), exclusion zone |i-j| >= w. Window z-codes quantize
+    // once to exact integers, pair distances are exact integer sums,
+    // extremes ride lexicographic struct ordering — the oracle
+    // replays the whole pass relationally.
+    Q("ts_matrix_profile",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.matrixProfile(ser, 8).orderBy("series_id")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |g AS (SELECT user_id, vs, len(vs) AS n FROM l WHERE len(vs) >= 24),
+             |win AS (SELECT user_id, vs, u.i AS i
+             |  FROM g, LATERAL (SELECT unnest(range(0, n - 8 + 1)) AS i) u),
+             |st AS (SELECT user_id, vs, i,
+             |    CAST(list_sum([CAST(round(vs[i + k] * 1e6) AS BIGINT)
+             |      for k in range(1, 9)]) AS DOUBLE) / 8 / 1e6 AS m
+             |  FROM win),
+             |s2 AS (SELECT user_id, vs, i, m,
+             |    list_sum([CAST(round((vs[i + k] - m) * (vs[i + k] - m) * 1e6)
+             |      AS BIGINT) for k in range(1, 9)]) AS s2
+             |  FROM st),
+             |zz AS (SELECT user_id, i,
+             |    [CAST(round((vs[i + k] - m) / sqrt(CAST(s2 AS DOUBLE) / 8 / 1e6)
+             |       * 1e3) AS BIGINT) for k in range(1, 9)] AS zq
+             |  FROM s2 WHERE s2 > 0),
+             |p AS (SELECT a.user_id, a.i AS i, b.i AS j,
+             |    list_sum([(a.zq[k] - b.zq[k]) * (a.zq[k] - b.zq[k])
+             |      for k in range(1, 9)]) AS d
+             |  FROM zz a JOIN zz b ON a.user_id = b.user_id AND b.i >= a.i + 8),
+             |mo AS (SELECT user_id,
+             |    first(i ORDER BY d, i, j) AS ma, first(j ORDER BY d, i, j) AS mb,
+             |    min(d) AS md
+             |  FROM p GROUP BY user_id),
+             |pp AS (SELECT user_id, i, d FROM p
+             |  UNION ALL SELECT user_id, j, d FROM p),
+             |prof AS (SELECT user_id, i, min(d) AS nnd FROM pp GROUP BY 1, 2),
+             |di AS (SELECT user_id, first(i ORDER BY nnd DESC, i) AS dp,
+             |    max(nnd) AS dd
+             |  FROM prof GROUP BY user_id)
+             |SELECT mo.user_id AS series_id,
+             |  CAST(mo.ma + 1 AS BIGINT) AS motif_a,
+             |  CAST(mo.mb + 1 AS BIGINT) AS motif_b,
+             |  floor(sqrt(CAST(mo.md AS DOUBLE)) / 1e3 * 1e4 + 0.5) / 1e4 AS motif_dist,
+             |  CAST(di.dp + 1 AS BIGINT) AS discord_pos,
+             |  floor(sqrt(CAST(di.dd AS DOUBLE)) / 1e3 * 1e4 + 0.5) / 1e4 AS discord_dist
+             |FROM mo JOIN di ON mo.user_id = di.user_id
+             |ORDER BY series_id""".stripMargin)),
+
     // Seasonal decomposition, STL-lite (round 10, [EXT]): per series,
     // trend = centered 5-point MA (interior points), seasonal =
     // per-phase mean of the detrended values (period 4), remainder =

@@ -269,6 +269,29 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 2L)))
   }
 
+  test("matrixProfile: planted repeated shape is the motif, planted spike window is the discord") {
+    // 48 points of a pure period-8 sawtooth: every clean window has
+    // an EXACT twin 8 positions away (just outside the exclusion
+    // zone), so clean nearest-neighbor distances are all 0 and the
+    // motif is the first such pair — (1, 9) at distance 0. One spike
+    // at position 20 contaminates exactly the windows containing it
+    // (1-based starts 13-20); each has positive distance to its clean
+    // twin, so the discord must be one of them.
+    val base = (0 until 48).map(i => (i % 8).toDouble).toArray
+    base(19) = 50.0
+    val ser = Seq((1L, base.toSeq)).toDF("series_id", "values")
+    val out = graft.ops.SeriesOps.matrixProfile(ser, 8)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    assert(out._2 == 1L && out._3 == 9L && out._4 == 0.0, out.toString)
+    assert(out._5 >= 13L && out._5 <= 20L, out.toString)
+    assert(out._6 > 0.0)
+    // too-short and constant series are dropped
+    assert(graft.ops.SeriesOps.matrixProfile(
+      Seq((2L, Seq.fill(20)(1.0))).toDF("series_id", "values"), 8).count() == 0)
+    assert(graft.ops.SeriesOps.matrixProfile(
+      Seq((3L, Seq.fill(48)(7.0))).toDF("series_id", "values"), 8).count() == 0)
+  }
+
   test("ewma: hand-walked recurrence, constant-series fixpoint, first point = x1") {
     val ser = Seq(
       (1L, Seq(10.0, 20.0, 20.0)),  // y = 10, 13, 15.1 at α=0.3
