@@ -340,6 +340,48 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** CHAIN audit of the transitive dedup closure ([EXT]): per
+    * multi-member cluster, the DIAMETER — the max pairwise edit
+    * distance between members — and a `chained` flag at `tau`.
+    * Transitive closure is the correct dedup decision (a near-dup of
+    * a near-dup is usually a near-dup), but it chains A–B–C into one
+    * cluster even when (A, C) was never a candidate pair; a cluster
+    * whose diameter far exceeds the pairing threshold is evidence the
+    * closure glued genuinely different documents together and the
+    * canonical survivor will silently replace content it doesn't
+    * represent. This is the audit a pipeline runs before trusting
+    * [[dedupGroups]]' keep decisions.
+    *
+    * Scale: membership is the same closure labels + one corpus join;
+    * the pairwise stage is an equi-join ON THE CLUSTER LABEL, so cost
+    * is Σ_g |g|² over near-dup clusters (tiny vs corpus — clusters
+    * are dup groups, and a pathological mega-cluster is exactly what
+    * this audit exists to expose). Determinism: levenshtein is exact
+    * integer on both engines; the flag compares integers.
+    * Output: (group_id, n_members, diameter, chained). */
+  def chainAudit(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, tau: Int): DataFrame = {
+    val labels = graft.ml.Components.minLabel(
+      pairs.select(col("id_a"), col("id_b")))
+    val members = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .join(labels, Seq("id"))
+      .select(least(col("label"), col("id")).as("group_id"),
+        col("id"), col("__t"))
+    val sizes = members.groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"))
+    val diam = members.as("x")
+      .join(members.as("y"),
+        col("x.group_id") === col("y.group_id") && col("x.id") < col("y.id"))
+      .select(col("x.group_id").as("group_id"),
+        levenshtein(col("x.__t"), col("y.__t")).as("__d"))
+      .groupBy("group_id")
+      .agg(max(col("__d")).cast("long").as("diameter"))
+    sizes.join(diam, "group_id")
+      .select(col("group_id"), col("n_members"), col("diameter"),
+        (col("diameter") > tau).as("chained"))
+  }
+
   /** Quality-aware dedup: like [[dedupGroups]], but the survivor of
     * each near-dup cluster is the HIGHEST-QUALITY member (ties → the
     * smaller id), not the smallest id — the curation policy real

@@ -86,6 +86,35 @@ object SkewOps {
     nonNull.unionByName(nullRow)
   }
 
+  /** Pre-join EXPLOSION audit ([EXT]): for each join-key value, the
+    * EXACT output cardinality n_left·n_right the equi-join would
+    * produce, top-k offenders first — the diagnosis run BEFORE
+    * launching a 100-TB join, where one hot key (the null-like
+    * sentinel user, the default timestamp, the empty string) can emit
+    * more rows than the rest of the join combined and wedge a single
+    * reducer. The self-join case (a = b on a session key) is the
+    * classic sessionization detonation: output per key is c².
+    *
+    * Scale: two map-side-combined groupBys to |keys| rows each, one
+    * |keys|-row join, and `orderBy.limit` compiling to
+    * TakeOrderedAndProject (per-partition k-heaps, no global sort).
+    * The audited tables are scanned once each and never shuffled
+    * beyond their count aggregations. Determinism: exact integer
+    * counts; ties break on the key. */
+  def joinExplosion(left: DataFrame, right: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"joinExplosion: k must be > 0, got $k")
+    val ca = left.na.drop(Seq(keyCol)).groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_left"))
+    val cb = right.na.drop(Seq(keyCol)).groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_right"))
+    ca.join(cb, keyCol)
+      .select(col(keyCol), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Salted sum/count: groupBy(keys :+ salt) → partial, then merge.
     * `saltSource` must be a deterministic high-cardinality column. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,

@@ -822,6 +822,52 @@ object ExtQueries {
               |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // Chain audit of the dedup closure: per multi-member cluster the
+    // max pairwise edit distance (diameter) vs a threshold —
+    // transitive closure chains A-B-C together even when (A,C) was
+    // never a pair; a diameter far above the pairing threshold means
+    // the canonical survivor replaces content it doesn't represent.
+    // Pairwise stage joins ON THE CLUSTER LABEL (cost = sum of
+    // cluster sizes squared, tiny vs corpus).
+    Q("dedup_chain_audit",
+      (s, dir) => Dedup.chainAudit(Tables.documents(s, dir), "doc_id",
+          "text", minhashPairs(s, dir), 60)
+        .orderBy("group_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |mh AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS mv
+              |       FROM sh, (SELECT unnest(range(8)) AS h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 2 AS band,
+              |            string_agg(mv, '' ORDER BY h) AS key
+              |          FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              |          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+              |          GROUP BY c.id_a, c.id_b),
+              |pairs AS (SELECT id_a, id_b FROM inter
+              |          JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+              |          WHERE i / (na.n + nb.n - i) >= 0.5),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+              |mem AS (SELECT least(l.m, l.id) AS group_id, d.doc_id AS id, d.text AS t
+              |        FROM lab l JOIN documents d ON d.doc_id = l.id),
+              |sz AS (SELECT group_id, count(*) AS n_members FROM mem GROUP BY group_id),
+              |dm AS (SELECT x.group_id, CAST(max(levenshtein(x.t, y.t)) AS BIGINT) AS diameter
+              |       FROM mem x JOIN mem y
+              |       ON x.group_id = y.group_id AND x.id < y.id
+              |       GROUP BY x.group_id)
+              |SELECT sz.group_id, sz.n_members, dm.diameter,
+              |  dm.diameter > 60 AS chained
+              |FROM sz JOIN dm ON sz.group_id = dm.group_id
+              |ORDER BY sz.group_id""".stripMargin)),
+
     // Edit-distance verify over the banded MinHash candidates: the
     // expensive character-level metric touches ONLY pairs the LSH
     // stage produced (Spark's 3-arg levenshtein early-exits past the
@@ -2974,6 +3020,21 @@ object ExtQueries {
               |       round(sm.swm * 1.0 / d.n_docs / 1000000, 6) AS mean_stopword_ratio,
               |       le.n_langs, le.lang_entropy
               |FROM d, t, sm, le""".stripMargin)),
+
+    // Pre-join explosion audit: exact per-key output cardinality of
+    // the events sessionization SELF-join (out = c^2 per user) — the
+    // run-this-first diagnosis for any 100-TB join. Two |keys|-row
+    // count aggs + TakeOrderedAndProject; the table never shuffles
+    // beyond its count agg.
+    Q("profile_join_explosion",
+      (s, dir) => graft.ops.SkewOps.joinExplosion(
+          Tables.events(s, dir).select("user_id"),
+          Tables.events(s, dir).select("user_id"), "user_id", 20)
+        .orderBy(col("out_rows").desc, col("user_id")),
+      Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events
+             |  WHERE user_id IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n AS n_left, n AS n_right, n * n AS out_rows
+             |FROM c ORDER BY out_rows DESC, user_id LIMIT 20""".stripMargin)),
 
     Q("profile_source_quality",
       (s, dir) => {

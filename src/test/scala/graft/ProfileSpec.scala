@@ -7,6 +7,17 @@ import graft.ops.{Profile, SkewOps}
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinExplosion: exact c_a*c_b per key, hot key first, nulls excluded, keys missing a side dropped") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("k")
+      .unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("k"))
+    val right = Seq(1L, 1L, 2L, 9L).map(Tuple1(_)).toDF("k")
+    val out = graft.ops.SkewOps.joinExplosion(left, right, "k", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // key 1: 3×2 = 6; key 2: 1×1 = 1; key 3 and 9 have no partner;
+    // null never joins
+    assert(out == Seq((1L, 3L, 2L, 6L), (2L, 1L, 1L, 1L)), out.toString)
+  }
+
   test("cmsEstimates: never undercounts, overcount within eps·N on a wide key set") {
     // 200 keys with frequencies 1..200 (N = 20100) — far above the
     // profiled-keys regime, so collisions are likely and the CMS

@@ -1220,6 +1220,24 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
   }
 
+  test("chainAudit: a chained A-B-C cluster is flagged by its A-C diameter; tight cluster is not") {
+    // cluster 1: A~B and B~C paired, but A and C differ in many
+    // chars — the closure glues them; diameter = lev(A, C) > tau.
+    // cluster 2: two near-identical docs, diameter 1.
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc XXXX"),
+      (3L, "YYYY bbbb cccc XXXX"),
+      (10L, "qqqq rrrr ssss tttt"), (11L, "qqqq rrrr ssss tttz"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.ext.Dedup.chainAudit(docs, "doc_id", "text", pairs, 6)
+      .orderBy("group_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // diameters: lev(A,C) = 8 (two 4-char blocks) > 6 → chained;
+    // lev of the tight pair = 1 → not
+    assert(out == Seq((1L, 3L, 8L, true), (10L, 2L, 1L, false)), out.toString)
+  }
+
   test("poissonBootstrapCI: constant metric collapses the CI to the point; CI brackets the mean; deterministic") {
     // a constant metric has zero sampling variance: every replicate
     // mean equals the point mean, so lo == mean == hi exactly
