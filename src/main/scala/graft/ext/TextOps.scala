@@ -1951,6 +1951,59 @@ object TextOps {
         col(idCol), col("score"))
   }
 
+  /** IR rank-quality metrics ([EXT]): per query, MRR (reciprocal rank
+    * of the first relevant hit), precision@k, and nDCG@k (Järvelin &
+    * Kekäläinen, TOIS 2002 — graded gains (2^rel − 1)/log₂(rank+1)
+    * against the ideal ordering) of a ranked retrieval list judged by
+    * a graded qrels table. The eval face of the retrieval tier: BM25 /
+    * dense / RRF-fused lists all emit (q_id, doc_id, rank), so one
+    * metrics pass grades any of them — the artifact a pipeline reads
+    * before swapping retrievers.
+    *
+    * Determinism: every DCG/IDCG term is micro-quantized
+    * (round(gain/discount·10⁶) — gains are exact small-int powers,
+    * log₂ of small ints is the same double on both engines) so the
+    * per-query sums are exact integers; MRR is 1/min-rank (one IEEE
+    * division); all outputs 6dp on the halfway rule. Queries with no
+    * relevant docs in the list score 0 (and nDCG 0 when the qrels are
+    * empty for the query).
+    *
+    * Scale: one (q_id, doc_id) equi-join of the (|Q|·k)-row ranked
+    * list against qrels, one groupBy per side on q_id — the list is
+    * already bounded, the corpus never appears. */
+  def rankMetrics(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"rankMetrics: k must be >= 1, got $k")
+    val j = ranked.filter(col("rank") <= k)
+      .join(qrels.select(col("q_id"), col("doc_id"),
+        col("rel").cast("long").as("__rel0")), Seq("q_id", "doc_id"), "left")
+      .withColumn("__rel", coalesce(col("__rel0"), lit(0L)))
+    val per = j.groupBy("q_id").agg(
+      min(when(col("__rel") > 0, col("rank"))).as("__fr"),
+      sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("n_rel_found"),
+      sum(expr("""CASE WHEN __rel > 0 THEN
+          CAST(round((pow(2, __rel) - 1) / log2(rank + 1) * 1e6) AS LONG)
+        ELSE 0L END""")).as("__dcg"))
+    val ideal = qrels.filter(col("rel") > 0)
+      .groupBy("q_id")
+      .agg(reverse(array_sort(collect_list(col("rel").cast("long"))))
+        .as("__rels"))
+      .select(col("q_id"), expr(
+        s"""aggregate(slice(__rels, 1, $k), named_struct('i', 0, 's', 0L),
+           |  (acc, r) -> named_struct('i', acc.i + 1,
+           |    's', acc.s + CAST(round((pow(2, r) - 1) / log2(acc.i + 2)
+           |      * 1e6) AS LONG))).s""".stripMargin).as("__idcg"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    per.join(ideal, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel_found"),
+        q6(when(col("__fr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__fr").cast("double"))).as("mrr"),
+        q6(col("n_rel_found").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        q6(when(col("__idcg").isNull || col("__idcg") === 0L, lit(0.0))
+          .otherwise(col("__dcg").cast("double")
+            / col("__idcg").cast("double"))).as("ndcg"))
+  }
+
   /** Corpus-level boilerplate-line removal — the CCNet/RefinedWeb
     * cross-document line dedup: a line occurring in ≥ `minDf` DISTINCT
     * documents is template chrome (nav menus, cookie banners, footers),

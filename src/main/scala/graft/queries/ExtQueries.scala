@@ -3797,6 +3797,83 @@ object ExtQueries {
              |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // IR rank metrics (MRR / P@10 / nDCG@10, Järvelin & Kekäläinen
+    // TOIS 2002) grading the BM25 lists against term-presence graded
+    // qrels (rel = distinct query terms the doc contains) — the eval
+    // face of the retrieval tier; every DCG term micro-quantized so
+    // the per-query sums are exact integers. Shares text_bm25_topk's
+    // fixture and Memo'd doc-length pass.
+    Q("text_rank_metrics",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val terms = Seq("q1" -> Seq("hash", "join"),
+          "q2" -> Seq("slow", "scan", "filter"),
+          "q3" -> Seq("vector", "batch", "customer"))
+        val ranked = TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
+        val qt = terms.flatMap { case (q, ws) => ws.map(w => (q, w)) }
+        val qtDf = s.createDataFrame(qt).toDF("q_id", "w")
+        val qrels = TextOps.termFrequencies(docs, "doc_id", "text")
+          .join(qtDf, "w").groupBy("q_id", "doc_id")
+          .agg(countDistinct(col("w")).as("rel"))
+        TextOps.rankMetrics(ranked, qrels, 10).orderBy("q_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT q_id, doc_id,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM agg),
+             |rk AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
+             |qr AS (SELECT q.q_id, tf.doc_id,
+             |         CAST(count(DISTINCT tf.w) AS BIGINT) AS rel
+             |       FROM tf JOIN q USING (w) GROUP BY 1, 2),
+             |jj AS (SELECT rk.q_id, rk.rank, coalesce(qr.rel, 0) AS rel
+             |       FROM rk LEFT JOIN qr
+             |       ON qr.q_id = rk.q_id AND qr.doc_id = rk.doc_id),
+             |per AS (SELECT q_id,
+             |         min(CASE WHEN rel > 0 THEN rank END) AS fr,
+             |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_rel_found,
+             |         sum(CASE WHEN rel > 0 THEN
+             |             CAST(round((pow(2, rel) - 1) / log2(rank + 1) * 1e6)
+             |               AS BIGINT) ELSE 0 END) AS dcg
+             |       FROM jj GROUP BY q_id),
+             |id0 AS (SELECT q_id, list(rel ORDER BY rel DESC) AS rels
+             |        FROM qr WHERE rel > 0 GROUP BY q_id),
+             |idl AS (SELECT q_id,
+             |          list_sum([CAST(round((pow(2, rels[i]) - 1)
+             |              / log2(i + 1) * 1e6) AS BIGINT)
+             |            for i in range(1, least(len(rels), 10) + 1)]) AS idcg
+             |        FROM id0)
+             |SELECT per.q_id, per.n_rel_found,
+             |  floor((CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END)
+             |    * 1e6 + 0.5) / 1e6 AS mrr,
+             |  floor(CAST(n_rel_found AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6
+             |    AS p_at_k,
+             |  floor((CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
+             |      ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END)
+             |    * 1e6 + 0.5) / 1e6 AS ndcg
+             |FROM per LEFT JOIN idl ON per.q_id = idl.q_id
+             |ORDER BY per.q_id""".stripMargin)),
+
     // Hybrid retrieval (round 10): BM25 lexical ranks fused with
     // dense cosine ranks by reciprocal-rank fusion (Cormack et al.
     // SIGIR'09) — the modern RAG/search-serving shape, rank-based so

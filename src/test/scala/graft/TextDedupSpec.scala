@@ -1220,6 +1220,34 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
   }
 
+  test("rankMetrics: hand-walked MRR/P@k/nDCG, perfect ranking scores 1, no-hit query scores 0") {
+    // q1: relevant doc (rel 2) at rank 1, another (rel 1) at rank 3
+    //     → mrr 1, p@3 = 2/3, and dcg == idcg iff ordering is ideal
+    // q2: no relevant docs in the list → all zeros
+    val ranked = Seq(
+      ("q1", 1L, 101L), ("q1", 2L, 102L), ("q1", 3L, 103L),
+      ("q2", 1L, 201L), ("q2", 2L, 202L), ("q2", 3L, 203L))
+      .toDF("q_id", "rank", "doc_id")
+    val qrels = Seq(("q1", 101L, 2L), ("q1", 103L, 1L), ("q2", 999L, 2L))
+      .toDF("q_id", "doc_id", "rel")
+    val out = graft.ext.TextOps.rankMetrics(ranked, qrels, 3)
+      .orderBy("q_id")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // q1 dcg terms: 3/log2(2)=3, 1/log2(4)=0.5 → 3.5e6 micro;
+    // ideal = rel sorted desc (2,1) at ranks 1,2: 3/1 + 1/log2(3)
+    // = 3.630929...; ndcg = 3500000/4630930 = 0.755787
+    assert(out(0)._1 == "q1" && out(0)._2 == 2L && out(0)._3 == 1.0)
+    assert(out(0)._4 == 0.666667)
+    assert(math.abs(out(0)._5 - 0.755787) < 1e-5, out(0).toString)
+    assert(out(1) == (("q2", 0L, 0.0, 0.0, 0.0)), out(1).toString)
+    // a perfectly ordered list scores ndcg exactly 1
+    val perfect = graft.ext.TextOps.rankMetrics(
+      Seq(("q1", 1L, 101L), ("q1", 2L, 103L)).toDF("q_id", "rank", "doc_id"),
+      qrels.filter($"q_id" === "q1"), 3)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(perfect._5 == 1.0, perfect.toString)
+  }
+
   test("chainAudit: a chained A-B-C cluster is flagged by its A-C diameter; tight cluster is not") {
     // cluster 1: A~B and B~C paired, but A and C differ in many
     // chars — the closure glues them; diameter = lev(A, C) > tau.
