@@ -1234,11 +1234,11 @@ class TextDedupSpec extends SparkSpec {
       .orderBy("q_id")
       .as[(String, Long, Double, Double, Double)].collect().toSeq
     // q1 dcg terms: 3/log2(2)=3, 1/log2(4)=0.5 → 3.5e6 micro;
-    // ideal = rel sorted desc (2,1) at ranks 1,2: 3/1 + 1/log2(3)
-    // = 3.630929...; ndcg = 3500000/4630930 = 0.755787
+    // ideal = rel sorted desc (2,1) at ranks 1,2: 3 + 1/log2(3)
+    // = 3.630930; ndcg = 3500000/3630930 = 0.963940
     assert(out(0)._1 == "q1" && out(0)._2 == 2L && out(0)._3 == 1.0)
     assert(out(0)._4 == 0.666667)
-    assert(math.abs(out(0)._5 - 0.755787) < 1e-5, out(0).toString)
+    assert(out(0)._5 == 0.96394, out(0).toString)
     assert(out(1) == (("q2", 0L, 0.0, 0.0, 0.0)), out(1).toString)
     // a perfectly ordered list scores ndcg exactly 1
     val perfect = graft.ext.TextOps.rankMetrics(
