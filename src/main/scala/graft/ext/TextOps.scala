@@ -303,6 +303,57 @@ object TextOps {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Mixed-language document audit ([EXT]): chunk each doc
+    * ([[chunk]], no overlap), language-ID every chunk by stopword
+    * voting ([[langId]]'s dictionary), and report per doc the chunk
+    * count, distinct identified languages, majority label and its
+    * fraction, and a `mixed` flag (≥ 2 identified languages). A
+    * document-level langid hides code-switching — a doc that is half
+    * English boilerplate wrapped around German content votes 'en'
+    * and poisons a German training mix; chunk-level disagreement is
+    * the cleaning signal.
+    *
+    * Determinism: all counts exact; per-chunk votes and the per-doc
+    * majority both break ties toward the lexicographically smallest
+    * language; 'und' chunks count toward the denominator but never
+    * toward n_langs. Scale: the chunk explode is per-row compute;
+    * everything after is map-side-combined groupBys keyed on
+    * (doc, chunk) then (doc, lang) then doc — the corpus shuffles
+    * only as its chunk-level vote counts.
+    * Output: (idCol, n_chunks, n_langs, major_lang, major_frac 6dp,
+    * mixed). */
+  def langConsistency(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int): DataFrame = {
+    val ch = chunk(df, idCol, textCol, chunkChars, 0)
+      .select(col(idCol), col("chunk_id"), col("chunk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(stopwords.toDF("w", "lang"))
+    val votes = ch
+      .select(col(idCol), col("chunk_id"),
+        explode(tokensCol(col("chunk"))).as("w"))
+      .join(dict, "w")
+      .groupBy(col(idCol), col("chunk_id"), col("lang"))
+      .agg(count(lit(1)).as("__h"))
+    val bestPerChunk = votes.groupBy(col(idCol), col("chunk_id"))
+      .agg(min(struct((-col("__h")).as("nh"), col("lang"))).as("__b"))
+      .select(col(idCol), col("chunk_id"), col("__b.lang").as("pred"))
+    val pred = ch.select(col(idCol), col("chunk_id"))
+      .join(bestPerChunk, Seq(idCol, "chunk_id"), "left")
+      .select(col(idCol), coalesce(col("pred"), lit("und")).as("pred"))
+    val perLang = pred.groupBy(col(idCol), col("pred"))
+      .agg(count(lit(1)).as("__c"))
+    perLang.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_chunks"),
+        countDistinct(when(col("pred") =!= "und", col("pred"))).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("pred"))).as("__m"))
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("__m.pred").as("major_lang"),
+        (floor((-col("__m.nc")).cast("double") / col("n_chunks").cast("double")
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("major_frac"),
+        (col("n_langs") >= 2).as("mixed"))
+  }
+
   /** Corpus SNAPSHOT DIFF — the daily-delta audit between two corpus
     * versions (yesterday's build vs today's): per doc id, whether it
     * was added, removed, changed (canonical fingerprint differs —

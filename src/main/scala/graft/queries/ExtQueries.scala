@@ -1766,6 +1766,49 @@ object ExtQueries {
               |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Mixed-language document audit: chunk-level langid disagreement
+    // (code-switching / embedded boilerplate) that a doc-level vote
+    // hides. Majority + per-chunk votes tie toward the smallest
+    // language code; counts exact.
+    Q("text_lang_consistency",
+      (s, dir) => TextOps.langConsistency(Tables.documents(s, dir),
+          "doc_id", "text", 200)
+        .orderBy("doc_id"),
+      Some(s"""WITH sw(word, lang) AS (VALUES ${TextOps.stopwordValuesSql}),
+              |ch AS (SELECT doc_id, u.s AS start, substr(text, u.s + 1, 200) AS chunk
+              |       FROM documents, LATERAL (SELECT unnest(range(0,
+              |         greatest(length(text) - 1, 0) + 1, 200)) AS s) u
+              |       WHERE length(text) > 0),
+              |tk AS (SELECT doc_id, start,
+              |         unnest(string_split_regex(lower(trim(chunk)), '\\s+')) AS word
+              |       FROM ch),
+              |sc AS (SELECT doc_id, start, lang, count(*) AS hits FROM tk
+              |       JOIN sw USING (word) GROUP BY 1, 2, 3),
+              |best AS (SELECT doc_id, start, lang,
+              |           row_number() OVER (PARTITION BY doc_id, start
+              |             ORDER BY hits DESC, lang) AS rk
+              |         FROM sc),
+              |pl AS (SELECT ch.doc_id, coalesce(b.lang, 'und') AS pred
+              |       FROM ch LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              |       ON ch.doc_id = b.doc_id AND ch.start = b.start),
+              |pc AS (SELECT doc_id, pred, count(*) AS c FROM pl GROUP BY 1, 2),
+              |mj AS (SELECT doc_id, pred, c,
+              |         row_number() OVER (PARTITION BY doc_id
+              |           ORDER BY c DESC, pred) AS rk,
+              |         sum(c) OVER (PARTITION BY doc_id) AS n_chunks
+              |       FROM pc),
+              |nl AS (SELECT doc_id,
+              |         CAST(count(DISTINCT CASE WHEN pred <> 'und' THEN pred END)
+              |           AS BIGINT) AS n_langs
+              |       FROM pc GROUP BY doc_id)
+              |SELECT m.doc_id, CAST(m.n_chunks AS BIGINT) AS n_chunks,
+              |  nl.n_langs, m.pred AS major_lang,
+              |  floor(CAST(m.c AS DOUBLE) / m.n_chunks * 1e6 + 0.5) / 1e6
+              |    AS major_frac,
+              |  nl.n_langs >= 2 AS mixed
+              |FROM mj m JOIN nl USING (doc_id)
+              |WHERE m.rk = 1 ORDER BY m.doc_id""".stripMargin)),
+
     // Tokenizer fertility per language: tokens-per-word by predicted
     // lang — the audit of which languages the tokenizer serves poorly.
     // Exact integer sums; the one double is a single division.

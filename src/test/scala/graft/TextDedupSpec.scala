@@ -1220,6 +1220,23 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(tiny._5 - expect) < 1e-5, s"got ${tiny._5}, want $expect")
   }
 
+  test("langConsistency: a half-en half-de doc flags mixed; a pure doc does not; no-stopword doc is und") {
+    // stopword dictionaries include en 'the', de 'der' (langId fixture)
+    val en = ("the and of to in " * 5).trim            // ~100 chars en
+    val de = ("der die und das ist " * 5).trim        // ~100 chars de
+    val docs = Seq(
+      (1L, en + " " + de),          // chunk 100: chunk1 en, chunk2 de
+      (2L, en + " " + en),          // pure en
+      (3L, "zzz qqq xyzzy www aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll mmm nnn ooo ppp qqq rrr sss ttt uuu"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.langConsistency(docs, "doc_id", "text", 100)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Double, Boolean)].collect().toSeq
+    assert(out(0)._3 >= 2 && out(0)._6, s"mixed doc not flagged: ${out(0)}")
+    assert(out(1)._3 == 1 && out(1)._4 == "en" && !out(1)._6, out(1).toString)
+    assert(out(2)._3 == 0 && out(2)._4 == "und" && !out(2)._6, out(2).toString)
+  }
+
   test("rankMetrics: hand-walked MRR/P@k/nDCG, perfect ranking scores 1, no-hit query scores 0") {
     // q1: relevant doc (rel 2) at rank 1, another (rel 1) at rank 3
     //     → mrr 1, p@3 = 2/3, and dcg == idcg iff ordering is ideal
