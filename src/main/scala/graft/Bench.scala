@@ -166,7 +166,12 @@ object Bench {
     // not grew.
     val families = Map(
       "minhash_family" -> Seq("dedup_lsh_recall", "text_dedup_yield",
-        "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix"),
+        "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix",
+        "dedup_chain_audit"),
+      // the lexical-retrieval tier shares the Memo'd doc-length pass
+      // (bm25TopK builds it; rrf and the metrics grade its lists)
+      "bm25_family" -> Seq("text_bm25_topk", "sim_hybrid_rrf",
+        "text_rank_metrics"),
       "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"),
       // VERDICT r9 #2: the audio queries share the Memo'd decode+window
       // pass (whoever runs first after an eviction pays its build), and
