@@ -395,6 +395,109 @@ object SeriesOps {
           .as("stat"),
         (col("__stat") > lit(threshold)).as("changed"))
 
+  /** Per-series Theil–Sen robust trend ([EXT]): slope = lower median
+    * of all pairwise slopes (vⱼ−vᵢ)/(j−i), intercept = lower median of
+    * the residuals vᵢ − slope·i — the outlier-resistant trend line
+    * (breakdown point ~29%) a monitoring pipeline prefers over OLS on
+    * spiky telemetry (Sen 1968, JASA 63; Theil 1950).
+    *
+    * Determinism: the LOWER median is an explicit order statistic —
+    * element (m+1) div 2 of the sorted slope list — not an
+    * interpolated quantile, so there is no midpoint arithmetic to
+    * diverge; every slope is one identical IEEE divide on both
+    * engines and the sort is a total order on exact doubles (equal
+    * diffs of doubles yield +0.0, never −0.0). The intercept median
+    * reuses the UNQUANTIZED slope; only outputs are quantized.
+    *
+    * Scale: zero shuffle beyond the series groupBy — the O(n²) slope
+    * enumeration is per-series expression work. That is the honest
+    * full estimator at telemetry lengths (n ≈ 10²–10³, ≤ ~500k slopes
+    * per series); for million-point series the drop-in is the
+    * Matoušek randomized pair-sample (median over O(n log n) sampled
+    * pairs), same downstream shape.
+    * Output: (series_id, n, slope 6dp, intercept 6dp). */
+  def theilSen(series: DataFrame, minLen: Int = 10): DataFrame = {
+    // ONE expression, slope bound once via transform(array(·), sl -> …)
+    // (the [[acf]] anti-inlining idiom) so the slope sort never
+    // re-evaluates per residual.
+    val rows =
+      """flatten(transform(
+        |  array(element_at(
+        |    array_sort(flatten(transform(sequence(1, size(values) - 1), i ->
+        |      transform(sequence(i + 1, size(values)), j ->
+        |        (element_at(values, j) - element_at(values, i))
+        |          / CAST(j - i AS DOUBLE))))),
+        |    CAST((CAST(size(values) AS LONG) * (size(values) - 1) div 2 + 1L)
+        |      div 2 AS INT))),
+        |  sl -> array(named_struct(
+        |    'slope', sl,
+        |    'intercept', element_at(
+        |      array_sort(transform(sequence(1, size(values)), i ->
+        |        element_at(values, i) - sl * CAST(i AS DOUBLE))),
+        |      CAST((size(values) + 1) div 2 AS INT))))))""".stripMargin
+    series
+      .filter(size(col("values")) >= math.max(2, minLen))
+      .select(col("series_id"), size(col("values")).cast("long").as("n"),
+        explode(expr(rows)).as("__p"))
+      .select(col("series_id"), col("n"),
+        (floor(col("__p.slope") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("slope"),
+        (floor(col("__p.intercept") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+          .as("intercept"))
+  }
+
+  /** Per-series forecast backtest ([EXT]): hold out the last `h`
+    * points, forecast them with the two classical baselines — naive
+    * (last training value) and drift (last + slope·i, slope =
+    * (last−first)/(n_train−1)) — and score MAE on the holdout plus
+    * MASE for drift (MAE scaled by the in-sample one-step naive MAE,
+    * Hyndman & Koehler 2006): the honesty gate any fancier
+    * forecaster (e.g. [[holt]]) must beat before shipping.
+    *
+    * Determinism: all three error sums are exact integer micro-sums
+    * (the [[acf]] idiom) — fold order cannot matter — and the drift
+    * slope is one IEEE divide reused unquantized in the forecast
+    * chain; MASE divides the two exact sums in one identical chain.
+    *
+    * Scale: zero shuffle beyond the series groupBy; O(n) per series.
+    * Output: (series_id, n_train, mae_naive 6dp, mae_drift 6dp,
+    * mase_drift 6dp, drift_better). */
+  def forecastEval(series: DataFrame, h: Int = 8, minLen: Int = 20): DataFrame = {
+    require(h >= 1, s"holdout must be >= 1, got $h")
+    val rows =
+      s"""flatten(transform(array(CAST(size(values) - $h AS INT)), nt ->
+         |  transform(array((element_at(values, nt) - element_at(values, 1))
+         |      / CAST(nt - 1 AS DOUBLE)), d ->
+         |    named_struct(
+         |      'n_train', CAST(nt AS BIGINT),
+         |      's_in', aggregate(sequence(2, nt), 0L, (a, t) ->
+         |        a + CAST(round(abs(element_at(values, t)
+         |          - element_at(values, t - 1)) * 1e6) AS LONG)),
+         |      's_nv', aggregate(sequence(1, $h), 0L, (a, i) ->
+         |        a + CAST(round(abs(element_at(values, nt + i)
+         |          - element_at(values, nt)) * 1e6) AS LONG)),
+         |      's_dr', aggregate(sequence(1, $h), 0L, (a, i) ->
+         |        a + CAST(round(abs(element_at(values, nt + i)
+         |          - (element_at(values, nt) + d * CAST(i AS DOUBLE)))
+         |          * 1e6) AS LONG))))))""".stripMargin
+    series
+      .filter(size(col("values")) >= math.max(minLen, h + 2))
+      .select(col("series_id"), explode(expr(rows)).as("__p"))
+      .select(col("series_id"), col("__p.n_train").as("n_train"),
+        col("__p.s_in").as("__si"), col("__p.s_nv").as("__sn"),
+        col("__p.s_dr").as("__sd"))
+      .filter(col("__si") > 0L)
+      .select(col("series_id"), col("n_train"),
+        (floor(col("__sn").cast("double") / lit(h) / lit(1e6) * lit(1e6)
+          + lit(0.5)).cast("double") / lit(1e6)).as("mae_naive"),
+        (floor(col("__sd").cast("double") / lit(h) / lit(1e6) * lit(1e6)
+          + lit(0.5)).cast("double") / lit(1e6)).as("mae_drift"),
+        (floor(col("__sd").cast("double") / lit(h)
+          / (col("__si").cast("double") / (col("n_train") - lit(1L)))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("mase_drift"),
+        (col("__sd") < col("__sn")).as("drift_better"))
+  }
+
   /** Pairwise series Pearson correlation at lag 0 ([EXT]): every
     * unordered pair of series, aligned by truncating all series to the
     * global min length (the [[truncate]] contract), corr =

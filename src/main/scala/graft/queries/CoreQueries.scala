@@ -1140,6 +1140,100 @@ object CoreQueries {
     Q("source_orc_roundtrip",
       (s, dir) => graft.sources.DocSources.orcRoundTrip(
           Tables.documents(s, dir)).orderBy("doc_id"),
-      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    // CDC log compaction / last-writer-wins merge (round 10, [EXT]):
+    // the events stream read as a change log on user_id — each event
+    // upserts the key's row, 'error' events are tombstones that DELETE
+    // the key — materialized to the final table state. This is the
+    // lakehouse MERGE/compaction idiom as a PURE AGGREGATE:
+    // max_by(payload, (ts, event_id)) map-side-combines to one row per
+    // key per partition, so the shuffle carries |keys| rows, never the
+    // |changes| log — the shape that survives a 100-TB backlog replay.
+    // event_id breaks ts ties, making the winner total-ordered; the
+    // oracle derives the same rows via a row_number window (the
+    // formulation the aggregate deliberately avoids at scale).
+    Q("evt_cdc_apply",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value")), struct(col("ts"), col("event_id"))).as("__lw"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("__lw.event_type") =!= lit("error"))
+        .select(col("user_id"),
+          unix_micros(col("__lw.ts")).as("last_ts_us"),
+          col("__lw.event_id").as("last_event_id"),
+          col("__lw.event_type").as("last_type"),
+          round(col("__lw.value"), 4).as("value"),
+          col("n_changes"))
+        .orderBy("user_id"),
+      Some("""WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM events)
+             |SELECT user_id, epoch_us(ts) AS last_ts_us,
+             |       event_id AS last_event_id, event_type AS last_type,
+             |       round(value, 4) AS value, n_changes
+             |FROM r WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)),
+
+    // Theil–Sen robust trend per user series (round 10, [EXT])
+    Q("ts_theil_sen",
+      (s, dir) => SeriesOps.theilSen(SeriesOps.collectSeries(
+          Tables.events(s, dir), "user_id", "value", "event_id"))
+        .orderBy("series_id"),
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs
+             |      FROM r GROUP BY user_id),
+             |f AS (SELECT user_id, vs, len(vs) AS n FROM l WHERE len(vs) >= 10),
+             |s AS (SELECT user_id, vs, n,
+             |    list_sort(flatten([[(vs[j] - vs[i]) / CAST(j - i AS DOUBLE)
+             |        for j in range(i + 1, n + 1)] for i in range(1, n)])) AS sl
+             |  FROM f),
+             |m AS (SELECT user_id, vs, n,
+             |    sl[CAST((CAST(n AS BIGINT) * (n - 1) // 2 + 1) // 2 AS INT)] AS slope
+             |  FROM s)
+             |SELECT user_id AS series_id, CAST(n AS BIGINT) AS n,
+             |  floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+             |  floor(list_sort([vs[i] - slope * CAST(i AS DOUBLE)
+             |      for i in range(1, n + 1)])[(n + 1) // 2] * 1e6 + 0.5) / 1e6
+             |    AS intercept
+             |FROM m ORDER BY series_id""".stripMargin)),
+
+    // Forecast backtest per user series (round 10, [EXT]): naive vs
+    // drift baselines on an 8-point holdout, MASE honesty gate
+    Q("ts_forecast_eval",
+      (s, dir) => SeriesOps.forecastEval(SeriesOps.collectSeries(
+          Tables.events(s, dir), "user_id", "value", "event_id"))
+        .orderBy("series_id"),
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs
+             |      FROM r GROUP BY user_id),
+             |f AS (SELECT user_id, vs, len(vs) AS n, len(vs) - 8 AS nt
+             |      FROM l WHERE len(vs) >= 20),
+             |d AS (SELECT user_id, vs, n, nt,
+             |    (vs[nt] - vs[1]) / CAST(nt - 1 AS DOUBLE) AS dr
+             |  FROM f),
+             |e AS (SELECT user_id, nt,
+             |    list_sum([CAST(round(abs(vs[t] - vs[t - 1]) * 1e6) AS BIGINT)
+             |      for t in range(2, nt + 1)]) AS s_in,
+             |    list_sum([CAST(round(abs(vs[nt + i] - vs[nt]) * 1e6) AS BIGINT)
+             |      for i in range(1, 9)]) AS s_nv,
+             |    list_sum([CAST(round(abs(vs[nt + i] - (vs[nt] + dr * CAST(i AS DOUBLE)))
+             |        * 1e6) AS BIGINT) for i in range(1, 9)]) AS s_dr
+             |  FROM d)
+             |SELECT user_id AS series_id, CAST(nt AS BIGINT) AS n_train,
+             |  floor(CAST(s_nv AS DOUBLE) / 8 / 1e6 * 1e6 + 0.5) / 1e6 AS mae_naive,
+             |  floor(CAST(s_dr AS DOUBLE) / 8 / 1e6 * 1e6 + 0.5) / 1e6 AS mae_drift,
+             |  floor(CAST(s_dr AS DOUBLE) / 8
+             |    / (CAST(s_in AS DOUBLE) / (nt - 1)) * 1e6 + 0.5) / 1e6 AS mase_drift,
+             |  s_dr < s_nv AS drift_better
+             |FROM e WHERE s_in > 0 ORDER BY series_id""".stripMargin))
   )
 }

@@ -351,6 +351,42 @@ class SeriesOpsSpec extends SparkSpec {
     assert(!a._4, s"alternation flagged: $a") // max |S| = 1/√20 « 1.358
   }
 
+  test("theilSen: exact on a clean ramp; robust to a single outlier; minLen filter") {
+    // v_i = 3i + 5: every pairwise slope is exactly 3.0 (integer-double
+    // arithmetic), every residual exactly 5.0 — equality pins, no tolerance
+    val ramp = Seq(("s", (1 to 12).map(i => 3.0 * i + 5.0).toArray))
+      .toDF("series_id", "values")
+    val r = SeriesOps.theilSen(ramp).as[(String, Long, Double, Double)].head()
+    assert(r._2 == 12L && r._3 == 3.0 && r._4 == 5.0, s"ramp: $r")
+    // one wild outlier at i=6 leaves the median of the 105 pairwise
+    // slopes (only 14 touch the outlier) and the lower-median residual
+    // untouched: slope exactly 2.0, intercept exactly 0.0 — the
+    // breakdown-resistance OLS lacks
+    val out = Seq(("s", (1 to 15).map(i => if (i == 6) 100.0 else 2.0 * i).toArray))
+      .toDF("series_id", "values")
+    val o = SeriesOps.theilSen(out).as[(String, Long, Double, Double)].head()
+    assert(o._3 == 2.0 && o._4 == 0.0, s"outlier: $o")
+    val short = Seq(("s", (1 to 9).map(_.toDouble).toArray))
+      .toDF("series_id", "values")
+    assert(SeriesOps.theilSen(short).count() == 0)
+  }
+
+  test("forecastEval: drift is exact on a ramp (mase 0), naive pays the trend; " +
+      "flat series dropped") {
+    // v_i = 2i, n = 20, h = 8 → n_train 12, drift slope (24−2)/11 = 2
+    // exactly, so drift forecasts the holdout perfectly; naive errs by
+    // 2i → MAE = 2·(1+…+8)/8 = 9
+    val ramp = Seq(("s", (1 to 20).map(i => 2.0 * i).toArray))
+      .toDF("series_id", "values")
+    val r = SeriesOps.forecastEval(ramp)
+      .as[(String, Long, Double, Double, Double, Boolean)].head()
+    assert(r._2 == 12L, s"n_train ${r._2}")
+    assert(r._3 == 9.0 && r._4 == 0.0 && r._5 == 0.0 && r._6, s"ramp: $r")
+    // constant series: in-sample naive MAE is 0 → MASE undefined → dropped
+    val flat = Seq(("s", Array.fill(20)(5.0))).toDF("series_id", "values")
+    assert(SeriesOps.forecastEval(flat).count() == 0)
+  }
+
   test("holt: exact trend-following on a linear ramp (level == value, trend == d)") {
     // ramp x_i = 2i: init l₁ = x₁, b₁ = d = 2; inductively
     // l = 0.5·xᵢ + 0.5·(xᵢ₋₁ + d) = xᵢ and b stays d — every FP op is
