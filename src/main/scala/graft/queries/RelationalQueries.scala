@@ -512,6 +512,45 @@ object RelationalQueries {
              |  SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
              |  EXCEPT
              |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')
-             |ORDER BY which""".stripMargin))
+             |ORDER BY which""".stripMargin)),
+
+    // Blocked entity resolution over the part catalog (round 10,
+    // [EXT]): candidates within (brand, size) blocks, match =
+    // levenshtein(name) ≤ 2 with Spark's bounded early-exit,
+    // transitive closure through the shared CC engine, canonical
+    // entity = min member key, every row assigned (singletons label
+    // themselves). The oracle closes the same match graph with a
+    // recursive CTE — an independent closure implementation, so the
+    // blocking, the distance predicate, and the closure are all
+    // cross-checked, not just the group counts.
+    Q("er_part_entities",
+      (s, dir) => graft.ops.EntityRes.resolve(Tables.part(s, dir),
+          "p_partkey", "p_name", Seq("p_brand", "p_size"), 2)
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("p_name")).as("n_names"),
+          min_by(col("p_name"), col("p_partkey")).as("rep_name"))
+        .withColumn("merged", col("n_members") >= 2)
+        .orderBy("entity_id"),
+      Some("""WITH RECURSIVE cand AS (
+             |  SELECT a.p_partkey AS ida, b.p_partkey AS idb
+             |  FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |    AND a.p_partkey < b.p_partkey
+             |    AND levenshtein(a.p_name, b.p_name) <= 2),
+             |edges AS (SELECT ida AS a, idb AS b FROM cand
+             |          UNION ALL SELECT idb, ida FROM cand),
+             |reach AS (SELECT a AS id, b AS r FROM edges
+             |          UNION
+             |          SELECT rc.id, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+             |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+             |asg AS (SELECT p.p_partkey, p.p_name,
+             |          coalesce(least(l.m, l.id), p.p_partkey) AS entity_id
+             |        FROM part p LEFT JOIN lab l ON l.id = p.p_partkey)
+             |SELECT entity_id, count(*) AS n_members,
+             |  count(DISTINCT p_name) AS n_names,
+             |  arg_min(p_name, p_partkey) AS rep_name,
+             |  count(*) >= 2 AS merged
+             |FROM asg GROUP BY entity_id ORDER BY entity_id""".stripMargin))
   )
 }
