@@ -65,6 +65,39 @@ object Profile {
         sum(col(sizeCol)).cast("long").as("bytes"))
   }
 
+  /** Partition-layout pruning audit ([EXT]): materialize a
+    * month-partitioned copy of `df` (partition key ym = year·100 +
+    * month of `tsCol` — the canonical time-partitioned lakehouse
+    * layout), read the artifact BACK, and report per partition: row
+    * count, min/max event time (exact epoch micros), and whether a
+    * reader filtering `tsCol >= cutoff` skips the partition outright.
+    * At 100 TB the `pruned` column IS the I/O bill: a time-range scan
+    * over a month-partitioned table reads only the unpruned rows, and
+    * Catalyst enforces it as PartitionFilters at the scan (pinned in
+    * ProfileSpec against this artifact — listing-level pruning, zero
+    * bytes of skipped partitions touched). Stats come from the
+    * read-back data, so a row the writer misroutes breaks the audit,
+    * not an estimate.
+    *
+    * Scale: one partitioned write (shuffle onto ym), one
+    * partial-aggregated group-by over the read-back — both linear; the
+    * output is one row per partition (~10³ rows for an 80-year span). */
+  def partitionPruneAudit(df: DataFrame, tsCol: String, cutoff: String,
+      outDir: String): DataFrame = {
+    df.withColumn("__ym",
+        (year(col(tsCol)) * 100 + month(col(tsCol))).cast("int"))
+      .write.mode("overwrite").partitionBy("__ym").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("__ym").cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_rows"),
+        // NTZ sources cast through TimestampType under the pinned UTC
+        // session TZ — identical wall-clock micros either way
+        min(unix_micros(col(tsCol).cast("timestamp"))).as("min_ts_us"),
+        max(unix_micros(col(tsCol).cast("timestamp"))).as("max_ts_us"))
+      .withColumn("pruned",
+        col("max_ts_us") < unix_micros(to_timestamp(lit(cutoff))))
+  }
+
   /** Per-column null/missing ratios, one row per (table, column).
     * ONE pass per table: all columns' null counts are parallel
     * aggregates of a single global aggregation — no per-column jobs,

@@ -3182,6 +3182,29 @@ object ExtQueries {
              |FROM documents d JOIN p ON d.source = p.source AND d.lang = p.lang
              |GROUP BY p.bin ORDER BY p.bin""".stripMargin)),
 
+    // Partition-pruning audit (round 10, [EXT]): orders rewritten
+    // month-partitioned, per-partition stats + pruned flag for a
+    // `o_orderdate >= 1998-01-01` reader — the layout-vs-I/O audit;
+    // ProfileSpec pins that Catalyst actually prunes the artifact's
+    // partitions (PartitionFilters at the scan). Oracle replays the
+    // month grouping from the parquet truth.
+    Q("profile_partition_prune",
+      (s, dir) => {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_prune_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .take(12)).toString
+        graft.ops.Profile.partitionPruneAudit(
+            Tables.orders(s, dir), "o_orderdate", "1998-01-01", out)
+          .orderBy("ym")
+      },
+      Some("""SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+             |  count(*) AS n_rows,
+             |  min(epoch_us(o_orderdate)) AS min_ts_us,
+             |  max(epoch_us(o_orderdate)) AS max_ts_us,
+             |  max(epoch_us(o_orderdate)) < epoch_us(TIMESTAMP '1998-01-01') AS pruned
+             |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)),
+
     // Per-column null/missing profile: the pre-flight data-quality scan
     // (one single-pass aggregation per table, all columns in parallel)
     Q("profile_null_ratios",

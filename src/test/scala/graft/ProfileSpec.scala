@@ -154,6 +154,44 @@ class ProfileSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("partitionPruneAudit: stats match the source; Catalyst prunes the artifact's partitions") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graftprune").toString
+    val orders = Tables.orders(spark, sf)
+    val audit = graft.ops.Profile.partitionPruneAudit(
+      orders, "o_orderdate", "1998-01-01", tmp).orderBy("ym").collect()
+    // totals conserve: no row lost or duplicated by the partitioned rewrite
+    assert(audit.map(_.getLong(1)).sum == orders.count())
+    // every partition's min/max sit inside its own month
+    audit.foreach { r =>
+      val (ym, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      def ymOf(us: Long) = {
+        val d = java.time.Instant.ofEpochSecond(us / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC)
+        d.getYear * 100L + d.getMonthValue
+      }
+      assert(ymOf(lo) == ym && ymOf(hi) == ym, s"partition $ym spans [$lo,$hi]")
+      assert(r.getBoolean(4) == (hi < 883612800000000L), s"pruned flag at $ym")
+    }
+    // THE point of the layout: a time-range reader prunes at the
+    // listing level — the scan's partition filter kicks in and the
+    // skipped months' files are never touched
+    val back = spark.read.parquet(tmp)
+    val fdf = back.filter(col("__ym") >= 199801)
+    val scan = fdf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__ym".r.findFirstIn(scan).isDefined,
+      s"partition filter not at the scan:\n$scan")
+    // the layout really splits at the cutoff (so the filter above has
+    // partitions to skip), and the pruned read returns exactly the
+    // unpruned partitions' rows
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("__ym=")).map(_.getName.drop(5).toInt)
+    assert(dirs.count(_ >= 199801) > 0 && dirs.count(_ < 199801) > 0,
+      s"degenerate layout: ${dirs.sorted.mkString(",")}")
+    assert(fdf.count() ==
+      audit.filter(_.getLong(0) >= 199801L).map(_.getLong(1)).sum)
+  }
+
   test("sourceVocabOverlap: exact counts on a planted fixture, sketch within tolerance, map-side sketch combine") {
     val d = Seq(
       (1L, "srcA", "w1 w2 w3 w4"),   // shingles {w1 w2 w3, w2 w3 w4}
