@@ -888,6 +888,46 @@ object EventStreams {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, events: Long, sum_v: Double)
 
+  case class CdcEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Option[Double])
+  case class CdcRow(user_id: Long, last_ts_us: Long, last_event_id: Long,
+      last_type: String, value: Option[Double], n_changes: Long)
+
+  /** Streaming twin of the batch CDC merge (evt_cdc_apply): keyed
+    * last-writer-wins state via mapGroupsWithState — each micro-batch
+    * folds its events into the key's (ts, event_id)-max row and a
+    * change counter, emitting the key's current materialized row in
+    * update mode. Tombstone semantics ride along as `last_type` (the
+    * consumer filters 'error' keys exactly like the batch aggregate's
+    * post-filter), so a tombstone later overwritten by an upsert
+    * correctly resurrects the key. The fold compares (micros,
+    * event_id) pairs, so it is order-independent within and across
+    * batches — StreamingSpec pins streaming == batch on a
+    * split-batch fixture with ties and tombstones. */
+  def cdcLastWriter(events: Dataset[CdcEv]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcRow, CdcRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEv], state: GroupState[CdcRow]) =>
+          var cur = state.getOption.orNull
+          it.foreach { e =>
+            val eu = us(e.ts)
+            val newer = cur == null || eu > cur.last_ts_us ||
+              (eu == cur.last_ts_us && e.event_id > cur.last_event_id)
+            val n = (if (cur == null) 0L else cur.n_changes) + 1L
+            cur =
+              if (newer) CdcRow(uid, eu, e.event_id, e.event_type, e.value, n)
+              else cur.copy(n_changes = n)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value sum across micro-batches (update mode). */
   def runningUserTotals(events: Dataset[Ev]): Dataset[UserRunning] = {

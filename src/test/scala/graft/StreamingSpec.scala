@@ -317,6 +317,57 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((3L, 14.0)))
   }
 
+  test("cdcLastWriter: streaming state == batch last-writer aggregate, ties and tombstones included") {
+    import graft.streaming.EventStreams.CdcEv
+    implicit val sql = spark.sqlContext
+    def t(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    // user 1: upsert then later upsert (split across batches) → last wins
+    // user 2: last change is a tombstone → key absent after filter
+    // user 3: ts TIE at 50 — higher event_id wins regardless of arrival order
+    // user 4: tombstone then later upsert → key resurrected
+    val b1 = Seq(
+      CdcEv(1L, t(10), 1L, "view", Some(2.0)),
+      CdcEv(2L, t(10), 2L, "purchase", Some(9.0)),
+      CdcEv(3L, t(50), 31L, "click", Some(1.0)),
+      CdcEv(4L, t(10), 4L, "error", None))
+    val b2 = Seq(
+      CdcEv(1L, t(20), 5L, "purchase", Some(3.5)),
+      CdcEv(2L, t(30), 6L, "error", None),
+      CdcEv(3L, t(50), 30L, "view", Some(8.0)),
+      CdcEv(4L, t(40), 7L, "signup", Some(4.0)))
+    val mem = MemoryStream[CdcEv]
+    val q = EventStreams.cdcLastWriter(mem.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    // final state = the max-n_changes row per key (update mode emits each step)
+    val fin = spark.table("cdc").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("last_ts_us", "last_event_id",
+          "last_type", "value", "n_changes"),
+        org.apache.spark.sql.functions.col("n_changes")).as("r"))
+      .select("user_id", "r.*")
+      .as[(Long, Long, Long, String, Option[Double], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    q.stop()
+    // batch truth: the evt_cdc_apply aggregate over the union of batches
+    import org.apache.spark.sql.functions._
+    val batch = (b1 ++ b2).toDS().groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value")), struct(col("ts"), col("event_id"))).as("lw"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("lw.ts")).as("us"),
+        col("lw.event_id"), col("lw.event_type"), col("lw.value"), col("n"))
+      .as[(Long, Long, Long, String, Option[Double], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fin == batch, s"streaming != batch:\n  s=$fin\n  b=$batch")
+    // consumer-side tombstone filter leaves exactly users 1, 3, 4
+    val live = fin.values.filter(_._4 != "error").map(_._1).toSet
+    assert(live == Set(1L, 3L, 4L), live.toString)
+    assert(fin(3L)._3 == 31L, s"tie broken wrong: ${fin(3L)}")
+    assert(fin(1L)._5.contains(3.5) && fin(1L)._6 == 2L)
+  }
+
   test("streaming refresh pipeline: ordered epochs equal the one-shot batch; replay idempotent") {
     implicit val sql = spark.sqlContext
     import graft.ext.TextOps
