@@ -514,6 +514,34 @@ object RelationalQueries {
              |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')
              |ORDER BY which""".stripMargin)),
 
+    // Market-basket affinity over lineitem baskets (round 10, [EXT]):
+    // support/confidence/lift per co-purchased part pair, mega-basket
+    // guard, top-100 under a total (lift desc, keys) order. One
+    // basket-key shuffle; the pair table is the only quadratic object
+    // and is bounded by Σ|basket|² under the guard.
+    Q("join_basket_lift",
+      (s, dir) => graft.ops.Basket.liftPairs(Tables.lineitem(s, dir),
+          "l_orderkey", "l_partkey", 2)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(100),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             |          FROM lineitem
+             |          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |sz AS (SELECT b FROM p GROUP BY b HAVING count(*) <= 1000),
+             |f AS (SELECT p.b, p.i FROM p JOIN sz USING (b)),
+             |n AS (SELECT count(DISTINCT b) AS nb FROM f),
+             |m AS (SELECT i, count(*) AS c FROM f GROUP BY i),
+             |pr AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab
+             |       FROM f x JOIN f y ON x.b = y.b AND x.i < y.i
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT item_a, item_b, n_ab,
+             |  floor(CAST(n_ab AS DOUBLE) * nb / (ma.c * mb.c) * 1e6 + 0.5)
+             |    / 1e6 AS lift,
+             |  floor(CAST(n_ab AS DOUBLE) / ma.c * 1e6 + 0.5) / 1e6 AS conf_a_b
+             |FROM pr JOIN m ma ON ma.i = pr.item_a
+             |  JOIN m mb ON mb.i = pr.item_b CROSS JOIN n
+             |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin)),
+
     // Blocked entity resolution over the part catalog (round 10,
     // [EXT]): candidates within (brand, size) blocks, match =
     // levenshtein(name) ≤ 2 with Spark's bounded early-exit,
