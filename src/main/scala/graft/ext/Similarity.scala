@@ -62,6 +62,79 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Cross-lingual bitext mining via margin-kNN scoring ([EXT] —
+    * Artetxe & Schwenk, ACL 2019): candidate translation pairs
+    * between a source-language and a target-language slice of the
+    * corpus, scored by
+    * score(x,y) = cos(x,y) / ((avgₖcos(x,NNₖ(x)) + avgₖcos(y,NNₖ(y)))/2);
+    * the margin denominator de-biases hubness (vectors near
+    * everything score near 1 everywhere), the forward argmax keeps
+    * the best target per source, and `threshold` gates acceptance
+    * (1.0 = "no better than x's average neighborhood").
+    *
+    * Determinism: the pair cosine is quantized ONCE to an integer
+    * c5 = round(cos·10⁵) and every downstream aggregate (top-k sums,
+    * averages, margin, argmax) works off that integer — sums are
+    * order-free, the margin is one shared IEEE chain, and ties break
+    * on (score, n_id) totals. The oracle replays the same integer
+    * pipeline through window functions.
+    *
+    * Shape: the |src|·|tgt| pair scan is MATERIALIZED once behind a
+    * Memo barrier and consumed three times (forward kNN, backward
+    * kNN, final scoring); top-k runs through the bounded-heap
+    * [[TopKRows]] partial aggregate and the final per-source pick is
+    * a max_by AGGREGATE — no |pairs|-row window shuffle anywhere
+    * (the VERDICT r9 #1 contract). At 100 TB the scan stage swaps
+    * for the IVF-probed candidate generator ([[graft.ml.Ivf]]) with
+    * everything downstream unchanged — the same prefilter-ladder
+    * contract as the other full-scan tiers. */
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = prep(emb, idCol, vecCol)
+      .join(langOf.select(col(idCol), col(langCol).as("__lang")), Seq(idCol))
+      .filter(col("nrm") > 0.0)
+    val s = e.filter(col("__lang") === srcLang)
+      .select(col(idCol).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val t = e.filter(col("__lang") === tgtLang)
+      .select(col(idCol).as("n_id"), col("v"), col("nrm"))
+    val scored0 = s.crossJoin(t)
+      .select(col("q_id"), col("n_id"),
+        round(call_function("array_dot", col("qv"), col("v"))
+          / (col("qn") * col("nrm")) * lit(1e5)).cast("long").as("c5"))
+    val scored = graft.queries.Memo.cached(emb.sparkSession, s"bitext|" +
+      s"${emb.queryExecution.logical.semanticHash()}|" +
+      s"${langOf.queryExecution.logical.semanticHash()}|$srcLang|$tgtLang")(
+      scored0)
+    val tk = udaf(new graft.functions.TopKRows(k, asc = false),
+      graft.functions.TopKRows.inputEncoder)
+    // per-side k-nearest averages as exact integer sums over the heap
+    def kAvg(df: DataFrame, keyOut: String): DataFrame = df
+      .groupBy(col("q_id").as(keyOut))
+      .agg(tk(col("c5").cast("double"), col("n_id").cast("long"), lit(0L))
+        .as("__tk"))
+      .withColumn("__avg", expr(
+        "CAST(aggregate(__tk, 0L, (a, h) -> a + CAST(h.key AS LONG)) AS DOUBLE)"
+          + " / size(__tk)"))
+      .select(col(keyOut), col("__avg"))
+    val fwd = kAvg(scored, "q_id").withColumnRenamed("__avg", "__fa")
+    val bwd = kAvg(scored.select(col("n_id").as("q_id"),
+      col("q_id").as("n_id"), col("c5")), "n_id")
+      .withColumnRenamed("__avg", "__ba")
+    scored.join(fwd, "q_id").join(bwd, "n_id")
+      .withColumn("__score",
+        lit(2.0) * col("c5") / (col("__fa") + col("__ba")))
+      .groupBy(col("q_id").as("src_id"))
+      .agg(max_by(struct(col("__score"), col("n_id"), col("c5")),
+        struct(col("__score"), (lit(0L) - col("n_id")))).as("__w"))
+      .filter(col("__w.__score") >= threshold)
+      .select(col("src_id"), col("__w.n_id").as("tgt_id"),
+        (col("__w.c5").cast("double") / lit(1e5)).as("cosine"),
+        (floor(col("__w.__score") * lit(1e6) + lit(0.5)).cast("double")
+          / lit(1e6)).as("score"))
+  }
+
   /** Per-dimension corpus statistics of the embedding column ([EXT]):
     * (dim, n, mean, std, min, max) — the whitening/pre-processing
     * audit (dead dims, dominant dims, mis-scaled dims) run before

@@ -1105,6 +1105,46 @@ object ExtQueries {
              |SELECT q_id, rank, n_id, round(cosine, 5) AS cosine
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Cross-lingual bitext mining (round 10, [EXT] — Artetxe &
+    // Schwenk ACL'19 margin-kNN): best German candidate per English
+    // doc, hubness-corrected by both sides' k-nearest averages over
+    // the integer-quantized cosine. The oracle replays the integer
+    // pipeline through windows; the operator ships heaps + max_by
+    // aggregates (no pair-table window shuffle).
+    Q("sim_bitext_mine",
+      (s, dir) => Similarity.bitextMine(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+          "lang", "en", "de", 4, 1.0)
+        .orderBy("src_id"),
+      Some("""WITH el AS (SELECT em.vec_id AS id,
+             |         CAST(em.embedding AS DOUBLE[]) AS v, d.lang
+             |       FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+             |       WHERE list_dot_product(CAST(em.embedding AS DOUBLE[]),
+             |               CAST(em.embedding AS DOUBLE[])) > 0),
+             |sc AS (SELECT s.id AS q_id, t.id AS n_id,
+             |         CAST(round(list_cosine_similarity(s.v, t.v) * 1e5)
+             |           AS BIGINT) AS c5
+             |       FROM el s JOIN el t ON s.lang = 'en' AND t.lang = 'de'),
+             |fa AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |ba AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |m AS (SELECT sc.q_id, sc.n_id, sc.c5,
+             |        2.0 * sc.c5 / (fa.favg + ba.bavg) AS score
+             |      FROM sc JOIN fa USING (q_id) JOIN ba USING (n_id)),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM m)
+             |SELECT q_id AS src_id, n_id AS tgt_id,
+             |  CAST(c5 AS DOUBLE) / 1e5 AS cosine,
+             |  floor(score * 1e6 + 0.5) / 1e6 AS score
+             |FROM w WHERE rn = 1 AND score >= 1.0
+             |ORDER BY src_id""".stripMargin)),
+
     // MMR diversity rerank (round 10 — Carbonell & Goldstein
     // SIGIR'98): greedy λ·rel − (1−λ)·max-sim-to-selected over each
     // query's top-20 pool, k=5, λ=0.7. The RAG-serving face of the
