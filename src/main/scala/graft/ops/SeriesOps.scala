@@ -263,6 +263,50 @@ object SeriesOps {
         q6(col("o.det") - col("o.seas")).as("remainder"))
   }
 
+  /** Seasonal/trend STRENGTH per series ([EXT] — Wang, Smith &
+    * Hyndman 2006; the STL-feature pair): over the [[decompose]]
+    * output, F_trend = max(0, 1 − var(R)/var(value − seasonal)) and
+    * F_seasonal = max(0, 1 − var(R)/var(R + seasonal)) — the two
+    * numbers that say whether the trend/seasonal components actually
+    * explain anything, i.e. the triage stat a forecasting pipeline
+    * uses to route series (seasonal model vs drift vs noise).
+    *
+    * Determinism: inputs are decompose's ALREADY cross-engine-equal
+    * 6dp columns; all moments are exact integer micro-sums
+    * (order-free), variances one identical IEEE chain, output on the
+    * floor(x·10⁶+0.5) halfway rule.
+    *
+    * Scale: one partial-aggregated group-by over the decompose rows —
+    * no extra shuffle beyond the series groupBy it inherits.
+    * Output: (series_id, n, f_trend 6dp, f_seasonal 6dp); series with
+    * fewer than 8 interior points or a degenerate variance dropped. */
+  def stlStrength(series: DataFrame, period: Int): DataFrame = {
+    def s1(c: Column) = sum(round(c * lit(1e6)).cast("long"))
+    def s2(c: Column) = sum(round(c * c * lit(1e6)).cast("long"))
+    def varOf(a: String, b: String) = {
+      val m = col(a).cast("double") / col("n") / lit(1e6)
+      col(b).cast("double") / col("n") / lit(1e6) - m * m
+    }
+    val rem = col("remainder")
+    val ds = col("remainder") + col("seasonal")
+    val tr = col("value") - col("seasonal")
+    decompose(series, period)
+      .groupBy("series_id")
+      .agg(count(lit(1)).as("n"),
+        s1(rem).as("__r1"), s2(rem).as("__r2"),
+        s1(ds).as("__d1"), s2(ds).as("__d2"),
+        s1(tr).as("__t1"), s2(tr).as("__t2"))
+      .withColumn("__vr", varOf("__r1", "__r2"))
+      .withColumn("__vd", varOf("__d1", "__d2"))
+      .withColumn("__vt", varOf("__t1", "__t2"))
+      .filter(col("n") >= 8 && col("__vd") > 0.0 && col("__vt") > 0.0)
+      .select(col("series_id"), col("n"),
+        (floor(greatest(lit(0.0), lit(1.0) - col("__vr") / col("__vt"))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("f_trend"),
+        (floor(greatest(lit(0.0), lit(1.0) - col("__vr") / col("__vd"))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("f_seasonal"))
+  }
+
   /** Holt's linear-trend (double exponential) smoothing per series
     * ([EXT]): the level/trend upgrade of [[ewma]] — l₁ = x₁,
     * b₁ = x₂ − x₁, then lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁) and

@@ -508,6 +508,58 @@ object CoreQueries {
              |JOIN sp ON sp.user_id = d.user_id AND sp.p = (u.i - 1) % 4
              |ORDER BY series_id, pos""".stripMargin)),
 
+    // STL strength features per series (round 10, [EXT]): F_trend /
+    // F_seasonal over the decompose output — the series-triage pair
+    Q("ts_stl_strength",
+      (s, dir) => {
+        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
+          "user_id", "value", "event_id")
+        SeriesOps.stlStrength(ser, 4).orderBy("series_id")
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL),
+             |l AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM r GROUP BY user_id),
+             |d AS (SELECT user_id, vs, len(vs) AS n,
+             |    [CASE WHEN i >= 3 AND i <= len(vs) - 2 THEN
+             |       vs[i] - ((((vs[i-2] + vs[i-1]) + vs[i]) + vs[i+1]) + vs[i+2]) / 5
+             |     END for i in range(1, len(vs) + 1)] AS det
+             |  FROM l WHERE len(vs) >= 5),
+             |sp AS (SELECT d.user_id, p.p,
+             |    CASE WHEN len([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |                   for i in range(1, n+1)] if x IS NOT NULL]) > 0 THEN
+             |      list_reduce([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |                   for i in range(1, n+1)] if x IS NOT NULL], (a, b) -> a + b)
+             |      / len([x for x in [CASE WHEN (i-1) % 4 = p.p THEN det[i] END
+             |             for i in range(1, n+1)] if x IS NOT NULL])
+             |    END AS seas
+             |  FROM d, (SELECT unnest(range(4)) AS p) p),
+             |dec AS (SELECT d.user_id AS series_id,
+             |  floor(vs[u.i]*1e6 + 0.5)/1e6 AS value,
+             |  floor((vs[u.i] - det[u.i])*1e6 + 0.5)/1e6 AS trend,
+             |  floor(sp.seas*1e6 + 0.5)/1e6 AS seasonal,
+             |  floor((det[u.i] - sp.seas)*1e6 + 0.5)/1e6 AS remainder
+             |FROM d, LATERAL (SELECT unnest(range(3, n - 1)) AS i) u
+             |JOIN sp ON sp.user_id = d.user_id AND sp.p = (u.i - 1) % 4),
+             |a AS (SELECT series_id, count(*) AS n,
+             |  sum(CAST(round(remainder*1e6) AS BIGINT)) AS r1,
+             |  sum(CAST(round(remainder*remainder*1e6) AS BIGINT)) AS r2,
+             |  sum(CAST(round((remainder+seasonal)*1e6) AS BIGINT)) AS d1,
+             |  sum(CAST(round((remainder+seasonal)*(remainder+seasonal)*1e6) AS BIGINT)) AS d2,
+             |  sum(CAST(round((value-seasonal)*1e6) AS BIGINT)) AS t1,
+             |  sum(CAST(round((value-seasonal)*(value-seasonal)*1e6) AS BIGINT)) AS t2
+             |FROM dec GROUP BY series_id),
+             |v AS (SELECT series_id, n,
+             |  CAST(r2 AS DOUBLE)/n/1e6 - (CAST(r1 AS DOUBLE)/n/1e6)*(CAST(r1 AS DOUBLE)/n/1e6) AS vr,
+             |  CAST(d2 AS DOUBLE)/n/1e6 - (CAST(d1 AS DOUBLE)/n/1e6)*(CAST(d1 AS DOUBLE)/n/1e6) AS vd,
+             |  CAST(t2 AS DOUBLE)/n/1e6 - (CAST(t1 AS DOUBLE)/n/1e6)*(CAST(t1 AS DOUBLE)/n/1e6) AS vt
+             |FROM a)
+             |SELECT series_id, n,
+             |  floor(greatest(0.0, 1.0 - vr/vt)*1e6 + 0.5)/1e6 AS f_trend,
+             |  floor(greatest(0.0, 1.0 - vr/vd)*1e6 + 0.5)/1e6 AS f_seasonal
+             |FROM v WHERE n >= 8 AND vd > 0 AND vt > 0
+             |ORDER BY series_id""".stripMargin)),
+
     // Per-series autocorrelation, lags 1..5 (round 10, [EXT]): the lag
     // structure probe. Mean and both quadratic sums are exact integer
     // micro-sums (order-free), so both engines compute identical
@@ -1008,6 +1060,32 @@ object CoreQueries {
              |  floor(sqrt(greatest(var, 0.0)) / mean * 1e6 + 0.5) / 1e6 AS cv,
              |  floor(sqrt(greatest(var, 0.0)) / mean * 1e6 + 0.5) / 1e6 > 1.0 AS bursty
              |FROM m ORDER BY user_id""".stripMargin)),
+
+    // Grouped top-n WITHOUT a window (round 10, [EXT]): top-3 events
+    // by value per user through the bounded k-heap aggregate
+    // (functions.TopKRows) — the relational face of the ANN tiers'
+    // VERDICT r9 #1 shape: the shuffle carries one 3-slot buffer per
+    // (partition, user), never the full event rows a row_number
+    // window would sort. PlanSpec pins no-Window + partial_topkrows.
+    // The oracle IS the window formulation — proving the heap's
+    // (value desc, event_id asc) order bitwise equals it.
+    Q("topk_events_heap",
+      (s, dir) => {
+        val scored = Tables.events(s, dir).na.drop(Seq("value"))
+          .select(col("user_id").as("q_id"), col("event_id").as("n_id"),
+            col("value").cast("double").as("v"))
+        graft.ext.Similarity.aggTopK(scored, 3, "v", asc = false)
+          .select(col("q_id").as("user_id"), col("rank"),
+            col("n_id").as("event_id"), round(col("v"), 6).as("value"))
+          .orderBy("user_id", "rank")
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY value DESC, event_id) AS rank
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id,
+             |  round(value, 6) AS value
+             |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin)),
 
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-concurrent click value (DuckDB's native ASOF JOIN is the

@@ -338,6 +338,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("topk_events_heap: grouped top-n ships heap buffers, never a window sort") {
+    val plan = formatted(run("topk_events_heap"))
+    assert("\\(\\d+\\) Window\\b".r.findFirstIn(plan).isEmpty,
+      s"grouped top-n fell back to a window:\n$plan")
+    assert(plan.contains("partial_topkrows"),
+      s"no map-side partial top-k aggregation:\n$plan")
+  }
+
   test("coded-table Memo barrier: int8/sign codes scan from cache, not inline under the join") {
     // round-10 stress regression guard: left inline under the |Q|·n
     // theta join, CollapseProject folds the dequantize/packing

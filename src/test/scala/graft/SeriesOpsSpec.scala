@@ -387,6 +387,23 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.forecastEval(flat).count() == 0)
   }
 
+  test("stlStrength: ramp+alternation decomposes exactly (both strengths 1); pure ramp degenerate") {
+    // v_i = i + 4·(−1)^(i+1): MA5 leaves det_i = (4/5)·s_i, every
+    // phase's det values are identical, so the 6dp-quantized remainder
+    // is exactly 0 → F_trend = F_seasonal = 1.0 as equalities
+    val mix = Seq(("s", (1 to 24).map(i =>
+      i.toDouble + (if (i % 2 == 1) 4.0 else -4.0)).toArray))
+      .toDF("series_id", "values")
+    val r = SeriesOps.stlStrength(mix, 4)
+      .as[(String, Long, Double, Double)].head()
+    assert(r._2 == 20L && r._3 == 1.0 && r._4 == 1.0, r.toString)
+    // a pure ramp has zero detrended variance — the seasonal strength
+    // is undefined (0/0) and the series must be dropped, not NaN'd
+    val ramp = Seq(("s", (1 to 24).map(_.toDouble).toArray))
+      .toDF("series_id", "values")
+    assert(SeriesOps.stlStrength(ramp, 4).count() == 0)
+  }
+
   test("holt: exact trend-following on a linear ramp (level == value, trend == d)") {
     // ramp x_i = 2i: init l₁ = x₁, b₁ = d = 2; inductively
     // l = 0.5·xᵢ + 0.5·(xᵢ₋₁ + d) = xᵢ and b stays d — every FP op is
