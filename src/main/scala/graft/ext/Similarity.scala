@@ -135,6 +135,40 @@ object Similarity {
           / lit(1e6)).as("score"))
   }
 
+  /** ROBUST per-dimension statistics ([EXT]): exact lower-quartile /
+    * median / upper-quartile and IQR per embedding dimension — the
+    * outlier-resistant twin of [[dimStats]] (a handful of corrupted
+    * vectors shift a mean/std audit arbitrarily; they cannot move an
+    * order statistic past its breakdown point). `dead` flags IQR = 0
+    * dims (constant in the robust sense — quantizer poison).
+    *
+    * Determinism: every statistic is an explicit LOWER order
+    * statistic — element ⌈q·n⌉ of the per-dim sort, integer index
+    * arithmetic — so there is no interpolation arithmetic to
+    * diverge; the sort is over exact doubles.
+    *
+    * Scale: one explode + one groupBy(dim) — d groups of n values;
+    * exact per-dim sorts are the honest small-d regime (d ≈ 10²–10³,
+    * n·d values shuffled once). At corpus scales where n no longer
+    * sorts per group, the drop-in is the mergeable GK sketch already
+    * in the registry (agg_approx_quantiles) at ε below the audit's
+    * decision threshold. */
+  def dimRobustStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sort_array(collect_list(col("x"))).as("__s"))
+      .select(col("dim"), size(col("__s")).cast("long").as("n"),
+        expr("element_at(__s, CAST((size(__s) + 3) div 4 AS INT))").as("__q1"),
+        expr("element_at(__s, CAST((size(__s) + 1) div 2 AS INT))").as("__q2"),
+        expr("element_at(__s, CAST((3 * size(__s) + 3) div 4 AS INT))").as("__q3"))
+      .select(col("dim"), col("n"),
+        (floor(col("__q1") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("q1"),
+        (floor(col("__q2") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("median"),
+        (floor(col("__q3") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("q3"),
+        (floor((col("__q3") - col("__q1")) * lit(1e6) + lit(0.5)).cast("double")
+          / lit(1e6)).as("iqr"))
+      .withColumn("dead", col("iqr") <= lit(0.0))
+
   /** Per-dimension corpus statistics of the embedding column ([EXT]):
     * (dim, n, mean, std, min, max) — the whitening/pre-processing
     * audit (dead dims, dominant dims, mis-scaled dims) run before

@@ -1158,6 +1158,28 @@ object ExtQueries {
         .orderBy("q_id", "step"),
       Some(mmrOracleSql(5, 20))),
 
+    // Robust per-dimension stats (round 10, [EXT]): exact lower
+    // order-statistic quartiles + IQR per dim — the corruption-proof
+    // twin of sim_dim_stats
+    Q("sim_dim_robust",
+      (s, dir) => Similarity.dimRobustStats(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("dim"),
+      Some("""WITH z AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         unnest(embedding) AS x
+             |       FROM embeddings),
+             |l AS (SELECT dim, list(CAST(x AS DOUBLE) ORDER BY CAST(x AS DOUBLE)) AS s
+             |      FROM z GROUP BY dim)
+             |SELECT CAST(dim AS BIGINT) AS dim, CAST(len(s) AS BIGINT) AS n,
+             |  floor(s[(len(s) + 3) // 4] * 1e6 + 0.5) / 1e6 AS q1,
+             |  floor(s[(len(s) + 1) // 2] * 1e6 + 0.5) / 1e6 AS median,
+             |  floor(s[(3 * len(s) + 3) // 4] * 1e6 + 0.5) / 1e6 AS q3,
+             |  floor((s[(3 * len(s) + 3) // 4] - s[(len(s) + 3) // 4]) * 1e6 + 0.5)
+             |    / 1e6 AS iqr,
+             |  floor((s[(3 * len(s) + 3) // 4] - s[(len(s) + 3) // 4]) * 1e6 + 0.5)
+             |    / 1e6 <= 0.0 AS dead
+             |FROM l ORDER BY dim""".stripMargin)),
+
     // Per-dimension embedding statistics: the whitening/pre-processing
     // audit (dead dims, dominant dims, mis-scaled dims) run before
     // fitting quantizers or PCA. Cross-row float sums ride integer

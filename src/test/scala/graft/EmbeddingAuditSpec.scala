@@ -5,6 +5,27 @@ import graft.ext.Similarity
 /** Embedding-space audits (ext/Similarity.scala dimStats /
   * matryoshkaAudit): closed-form pins on planted vectors. */
 class EmbeddingAuditSpec extends SparkSpec {
+
+  test("dimRobustStats: hand-picked order statistics; one wild outlier cannot move them") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // dim 0 values {1..8}: k1=⌈8/4⌉... lower stats: q1=s[2]=2, med=s[4]=4,
+    // q3=s[6]=6, iqr=4; dim 1 constant → dead
+    val clean = (1 to 8).map(i =>
+      (i.toLong, Array(i.toFloat, 5.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.dimRobustStats(clean, "vec_id", "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect()
+    assert(r(0) == ((0L, 8L, 2.0, 4.0, 6.0, 4.0, false)), r(0).toString)
+    assert(r(1)._6 == 0.0 && r(1)._7, r(1).toString)
+    // replace the max with 10⁶: every order statistic below q3's index
+    // is untouched (breakdown resistance the mean/std audit lacks)
+    val dirty = ((1 to 7).map(i => (i.toLong, Array(i.toFloat))) :+
+      (8L, Array(1e6f))).toDF("vec_id", "embedding")
+    val d = Similarity.dimRobustStats(dirty, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].head()
+    assert(d._3 == 2.0 && d._4 == 4.0 && d._5 == 6.0, d.toString)
+  }
   import spark.implicits._
 
   test("dimStats: closed-form mean/std/min/max on planted vectors") {
