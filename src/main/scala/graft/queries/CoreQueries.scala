@@ -1061,6 +1061,65 @@ object CoreQueries {
              |  floor(sqrt(greatest(var, 0.0)) / mean * 1e6 + 0.5) / 1e6 > 1.0 AS bursty
              |FROM m ORDER BY user_id""".stripMargin)),
 
+    // Conversion-lag distribution per segment (round 10, [EXT]): per
+    // user, first view → first purchase latency; per customer
+    // segment, conversion rate + exact lower-order-statistic
+    // median/p90 of the lag — the funnel-completion timing the stage
+    // counts (evt_funnel_stages) don't show. Two min-aggregates per
+    // user (map-side combined), a broadcast dim join, and per-segment
+    // order stats over |converted| longs; lags are exact integer
+    // seconds, cvr one integer-ratio division.
+    Q("evt_conversion_lag",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val per = ev.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view",
+              unix_micros(col("ts")))).as("__v"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("__p"))
+          .filter(col("__v").isNotNull)
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        per.join(broadcast(dim), Seq("user_id"), "left")
+          .withColumn("segment", coalesce(col("segment"), lit("none")))
+          .withColumn("__lag", when(col("__p") >= col("__v"),
+            ((col("__p") - col("__v")) / lit(1000000L)).cast("long")))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_viewers"),
+            count(col("__lag")).as("n_converted"),
+            sort_array(collect_list(col("__lag"))).as("__s"))
+          .filter(col("n_converted") >= 1)
+          .select(col("segment"), col("n_viewers"), col("n_converted"),
+            (floor(col("n_converted").cast("double") / col("n_viewers")
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("cvr"),
+            expr("element_at(__s, CAST((size(__s) + 1) div 2 AS INT))")
+              .as("median_lag_s"),
+            expr("element_at(__s, CAST((9 * size(__s) + 9) div 10 AS INT))")
+              .as("p90_lag_s"))
+          .orderBy("segment")
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+             |  FROM events GROUP BY user_id
+             |  HAVING min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+             |    IS NOT NULL),
+             |j AS (SELECT coalesce(c.c_mktsegment, 'none') AS segment,
+             |        CASE WHEN p >= v THEN (p - v) // 1000000 END AS lag
+             |      FROM per LEFT JOIN customer c ON per.user_id = c.c_custkey),
+             |g AS (SELECT segment, count(*) AS n_viewers,
+             |        count(lag) AS n_converted,
+             |        list(lag ORDER BY lag) FILTER (WHERE lag IS NOT NULL) AS s
+             |      FROM j GROUP BY segment HAVING count(lag) >= 1)
+             |SELECT segment, n_viewers, n_converted,
+             |  floor(CAST(n_converted AS DOUBLE) / n_viewers * 1e6 + 0.5) / 1e6
+             |    AS cvr,
+             |  s[(len(s) + 1) // 2] AS median_lag_s,
+             |  s[(9 * len(s) + 9) // 10] AS p90_lag_s
+             |FROM g ORDER BY segment""".stripMargin)),
+
     // Grouped top-n WITHOUT a window (round 10, [EXT]): top-3 events
     // by value per user through the bounded k-heap aggregate
     // (functions.TopKRows) — the relational face of the ANN tiers'

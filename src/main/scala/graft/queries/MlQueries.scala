@@ -205,6 +205,94 @@ object MlQueries {
              |FROM stats s WHERE s.series_id NOT IN (SELECT id FROM withcore)
              |ORDER BY s.series_id""".stripMargin)),
 
+    // Cluster-vs-reference agreement (round 10, [EXT]): purity and
+    // Adjusted Rand Index (Hubert & Arabie 1985) of the DBSCAN
+    // behavioral clusters against the customer's declared market
+    // segment — the external-validation stat run before anyone trusts
+    // a clustering for routing/sampling. Noise (−1) excluded by
+    // convention. EVERY input to both statistics is an exact integer
+    // (contingency cells, marginals, pair-binomials via n·(n−1) div 2)
+    // and the final ARI/purity are single shared IEEE chains — fully
+    // oracle-checkable even though it grades an ML operator's output,
+    // because the DBSCAN side is itself the closed-form oracle query.
+    // Shape: contingency is a |clusters|·|segments| aggregate; the
+    // three marginal folds run over that tiny frame; nothing beyond
+    // the label join touches corpus-sized data.
+    Q("ml_cluster_agreement",
+      (s, dir) => {
+        val lab = dbscanLabels(s, dir).filter(col("cluster") >= 0)
+        val seg = Tables.customer(s, dir)
+          .select(col("c_custkey").as("series_id"),
+            col("c_mktsegment").as("segment"))
+        val ct = lab.join(broadcast(seg), Seq("series_id"), "left")
+          .withColumn("segment", coalesce(col("segment"), lit("none")))
+          .groupBy("cluster", "segment").agg(count(lit(1)).as("nij"))
+        val idx = ct.agg(sum(expr("nij * (nij - 1) div 2")).as("sidx"))
+        val am = ct.groupBy("cluster").agg(sum(col("nij")).as("ai"))
+          .agg(sum(expr("ai * (ai - 1) div 2")).as("sa"),
+            sum(col("ai")).as("n"), count(lit(1)).as("n_clusters"))
+        val bm = ct.groupBy("segment").agg(sum(col("nij")).as("bj"))
+          .agg(sum(expr("bj * (bj - 1) div 2")).as("sb"))
+        val pm = ct.groupBy("cluster").agg(max(col("nij")).as("mx"))
+          .agg(sum(col("mx")).as("sp"))
+        idx.crossJoin(am).crossJoin(bm).crossJoin(pm)
+          .withColumn("__cn2", expr("n * (n - 1) div 2"))
+          .withColumn("__exp",
+            col("sa").cast("double") * col("sb") / col("__cn2"))
+          .withColumn("__den",
+            (col("sa") + col("sb")).cast("double") / lit(2.0) - col("__exp"))
+          .select(col("n").as("n_points"), col("n_clusters"),
+            (floor(col("sp").cast("double") / col("n") * lit(1e6) + lit(0.5))
+              .cast("double") / lit(1e6)).as("purity"),
+            (floor(when(col("__den") === lit(0.0), lit(1.0))
+              .otherwise((col("sidx") - col("__exp")) / col("__den"))
+              * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("ari"))
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT user_id AS id, round(avg(value),6) AS x, round(stddev_pop(value),6) AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |e AS (
+             |  SELECT a.id AS id, b.id AS id2 FROM f a JOIN f b
+             |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9.0),
+             |deg AS (SELECT id, count(*) AS d FROM e GROUP BY id),
+             |core AS (SELECT id FROM deg WHERE d >= 4),
+             |ce AS (SELECT e.id, e.id2 FROM e JOIN core c1 ON c1.id=e.id JOIN core c2 ON c2.id=e.id2),
+             |reach(id, lbl) AS (
+             |  SELECT id, id2 FROM ce
+             |  UNION
+             |  SELECT r.id, ce.id2 FROM reach r JOIN ce ON ce.id = r.lbl),
+             |corelbl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+             |border AS (
+             |  SELECT e.id, min(cl.cluster) AS cluster
+             |  FROM e JOIN corelbl cl ON cl.id = e.id2
+             |  WHERE e.id NOT IN (SELECT id FROM core)
+             |  GROUP BY e.id),
+             |assigned AS (SELECT * FROM corelbl UNION ALL SELECT * FROM border),
+             |lab AS (SELECT f.id, a.cluster FROM f JOIN assigned a ON a.id = f.id
+             |        WHERE a.cluster >= 0),
+             |ct AS (SELECT l.cluster, coalesce(c.c_mktsegment, 'none') AS segment,
+             |         count(*) AS nij
+             |       FROM lab l LEFT JOIN customer c ON l.id = c.c_custkey
+             |       GROUP BY 1, 2),
+             |idx AS (SELECT sum(nij * (nij - 1) // 2) AS sidx FROM ct),
+             |am AS (SELECT sum(ai * (ai - 1) // 2) AS sa, sum(ai) AS n,
+             |         count(*) AS n_clusters
+             |       FROM (SELECT cluster, sum(nij) AS ai FROM ct GROUP BY cluster)),
+             |bm AS (SELECT sum(bj * (bj - 1) // 2) AS sb
+             |       FROM (SELECT segment, sum(nij) AS bj FROM ct GROUP BY segment)),
+             |pm AS (SELECT sum(mx) AS sp
+             |       FROM (SELECT cluster, max(nij) AS mx FROM ct GROUP BY cluster)),
+             |z AS (SELECT sidx, sa, n, n_clusters, sb, sp,
+             |        n * (n - 1) // 2 AS cn2,
+             |        CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2) AS ex
+             |      FROM idx, am, bm, pm),
+             |z2 AS (SELECT *, CAST(sa + sb AS DOUBLE) / 2.0 - ex AS den FROM z)
+             |SELECT n AS n_points, n_clusters,
+             |  floor(CAST(sp AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS purity,
+             |  floor(CASE WHEN den = 0.0 THEN 1.0
+             |             ELSE (sidx - ex) / den END * 1e6 + 0.5) / 1e6 AS ari
+             |FROM z2""".stripMargin)),
+
     // C3: K-Shape on truncated series (rows-only)
     Q("ml_kshape_clusters",
       (s, dir) => KShape.fit(truncatedSeries(s, dir), 3, maxIter = 5)
