@@ -107,6 +107,17 @@ object Similarity {
       s"${emb.queryExecution.logical.semanticHash()}|" +
       s"${langOf.queryExecution.logical.semanticHash()}|$srcLang|$tgtLang")(
       scored0)
+    bitextMarginTail(scored, k, threshold)
+  }
+
+  /** The margin-kNN scoring tail shared by [[bitextMine]] (exact
+    * all-pairs candidates) and [[bitextMineIvf]] (IVF-probed
+    * candidates): ONE ordering/rounding definition, so the two tiers
+    * can only differ in WHICH (q, n, c5) pairs they see, never in how
+    * a pair is scored — the lockstep rule the binary-Hamming rerank
+    * already follows (ADVICE r9). */
+  private def bitextMarginTail(scored: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
     val tk = udaf(new graft.functions.TopKRows(k, asc = false),
       graft.functions.TopKRows.inputEncoder)
     // per-side k-nearest averages as exact integer sums over the heap
@@ -133,6 +144,41 @@ object Similarity {
         (col("__w.c5").cast("double") / lit(1e5)).as("cosine"),
         (floor(col("__w.__score") * lit(1e6) + lit(0.5)).cast("double")
           / lit(1e6)).as("score"))
+  }
+
+  /** [[bitextMine]] with IVF-PROBED candidate generation — the 100-TB
+    * swap-in for the exact tier's |src|·|tgt| pair scan (the pruned
+    * mining variant of Artetxe & Schwenk ACL'19 §3.3: margin scoring
+    * over approximate-neighbor candidates). Candidates come from the
+    * shared [[graft.ml.Ivf.filteredTopK]] probe (queries = the source
+    * language, inverted lists pre-filtered to the target language
+    * inside the probed cells), so the pair stage reads only probed
+    * cells and carries |src|·cand rows instead of |src|·|tgt|. The
+    * backward k-nearest average is computed over the MINED candidate
+    * set (each target's incoming candidate edges) — the standard
+    * pruned approximation; with `nprobe == nlist` and
+    * `cand >= |tgt|` the candidate set is the full bipartite graph
+    * and the output is bitwise [[bitextMine]] (BitextSpec pins this).
+    * Zero vectors are excluded up front, matching the exact tier. */
+  def bitextMineIvf(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0, cand: Int = 16,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vd = col(vecCol).cast("array<double>")
+    val withLang = emb
+      .filter(call_function("array_dot", vd, vd) > lit(0.0))
+      .join(langOf.select(col(idCol), col(langCol).as("__lang")), Seq(idCol))
+      .filter(col("__lang").isin(srcLang, tgtLang))
+    val pool = graft.ml.Ivf.filteredTopK(withLang, idCol, vecCol,
+      s"__lang = '$srcLang'", s"__lang = '$tgtLang'", cand, nlist, nprobe,
+      seed)
+    // rankTopK already rounds cosine to 5dp, so c5 is the same
+    // integer quantization the exact tier feeds the margin tail
+    val scored = pool.select(col("q_id"), col("n_id"),
+      round(col("cosine") * lit(1e5)).cast("long").as("c5"))
+    bitextMarginTail(scored, k, threshold)
   }
 
   /** ROBUST per-dimension statistics ([EXT]): exact lower-quartile /

@@ -1145,6 +1145,66 @@ object ExtQueries {
              |FROM w WHERE rn = 1 AND score >= 1.0
              |ORDER BY src_id""".stripMargin)),
 
+    // IVF-probed bitext honesty gate (round 10 session 3): the pruned
+    // mining tier (bitextMineIvf — candidates from the shared IVF
+    // probe, |src|·cand pairs instead of |src|·|tgt|) graded against
+    // the exact all-pairs miner, same boolean-contract shape as
+    // sim_ivf_recall: n_exact is SQL-derivable (the sim_bitext_mine
+    // oracle's row count) and agree_ok pins that the pruned tier
+    // recovers >= 60% of the exact tier's mined pairs at nprobe 6 of
+    // nlist 16 with a 16-candidate heap — a fit-seeded, deterministic
+    // contract (measured agreement 0.878 / 0.922 / 0.765 at
+    // sf0.001/0.01/0.1; nprobe 4 read 0.603 at sf0.1, too close to
+    // the floor to pin — same regime-widening call as
+    // sim_ivf_filtered_recall). Agreement is stricter than recall:
+    // the pruned backward average can legitimately reorder margins,
+    // so a differing mined pair is not necessarily a miss of the
+    // probe. A probe/assignment regression flips the boolean and the
+    // row hash-fails.
+    Q("sim_bitext_ivf_agreement",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val langs = Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val exact = Similarity.bitextMine(emb, "vec_id", "embedding",
+            langs, "lang", "en", "de", 4, 1.0)
+          .select("src_id", "tgt_id")
+        val ivf = Similarity.bitextMineIvf(emb, "vec_id", "embedding",
+            langs, "lang", "en", "de", 4, 1.0,
+            cand = 16, nlist = 16, nprobe = 6)
+          .select("src_id", "tgt_id")
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        val hit = exact.join(ivf, Seq("src_id", "tgt_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        tot.crossJoin(hit).select(col("n_exact"),
+          (col("n_hit").cast("double")
+            / greatest(col("n_exact"), lit(1L)) >= 0.6).as("agree_ok"))
+      },
+      Some("""WITH el AS (SELECT em.vec_id AS id,
+             |         CAST(em.embedding AS DOUBLE[]) AS v, d.lang
+             |       FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+             |       WHERE list_dot_product(CAST(em.embedding AS DOUBLE[]),
+             |               CAST(em.embedding AS DOUBLE[])) > 0),
+             |sc AS (SELECT s.id AS q_id, t.id AS n_id,
+             |         CAST(round(list_cosine_similarity(s.v, t.v) * 1e5)
+             |           AS BIGINT) AS c5
+             |       FROM el s JOIN el t ON s.lang = 'en' AND t.lang = 'de'),
+             |fa AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |ba AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |m AS (SELECT sc.q_id, sc.n_id, sc.c5,
+             |        2.0 * sc.c5 / (fa.favg + ba.bavg) AS score
+             |      FROM sc JOIN fa USING (q_id) JOIN ba USING (n_id)),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM m)
+             |SELECT count(*) AS n_exact, true AS agree_ok
+             |FROM w WHERE rn = 1 AND score >= 1.0""".stripMargin)),
+
     // MMR diversity rerank (round 10 — Carbonell & Goldstein
     // SIGIR'98): greedy λ·rel − (1−λ)·max-sim-to-selected over each
     // query's top-20 pool, k=5, λ=0.7. The RAG-serving face of the

@@ -49,4 +49,49 @@ class BitextSpec extends SparkSpec {
     assert(Similarity.bitextMine(emb, "vec_id", "embedding", lang, "lang",
       "en", "de", k = 2, threshold = 99.0).count() == 0)
   }
+
+  test("bitextMineIvf: exhaustive regime (nprobe==nlist, cand>=|tgt|) is bitwise the exact tier") {
+    // the shared-margin-tail lockstep pin: when the probe covers every
+    // cell and the candidate heap holds the whole target side, the
+    // IVF variant sees the full bipartite graph and must reproduce
+    // bitextMine row-for-row — scores included, since both feed the
+    // same bitextMarginTail
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)),
+      (12L, Array(0.6f, 0.8f)), (13L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val lang = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"), (13L, "de"))
+      .toDF("vec_id", "lang")
+    val exact = Similarity.bitextMine(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0).orderBy("src_id").collect()
+    val ivf = Similarity.bitextMineIvf(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0,
+      cand = 8, nlist = 2, nprobe = 2, seed = 7).orderBy("src_id").collect()
+    assert(ivf.toSeq == exact.toSeq,
+      s"ivf=${ivf.mkString(", ")} exact=${exact.mkString(", ")}")
+  }
+
+  test("bitextMineIvf: pruned probe mines a pair subset with scores from the shared tail") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val lang = Seq((1L, "en"), (2L, "en"), (10L, "de"), (11L, "de"))
+      .toDF("vec_id", "lang")
+    val exactPairs = Similarity.bitextMine(emb, "vec_id", "embedding",
+      lang, "lang", "en", "de", k = 2, threshold = 0.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val pruned = Similarity.bitextMineIvf(emb, "vec_id", "embedding",
+      lang, "lang", "en", "de", k = 2, threshold = 0.0,
+      cand = 2, nlist = 2, nprobe = 1, seed = 7)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pruned.nonEmpty, "pruned probe mined nothing on a 2x2 fixture")
+    pruned.foreach { r =>
+      assert(exactPairs.contains(r._1 -> r._2) || r._4 > 0.0, r.toString)
+      assert(!r._4.isNaN && !r._3.isNaN, r.toString)
+    }
+  }
 }
