@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering and the
+  * data-skipping audit that justifies it.
+  *
+  * At 100 TB the dominant cost of a selective query is which FILES it
+  * must open, and file-level min/max zone maps prune only along the
+  * physical sort order. A table laid out by `x` answers `x BETWEEN`
+  * predicates from a sliver of files but reads EVERYTHING for a
+  * `y BETWEEN` predicate; interleaving the bits of both columns
+  * (Morton 1966; the Z-ORDER of the lakehouse table formats) gives
+  * every file a bounded range in BOTH dimensions, so either predicate
+  * prunes. [[zorderAudit]] quantifies exactly that trade on real
+  * data: it buckets the table both ways (linear-by-x vs z-order),
+  * computes each bucket's min/max zone map, and reports the fraction
+  * of rows a zone-map reader must fetch for an x-selective and a
+  * y-selective box — four rows that ARE the layout decision.
+  *
+  * Scale shape: one corpus pass computes the quantized coordinates
+  * and the Morton code with codegen'd HOFs (no UDF: `aggregate` over
+  * `sequence(0,15)` with `shiftleft`/`shiftright`), the min/max
+  * extremes ride a 1-row broadcast (lazy — no eager driver action),
+  * and each layout is ONE map-side-combined groupBy onto <= nBuckets
+  * rows; the pruning decision then runs on the bucket table, never
+  * the corpus. Everything is integer arithmetic (quantization by
+  * `div`, interleave by shifts), so the audit is bit-identical across
+  * engines and partitionings. The deploy step this audit gates is
+  * `df.repartitionByRange(nBuckets, $"z").sortWithinPartitions($"z")
+  * .write.parquet(...)` — parquet then carries the per-file zone maps
+  * this audit simulates.
+  */
+object Layout {
+
+  /** Morton-interleave two 16-bit quantized columns into a 32-bit
+    * Z-value — pure codegen'd HOF arithmetic. */
+  private def mortonExpr(x16: String, y16: String) = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+       |  acc + shiftleft(shiftright($x16, i) % 2, 2 * i)
+       |      + shiftleft(shiftright($y16, i) % 2, 2 * i + 1))""".stripMargin)
+
+  /** The layout audit: for `layout IN (linear_x, zorder)` ×
+    * `pred IN (x_sel, y_sel)`, the rows/buckets a min-max zone-map
+    * reader must fetch. `selLo`/`selHi` bound the selective range in
+    * quantized [0, 65535] space (both predicates use the same band,
+    * center-band by default, so the two dimensions are symmetric and
+    * the contrast isolates the LAYOUT, not the predicate). */
+  def zorderAudit(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 64, selLo: Long = 29491, selHi: Long = 36044): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536], got $nBuckets")
+    require(selLo >= 0 && selHi <= 65535 && selLo <= selHi,
+      s"selection band [$selLo, $selHi] must sit inside [0, 65535]")
+    val ext = df.agg(
+      min(col(xCol)).cast("long").as("__xmin"),
+      max(col(xCol)).cast("long").as("__xmax"),
+      min(col(yCol)).cast("long").as("__ymin"),
+      max(col(yCol)).cast("long").as("__ymax"))
+    def q16(c: String, lo: String, hi: String) =
+      when(col(hi) > col(lo),
+        expr(s"(($c - $lo) * 65535) div ($hi - $lo)")).otherwise(lit(0L))
+    val coded = df
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .na.drop(Seq("__x", "__y"))
+      .crossJoin(broadcast(ext))
+      .withColumn("x16", q16("__x", "__xmin", "__xmax"))
+      .withColumn("y16", q16("__y", "__ymin", "__ymax"))
+      .withColumn("z", mortonExpr("x16", "y16"))
+      .withColumn("__b_linear", expr(s"x16 div (65536 div $nBuckets)"))
+      .withColumn("__b_zorder", expr(s"z div (4294967296 div $nBuckets)"))
+    def zoneMap(bucketCol: String, layout: String) = coded
+      .groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("x16")).as("bxmin"), max(col("x16")).as("bxmax"),
+        min(col("y16")).as("bymin"), max(col("y16")).as("bymax"))
+      .withColumn("layout", lit(layout))
+    val zones = zoneMap("__b_linear", "linear_x")
+      .unionAll(zoneMap("__b_zorder", "zorder"))
+    // a zone-map reader fetches a bucket iff the bucket's range
+    // intersects the predicate band on the CONSTRAINED dimension
+    def audit(pred: String, loC: String, hiC: String) = zones
+      .withColumn("__hit",
+        col(hiC) >= lit(selLo) && col(loC) <= lit(selHi))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rows")).as("total_rows"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("buckets_read"),
+        sum(when(col("__hit"), col("rows")).otherwise(0L)).as("rows_read"))
+      .withColumn("pred", lit(pred))
+    audit("x_sel", "bxmin", "bxmax")
+      .unionAll(audit("y_sel", "bymin", "bymax"))
+      .select(col("layout"), col("pred"), col("n_buckets"),
+        col("total_rows"), col("buckets_read"), col("rows_read"),
+        (floor(col("rows_read").cast("double") / col("total_rows")
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("read_frac"))
+      .orderBy("layout", "pred")
+  }
+}

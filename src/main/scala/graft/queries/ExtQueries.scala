@@ -3310,6 +3310,66 @@ object ExtQueries {
     // ProfileSpec pins that Catalyst actually prunes the artifact's
     // partitions (PartitionFilters at the scan). Oracle replays the
     // month grouping from the parquet truth.
+    // Z-order layout audit (round 10 session 3, [EXT]): the
+    // multi-dimensional data-skipping decision — linear-by-x vs
+    // Morton-interleaved bucketing of lineitem on (l_partkey,
+    // l_suppkey), per-bucket min/max zone maps, and the fraction of
+    // rows a zone-map reader fetches for an x-selective vs a
+    // y-selective center band. The linear layout answers x_sel from a
+    // sliver and reads ~everything for y_sel; z-order bounds BOTH.
+    // Integer-only quantize/interleave (codegen'd HOF, no UDF), one
+    // corpus pass + two map-side-combined groupBys onto <=64 rows.
+    Q("profile_zorder_layout",
+      (s, dir) => graft.ops.Layout.zorderAudit(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey", 64),
+      Some("""WITH src AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+             |         CAST(l_suppkey AS BIGINT) AS y
+             |       FROM lineitem
+             |       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+             |ext AS (SELECT min(x) xmin, max(x) xmax,
+             |               min(y) ymin, max(y) ymax FROM src),
+             |coded AS (SELECT
+             |    CASE WHEN xmax > xmin
+             |      THEN ((x - xmin) * 65535) // (xmax - xmin) ELSE 0 END AS x16,
+             |    CASE WHEN ymax > ymin
+             |      THEN ((y - ymin) * 65535) // (ymax - ymin) ELSE 0 END AS y16
+             |  FROM src, ext),
+             |coded2 AS (SELECT x16, y16,
+             |    list_sum([ ((x16 >> i) & 1) * (1::BIGINT << (2*i))
+             |             + ((y16 >> i) & 1) * (1::BIGINT << (2*i+1))
+             |               for i in range(0, 16) ]) AS z
+             |  FROM coded),
+             |b AS (SELECT x16, y16,
+             |        x16 // 1024 AS bl, z // 67108864 AS bz FROM coded2),
+             |zones AS (
+             |  SELECT 'linear_x' AS layout, bl AS bucket, count(*) AS nr,
+             |    min(x16) bxmin, max(x16) bxmax, min(y16) bymin, max(y16) bymax
+             |  FROM b GROUP BY bl
+             |  UNION ALL
+             |  SELECT 'zorder', bz, count(*),
+             |    min(x16), max(x16), min(y16), max(y16)
+             |  FROM b GROUP BY bz),
+             |a AS (
+             |  SELECT layout, 'x_sel' AS pred, count(*) AS n_buckets,
+             |    CAST(sum(nr) AS BIGINT) AS total_rows,
+             |    CAST(sum(CASE WHEN bxmax >= 29491 AND bxmin <= 36044
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+             |    CAST(sum(CASE WHEN bxmax >= 29491 AND bxmin <= 36044
+             |      THEN nr ELSE 0 END) AS BIGINT) AS rows_read
+             |  FROM zones GROUP BY layout
+             |  UNION ALL
+             |  SELECT layout, 'y_sel', count(*), CAST(sum(nr) AS BIGINT),
+             |    CAST(sum(CASE WHEN bymax >= 29491 AND bymin <= 36044
+             |      THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN bymax >= 29491 AND bymin <= 36044
+             |      THEN nr ELSE 0 END) AS BIGINT)
+             |  FROM zones GROUP BY layout)
+             |SELECT layout, pred, n_buckets, total_rows, buckets_read,
+             |  rows_read,
+             |  floor(CAST(rows_read AS DOUBLE) / total_rows * 1e6 + 0.5) / 1e6
+             |    AS read_frac
+             |FROM a ORDER BY layout, pred""".stripMargin)),
+
     Q("profile_partition_prune",
       (s, dir) => {
         val out = new java.io.File(System.getProperty("java.io.tmpdir"),
