@@ -1296,6 +1296,63 @@ object TextOps {
     * zero randomness: the same doc is kept or dropped on every run,
     * every partitioning, every engine. Map-side filter only; no
     * shuffle, no sampling state. */
+  /** Neyman-optimal stratified sample allocation (Neyman JRSS 1934):
+    * for a fixed total budget `totalN`, allocate n_h ∝ N_h·S_h — more
+    * budget to big AND internally-varied strata — against the naive
+    * proportional n_h ∝ N_h. For the stratified-mean estimator,
+    * Var = Σ (N_h/N)²·S_h²/n_h, which Neyman allocation minimizes; a
+    * curation pipeline uses this to size per-source audit samples so
+    * label effort goes where the quality signal actually varies.
+    *
+    * Determinism: per-stratum sums are exact integer folds (order
+    * free), std_pop is ONE shared IEEE chain off those integers and
+    * is micro-quantized BEFORE the cross-strata weight sum, so the
+    * weight denominator is an exact BIGINT — the allocation integers
+    * are engine- and partitioning-independent by construction.
+    * Shape: one map-side-combined groupBy onto |strata| rows; the
+    * totals ride a 1-row broadcast (lazy, no eager driver action).
+    * Zero-variance strata draw the floor allocation of 1; if EVERY
+    * stratum is zero-variance the weights degenerate and the
+    * allocation falls back to proportional. Allocations are capped
+    * at the stratum population.
+    *
+    * Exactness bound: the weight numerator n_h·std6 is an exact
+    * BIGINT while n_h·S_h < 9.2·10¹² (e.g. 10¹⁰ docs per stratum at
+    * length-std ≤ 900) — far past any labeling-budget use; beyond it,
+    * pre-scale `valueCol` down rather than letting the product wrap. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 1, s"totalN must be >= 1, got $totalN")
+    val per = df.na.drop(Seq(strataCol, valueCol))
+      .select(col(strataCol).as("stratum"), col(valueCol).cast("long").as("__v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"))
+      // std_pop = sqrt(n·Σv² − (Σv)²) / n — integer numerator, one
+      // IEEE sqrt+divide; then micro-quantized ONCE and reused for
+      // both the reported column and the weight arithmetic
+      .withColumn("__std6", floor(
+        sqrt(greatest((col("__s2") * col("n_rows") - col("__s") * col("__s"))
+          .cast("double"), lit(0.0))) / col("n_rows") * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .withColumn("__ns", col("n_rows") * col("__std6"))
+    val tot = per.agg(sum(col("n_rows")).as("__N"),
+      sum(col("__ns")).as("__nsT"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"),
+        (col("__std6").cast("double") / lit(1e6)).as("std_value"),
+        least(col("n_rows"), greatest(lit(1L),
+          floor(lit(totalN) * col("n_rows").cast("double") / col("__N")
+            + lit(0.5)).cast("long"))).as("alloc_prop"),
+        least(col("n_rows"), greatest(lit(1L),
+          when(col("__nsT") > 0L,
+            floor(lit(totalN) * col("__ns").cast("double") / col("__nsT")
+              + lit(0.5)).cast("long"))
+          .otherwise(floor(lit(totalN) * col("n_rows").cast("double")
+            / col("__N") + lit(0.5)).cast("long")))).as("alloc_neyman"))
+  }
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
     val bucket = expr(

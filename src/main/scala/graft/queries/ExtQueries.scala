@@ -3015,6 +3015,42 @@ object ExtQueries {
              |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Neyman-optimal audit-sample allocation (round 10 session 3,
+    // [EXT]): per-source sample sizes for a 2000-doc labeling budget,
+    // n_h ∝ N_h·S_h on document length vs naive proportional — the
+    // survey-sampling answer to "where should audit label effort go".
+    // All cross-strata arithmetic runs on micro-quantized integers;
+    // the totals ride a 1-row broadcast.
+    Q("sample_neyman",
+      (s, dir) => TextOps.neymanAllocation(
+          Tables.documents(s, dir).withColumn("__len", length(col("text"))),
+          "source", "__len", 2000)
+        .orderBy("stratum"),
+      Some("""WITH per AS (SELECT source AS stratum, count(*) AS n_rows,
+             |    sum(CAST(length(text) AS BIGINT)) AS s,
+             |    sum(CAST(length(text) AS BIGINT)
+             |      * CAST(length(text) AS BIGINT)) AS s2
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND text IS NOT NULL
+             |  GROUP BY source),
+             |q AS (SELECT stratum, n_rows,
+             |    CAST(floor(sqrt(greatest(
+             |        CAST(s2 * n_rows - s * s AS DOUBLE), 0.0)) / n_rows
+             |      * 1e6 + 0.5) AS BIGINT) AS std6
+             |  FROM per),
+             |w AS (SELECT stratum, n_rows, std6, n_rows * std6 AS ns FROM q),
+             |t AS (SELECT sum(n_rows) AS n, sum(ns) AS nst FROM w)
+             |SELECT stratum, n_rows, CAST(std6 AS DOUBLE) / 1e6 AS std_value,
+             |  least(n_rows, greatest(1, CAST(floor(
+             |    2000 * CAST(n_rows AS DOUBLE) / n + 0.5) AS BIGINT)))
+             |    AS alloc_prop,
+             |  least(n_rows, greatest(1, CASE WHEN nst > 0
+             |    THEN CAST(floor(2000 * CAST(ns AS DOUBLE) / nst + 0.5)
+             |      AS BIGINT)
+             |    ELSE CAST(floor(2000 * CAST(n_rows AS DOUBLE) / n + 0.5)
+             |      AS BIGINT) END)) AS alloc_neyman
+             |FROM w, t ORDER BY stratum""".stripMargin)),
+
     // Mixture reweighting (the data-mixing step): steer the kept
     // corpus toward target language shares — en downsampled, de
     // over-requested (rate caps at keep-everything), fr absent from

@@ -1433,4 +1433,40 @@ class TextDedupSpec extends SparkSpec {
     assert(r.last._4 == 3L && r.last._3 == 60L, r.mkString(", "))
     assert(r.head._4 == 3L) // whole vocabulary seen in the first bucket
   }
+
+  test("neymanAllocation: budget chases variance, zero-variance strata take the floor, caps hold") {
+    // stratum a: 100 rows alternating 0/200 (std_pop = 100);
+    // stratum b: 100 rows all exactly 50 (std_pop = 0);
+    // stratum c: 10 rows alternating 0/20 (std_pop = 10)
+    val rows =
+      (0 until 100).map(i => ("a", if (i % 2 == 0) 0L else 200L)) ++
+      (0 until 100).map(_ => ("b", 50L)) ++
+      (0 until 10).map(i => ("c", if (i % 2 == 0) 0L else 20L))
+    val got = TextOps.neymanAllocation(rows.toDF("src", "v"), "src", "v", 100)
+      .orderBy("stratum")
+      .as[(String, Long, Double, Long, Long)].collect()
+    val Array(a, b, c) = got
+    assert(a._3 == 100.0 && b._3 == 0.0 && c._3 == 10.0, got.mkString(", "))
+    // proportional ignores variance: a,b get 48 each (100*100/210), c gets 5
+    assert(a._4 == 48L && b._4 == 48L && c._4 == 5L, got.mkString(", "))
+    // Neyman: weights N_h*S_h = 10000 / 0 / 100 -> a ~99, b floor 1, c 1
+    assert(a._5 == 99L && b._5 == 1L && c._5 == 1L, got.mkString(", "))
+    // variance of the stratified mean under Neyman never exceeds
+    // proportional (the Neyman 1934 optimality this operator buys)
+    def se2(alloc: Int => Long) = got.zipWithIndex.map { case (r, i) =>
+      val nh = r._2.toDouble; val n = got.map(_._2).sum.toDouble
+      (nh / n) * (nh / n) * r._3 * r._3 / alloc(i)
+    }.sum
+    assert(se2(i => got(i)._5) <= se2(i => got(i)._4) + 1e-12)
+  }
+
+  test("neymanAllocation: all-zero-variance corpus falls back to proportional; cap at population") {
+    val rows = (0 until 90).map(_ => ("a", 5L)) ++ (0 until 10).map(_ => ("b", 9L))
+    val got = TextOps.neymanAllocation(rows.toDF("src", "v"), "src", "v", 200)
+      .orderBy("stratum").as[(String, Long, Double, Long, Long)].collect()
+    // budget 200 > population 100: both allocations cap at N_h
+    assert(got.map(_._4).toSeq == Seq(90L, 10L), got.mkString(", "))
+    assert(got.map(_._5).toSeq == Seq(90L, 10L), got.mkString(", "))
+    assert(got.forall(_._3 == 0.0))
+  }
 }
