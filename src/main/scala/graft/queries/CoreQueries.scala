@@ -873,6 +873,74 @@ object CoreQueries {
              |FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.h = a.h + 1
              |GROUP BY a.h ORDER BY a.h""".stripMargin)),
 
+    // U-shaped multi-touch attribution (round 10 session 3, [EXT]):
+    // purchase revenue credited 40/40/20 across each user's first /
+    // last / middle preceding touches, last-touch column for
+    // contrast, explicit (unattributed) row, micro-quantized credits
+    // summed as exact integers. The mega-user guard (10k touches)
+    // fences the per-user quadratic.
+    Q("evt_attribution",
+      (s, dir) => graft.ops.Attribution.uShaped(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id", "value",
+        Seq("view", "click", "signup"), "purchase"),
+      Some("""WITH ev AS (SELECT user_id AS u, event_type AS t,
+             |    epoch_us(ts) AS us, event_id AS eid, value AS v FROM events),
+             |mega AS (SELECT u FROM ev WHERE t IN ('view','click','signup')
+             |         GROUP BY u HAVING count(*) > 10000),
+             |conv AS (SELECT u, us AS cus, eid AS ceid,
+             |           coalesce(v, 0.0) AS cv
+             |         FROM ev WHERE t = 'purchase'),
+             |okc AS (SELECT * FROM conv
+             |        WHERE u NOT IN (SELECT u FROM mega)),
+             |tch AS (SELECT u, t, us, eid FROM ev
+             |        WHERE t IN ('view','click','signup')),
+             |pairs AS (SELECT c.u, c.ceid, c.cv, t.t, t.us, t.eid
+             |          FROM okc c JOIN tch t ON t.u = c.u
+             |            AND (t.us < c.cus
+             |                 OR (t.us = c.cus AND t.eid < c.ceid))),
+             |pr AS (SELECT *,
+             |    row_number() OVER (PARTITION BY u, ceid
+             |      ORDER BY us, eid) AS rf,
+             |    row_number() OVER (PARTITION BY u, ceid
+             |      ORDER BY us DESC, eid DESC) AS rl,
+             |    count(*) OVER (PARTITION BY u, ceid) AS m
+             |  FROM pairs),
+             |cr AS (SELECT t AS channel, cv, rl = 1 AS isl,
+             |    CASE WHEN m = 1 THEN 1.0 WHEN m = 2 THEN 0.5
+             |         WHEN rf = 1 OR rl = 1 THEN 0.4
+             |         ELSE 0.2 / (m - 2) END AS share
+             |  FROM pr),
+             |agg AS (SELECT channel, count(*) AS n_credits,
+             |    CAST(sum(CAST(floor(cv * share * 1e6 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS u6,
+             |    CAST(sum(CASE WHEN isl
+             |      THEN CAST(floor(cv * 1e6 + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS l6
+             |  FROM cr GROUP BY channel),
+             |unat AS (SELECT '(unattributed)' AS channel,
+             |    count(*) AS n_credits,
+             |    CAST(sum(CAST(floor(cv * 1e6 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS u6,
+             |    CAST(sum(CAST(floor(cv * 1e6 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS l6
+             |  FROM okc WHERE NOT EXISTS (SELECT 1 FROM pairs p
+             |    WHERE p.u = okc.u AND p.ceid = okc.ceid)
+             |  HAVING count(*) > 0),
+             |skip AS (SELECT '(mega_user_skipped)' AS channel,
+             |    count(*) AS n_credits,
+             |    CAST(sum(CAST(floor(cv * 1e6 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS u6,
+             |    CAST(sum(CAST(floor(cv * 1e6 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS l6
+             |  FROM conv WHERE u IN (SELECT u FROM mega)
+             |  HAVING count(*) > 0),
+             |uni AS (SELECT * FROM agg UNION ALL SELECT * FROM unat
+             |        UNION ALL SELECT * FROM skip)
+             |SELECT channel, n_credits,
+             |  CAST(u6 AS DOUBLE) / 1e6 AS rev_u_shaped,
+             |  CAST(l6 AS DOUBLE) / 1e6 AS rev_last_touch
+             |FROM uni ORDER BY channel""".stripMargin)),
+
     // Ordered funnel: users progressing view → click → purchase, each
     // step within 24h of the previous stage's first qualifying event
     // (strict in-order semantics, min-based — deterministic)
