@@ -144,4 +144,35 @@ object Profile {
         // sqrt never returns -Inf, so +Inf is the only infinite norm
         count(when(col("__nrm") === Double.PositiveInfinity, 1)).as("n_inf"))
   }
+
+  /** Referential-integrity audit — the data-contract gate a lakehouse
+    * runs before trusting a join graph: for each declared
+    * (child.key → parent.key) relation, the child rows whose key is
+    * NULL (not a violation under SQL FK semantics, but reported — a
+    * silent null-key population breaks downstream inner joins by
+    * dropping rows, not by erroring) and the ORPHANS (non-null child
+    * keys with no parent row). `ok` = zero orphans.
+    *
+    * Scale shape per relation: one left_anti join against the
+    * DISTINCT parent keys (AQE broadcasts dimension-sized parents;
+    * fact-to-fact relations shuffle on the key — the join's own
+    * partitioning) plus two map-side-combined count aggregates; the
+    * result is |relations| rows. Exact integer counts throughout. */
+  def fkIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "fkIntegrity needs at least one relation")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = child.select(col(childKey).as("__k"))
+      val base = keys.agg(count(lit(1)).as("n_child"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val orphans = keys.na.drop(Seq("__k"))
+        .join(parent.select(col(parentKey).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child"),
+          col("n_null_keys"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }.reduce(_ unionAll _).orderBy("relation")
+  }
 }

@@ -3346,6 +3346,70 @@ object ExtQueries {
     // ProfileSpec pins that Catalyst actually prunes the artifact's
     // partitions (PartitionFilters at the scan). Oracle replays the
     // month grouping from the parquet truth.
+    // Referential-integrity audit (round 10 session 3, [EXT]): the
+    // data-contract gate over the join graph. The TPC-H-ish fixture
+    // is referentially clean by construction (every relation probed
+    // reads 0 orphans), so the detector's FIRING case is pinned the
+    // way text_stats_drift pins drift: the fourth relation audits a
+    // deterministically-PERTURBED parent snapshot (every 10th
+    // customer dropped — simulated partial dim-table loss) and must
+    // read ok=false with the exact orphan count — the booleans are
+    // mixed 3/1, non-vacuous. One anti-join + two map-side counts per
+    // relation, |relations| output rows.
+    Q("profile_fk_integrity",
+      (s, dir) => graft.ops.Profile.fkIntegrity(Seq(
+        ("events.user_id->customer.c_custkey",
+          Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("orders.o_custkey->customer_LOSSY(c_custkey%10!=0)",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir).filter(col("c_custkey") % 10 =!= 0),
+          "c_custkey"))),
+      Some("""WITH r1 AS (SELECT 'events.user_id->customer.c_custkey' AS relation,
+             |    count(*) AS n_child,
+             |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_null_keys,
+             |    CAST(sum(CASE WHEN user_id IS NOT NULL AND NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+             |  FROM events e),
+             |r4 AS (SELECT 'orders.o_custkey->customer_LOSSY(c_custkey%10!=0)',
+             |    count(*),
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+             |         AND c.c_custkey % 10 != 0)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders o),
+             |r2 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             |    count(*),
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS
+             |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem l),
+             |r3 AS (SELECT 'orders.o_custkey->customer.c_custkey',
+             |    count(*),
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders o),
+             |uni AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+             |SELECT relation, n_child, n_null_keys, n_orphans,
+             |  n_orphans = 0 AS ok
+             |FROM uni ORDER BY relation""".stripMargin)),
+
     // Z-order layout audit (round 10 session 3, [EXT]): the
     // multi-dimensional data-skipping decision — linear-by-x vs
     // Morton-interleaved bucketing of lineitem on (l_partkey,

@@ -268,4 +268,24 @@ class ProfileSpec extends SparkSpec {
       assert(tot <= 10000L + bs.map(_._2).max, s"bin overfull: $bs")
     }
   }
+
+  test("fkIntegrity: null keys are reported but not orphans; duplicate parents don't double-count") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(2L))
+      .toDF("ck")
+    // duplicate parent key 1 must not multiply matched child rows
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    val got = graft.ops.Profile.fkIntegrity(Seq(
+        ("child->parent", child, "ck", parent, "pk")))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(("child->parent", 5L, 1L, 1L, false)),
+      got.mkString(", "))
+    val clean = graft.ops.Profile.fkIntegrity(Seq(
+        ("c2", child.na.drop().filter($"ck" =!= 9L), "ck", parent, "pk")))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(clean.head._4 == 0L && clean.head._5, clean.mkString(", "))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.fkIntegrity(Seq.empty)
+    }
+  }
 }
