@@ -427,4 +427,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"the reservoir must not shuffle the corpus:\n$plan")
   }
+
+  test("session-3 operators: aggregate-only plans — no Window, no ScalaUDF (structural claims)") {
+    // evt_attribution derives first/last via min/max(struct) per
+    // conversion, sample_neyman and profile_zorder_layout are pure
+    // groupBy chains with codegen'd HOF arithmetic — a Window or UDF
+    // appearing in any of them means the scale claim regressed
+    for (q <- Seq("evt_attribution", "sample_neyman",
+        "profile_zorder_layout", "profile_fk_integrity")) {
+      val plan = formatted(run(q))
+      assert("\\(\\d+\\) Window\\b".r.findFirstIn(plan).isEmpty,
+        s"$q: a Window shuffle appeared in an aggregate-only plan:\n$plan")
+      assert(!plan.toLowerCase.contains("scalaudf"),
+        s"$q: a Scala UDF leaked into a codegen'd plan:\n$plan")
+    }
+  }
 }
