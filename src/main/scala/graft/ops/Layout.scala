@@ -41,6 +41,31 @@ object Layout {
        |  acc + shiftleft(shiftright($x16, i) % 2, 2 * i)
        |      + shiftleft(shiftright($y16, i) % 2, 2 * i + 1))""".stripMargin)
 
+  /** The deploy-path helper: `df` plus its quantized coordinates
+    * (`x16`, `y16` in [0, 65535]) and the Morton code `z` — the sort
+    * key the audited layout ships with:
+    * `mortonCode(df, x, y).repartitionByRange(n, col("z"))
+    * .sortWithinPartitions("z").write.parquet(...)`. Same lazy 1-row
+    * broadcast extremes and integer-only arithmetic as the audit, so
+    * the code a writer sorts by is bit-identical to the code the
+    * audit graded. */
+  def mortonCode(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val ext = df.agg(
+      min(col(xCol)).cast("long").as("__xmin"),
+      max(col(xCol)).cast("long").as("__xmax"),
+      min(col(yCol)).cast("long").as("__ymin"),
+      max(col(yCol)).cast("long").as("__ymax"))
+    df.crossJoin(broadcast(ext))
+      .withColumn("x16", when(col("__xmax") > col("__xmin"),
+        expr(s"((CAST($xCol AS BIGINT) - __xmin) * 65535)"
+          + " div (__xmax - __xmin)")).otherwise(lit(0L)))
+      .withColumn("y16", when(col("__ymax") > col("__ymin"),
+        expr(s"((CAST($yCol AS BIGINT) - __ymin) * 65535)"
+          + " div (__ymax - __ymin)")).otherwise(lit(0L)))
+      .withColumn("z", mortonExpr("x16", "y16"))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
+
   /** The layout audit: for `layout IN (linear_x, zorder)` ×
     * `pred IN (x_sel, y_sel)`, the rows/buckets a min-max zone-map
     * reader must fetch. `selLo`/`selHi` bound the selective range in
@@ -70,27 +95,40 @@ object Layout {
       .withColumn("z", mortonExpr("x16", "y16"))
       .withColumn("__b_linear", expr(s"x16 div (65536 div $nBuckets)"))
       .withColumn("__b_zorder", expr(s"z div (4294967296 div $nBuckets)"))
-    def zoneMap(bucketCol: String, layout: String) = coded
-      .groupBy(col(bucketCol).as("bucket"))
+    // ONE corpus pass for BOTH layouts: each row contributes a
+    // (layout, bucket) pair per layout via explode, and the map-side
+    // combine collapses to <= 2·nBuckets rows before the shuffle — at
+    // a scan-bound 100-TB table, one pass beats a per-layout rescan
+    val zones = coded
+      .select(explode(array(
+        struct(lit("linear_x").as("layout"), col("__b_linear").as("bucket"),
+          col("x16"), col("y16")),
+        struct(lit("zorder").as("layout"), col("__b_zorder").as("bucket"),
+          col("x16"), col("y16")))).as("e"))
+      .select(col("e.layout").as("layout"), col("e.bucket").as("bucket"),
+        col("e.x16").as("x16"), col("e.y16").as("y16"))
+      .groupBy("layout", "bucket")
       .agg(count(lit(1)).as("rows"),
         min(col("x16")).as("bxmin"), max(col("x16")).as("bxmax"),
         min(col("y16")).as("bymin"), max(col("y16")).as("bymax"))
-      .withColumn("layout", lit(layout))
-    val zones = zoneMap("__b_linear", "linear_x")
-      .unionAll(zoneMap("__b_zorder", "zorder"))
     // a zone-map reader fetches a bucket iff the bucket's range
-    // intersects the predicate band on the CONSTRAINED dimension
-    def audit(pred: String, loC: String, hiC: String) = zones
-      .withColumn("__hit",
-        col(hiC) >= lit(selLo) && col(loC) <= lit(selHi))
-      .groupBy("layout")
+    // intersects the predicate band on the CONSTRAINED dimension;
+    // both predicates grade off the SAME tiny zone table in one agg
+    zones
+      .select(col("layout"), col("rows"), explode(array(
+        struct(lit("x_sel").as("pred"),
+          (col("bxmax") >= lit(selLo) && col("bxmin") <= lit(selHi))
+            .as("hit")),
+        struct(lit("y_sel").as("pred"),
+          (col("bymax") >= lit(selLo) && col("bymin") <= lit(selHi))
+            .as("hit")))).as("p"))
+      .select(col("layout"), col("rows"),
+        col("p.pred").as("pred"), col("p.hit").as("__hit"))
+      .groupBy("layout", "pred")
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("rows")).as("total_rows"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("buckets_read"),
         sum(when(col("__hit"), col("rows")).otherwise(0L)).as("rows_read"))
-      .withColumn("pred", lit(pred))
-    audit("x_sel", "bxmin", "bxmax")
-      .unionAll(audit("y_sel", "bymin", "bymax"))
       .select(col("layout"), col("pred"), col("n_buckets"),
         col("total_rows"), col("buckets_read"), col("rows_read"),
         (floor(col("rows_read").cast("double") / col("total_rows")

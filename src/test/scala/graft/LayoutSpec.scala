@@ -50,6 +50,20 @@ class LayoutSpec extends SparkSpec {
       assert(r._6 == 0L && r._7 == 0.0, r.toString))
   }
 
+  test("mortonCode: hand-computed interleavings on an identity-quantized domain") {
+    // x,y in 0..65535 quantize to themselves (span = 65535), so z is
+    // the raw Morton interleave: z(5,3) = 27, z(0,1) = 2, z(1,0) = 1,
+    // z(65535,65535) = 2^32 - 1
+    val df = Seq((5L, 3L), (0L, 1L), (1L, 0L), (0L, 0L),
+      (65535L, 65535L)).toDF("x", "y")
+    val got = Layout.mortonCode(df, "x", "y")
+      .select("x", "y", "z").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(5L -> 3L) == 27L, got.toString)
+    assert(got(0L -> 1L) == 2L && got(1L -> 0L) == 1L && got(0L -> 0L) == 0L)
+    assert(got(65535L -> 65535L) == (1L << 32) - 1L, got.toString)
+  }
+
   test("zorderAudit: invalid knobs fail loudly") {
     intercept[IllegalArgumentException] {
       Layout.zorderAudit(grid, "x", "y", nBuckets = 1)
