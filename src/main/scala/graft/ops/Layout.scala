@@ -19,38 +19,30 @@ import org.apache.spark.sql.functions._
   * of rows a zone-map reader must fetch for an x-selective and a
   * y-selective box — four rows that ARE the layout decision.
   *
-  * Scale shape: one corpus pass computes the quantized coordinates
-  * and the Morton code with codegen'd HOFs (no UDF: `aggregate` over
-  * `sequence(0,15)` with `shiftleft`/`shiftright`), the min/max
-  * extremes ride a 1-row broadcast (lazy — no eager driver action),
-  * and each layout is ONE map-side-combined groupBy onto <= nBuckets
-  * rows; the pruning decision then runs on the bucket table, never
+  * Scale shape: ONE corpus pass computes the quantized coordinates
+  * and the Morton code (the shared [[ZOrder.interleave]] mask ladder
+  * — codegen'd shifts, no UDF) and grades BOTH layouts through a
+  * single map-side-combined groupBy onto <= 2·nBuckets rows; the
+  * min/max extremes ride a 1-row broadcast (lazy — no eager driver
+  * action) and the pruning decision runs on the bucket table, never
   * the corpus. Everything is integer arithmetic (quantization by
   * `div`, interleave by shifts), so the audit is bit-identical across
-  * engines and partitionings. The deploy step this audit gates is
-  * `df.repartitionByRange(nBuckets, $"z").sortWithinPartitions($"z")
-  * .write.parquet(...)` — parquet then carries the per-file zone maps
-  * this audit simulates.
+  * engines and partitionings. The physical writer this audit gates is
+  * [[ZOrder.writeZOrdered]] (same curve; double rank-quantization on
+  * the write side where oracle parity isn't needed), or
+  * [[mortonCode]] + `repartitionByRange(col("z"))` when the caller
+  * wants the audit-exact integer quantization — parquet then carries
+  * the per-file zone maps this audit simulates.
   */
 object Layout {
 
-  /** Bit-spread a 16-bit value into the even bit positions of a
-    * 32-bit lane — the classic closed-form mask ladder (each step
-    * doubles the gap): four shift-or-mask rounds of straight-line
-    * codegen'd arithmetic, no per-bit lambda loop. */
-  private def spread16(c: org.apache.spark.sql.Column) = {
-    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
-    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
-    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
-  }
-
   /** Morton-interleave two 16-bit quantized columns into a 32-bit
-    * Z-value (x on even bits, y on odd) — identical values to the
-    * per-bit definition the DuckDB oracle replays, at ~8 codegen'd
-    * ops per coordinate instead of a 16-iteration HOF fold. */
+    * Z-value — delegates to [[ZOrder.interleave]], the repo's ONE
+    * Morton definition (lockstep rule: the write layout and this
+    * audit can only differ in quantization, never in the curve). The
+    * values match the per-bit definition the DuckDB oracle replays. */
   private def mortonExpr(x16: String, y16: String) =
-    spread16(col(x16)).bitwiseOR(shiftleft(spread16(col(y16)), 1))
+    ZOrder.interleave(col(x16), col(y16), 16)
 
   /** The deploy-path helper: `df` plus its quantized coordinates
     * (`x16`, `y16` in [0, 65535]) and the Morton code `z` — the sort
