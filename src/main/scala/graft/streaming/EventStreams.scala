@@ -928,6 +928,88 @@ object EventStreams {
       }
   }
 
+  case class AttCredit(user_id: Long, conv_event_id: Long, channel: String,
+      credit_u6: Long, credit_l6: Long)
+  // parallel arrays instead of a List of tuples, and PUBLIC like the
+  // other state classes: codegen'd encoders can't touch a
+  // Scala-private nested class's accessors
+  case class AttState(tUs: Array[Long], tEid: Array[Long],
+      tCh: Array[String], mega: Boolean)
+
+  /** Streaming twin of the batch U-shaped attribution
+    * ([[graft.ops.Attribution.uShaped]] / `evt_attribution`):
+    * real-time credit AT conversion time via flatMapGroupsWithState —
+    * keyed per-user state holds the touches seen so far (bounded by
+    * `maxTouches`, the batch tier's mega-user guard), and every
+    * conversion emits its credit rows immediately (append mode:
+    * credits are paid once and never revised — the operational
+    * attribution contract). Summing the emitted rows per channel
+    * reproduces the batch report exactly (StreamingSpec) when
+    * ingestion is per-user event-time ordered; a touch arriving
+    * AFTER a conversion was paid credits only later conversions —
+    * the honest real-time divergence from the batch view, which sees
+    * the whole log (likewise the mega guard trips when the cap is
+    * CROSSED, where batch knows the final count up front). State per
+    * user is <= maxTouches triples and is cleared on the mega flag. */
+  def attributionAtConversion(events: Dataset[CdcEv],
+      touchTypes: Set[String], convType: String,
+      maxTouches: Int = 10000): Dataset[AttCredit] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def q6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttState, AttCredit](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEv], state: GroupState[AttState]) =>
+          val st = state.getOption.getOrElse(
+            AttState(Array.empty, Array.empty, Array.empty, mega = false))
+          var mega = st.mega
+          val tUs = scala.collection.mutable.ArrayBuffer(st.tUs: _*)
+          val tEid = scala.collection.mutable.ArrayBuffer(st.tEid: _*)
+          val tCh = scala.collection.mutable.ArrayBuffer(st.tCh: _*)
+          val out = scala.collection.mutable.ListBuffer.empty[AttCredit]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (touchTypes(e.event_type)) {
+              if (!mega) {
+                if (tUs.size >= maxTouches) { // cap crossed: free state
+                  mega = true; tUs.clear(); tEid.clear(); tCh.clear()
+                } else {
+                  tUs += us(e.ts); tEid += e.event_id; tCh += e.event_type
+                }
+              }
+            } else if (e.event_type == convType) {
+              val cv = e.value.getOrElse(0.0)
+              if (mega)
+                out += AttCredit(uid, e.event_id, "(mega_user_skipped)",
+                  q6(cv), q6(cv))
+              else if (tUs.isEmpty)
+                out += AttCredit(uid, e.event_id, "(unattributed)",
+                  q6(cv), q6(cv))
+              else {
+                val m = tUs.size
+                val idx = tUs.indices
+                val fi = idx.minBy(i => (tUs(i), tEid(i)))
+                val la = idx.maxBy(i => (tUs(i), tEid(i)))
+                idx.foreach { i =>
+                  val share =
+                    if (m == 1) 1.0
+                    else if (m == 2) 0.5
+                    else if (i == fi || i == la) 0.4
+                    else 0.2 / (m - 2).toDouble
+                  out += AttCredit(uid, e.event_id, tCh(i),
+                    q6(cv * share), if (i == la) q6(cv) else 0L)
+                }
+              }
+            }
+          }
+          state.update(AttState(tUs.toArray, tEid.toArray, tCh.toArray, mega))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value sum across micro-batches (update mode). */
   def runningUserTotals(events: Dataset[Ev]): Dataset[UserRunning] = {

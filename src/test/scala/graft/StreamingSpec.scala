@@ -368,6 +368,55 @@ class StreamingSpec extends SparkSpec {
     assert(fin(1L)._5.contains(3.5) && fin(1L)._6 == 2L)
   }
 
+  test("attributionAtConversion: summed streaming credits == the batch U-shaped report") {
+    import graft.streaming.EventStreams.CdcEv
+    implicit val sql = spark.sqlContext
+    def t(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    // mirrors AttributionSpec: user 1 = 4 touches split ACROSS batches
+    // then purchase 100; user 2 = single view + purchase 50; user 3 =
+    // bare purchase 25 (unattributed); user 4 = crosses the
+    // maxTouches=4 cap BEFORE its purchase 77 (mega row)
+    val b1 = Seq(
+      CdcEv(1L, t(10), 101L, "view", None),
+      CdcEv(1L, t(20), 102L, "click", None),
+      CdcEv(2L, t(10), 201L, "view", None),
+      CdcEv(4L, t(1), 401L, "view", None),
+      CdcEv(4L, t(2), 402L, "view", None))
+    val b2 = Seq(
+      CdcEv(1L, t(30), 103L, "signup", None),
+      CdcEv(1L, t(40), 104L, "click", None),
+      CdcEv(1L, t(50), 105L, "purchase", Some(100.0)),
+      CdcEv(2L, t(20), 202L, "purchase", Some(50.0)),
+      CdcEv(3L, t(20), 301L, "purchase", Some(25.0)),
+      CdcEv(4L, t(3), 403L, "view", None),
+      CdcEv(4L, t(4), 404L, "view", None),
+      CdcEv(4L, t(5), 406L, "view", None),
+      CdcEv(4L, t(6), 405L, "purchase", Some(77.0)))
+    val mem = MemoryStream[CdcEv]
+    val q = EventStreams.attributionAtConversion(mem.toDS(),
+        Set("view", "click", "signup"), "purchase", maxTouches = 4)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    import org.apache.spark.sql.functions._
+    val streamed = spark.table("attrib").groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("credit_u6")).cast("double") / lit(1e6)).as("rev_u_shaped"),
+        (sum(col("credit_l6")).cast("double") / lit(1e6)).as("rev_last_touch"))
+      .orderBy("channel")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    q.stop()
+    val batch = graft.ops.Attribution.uShaped(
+        (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type", "value")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value")),
+        "user_id", "event_type", "ts", "event_id", "value",
+        Seq("view", "click", "signup"), "purchase", maxTouches = 4)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(streamed == batch, s"streaming != batch:\n  s=$streamed\n  b=$batch")
+  }
+
   test("streaming refresh pipeline: ordered epochs equal the one-shot batch; replay idempotent") {
     implicit val sql = spark.sqlContext
     import graft.ext.TextOps
