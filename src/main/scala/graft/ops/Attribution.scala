@@ -55,10 +55,18 @@ object Attribution {
       .filter(col("n_credits") > 0)
     val okConvs = convs.join(mega, Seq("u"), "left_anti")
     // pair every conversion with its user's strictly-preceding touches
-    val pairs = okConvs.join(
-        touches.select(col("u"), col("t"), col("us"), col("eid")), Seq("u"))
-      .filter(col("us") < col("cus")
-        || (col("us") === col("cus") && col("eid") < col("ceid")))
+    // — Memo barrier: the pair frame feeds three consumers (the
+    // per-conversion aggregate, the credit join, and the unattributed
+    // anti-join), so it materializes once instead of re-running the
+    // join per consumer (the bitextMine shared-pass idiom)
+    val pairs = graft.queries.Memo.cached(events.sparkSession, "attrib|" +
+      s"${events.queryExecution.logical.semanticHash()}|$userCol|$typeCol|" +
+      s"$tsCol|$idCol|$valueCol|${touchTypes.mkString(",")}|$convType|" +
+      s"$maxTouches")(
+      okConvs.join(
+          touches.select(col("u"), col("t"), col("us"), col("eid")), Seq("u"))
+        .filter(col("us") < col("cus")
+          || (col("us") === col("cus") && col("eid") < col("ceid"))))
     val per = pairs.groupBy("u", "ceid")
       .agg(count(lit(1)).as("m"),
         min(struct(col("us"), col("eid"))).as("__first"),
