@@ -77,6 +77,11 @@ object Layout {
     * the contrast isolates the LAYOUT, not the predicate). */
   def zorderAudit(df: DataFrame, xCol: String, yCol: String,
       nBuckets: Int = 64, selLo: Long = 29491, selHi: Long = 36044): DataFrame = {
+    // truncating width division means a non-power-of-2 nBuckets can
+    // observe one extra sliver bucket at the top of the range (e.g.
+    // 48 → 49 occupied ids); n_buckets reports OBSERVED buckets, so
+    // the audit stays exact either way — power-of-2 values give the
+    // tidy aligned quadtree blocks
     require(nBuckets >= 2 && nBuckets <= 65536,
       s"nBuckets must be in [2, 65536], got $nBuckets")
     require(selLo >= 0 && selHi <= 65535 && selLo <= selHi,
