@@ -1689,6 +1689,53 @@ object TextOps {
     * global top-k that executes as TakeOrderedAndProject — k rows per
     * partition cross the wire, never the full vocabulary. Ties break
     * by token ascending so the cut is deterministic. */
+  /** PMI collocation mining (Church & Hanks 1990): adjacent word
+    * pairs scored by pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) — the corpus-analysis pass that surfaces
+    * multi-word units ("new york", "machine learning") for tokenizer
+    * merge candidates, stopword-phrase lists, and boilerplate
+    * signatures. p(ab) over adjacent-bigram occurrences, p(·) over
+    * unigram occurrences.
+    *
+    * Shape: one corpus pass explodes adjacent bigrams via a zip of
+    * the token array with its own tail (codegen'd `zip_with`/`slice`,
+    * no UDF), one map-side-combined groupBy per table; `minCount`
+    * prunes the bigram tail BEFORE the margin joins (the hapax mass
+    * carries no PMI evidence and would dominate row volume); the
+    * unigram margins join onto the pruned bigrams; top-k rides
+    * orderBy+limit (TakeOrderedAndProject — partition k-heaps, no
+    * global sort). PMI is ONE shared IEEE chain over exact integer
+    * counts (a single ln of a double ratio, micro-quantized), so the
+    * ranking is engine-deterministic; ties break on (a, b). */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(tokensCol(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(count(lit(1)).as("__n1"))
+    val bi = toks.select(explode(expr(
+        """zip_with(slice(__t, 1, size(__t) - 1),
+          |         slice(__t, 2, size(__t) - 1),
+          |         (x, y) -> named_struct('a', x, 'b', y))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val n2 = bi.agg(count(lit(1)).as("__n2"))
+    bc.join(uc.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uc.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (floor(log(
+          (col("c_ab").cast("double") * col("__n1") * col("__n1"))
+            / (col("__n2").cast("double") * col("c_a") * col("c_b")))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("pmi"))
+      .orderBy(desc("pmi"), asc("a"), asc("b"))
+      .limit(k)
+  }
+
   def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
       .groupBy("token")

@@ -2707,6 +2707,34 @@ object ExtQueries {
 
     // Corpus vocabulary: top-50 tokens by occurrence with doc frequency
     // (tokenizer/vocab construction first pass; TakeOrderedAndProject)
+    // PMI collocations (round 10 session 3, [EXT]): top adjacent word
+    // pairs by pointwise mutual information — multi-word-unit mining
+    // for tokenizer merges / boilerplate signatures. Exact integer
+    // counts, one shared ln chain, hapax bigrams pruned pre-join.
+    Q("text_collocations",
+      (s, dir) => TextOps.collocations(Tables.documents(s, dir),
+        "doc_id", "text", minCount = 5L, k = 100),
+      Some("""WITH toks AS (SELECT
+             |    string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |uni AS (SELECT unnest(t) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             |n1 AS (SELECT count(*) AS n1 FROM uni),
+             |bi AS (SELECT p['a'] AS a, p['b'] AS b FROM (
+             |  SELECT unnest([ {'a': t[i], 'b': t[i+1]}
+             |                  for i in range(1, len(t)) ]) AS p
+             |  FROM toks)),
+             |bc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b
+             |       HAVING count(*) >= 5),
+             |n2 AS (SELECT count(*) AS n2 FROM bi)
+             |SELECT b.a, b.b, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+             |  floor(ln((CAST(b.c_ab AS DOUBLE) * n1 * n1)
+             |      / (CAST(n2 AS DOUBLE) * ua.c * ub.c)) * 1e6 + 0.5) / 1e6
+             |    AS pmi
+             |FROM bc b JOIN uc ua ON ua.w = b.a JOIN uc ub ON ub.w = b.b,
+             |     n1, n2
+             |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin)),
+
     Q("text_vocab",
       (s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), "doc_id", "text", 50),
       Some("""SELECT t AS token, count(*) AS n_total,

@@ -1434,6 +1434,25 @@ class TextDedupSpec extends SparkSpec {
     assert(r.head._4 == 3L) // whole vocabulary seen in the first bucket
   }
 
+  test("collocations: closed-form PMI, minCount prunes the rare pair, tie order stable") {
+    // 10 docs "x y", 6 docs "x z", 4 docs "w q":
+    // N1 = 40 tokens, N2 = 20 bigrams; c(x)=16, c(y)=10, c(z)=6
+    // PMI(x,y) = ln(10·40²/(20·16·10)) = ln 5; PMI(x,z) = ln 5 too
+    // (same margin structure); (w,q) occurs 4 < minCount 5 -> pruned
+    val docs = ((0 until 10).map(i => (i.toLong, "x y"))
+      ++ (10 until 16).map(i => (i.toLong, "x z"))
+      ++ (16 until 20).map(i => (i.toLong, "w q")))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, "doc_id", "text", 5L, 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val ln5 = math.floor(math.log(5.0) * 1e6 + 0.5) / 1e6
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq("x" -> "y", "x" -> "z"),
+      got.mkString(", "))
+    got.foreach { r => assert(r._6 == ln5, s"pmi != ln 5: $r") }
+    assert(got.head._3 == 10L && got.head._4 == 16L && got.head._5 == 10L,
+      got.head.toString)
+  }
+
   test("neymanAllocation: budget chases variance, zero-variance strata take the floor, caps hold") {
     // stratum a: 100 rows alternating 0/200 (std_pop = 100);
     // stratum b: 100 rows all exactly 50 (std_pop = 0);
