@@ -88,10 +88,13 @@ object Similarity {
     * for the IVF-probed candidate generator ([[graft.ml.Ivf]]) with
     * everything downstream unchanged — the same prefilter-ladder
     * contract as the other full-scan tiers. */
-  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
-      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
-      k: Int = 4, threshold: Double = 1.0): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  /** The Memo'd (q_id, n_id, c5) src→tgt pair table shared by
+    * [[bitextMine]] and [[bitextMutual]] (one cross join, integer
+    * quantized cosines — both directions read the SAME table, the
+    * backward direction through a transpose, never a second scan). */
+  private def bitextScored(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String,
+      tgtLang: String): DataFrame = {
     val e = prep(emb, idCol, vecCol)
       .join(langOf.select(col(idCol), col(langCol).as("__lang")), Seq(idCol))
       .filter(col("nrm") > 0.0)
@@ -103,11 +106,43 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(call_function("array_dot", col("qv"), col("v"))
           / (col("qn") * col("nrm")) * lit(1e5)).cast("long").as("c5"))
-    val scored = graft.queries.Memo.cached(emb.sparkSession, s"bitext|" +
+    graft.queries.Memo.cached(emb.sparkSession, s"bitext|" +
       s"${emb.queryExecution.logical.semanticHash()}|" +
       s"${langOf.queryExecution.logical.semanticHash()}|$srcLang|$tgtLang")(
       scored0)
-    bitextMarginTail(scored, k, threshold)
+  }
+
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bitextMarginTail(bitextScored(emb, idCol, vecCol, langOf, langCol,
+      srcLang, tgtLang), k, threshold)
+  }
+
+  /** INTERSECTION bitext mining (Artetxe & Schwenk ACL'19 §3.2, the
+    * high-precision mode): a pair survives only when each side is the
+    * OTHER's margin-argmax — forward (src→tgt) and backward (tgt→src)
+    * both computed from the ONE Memo'd pair table (the backward
+    * direction is a transpose of the same (q, n, c5) rows, so mutual
+    * costs one extra tail, never a second cross join) and inner-joined
+    * on the agreeing pair. Output carries both margin scores; the
+    * forward/backward score asymmetry (different kNN hubness
+    * denominators) is the expected signal, not an error. */
+  def bitextMutual(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = bitextScored(emb, idCol, vecCol, langOf, langCol,
+      srcLang, tgtLang)
+    val fwd = bitextMarginTail(scored, k, threshold)
+    val bwd = bitextMarginTail(scored.select(col("n_id").as("q_id"),
+      col("q_id").as("n_id"), col("c5")), k, threshold)
+    fwd.join(bwd.select(col("src_id").as("tgt_id"),
+        col("tgt_id").as("src_id"), col("score").as("score_bwd")),
+        Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        col("score").as("score_fwd"), col("score_bwd"))
   }
 
   /** The margin-kNN scoring tail shared by [[bitextMine]] (exact

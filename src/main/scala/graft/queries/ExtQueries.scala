@@ -1145,6 +1145,64 @@ object ExtQueries {
              |FROM w WHERE rn = 1 AND score >= 1.0
              |ORDER BY src_id""".stripMargin)),
 
+    // Intersection bitext mining (round 10 session 3, [EXT]): the
+    // high-precision mode — a pair survives only when each side is
+    // the other's margin-argmax; both directions read the ONE Memo'd
+    // pair table (backward = transpose), so mutual costs one extra
+    // tail, never a second cross join.
+    Q("sim_bitext_mutual",
+      (s, dir) => Similarity.bitextMutual(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+          "lang", "en", "de", 4, 1.0)
+        .orderBy("src_id"),
+      Some("""WITH el AS (SELECT em.vec_id AS id,
+             |         CAST(em.embedding AS DOUBLE[]) AS v, d.lang
+             |       FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+             |       WHERE list_dot_product(CAST(em.embedding AS DOUBLE[]),
+             |               CAST(em.embedding AS DOUBLE[])) > 0),
+             |sc AS (SELECT s.id AS q_id, t.id AS n_id,
+             |         CAST(round(list_cosine_similarity(s.v, t.v) * 1e5)
+             |           AS BIGINT) AS c5
+             |       FROM el s JOIN el t ON s.lang = 'en' AND t.lang = 'de'),
+             |fa AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |ba AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |m AS (SELECT sc.q_id, sc.n_id, sc.c5,
+             |        2.0 * sc.c5 / (fa.favg + ba.bavg) AS score
+             |      FROM sc JOIN fa USING (q_id) JOIN ba USING (n_id)),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM m),
+             |fwd AS (SELECT q_id AS src_id, n_id AS tgt_id, c5,
+             |          floor(score * 1e6 + 0.5) / 1e6 AS score_fwd
+             |        FROM w WHERE rn = 1 AND score >= 1.0),
+             |scb AS (SELECT n_id AS q_id, q_id AS n_id, c5 FROM sc),
+             |fab AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM scb)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |bab AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM scb)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |mb AS (SELECT scb.q_id, scb.n_id, scb.c5,
+             |        2.0 * scb.c5 / (fab.favg + bab.bavg) AS score
+             |      FROM scb JOIN fab USING (q_id) JOIN bab USING (n_id)),
+             |wb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM mb),
+             |bwd AS (SELECT q_id AS b_src, n_id AS b_tgt,
+             |          floor(score * 1e6 + 0.5) / 1e6 AS score_bwd
+             |        FROM wb WHERE rn = 1 AND score >= 1.0)
+             |SELECT f.src_id, f.tgt_id, CAST(f.c5 AS DOUBLE) / 1e5 AS cosine,
+             |  f.score_fwd, b.score_bwd
+             |FROM fwd f JOIN bwd b ON b.b_src = f.tgt_id AND b.b_tgt = f.src_id
+             |ORDER BY f.src_id""".stripMargin)),
+
     // IVF-probed bitext honesty gate (round 10 session 3): the pruned
     // mining tier (bitextMineIvf — candidates from the shared IVF
     // probe, |src|·cand pairs instead of |src|·|tgt|) graded against

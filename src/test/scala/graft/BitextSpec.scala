@@ -74,6 +74,30 @@ class BitextSpec extends SparkSpec {
       s"ivf=${ivf.mkString(", ")} exact=${exact.mkString(", ")}")
   }
 
+  test("bitextMutual: intersection keeps only reciprocal argmax pairs; subset of forward") {
+    // en1 and en3 both point at de10 (en3 weakly); de10's backward
+    // argmax is en1 -> (en3, de10) survives forward mining but must
+    // die in the intersection; (en1, de10) and (en2, de11) survive
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.2f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val lang = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de")).toDF("vec_id", "lang")
+    val fwd = Similarity.bitextMine(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val mut = Similarity.bitextMutual(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(fwd.contains(3L -> 10L), s"fixture broken: $fwd")
+    val mutPairs = mut.map(r => r._1 -> r._2).toSet
+    assert(mutPairs.subsetOf(fwd), s"mutual not a forward subset: $mutPairs")
+    assert(mutPairs == Set(1L -> 10L, 2L -> 11L), mut.mkString(", "))
+    mut.foreach(r => assert(r._4 > 0.0 && r._5 > 0.0 && !r._4.isNaN, r.toString))
+  }
+
   test("bitextMineIvf: pruned probe mines a pair subset with scores from the shared tail") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
