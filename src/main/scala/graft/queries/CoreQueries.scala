@@ -1347,6 +1347,41 @@ object CoreQueries {
           Tables.documents(s, dir)).orderBy("doc_id"),
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
 
+    // SCD Type-2 history build (round 10 session 3, [EXT]): the
+    // warehouse complement of evt_cdc_apply — instead of compacting
+    // the change log to final state, materialize the FULL validity
+    // history: each change opens a row valid over
+    // [its ts, next change's ts), the key's latest row stays open
+    // (valid_to NULL, is_current). Built as the aggregate shape
+    // (per-key sorted array + transform over indices — zero Window
+    // nodes; per-key array size is bounded by per-key activity, the
+    // collectSeries caveat); the oracle IS the lead()/row_number
+    // window formulation the aggregate deliberately avoids.
+    Q("evt_scd2_history",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("vf"), col("event_id").as("eid"),
+          col("event_type").as("et"), col("value").as("v")))).as("__c"))
+        .select(col("user_id"), explode(expr(
+          """transform(sequence(1, size(__c)), i -> named_struct(
+            |  'valid_from_us', __c[i-1].vf,
+            |  'event_id', __c[i-1].eid,
+            |  'event_type', __c[i-1].et,
+            |  'value', __c[i-1].v,
+            |  'valid_to_us', IF(i < size(__c), __c[i].vf, NULL),
+            |  'is_current', i = size(__c)))""".stripMargin)).as("r"))
+        .select(col("user_id"), col("r.*"))
+        .orderBy("user_id", "valid_from_us", "event_id"),
+      Some("""SELECT user_id, epoch_us(ts) AS valid_from_us, event_id,
+             |  event_type, value,
+             |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1 AS is_current
+             |FROM events
+             |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
     // CDC log compaction / last-writer-wins merge (round 10, [EXT]):
     // the events stream read as a change log on user_id — each event
     // upserts the key's row, 'error' events are tombstones that DELETE

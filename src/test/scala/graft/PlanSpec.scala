@@ -434,7 +434,8 @@ class PlanSpec extends SparkSpec {
     // groupBy chains with codegen'd HOF arithmetic — a Window or UDF
     // appearing in any of them means the scale claim regressed
     for (q <- Seq("evt_attribution", "sample_neyman",
-        "profile_zorder_layout", "profile_fk_integrity")) {
+        "profile_zorder_layout", "profile_fk_integrity",
+        "evt_scd2_history", "text_collocations")) {
       val plan = formatted(run(q))
       assert("\\(\\d+\\) Window\\b".r.findFirstIn(plan).isEmpty,
         s"$q: a Window shuffle appeared in an aggregate-only plan:\n$plan")
