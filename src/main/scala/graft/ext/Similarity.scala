@@ -195,11 +195,12 @@ object Similarity {
     * `cand >= |tgt|` the candidate set is the full bipartite graph
     * and the output is bitwise [[bitextMine]] (BitextSpec pins this).
     * Zero vectors are excluded up front, matching the exact tier. */
-  def bitextMineIvf(emb: DataFrame, idCol: String, vecCol: String,
+  /** The IVF-probed (q, n, c5) candidate pool shared by
+    * [[bitextMineIvf]] and [[bitextMutualIvf]] — the pruned twin of
+    * [[bitextScored]]. */
+  private def bitextScoredIvf(emb: DataFrame, idCol: String, vecCol: String,
       langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
-      k: Int = 4, threshold: Double = 1.0, cand: Int = 16,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
-    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+      cand: Int, nlist: Int, nprobe: Int, seed: Long): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val vd = col(vecCol).cast("array<double>")
     val withLang = emb
@@ -211,9 +212,43 @@ object Similarity {
       seed)
     // rankTopK already rounds cosine to 5dp, so c5 is the same
     // integer quantization the exact tier feeds the margin tail
-    val scored = pool.select(col("q_id"), col("n_id"),
+    pool.select(col("q_id"), col("n_id"),
       round(col("cosine") * lit(1e5)).cast("long").as("c5"))
-    bitextMarginTail(scored, k, threshold)
+  }
+
+  def bitextMineIvf(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0, cand: Int = 16,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    bitextMarginTail(bitextScoredIvf(emb, idCol, vecCol, langOf, langCol,
+      srcLang, tgtLang, cand, nlist, nprobe, seed), k, threshold)
+  }
+
+  /** [[bitextMutual]] at the IVF-probed regime: both directions'
+    * margin-argmax computed over the SAME pruned candidate pool
+    * (backward = transpose — each target's incoming probe edges), so
+    * the high-precision intersection mode inherits the sublinear
+    * candidate generation: |src|·cand pairs, probed inverted lists
+    * only, one extra tail over the pool. Same shared
+    * [[bitextMarginTail]]: with `nprobe == nlist` and
+    * `cand >= |tgt|` the pool is the full bipartite graph and the
+    * output is bitwise [[bitextMutual]] (BitextSpec pins it). */
+  def bitextMutualIvf(emb: DataFrame, idCol: String, vecCol: String,
+      langOf: DataFrame, langCol: String, srcLang: String, tgtLang: String,
+      k: Int = 4, threshold: Double = 1.0, cand: Int = 16,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    val scored = bitextScoredIvf(emb, idCol, vecCol, langOf, langCol,
+      srcLang, tgtLang, cand, nlist, nprobe, seed)
+    val fwd = bitextMarginTail(scored, k, threshold)
+    val bwd = bitextMarginTail(scored.select(col("n_id").as("q_id"),
+      col("q_id").as("n_id"), col("c5")), k, threshold)
+    fwd.join(bwd.select(col("src_id").as("tgt_id"),
+        col("tgt_id").as("src_id"), col("score").as("score_bwd")),
+        Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        col("score").as("score_fwd"), col("score_bwd"))
   }
 
   /** ROBUST per-dimension statistics ([EXT]): exact lower-quartile /

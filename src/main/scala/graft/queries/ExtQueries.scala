@@ -1203,6 +1203,75 @@ object ExtQueries {
              |FROM fwd f JOIN bwd b ON b.b_src = f.tgt_id AND b.b_tgt = f.src_id
              |ORDER BY f.src_id""".stripMargin)),
 
+    // IVF-probed MUTUAL bitext honesty gate (round 10 session 3): the
+    // high-precision intersection mode over the pruned candidate pool
+    // (bitextMutualIvf — both directions' argmax from the SAME probed
+    // pool), graded against the exact mutual miner with the usual
+    // boolean contract (measured agreement 0.815/0.875/0.715 at
+    // sf0.001/0.01/0.1, nprobe 6/16, floor 0.6).
+    Q("sim_bitext_mutual_ivf_agreement",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val langs = Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val exact = Similarity.bitextMutual(emb, "vec_id", "embedding",
+            langs, "lang", "en", "de", 4, 1.0)
+          .select("src_id", "tgt_id")
+        val ivf = Similarity.bitextMutualIvf(emb, "vec_id", "embedding",
+            langs, "lang", "en", "de", 4, 1.0,
+            cand = 16, nlist = 16, nprobe = 6)
+          .select("src_id", "tgt_id")
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        val hit = exact.join(ivf, Seq("src_id", "tgt_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        tot.crossJoin(hit).select(col("n_exact"),
+          (col("n_hit").cast("double")
+            / greatest(col("n_exact"), lit(1L)) >= 0.6).as("agree_ok"))
+      },
+      Some("""WITH el AS (SELECT em.vec_id AS id,
+             |         CAST(em.embedding AS DOUBLE[]) AS v, d.lang
+             |       FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+             |       WHERE list_dot_product(CAST(em.embedding AS DOUBLE[]),
+             |               CAST(em.embedding AS DOUBLE[])) > 0),
+             |sc AS (SELECT s.id AS q_id, t.id AS n_id,
+             |         CAST(round(list_cosine_similarity(s.v, t.v) * 1e5)
+             |           AS BIGINT) AS c5
+             |       FROM el s JOIN el t ON s.lang = 'en' AND t.lang = 'de'),
+             |fa AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |ba AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM sc)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |m AS (SELECT sc.q_id, sc.n_id, sc.c5,
+             |        2.0 * sc.c5 / (fa.favg + ba.bavg) AS score
+             |      FROM sc JOIN fa USING (q_id) JOIN ba USING (n_id)),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM m),
+             |fwd AS (SELECT q_id AS src_id, n_id AS tgt_id
+             |        FROM w WHERE rn = 1 AND score >= 1.0),
+             |scb AS (SELECT n_id AS q_id, q_id AS n_id, c5 FROM sc),
+             |fab AS (SELECT q_id, CAST(sum(c5) AS DOUBLE) / count(*) AS favg
+             |       FROM (SELECT q_id, c5, row_number() OVER (PARTITION BY q_id
+             |               ORDER BY c5 DESC, n_id) AS rn FROM scb)
+             |       WHERE rn <= 4 GROUP BY q_id),
+             |bab AS (SELECT n_id, CAST(sum(c5) AS DOUBLE) / count(*) AS bavg
+             |       FROM (SELECT n_id, c5, row_number() OVER (PARTITION BY n_id
+             |               ORDER BY c5 DESC, q_id) AS rn FROM scb)
+             |       WHERE rn <= 4 GROUP BY n_id),
+             |mb AS (SELECT scb.q_id, scb.n_id, scb.c5,
+             |        2.0 * scb.c5 / (fab.favg + bab.bavg) AS score
+             |      FROM scb JOIN fab USING (q_id) JOIN bab USING (n_id)),
+             |wb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, n_id) AS rn FROM mb),
+             |bwd AS (SELECT q_id AS b_src, n_id AS b_tgt
+             |        FROM wb WHERE rn = 1 AND score >= 1.0)
+             |SELECT count(*) AS n_exact, true AS agree_ok
+             |FROM fwd f JOIN bwd b
+             |  ON b.b_src = f.tgt_id AND b.b_tgt = f.src_id""".stripMargin)),
+
     // IVF-probed bitext honesty gate (round 10 session 3): the pruned
     // mining tier (bitextMineIvf — candidates from the shared IVF
     // probe, |src|·cand pairs instead of |src|·|tgt|) graded against

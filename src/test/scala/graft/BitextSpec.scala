@@ -98,6 +98,23 @@ class BitextSpec extends SparkSpec {
     mut.foreach(r => assert(r._4 > 0.0 && r._5 > 0.0 && !r._4.isNaN, r.toString))
   }
 
+  test("bitextMutualIvf: exhaustive regime is bitwise the exact mutual tier") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.2f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val lang = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de")).toDF("vec_id", "lang")
+    val exact = Similarity.bitextMutual(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0).orderBy("src_id").collect()
+    val ivf = Similarity.bitextMutualIvf(emb, "vec_id", "embedding", lang,
+      "lang", "en", "de", k = 2, threshold = 0.0,
+      cand = 8, nlist = 2, nprobe = 2, seed = 7).orderBy("src_id").collect()
+    assert(ivf.toSeq == exact.toSeq,
+      s"ivf=${ivf.mkString(", ")} exact=${exact.mkString(", ")}")
+  }
+
   test("bitextMineIvf: pruned probe mines a pair subset with scores from the shared tail") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
