@@ -41,12 +41,25 @@ object Bench {
       Tables.lineitem(spark, sfDir).limit(1).count()
       Tables.events(spark, sfDir).limit(1).count()
     } catch { case _: Throwable => () }
+    // GROUND-TRUTH TWINS (VERDICT r10 #6): correctness instruments
+    // whose contract REQUIRES the exact |src|·|tgt| pair table — the
+    // all-pairs bitext tiers and the agreement gates that grade the
+    // IVF tier against them. They stay in the registry (Verify runs
+    // them against their oracles at sf0.01), but the standard bench
+    // run times the IVF headline twins (sim_bitext_mine_ivf /
+    // sim_bitext_mutual_ivf) instead, so NO quadratic cross join
+    // executes in the timed suite. An explicit SPARK_GRAFT_BENCH_ONLY
+    // naming one still times it (the SCALE.md crossover measurements
+    // use that).
+    val groundTruthTwins = Set("sim_bitext_mine", "sim_bitext_mutual",
+      "sim_bitext_ivf_agreement", "sim_bitext_mutual_ivf_agreement")
     // optional local-iteration filter; the driver leaves this unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
+        .filter { case (n, _) => !groundTruthTwins(n) }
     }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -136,7 +149,7 @@ object Bench {
         graft.queries.Memo.release(memoKeys.getOrElse(name, Set.empty))
         val t3 = time(selected(name))
         name -> (math.min(steady, t3), math.min(cold, t3))
-      } else if (steady <= 1.5) name -> (steady, cold)
+      } else if (steady <= 1.0) name -> (steady, cold)
       else if (fullMemoQueries(name)) {
         graft.queries.Memo.release(memoKeys.getOrElse(name, Set.empty))
         val t3 = time(selected(name))
@@ -180,7 +193,18 @@ object Bench {
       "audio_family" -> Seq("multimodal_audio_decode", "multimodal_audio_energy",
         "multimodal_audio_trim", "multimodal_audio_fingerprint"),
       "spans_family" -> Seq("text_trim_spans", "dedup_span_pairs",
-        "dedup_containment_pairs", "dedup_cosine_lsh_prod"))
+        "dedup_containment_pairs", "dedup_cosine_lsh_prod"),
+      // VERDICT r10 #3: the DBSCAN tier shares the Memo'd feature
+      // embedding (fe|dir) and label (dbs|dir) passes — whoever runs
+      // first after an eviction pays the iterative grid-join + CC
+      // build, so ml_dbscan_clusters' solo warm number swings with
+      // suite order; the family sum is the conserved quantity
+      "dbscan_family" -> Seq("ml_dbscan_clusters", "ml_dbscan_outliers",
+        "ml_cluster_agreement", "ml_centroid_representatives",
+        "ml_silhouette_samples"),
+      // the CCNet-style LM tier shares the Memo'd per-doc score frame
+      // (text_lm_score builds it cold; the tercile bucketer reads it)
+      "lm_family" -> Seq("text_lm_score", "text_ppl_buckets"))
     val familySums = families.map { case (fam, members) =>
       val present = members.flatMap(retried.get)
       fam -> (present.map(_._1).sum, present.map(_._2).sum)
@@ -207,8 +231,10 @@ object Bench {
     val famFull = familySums.map { case (k, (mn, cold)) =>
       s"""    "$k": {"min_sec": ${f(mn)}, "cold_sec": ${f(cold)}}"""
     }.mkString("{\n", ",\n", "\n  }")
+    val twinsJson = groundTruthTwins.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ", ", "]")
     val fullJson =
-      s"""{\n  "metric": "total", "value": ${f(totalMin)}, "value_cold": ${f(totalCold)},\n  "unit": "sec", "timing": "min_of_2_consecutive_runs", "sf": "$sfDir",\n  "harness_sec": ${f(harnessSec)}, "memo_evictions": $memoEvictions,\n  "families": $famFull,\n  "queries": $full,\n  "harness": $harnessFull\n}\n"""
+      s"""{\n  "metric": "total", "value": ${f(totalMin)}, "value_cold": ${f(totalCold)},\n  "unit": "sec", "timing": "min_of_2_consecutive_runs", "sf": "$sfDir",\n  "harness_sec": ${f(harnessSec)}, "memo_evictions": $memoEvictions,\n  "verify_only_ground_truth_twins": $twinsJson,\n  "families": $famFull,\n  "queries": $full,\n  "harness": $harnessFull\n}\n"""
     // only a FULL-suite run overwrites the detail file — a filtered
     // local iteration must not clobber the last complete picture
     if (only.isEmpty)

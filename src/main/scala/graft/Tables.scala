@@ -29,6 +29,19 @@ object Tables {
     }
   }
 
+  /** Scratch artifact dir under java.io.tmpdir: stable WITHIN a JVM
+    * (repeat bench/verify runs reuse + overwrite the same path, no
+    * per-invocation leak) but distinct ACROSS processes — two
+    * concurrent JVMs benching the same dataset must not race on
+    * mode-overwrite writes against concurrent reads of one path
+    * (ADVICE r10). Key by md5(data key) + pid. */
+  def scratchDir(tag: String, key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${h}_p${ProcessHandle.current().pid()}").toString
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

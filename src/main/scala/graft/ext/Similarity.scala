@@ -106,9 +106,13 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(call_function("array_dot", col("qv"), col("v"))
           / (col("qn") * col("nrm")) * lit(1e5)).cast("long").as("c5"))
+    // key includes the column choices too: the same frames queried
+    // with different id/vec/lang columns are different pair tables
+    // (ADVICE r10 — the other Memo keys already carry their columns)
     graft.queries.Memo.cached(emb.sparkSession, s"bitext|" +
       s"${emb.queryExecution.logical.semanticHash()}|" +
-      s"${langOf.queryExecution.logical.semanticHash()}|$srcLang|$tgtLang")(
+      s"${langOf.queryExecution.logical.semanticHash()}|" +
+      s"$idCol|$vecCol|$langCol|$srcLang|$tgtLang")(
       scored0)
   }
 

@@ -1329,12 +1329,18 @@ object TextOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__v")).as("__s"),
         sum(col("__v") * col("__v")).as("__s2"))
-      // std_pop = sqrt(n·Σv² − (Σv)²) / n — integer numerator, one
-      // IEEE sqrt+divide; then micro-quantized ONCE and reused for
-      // both the reported column and the weight arithmetic
+      // std_pop = sqrt(n·Σv² − (Σv)²) / n — the numerator products run
+      // in DOUBLE (fl(fl(s2·n) − fl(s·s)), the identical chain the
+      // oracle replays): all-long arithmetic wrapped (Σv)² past
+      // Σv ≈ 3·10⁹ (ADVICE r10), e.g. 10⁷ docs × length 10³. The
+      // double chain never wraps; past 2^53 it loses low bits
+      // symmetrically on both engines, and greatest(…, 0) absorbs
+      // cancellation. Micro-quantized ONCE and reused for both the
+      // reported column and the weight arithmetic.
       .withColumn("__std6", floor(
-        sqrt(greatest((col("__s2") * col("n_rows") - col("__s") * col("__s"))
-          .cast("double"), lit(0.0))) / col("n_rows") * lit(1e6)
+        sqrt(greatest(col("__s2").cast("double") * col("n_rows").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double"), lit(0.0)))
+          / col("n_rows") * lit(1e6)
           + lit(0.5)).cast("long"))
       .withColumn("__ns", col("n_rows") * col("__std6"))
     val tot = per.agg(sum(col("n_rows")).as("__N"),

@@ -44,6 +44,20 @@ object Layout {
   private def mortonExpr(x16: String, y16: String) =
     ZOrder.interleave(col(x16), col(y16), 16)
 
+  /** Overflow-safe 16-bit quantizer: `floor((x-lo) * 65535.0 / span)`
+    * in DOUBLE, clamped to [0, 65535]. The old all-integer
+    * `((x-lo) * 65535) div span` silently wrapped the long product
+    * once the span exceeded ~1.4e14 (e.g. epoch-micros over a few
+    * years — ADVICE r10), corrupting the z-codes. The double chain is
+    * one identical IEEE sequence in Spark and DuckDB (the oracle
+    * replays it verbatim), so engine parity is preserved; the clamp
+    * pins the x=hi edge, where the rounded product can floor to
+    * 65534 for spans past 2^53/65535. */
+  private def quant16(x: String, lo: String, hi: String) =
+    expr(s"least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+      + s"CAST(floor((CAST($x AS DOUBLE) - CAST($lo AS DOUBLE)) * 65535.0"
+      + s" / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE))) AS BIGINT)))")
+
   /** The deploy-path helper: `df` plus its quantized coordinates
     * (`x16`, `y16` in [0, 65535]) and the Morton code `z` — the sort
     * key the audited layout ships with:
@@ -60,11 +74,11 @@ object Layout {
       max(col(yCol)).cast("long").as("__ymax"))
     df.crossJoin(broadcast(ext))
       .withColumn("x16", when(col("__xmax") > col("__xmin"),
-        expr(s"((CAST($xCol AS BIGINT) - __xmin) * 65535)"
-          + " div (__xmax - __xmin)")).otherwise(lit(0L)))
+        quant16(s"CAST($xCol AS BIGINT)", "__xmin", "__xmax"))
+        .otherwise(lit(0L)))
       .withColumn("y16", when(col("__ymax") > col("__ymin"),
-        expr(s"((CAST($yCol AS BIGINT) - __ymin) * 65535)"
-          + " div (__ymax - __ymin)")).otherwise(lit(0L)))
+        quant16(s"CAST($yCol AS BIGINT)", "__ymin", "__ymax"))
+        .otherwise(lit(0L)))
       .withColumn("z", mortonExpr("x16", "y16"))
       .drop("__xmin", "__xmax", "__ymin", "__ymax")
   }
@@ -92,8 +106,7 @@ object Layout {
       min(col(yCol)).cast("long").as("__ymin"),
       max(col(yCol)).cast("long").as("__ymax"))
     def q16(c: String, lo: String, hi: String) =
-      when(col(hi) > col(lo),
-        expr(s"(($c - $lo) * 65535) div ($hi - $lo)")).otherwise(lit(0L))
+      when(col(hi) > col(lo), quant16(c, lo, hi)).otherwise(lit(0L))
     val coded = df
       .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .na.drop(Seq("__x", "__y"))

@@ -44,7 +44,12 @@ object ZOrder {
     * UDF, no per-bit lambda fold. */
   def interleave(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+    // mask to the low `bits` bits first: the ladder spreads 31 bits
+    // unconditionally, and an out-of-contract operand >= 2^bits must
+    // truncate (the documented contract) rather than leak high bits
+    // into positions past 2*bits (ADVICE r10)
+    val m = lit((1L << bits) - 1)
+    spread(a.bitwiseAND(m)).bitwiseOR(shiftleft(spread(b.bitwiseAND(m)), 1))
   }
 
   /** Quantize a numeric column to `bits`-bit rank space over its

@@ -1203,6 +1203,30 @@ object ExtQueries {
              |FROM fwd f JOIN bwd b ON b.b_src = f.tgt_id AND b.b_tgt = f.src_id
              |ORDER BY f.src_id""".stripMargin)),
 
+    // IVF-probed bitext mining HEADLINE tier (round 11, VERDICT r10
+    // #6): the 100-TB path — candidates from the shared IVF probe
+    // (|src|·cand pairs, probed inverted lists only), margin tail
+    // identical to the exact tier. This is the entry the bench times;
+    // the exact all-pairs twins above are verify-only ground-truth
+    // instruments (Bench.groundTruthTwins), so the standard bench
+    // registry run executes NO |src|·|tgt| cross join. Correctness of
+    // this tier is pinned by the oracle-green agreement gates below
+    // (fit-seeded, deterministic), so the rows-only driver check here
+    // is not the only guard.
+    Q("sim_bitext_mine_ivf",
+      (s, dir) => Similarity.bitextMineIvf(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+          "lang", "en", "de", 4, 1.0, cand = 16, nlist = 16, nprobe = 6)
+        .orderBy("src_id")),
+
+    Q("sim_bitext_mutual_ivf",
+      (s, dir) => Similarity.bitextMutualIvf(Tables.embeddings(s, dir), "vec_id",
+          "embedding",
+          Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+          "lang", "en", "de", 4, 1.0, cand = 16, nlist = 16, nprobe = 6)
+        .orderBy("src_id")),
+
     // IVF-probed MUTUAL bitext honesty gate (round 10 session 3): the
     // high-precision intersection mode over the pruned candidate pool
     // (bitextMutualIvf — both directions' argmax from the SAME probed
@@ -1530,7 +1554,7 @@ object ExtQueries {
              |sa AS (SELECT label, dim, sd, n FROM s
              |  UNION ALL
              |  SELECT -1, dim, sum(sd), sum(n) FROM s GROUP BY dim),
-             |g AS (SELECT label, max(n) AS n_vecs,
+             |g AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
              |    list(CAST(sd AS DOUBLE) / 1e6 * (CAST(sd AS DOUBLE) / 1e6)
              |      ORDER BY dim) AS ss
              |  FROM sa GROUP BY label),
@@ -2892,7 +2916,7 @@ object ExtQueries {
              |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
              |  CAST(n_words AS BIGINT) AS n_words,
              |  CAST(covered AS BIGINT) AS covered,
-             |  (SELECT t FROM tot) AS total_tokens,
+             |  CAST((SELECT t FROM tot) AS BIGINT) AS total_tokens,
              |  floor(CAST(covered AS DOUBLE) / (SELECT t FROM tot) * 1e6 + 0.5)
              |    / 1e6 AS coverage
              |FROM cov ORDER BY vocab_size""".stripMargin)),
@@ -2908,9 +2932,10 @@ object ExtQueries {
              |  FROM (SELECT source,
              |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
              |    FROM documents) GROUP BY source, w)
-             |SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
-             |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-             |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n_dis,
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_distinct,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
              |  floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / sum(c) * 1e6 + 0.5) / 1e6 AS unseen_mass,
              |  floor((1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2992,8 +3017,9 @@ object ExtQueries {
              |nw AS (SELECT fb AS b, count(*) AS n_new
              |       FROM (SELECT w, min(b) AS fb FROM tok GROUP BY w) GROUP BY fb)
              |SELECT pb.b AS bucket, pb.n_docs,
-             |  sum(pb.n_tok) OVER (ORDER BY pb.b) AS tokens_cum,
-             |  sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pb.b) AS vocab_cum
+             |  CAST(sum(pb.n_tok) OVER (ORDER BY pb.b) AS BIGINT) AS tokens_cum,
+             |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pb.b) AS BIGINT)
+             |    AS vocab_cum
              |FROM pb LEFT JOIN nw ON pb.b = nw.b
              |ORDER BY bucket""".stripMargin)),
 
@@ -3114,8 +3140,7 @@ object ExtQueries {
           .join(TextOps.splitAssign(Tables.documents(s, dir), "doc_id", 90, 5)
             .select(col("doc_id"), col("split")), Seq("doc_id"))
           .select(col("doc_id"), col("text"), col("split"))
-        val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+        val out = Tables.scratchDir("shards", dir)
         graft.sources.DocSources.writeTrainingShards(
           assigned, "doc_id", "split", out, 4)
         s.read.parquet(out)
@@ -3190,7 +3215,8 @@ object ExtQueries {
              |  GROUP BY source),
              |q AS (SELECT stratum, n_rows,
              |    CAST(floor(sqrt(greatest(
-             |        CAST(s2 * n_rows - s * s AS DOUBLE), 0.0)) / n_rows
+             |        CAST(s2 AS DOUBLE) * CAST(n_rows AS DOUBLE)
+             |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)) / n_rows
              |      * 1e6 + 0.5) AS BIGINT) AS std6
              |  FROM per),
              |w AS (SELECT stratum, n_rows, std6, n_rows * std6 AS ns FROM q),
@@ -3472,10 +3498,7 @@ object ExtQueries {
     // replays plan → cell-join → per-bin counts from the parquet truth.
     Q("profile_compaction_execute",
       (s, dir) => {
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_compact_" + java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            .take(12)).toString
+        val out = Tables.scratchDir("compact", dir)
         graft.ops.Profile.compactionExecute(
             Tables.documents(s, dir).select("doc_id", "source", "lang", "n_chars"),
             Seq("source", "lang"), "n_chars", 10000L, out)
@@ -3572,7 +3595,8 @@ object ExtQueries {
     // rows a zone-map reader fetches for an x-selective vs a
     // y-selective center band. The linear layout answers x_sel from a
     // sliver and reads ~everything for y_sel; z-order bounds BOTH.
-    // Integer-only quantize/interleave (codegen'd HOF, no UDF), one
+    // Overflow-safe double-floor quantize (identical IEEE chain both
+    // engines) + integer interleave (codegen'd HOF, no UDF), one
     // corpus pass + two map-side-combined groupBys onto <=64 rows.
     Q("profile_zorder_layout",
       (s, dir) => graft.ops.Layout.zorderAudit(
@@ -3585,9 +3609,15 @@ object ExtQueries {
              |               min(y) ymin, max(y) ymax FROM src),
              |coded AS (SELECT
              |    CASE WHEN xmax > xmin
-             |      THEN ((x - xmin) * 65535) // (xmax - xmin) ELSE 0 END AS x16,
+             |      THEN least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+             |        CAST(floor((CAST(x AS DOUBLE) - CAST(xmin AS DOUBLE)) * 65535.0
+             |          / (CAST(xmax AS DOUBLE) - CAST(xmin AS DOUBLE))) AS BIGINT)))
+             |      ELSE 0 END AS x16,
              |    CASE WHEN ymax > ymin
-             |      THEN ((y - ymin) * 65535) // (ymax - ymin) ELSE 0 END AS y16
+             |      THEN least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+             |        CAST(floor((CAST(y AS DOUBLE) - CAST(ymin AS DOUBLE)) * 65535.0
+             |          / (CAST(ymax AS DOUBLE) - CAST(ymin AS DOUBLE))) AS BIGINT)))
+             |      ELSE 0 END AS y16
              |  FROM src, ext),
              |coded2 AS (SELECT x16, y16,
              |    list_sum([ ((x16 >> i) & 1) * (1::BIGINT << (2*i))
@@ -3627,10 +3657,7 @@ object ExtQueries {
 
     Q("profile_partition_prune",
       (s, dir) => {
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_prune_" + java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            .take(12)).toString
+        val out = Tables.scratchDir("prune", dir)
         graft.ops.Profile.partitionPruneAudit(
             Tables.orders(s, dir), "o_orderdate", "1998-01-01", out)
           .orderBy("ym")

@@ -287,7 +287,7 @@ object MlQueries {
              |        CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2) AS ex
              |      FROM idx, am, bm, pm),
              |z2 AS (SELECT *, CAST(sa + sb AS DOUBLE) / 2.0 - ex AS den FROM z)
-             |SELECT n AS n_points, n_clusters,
+             |SELECT CAST(n AS BIGINT) AS n_points, CAST(n_clusters AS BIGINT) AS n_clusters,
              |  floor(CAST(sp AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS purity,
              |  floor(CASE WHEN den = 0.0 THEN 1.0
              |             ELSE (sidx - ex) / den END * 1e6 + 0.5) / 1e6 AS ari
@@ -766,13 +766,11 @@ object MlQueries {
     Q("sim_index_roundtrip",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // deterministic per input dir (not a fresh temp dir per call):
-        // overwrite-mode makes repeat bench/verify runs REUSE the same
-        // artifact path instead of leaking a directory per invocation
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_ivf_idx_" + java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            .take(12)).toString
+        // deterministic per (input dir, process): repeat bench/verify
+        // runs in one JVM REUSE the same artifact path instead of
+        // leaking a directory per invocation; the pid suffix keeps
+        // concurrent JVMs off each other's artifacts (ADVICE r10)
+        val path = Tables.scratchDir("ivf_idx", dir)
         graft.ml.Ivf.saveIndex(emb, "vec_id", "embedding", 16, 42, path)
         val fresh = graft.ml.Ivf.topK(emb, "vec_id", "embedding",
             "vec_id < 10", 5, 16, 4)

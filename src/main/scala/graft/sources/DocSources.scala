@@ -77,8 +77,8 @@ object DocSources {
   }
 
   private def scratch(df: DataFrame, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_rt_${tag}_" +
-      java.lang.Integer.toHexString(df.queryExecution.logical.semanticHash())
+    graft.Tables.scratchDir(s"rt_$tag",
+      java.lang.Integer.toHexString(df.queryExecution.logical.semanticHash()))
 
   /** Write deterministic training shards: `shardsPerSplit` parquet
     * files per split value, rows hash-assigned to shards by id (stable

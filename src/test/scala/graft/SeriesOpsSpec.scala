@@ -371,6 +371,43 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.theilSen(short).count() == 0)
   }
 
+  test("theilSen: sampled tier above the length gate — exact on affine series, " +
+      "outlier-robust, close to the exact estimator, deterministic") {
+    // affine series: EVERY pairwise slope is exactly 3.0, so whichever
+    // pairs the sampler draws, its lower median is exactly 3.0 and the
+    // intercept residuals are exactly 5.0 — equality pins the sampled
+    // tier with no tolerance
+    val affine = Seq(("s", (1 to 1200).map(i => 3.0 * i + 5.0).toArray))
+      .toDF("series_id", "values")
+    val a = SeriesOps.theilSen(affine).as[(String, Long, Double, Double)].head()
+    assert(a._2 == 1200L && a._3 == 3.0 && a._4 == 5.0, s"affine sampled: $a")
+    // 10% wild outliers: > 80% of sampled pairs avoid all outliers, so
+    // the sampled lower median stays exactly 2.0 like the exact tier
+    val out = Seq(("s", (1 to 1200)
+        .map(i => if (i % 10 == 0) 5000.0 else 2.0 * i).toArray))
+      .toDF("series_id", "values")
+    val o = SeriesOps.theilSen(out).as[(String, Long, Double, Double)].head()
+    assert(o._3 == 2.0, s"outlier sampled slope: $o")
+    // agreement with the exact estimator on a noisy series: force the
+    // SAMPLED path (gate 100) vs the EXACT path (default gate) on the
+    // same n=400 series — deterministic pseudo-noise, slope ~0.5
+    val noisy = Seq(("s", (1 to 400)
+        .map(i => 0.5 * i + math.sin(i * 12.9898) * 7.0).toArray))
+      .toDF("series_id", "values")
+    val exact = SeriesOps.theilSen(noisy).as[(String, Long, Double, Double)].head()
+    val sampled = SeriesOps.theilSen(noisy, lengthGate = 100)
+      .as[(String, Long, Double, Double)].head()
+    assert(math.abs(sampled._3 - exact._3) < 0.02,
+      s"sampled ${sampled._3} vs exact ${exact._3}")
+    assert(math.abs(sampled._4 - exact._4) < 2.0,
+      s"sampled intercept ${sampled._4} vs exact ${exact._4}")
+    // determinism: the xxhash64(series_id, s) sample is a pure function
+    // of its inputs — two runs, bit-identical rows
+    val r1 = SeriesOps.theilSen(noisy, lengthGate = 100).collect().toSeq
+    val r2 = SeriesOps.theilSen(noisy, lengthGate = 100).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("forecastEval: drift is exact on a ramp (mase 0), naive pays the trend; " +
       "flat series dropped") {
     // v_i = 2i, n = 20, h = 8 → n_train 12, drift slope (24−2)/11 = 2
