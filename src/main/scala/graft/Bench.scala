@@ -181,9 +181,12 @@ object Bench {
       "minhash_family" -> Seq("dedup_lsh_recall", "text_dedup_yield",
         "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix",
         "dedup_chain_audit"),
-      // the lexical-retrieval tier shares the Memo'd doc-length pass
-      // (bm25TopK builds it; rrf and the metrics grade its lists)
-      "bm25_family" -> Seq("text_bm25_topk", "sim_hybrid_rrf",
+      // the lexical-retrieval tier shares the Memo'd tf/df/doc-length
+      // passes. text_tfidf is a member too (VERDICT r10 #8): it builds
+      // the tf pass, and the registry now runs the four adjacently so
+      // the 24-query stale window can't release the pass between them
+      // — the suite pays ONE token pass for the tier, not two
+      "bm25_family" -> Seq("text_tfidf", "text_bm25_topk", "sim_hybrid_rrf",
         "text_rank_metrics"),
       "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"),
       // VERDICT r9 #2: the audio queries share the Memo'd decode+window

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, ceil, col, expr, collect_list, concat, concat_ws, conv, corr, count, countDistinct, floor, greatest, least, length, lit, log, lower, lpad, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
+import org.apache.spark.sql.functions.{aggregate, array, broadcast, ceil, col, expr, explode, collect_list, concat, concat_ws, conv, corr, count, countDistinct, floor, greatest, least, length, lit, log, lower, lpad, max, md5, round, row_number, size, slice, sort_array, split, struct, substring, sum, transform, trim, upper, when}
 import graft.Tables
 import graft.ext.{Bpe, Dedup, Similarity, TextOps}
 
@@ -3179,6 +3179,195 @@ object ExtQueries {
              |       round(tfidf, 6) AS tfidf
              |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // BM25 top-k retrieval over the corpus for a fixed query set —
+    // retrieval-based decontamination probe / eval-set builder shape.
+    // Query terms are high-/mid-frequency corpus words so every query
+    // retrieves a full k.
+    Q("text_bm25_topk",
+      (s, dir) => TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("q1" -> Seq("hash", "join"),
+            "q2" -> Seq("slow", "scan", "filter"),
+            "q3" -> Seq("vector", "batch", "customer")), 10)
+        .orderBy("q_id", "rank"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM agg)
+             |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // IR rank metrics (MRR / P@10 / nDCG@10, Järvelin & Kekäläinen
+    // TOIS 2002) grading the BM25 lists against term-presence graded
+    // qrels (rel = distinct query terms the doc contains) — the eval
+    // face of the retrieval tier; every DCG term micro-quantized so
+    // the per-query sums are exact integers. Shares text_bm25_topk's
+    // fixture and Memo'd doc-length pass.
+    Q("text_rank_metrics",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val terms = Seq("q1" -> Seq("hash", "join"),
+          "q2" -> Seq("slow", "scan", "filter"),
+          "q3" -> Seq("vector", "batch", "customer"))
+        val ranked = TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
+        val qt = terms.flatMap { case (q, ws) => ws.map(w => (q, w)) }
+        val qtDf = s.createDataFrame(qt).toDF("q_id", "w")
+        val qrels = TextOps.termFrequencies(docs, "doc_id", "text")
+          .join(qtDf, "w").groupBy("q_id", "doc_id")
+          .agg(countDistinct(col("w")).as("rel"))
+        TextOps.rankMetrics(ranked, qrels, 10).orderBy("q_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT q_id, doc_id,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM agg),
+             |rk AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
+             |qr AS (SELECT q.q_id, tf.doc_id,
+             |         CAST(count(DISTINCT tf.w) AS BIGINT) AS rel
+             |       FROM tf JOIN q USING (w) GROUP BY 1, 2),
+             |jj AS (SELECT rk.q_id, rk.rank, coalesce(qr.rel, 0) AS rel
+             |       FROM rk LEFT JOIN qr
+             |       ON qr.q_id = rk.q_id AND qr.doc_id = rk.doc_id),
+             |per AS (SELECT q_id,
+             |         min(CASE WHEN rel > 0 THEN rank END) AS fr,
+             |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_rel_found,
+             |         sum(CASE WHEN rel > 0 THEN
+             |             CAST(round((pow(2, rel) - 1) / log2(rank + 1) * 1e6)
+             |               AS BIGINT) ELSE 0 END) AS dcg
+             |       FROM jj GROUP BY q_id),
+             |id0 AS (SELECT q_id, list(rel ORDER BY rel DESC) AS rels
+             |        FROM qr WHERE rel > 0 GROUP BY q_id),
+             |idl AS (SELECT q_id,
+             |          list_sum([CAST(round((pow(2, rels[i]) - 1)
+             |              / log2(i + 1) * 1e6) AS BIGINT)
+             |            for i in range(1, least(len(rels), 10) + 1)]) AS idcg
+             |        FROM id0)
+             |SELECT per.q_id, per.n_rel_found,
+             |  floor((CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END)
+             |    * 1e6 + 0.5) / 1e6 AS mrr,
+             |  floor(CAST(n_rel_found AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6
+             |    AS p_at_k,
+             |  floor((CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
+             |      ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END)
+             |    * 1e6 + 0.5) / 1e6 AS ndcg
+             |FROM per LEFT JOIN idl ON per.q_id = idl.q_id
+             |ORDER BY per.q_id""".stripMargin)),
+
+    // Hybrid retrieval (round 10): BM25 lexical ranks fused with
+    // dense cosine ranks by reciprocal-rank fusion (Cormack et al.
+    // SIGIR'09) — the modern RAG/search-serving shape, rank-based so
+    // the two scores never need calibrating onto one scale. Lexical
+    // side shares text_bm25_topk's term fixture (and its Memo'd
+    // doc-length pass); dense side queries the embeddings of vec_id
+    // 1..3 standing in for q1..q3 (doc_id == vec_id by fixture
+    // construction). The oracle replays BOTH retrievers and the
+    // fusion end-to-end.
+    Q("sim_hybrid_rrf",
+      (s, dir) => {
+        val lex = TextOps.bm25TopK(Tables.documents(s, dir), "doc_id",
+            "text", Seq("q1" -> Seq("hash", "join"),
+              "q2" -> Seq("slow", "scan", "filter"),
+              "q3" -> Seq("vector", "batch", "customer")), 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            Tables.embeddings(s, dir), "vec_id", "embedding",
+            "vec_id IN (1, 2, 3)", 10)
+          .select(concat(lit("q"), col("q_id")).as("q_id"),
+            col("n_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq("dense" -> dense, "lex" -> lex), 10)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                 (SELECT avg(dl) FROM dl) AS avgdl),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
+             |  ('q2','slow'),('q2','scan'),('q2','filter'),
+             |  ('q3','vector'),('q3','batch'),('q3','customer')),
+             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
+             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+             |         (tf.tf * 2.2) /
+             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
+             |       JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT q_id, doc_id,
+             |          round(sum(contrib ORDER BY w), 4) AS score
+             |        FROM sc GROUP BY 1, 2),
+             |lexr AS (SELECT q_id, doc_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY score DESC, doc_id) AS rank
+             |         FROM agg),
+             |lex AS (SELECT q_id, doc_id, rank FROM lexr WHERE rank <= 10),
+             |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dsc AS (SELECT q.vec_id AS qv, e.vec_id AS doc_id,
+             |          list_cosine_similarity(q.v, e.v) AS cosine
+             |        FROM ev q JOIN ev e ON q.vec_id IN (1, 2, 3)
+             |                           AND e.vec_id != q.vec_id),
+             |dr AS (SELECT qv, doc_id,
+             |         row_number() OVER (PARTITION BY qv
+             |           ORDER BY cosine DESC, doc_id) AS rank
+             |       FROM dsc),
+             |dense AS (SELECT 'q' || CAST(qv AS VARCHAR) AS q_id, doc_id, rank
+             |          FROM dr WHERE rank <= 10),
+             |u AS (SELECT q_id, doc_id, 'lex' AS src,
+             |        1.0 / (60 + rank) AS contrib FROM lex
+             |      UNION ALL
+             |      SELECT q_id, doc_id, 'dense', 1.0 / (60 + rank) FROM dense),
+             |f AS (SELECT q_id, doc_id,
+             |        round(sum(contrib ORDER BY src), 6) AS rrf,
+             |        count(*) AS n_lists
+             |      FROM u GROUP BY 1, 2),
+             |fr AS (SELECT q_id, doc_id, rrf, n_lists,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY rrf DESC, doc_id) AS rank
+             |       FROM f)
+             |SELECT q_id, rank, doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+             |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // Stratified corpus sampling: downsample dominant English to 20%,
     // keep 60% of everything else — deterministic md5 buckets, no
     // randomness, pure map-side filter (no shuffle at any scale)
@@ -4285,200 +4474,6 @@ object ExtQueries {
               |            ELSE 'clean' END AS verdict
               |FROM ngc n JOIN mc m USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
 
-    // Intra-document line dedup (Lee et al. 2022, within-doc half):
-    // repeated lines dropped keeping first occurrence. The synthetic
-    // corpus is single-line, so each doc plants its own first-50-chars
-    // line twice plus a unique tail — the oracle checks counts AND the
-    // md5 of the reconstructed cleaned text.
-    // BM25 top-k retrieval over the corpus for a fixed query set —
-    // retrieval-based decontamination probe / eval-set builder shape.
-    // Query terms are high-/mid-frequency corpus words so every query
-    // retrieves a full k.
-    Q("text_bm25_topk",
-      (s, dir) => TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
-          Seq("q1" -> Seq("hash", "join"),
-            "q2" -> Seq("slow", "scan", "filter"),
-            "q3" -> Seq("vector", "batch", "customer")), 10)
-        .orderBy("q_id", "rank"),
-      Some("""WITH toks AS (SELECT doc_id,
-             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-             |  FROM documents),
-             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-             |                 (SELECT avg(dl) FROM dl) AS avgdl),
-             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
-             |  ('q2','slow'),('q2','scan'),('q2','filter'),
-             |  ('q3','vector'),('q3','batch'),('q3','customer')),
-             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
-             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
-             |         (tf.tf * 2.2) /
-             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
-             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
-             |       JOIN dl USING (doc_id), stats),
-             |agg AS (SELECT q_id, doc_id,
-             |          round(sum(contrib ORDER BY w), 4) AS score
-             |        FROM sc GROUP BY 1, 2),
-             |r AS (SELECT q_id, doc_id, score,
-             |        row_number() OVER (PARTITION BY q_id
-             |          ORDER BY score DESC, doc_id) AS rank
-             |      FROM agg)
-             |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
-
-    // IR rank metrics (MRR / P@10 / nDCG@10, Järvelin & Kekäläinen
-    // TOIS 2002) grading the BM25 lists against term-presence graded
-    // qrels (rel = distinct query terms the doc contains) — the eval
-    // face of the retrieval tier; every DCG term micro-quantized so
-    // the per-query sums are exact integers. Shares text_bm25_topk's
-    // fixture and Memo'd doc-length pass.
-    Q("text_rank_metrics",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val terms = Seq("q1" -> Seq("hash", "join"),
-          "q2" -> Seq("slow", "scan", "filter"),
-          "q3" -> Seq("vector", "batch", "customer"))
-        val ranked = TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
-        val qt = terms.flatMap { case (q, ws) => ws.map(w => (q, w)) }
-        val qtDf = s.createDataFrame(qt).toDF("q_id", "w")
-        val qrels = TextOps.termFrequencies(docs, "doc_id", "text")
-          .join(qtDf, "w").groupBy("q_id", "doc_id")
-          .agg(countDistinct(col("w")).as("rel"))
-        TextOps.rankMetrics(ranked, qrels, 10).orderBy("q_id")
-      },
-      Some("""WITH toks AS (SELECT doc_id,
-             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-             |  FROM documents),
-             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-             |                 (SELECT avg(dl) FROM dl) AS avgdl),
-             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
-             |  ('q2','slow'),('q2','scan'),('q2','filter'),
-             |  ('q3','vector'),('q3','batch'),('q3','customer')),
-             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
-             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
-             |         (tf.tf * 2.2) /
-             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
-             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
-             |       JOIN dl USING (doc_id), stats),
-             |agg AS (SELECT q_id, doc_id,
-             |          round(sum(contrib ORDER BY w), 4) AS score
-             |        FROM sc GROUP BY 1, 2),
-             |r AS (SELECT q_id, doc_id,
-             |        row_number() OVER (PARTITION BY q_id
-             |          ORDER BY score DESC, doc_id) AS rank
-             |      FROM agg),
-             |rk AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
-             |qr AS (SELECT q.q_id, tf.doc_id,
-             |         CAST(count(DISTINCT tf.w) AS BIGINT) AS rel
-             |       FROM tf JOIN q USING (w) GROUP BY 1, 2),
-             |jj AS (SELECT rk.q_id, rk.rank, coalesce(qr.rel, 0) AS rel
-             |       FROM rk LEFT JOIN qr
-             |       ON qr.q_id = rk.q_id AND qr.doc_id = rk.doc_id),
-             |per AS (SELECT q_id,
-             |         min(CASE WHEN rel > 0 THEN rank END) AS fr,
-             |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |           AS n_rel_found,
-             |         sum(CASE WHEN rel > 0 THEN
-             |             CAST(round((pow(2, rel) - 1) / log2(rank + 1) * 1e6)
-             |               AS BIGINT) ELSE 0 END) AS dcg
-             |       FROM jj GROUP BY q_id),
-             |id0 AS (SELECT q_id, list(rel ORDER BY rel DESC) AS rels
-             |        FROM qr WHERE rel > 0 GROUP BY q_id),
-             |idl AS (SELECT q_id,
-             |          list_sum([CAST(round((pow(2, rels[i]) - 1)
-             |              / log2(i + 1) * 1e6) AS BIGINT)
-             |            for i in range(1, least(len(rels), 10) + 1)]) AS idcg
-             |        FROM id0)
-             |SELECT per.q_id, per.n_rel_found,
-             |  floor((CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END)
-             |    * 1e6 + 0.5) / 1e6 AS mrr,
-             |  floor(CAST(n_rel_found AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6
-             |    AS p_at_k,
-             |  floor((CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
-             |      ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END)
-             |    * 1e6 + 0.5) / 1e6 AS ndcg
-             |FROM per LEFT JOIN idl ON per.q_id = idl.q_id
-             |ORDER BY per.q_id""".stripMargin)),
-
-    // Hybrid retrieval (round 10): BM25 lexical ranks fused with
-    // dense cosine ranks by reciprocal-rank fusion (Cormack et al.
-    // SIGIR'09) — the modern RAG/search-serving shape, rank-based so
-    // the two scores never need calibrating onto one scale. Lexical
-    // side shares text_bm25_topk's term fixture (and its Memo'd
-    // doc-length pass); dense side queries the embeddings of vec_id
-    // 1..3 standing in for q1..q3 (doc_id == vec_id by fixture
-    // construction). The oracle replays BOTH retrievers and the
-    // fusion end-to-end.
-    Q("sim_hybrid_rrf",
-      (s, dir) => {
-        val lex = TextOps.bm25TopK(Tables.documents(s, dir), "doc_id",
-            "text", Seq("q1" -> Seq("hash", "join"),
-              "q2" -> Seq("slow", "scan", "filter"),
-              "q3" -> Seq("vector", "batch", "customer")), 10)
-          .select(col("q_id"), col("doc_id"), col("rank"))
-        val dense = Similarity.bruteForceTopK(
-            Tables.embeddings(s, dir), "vec_id", "embedding",
-            "vec_id IN (1, 2, 3)", 10)
-          .select(concat(lit("q"), col("q_id")).as("q_id"),
-            col("n_id").as("doc_id"), col("rank"))
-        Similarity.rrfFuse(Seq("dense" -> dense, "lex" -> lex), 10)
-          .orderBy("q_id", "rank")
-      },
-      Some("""WITH toks AS (SELECT doc_id,
-             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-             |  FROM documents),
-             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-             |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-             |                 (SELECT avg(dl) FROM dl) AS avgdl),
-             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-             |q(q_id, w) AS (VALUES ('q1','hash'),('q1','join'),
-             |  ('q2','slow'),('q2','scan'),('q2','filter'),
-             |  ('q3','vector'),('q3','batch'),('q3','customer')),
-             |sc AS (SELECT q.q_id, tf.doc_id, tf.w,
-             |         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
-             |         (tf.tf * 2.2) /
-             |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
-             |       FROM tf JOIN q USING (w) JOIN dfq USING (w)
-             |       JOIN dl USING (doc_id), stats),
-             |agg AS (SELECT q_id, doc_id,
-             |          round(sum(contrib ORDER BY w), 4) AS score
-             |        FROM sc GROUP BY 1, 2),
-             |lexr AS (SELECT q_id, doc_id,
-             |           row_number() OVER (PARTITION BY q_id
-             |             ORDER BY score DESC, doc_id) AS rank
-             |         FROM agg),
-             |lex AS (SELECT q_id, doc_id, rank FROM lexr WHERE rank <= 10),
-             |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |dsc AS (SELECT q.vec_id AS qv, e.vec_id AS doc_id,
-             |          list_cosine_similarity(q.v, e.v) AS cosine
-             |        FROM ev q JOIN ev e ON q.vec_id IN (1, 2, 3)
-             |                           AND e.vec_id != q.vec_id),
-             |dr AS (SELECT qv, doc_id,
-             |         row_number() OVER (PARTITION BY qv
-             |           ORDER BY cosine DESC, doc_id) AS rank
-             |       FROM dsc),
-             |dense AS (SELECT 'q' || CAST(qv AS VARCHAR) AS q_id, doc_id, rank
-             |          FROM dr WHERE rank <= 10),
-             |u AS (SELECT q_id, doc_id, 'lex' AS src,
-             |        1.0 / (60 + rank) AS contrib FROM lex
-             |      UNION ALL
-             |      SELECT q_id, doc_id, 'dense', 1.0 / (60 + rank) FROM dense),
-             |f AS (SELECT q_id, doc_id,
-             |        round(sum(contrib ORDER BY src), 6) AS rrf,
-             |        count(*) AS n_lists
-             |      FROM u GROUP BY 1, 2),
-             |fr AS (SELECT q_id, doc_id, rrf, n_lists,
-             |         row_number() OVER (PARTITION BY q_id
-             |           ORDER BY rrf DESC, doc_id) AS rank
-             |       FROM f)
-             |SELECT q_id, rank, doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
-             |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
-
     // Corpus-level boilerplate-line removal (CCNet/RefinedWeb line
     // dedup ACROSS docs): the synthetic corpus has no shared lines, so
     // template chrome is planted — a nav line on every doc (df=N), a
@@ -4517,6 +4512,11 @@ object ExtQueries {
              |         FILTER (WHERE NOT isbp), '')) AS clean_fp
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Intra-document line dedup (Lee et al. 2022, within-doc half):
+    // repeated lines dropped keeping first occurrence. The synthetic
+    // corpus is single-line, so each doc plants its own first-50-chars
+    // line twice plus a unique tail — the oracle checks counts AND the
+    // md5 of the reconstructed cleaned text.
     Q("text_dedup_lines",
       (s, dir) => {
         val planted = Tables.documents(s, dir).select(col("doc_id"),
@@ -4732,6 +4732,45 @@ object ExtQueries {
              |SELECT b.doc_id, (c.fp IS NOT NULL) AS is_dup,
              |       (c.fp IS NULL) AS keep
              |FROM bfp b LEFT JOIN cfp c ON b.fp = c.fp
-             |ORDER BY b.doc_id""".stripMargin))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // PageRank domain authority (round 11, [EXT] — Page et al. 1999):
+    // the inlink-authority curation weight, run as the Pregel shape
+    // (per-iteration: rank-frame join onto the edge list + map-side-
+    // combined sum on dst; the EDGE LIST never re-shuffles across
+    // iterations). The synthetic corpus has no link graph, so the
+    // query PLANTS a deterministic one from doc_id arithmetic (the
+    // text_redact planting convention): every doc links to its
+    // "parent" doc_id div 2 (authority accumulates toward low ids)
+    // and to a pseudo-random peer (doc_id·31 + 7) mod N. Ranks are
+    // integer NANO-UNITS end-to-end (Graph.pageRank's contract) and
+    // the oracle replays the identical 10-iteration integer ladder as
+    // unrolled CTEs — every output column BIGINT, hash-proof.
+    Q("graph_domain_pagerank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("node"))
+        val mx = docs.agg(max(col("doc_id")).as("__mx"))
+        val edges = nodes.crossJoin(broadcast(mx))
+          .select(col("node").as("src"), explode(array(
+            expr("node div 2"),
+            (col("node") * 31L + 7L) % (col("__mx") + 1L))).as("dst"))
+          .select(col("src"), col("dst").cast("long").as("dst"))
+        graft.ops.Graph.pageRank(nodes, edges, iters = 10)
+          .orderBy(col("rank_nano").desc, col("node").asc)
+          .limit(20)
+      },
+      Some(graft.ops.Graph.pageRankOracleSql(
+          "SELECT doc_id AS node FROM documents",
+          """SELECT doc_id AS src, dst FROM (
+            |    SELECT doc_id, mx, unnest([doc_id // 2,
+            |      (doc_id * 31 + 7) % (mx + 1)]) AS dst
+            |    FROM documents, (SELECT max(doc_id) AS mx FROM documents))""".stripMargin,
+          iters = 10) +
+        """,
+          |nin AS (SELECT dst AS node, count(*) AS n_in FROM e GROUP BY dst)
+          |SELECT p.node, p.rq AS rank_nano, coalesce(nin.n_in, 0) AS n_in
+          |FROM pr10 p LEFT JOIN nin ON nin.node = p.node
+          |ORDER BY rank_nano DESC, p.node LIMIT 20""".stripMargin))
   )
 }

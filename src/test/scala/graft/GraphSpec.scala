@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank (ops/Graph.scala): integer-exact iteration contract. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-checked star graph — the hub absorbs the damped mass") {
+    // 4 spokes all link to hub 0; hub links back to spoke 1.
+    val nodes = (0L to 4L).toDF("node")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 1, checkpoint = false)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // init rq = 1e9 div 5 = 200_000_000, outdeg 1 everywhere.
+    // base = (15 * 200_000_000) div 100 = 30_000_000
+    // hub: base + (85 * 4*200_000_000) div 100 = 30e6 + 680e6
+    assert(r(0L) == (710000000L, 4L), s"hub: ${r(0L)}")
+    // spoke 1: base + (85 * 200_000_000) div 100
+    assert(r(1L) == (200000000L, 1L), s"spoke1: ${r(1L)}")
+    // spokes 2-4: teleport base only, zero inlinks
+    Seq(2L, 3L, 4L).foreach(n => assert(r(n) == (30000000L, 0L), s"$n: ${r(n)}"))
+  }
+
+  test("pageRank: authority ordering converges and reruns are bit-identical") {
+    // chain with a shortcut: 0 <- 1 <- 2 <- ... <- 19, plus i -> i div 2
+    val nodes = (0L until 20L).toDF("node")
+    val edges = (1L until 20L).flatMap(i => Seq((i, i - 1), (i, i / 2)))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(nodes, edges, iters = 10, checkpoint = false)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(nodes, edges, iters = 10, checkpoint = false)
+      .orderBy("node").collect().toSeq
+    assert(a == b, "rerun diverged")
+    val rank = a.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // authority concentrates at the low ids (chain + div-2 links both
+    // point downward); every low-id node outranks every tail node
+    assert(Seq(0L, 1L, 2L, 3L).map(rank).min
+      > (15L until 20L).map(rank).max, s"authority inverted: $rank")
+    // edges outside the node set / dangling mass: ranks stay positive
+    // and bounded by the total initial mass
+    assert(rank.values.forall(v => v > 0 && v < 1000000000L))
+  }
+
+  test("pageRank: edges from outside the node set are ignored") {
+    val nodes = (0L to 2L).toDF("node")
+    val edges = Seq((0L, 1L), (99L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 1, checkpoint = false)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) == 1L, s"outside-src edge leaked into n_in: $r")
+  }
+}

@@ -428,6 +428,19 @@ class PlanSpec extends SparkSpec {
       s"the reservoir must not shuffle the corpus:\n$plan")
   }
 
+  test("pagerank: edge+degree sidecar scans from the Memo barrier; no Window, no UDF") {
+    val plan = formatted(run("graph_domain_pagerank"))
+    // the per-iteration joins must read the Memo-materialized
+    // edge+degree frame (InMemoryTableScan), not re-derive the scan +
+    // degree agg `iters` times
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"edge sidecar not Memo-materialized:\n${plan.take(2000)}")
+    assert("\\(\\d+\\) Window\\b".r.findFirstIn(plan).isEmpty,
+      s"a Window appeared in the pagerank plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"a Scala UDF leaked into the pagerank plan")
+  }
+
   test("session-3 operators: aggregate-only plans — no Window, no ScalaUDF (structural claims)") {
     // evt_attribution derives first/last via min/max(struct) per
     // conversion, sample_neyman and profile_zorder_layout are pure
