@@ -215,9 +215,16 @@ object Similarity {
       s"__lang = '$srcLang'", s"__lang = '$tgtLang'", cand, nlist, nprobe,
       seed)
     // rankTopK already rounds cosine to 5dp, so c5 is the same
-    // integer quantization the exact tier feeds the margin tail
-    pool.select(col("q_id"), col("n_id"),
-      round(col("cosine") * lit(1e5)).cast("long").as("c5"))
+    // integer quantization the exact tier feeds the margin tail.
+    // Memo'd like the exact tier's pair table: the forward and mutual
+    // IVF miners (and the agreement gates) share ONE probe pool per
+    // (inputs, params) — the fit + probe runs once, not per consumer.
+    graft.queries.Memo.cached(emb.sparkSession, s"bitextivf|" +
+      s"${emb.queryExecution.logical.semanticHash()}|" +
+      s"${langOf.queryExecution.logical.semanticHash()}|" +
+      s"$idCol|$vecCol|$langCol|$srcLang|$tgtLang|$cand|$nlist|$nprobe|$seed")(
+      pool.select(col("q_id"), col("n_id"),
+        round(col("cosine") * lit(1e5)).cast("long").as("c5")))
   }
 
   def bitextMineIvf(emb: DataFrame, idCol: String, vecCol: String,

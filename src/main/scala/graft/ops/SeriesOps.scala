@@ -511,18 +511,19 @@ object SeriesOps {
          |              - element_at(values, p.i))
          |          / CAST(IF(p.r >= p.i, p.r + 1, p.r) - p.i AS DOUBLE)), 1))),
          |    CAST(($samplesPerPoint * size(values) + 1) div 2 AS INT))""".stripMargin
-    def branch(df: DataFrame, slopeArr: String) = df
+    // ONE pass over the series frame: CASE evaluates lazily per row,
+    // so each series pays only its tier's slope estimator (a
+    // two-branch filter+union would scan the Memo'd frame twice)
+    val gated = s"CASE WHEN size(values) <= $lengthGate THEN $exactSlope" +
+      s" ELSE $sampledSlope END"
+    series.filter(size(col("values")) >= math.max(2, minLen))
       .select(col("series_id"), size(col("values")).cast("long").as("n"),
-        explode(expr(tail(slopeArr))).as("__p"))
+        explode(expr(tail(gated))).as("__p"))
       .select(col("series_id"), col("n"),
         (floor(col("__p.slope") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
           .as("slope"),
         (floor(col("__p.intercept") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
           .as("intercept"))
-    val base = series.filter(size(col("values")) >= math.max(2, minLen))
-    branch(base.filter(size(col("values")) <= lengthGate), exactSlope)
-      .unionByName(
-        branch(base.filter(size(col("values")) > lengthGate), sampledSlope))
   }
 
   /** Per-series forecast backtest ([EXT]): hold out the last `h`
