@@ -4771,6 +4771,47 @@ object ExtQueries {
           |nin AS (SELECT dst AS node, count(*) AS n_in FROM e GROUP BY dst)
           |SELECT p.node, p.rq AS rank_nano, coalesce(nin.n_in, 0) AS n_in
           |FROM pr10 p LEFT JOIN nin ON nin.node = p.node
-          |ORDER BY rank_nano DESC, p.node LIMIT 20""".stripMargin))
+          |ORDER BY rank_nano DESC, p.node LIMIT 20""".stripMargin)),
+
+    // Site-cluster connected components (round 11, [EXT]): the shared
+    // CC engine (ml/Components — union-find under the 5M-edge gate,
+    // min-label propagation above it, identical canonical min-id
+    // labels either way) on an explicit LINK GRAPH — the "which pages
+    // belong to one site/mirror cluster" grouping that host-level
+    // dedup and per-site crawl budgets key on. Planted graph (the
+    // corpus has none): members link to their 16-block leader, and
+    // every 256-aligned leader bridges to the previous block — blocks
+    // of 16 with deterministic 32-member merges at the bridges. The
+    // oracle replays the closure as the DBSCAN-style recursive CTE
+    // (fine at oracle scale; the engine side is the one that scales).
+    // All-BIGINT output.
+    Q("graph_site_components",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        val e1 = d.filter(col("doc_id") % 16 =!= 0)
+          .select(col("doc_id").as("id"), expr("(doc_id div 16) * 16").as("id2"))
+        val e2 = d.filter(col("doc_id") % 256 === 0 && col("doc_id") >= 16)
+          .select(col("doc_id").as("id"), (col("doc_id") - 16).as("id2"))
+        graft.ml.Components.minLabel(e1.unionByName(e2))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+          .orderBy("label")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+             |e0 AS (SELECT doc_id AS id, (doc_id // 16) * 16 AS id2
+             |       FROM d WHERE doc_id % 16 <> 0
+             |       UNION ALL
+             |       SELECT doc_id, doc_id - 16
+             |       FROM d WHERE doc_id % 256 = 0 AND doc_id >= 16),
+             |e AS (SELECT id, id2 FROM e0 UNION SELECT id2, id FROM e0),
+             |reach(id, lbl) AS (
+             |  SELECT id, id2 FROM e
+             |  UNION
+             |  SELECT r.id, e.id2 FROM reach r JOIN e ON e.id = r.lbl),
+             |lab AS (SELECT id, least(id, min(lbl)) AS label
+             |        FROM reach GROUP BY id)
+             |SELECT label, count(*) AS n_members,
+             |       CAST(max(id) AS BIGINT) AS max_id
+             |FROM lab GROUP BY label ORDER BY label""".stripMargin))
   )
 }
