@@ -96,9 +96,13 @@ object Graph {
     // precedence trap); every division is DuckDB's integer `//`
     val base =
       s"((${100 - dampingPct} * (1000000000 // (SELECT n FROM nn))) // 100)"
+    // CAST each level's rq to BIGINT: sum() is HUGEINT in DuckDB and
+    // would otherwise propagate int128 into the output column — the
+    // round-11 driver-hash divergence class
     val levels = (1 to iters).map { i =>
       s"""pr$i AS (SELECT nd.node,
-         |    $base + ($dampingPct * coalesce(s.s, 0)) // 100 AS rq
+         |    CAST($base + ($dampingPct * coalesce(s.s, 0)) // 100
+         |      AS BIGINT) AS rq
          |  FROM nd LEFT JOIN (
          |    SELECT e.dst AS node, sum(p.rq // d.deg) AS s
          |    FROM pr${i - 1} p JOIN e ON e.src = p.node
