@@ -53,6 +53,11 @@ object Bench {
     // use that).
     val groundTruthTwins = Set("sim_bitext_mine", "sim_bitext_mutual",
       "sim_bitext_ivf_agreement", "sim_bitext_mutual_ivf_agreement")
+    // a renamed twin must fail loudly, not silently re-admit the
+    // quadratic cross join into the timed suite
+    require(groundTruthTwins.subsetOf(SparkEntry.queries.keySet),
+      s"groundTruthTwins names unknown queries: " +
+        s"${groundTruthTwins -- SparkEntry.queries.keySet}")
     // optional local-iteration filter; the driver leaves this unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -207,7 +212,12 @@ object Bench {
         "ml_silhouette_samples"),
       // the CCNet-style LM tier shares the Memo'd per-doc score frame
       // (text_lm_score builds it cold; the tercile bucketer reads it)
-      "lm_family" -> Seq("text_lm_score", "text_ppl_buckets"))
+      "lm_family" -> Seq("text_lm_score", "text_ppl_buckets"),
+      // the IVF bitext headliners share the Memo'd probe pool
+      // (bitextScoredIvf) — whoever runs first after an eviction pays
+      // the IVF fit + probe
+      "bitext_ivf_family" -> Seq("sim_bitext_mine_ivf",
+        "sim_bitext_mutual_ivf"))
     val familySums = families.map { case (fam, members) =>
       val present = members.flatMap(retried.get)
       fam -> (present.map(_._1).sum, present.map(_._2).sum)

@@ -12,8 +12,10 @@ object StressC1C3 {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // NOTE: spark.driver.memory is a no-op on an in-process local
+      // builder (the driver IS this JVM) — heap comes from the
+      // launcher (tools/run.sh SPARK_DRIVER_MEM → -Xmx)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

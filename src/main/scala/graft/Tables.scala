@@ -34,12 +34,29 @@ object Tables {
     * per-invocation leak) but distinct ACROSS processes — two
     * concurrent JVMs benching the same dataset must not race on
     * mode-overwrite writes against concurrent reads of one path
-    * (ADVICE r10). Key by md5(data key) + pid. */
+    * (ADVICE r10). Key by md5(data key) + pid. Because the pid makes
+    * each process's dirs unique, a shutdown hook deletes every dir
+    * this helper handed out — without it, repeated rounds on a
+    * long-lived box would grow /tmp without bound (the leak the old
+    * cross-process-stable scheme avoided by reuse). */
+  private val scratchIssued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => scratchIssued.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }))
   def scratchDir(tag: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${h}_p${ProcessHandle.current().pid()}").toString
+    scratchHook
+    scratchIssued.add(p)
+    p
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

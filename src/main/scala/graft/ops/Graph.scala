@@ -11,16 +11,23 @@ import org.apache.spark.sql.functions._
   * by harmonic centrality / rank percentile).
   *
   * Determinism contract (the repo's integer-exact discipline): ranks
-  * live in NANO-UNITS (rq = round(rank·10⁹) as BIGINT) from
-  * initialization onward; every per-iteration step is integer-only —
-  * contribution = rq div outdeg (exact long division), damping =
-  * (d_pct · Σ contrib) div 100, teleport base = ((100 − d_pct) ·
-  * (10⁹ div N)) div 100 — so the incoming-edge sums are order-free
-  * exact longs and EVERY iteration is bit-identical on any engine,
-  * partitioning, or fold order. A DuckDB oracle replays the identical
-  * ladder as `iters` unrolled CTEs (no float anywhere, no recursive
-  * CTE version sensitivity). Rank mass leaks at dangling nodes and at
-  * edges pointing outside the node set (documented: mass is NOT
+  * live in PER-NODE NANO-UNITS — every node initializes to 10⁹, i.e.
+  * rq = round(rank·N·10⁹), so the unit never divides by the corpus
+  * size and the signal cannot erode at web-scale node counts (a
+  * round-11 review caught the earlier 10⁹ div N unit collapsing to
+  * all-zero ranks past N ≈ 10⁹ and degrading well before). Every
+  * per-iteration step is integer-only: contribution = rq div outdeg
+  * (exact long division), teleport base = ((100−d_pct)·10⁹) div 100
+  * (a constant), and damping uses the EXACT decomposition
+  * (s div 100)·d + ((s mod 100)·d) div 100 == (d·s) div 100, which
+  * never forms the d·s product — so the incoming-edge sums are
+  * order-free exact longs with headroom to Σ rank mass ≈ N·10⁹
+  * (int64-safe to N ≈ 9·10⁸ nodes; past that, shrink the unit) and
+  * EVERY iteration is bit-identical on any engine, partitioning, or
+  * fold order. A DuckDB oracle replays the identical ladder as
+  * `iters` unrolled CTEs (no recursive CTE, no float, every level
+  * CAST to BIGINT). Rank mass leaks at dangling nodes and at edges
+  * pointing outside the node set (documented: mass is NOT
   * renormalized — the standard simplification when ranks are consumed
   * as an ORDERING signal, which is what curation does with them).
   *
@@ -38,16 +45,16 @@ object Graph {
 
   /** PageRank over `edges` (src, dst BIGINT) restricted to `nodes`
     * (node BIGINT): `iters` integer-exact damped iterations. Output:
-    * (node, rank_nano BIGINT, n_in BIGINT) — rank in nano-units plus
-    * the inlink count for the audit eye. `dampingPct` is the damping
-    * factor in percent (85 = the classic 0.85). */
+    * (node, rank_nano BIGINT, n_in BIGINT) — rank in per-node
+    * nano-units (mean-ish 10⁹; exact mean only on leak-free graphs)
+    * plus the inlink count for the audit eye. `dampingPct` is the
+    * damping factor in percent (85 = the classic 0.85). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       dampingPct: Int = 85, checkpoint: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
     val nd = nodes.select(col("node").cast("long").as("node"))
-    val nAgg = nd.agg(count(lit(1)).as("__n"))
     // outdeg over the node-restricted edge list: contributions divide
     // by the SAME degree the oracle computes
     val e = edges.select(col("src").cast("long").as("src"),
@@ -64,19 +71,21 @@ object Graph {
         .select(col("src"), col("dst"), col("__deg")))
     // ALL divisions are SQL `div` (exact integer division — Column./
     // on longs is DOUBLE division, which can round across an integer
-    // boundary and diverge from DuckDB's `//`)
-    var rank = nd.crossJoin(broadcast(nAgg))
-      .select(col("node"), expr("1000000000L div __n").as("rq"), col("__n"))
+    // boundary and diverge from DuckDB's `//`); the damping multiply
+    // uses the exact (q·d + (r·d) div 100) decomposition so the d·s
+    // product never forms (s can approach N·10⁹)
+    val base = (100L - dampingPct) * 1000000000L / 100L
+    var rank = nd.select(col("node"), lit(1000000000L).as("rq"))
     for (_ <- 1 to iters) {
       val contrib = rank.join(e2, rank("node") === e2("src"))
         .select(col("dst").as("node"), expr("rq div __deg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
-      val next = rank.select(col("node"), col("__n"))
+      val next = rank.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          expr(s"(${100 - dampingPct}L * (1000000000L div __n)) div 100L"
-            + s" + ($dampingPct" + "L * coalesce(__s, 0L)) div 100L").as("rq"),
-          col("__n"))
+          expr(s"${base}L + (coalesce(__s, 0L) div 100L) * ${dampingPct}L"
+            + s" + ((coalesce(__s, 0L) % 100L) * ${dampingPct}L) div 100L")
+            .as("rq"))
       rank = if (checkpoint) next.localCheckpoint(false) else next
     }
     val nIn = e2.groupBy(col("dst").as("node")).agg(count(lit(1)).as("n_in"))
@@ -89,19 +98,16 @@ object Graph {
     * (engine-version-robust: no recursive CTE, no float): callers
     * splice `nodesSql` (a CTE body yielding `node`) and `edgesSql`
     * (yielding `src, dst`) and consume the final `pr$iters(node, rq)`.
-    * Integer ladder identical to the Spark loop. */
+    * Integer ladder identical to the Spark loop, including the exact
+    * damping decomposition; every level CAST to BIGINT (sum() is
+    * HUGEINT in DuckDB — the round-11 driver-hash divergence class). */
   def pageRankOracleSql(nodesSql: String, edgesSql: String, iters: Int,
       dampingPct: Int = 85): String = {
-    // teleport base via a scalar subquery (no comma-join/LEFT JOIN
-    // precedence trap); every division is DuckDB's integer `//`
-    val base =
-      s"((${100 - dampingPct} * (1000000000 // (SELECT n FROM nn))) // 100)"
-    // CAST each level's rq to BIGINT: sum() is HUGEINT in DuckDB and
-    // would otherwise propagate int128 into the output column — the
-    // round-11 driver-hash divergence class
+    val base = (100L - dampingPct) * 1000000000L / 100L
     val levels = (1 to iters).map { i =>
       s"""pr$i AS (SELECT nd.node,
-         |    CAST($base + ($dampingPct * coalesce(s.s, 0)) // 100
+         |    CAST($base + (coalesce(s.s, 0) // 100) * $dampingPct
+         |      + ((coalesce(s.s, 0) % 100) * $dampingPct) // 100
          |      AS BIGINT) AS rq
          |  FROM nd LEFT JOIN (
          |    SELECT e.dst AS node, sum(p.rq // d.deg) AS s
@@ -113,9 +119,7 @@ object Graph {
        |e0 AS ($edgesSql),
        |e AS (SELECT e0.src, e0.dst FROM e0 SEMI JOIN nd ON nd.node = e0.src),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM nd),
-       |pr0 AS (SELECT nd.node, (1000000000 // (SELECT n FROM nn)) AS rq
-       |        FROM nd),
+       |pr0 AS (SELECT nd.node, CAST(1000000000 AS BIGINT) AS rq FROM nd),
        |$levels""".stripMargin
   }
 }

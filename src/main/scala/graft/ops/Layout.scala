@@ -50,9 +50,13 @@ object Layout {
     * once the span exceeded ~1.4e14 (e.g. epoch-micros over a few
     * years — ADVICE r10), corrupting the z-codes. The double chain is
     * one identical IEEE sequence in Spark and DuckDB (the oracle
-    * replays it verbatim), so engine parity is preserved; the clamp
-    * pins the x=hi edge, where the rounded product can floor to
-    * 65534 for spans past 2^53/65535. */
+    * replays it verbatim), so engine parity is preserved. The clamp
+    * bounds the round-UP overshoot side only (a quotient landing just
+    * above 65535 or below 0); when the rounded product lands just
+    * BELOW an integer (possible for spans past ~2^53/65535), the max
+    * value can quantize to 65534 — a one-cell quantization skew at
+    * the top of the range, identical on both engines, not an oracle
+    * hazard. */
   private def quant16(x: String, lo: String, hi: String) =
     expr(s"least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT), "
       + s"CAST(floor((CAST($x AS DOUBLE) - CAST($lo AS DOUBLE)) * 65535.0"

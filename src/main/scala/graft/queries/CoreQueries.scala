@@ -1419,10 +1419,17 @@ object CoreQueries {
              |FROM r WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY user_id""".stripMargin)),
 
-    // Theil–Sen robust trend per user series (round 10, [EXT])
+    // Theil–Sen robust trend per user series (round 10, [EXT]).
+    // lengthGate is pinned FAR above any driver series length: the
+    // oracle below replays only the exact all-pairs median, so a data
+    // refresh that grew one series past a default gate would silently
+    // hash-fail (DuckDB cannot replay the xxhash64 sample). The
+    // sampled tier is exercised by SeriesOpsSpec + SCALE.md, not by
+    // this oracle-checked entry.
     Q("ts_theil_sen",
       (s, dir) => SeriesOps.theilSen(SeriesOps.collectSeries(
-          Tables.events(s, dir), "user_id", "value", "event_id"))
+          Tables.events(s, dir), "user_id", "value", "event_id"),
+          lengthGate = 1000000)
         .orderBy("series_id"),
       Some("""WITH r AS (SELECT user_id, value,
              |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn

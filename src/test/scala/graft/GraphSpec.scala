@@ -14,14 +14,14 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst")
     val r = Graph.pageRank(nodes, edges, iters = 1, checkpoint = false)
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
-    // init rq = 1e9 div 5 = 200_000_000, outdeg 1 everywhere.
-    // base = (15 * 200_000_000) div 100 = 30_000_000
-    // hub: base + (85 * 4*200_000_000) div 100 = 30e6 + 680e6
-    assert(r(0L) == (710000000L, 4L), s"hub: ${r(0L)}")
-    // spoke 1: base + (85 * 200_000_000) div 100
-    assert(r(1L) == (200000000L, 1L), s"spoke1: ${r(1L)}")
+    // per-node nano-units: init rq = 1e9 for EVERY node (no div by N),
+    // outdeg 1 everywhere, base = (15 * 1e9) div 100 = 150_000_000.
+    // hub: base + damp(4e9) = 150e6 + (4e9 div 100)*85 = 150e6 + 3.4e9
+    assert(r(0L) == (3550000000L, 4L), s"hub: ${r(0L)}")
+    // spoke 1: base + damp(1e9) = 150e6 + 850e6 = exactly 1e9
+    assert(r(1L) == (1000000000L, 1L), s"spoke1: ${r(1L)}")
     // spokes 2-4: teleport base only, zero inlinks
-    Seq(2L, 3L, 4L).foreach(n => assert(r(n) == (30000000L, 0L), s"$n: ${r(n)}"))
+    Seq(2L, 3L, 4L).foreach(n => assert(r(n) == (150000000L, 0L), s"$n: ${r(n)}"))
   }
 
   test("pageRank: authority ordering converges and reruns are bit-identical") {
@@ -40,8 +40,8 @@ class GraphSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L, 3L).map(rank).min
       > (15L until 20L).map(rank).max, s"authority inverted: $rank")
     // edges outside the node set / dangling mass: ranks stay positive
-    // and bounded by the total initial mass
-    assert(rank.values.forall(v => v > 0 && v < 1000000000L))
+    // and bounded by the total initial mass (20 nodes × 1e9 units)
+    assert(rank.values.forall(v => v > 0 && v < 20L * 1000000000L))
   }
 
   test("pageRank: edges from outside the node set are ignored") {
