@@ -20,7 +20,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed-by-key tables join with zero shuffles; unbucketed shuffle both sides") {
-    val wh = Files.createTempDirectory("graft-bucketing").toFile
+    val wh = new java.io.File(tempDir("graft-bucketing"))
     wh.deleteOnExit()
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
@@ -50,7 +50,7 @@ class BucketingSpec extends SparkSpec {
 
   test("persist-and-probe dedup: corpus side never reshuffles; results equal the direct form") {
     import graft.ext.Dedup
-    val wh = Files.createTempDirectory("graft-probe-spec").toFile
+    val wh = new java.io.File(tempDir("graft-probe-spec"))
     wh.deleteOnExit()
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
@@ -110,7 +110,7 @@ class BucketingSpec extends SparkSpec {
   test("streaming sem-dedup/IVF state is centroid-bucketed: probes never reshuffle the state side") {
     import graft.streaming.EventStreams
     import graft.ml.Ivf
-    val wh = Files.createTempDirectory("graft-semstate").toFile
+    val wh = new java.io.File(tempDir("graft-semstate"))
     wh.deleteOnExit()
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path

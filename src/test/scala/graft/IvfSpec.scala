@@ -288,7 +288,7 @@ class IvfSpec extends SparkSpec {
 
   test("saved index: loaded probe is bitwise the in-memory probe AND partition-prunes") {
     val emb = Tables.embeddings(spark, sf)
-    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val path = tempDir("ivfidx")
     graft.ml.Ivf.saveIndex(emb, "vec_id", "embedding", 16, 42, path)
     val fresh = graft.ml.Ivf.topK(emb, "vec_id", "embedding", "vec_id < 10", 5, 16, 4)
       .orderBy("q_id", "rank").collect().toSeq

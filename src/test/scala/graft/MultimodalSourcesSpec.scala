@@ -368,7 +368,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   }
 
   test("JSONL corpus ingest: clean + quarantine account for every non-blank line") {
-    val dir = Files.createTempDirectory("graftjsonl")
+    val dir = java.nio.file.Paths.get(tempDir("graftjsonl"))
     val f = dir.resolve("docs.jsonl")
     Files.write(f, Seq(
       """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
@@ -391,7 +391,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   test("gzip JSONL ingest: compressed corpora read transparently, quarantine intact") {
     // real crawls arrive as .jsonl.gz — Spark's text source decompresses
     // by extension; the quarantine path must behave identically
-    val dir = Files.createTempDirectory("graftjsonlgz")
+    val dir = java.nio.file.Paths.get(tempDir("graftjsonlgz"))
     val f = dir.resolve("docs.jsonl.gz")
     val out = new java.util.zip.GZIPOutputStream(
       java.nio.file.Files.newOutputStream(f))
@@ -407,7 +407,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   }
 
   test("ORC round-trip: the warehouse interchange format reads back exactly") {
-    val dir = Files.createTempDirectory("graftorc").toString + "/events_orc"
+    val dir = tempDir("graftorc") + "/events_orc"
     val ev = Tables.events(spark, sf).limit(500)
       .select("event_id", "user_id", "event_type", "value")
     ev.write.orc(dir)
@@ -420,7 +420,7 @@ class MultimodalSourcesSpec extends SparkSpec {
 
   test("dynamic partition overwrite replaces only the written partitions") {
     import org.apache.spark.sql.functions.col
-    val dir = Files.createTempDirectory("graftdpo").toString + "/t"
+    val dir = tempDir("graftdpo") + "/t"
     val init = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
       .toDF("id", "day", "v")
     init.write.partitionBy("day").parquet(dir)
@@ -441,7 +441,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   }
 
   test("mergeSchema reads evolved parquet: old files null the new column") {
-    val dir = Files.createTempDirectory("graftevolve").toString + "/t"
+    val dir = tempDir("graftevolve") + "/t"
     Seq((1L, "x")).toDF("id", "text").write.parquet(s"$dir/batch1")
     Seq((2L, "y", "en")).toDF("id", "text", "lang").write.parquet(s"$dir/batch2")
     val back = spark.read.option("mergeSchema", "true")
@@ -456,7 +456,7 @@ class MultimodalSourcesSpec extends SparkSpec {
     val docs = (0L until 200L)
       .map(i => (i, s"doc $i", if (i % 10 < 8) "train" else "val"))
       .toDF("doc_id", "text", "split")
-    val out = Files.createTempDirectory("graftshards").toString
+    val out = tempDir("graftshards")
     graft.sources.DocSources.writeTrainingShards(docs, "doc_id", "split", out, 4)
     val back = spark.read.parquet(out)
     assert(back.count() == 200)
@@ -472,7 +472,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   }
 
   test("euc-kr CSV path scan decodes Korean headers/values (S1)") {
-    val dir = Files.createTempDirectory("graftcsv")
+    val dir = java.nio.file.Paths.get(tempDir("graftcsv"))
     val f = dir.resolve("series.csv")
     val content = "공정,측정값\nA,1.5\nA,2.5\nB,3.5\n"
     Files.write(f, content.getBytes(java.nio.charset.Charset.forName("euc-kr")))
@@ -759,7 +759,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   }
 
   test("CSV sink round-trips with header (K1)") {
-    val dir = Files.createTempDirectory("graftsink").toString + "/out"
+    val dir = tempDir("graftsink") + "/out"
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
     CsvSeries.writeCsv(df, dir)
     val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)

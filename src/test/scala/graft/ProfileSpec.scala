@@ -123,7 +123,7 @@ class ProfileSpec extends SparkSpec {
 
   test("z-ordered layout: every file is tight in BOTH dimensions vs a time-sorted write") {
     import org.apache.spark.sql.functions.{col, floor, unix_timestamp}
-    val tmp = java.nio.file.Files.createTempDirectory("graftz").toString
+    val tmp = tempDir("graftz")
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
         floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
@@ -156,7 +156,7 @@ class ProfileSpec extends SparkSpec {
 
   test("partitionPruneAudit: stats match the source; Catalyst prunes the artifact's partitions") {
     import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("graftprune").toString
+    val tmp = tempDir("graftprune")
     val orders = Tables.orders(spark, sf)
     val audit = graft.ops.Profile.partitionPruneAudit(
       orders, "o_orderdate", "1998-01-01", tmp).orderBy("ym").collect()

@@ -22,4 +22,27 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Tracked temp dir: like Files.createTempDirectory but deleted at
+    * JVM exit — repeated test runs were leaving hundreds of graft_s-
+    * and graft_rt-prefixed dirs in /tmp (same leak class as the
+    * round-11 scratchDir fix). */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    SparkSpec.tempDirs.add(p)
+    p
+  }
+}
+
+object SparkSpec {
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }))
 }

@@ -141,7 +141,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch incremental dedup: decisions see intra-batch and all earlier batches") {
     implicit val sql = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val tmp = tempDir("graft_sdedup")
     val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
@@ -173,7 +173,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch url dedup: canonical variants collapse within and across batches") {
     implicit val sql = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_surl").toString
+    val tmp = tempDir("graft_surl")
     val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
     val mem = MemoryStream[(Long, String)]
     val urls = mem.toDF().toDF("doc_id", "url")
@@ -204,7 +204,7 @@ class StreamingSpec extends SparkSpec {
     // an empty micro-batch writes a corpus dir with no partitions; the
     // next epoch must treat that as bootstrap, not attempt a parquet
     // read that fails schema inference and kills the stream forever
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sempty").toString
+    val tmp = tempDir("graft_sempty")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "url")
     EventStreams.urlDedupEpoch(empty, 0L, "doc_id", "url",
       s"$tmp/uc", s"$tmp/ud")
@@ -221,7 +221,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("url dedup epoch replay is idempotent") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_surl_replay").toString
+    val tmp = tempDir("graft_surl_replay")
     val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
     val b0 = Seq((1L, "https://a.com/x"), (2L, "https://a.com/y")).toDF("doc_id", "url")
     val b1 = Seq((10L, "HTTPS://a.com:443/x/"), (11L, "https://c.com/w")).toDF("doc_id", "url")
@@ -242,7 +242,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch dedup sink resumes from a checkpoint without reprocessing") {
     implicit val sql = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val tmp = tempDir("graft_sdedup_ckpt")
     val (corpusDir, decisionsDir, ckpt) =
       (s"$tmp/corpus", s"$tmp/decisions", s"$tmp/ckpt")
     val mem = MemoryStream[(Long, String)]
@@ -277,7 +277,7 @@ class StreamingSpec extends SparkSpec {
     // the replay must not append duplicate/contradictory decision rows
     // (doc first 'new', then 'corpus_dup' because its own partial
     // corpus append became visible).
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_replay").toString
+    val tmp = tempDir("graft_sdedup_replay")
     val (corpusDir, decisionsDir) = (s"$tmp/corpus", s"$tmp/decisions")
     val b0 = Seq((1L, "alpha beta"), (2L, "fresh text")).toDF("doc_id", "text")
     val b1 = Seq((10L, "ALPHA  beta"), (11L, "novel words")).toDF("doc_id", "text")
@@ -420,7 +420,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming refresh pipeline: ordered epochs equal the one-shot batch; replay idempotent") {
     implicit val sql = spark.sqlContext
     import graft.ext.TextOps
-    val tmp = java.nio.file.Files.createTempDirectory("graft_srefresh").toString
+    val tmp = tempDir("graft_srefresh")
     val (urlDir, outDir) = (s"$tmp/urls", s"$tmp/out")
 
     // old corpus + new snapshot, same closed-form family as the batch
@@ -517,7 +517,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import graft.ext.TextOps
     val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_sdsir").toString + "/state"
+      tempDir("graft_sdsir") + "/state"
     // closed-form corpus: target docs (id % 3 == 0) lean on one token
     // family, the rest on another — weights separate the classes
     def mkText(id: Long): String =
@@ -567,7 +567,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import graft.ext.Similarity
     val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_scontam").toString + "/state"
+      tempDir("graft_scontam") + "/state"
     // planted geometry: unit vectors at closed-form angles; eval at 0°
     // and 90°, train fanned between — some contaminated at tau, some not
     def unit(deg: Int): Seq[Double] = {
@@ -606,7 +606,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming embedding-audit gate: planted defects quarantined per epoch; replay idempotent") {
     implicit val sql = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft_saudit").toString
+    val base = tempDir("graft_saudit")
     val acceptDir = base + "/accept"; val qDir = base + "/quar"
     val docs = (1L to 10L).toDF("doc_id")
     val dim = 3
@@ -663,7 +663,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming IVF ingest: probe over accumulated state equals the batch probe") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
-    val wh = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val wh = tempDir("graft_sivf")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS sivf LOCATION '$wh/sivf'")
     val stateTable = "sivf.state"
     val emb = Tables.embeddings(spark, sf)
@@ -707,7 +707,7 @@ class StreamingSpec extends SparkSpec {
   test("streamed filtered ANN: metadata sidecar at ingest, filtered probe == batch, pre-filter semantics") {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
-    val wh = java.nio.file.Files.createTempDirectory("graft_sfivf").toString
+    val wh = tempDir("graft_sfivf")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS sfivf LOCATION '$wh/sfivf'")
     val stateTable = "sfivf.state"
     val emb = Tables.embeddings(spark, sf)
@@ -751,7 +751,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import graft.ml.Ivf
     import org.apache.spark.sql.functions.call_function
-    val wh = java.nio.file.Files.createTempDirectory("graft_ssem").toString
+    val wh = tempDir("graft_ssem")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ssem LOCATION '$wh/ssem'")
     val stateTable = "ssem.state"
     // closed-form: unit vectors at angle (id·7)%360; every id%10==9 is
@@ -812,7 +812,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming JSONL ingest: epochs equal the batch read; quarantine audited per epoch; replay idempotent") {
     implicit val sql = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_singest").toString
+    val tmp = tempDir("graft_singest")
     val (cleanDir, qDir) = (s"$tmp/clean", s"$tmp/quarantine")
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
@@ -834,7 +834,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     // epochs == the one-shot batch read over the union of all lines
-    val all = java.nio.file.Files.createTempDirectory("graft_singest_all")
+    val all = java.nio.file.Paths.get(tempDir("graft_singest_all"))
     java.nio.file.Files.write(all.resolve("all.jsonl"),
       (b0 ++ b1).mkString("\n").getBytes("UTF-8"))
     val (bClean, bQuar) = graft.sources.DocSources.readJsonlAs(
@@ -864,7 +864,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming HLL rollup: epoch partials union to the corpus answer; probe never shuffles; replay idempotent") {
     implicit val sql = spark.sqlContext
-    val wh = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    val wh = tempDir("graft_shll")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS shll LOCATION '$wh/shll'")
     val stateTable = "shll.state"
     val docs = Tables.documents(spark, sf)
