@@ -191,7 +191,8 @@ object Bench {
       // the tf pass, and the registry now runs the four adjacently so
       // the 24-query stale window can't release the pass between them
       // — the suite pays ONE token pass for the tier, not two
-      "bm25_family" -> Seq("text_tfidf", "text_bm25_topk", "sim_hybrid_rrf",
+      "bm25_family" -> Seq("text_quality_classifier", "text_classifier_lift",
+        "text_tfidf", "text_bm25_topk", "sim_hybrid_rrf",
         "text_rank_metrics"),
       "dsir_family" -> Seq("text_dsir_weights", "text_dsir_select"),
       // VERDICT r9 #2: the audio queries share the Memo'd decode+window

@@ -2322,113 +2322,6 @@ object ExtQueries {
               |         CAST(tokens_target AS DOUBLE) / tokens_avail), 6) AS sample_rate
               |FROM p2 ORDER BY lang""".stripMargin)),
 
-    // MODEL-BASED quality filter (CCNet / GPT-3 WebText-classifier
-    // shape): train a Naive Bayes unigram classifier on a weak rule
-    // label (stopword_ratio >= 0.03 — the corpus median, so both
-    // classes are populated at every SF), score every doc with the
-    // learned token weights. NB keeps train+score exact relational
-    // algebra, so the driver oracle checks the MODEL, not just the
-    // plumbing. Rides the Memo'd (id,w,tf) pass of the TF-IDF family.
-    Q("text_quality_classifier",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val labels = TextOps.quality(docs, "doc_id", "text")
-          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
-        TextOps.nbQuality(docs, "doc_id", "text", labels).orderBy("doc_id")
-      },
-      Some(s"""WITH lab AS (SELECT doc_id,
-              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
-              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) >= 0.03 AS label
-              |  FROM documents),
-              |tok AS (SELECT doc_id,
-              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-              |  FROM documents),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-              |tfl AS (SELECT tf.doc_id, tf.w, tf.tf, lab.label
-              |        FROM tf JOIN lab USING (doc_id)),
-              |cls AS (SELECT sum(CASE WHEN label THEN tf ELSE 0 END) AS n1,
-              |               sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS n0,
-              |               count(DISTINCT w) AS v FROM tfl),
-              |wt AS (SELECT w,
-              |         CAST(round((ln((sum(CASE WHEN label THEN tf ELSE 0 END) + 1.0)
-              |                        / (cls.n1 + cls.v))
-              |                   - ln((sum(CASE WHEN NOT label THEN tf ELSE 0 END) + 1.0)
-              |                        / (cls.n0 + cls.v))) * 1000000, 0) AS BIGINT) AS llr_micro
-              |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
-              |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
-              |       FROM tf JOIN wt USING (w) GROUP BY 1),
-              |pr AS (SELECT CAST(round(ln(greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1) * 1.0
-              |                / greatest(sum(CASE WHEN NOT label THEN 1 ELSE 0 END), 1)) * 1000000, 0)
-              |         AS BIGINT) AS p_micro FROM lab)
-              |SELECT lab.doc_id, lab.label AS label_weak,
-              |  round((pr.p_micro + sc.s_micro) / 1000000.0, 6) AS nb_score,
-              |  (pr.p_micro + sc.s_micro) > 0 AS nb_pass,
-              |  ((pr.p_micro + sc.s_micro) > 0) = lab.label AS agree
-              |FROM lab JOIN sc USING (doc_id), pr
-              |ORDER BY lab.doc_id""".stripMargin)),
-
-    // Score-bin lift/reliability table over the NB classifier (the
-    // gains-table read before trusting the classifier as a filter).
-    // Equal-width bins on the exact micro log-odds — a 1-row (min,max)
-    // broadcast + integer binning, NOT a global-rank decile (the
-    // one-partition-window anti-pattern); per-bin fractions are exact
-    // count divisions.
-    Q("text_classifier_lift",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val labels = TextOps.quality(docs, "doc_id", "text")
-          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
-        TextOps.classifierLift(
-          TextOps.nbQuality(docs, "doc_id", "text", labels),
-          "nb_score", "label_weak", 8)
-          .orderBy("bin")
-      },
-      Some(s"""WITH lab AS (SELECT doc_id,
-              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
-              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) >= 0.03 AS label
-              |  FROM documents),
-              |tok AS (SELECT doc_id,
-              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-              |  FROM documents),
-              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-              |tfl AS (SELECT tf.doc_id, tf.w, tf.tf, lab.label
-              |        FROM tf JOIN lab USING (doc_id)),
-              |cls AS (SELECT sum(CASE WHEN label THEN tf ELSE 0 END) AS n1,
-              |               sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS n0,
-              |               count(DISTINCT w) AS v FROM tfl),
-              |wt AS (SELECT w,
-              |         CAST(round((ln((sum(CASE WHEN label THEN tf ELSE 0 END) + 1.0)
-              |                        / (cls.n1 + cls.v))
-              |                   - ln((sum(CASE WHEN NOT label THEN tf ELSE 0 END) + 1.0)
-              |                        / (cls.n0 + cls.v))) * 1000000, 0) AS BIGINT) AS llr_micro
-              |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
-              |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
-              |       FROM tf JOIN wt USING (w) GROUP BY 1),
-              |pr AS (SELECT CAST(round(ln(greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1) * 1.0
-              |                / greatest(sum(CASE WHEN NOT label THEN 1 ELSE 0 END), 1)) * 1000000, 0)
-              |         AS BIGINT) AS p_micro FROM lab)  ,
-              |t AS (SELECT CAST(pr.p_micro + sc.s_micro AS BIGINT) AS t, lab.label AS y
-              |      FROM lab JOIN sc USING (doc_id), pr),
-              |e AS (SELECT min(t) AS lo, max(t) AS hi, count(*) AS nn,
-              |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM t),
-              |b AS (SELECT CASE WHEN e.hi = e.lo THEN 0
-              |        ELSE least(7, (t.t - e.lo) * 8 // (e.hi - e.lo)) END AS bin,
-              |        t.t, t.y, e.nn, e.np
-              |      FROM t, e)
-              |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
-              |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-              |  CAST(min(t) AS DOUBLE) / 1e6 AS score_lo,
-              |  CAST(max(t) AS DOUBLE) / 1e6 AS score_hi,
-              |  floor(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-              |    * 1e6 + 0.5) / 1e6 AS frac_pos,
-              |  CASE WHEN max(np) = 0 THEN NULL
-              |    ELSE floor(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-              |      / (CAST(max(np) AS DOUBLE) / CAST(max(nn) AS DOUBLE))
-              |      * 1e6 + 0.5) / 1e6 END AS lift
-              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
-
     // Token counting: whitespace, alnum-regex, actual greedy-subword
     // merges over the fixed vocab (n_bpe), and chars/4 (n_bpe_est)
     Q("text_token_counts",
@@ -3159,6 +3052,113 @@ object ExtQueries {
              |  md5(d.text) AS text_fp
              |FROM documents d JOIN b ON b.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // MODEL-BASED quality filter (CCNet / GPT-3 WebText-classifier
+    // shape): train a Naive Bayes unigram classifier on a weak rule
+    // label (stopword_ratio >= 0.03 — the corpus median, so both
+    // classes are populated at every SF), score every doc with the
+    // learned token weights. NB keeps train+score exact relational
+    // algebra, so the driver oracle checks the MODEL, not just the
+    // plumbing. Rides the Memo'd (id,w,tf) pass of the TF-IDF family.
+    Q("text_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = TextOps.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
+        TextOps.nbQuality(docs, "doc_id", "text", labels).orderBy("doc_id")
+      },
+      Some(s"""WITH lab AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) >= 0.03 AS label
+              |  FROM documents),
+              |tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              |  FROM documents),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |tfl AS (SELECT tf.doc_id, tf.w, tf.tf, lab.label
+              |        FROM tf JOIN lab USING (doc_id)),
+              |cls AS (SELECT sum(CASE WHEN label THEN tf ELSE 0 END) AS n1,
+              |               sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS n0,
+              |               count(DISTINCT w) AS v FROM tfl),
+              |wt AS (SELECT w,
+              |         CAST(round((ln((sum(CASE WHEN label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n1 + cls.v))
+              |                   - ln((sum(CASE WHEN NOT label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n0 + cls.v))) * 1000000, 0) AS BIGINT) AS llr_micro
+              |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
+              |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
+              |       FROM tf JOIN wt USING (w) GROUP BY 1),
+              |pr AS (SELECT CAST(round(ln(greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1) * 1.0
+              |                / greatest(sum(CASE WHEN NOT label THEN 1 ELSE 0 END), 1)) * 1000000, 0)
+              |         AS BIGINT) AS p_micro FROM lab)
+              |SELECT lab.doc_id, lab.label AS label_weak,
+              |  round((pr.p_micro + sc.s_micro) / 1000000.0, 6) AS nb_score,
+              |  (pr.p_micro + sc.s_micro) > 0 AS nb_pass,
+              |  ((pr.p_micro + sc.s_micro) > 0) = lab.label AS agree
+              |FROM lab JOIN sc USING (doc_id), pr
+              |ORDER BY lab.doc_id""".stripMargin)),
+
+    // Score-bin lift/reliability table over the NB classifier (the
+    // gains-table read before trusting the classifier as a filter).
+    // Equal-width bins on the exact micro log-odds — a 1-row (min,max)
+    // broadcast + integer binning, NOT a global-rank decile (the
+    // one-partition-window anti-pattern); per-bin fractions are exact
+    // count divisions.
+    Q("text_classifier_lift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = TextOps.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
+        TextOps.classifierLift(
+          TextOps.nbQuality(docs, "doc_id", "text", labels),
+          "nb_score", "label_weak", 8)
+          .orderBy("bin")
+      },
+      Some(s"""WITH lab AS (SELECT doc_id,
+              |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
+              |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) >= 0.03 AS label
+              |  FROM documents),
+              |tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              |  FROM documents),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |tfl AS (SELECT tf.doc_id, tf.w, tf.tf, lab.label
+              |        FROM tf JOIN lab USING (doc_id)),
+              |cls AS (SELECT sum(CASE WHEN label THEN tf ELSE 0 END) AS n1,
+              |               sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS n0,
+              |               count(DISTINCT w) AS v FROM tfl),
+              |wt AS (SELECT w,
+              |         CAST(round((ln((sum(CASE WHEN label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n1 + cls.v))
+              |                   - ln((sum(CASE WHEN NOT label THEN tf ELSE 0 END) + 1.0)
+              |                        / (cls.n0 + cls.v))) * 1000000, 0) AS BIGINT) AS llr_micro
+              |       FROM tfl, cls GROUP BY w, cls.n1, cls.n0, cls.v),
+              |sc AS (SELECT tf.doc_id, sum(tf.tf * wt.llr_micro) AS s_micro
+              |       FROM tf JOIN wt USING (w) GROUP BY 1),
+              |pr AS (SELECT CAST(round(ln(greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1) * 1.0
+              |                / greatest(sum(CASE WHEN NOT label THEN 1 ELSE 0 END), 1)) * 1000000, 0)
+              |         AS BIGINT) AS p_micro FROM lab)  ,
+              |t AS (SELECT CAST(pr.p_micro + sc.s_micro AS BIGINT) AS t, lab.label AS y
+              |      FROM lab JOIN sc USING (doc_id), pr),
+              |e AS (SELECT min(t) AS lo, max(t) AS hi, count(*) AS nn,
+              |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM t),
+              |b AS (SELECT CASE WHEN e.hi = e.lo THEN 0
+              |        ELSE least(7, (t.t - e.lo) * 8 // (e.hi - e.lo)) END AS bin,
+              |        t.t, t.y, e.nn, e.np
+              |      FROM t, e)
+              |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |  CAST(min(t) AS DOUBLE) / 1e6 AS score_lo,
+              |  CAST(max(t) AS DOUBLE) / 1e6 AS score_hi,
+              |  floor(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+              |    * 1e6 + 0.5) / 1e6 AS frac_pos,
+              |  CASE WHEN max(np) = 0 THEN NULL
+              |    ELSE floor(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+              |      / (CAST(max(np) AS DOUBLE) / CAST(max(nn) AS DOUBLE))
+              |      * 1e6 + 0.5) / 1e6 END AS lift
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // Per-doc top-3 TF-IDF terms (tf × ln(N/df), ties by term) — the
     // classic content-keyword extractor; identical double math in both
