@@ -44,6 +44,22 @@ class GraphSpec extends SparkSpec {
     assert(rank.values.forall(v => v > 0 && v < 20L * 1000000000L))
   }
 
+  test("pageRank: a cycle graph is EXACTLY stationary at 1e9 per node") {
+    // i -> (i+1) mod n: leak-free, outdeg 1, uniform — the damped
+    // update base + damp(1e9) = 150e6 + 850e6 reproduces 1e9 exactly,
+    // so any iteration count returns the initial vector bit-for-bit
+    // (the integer ladder introduces no drift on the fixed point)
+    val n = 12L
+    val nodes = (0L until n).toDF("node")
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    for (iters <- Seq(1, 7)) {
+      val r = Graph.pageRank(nodes, edges, iters, checkpoint = false)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(r.length == n && r.forall { case (_, rq, nin) =>
+        rq == 1000000000L && nin == 1L }, s"iters=$iters: ${r.toSeq}")
+    }
+  }
+
   test("pageRank: edges from outside the node set are ignored") {
     val nodes = (0L to 2L).toDF("node")
     val edges = Seq((0L, 1L), (99L, 1L)).toDF("src", "dst")
