@@ -187,10 +187,11 @@ object Bench {
         "dedup_edit_distance", "text_split_leakage", "dedup_source_matrix",
         "dedup_chain_audit"),
       // the lexical-retrieval tier shares the Memo'd tf/df/doc-length
-      // passes. text_tfidf is a member too (VERDICT r10 #8): it builds
-      // the tf pass, and the registry now runs the four adjacently so
-      // the 24-query stale window can't release the pass between them
-      // — the suite pays ONE token pass for the tier, not two
+      // passes. All SIX members (the NB classifier pair + tfidf + the
+      // bm25 trio) run adjacently in the registry so the 24-query
+      // stale window can't release the pass between them — the suite
+      // pays ONE token pass for the tier (VERDICT r10 #8; it used to
+      // build twice, then three times as the classifier pair drifted)
       "bm25_family" -> Seq("text_quality_classifier", "text_classifier_lift",
         "text_tfidf", "text_bm25_topk", "sim_hybrid_rrf",
         "text_rank_metrics"),

@@ -41,21 +41,48 @@ object Tables {
     * cross-process-stable scheme avoided by reuse). */
   private val scratchIssued =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
   private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => scratchIssued.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
+    new Thread(() => scratchIssued.forEach(p => rmTree(new java.io.File(p)))))
+
+  /** Register a path for recursive deletion at JVM exit — the one
+    * shared cleanup tracker (scratchDir and the test suite's tempDir
+    * both route here, so a deletion-logic fix lands once). */
+  private[graft] def trackForCleanup(path: String): Unit = {
+    scratchHook
+    scratchIssued.add(path)
+    ()
+  }
+
+  /** Best-effort reaping of a DEAD process's scratch dirs: the
+    * shutdown hook cannot run on OOM-kill/SIGKILL, and pid-unique
+    * paths are never reused, so each issue scans its own
+    * `graft_<tag>_<hash>_p*` siblings and deletes those whose pid is
+    * no longer alive — orphans survive at most until the next run of
+    * the same (tag, key). */
+  private def reapDead(dir: java.io.File, prefix: String): Unit = {
+    val kids = dir.listFiles()
+    if (kids != null) kids.foreach { f =>
+      val n = f.getName
+      if (n.startsWith(prefix)) {
+        val pid = n.substring(prefix.length).toLongOption
+        if (pid.exists(p => !ProcessHandle.of(p).isPresent
+            && p != ProcessHandle.current().pid())) rmTree(f)
       }
-      rm(new java.io.File(p))
-    }))
+    }
+  }
   def scratchDir(tag: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    try reapDead(tmp, s"graft_${tag}_${h}_p")
+    catch { case _: Throwable => () } // reaping is best-effort, never fatal
+    val p = new java.io.File(tmp,
       s"graft_${tag}_${h}_p${ProcessHandle.current().pid()}").toString
-    scratchHook
-    scratchIssued.add(p)
+    trackForCleanup(p)
     p
   }
 

@@ -497,11 +497,17 @@ object SeriesOps {
         |    CAST((CAST(size(values) AS LONG) * (size(values) - 1) div 2 + 1L)
         |      div 2 AS INT))""".stripMargin
     // sampled pair s: i uniform in [1, n], j uniform in [1, n]\{i}
-    // (j-raw in [1, n-1], bumped past i) — slope is direction-symmetric
+    // (j-raw in [1, n-1], bumped past i) — slope is direction-symmetric.
+    // The sample count runs in LONG (a 32-bit s·n wrapped negative past
+    // n ≈ 134M and crashed sequence()) and caps at 10⁸ pairs — beyond
+    // that the median's quantile error is already ~10⁻⁴ of the slope
+    // distribution, and a larger transient array buys nothing.
+    val mExpr = s"least(CAST($samplesPerPoint AS LONG) * size(values), " +
+      "100000000L)"
     val sampledSlope =
       s"""element_at(
          |    array_sort(transform(
-         |      sequence(0, $samplesPerPoint * size(values) - 1), s ->
+         |      sequence(0L, $mExpr - 1L), s ->
          |      element_at(transform(array(named_struct(
          |          'i', CAST(pmod(xxhash64(series_id, s, 0),
          |                 CAST(size(values) AS LONG)) AS INT) + 1,
@@ -510,7 +516,7 @@ object SeriesOps {
          |        p -> (element_at(values, IF(p.r >= p.i, p.r + 1, p.r))
          |              - element_at(values, p.i))
          |          / CAST(IF(p.r >= p.i, p.r + 1, p.r) - p.i AS DOUBLE)), 1))),
-         |    CAST(($samplesPerPoint * size(values) + 1) div 2 AS INT))""".stripMargin
+         |    CAST(($mExpr + 1L) div 2L AS INT))""".stripMargin
     // ONE pass over the series frame: CASE evaluates lazily per row,
     // so each series pays only its tier's slope estimator (a
     // two-branch filter+union would scan the Memo'd frame twice)

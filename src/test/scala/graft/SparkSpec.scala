@@ -26,23 +26,11 @@ abstract class SparkSpec extends AnyFunSuite {
   /** Tracked temp dir: like Files.createTempDirectory but deleted at
     * JVM exit — repeated test runs were leaving hundreds of graft_s-
     * and graft_rt-prefixed dirs in /tmp (same leak class as the
-    * round-11 scratchDir fix). */
+    * round-11 scratchDir fix). Registers with Tables' ONE shared
+    * cleanup tracker so the deletion logic lives in a single place. */
   def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toString
-    SparkSpec.tempDirs.add(p)
+    Tables.trackForCleanup(p)
     p
   }
-}
-
-object SparkSpec {
-  private val tempDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    tempDirs.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }))
 }
