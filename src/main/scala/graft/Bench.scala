@@ -71,6 +71,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared-pass setup (VERDICT r11 #6): materialize the two heaviest
+    // Memo-shared corpus passes BEFORE the timed suite — whoever ran
+    // first after an eviction was absorbing a 45-70 s ingest-shaped
+    // build into its own "cold" number (text_split_leakage 45 s cold /
+    // 0.2 s steady at r11). Timed and reported in the harness section;
+    // skipped under a BENCH_ONLY filter so local single-query
+    // iteration still measures a genuine cold build when asked.
+    val setupTimes: Seq[(String, Double)] =
+      if (only.isEmpty) graft.queries.ExtQueries.warmSharedPasses(spark, sfDir)
+      else Seq.empty
     // queries that Memo the whole result: min-of-2 would measure a cache
     // read, so their reported steady-state number is the cold run.
     // dedup_span_pairs qualifies since the aggregated span frame became
@@ -88,12 +98,13 @@ object Bench {
       "text_corpus_diff", "text_dsir_weights", "text_lm_score",
       "text_token_counts")
     // family leaders whose COLD run materializes a big shared pass
-    // (pipeline_refresh: snapshot diff; sem_dedup: canonical k-means fit).
+    // (pipeline_refresh: snapshot diff; sem_dedup_kmeans: canonical
+    // k-means fit).
     // Their steady number is a real min-of-2, but the 10-15 s cold
     // reading is a single sample — give it the same decorrelated
     // second-cold defense as fullMemo queries so one contended hour
     // can't inflate the official cold record (VERDICT r7 #4b/#8).
-    val coldRetryQueries = Set("pipeline_refresh", "sem_dedup",
+    val coldRetryQueries = Set("pipeline_refresh", "sem_dedup_kmeans",
       "sim_ivf_pq_topk")
     // test HARNESSES, not operators: ml_dist_path_parity runs five
     // algorithms down BOTH their driver and distributed paths to pin
@@ -174,7 +185,11 @@ object Bench {
         name -> (math.min(steady, time(selected(name))), cold)
       }
     }
-    val (harness, headline) = retried.partition { case (n, _) => harnessQueries(n) }
+    val (harnessRaw, headline) = retried.partition { case (n, _) => harnessQueries(n) }
+    // shared-pass SETUP (VERDICT r11 #6) joins the harness section:
+    // timed before the suite (see below), ingest-time cost, not query
+    // cost — cold totals then grade queries
+    val harness = harnessRaw ++ setupTimes.map { case (n, t) => n -> (t, t) }
     // shared-pass FAMILIES (VERDICT r8 #3): consumers of one Memo'd
     // pass. WHO pays the pass's cold build moves between members across
     // rounds (miss-only recording: whoever runs first after an eviction
@@ -220,6 +235,13 @@ object Bench {
       // the IVF fit + probe
       "bitext_ivf_family" -> Seq("sim_bitext_mine_ivf",
         "sim_bitext_mutual_ivf"))
+    // Mirror the groundTruthTwins guard (ADVICE r11): a renamed member
+    // would otherwise be SILENTLY dropped by members.flatMap(retried
+    // .get) and the family sum would drift without anyone noticing —
+    // the exact failure mode the twins require was added for.
+    require(families.values.flatten.toSet.subsetOf(SparkEntry.queries.keySet),
+      s"families names unknown queries: " +
+        s"${families.values.flatten.toSet -- SparkEntry.queries.keySet}")
     val familySums = families.map { case (fam, members) =>
       val present = members.flatMap(retried.get)
       fam -> (present.map(_._1).sum, present.map(_._2).sum)

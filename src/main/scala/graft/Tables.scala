@@ -62,15 +62,23 @@ object Tables {
     * paths are never reused, so each issue scans its own
     * `graft_<tag>_<hash>_p*` siblings and deletes those whose pid is
     * no longer alive — orphans survive at most until the next run of
-    * the same (tag, key). */
+    * the same (tag, key). The liveness probe alone is not sufficient:
+    * a dead owner's pid can be RECYCLED by an unrelated live process
+    * (ADVICE r11), making the orphan look owned forever — so reaping
+    * is also age-gated: a name-matched sibling untouched for 24 h is
+    * deleted regardless of apparent pid liveness (no real owner keeps
+    * a scratch dir cold that long; writers touch it every run). */
   private def reapDead(dir: java.io.File, prefix: String): Unit = {
+    val staleMs = 24L * 3600 * 1000
     val kids = dir.listFiles()
     if (kids != null) kids.foreach { f =>
       val n = f.getName
       if (n.startsWith(prefix)) {
         val pid = n.substring(prefix.length).toLongOption
-        if (pid.exists(p => !ProcessHandle.of(p).isPresent
-            && p != ProcessHandle.current().pid())) rmTree(f)
+        val isSelf = pid.contains(ProcessHandle.current().pid())
+        val ownerDead = pid.exists(p => !ProcessHandle.of(p).isPresent)
+        val aged = System.currentTimeMillis() - f.lastModified() > staleMs
+        if (!isSelf && (ownerDead || aged)) rmTree(f)
       }
     }
   }

@@ -26,7 +26,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString (class + message) — an NPE/assertion with a null
+        // message printed as "failed: " is undiagnosable — plus the
+        // top frames for local iteration
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(8).foreach(f =>
+          System.err.println(s"[verify]   at $f"))
       }
       // same per-query suite clock as Bench: bound peak storage to the
       // recent Memo families instead of the whole 127-query run

@@ -76,8 +76,10 @@ object Embedding {
   /** k-component PCA scores: (series_id, emb: array<double>[k]).
     * Requires equal-length `values` (run truncate/pad/DTW first).
     * Small inputs use the deterministic local path; larger ones the
-    * distributed MLlib fit. */
-  def pcaEmbed(series: DataFrame, k: Int): DataFrame = {
+    * distributed MLlib fit. `gate = 0` forces the distributed path
+    * (the ml_dist_path_parity rig's lever, mirroring mds2d) —
+    * production callers keep the default. */
+  def pcaEmbed(series: DataFrame, k: Int, gate: Long = 100000L): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
     // gate probe via a limited count — no cache()+unpersist() on the
@@ -85,7 +87,8 @@ object Embedding {
     // (input reused by the mean pass, the fit, and the transform) goes
     // through the bounded Memo LRU so repeated large-input calls can't
     // accumulate executor storage.
-    if (series.limit(100000).count() < 100000) {
+    val probe = math.min(math.max(gate, 1L), Int.MaxValue.toLong).toInt
+    if (gate > 0 && series.limit(probe).count() < gate) {
       val (ids, scores, _) = pcaLocal(series, k)
       return ids.zip(scores).toSeq.toDF("series_id", "emb")
     }
@@ -261,6 +264,60 @@ object Embedding {
     val flat = series.withColumn("values",
       graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")))
     pca2d(flat)
+  }
+
+  /** E3 — the reference's convolutional AutoEncoder path
+    * (app.py:490-641): series → RP/GAF image → seeded conv
+    * encoder → 2-D latent. Under `gate`, the faithful regime runs: a
+    * driver-local pure-JVM conv AE ([[ConvAE]] — Conv stride-2 stack,
+    * Dense(2) latent, ConvT mirror, Adam + MSE, early stopping,
+    * fixed seed), trained on a bounded seeded sample (CanonicalFit
+    * pattern — fit cost flat in corpus size) and projecting EVERY
+    * series. At/above the gate, [[aeSubstitute]] (PCA, the linear-AE
+    * optimum) is the documented scale fallback: latent projection at
+    * 100-TB row counts must be a map-side pass, which the linear form
+    * is and a driver-held conv net also is — the gate exists because
+    * TRAINING beyond ~10⁴ images stops being a driver-side task, and
+    * a faithful distributed conv-AE trainer is out of scope (no deep-
+    * learning runtime in the env; COVERAGE.md §2.7).
+    *
+    * Deterministic at any parallelism: images are collected in id
+    * order and every training step is sequential driver code. */
+  def aeEmbed(series: DataFrame, imaging: String, imgSize: Int,
+      gate: Long = 20000L, cfg: ConvAE.Config = ConvAE.Config()): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val probe = math.min(math.max(gate, 1L), Int.MaxValue.toLong).toInt
+    if (!(gate > 0 && series.limit(probe).count() < gate))
+      return aeSubstitute(series, imaging, imgSize)
+    val imgs = series.select(col("series_id").cast("long"),
+        graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")))
+      .orderBy(col("series_id"))
+      .as[(Long, Array[Double])].collect()
+    require(imgs.nonEmpty, "aeEmbed: empty input")
+    // reference normalization: all images divided by the GLOBAL max
+    // (app.py:531-533)
+    var mx = 0.0
+    imgs.foreach { r => val m = r._2.max; if (m > mx) mx = m }
+    val norm: Array[Array[Double]] =
+      if (mx > 0) imgs.map(r => r._2.map(_ / mx)) else imgs.map(_._2)
+    val c = cfg.copy(imgSize = imgSize)
+    val fitSet =
+      if (norm.length <= c.fitSample) norm
+      else {
+        val r = new java.util.Random(c.seed)
+        val idx = norm.indices.toArray
+        var i = idx.length - 1
+        while (i > 0) {
+          val j = r.nextInt(i + 1)
+          val t = idx(i); idx(i) = idx(j); idx(j) = t
+          i -= 1
+        }
+        idx.take(c.fitSample).sorted.map(norm)
+      }
+    val z = ConvAE.fitEmbed(fitSet, norm, c)
+    imgs.map(_._1).zip(z).map { case (id, e) => (id, e(0), e(1)) }
+      .toSeq.toDF("series_id", "x", "y")
   }
 
   /** Explained-variance percentages of the top `n` components,

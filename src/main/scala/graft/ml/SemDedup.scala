@@ -133,6 +133,74 @@ object SemDedup {
       .distinct()
   }
 
+  /** Fully oracle-able SemDeDup twin (VERDICT r11 #2): deterministic
+    * cosine-LSH banding ([[graft.ext.Dedup.cosineLshPairs]] — md5-
+    * derived hyperplanes the DuckDB oracle replays byte-identically)
+    * stands in for the seeded KMeans cells, and the keep rule's
+    * prototype is the duplicate GROUP's own mean direction instead of
+    * a KMeans centroid: within each transitive eps-group the member
+    * with the LOWEST cosine to the group mean survives — the paper's
+    * least-prototypical principle with an SQL-expressible prototype.
+    * Every stage (banding, eps-verify, closure, group mean, argmin)
+    * replays in DuckDB, so THIS variant carries the full
+    * rows+schema+hash contract; the KMeans path ([[semDedup]]) keeps
+    * the paper's cell structure and is pinned by sem_dedup_recall +
+    * SemDedupSpec + a GoldenSpec digest instead.
+    *
+    * Scale: the group-mean pass posexplodes ONLY duplicate-group
+    * members (labeled rows — a small fraction of any real corpus);
+    * singletons short-circuit to cent_sim = 1 with no shuffle. Groups
+    * are near-dup components: small by construction, so the
+    * (group_id, pos) aggregation is skew-free.
+    *
+    * `pairs` (id_a, id_b) is the eps-pair frame — normally the
+    * Memo-shared [[graft.ext.Dedup.cosineLshPairs]] pass, the same
+    * frame dedup_cosine_groups closes over.
+    *
+    * Output: (idCol, group_id, cent_sim 6dp, keep_id, keep). */
+  def semDedupGroups(emb: DataFrame, idCol: String, vecCol: String,
+      pairs0: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = pairs0.select(col("id_a"), col("id_b"))
+    val labels = Components.minLabel(pairs)
+      .select(col("id").as(idCol), col("label").as("group_id"))
+    val e = graft.ext.Similarity.prep(emb, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col(idCol).cast("long").as(idCol),
+        transform(col("v"), x => x / col("nrm")).as("vn"))
+    val labeled = e.join(labels, Seq(idCol)) // duplicate-group members only
+    // group mean direction, per-dimension avg of the unit vectors;
+    // cosine to the group SUM equals cosine to the mean (scale-
+    // invariant), but avg keeps the oracle CTE readable
+    val mvec = labeled
+      .select(col("group_id"), posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy(col("group_id"), col("pos")).agg(avg(col("x")).as("mx"))
+      .groupBy(col("group_id"))
+      .agg(collect_list(struct(col("pos"), col("mx"))).as("__pm"))
+      .select(col("group_id"),
+        expr("transform(array_sort(__pm), s -> s.mx)").as("mvec"))
+    // cent_sim ROUNDED FIRST (6dp), argmin on the rounded value with
+    // the id tie-break — the comparison the oracle replays is then on
+    // engine-stable quantized numbers, never raw float tails
+    val scored = labeled.join(mvec, "group_id")
+      .withColumn("cent_sim", round(
+        call_function("array_dot", col("vn"), col("mvec"))
+          / sqrt(call_function("array_dot", col("mvec"), col("mvec"))), 6))
+      .select(col(idCol), col("group_id"), col("cent_sim"))
+    val best = scored.groupBy("group_id")
+      .agg(max(struct((-col("cent_sim")).as("__s"), (-col(idCol)).as("__nid")))
+        .as("__b"))
+      .select(col("group_id"), (-col("__b.__nid")).as("keep_id"))
+    val dupRows = scored.join(best, "group_id")
+      .select(col(idCol), col("group_id"), col("cent_sim"),
+        col("keep_id"), (col(idCol) === col("keep_id")).as("keep"))
+    val singletons = e.join(labels, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("group_id"), lit(1.0).as("cent_sim"),
+        col(idCol).as("keep_id"), lit(true).as("keep"))
+    dupRows.unionByName(singletons)
+  }
+
   /** Output: (idCol, centroid_id, group_id, cent_sim, keep_id, keep)
     * — one row per input vector; `keep = false` rows are the semantic
     * duplicates a curation pass drops. */

@@ -55,6 +55,17 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
     val nd = nodes.select(col("node").cast("long").as("node"))
+    // Enforce the scaladoc's int64-safety bound (ADVICE r11): past
+    // ~9e8 nodes the nano-unit contribution sums can wrap 2^63 under
+    // Spark's non-ANSI long sum() while the DuckDB oracle sums in
+    // HUGEINT — the engines would diverge SILENTLY. Fail loudly at
+    // the contract edge instead; the count is one cheap scan of the
+    // node frame next to `iters` join rounds.
+    val nNodes = nd.count()
+    require(nNodes <= 900000000L,
+      s"pageRank int64-safety bound exceeded: $nNodes nodes > 9e8 — " +
+        "nano-unit rank sums can wrap past 2^63 (silent divergence vs " +
+        "a HUGEINT oracle); shrink the rank unit before raising this")
     // outdeg over the node-restricted edge list: contributions divide
     // by the SAME degree the oracle computes
     val e = edges.select(col("src").cast("long").as("src"),

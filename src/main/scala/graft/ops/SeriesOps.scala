@@ -499,11 +499,16 @@ object SeriesOps {
     // sampled pair s: i uniform in [1, n], j uniform in [1, n]\{i}
     // (j-raw in [1, n-1], bumped past i) — slope is direction-symmetric.
     // The sample count runs in LONG (a 32-bit s·n wrapped negative past
-    // n ≈ 134M and crashed sequence()) and caps at 10⁸ pairs — beyond
-    // that the median's quantile error is already ~10⁻⁴ of the slope
-    // distribution, and a larger transient array buys nothing.
+    // n ≈ 134M and crashed sequence()) and caps at 10⁷ pairs: one row
+    // at the cap transiently holds the sequence longs + slope doubles
+    // + an array_sort copy ≈ 3·80 MB in a single task — bounded and
+    // spill-free — while the median's quantile error is already
+    // ~3·10⁻⁴ of the slope distribution. The previous 10⁸ cap bought
+    // one extra error digit for ~2.4 GB per task (ADVICE r11 — an
+    // executor OOMs long before the cap's statistical rationale
+    // matters).
     val mExpr = s"least(CAST($samplesPerPoint AS LONG) * size(values), " +
-      "100000000L)"
+      "10000000L)"
     val sampledSlope =
       s"""element_at(
          |    array_sort(transform(
@@ -517,10 +522,27 @@ object SeriesOps {
          |              - element_at(values, p.i))
          |          / CAST(IF(p.r >= p.i, p.r + 1, p.r) - p.i AS DOUBLE)), 1))),
          |    CAST(($mExpr + 1L) div 2L AS INT))""".stripMargin
+    // Exact-tier capacity guard (ADVICE r11): a caller pinning a large
+    // lengthGate (the oracle twin pins 10⁶) sends every series below
+    // the gate into an n(n-1)/2 slope array — past ~2·10⁹ elements
+    // that dies on Spark's array-size limit with an opaque error. Fail
+    // self-describingly instead: assert_true returns NULL on pass, so
+    // the exact branch costs one comparison per row.
+    val maxExactPairs = 100000000L
+    val exactGuard =
+      s"""assert_true(
+         |  CAST(size(values) AS LONG) * (size(values) - 1) div 2
+         |    <= ${maxExactPairs}L,
+         |  concat('theilSen exact tier: series ', CAST(series_id AS STRING),
+         |    ' (n=', CAST(size(values) AS STRING),
+         |    ') needs n(n-1)/2 > $maxExactPairs slope pairs in one task;',
+         |    ' lower lengthGate (currently $lengthGate) so series this',
+         |    ' long take the sampled tier'))""".stripMargin
     // ONE pass over the series frame: CASE evaluates lazily per row,
     // so each series pays only its tier's slope estimator (a
     // two-branch filter+union would scan the Memo'd frame twice)
-    val gated = s"CASE WHEN size(values) <= $lengthGate THEN $exactSlope" +
+    val gated = s"CASE WHEN size(values) <= $lengthGate THEN " +
+      s"(CASE WHEN $exactGuard IS NULL THEN $exactSlope END)" +
       s" ELSE $sampledSlope END"
     series.filter(size(col("values")) >= math.max(2, minLen))
       .select(col("series_id"), size(col("values")).cast("long").as("n"),

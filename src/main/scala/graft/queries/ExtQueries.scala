@@ -185,6 +185,30 @@ object ExtQueries {
       Dedup.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         0.45, nBits = 30, rowsPerBand = 5))
 
+  /** Bench setup hook (VERDICT r11 #6): materialize the two heaviest
+    * Memo-shared corpus passes up front — the MinHash signature +
+    * band-join pass (six dedup/leakage consumers; whoever ran first
+    * was paying its ~45-70 s build inside its own "cold" number) and
+    * the per-doc token-count pass (six mixture/yield/pack consumers).
+    * In a production pipeline these are ingest-time materializations,
+    * not query cost; the bench times each and reports them in the
+    * HARNESS section so cold totals grade queries, not shared ingest.
+    * Returns (pass name, seconds). */
+  def warmSharedPasses(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("setup_minhash_pass") { minhashPairs(s, dir).count(); () },
+      timed("setup_token_pass") {
+        graft.ext.TextOps.tokenCounts(
+          Tables.documents(s, dir), "doc_id", "text").count()
+        ()
+      })
+  }
+
   /** Shared DuckDB CTEs: cosine-LSH candidate pairs ≥ 0.45 over
     * md5-derived signed-random-projection signatures (30 bits, 6 bands
     * of 5) — byte-identical to [[graft.ext.Dedup.cosineLshPairs]]. */
@@ -1077,6 +1101,53 @@ object ExtQueries {
               |       coalesce(least(l.m, d.vec_id), d.vec_id) AS keep_id,
               |       (coalesce(least(l.m, d.vec_id), d.vec_id) = d.vec_id) AS keep
               |FROM embeddings d LEFT JOIN lab l ON l.id = d.vec_id
+              |ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup with the FULL oracle contract (VERDICT r11 #2): same
+    // Memo-shared LSH pair pass + closure as dedup_cosine_groups, but
+    // the SemDeDup keep rule — within each eps-group the member with
+    // the LOWEST cosine to the group's mean direction survives (the
+    // paper's least-prototypical principle, with the group mean as the
+    // SQL-expressible prototype; the KMeans-cell variant stays as
+    // sem_dedup_kmeans, pinned by sem_dedup_recall + SemDedupSpec).
+    Q("sem_dedup",
+      (s, dir) => graft.ml.SemDedup.semDedupGroups(
+          Tables.embeddings(s, dir), "vec_id", "embedding", cosinePairs(s, dir))
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE $cosineLshCte,
+              |edges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+              |          UNION ALL SELECT id_b, id_a FROM cpairs),
+              |reach AS (SELECT a AS id, b AS r FROM edges
+              |          UNION
+              |          SELECT rc.id, e2.b FROM reach rc JOIN edges e2 ON rc.r = e2.a),
+              |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+              |u AS (SELECT e.vec_id,
+              |        list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS vn,
+              |        l.m
+              |      FROM e LEFT JOIN lab l ON l.id = e.vec_id
+              |      WHERE list_dot_product(e.v, e.v) > 0),
+              |dup AS (SELECT vec_id, least(m, vec_id) AS group_id, vn
+              |        FROM u WHERE m IS NOT NULL),
+              |px AS (SELECT group_id, generate_subscripts(vn, 1) AS pos,
+              |         unnest(vn) AS x FROM dup),
+              |pm AS (SELECT group_id, pos, avg(x) AS mx FROM px GROUP BY 1, 2),
+              |mv AS (SELECT group_id, list(mx ORDER BY pos) AS mvec FROM pm
+              |       GROUP BY group_id),
+              |cs AS (SELECT d.vec_id, d.group_id,
+              |         round(list_dot_product(d.vn, mv.mvec)
+              |           / sqrt(list_dot_product(mv.mvec, mv.mvec)), 6) AS cent_sim
+              |       FROM dup d JOIN mv USING (group_id)),
+              |k AS (SELECT group_id, vec_id AS keep_id,
+              |        row_number() OVER (PARTITION BY group_id
+              |          ORDER BY cent_sim, vec_id) AS rn
+              |      FROM cs)
+              |SELECT cs.vec_id, cs.group_id, cs.cent_sim, k.keep_id,
+              |       (cs.vec_id = k.keep_id) AS keep
+              |FROM cs JOIN k ON k.group_id = cs.group_id AND k.rn = 1
+              |UNION ALL
+              |SELECT vec_id, vec_id AS group_id, CAST(1.0 AS DOUBLE) AS cent_sim,
+              |       vec_id AS keep_id, true AS keep
+              |FROM u WHERE m IS NULL
               |ORDER BY vec_id""".stripMargin)),
 
     // Embedding-cosine near-dup pairs

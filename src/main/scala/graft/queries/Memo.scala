@@ -109,13 +109,31 @@ private[graft] object Memo {
       val hit = memo.get(k)
       if (hit != null) {
         if (recordOn) recordingHits.add(k)
-        lastTouch.put(k, tick); hit
+        lastTouch.put(k, tick)
+        return hit
       }
-      else {
+    }
+    // Build OUTSIDE the monitor (round 12): a memoized build that
+    // Awaits worker threads which themselves call cached() — the
+    // parity rig's shape — deadlocked when the whole build ran inside
+    // the lock (outer thread holds the monitor through Await; workers
+    // block on it forever). The cost is a benign race: two concurrent
+    // misses on one key both build; the key's build is deterministic,
+    // so both plans canonicalize identically and Spark's CacheManager
+    // dedupes the cache() — the loser's copy IS the winner's entry,
+    // nothing leaks and nothing must be unpersisted.
+    val df = build.cache()
+    memo.synchronized {
+      val winner = memo.get(k)
+      if (winner != null) {
+        if (recordOn) recordingHits.add(k)
+        lastTouch.put(k, tick)
+        winner
+      } else {
         // misses only: a hit means some earlier query owns this entry;
         // recording it would let the bench retry release a shared pass
         if (recordOn) recording.add(k)
-        val df = build.cache(); memo.put(k, df); lastTouch.put(k, tick); df
+        memo.put(k, df); lastTouch.put(k, tick); df
       }
     }
   }

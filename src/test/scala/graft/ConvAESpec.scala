@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{ConvAE, Embedding}
+
+/** E3 conv-AE contracts (reference semantics: app.py:490-641) plus the
+  * VERDICT r11 #3 pin: the scale fallback (aeSubstitute) must equal an
+  * independent PCA on the flattened images. */
+class ConvAESpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random image in [0,1]
+  private def fakeImg(seed: Int, size: Int): Array[Double] = {
+    val r = new java.util.Random(seed)
+    Array.fill(size * size)(r.nextDouble())
+  }
+
+  test("gradient check: backprop matches central differences through " +
+      "conv/dense/convT/sigmoid (worst rel err < 1e-4)") {
+    // two geometries: the degenerate 4x4 (s2 = 1) and the production 8x8
+    val w4 = ConvAE.gradCheck(
+      ConvAE.Config(imgSize = 4, f1 = 2, f2 = 3, seed = 7), fakeImg(1, 4))
+    assert(w4 < 1e-4, s"4x4 gradient check failed: worst rel err $w4")
+    val w8 = ConvAE.gradCheck(
+      ConvAE.Config(imgSize = 8, f1 = 2, f2 = 2, seed = 11), fakeImg(2, 8))
+    assert(w8 < 1e-4, s"8x8 gradient check failed: worst rel err $w8")
+  }
+
+  test("training reduces reconstruction MSE and early-stops within the " +
+      "epoch budget") {
+    // 3 smooth image classes (the regime GAF/RP images live in, not
+    // white noise): 24 images, batch 32 → one Adam step per epoch, so
+    // give it a few hundred steps like the production 256x8-step budget
+    val imgs = Array.tabulate(24) { i =>
+      val cls = i % 3 + 1
+      Array.tabulate(64) { p =>
+        val (y, x) = (p / 8, p % 8)
+        0.5 + 0.4 * math.sin(cls * 0.5 * (y + 1)) * math.cos(cls * 0.4 * (x + 1))
+      }
+    }
+    val (before, after) = ConvAE.mseBeforeAfter(imgs,
+      ConvAE.Config(epochs = 400, patience = 60, lr = 3e-3, seed = 1))
+    assert(after < before,
+      s"training did not reduce MSE: before $before after $after")
+    assert(after < 0.25 * before,
+      s"training barely moved: before $before after $after")
+  }
+
+  test("fitEmbed is bitwise deterministic and emits latent dim 2") {
+    val imgs = Array.tabulate(10)(i => fakeImg(i, 8))
+    val cfg = ConvAE.Config(epochs = 5, seed = 42)
+    val a = ConvAE.fitEmbed(imgs, imgs, cfg)
+    val b = ConvAE.fitEmbed(imgs, imgs, cfg)
+    assert(a.length == 10 && a.forall(_.length == 2))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two identically-seeded fits diverged")
+  }
+
+  test("aeEmbed: partition-layout independent (repartition 1 vs 7) and " +
+      "gate falls back to the linear substitute") {
+    val ser = (0 until 12).map { i =>
+      ("s" + i, Array.tabulate(16)(t =>
+        math.sin((t + 1) * (i % 3 + 1) * 0.7) + 0.05 * i))
+    }.toDF("series_id", "values")
+      .withColumn("series_id",
+        expr("CAST(regexp_extract(series_id, '[0-9]+', 0) AS LONG)"))
+    val r1 = Embedding.aeEmbed(ser.repartition(1), "gaf", 8)
+      .orderBy("series_id").collect().toSeq
+    val r7 = Embedding.aeEmbed(ser.repartition(7), "gaf", 8)
+      .orderBy("series_id").collect().toSeq
+    assert(r1 == r7, "conv-AE embedding depends on partitioning")
+    assert(r1.size == 12)
+    // gate = 0 forces the substitute: same shape, PCA values
+    val sub = Embedding.aeEmbed(ser, "gaf", 8, gate = 0)
+      .orderBy("series_id").collect().toSeq
+    val subDirect = Embedding.aeSubstitute(ser, "gaf", 8)
+      .orderBy("series_id").collect().toSeq
+    assert(sub == subDirect, "gate=0 did not route to aeSubstitute")
+  }
+
+  test("aeSubstitute == independent PCA on the flattened GAF images " +
+      "(linear-AE optimum, VERDICT r11 #3)") {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val ser = (0 until 9).map { i =>
+      (i.toLong, Array.tabulate(20)(t =>
+        math.cos((t + 1) * (i % 4 + 1) * 0.45) * (1.0 + 0.1 * i)))
+    }.toDF("series_id", "values")
+    val got = Embedding.aeSubstitute(ser, "gaf", 8)
+      .orderBy("series_id").as[(Long, Double, Double)].collect()
+    // independent replay: image UDF → center → covariance (n-1) →
+    // eigSym top-2 with the max-|loading|-positive sign rule → scores
+    val imgs = ser.select(col("series_id"),
+        graft.ops.Imaging.fusedImageUdf("gaf", 8)(col("values")))
+      .orderBy("series_id").as[(Long, Array[Double])].collect()
+    val n = imgs.length; val m = imgs.head._2.length
+    val mean = new Array[Double](m)
+    imgs.foreach(r => (0 until m).foreach(j => mean(j) += r._2(j) / n))
+    val x = DenseMatrix.tabulate(n, m)((i, j) => imgs(i)._2(j) - mean(j))
+    val cov = (x.t * x) *:* (1.0 / (n - 1))
+    val es = eigSym((cov +:+ cov.t) *:* 0.5)
+    val comps = (0 until 2).map { c =>
+      val v = es.eigenvectors(::, m - 1 - c).toArray
+      val mi = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(mi) < 0) v.map(-_) else v
+    }
+    val want = imgs.map { r =>
+      comps.map(comp => (0 until m).map(j => (r._2(j) - mean(j)) * comp(j)).sum)
+    }
+    got.zip(want).foreach { case ((id, gx, gy), w) =>
+      assert(math.abs(gx - w(0)) < 1e-6 && math.abs(gy - w(1)) < 1e-6,
+        s"series $id: got ($gx,$gy) want (${w(0)},${w(1)})")
+    }
+  }
+}

@@ -70,7 +70,8 @@ class GoldenSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(rows == Seq(("dbscan", 15L, 0L), ("kmeans_cost", 15L, 0L),
       ("kshape", 15L, 0L), ("mds_landmark_c1", 15L, 0L),
-      ("mds_landmark_c1_16d", 40L, 0L)), s"parity drift: $rows")
+      ("mds_landmark_c1_16d", 40L, 0L),
+      ("pca_c1", 15L, 0L), ("pca_c1_16d", 40L, 0L)), s"parity drift: $rows")
   }
 
   private def digest(name: String): String = {
@@ -90,14 +91,19 @@ class GoldenSpec extends SparkSpec {
       "ml_pca_embedding" -> "141e1b8a488a69e6ac7a11c337beca14",
       "ml_pca_embedding_3d" -> "53e0a32a7615721a6d798ff2e1790a83",
       "ml_mds_embedding" -> "141e1b8a488a69e6ac7a11c337beca14",
-      "ml_ae_embedding" -> "63b05ebe9f9c84f809082e539e495245",
+      // the linear (PCA) fallback kept its old digest when the conv AE
+      // took the headline slot (round 12)
+      "ml_ae_embedding_linear" -> "63b05ebe9f9c84f809082e539e495245",
+      "ml_ae_embedding" -> "900a7d3cc95767a39e4368cf37f80d50",
       "ml_dtw_stretch" -> "9c043300d16d1d8eef4193a9d8427a46",
       "sim_ivf_topk" -> "ea250d44e0e96b7b782ebd2135c04495",
       // re-pinned when the KMeans fit moved to a canonical input layout
       // (repartition-on-id + sort), making the model — and hence this
       // digest — independent of session parallelism
       "sample_cluster_balanced" -> "e4ebb6ecf6bb26c7e8e653556ef5fc6d",
-      "sem_dedup" -> "a453b17d798a0db32d7c318bce1bb05a",
+      // renamed from sem_dedup when the LSH-bucketed oracle twin took
+      // that name (round 12); same KMeans computation, same digest
+      "sem_dedup_kmeans" -> "a453b17d798a0db32d7c318bce1bb05a",
       // re-pinned when the decode dispatch grew the typed `decoded`
       // degrade flag (permanent predictive-codec fence, COVERAGE.md)
       "multimodal_features" -> "1a398d6ccb449a5934fc8ef3a473806e",
@@ -105,6 +111,160 @@ class GoldenSpec extends SparkSpec {
     val got = pins.keys.toSeq.sorted.map(q => q -> digest(q))
     val bad = got.filter { case (q, d) => d != pins(q) }
     assert(bad.isEmpty, s"digest drift: $bad")
+  }
+
+  // The reference's headline claim is the 36-combination matrix
+  // (README.md:18): {truncate, pad, sliding-window, dtw} × {pca, mds,
+  // ae} × {kmeans, kshape, dbscan}. This golden runs EVERY combination
+  // end-to-end on sf0.001 and pins (n_clusters incl. a dbscan noise
+  // bucket, ARI vs the pad×pca×kmeans canonical partition, item count)
+  // so no pairwise interaction (e.g. dtw×kshape) goes untested
+  // (VERDICT r11 #8). Notes: kshape consumes the ALIGNED SERIES (the
+  // engine's documented deviation — COVERAGE §2.8 C3), so its three
+  // embed slots agree BY CONSTRUCTION and the pin proves exactly that;
+  // window combos score ARI on windows against their parent series'
+  // canonical label.
+  test("golden: 36-combination align×embed×cluster matrix on sf0.001 " +
+      "(README.md:18)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.SeriesOps
+    import graft.ml.{Clustering, Dbscan, Embedding, KShape}
+
+    val base = SeriesOps.collectSeries(
+        SeriesOps.withNormalized(Tables.events(spark, sf), "value"),
+        "user_id", "min_max", "event_id")
+      .filter(array_max(col("values")) > array_min(col("values")))
+      .cache()
+    val minLen = base.select(min(size(col("values")))).head().getInt(0)
+    val w = math.max(4, minLen / 2)
+    val longest = base.withColumn("__n", size(col("values")))
+      .orderBy(desc("__n"), asc("series_id"))
+      .head().getAs[Seq[Double]]("values").toArray
+    val stretchUdf = udf((v: Seq[Double]) => graft.ops.Dtw.stretch(v.toArray, longest))
+    val aligns: Seq[(String, DataFrame)] = Seq(
+      "truncate" -> SeriesOps.truncate(base),
+      "pad" -> SeriesOps.pad(base),
+      // re-key windows as parent·1000 + win_id (parent recoverable)
+      "window" -> SeriesOps.slidingWindow(base, w, w)
+        .select((col("series_id").cast("long") * 1000 + col("win_id"))
+          .as("series_id"), col("window").as("values"))
+        .filter(array_max(col("values")) > array_min(col("values"))),
+      "dtw" -> base.select(col("series_id"), stretchUdf(col("values")).as("values")))
+      .map { case (n, df) => (n, df.cache()) }
+
+    def labels(df: DataFrame): Map[Long, Long] =
+      df.select(col("series_id").cast("long"), col("cluster").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    def zscale(emb: DataFrame): DataFrame = {
+      val r = emb.agg(avg("x"), stddev_pop("x"), avg("y"), stddev_pop("y")).head()
+      val (mx, sx, my, sy) = (r.getDouble(0), math.max(r.getDouble(1), 1e-12),
+        r.getDouble(2), math.max(r.getDouble(3), 1e-12))
+      emb.select(col("series_id"), ((col("x") - mx) / sx).as("x"),
+        ((col("y") - my) / sy).as("y"))
+    }
+    // ARI over the keys both labelings share (windows project to the
+    // parent's canonical label)
+    def ari(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val keys = a.keySet.intersect(b.keySet).toSeq
+      val n = keys.size
+      if (n < 2) return 1.0
+      val pairs = for { i <- keys.indices; j <- i + 1 until n } yield (keys(i), keys(j))
+      var n11 = 0L; var n10 = 0L; var n01 = 0L; var n00 = 0L
+      pairs.foreach { case (x, y) =>
+        val sa = a(x) == a(y); val sb = b(x) == b(y)
+        if (sa && sb) n11 += 1 else if (sa) n10 += 1
+        else if (sb) n01 += 1 else n00 += 1
+      }
+      val total = n11 + n10 + n01 + n00
+      val exp = (n11 + n10).toDouble * (n11 + n01) / total
+      val maxI = ((n11 + n10).toDouble + (n11 + n01)) / 2
+      if (maxI == exp) 1.0 else (n11 - exp) / (maxI - exp)
+    }
+
+    val embeds = Seq("pca", "mds", "ae")
+    val clusterers = Seq("kmeans", "kshape", "dbscan")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int, Double)]
+    // canonical partition: pad × pca × kmeans
+    lazy val canonical: Map[Long, Long] = {
+      val emb = Embedding.pca2d(aligns.find(_._1 == "pad").get._2)
+      labels(Clustering.kmeans(emb, 3))
+    }
+    def canonFor(alignName: String, items: Set[Long]): Map[Long, Long] =
+      if (alignName == "window") items.map(k => k -> canonical.getOrElse(k / 1000, -9L)).toMap
+      else canonical
+
+    aligns.foreach { case (an, aligned) =>
+      val kshapeLabels = labels(KShape.fit(aligned, 3)) // shared across embeds
+      embeds.foreach { en =>
+        val emb = (en match {
+          case "pca" => Embedding.pca2d(aligned)
+          case "mds" => Embedding.mds2d(aligned)
+          case "ae"  => Embedding.aeEmbed(aligned, "gaf", 8)
+        }).cache()
+        clusterers.foreach { cn =>
+          val lab = cn match {
+            case "kmeans" => labels(Clustering.kmeans(emb, 3))
+            case "kshape" => kshapeLabels
+            case "dbscan" => labels(Dbscan.run(zscale(emb), 0.8, 3))
+          }
+          val canon = canonFor(an, lab.keySet)
+          val k = lab.values.toSet.size
+          val a = math.rint(ari(lab, canon) * 1000) / 1000
+          results(s"$an/$en/$cn") = (k, lab.size, a)
+        }
+        emb.unpersist()
+      }
+    }
+    aligns.foreach(_._2.unpersist()); base.unpersist()
+
+    // pca ≡ mds per combo is the MDS≡PCA theorem; kshape constant
+    // across embeds per align is the documented deviation showing up
+    // exactly as predicted; pad/pca/kmeans is the canonical (ARI 1)
+    val expected = Map[String, (Int, Int, Double)](
+      "truncate/pca/kmeans" -> ((3, 15, 0.747)),
+      "truncate/pca/kshape" -> ((3, 15, -0.119)),
+      "truncate/pca/dbscan" -> ((2, 15, 0.334)),
+      "truncate/mds/kmeans" -> ((3, 15, 0.747)),
+      "truncate/mds/kshape" -> ((3, 15, -0.119)),
+      "truncate/mds/dbscan" -> ((2, 15, 0.334)),
+      "truncate/ae/kmeans" -> ((3, 15, -0.103)),
+      "truncate/ae/kshape" -> ((3, 15, -0.119)),
+      "truncate/ae/dbscan" -> ((3, 15, -0.078)),
+      "pad/pca/kmeans" -> ((3, 15, 1.0)),
+      "pad/pca/kshape" -> ((3, 15, 0.013)),
+      "pad/pca/dbscan" -> ((3, 15, 0.195)),
+      "pad/mds/kmeans" -> ((3, 15, 1.0)),
+      "pad/mds/kshape" -> ((3, 15, 0.013)),
+      "pad/mds/dbscan" -> ((3, 15, 0.195)),
+      "pad/ae/kmeans" -> ((3, 15, -0.088)),
+      "pad/ae/kshape" -> ((3, 15, 0.013)),
+      "pad/ae/dbscan" -> ((2, 15, -0.073)),
+      "window/pca/kmeans" -> ((3, 32, 0.006)),
+      "window/pca/kshape" -> ((3, 32, -0.034)),
+      "window/pca/dbscan" -> ((2, 32, 0.165)),
+      "window/mds/kmeans" -> ((3, 32, 0.006)),
+      "window/mds/kshape" -> ((3, 32, -0.034)),
+      "window/mds/dbscan" -> ((2, 32, 0.165)),
+      "window/ae/kmeans" -> ((3, 32, -0.035)),
+      "window/ae/kshape" -> ((3, 32, -0.034)),
+      "window/ae/dbscan" -> ((2, 32, -0.024)),
+      "dtw/pca/kmeans" -> ((3, 15, -0.087)),
+      "dtw/pca/kshape" -> ((3, 15, -0.07)),
+      "dtw/pca/dbscan" -> ((2, 15, 0.018)),
+      "dtw/mds/kmeans" -> ((3, 15, -0.087)),
+      "dtw/mds/kshape" -> ((3, 15, -0.07)),
+      "dtw/mds/dbscan" -> ((2, 15, 0.018)),
+      "dtw/ae/kmeans" -> ((3, 15, 0.02)),
+      "dtw/ae/kshape" -> ((3, 15, -0.07)),
+      "dtw/ae/dbscan" -> ((3, 15, 0.015)))
+    val got = results.toMap
+    if (expected.contains("PENDING"))
+      fail("PIN ME:\n" + results.map { case (k, v) =>
+        s""""$k" -> ((${v._1}, ${v._2}, ${v._3})),""" }.mkString("\n"))
+    assert(got.size == 36, s"expected 36 combos, got ${got.size}")
+    val bad = got.filter { case (k, v) => expected.get(k) != Some(v) }
+    assert(bad.isEmpty, s"matrix drift: $bad\nfull: $got")
   }
 
   test("flagship golden on sf0.001: pinned k, memberships, representatives") {

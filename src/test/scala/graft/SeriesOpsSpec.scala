@@ -408,6 +408,47 @@ class SeriesOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("theilSen sampled tier: rank error within the documented " +
+      "O(1/√(s·n)) bound on series straddling the length gate (VERDICT r11 #10)") {
+    // Property (seeded loop; the scaladoc's Matoušek bound): the
+    // sampled estimate is the lower median of m = s·n uniform pair
+    // draws, so its RANK within the exact n(n-1)/2 slope distribution
+    // is Binomial(m, 1/2)-concentrated: sd = 0.5/√m. Assert the rank
+    // fraction lands within 6 sd of 1/2 for every (n, shape) combo —
+    // a deterministic sampler (xxhash64) makes this a hard pin, not a
+    // flake. Shapes mix smooth trend, heavy sinusoid noise and 10%
+    // wild outliers; n straddles the default gate (1000).
+    val shapes = Seq[(String, (Int, Int) => Double)](
+      ("trend+sin", (i, _) => 0.7 * i + math.sin(i * 12.9898) * 25.0),
+      ("outliers", (i, k) => if (i % 10 == k % 10) 4000.0 else 1.3 * i
+        + math.cos(i * 7.1234) * 11.0),
+      ("pure-noise", (i, _) => math.sin(i * 3.33) * 50.0
+        + math.cos(i * 0.771) * 30.0))
+    for (n <- Seq(1001, 1500, 2500); (nm, f) <- shapes) {
+      val vs = (1 to n).map(i => f(i, n)).toArray
+      val df = Seq((s"s_${nm}_$n", vs)).toDF("series_id", "values")
+      val got = SeriesOps.theilSen(df).as[(String, Long, Double, Double)].head()
+      // exact slope distribution, driver-side (≤ 3.1M doubles at 2500)
+      val slopes = new scala.collection.mutable.ArrayBuffer[Double](n * (n - 1) / 2)
+      var i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) { slopes += (vs(j) - vs(i)) / (j - i); j += 1 }
+        i += 1
+      }
+      val sorted = slopes.toArray; java.util.Arrays.sort(sorted)
+      val total = sorted.length.toDouble
+      // 6dp output quantization → tolerant rank interval
+      val lo = sorted.count(_ < got._3 - 1e-6) / total
+      val hi = sorted.count(_ <= got._3 + 1e-6) / total
+      val m = math.min(16L * n, 10000000L).toDouble
+      val bound = 6.0 * 0.5 / math.sqrt(m)
+      assert(lo <= 0.5 + bound && hi >= 0.5 - bound,
+        s"$nm n=$n: sampled slope ${got._3} rank interval [$lo,$hi] " +
+          s"outside 0.5±$bound")
+    }
+  }
+
   test("forecastEval: drift is exact on a ramp (mase 0), naive pays the trend; " +
       "flat series dropped") {
     // v_i = 2i, n = 20, h = 8 → n_train 12, drift slope (24−2)/11 = 2
