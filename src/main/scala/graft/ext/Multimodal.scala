@@ -804,6 +804,104 @@ object Multimodal {
     ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
+  /** REAL video pixel decode for MPEG-1 INTRA tracks (round 12,
+    * VERDICT r11 #7 — the predictive-codec fence narrowed again):
+    * samples of an 'mp4v' track whose payload opens with the MPEG-1
+    * sequence-header start code (00 00 01 B3) are decoded pure-JVM by
+    * [[Mpeg1]] (headers, DC/AC VLCs, intra dequant, IDCT); raw
+    * elementary-stream payloads decode as a single frame. Same
+    * bounded walk and degrade discipline as [[decodeMjpegFrames]]:
+    * at most `maxFrames` decodes, failures skip, empty for anything
+    * that is not MPEG-1 intra. */
+  private[graft] def decodeMpeg1Frames(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
+    def lumaStats(luma: Array[Int]): (Double, Double) = {
+      var s = 0.0; var sq = 0.0
+      var i = 0
+      while (i < luma.length) {
+        val v = luma(i).toDouble; s += v; sq += v * v; i += 1
+      }
+      val n = math.max(1, luma.length)
+      val mean = s / n
+      (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
+    }
+    def isEs(off: Long): Boolean =
+      off >= 0 && off + 4 <= bytes.length &&
+        bytes(off.toInt) == 0 && bytes(off.toInt + 1) == 0 &&
+        bytes(off.toInt + 2) == 1 && (bytes(off.toInt + 3) & 0xFF) == 0xB3
+    if (isEs(0L))
+      Mpeg1.decodeIFrameLuma(bytes).map { case (w, h, l) =>
+        val (m, sd) = lumaStats(l); (1, w, h, m, sd)
+      }.toSeq
+    else trackSamples(bytes).toSeq.flatMap { tracks =>
+      tracks.collectFirst {
+        case (c, off, sizes) if c == "mp4v" && sizes.nonEmpty && isEs(off) =>
+          (off, sizes)
+      }.toSeq.flatMap { case (off, sizes) =>
+        val bounded = sizes.take(maxFrames)
+        val starts = bounded.scanLeft(off)(_ + _)
+        bounded.indices.flatMap { i =>
+          val s = starts(i)
+          val len = bounded(i)
+          if (s < 0 || len <= 0 || s + len > bytes.length) None
+          else Mpeg1.decodeIFrameLuma(
+              java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt))
+            .map { case (w, h, l) =>
+              val (m, sd) = lumaStats(l); (i + 1, w, h, m, sd)
+            }
+        }
+      }
+    }
+  }
+
+  /** First-frame convenience over [[decodeMpeg1Frames]] — the decode
+    * dispatch's MPEG-1-intra hook, shaped like the MJPEG one. */
+  private[graft] def decodeMpeg1FirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeMpeg1Frames(bytes, 1).headOption
+      .map { case (_, w, h, mean, std) => (w, h, Array(mean, std)) }
+
+  /** Deterministic MPEG-1-in-MP4 fixture: same container layout and
+    * the SAME quadrant values as [[syntheticMjpegMp4]] —
+    * g_{q,f} = (id·(31+6q) + 11+5q + 29f) mod 256 — but each sample is
+    * an [[Mpeg1.encodeIFrame]] DC-only I-frame under an 'mp4v' stsd
+    * entry. DC-only blocks are exact through dequant+IDCT (pixel =
+    * DC/8, an integer), so one oracle formula covers both codecs. */
+  def syntheticMpeg1Mp4(id: Long, nFrames: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val samples = (0 until nFrames).map { f =>
+      Mpeg1.encodeIFrame(1, 1, (_, q) =>
+        ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt)
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatPayloadOff = ftyp.length + 8L
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32((id * 97 + 41) % 100000) ++
+        be32(0x00010000L) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++
+        be32(2))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("mp4v", new Array[Byte](8)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames.toLong) ++
+      samples.flatMap(j => be32(j.length.toLong)).toArray)
+    val stss = box("stss", be32(0) ++ be32(nFrames.toLong) ++
+      (1 to nFrames).flatMap(f => be32(f.toLong)).toArray)
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stsz ++ stss ++ stco)
+    val trak = box("trak",
+      box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1)) ++
+        box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
     * moov(mvhd v0 + trak×k), each trak carrying a full
     * mdia/minf/stbl with an stsd sample entry and an stss sync-sample
@@ -859,12 +957,14 @@ object Multimodal {
   /** Fallback for payloads that are NOT decodable images: byte
     * histogram moments standing in for real feature extraction.
     * STUB — and the fence keeps narrowing: [[parseMp4Metadata]] reads
-    * real video CONTAINER metadata codec-free, and
+    * real video CONTAINER metadata codec-free,
     * [[decodeMjpegFirstFrame]] decodes real PIXELS for Motion-JPEG
-    * tracks (the one video codec the JDK can decode). What remains
-    * stubbed is pixel decode of the predictive codecs (avc1/hev1/…),
-    * which genuinely needs ffmpeg; replace this body with that binding
-    * in production, nothing around it changes. */
+    * tracks, and (round 12) [[decodeMpeg1FirstFrame]] decodes real
+    * pixels for MPEG-1 INTRA frames via the pure-JVM [[Mpeg1]]
+    * decoder. What remains stubbed is inter-frame (P/B) decode and
+    * the modern codecs (avc1/hev1/…), which genuinely need ffmpeg;
+    * replace this body with that binding in production, nothing
+    * around it changes. */
   private[ext] def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     // >>> STUB: byte-histogram stand-in (video FRAME decode only) <<<
     val hist = new Array[Double](16)
@@ -877,14 +977,16 @@ object Multimodal {
   }
 
   /** Decode dispatch: real image decode first, then real MJPEG-track
-    * pixel decode for MP4 AND AVI payloads, byte-histogram fallback
-    * for everything else (non-media payloads and predictive-codec
-    * video, which genuinely needs a native decoder). The boolean is
-    * the DEGRADE flag: true for real pixels, false for the fallback
-    * — the permanent-fence contract consumers filter on. */
+    * pixel decode for MP4 AND AVI payloads, then real MPEG-1-intra
+    * pixel decode (round 12), byte-histogram fallback for everything
+    * else (non-media payloads and inter-frame / modern-codec video,
+    * which genuinely needs a native decoder). The boolean is the
+    * DEGRADE flag: true for real pixels, false for the fallback — the
+    * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =
     decodeImage(bytes)
       .orElse(decodeMjpegFirstFrame(bytes))
+      .orElse(decodeMpeg1FirstFrame(bytes))
       .map { case (w, h, f) => (w, h, f, true) }
       .getOrElse {
         val (w, h, f) = byteHistogram(bytes)

@@ -352,17 +352,27 @@ object ConvAE {
     * latent for each of `embed`. Early stopping: no train-loss
     * improvement for `patience` epochs. */
   def fitEmbed(fit: Array[Array[Double]], embed: Array[Array[Double]],
-      cfg: Config): Array[Array[Double]] = {
+      cfg: Config): Array[Array[Double]] =
+    fitEmbedWithHistory(fit, embed, cfg)._1
+
+  /** [[fitEmbed]] plus the per-epoch mean train MSE — the reference's
+    * training-progress surface (app.py:599-613 prints per-epoch loss
+    * lines into `autoencoder_hist`; here the history is a typed,
+    * deterministic table instead of a Dash log). */
+  def fitEmbedWithHistory(fit: Array[Array[Double]],
+      embed: Array[Array[Double]],
+      cfg: Config): (Array[Array[Double]], Array[Double]) = {
     require(fit.nonEmpty, "ConvAE.fitEmbed: empty fit set")
     require(fit.forall(_.length == cfg.imgSize * cfg.imgSize),
       s"ConvAE: images must be ${cfg.imgSize}x${cfg.imgSize}")
     val net = new Net(cfg)
     val ws = new Ws(net, cfg)
-    trainInPlace(net, ws, fit, cfg)
-    embed.map { x =>
+    val hist = trainInPlace(net, ws, fit, cfg)
+    val z = embed.map { x =>
       forward(net, cfg, x, ws, latentOnly = true)
       ws.z.clone()
     }
+    (z, hist)
   }
 
   /** Mean reconstruction MSE over `fit` BEFORE and AFTER training —
@@ -414,9 +424,11 @@ object ConvAE {
   }
 
   /** The one training loop: seeded Fisher-Yates epoch shuffles,
-    * minibatch Adam, plateau early-stop. */
+    * minibatch Adam, plateau early-stop. Returns the per-epoch mean
+    * train MSE (the training-history surface). */
   private def trainInPlace(net: Net, ws: Ws, fit: Array[Array[Double]],
-      cfg: Config): Unit = {
+      cfg: Config): Array[Double] = {
+    val history = new scala.collection.mutable.ArrayBuffer[Double](cfg.epochs)
     val order = fit.indices.toArray
     val shuffleRnd = new java.util.Random(cfg.seed ^ 0x9e3779b97f4a7c15L)
     var best = Double.MaxValue
@@ -459,9 +471,11 @@ object ConvAE {
         bStart = bEnd
       }
       epochLoss /= order.length
+      history += epochLoss
       if (epochLoss < best - 1e-12) { best = epochLoss; sincePlateau = 0 }
       else sincePlateau += 1
       epoch += 1
     }
+    history.toArray
   }
 }

