@@ -234,7 +234,13 @@ object Bench {
       // (bitextScoredIvf) — whoever runs first after an eviction pays
       // the IVF fit + probe
       "bitext_ivf_family" -> Seq("sim_bitext_mine_ivf",
-        "sim_bitext_mutual_ivf"))
+        "sim_bitext_mutual_ivf"),
+      // round 12: the conv-AE pair shares one driver-side seeded fit
+      // (Embedding.aeFitCache); the cosine-LSH tier shares the Memo'd
+      // coslshp pair pass, which sem_dedup now also consumes
+      "ae_family" -> Seq("ml_ae_embedding", "ml_ae_history"),
+      "coslsh_family" -> Seq("dedup_cosine_lsh", "dedup_cosine_groups",
+        "sem_dedup"))
     // Mirror the groundTruthTwins guard (ADVICE r11): a renamed member
     // would otherwise be SILENTLY dropped by members.flatMap(retried
     // .get) and the family sum would drift without anyone noticing —

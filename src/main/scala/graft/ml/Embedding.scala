@@ -308,9 +308,35 @@ object Embedding {
       .toSeq.toDF("epoch", "loss")
   }
 
+  /** Bounded driver-side fit cache: the embedding and history queries
+    * share one seeded fit per (session, input, params) — same pattern
+    * as the Memo LRU, but the artifact is driver arrays, not a
+    * DataFrame. 4 entries ≈ two (dir × imaging) pairs. */
+  private val aeFitCache =
+    new java.util.LinkedHashMap[String, (Array[Long], Array[Array[Double]], Array[Double])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Array[Long], Array[Array[Double]], Array[Double])]): Boolean =
+        size() > 4
+    }
+
   /** Shared gated-path body: collect images in id order, global-max
-    * normalize (app.py:531-533), bounded seeded fit sample, train. */
+    * normalize (app.py:531-533), bounded seeded fit sample, train.
+    * Memoized driver-side (see [[aeFitCache]]). */
   private def aeFit(series: DataFrame, imaging: String, imgSize: Int,
+      cfg: ConvAE.Config): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val key = s"${System.identityHashCode(series.sparkSession)}|$imaging|" +
+      s"$imgSize|$cfg|${series.queryExecution.logical.semanticHash()}"
+    aeFitCache.synchronized {
+      val hit = aeFitCache.get(key)
+      if (hit != null) return hit
+    }
+    val out = aeFitUncached(series, imaging, imgSize, cfg)
+    aeFitCache.synchronized { aeFitCache.put(key, out) }
+    out
+  }
+
+  private def aeFitUncached(series: DataFrame, imaging: String, imgSize: Int,
       cfg: ConvAE.Config): (Array[Long], Array[Array[Double]], Array[Double]) = {
     val spark = series.sparkSession
     import spark.implicits._

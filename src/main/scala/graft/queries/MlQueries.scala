@@ -356,7 +356,20 @@ object MlQueries {
           .orderBy("epoch")
       }),
 
-    // E2-substitute path: classical MDS manifold embedding (UMAP slot)
+    // E2 — REAL UMAP-lite (round 12): kNN graph → fuzzy calibration →
+    // negative-sampling SGD (arXiv:1802.03426), seeded + driver-
+    // deterministic; landmark scale path above the gate. no_oracle
+    // (SGD layout isn't SQL-derivable) — UmapSpec pins separation/
+    // neighbor-preservation/determinism/landmark-parity, GoldenSpec
+    // pins the sf0.001 digest.
+    Q("ml_umap_embedding",
+      (s, dir) => graft.ml.Umap.umap2d(SeriesOps.pad(normalizedSeries(s, dir)))
+        .select(col("series_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"))
+        .orderBy("series_id")),
+
+    // E2-substitute path: classical MDS manifold embedding (kept — the
+    // deterministic global-geometry twin of the UMAP slot)
     Q("ml_mds_embedding",
       (s, dir) => Embedding.mds2d(SeriesOps.pad(normalizedSeries(s, dir)))
         .select(col("series_id"), round(col("x"), 6).as("x"),
@@ -574,7 +587,18 @@ object MlQueries {
           ("mds_landmark_c1_16d", nMds16, mMds16),
           ("pca_c1", nPca, mPca), ("pca_c1_16d", nPca16, mPca16))
           .toDF("algo", "n", "n_mismatch").orderBy("algo")
-      }),
+      },
+      // round 12: the harness is now hash-gated, not rows-only — the
+      // contract IS a static table (every driver fixture caps at 40
+      // rows at sf0.01, and ANY path divergence must read 0). A
+      // nonzero mismatch or a changed fixture size hash-fails the row.
+      Some("""SELECT algo, CAST(n AS BIGINT) AS n,
+             |       CAST(0 AS BIGINT) AS n_mismatch
+             |FROM (VALUES ('dbscan', 40), ('kmeans_cost', 40),
+             |             ('kshape', 40), ('mds_landmark_c1', 40),
+             |             ('mds_landmark_c1_16d', 40),
+             |             ('pca_c1', 40), ('pca_c1_16d', 40)) t(algo, n)
+             |ORDER BY algo""".stripMargin)),
 
     // IVF approximate top-k: bucket-pruned search (rows-only; recall
     // vs the exact brute force is asserted in IvfSpec)

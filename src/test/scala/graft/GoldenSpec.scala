@@ -96,6 +96,7 @@ class GoldenSpec extends SparkSpec {
       "ml_ae_embedding_linear" -> "63b05ebe9f9c84f809082e539e495245",
       "ml_ae_embedding" -> "900a7d3cc95767a39e4368cf37f80d50",
       "ml_ae_history" -> "bd03f333375ae330d3ec732544a35844",
+      "ml_umap_embedding" -> "7680087c3201c84a6120bf23492e140c",
       "ml_dtw_stretch" -> "9c043300d16d1d8eef4193a9d8427a46",
       "sim_ivf_topk" -> "ea250d44e0e96b7b782ebd2135c04495",
       // re-pinned when the KMeans fit moved to a canonical input layout
