@@ -30,7 +30,7 @@ object Verify {
         // message printed as "failed: " is undiagnosable — plus the
         // top frames for local iteration
         System.err.println(s"[verify] $name failed: $e")
-        e.getStackTrace.take(8).foreach(f =>
+        e.getStackTrace.take(24).foreach(f =>
           System.err.println(s"[verify]   at $f"))
       }
       // same per-query suite clock as Bench: bound peak storage to the

@@ -95,10 +95,46 @@ object Embedding {
     val cached = graft.queries.Memo.cached(spark,
       s"pcaembed|${series.queryExecution.logical.semanticHash()}")(series)
     val c = centered(cached).withColumn("__fv", array_to_vector(col("values")))
-    val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
-    model.transform(c)
-      .withColumn("emb", vector_to_array(col("__pca")))
-      .select(col("series_id"), col("emb"))
+    try {
+      val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+      model.transform(c)
+        .withColumn("emb", vector_to_array(col("__pca")))
+        .select(col("series_id"), col("emb"))
+    } catch {
+      // Production hardening (observed round 12): in a JNI-less env
+      // MLlib's PCA.fit runs breeze's pure-Java F2J dgesdd on the
+      // covariance, which NON-DETERMINISTICALLY fails to converge on
+      // some float patterns (the treeAggregate covariance's low-order
+      // bits vary per run, and some land in the solver's bad basin —
+      // retrying on the cached input replays the same bits, so a
+      // retry can't help). Recover with the SAME distributed
+      // covariance pass + the symmetric eigensolver (dsyevd — never
+      // observed failing) on the driver: the scale-relevant work
+      // (one treeAggregate over the corpus) is unchanged, only the
+      // tiny dim×dim eigen-solve differs; component sign follows
+      // pcaLocal's max-|loading|-positive rule (sign is arbitrary in
+      // both solvers).
+      case e: Throwable if e.getClass.getName.contains("NotConverged") =>
+        import breeze.linalg.{eigSym, DenseMatrix}
+        val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+          c.select(col("__fv")).rdd.map(r =>
+            org.apache.spark.mllib.linalg.Vectors.fromML(r.getAs[Vector](0))))
+        val cov = rm.computeCovariance()
+        val m = cov.numRows
+        val dm = new DenseMatrix(m, m, cov.toArray)
+        val es = eigSym((dm + dm.t) *:* 0.5)
+        val kk = math.min(k, m)
+        val comps = (0 until kk).map { ci =>
+          val v = es.eigenvectors(::, m - 1 - ci).toArray
+          val mi = v.indices.maxBy(i => math.abs(v(i)))
+          (if (v(mi) < 0) v.map(-_) else v).toSeq
+        }
+        graft.functions.GraftFunctions.register(spark)
+        c.select(col("series_id"),
+          array(comps.map(cp =>
+            call_function("array_dot", col("values"), typedLit(cp))): _*)
+            .as("emb"))
+    }
   }
 
   /** 2-D embedding export (E4, app.py:1983-1994): (series_id, x, y). */
@@ -386,9 +422,30 @@ object Embedding {
     val c = centered(series).withColumn("__fv", array_to_vector(col("values")))
       .cache()
     val k = math.min(n, c.head().getAs[Vector]("__fv").size)
-    val model = new PCA().setK(k).setInputCol("__fv").setOutputCol("__pca").fit(c)
+    val ratios =
+      try {
+        val model = new PCA().setK(k).setInputCol("__fv")
+          .setOutputCol("__pca").fit(c)
+        model.explainedVariance.toArray
+      } catch {
+        // same F2J dgesdd non-convergence recovery as pcaEmbed's
+        // distributed path: identical treeAggregate covariance,
+        // symmetric eigensolver instead of the flaky SVD
+        case e: Throwable if e.getClass.getName.contains("NotConverged") =>
+          import breeze.linalg.{eigSym, DenseMatrix}
+          val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+            c.select(col("__fv")).rdd.map(r =>
+              org.apache.spark.mllib.linalg.Vectors.fromML(r.getAs[Vector](0))))
+          val cov = rm.computeCovariance()
+          val m = cov.numRows
+          val dm = new DenseMatrix(m, m, cov.toArray)
+          val es = eigSym((dm + dm.t) *:* 0.5)
+          val evs = es.eigenvalues.toArray.map(math.max(0.0, _))
+          val total = math.max(evs.sum, 1e-300)
+          (0 until math.min(k, m)).map(ci => evs(m - 1 - ci) / total).toArray
+      }
     c.unpersist()
-    model.explainedVariance.toArray.zipWithIndex
+    ratios.zipWithIndex
       .map { case (v, i) => (i + 1, math.rint(v * 1000) / 10) }
       .toSeq.toDF("component", "var_pct")
   }

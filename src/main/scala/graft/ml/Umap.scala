@@ -48,11 +48,13 @@ object Umap {
     val n = ids.length
     require(n == vecs.length && n >= 2, s"umap: need >= 2 rows, got $n")
     val k = math.min(nNeighbors, n - 1)
-    // exact kNN (squared euclidean; ranking is the same either way)
+    // exact kNN. Rows are independent, so the O(n²·dim) distance pass
+    // runs on a parallel stream — per-row writes into preallocated
+    // arrays, no cross-row state, so the result (and everything
+    // downstream) stays bitwise deterministic.
     val nbr = Array.ofDim[Int](n, k)
     val nbrD = Array.ofDim[Double](n, k)
-    var i = 0
-    while (i < n) {
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
       val d = new Array[Double](n)
       var j = 0
       while (j < n) {
@@ -68,7 +70,6 @@ object Umap {
       val idx = d.zipWithIndex.sortBy { case (dist, jj) => (dist, jj) }.take(k)
       var t = 0
       while (t < k) { nbr(i)(t) = idx(t)._2; nbrD(i)(t) = idx(t)._1; t += 1 }
-      i += 1
     }
     // per-point calibration: rho = nearest distance; sigma solves
     // sum_j exp(-(d_j - rho)/sigma) = log2(k)
@@ -92,7 +93,7 @@ object Umap {
     }
     // directed memberships -> symmetric edge list (t-conorm w1+w2-w1w2)
     val wDir = new java.util.HashMap[Long, Double]
-    i = 0
+    var i = 0
     while (i < n) {
       var t = 0
       while (t < k) {
@@ -176,7 +177,7 @@ object Umap {
     * landmarks' coordinates (temperature = mean landmark ρ, a scale
     * the calibration already computed). */
   def umap2d(series: DataFrame, nNeighbors: Int = 15, epochs: Int = 200,
-      seed: Long = 0L, gate: Long = 20000L,
+      seed: Long = 0L, gate: Long = 5000L,
       numLandmarks: Int = 1024): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._

@@ -559,10 +559,50 @@ object MlQueries {
         // tolerance under ONE global flip (λ1 is well-separated on
         // both fixtures; higher components can be near-degenerate,
         // same identifiability argument as the mds rows).
-        def pcaC1Mismatch(in: DataFrame): (Long, Long) = {
+        // Fixture CONDITIONING (observed round 12): on the ~600-dim
+        // PADDED frame — mostly trailing zeros, so a rank-39
+        // covariance with a pathological near-zero eigenvalue
+        // cluster — F2J dgesdd inside MLlib's RowMatrix threw
+        // NotConvergedException on a partition-noise coin flip
+        // (treeAggregate's combine order follows shuffle-fetch
+        // ARRIVAL, so the float tail genuinely differs per run and
+        // some tails land in the non-convergent basin). The fix is
+        // conditioning, not retries: 32 REAL dims (truncated series,
+        // min length 49 at every SF, no pad zeros) of 40 rows give a
+        // generically full-rank 32×32 covariance every solver handles;
+        // the driver-eigSym vs treeAggregate-PCA contract under test
+        // is unchanged. The canonical layout keeps the fit input
+        // partition-independent like the kmeans row.
+        // …and even the conditioned fixture flaked once the rig ran
+        // TWO MLlib PCA fits concurrently — every observed failure is
+        // in svd (dgesdd), never in eigSym, pointing at the pure-Java
+        // F2J LAPACK fallback (no JNI in this env) misbehaving under
+        // concurrent entry. Defense in depth: the two pca fits run
+        // SEQUENTIALLY in one future, and a NotConverged from the
+        // solver gets up to 2 bounded retries (post-race timing; a
+        // genuine non-convergence would repeat all 3 times and still
+        // fail loudly).
+        def withSvdRetry[T](body: => T): T = {
+          var last: Throwable = null
+          var attempt = 0
+          while (attempt < 3) {
+            try return body
+            catch {
+              case e: Throwable
+                  if e.getClass.getName.contains("NotConverged") =>
+                last = e; attempt += 1
+            }
+          }
+          throw last
+        }
+        def pcaC1Mismatch(in0: DataFrame): (Long, Long) = {
+          val in = in0.select(col("series_id"),
+            expr("slice(values, 1, 32)").as("values"))
           val a = Embedding.pcaEmbed(in, 2)
             .select(col("series_id"), col("emb")(0).as("pa"))
-          val b = Embedding.pcaEmbed(in, 2, gate = 0)
+          val b = withSvdRetry(Embedding.pcaEmbed(
+              in.repartition(8, col("series_id"))
+                .sortWithinPartitions("series_id"), 2, gate = 0))
             .select(col("series_id"), col("emb")(0).as("pb"))
           val j = a.join(b, "series_id").cache()
           val n = j.count()
@@ -571,15 +611,20 @@ object MlQueries {
           j.unpersist()
           (n, math.min(mSame, mFlip))
         }
-        val fPca = Future(pcaC1Mismatch(serP))
-        val fPca16 = Future(pcaC1Mismatch(emb16))
+        // ONE future for both pca fits — see withSvdRetry: concurrent
+        // F2J dgesdd entry is the suspected flake, so the two fits
+        // never overlap each other
+        val fPcaBoth = Future {
+          val p1 = pcaC1Mismatch(serT) // truncated: no pad zeros
+          val p2 = pcaC1Mismatch(emb16)
+          (p1, p2)
+        }
         val (nDb, mDb) = Await.result(fDb, Duration.Inf)
         val (nKs, mKs) = Await.result(fKs, Duration.Inf)
         val costOk = Await.result(fKm, Duration.Inf)
         val (nMds, mMds) = Await.result(fMds, Duration.Inf)
         val (nMds16, mMds16) = Await.result(fMds16, Duration.Inf)
-        val (nPca, mPca) = Await.result(fPca, Duration.Inf)
-        val (nPca16, mPca16) = Await.result(fPca16, Duration.Inf)
+        val ((nPca, mPca), (nPca16, mPca16)) = Await.result(fPcaBoth, Duration.Inf)
         Seq(serP, serT, fe, emb16).foreach(_.unpersist())
 
         Seq(("dbscan", nDb, mDb), ("kmeans_cost", nKm, if (costOk) 0L else 1L),
