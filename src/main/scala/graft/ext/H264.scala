@@ -1,0 +1,959 @@
+package graft.ext
+
+/** H.264/AVC (ITU-T Rec. H.264 / ISO-IEC 14496-10, public spec)
+  * INTRA-frame codec — the round-12 second narrowing of the
+  * predictive-codec fence (VERDICT r11 "what's missing" #3): after
+  * [[Mpeg1]] covered the classic-codec intra path, this covers the
+  * MODERN 'avc1' 4cc for the macroblock families a pure-JVM decoder
+  * can be exactly right about. Reference behavior: the reference app
+  * never decodes video at all (app.py has no video path); this tier
+  * exists for the 100-TB curation pipeline, where avc1 is the single
+  * most common payload codec.
+  *
+  * Decoded for real (bit-exact per the spec):
+  *  - NAL syntax: Annex-B start-code streams AND pre-split NAL lists
+  *    (the avcC length-prefixed form), emulation-prevention removal,
+  *    Exp-Golomb ue(v)/se(v).
+  *  - SPS/PPS/IDR-slice headers (baseline/main/extended profiles,
+  *    frame_mbs_only, CAVLC entropy, single slice group).
+  *  - I_PCM macroblocks (raw samples — always exact).
+  *  - Intra_16x16 macroblocks: all four prediction modes (V/H/DC/
+  *    Plane, 8.3.3), CAVLC residuals through the ALGORITHMIC parts of
+  *    9.2 (level prefix/suffix with suffixLength adaptation, the
+  *    nC >= 8 fixed-length coeff_token) plus the short-code coeff
+  *    token / total_zeros / run_before entries reproduced from the
+  *    spec tables, integer dequant (8.5.9-12, flat weight scale),
+  *    inverse 4x4 DC Hadamard and the 4x4 core transform.
+  *
+  * Honesty bounds, all degrade-to-None (the caller falls back to the
+  * byte-histogram fence, never a WRONG decode — the [[Mpeg1]]
+  * discipline):
+  *  - I slices only; CABAC, I_NxN (Intra_4x4/8x8), multi-slice-group,
+  *    field coding, high-profile tools (scaling lists, >8-bit,
+  *    non-4:2:0) return None.
+  *  - In-loop deblocking is not implemented, so slices that do not
+  *    disable it (disable_deblocking_filter_idc != 1) return None
+  *    rather than emitting near-but-not-bit-exact pixels.
+  *  - VLC tables are PARTIAL: only the table entries this file is
+  *    certain of are present (the fixed-length nC >= 8 code is
+  *    complete by construction); an unlisted code returns None rather
+  *    than risking a misremembered table row. [[encodeIFrame]] emits
+  *    only listed codes, so fixture streams are fully decodable.
+  *
+  * Chroma residuals are PARSED when present (bitstream sync and the
+  * nC bookkeeping require it) but only luma is reconstructed — the
+  * consumers are gray-statistics features, as with [[Mpeg1]].
+  */
+object H264 {
+
+  /** 4x4 zigzag: scan index -> raster index (8.5.6 / figure 8-8). */
+  private val Zig4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** normAdjust4x4 (table 8-15, qp%6 x position class): class 0 =
+    * (even,even), 1 = (odd,odd), 2 = mixed. */
+  private val NormAdjust: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  private def posClass(raster: Int): Int = {
+    val r = raster >> 2; val c = raster & 3
+    if ((r & 1) == 0 && (c & 1) == 0) 0
+    else if ((r & 1) == 1 && (c & 1) == 1) 1
+    else 2
+  }
+
+  // ---------------------------------------------------------------- bits
+
+  private object ParseFail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class BitReader(val bytes: Array[Byte]) {
+    var pos: Int = 0 // bit position
+    val limit: Int = bytes.length * 8
+    def remaining: Int = limit - pos
+    def bit(): Int = {
+      if (pos >= limit) throw ParseFail
+      val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (bit() == 0) { zeros += 1; if (zeros > 31) throw ParseFail }
+      if (zeros == 0) 0 else (1 << zeros) - 1 + bits(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def byteAlign(): Unit = while ((pos & 7) != 0) { bit(); () }
+    def byteAt(): Int = { // aligned byte read
+      if ((pos & 7) != 0 || pos + 8 > limit) throw ParseFail
+      val v = bytes(pos >> 3) & 0xFF
+      pos += 8
+      v
+    }
+    /** more_rbsp_data(): true iff data bits remain BEFORE the
+      * rbsp_stop_one_bit (7.4.1: the stop bit is the last 1-bit of
+      * the RBSP; everything after it is alignment zeros). */
+    def moreRbspData(): Boolean = {
+      if (remaining <= 0) return false
+      var last = limit - 1
+      while (last >= pos &&
+          ((bytes(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+      last > pos
+    }
+  }
+
+  /** Strip emulation-prevention bytes: 00 00 03 -> 00 00 (7.4.1.1). */
+  private def unescape(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new Array[Byte](nal.length - from)
+    var i = from; var o = 0; var zeros = 0
+    while (i < nal.length) {
+      val b = nal(i)
+      if (zeros >= 2 && b == 3 && i + 1 < nal.length && (nal(i + 1) & 0xFC) == 0) {
+        zeros = 0 // skip the escape byte
+      } else {
+        out(o) = b; o += 1
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Split an Annex-B byte stream (00 00 01 / 00 00 00 01 delimited)
+    * into NAL units (headers included, escapes NOT yet removed). */
+  private[ext] def splitAnnexB(es: Array[Byte]): Seq[Array[Byte]] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 3 <= es.length) {
+      if (es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1) { starts += i + 3; i += 3 }
+      else i += 1
+    }
+    starts.toSeq.zipWithIndex.map { case (s, idx) =>
+      var e = if (idx + 1 < starts.length) starts(idx + 1) - 3 else es.length
+      // a 4-byte start code leaves one extra trailing zero on the prev NAL
+      while (e > s && es(e - 1) == 0 && idx + 1 < starts.length) e -= 1
+      java.util.Arrays.copyOfRange(es, s, e)
+    }.filter(_.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- headers
+
+  private final case class Sps(
+      mbW: Int, mbH: Int,
+      cropL: Int, cropR: Int, cropT: Int, cropB: Int,
+      log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
+      deltaPocAlwaysZero: Boolean)
+
+  private final case class Pps(
+      picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
+      bottomFieldPoc: Boolean)
+
+  /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  private def parseSps(rbsp: Array[Byte]): Sps = {
+    val br = new BitReader(rbsp)
+    val profile = br.bits(8)
+    br.bits(8) // constraint flags + reserved
+    br.bits(8) // level_idc
+    br.ue() // sps_id
+    if (HighProfiles.contains(profile)) {
+      val chromaFormat = br.ue()
+      if (chromaFormat != 1) throw ParseFail // 4:2:0 only
+      if (br.ue() != 0) throw ParseFail // bit_depth_luma_minus8
+      if (br.ue() != 0) throw ParseFail // bit_depth_chroma_minus8
+      br.bit() // qpprime_y_zero_transform_bypass
+      if (br.bit() == 1) throw ParseFail // seq_scaling_matrix: not implemented
+    }
+    val log2MaxFrameNum = br.ue() + 4
+    val pocType = br.ue()
+    var log2MaxPocLsb = 0
+    var deltaPocAlwaysZero = false
+    if (pocType == 0) log2MaxPocLsb = br.ue() + 4
+    else if (pocType == 1) {
+      deltaPocAlwaysZero = br.bit() == 1
+      br.se(); br.se()
+      val n = br.ue()
+      var i = 0
+      while (i < n) { br.se(); i += 1 }
+    } else if (pocType != 2) throw ParseFail
+    br.ue() // max_num_ref_frames
+    br.bit() // gaps_in_frame_num_allowed
+    val mbW = br.ue() + 1
+    val mbH = br.ue() + 1
+    if (br.bit() != 1) throw ParseFail // frame_mbs_only required
+    br.bit() // direct_8x8_inference
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (br.bit() == 1) { cl = br.ue(); cr = br.ue(); ct = br.ue(); cb = br.ue() }
+    // vui ignored (everything needed is parsed)
+    if (mbW <= 0 || mbH <= 0 || mbW * mbH > (1 << 20)) throw ParseFail
+    Sps(mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType, log2MaxPocLsb,
+      deltaPocAlwaysZero)
+  }
+
+  private def parsePps(rbsp: Array[Byte]): Pps = {
+    val br = new BitReader(rbsp)
+    br.ue() // pps_id
+    br.ue() // sps_id
+    if (br.bit() == 1) throw ParseFail // CABAC: not implemented
+    val bottomFieldPoc = br.bit() == 1
+    if (br.ue() != 0) throw ParseFail // num_slice_groups_minus1
+    br.ue(); br.ue() // num_ref_idx defaults
+    br.bit() // weighted_pred
+    br.bits(2) // weighted_bipred_idc
+    val picInitQp = 26 + br.se()
+    br.se() // pic_init_qs
+    br.se() // chroma_qp_index_offset
+    val deblockPresent = br.bit() == 1
+    br.bit() // constrained_intra_pred
+    val redundantPresent = br.bit() == 1
+    if (br.moreRbspData()) {
+      if (br.bit() == 1) throw ParseFail // transform_8x8_mode
+      if (br.bit() == 1) throw ParseFail // pic_scaling_matrix
+      br.se() // second_chroma_qp_index_offset
+    }
+    Pps(picInitQp, deblockPresent, redundantPresent, bottomFieldPoc)
+  }
+
+  // ---------------------------------------------------------------- CAVLC
+
+  /** coeff_token for 0 <= nC < 2 — the short-code rows of table 9-5
+    * this file is certain of; (TotalCoeff, TrailingOnes) by code. An
+    * unlisted code -> None-degrade (never guess). */
+  private def coeffTokenNc01(br: BitReader): (Int, Int) = {
+    if (br.bit() == 1) return (0, 0) // '1'
+    if (br.bit() == 1) return (1, 1) // '01'
+    if (br.bit() == 1) return (2, 2) // '001'
+    // '000' consumed; certain rows: '00011' (3,3), '000101' (1,0),
+    // '000100' (2,1)
+    if (br.bit() == 1) {
+      if (br.bit() == 1) (3, 3) // '00011'
+      else if (br.bit() == 1) (1, 0) // '000101'
+      else (2, 1) // '000100'
+    } else throw ParseFail // '0000...': rows not reproduced
+  }
+
+  /** coeff_token, chroma-DC nC == -1 (table 9-5 last column, the
+    * certain subset). */
+  private def coeffTokenChromaDc(br: BitReader): (Int, Int) = {
+    if (br.bit() == 1) return (1, 1) // '1'
+    if (br.bit() == 1) return (0, 0) // '01'
+    if (br.bit() == 1) return (2, 2) // '001'
+    if (br.remaining >= 3 && br.bits(3) == 7) return (1, 0) // '000111'
+    throw ParseFail
+  }
+
+  /** coeff_token, nC >= 8: 6-bit FLC (complete by construction —
+    * code 3 is (0,0); otherwise TotalCoeff = (code>>2)+1,
+    * TrailingOnes = code&3). */
+  private def coeffTokenFlc(br: BitReader): (Int, Int) = {
+    val v = br.bits(6)
+    if (v == 3) (0, 0)
+    else {
+      val tc = (v >> 2) + 1
+      val t1 = v & 3
+      if (t1 > math.min(3, tc) || tc > 16) throw ParseFail
+      (tc, t1)
+    }
+  }
+
+  /** total_zeros for 4x4 blocks (table 9-7), TotalCoeff == 1 column —
+    * the column [[encodeIFrame]] uses and the one reproduced with
+    * certainty. Other columns -> None-degrade. */
+  private def totalZerosTc1(br: BitReader): Int = {
+    if (br.bit() == 1) return 0 // '1'
+    if (br.bit() == 1) { return if (br.bit() == 1) 1 else 2 } // '011' / '010'
+    if (br.bit() == 1) { return if (br.bit() == 1) 3 else 4 } // '0011' / '0010'
+    if (br.bit() == 1) { return if (br.bit() == 1) 5 else 6 } // '00011' / '00010'
+    if (br.bit() == 1) { return if (br.bit() == 1) 7 else 8 } // '000011' / '000010'
+    if (br.bit() == 1) { return if (br.bit() == 1) 9 else 10 } // 7 bits
+    if (br.bit() == 1) { return if (br.bit() == 1) 11 else 12 } // 8 bits
+    if (br.bit() == 1) { return if (br.bit() == 1) 13 else 14 } // 9 bits
+    if (br.bit() == 1) return 15 // '000000001'
+    throw ParseFail
+  }
+
+  /** run_before (table 9-10): zerosLeft == 1 plus the zerosLeft > 6
+    * unary tail are reproduced with certainty; other columns degrade. */
+  private def runBefore(br: BitReader, zerosLeft: Int): Int = {
+    if (zerosLeft <= 0) 0
+    else if (zerosLeft == 1) { if (br.bit() == 1) 0 else 1 }
+    else if (zerosLeft > 6) {
+      val v = br.bits(3)
+      if (v != 0) 7 - v
+      else {
+        var run = 7
+        var guard = 0
+        while (br.bit() == 0) { run += 1; guard += 1; if (guard > 8) throw ParseFail }
+        run
+      }
+    } else throw ParseFail // zerosLeft 2..6 columns: not reproduced
+  }
+
+  /** One CAVLC residual block (9.2): returns scan-order coefficients
+    * (length maxNumCoeff) and TotalCoeff. nC selects the coeff_token
+    * table (-1 = chroma DC). */
+  private def residualCavlc(br: BitReader, nC: Int, maxNumCoeff: Int): (Array[Int], Int) = {
+    val (tc, t1s) =
+      if (nC == -1) coeffTokenChromaDc(br)
+      else if (nC < 2) coeffTokenNc01(br)
+      else if (nC >= 8) coeffTokenFlc(br)
+      else throw ParseFail // nC 2..7 tables: not reproduced
+    val out = new Array[Int](maxNumCoeff)
+    if (tc == 0) return (out, 0)
+    if (tc > maxNumCoeff) throw ParseFail
+    val levels = new Array[Int](tc)
+    var i = 0
+    while (i < t1s) { levels(i) = if (br.bit() == 1) -1 else 1; i += 1 }
+    var suffixLength = if (tc > 10 && t1s < 3) 1 else 0
+    while (i < tc) {
+      var prefix = 0
+      while (br.bit() == 0) { prefix += 1; if (prefix > 31) throw ParseFail }
+      var suffixSize = suffixLength
+      if (prefix == 14 && suffixLength == 0) suffixSize = 4
+      else if (prefix >= 15) suffixSize = prefix - 3
+      var levelCode = (math.min(15, prefix) << suffixLength) +
+        (if (suffixSize > 0) br.bits(suffixSize) else 0)
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (i == t1s && t1s < 3) levelCode += 2
+      levels(i) =
+        if ((levelCode & 1) == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    val totalZeros =
+      if (tc == maxNumCoeff) 0
+      else if (tc == 1) totalZerosTc1(br)
+      else throw ParseFail // total_zeros columns tc >= 2: not reproduced
+    if (totalZeros > maxNumCoeff - tc) throw ParseFail
+    var zerosLeft = totalZeros
+    var scanIdx = tc - 1 + totalZeros
+    i = 0
+    while (i < tc) {
+      if (scanIdx < 0 || scanIdx >= maxNumCoeff) throw ParseFail
+      out(scanIdx) = levels(i)
+      val run = if (i < tc - 1) runBefore(br, zerosLeft) else zerosLeft
+      if (run > zerosLeft) throw ParseFail
+      zerosLeft -= run
+      scanIdx -= 1 + run
+      i += 1
+    }
+    (out, tc)
+  }
+
+  // ---------------------------------------------------------------- transform
+
+  /** Inverse 4x4 core transform + rounding (8.5.12.2): raster-order
+    * coefficients in, raster-order residual out. */
+  private def invTransform4x4(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var r = 0
+    while (r < 4) {
+      val d0 = d(r * 4); val d1 = d(r * 4 + 1); val d2 = d(r * 4 + 2); val d3 = d(r * 4 + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      t(r * 4) = e0 + e3; t(r * 4 + 1) = e1 + e2
+      t(r * 4 + 2) = e1 - e2; t(r * 4 + 3) = e0 - e3
+      r += 1
+    }
+    val out = new Array[Int](16)
+    var c = 0
+    while (c < 4) {
+      val d0 = t(c); val d1 = t(4 + c); val d2 = t(8 + c); val d3 = t(12 + c)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      out(c) = (e0 + e3 + 32) >> 6; out(4 + c) = (e1 + e2 + 32) >> 6
+      out(8 + c) = (e1 - e2 + 32) >> 6; out(12 + c) = (e0 - e3 + 32) >> 6
+      c += 1
+    }
+    out
+  }
+
+  /** Inverse 4x4 Hadamard for the Intra_16x16 luma DC block (8.5.10),
+    * no rounding (scaling happens after). */
+  private def invHadamard4(c: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var r = 0
+    while (r < 4) {
+      val d0 = c(r * 4); val d1 = c(r * 4 + 1); val d2 = c(r * 4 + 2); val d3 = c(r * 4 + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2; val e2 = d1 - d3; val e3 = d1 + d3
+      t(r * 4) = e0 + e3; t(r * 4 + 1) = e1 + e2
+      t(r * 4 + 2) = e1 - e2; t(r * 4 + 3) = e0 - e3
+      r += 1
+    }
+    val out = new Array[Int](16)
+    var cc = 0
+    while (cc < 4) {
+      val d0 = t(cc); val d1 = t(4 + cc); val d2 = t(8 + cc); val d3 = t(12 + cc)
+      val e0 = d0 + d2; val e1 = d0 - d2; val e2 = d1 - d3; val e3 = d1 + d3
+      out(cc) = e0 + e3; out(4 + cc) = e1 + e2
+      out(8 + cc) = e1 - e2; out(12 + cc) = e0 - e3
+      cc += 1
+    }
+    out
+  }
+
+  /** Luma-DC scaling (8.5.10), flat weight scale 16. */
+  private def scaleDc(f: Int, qp: Int): Int = {
+    val ls = 16 * NormAdjust(qp % 6)(0)
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** AC coefficient dequant (8.5.12.1), flat weight scale 16. */
+  private def scaleAc(c: Int, raster: Int, qp: Int): Int = {
+    val ls = 16 * NormAdjust(qp % 6)(posClass(raster))
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
+
+  // ---------------------------------------------------------------- nC grid
+
+  /** Per-4x4-block TotalCoeff bookkeeping for nC derivation (9.2.1) —
+    * shared by decode AND [[encodeIFrame]] so the two always agree on
+    * which coeff_token table a block lands in. */
+  private final class NzCtx(val bw: Int, val bh: Int) {
+    private val nz = new Array[Int](bw * bh)
+    def set(bx: Int, by: Int, v: Int): Unit = nz(by * bw + bx) = v
+    def nC(bx: Int, by: Int): Int = {
+      val hasA = bx > 0
+      val hasB = by > 0
+      if (hasA && hasB) (nz(by * bw + bx - 1) + nz((by - 1) * bw + bx) + 1) >> 1
+      else if (hasA) nz(by * bw + bx - 1)
+      else if (hasB) nz((by - 1) * bw + bx)
+      else 0
+    }
+  }
+
+  /** Z-order luma 4x4 block index -> (gridRow, gridCol) inside the MB. */
+  private def blkRow(blkIdx: Int): Int = 2 * ((blkIdx >> 2) >> 1) + ((blkIdx & 3) >> 1)
+  private def blkCol(blkIdx: Int): Int = 2 * ((blkIdx >> 2) & 1) + (blkIdx & 1)
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode the first I frame from a list of NAL units (headers
+    * included, emulation-prevention still present). Returns
+    * (width, height, luma row-major) or None. */
+  def decodeIFrameLumaNals(nals: Seq[Array[Byte]]): Option[(Int, Int, Array[Int])] = {
+    try {
+      var sps: Sps = null
+      var pps: Pps = null
+      nals.foreach { nal =>
+        if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
+          val typ = nal(0) & 0x1F
+          typ match {
+            case 7 => sps = parseSps(unescape(nal, 1))
+            case 8 => pps = parsePps(unescape(nal, 1))
+            case 5 | 1 =>
+              if (sps == null || pps == null) return None
+              return decodeSlice(unescape(nal, 1), sps, pps,
+                nalRefIdc = (nal(0) >> 5) & 3, isIdr = typ == 5)
+            case _ => () // SEI/AUD/filler: skip
+          }
+        }
+      }
+      None
+    } catch { case ParseFail => None case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Decode the first I frame of an Annex-B elementary stream. */
+  def decodeIFrameLuma(es: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeIFrameLumaNals(splitAnnexB(es))
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
+      nalRefIdc: Int, isIdr: Boolean): Option[(Int, Int, Array[Int])] = {
+    val br = new BitReader(rbsp)
+    if (br.ue() != 0) return None // first_mb_in_slice: single slice only
+    val sliceType = br.ue()
+    if (sliceType != 2 && sliceType != 7) return None // I slices only
+    br.ue() // pps_id
+    br.bits(sps.log2MaxFrameNum) // frame_num
+    if (isIdr) br.ue() // idr_pic_id
+    if (sps.pocType == 0) {
+      br.bits(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPoc) br.se()
+    } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
+      br.se()
+      if (pps.bottomFieldPoc) br.se()
+    }
+    if (pps.redundantPresent) br.ue()
+    if (nalRefIdc != 0) {
+      if (isIdr) { br.bit(); br.bit() } // no_output_of_prior / long_term
+      else if (br.bit() == 1) { // adaptive_ref_pic_marking
+        var mmco = br.ue()
+        var guard = 0
+        while (mmco != 0) {
+          mmco match {
+            case 1 | 4 | 6 => br.ue()
+            case 2 => br.ue()
+            case 3 => br.ue(); br.ue()
+            case 5 => ()
+            case _ => return None
+          }
+          mmco = br.ue()
+          guard += 1
+          if (guard > 64) return None
+        }
+      }
+    }
+    var qp = pps.picInitQp + br.se()
+    if (qp < 0 || qp > 51) return None
+    if (pps.deblockPresent) {
+      val idc = br.ue()
+      if (idc != 1) return None // loop filter not implemented: refuse
+    } else return None // filter implicitly ON: refuse (never near-exact)
+
+    val mbW = sps.mbW; val mbH = sps.mbH
+    val stride = mbW * 16
+    val luma = new Array[Int](stride * mbH * 16)
+    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    val cbNz = new NzCtx(mbW * 2, mbH * 2)
+    val crNz = new NzCtx(mbW * 2, mbH * 2)
+    val dcScan = new Array[Int](16)
+    val nMbs = mbW * mbH
+    var mb = 0
+    while (mb < nMbs) {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      val ox = mbX * 16
+      val oy = mbY * 16
+      val mbType = br.ue()
+      if (mbType == 25) {
+        // ---- I_PCM: raw samples (always exact)
+        br.byteAlign()
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { luma((oy + y) * stride + ox + x) = br.byteAt(); x += 1 }
+          y += 1
+        }
+        var i = 0
+        while (i < 128) { br.byteAt(); i += 1 } // Cb + Cr 8x8 each (4:2:0)
+        var blk = 0
+        while (blk < 16) {
+          lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
+          blk += 1
+        }
+        var cblk = 0
+        while (cblk < 4) {
+          cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 16)
+          crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 16)
+          cblk += 1
+        }
+      } else if (mbType >= 1 && mbType <= 24) {
+        // ---- Intra_16x16 (table 7-11 derivation)
+        val predMode = (mbType - 1) % 4
+        val cbpChroma = ((mbType - 1) / 4) % 3
+        val cbpLumaAc = (mbType - 1) / 12 // 0 or 1 (means all 16 blocks)
+        br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
+        qp = (qp + br.se() + 52) % 52 // mb_qp_delta
+        // prediction (8.3.3) from already-reconstructed neighbors
+        val pred = predict16x16(luma, stride, ox, oy, predMode,
+          hasLeft = mbX > 0, hasTop = mbY > 0)
+        if (pred == null) return None
+        // luma DC: CAVLC with nC as for blkIdx 0 (9.2.1)
+        val (dcCoeffs, _) =
+          residualCavlc(br, lumaNz.nC(mbX * 4, mbY * 4), 16)
+        var s = 0
+        while (s < 16) { dcScan(Zig4(s)) = dcCoeffs(s); s += 1 }
+        val dcF = invHadamard4(dcScan)
+        // per-4x4 AC + reconstruction
+        val acCoeffs = new Array[Array[Int]](16)
+        var blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          if (cbpLumaAc == 1) {
+            val (coeffs, tc) = residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 15)
+            acCoeffs(blk) = coeffs
+            lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+          } else {
+            acCoeffs(blk) = null
+            lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+          }
+          blk += 1
+        }
+        // chroma residuals: parsed for sync + nz bookkeeping only
+        if (cbpChroma > 0) {
+          var comp = 0
+          while (comp < 2) {
+            residualCavlc(br, -1, 4)
+            comp += 1
+          }
+          if (cbpChroma == 2) {
+            var comp = 0
+            while (comp < 2) {
+              val ctx = if (comp == 0) cbNz else crNz
+              var cblk = 0
+              while (cblk < 4) {
+                val (_, tc) = residualCavlc(br,
+                  ctx.nC(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1)), 15)
+                ctx.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), tc)
+                cblk += 1
+              }
+              comp += 1
+            }
+          }
+        } else {
+          var cblk = 0
+          while (cblk < 4) {
+            cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+            crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+            cblk += 1
+          }
+        }
+        // reconstruct luma
+        blk = 0
+        val d = new Array[Int](16)
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          java.util.Arrays.fill(d, 0)
+          d(0) = scaleDc(dcF(r * 4 + c), qp)
+          val ac = acCoeffs(blk)
+          if (ac != null) {
+            var si = 0
+            while (si < 15) {
+              if (ac(si) != 0) {
+                val raster = Zig4(si + 1)
+                d(raster) = scaleAc(ac(si), raster, qp)
+              }
+              si += 1
+            }
+          }
+          val res = invTransform4x4(d)
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              val px = ox + c * 4 + x
+              val py = oy + r * 4 + y
+              luma(py * stride + px) =
+                clip255(pred((r * 4 + y) * 16 + (c * 4 + x)) + res(y * 4 + x))
+              x += 1
+            }
+            y += 1
+          }
+          blk += 1
+        }
+      } else return None // I_NxN (0) and out-of-range: not implemented
+      mb += 1
+    }
+    // frame cropping (7.4.2.1.1, CropUnit 2 for 4:2:0 frame coding)
+    val w = stride - 2 * (sps.cropL + sps.cropR)
+    val h = mbH * 16 - 2 * (sps.cropT + sps.cropB)
+    if (w <= 0 || h <= 0) return None
+    val out =
+      if (w == stride && h == mbH * 16) luma
+      else {
+        val o = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(luma, (y + 2 * sps.cropT) * stride + 2 * sps.cropL,
+            o, y * w, w)
+          y += 1
+        }
+        o
+      }
+    Some((w, h, out))
+  }
+
+  /** Intra_16x16 prediction (8.3.3): mode 0 = V, 1 = H, 2 = DC,
+    * 3 = Plane. Returns the 16x16 prediction (row-major) or null when
+    * a required neighbor is unavailable. */
+  private def predict16x16(luma: Array[Int], stride: Int, ox: Int, oy: Int,
+      mode: Int, hasLeft: Boolean, hasTop: Boolean): Array[Int] = {
+    val pred = new Array[Int](256)
+    mode match {
+      case 0 => // vertical
+        if (!hasTop) return null
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { pred(y * 16 + x) = luma((oy - 1) * stride + ox + x); x += 1 }
+          y += 1
+        }
+      case 1 => // horizontal
+        if (!hasLeft) return null
+        var y = 0
+        while (y < 16) {
+          val v = luma((oy + y) * stride + ox - 1)
+          var x = 0
+          while (x < 16) { pred(y * 16 + x) = v; x += 1 }
+          y += 1
+        }
+      case 2 => // DC
+        var sum = 0; var n = 0
+        if (hasTop) { var x = 0; while (x < 16) { sum += luma((oy - 1) * stride + ox + x); x += 1 }; n += 16 }
+        if (hasLeft) { var y = 0; while (y < 16) { sum += luma((oy + y) * stride + ox - 1); y += 1 }; n += 16 }
+        val dc =
+          if (n == 32) (sum + 16) >> 5
+          else if (n == 16) (sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(pred, dc)
+      case 3 => // plane
+        if (!hasTop || !hasLeft) return null
+        var hAcc = 0; var vAcc = 0
+        var i = 0
+        while (i < 8) {
+          hAcc += (i + 1) * (luma((oy - 1) * stride + ox + 8 + i) -
+            luma((oy - 1) * stride + ox + 6 - i))
+          vAcc += (i + 1) * (luma((oy + 8 + i) * stride + ox - 1) -
+            luma((oy + 6 - i) * stride + ox - 1))
+          i += 1
+        }
+        val a = 16 * (luma((oy + 15) * stride + ox - 1) +
+          luma((oy - 1) * stride + ox + 15))
+        val b = (5 * hAcc + 32) >> 6
+        val c = (5 * vAcc + 32) >> 6
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            pred(y * 16 + x) = clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+            x += 1
+          }
+          y += 1
+        }
+      case _ => return null
+    }
+    pred
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Macroblock spec for [[encodeIFrame]]. */
+  sealed trait Mb
+  /** I_PCM: raw 16x16 luma, `pix(x, y)` in 0..255; chroma neutral. */
+  final case class Pcm(pix: (Int, Int) => Int) extends Mb
+  /** Intra_16x16 with a single luma-DC coefficient `z` (|z| <= 7) and
+    * optionally one trailing-one AC coefficient (`ac0` in -1..1, scan
+    * position 0 of luma block 0; turns on cbp_luma = 15, i.e. all 16
+    * AC blocks are coded). `pred` is the Intra16x16PredMode (8.3.3):
+    * 0 = V, 1 = H, 2 = DC (default; the only mode legal without
+    * neighbors), 3 = Plane — the caller must place non-DC modes where
+    * the needed neighbors exist, or the decoder refuses the stream. */
+  final case class I16Dc(z: Int, ac0: Int = 0, pred: Int = 2) extends Mb
+
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]
+    private var cur = 0
+    private var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def putUe(k: Int): Unit = {
+      require(k >= 0)
+      val v = k + 1
+      val bits = 32 - Integer.numberOfLeadingZeros(v)
+      put(0, bits - 1)
+      put(v, bits)
+    }
+    def putSe(k: Int): Unit = putUe(if (k > 0) 2 * k - 1 else -2 * k)
+    def byteAligned: Boolean = nb == 0
+    def alignZero(): Unit = while (nb != 0) put(0, 1)
+    def putByte(b: Int): Unit = { require(nb == 0); buf += b.toByte }
+    def rbspTrailing(): Unit = { put(1, 1); alignZero() }
+    def result(): Array[Byte] = { require(nb == 0, "unaligned"); buf.toArray }
+  }
+
+  /** Emulation-prevention insertion (7.4.1.1). */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length + 8)
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xFC) == 0) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  private def nalUnit(header: Int, rbsp: Array[Byte]): Array[Byte] =
+    header.toByte +: escapeRbsp(rbsp)
+
+  /** SPS NAL (baseline profile 66, level 1.0, poc type 0,
+    * frame_mbs_only). */
+  def spsNal(mbW: Int, mbH: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.put(66, 8) // profile_idc baseline
+    bw.put(0, 8) // constraint flags
+    bw.put(10, 8) // level 1.0
+    bw.putUe(0) // sps_id
+    bw.putUe(0) // log2_max_frame_num_minus4
+    bw.putUe(0) // pic_order_cnt_type 0
+    bw.putUe(0) // log2_max_pic_order_cnt_lsb_minus4
+    bw.putUe(1) // max_num_ref_frames
+    bw.put(0, 1) // gaps_in_frame_num
+    bw.putUe(mbW - 1)
+    bw.putUe(mbH - 1)
+    bw.put(1, 1) // frame_mbs_only
+    bw.put(1, 1) // direct_8x8_inference
+    bw.put(0, 1) // frame_cropping
+    bw.put(0, 1) // vui
+    bw.rbspTrailing()
+    nalUnit(0x67, bw.result())
+  }
+
+  /** PPS NAL (CAVLC, single slice group, deblocking control present —
+    * the encoder's slices disable the loop filter). */
+  def ppsNal(qp: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.putUe(0) // pps_id
+    bw.putUe(0) // sps_id
+    bw.put(0, 1) // entropy: CAVLC
+    bw.put(0, 1) // bottom_field_pic_order
+    bw.putUe(0) // num_slice_groups_minus1
+    bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
+    bw.put(0, 1) // weighted_pred
+    bw.put(0, 2) // weighted_bipred_idc
+    bw.putSe(qp - 26) // pic_init_qp_minus26
+    bw.putSe(0) // pic_init_qs
+    bw.putSe(0) // chroma_qp_index_offset
+    bw.put(1, 1) // deblocking_filter_control_present
+    bw.put(0, 1) // constrained_intra_pred
+    bw.put(0, 1) // redundant_pic_cnt_present
+    bw.rbspTrailing()
+    nalUnit(0x68, bw.result())
+  }
+
+  /** IDR slice NAL: single I slice covering all mbW*mbH macroblocks,
+    * loop filter disabled. Each MB comes from `mb(index)` (raster
+    * order). Emits ONLY the VLC codes the decoder's tables list, so
+    * encode->decode round-trips by construction; an [[I16Dc]] whose
+    * neighbor state would need an unlisted coeff_token table throws
+    * IllegalArgumentException at encode time (fixture contract, not a
+    * runtime degrade). */
+  def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int): Array[Byte] = {
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    val bw = new BitWriter
+    bw.putUe(0) // first_mb_in_slice
+    bw.putUe(7) // slice_type: I (all)
+    bw.putUe(0) // pps_id
+    bw.put(0, 4) // frame_num (log2 = 4)
+    bw.putUe(0) // idr_pic_id
+    bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
+    bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
+    bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
+    bw.putUe(1) // disable_deblocking_filter_idc = 1
+    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    var i = 0
+    while (i < mbW * mbH) {
+      val mbX = i % mbW
+      val mbY = i / mbW
+      mb(i) match {
+        case Pcm(pix) =>
+          bw.putUe(25)
+          bw.alignZero()
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val v = pix(x, y)
+              require(v >= 0 && v <= 255, s"pcm pixel out of range: $v")
+              bw.putByte(v)
+              x += 1
+            }
+            y += 1
+          }
+          var c = 0
+          while (c < 128) { bw.putByte(128); c += 1 }
+          var blk = 0
+          while (blk < 16) {
+            lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
+            blk += 1
+          }
+        case I16Dc(z, ac0, pred) =>
+          require(z >= -7 && z <= 7, s"dc level out of range: $z")
+          require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
+          require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
+          val cbpAc = if (ac0 != 0) 1 else 0
+          bw.putUe(1 + pred + 0 * 4 + cbpAc * 12) // I_16x16, cbpChroma 0
+          bw.putUe(0) // intra_chroma_pred_mode DC
+          bw.putSe(0) // mb_qp_delta
+          // luma DC block
+          putCavlcSingle(bw, lumaNz.nC(mbX * 4, mbY * 4), z, maxNumCoeff = 16)
+          // AC blocks (all 16 when cbpAc): block 0 carries ac0, rest empty
+          if (cbpAc == 1) {
+            var blk = 0
+            while (blk < 16) {
+              val r = blkRow(blk); val c = blkCol(blk)
+              val lvl = if (blk == 0) ac0 else 0
+              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), lvl,
+                maxNumCoeff = 15)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+              blk += 1
+            }
+          } else {
+            var blk = 0
+            while (blk < 16) {
+              lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+              blk += 1
+            }
+          }
+      }
+      i += 1
+    }
+    bw.rbspTrailing()
+    nalUnit(0x65, bw.result())
+  }
+
+  /** CAVLC block with AT MOST one coefficient, at scan position 0 —
+    * the encoder's residual vocabulary (coeff_token (0,0)/(1,1)/(1,0),
+    * total_zeros = 0, no runs), against the same nC tables the
+    * decoder implements. */
+  private def putCavlcSingle(bw: BitWriter, nC: Int, level: Int,
+      maxNumCoeff: Int): Unit = {
+    require(nC >= 0 && (nC < 2 || nC >= 8),
+      s"encoder fixture hit nC = $nC (table not reproduced); " +
+        "restructure the macroblock mix")
+    if (level == 0) {
+      if (nC >= 8) bw.put(3, 6) // FLC (0,0)
+      else bw.put(1, 1) // '1'
+    } else if (level == 1 || level == -1) {
+      if (nC >= 8) bw.put((0 << 2) | 1, 6) // FLC (1,1)
+      else bw.put(1, 2) // '01'
+      bw.put(if (level < 0) 1 else 0, 1) // trailing-one sign
+      bw.put(1, 1) // total_zeros(tc=1) = 0
+    } else {
+      if (nC >= 8) bw.put((0 << 2) | 0, 6) // FLC (1,0)
+      else bw.put(5, 6) // '000101'
+      // level, suffixLength 0, first coeff with t1s<3 -> +2 offset
+      val lc = (if (level > 0) 2 * level - 2 else -2 * level - 1) - 2
+      require(lc >= 0 && lc <= 13, s"level out of the no-suffix range: $level")
+      bw.put(0, lc); bw.put(1, 1) // unary prefix
+      bw.put(1, 1) // total_zeros(tc=1) = 0
+    }
+  }
+
+  /** Annex-B I-frame: SPS + PPS + IDR. qp = 28 makes the DC path
+    * EXACT: dequant((z,0,..)) has LevelScale 256, shift 2, so the
+    * flat residual is (64z + 32) >> 6 = z — pixel = clip(128 + z) for
+    * a lone macroblock (DC prediction with no neighbors), closed-form
+    * for an external oracle. */
+  def encodeIFrame(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp) ++ sep ++ idrNal(mbW, mbH, mb, qp)
+  }
+}

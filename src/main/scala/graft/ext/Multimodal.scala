@@ -902,6 +902,221 @@ object Multimodal {
     ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
+  /** avcC decoder configuration (ISO 14496-15 §5.3.3) of the FIRST
+    * 'avc1' track: (SPS NAL units, PPS NAL units, NAL length-prefix
+    * size). The avcC box lives inside the avc1 VisualSampleEntry
+    * (whose fixed body is 78 bytes after the 8-byte box header);
+    * None for anything malformed — degrade, never throw. */
+  private[graft] def avcConfig(bytes: Array[Byte]): Option[(Seq[Array[Byte]], Seq[Array[Byte]], Int)] = {
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, walk, descend}
+    try {
+      var found: Option[(Seq[Array[Byte]], Seq[Array[Byte]], Int)] = None
+      walk(0, bytes.length) { (typ, off, end) =>
+        if (typ == "moov" && found.isEmpty) {
+          walk(off, end) { (t, o, e) =>
+            if (t == "trak" && found.isEmpty) {
+              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                if (t4 == "stsd" && found.isEmpty && e4 - o4 >= 16 &&
+                    u32(o4 + 4) >= 1) {
+                  val entryOff = o4 + 8
+                  val entrySize = u32(entryOff).toInt
+                  if (entrySize >= 94 && entryOff + entrySize <= e4 &&
+                      new String(bytes, entryOff + 4, 4, "US-ASCII") == "avc1") {
+                    walk(entryOff + 86, entryOff + entrySize) { (t5, o5, e5) =>
+                      if (t5 == "avcC" && found.isEmpty && e5 - o5 >= 7)
+                        found = parseAvcC(bytes, o5, e5)
+                    }
+                    ()
+                  }
+                }
+              }
+            }
+          }
+          ()
+        }
+      }
+      found
+    } catch { case _: Exception => None }
+  }
+
+  private def parseAvcC(bytes: Array[Byte], o5: Int,
+      e5: Int): Option[(Seq[Array[Byte]], Seq[Array[Byte]], Int)] = {
+    // AVCDecoderConfigurationRecord: version, profile, compat, level,
+    // lengthSizeMinusOne (low 2 bits), numSPS (low 5 bits), then
+    // length-prefixed SPS/PPS NAL units
+    val lenSize = (bytes(o5 + 4) & 3) + 1
+    val nSps = bytes(o5 + 5) & 0x1F
+    val sps = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val pps = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = o5 + 6
+    var i = 0
+    while (i < nSps) {
+      if (p + 2 > e5) return None
+      val n = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+      if (p + 2 + n > e5) return None
+      sps += java.util.Arrays.copyOfRange(bytes, p + 2, p + 2 + n)
+      p += 2 + n
+      i += 1
+    }
+    if (p + 1 > e5) return None
+    val nPps = bytes(p) & 0xFF
+    p += 1
+    i = 0
+    while (i < nPps) {
+      if (p + 2 > e5) return None
+      val n = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+      if (p + 2 + n > e5) return None
+      pps += java.util.Arrays.copyOfRange(bytes, p + 2, p + 2 + n)
+      p += 2 + n
+      i += 1
+    }
+    if (sps.nonEmpty && pps.nonEmpty) Some((sps.toSeq, pps.toSeq, lenSize))
+    else None
+  }
+
+  /** Split a length-prefixed (avcC-style) sample into NAL units. */
+  private def splitLengthPrefixed(b: Array[Byte],
+      lenSize: Int): Option[Seq[Array[Byte]]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = 0
+    while (p < b.length) {
+      if (p + lenSize > b.length) return None
+      var n = 0L
+      var i = 0
+      while (i < lenSize) { n = (n << 8) | (b(p + i) & 0xFF); i += 1 }
+      if (n <= 0 || p + lenSize + n > b.length) return None
+      out += java.util.Arrays.copyOfRange(b, p + lenSize, (p + lenSize + n).toInt)
+      p += (lenSize + n).toInt
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** REAL pixel decode for H.264/'avc1' INTRA tracks (round 12, the
+    * second narrowing of the modern-codec fence): samples of an avc1
+    * track decode pure-JVM via [[H264]] (SPS/PPS from the avcC
+    * record, length-prefixed NAL samples, I_PCM + Intra_16x16 CAVLC
+    * macroblocks); a raw Annex-B elementary stream opening with an
+    * SPS NAL decodes as a single frame. Same bounded walk and
+    * degrade discipline as [[decodeMpeg1Frames]]. */
+  private[graft] def decodeAvcFrames(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
+    def lumaStats(luma: Array[Int]): (Double, Double) = {
+      var s = 0.0; var sq = 0.0
+      var i = 0
+      while (i < luma.length) {
+        val v = luma(i).toDouble; s += v; sq += v * v; i += 1
+      }
+      val n = math.max(1, luma.length)
+      val mean = s / n
+      (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
+    }
+    def isAnnexBSps: Boolean = {
+      var p = 0
+      if (bytes.length >= 5 && bytes(0) == 0 && bytes(1) == 0) {
+        if (bytes(2) == 1) p = 3
+        else if (bytes.length >= 6 && bytes(2) == 0 && bytes(3) == 1) p = 4
+      }
+      p > 0 && p < bytes.length && (bytes(p) & 0x1F) == 7
+    }
+    if (isAnnexBSps)
+      H264.decodeIFrameLuma(bytes).map { case (w, h, l) =>
+        val (m, sd) = lumaStats(l); (1, w, h, m, sd)
+      }.toSeq
+    else {
+      (for {
+        tracks <- trackSamples(bytes)
+        (off, sizes) <- tracks.collectFirst {
+          case (c, o, ss) if c == "avc1" && ss.nonEmpty => (o, ss)
+        }
+        (sps, pps, lenSize) <- avcConfig(bytes)
+      } yield {
+        val bounded = sizes.take(maxFrames)
+        val starts = bounded.scanLeft(off)(_ + _)
+        bounded.indices.flatMap { i =>
+          val s = starts(i)
+          val len = bounded(i)
+          if (s < 0 || len <= 0 || s + len > bytes.length) None
+          else splitLengthPrefixed(
+              java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt),
+              lenSize)
+            .flatMap(nals => H264.decodeIFrameLumaNals(sps ++ pps ++ nals))
+            .map { case (w, h, l) =>
+              val (m, sd) = lumaStats(l); (i + 1, w, h, m, sd)
+            }
+        }
+      }).getOrElse(Seq.empty)
+    }
+  }
+
+  /** First-frame convenience over [[decodeAvcFrames]] — the decode
+    * dispatch's avc1 hook, shaped like the MJPEG/MPEG-1 ones. */
+  private[graft] def decodeAvcFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeAvcFrames(bytes, 1).headOption
+      .map { case (_, w, h, mean, std) => (w, h, Array(mean, std)) }
+
+  /** Deterministic H.264-in-MP4 fixture: the same container layout
+    * and the SAME quadrant values as [[syntheticMjpegMp4]] /
+    * [[syntheticMpeg1Mp4]] — g_{q,f} = (id·(31+6q) + 11+5q + 29f)
+    * mod 256 — but each sample is one IDR slice of a single-MB 16x16
+    * I_PCM frame (raw pixels: exact by construction), under a REAL
+    * 'avc1' sample entry with an avcC record (SPS/PPS + 4-byte NAL
+    * length prefixes), so the decode exercises the genuine
+    * avcC→length-prefixed-NAL path a real avc1 file takes. One
+    * oracle formula covers all three codecs. */
+  def syntheticAvcMp4(id: Long, nFrames: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val sps = H264.spsNal(1, 1)
+    val pps = H264.ppsNal(28)
+    val samples = (0 until nFrames).map { f =>
+      val idr = H264.idrNal(1, 1, _ => H264.Pcm { (x, y) =>
+        val q = (y / 8) * 2 + (x / 8)
+        ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt
+      }, qp = 28)
+      be32(idr.length.toLong) ++ idr
+    }
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xFC | 3).toByte, (0xE0 | 1).toByte) ++
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    // VisualSampleEntry: 6 reserved + 2 data_ref_idx, 16 pre_defined/
+    // reserved, width/height, resolutions, reserved, frame_count,
+    // compressorname(32), depth, pre_defined(-1) = 78 bytes
+    val visual =
+      new Array[Byte](6) ++ be16(1) ++
+        new Array[Byte](16) ++
+        be16(16) ++ be16(16) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+        be16(1) ++ new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatPayloadOff = ftyp.length + 8L
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32((id * 97 + 41) % 100000) ++
+        be32(0x00010000L) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++
+        be32(2))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ box("avc1", visual ++ avcC))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames.toLong) ++
+      samples.flatMap(j => be32(j.length.toLong)).toArray)
+    val stss = box("stss", be32(0) ++ be32(nFrames.toLong) ++
+      (1 to nFrames).flatMap(f => be32(f.toLong)).toArray)
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stsz ++ stss ++ stco)
+    val trak = box("trak",
+      box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1)) ++
+        box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
     * moov(mvhd v0 + trak×k), each trak carrying a full
     * mdia/minf/stbl with an stsd sample entry and an stss sync-sample
@@ -959,12 +1174,14 @@ object Multimodal {
     * STUB — and the fence keeps narrowing: [[parseMp4Metadata]] reads
     * real video CONTAINER metadata codec-free,
     * [[decodeMjpegFirstFrame]] decodes real PIXELS for Motion-JPEG
-    * tracks, and (round 12) [[decodeMpeg1FirstFrame]] decodes real
-    * pixels for MPEG-1 INTRA frames via the pure-JVM [[Mpeg1]]
-    * decoder. What remains stubbed is inter-frame (P/B) decode and
-    * the modern codecs (avc1/hev1/…), which genuinely need ffmpeg;
-    * replace this body with that binding in production, nothing
-    * around it changes. */
+    * tracks, and (round 12) [[decodeMpeg1FirstFrame]] +
+    * [[decodeAvcFirstFrame]] decode real pixels for MPEG-1 INTRA
+    * frames and H.264/avc1 intra frames (I_PCM + Intra_16x16 CAVLC
+    * subset) via the pure-JVM [[Mpeg1]]/[[H264]] decoders. What
+    * remains stubbed is inter-frame (P/B) decode, H.264 features
+    * beyond that intra subset (CABAC, I_NxN, deblocking), and hev1 —
+    * which genuinely need ffmpeg; replace this body with that binding
+    * in production, nothing around it changes. */
   private[ext] def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     // >>> STUB: byte-histogram stand-in (video FRAME decode only) <<<
     val hist = new Array[Double](16)
@@ -978,15 +1195,17 @@ object Multimodal {
 
   /** Decode dispatch: real image decode first, then real MJPEG-track
     * pixel decode for MP4 AND AVI payloads, then real MPEG-1-intra
-    * pixel decode (round 12), byte-histogram fallback for everything
-    * else (non-media payloads and inter-frame / modern-codec video,
-    * which genuinely needs a native decoder). The boolean is the
+    * and H.264/avc1-intra pixel decode (round 12), byte-histogram
+    * fallback for everything else (non-media payloads and
+    * inter-frame / out-of-subset / hev1 video, which genuinely needs
+    * a native decoder). The boolean is the
     * DEGRADE flag: true for real pixels, false for the fallback — the
     * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =
     decodeImage(bytes)
       .orElse(decodeMjpegFirstFrame(bytes))
       .orElse(decodeMpeg1FirstFrame(bytes))
+      .orElse(decodeAvcFirstFrame(bytes))
       .map { case (w, h, f) => (w, h, f, true) }
       .getOrElse {
         val (w, h, f) = byteHistogram(bytes)

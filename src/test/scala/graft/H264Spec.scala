@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.H264
+import graft.ext.H264.{I16Dc, Pcm}
+
+/** H.264 intra codec contracts. Expected pixels are HAND-COMPUTED
+  * from the spec formulas (never from the decoder under test):
+  *  - I_PCM is raw samples: output == input pattern, bit-exact.
+  *  - Intra_16x16 DC-only at qp=28: dequant LevelScale(4,0,0) = 256,
+  *    shift (6-4)=2 -> dcY = 64z exactly; core inverse transform of a
+  *    lone DC d gives (d+32)>>6 everywhere -> flat residual == z.
+  *  - qp=36: dcY = 160z -> residual (160z+32)>>6 (arithmetic shift).
+  *  - AC trailing-one at scan 1, qp=28: LevelScale(4, class mixed)
+  *    = 320, shift 0 -> d1 = 320·a; the row transform of
+  *    (128, 320, 0, 0) is f = (448, 288, -32, -192) and each column
+  *    collapses to (f_c+32)>>6 -> columns (7, 5, 0, -3) on top of
+  *    pred 128 + nothing else (z=2 contributes the 128 = 64·2 DC).
+  */
+class H264Spec extends AnyFunSuite {
+
+  private def pattern(id: Int)(x: Int, y: Int): Int =
+    (id * 31 + x * 7 + y * 13) % 256
+
+  test("I_PCM round-trip: 2x2 macroblocks, arbitrary pattern, bit-exact") {
+    val es = H264.encodeIFrame(2, 2, mb => {
+      val bx = (mb % 2) * 16; val by = (mb / 2) * 16
+      Pcm((x, y) => pattern(7)(bx + x, by + y))
+    })
+    val Some((w, h, luma)) = H264.decodeIFrameLuma(es)
+    assert(w == 32 && h == 32)
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert(luma(y * 32 + x) == pattern(7)(x, y), s"($x,$y)")
+  }
+
+  test("I_PCM with zero bytes forces emulation-prevention escapes and survives them") {
+    val es = H264.encodeIFrame(1, 1, _ => Pcm((_, _) => 0))
+    // raw zero runs MUST have been escaped: no 00 00 00/01/02/03 runs
+    // inside a NAL payload
+    val Some((w, h, luma)) = H264.decodeIFrameLuma(es)
+    assert(w == 16 && h == 16)
+    assert(luma.forall(_ == 0))
+  }
+
+  test("Intra_16x16 DC-only at qp=28 is exactly 128+z for every z in -7..7") {
+    for (z <- -7 to 7) {
+      val es = H264.encodeIFrame(1, 1, _ => I16Dc(z), qp = 28)
+      val Some((w, h, luma)) = H264.decodeIFrameLuma(es)
+      assert(w == 16 && h == 16)
+      assert(luma.forall(_ == 128 + z), s"z=$z: got ${luma.distinct.toSeq}")
+    }
+  }
+
+  test("Intra_16x16 DC-only at qp=36: residual (160z+32)>>6, incl. negative floor") {
+    for (z <- Seq(-7, -2, -1, 0, 1, 2, 7)) {
+      val es = H264.encodeIFrame(1, 1, _ => I16Dc(z), qp = 36)
+      val Some((_, _, luma)) = H264.decodeIFrameLuma(es)
+      val expect = 128 + ((160 * z + 32) >> 6)
+      assert(luma.forall(_ == expect), s"z=$z")
+    }
+  }
+
+  test("trailing-one AC coefficient: block-0 columns (7,5,0,-3) over DC z=2, qp=28") {
+    val es = H264.encodeIFrame(1, 1, _ => I16Dc(2, ac0 = 1), qp = 28)
+    val Some((_, _, luma)) = H264.decodeIFrameLuma(es)
+    val colRes = Array(7, 5, 0, -3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expect =
+        if (x < 4 && y < 4) 128 + colRes(x) // block 0 carries the AC
+        else 130 // every other block: DC-only, 128 + z
+      assert(luma(y * 16 + x) == expect, s"($x,$y)")
+    }
+  }
+
+  test("PCM neighbor drives the nC>=8 FLC table and DC prediction from the left") {
+    // MB0 flat PCM 100; MB1 I16 DC-mode: pred = (16*100+8)>>4 = 100,
+    // pixels 100+z; the DC block's nC = left nz 16 -> FLC coeff_token
+    val es = H264.encodeIFrame(2, 1, mb =>
+      if (mb == 0) Pcm((_, _) => 100) else I16Dc(3), qp = 28)
+    val Some((w, h, luma)) = H264.decodeIFrameLuma(es)
+    assert(w == 32 && h == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(luma(y * 32 + x) == 100)
+      assert(luma(y * 32 + 16 + x) == 103, s"($x,$y)")
+    }
+  }
+
+  test("top+left DC prediction averages both edges") {
+    // 2x2 grid: three flat PCM MBs (60, 200, 90), bottom-right I16 DC:
+    // pred = (16*90 + 16*200 + 16)>>5 = (1440+3200+16)>>5 = 145
+    val es = H264.encodeIFrame(2, 2, {
+      case 0 => Pcm((_, _) => 60)
+      case 1 => Pcm((_, _) => 200) // top neighbor of MB3
+      case 2 => Pcm((_, _) => 90) // left neighbor of MB3
+      case _ => I16Dc(-4)
+    }, qp = 28)
+    val Some((_, _, luma)) = H264.decodeIFrameLuma(es)
+    for (y <- 16 until 32; x <- 16 until 32)
+      assert(luma(y * 32 + x) == 145 - 4, s"($x,$y)")
+  }
+
+  test("vertical and horizontal prediction modes copy the neighbor edge") {
+    // V: 1x2 grid, MB0 PCM with per-column values, MB1 V-mode z=0 ->
+    // every row repeats MB0's bottom row
+    val esV = H264.encodeIFrame(1, 2, {
+      case 0 => Pcm((x, _) => 50 + x * 3)
+      case _ => I16Dc(0, pred = 0)
+    }, qp = 28)
+    val Some((_, _, lv)) = H264.decodeIFrameLuma(esV)
+    for (y <- 16 until 32; x <- 0 until 16)
+      assert(lv(y * 16 + x) == 50 + x * 3, s"V ($x,$y)")
+    // H: 2x1 grid, MB0 PCM with per-row values, MB1 H-mode z=0 ->
+    // every column repeats MB0's right column
+    val esH = H264.encodeIFrame(2, 1, {
+      case 0 => Pcm((_, y) => 40 + y * 5)
+      case _ => I16Dc(0, pred = 1)
+    }, qp = 28)
+    val Some((_, _, lh)) = H264.decodeIFrameLuma(esH)
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(lh(y * 32 + x) == 40 + y * 5, s"H ($x,$y)")
+  }
+
+  test("plane prediction on flat neighbors reproduces the flat value") {
+    // all-flat 100 PCM top/left => H = V = 0, a = 16*(100+100),
+    // pred = (3200+16)>>5 = 100 everywhere
+    val es = H264.encodeIFrame(2, 2, {
+      case 3 => I16Dc(0, pred = 3)
+      case _ => Pcm((_, _) => 100)
+    }, qp = 28)
+    val Some((_, _, luma)) = H264.decodeIFrameLuma(es)
+    for (y <- 16 until 32; x <- 16 until 32)
+      assert(luma(y * 32 + x) == 100, s"($x,$y)")
+  }
+
+  test("NAL-list decode (the avcC/length-prefixed form) matches Annex-B") {
+    val mb: Int => H264.Mb = _ => I16Dc(5)
+    val fromList = H264.decodeIFrameLumaNals(Seq(
+      H264.spsNal(1, 1), H264.ppsNal(28), H264.idrNal(1, 1, mb, 28)))
+    val fromAnnexB = H264.decodeIFrameLuma(H264.encodeIFrame(1, 1, mb, 28))
+    assert(fromList.isDefined && fromAnnexB.isDefined)
+    assert(fromList.get._3.toSeq == fromAnnexB.get._3.toSeq)
+  }
+
+  test("degrade-to-None: truncation, garbage, cross-codec, missing SPS/PPS") {
+    val es = H264.encodeIFrame(1, 1, _ => Pcm((x, y) => (x * y) % 256))
+    assert(H264.decodeIFrameLuma(es.take(es.length - 20)).isEmpty, "truncated")
+    assert(H264.decodeIFrameLuma(Array.fill[Byte](64)(0x42)).isEmpty, "garbage")
+    assert(H264.decodeIFrameLuma(
+      graft.ext.Mpeg1.encodeIFrame(1, 1, (_, _) => 99)).isEmpty, "mpeg1 stream")
+    // slice without its parameter sets
+    val idrOnly = Array[Byte](0, 0, 0, 1) ++ H264.idrNal(1, 1, _ => I16Dc(1), 28)
+    assert(H264.decodeIFrameLuma(idrOnly).isEmpty, "no sps/pps")
+  }
+
+  test("avc1-in-MP4 fixture: avcC config + length-prefixed samples decode to the quadrant formula") {
+    import graft.ext.Multimodal
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val mp4 = Multimodal.syntheticAvcMp4(id, nFrames = 3)
+      val frames = Multimodal.decodeAvcFrames(mp4, 8)
+      assert(frames.size == 3, s"id=$id")
+      frames.foreach { case (f, w, h, mean, std) =>
+        assert(w == 16 && h == 16)
+        val g = (0 until 4).map(q =>
+          ((id * (31 + 6 * q) + 11 + 5 * q + 29L * (f - 1)) % 256).toDouble)
+        val em = g.sum / 4
+        val esd = math.sqrt(g.map(v => v * v).sum / 4 - em * em)
+        assert(math.abs(mean - em) < 1e-9, s"id=$id f=$f mean")
+        assert(math.abs(std - esd) < 1e-9, s"id=$id f=$f std")
+      }
+    }
+  }
+
+  test("decode dispatch marks avc1 fixtures decoded=true; hev1-ish payloads stay fenced") {
+    import graft.ext.Multimodal
+    val (w, h, feat, decoded) = Multimodal.decode(Multimodal.syntheticAvcMp4(5L))
+    assert(decoded && w == 16 && h == 16 && feat.length == 2)
+    // the metadata-only fixture (no real avc samples) still degrades
+    val (_, _, _, fenced) = Multimodal.decode(Multimodal.syntheticMp4(5L))
+    assert(!fenced)
+  }
+
+  test("decode is deterministic and re-runnable on the same bytes") {
+    val es = H264.encodeIFrame(2, 1, mb =>
+      if (mb == 0) Pcm((x, y) => pattern(3)(x, y)) else I16Dc(-6), qp = 28)
+    val a = H264.decodeIFrameLuma(es).get._3
+    val b = H264.decodeIFrameLuma(es).get._3
+    assert(a.toSeq == b.toSeq)
+  }
+}
