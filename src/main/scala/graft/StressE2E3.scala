@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Above-gate stress for the round-12 embedding slots: E3 (conv AE →
-  * linear substitute past the 2·10⁴ gate) and E2 (UMAP-lite → landmark
-  * path past its gate). Proves the gates flip, the scale paths engage,
-  * and cost stays sane as n grows. Results recorded in SCALE.md; not
-  * part of the shipped surface. */
+/** Above-gate stress for the round-12 embedding slots: E3 (driver conv
+  * fit+embed → broadcast-weights distributed conv projection past the
+  * 2·10⁴ gate) and E2 (UMAP-lite → landmark path past its gate).
+  * Proves the gates flip, the scale paths engage, and cost stays sane
+  * as n grows. Results recorded in SCALE.md; not part of the shipped
+  * surface. */
 object StressE2E3 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -30,10 +31,11 @@ object StressE2E3 {
           sin(CAST(t AS DOUBLE) * (0.2 + CAST(id % 3 AS DOUBLE) * 0.17))
           + CAST(pmod(hash(id, t), 100) AS DOUBLE) / 400.0)""").as("values"))
 
-    // E3: below the gate the seeded conv AE trains (bounded 256-image
-    // fit regardless of n); above it the PCA substitute takes over
+    // E3: below the gate the seeded conv AE trains and embeds on the
+    // driver (bounded 256-image fit regardless of n); above it the
+    // SAME conv latents continue — broadcast weights + map-side forward
     for (n <- Seq(15000L, 19999L, 50000L, 200000L))
-      time(s"aeEmbed n=$n (${if (n < 20000) "conv AE, bounded fit" else "linear substitute"})") {
+      time(s"aeEmbed n=$n (${if (n < 20000) "driver conv fit+embed" else "distributed conv projection"})") {
         graft.ml.Embedding.aeEmbed(series(n), "gaf", 8)
           .agg(sum(abs(col("x"))), sum(abs(col("y")))).collect()
       }

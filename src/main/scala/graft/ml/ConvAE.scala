@@ -375,6 +375,47 @@ object ConvAE {
     (z, hist)
   }
 
+  /** Trained parameter tensors (in `Net.all` order) plus the
+    * per-epoch history — a plain-arrays artifact a driver can
+    * BROADCAST for the distributed projection path. Identical seeding
+    * and training to [[fitEmbedWithHistory]], so
+    * `encoder(weights)(x)` is bitwise the embedding that call would
+    * produce for `x`. */
+  def fitWeightsWithHistory(fit: Array[Array[Double]],
+      cfg: Config): (Array[Array[Double]], Array[Double]) = {
+    require(fit.nonEmpty, "ConvAE.fitWeights: empty fit set")
+    require(fit.forall(_.length == cfg.imgSize * cfg.imgSize),
+      s"ConvAE: images must be ${cfg.imgSize}x${cfg.imgSize}")
+    val net = new Net(cfg)
+    val ws = new Ws(net, cfg)
+    val hist = trainInPlace(net, ws, fit, cfg)
+    (net.all.map(_.w.clone()), hist)
+  }
+
+  /** Latent encoder over trained weight tensors: one Net + scratch
+    * workspace allocated up front and REUSED per call — NOT
+    * thread-safe; allocate one per task/partition (Spark tasks
+    * consume their iterator single-threaded, so a per-partition
+    * instance inside `mapPartitions` is the intended use). */
+  def encoder(weights: Array[Array[Double]], cfg: Config): Array[Double] => Array[Double] = {
+    val net = new Net(cfg)
+    require(weights.length == net.all.length &&
+      weights.indices.forall(i => weights(i).length == net.all(i).w.length),
+      "ConvAE.encoder: weight shapes do not match the config")
+    var i = 0
+    while (i < weights.length) {
+      System.arraycopy(weights(i), 0, net.all(i).w, 0, weights(i).length)
+      i += 1
+    }
+    val ws = new Ws(net, cfg)
+    x => {
+      require(x.length == cfg.imgSize * cfg.imgSize,
+        s"ConvAE.encoder: image must be ${cfg.imgSize}x${cfg.imgSize}")
+      forward(net, cfg, x, ws, latentOnly = true)
+      ws.z.clone()
+    }
+  }
+
   /** Mean reconstruction MSE over `fit` BEFORE and AFTER training —
     * the spec's loss-decreases contract (trains once). */
   def mseBeforeAfter(fit: Array[Array[Double]], cfg: Config): (Double, Double) = {

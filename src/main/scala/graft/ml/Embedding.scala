@@ -309,26 +309,73 @@ object Embedding {
     * Dense(2) latent, ConvT mirror, Adam + MSE, early stopping,
     * fixed seed), trained on a bounded seeded sample (CanonicalFit
     * pattern — fit cost flat in corpus size) and projecting EVERY
-    * series. At/above the gate, [[aeSubstitute]] (PCA, the linear-AE
-    * optimum) is the documented scale fallback: latent projection at
-    * 100-TB row counts must be a map-side pass, which the linear form
-    * is and a driver-held conv net also is — the gate exists because
-    * TRAINING beyond ~10⁴ images stops being a driver-side task, and
-    * a faithful distributed conv-AE trainer is out of scope (no deep-
-    * learning runtime in the env; COVERAGE.md §2.7).
+    * series. At/above the gate, [[aeDistributed]] keeps the SAME conv
+    * latents at scale (round 12b — the linear substitute is no longer
+    * the scale regime): the fit stays a bounded driver artifact
+    * (training beyond ~10⁴ images stops being a driver-side task and a
+    * faithful distributed conv-AE trainer is out of scope — no deep-
+    * learning runtime in the env; COVERAGE.md §2.7), and the
+    * PROJECTION becomes one weight broadcast + a map-side forward
+    * pass, the same shuffle-free shape the PCA substitute's dot
+    * product had, just the conv FLOPs.
     *
-    * Deterministic at any parallelism: images are collected in id
-    * order and every training step is sequential driver code. */
+    * Deterministic at any parallelism: below the gate images are
+    * collected in id order and every training step is sequential
+    * driver code; above it the per-row encode is a pure function of
+    * the broadcast weights. */
   def aeEmbed(series: DataFrame, imaging: String, imgSize: Int,
       gate: Long = 20000L, cfg: ConvAE.Config = ConvAE.Config()): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
     val probe = math.min(math.max(gate, 1L), Int.MaxValue.toLong).toInt
     if (!(gate > 0 && series.limit(probe).count() < gate))
-      return aeSubstitute(series, imaging, imgSize)
+      return aeDistributed(series, imaging, imgSize, cfg)
     val (ids, z, _) = aeFit(series, imaging, imgSize, cfg)
     ids.zip(z).map { case (id, e) => (id, e(0), e(1)) }
       .toSeq.toDF("series_id", "x", "y")
+  }
+
+  /** Above-gate conv path: bounded seeded fit (xxhash64-ranked sample,
+    * the UMAP-landmark selection rule — partition k-heaps, no global
+    * sort), one broadcast of (trained tensors, global normalization
+    * max), then a shuffle-free map-side forward pass per row. The
+    * fit-set RULE differs from the driver regime's collected-shuffle
+    * sample, but whenever the corpus fits inside `fitSample` both
+    * rules select everything in id order, so the two paths are
+    * bitwise identical there (ConvAESpec pin — the landmark==exact
+    * discipline from [[Umap]]). */
+  private def aeDistributed(series: DataFrame, imaging: String,
+      imgSize: Int, cfg: ConvAE.Config): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val c = cfg.copy(imgSize = imgSize)
+    require(c.latent == 2, s"aeEmbed emits (x, y); latent = ${c.latent}")
+    val imgs = series.select(col("series_id").cast("long").as("series_id"),
+      graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")).as("img"))
+    // global-max normalization (app.py:531-533): max is order-free, so
+    // the distributed agg is bitwise the driver regime's value
+    val mxRow = imgs.agg(max(array_max(col("img")))).head()
+    val mx = if (mxRow.isNullAt(0)) 0.0 else mxRow.getDouble(0)
+    val fitRows = imgs
+      .withColumn("__h", xxhash64(col("series_id"), lit(c.seed)))
+      .orderBy(col("__h"), col("series_id"))
+      .limit(c.fitSample)
+      .select(col("series_id"), col("img"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    require(fitRows.nonEmpty, "aeEmbed: empty input")
+    val fitSet = fitRows.map(r => if (mx > 0) r._2.map(_ / mx) else r._2)
+    val (weights, _) = ConvAE.fitWeightsWithHistory(fitSet, c)
+    val bc = spark.sparkContext.broadcast((weights, mx))
+    imgs.as[(Long, Array[Double])].mapPartitions { it =>
+      val (w, m) = bc.value
+      val enc = ConvAE.encoder(w, c)
+      it.map { case (id, img) =>
+        val x = if (m > 0) img.map(_ / m) else img
+        val z = enc(x)
+        (id, z(0), z(1))
+      }
+    }.toDF("series_id", "x", "y")
   }
 
   /** The conv-AE training-progress surface (reference:

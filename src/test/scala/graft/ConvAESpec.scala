@@ -57,7 +57,7 @@ class ConvAESpec extends SparkSpec {
   }
 
   test("aeEmbed: partition-layout independent (repartition 1 vs 7) and " +
-      "gate falls back to the linear substitute") {
+      "the distributed scale path is bitwise the driver path on a shared fit set") {
     val ser = (0 until 12).map { i =>
       ("s" + i, Array.tabulate(16)(t =>
         math.sin((t + 1) * (i % 3 + 1) * 0.7) + 0.05 * i))
@@ -70,12 +70,29 @@ class ConvAESpec extends SparkSpec {
       .orderBy("series_id").collect().toSeq
     assert(r1 == r7, "conv-AE embedding depends on partitioning")
     assert(r1.size == 12)
-    // gate = 0 forces the substitute: same shape, PCA values
-    val sub = Embedding.aeEmbed(ser, "gaf", 8, gate = 0)
+    // gate = 0 forces the SCALE path (broadcast weights + map-side
+    // forward). With n <= fitSample both regimes fit EVERYTHING in id
+    // order, so the distributed projection must equal the driver
+    // regime bitwise — the landmark==exact discipline.
+    val dist = Embedding.aeEmbed(ser, "gaf", 8, gate = 0)
       .orderBy("series_id").collect().toSeq
-    val subDirect = Embedding.aeSubstitute(ser, "gaf", 8)
+    assert(dist == r1, "distributed conv path != driver conv path on the same fit set")
+    // and the scale path itself is partition-layout independent
+    val dist5 = Embedding.aeEmbed(ser.repartition(5), "gaf", 8, gate = 0)
       .orderBy("series_id").collect().toSeq
-    assert(sub == subDirect, "gate=0 did not route to aeSubstitute")
+    assert(dist5 == dist, "distributed conv path depends on partitioning")
+  }
+
+  test("fitWeights + encoder reproduce fitEmbed bitwise (the broadcast artifact contract)") {
+    val imgs = Array.tabulate(14)(i => fakeImg(i + 3, 8))
+    val cfg = ConvAE.Config(epochs = 8, seed = 13)
+    val direct = ConvAE.fitEmbed(imgs, imgs, cfg)
+    val (weights, hist) = ConvAE.fitWeightsWithHistory(imgs, cfg)
+    assert(hist.nonEmpty)
+    val enc = ConvAE.encoder(weights, cfg)
+    val viaWeights = imgs.map(enc)
+    assert(direct.zip(viaWeights).forall { case (a, b) => a.sameElements(b) },
+      "encoder(weights) diverged from fitEmbed")
   }
 
   test("training history: per-epoch losses surface, strictly fewer than " +
