@@ -149,12 +149,13 @@ object H264 {
   // ---------------------------------------------------------------- headers
 
   private final case class Sps(
-      mbW: Int, mbH: Int,
+      id: Int, mbW: Int, mbH: Int,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       deltaPocAlwaysZero: Boolean)
 
   private final case class Pps(
+      id: Int, spsId: Int,
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
       bottomFieldPoc: Boolean)
 
@@ -167,7 +168,7 @@ object H264 {
     val profile = br.bits(8)
     br.bits(8) // constraint flags + reserved
     br.bits(8) // level_idc
-    br.ue() // sps_id
+    val spsId = br.ue()
     if (HighProfiles.contains(profile)) {
       val chromaFormat = br.ue()
       if (chromaFormat != 1) throw ParseFail // 4:2:0 only
@@ -177,10 +178,14 @@ object H264 {
       if (br.bit() == 1) throw ParseFail // seq_scaling_matrix: not implemented
     }
     val log2MaxFrameNum = br.ue() + 4
+    if (log2MaxFrameNum > 16) throw ParseFail // spec bound (7.4.2.1)
     val pocType = br.ue()
     var log2MaxPocLsb = 0
     var deltaPocAlwaysZero = false
-    if (pocType == 0) log2MaxPocLsb = br.ue() + 4
+    if (pocType == 0) {
+      log2MaxPocLsb = br.ue() + 4
+      if (log2MaxPocLsb > 16) throw ParseFail
+    }
     else if (pocType == 1) {
       deltaPocAlwaysZero = br.bit() == 1
       br.se(); br.se()
@@ -197,15 +202,17 @@ object H264 {
     var cl = 0; var cr = 0; var ct = 0; var cb = 0
     if (br.bit() == 1) { cl = br.ue(); cr = br.ue(); ct = br.ue(); cb = br.ue() }
     // vui ignored (everything needed is parsed)
-    if (mbW <= 0 || mbH <= 0 || mbW * mbH > (1 << 20)) throw ParseFail
-    Sps(mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      deltaPocAlwaysZero)
+    // 32768 MBs (e.g. 4096x2048 px) caps the luma buffer at ~33 MB —
+    // a crafted ue(v) frame size must cost a degrade, not a task OOM
+    if (mbW <= 0 || mbH <= 0 || mbW.toLong * mbH > 32768L) throw ParseFail
+    Sps(spsId, mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType,
+      log2MaxPocLsb, deltaPocAlwaysZero)
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
     val br = new BitReader(rbsp)
-    br.ue() // pps_id
-    br.ue() // sps_id
+    val ppsId = br.ue()
+    val spsId = br.ue()
     if (br.bit() == 1) throw ParseFail // CABAC: not implemented
     val bottomFieldPoc = br.bit() == 1
     if (br.ue() != 0) throw ParseFail // num_slice_groups_minus1
@@ -223,7 +230,8 @@ object H264 {
       if (br.bit() == 1) throw ParseFail // pic_scaling_matrix
       br.se() // second_chroma_qp_index_offset
     }
-    Pps(picInitQp, deblockPresent, redundantPresent, bottomFieldPoc)
+    Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
+      bottomFieldPoc)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -284,6 +292,23 @@ object H264 {
     throw ParseFail
   }
 
+  /** total_zeros for chroma-DC 2x2 blocks (table 9-9(a)) — a DIFFERENT
+    * table from the 4x4 one: tc=1: {1, 01, 001, 000}, tc=2: {1, 01,
+    * 00}, tc=3: {1, 0}. Small enough to reproduce completely. */
+  private def totalZerosChromaDc(br: BitReader, tc: Int): Int = tc match {
+    case 1 =>
+      if (br.bit() == 1) 0
+      else if (br.bit() == 1) 1
+      else if (br.bit() == 1) 2
+      else 3
+    case 2 =>
+      if (br.bit() == 1) 0
+      else if (br.bit() == 1) 1
+      else 2
+    case 3 => if (br.bit() == 1) 0 else 1
+    case _ => throw ParseFail
+  }
+
   /** run_before (table 9-10): zerosLeft == 1 plus the zerosLeft > 6
     * unary tail are reproduced with certainty; other columns degrade. */
   private def runBefore(br: BitReader, zerosLeft: Int): Int = {
@@ -338,8 +363,9 @@ object H264 {
     }
     val totalZeros =
       if (tc == maxNumCoeff) 0
+      else if (nC == -1) totalZerosChromaDc(br, tc) // 2x2 table 9-9(a)
       else if (tc == 1) totalZerosTc1(br)
-      else throw ParseFail // total_zeros columns tc >= 2: not reproduced
+      else throw ParseFail // 4x4 total_zeros columns tc >= 2: not reproduced
     if (totalZeros > maxNumCoeff - tc) throw ParseFail
     var zerosLeft = totalZeros
     var scanIdx = tc - 1 + totalZeros
@@ -451,17 +477,41 @@ object H264 {
     * (width, height, luma row-major) or None. */
   def decodeIFrameLumaNals(nals: Seq[Array[Byte]]): Option[(Int, Int, Array[Int])] = {
     try {
-      var sps: Sps = null
-      var pps: Pps = null
+      // id-keyed parameter sets: the SLICE selects its PPS (and via it
+      // the SPS) by id — a stream carrying several sets must decode
+      // against the referenced one, and a set we cannot parse only
+      // matters if the slice references it (poisoned id -> None then,
+      // decodable otherwise)
+      val spsById = scala.collection.mutable.Map.empty[Int, Sps]
+      val ppsById = scala.collection.mutable.Map.empty[Int, Pps]
+      val poisoned = scala.collection.mutable.Set.empty[(Int, Int)] // (type, id)
+      def idOf(rbsp: Array[Byte], skip: Int): Int = {
+        val br = new BitReader(rbsp)
+        var i = 0
+        while (i < skip) { br.bits(8); i += 1 }
+        br.ue()
+      }
       nals.foreach { nal =>
         if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
           val typ = nal(0) & 0x1F
           typ match {
-            case 7 => sps = parseSps(unescape(nal, 1))
-            case 8 => pps = parsePps(unescape(nal, 1))
+            case 7 =>
+              val rbsp = unescape(nal, 1)
+              try { val s = parseSps(rbsp); spsById(s.id) = s }
+              catch { case ParseFail =>
+                try poisoned += ((7, idOf(rbsp, 3)))
+                catch { case ParseFail => () }
+              }
+            case 8 =>
+              val rbsp = unescape(nal, 1)
+              try { val p = parsePps(rbsp); ppsById(p.id) = p }
+              catch { case ParseFail =>
+                try poisoned += ((8, idOf(rbsp, 0)))
+                catch { case ParseFail => () }
+              }
             case 5 | 1 =>
-              if (sps == null || pps == null) return None
-              return decodeSlice(unescape(nal, 1), sps, pps,
+              return decodeSlice(unescape(nal, 1), spsById.toMap,
+                ppsById.toMap, poisoned.toSet,
                 nalRefIdc = (nal(0) >> 5) & 3, isIdr = typ == 5)
             case _ => () // SEI/AUD/filler: skip
           }
@@ -477,13 +527,18 @@ object H264 {
 
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
+  private def decodeSlice(rbsp: Array[Byte], spsById: Map[Int, Sps],
+      ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean): Option[(Int, Int, Array[Int])] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice: single slice only
     val sliceType = br.ue()
     if (sliceType != 2 && sliceType != 7) return None // I slices only
-    br.ue() // pps_id
+    val ppsId = br.ue()
+    if (poisoned((8, ppsId))) return None // referenced PPS unparseable
+    val pps = ppsById.getOrElse(ppsId, return None)
+    if (poisoned((7, pps.spsId))) return None
+    val sps = spsById.getOrElse(pps.spsId, return None)
     br.bits(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
     if (sps.pocType == 0) {
@@ -747,8 +802,14 @@ object H264 {
     * AC blocks are coded). `pred` is the Intra16x16PredMode (8.3.3):
     * 0 = V, 1 = H, 2 = DC (default; the only mode legal without
     * neighbors), 3 = Plane — the caller must place non-DC modes where
-    * the needed neighbors exist, or the decoder refuses the stream. */
-  final case class I16Dc(z: Int, ac0: Int = 0, pred: Int = 2) extends Mb
+    * the needed neighbors exist, or the decoder refuses the stream.
+    * `chromaDcTz` >= 0 turns on cbp_chroma = 1 and writes one
+    * trailing-one chroma-DC coefficient per component at total_zeros
+    * = chromaDcTz (0..3) — luma output is unaffected (chroma is
+    * parse-only), but the stream exercises the 2x2 chroma-DC
+    * coeff_token + total_zeros tables end-to-end. */
+  final case class I16Dc(z: Int, ac0: Int = 0, pred: Int = 2,
+      chromaDcTz: Int = -1) extends Mb
 
   private final class BitWriter {
     private val buf = new scala.collection.mutable.ArrayBuffer[Byte]
@@ -817,10 +878,12 @@ object H264 {
   }
 
   /** PPS NAL (CAVLC, single slice group, deblocking control present —
-    * the encoder's slices disable the loop filter). */
-  def ppsNal(qp: Int): Array[Byte] = {
+    * the encoder's slices disable the loop filter). `id` lets tests
+    * exercise the by-id parameter-set selection (slices reference
+    * pps_id 0). */
+  def ppsNal(qp: Int, id: Int = 0): Array[Byte] = {
     val bw = new BitWriter
-    bw.putUe(0) // pps_id
+    bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
     bw.put(0, 1) // entropy: CAVLC
     bw.put(0, 1) // bottom_field_pic_order
@@ -884,12 +947,15 @@ object H264 {
             lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
             blk += 1
           }
-        case I16Dc(z, ac0, pred) =>
+        case I16Dc(z, ac0, pred, chromaDcTz) =>
           require(z >= -7 && z <= 7, s"dc level out of range: $z")
           require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
           require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
+          require(chromaDcTz >= -1 && chromaDcTz <= 3,
+            s"chromaDcTz out of range: $chromaDcTz")
           val cbpAc = if (ac0 != 0) 1 else 0
-          bw.putUe(1 + pred + 0 * 4 + cbpAc * 12) // I_16x16, cbpChroma 0
+          val cbpCh = if (chromaDcTz >= 0) 1 else 0
+          bw.putUe(1 + pred + cbpCh * 4 + cbpAc * 12) // I_16x16
           bw.putUe(0) // intra_chroma_pred_mode DC
           bw.putSe(0) // mb_qp_delta
           // luma DC block
@@ -910,6 +976,23 @@ object H264 {
             while (blk < 16) {
               lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
               blk += 1
+            }
+          }
+          if (cbpCh == 1) {
+            // one trailing-one (+1) chroma-DC coefficient per component
+            // at total_zeros = chromaDcTz: coeff_token (1,1) = '1' in
+            // the nC=-1 table, sign 0, then table 9-9(a) tc=1
+            var comp = 0
+            while (comp < 2) {
+              bw.put(1, 1) // coeff_token (1,1)
+              bw.put(0, 1) // sign: +1
+              chromaDcTz match {
+                case 0 => bw.put(1, 1) // '1'
+                case 1 => bw.put(1, 2) // '01'
+                case 2 => bw.put(1, 3) // '001'
+                case 3 => bw.put(0, 3) // '000'
+              }
+              comp += 1
             }
           }
       }

@@ -1017,7 +1017,10 @@ object Multimodal {
         if (bytes(2) == 1) p = 3
         else if (bytes.length >= 6 && bytes(2) == 0 && bytes(3) == 1) p = 4
       }
-      p > 0 && p < bytes.length && (bytes(p) & 0x1F) == 7
+      // an H.264 elementary stream may open with an access-unit
+      // delimiter (9) or SEI (6) before the SPS (7) — the NAL walk
+      // inside the decoder skips those anyway
+      p > 0 && p < bytes.length && Set(6, 7, 9)(bytes(p) & 0x1F)
     }
     if (isAnnexBSps)
       H264.decodeIFrameLuma(bytes).map { case (w, h, l) =>

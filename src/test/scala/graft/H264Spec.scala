@@ -132,6 +132,21 @@ class H264Spec extends AnyFunSuite {
       assert(luma(y * 32 + x) == 100, s"($x,$y)")
   }
 
+  test("chroma-DC residuals parse through the 2x2 tables at every total_zeros; luma unaffected") {
+    // the 2x2 chroma-DC total_zeros table (9-9a) differs from the 4x4
+    // one — a tz>0 chroma coefficient must keep bitstream sync (the
+    // MB after it decodes correctly) and leave luma untouched
+    val base = H264.decodeIFrameLuma(
+      H264.encodeIFrame(2, 1, _ => I16Dc(4), qp = 28)).get._3
+    for (tz <- 0 to 3) {
+      val es = H264.encodeIFrame(2, 1, mb =>
+        if (mb == 0) I16Dc(4, chromaDcTz = tz) else I16Dc(4), qp = 28)
+      val got = H264.decodeIFrameLuma(es)
+      assert(got.isDefined, s"tz=$tz failed to decode")
+      assert(got.get._3.toSeq == base.toSeq, s"tz=$tz changed luma")
+    }
+  }
+
   test("NAL-list decode (the avcC/length-prefixed form) matches Annex-B") {
     val mb: Int => H264.Mb = _ => I16Dc(5)
     val fromList = H264.decodeIFrameLumaNals(Seq(
@@ -139,6 +154,21 @@ class H264Spec extends AnyFunSuite {
     val fromAnnexB = H264.decodeIFrameLuma(H264.encodeIFrame(1, 1, mb, 28))
     assert(fromList.isDefined && fromAnnexB.isDefined)
     assert(fromList.get._3.toSeq == fromAnnexB.get._3.toSeq)
+  }
+
+  test("parameter sets select by id: a later unrelated PPS must not shadow the referenced one") {
+    val mb: Int => H264.Mb = _ => I16Dc(4)
+    val expect = H264.decodeIFrameLumaNals(Seq(
+      H264.spsNal(1, 1), H264.ppsNal(28), H264.idrNal(1, 1, mb, 28)))
+    assert(expect.isDefined && expect.get._3.forall(_ == 132)) // 128 + 4 at qp 28
+    // pps id 1 carries qp 36 — decoding against it would read 138;
+    // the slice references pps_id 0, so id 1 must be ignored
+    val got = H264.decodeIFrameLumaNals(Seq(
+      H264.spsNal(1, 1), H264.ppsNal(28), H264.ppsNal(36, id = 1),
+      H264.idrNal(1, 1, mb, 28)))
+    assert(got.isDefined, "multi-PPS stream refused")
+    assert(got.get._3.toSeq == expect.get._3.toSeq,
+      "slice decoded against the wrong (last-parsed) PPS")
   }
 
   test("degrade-to-None: truncation, garbage, cross-codec, missing SPS/PPS") {
