@@ -60,25 +60,51 @@ object Tables {
   /** Best-effort reaping of a DEAD process's scratch dirs: the
     * shutdown hook cannot run on OOM-kill/SIGKILL, and pid-unique
     * paths are never reused, so each issue scans its own
-    * `graft_<tag>_<hash>_p*` siblings and deletes those whose pid is
+    * `graft_<tag>_<hash>_p*` siblings and deletes those whose owner is
     * no longer alive — orphans survive at most until the next run of
-    * the same (tag, key). The liveness probe alone is not sufficient:
+    * the same (tag, key). The pid alone is not a sufficient identity:
     * a dead owner's pid can be RECYCLED by an unrelated live process
-    * (ADVICE r11), making the orphan look owned forever — so reaping
-    * is also age-gated: a name-matched sibling untouched for 24 h is
-    * deleted regardless of apparent pid liveness (no real owner keeps
-    * a scratch dir cold that long; writers touch it every run). */
-  private def reapDead(dir: java.io.File, prefix: String): Unit = {
+    * (ADVICE r11), making the orphan look owned forever — so the dir
+    * name also carries the owner JVM's START-TIME (`p<pid>t<epochMs>`,
+    * the boot-time token ADVICE suggested): the owner counts as alive
+    * only when a live process has BOTH that pid and that start
+    * instant, which a recycled pid cannot (start times are strictly
+    * later). An age gate would be wrong here — a long-lived session
+    * can legitimately keep serving Memo'd plans over a >24h-cold dir
+    * (review r12) — so it applies ONLY to legacy token-less names,
+    * where recycled-pid orphans are otherwise undetectable. */
+  private[graft] def reapDead(dir: java.io.File, prefix: String): Unit = {
     val staleMs = 24L * 3600 * 1000
+    val self = ProcessHandle.current().pid()
+    val selfStart = ProcessHandle.current().info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
     val kids = dir.listFiles()
     if (kids != null) kids.foreach { f =>
       val n = f.getName
       if (n.startsWith(prefix)) {
-        val pid = n.substring(prefix.length).toLongOption
-        val isSelf = pid.contains(ProcessHandle.current().pid())
-        val ownerDead = pid.exists(p => !ProcessHandle.of(p).isPresent)
+        val (pid, startMs) = n.substring(prefix.length).split('t') match {
+          case Array(p, t) => (p.toLongOption, t.toLongOption)
+          case Array(p)    => (p.toLongOption, None)
+          case _           => (None, None)
+        }
+        // "self" is pid AND (for tokened names) start-instant: a dir
+        // left by a dead process whose pid WE recycled is not ours
+        val isSelf = pid.contains(self) &&
+          startMs.forall(t => selfStart == -1L || t == selfStart)
         val aged = System.currentTimeMillis() - f.lastModified() > staleMs
-        if (!isSelf && (ownerDead || aged)) rmTree(f)
+        val reap = (pid, startMs) match {
+          case (Some(p), Some(t)) => // tokened: exact owner identity
+            ProcessHandle.of(p).map[Boolean] { h =>
+              // unreadable start instant → trust the pid (conservative)
+              h.info().startInstant()
+                .map[Boolean](si => si.toEpochMilli != t).orElse(false)
+            }.orElse(true) // pid gone → owner dead
+          case (Some(p), None) => // legacy pid-only name: dead pid, or
+            // aged (the recycled-pid fallback — undetectable otherwise)
+            !ProcessHandle.of(p).isPresent || aged
+          case _ => aged // unparseable: age only
+        }
+        if (!isSelf && reap) rmTree(f)
       }
     }
   }
@@ -88,8 +114,14 @@ object Tables {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     try reapDead(tmp, s"graft_${tag}_${h}_p")
     catch { case _: Throwable => () } // reaping is best-effort, never fatal
+    // p<pid>t<startMs>: the start-time token makes the owner identity
+    // exact under pid recycling (see reapDead). Missing start instant
+    // (exotic JVMs) falls back to the legacy pid-only name.
+    val me = ProcessHandle.current()
+    val tok = me.info().startInstant()
+      .map[String](si => s"t${si.toEpochMilli}").orElse("")
     val p = new java.io.File(tmp,
-      s"graft_${tag}_${h}_p${ProcessHandle.current().pid()}").toString
+      s"graft_${tag}_${h}_p${me.pid()}$tok").toString
     trackForCleanup(p)
     p
   }

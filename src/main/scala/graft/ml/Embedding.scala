@@ -350,23 +350,10 @@ object Embedding {
     import spark.implicits._
     val c = cfg.copy(imgSize = imgSize)
     require(c.latent == 2, s"aeEmbed emits (x, y); latent = ${c.latent}")
+    val (weights, mx, _) = aeDistFit(series, imaging, imgSize, c)
+    val bc = spark.sparkContext.broadcast((weights, mx))
     val imgs = series.select(col("series_id").cast("long").as("series_id"),
       graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")).as("img"))
-    // global-max normalization (app.py:531-533): max is order-free, so
-    // the distributed agg is bitwise the driver regime's value
-    val mxRow = imgs.agg(max(array_max(col("img")))).head()
-    val mx = if (mxRow.isNullAt(0)) 0.0 else mxRow.getDouble(0)
-    val fitRows = imgs
-      .withColumn("__h", xxhash64(col("series_id"), lit(c.seed)))
-      .orderBy(col("__h"), col("series_id"))
-      .limit(c.fitSample)
-      .select(col("series_id"), col("img"))
-      .as[(Long, Array[Double])].collect()
-      .sortBy(_._1)
-    require(fitRows.nonEmpty, "aeEmbed: empty input")
-    val fitSet = fitRows.map(r => if (mx > 0) r._2.map(_ / mx) else r._2)
-    val (weights, _) = ConvAE.fitWeightsWithHistory(fitSet, c)
-    val bc = spark.sparkContext.broadcast((weights, mx))
     imgs.as[(Long, Array[Double])].mapPartitions { it =>
       val (w, m) = bc.value
       val enc = ConvAE.encoder(w, c)
@@ -378,15 +365,83 @@ object Embedding {
     }.toDF("series_id", "x", "y")
   }
 
+  /** Above-gate fit artifact: (trained tensors, global normalization
+    * max, per-epoch loss history). Imaging — the dominant per-row
+    * cost — runs over the full corpus exactly ONCE here (the
+    * normalization max is a corpus-wide agg by reference semantics,
+    * app.py:531-533); the fit sample is selected by (series_id, hash)
+    * alone and only its ≤`fitSample` rows are imaged, so the sample
+    * pass is O(fitSample) imaging work, not a third full scan
+    * (review r12: the old shape imaged the corpus three times).
+    * Driver-cached like [[aeFit]] so the embedding and history
+    * queries above the gate share ONE training run — the reported
+    * curve is the curve of the weights the projection actually
+    * broadcast. */
+  private val aeDistFitCache =
+    new java.util.LinkedHashMap[String, (Array[Array[Double]], Double, Array[Double])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Array[Array[Double]], Double, Array[Double])]): Boolean =
+        size() > 4
+    }
+
+  private def aeDistFit(series: DataFrame, imaging: String, imgSize: Int,
+      c: ConvAE.Config): (Array[Array[Double]], Double, Array[Double]) = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val key = s"${System.identityHashCode(spark)}|$imaging|$imgSize|$c|" +
+      s"${series.queryExecution.logical.semanticHash()}"
+    aeDistFitCache.synchronized {
+      val hit = aeDistFitCache.get(key)
+      if (hit != null) return hit
+    }
+    // sample FIRST, on ids only (partition k-heaps via TakeOrdered —
+    // no imaging, no global sort), then image just the sampled rows.
+    // Same keys (xxhash64 of the cast id, then id) as the old
+    // image-everything selection, so the selected set is unchanged
+    // (ConvAESpec landmark==exact pin).
+    val keyed = series.select(col("series_id").cast("long").as("series_id"),
+      col("values"))
+    val fitRows = keyed
+      .withColumn("__h", xxhash64(col("series_id"), lit(c.seed)))
+      .orderBy(col("__h"), col("series_id"))
+      .limit(c.fitSample)
+      .select(col("series_id"),
+        graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values")).as("img"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    require(fitRows.nonEmpty, "aeEmbed: empty input")
+    // global-max normalization (app.py:531-533): max is order-free, so
+    // the distributed agg is bitwise the driver regime's value
+    val mxRow = keyed.agg(max(array_max(
+      graft.ops.Imaging.fusedImageUdf(imaging, imgSize)(col("values"))))).head()
+    val mx = if (mxRow.isNullAt(0)) 0.0 else mxRow.getDouble(0)
+    val fitSet = fitRows.map(r => if (mx > 0) r._2.map(_ / mx) else r._2)
+    val (weights, hist) = ConvAE.fitWeightsWithHistory(fitSet, c)
+    val out = (weights, mx, hist)
+    aeDistFitCache.synchronized { aeDistFitCache.put(key, out) }
+    out
+  }
+
   /** The conv-AE training-progress surface (reference:
     * app.py:599-613's per-epoch loss display): (epoch 1-based,
     * loss = mean train MSE). Deterministic — same seeded fit as
-    * [[aeEmbed]], so the curve is a pinnable artifact, not a log. */
+    * [[aeEmbed]], so the curve is a pinnable artifact, not a log.
+    * Gated EXACTLY like [[aeEmbed]] (review r12: the old path always
+    * collected the full corpus, and above the gate reported a
+    * DIFFERENT training run than the one the embedding used): below
+    * `gate` the history comes from the shared driver fit, above it
+    * from the shared bounded distributed fit — either way the curve
+    * describes the weights `aeEmbed` actually projects with. */
   def aeHistory(series: DataFrame, imaging: String, imgSize: Int,
-      cfg: ConvAE.Config = ConvAE.Config()): DataFrame = {
+      gate: Long = 20000L, cfg: ConvAE.Config = ConvAE.Config()): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
-    val (_, _, hist) = aeFit(series, imaging, imgSize, cfg)
+    val probe = math.min(math.max(gate, 1L), Int.MaxValue.toLong).toInt
+    val hist =
+      if (!(gate > 0 && series.limit(probe).count() < gate))
+        aeDistFit(series, imaging, imgSize, cfg.copy(imgSize = imgSize))._3
+      else aeFit(series, imaging, imgSize, cfg)._3
     hist.zipWithIndex.map { case (l, i) => (i + 1L, l) }
       .toSeq.toDF("epoch", "loss")
   }

@@ -633,16 +633,27 @@ object MlQueries {
           ("pca_c1", nPca, mPca), ("pca_c1_16d", nPca16, mPca16))
           .toDF("algo", "n", "n_mismatch").orderBy("algo")
       },
-      // round 12: the harness is now hash-gated, not rows-only — the
-      // contract IS a static table (every driver fixture caps at 40
-      // rows at sf0.01, and ANY path divergence must read 0). A
-      // nonzero mismatch or a changed fixture size hash-fails the row.
-      Some("""SELECT algo, CAST(n AS BIGINT) AS n,
+      // round 12: the harness is hash-gated, not rows-only — ANY path
+      // divergence must read 0, and `n` is DERIVED from the data, not
+      // hardcoded (review r12: a static 40 false-fails at scale
+      // factors where the <40 fixture has fewer series — sf0.001 has
+      // 15; GoldenSpec pins exactly that). The series fixtures all
+      // reduce to "distinct users with a non-null value, id < 40"
+      // (collectSeries drops null values; truncate/pad/normalize keep
+      // every series); the 16-D rows count embeddings under the same
+      // id cap.
+      Some("""WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+             |           FROM events WHERE value IS NOT NULL AND user_id < 40),
+             |     e AS (SELECT CAST(count(*) AS BIGINT) AS n
+             |           FROM embeddings WHERE vec_id < 40)
+             |SELECT t.algo,
+             |       CASE WHEN t.src = 'e' THEN e.n ELSE u.n END AS n,
              |       CAST(0 AS BIGINT) AS n_mismatch
-             |FROM (VALUES ('dbscan', 40), ('kmeans_cost', 40),
-             |             ('kshape', 40), ('mds_landmark_c1', 40),
-             |             ('mds_landmark_c1_16d', 40),
-             |             ('pca_c1', 40), ('pca_c1_16d', 40)) t(algo, n)
+             |FROM (VALUES ('dbscan', 'u'), ('kmeans_cost', 'u'),
+             |             ('kshape', 'u'), ('mds_landmark_c1', 'u'),
+             |             ('mds_landmark_c1_16d', 'e'),
+             |             ('pca_c1', 'u'), ('pca_c1_16d', 'e')) t(algo, src),
+             |     u, e
              |ORDER BY algo""".stripMargin)),
 
     // IVF approximate top-k: bucket-pruned search (rows-only; recall
