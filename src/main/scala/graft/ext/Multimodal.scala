@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * container tables, decoded with the same ImageIO), oracle-checked on
   * deterministic MJPEG-in-MP4 fixtures. Payloads none of those paths
   * recognize fall back to byte-histogram moments; that fallback is the
-  * one remaining STUB, and only because PREDICTIVE video codecs
-  * (avc1/hev1/…) genuinely don't ship with the JDK — swap it for an
-  * ffmpeg binding in production, nothing around it changes.
+  * one remaining STUB, and only for what genuinely needs a native
+  * decoder: H.264 inter/CABAC and hev1 (MPEG-1 I AND P pictures plus
+  * H.264 baseline-intra decode pure-JVM, rounds 12/12b) — swap it for
+  * an ffmpeg binding in production, nothing around it changes.
   *
   * Scale notes: decode is mapPartitions (one codec init per partition,
   * not per row — the same shape a Pandas-UDF/mapInPandas batch has);
@@ -814,7 +815,18 @@ object Multimodal {
     * at most `maxFrames` decodes, failures skip, empty for anything
     * that is not MPEG-1 intra. */
   private[graft] def decodeMpeg1Frames(bytes: Array[Byte],
-      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] =
+    decodeMpeg1FramesTyped(bytes, maxFrames)
+      .map { case (f, _, w, h, m, sd) => (f, w, h, m, sd) }
+
+  /** Like [[decodeMpeg1Frames]] but carrying the picture type
+    * ('I'/'P') — the inter paths (round 12b) decode P-pictures for
+    * real, so consumers can see which frames were keyframes. Each
+    * payload (raw ES, or each MP4 sample — every sample is its own
+    * elementary stream) may contain MULTIPLE pictures; frame indices
+    * run across the whole payload in decode order. */
+  private[graft] def decodeMpeg1FramesTyped(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Char, Int, Int, Double, Double)] = {
     def lumaStats(luma: Array[Int]): (Double, Double) = {
       var s = 0.0; var sq = 0.0
       var i = 0
@@ -829,10 +841,14 @@ object Multimodal {
       off >= 0 && off + 4 <= bytes.length &&
         bytes(off.toInt) == 0 && bytes(off.toInt + 1) == 0 &&
         bytes(off.toInt + 2) == 1 && (bytes(off.toInt + 3) & 0xFF) == 0xB3
+    def esFrames(es: Array[Byte], limit: Int): Seq[(Char, Int, Int, Double, Double)] =
+      Mpeg1.decodeFramesLuma(es, limit).map { case (w, h, l, t) =>
+        val (m, sd) = lumaStats(l); (t, w, h, m, sd)
+      }
     if (isEs(0L))
-      Mpeg1.decodeIFrameLuma(bytes).map { case (w, h, l) =>
-        val (m, sd) = lumaStats(l); (1, w, h, m, sd)
-      }.toSeq
+      esFrames(bytes, maxFrames).zipWithIndex.map { case ((t, w, h, m, sd), i) =>
+        (i + 1, t, w, h, m, sd)
+      }
     else trackSamples(bytes).toSeq.flatMap { tracks =>
       tracks.collectFirst {
         case (c, off, sizes) if c == "mp4v" && sizes.nonEmpty && isEs(off) =>
@@ -840,18 +856,44 @@ object Multimodal {
       }.toSeq.flatMap { case (off, sizes) =>
         val bounded = sizes.take(maxFrames)
         val starts = bounded.scanLeft(off)(_ + _)
-        bounded.indices.flatMap { i =>
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Char, Int, Int, Double, Double)]
+        bounded.indices.foreach { i =>
           val s = starts(i)
           val len = bounded(i)
-          if (s < 0 || len <= 0 || s + len > bytes.length) None
-          else Mpeg1.decodeIFrameLuma(
-              java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt))
-            .map { case (w, h, l) =>
-              val (m, sd) = lumaStats(l); (i + 1, w, h, m, sd)
-            }
+          if (s >= 0 && len > 0 && s + len <= bytes.length && acc.size < maxFrames)
+            esFrames(java.util.Arrays.copyOfRange(
+                bytes, s.toInt, (s + len).toInt), maxFrames - acc.size)
+              .foreach { case (t, w, h, m, sd) =>
+                acc += ((acc.size + 1, t, w, h, m, sd))
+              }
         }
+        acc.toSeq
       }
     }
+  }
+
+  /** Deterministic MPEG-1 MOTION fixture (raw elementary stream):
+    * one 32×32 I-picture (16 flat DC blocks, g_{mb,b} =
+    * (id·7 + mb·16 + b·4 + 50) mod 200 + 10), then P1 — every
+    * macroblock zero-MV with a flat coded residual (level
+    * L = id mod 5 + 1 at qscale 8 adds exactly 2L+1 per pixel) — then
+    * P2 mixing real motion (MB1 ← 8 px left, MB2 ← 8 px up), a
+    * zero-MV copy, and a second residual. Every decoded mean is a
+    * closed-form k/16 of id — the inter-path oracle. */
+  def syntheticMpeg1MotionEs(id: Long): Array[Byte] = {
+    def dc(mb: Int, b: Int): Int =
+      (((id * 7 + mb * 16 + b * 4 + 50) % 200) + 10).toInt
+    val l = (id % 5).toInt + 1
+    import Mpeg1.PMb
+    Mpeg1.encodeIPStream(2, 2, dc, Seq(
+      _ => PMb.MoveCoded(0, 0, _ => Seq((0, l))),
+      {
+        case 0 => PMb.Move(0, 0)
+        case 1 => PMb.Move(-16, 0)
+        case 2 => PMb.Move(0, -16)
+        case _ => PMb.MoveCoded(0, 0, _ => Seq((0, l)))
+      }))
   }
 
   /** First-frame convenience over [[decodeMpeg1Frames]] — the decode
@@ -1200,8 +1242,9 @@ object Multimodal {
     * pixel decode for MP4 AND AVI payloads, then real MPEG-1-intra
     * and H.264/avc1-intra pixel decode (round 12), byte-histogram
     * fallback for everything else (non-media payloads and
-    * inter-frame / out-of-subset / hev1 video, which genuinely needs
-    * a native decoder). The boolean is the
+    * out-of-subset video — H.264 inter/CABAC, hev1 — which genuinely
+    * needs a native decoder; MPEG-1 INTER is real since round 12b,
+    * [[decodeMpeg1FramesTyped]]). The boolean is the
     * DEGRADE flag: true for real pixels, false for the fallback — the
     * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =

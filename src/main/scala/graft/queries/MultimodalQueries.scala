@@ -497,6 +497,58 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // MPEG-1 INTER pixel decode (round 12b): P-pictures with real
+    // forward motion compensation — skipped-MB copy, zero-MV coded
+    // residuals (non-intra dequant), and true ±8 px motion — decoded
+    // pure-JVM (ext/Mpeg1.scala decodeFramesLuma). The fixture is an
+    // I → P(residual) → P(motion mix) elementary stream whose every
+    // frame mean is a closed k/16 form of doc_id; the frame_type
+    // column pins that frames 2-3 really took the INTER path.
+    Q("multimodal_mpeg1_motion",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val es = Multimodal.syntheticMpeg1MotionEs(id)
+            Multimodal.decodeMpeg1FramesTyped(es, 8).map {
+              case (f, t, w, h, m, _) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH b AS (SELECT doc_id, mb, bb,
+             |    ((doc_id*7 + mb*16 + bb*4 + 50) % 200 + 10) AS g
+             |  FROM documents,
+             |    LATERAL (SELECT unnest(range(4)) AS mb) u,
+             |    LATERAL (SELECT unnest(range(4)) AS bb) v),
+             |agg AS (SELECT doc_id,
+             |    sum(g)/16.0 AS mean_i,
+             |    sum(CASE WHEN mb=0 THEN g END)/4.0 AS r00,
+             |    sum(CASE WHEN (mb=0 AND bb IN (1,3))
+             |             OR (mb=1 AND bb IN (0,2)) THEN g END)/4.0 AS r10,
+             |    sum(CASE WHEN (mb=0 AND bb IN (2,3))
+             |             OR (mb=2 AND bb IN (0,1)) THEN g END)/4.0 AS r01,
+             |    sum(CASE WHEN mb=3 THEN g END)/4.0 AS r11
+             |  FROM b GROUP BY doc_id),
+             |f AS (SELECT doc_id, 2*(doc_id % 5 + 1) + 1 AS delta,
+             |    mean_i, (r00 + r10 + r01 + r11)/4.0 AS base2 FROM agg),
+             |fr AS (
+             |  SELECT doc_id, 1 AS frame, 'I' AS ftype, mean_i AS mean FROM f
+             |  UNION ALL
+             |  SELECT doc_id, 2, 'P', mean_i + delta FROM f
+             |  UNION ALL
+             |  SELECT doc_id, 3, 'P', base2 + delta + delta/4.0 FROM f)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
+             |  ftype AS frame_type, CAST(32 AS BIGINT) AS width,
+             |  CAST(32 AS BIGINT) AS height, round(mean, 6) AS mean_gray
+             |FROM fr ORDER BY id, frame""".stripMargin)),
+
     // Scene-cut detection (round 10): shot boundaries from the
     // per-keyframe mean-luma deltas of the multiframe decode — the
     // shot-boundary pre-pass of a video curation pipeline (sample per

@@ -64,6 +64,145 @@ class Mpeg1Spec extends SparkSpec {
     assert(luma(0 * 16 + 8) == 50 && luma(8 * 16 + 0) == 50 && luma(8 * 16 + 8) == 50)
   }
 
+  // ------------------------------------------------------- inter (P) paths
+
+  import Mpeg1.PMb
+
+  /** Decode helper: frames as (w, h, luma, type). */
+  private def frames(es: Array[Byte], n: Int) = Mpeg1.decodeFramesLuma(es, n)
+
+  /** Reference shift: what forward MC with integer vector (dx, dy)
+    * half-pels must reproduce for macroblock (mbX, mbY). */
+  private def expectMoved(ref: Array[Int], stride: Int,
+      mbX: Int, mbY: Int, mvx: Int, mvy: Int): IndexedSeq[Int] = {
+    val ix = (mvx >> 1) + mbX * 16
+    val iy = (mvy >> 1) + mbY * 16
+    val hx = mvx & 1
+    val hy = mvy & 1
+    for (y <- 0 until 16; x <- 0 until 16) yield {
+      val b = (iy + y) * stride + ix + x
+      if (hx == 0 && hy == 0) ref(b)
+      else if (hy == 0) (ref(b) + ref(b + 1) + 1) >> 1
+      else if (hx == 0) (ref(b) + ref(b + stride) + 1) >> 1
+      else (ref(b) + ref(b + 1) + ref(b + stride) + ref(b + stride + 1) + 2) >> 2
+    }
+  }
+
+  test("P pred-m: even/odd motion vectors reproduce the shifted I exactly " +
+      "(incl. half-pel round-half-away and MV-predictor wrap)") {
+    def dc(mb: Int, b: Int): Int = 20 * mb + 10 * b + 40
+    // 2x2 MBs (32x32): distinct per-quadrant content everywhere
+    val mvs = Map( // mb index -> (mvx, mvy) in half-pels, windows in-plane
+      0 -> ((0, 0)), 1 -> ((-16, 0)), 2 -> ((0, -16)), 3 -> ((-11, -9)))
+    val es = Mpeg1.encodeIPStream(2, 2, dc,
+      Seq(mb => { val (x, y) = mvs(mb); PMb.Move(x, y) }))
+    val fs = frames(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P'), s"types: ${fs.map(_._4)}")
+    val i = fs(0)._3
+    val p = fs(1)._3
+    for (mb <- 0 to 3) {
+      val (mvx, mvy) = mvs(mb)
+      val mbX = mb % 2; val mbY = mb / 2
+      val want = expectMoved(i, 32, mbX, mbY, mvx, mvy)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(p((mbY * 16 + y) * 32 + mbX * 16 + x) == want(y * 16 + x),
+          s"mb $mb mv ($mvx,$mvy) pixel ($x,$y)")
+    }
+  }
+
+  test("P skipped macroblocks copy the co-located reference exactly") {
+    def dc(mb: Int, b: Int): Int = (37 * mb + 13 * b + 22) % 200
+    val es = Mpeg1.encodeIPStream(3, 1, dc,
+      Seq(mb => if (mb == 1) PMb.Skip else PMb.Move(0, 0)))
+    val fs = frames(es, 2)
+    assert(fs.size == 2 && fs(1)._4 == 'P')
+    assert(fs(0)._3.toSeq == fs(1)._3.toSeq, "skip+zero-MV P must equal I")
+  }
+
+  test("P coded residual: non-intra dequant adds the closed-form delta " +
+      "(all-luma cbp 60 and single-block cbp)") {
+    def dc(mb: Int, b: Int): Int = 100 + 5 * mb + 3 * b
+    // qscale 8, flat non-intra matrix 16: level L -> f = (2L+sgn)*8,
+    // oddified; DC-only residual pixel = rint(f/8)
+    def delta(l: Int): Int = {
+      var f = (2 * l + (if (l > 0) 1 else -1)) * 8
+      if ((f & 1) == 0) f = if (f > 0) f - 1 else f + 1
+      math.rint(f / 8.0).toInt
+    }
+    assert(delta(1) == 3 && delta(-2) == -5) // sanity of the closed form
+    for (l <- Seq(1, 2, -2, 5)) {
+      // frame of 2 MBs: MB0 all-luma residual (cbp 60), MB1 residual
+      // only on block 2 (cbp 8)
+      val es = Mpeg1.encodeIPStream(2, 1, dc, Seq(mb =>
+        if (mb == 0) PMb.MoveCoded(0, 0, _ => Seq((0, l)))
+        else PMb.MoveCoded(0, 0, b => if (b == 2) Seq((0, l)) else Nil)))
+      val fs = frames(es, 2)
+      assert(fs.size == 2, s"level $l: ${fs.size} frames")
+      val i = fs(0)._3
+      val p = fs(1)._3
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val mb = x / 16
+        val blk = (y / 8) * 2 + (x % 16) / 8
+        val d = if (mb == 0 || blk == 2) delta(l) else 0
+        val want = math.max(0, math.min(255, i(y * 32 + x) + d))
+        assert(p(y * 32 + x) == want, s"level $l pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("P intra-refresh macroblock decodes via the intra path inside " +
+      "an inter picture") {
+    def dc(mb: Int, b: Int): Int = 60 + 10 * mb + 4 * b
+    def newDc(b: Int): Int = 200 + 5 * b
+    val es = Mpeg1.encodeIPStream(2, 1, dc,
+      Seq(mb => if (mb == 1) PMb.Intra(newDc) else PMb.Move(0, 0)))
+    val fs = frames(es, 2)
+    assert(fs.size == 2)
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val blk = (y / 8) * 2 + (x / 8)
+      assert(p(y * 32 + 16 + x) == newDc(blk), s"intra-in-P pixel ($x,$y)")
+      assert(p(y * 32 + x) == fs(0)._3(y * 32 + x), s"moved MB pixel ($x,$y)")
+    }
+  }
+
+  test("P chain: the second P references the decoded FIRST P, not the I") {
+    def dc(mb: Int, b: Int): Int = 80 + 16 * b
+    val es = Mpeg1.encodeIPStream(1, 1, dc, Seq(
+      _ => PMb.MoveCoded(0, 0, _ => Seq((0, 1))), // I + 3
+      _ => PMb.MoveCoded(0, 0, _ => Seq((0, 1))))) // (I + 3) + 3
+    val fs = frames(es, 3)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'))
+    for (k <- 0 until 256) {
+      assert(fs(1)._3(k) == fs(0)._3(k) + 3)
+      assert(fs(2)._3(k) == fs(0)._3(k) + 6)
+    }
+  }
+
+  test("P degrade: B-pictures stop the walk cleanly; truncated P keeps " +
+      "the I; out-of-plane MC degrades") {
+    def dc(mb: Int, b: Int): Int = 90
+    val es = Mpeg1.encodeIPStream(1, 1, dc, Seq(_ => PMb.Move(0, 0)))
+    // corrupt the SECOND picture header's type to B (3): find the 2nd
+    // picture start code and set ptype bits
+    val pics = (0 until es.length - 3).filter(i =>
+      es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1 && es(i + 3) == 0)
+    assert(pics.size == 2)
+    val asB = es.clone()
+    // byte at pic+5 holds tref[8:9] + ptype(3) + vbv[0:2]; ptype sits
+    // at bit offsets 2..4 — '010' (2=P) -> '011' (3=B) flips bit 4
+    asB(pics(1) + 5) = (asB(pics(1) + 5) ^ 0x08).toByte
+    val fsB = frames(asB, 4)
+    assert(fsB.map(_._4) == Seq('I'), s"B must stop the walk: ${fsB.map(_._4)}")
+    // truncation inside the P picture: the I survives
+    val fsT = frames(es.take(es.length - 2), 4)
+    assert(fsT.map(_._4) == Seq('I'))
+    // MC window outside the plane: single MB moving left degrades the
+    // whole P picture (never a guessed edge policy)
+    val oob = Mpeg1.encodeIPStream(1, 1, dc, Seq(_ => PMb.Move(-2, 0)))
+    assert(frames(oob, 2).map(_._4) == Seq('I'))
+  }
+
   test("degrade, never throw: truncated / corrupt / non-MPEG payloads -> None") {
     val es = Mpeg1.encodeIFrame(1, 1, (_, b) => 10 * (b + 1))
     assert(Mpeg1.decodeIFrameLuma(es.take(es.length / 2)).isEmpty ||

@@ -224,6 +224,29 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeMjpegFirstFrame("not mp4".getBytes("UTF-8")).isEmpty)
   }
 
+  test("MPEG-1 motion fixture: I/P/P chain decodes to the closed-form " +
+      "means the DuckDB oracle computes (inter paths end-to-end)") {
+    for (id <- Seq(0L, 1L, 7L, 63L, 254L)) {
+      def g(mb: Int, b: Int): Double =
+        ((id * 7 + mb * 16 + b * 4 + 50) % 200 + 10).toDouble
+      val delta = (2 * (id % 5 + 1) + 1).toDouble
+      val meanI = (for (mb <- 0 to 3; b <- 0 to 3) yield g(mb, b)).sum / 16
+      val r00 = (0 to 3).map(g(0, _)).sum / 4
+      val r10 = (g(0, 1) + g(0, 3) + g(1, 0) + g(1, 2)) / 4
+      val r01 = (g(0, 2) + g(0, 3) + g(2, 0) + g(2, 1)) / 4
+      val r11 = (0 to 3).map(g(3, _)).sum / 4
+      val mean2 = (r00 + r10 + r01 + r11) / 4 + delta + delta / 4
+      val es = Multimodal.syntheticMpeg1MotionEs(id)
+      val fs = Multimodal.decodeMpeg1FramesTyped(es, 8)
+      assert(fs.map(f => (f._1, f._2, f._3, f._4)) ==
+        Seq((1, 'I', 32, 32), (2, 'P', 32, 32), (3, 'P', 32, 32)),
+        s"id $id shape: $fs")
+      assert(fs(0)._5 == meanI, s"id $id frame 1: ${fs(0)._5} want $meanI")
+      assert(fs(1)._5 == meanI + delta, s"id $id frame 2: ${fs(1)._5}")
+      assert(fs(2)._5 == mean2, s"id $id frame 3: ${fs(2)._5} want $mean2")
+    }
+  }
+
   test("MJPEG multi-frame: every keyframe decodes to closed form; bound + degrade hold") {
     for (id <- Seq(0L, 7L, 63L, 255L)) {
       val n = 3 + (id % 2).toInt
