@@ -475,6 +475,71 @@ object SeriesOps {
     require(lengthGate >= 2, s"lengthGate must be >= 2, got $lengthGate")
     require(samplesPerPoint >= 1,
       s"samplesPerPoint must be >= 1, got $samplesPerPoint")
+    val maxExactPairs = 100000000L
+    // EXACT tier (round 12 perf): a tight JVM loop + Arrays.sort per
+    // series replaces the Catalyst higher-order-function expression —
+    // the interpreted per-element closures (sequence → transform →
+    // flatten → array_sort over n(n-1)/2 slopes) dominated the bench's
+    // slowest query at ~10× the cost of the same arithmetic compiled.
+    // Bitwise identical results: the same IEEE divides in the same
+    // (i, j>i) enumeration, java.util.Arrays.sort(double[]) and
+    // Catalyst's array_sort share Double.compare ordering, and the
+    // lower-median index math is unchanged. The SAMPLED tier stays a
+    // SQL expression — its xxhash64(series_id, s) draw hashes by the
+    // id column's Catalyst type, which a JVM-side reimplementation
+    // would have to mirror case-by-case to stay engine-identical.
+    val minSize = math.max(2, minLen)
+    val idField = series.schema("series_id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "series_id"),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("slope_raw",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("intercept_raw",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val exactPart = series
+      .filter(size(col("values")) >= minSize &&
+        size(col("values")) <= lengthGate)
+      .select(col("series_id"), col("values"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val vs0 = row.getSeq[Double](1)
+          val n = vs0.length
+          val vs = new Array[Double](n)
+          var c = 0
+          vs0.foreach { v => vs(c) = v; c += 1 }
+          val pairs = n.toLong * (n - 1) / 2
+          // capacity guard (ADVICE r11): fail self-describingly before
+          // allocating a >2e9-element slope array
+          if (pairs > maxExactPairs) throw new IllegalStateException(
+            s"theilSen exact tier: series ${row.get(0)} (n=$n) needs " +
+              s"n(n-1)/2 > $maxExactPairs slope pairs in one task; lower " +
+              s"lengthGate (currently $lengthGate) so series this long " +
+              "take the sampled tier")
+          val slopes = new Array[Double](pairs.toInt)
+          var k = 0
+          var i = 0
+          while (i < n - 1) {
+            val vi = vs(i)
+            var j = i + 1
+            while (j < n) {
+              slopes(k) = (vs(j) - vi) / (j - i).toDouble
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+          java.util.Arrays.sort(slopes)
+          val slope = slopes((((pairs + 1L) / 2L) - 1L).toInt)
+          val resid = new Array[Double](n)
+          var t = 0
+          while (t < n) { resid(t) = vs(t) - slope * (t + 1).toDouble; t += 1 }
+          java.util.Arrays.sort(resid)
+          org.apache.spark.sql.Row(row.get(0), n.toLong, slope,
+            resid((n + 1) / 2 - 1))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     // ONE expression, slope bound once via transform(array(·), sl -> …)
     // (the [[acf]] anti-inlining idiom) so the slope sort never
     // re-evaluates per residual; the intercept tail is shared by both
@@ -488,14 +553,6 @@ object SeriesOps {
          |      array_sort(transform(sequence(1, size(values)), i ->
          |        element_at(values, i) - sl * CAST(i AS DOUBLE))),
          |      CAST((size(values) + 1) div 2 AS INT))))))""".stripMargin
-    val exactSlope =
-      """element_at(
-        |    array_sort(flatten(transform(sequence(1, size(values) - 1), i ->
-        |      transform(sequence(i + 1, size(values)), j ->
-        |        (element_at(values, j) - element_at(values, i))
-        |          / CAST(j - i AS DOUBLE))))),
-        |    CAST((CAST(size(values) AS LONG) * (size(values) - 1) div 2 + 1L)
-        |      div 2 AS INT))""".stripMargin
     // sampled pair s: i uniform in [1, n], j uniform in [1, n]\{i}
     // (j-raw in [1, n-1], bumped past i) — slope is direction-symmetric.
     // The sample count runs in LONG (a 32-bit s·n wrapped negative past
@@ -522,35 +579,26 @@ object SeriesOps {
          |              - element_at(values, p.i))
          |          / CAST(IF(p.r >= p.i, p.r + 1, p.r) - p.i AS DOUBLE)), 1))),
          |    CAST(($mExpr + 1L) div 2L AS INT))""".stripMargin
-    // Exact-tier capacity guard (ADVICE r11): a caller pinning a large
-    // lengthGate (the oracle twin pins 10⁶) sends every series below
-    // the gate into an n(n-1)/2 slope array — past ~2·10⁹ elements
-    // that dies on Spark's array-size limit with an opaque error. Fail
-    // self-describingly instead: assert_true returns NULL on pass, so
-    // the exact branch costs one comparison per row.
-    val maxExactPairs = 100000000L
-    val exactGuard =
-      s"""assert_true(
-         |  CAST(size(values) AS LONG) * (size(values) - 1) div 2
-         |    <= ${maxExactPairs}L,
-         |  concat('theilSen exact tier: series ', CAST(series_id AS STRING),
-         |    ' (n=', CAST(size(values) AS STRING),
-         |    ') needs n(n-1)/2 > $maxExactPairs slope pairs in one task;',
-         |    ' lower lengthGate (currently $lengthGate) so series this',
-         |    ' long take the sampled tier'))""".stripMargin
-    // ONE pass over the series frame: CASE evaluates lazily per row,
-    // so each series pays only its tier's slope estimator (a
-    // two-branch filter+union would scan the Memo'd frame twice)
-    val gated = s"CASE WHEN size(values) <= $lengthGate THEN " +
-      s"(CASE WHEN $exactGuard IS NULL THEN $exactSlope END)" +
-      s" ELSE $sampledSlope END"
-    series.filter(size(col("values")) >= math.max(2, minLen))
+    // Two disjoint tiers, one union: the exact tier is the typed loop
+    // above (exactPart), the sampled tier keeps the SQL draw. The
+    // Memo'd input is scanned once per tier — it is a cached one-row-
+    // per-series frame, so the second scan is a cache read, and in
+    // return the exact tier (the hot one: the oracle twin pins
+    // lengthGate = 10⁶, sending EVERY driver series through it) runs
+    // compiled instead of interpreted.
+    val sampledPart = series
+      .filter(size(col("values")) >= minSize &&
+        size(col("values")) > lengthGate)
       .select(col("series_id"), size(col("values")).cast("long").as("n"),
-        explode(expr(tail(gated))).as("__p"))
+        explode(expr(tail(sampledSlope))).as("__p"))
       .select(col("series_id"), col("n"),
-        (floor(col("__p.slope") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+        col("__p.slope").as("slope_raw"),
+        col("__p.intercept").as("intercept_raw"))
+    exactPart.unionByName(sampledPart)
+      .select(col("series_id"), col("n"),
+        (floor(col("slope_raw") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
           .as("slope"),
-        (floor(col("__p.intercept") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+        (floor(col("intercept_raw") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
           .as("intercept"))
   }
 
