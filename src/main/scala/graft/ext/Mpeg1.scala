@@ -1,6 +1,6 @@
 package graft.ext
 
-/** MPEG-1 video (ISO/IEC 11172-2, public spec) I- AND P-frame codec —
+/** MPEG-1 video (ISO/IEC 11172-2, public spec) FULL-codec decoder —
   * the round-12 narrowings of the predictive-codec fence
   * (VERDICT r11 #7): first intra frames (sequence/picture/slice
   * headers, macroblock and DC/AC VLCs, intra dequantization with
@@ -8,16 +8,19 @@ package graft.ext
   * motion compensation (motion-vector VLC + differential
   * reconstruction, half-pel interpolation with MPEG's round-half-
   * away-from-zero `//`, skipped-macroblock copy, non-intra
-  * dequantization and residual add) — all pure-JVM. B-pictures and
-  * the modern codecs' inter paths (avc1 P/B + CABAC, hev1) remain
-  * behind the byte-histogram fence — those genuinely need a native
-  * decoder.
+  * dequantization and residual add), then B-pictures (bidirectional
+  * MC against both anchors with the rounded interpolated average,
+  * Table-B.2c types, skip-inherits-previous-prediction semantics) —
+  * all pure-JVM, every picture type of the codec. The modern codecs'
+  * inter paths (avc1 P/B + CABAC, hev1) remain behind the
+  * byte-histogram fence — those genuinely need a native decoder.
   *
   * Honesty bounds, all degrade-to-None (the caller falls back to the
   * fence, never a wrong decode):
-  *  - I- and P-pictures only; decode stops cleanly at the first
-  *    B-picture (frames decoded so far are kept — a B never serves
-  *    as a reference, so they are exact).
+  *  - I-, P- and B-pictures (D-pictures, picture_coding_type 4, stop
+  *    the walk cleanly; frames decoded so far are kept and exact).
+  *    Frames are emitted in DECODE order (anchors before their Bs),
+  *    with the type label carrying the reorder information.
   *  - The AC coefficient table covers the unambiguous short-code
   *    classes (through 7-bit codes) plus the UNIVERSAL 6-bit escape —
   *    every (run, level) pair is expressible through the escape, so
@@ -441,10 +444,11 @@ object Mpeg1 {
 
   /** Decode up to `maxFrames` pictures of an MPEG-1 elementary stream
     * in stream order: (width, height, cropped luma, 'I'|'P').
-    * P-pictures reconstruct via forward MC against the previous
-    * decoded picture; decode stops cleanly (keeping earlier frames) at
-    * the first B-picture or unsupported element — everything returned
-    * is exact, nothing after the stop is guessed. */
+    * ('I'/'P'/'B', decode order). P-pictures reconstruct via forward
+    * MC against the last anchor; B-pictures bidirectionally against
+    * both anchors. Decode stops cleanly (keeping earlier frames) at
+    * the first unsupported element — everything returned is exact,
+    * nothing after the stop is guessed. */
   def decodeFramesLuma(es: Array[Byte],
       maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] = {
     try decodeStream(es, maxFrames)
@@ -514,7 +518,11 @@ object Mpeg1 {
     val mbH = (height + 15) / 16
     val frames =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int], Char)]
-    var ref: Array[Int] = null
+    // anchor bookkeeping (decode order): a B-picture follows BOTH of
+    // its anchors in the stream — forward ref = the older anchor,
+    // backward ref = the most recent one. B planes are never anchors.
+    var anchorPrev: Array[Int] = null
+    var anchorLast: Array[Int] = null
     var done = false
     sc = br.nextStartCode()
     while (!done && frames.size < maxFrames && sc != -1) {
@@ -528,17 +536,29 @@ object Mpeg1 {
           br.bits(10) // temporal reference
           val ptype = br.bits(3)
           br.bits(16) // vbv_delay
-          if (ptype != 1 && ptype != 2) done = true // B / D: stop cleanly
-          else if (ptype == 2 && ref == null) done = true // P needs a ref
+          if (ptype < 1 || ptype > 3) done = true // D-pictures: stop
+          else if (ptype == 2 && anchorLast == null) done = true
+          else if (ptype == 3 && (anchorPrev == null || anchorLast == null))
+            done = true // a B needs both anchors
           else {
-            var fullPel = false
-            var fCode = 1
-            if (ptype == 2) {
-              if (br.remaining < 4) { done = true }
+            var fullPelF = false
+            var fCodeF = 1
+            var fullPelB = false
+            var fCodeB = 1
+            if (ptype >= 2) {
+              if (br.remaining < 4) done = true
               else {
-                fullPel = br.bits(1) == 1
-                fCode = br.bits(3)
-                if (fCode < 1 || fCode > 7) done = true
+                fullPelF = br.bits(1) == 1
+                fCodeF = br.bits(3)
+                if (fCodeF < 1 || fCodeF > 7) done = true
+              }
+            }
+            if (!done && ptype == 3) {
+              if (br.remaining < 4) done = true
+              else {
+                fullPelB = br.bits(1) == 1
+                fCodeB = br.bits(3)
+                if (fCodeB < 1 || fCodeB > 7) done = true
               }
             }
             if (!done) {
@@ -550,15 +570,16 @@ object Mpeg1 {
                 // LATER picture must not discard the exact frames
                 // already decoded (the walk stops, it doesn't rewind)
                 val (plane, nextSc) =
-                  try decodePicture(br, es, ptype == 2,
-                    fullPel, fCode, mbW, mbH, intraQ, nonIntraQ, ref)
+                  try decodePicture(br, es, ptype,
+                    fullPelF, fCodeF, fullPelB, fCodeB, mbW, mbH,
+                    intraQ, nonIntraQ, anchorLast, anchorPrev)
                   catch { case _: Exception => (null, -1) }
                 if (plane == null) done = true
                 else {
-                  ref = plane
+                  if (ptype != 3) { anchorPrev = anchorLast; anchorLast = plane }
                   frames += ((width, height,
                     cropLuma(plane.clone(), mbW * 16, width, height),
-                    if (ptype == 2) 'P' else 'I'))
+                    ptype match { case 1 => 'I'; case 2 => 'P'; case _ => 'B' }))
                   sc = nextSc
                 }
               }
@@ -571,19 +592,28 @@ object Mpeg1 {
   }
 
   /** Decode ONE picture's slices (picture header already consumed).
-    * For P-pictures the plane starts as a copy of `ref` — skipped
-    * macroblocks are exactly the co-located copy. Returns (plane,
-    * next start code) or (null, _) on error. */
-  private def decodePicture(br: BitReader, es: Array[Byte], isP: Boolean,
-      fullPel: Boolean, fCode: Int, mbW: Int, mbH: Int,
-      intraQ: Array[Int], nonIntraQ: Array[Int],
-      ref: Array[Int]): (Array[Int], Int) = {
+    * `ptype` 1/2/3 = I/P/B. For P-pictures the plane starts as a copy
+    * of the last anchor — skipped macroblocks are exactly the
+    * co-located copy; B skipped macroblocks re-apply the PREVIOUS
+    * macroblock's prediction (direction flags + vectors, §2.4.4.4).
+    * Forward reference: last anchor (P) / older anchor (B); backward
+    * reference (B only): last anchor. Returns (plane, next start
+    * code) or (null, _) on error. */
+  private def decodePicture(br: BitReader, es: Array[Byte], ptype: Int,
+      fullPelF: Boolean, fCodeF: Int, fullPelB: Boolean, fCodeB: Int,
+      mbW: Int, mbH: Int, intraQ: Array[Int], nonIntraQ: Array[Int],
+      refLast: Array[Int], refPrev: Array[Int]): (Array[Int], Int) = {
+    val isP = ptype == 2
+    val isB = ptype == 3
     val stride = mbW * 16
     val planeH = mbH * 16
-    val luma = if (isP) ref.clone() else new Array[Int](stride * planeH)
+    val fwdRef = if (isB) refPrev else refLast
+    val bwdRef = refLast
+    val luma = if (isP) refLast.clone() else new Array[Int](stride * planeH)
     val block = new Array[Int](64)
     val pix = new Array[Int](64)
     val pred16 = new Array[Int](256)
+    val predB16 = new Array[Int](256)
     val fail = (null, -1)
     var decodedMBs = 0
     var maxAddr = -1 // last macroblock address reached (skips included)
@@ -598,22 +628,56 @@ object Mpeg1 {
       br.bits(1)
       var mbAddr = sliceRow * mbW - 1
       var predY = 1024; var predCb = 1024; var predCr = 1024
-      var pmvX = 0; var pmvY = 0
+      var pmvX = 0; var pmvY = 0 // forward predictor
+      var pmvBX = 0; var pmvBY = 0 // backward predictor (B only)
+      // skip-inheritance state (B): the previous macroblock's
+      // direction flags — its vectors ARE the predictors
+      var lastFwd = false; var lastBwd = false
       var sliceDone = false
       while (!sliceDone) {
         val inc = readAddrInc(br)
         if (inc <= 0) return fail
-        if (inc > 1) { // skipped MBs: DC and MV predictors reset; in P
-          // the co-located pixels are already in place via ref.clone()
+        if (inc > 1) {
+          // skipped MBs: DC predictors always reset
           predY = 1024; predCb = 1024; predCr = 1024
-          pmvX = 0; pmvY = 0
+          if (isB) {
+            // B: re-apply the previous MB's prediction at each skipped
+            // address (motion predictors are left UNCHANGED)
+            if (!lastFwd && !lastBwd) return fail // skip after intra: illegal
+            var s = 1
+            while (s < inc) {
+              val a = mbAddr + s
+              if (a < 0 || a >= mbW * mbH) return fail
+              val sx = a % mbW
+              val sy = a / mbW
+              if (lastFwd && !predictLuma(fwdRef, stride, planeH, sx, sy,
+                  if (fullPelF) pmvX * 2 else pmvX,
+                  if (fullPelF) pmvY * 2 else pmvY, pred16)) return fail
+              if (lastBwd && !predictLuma(bwdRef, stride, planeH, sx, sy,
+                  if (fullPelB) pmvBX * 2 else pmvBX,
+                  if (fullPelB) pmvBY * 2 else pmvBY, predB16)) return fail
+              var k = 0
+              while (k < 256) {
+                val v =
+                  if (lastFwd && lastBwd) (pred16(k) + predB16(k) + 1) >> 1
+                  else if (lastFwd) pred16(k)
+                  else predB16(k)
+                luma((sy * 16 + k / 16) * stride + sx * 16 + k % 16) =
+                  if (v < 0) 0 else if (v > 255) 255 else v
+                k += 1
+              }
+              s += 1
+            }
+          } else { pmvX = 0; pmvY = 0 } // P: vectors reset; co-located
+          // pixels are already in place via refLast.clone()
         }
         mbAddr += inc
         if (mbAddr >= mbW * mbH) return fail
         maxAddr = mbAddr
-        // macroblock_type: Table B.2a (I) / B.2b (P)
-        var intra = false; var fwd = false; var pat = false; var quant = false
-        if (!isP) {
+        // macroblock_type: Table B.2a (I) / B.2b (P) / B.2c (B)
+        var intra = false; var fwd = false; var bwd = false
+        var pat = false; var quant = false
+        if (ptype == 1) {
           if (br.remaining < 1) return fail
           if (br.bits(1) == 1) intra = true // '1' intra-d
           else {
@@ -621,7 +685,7 @@ object Mpeg1 {
             if (br.bits(1) != 1) return fail // '01' intra-q
             intra = true; quant = true
           }
-        } else {
+        } else if (isP) {
           if (br.remaining < 1) return fail
           if (br.bits(1) == 1) { fwd = true; pat = true } // '1' pred-mc
           else {
@@ -644,40 +708,83 @@ object Mpeg1 {
               }
             }
           }
+        } else { // B, Table B.2c
+          if (br.remaining < 2) return fail
+          if (br.bits(1) == 1) { // '1x': interpolated
+            fwd = true; bwd = true
+            pat = br.bits(1) == 1 // '11' coded / '10' not
+          } else if (br.bits(1) == 1) { // '01x': backward
+            if (br.remaining < 1) return fail
+            bwd = true
+            pat = br.bits(1) == 1 // '011' / '010'
+          } else { // '00…'
+            if (br.remaining < 1) return fail
+            if (br.bits(1) == 1) { // '001x': forward
+              if (br.remaining < 1) return fail
+              fwd = true
+              pat = br.bits(1) == 1 // '0011' / '0010'
+            } else {
+              if (br.remaining < 2) return fail
+              br.bits(2) match {
+                case 3 => intra = true // '00011'
+                case 2 => quant = true; fwd = true; bwd = true; pat = true // '00010'
+                case 1 => // '00001x'
+                  if (br.remaining < 1) return fail
+                  quant = true; pat = true
+                  if (br.bits(1) == 1) fwd = true // '000011'
+                  else bwd = true // '000010'
+                case _ => // '000001' intra-q
+                  if (br.remaining < 1) return fail
+                  if (br.bits(1) != 1) return fail
+                  intra = true; quant = true
+              }
+            }
+          }
         }
         if (quant) {
           if (br.remaining < 5) return fail
           qscale = br.bits(5)
           if (qscale == 0) return fail
         }
-        // forward motion vector (coded units: half-pel, or full-pel
-        // when full_pel_forward_vector is set)
-        var mvX = 0; var mvY = 0
-        if (fwd) {
+        // motion vectors (coded units: half-pel, or full-pel when the
+        // picture's full_pel flag is set); forward then backward
+        def reconComp(pred: Int, fCode: Int): Int = {
           val f = 1 << (fCode - 1)
-          def reconComp(pred: Int): Int = {
-            val code = motionCode(br)
-            if (code == Int.MinValue) return Int.MinValue
-            val diff =
-              if (f == 1 || code == 0) code
-              else {
-                if (br.remaining < fCode - 1) return Int.MinValue
-                val r = br.bits(fCode - 1)
-                val mag = (math.abs(code) - 1) * f + r + 1
-                if (code < 0) -mag else mag
-              }
-            var v = pred + diff
-            if (v < -16 * f) v += 32 * f
-            if (v > 16 * f - 1) v -= 32 * f
-            v
-          }
-          mvX = reconComp(pmvX)
+          val code = motionCode(br)
+          if (code == Int.MinValue) return Int.MinValue
+          val diff =
+            if (f == 1 || code == 0) code
+            else {
+              if (br.remaining < fCode - 1) return Int.MinValue
+              val r = br.bits(fCode - 1)
+              val mag = (math.abs(code) - 1) * f + r + 1
+              if (code < 0) -mag else mag
+            }
+          var v = pred + diff
+          if (v < -16 * f) v += 32 * f
+          if (v > 16 * f - 1) v -= 32 * f
+          v
+        }
+        var mvX = 0; var mvY = 0
+        var mvBX = 0; var mvBY = 0
+        if (fwd) {
+          mvX = reconComp(pmvX, fCodeF)
           if (mvX == Int.MinValue) return fail
-          mvY = reconComp(pmvY)
+          mvY = reconComp(pmvY, fCodeF)
           if (mvY == Int.MinValue) return fail
           pmvX = mvX; pmvY = mvY
-        } else if (!intra) { pmvX = 0; pmvY = 0 } // pred-c: MV 0, pred resets
-        if (intra) { pmvX = 0; pmvY = 0 }
+        } else if (isP && !intra) { pmvX = 0; pmvY = 0 } // P pred-c: MV 0 + reset
+        if (bwd) {
+          mvBX = reconComp(pmvBX, fCodeB)
+          if (mvBX == Int.MinValue) return fail
+          mvBY = reconComp(pmvBY, fCodeB)
+          if (mvBY == Int.MinValue) return fail
+          pmvBX = mvBX; pmvBY = mvBY
+        }
+        // B: an unused direction's predictor stays UNCHANGED (unlike P)
+        if (intra) { pmvX = 0; pmvY = 0; pmvBX = 0; pmvBY = 0 }
+        if (!intra) { lastFwd = fwd; lastBwd = bwd }
+        else { lastFwd = false; lastBwd = false }
         val cbp =
           if (intra) 63
           else if (pat) {
@@ -735,11 +842,24 @@ object Mpeg1 {
             blk += 1
           }
         } else {
-          // non-intra (P only): MC prediction, then per-block residual
-          val hx = if (fullPel) mvX * 2 else mvX
-          val hy = if (fullPel) mvY * 2 else mvY
-          if (!predictLuma(ref, stride, planeH, mbX, mbY, hx, hy, pred16))
-            return fail
+          // non-intra: MC prediction (forward / backward / rounded
+          // average of both), then per-block residual. A P macroblock
+          // without forward MC predicts co-located zero-MV (mvX = 0).
+          val useFwd = fwd || isP
+          if (useFwd && !predictLuma(fwdRef, stride, planeH, mbX, mbY,
+              if (fullPelF) mvX * 2 else mvX,
+              if (fullPelF) mvY * 2 else mvY, pred16)) return fail
+          if (bwd && !predictLuma(bwdRef, stride, planeH, mbX, mbY,
+              if (fullPelB) mvBX * 2 else mvBX,
+              if (fullPelB) mvBY * 2 else mvBY, predB16)) return fail
+          if (useFwd && bwd) {
+            var k = 0
+            while (k < 256) {
+              pred16(k) = (pred16(k) + predB16(k) + 1) >> 1
+              k += 1
+            }
+          } else if (bwd) System.arraycopy(predB16, 0, pred16, 0, 256)
+          else if (!useFwd) return fail // B MB with neither direction
           var blk = 0
           while (blk < 6) {
             if (((cbp >> (5 - blk)) & 1) == 1) {
@@ -1054,83 +1174,185 @@ object Mpeg1 {
       s"cbp $cbp outside the supported subset {60, 32, 16, 8, 4}")
   }
 
+  /** One B-picture macroblock spec for [[encodeSequence]]. Vectors in
+    * HALF-pel units, [-16, 15] (f_codes 1). */
+  sealed trait BMb
+  object BMb {
+    /** Re-apply the previous macroblock's prediction (B-skip). Must
+      * not be first/last in the slice nor follow an intra MB. */
+    case object Skip extends BMb
+    final case class Intra(lumaDc: Int => Int) extends BMb
+    /** Forward-only MC ('0010'), no residual. */
+    final case class Fwd(mvx: Int, mvy: Int) extends BMb
+    /** Backward-only MC ('010'), no residual. */
+    final case class Bwd(mvx: Int, mvy: Int) extends BMb
+    /** Interpolated fwd+bwd MC ('10'), no residual. */
+    final case class Bi(fx: Int, fy: Int, bx: Int, by: Int) extends BMb
+    /** Forward MC + coded luma residual ('0011'); same residual
+      * vocabulary as [[PMb.MoveCoded]]. */
+    final case class FwdCoded(mvx: Int, mvy: Int,
+        resid: Int => Seq[(Int, Int)]) extends BMb
+  }
+
+  /** One non-I picture of [[encodeSequence]]. */
+  sealed trait PicSpec
+  final case class PPic(mb: Int => PMb) extends PicSpec
+  final case class BPic(mb: Int => BMb) extends PicSpec
+
   /** Encode a SEQUENCE: one I-frame (as [[encodeIFrame]]) followed by
-    * P-pictures, each described macroblock-by-macroblock (raster
-    * order, mbW·mbH entries) — the closed-form fixture generator for
-    * the inter decode paths ([[decodeFramesLuma]]). f_code is 1
+    * P- and B-pictures in DECODE order (each B after both its
+    * anchors), each described macroblock-by-macroblock (raster order,
+    * mbW·mbH entries) — the closed-form fixture generator for the
+    * inter decode paths ([[decodeFramesLuma]]). All f_codes are 1
     * (motion differentials within ±16 half-pels), one slice per
     * picture. */
-  def encodeIPStream(mbW: Int, mbH: Int,
+  def encodeSequence(mbW: Int, mbH: Int,
       iLumaDc: (Int, Int) => Int,
-      pFrames: Seq[Int => PMb],
+      pics: Seq[PicSpec],
       qscale: Int = 8,
       iAc: (Int, Int) => Seq[(Int, Int)] = (_, _) => Nil): Array[Byte] = {
     require(mbW >= 1 && mbH >= 1 && qscale >= 1 && qscale <= 31)
     val bw = new BitWriter
     writeSeqHeader(bw, mbW, mbH)
     writeIPicture(bw, mbW, mbH, iLumaDc, iAc, qscale, 0)
-    pFrames.zipWithIndex.foreach { case (mbSpec, fi) =>
+    val nMB = mbW * mbH
+    def requireMv(x: Int, y: Int): Unit =
+      require(x >= -16 && x <= 15 && y >= -16 && y <= 15,
+        s"mv out of f_code-1 range: ($x, $y)")
+    def putResid(resid: Int => Seq[(Int, Int)]): Unit = {
+      val codedBlocks = (0 until 4).filter(b => resid(b).nonEmpty)
+      val cbp = codedBlocks.map(b => 32 >> b).sum
+      putCbp(bw, cbp)
+      codedBlocks.foreach { b =>
+        resid(b).foreach { case (run, level) => putAcEscape(bw, run, level) }
+        bw.put(2, 2) // EOB
+      }
+    }
+    pics.zipWithIndex.foreach { case (pic, fi) =>
       bw.bytes(Array[Byte](0, 0, 1, 0))
       bw.put((fi + 1) & 0x3FF, 10)
-      bw.put(2, 3) // P-picture
+      bw.put(if (pic.isInstanceOf[BPic]) 3 else 2, 3) // picture type
       bw.put(0xFFFF, 16) // vbv_delay
       bw.put(0, 1) // full_pel_forward_vector = 0 (half-pel units)
       bw.put(1, 3) // forward_f_code = 1
+      if (pic.isInstanceOf[BPic]) {
+        bw.put(0, 1) // full_pel_backward_vector = 0
+        bw.put(1, 3) // backward_f_code = 1
+      }
       bw.put(0, 1) // extra_bit_picture
       bw.bytes(Array[Byte](0, 0, 1, 1)) // one slice at MB row 1
       bw.put(qscale, 5)
       bw.put(0, 1) // extra_bit_slice
-      val nMB = mbW * mbH
-      require(mbSpec(0) != PMb.Skip && mbSpec(nMB - 1) != PMb.Skip,
-        "first/last macroblock of a slice must not be skipped")
       var predY = 1024
       var pmvX = 0; var pmvY = 0
+      var pmvBX = 0; var pmvBY = 0
       var pending = 0 // run of skipped MBs
-      var mb = 0
-      while (mb < nMB) {
-        mbSpec(mb) match {
-          case PMb.Skip => pending += 1
-          case spec =>
-            putMbIncrement(bw, pending + 1)
-            if (pending > 0) { predY = 1024; pmvX = 0; pmvY = 0 }
-            pending = 0
-            spec match {
-              case PMb.Intra(dc) =>
-                bw.put(3, 5) // '00011' intra
-                predY = writeIntraBlocks(bw, predY, dc, _ => Nil)
-                pmvX = 0; pmvY = 0
-              case PMb.Move(mvx, mvy) =>
-                require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
-                  s"mv out of f_code-1 range: ($mvx, $mvy)")
-                bw.put(1, 3) // '001' pred-m
-                putMotionDiff(bw, mvx, pmvX)
-                putMotionDiff(bw, mvy, pmvY)
-                pmvX = mvx; pmvY = mvy
-                predY = 1024
-              case PMb.MoveCoded(mvx, mvy, resid) =>
-                require(mvx >= -16 && mvx <= 15 && mvy >= -16 && mvy <= 15,
-                  s"mv out of f_code-1 range: ($mvx, $mvy)")
-                bw.put(1, 1) // '1' pred-mc
-                putMotionDiff(bw, mvx, pmvX)
-                putMotionDiff(bw, mvy, pmvY)
-                pmvX = mvx; pmvY = mvy
-                val codedBlocks = (0 until 4).filter(b => resid(b).nonEmpty)
-                val cbp = codedBlocks.map(b => 32 >> b).sum
-                putCbp(bw, cbp)
-                codedBlocks.foreach { b =>
-                  resid(b).foreach { case (run, level) =>
-                    putAcEscape(bw, run, level)
-                  }
-                  bw.put(2, 2) // EOB
+      var lastIntra = true // slice start counts as "no prediction to inherit"
+      pic match {
+        case PPic(mbSpec) =>
+          require(mbSpec(0) != PMb.Skip && mbSpec(nMB - 1) != PMb.Skip,
+            "first/last macroblock of a slice must not be skipped")
+          var mb = 0
+          while (mb < nMB) {
+            mbSpec(mb) match {
+              case PMb.Skip => pending += 1
+              case spec =>
+                putMbIncrement(bw, pending + 1)
+                if (pending > 0) { predY = 1024; pmvX = 0; pmvY = 0 }
+                pending = 0
+                spec match {
+                  case PMb.Intra(dc) =>
+                    bw.put(3, 5) // '00011' intra
+                    predY = writeIntraBlocks(bw, predY, dc, _ => Nil)
+                    pmvX = 0; pmvY = 0
+                  case PMb.Move(mvx, mvy) =>
+                    requireMv(mvx, mvy)
+                    bw.put(1, 3) // '001' pred-m
+                    putMotionDiff(bw, mvx, pmvX)
+                    putMotionDiff(bw, mvy, pmvY)
+                    pmvX = mvx; pmvY = mvy
+                    predY = 1024
+                  case PMb.MoveCoded(mvx, mvy, resid) =>
+                    requireMv(mvx, mvy)
+                    bw.put(1, 1) // '1' pred-mc
+                    putMotionDiff(bw, mvx, pmvX)
+                    putMotionDiff(bw, mvy, pmvY)
+                    pmvX = mvx; pmvY = mvy
+                    putResid(resid)
+                    predY = 1024
+                  case PMb.Skip => () // unreachable
                 }
-                predY = 1024
-              case PMb.Skip => () // unreachable
             }
-        }
-        mb += 1
+            mb += 1
+          }
+          require(pending == 0, "internal: trailing skip not allowed")
+        case BPic(mbSpec) =>
+          require(mbSpec(0) != BMb.Skip && mbSpec(nMB - 1) != BMb.Skip,
+            "first/last macroblock of a slice must not be skipped")
+          var mb = 0
+          while (mb < nMB) {
+            mbSpec(mb) match {
+              case BMb.Skip =>
+                require(!lastIntra,
+                  "a skipped B macroblock must not follow an intra one")
+                pending += 1
+              case spec =>
+                putMbIncrement(bw, pending + 1)
+                if (pending > 0) predY = 1024 // B skip: vectors KEPT
+                pending = 0
+                spec match {
+                  case BMb.Intra(dc) =>
+                    bw.put(3, 5) // '00011' intra
+                    predY = writeIntraBlocks(bw, predY, dc, _ => Nil)
+                    pmvX = 0; pmvY = 0; pmvBX = 0; pmvBY = 0
+                    lastIntra = true
+                  case BMb.Fwd(mvx, mvy) =>
+                    requireMv(mvx, mvy)
+                    bw.put(2, 4) // '0010' fwd, not coded
+                    putMotionDiff(bw, mvx, pmvX)
+                    putMotionDiff(bw, mvy, pmvY)
+                    pmvX = mvx; pmvY = mvy
+                    predY = 1024; lastIntra = false
+                  case BMb.Bwd(mvx, mvy) =>
+                    requireMv(mvx, mvy)
+                    bw.put(2, 3) // '010' bwd, not coded
+                    putMotionDiff(bw, mvx, pmvBX)
+                    putMotionDiff(bw, mvy, pmvBY)
+                    pmvBX = mvx; pmvBY = mvy
+                    predY = 1024; lastIntra = false
+                  case BMb.Bi(fx, fy, bx, by) =>
+                    requireMv(fx, fy); requireMv(bx, by)
+                    bw.put(2, 2) // '10' interpolated, not coded
+                    putMotionDiff(bw, fx, pmvX)
+                    putMotionDiff(bw, fy, pmvY)
+                    putMotionDiff(bw, bx, pmvBX)
+                    putMotionDiff(bw, by, pmvBY)
+                    pmvX = fx; pmvY = fy; pmvBX = bx; pmvBY = by
+                    predY = 1024; lastIntra = false
+                  case BMb.FwdCoded(mvx, mvy, resid) =>
+                    requireMv(mvx, mvy)
+                    bw.put(3, 4) // '0011' fwd + coded
+                    putMotionDiff(bw, mvx, pmvX)
+                    putMotionDiff(bw, mvy, pmvY)
+                    pmvX = mvx; pmvY = mvy
+                    putResid(resid)
+                    predY = 1024; lastIntra = false
+                  case BMb.Skip => () // unreachable
+                }
+            }
+            mb += 1
+          }
+          require(pending == 0, "internal: trailing skip not allowed")
       }
-      require(pending == 0, "internal: trailing skip not allowed")
     }
     bw.result()
   }
+
+  /** Back-compat wrapper: one I-frame then P-pictures only. */
+  def encodeIPStream(mbW: Int, mbH: Int,
+      iLumaDc: (Int, Int) => Int,
+      pFrames: Seq[Int => PMb],
+      qscale: Int = 8,
+      iAc: (Int, Int) => Seq[(Int, Int)] = (_, _) => Nil): Array[Byte] =
+    encodeSequence(mbW, mbH, iLumaDc, pFrames.map(PPic.apply), qscale, iAc)
 }

@@ -879,21 +879,29 @@ object Multimodal {
     * macroblock zero-MV with a flat coded residual (level
     * L = id mod 5 + 1 at qscale 8 adds exactly 2L+1 per pixel) — then
     * P2 mixing real motion (MB1 ← 8 px left, MB2 ← 8 px up), a
-    * zero-MV copy, and a second residual. Every decoded mean is a
-    * closed-form k/16 of id — the inter-path oracle. */
+    * zero-MV copy, and a second residual — then a B-picture
+    * exercising every bidirectional path (forward ← P1, backward ←
+    * P2, interpolated average, forward + residual). Every decoded
+    * mean is a closed-form k/16 of id — the inter-path oracle. */
   def syntheticMpeg1MotionEs(id: Long): Array[Byte] = {
     def dc(mb: Int, b: Int): Int =
       (((id * 7 + mb * 16 + b * 4 + 50) % 200) + 10).toInt
     val l = (id % 5).toInt + 1
-    import Mpeg1.PMb
-    Mpeg1.encodeIPStream(2, 2, dc, Seq(
-      _ => PMb.MoveCoded(0, 0, _ => Seq((0, l))),
-      {
+    import Mpeg1.{PMb, BMb, PPic, BPic}
+    Mpeg1.encodeSequence(2, 2, dc, Seq(
+      PPic(_ => PMb.MoveCoded(0, 0, _ => Seq((0, l)))),
+      PPic({
         case 0 => PMb.Move(0, 0)
         case 1 => PMb.Move(-16, 0)
         case 2 => PMb.Move(0, -16)
         case _ => PMb.MoveCoded(0, 0, _ => Seq((0, l)))
-      }))
+      }),
+      BPic({
+        case 0 => BMb.Fwd(0, 0) // ← P1 (the OLDER anchor)
+        case 1 => BMb.Bwd(0, 0) // ← P2
+        case 2 => BMb.Bi(0, 0, 0, 0) // rounded (P1 + P2 + 1) >> 1
+        case _ => BMb.FwdCoded(0, 0, _ => Seq((0, l))) // P1 + delta
+      })))
   }
 
   /** First-frame convenience over [[decodeMpeg1Frames]] — the decode

@@ -499,11 +499,13 @@ object MultimodalQueries {
 
     // MPEG-1 INTER pixel decode (round 12b): P-pictures with real
     // forward motion compensation — skipped-MB copy, zero-MV coded
-    // residuals (non-intra dequant), and true ±8 px motion — decoded
-    // pure-JVM (ext/Mpeg1.scala decodeFramesLuma). The fixture is an
-    // I → P(residual) → P(motion mix) elementary stream whose every
-    // frame mean is a closed k/16 form of doc_id; the frame_type
-    // column pins that frames 2-3 really took the INTER path.
+    // residuals (non-intra dequant), true ±8 px motion — and
+    // B-pictures (forward/backward/interpolated MC against both
+    // anchors), decoded pure-JVM (ext/Mpeg1.scala decodeFramesLuma).
+    // The fixture is an I → P(residual) → P(motion mix) → B(all four
+    // bidirectional modes) elementary stream whose every frame mean
+    // is a closed k/16 form of doc_id; the frame_type column pins
+    // that frames 2-4 really took the inter paths.
     Q("multimodal_mpeg1_motion",
       (s, dir) => {
         val spark = s
@@ -534,16 +536,36 @@ object MultimodalQueries {
              |             OR (mb=1 AND bb IN (0,2)) THEN g END)/4.0 AS r10,
              |    sum(CASE WHEN (mb=0 AND bb IN (2,3))
              |             OR (mb=2 AND bb IN (0,1)) THEN g END)/4.0 AS r01,
-             |    sum(CASE WHEN mb=3 THEN g END)/4.0 AS r11
+             |    sum(CASE WHEN mb=3 THEN g END)/4.0 AS r11,
+             |    -- B frame MB2 is the rounded per-quadrant average of
+             |    -- P1's MB2 (blocks g(2,b)+d) against P2's MB2 (P1
+             |    -- shifted up 8 px: g(0,2), g(0,3), g(2,0), g(2,1), +d)
+             |    max(CASE WHEN mb=2 AND bb=0 THEN g END) AS g20,
+             |    max(CASE WHEN mb=2 AND bb=1 THEN g END) AS g21,
+             |    max(CASE WHEN mb=2 AND bb=2 THEN g END) AS g22,
+             |    max(CASE WHEN mb=2 AND bb=3 THEN g END) AS g23,
+             |    max(CASE WHEN mb=0 AND bb=2 THEN g END) AS g02,
+             |    max(CASE WHEN mb=0 AND bb=3 THEN g END) AS g03
              |  FROM b GROUP BY doc_id),
-             |f AS (SELECT doc_id, 2*(doc_id % 5 + 1) + 1 AS delta,
-             |    mean_i, (r00 + r10 + r01 + r11)/4.0 AS base2 FROM agg),
+             |f AS (SELECT doc_id, 2*(doc_id % 5 + 1) + 1 AS d, agg.*
+             |  FROM agg),
              |fr AS (
              |  SELECT doc_id, 1 AS frame, 'I' AS ftype, mean_i AS mean FROM f
              |  UNION ALL
-             |  SELECT doc_id, 2, 'P', mean_i + delta FROM f
+             |  SELECT doc_id, 2, 'P', mean_i + d FROM f
              |  UNION ALL
-             |  SELECT doc_id, 3, 'P', base2 + delta + delta/4.0 FROM f)
+             |  SELECT doc_id, 3, 'P',
+             |    (r00 + r10 + r01 + r11)/4.0 + d + d/4.0 FROM f
+             |  UNION ALL
+             |  SELECT doc_id, 4, 'B',
+             |    ( (r00 + d)                           -- MB0: fwd <- P1
+             |    + (r10 + d)                           -- MB1: bwd <- P2
+             |    + ( (g20 + g02 + 2*d + 1)//2          -- MB2: Bi rounded
+             |      + (g21 + g03 + 2*d + 1)//2          --      quadrants
+             |      + (g22 + g20 + 2*d + 1)//2
+             |      + (g23 + g21 + 2*d + 1)//2 )/4.0
+             |    + (r11 + 2*d)                         -- MB3: fwd + resid
+             |    )/4.0 FROM f)
              |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
              |  ftype AS frame_type, CAST(32 AS BIGINT) AS width,
              |  CAST(32 AS BIGINT) AS height, round(mean, 6) AS mean_gray

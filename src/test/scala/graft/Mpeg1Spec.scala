@@ -179,12 +179,103 @@ class Mpeg1Spec extends SparkSpec {
     }
   }
 
-  test("P degrade: B-pictures stop the walk cleanly; truncated P keeps " +
-      "the I; out-of-plane MC degrades") {
+  // ------------------------------------------------------- inter (B) paths
+
+  import graft.ext.Mpeg1.{PPic, BPic, BMb}
+
+  /** Shared I→P→B rig: P = I + delta (zero-MV residual), B per spec. */
+  private def ipb(mbW: Int, dc: (Int, Int) => Int, l: Int,
+      bSpec: Int => BMb) = {
+    val es = Mpeg1.encodeSequence(mbW, 1, dc, Seq(
+      PPic(_ => PMb.MoveCoded(0, 0, _ => Seq((0, l)))),
+      BPic(bSpec)))
+    val fs = frames(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"types: ${fs.map(_._4)}")
+    (fs(0)._3, fs(1)._3, fs(2)._3)
+  }
+
+  test("B directions: forward copies the OLDER anchor, backward the " +
+      "NEWER, interpolated averages with round-half-away") {
+    def dc(mb: Int, b: Int): Int = 90 + 11 * mb + 7 * b
+    // delta odd (L=2 -> +5) so (i + p + 1) >> 1 exercises real rounding
+    val (i, p, bf) = ipb(3, dc, 2, {
+      case 0 => BMb.Fwd(0, 0)
+      case 1 => BMb.Bwd(0, 0)
+      case _ => BMb.Bi(0, 0, 0, 0)
+    })
+    for (y <- 0 until 16; x <- 0 until 48) {
+      val k = y * 48 + x
+      val want =
+        if (x < 16) i(k)
+        else if (x < 32) p(k)
+        else (i(k) + p(k) + 1) >> 1
+      assert(bf(k) == want, s"pixel ($x,$y): ${bf(k)} want $want")
+    }
+  }
+
+  test("B skip inherits the previous macroblock's prediction " +
+      "(direction AND vectors), not a co-located copy") {
+    def dc(mb: Int, b: Int): Int = 70 + 13 * mb + 5 * b
+    val (i, p, bf) = ipb(3, dc, 1, {
+      case 0 => BMb.Bwd(0, 0)
+      case 1 => BMb.Skip // inherits Bwd(0,0) -> NEWER anchor, not I
+      case _ => BMb.Fwd(0, 0)
+    })
+    for (y <- 0 until 16; x <- 0 until 48) {
+      val k = y * 48 + x
+      val want = if (x < 32) p(k) else i(k)
+      assert(bf(k) == want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("B motion + coded residual + intra refresh inside one picture") {
+    def dc(mb: Int, b: Int): Int = 60 + 9 * mb + 6 * b
+    def newDc(b: Int): Int = 220 + 4 * b
+    val (i, p, bf) = ipb(3, dc, 1, {
+      case 0 => BMb.FwdCoded(0, 0, _ => Seq((0, 2))) // I + 5
+      case 1 => BMb.Fwd(-16, 0) // I shifted 8 px left
+      case _ => BMb.Intra(newDc)
+    })
+    val _ = p
+    for (y <- 0 until 16; x <- 0 until 48) {
+      val k = y * 48 + x
+      val want =
+        if (x < 16) i(k) + 5
+        else if (x < 32) i(y * 48 + x - 8)
+        else newDc((y / 8) * 2 + ((x - 32) / 8))
+      assert(bf(k) == want, s"pixel ($x,$y): ${bf(k)} want $want")
+    }
+  }
+
+  test("B degrade: a B without both anchors stops the walk; anchors " +
+      "chain PAST intervening Bs (P references P, not the B between)") {
+    def dc(mb: Int, b: Int): Int = 100 + 8 * b
+    // B directly after the I (only one anchor decoded): dropped
+    val early = Mpeg1.encodeSequence(1, 1, dc, Seq(
+      BPic(_ => BMb.Fwd(0, 0))))
+    assert(frames(early, 4).map(_._4) == Seq('I'))
+    // I P1 B P2: P2 must reference P1 (the last ANCHOR), not the B
+    val es = Mpeg1.encodeSequence(1, 1, dc, Seq(
+      PPic(_ => PMb.MoveCoded(0, 0, _ => Seq((0, 1)))), // I + 3
+      BPic(_ => BMb.Fwd(0, 0)), // = I (would poison P2 if treated as ref)
+      PPic(_ => PMb.MoveCoded(0, 0, _ => Seq((0, 1)))))) // P1 + 3
+    val fs = frames(es, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B', 'P'))
+    for (k <- 0 until 256) {
+      assert(fs(1)._3(k) == fs(0)._3(k) + 3)
+      assert(fs(2)._3(k) == fs(0)._3(k)) // B forward-copies the I
+      assert(fs(3)._3(k) == fs(0)._3(k) + 6) // P2 = P1 + 3, unaffected by B
+    }
+  }
+
+  test("P degrade: a mislabeled anchorless B stops the walk cleanly; " +
+      "truncated P keeps the I; out-of-plane MC degrades") {
     def dc(mb: Int, b: Int): Int = 90
     val es = Mpeg1.encodeIPStream(1, 1, dc, Seq(_ => PMb.Move(0, 0)))
     // corrupt the SECOND picture header's type to B (3): find the 2nd
-    // picture start code and set ptype bits
+    // picture start code and set ptype bits. Only ONE anchor is
+    // decoded at that point, so the claimed B must be refused — never
+    // guessed from a single reference.
     val pics = (0 until es.length - 3).filter(i =>
       es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1 && es(i + 3) == 0)
     assert(pics.size == 2)
@@ -193,7 +284,7 @@ class Mpeg1Spec extends SparkSpec {
     // at bit offsets 2..4 — '010' (2=P) -> '011' (3=B) flips bit 4
     asB(pics(1) + 5) = (asB(pics(1) + 5) ^ 0x08).toByte
     val fsB = frames(asB, 4)
-    assert(fsB.map(_._4) == Seq('I'), s"B must stop the walk: ${fsB.map(_._4)}")
+    assert(fsB.map(_._4) == Seq('I'), s"anchorless B must stop: ${fsB.map(_._4)}")
     // truncation inside the P picture: the I survives
     val fsT = frames(es.take(es.length - 2), 4)
     assert(fsT.map(_._4) == Seq('I'))

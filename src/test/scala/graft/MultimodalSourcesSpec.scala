@@ -236,14 +236,25 @@ class MultimodalSourcesSpec extends SparkSpec {
       val r01 = (g(0, 2) + g(0, 3) + g(2, 0) + g(2, 1)) / 4
       val r11 = (0 to 3).map(g(3, _)).sum / 4
       val mean2 = (r00 + r10 + r01 + r11) / 4 + delta + delta / 4
+      // frame 4 (B): fwd<-P1 MB0, bwd<-P2 MB1, Bi-rounded MB2 quadrants
+      // (P1's g(2,b)+d against P2's shifted g(0,2)/g(0,3)/g(2,0)/g(2,1)+d),
+      // fwd+residual MB3
+      def biQ(a: Double, b: Double): Double =
+        ((a + b + 2 * delta + 1) / 2).floor
+      val meanB = ((r00 + delta) + (r10 + delta) +
+        (biQ(g(2, 0), g(0, 2)) + biQ(g(2, 1), g(0, 3)) +
+          biQ(g(2, 2), g(2, 0)) + biQ(g(2, 3), g(2, 1))) / 4 +
+        (r11 + 2 * delta)) / 4
       val es = Multimodal.syntheticMpeg1MotionEs(id)
       val fs = Multimodal.decodeMpeg1FramesTyped(es, 8)
       assert(fs.map(f => (f._1, f._2, f._3, f._4)) ==
-        Seq((1, 'I', 32, 32), (2, 'P', 32, 32), (3, 'P', 32, 32)),
+        Seq((1, 'I', 32, 32), (2, 'P', 32, 32), (3, 'P', 32, 32),
+          (4, 'B', 32, 32)),
         s"id $id shape: $fs")
       assert(fs(0)._5 == meanI, s"id $id frame 1: ${fs(0)._5} want $meanI")
       assert(fs(1)._5 == meanI + delta, s"id $id frame 2: ${fs(1)._5}")
       assert(fs(2)._5 == mean2, s"id $id frame 3: ${fs(2)._5} want $mean2")
+      assert(fs(3)._5 == meanB, s"id $id frame 4: ${fs(3)._5} want $meanB")
     }
   }
 
