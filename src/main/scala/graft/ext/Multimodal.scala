@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * deterministic MJPEG-in-MP4 fixtures. Payloads none of those paths
   * recognize fall back to byte-histogram moments; that fallback is the
   * one remaining STUB, and only for what genuinely needs a native
-  * decoder: H.264 inter/CABAC and hev1 (MPEG-1 I AND P pictures plus
-  * H.264 baseline-intra decode pure-JVM, rounds 12/12b) — swap it for
-  * an ffmpeg binding in production, nothing around it changes.
+  * decoder: H.264 inter/CABAC and hev1 (MPEG-1 decodes FULLY — I, P
+  * and B pictures — plus H.264 baseline-intra, all pure-JVM, rounds
+  * 12/12b) — swap it for an ffmpeg binding in production, nothing
+  * around it changes.
   *
   * Scale notes: decode is mapPartitions (one codec init per partition,
   * not per row — the same shape a Pandas-UDF/mapInPandas batch has);
@@ -1251,8 +1252,8 @@ object Multimodal {
     * and H.264/avc1-intra pixel decode (round 12), byte-histogram
     * fallback for everything else (non-media payloads and
     * out-of-subset video — H.264 inter/CABAC, hev1 — which genuinely
-    * needs a native decoder; MPEG-1 INTER is real since round 12b,
-    * [[decodeMpeg1FramesTyped]]). The boolean is the
+    * needs a native decoder; MPEG-1 decodes fully (I/P/B) since round
+    * 12b, [[decodeMpeg1FramesTyped]]). The boolean is the
     * DEGRADE flag: true for real pixels, false for the fallback — the
     * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =
