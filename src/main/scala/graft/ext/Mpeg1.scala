@@ -244,35 +244,38 @@ object Mpeg1 {
     if (br.bits(1) == 1) { // '000001…'
       if (br.remaining < 1) return Int.MinValue
       if (br.bits(1) == 1) return signed(7) // '0000011s'
-      return Int.MinValue // '0000010': unassigned in B.4
-    }
-    // 10-bit classes, magnitudes 8..16: '0000001011'→8 descending to
-    // '0000000011'→16 (six leading zeros consumed above)
-    if (br.remaining < 1) return Int.MinValue
-    if (br.bits(1) == 1) { // '0000001' + 3
-      if (br.remaining < 3) return Int.MinValue
-      br.bits(3) match {
-        case 3 => signed(8) // '0000001011'
-        case 2 => signed(9) // '0000001010'
-        case 1 => signed(10) // '0000001001'
-        case 0 => signed(11) // '0000001000'
-        case _ => Int.MinValue
-      }
-    } else {
+      // '0000010…': magnitudes 8..12. Table B.4 is the Table-B.1
+      // (macroblock_address_increment) code for value 2m (negative)
+      // / 2m+1 (positive) — the rule holds exactly for EVERY
+      // magnitude 1..7 above (e.g. +4 = '0000110' = B.1's code for
+      // 9, +5 = '00001010' = B.1's 11), so 8..16 continue it
+      // (review r12: an earlier version used codes that are not in
+      // B.4; encoder and decoder shared the error, so round-trips
+      // passed while both diverged from the standard).
       if (br.remaining < 1) return Int.MinValue
-      if (br.bits(1) == 1) { // '00000001' + 2
-        if (br.remaining < 2) return Int.MinValue
-        br.bits(2) match {
-          case 3 => signed(12) // '0000000111'
-          case 2 => signed(13) // '0000000110'
-          case 1 => signed(14) // '0000000101'
-          case 0 => signed(15) // '0000000100'
-        }
-      } else { // '00000000' + 2: only '0000000011' (= 16) is assigned
-        if (br.remaining < 2) Int.MinValue
-        else if (br.bits(2) == 3) signed(16)
-        else Int.MinValue
+      if (br.bits(1) == 1) { // '00000101x' → ±8 / ±9 (B.1 16..19)
+        if (br.remaining < 1) return Int.MinValue
+        return if (br.bits(1) == 1) signed(8) else signed(9)
       }
+      if (br.remaining < 1) return Int.MinValue
+      if (br.bits(1) == 1) return signed(10) // '000001001'+s (B.1 20/21)
+      if (br.remaining < 1) return Int.MinValue
+      // '0000010001'+s → ±11, '0000010000'+s → ±12 (B.1 22..25)
+      return if (br.bits(1) == 1) signed(11) else signed(12)
+    }
+    // '0000001…': magnitudes 13..16 (B.1 codes 26..33): prefixes
+    // '0000001111' ↓ '0000001100'; '00000010xx' and 7+ leading zeros
+    // are unassigned in B.4 → degrade
+    if (br.remaining < 1) return Int.MinValue
+    if (br.bits(1) != 1) return Int.MinValue // 7+ zeros
+    if (br.remaining < 1) return Int.MinValue
+    if (br.bits(1) != 1) return Int.MinValue // '00000010…'
+    if (br.remaining < 2) return Int.MinValue
+    br.bits(2) match {
+      case 3 => signed(13) // '0000001111'+s
+      case 2 => signed(14) // '0000001110'+s
+      case 1 => signed(15) // '0000001101'+s
+      case _ => signed(16) // '0000001100'+s
     }
   }
 
@@ -357,7 +360,10 @@ object Mpeg1 {
   // ---------------------------------------------------------------- IDCT
 
   /** Direct 8×8 type-III DCT (the decoding transform), double
-    * precision, rounded + clamped to 0..255 by the caller. */
+    * precision. [[idctResidual]] is the SIGNED form (non-intra
+    * residuals: the caller adds it to the MC prediction and clamps
+    * the SUM — clamping the residual itself would bias negative
+    * corrections); [[idct]] clamps it to the intra sample range. */
   private val CosTab: Array[Double] = {
     val t = new Array[Double](64)
     var x = 0
@@ -371,38 +377,6 @@ object Mpeg1 {
     }
     t
   }
-  private def idct(block: Array[Int], out: Array[Int]): Unit = {
-    val c = new Array[Double](8)
-    c(0) = 1.0 / math.sqrt(2.0)
-    var i = 1
-    while (i < 8) { c(i) = 1.0; i += 1 }
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        var s = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            val f = block(v * 8 + u)
-            if (f != 0)
-              s += c(u) * c(v) * f * CosTab(x * 8 + u) * CosTab(y * 8 + v)
-            u += 1
-          }
-          v += 1
-        }
-        val p = math.rint(s / 4.0).toInt
-        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
-        x += 1
-      }
-      y += 1
-    }
-  }
-
-  /** IDCT for non-intra RESIDUALS: same transform, but signed — the
-    * caller adds it to the MC prediction and clamps the SUM
-    * (clamping the residual itself would bias negative corrections). */
   private def idctResidual(block: Array[Int], out: Array[Int]): Unit = {
     val c = new Array[Double](8)
     c(0) = 1.0 / math.sqrt(2.0)
@@ -431,6 +405,20 @@ object Mpeg1 {
     }
   }
 
+  /** Intra IDCT = the signed transform clamped to the sample range
+    * (one numeric kernel — review r12: two verbatim copies of the
+    * rounding-sensitive loop would desynchronize under a future
+    * tweak). */
+  private def idct(block: Array[Int], out: Array[Int]): Unit = {
+    idctResidual(block, out)
+    var i = 0
+    while (i < 64) {
+      val p = out(i)
+      out(i) = if (p < 0) 0 else if (p > 255) 255 else p
+      i += 1
+    }
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Decode the FIRST I-picture of an MPEG-1 video elementary stream:
@@ -443,9 +431,9 @@ object Mpeg1 {
     }
 
   /** Decode up to `maxFrames` pictures of an MPEG-1 elementary stream
-    * in stream order: (width, height, cropped luma, 'I'|'P').
-    * ('I'/'P'/'B', decode order). P-pictures reconstruct via forward
-    * MC against the last anchor; B-pictures bidirectionally against
+    * in DECODE order: (width, height, cropped luma, type) with type
+    * one of 'I'/'P'/'B'. P-pictures reconstruct via forward MC
+    * against the last anchor; B-pictures bidirectionally against
     * both anchors. Decode stops cleanly (keeping earlier frames) at
     * the first unsupported element — everything returned is exact,
     * nothing after the stop is guessed. */
@@ -578,7 +566,11 @@ object Mpeg1 {
                 else {
                   if (ptype != 3) { anchorPrev = anchorLast; anchorLast = plane }
                   frames += ((width, height,
-                    cropLuma(plane.clone(), mbW * 16, width, height),
+                    // no defensive clone: cropLuma copies when it
+                    // crops, and an uncropped alias is safe — anchors
+                    // are never mutated (P clones its ref before
+                    // writing)
+                    cropLuma(plane, mbW * 16, width, height),
                     ptype match { case 1 => 'I'; case 2 => 'P'; case _ => 'B' }))
                   sc = nextSc
                 }
@@ -1134,9 +1126,17 @@ object Mpeg1 {
       case 5 => bw.put(5, 7) // '0000101'
       case 6 => bw.put(4, 7) // '0000100'
       case 7 => bw.put(3, 7) // '0000011'
-      case m if m <= 11 => bw.put(11 - (m - 8), 10) // '0000001011'↓
-      case m if m <= 15 => bw.put(7 - (m - 12), 10) // '0000000111'↓
-      case _ => bw.put(3, 10) // 16: '0000000011'
+      // 8..16: Table-B.1 codes for 2m/2m+1 with the sign as the final
+      // bit (the same correspondence magnitudes 1..7 follow)
+      case 8 => bw.put(11, 9) // '000001011'
+      case 9 => bw.put(10, 9) // '000001010'
+      case 10 => bw.put(9, 9) // '000001001'
+      case 11 => bw.put(17, 10) // '0000010001'
+      case 12 => bw.put(16, 10) // '0000010000'
+      case 13 => bw.put(15, 10) // '0000001111'
+      case 14 => bw.put(14, 10) // '0000001110'
+      case 15 => bw.put(13, 10) // '0000001101'
+      case _ => bw.put(12, 10) // 16: '0000001100'
     }
     if (mag != 0) bw.put(if (code < 0) 1 else 0, 1)
   }

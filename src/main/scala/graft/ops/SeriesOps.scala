@@ -581,11 +581,11 @@ object SeriesOps {
          |    CAST(($mExpr + 1L) div 2L AS INT))""".stripMargin
     // Two disjoint tiers, one union: the exact tier is the typed loop
     // above (exactPart), the sampled tier keeps the SQL draw. The
-    // Memo'd input is scanned once per tier — it is a cached one-row-
-    // per-series frame, so the second scan is a cache read, and in
-    // return the exact tier (the hot one: the oracle twin pins
-    // lengthGate = 10⁶, sending EVERY driver series through it) runs
-    // compiled instead of interpreted.
+    // input is scanned once per tier — callers should pass a cached /
+    // Memo'd one-row-per-series frame (ts_theil_sen does) so the
+    // second scan is a cache read; in return the exact tier (the hot
+    // one: the oracle twin pins lengthGate = 10⁶, sending EVERY
+    // driver series through it) runs compiled instead of interpreted.
     val sampledPart = series
       .filter(size(col("values")) >= minSize &&
         size(col("values")) > lengthGate)

@@ -1427,9 +1427,15 @@ object CoreQueries {
     // sampled tier is exercised by SeriesOpsSpec + SCALE.md, not by
     // this oracle-checked entry.
     Q("ts_theil_sen",
-      (s, dir) => SeriesOps.theilSen(SeriesOps.collectSeries(
-          Tables.events(s, dir), "user_id", "value", "event_id"),
-          lengthGate = 1000000)
+      // the collected frame is Memo'd because theilSen's two tiers
+      // (typed exact loop / SQL sampled draw) are disjoint filters
+      // that each scan their input once — uncached, the second scan
+      // would re-run the whole events collect_list aggregation
+      // (review r12)
+      (s, dir) => SeriesOps.theilSen(Memo.cached(s, s"theilser|$dir") {
+          SeriesOps.collectSeries(
+            Tables.events(s, dir), "user_id", "value", "event_id")
+        }, lengthGate = 1000000)
         .orderBy("series_id"),
       Some("""WITH r AS (SELECT user_id, value,
              |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn

@@ -110,6 +110,26 @@ class Mpeg1Spec extends SparkSpec {
     }
   }
 
+  test("motion VLC magnitudes 8..16 (Table B.4 = B.1 codes for 2m/2m+1, " +
+      "the rule magnitudes 1..7 provably follow) round-trip through MC") {
+    // differential sequence hits every magnitude 8..16 exactly once
+    // (16 via the [-16,15] wrap); odd targets exercise half-pel too
+    val targets = Seq(0, 8, -1, 9, -2, 10, -3, 11, -4, 12, 12, 0)
+    def dc(mb: Int, b: Int): Int = 40 + 9 * mb + 5 * b
+    val es = Mpeg1.encodeIPStream(12, 1, dc,
+      Seq(mb => PMb.Move(targets(mb), 0)))
+    val fs = frames(es, 2)
+    assert(fs.map(_._4) == Seq('I', 'P'), s"types: ${fs.map(_._4)}")
+    val i = fs(0)._3
+    val p = fs(1)._3
+    for (mb <- targets.indices) {
+      val want = expectMoved(i, 192, mb, 0, targets(mb), 0)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(p(y * 192 + mb * 16 + x) == want(y * 16 + x),
+          s"mb $mb mv ${targets(mb)} pixel ($x,$y)")
+    }
+  }
+
   test("P skipped macroblocks copy the co-located reference exactly") {
     def dc(mb: Int, b: Int): Int = (37 * mb + 13 * b + 22) % 200
     val es = Mpeg1.encodeIPStream(3, 1, dc,
