@@ -28,9 +28,15 @@ package graft.ext
   * Honesty bounds, all degrade-to-None (the caller falls back to the
   * byte-histogram fence, never a WRONG decode — the [[Mpeg1]]
   * discipline):
-  *  - I slices only; CABAC, I_NxN (Intra_4x4/8x8), multi-slice-group,
-  *    field coding, high-profile tools (scaling lists, >8-bit,
-  *    non-4:2:0) return None.
+  *  - I and P slices. P (round 12b) is the single-reference subset:
+  *    list 0 = the previous decoded picture (one short-term ref,
+  *    unreordered, unweighted), macroblocks P_L0_16x16 (cbp 0 — pure
+  *    quarter-pel MC with the 6-tap half-pel filter, edge-clamped
+  *    fetches, 8.4.1.3 median MV prediction), P_Skip (8.4.1.1), and
+  *    Intra_16x16 refresh. Other partitions, inter residuals, B
+  *    slices, CABAC, I_NxN (Intra_4x4/8x8), multi-slice-group, field
+  *    coding, high-profile tools (scaling lists, >8-bit, non-4:2:0)
+  *    return None.
   *  - In-loop deblocking is not implemented, so slices that do not
   *    disable it (disable_deblocking_filter_idc != 1) return None
   *    rather than emitting near-but-not-bit-exact pixels.
@@ -157,7 +163,8 @@ object H264 {
   private final case class Pps(
       id: Int, spsId: Int,
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
-      bottomFieldPoc: Boolean)
+      bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
+      weightedPred: Boolean)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -216,8 +223,9 @@ object H264 {
     if (br.bit() == 1) throw ParseFail // CABAC: not implemented
     val bottomFieldPoc = br.bit() == 1
     if (br.ue() != 0) throw ParseFail // num_slice_groups_minus1
-    br.ue(); br.ue() // num_ref_idx defaults
-    br.bit() // weighted_pred
+    val numRefIdxL0Default = br.ue() + 1
+    br.ue() // num_ref_idx_l1 default
+    val weightedPred = br.bit() == 1
     br.bits(2) // weighted_bipred_idc
     val picInitQp = 26 + br.se()
     br.se() // pic_init_qs
@@ -231,7 +239,7 @@ object H264 {
       br.se() // second_chroma_qp_index_offset
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
-      bottomFieldPoc)
+      bottomFieldPoc, numRefIdxL0Default, weightedPred)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -470,6 +478,130 @@ object H264 {
   private def blkRow(blkIdx: Int): Int = 2 * ((blkIdx >> 2) >> 1) + ((blkIdx & 3) >> 1)
   private def blkCol(blkIdx: Int): Int = 2 * ((blkIdx >> 2) & 1) + (blkIdx & 1)
 
+  // ---------------------------------------------------------------- inter
+
+  /** Quarter-pel luma sample interpolation (8.4.2.2.1/2): 6-tap
+    * (1,-5,20,20,-5,1) half-pel filter, un-rounded intermediates for
+    * the center position j, bilinear (+1)>>1 averages for the quarter
+    * positions (Table 8-12). Out-of-picture integer fetches clamp to
+    * the edge (the spec's Clip3 on sample coordinates), so motion
+    * vectors may legally point outside the frame. */
+  private def qpelSample(ref: Array[Int], stride: Int, planeH: Int,
+      xInt: Int, yInt: Int, fx: Int, fy: Int): Int = {
+    def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= stride) stride - 1 else x
+      val cy = if (y < 0) 0 else if (y >= planeH) planeH - 1 else y
+      ref(cy * stride + cx)
+    }
+    // un-rounded horizontal half-sum between (x, y) and (x+1, y)
+    def b1(x: Int, y: Int): Int =
+      at(x - 2, y) - 5 * at(x - 1, y) + 20 * at(x, y) +
+        20 * at(x + 1, y) - 5 * at(x + 2, y) + at(x + 3, y)
+    // un-rounded vertical half-sum between (x, y) and (x, y+1)
+    def h1(x: Int, y: Int): Int =
+      at(x, y - 2) - 5 * at(x, y - 1) + 20 * at(x, y) +
+        20 * at(x, y + 1) - 5 * at(x, y + 2) + at(x, y + 3)
+    def hb(x: Int, y: Int): Int = clip255((b1(x, y) + 16) >> 5)
+    def hh(x: Int, y: Int): Int = clip255((h1(x, y) + 16) >> 5)
+    def jj(x: Int, y: Int): Int = {
+      // 6-tap over the un-rounded vertical sums, horizontally
+      val j1 = h1(x - 2, y) - 5 * h1(x - 1, y) + 20 * h1(x, y) +
+        20 * h1(x + 1, y) - 5 * h1(x + 2, y) + h1(x + 3, y)
+      clip255((j1 + 512) >> 10)
+    }
+    def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
+    val x = xInt; val y = yInt
+    (fx, fy) match {
+      case (0, 0) => at(x, y)
+      case (1, 0) => avg(at(x, y), hb(x, y)) // a
+      case (2, 0) => hb(x, y) // b
+      case (3, 0) => avg(hb(x, y), at(x + 1, y)) // c
+      case (0, 1) => avg(at(x, y), hh(x, y)) // d
+      case (0, 2) => hh(x, y) // h
+      case (0, 3) => avg(hh(x, y), at(x, y + 1)) // n
+      case (2, 2) => jj(x, y) // j
+      case (1, 1) => avg(hb(x, y), hh(x, y)) // e
+      case (3, 1) => avg(hb(x, y), hh(x + 1, y)) // g
+      case (1, 3) => avg(hh(x, y), hb(x, y + 1)) // p
+      case (3, 3) => avg(hb(x, y + 1), hh(x + 1, y)) // r
+      case (2, 1) => avg(hb(x, y), jj(x, y)) // f
+      case (2, 3) => avg(jj(x, y), hb(x, y + 1)) // q
+      case (1, 2) => avg(hh(x, y), jj(x, y)) // i
+      case _ => avg(jj(x, y), hh(x + 1, y)) // (3, 2) k
+    }
+  }
+
+  /** 16×16 forward MC: `mv*` in quarter-pel units. */
+  private def interPredict16x16(ref: Array[Int], stride: Int, planeH: Int,
+      ox: Int, oy: Int, mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+    val fx = mvx & 3
+    val fy = mvy & 3
+    val bx = ox + (mvx >> 2)
+    val by = oy + (mvy >> 2)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        out(y * 16 + x) = qpelSample(ref, stride, planeH, bx + x, by + y, fx, fy)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Luma 16×16 motion-vector prediction (8.4.1.3): component-wise
+    * median of neighbors A (left), B (above), C (above-right; D
+    * above-left when C is unavailable), where an unavailable or
+    * intra neighbor contributes mv (0,0) with refIdx −1. With the
+    * single-reference subset every inter neighbor has refIdx 0, so
+    * "exactly one neighbor shares the current refIdx" reduces to
+    * "exactly one neighbor is inter". `inter`/`mvx`/`mvy` hold the
+    * per-macroblock state of the CURRENT picture, filled in raster
+    * order. */
+  private def mvPred16x16(mb: Int, mbW: Int, nMbs: Int,
+      inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
+    val mbX = mb % mbW
+    val hasA = mbX > 0
+    val hasB = mb - mbW >= 0
+    val cIdx = mb - mbW + 1
+    val hasC0 = mb - mbW >= 0 && mbX < mbW - 1
+    val dIdx = mb - mbW - 1
+    val hasD = mb - mbW >= 0 && mbX > 0
+    // C falls back to D when unavailable
+    val (hasC, cUse) = if (hasC0) (true, cIdx) else (hasD, dIdx)
+    if (!hasB && !hasC && hasA) // only A available: mvp = mvA
+      return (mvx(mb - 1), mvy(mb - 1))
+    def info(has: Boolean, idx: Int): (Boolean, Int, Int) =
+      if (has && inter(idx)) (true, mvx(idx), mvy(idx)) else (false, 0, 0)
+    val (ia, ax, ay) = info(hasA, mb - 1)
+    val (ib, bx, by) = info(hasB, mb - mbW)
+    val (ic, cx, cy) = info(hasC, cUse)
+    val nInter = (if (ia) 1 else 0) + (if (ib) 1 else 0) + (if (ic) 1 else 0)
+    if (nInter == 1) {
+      if (ia) (ax, ay) else if (ib) (bx, by) else (cx, cy)
+    } else {
+      def med(a: Int, b: Int, c: Int): Int =
+        math.max(math.min(a, b), math.min(math.max(a, b), c))
+      (med(ax, bx, cx), med(ay, by, cy))
+    }
+  }
+
+  /** P_Skip motion (8.4.1.1): zero when the left or top neighbor is
+    * unavailable or is an inter MB with refIdx 0 and mv (0,0);
+    * otherwise the 16×16 prediction. */
+  private def skipMv(mb: Int, mbW: Int, nMbs: Int,
+      inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
+    val mbX = mb % mbW
+    val hasA = mbX > 0
+    val hasB = mb - mbW >= 0
+    if (!hasA || !hasB) return (0, 0)
+    val a = mb - 1
+    val b = mb - mbW
+    if (inter(a) && mvx(a) == 0 && mvy(a) == 0) return (0, 0)
+    if (inter(b) && mvx(b) == 0 && mvy(b) == 0) return (0, 0)
+    mvPred16x16(mb, mbW, nMbs, inter, mvx, mvy)
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Decode the first I frame from a list of NAL units (headers
@@ -525,20 +657,137 @@ object H264 {
   def decodeIFrameLuma(es: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeIFrameLumaNals(splitAnnexB(es))
 
+  /** Decode up to `maxFrames` frames of an Annex-B stream in decode
+    * order: (width, height, cropped luma, 'I'|'P'). P slices
+    * reconstruct via list-0 MC against the PREVIOUS decoded picture
+    * (single-reference subset: one short-term ref, unreordered,
+    * unweighted; P_L0_16x16 + P_Skip + intra refresh, cbp 0). The
+    * walk stops cleanly at the first unsupported element, keeping
+    * the exact frames decoded so far. */
+  def decodeFramesLuma(es: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] =
+    decodeFramesLumaNals(splitAnnexB(es), maxFrames)
+
+  /** NAL-list form of [[decodeFramesLuma]] (avcC / length-prefixed
+    * callers). */
+  def decodeFramesLumaNals(nals: Seq[Array[Byte]],
+      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] = {
+    val frames =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int], Char)]
+    if (maxFrames <= 0) return frames.toSeq
+    try {
+      val spsById = scala.collection.mutable.Map.empty[Int, Sps]
+      val ppsById = scala.collection.mutable.Map.empty[Int, Pps]
+      val poisoned = scala.collection.mutable.Set.empty[(Int, Int)]
+      def idOf(rbsp: Array[Byte], skip: Int): Int = {
+        val br = new BitReader(rbsp)
+        var i = 0
+        while (i < skip) { br.bits(8); i += 1 }
+        br.ue()
+      }
+      var ref: Array[Int] = null
+      nals.foreach { nal =>
+        if (frames.size >= maxFrames) return frames.toSeq
+        if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
+          val typ = nal(0) & 0x1F
+          typ match {
+            case 7 =>
+              val rbsp = unescape(nal, 1)
+              try { val s = parseSps(rbsp); spsById(s.id) = s }
+              catch { case ParseFail =>
+                try poisoned += ((7, idOf(rbsp, 3)))
+                catch { case ParseFail => () }
+              }
+            case 8 =>
+              val rbsp = unescape(nal, 1)
+              try { val p = parsePps(rbsp); ppsById(p.id) = p }
+              catch { case ParseFail =>
+                try poisoned += ((8, idOf(rbsp, 0)))
+                catch { case ParseFail => () }
+              }
+            case 5 | 1 =>
+              // contain per-slice failures: earlier exact frames stay
+              val dec =
+                try decodeSliceFull(unescape(nal, 1), spsById.toMap,
+                  ppsById.toMap, poisoned.toSet,
+                  nalRefIdc = (nal(0) >> 5) & 3, isIdr = typ == 5, ref = ref)
+                catch {
+                  case ParseFail => None
+                  case _: ArrayIndexOutOfBoundsException => None
+                }
+              dec match {
+                case Some((sps, plane, isIntra)) =>
+                  cropFrame(sps, plane) match {
+                    case Some((w, h, cropped)) =>
+                      ref = plane
+                      frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
+                    case None => return frames.toSeq
+                  }
+                case None => return frames.toSeq
+              }
+            case _ => () // SEI/AUD/filler: skip
+          }
+        }
+      }
+      frames.toSeq
+    } catch {
+      case ParseFail => frames.toSeq
+      case _: ArrayIndexOutOfBoundsException => frames.toSeq
+    }
+  }
+
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Crop per 7.4.2.1.1 (CropUnit 2 for 4:2:0 frame coding). */
+  private def cropFrame(sps: Sps, luma: Array[Int]): Option[(Int, Int, Array[Int])] = {
+    val stride = sps.mbW * 16
+    val w = stride - 2 * (sps.cropL + sps.cropR)
+    val h = sps.mbH * 16 - 2 * (sps.cropT + sps.cropB)
+    if (w <= 0 || h <= 0) return None
+    val out =
+      if (w == stride && h == sps.mbH * 16) luma
+      else {
+        val o = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(luma, (y + 2 * sps.cropT) * stride + 2 * sps.cropL,
+            o, y * w, w)
+          y += 1
+        }
+        o
+      }
+    Some((w, h, out))
+  }
 
   private def decodeSlice(rbsp: Array[Byte], spsById: Map[Int, Sps],
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
-      nalRefIdc: Int, isIdr: Boolean): Option[(Int, Int, Array[Int])] = {
+      nalRefIdc: Int, isIdr: Boolean): Option[(Int, Int, Array[Int])] =
+    decodeSliceFull(rbsp, spsById, ppsById, poisoned, nalRefIdc, isIdr,
+        ref = null)
+      .collect { case (sps, luma, isIntra) if isIntra => (sps, luma) }
+      .flatMap { case (sps, luma) => cropFrame(sps, luma) }
+
+  /** Decode one slice into its UNCROPPED plane: (sps, plane, isIntra).
+    * `ref` is the previous decoded plane (uncropped) for P slices —
+    * null refuses them (the I-only entry points). */
+  private def decodeSliceFull(rbsp: Array[Byte], spsById: Map[Int, Sps],
+      ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
+      nalRefIdc: Int, isIdr: Boolean,
+      ref: Array[Int]): Option[(Sps, Array[Int], Boolean)] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice: single slice only
     val sliceType = br.ue()
-    if (sliceType != 2 && sliceType != 7) return None // I slices only
+    val isP = sliceType == 0 || sliceType == 5
+    if (!isP && sliceType != 2 && sliceType != 7) return None // I/P only
+    if (isP && isIdr) return None // an IDR slice cannot be P
     val ppsId = br.ue()
     if (poisoned((8, ppsId))) return None // referenced PPS unparseable
     val pps = ppsById.getOrElse(ppsId, return None)
     if (poisoned((7, pps.spsId))) return None
     val sps = spsById.getOrElse(pps.spsId, return None)
+    if (isP && (ref == null || ref.length != sps.mbW * 16 * sps.mbH * 16))
+      return None // no (or mismatched) reference picture
+    if (isP && pps.weightedPred) return None // explicit weighting: refuse
     br.bits(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
     if (sps.pocType == 0) {
@@ -549,6 +798,15 @@ object H264 {
       if (pps.bottomFieldPoc) br.se()
     }
     if (pps.redundantPresent) br.ue()
+    if (isP) {
+      // single-reference subset: list 0 must be exactly the previous
+      // decoded picture, unreordered
+      val numRefL0 =
+        if (br.bit() == 1) br.ue() + 1 // num_ref_idx_active_override
+        else pps.numRefIdxL0Default
+      if (numRefL0 != 1) return None
+      if (br.bit() == 1) return None // ref_pic_list_modification_l0
+    }
     if (nalRefIdc != 0) {
       if (isIdr) { br.bit(); br.bit() } // no_output_of_prior / long_term
       else if (br.bit() == 1) { // adaptive_ref_pic_marking
@@ -583,14 +841,82 @@ object H264 {
     val crNz = new NzCtx(mbW * 2, mbH * 2)
     val dcScan = new Array[Int](16)
     val nMbs = mbW * mbH
+    val planeH = mbH * 16
+    // per-MB inter state of THIS picture, for MV prediction (8.4.1.3)
+    val interF = new Array[Boolean](nMbs)
+    val mvxA = new Array[Int](nMbs)
+    val mvyA = new Array[Int](nMbs)
+    val mc16 = new Array[Int](256)
+    def zeroNz(mbX: Int, mbY: Int): Unit = {
+      var blk = 0
+      while (blk < 16) {
+        lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+        blk += 1
+      }
+      var cblk = 0
+      while (cblk < 4) {
+        cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+        crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+        cblk += 1
+      }
+    }
+    def writeMc(ox: Int, oy: Int): Unit = {
+      var y = 0
+      while (y < 16) {
+        System.arraycopy(mc16, y * 16, luma, (oy + y) * stride + ox, 16)
+        y += 1
+      }
+    }
     var mb = 0
-    while (mb < nMbs) {
+    var ended = false // P slice consumed by a trailing skip run
+    while (mb < nMbs && !ended) {
+      if (isP) {
+        // mb_skip_run precedes every coded macroblock (7.3.4);
+        // skipped MBs reconstruct with the P_Skip vector (8.4.1.1)
+        val run = br.ue()
+        if (run < 0 || mb + run > nMbs) return None
+        var s = 0
+        while (s < run) {
+          val (mx, my) = skipMv(mb, mbW, nMbs, interF, mvxA, mvyA)
+          interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
+          interPredict16x16(ref, stride, planeH,
+            (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
+          writeMc((mb % mbW) * 16, (mb / mbW) * 16)
+          zeroNz(mb % mbW, mb / mbW)
+          mb += 1
+          s += 1
+        }
+        if (mb >= nMbs) ended = true
+      }
+      if (!ended) {
       val mbX = mb % mbW
       val mbY = mb / mbW
       val ox = mbX * 16
       val oy = mbY * 16
-      val mbType = br.ue()
-      if (mbType == 25) {
+      val rawType = br.ue()
+      // P slices: 0 = P_L0_16x16 (decoded); 1..4 = other inter
+      // partitions (refused); >= 5 = intra types shifted by 5 (7.4.5)
+      if (isP && rawType >= 1 && rawType <= 4) return None
+      val mbType = if (isP) { if (rawType == 0) -1 else rawType - 5 }
+        else rawType
+      if (mbType == -1) {
+        // ---- P_L0_16x16: one list-0 16x16 partition. ref_idx_l0 is
+        // absent (list length 1); cbp must be codeNum 0 (no residual)
+        // — the Table 9-4 inter column beyond that row is not
+        // reproduced from memory, deeper streams degrade.
+        val (px, py) = mvPred16x16(mb, mbW, nMbs, interF, mvxA, mvyA)
+        val mx = px + br.se()
+        val my = py + br.se()
+        // level-bound guard: a crafted mvd must not walk the clamp
+        // arbitrarily far from the plane
+        if (mx < -2048 * 4 || mx > 2048 * 4 ||
+          my < -2048 * 4 || my > 2048 * 4) return None
+        interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
+        interPredict16x16(ref, stride, planeH, ox, oy, mx, my, mc16)
+        writeMc(ox, oy)
+        if (br.ue() != 0) return None // coded_block_pattern: cbp 0 only
+        zeroNz(mbX, mbY)
+      } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
         br.byteAlign()
         var y = 0
@@ -708,24 +1034,9 @@ object H264 {
         }
       } else return None // I_NxN (0) and out-of-range: not implemented
       mb += 1
-    }
-    // frame cropping (7.4.2.1.1, CropUnit 2 for 4:2:0 frame coding)
-    val w = stride - 2 * (sps.cropL + sps.cropR)
-    val h = mbH * 16 - 2 * (sps.cropT + sps.cropB)
-    if (w <= 0 || h <= 0) return None
-    val out =
-      if (w == stride && h == mbH * 16) luma
-      else {
-        val o = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          System.arraycopy(luma, (y + 2 * sps.cropT) * stride + 2 * sps.cropL,
-            o, y * w, w)
-          y += 1
-        }
-        o
       }
-    Some((w, h, out))
+    }
+    Some((sps, luma, !isP))
   }
 
   /** Intra_16x16 prediction (8.3.3): mode 0 = V, 1 = H, 2 = DC,
@@ -947,59 +1258,142 @@ object H264 {
             lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
             blk += 1
           }
-        case I16Dc(z, ac0, pred, chromaDcTz) =>
-          require(z >= -7 && z <= 7, s"dc level out of range: $z")
-          require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
-          require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
-          require(chromaDcTz >= -1 && chromaDcTz <= 3,
-            s"chromaDcTz out of range: $chromaDcTz")
-          val cbpAc = if (ac0 != 0) 1 else 0
-          val cbpCh = if (chromaDcTz >= 0) 1 else 0
-          bw.putUe(1 + pred + cbpCh * 4 + cbpAc * 12) // I_16x16
-          bw.putUe(0) // intra_chroma_pred_mode DC
-          bw.putSe(0) // mb_qp_delta
-          // luma DC block
-          putCavlcSingle(bw, lumaNz.nC(mbX * 4, mbY * 4), z, maxNumCoeff = 16)
-          // AC blocks (all 16 when cbpAc): block 0 carries ac0, rest empty
-          if (cbpAc == 1) {
-            var blk = 0
-            while (blk < 16) {
-              val r = blkRow(blk); val c = blkCol(blk)
-              val lvl = if (blk == 0) ac0 else 0
-              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), lvl,
-                maxNumCoeff = 15)
-              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
-              blk += 1
-            }
-          } else {
-            var blk = 0
-            while (blk < 16) {
-              lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
-              blk += 1
-            }
-          }
-          if (cbpCh == 1) {
-            // one trailing-one (+1) chroma-DC coefficient per component
-            // at total_zeros = chromaDcTz: coeff_token (1,1) = '1' in
-            // the nC=-1 table, sign 0, then table 9-9(a) tc=1
-            var comp = 0
-            while (comp < 2) {
-              bw.put(1, 1) // coeff_token (1,1)
-              bw.put(0, 1) // sign: +1
-              chromaDcTz match {
-                case 0 => bw.put(1, 1) // '1'
-                case 1 => bw.put(1, 2) // '01'
-                case 2 => bw.put(1, 3) // '001'
-                case 3 => bw.put(0, 3) // '000'
-              }
-              comp += 1
-            }
-          }
+        case spec: I16Dc =>
+          writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 0)
       }
       i += 1
     }
     bw.rbspTrailing()
     nalUnit(0x65, bw.result())
+  }
+
+  /** One Intra_16x16 macroblock (shared by the IDR and P-slice
+    * encoders; `typeOffset` = 5 inside P slices, 7.4.5). */
+  private def writeI16Dc(bw: BitWriter, lumaNz: NzCtx, mbX: Int, mbY: Int,
+      spec: I16Dc, typeOffset: Int): Unit = {
+    val I16Dc(z, ac0, pred, chromaDcTz) = spec
+    require(z >= -7 && z <= 7, s"dc level out of range: $z")
+    require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
+    require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
+    require(chromaDcTz >= -1 && chromaDcTz <= 3,
+      s"chromaDcTz out of range: $chromaDcTz")
+    val cbpAc = if (ac0 != 0) 1 else 0
+    val cbpCh = if (chromaDcTz >= 0) 1 else 0
+    bw.putUe(typeOffset + 1 + pred + cbpCh * 4 + cbpAc * 12) // I_16x16
+    bw.putUe(0) // intra_chroma_pred_mode DC
+    bw.putSe(0) // mb_qp_delta
+    // luma DC block
+    putCavlcSingle(bw, lumaNz.nC(mbX * 4, mbY * 4), z, maxNumCoeff = 16)
+    // AC blocks (all 16 when cbpAc): block 0 carries ac0, rest empty
+    if (cbpAc == 1) {
+      var blk = 0
+      while (blk < 16) {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val lvl = if (blk == 0) ac0 else 0
+        putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), lvl,
+          maxNumCoeff = 15)
+        lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+        blk += 1
+      }
+    } else {
+      var blk = 0
+      while (blk < 16) {
+        lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+        blk += 1
+      }
+    }
+    if (cbpCh == 1) {
+      // one trailing-one (+1) chroma-DC coefficient per component
+      // at total_zeros = chromaDcTz: coeff_token (1,1) = '1' in
+      // the nC=-1 table, sign 0, then table 9-9(a) tc=1
+      var comp = 0
+      while (comp < 2) {
+        bw.put(1, 1) // coeff_token (1,1)
+        bw.put(0, 1) // sign: +1
+        chromaDcTz match {
+          case 0 => bw.put(1, 1) // '1'
+          case 1 => bw.put(1, 2) // '01'
+          case 2 => bw.put(1, 3) // '001'
+          case 3 => bw.put(0, 3) // '000'
+        }
+        comp += 1
+      }
+    }
+  }
+
+  /** Macroblock spec for [[pNal]] P slices. Vectors in QUARTER-pel
+    * units. */
+  sealed trait MbP
+  /** P_Skip: the decoder derives the vector (8.4.1.1) — co-located
+    * copy when a left/top neighbor is missing or stationary,
+    * otherwise the median prediction. */
+  case object PSkip extends MbP
+  /** P_L0_16x16 with no residual (cbp 0): pure MC at `(mvx, mvy)`. */
+  final case class PMove(mvx: Int, mvy: Int) extends MbP
+  /** Intra_16x16 refresh inside the P slice. */
+  final case class PIntra(spec: I16Dc) extends MbP
+
+  /** Non-IDR P slice NAL: single slice, every macroblock from
+    * `mb(index)`, one reference (the previously decoded picture),
+    * loop filter disabled. Motion differentials are computed against
+    * the same 8.4.1.3 predictor the decoder derives. */
+  def pNal(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
+      frameNum: Int = 1): Array[Byte] = {
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    val bw = new BitWriter
+    bw.putUe(0) // first_mb_in_slice
+    bw.putUe(5) // slice_type: P (all)
+    bw.putUe(0) // pps_id
+    bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
+    bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+    bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+    bw.putSe(0) // slice_qp_delta
+    bw.putUe(1) // disable_deblocking_filter_idc = 1
+    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    val nMbs = mbW * mbH
+    val interF = new Array[Boolean](nMbs)
+    val mvxA = new Array[Int](nMbs)
+    val mvyA = new Array[Int](nMbs)
+    var skipRun = 0
+    var i = 0
+    while (i < nMbs) {
+      val mbX = i % mbW
+      val mbY = i / mbW
+      mb(i) match {
+        case PSkip =>
+          val (mx, my) = skipMv(i, mbW, nMbs, interF, mvxA, mvyA)
+          interF(i) = true; mvxA(i) = mx; mvyA(i) = my
+          var blk = 0
+          while (blk < 16) {
+            lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+            blk += 1
+          }
+          skipRun += 1
+        case PMove(mvx, mvy) =>
+          bw.putUe(skipRun); skipRun = 0 // mb_skip_run
+          val (px, py) = mvPred16x16(i, mbW, nMbs, interF, mvxA, mvyA)
+          bw.putUe(0) // mb_type P_L0_16x16
+          bw.putSe(mvx - px)
+          bw.putSe(mvy - py)
+          bw.putUe(0) // coded_block_pattern: cbp 0
+          interF(i) = true; mvxA(i) = mvx; mvyA(i) = mvy
+          var blk = 0
+          while (blk < 16) {
+            lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+            blk += 1
+          }
+        case PIntra(spec) =>
+          bw.putUe(skipRun); skipRun = 0 // mb_skip_run
+          writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 5)
+          // intra: not an inter neighbor for MV prediction
+      }
+      i += 1
+    }
+    if (skipRun > 0) bw.putUe(skipRun) // trailing skipped macroblocks
+    bw.rbspTrailing()
+    nalUnit(0x41, bw.result()) // nal_ref_idc 2, type 1 (non-IDR slice)
   }
 
   /** CAVLC block with AT MOST one coefficient, at scan position 0 —
@@ -1038,5 +1432,18 @@ object H264 {
   def encodeIFrame(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
     sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp) ++ sep ++ idrNal(mbW, mbH, mb, qp)
+  }
+
+  /** Annex-B I + P stream: SPS + PPS + IDR + one P slice per entry of
+    * `pFrames` (each in decode order, referencing the previous
+    * picture) — the closed-form fixture generator for the inter
+    * decode paths ([[decodeFramesLuma]]). */
+  def encodeIPStream(mbW: Int, mbH: Int, iMb: Int => Mb,
+      pFrames: Seq[Int => MbP], qp: Int = 28): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    encodeIFrame(mbW, mbH, iMb, qp) ++
+      pFrames.zipWithIndex.flatMap { case (f, k) =>
+        sep ++ pNal(mbW, mbH, f, qp, frameNum = k + 1)
+      }
   }
 }

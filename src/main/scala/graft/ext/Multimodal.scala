@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * deterministic MJPEG-in-MP4 fixtures. Payloads none of those paths
   * recognize fall back to byte-histogram moments; that fallback is the
   * one remaining STUB, and only for what genuinely needs a native
-  * decoder: H.264 inter/CABAC and hev1 (MPEG-1 decodes FULLY — I, P
-  * and B pictures — plus H.264 baseline-intra, all pure-JVM, rounds
-  * 12/12b) — swap it for an ffmpeg binding in production, nothing
-  * around it changes.
+  * decoder: H.264 beyond the decoded subset (inter residuals, other
+  * partitions, B slices, CABAC) and hev1. MPEG-1 decodes FULLY — I,
+  * P and B pictures — and H.264 decodes baseline-intra PLUS
+  * single-reference P slices (quarter-pel MC, P_Skip, intra
+  * refresh), all pure-JVM (rounds 12/12b) — swap the fence for an
+  * ffmpeg binding in production, nothing around it changes.
   *
   * Scale notes: decode is mapPartitions (one codec init per partition,
   * not per row — the same shape a Pandas-UDF/mapInPandas batch has);
@@ -1109,6 +1111,87 @@ object Multimodal {
     decodeAvcFrames(bytes, 1).headOption
       .map { case (_, w, h, mean, std) => (w, h, Array(mean, std)) }
 
+  /** Multi-frame typed H.264 walk (round 12b): I AND P frames, with
+    * the picture type per frame. Raw Annex-B payloads stream through
+    * [[H264.decodeFramesLuma]]; avc1 MP4 tracks concatenate every
+    * sample's NALs behind the avcC parameter sets and decode as ONE
+    * stream, so a P sample references the frame its predecessor
+    * decoded — the cross-sample reference an all-keyframe walk never
+    * needed. */
+  private[graft] def decodeAvcFramesTyped(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Char, Int, Int, Double, Double)] = {
+    def lumaStats(luma: Array[Int]): (Double, Double) = {
+      var s = 0.0; var sq = 0.0
+      var i = 0
+      while (i < luma.length) {
+        val v = luma(i).toDouble; s += v; sq += v * v; i += 1
+      }
+      val n = math.max(1, luma.length)
+      val mean = s / n
+      (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
+    }
+    def stat(fs: Seq[(Int, Int, Array[Int], Char)]) =
+      fs.zipWithIndex.map { case ((w, h, l, t), i) =>
+        val (m, sd) = lumaStats(l); (i + 1, t, w, h, m, sd)
+      }
+    def isAnnexB: Boolean = {
+      var p = 0
+      if (bytes.length >= 5 && bytes(0) == 0 && bytes(1) == 0) {
+        if (bytes(2) == 1) p = 3
+        else if (bytes.length >= 6 && bytes(2) == 0 && bytes(3) == 1) p = 4
+      }
+      p > 0 && p < bytes.length && Set(6, 7, 9)(bytes(p) & 0x1F)
+    }
+    if (isAnnexB) stat(H264.decodeFramesLuma(bytes, maxFrames))
+    else {
+      (for {
+        tracks <- trackSamples(bytes)
+        (off, sizes) <- tracks.collectFirst {
+          case (c, o, ss) if c == "avc1" && ss.nonEmpty => (o, ss)
+        }
+        (sps, pps, lenSize) <- avcConfig(bytes)
+      } yield {
+        val bounded = sizes.take(maxFrames)
+        val starts = bounded.scanLeft(off)(_ + _)
+        val nals = bounded.indices.flatMap { i =>
+          val s = starts(i)
+          val len = bounded(i)
+          if (s < 0 || len <= 0 || s + len > bytes.length) Seq.empty
+          else splitLengthPrefixed(
+            java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt),
+            lenSize).getOrElse(Seq.empty)
+        }
+        stat(H264.decodeFramesLumaNals(sps ++ pps ++ nals, maxFrames))
+      }).getOrElse(Seq.empty)
+    }
+  }
+
+  /** Deterministic H.264 MOTION fixture (raw Annex-B): one I frame of
+    * PCM quadrants (exact pixels), then P1 — MB0 a zero-MV copy, MB1
+    * an Intra_16x16 refresh whose DC predicts from MB0's
+    * reconstructed right edge — then P2 with real ±8 px motion whose
+    * out-of-plane fetches exercise H.264's edge CLAMP (unlike
+    * MPEG-1, vectors may point outside the picture). qp 28 makes the
+    * intra residual exact (pixel = pred + z), so every frame mean is
+    * closed-form in id. */
+  def syntheticAvcMotionEs(id: Long): Array[Byte] = {
+    import H264.{Pcm, I16Dc, PMove, PIntra}
+    def g(mb: Int, q: Int): Int =
+      (((id * 11 + mb * 16 + q * 4 + 60) % 180) + 20).toInt
+    val z = (id % 15).toInt - 7
+    H264.encodeIPStream(2, 1,
+      mb => Pcm((x, y) => g(mb, (y / 8) * 2 + (x / 8))),
+      Seq(
+        {
+          case 0 => PMove(0, 0)
+          case _ => PIntra(I16Dc(z))
+        },
+        {
+          case 0 => PMove(-32, 0) // 8 px left: clamps at column 0
+          case _ => PMove(32, 0) // 8 px right: clamps at the last column
+        }))
+  }
+
   /** Deterministic H.264-in-MP4 fixture: the same container layout
     * and the SAME quadrant values as [[syntheticMjpegMp4]] /
     * [[syntheticMpeg1Mp4]] — g_{q,f} = (id·(31+6q) + 11+5q + 29f)
@@ -1251,9 +1334,11 @@ object Multimodal {
     * pixel decode for MP4 AND AVI payloads, then real MPEG-1-intra
     * and H.264/avc1-intra pixel decode (round 12), byte-histogram
     * fallback for everything else (non-media payloads and
-    * out-of-subset video — H.264 inter/CABAC, hev1 — which genuinely
-    * needs a native decoder; MPEG-1 decodes fully (I/P/B) since round
-    * 12b, [[decodeMpeg1FramesTyped]]). The boolean is the
+    * out-of-subset video — H.264 inter residuals/CABAC/B, hev1 —
+    * which genuinely needs a native decoder; MPEG-1 decodes fully
+    * (I/P/B) and H.264 single-ref P slices decode for real since
+    * round 12b, [[decodeMpeg1FramesTyped]]/[[decodeAvcFramesTyped]]).
+    * The boolean is the
     * DEGRADE flag: true for real pixels, false for the fallback — the
     * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =

@@ -571,6 +571,64 @@ object MultimodalQueries {
              |  CAST(32 AS BIGINT) AS height, round(mean, 6) AS mean_gray
              |FROM fr ORDER BY id, frame""".stripMargin)),
 
+    // H.264 INTER pixel decode (round 12b): P slices with real
+    // quarter-pel list-0 motion compensation — P_L0_16x16, P_Skip,
+    // intra refresh — decoded pure-JVM (ext/H264.scala
+    // decodeFramesLuma, single-reference subset). The fixture is an
+    // I(PCM) → P(copy + intra refresh) → P(±8 px motion with H.264's
+    // out-of-plane edge CLAMP) Annex-B stream; every frame mean is a
+    // closed k/8 form of doc_id, and frame_type pins the inter path.
+    Q("multimodal_avc_motion",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val es = Multimodal.syntheticAvcMotionEs(id)
+            Multimodal.decodeAvcFramesTyped(es, 8).map {
+              case (f, t, w, h, m, _) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (doc_id*11 + 60) % 180 + 20 AS g00,
+             |    (doc_id*11 + 4 + 60) % 180 + 20 AS g01,
+             |    (doc_id*11 + 8 + 60) % 180 + 20 AS g02,
+             |    (doc_id*11 + 12 + 60) % 180 + 20 AS g03,
+             |    (doc_id*11 + 16 + 60) % 180 + 20 AS g10,
+             |    (doc_id*11 + 20 + 60) % 180 + 20 AS g11,
+             |    (doc_id*11 + 24 + 60) % 180 + 20 AS g12,
+             |    (doc_id*11 + 28 + 60) % 180 + 20 AS g13,
+             |    doc_id % 15 - 7 AS z
+             |  FROM documents),
+             |v AS (SELECT g.*,
+             |    -- intra refresh: DC predicted from MB0's right edge
+             |    -- (8 rows of g01, 8 of g03), + the exact qp-28
+             |    -- residual z
+             |    ((8*g01 + 8*g03 + 8)//16) + z AS iv
+             |  FROM g),
+             |fr AS (
+             |  SELECT doc_id, 1 AS frame, 'I' AS ftype,
+             |    (g00+g01+g02+g03+g10+g11+g12+g13)/8.0 AS mean FROM v
+             |  UNION ALL
+             |  SELECT doc_id, 2, 'P',
+             |    ((g00+g01+g02+g03)/4.0 + iv)/2.0 FROM v
+             |  UNION ALL
+             |  -- P2: MB0 pulls 8 px from the left (clamped -> flat
+             |  -- g00/g02 halves); MB1 pulls 8 px from the right
+             |  -- (clamped -> flat intra value)
+             |  SELECT doc_id, 3, 'P', ((g00+g02)/2.0 + iv)/2.0 FROM v)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
+             |  ftype AS frame_type, CAST(32 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height, round(mean, 6) AS mean_gray
+             |FROM fr ORDER BY id, frame""".stripMargin)),
+
     // Scene-cut detection (round 10): shot boundaries from the
     // per-keyframe mean-luma deltas of the multiframe decode — the
     // shot-boundary pre-pass of a video curation pipeline (sample per

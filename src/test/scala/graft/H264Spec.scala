@@ -216,4 +216,136 @@ class H264Spec extends AnyFunSuite {
     val b = H264.decodeIFrameLuma(es).get._3
     assert(a.toSeq == b.toSeq)
   }
+
+  // ------------------------------------------------------- P slices (12b)
+
+  import graft.ext.H264.{PSkip, PMove, PIntra}
+
+  test("P zero-MV copy and all-skip both reproduce the I frame exactly") {
+    val es0 = H264.encodeIPStream(2, 1, mb => Pcm(pattern(mb + 1)),
+      Seq(_ => PMove(0, 0)))
+    val f0 = H264.decodeFramesLuma(es0, 4)
+    assert(f0.map(_._4) == Seq('I', 'P'), s"types: ${f0.map(_._4)}")
+    assert(f0(0)._3.toSeq == f0(1)._3.toSeq, "zero-MV P must equal I")
+    val es1 = H264.encodeIPStream(2, 1, mb => Pcm(pattern(mb + 1)),
+      Seq(_ => PSkip))
+    val f1 = H264.decodeFramesLuma(es1, 4)
+    assert(f1.map(_._4) == Seq('I', 'P'))
+    assert(f1(0)._3.toSeq == f1(1)._3.toSeq, "all-skip P must equal I")
+  }
+
+  test("P integer motion copies the shifted reference; out-of-plane " +
+      "fetches clamp to the picture edge (8.4.2.2 Clip3)") {
+    val es = H264.encodeIPStream(3, 1, mb => Pcm(pattern(mb + 3)), Seq({
+      case 0 => PMove(-32, 0) // 8 px left: clamps at column 0
+      case 1 => PMove(-32, 0) // fully in-plane: true shift
+      case _ => PMove(32, 0) // 8 px right: clamps at the last column
+    }))
+    val fs = H264.decodeFramesLuma(es, 2)
+    assert(fs.map(_._4) == Seq('I', 'P'))
+    val i = fs(0)._3
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 0 until 48) {
+      val src = // clamped integer source column per the MB's vector
+        if (x < 16) math.max(0, x - 8)
+        else if (x < 32) x - 8
+        else math.min(47, x + 8)
+      assert(p(y * 48 + x) == i(y * 48 + src), s"pixel ($x,$y)")
+    }
+  }
+
+  test("P half/quarter-pel interpolation matches an independent 6-tap " +
+      "computation on the decoded reference") {
+    // single MB so prediction has no in-frame neighbors; vector kept
+    // small and negative-free via a +clamp-free interior: use mv with
+    // fractional parts over a frame wide enough that taps stay inside
+    val es = H264.encodeIPStream(3, 1, mb => Pcm(pattern(mb + 5)), Seq({
+      case 1 => PMove(2, 0) // half-pel b between x and x+1 (interior MB)
+      case 2 => PMove(1, 0) // quarter a = avg(G, b)
+      case _ => PMove(0, 0)
+    }))
+    val fs = H264.decodeFramesLuma(es, 2)
+    val i = fs(0)._3
+    val p = fs(1)._3
+    def at(x: Int, y: Int): Int =
+      i(y * 48 + math.max(0, math.min(47, x)))
+    def b(x: Int, y: Int): Int = {
+      val s = at(x - 2, y) - 5 * at(x - 1, y) + 20 * at(x, y) +
+        20 * at(x + 1, y) - 5 * at(x + 2, y) + at(x + 3, y)
+      math.max(0, math.min(255, (s + 16) >> 5))
+    }
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(p(y * 48 + x) == b(x, y), s"half-pel pixel ($x,$y)")
+    for (y <- 0 until 16; x <- 32 until 48)
+      assert(p(y * 48 + x) == ((at(x, y) + b(x, y) + 1) >> 1),
+        s"quarter-pel pixel ($x,$y)")
+  }
+
+  test("P_Skip vector derivation: stationary/missing neighbors give the " +
+      "co-located copy; moving neighbors give the median (incl. C->D " +
+      "fallback at the right edge)") {
+    // 2x2: top row moves, bottom-left moves, bottom-right SKIPS.
+    // Skip neighbors: A=(0,1) mv(4,0), B=(1,0) mv(8,4), C unavailable
+    // -> D=(0,0) mv(4,0); none stationary, both A/B present ->
+    // mv = median((4,0),(8,4),(4,0)) = (4,0): one pixel right.
+    val es = H264.encodeIPStream(2, 2, mb => Pcm(pattern(mb + 7)), Seq({
+      case 0 => PMove(4, 0)
+      case 1 => PMove(8, 4)
+      case 2 => PMove(4, 0)
+      case _ => PSkip
+    }))
+    val fs = H264.decodeFramesLuma(es, 2)
+    assert(fs.size == 2)
+    val i = fs(0)._3
+    val p = fs(1)._3
+    for (y <- 16 until 32; x <- 16 until 32) {
+      val sx = math.min(31, x + 1)
+      assert(p(y * 32 + x) == i(y * 32 + sx), s"skip-MB pixel ($x,$y)")
+    }
+  }
+
+  test("P intra refresh: Intra_16x16 DC predicts from the inter " +
+      "neighbor's reconstructed edge; exact at qp 28") {
+    val es = H264.encodeIPStream(2, 1, mb => Pcm(pattern(mb + 9)), Seq({
+      case 0 => PMove(0, 0)
+      case _ => PIntra(I16Dc(5))
+    }))
+    val fs = H264.decodeFramesLuma(es, 2)
+    val i = fs(0)._3
+    val p = fs(1)._3
+    var sum = 0
+    for (y <- 0 until 16) sum += i(y * 32 + 15) // MB0's right edge
+    val want = math.max(0, math.min(255, ((sum + 8) >> 4) + 5))
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(p(y * 32 + x) == want, s"intra-in-P pixel ($x,$y)")
+  }
+
+  test("P chain: the second P references the FIRST P's decoded frame") {
+    val es = H264.encodeIPStream(2, 1, mb => Pcm(pattern(mb + 2)), Seq(
+      { case 0 => PMove(0, 0); case _ => PIntra(I16Dc(7)) },
+      _ => PMove(-32, 0))) // shift P1 right by 8 px (left-clamped)
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'))
+    val p1 = fs(1)._3
+    val p2 = fs(2)._3
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(p2(y * 32 + x) == p1(y * 32 + math.max(0, x - 8)),
+        s"P2 pixel ($x,$y)")
+  }
+
+  test("P degrade: a P slice with no reference yields nothing; a " +
+      "truncated P keeps the exact I; decodeIFrameLuma still returns " +
+      "only the I") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    val noRef = sep ++ H264.spsNal(1, 1) ++ sep ++ H264.ppsNal(28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28)
+    assert(H264.decodeFramesLuma(noRef, 4).isEmpty)
+    val es = H264.encodeIPStream(1, 1, _ => Pcm((x, y) => 64 + x + y),
+      Seq(_ => PMove(0, 0)))
+    val cut = H264.decodeFramesLuma(es.dropRight(2), 4)
+    assert(cut.map(_._4) == Seq('I'))
+    val first = H264.decodeIFrameLuma(es)
+    assert(first.isDefined)
+    assert(first.get._3.toSeq == H264.decodeFramesLuma(es, 4).head._3.toSeq)
+  }
 }

@@ -258,6 +258,27 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
   }
 
+  test("H.264 motion fixture: I/P/P chain decodes to the closed-form " +
+      "means the DuckDB oracle computes (inter + edge-clamp paths)") {
+    for (id <- Seq(0L, 3L, 44L, 178L, 255L)) {
+      def g(mb: Int, q: Int): Double =
+        ((id * 11 + mb * 16 + q * 4 + 60) % 180 + 20).toDouble
+      val z = (id % 15).toDouble - 7
+      val iv = ((8 * g(0, 1) + 8 * g(0, 3) + 8) / 16).floor + z
+      val meanI = (for (mb <- 0 to 1; q <- 0 to 3) yield g(mb, q)).sum / 8
+      val mean1 = ((0 to 3).map(g(0, _)).sum / 4 + iv) / 2
+      val mean2 = ((g(0, 0) + g(0, 2)) / 2 + iv) / 2
+      val fs = Multimodal.decodeAvcFramesTyped(
+        Multimodal.syntheticAvcMotionEs(id), 8)
+      assert(fs.map(f => (f._1, f._2, f._3, f._4)) ==
+        Seq((1, 'I', 32, 16), (2, 'P', 32, 16), (3, 'P', 32, 16)),
+        s"id $id shape: $fs")
+      assert(fs(0)._5 == meanI, s"id $id frame 1: ${fs(0)._5} want $meanI")
+      assert(fs(1)._5 == mean1, s"id $id frame 2: ${fs(1)._5} want $mean1")
+      assert(fs(2)._5 == mean2, s"id $id frame 3: ${fs(2)._5} want $mean2")
+    }
+  }
+
   test("MJPEG multi-frame: every keyframe decodes to closed form; bound + degrade hold") {
     for (id <- Seq(0L, 7L, 63L, 255L)) {
       val n = 3 + (id % 2).toInt
