@@ -164,7 +164,7 @@ object H264 {
       id: Int, spsId: Int,
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
       bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
-      weightedPred: Boolean)
+      weightedPred: Boolean, constrainedIntra: Boolean)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -231,7 +231,7 @@ object H264 {
     br.se() // pic_init_qs
     br.se() // chroma_qp_index_offset
     val deblockPresent = br.bit() == 1
-    br.bit() // constrained_intra_pred
+    val constrainedIntra = br.bit() == 1
     val redundantPresent = br.bit() == 1
     if (br.moreRbspData()) {
       if (br.bit() == 1) throw ParseFail // transform_8x8_mode
@@ -239,7 +239,7 @@ object H264 {
       br.se() // second_chroma_qp_index_offset
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
-      bottomFieldPoc, numRefIdxL0Default, weightedPred)
+      bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -538,6 +538,18 @@ object H264 {
     val fy = mvy & 3
     val bx = ox + (mvx >> 2)
     val by = oy + (mvy >> 2)
+    if (fx == 0 && fy == 0 && bx >= 0 && by >= 0 &&
+      bx + 15 < stride && by + 15 < planeH) {
+      // integer vector fully in-plane (the common case: zero-MV
+      // copies, P_Skip, fixtures): plain row copies, no per-pixel
+      // clamp or dispatch
+      var y = 0
+      while (y < 16) {
+        System.arraycopy(ref, (by + y) * stride + bx, out, y * 16, 16)
+        y += 1
+      }
+      return
+    }
     var y = 0
     while (y < 16) {
       var x = 0
@@ -558,7 +570,7 @@ object H264 {
     * "exactly one neighbor is inter". `inter`/`mvx`/`mvy` hold the
     * per-macroblock state of the CURRENT picture, filled in raster
     * order. */
-  private def mvPred16x16(mb: Int, mbW: Int, nMbs: Int,
+  private def mvPred16x16(mb: Int, mbW: Int,
       inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
     val mbX = mb % mbW
     val hasA = mbX > 0
@@ -589,7 +601,7 @@ object H264 {
   /** P_Skip motion (8.4.1.1): zero when the left or top neighbor is
     * unavailable or is an inter MB with refIdx 0 and mv (0,0);
     * otherwise the 16×16 prediction. */
-  private def skipMv(mb: Int, mbW: Int, nMbs: Int,
+  private def skipMv(mb: Int, mbW: Int,
       inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
     val mbX = mb % mbW
     val hasA = mbX > 0
@@ -599,59 +611,20 @@ object H264 {
     val b = mb - mbW
     if (inter(a) && mvx(a) == 0 && mvy(a) == 0) return (0, 0)
     if (inter(b) && mvx(b) == 0 && mvy(b) == 0) return (0, 0)
-    mvPred16x16(mb, mbW, nMbs, inter, mvx, mvy)
+    mvPred16x16(mb, mbW, inter, mvx, mvy)
   }
 
   // ---------------------------------------------------------------- decode
 
   /** Decode the first I frame from a list of NAL units (headers
     * included, emulation-prevention still present). Returns
-    * (width, height, luma row-major) or None. */
-  def decodeIFrameLumaNals(nals: Seq[Array[Byte]]): Option[(Int, Int, Array[Int])] = {
-    try {
-      // id-keyed parameter sets: the SLICE selects its PPS (and via it
-      // the SPS) by id — a stream carrying several sets must decode
-      // against the referenced one, and a set we cannot parse only
-      // matters if the slice references it (poisoned id -> None then,
-      // decodable otherwise)
-      val spsById = scala.collection.mutable.Map.empty[Int, Sps]
-      val ppsById = scala.collection.mutable.Map.empty[Int, Pps]
-      val poisoned = scala.collection.mutable.Set.empty[(Int, Int)] // (type, id)
-      def idOf(rbsp: Array[Byte], skip: Int): Int = {
-        val br = new BitReader(rbsp)
-        var i = 0
-        while (i < skip) { br.bits(8); i += 1 }
-        br.ue()
-      }
-      nals.foreach { nal =>
-        if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
-          val typ = nal(0) & 0x1F
-          typ match {
-            case 7 =>
-              val rbsp = unescape(nal, 1)
-              try { val s = parseSps(rbsp); spsById(s.id) = s }
-              catch { case ParseFail =>
-                try poisoned += ((7, idOf(rbsp, 3)))
-                catch { case ParseFail => () }
-              }
-            case 8 =>
-              val rbsp = unescape(nal, 1)
-              try { val p = parsePps(rbsp); ppsById(p.id) = p }
-              catch { case ParseFail =>
-                try poisoned += ((8, idOf(rbsp, 0)))
-                catch { case ParseFail => () }
-              }
-            case 5 | 1 =>
-              return decodeSlice(unescape(nal, 1), spsById.toMap,
-                ppsById.toMap, poisoned.toSet,
-                nalRefIdc = (nal(0) >> 5) & 3, isIdr = typ == 5)
-            case _ => () // SEI/AUD/filler: skip
-          }
-        }
-      }
-      None
-    } catch { case ParseFail => None case _: ArrayIndexOutOfBoundsException => None }
-  }
+    * (width, height, luma row-major) or None — the 1-frame case of
+    * [[decodeFramesLumaNals]] (review r12: the parameter-set walk
+    * used to be duplicated here). */
+  def decodeIFrameLumaNals(nals: Seq[Array[Byte]]): Option[(Int, Int, Array[Int])] =
+    decodeFramesLumaNals(nals, 1).headOption.collect {
+      case (w, h, l, 'I') => (w, h, l)
+    }
 
   /** Decode the first I frame of an Annex-B elementary stream. */
   def decodeIFrameLuma(es: Array[Byte]): Option[(Int, Int, Array[Int])] =
@@ -686,6 +659,8 @@ object H264 {
         br.ue()
       }
       var ref: Array[Int] = null
+      var refMbW = -1
+      var refMbH = -1
       nals.foreach { nal =>
         if (frames.size >= maxFrames) return frames.toSeq
         if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
@@ -707,10 +682,12 @@ object H264 {
               }
             case 5 | 1 =>
               // contain per-slice failures: earlier exact frames stay
+              val refIdc = (nal(0) >> 5) & 3
               val dec =
                 try decodeSliceFull(unescape(nal, 1), spsById.toMap,
                   ppsById.toMap, poisoned.toSet,
-                  nalRefIdc = (nal(0) >> 5) & 3, isIdr = typ == 5, ref = ref)
+                  nalRefIdc = refIdc, isIdr = typ == 5,
+                  ref = ref, refMbW = refMbW, refMbH = refMbH)
                 catch {
                   case ParseFail => None
                   case _: ArrayIndexOutOfBoundsException => None
@@ -719,7 +696,17 @@ object H264 {
                 case Some((sps, plane, isIntra)) =>
                   cropFrame(sps, plane) match {
                     case Some((w, h, cropped)) =>
-                      ref = plane
+                      // only REFERENCE pictures enter the (1-deep)
+                      // DPB: a nal_ref_idc == 0 frame is emitted but
+                      // never referenced (8.2.5; review r12 — the
+                      // old walk promoted every frame and a P after
+                      // a non-reference P would MC against the
+                      // wrong picture)
+                      if (refIdc != 0) {
+                        ref = plane
+                        refMbW = sps.mbW
+                        refMbH = sps.mbH
+                      }
                       frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
                     case None => return frames.toSeq
                   }
@@ -759,21 +746,14 @@ object H264 {
     Some((w, h, out))
   }
 
-  private def decodeSlice(rbsp: Array[Byte], spsById: Map[Int, Sps],
-      ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
-      nalRefIdc: Int, isIdr: Boolean): Option[(Int, Int, Array[Int])] =
-    decodeSliceFull(rbsp, spsById, ppsById, poisoned, nalRefIdc, isIdr,
-        ref = null)
-      .collect { case (sps, luma, isIntra) if isIntra => (sps, luma) }
-      .flatMap { case (sps, luma) => cropFrame(sps, luma) }
-
   /** Decode one slice into its UNCROPPED plane: (sps, plane, isIntra).
     * `ref` is the previous decoded plane (uncropped) for P slices —
     * null refuses them (the I-only entry points). */
   private def decodeSliceFull(rbsp: Array[Byte], spsById: Map[Int, Sps],
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean,
-      ref: Array[Int]): Option[(Sps, Array[Int], Boolean)] = {
+      ref: Array[Int], refMbW: Int = -1,
+      refMbH: Int = -1): Option[(Sps, Array[Int], Boolean)] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice: single slice only
     val sliceType = br.ue()
@@ -785,9 +765,15 @@ object H264 {
     val pps = ppsById.getOrElse(ppsId, return None)
     if (poisoned((7, pps.spsId))) return None
     val sps = spsById.getOrElse(pps.spsId, return None)
-    if (isP && (ref == null || ref.length != sps.mbW * 16 * sps.mbH * 16))
-      return None // no (or mismatched) reference picture
+    if (isP && (ref == null ||
+        refMbW != sps.mbW || refMbH != sps.mbH ||
+        ref.length != sps.mbW * 16 * sps.mbH * 16))
+      return None // no reference, or one with a DIFFERENT geometry: a
+    // same-area different-shape SPS switch would MC with the wrong
+    // stride (review r12) — compare dimensions, not just length
     if (isP && pps.weightedPred) return None // explicit weighting: refuse
+    if (isP && pps.constrainedIntra) return None // intra-in-P would have
+    // to treat inter neighbors as unavailable (8.3.3): not implemented
     br.bits(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
     if (sps.pocType == 0) {
@@ -809,22 +795,10 @@ object H264 {
     }
     if (nalRefIdc != 0) {
       if (isIdr) { br.bit(); br.bit() } // no_output_of_prior / long_term
-      else if (br.bit() == 1) { // adaptive_ref_pic_marking
-        var mmco = br.ue()
-        var guard = 0
-        while (mmco != 0) {
-          mmco match {
-            case 1 | 4 | 6 => br.ue()
-            case 2 => br.ue()
-            case 3 => br.ue(); br.ue()
-            case 5 => ()
-            case _ => return None
-          }
-          mmco = br.ue()
-          guard += 1
-          if (guard > 64) return None
-        }
-      }
+      else if (br.bit() == 1) return None // adaptive_ref_pic_marking:
+      // MMCO ops re-arrange the DPB; this decoder keeps exactly one
+      // sliding-window reference and never applies them, so a stream
+      // that uses them must degrade, not silently diverge (review r12)
     }
     var qp = pps.picInitQp + br.se()
     if (qp < 0 || qp > 51) return None
@@ -877,7 +851,7 @@ object H264 {
         if (run < 0 || mb + run > nMbs) return None
         var s = 0
         while (s < run) {
-          val (mx, my) = skipMv(mb, mbW, nMbs, interF, mvxA, mvyA)
+          val (mx, my) = skipMv(mb, mbW, interF, mvxA, mvyA)
           interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
           interPredict16x16(ref, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
@@ -904,7 +878,7 @@ object H264 {
         // absent (list length 1); cbp must be codeNum 0 (no residual)
         // — the Table 9-4 inter column beyond that row is not
         // reproduced from memory, deeper streams degrade.
-        val (px, py) = mvPred16x16(mb, mbW, nMbs, interF, mvxA, mvyA)
+        val (px, py) = mvPred16x16(mb, mbW, interF, mvxA, mvyA)
         val mx = px + br.se()
         val my = py + br.se()
         // level-bound guard: a crafted mvd must not walk the clamp
@@ -1338,8 +1312,9 @@ object H264 {
     * loop filter disabled. Motion differentials are computed against
     * the same 8.4.1.3 predictor the decoder derives. */
   def pNal(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
-      frameNum: Int = 1): Array[Byte] = {
+      frameNum: Int = 1, refIdc: Int = 2): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     val bw = new BitWriter
     bw.putUe(0) // first_mb_in_slice
     bw.putUe(5) // slice_type: P (all)
@@ -1348,7 +1323,7 @@ object H264 {
     bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
     bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
-    bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+    if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
     bw.putSe(0) // slice_qp_delta
     bw.putUe(1) // disable_deblocking_filter_idc = 1
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
@@ -1363,7 +1338,7 @@ object H264 {
       val mbY = i / mbW
       mb(i) match {
         case PSkip =>
-          val (mx, my) = skipMv(i, mbW, nMbs, interF, mvxA, mvyA)
+          val (mx, my) = skipMv(i, mbW, interF, mvxA, mvyA)
           interF(i) = true; mvxA(i) = mx; mvyA(i) = my
           var blk = 0
           while (blk < 16) {
@@ -1373,7 +1348,7 @@ object H264 {
           skipRun += 1
         case PMove(mvx, mvy) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
-          val (px, py) = mvPred16x16(i, mbW, nMbs, interF, mvxA, mvyA)
+          val (px, py) = mvPred16x16(i, mbW, interF, mvxA, mvyA)
           bw.putUe(0) // mb_type P_L0_16x16
           bw.putSe(mvx - px)
           bw.putSe(mvy - py)
@@ -1393,7 +1368,7 @@ object H264 {
     }
     if (skipRun > 0) bw.putUe(skipRun) // trailing skipped macroblocks
     bw.rbspTrailing()
-    nalUnit(0x41, bw.result()) // nal_ref_idc 2, type 1 (non-IDR slice)
+    nalUnit((refIdc << 5) | 1, bw.result()) // non-IDR slice
   }
 
   /** CAVLC block with AT MOST one coefficient, at scan position 0 —

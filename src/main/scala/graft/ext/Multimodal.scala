@@ -1045,67 +1045,16 @@ object Multimodal {
     if (out.isEmpty) None else Some(out.toSeq)
   }
 
-  /** REAL pixel decode for H.264/'avc1' INTRA tracks (round 12, the
-    * second narrowing of the modern-codec fence): samples of an avc1
-    * track decode pure-JVM via [[H264]] (SPS/PPS from the avcC
-    * record, length-prefixed NAL samples, I_PCM + Intra_16x16 CAVLC
-    * macroblocks); a raw Annex-B elementary stream opening with an
-    * SPS NAL decodes as a single frame. Same bounded walk and
-    * degrade discipline as [[decodeMpeg1Frames]]. */
+  /** Bounded multi-frame H.264 walk, untyped shape (frame, w, h,
+    * mean, std) — [[decodeAvcFramesTyped]] minus the picture-type
+    * column (one walk, review r12: the two used to be divergent
+    * copies, which is where the reference-chain bug lived). */
   private[graft] def decodeAvcFrames(bytes: Array[Byte],
-      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
-    def lumaStats(luma: Array[Int]): (Double, Double) = {
-      var s = 0.0; var sq = 0.0
-      var i = 0
-      while (i < luma.length) {
-        val v = luma(i).toDouble; s += v; sq += v * v; i += 1
-      }
-      val n = math.max(1, luma.length)
-      val mean = s / n
-      (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
-    }
-    def isAnnexBSps: Boolean = {
-      var p = 0
-      if (bytes.length >= 5 && bytes(0) == 0 && bytes(1) == 0) {
-        if (bytes(2) == 1) p = 3
-        else if (bytes.length >= 6 && bytes(2) == 0 && bytes(3) == 1) p = 4
-      }
-      // an H.264 elementary stream may open with an access-unit
-      // delimiter (9) or SEI (6) before the SPS (7) — the NAL walk
-      // inside the decoder skips those anyway
-      p > 0 && p < bytes.length && Set(6, 7, 9)(bytes(p) & 0x1F)
-    }
-    if (isAnnexBSps)
-      H264.decodeIFrameLuma(bytes).map { case (w, h, l) =>
-        val (m, sd) = lumaStats(l); (1, w, h, m, sd)
-      }.toSeq
-    else {
-      (for {
-        tracks <- trackSamples(bytes)
-        (off, sizes) <- tracks.collectFirst {
-          case (c, o, ss) if c == "avc1" && ss.nonEmpty => (o, ss)
-        }
-        (sps, pps, lenSize) <- avcConfig(bytes)
-      } yield {
-        val bounded = sizes.take(maxFrames)
-        val starts = bounded.scanLeft(off)(_ + _)
-        bounded.indices.flatMap { i =>
-          val s = starts(i)
-          val len = bounded(i)
-          if (s < 0 || len <= 0 || s + len > bytes.length) None
-          else splitLengthPrefixed(
-              java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt),
-              lenSize)
-            .flatMap(nals => H264.decodeIFrameLumaNals(sps ++ pps ++ nals))
-            .map { case (w, h, l) =>
-              val (m, sd) = lumaStats(l); (i + 1, w, h, m, sd)
-            }
-        }
-      }).getOrElse(Seq.empty)
-    }
-  }
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] =
+    decodeAvcFramesTyped(bytes, maxFrames)
+      .map { case (f, _, w, h, m, sd) => (f, w, h, m, sd) }
 
-  /** First-frame convenience over [[decodeAvcFrames]] — the decode
+    /** First-frame convenience over [[decodeAvcFrames]] — the decode
     * dispatch's avc1 hook, shaped like the MJPEG/MPEG-1 ones. */
   private[graft] def decodeAvcFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
     decodeAvcFrames(bytes, 1).headOption
@@ -1153,15 +1102,26 @@ object Multimodal {
       } yield {
         val bounded = sizes.take(maxFrames)
         val starts = bounded.scanLeft(off)(_ + _)
-        val nals = bounded.indices.flatMap { i =>
+        // STOP at the first bad sample: with cross-sample references a
+        // skip-and-continue would MC later P samples against the wrong
+        // predecessor (review r12) — everything before the gap is
+        // still decoded exactly
+        val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var ok = true
+        var i = 0
+        while (ok && i < bounded.length) {
           val s = starts(i)
           val len = bounded(i)
-          if (s < 0 || len <= 0 || s + len > bytes.length) Seq.empty
+          if (s < 0 || len <= 0 || s + len > bytes.length) ok = false
           else splitLengthPrefixed(
             java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt),
-            lenSize).getOrElse(Seq.empty)
+            lenSize) match {
+            case Some(ns) => nals ++= ns
+            case None => ok = false
+          }
+          i += 1
         }
-        stat(H264.decodeFramesLumaNals(sps ++ pps ++ nals, maxFrames))
+        stat(H264.decodeFramesLumaNals(sps ++ pps ++ nals.toSeq, maxFrames))
       }).getOrElse(Seq.empty)
     }
   }

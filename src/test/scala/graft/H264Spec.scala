@@ -333,6 +333,27 @@ class H264Spec extends AnyFunSuite {
         s"P2 pixel ($x,$y)")
   }
 
+  test("a non-reference P (nal_ref_idc 0) never enters the DPB: the " +
+      "next P motion-compensates against the I, not the non-ref frame") {
+    // I (PCM) -> P1 all-intra-refresh (different pixels) -> P2 zero-MV
+    val base = H264.decodeFramesLuma(
+      H264.encodeIPStream(1, 1, _ => Pcm((x, y) => 60 + x + 2 * y),
+        Seq(_ => PIntra(I16Dc(6)), _ => PMove(0, 0))), 4)
+    // same stream with P1 a NON-reference picture (nal_ref_idc 0 — no
+    // dec_ref_pic_marking in its header)
+    val sep = Array[Byte](0, 0, 0, 1)
+    val demoted = H264.encodeIFrame(1, 1, _ => Pcm((x, y) => 60 + x + 2 * y)) ++
+      sep ++ H264.pNal(1, 1, _ => PIntra(I16Dc(6)), 28, frameNum = 1, refIdc = 0) ++
+      sep ++ H264.pNal(1, 1, _ => PMove(0, 0), 28, frameNum = 1)
+    val fs = H264.decodeFramesLuma(demoted, 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'))
+    assert(base(2)._3.toSeq == base(1)._3.toSeq,
+      "reference chain: P2 copies P1 when P1 IS a reference")
+    assert(fs(2)._3.toSeq == fs(0)._3.toSeq,
+      "P2 must copy the I — the demoted P1 never entered the DPB")
+    assert(fs(1)._3.toSeq != fs(0)._3.toSeq, "P1 itself still decodes")
+  }
+
   test("P degrade: a P slice with no reference yields nothing; a " +
       "truncated P keeps the exact I; decodeIFrameLuma still returns " +
       "only the I") {
