@@ -95,9 +95,13 @@ object Tables {
         val reap = (pid, startMs) match {
           case (Some(p), Some(t)) => // tokened: exact owner identity
             ProcessHandle.of(p).map[Boolean] { h =>
-              // unreadable start instant → trust the pid (conservative)
+              // unreadable start instant (ADVICE r12): the bare pid is
+              // NOT proof of ownership — a recycled pid on a JVM that
+              // can't read start times would otherwise shield the
+              // orphan forever. Fall back to the same 24h age gate the
+              // legacy token-less names keep for exactly this case.
               h.info().startInstant()
-                .map[Boolean](si => si.toEpochMilli != t).orElse(false)
+                .map[Boolean](si => si.toEpochMilli != t).orElse(aged)
             }.orElse(true) // pid gone → owner dead
           case (Some(p), None) => // legacy pid-only name: dead pid, or
             // aged (the recycled-pid fallback — undetectable otherwise)

@@ -861,15 +861,25 @@ object Multimodal {
         val starts = bounded.scanLeft(off)(_ + _)
         val acc = scala.collection.mutable.ArrayBuffer
           .empty[(Int, Char, Int, Int, Double, Double)]
+        // ADVICE r12: mirror the avc1 walk's stop-at-first-undecodable
+        // discipline. Skipping bad samples and numbering by decoded
+        // count compacted frame indices, so downstream consumers (e.g.
+        // scene-cut deltas) saw non-adjacent frames as adjacent; a
+        // clean stop makes the truncation visible instead.
+        var walking = true
         bounded.indices.foreach { i =>
-          val s = starts(i)
-          val len = bounded(i)
-          if (s >= 0 && len > 0 && s + len <= bytes.length && acc.size < maxFrames)
-            esFrames(java.util.Arrays.copyOfRange(
+          if (walking && acc.size < maxFrames) {
+            val s = starts(i)
+            val len = bounded(i)
+            if (s >= 0 && len > 0 && s + len <= bytes.length) {
+              val fs = esFrames(java.util.Arrays.copyOfRange(
                 bytes, s.toInt, (s + len).toInt), maxFrames - acc.size)
-              .foreach { case (t, w, h, m, sd) =>
+              if (fs.isEmpty) walking = false
+              else fs.foreach { case (t, w, h, m, sd) =>
                 acc += ((acc.size + 1, t, w, h, m, sd))
               }
+            } else walking = false
+          }
         }
         acc.toSeq
       }

@@ -475,6 +475,18 @@ object SeriesOps {
     require(lengthGate >= 2, s"lengthGate must be >= 2, got $lengthGate")
     require(samplesPerPoint >= 1,
       s"samplesPerPoint must be >= 1, got $samplesPerPoint")
+    // ADVICE r12: the two tiers scan the input once each (disjoint
+    // size(values) filters, one union) — an UNCACHED caller would
+    // re-execute the entire upstream plan (e.g. the events
+    // group-collect) twice. The scaladoc asked callers to pass a
+    // cached frame; enforce it here instead of by convention: cache
+    // the one-row-per-series input if the caller hasn't (bounded —
+    // one small row per series; already-cached inputs pass through
+    // untouched, so the Memo'd registry caller is unaffected).
+    val src =
+      if (series.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        series.cache()
+      else series
     val maxExactPairs = 100000000L
     // EXACT tier (round 12 perf): a tight JVM loop + Arrays.sort per
     // series replaces the Catalyst higher-order-function expression —
@@ -498,7 +510,7 @@ object SeriesOps {
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("intercept_raw",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
-    val exactPart = series
+    val exactPart = src
       .filter(size(col("values")) >= minSize &&
         size(col("values")) <= lengthGate)
       .select(col("series_id"), col("values"))
@@ -586,7 +598,7 @@ object SeriesOps {
     // second scan is a cache read; in return the exact tier (the hot
     // one: the oracle twin pins lengthGate = 10⁶, sending EVERY
     // driver series through it) runs compiled instead of interpreted.
-    val sampledPart = series
+    val sampledPart = src
       .filter(size(col("values")) >= minSize &&
         size(col("values")) > lengthGate)
       .select(col("series_id"), size(col("values")).cast("long").as("n"),

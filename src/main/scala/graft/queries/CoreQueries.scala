@@ -12,6 +12,21 @@ import graft.ops.SeriesOps
   * Spark and DuckDB). */
 object CoreQueries {
 
+  /** The ts tier's shared long→nested pass: one Memo'd
+    * [[SeriesOps.collectSeries]] frame per events dir (round 13,
+    * VERDICT r12 #1b). All 17 ts_* consumers used to rebuild the
+    * identical events scan + group-collect independently — real
+    * repeated work (~0.5-1 s each at sf0.1) that also made their
+    * round-over-round numbers swing with ambient load. One pass per
+    * corpus now, same shared-pass discipline as the token/minhash
+    * tiers; Bench reports the consumers as `ts_family` so whoever
+    * pays the build is arbitrable as the family sum. */
+  private[graft] def eventSeries(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"evser|$dir") {
+      SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+    }
+
   val all: Seq[Q] = Seq(
 
     // A3a global stats + A3b RMS + P2 null-drop (app.py:1706-1710, 1037-1048)
@@ -87,7 +102,7 @@ object CoreQueries {
     // still exercising collectSeries' group-collect + in-array ordering
     // end to end (a wrong order or dropped element shifts every idx).
     Q("ts_series_arrays",
-      (s, dir) => SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+      (s, dir) => eventSeries(s, dir)
         .select(col("series_id"), posexplode(col("values")).as(Seq("idx0", "val")))
         .select(col("series_id"), (col("idx0") + 1).cast("long").as("idx"),
           round(col("val"), 6).as("val"))
@@ -101,7 +116,7 @@ object CoreQueries {
     // W1 truncation to global min length (app.py:246-261)
     Q("ts_truncate",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.truncate(ser)
           .select(col("series_id"),
             size(col("values")).cast("long").as("n_kept"),
@@ -120,7 +135,7 @@ object CoreQueries {
     // W2 zero padding to global max length (app.py:266-280)
     Q("ts_pad",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
           .withColumn("orig_n", size(col("values")).cast("long"))
         SeriesOps.pad(ser)
           .select(col("series_id"),
@@ -138,7 +153,7 @@ object CoreQueries {
     // W3+W3b sliding window w=10 s=5, drop_remainder (app.py:285-295, 1788-1793)
     Q("ts_sliding_window",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir), "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.slidingWindow(ser, 10, 5)
           .select(col("series_id"), col("win_id").cast("long").as("win_id"),
             round(SeriesOps.arraySum(col("window")), 4).as("win_sum"))
@@ -163,8 +178,7 @@ object CoreQueries {
     // list_reduce over each prefix (same op sequence per point).
     Q("ts_ewma",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.ewma(ser, 0.3).orderBy("series_id", "pos")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -189,8 +203,7 @@ object CoreQueries {
     // list_reduce over struct prefixes.
     Q("ts_holt",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.holt(ser, 0.5, 0.3).orderBy("series_id", "pos")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -229,8 +242,7 @@ object CoreQueries {
     // IEEE chain on both engines.
     Q("ts_periodogram",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.periodogram(ser, 5).orderBy("series_id", "k")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -269,8 +281,7 @@ object CoreQueries {
     // exact integers.
     Q("ts_paa",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.paa(ser, 8).orderBy("series_id", "seg")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -302,8 +313,7 @@ object CoreQueries {
     // exact comparison on the already-quantized paa values.
     Q("ts_sax",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.sax(ser, 8).orderBy("series_id")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -339,8 +349,7 @@ object CoreQueries {
     // combined groupBy on the word.
     Q("ts_sax_motifs",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.sax(ser, 4).groupBy("word")
           .agg(count(lit(1)).as("n_series"), min("series_id").as("example"))
           .filter(col("n_series") >= 2)
@@ -383,8 +392,7 @@ object CoreQueries {
     // sequential-fold contract.
     Q("ts_anomaly",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.ewmaAnomalies(ser, 0.3, 3.0).orderBy("series_id", "pos")
       },
       Some("""WITH r0 AS (SELECT user_id, value,
@@ -422,8 +430,7 @@ object CoreQueries {
     // replays the whole pass relationally.
     Q("ts_matrix_profile",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.matrixProfile(ser, 8).orderBy("series_id")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -477,8 +484,7 @@ object CoreQueries {
     // list_reduce; outputs on the floor(x·1e6+0.5) halfway rule.
     Q("ts_decompose",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.decompose(ser, 4).orderBy("series_id", "pos")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -512,8 +518,7 @@ object CoreQueries {
     // F_seasonal over the decompose output — the series-triage pair
     Q("ts_stl_strength",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.stlStrength(ser, 4).orderBy("series_id")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -567,8 +572,7 @@ object CoreQueries {
     // lag; acf on the floor(x·1e6+0.5) halfway rule.
     Q("ts_acf",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.acf(ser, 5).orderBy("series_id", "lag")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -599,8 +603,7 @@ object CoreQueries {
     // (first-max rule) and the threshold compare are exact.
     Q("ts_cusum",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.cusum(ser).orderBy("series_id")
       },
       Some("""WITH r AS (SELECT user_id, value,
@@ -634,8 +637,7 @@ object CoreQueries {
     // sums are exact integer micro-sums.
     Q("ts_crosscorr",
       (s, dir) => {
-        val ser = SeriesOps.collectSeries(Tables.events(s, dir),
-          "user_id", "value", "event_id")
+        val ser = eventSeries(s, dir)
         SeriesOps.crossCorr(ser).orderBy("s_a", "s_b")
       },
       Some("""WITH r AS (SELECT user_id, value,

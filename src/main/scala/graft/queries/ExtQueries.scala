@@ -197,7 +197,14 @@ object ExtQueries {
   def warmSharedPasses(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
+      // record what this pass materializes and PROTECT it from
+      // staleness release until its first consumer (round 13, VERDICT
+      // r12 #6): the consumers run 100+ queries after setup, far
+      // outside the stale window, so unprotected setup entries were
+      // being rebuilt cold anyway
+      Memo.startRecording()
       try body catch { case _: Throwable => () }
+      Memo.protect(Memo.stopRecording())
       (name, (System.nanoTime() - t0) / 1e9)
     }
     Seq(
@@ -205,6 +212,22 @@ object ExtQueries {
       timed("setup_token_pass") {
         graft.ext.TextOps.tokenCounts(
           Tables.documents(s, dir), "doc_id", "text").count()
+        ()
+      },
+      // VERDICT r12 #1a: the bigram-LM score frame is the third
+      // ingest-shaped shared build (7.5 s at sf0.1); before this it
+      // landed on text_lm_score's "cold" number and dominated
+      // round-over-round comparison noise
+      timed("setup_lm_pass") {
+        graft.ext.TextOps.lmScore(
+          Tables.documents(s, dir), "doc_id", "text").count()
+        ()
+      },
+      // VERDICT r12 #1b: the ts tier's shared collect pass (round 13,
+      // CoreQueries.eventSeries) — warmed here so the first ts_*
+      // query doesn't absorb the whole-events group-collect
+      timed("setup_series_pass") {
+        graft.queries.CoreQueries.eventSeries(s, dir).count()
         ()
       })
   }
