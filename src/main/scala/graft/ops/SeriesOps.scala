@@ -909,41 +909,86 @@ object SeriesOps {
     * series over maxK rows. Output: (series_id, k, power, dominant). */
   def periodogram(series: DataFrame, maxK: Int, minLen: Int = 10): DataFrame = {
     require(maxK >= 1, s"need maxK >= 1, got $maxK")
-    // moments bound once through nested lambdas (the [[acf]]
-    // anti-inlining idiom). The dominant flag — first k achieving the
-    // max power, the old `row_number` window's (power desc, k asc)
-    // rule — is computed IN-EXPRESSION over the bounded maxK-power
-    // array (array_max + array_position on exact q6-quantized
-    // doubles), dropping the window shuffle entirely: zero exchanges
-    // after the series groupBy at any scale.
-    def proj(fn: String): String =
-      s"""CAST(aggregate(sequence(1, size(values)), 0L, (acc, i) ->
-         |  acc + CAST(round((element_at(values, i) - m) / sd * 1e6) AS LONG)
-         |    * CAST(round($fn(2 * pi() * k * i / size(values)) * 1e4) AS LONG))
-         |  AS DOUBLE) / 1e10""".stripMargin
-    val s1 = "aggregate(values, 0L, (acc, x) -> acc + CAST(round(x * 1e6) AS LONG))"
-    val rows =
-      s"""flatten(transform(array(CAST($s1 AS DOUBLE) / size(values) / 1e6), m ->
-         |  flatten(transform(array(aggregate(values, 0L, (acc, x) ->
-         |      acc + CAST(round((x - m) * (x - m) * 1e6) AS LONG))), s2 ->
-         |    CASE WHEN s2 > 0L THEN
-         |      flatten(transform(array(sqrt(CAST(s2 AS DOUBLE) / size(values) / 1e6)), sd ->
-         |        flatten(transform(array(transform(sequence(1, $maxK), k ->
-         |            floor((transform(array(${proj("cos")}), a -> a * a)[0]
-         |                 + transform(array(${proj("sin")}), b -> b * b)[0])
-         |              / size(values) * 1e6 + 0.5) / 1e6)), ps ->
-         |          transform(sequence(1, $maxK), k -> named_struct(
-         |            'k', CAST(k AS BIGINT),
-         |            'power', element_at(ps, k),
-         |            'dominant', k = array_position(ps, array_max(ps))))))))
-         |    ELSE CAST(array() AS
-         |      ARRAY<STRUCT<k: BIGINT, power: DOUBLE, dominant: BOOLEAN>>)
-         |    END))))""".stripMargin
+    // COMPILED tier (round 13, VERDICT r12 #5 — the [[theilSen]]
+    // exact-tier treatment): a tight JVM loop replaces the interpreted
+    // higher-order-function expression whose per-element closures
+    // (O(maxK·n) multiply-adds through `aggregate`/`transform`
+    // lambdas) made this the bench's slowest ts query (2.4 s at
+    // sf0.1). Bitwise identical results: every rounding step goes
+    // through java.math.BigDecimal.valueOf(·).setScale(0, HALF_UP) —
+    // exactly Round's codegen for DoubleType — the trig argument is
+    // the same left-associated ((2π)·k)·i/n chain on java.lang.Math
+    // cos/sin (what the Cos/Sin expressions call), the moment sums are
+    // the same index-ordered integer folds, and the dominant flag is
+    // the same first-argmax over the q6-quantized power array. Zero
+    // exchanges after the series groupBy, unchanged.
+    val minSize = math.max(minLen, 2 * maxK)
+    val idField = series.schema("series_id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "series_id"),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("power",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dominant",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    def rnd(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
     series
-      .filter(size(col("values")) >= math.max(minLen, 2 * maxK))
-      .select(col("series_id"), explode(expr(rows)).as("__p"))
-      .select(col("series_id"), col("__p.k").as("k"),
-        col("__p.power").as("power"), col("__p.dominant").as("dominant"))
+      .filter(size(col("values")) >= minSize)
+      .select(col("series_id"), col("values"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val vs0 = row.getSeq[Double](1)
+          val n = vs0.length
+          val vs = new Array[Double](n)
+          var c = 0
+          vs0.foreach { v => vs(c) = v; c += 1 }
+          var s1 = 0L
+          var i = 0
+          while (i < n) { s1 += rnd(vs(i) * 1e6); i += 1 }
+          val m = s1.toDouble / n / 1e6
+          var s2 = 0L
+          i = 0
+          while (i < n) { s2 += rnd((vs(i) - m) * (vs(i) - m) * 1e6); i += 1 }
+          if (s2 <= 0L) Iterator.empty
+          else {
+            val sd = math.sqrt(s2.toDouble / n / 1e6)
+            val z = new Array[Long](n)
+            i = 0
+            while (i < n) { z(i) = rnd((vs(i) - m) / sd * 1e6); i += 1 }
+            val ps = new Array[Double](maxK)
+            var k = 1
+            while (k <= maxK) {
+              var a = 0L
+              var b = 0L
+              i = 1
+              while (i <= n) {
+                val arg = 2 * math.Pi * k * i / n
+                a += z(i - 1) * rnd(math.cos(arg) * 1e4)
+                b += z(i - 1) * rnd(math.sin(arg) * 1e4)
+                i += 1
+              }
+              val ad = a.toDouble / 1e10
+              val bd = b.toDouble / 1e10
+              ps(k - 1) = math.floor((ad * ad + bd * bd) / n * 1e6 + 0.5) / 1e6
+              k += 1
+            }
+            var mx = ps(0)
+            var arg1 = 1 // first k achieving the max (ties -> smallest k)
+            k = 2
+            while (k <= maxK) {
+              if (ps(k - 1) > mx) { mx = ps(k - 1); arg1 = k }
+              k += 1
+            }
+            (1 to maxK).iterator.map { kk =>
+              org.apache.spark.sql.Row(row.get(0), kk.toLong, ps(kk - 1),
+                kk == arg1)
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** SAX symbolization ([EXT], Lin et al. DMKD 2007): bin each [[paa]]
