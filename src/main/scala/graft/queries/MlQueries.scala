@@ -619,18 +619,86 @@ object MlQueries {
           val p2 = pcaC1Mismatch(emb16)
           (p1, p2)
         }
+        // UMAP (round 13, VERDICT r12 #3): the last gated dual-path
+        // fit without a driver-context parity row. Two pins:
+        //  - umap_landmark_full: the landmark path with EVERY point a
+        //    landmark IS the exact path by construction (identical
+        //    id-sorted input to fitLocal; landmarks keep their fitted
+        //    coords through the broadcast join) — coordinates must
+        //    agree to 1e-9;
+        //  - umap_landmark_place: the pruned regime (half the points
+        //    as landmarks). The placement contract is structural:
+        //    each non-landmark's coordinate is a CONVEX combination
+        //    of its placeK nearest landmarks' fitted coords, so it
+        //    must lie inside that neighbor set's bounding box. The
+        //    landmark set is recomputed here from the same
+        //    deterministic xxhash64-rank rule, independently of the
+        //    path under test, so a mis-wired sample or placement
+        //    flips the row.
+        val fUmap = Future {
+          val ex = graft.ml.Umap.umap2d(emb16, nNeighbors = 8, epochs = 60)
+            .select(col("series_id"), col("x").as("xa"), col("y").as("ya"))
+          val full = graft.ml.Umap.umap2d(emb16, nNeighbors = 8, epochs = 60,
+              gate = 0L, numLandmarks = nEmb.toInt)
+            .select(col("series_id"), col("x").as("xb"), col("y").as("yb"))
+          val j = ex.join(full, "series_id").cache()
+          val nF = j.count()
+          val mF = j.filter(abs(col("xa") - col("xb")) > 1e-9 ||
+            abs(col("ya") - col("yb")) > 1e-9).count()
+          j.unpersist()
+          val nl = math.max(2, nEmb.toInt / 2)
+          val half = graft.ml.Umap.umap2d(emb16, nNeighbors = 8, epochs = 60,
+              gate = 0L, numLandmarks = nl)
+            .select(col("series_id"), col("x"), col("y"))
+            .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+            .toMap
+          val landIds = emb16
+            .select(col("series_id"),
+              xxhash64(col("series_id"), lit(0L)).as("__r"))
+            .orderBy(col("__r"), col("series_id")).limit(nl)
+            .select(col("series_id")).as[Long].collect().toSet
+          val vecs = emb16.select(col("series_id"), col("values"))
+            .as[(Long, Array[Double])].collect()
+          // land array in id order — placeUdf's tie-break on the
+          // id-sorted landmark index equals a (dist, id) sort here
+          val landArr = vecs.filter(v => landIds(v._1)).sortBy(_._1)
+          val placeK = math.min(8, landArr.length)
+          var viol = 0L
+          vecs.foreach { case (id, v) =>
+            if (!landIds(id)) {
+              val near = landArr.map { case (lid, lv) =>
+                var s2d = 0.0
+                var t = 0
+                while (t < v.length) {
+                  val d0 = v(t) - lv(t); s2d += d0 * d0; t += 1
+                }
+                (math.sqrt(s2d), lid)
+              }.sortBy(identity).take(placeK).map(_._2)
+              val cs = near.map(half)
+              val (px, py) = half(id)
+              val eps = 1e-9
+              if (px < cs.map(_._1).min - eps || px > cs.map(_._1).max + eps ||
+                  py < cs.map(_._2).min - eps || py > cs.map(_._2).max + eps)
+                viol += 1
+            }
+          }
+          ((nF, mF), (nEmb, viol))
+        }
         val (nDb, mDb) = Await.result(fDb, Duration.Inf)
         val (nKs, mKs) = Await.result(fKs, Duration.Inf)
         val costOk = Await.result(fKm, Duration.Inf)
         val (nMds, mMds) = Await.result(fMds, Duration.Inf)
         val (nMds16, mMds16) = Await.result(fMds16, Duration.Inf)
         val ((nPca, mPca), (nPca16, mPca16)) = Await.result(fPcaBoth, Duration.Inf)
+        val ((nUf, mUf), (nUp, mUp)) = Await.result(fUmap, Duration.Inf)
         Seq(serP, serT, fe, emb16).foreach(_.unpersist())
 
         Seq(("dbscan", nDb, mDb), ("kmeans_cost", nKm, if (costOk) 0L else 1L),
           ("kshape", nKs, mKs), ("mds_landmark_c1", nMds, mMds),
           ("mds_landmark_c1_16d", nMds16, mMds16),
-          ("pca_c1", nPca, mPca), ("pca_c1_16d", nPca16, mPca16))
+          ("pca_c1", nPca, mPca), ("pca_c1_16d", nPca16, mPca16),
+          ("umap_landmark_full", nUf, mUf),
+          ("umap_landmark_place", nUp, mUp))
           .toDF("algo", "n", "n_mismatch").orderBy("algo")
       },
       // round 12: the harness is hash-gated, not rows-only — ANY path
@@ -652,7 +720,9 @@ object MlQueries {
              |FROM (VALUES ('dbscan', 'u'), ('kmeans_cost', 'u'),
              |             ('kshape', 'u'), ('mds_landmark_c1', 'u'),
              |             ('mds_landmark_c1_16d', 'e'),
-             |             ('pca_c1', 'u'), ('pca_c1_16d', 'e')) t(algo, src),
+             |             ('pca_c1', 'u'), ('pca_c1_16d', 'e'),
+             |             ('umap_landmark_full', 'e'),
+             |             ('umap_landmark_place', 'e')) t(algo, src),
              |     u, e
              |ORDER BY algo""".stripMargin)),
 

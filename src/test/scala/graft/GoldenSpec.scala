@@ -71,7 +71,9 @@ class GoldenSpec extends SparkSpec {
     assert(rows == Seq(("dbscan", 15L, 0L), ("kmeans_cost", 15L, 0L),
       ("kshape", 15L, 0L), ("mds_landmark_c1", 15L, 0L),
       ("mds_landmark_c1_16d", 40L, 0L),
-      ("pca_c1", 15L, 0L), ("pca_c1_16d", 40L, 0L)), s"parity drift: $rows")
+      ("pca_c1", 15L, 0L), ("pca_c1_16d", 40L, 0L),
+      ("umap_landmark_full", 40L, 0L),
+      ("umap_landmark_place", 40L, 0L)), s"parity drift: $rows")
   }
 
   private def digest(name: String): String = {
