@@ -7,16 +7,19 @@ package graft.ml
   * regime behind [[Embedding.aeEmbed]]'s gate; the linear substitute
   * ([[Embedding.aeSubstitute]]) remains the scale fallback.
   *
-  * Architecture (input S×S×1, S = imgSize, two stride-2 stages):
-  * Conv(F1, 3×3, s2, same, relu) → Conv(F2, 3×3, s2, same, relu) →
-  * flatten → Dense(2) [latent] → Dense(flat, linear) → reshape →
-  * ConvT(F1, 3×3, s2, same, relu) → ConvT(1, 3×3, s2, same,
-  * sigmoid). Deviations from the reference, documented in
-  * COVERAGE.md: no BatchNorm (a seeded-but-stateful layer whose
-  * running statistics would make the embedding depend on batch
-  * composition — the determinism contract wins), two conv stages
-  * sized to the engine's 8×8 imaging tier instead of Keras' 64×64
-  * count-4 stack, and a bounded seeded fit sample (the CanonicalFit
+  * Architecture (input S×S×1, S = imgSize, one stride-2 stage per
+  * entry of Config.filters — round 13: variable depth):
+  * Conv(F_i, 3×3, s2, same, relu)… → flatten → Dense(2) [latent] →
+  * Dense(flat, linear) → reshape → ConvT mirror (relu; final stage
+  * sigmoid). The default (F1, F2) pair serves the engine's 8×8
+  * imaging tier; [[Config.reference64]] is the reference's
+  * IMG_SIZE = 64 regime (16→32→64, app.py:563-571). Deviations from
+  * the reference, documented in COVERAGE.md: no BatchNorm (a
+  * seeded-but-stateful layer whose running statistics would make the
+  * embedding depend on batch composition — the determinism contract
+  * wins), a symmetric-mirror decoder (the reference's ConvT widths
+  * are one step wider by its lenl formula), 256/512 image regimes
+  * out of scope, and a bounded seeded fit sample (the CanonicalFit
   * pattern) instead of training on the full corpus.
   *
   * Determinism: ALL state is driver-local — seeded Glorot init in a
@@ -36,11 +39,33 @@ package graft.ml
 object ConvAE {
 
   /** Hyper-parameters. `fitSample`: the fit runs on at most this many
-    * seeded-sampled images (embedding still covers every input). */
+    * seeded-sampled images (embedding still covers every input).
+    * `filters` (round 13): explicit conv-stack widths, one stride-2
+    * stage per entry; empty keeps the legacy (f1, f2) two-stage
+    * engine default, so every existing digest pin is untouched. */
   final case class Config(
       imgSize: Int = 8, f1: Int = 8, f2: Int = 16, latent: Int = 2,
       lr: Double = 3e-3, epochs: Int = 60, batchSize: Int = 32,
-      patience: Int = 10, fitSample: Int = 256, seed: Long = 1L)
+      patience: Int = 10, fitSample: Int = 256, seed: Long = 1L,
+      filters: Seq[Int] = Nil) {
+    /** Resolved conv widths: `filters` when given, else (f1, f2). */
+    private[ml] def stack: Array[Int] =
+      (if (filters.nonEmpty) filters else Seq(f1, f2)).toArray
+  }
+
+  object Config {
+    /** The reference's IMG_SIZE = 64 regime (app.py:508-513 flag '1';
+      * encoder app.py:563-571: Conv2D(16, 3, s2) then count−4 = 2
+      * further stride-2 convs at widths 32, 64 for count = log2(64),
+      * landing on an 8×8×64 flatten → Dense(2) latent at
+      * app.py:579). The decoder here is the symmetric mirror of the
+      * encoder — the reference's ConvT widths follow its own
+      * lenl = IMG_SIZE/((count%2)+1) formula (app.py:585-591) and are
+      * one step wider; documented deviation (COVERAGE §2), same class
+      * as the dropped BatchNorm. 256/512 regimes (counts 8/9) remain
+      * out of scope. */
+    def reference64: Config = Config(imgSize = 64, filters = Seq(16, 32, 64))
+  }
 
   /** One tensor's parameters + Adam state. */
   private final class P(val w: Array[Double]) {
@@ -49,12 +74,24 @@ object ConvAE {
     val g = new Array[Double](w.length) // accumulated minibatch grad
   }
 
-  /** The full parameter set; field order IS the seeded init order. */
+  /** The full parameter set; declaration order IS the seeded init
+    * order (round 13: generalized from the hardwired two-stage pair
+    * to `cfg.stack.length` stages — for the default stack the RNG
+    * consumption sequence, shapes, and therefore every weight are
+    * bit-identical to the old w1/b1/w2/b2/…/t1/tb1/t2/tb2 fields). */
   private final class Net(cfg: Config) {
-    val s0: Int = cfg.imgSize
-    val s1: Int = (s0 + 1) / 2
-    val s2: Int = (s1 + 1) / 2
-    val flat: Int = s2 * s2 * cfg.f2
+    /** channels per level; ch(0) = 1 (grayscale input). */
+    val ch: Array[Int] = 1 +: cfg.stack
+    val depth: Int = ch.length - 1
+    /** spatial size per level (stride-2 halving, TF-same ceil). */
+    val hs: Array[Int] = {
+      val a = new Array[Int](depth + 1)
+      a(0) = cfg.imgSize
+      var i = 1
+      while (i <= depth) { a(i) = (a(i - 1) + 1) / 2; i += 1 }
+      a
+    }
+    val flat: Int = hs(depth) * hs(depth) * ch(depth)
     private val rnd = new java.util.Random(cfg.seed)
     private def glorot(n: Int, fanIn: Int, fanOut: Int): Array[Double] = {
       val lim = math.sqrt(6.0 / (fanIn + fanOut))
@@ -62,19 +99,36 @@ object ConvAE {
     }
     // conv weights live as w[cOut][cIn][ky][kx] flattened; the ConvT
     // layers store the REVERSE conv's weights (their big→small map)
-    val w1 = new P(glorot(cfg.f1 * 1 * 9, 9, cfg.f1 * 9))
-    val b1 = new P(new Array[Double](cfg.f1))
-    val w2 = new P(glorot(cfg.f2 * cfg.f1 * 9, cfg.f1 * 9, cfg.f2 * 9))
-    val b2 = new P(new Array[Double](cfg.f2))
+    val convW = new Array[P](depth)
+    val convB = new Array[P](depth)
+    locally {
+      var i = 0
+      while (i < depth) {
+        convW(i) = new P(glorot(ch(i + 1) * ch(i) * 9, ch(i) * 9, ch(i + 1) * 9))
+        convB(i) = new P(new Array[Double](ch(i + 1)))
+        i += 1
+      }
+    }
     val we = new P(glorot(cfg.latent * flat, flat, cfg.latent))
     val be = new P(new Array[Double](cfg.latent))
     val wd = new P(glorot(flat * cfg.latent, cfg.latent, flat))
     val bd = new P(new Array[Double](flat))
-    val t1 = new P(glorot(cfg.f2 * cfg.f1 * 9, cfg.f2 * 9, cfg.f1 * 9))
-    val tb1 = new P(new Array[Double](cfg.f1))
-    val t2 = new P(glorot(cfg.f1 * 1 * 9, cfg.f1 * 9, 9))
-    val tb2 = new P(new Array[Double](1))
-    val all: Array[P] = Array(w1, b1, w2, b2, we, be, wd, bd, t1, tb1, t2, tb2)
+    // decoder stage d reverses encoder stage e = depth-1-d
+    val decW = new Array[P](depth)
+    val decB = new Array[P](depth)
+    locally {
+      var d = 0
+      while (d < depth) {
+        val e = depth - 1 - d
+        decW(d) = new P(glorot(ch(e + 1) * ch(e) * 9, ch(e + 1) * 9, ch(e) * 9))
+        decB(d) = new P(new Array[Double](ch(e)))
+        d += 1
+      }
+    }
+    val all: Array[P] =
+      (0 until depth).flatMap(i => Seq(convW(i), convB(i))).toArray ++
+        Array(we, be, wd, bd) ++
+        (0 until depth).flatMap(d => Seq(decW(d), decB(d))).toArray
   }
 
   // ---- conv primitives: stride 2, kernel 3, TF-same (pad_beg 0) ----
@@ -202,47 +256,52 @@ object ConvAE {
 
   /** Per-image activations workspace (reused across the batch). */
   private final class Ws(net: Net, cfg: Config) {
-    val a1 = new Array[Double](cfg.f1 * net.s1 * net.s1)
-    val a2 = new Array[Double](cfg.f2 * net.s2 * net.s2)
+    /** encoder activations, act(i) at level i+1. */
+    val act: Array[Array[Double]] = Array.tabulate(net.depth)(i =>
+      new Array[Double](net.ch(i + 1) * net.hs(i + 1) * net.hs(i + 1)))
     val z = new Array[Double](cfg.latent)
     val g = new Array[Double](net.flat)
-    val t1o = new Array[Double](cfg.f1 * net.s1 * net.s1)
-    val out = new Array[Double](net.s0 * net.s0)
-    // gradients mirrors
-    val dOut = new Array[Double](net.s0 * net.s0)
-    val dT1 = new Array[Double](cfg.f1 * net.s1 * net.s1)
+    /** decoder outputs, dec(d) at level depth-1-d; dec(last) = image. */
+    val dec: Array[Array[Double]] = Array.tabulate(net.depth) { d =>
+      val e = net.depth - 1 - d
+      new Array[Double](net.ch(e) * net.hs(e) * net.hs(e))
+    }
+    // gradient mirrors
+    val dDec: Array[Array[Double]] = Array.tabulate(net.depth) { d =>
+      val e = net.depth - 1 - d
+      new Array[Double](net.ch(e) * net.hs(e) * net.hs(e))
+    }
     val dG = new Array[Double](net.flat)
     val dZ = new Array[Double](cfg.latent)
-    val dA2 = new Array[Double](cfg.f2 * net.s2 * net.s2)
-    val dA1 = new Array[Double](cfg.f1 * net.s1 * net.s1)
-    val dX = new Array[Double](net.s0 * net.s0) // unused sink
+    val dAct: Array[Array[Double]] = Array.tabulate(net.depth)(i =>
+      new Array[Double](net.ch(i + 1) * net.hs(i + 1) * net.hs(i + 1)))
   }
 
   /** Forward pass; x is the normalized S×S image. Returns MSE. When
     * `latentOnly`, stops after the encoder (embedding path). */
   private def forward(net: Net, cfg: Config, x: Array[Double], ws: Ws,
       latentOnly: Boolean): Double = {
-    convFwd(net.w1.w, 1, cfg.f1, net.s0, x, ws.a1)
-    var i = 0
-    while (i < ws.a1.length) {
-      val b = net.b1.w(i / (net.s1 * net.s1))
-      val v = ws.a1(i) + b
-      ws.a1(i) = if (v > 0) v else 0.0
-      i += 1
-    }
-    convFwd(net.w2.w, cfg.f1, cfg.f2, net.s1, ws.a1, ws.a2)
-    i = 0
-    while (i < ws.a2.length) {
-      val b = net.b2.w(i / (net.s2 * net.s2))
-      val v = ws.a2(i) + b
-      ws.a2(i) = if (v > 0) v else 0.0
-      i += 1
+    var prev = x
+    var li = 0
+    while (li < net.depth) {
+      convFwd(net.convW(li).w, net.ch(li), net.ch(li + 1), net.hs(li),
+        prev, ws.act(li))
+      val a = ws.act(li)
+      val hsq = net.hs(li + 1) * net.hs(li + 1)
+      var i = 0
+      while (i < a.length) {
+        val v = a(i) + net.convB(li).w(i / hsq)
+        a(i) = if (v > 0) v else 0.0
+        i += 1
+      }
+      prev = a
+      li += 1
     }
     var l = 0
     while (l < cfg.latent) {
       var s = net.be.w(l)
       var j = 0
-      while (j < net.flat) { s += net.we.w(l * net.flat + j) * ws.a2(j); j += 1 }
+      while (j < net.flat) { s += net.we.w(l * net.flat + j) * prev(j); j += 1 }
       ws.z(l) = s
       l += 1
     }
@@ -255,50 +314,80 @@ object ConvAE {
       ws.g(j) = s
       j += 1
     }
-    // ConvT1: small (f2, s2) → big (f1, s1); reverse-conv weights t1
-    convBwdData(net.t1.w, cfg.f1, cfg.f2, net.s1, ws.g, ws.t1o)
-    i = 0
-    while (i < ws.t1o.length) {
-      val v = ws.t1o(i) + net.tb1.w(i / (net.s1 * net.s1))
-      ws.t1o(i) = if (v > 0) v else 0.0
-      i += 1
+    // ConvT stages: small → big via reverse-conv weights; relu on all
+    // but the last (sigmoid, fused with the MSE loop below)
+    var src: Array[Double] = ws.g
+    var d = 0
+    while (d < net.depth) {
+      val e = net.depth - 1 - d
+      convBwdData(net.decW(d).w, net.ch(e), net.ch(e + 1), net.hs(e),
+        src, ws.dec(d))
+      if (d < net.depth - 1) {
+        val o = ws.dec(d)
+        val hsq = net.hs(e) * net.hs(e)
+        var i = 0
+        while (i < o.length) {
+          val v = o(i) + net.decB(d).w(i / hsq)
+          o(i) = if (v > 0) v else 0.0
+          i += 1
+        }
+        src = o
+      }
+      d += 1
     }
-    convBwdData(net.t2.w, 1, cfg.f1, net.s0, ws.t1o, ws.out)
+    val out = ws.dec(net.depth - 1)
+    val obias = net.decB(net.depth - 1).w(0)
     var mse = 0.0
-    i = 0
-    while (i < ws.out.length) {
-      val v = 1.0 / (1.0 + math.exp(-(ws.out(i) + net.tb2.w(0))))
-      ws.out(i) = v
-      val d = v - x(i)
-      mse += d * d
+    var i = 0
+    while (i < out.length) {
+      val v = 1.0 / (1.0 + math.exp(-(out(i) + obias)))
+      out(i) = v
+      val dd = v - x(i)
+      mse += dd * dd
       i += 1
     }
-    mse / ws.out.length
+    mse / out.length
   }
 
   /** Backward pass (call right after a full forward); accumulates
     * parameter grads into net.*.g. */
   private def backward(net: Net, cfg: Config, x: Array[Double], ws: Ws): Unit = {
-    val nPix = ws.out.length
+    val depth = net.depth
+    val out = ws.dec(depth - 1)
+    val dOut = ws.dDec(depth - 1)
+    val nPix = out.length
     var i = 0
     while (i < nPix) {
-      val o = ws.out(i)
-      ws.dOut(i) = (2.0 / nPix) * (o - x(i)) * o * (1.0 - o)
-      net.tb2.g(0) += ws.dOut(i)
+      val o = out(i)
+      dOut(i) = (2.0 / nPix) * (o - x(i)) * o * (1.0 - o)
+      net.decB(depth - 1).g(0) += dOut(i)
       i += 1
     }
-    // ConvT2 (reverse conv maps big(f1,s1-as-out?) — its reverse conv
-    // maps (1, s0) → (f1, s1)): dW = bwdW(A = dY big, dB = X small)
-    convBwdW(1, cfg.f1, net.s0, ws.dOut, ws.t1o, net.t2.g)
-    convFwd(net.t2.w, 1, cfg.f1, net.s0, ws.dOut, ws.dT1)
-    i = 0
-    while (i < ws.dT1.length) {
-      if (ws.t1o(i) <= 0.0) ws.dT1(i) = 0.0
-      net.tb1.g(i / (net.s1 * net.s1)) += ws.dT1(i)
-      i += 1
+    // ConvT stages, shallow (image) end first: for a reverse-conv
+    // layer, dW = bwdW(A = dY big, dB = its small input) and the
+    // input grad is the plain convFwd of dY through its weights
+    var d = depth - 1
+    while (d >= 0) {
+      val e = depth - 1 - d
+      val inp = if (d == 0) ws.g else ws.dec(d - 1)
+      convBwdW(net.ch(e), net.ch(e + 1), net.hs(e), ws.dDec(d), inp,
+        net.decW(d).g)
+      val dTgt = if (d == 0) ws.dG else ws.dDec(d - 1)
+      convFwd(net.decW(d).w, net.ch(e), net.ch(e + 1), net.hs(e),
+        ws.dDec(d), dTgt)
+      if (d > 0) {
+        val act = ws.dec(d - 1)
+        val ePrev = e + 1 // level of dec stage d-1's output
+        val hsq = net.hs(ePrev) * net.hs(ePrev)
+        var i2 = 0
+        while (i2 < dTgt.length) {
+          if (act(i2) <= 0.0) dTgt(i2) = 0.0
+          net.decB(d - 1).g(i2 / hsq) += dTgt(i2)
+          i2 += 1
+        }
+      }
+      d -= 1
     }
-    convBwdW(cfg.f1, cfg.f2, net.s1, ws.dT1, ws.g, net.t1.g)
-    convFwd(net.t1.w, cfg.f1, cfg.f2, net.s1, ws.dT1, ws.dG)
     var j = 0
     while (j < net.flat) {
       val dg = ws.dG(j)
@@ -319,33 +408,45 @@ object ConvAE {
       net.be.g(l) += s
       l += 1
     }
+    val aDeep = ws.act(depth - 1)
+    val dDeep = ws.dAct(depth - 1)
     j = 0
     while (j < net.flat) {
       var s = 0.0
       var l2 = 0
       while (l2 < cfg.latent) { s += net.we.w(l2 * net.flat + j) * ws.dZ(l2); l2 += 1 }
-      ws.dA2(j) = if (ws.a2(j) > 0.0) s else 0.0
+      dDeep(j) = if (aDeep(j) > 0.0) s else 0.0
       l2 = 0
       while (l2 < cfg.latent) {
-        net.we.g(l2 * net.flat + j) += ws.dZ(l2) * ws.a2(j)
+        net.we.g(l2 * net.flat + j) += ws.dZ(l2) * aDeep(j)
         l2 += 1
       }
       j += 1
     }
     i = 0
-    while (i < ws.dA2.length) {
-      net.b2.g(i / (net.s2 * net.s2)) += ws.dA2(i)
+    while (i < dDeep.length) {
+      net.convB(depth - 1).g(i / (net.hs(depth) * net.hs(depth))) += dDeep(i)
       i += 1
     }
-    convBwdW(cfg.f1, cfg.f2, net.s1, ws.a1, ws.dA2, net.w2.g)
-    convBwdData(net.w2.w, cfg.f1, cfg.f2, net.s1, ws.dA2, ws.dA1)
-    i = 0
-    while (i < ws.dA1.length) {
-      if (ws.a1(i) <= 0.0) ws.dA1(i) = 0.0
-      net.b1.g(i / (net.s1 * net.s1)) += ws.dA1(i)
-      i += 1
+    // conv stages, deep -> shallow
+    var li = depth - 1
+    while (li >= 0) {
+      val aIn = if (li == 0) x else ws.act(li - 1)
+      convBwdW(net.ch(li), net.ch(li + 1), net.hs(li), aIn, ws.dAct(li),
+        net.convW(li).g)
+      if (li > 0) {
+        convBwdData(net.convW(li).w, net.ch(li), net.ch(li + 1), net.hs(li),
+          ws.dAct(li), ws.dAct(li - 1))
+        val hsq = net.hs(li) * net.hs(li)
+        var i2 = 0
+        while (i2 < ws.dAct(li - 1).length) {
+          if (ws.act(li - 1)(i2) <= 0.0) ws.dAct(li - 1)(i2) = 0.0
+          net.convB(li - 1).g(i2 / hsq) += ws.dAct(li - 1)(i2)
+          i2 += 1
+        }
+      }
+      li -= 1
     }
-    convBwdW(1, cfg.f1, net.s0, x, ws.dA1, net.w1.g)
   }
 
   /** Fit on `fit` images (already normalized) and return the 2-D
@@ -434,9 +535,21 @@ object ConvAE {
     * numeric gradient over EVERY parameter, one image, fresh seeded
     * net. Near-zero grads (|both| < 1e-10) are skipped — relative
     * error is meaningless there. */
-  private[graft] def gradCheck(cfg: Config, x: Array[Double]): Double = {
+  private[graft] def gradCheck(cfg: Config, x: Array[Double],
+      warmupEpochs: Int = 0): Double = {
     val net = new Net(cfg)
     val ws = new Ws(net, cfg)
+    // warmup (round 13): at the FRESH init every bias is 0.0 and a
+    // relu'd ConvT stage fed by an already-relu'd map (depth >= 3)
+    // has cells whose whole input window is zero — pre-activation
+    // EXACTLY 0.0, the relu kink, where a central difference on a
+    // BIAS straddles the subgradient and the check is ill-posed
+    // (weights never see it: a zero input annihilates their
+    // perturbation term). A few Adam steps make every parameter
+    // generic, off the kink; the backprop under test is unchanged.
+    if (warmupEpochs > 0)
+      trainInPlace(net, ws, Array(x),
+        cfg.copy(epochs = warmupEpochs, patience = Int.MaxValue))
     net.all.foreach(p => java.util.Arrays.fill(p.g, 0.0))
     forward(net, cfg, x, ws, latentOnly = false)
     backward(net, cfg, x, ws)

@@ -26,6 +26,48 @@ class ConvAESpec extends SparkSpec {
     assert(w8 < 1e-4, s"8x8 gradient check failed: worst rel err $w8")
   }
 
+  test("gradient check holds for a depth-3 stack (round 13 variable-depth " +
+      "generalization)") {
+    // warmupEpochs: at the zero-bias init a depth-3 stack has middle
+    // ConvT cells sitting EXACTLY on the relu kink (all-zero input
+    // windows), where a bias central-difference is ill-posed — a few
+    // Adam steps make the parameters generic first
+    val w = ConvAE.gradCheck(
+      ConvAE.Config(imgSize = 8, filters = Seq(2, 2, 2), seed = 13),
+      fakeImg(3, 8), warmupEpochs = 3)
+    assert(w < 1e-4, s"depth-3 gradient check failed: worst rel err $w")
+    val w16 = ConvAE.gradCheck(
+      ConvAE.Config(imgSize = 16, filters = Seq(2, 3, 4), seed = 13),
+      fakeImg(4, 16), warmupEpochs = 3)
+    assert(w16 < 1e-4, s"16x16 depth-3 gradient check failed: worst rel err $w16")
+  }
+
+  test("reference IMG_SIZE=64 regime: 3-stage 16/32/64 stack trains " +
+      "deterministically and reduces MSE") {
+    // the reference's own geometry (app.py:508-571 at flag '1'):
+    // 64x64 input, stride-2 convs 16->32->64 to an 8x8x64 flatten,
+    // Dense(2) latent. Budgeted small here (12 smooth images, few
+    // epochs) — the pin is geometry + determinism + learning, not
+    // convergence depth.
+    val imgs = Array.tabulate(12) { i =>
+      val cls = i % 3 + 1
+      Array.tabulate(64 * 64) { p =>
+        val (y, x) = (p / 64, p % 64)
+        0.5 + 0.4 * math.sin(cls * 0.11 * (y + 1)) * math.cos(cls * 0.09 * (x + 1))
+      }
+    }
+    val cfg = ConvAE.Config.reference64.copy(
+      epochs = 6, patience = 6, batchSize = 4, seed = 5)
+    val (before, after) = ConvAE.mseBeforeAfter(imgs, cfg)
+    assert(after < before,
+      s"64x64 training did not reduce MSE: before $before after $after")
+    val a = ConvAE.fitEmbed(imgs, imgs, cfg)
+    val b = ConvAE.fitEmbed(imgs, imgs, cfg)
+    assert(a.length == 12 && a.forall(_.length == 2))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two identically-seeded 64x64 fits diverged")
+  }
+
   test("training reduces reconstruction MSE and early-stops within the " +
       "epoch budget") {
     // 3 smooth image classes (the regime GAF/RP images live in, not
