@@ -116,7 +116,15 @@ class GoldenSpec extends SparkSpec {
       // re-pinned when the decode dispatch grew the typed `decoded`
       // degrade flag (permanent predictive-codec fence, COVERAGE.md)
       "multimodal_features" -> "1a398d6ccb449a5934fc8ef3a473806e",
-      "multimodal_frames" -> "bfc37e8bad10637b90010db016cad7ab")
+      "multimodal_frames" -> "bfc37e8bad10637b90010db016cad7ab",
+      // round 13 (VERDICT r12 #7): the last no_oracle rows without an
+      // exact tripwire — the BPE pair (property-tested before, now
+      // also digest-pinned) and the IVF bitext headliners (their
+      // agreement twins are oracle-green; these pin the exact output)
+      "text_bpe_merges" -> "a4944287802f451d100b00ed9e3fafb0",
+      "text_bpe_fertility" -> "ababddc9d7f6c55145b687e97cb239b7",
+      "sim_bitext_mine_ivf" -> "eb2c93137b691615352c89016fc92a24",
+      "sim_bitext_mutual_ivf" -> "f2b57ded3b8a6d9d2be187ab5205c51d")
     val got = pins.keys.toSeq.sorted.map(q => q -> digest(q))
     val bad = got.filter { case (q, d) => d != pins(q) }
     assert(bad.isEmpty, s"digest drift: $bad")
