@@ -17,8 +17,11 @@ package graft.ext
   *
   * Honesty bounds, all degrade-to-None (the caller falls back to the
   * fence, never a wrong decode):
-  *  - I-, P- and B-pictures (D-pictures, picture_coding_type 4, stop
-  *    the walk cleanly; frames decoded so far are kept and exact).
+  *  - I-, P-, B- AND D-pictures (round 13: picture_coding_type 4,
+  *    the DC-only fast-forward type — §2.4.4.3's one-bit macroblock
+  *    type, DC-only blocks with no EOB, end_of_macroblock bit — now
+  *    decodes instead of stopping the walk; reserved coding types
+  *    5-7 still stop cleanly with prior frames kept and exact).
   *    Frames are emitted in DECODE order (anchors before their Bs),
   *    with the type label carrying the reorder information.
   *  - The AC coefficient table covers the unambiguous short-code
@@ -524,7 +527,7 @@ object Mpeg1 {
           br.bits(10) // temporal reference
           val ptype = br.bits(3)
           br.bits(16) // vbv_delay
-          if (ptype < 1 || ptype > 3) done = true // D-pictures: stop
+          if (ptype < 1 || ptype > 4) done = true // reserved types: stop
           else if (ptype == 2 && anchorLast == null) done = true
           else if (ptype == 3 && (anchorPrev == null || anchorLast == null))
             done = true // a B needs both anchors
@@ -533,7 +536,7 @@ object Mpeg1 {
             var fCodeF = 1
             var fullPelB = false
             var fCodeB = 1
-            if (ptype >= 2) {
+            if (ptype == 2 || ptype == 3) { // D (4) has no f_code fields
               if (br.remaining < 4) done = true
               else {
                 fullPelF = br.bits(1) == 1
@@ -564,14 +567,21 @@ object Mpeg1 {
                   catch { case _: Exception => (null, -1) }
                 if (plane == null) done = true
                 else {
-                  if (ptype != 3) { anchorPrev = anchorLast; anchorLast = plane }
+                  // B never anchors; neither does D (the fast-forward
+                  // type lives in D-only sequences, §2.4.4.3)
+                  if (ptype == 1 || ptype == 2) {
+                    anchorPrev = anchorLast; anchorLast = plane
+                  }
                   frames += ((width, height,
                     // no defensive clone: cropLuma copies when it
                     // crops, and an uncropped alias is safe — anchors
                     // are never mutated (P clones its ref before
                     // writing)
                     cropLuma(plane, mbW * 16, width, height),
-                    ptype match { case 1 => 'I'; case 2 => 'P'; case _ => 'B' }))
+                    ptype match {
+                      case 1 => 'I'; case 2 => 'P'; case 4 => 'D'
+                      case _ => 'B'
+                    }))
                   sc = nextSc
                 }
               }
@@ -677,6 +687,10 @@ object Mpeg1 {
             if (br.bits(1) != 1) return fail // '01' intra-q
             intra = true; quant = true
           }
+        } else if (ptype == 4) { // D, Table B.2d: the single code '1'
+          if (br.remaining < 1) return fail
+          if (br.bits(1) != 1) return fail
+          intra = true
         } else if (isP) {
           if (br.remaining < 1) return fail
           if (br.bits(1) == 1) { fwd = true; pat = true } // '1' pred-mc
@@ -797,23 +811,26 @@ object Mpeg1 {
             val dc = (if (blk < 4) predY else if (blk == 4) predCb else predCr) + diff * 8
             if (blk < 4) predY = dc else if (blk == 4) predCb = dc else predCr = dc
             block(0) = dc
-            // AC loop
-            var idx = 0
-            var eob = false
-            while (!eob) {
-              val (run, level) = acCoeff(br)
-              if (run == -1) eob = true
-              else if (run == -2 || level == 0) return fail
-              else {
-                idx += run + 1
-                if (idx > 63) return fail
-                var fq = (2 * level * qscale * intraQ(Zigzag(idx))) / 16
-                // oddification (mismatch control, §2.4.4.1): if even,
-                // pull one step toward zero
-                if ((fq & 1) == 0) fq = if (fq > 0) fq - 1 else if (fq < 0) fq + 1 else fq
-                if (fq > 2047) fq = 2047
-                if (fq < -2048) fq = -2048
-                block(Zigzag(idx)) = fq
+            // AC loop — D-pictures (§2.4.4.3) carry the DC only: no
+            // AC coefficients and no End-of-Block code
+            if (ptype != 4) {
+              var idx = 0
+              var eob = false
+              while (!eob) {
+                val (run, level) = acCoeff(br)
+                if (run == -1) eob = true
+                else if (run == -2 || level == 0) return fail
+                else {
+                  idx += run + 1
+                  if (idx > 63) return fail
+                  var fq = (2 * level * qscale * intraQ(Zigzag(idx))) / 16
+                  // oddification (mismatch control, §2.4.4.1): if even,
+                  // pull one step toward zero
+                  if ((fq & 1) == 0) fq = if (fq > 0) fq - 1 else if (fq < 0) fq + 1 else fq
+                  if (fq > 2047) fq = 2047
+                  if (fq < -2048) fq = -2048
+                  block(Zigzag(idx)) = fq
+                }
               }
             }
             if (blk < 4) {
@@ -832,6 +849,11 @@ object Mpeg1 {
             }
             // chroma blocks: parsed for sync, reconstruction discarded
             blk += 1
+          }
+          // D-pictures close each macroblock with end_of_macroblock '1'
+          if (ptype == 4) {
+            if (br.remaining < 1) return fail
+            if (br.bits(1) != 1) return fail
           }
         } else {
           // non-intra: MC prediction (forward / backward / rounded
@@ -1198,6 +1220,10 @@ object Mpeg1 {
   sealed trait PicSpec
   final case class PPic(mb: Int => PMb) extends PicSpec
   final case class BPic(mb: Int => BMb) extends PicSpec
+  /** D-picture (round 13, §2.4.4.3): every macroblock intra with the
+    * DC coefficient only — `dc(mbIndex, blk)` gives each luma block's
+    * flat value 0..255, chroma stays at its predictor. */
+  final case class DPic(dc: (Int, Int) => Int) extends PicSpec
 
   /** Encode a SEQUENCE: one I-frame (as [[encodeIFrame]]) followed by
     * P- and B-pictures in DECODE order (each B after both its
@@ -1231,11 +1257,18 @@ object Mpeg1 {
     pics.zipWithIndex.foreach { case (pic, fi) =>
       bw.bytes(Array[Byte](0, 0, 1, 0))
       bw.put((fi + 1) & 0x3FF, 10)
-      bw.put(if (pic.isInstanceOf[BPic]) 3 else 2, 3) // picture type
+      val ptCode = pic match {
+        case _: BPic => 3
+        case _: DPic => 4
+        case _ => 2
+      }
+      bw.put(ptCode, 3) // picture type
       bw.put(0xFFFF, 16) // vbv_delay
-      bw.put(0, 1) // full_pel_forward_vector = 0 (half-pel units)
-      bw.put(1, 3) // forward_f_code = 1
-      if (pic.isInstanceOf[BPic]) {
+      if (ptCode != 4) { // D-pictures carry no motion fields
+        bw.put(0, 1) // full_pel_forward_vector = 0 (half-pel units)
+        bw.put(1, 3) // forward_f_code = 1
+      }
+      if (ptCode == 3) {
         bw.put(0, 1) // full_pel_backward_vector = 0
         bw.put(1, 3) // backward_f_code = 1
       }
@@ -1343,6 +1376,27 @@ object Mpeg1 {
             mb += 1
           }
           require(pending == 0, "internal: trailing skip not allowed")
+        case DPic(dc) =>
+          // §2.4.4.3: every macroblock present (increment 1), the
+          // one-bit type '1', six DC-only blocks (no EOB), then the
+          // end_of_macroblock bit
+          var mb = 0
+          while (mb < nMB) {
+            putMbIncrement(bw, 1)
+            bw.put(1, 1) // macroblock_type, Table B.2d
+            var blk = 0
+            while (blk < 6) {
+              if (blk < 4) {
+                val target = dc(mb, blk) * 8
+                val diff = (target - predY) / 8
+                putDcLuma(bw, diff)
+                predY = predY + diff * 8
+              } else putDcChroma(bw, 0)
+              blk += 1
+            }
+            bw.put(1, 1) // end_of_macroblock
+            mb += 1
+          }
       }
     }
     bw.result()

@@ -37,6 +37,34 @@ class Mpeg1Spec extends SparkSpec {
     }
   }
 
+  test("D-pictures decode exactly: DC-only blocks, no EOB, " +
+      "end_of_macroblock bit, no anchor update (round 13)") {
+    def gi(mb: Int, b: Int): Int = (19 * mb + 23 * b + 40) % 256
+    def gd(mb: Int, b: Int): Int = (13 * mb + 29 * b + 77) % 256
+    // I then two Ds (each D re-predicts DC from a fresh slice)
+    val es = Mpeg1.encodeSequence(2, 1, gi,
+      Seq(Mpeg1.DPic(gd), Mpeg1.DPic((mb, b) => (gd(mb, b) + 9) % 256)))
+    val frames = Mpeg1.decodeFramesLuma(es, 10)
+    assert(frames.map(_._4) == Seq('I', 'D', 'D'), s"types: ${frames.map(_._4)}")
+    val (w, h, d1, _) = frames(1)
+    assert(w == 32 && h == 16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val mb = x / 16
+      val b = ((y % 16) / 8) * 2 + ((x % 16) / 8)
+      assert(d1(y * w + x) == gd(mb, b), s"D pixel ($x,$y)")
+    }
+    val d2 = frames(2)._3
+    assert(d2(0) == (gd(0, 0) + 9) % 256, "second D decodes independently")
+    // a D between an I and a P must NOT become the P's anchor: the P
+    // (zero-MV full copy) must reproduce the I, not the D
+    val es2 = Mpeg1.encodeSequence(2, 1, gi,
+      Seq(Mpeg1.DPic(gd), Mpeg1.PPic(_ => Mpeg1.PMb.Move(0, 0))))
+    val fr2 = Mpeg1.decodeFramesLuma(es2, 10)
+    assert(fr2.map(_._4) == Seq('I', 'D', 'P'))
+    assert(fr2(2)._3.sameElements(fr2(0)._3),
+      "P after a D must reference the I (D never anchors)")
+  }
+
   test("AC path through the universal escape: one cosine coefficient " +
       "reconstructs to the test's own direct IDCT") {
     // block 0 carries AC (zigzag idx 1 = (0,1) raster = horizontal
