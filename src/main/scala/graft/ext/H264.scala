@@ -33,13 +33,25 @@ package graft.ext
   *    unreordered, unweighted), macroblocks P_L0_16x16 (cbp 0 — pure
   *    quarter-pel MC with the 6-tap half-pel filter, edge-clamped
   *    fetches, 8.4.1.3 median MV prediction), P_Skip (8.4.1.1), and
-  *    Intra_16x16 refresh. Other partitions, inter residuals, B
-  *    slices, CABAC, I_NxN (Intra_4x4/8x8), multi-slice-group, field
-  *    coding, high-profile tools (scaling lists, >8-bit, non-4:2:0)
-  *    return None.
-  *  - In-loop deblocking is not implemented, so slices that do not
-  *    disable it (disable_deblocking_filter_idc != 1) return None
-  *    rather than emitting near-but-not-bit-exact pixels.
+  *    intra refresh (Intra_16x16 or Intra_4x4). Other partitions,
+  *    inter residuals, B slices, CABAC, Intra_8x8
+  *    (transform_size_8x8), multi-slice-group, field coding,
+  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
+  *    None.
+  *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
+  *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
+  *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
+  *    min(A,B) mode prediction, and the Table 9-4 intra
+  *    coded_block_pattern mapping.
+  *  - In-loop deblocking (8.7, round 13): the luma filter is applied
+  *    for real — per-MB raster order, vertical then horizontal edges,
+  *    bS derivation 8.7.2.1 (intra/coeffs/mv rules for the decoded
+  *    subset), Table 8-16 alpha/beta and Table 8-17 tC0, slice
+  *    alpha/beta offsets, I_PCM's qp-0 rule. Chroma planes are not
+  *    reconstructed, so chroma filtering does not apply. Slices with
+  *    disable_deblocking_filter_idc = 1 skip it, as before; idc 0/2
+  *    now decode (single-slice streams: 2 has no cross-slice edges
+  *    to exempt).
   *  - VLC tables are PARTIAL: only the table entries this file is
   *    certain of are present (the fixed-length nC >= 8 code is
   *    complete by construction); an unlisted code returns None rather
@@ -68,6 +80,53 @@ object H264 {
     else if ((r & 1) == 1 && (c & 1) == 1) 1
     else 2
   }
+
+  /** Table 9-4: codeNum -> coded_block_pattern for Intra_4x4
+    * macroblocks (ChromaArrayType 1). */
+  private val CbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** cbp -> codeNum (encoder side of Table 9-4). */
+  private lazy val CbpIntraInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  // ---- deblocking thresholds (8.7.2.2), by index 0..51 ----
+
+  /** Table 8-16 alpha. */
+  private val AlphaT: Array[Int] = Array.fill(16)(0) ++ Array(
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255)
+
+  /** Table 8-16 beta. */
+  private val BetaT: Array[Int] = Array.fill(16)(0) ++ Array(
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+    17, 17, 18, 18)
+
+  /** Table 8-17 tC0, rows bS = 1, 2, 3. */
+  private val Tc0T: Array[Array[Int]] = Array(
+    Array.fill(16)(0) ++ Array(
+      0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+      1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8,
+      9, 10, 11, 13),
+    Array.fill(16)(0) ++ Array(
+      0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+      2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13,
+      15, 17, 19, 23),
+    Array.fill(16)(0) ++ Array(
+      0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+      3, 3, 4, 4, 4, 5, 6, 6, 7, 9, 10, 11, 13, 14, 16, 18,
+      20, 23, 25, 27))
 
   // ---------------------------------------------------------------- bits
 
@@ -464,6 +523,7 @@ object H264 {
   private final class NzCtx(val bw: Int, val bh: Int) {
     private val nz = new Array[Int](bw * bh)
     def set(bx: Int, by: Int, v: Int): Unit = nz(by * bw + bx) = v
+    def get(bx: Int, by: Int): Int = nz(by * bw + bx)
     def nC(bx: Int, by: Int): Int = {
       val hasA = bx > 0
       val hasB = by > 0
@@ -477,6 +537,237 @@ object H264 {
   /** Z-order luma 4x4 block index -> (gridRow, gridCol) inside the MB. */
   private def blkRow(blkIdx: Int): Int = 2 * ((blkIdx >> 2) >> 1) + ((blkIdx & 3) >> 1)
   private def blkCol(blkIdx: Int): Int = 2 * ((blkIdx >> 2) & 1) + (blkIdx & 1)
+
+  /** Inverse of [[blkRow]]/[[blkCol]]: (gridRow, gridCol) -> z index. */
+  private def zIdxOf(r: Int, c: Int): Int =
+    ((r >> 1) * 2 + (c >> 1)) * 4 + ((r & 1) * 2 + (c & 1))
+
+  // ------------------------------------------------------- Intra_4x4
+
+  /** Intra_4x4 prediction (8.3.1.2.1-9) of the block at 4x4 grid
+    * (bx, by), mode 0..8. `curMb`/`curBlk` identify the block being
+    * decoded so top-right availability follows DECODE order (a
+    * neighbor is available iff it lies in the picture and was decoded
+    * earlier — raster MBs, z-order blocks within an MB). Unavailable
+    * p[x,-1] x=4..7 substitute p[3,-1] per 8.3.1.2. Returns the 4x4
+    * prediction (row-major) or null when a required neighbor is
+    * unavailable (corrupt stream -> degrade). */
+  private def predict4x4(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
+      bx: Int, by: Int, mode: Int, curMb: Int, curBlk: Int): Array[Int] = {
+    val gw = mbW * 4
+    val gh = mbH * 4
+    def decodedBefore(bx2: Int, by2: Int): Boolean = {
+      if (bx2 < 0 || by2 < 0 || bx2 >= gw || by2 >= gh) false
+      else {
+        val m2 = (by2 >> 2) * mbW + (bx2 >> 2)
+        if (m2 < curMb) true
+        else if (m2 > curMb) false
+        else zIdxOf(by2 & 3, bx2 & 3) < curBlk
+      }
+    }
+    val availLeft = decodedBefore(bx - 1, by)
+    val availTop = decodedBefore(bx, by - 1)
+    val availTL = decodedBefore(bx - 1, by - 1)
+    val availTR = decodedBefore(bx + 1, by - 1)
+    val need = mode match {
+      case 0 | 3 | 7 => availTop
+      case 1 | 8 => availLeft
+      case 2 => true
+      case 4 | 5 | 6 => availLeft && availTop && availTL
+      case _ => false
+    }
+    if (!need) return null
+    val x0 = bx * 4
+    val y0 = by * 4
+    // t(0) = p[-1,-1], t(1+i) = p[i,-1] i = 0..7; l(j) = p[-1, j]
+    val t = new Array[Int](9)
+    val l = new Array[Int](4)
+    if (availTL) t(0) = luma((y0 - 1) * stride + x0 - 1)
+    if (availTop) {
+      var i = 0
+      while (i < 4) { t(1 + i) = luma((y0 - 1) * stride + x0 + i); i += 1 }
+      if (availTR) {
+        i = 4
+        while (i < 8) { t(1 + i) = luma((y0 - 1) * stride + x0 + i); i += 1 }
+      } else {
+        i = 4
+        while (i < 8) { t(1 + i) = t(4); i += 1 } // duplicate p[3,-1]
+      }
+    }
+    if (availLeft) {
+      var j = 0
+      while (j < 4) { l(j) = luma((y0 + j) * stride + x0 - 1); j += 1 }
+    }
+    // accessors with the -1 -> corner convention
+    def pt(i: Int): Int = t(1 + i) // p[i, -1], i may be -1 (corner)
+    def pl(j: Int): Int = if (j < 0) t(0) else l(j) // p[-1, j]
+    val out = new Array[Int](16)
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) {
+        val v = mode match {
+          case 0 => pt(x)
+          case 1 => pl(y)
+          case 2 =>
+            if (availLeft && availTop)
+              (pt(0) + pt(1) + pt(2) + pt(3) + pl(0) + pl(1) + pl(2) + pl(3) + 4) >> 3
+            else if (availLeft) (pl(0) + pl(1) + pl(2) + pl(3) + 2) >> 2
+            else if (availTop) (pt(0) + pt(1) + pt(2) + pt(3) + 2) >> 2
+            else 128
+          case 3 => // diagonal down-left
+            if (x == 3 && y == 3) (pt(6) + 3 * pt(7) + 2) >> 2
+            else (pt(x + y) + 2 * pt(x + y + 1) + pt(x + y + 2) + 2) >> 2
+          case 4 => // diagonal down-right
+            if (x > y) (pt(x - y - 2) + 2 * pt(x - y - 1) + pt(x - y) + 2) >> 2
+            else if (x < y) (pl(y - x - 2) + 2 * pl(y - x - 1) + pl(y - x) + 2) >> 2
+            else (pt(0) + 2 * t(0) + pl(0) + 2) >> 2
+          case 5 => // vertical right
+            val zVR = 2 * x - y
+            if (zVR >= 0 && (zVR & 1) == 0)
+              (pt(x - (y >> 1) - 1) + pt(x - (y >> 1)) + 1) >> 1
+            else if (zVR >= 0)
+              (pt(x - (y >> 1) - 2) + 2 * pt(x - (y >> 1) - 1) + pt(x - (y >> 1)) + 2) >> 2
+            else if (zVR == -1) (pl(0) + 2 * t(0) + pt(0) + 2) >> 2
+            else (pl(y - 2 * x - 1) + 2 * pl(y - 2 * x - 2) + pl(y - 2 * x - 3) + 2) >> 2
+          case 6 => // horizontal down
+            val zHD = 2 * y - x
+            if (zHD >= 0 && (zHD & 1) == 0)
+              (pl(y - (x >> 1) - 1) + pl(y - (x >> 1)) + 1) >> 1
+            else if (zHD >= 0)
+              (pl(y - (x >> 1) - 2) + 2 * pl(y - (x >> 1) - 1) + pl(y - (x >> 1)) + 2) >> 2
+            else if (zHD == -1) (pl(0) + 2 * t(0) + pt(0) + 2) >> 2
+            else (pt(x - 2 * y - 1) + 2 * pt(x - 2 * y - 2) + pt(x - 2 * y - 3) + 2) >> 2
+          case 7 => // vertical left
+            if ((y & 1) == 0) (pt(x + (y >> 1)) + pt(x + (y >> 1) + 1) + 1) >> 1
+            else (pt(x + (y >> 1)) + 2 * pt(x + (y >> 1) + 1) + pt(x + (y >> 1) + 2) + 2) >> 2
+          case _ => // 8: horizontal up
+            val zHU = x + 2 * y
+            if (zHU <= 4 && (zHU & 1) == 0)
+              (pl(y + (x >> 1)) + pl(y + (x >> 1) + 1) + 1) >> 1
+            else if (zHU <= 3) // odd 1, 3
+              (pl(y + (x >> 1)) + 2 * pl(y + (x >> 1) + 1) + pl(y + (x >> 1) + 2) + 2) >> 2
+            else if (zHU == 5) (pl(2) + 3 * pl(3) + 2) >> 2
+            else pl(3) // zHU > 5
+        }
+        out(y * 4 + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------- deblocking
+
+  /** In-loop luma deblocking (8.7), frame coding, 4x4 transform: per
+    * MB in raster order, the four vertical edges left-to-right, then
+    * the four horizontal edges top-to-bottom. bS per 8.7.2.1 for the
+    * decoded subset (intra flags; per-4x4 coefficient presence; one
+    * 16x16 MV per inter MB, single reference). I_PCM macroblocks
+    * filter with QP 0 (8.7.2). Chroma planes are not reconstructed,
+    * so only luma is filtered. */
+  private def deblockLuma(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
+      mbIntra: Array[Boolean], qpMb: Array[Int], lumaNz: NzCtx,
+      interF: Array[Boolean], mvxA: Array[Int], mvyA: Array[Int],
+      offA: Int, offB: Int): Unit = {
+    def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
+        mbEdge: Boolean): Int = {
+      if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
+      else if (lumaNz.get(bxP, byP) > 0 || lumaNz.get(bxQ, byQ) > 0) 2
+      else {
+        val dx = mvxA(mbP) - mvxA(mbQ)
+        val dy = mvyA(mbP) - mvyA(mbQ)
+        if (dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1 else 0
+      }
+    }
+    // filter one line across an edge: q0 at `pos`, p0 at `pos - step`
+    def filterLine(pos: Int, step: Int, bSv: Int, indexA: Int,
+        indexB: Int): Unit = {
+      val alpha = AlphaT(indexA)
+      val beta = BetaT(indexB)
+      val q0 = luma(pos); val q1 = luma(pos + step)
+      val q2 = luma(pos + 2 * step); val q3 = luma(pos + 3 * step)
+      val p0 = luma(pos - step); val p1 = luma(pos - 2 * step)
+      val p2 = luma(pos - 3 * step); val p3 = luma(pos - 4 * step)
+      if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+        math.abs(q1 - q0) >= beta) return
+      val ap = math.abs(p2 - p0) < beta
+      val aq = math.abs(q2 - q0) < beta
+      if (bSv == 4) {
+        val strong = math.abs(p0 - q0) < (alpha >> 2) + 2
+        if (ap && strong) {
+          luma(pos - step) = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+          luma(pos - 2 * step) = (p2 + p1 + p0 + q0 + 2) >> 2
+          luma(pos - 3 * step) = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        } else luma(pos - step) = (2 * p1 + p0 + q1 + 2) >> 2
+        if (aq && strong) {
+          luma(pos) = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+          luma(pos + step) = (q2 + q1 + q0 + p0 + 2) >> 2
+          luma(pos + 2 * step) = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        } else luma(pos) = (2 * q1 + q0 + p1 + 2) >> 2
+      } else {
+        val tc0 = Tc0T(bSv - 1)(indexA)
+        val tc = tc0 + (if (ap) 1 else 0) + (if (aq) 1 else 0)
+        val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+        luma(pos - step) = clip255(p0 + delta)
+        luma(pos) = clip255(q0 - delta)
+        if (ap) luma(pos - 2 * step) =
+          p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)
+        if (aq) luma(pos + step) =
+          q1 + clip3(-tc0, tc0, (q2 + ((q0 + p0 + 1) >> 1) - 2 * q1) >> 1)
+      }
+    }
+    var mb = 0
+    while (mb < mbW * mbH) {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      val qpQ = qpMb(mb)
+      var vert = 0
+      while (vert < 2) { // 0 = vertical edges, 1 = horizontal edges
+        var k = 0
+        while (k < 4) {
+          val boundary = k == 0
+          val exists = if (vert == 0) !boundary || mbX > 0
+            else !boundary || mbY > 0
+          if (exists) {
+            val mbP = if (!boundary) mb
+              else if (vert == 0) mb - 1 else mb - mbW
+            val qpAv = (qpMb(mbP) + qpQ + 1) >> 1
+            val indexA = clip3(0, 51, qpAv + offA)
+            val indexB = clip3(0, 51, qpAv + offB)
+            if (AlphaT(indexA) > 0) {
+              var g = 0 // 4-sample groups along the edge
+              while (g < 4) {
+                val (bxQ, byQ) =
+                  if (vert == 0) (mbX * 4 + k, mbY * 4 + g)
+                  else (mbX * 4 + g, mbY * 4 + k)
+                val (bxP, byP) =
+                  if (vert == 0) (bxQ - 1, byQ) else (bxQ, byQ - 1)
+                val bs = bS(mbP, mb, bxP, byP, bxQ, byQ, boundary)
+                if (bs > 0) {
+                  var s = 0
+                  while (s < 4) {
+                    val pos =
+                      if (vert == 0)
+                        (byQ * 4 + s) * stride + bxQ * 4
+                      else byQ * 4 * stride + bxQ * 4 + s
+                    filterLine(pos, if (vert == 0) 1 else stride,
+                      bs, indexA, indexB)
+                    s += 1
+                  }
+                }
+                g += 1
+              }
+            }
+          }
+          k += 1
+        }
+        vert += 1
+      }
+      mb += 1
+    }
+  }
 
   // ---------------------------------------------------------------- inter
 
@@ -802,10 +1093,22 @@ object H264 {
     }
     var qp = pps.picInitQp + br.se()
     if (qp < 0 || qp > 51) return None
+    // in-loop deblocking (round 13): idc 1 disables; idc 0/2 filter
+    // (single-slice streams have no cross-slice edges, so 2 == 0
+    // here); absent control syntax means ON with zero offsets
+    var filterOn = true
+    var offA = 0
+    var offB = 0
     if (pps.deblockPresent) {
       val idc = br.ue()
-      if (idc != 1) return None // loop filter not implemented: refuse
-    } else return None // filter implicitly ON: refuse (never near-exact)
+      if (idc > 2) return None
+      if (idc == 1) filterOn = false
+      else {
+        offA = br.se() * 2
+        offB = br.se() * 2
+        if (offA < -12 || offA > 12 || offB < -12 || offB > 12) return None
+      }
+    }
 
     val mbW = sps.mbW; val mbH = sps.mbH
     val stride = mbW * 16
@@ -821,6 +1124,55 @@ object H264 {
     val mvxA = new Array[Int](nMbs)
     val mvyA = new Array[Int](nMbs)
     val mc16 = new Array[Int](256)
+    // per-MB state for the loop filter (round 13): intra flag and the
+    // MB's QP (I_PCM records 0 per 8.7.2); per-4x4 Intra_4x4 modes for
+    // 8.3.1.1 prediction (-1 = block not in an Intra_4x4 MB)
+    val mbIntraA = new Array[Boolean](nMbs)
+    val qpMbA = new Array[Int](nMbs)
+    val i4mode = Array.fill(mbW * 4 * mbH * 4)(-1)
+    def i4ModeAt(bx: Int, by: Int): Int =
+      if (bx < 0 || by < 0) 2
+      else { val m = i4mode(by * (mbW * 4) + bx); if (m < 0) 2 else m }
+    // chroma residual parse (sync + nz bookkeeping only; chroma is
+    // not reconstructed) — shared by the Intra_16x16 and Intra_4x4
+    // branches, identical cbpChroma semantics
+    def parseChroma(cbpChroma: Int, mbX: Int, mbY: Int): Unit = {
+      if (cbpChroma > 0) {
+        var comp = 0
+        while (comp < 2) {
+          residualCavlc(br, -1, 4)
+          comp += 1
+        }
+        if (cbpChroma == 2) {
+          var comp = 0
+          while (comp < 2) {
+            val ctx = if (comp == 0) cbNz else crNz
+            var cblk = 0
+            while (cblk < 4) {
+              val (_, tc) = residualCavlc(br,
+                ctx.nC(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1)), 15)
+              ctx.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), tc)
+              cblk += 1
+            }
+            comp += 1
+          }
+        } else {
+          var cblk = 0
+          while (cblk < 4) {
+            cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+            crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+            cblk += 1
+          }
+        }
+      } else {
+        var cblk = 0
+        while (cblk < 4) {
+          cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+          crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
+          cblk += 1
+        }
+      }
+    }
     def zeroNz(mbX: Int, mbY: Int): Unit = {
       var blk = 0
       while (blk < 16) {
@@ -853,6 +1205,7 @@ object H264 {
         while (s < run) {
           val (mx, my) = skipMv(mb, mbW, interF, mvxA, mvyA)
           interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
+          qpMbA(mb) = qp
           interPredict16x16(ref, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
           writeMc((mb % mbW) * 16, (mb / mbW) * 16)
@@ -886,12 +1239,15 @@ object H264 {
         if (mx < -2048 * 4 || mx > 2048 * 4 ||
           my < -2048 * 4 || my > 2048 * 4) return None
         interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
+        qpMbA(mb) = qp
         interPredict16x16(ref, stride, planeH, ox, oy, mx, my, mc16)
         writeMc(ox, oy)
         if (br.ue() != 0) return None // coded_block_pattern: cbp 0 only
         zeroNz(mbX, mbY)
       } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
+        mbIntraA(mb) = true
+        qpMbA(mb) = 0 // the loop filter treats I_PCM as QP 0 (8.7.2)
         br.byteAlign()
         var y = 0
         while (y < 16) {
@@ -919,6 +1275,8 @@ object H264 {
         val cbpLumaAc = (mbType - 1) / 12 // 0 or 1 (means all 16 blocks)
         br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
         qp = (qp + br.se() + 52) % 52 // mb_qp_delta
+        mbIntraA(mb) = true
+        qpMbA(mb) = qp
         // prediction (8.3.3) from already-reconstructed neighbors
         val pred = predict16x16(luma, stride, ox, oy, predMode,
           hasLeft = mbX > 0, hasTop = mbY > 0)
@@ -945,34 +1303,7 @@ object H264 {
           blk += 1
         }
         // chroma residuals: parsed for sync + nz bookkeeping only
-        if (cbpChroma > 0) {
-          var comp = 0
-          while (comp < 2) {
-            residualCavlc(br, -1, 4)
-            comp += 1
-          }
-          if (cbpChroma == 2) {
-            var comp = 0
-            while (comp < 2) {
-              val ctx = if (comp == 0) cbNz else crNz
-              var cblk = 0
-              while (cblk < 4) {
-                val (_, tc) = residualCavlc(br,
-                  ctx.nC(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1)), 15)
-                ctx.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), tc)
-                cblk += 1
-              }
-              comp += 1
-            }
-          }
-        } else {
-          var cblk = 0
-          while (cblk < 4) {
-            cbNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
-            crNz.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), 0)
-            cblk += 1
-          }
-        }
+        parseChroma(cbpChroma, mbX, mbY)
         // reconstruct luma
         blk = 0
         val d = new Array[Int](16)
@@ -1006,10 +1337,99 @@ object H264 {
           }
           blk += 1
         }
-      } else return None // I_NxN (0) and out-of-range: not implemented
+      } else if (mbType == 0) {
+        // ---- Intra_4x4 (I_NxN, round 13). transform_size_8x8_flag
+        // is never present: the PPS parser refuses transform_8x8_mode,
+        // so reaching here implies the 4x4 transform.
+        // 16 prediction modes, bitstream order = z-order; prediction
+        // per 8.3.1.1: min(modeA, modeB), DC (2) for unavailable or
+        // non-Intra_4x4 neighbors
+        val modes = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          val bx = mbX * 4 + c; val by = mbY * 4 + r
+          val predMode = math.min(i4ModeAt(bx - 1, by), i4ModeAt(bx, by - 1))
+          val mode =
+            if (br.bit() == 1) predMode
+            else { val rem = br.bits(3); if (rem < predMode) rem else rem + 1 }
+          if (mode < 0 || mode > 8) return None
+          modes(blk) = mode
+          i4mode(by * (mbW * 4) + bx) = mode
+          blk += 1
+        }
+        br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
+        val cbpCode = br.ue()
+        if (cbpCode > 47) return None
+        val cbp = CbpIntra(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
+        mbIntraA(mb) = true
+        qpMbA(mb) = qp
+        // residuals: the 16 luma 4x4 blocks in z-order, gated per-8x8
+        // group (7.3.5.3); blocks in an uncoded group carry zero
+        // coefficients without any bits
+        val coeffs = new Array[Array[Int]](16)
+        blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+            val (cf, tc) =
+              residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
+            coeffs(blk) = cf
+            lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+          } else {
+            coeffs(blk) = null
+            lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+          }
+          blk += 1
+        }
+        parseChroma(cbpChroma, mbX, mbY)
+        // reconstruct in z-order: each block's prediction reads
+        // neighbors reconstructed earlier (intra prediction uses
+        // UNFILTERED samples — the loop filter runs after the whole
+        // picture, 8.3.1)
+        blk = 0
+        val d4 = new Array[Int](16)
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          val bx = mbX * 4 + c; val by = mbY * 4 + r
+          val pred = predict4x4(luma, stride, mbW, mbH, bx, by,
+            modes(blk), mb, blk)
+          if (pred == null) return None
+          java.util.Arrays.fill(d4, 0)
+          val cf = coeffs(blk)
+          if (cf != null) {
+            var si = 0
+            while (si < 16) {
+              if (cf(si) != 0) {
+                val raster = Zig4(si)
+                d4(raster) = scaleAc(cf(si), raster, qp)
+              }
+              si += 1
+            }
+          }
+          val res = invTransform4x4(d4)
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              luma((by * 4 + y) * stride + bx * 4 + x) =
+                clip255(pred(y * 4 + x) + res(y * 4 + x))
+              x += 1
+            }
+            y += 1
+          }
+          blk += 1
+        }
+      } else return None // out-of-range mb_type
       mb += 1
       }
     }
+    if (filterOn)
+      deblockLuma(luma, stride, mbW, mbH, mbIntraA, qpMbA, lumaNz,
+        interF, mvxA, mvyA, offA, offB)
     Some((sps, luma, !isP))
   }
 
@@ -1095,6 +1515,16 @@ object H264 {
     * coeff_token + total_zeros tables end-to-end. */
   final case class I16Dc(z: Int, ac0: Int = 0, pred: Int = 2,
       chromaDcTz: Int = -1) extends Mb
+
+  /** One Intra_4x4 macroblock (round 13 fixture vocabulary):
+    * `mode(blkIdx)` gives each 4x4 block's prediction mode 0..8
+    * (z-order index), `dcRes(blkIdx)` an optional single DC residual
+    * coefficient (0 = none; at qp 28 a coefficient c adds exactly 4c
+    * to all 16 pixels — 256c dequant, (256c+32)>>6 per sample). The
+    * encoder enforces the same availability rules the decoder
+    * checks. */
+  final case class I4x4(mode: Int => Int,
+      dcRes: Int => Int = _ => 0) extends Mb
 
   private final class BitWriter {
     private val buf = new scala.collection.mutable.ArrayBuffer[Byte]
@@ -1193,7 +1623,8 @@ object H264 {
     * neighbor state would need an unlisted coeff_token table throws
     * IllegalArgumentException at encode time (fixture contract, not a
     * runtime degrade). */
-  def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int): Array[Byte] = {
+  def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
+      deblock: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     val bw = new BitWriter
     bw.putUe(0) // first_mb_in_slice
@@ -1204,8 +1635,16 @@ object H264 {
     bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
     bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
     bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
-    bw.putUe(1) // disable_deblocking_filter_idc = 1
+    if (deblock) {
+      bw.putUe(0) // disable_deblocking_filter_idc = 0: filter ON
+      bw.putSe(0) // slice_alpha_c0_offset_div2
+      bw.putSe(0) // slice_beta_offset_div2
+    } else bw.putUe(1) // disable_deblocking_filter_idc = 1
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    val i4grid = Array.fill(mbW * 4 * mbH * 4)(-1)
+    def i4At(bx: Int, by: Int): Int =
+      if (bx < 0 || by < 0) 2
+      else { val m = i4grid(by * (mbW * 4) + bx); if (m < 0) 2 else m }
     var i = 0
     while (i < mbW * mbH) {
       val mbX = i % mbW
@@ -1234,6 +1673,40 @@ object H264 {
           }
         case spec: I16Dc =>
           writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 0)
+        case I4x4(modeOf, dcOf) =>
+          bw.putUe(0) // mb_type I_NxN
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            val bx = mbX * 4 + c; val by = mbY * 4 + r
+            val m = modeOf(blk)
+            require(m >= 0 && m <= 8, s"i4x4 mode out of range: $m")
+            val predMode = math.min(i4At(bx - 1, by), i4At(bx, by - 1))
+            if (m == predMode) bw.put(1, 1)
+            else {
+              bw.put(0, 1)
+              bw.put(if (m < predMode) m else m - 1, 3)
+            }
+            i4grid(by * (mbW * 4) + bx) = m
+            blk += 1
+          }
+          bw.putUe(0) // intra_chroma_pred_mode DC
+          val cbpLuma = (0 until 4).map { g =>
+            if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
+          }.sum
+          bw.putUe(CbpIntraInv(cbpLuma)) // cbp (chroma 0)
+          if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
+          blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val lvl = dcOf(blk)
+              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r),
+                lvl, maxNumCoeff = 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+            blk += 1
+          }
       }
       i += 1
     }
@@ -1404,9 +1877,11 @@ object H264 {
     * flat residual is (64z + 32) >> 6 = z — pixel = clip(128 + z) for
     * a lone macroblock (DC prediction with no neighbors), closed-form
     * for an external oracle. */
-  def encodeIFrame(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28): Array[Byte] = {
+  def encodeIFrame(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28,
+      deblock: Boolean = false): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
-    sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp) ++ sep ++ idrNal(mbW, mbH, mb, qp)
+    sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp) ++ sep ++
+      idrNal(mbW, mbH, mb, qp, deblock)
   }
 
   /** Annex-B I + P stream: SPS + PPS + IDR + one P slice per entry of

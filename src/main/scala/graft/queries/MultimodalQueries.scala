@@ -815,6 +815,68 @@ object MultimodalQueries {
              |  round(0.0, 6) AS std_gray
              |FROM documents ORDER BY id""".stripMargin)),
 
+    // Intra_4x4 + in-loop deblocking under the oracle gate (round 13,
+    // VERDICT r12 #2): MB0 is I_NxN exercising ALL NINE 4x4
+    // prediction modes (flat propagation: block z0 is DC(none) = 128
+    // plus a lone dequant-exact DC residual 4c, every other block
+    // predicts the same flat A through its own directional formula);
+    // MB1 is Intra_16x16 DC predicted from MB0's edge plus z2 — a
+    // flat B. The slice enables the loop filter (idc 0), so the
+    // x = 16 MB edge runs the bS = 4 STRONG filter (table-independent
+    // closed form; internal edges are exact no-ops at |z2| <= 2) and
+    // DuckDB replays the whole codec + filter analytically: cols
+    // 0..12 = A, 13..18 the six filtered values, 19..31 = B.
+    Q("multimodal_avc_intra4",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val c = (id % 5).toInt + 1
+            val z2 = (id % 5).toInt - 2
+            val es = graft.ext.H264.encodeIFrame(2, 1, {
+              case 0 => graft.ext.H264.I4x4(
+                blk => blk match {
+                  case 0 => 2 // DC (no neighbors -> 128)
+                  case 1 | 4 | 5 => 1 // H (row 0)
+                  case 2 | 8 | 10 => 0 // V (col 0)
+                  case 3 => 3; case 6 => 4; case 7 => 5 // DDL DDR VR
+                  case 9 => 6; case 12 => 7; case 13 => 8 // HD VL HU
+                  case _ => 4 // DDR
+                },
+                blk => if (blk == 0) c else 0)
+              case _ => graft.ext.H264.I16Dc(z2, pred = 2)
+            }, qp = 28, deblock = true)
+            Multimodal.decodeAvcFrames(es, 1).map { case (_, w, h, m, sd) =>
+              (id, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "width", "height", "m", "sd")
+          .select(col("id"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    128 + 4*((doc_id % 5) + 1) AS a,
+             |    128 + 4*((doc_id % 5) + 1) + (doc_id % 5) - 2 AS b
+             |  FROM documents),
+             |cols AS (SELECT doc_id, a, b,
+             |    (7*a + b + 4)//8 AS c13, (3*a + b + 2)//4 AS c14,
+             |    (5*a + 3*b + 4)//8 AS c15, (5*b + 3*a + 4)//8 AS c16,
+             |    (3*b + a + 2)//4 AS c17, (7*b + a + 4)//8 AS c18
+             |  FROM g),
+             |m AS (SELECT doc_id,
+             |    CAST(13*a + 13*b + c13 + c14 + c15 + c16 + c17 + c18
+             |      AS DOUBLE)/32 AS mean_g,
+             |    CAST(13*a*a + 13*b*b + c13*c13 + c14*c14 + c15*c15
+             |      + c16*c16 + c17*c17 + c18*c18 AS DOUBLE)/32 AS meansq_g
+             |  FROM cols)
+             |SELECT doc_id AS id, CAST(32 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

@@ -369,4 +369,156 @@ class H264Spec extends AnyFunSuite {
     assert(first.isDefined)
     assert(first.get._3.toSeq == H264.decodeFramesLuma(es, 4).head._3.toSeq)
   }
+
+  // ---- round 13: Intra_4x4 + in-loop deblocking --------------------
+
+  test("Intra_4x4 directional modes against hand-computed 8.3.1.2 " +
+      "formulas on nonflat PCM neighbors") {
+    // 2x2 MBs: MB0/MB1/MB2 PCM set up so MB3's block neighbors are
+    // known ramps; MB3 = I_NxN, block z0 DDR, z1 VL, z2 HU, rest DC.
+    // Top row above MB3 (MB1 bottom row, y=15): T[x] = 100 + x.
+    // Left col (MB2 right col, x=15): L[y] = 200 - y. Corner
+    // (MB0 at (15,15)) = 50. Hand-computed (no filter):
+    //  DDR (0,0): x==y -> (T0 + 2*corner + L0 + 2)>>2
+    //           = (100 + 100 + 200 + 2)>>2 = 100
+    //  DDR (1,0): x>y -> (corner + 2*T0 + T1 + 2)>>2
+    //           = (50 + 200 + 101 + 2)>>2 = 88
+    //  DDR (0,1): x<y -> (corner + 2*L0 + L1 + 2)>>2
+    //           = (50 + 400 + 199 + 2)>>2 = 162
+    //  VL on z1 (top = T[4..7] = 104..107): (0,0) = (104+105+1)>>1 = 105
+    //  HU on z2 (left = L[4..7] = 196..193): (0,0) = (196+195+1)>>1 = 196
+    val es = H264.encodeIFrame(2, 2, {
+      case 0 => Pcm((_, _) => 50)
+      case 1 => Pcm((x, _) => 100 + x)
+      case 2 => Pcm((_, y) => 200 - y)
+      case _ => H264.I4x4({
+        case 0 => 4 // DDR
+        case 1 => 7 // VL
+        case 2 => 8 // HU
+        case _ => 2 // DC
+      })
+    })
+    val Some((w, _, luma)) = H264.decodeIFrameLuma(es): @unchecked
+    assert(w == 32)
+    assert(luma(16 * 32 + 16) == 100, "DDR (0,0)")
+    assert(luma(16 * 32 + 17) == 88, "DDR (1,0)")
+    assert(luma(17 * 32 + 16) == 162, "DDR (0,1)")
+    assert(luma(16 * 32 + 20) == 105, "VL (0,0) on z1")
+    assert(luma(20 * 32 + 16) == 196, "HU (0,0) on z2")
+  }
+
+  test("Intra_4x4 DC/H/V cascade with residuals: column step, no filter") {
+    // one MB: block z0 DC(none)=128 + 4c, z1 DC(left) - 4c = 128,
+    // z4/z5 H, rows 1..3 V -> columns 0..3 = 128+4c, 4..15 = 128,
+    // every row identical
+    val c = 2
+    val es = H264.encodeIFrame(1, 1, _ => H264.I4x4(
+      blk => blk match {
+        case 0 | 1 => 2 // DC
+        case 4 | 5 => 1 // H
+        case _ => 0 // V
+      },
+      blk => blk match { case 0 => c; case 1 => -c; case _ => 0 }))
+    val Some((_, _, luma)) = H264.decodeIFrameLuma(es): @unchecked
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(luma(y * 16 + x) == (if (x < 4) 128 + 4 * c else 128),
+        s"pixel ($x,$y)")
+  }
+
+  test("deblocking, bS=3 weak filter: hand-computed row profile " +
+      "including the x=8-edge p1 cascade (tC0[bS3][28] = 2)") {
+    // same column-step fixture with the loop filter ON (qp 28,
+    // offsets 0 -> alpha 20, beta 7, tC0 2). Hand-computed per row:
+    //  x=4 edge (X=136, Y=128): delta = ((Y-X)*4 + (X-Y) + 4)>>3 = -3
+    //   (|delta| <= tc = tc0+ap+aq = 4); p0'=133, q0'=131;
+    //   p1' = X + clip3(+-2, (X + avg - 2X)>>1) = 134 (avg = 132);
+    //   q1' = Y + clip3(+-2, (Y + avg - 2Y)>>1) = 130
+    //  x=8 edge: p2 = 130 (already filtered), all else flat 128 ->
+    //   delta 0, ap -> p1' = 128 + ((130 + 128 - 256)>>1) = 129
+    //  everything else: flat, no-op; horizontal edges: rows equal, no-op
+    val c = 2
+    val es = H264.encodeIFrame(1, 1, _ => H264.I4x4(
+      blk => blk match {
+        case 0 | 1 => 2
+        case 4 | 5 => 1
+        case _ => 0
+      },
+      blk => blk match { case 0 => c; case 1 => -c; case _ => 0 }),
+      qp = 28, deblock = true)
+    val Some((_, _, luma)) = H264.decodeIFrameLuma(es): @unchecked
+    val want = Seq(136, 136, 134, 133, 131, 130, 129,
+      128, 128, 128, 128, 128, 128, 128, 128, 128)
+    for (y <- Seq(0, 7, 15))
+      assert((0 until 16).map(x => luma(y * 16 + x)) == want, s"row $y")
+  }
+
+  test("deblocking, bS=4 strong filter across an intra MB edge: " +
+      "hand-computed 6-column transition (table-independent path)") {
+    // MB0 = I_NxN flat A = 128 + 4c, MB1 = Intra_16x16 DC (left-only
+    // pred = A) + z2 -> flat B. |A-B| = |z2| <= 2 < (alpha>>2)+2 = 7
+    // -> strong filter on the x=16 MB edge, both sides; closed forms:
+    //  p2' = (2A+3A+A+A+B+4)>>3, p1' = (3A+B+2)>>2, p0' = (5A+3B+4)>>3
+    //  q0' = (5B+3A+4)>>3, q1' = (3B+A+2)>>2, q2' = (7B+A+4)>>3
+    // |z2| <= 2 keeps the NEIGHBOR internal edges (x=12, x=20) exact
+    // no-ops: their p1/q1 adjustments see |p2-p0| <= 1 whose >>1 is 0
+    // only when the difference is +1 or 0 — at |z2| = 3 one side's
+    // difference is -1 and floors to -1, a real second-order nudge
+    // this closed form deliberately avoids (the weak-filter test
+    // covers the cascade class).
+    for (z2 <- -2 to 2) {
+      val c = 3
+      val a = 128 + 4 * c
+      val b = a + z2
+      val es = H264.encodeIFrame(2, 1, {
+        case 0 => H264.I4x4(
+          blk => blk match {
+            case 0 => 2
+            case 1 | 4 | 5 => 1
+            case 2 | 8 | 10 => 0
+            case 3 => 3; case 6 => 4; case 7 => 5
+            case 9 => 6; case 12 => 7; case 13 => 8
+            case _ => 4
+          },
+          blk => if (blk == 0) c else 0)
+        case _ => I16Dc(z2, pred = 2)
+      }, qp = 28, deblock = true)
+      val Some((w, _, luma)) = H264.decodeIFrameLuma(es): @unchecked
+      assert(w == 32)
+      val want = (0 until 32).map {
+        case x if x <= 12 => a
+        case 13 => (7 * a + b + 4) >> 3
+        case 14 => (3 * a + b + 2) >> 2
+        case 15 => (5 * a + 3 * b + 4) >> 3
+        case 16 => (5 * b + 3 * a + 4) >> 3
+        case 17 => (3 * b + a + 2) >> 2
+        case 18 => (7 * b + a + 4) >> 3
+        case _ => b
+      }
+      for (y <- Seq(0, 8, 15))
+        assert((0 until 32).map(x => luma(y * 32 + x)) == want,
+          s"z2=$z2 row $y")
+    }
+  }
+
+  test("deblocking no-op cases: flat picture unchanged; PCM edges " +
+      "filter at QP 0 (alpha 0) and stay bit-exact") {
+    // flat I_4x4 picture, filter on: every edge has p0 == q0
+    val flat = H264.encodeIFrame(1, 1,
+      _ => H264.I4x4(_ => 2, blk => if (blk == 0) 3 else 0),
+      qp = 28, deblock = true)
+    val noF = H264.encodeIFrame(1, 1,
+      _ => H264.I4x4(_ => 2, blk => if (blk == 0) 3 else 0), qp = 28)
+    val Some((_, _, l1)) = H264.decodeIFrameLuma(flat): @unchecked
+    val Some((_, _, l2)) = H264.decodeIFrameLuma(noF): @unchecked
+    assert(l1.sameElements(l2))
+    // PCM quadrants with the filter on: I_PCM filters at QP 0 ->
+    // alpha(0) = 0 -> untouched even across hard edges
+    val pcmOn = H264.encodeIFrame(2, 2, mb =>
+      Pcm((_, _) => 40 + 60 * mb), qp = 28, deblock = true)
+    val pcmOff = H264.encodeIFrame(2, 2, mb =>
+      Pcm((_, _) => 40 + 60 * mb), qp = 28)
+    val Some((_, _, p1)) = H264.decodeIFrameLuma(pcmOn): @unchecked
+    val Some((_, _, p2)) = H264.decodeIFrameLuma(pcmOff): @unchecked
+    assert(p1.sameElements(p2))
+  }
 }
