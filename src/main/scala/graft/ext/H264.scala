@@ -30,14 +30,16 @@ package graft.ext
   * discipline):
   *  - I and P slices. P (round 12b) is the single-reference subset:
   *    list 0 = the previous decoded picture (one short-term ref,
-  *    unreordered, unweighted), macroblocks P_L0_16x16 (cbp 0 — pure
-  *    quarter-pel MC with the 6-tap half-pel filter, edge-clamped
-  *    fetches, 8.4.1.3 median MV prediction), P_Skip (8.4.1.1), and
-  *    intra refresh (Intra_16x16 or Intra_4x4). Other partitions,
-  *    inter residuals, B slices, CABAC, Intra_8x8
-  *    (transform_size_8x8), multi-slice-group, field coding,
-  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
-  *    None.
+  *    unreordered, unweighted), macroblocks P_L0_16x16 (quarter-pel
+  *    MC with the 6-tap half-pel filter, edge-clamped fetches,
+  *    8.4.1.3 median MV prediction — round 13 adds INTER RESIDUALS:
+  *    coded_block_pattern through Table 9-4's inter column,
+  *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
+  *    straight (no DC Hadamard) onto the prediction), P_Skip
+  *    (8.4.1.1), and intra refresh (Intra_16x16 or Intra_4x4). Other
+  *    partitions, B slices, CABAC, Intra_8x8 (transform_size_8x8),
+  *    multi-slice-group, field coding, high-profile tools (scaling
+  *    lists, >8-bit, non-4:2:0) return None.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -93,6 +95,21 @@ object H264 {
     val inv = new Array[Int](48)
     var i = 0
     while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** Table 9-4: codeNum -> coded_block_pattern for Inter macroblocks
+    * (ChromaArrayType 1). */
+  private val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+  /** cbp -> codeNum (encoder side, inter column). */
+  private lazy val CbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpInter(i)) = i; i += 1 }
     inv
   }
 
@@ -1228,9 +1245,11 @@ object H264 {
         else rawType
       if (mbType == -1) {
         // ---- P_L0_16x16: one list-0 16x16 partition. ref_idx_l0 is
-        // absent (list length 1); cbp must be codeNum 0 (no residual)
-        // — the Table 9-4 inter column beyond that row is not
-        // reproduced from memory, deeper streams degrade.
+        // absent (list length 1). Round 13: inter RESIDUALS decode —
+        // coded_block_pattern through the Table 9-4 inter column,
+        // mb_qp_delta when cbp > 0, per-8x8-gated 4x4 CAVLC luma
+        // residuals (straight dequant, no DC Hadamard) added onto the
+        // quarter-pel prediction; chroma parsed for sync only.
         val (px, py) = mvPred16x16(mb, mbW, interF, mvxA, mvyA)
         val mx = px + br.se()
         val my = py + br.se()
@@ -1239,11 +1258,52 @@ object H264 {
         if (mx < -2048 * 4 || mx > 2048 * 4 ||
           my < -2048 * 4 || my > 2048 * 4) return None
         interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
-        qpMbA(mb) = qp
         interPredict16x16(ref, stride, planeH, ox, oy, mx, my, mc16)
+        val cbpCode = br.ue()
+        if (cbpCode > 47) return None
+        val cbp = CbpInter(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
+        qpMbA(mb) = qp
+        if (cbp == 0) zeroNz(mbX, mbY)
+        else {
+          val d4 = new Array[Int](16)
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val (cf, tc) =
+                residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+              if (tc > 0) {
+                java.util.Arrays.fill(d4, 0)
+                var si = 0
+                while (si < 16) {
+                  if (cf(si) != 0) {
+                    val raster = Zig4(si)
+                    d4(raster) = scaleAc(cf(si), raster, qp)
+                  }
+                  si += 1
+                }
+                val res = invTransform4x4(d4)
+                var y = 0
+                while (y < 4) {
+                  var x = 0
+                  while (x < 4) {
+                    val k = (r * 4 + y) * 16 + c * 4 + x
+                    mc16(k) = clip255(mc16(k) + res(y * 4 + x))
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+            blk += 1
+          }
+          parseChroma(cbpChroma, mbX, mbY)
+        }
         writeMc(ox, oy)
-        if (br.ue() != 0) return None // coded_block_pattern: cbp 0 only
-        zeroNz(mbX, mbY)
       } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
         mbIntraA(mb) = true
@@ -1777,6 +1837,12 @@ object H264 {
   case object PSkip extends MbP
   /** P_L0_16x16 with no residual (cbp 0): pure MC at `(mvx, mvy)`. */
   final case class PMove(mvx: Int, mvy: Int) extends MbP
+  /** P_L0_16x16 WITH a luma residual (round 13): MC at `(mvx, mvy)`
+    * plus one DC coefficient per 4x4 block from `dcRes(blkIdx)`
+    * (z-order; 0 = none — at qp 28 a coefficient c adds exactly 4c to
+    * the block's 16 predicted samples). */
+  final case class PMoveCoded(mvx: Int, mvy: Int,
+      dcRes: Int => Int) extends MbP
   /** Intra_16x16 refresh inside the P slice. */
   final case class PIntra(spec: I16Dc) extends MbP
 
@@ -1830,6 +1896,29 @@ object H264 {
           var blk = 0
           while (blk < 16) {
             lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+            blk += 1
+          }
+        case PMoveCoded(mvx, mvy, dcOf) =>
+          bw.putUe(skipRun); skipRun = 0 // mb_skip_run
+          val (px, py) = mvPred16x16(i, mbW, interF, mvxA, mvyA)
+          bw.putUe(0) // mb_type P_L0_16x16
+          bw.putSe(mvx - px)
+          bw.putSe(mvy - py)
+          val cbpLuma = (0 until 4).map { g =>
+            if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
+          }.sum
+          bw.putUe(CbpInterInv(cbpLuma)) // coded_block_pattern (chroma 0)
+          if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
+          interF(i) = true; mvxA(i) = mvx; mvyA(i) = mvy
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val lvl = dcOf(blk)
+              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r),
+                lvl, maxNumCoeff = 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
             blk += 1
           }
         case PIntra(spec) =>

@@ -708,6 +708,63 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // H.264 P-slice INTER RESIDUALS under the oracle gate (round 13):
+    // I(PCM quadrants, values bounded to [20, 199] so residuals never
+    // clip) -> P(zero-MV copy + one DC coefficient per 4x4 block,
+    // z_blk = ((id + blk) % 5) - 2). At qp 28 the inter dequant chain
+    // is unit-exact (256*z, (256z+32)>>6 = 4z per sample), so every P
+    // block is its quadrant value + 4*z_blk and DuckDB replays mean
+    // AND std analytically. The z-order 8x8 block groups coincide
+    // with the PCM quadrants, so each block's base is a closed form.
+    Q("multimodal_avc_pres",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def q(b: Int): Int = ((id * 11 + 4 * b + 60) % 180).toInt + 20
+            val es = graft.ext.H264.encodeIPStream(1, 1,
+              _ => graft.ext.H264.Pcm((x, y) => q((y / 8) * 2 + x / 8)),
+              Seq(_ => graft.ext.H264.PMoveCoded(0, 0,
+                blk => ((id + blk) % 5).toInt - 2)))
+            Multimodal.decodeAvcFramesTyped(es, 4).map {
+              case (f, t, w, h, m, sd) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH q AS (SELECT doc_id, b,
+             |    (doc_id*11 + 4*b + 60) % 180 + 20 AS qv
+             |  FROM documents, (SELECT unnest(range(4)) AS b)),
+             |i AS (SELECT doc_id,
+             |    CAST(sum(qv) AS DOUBLE)/4 AS mean_i,
+             |    CAST(sum(qv*qv) AS DOUBLE)/4 AS meansq_i
+             |  FROM q GROUP BY doc_id),
+             |blk AS (SELECT doc_id, k,
+             |    (SELECT qv FROM q WHERE q.doc_id = d.doc_id
+             |       AND q.b = k // 4) + 4*((d.doc_id + k) % 5 - 2) AS v
+             |  FROM documents d, (SELECT unnest(range(16)) AS k)),
+             |p AS (SELECT doc_id,
+             |    CAST(sum(v) AS DOUBLE)/16 AS mean_p,
+             |    CAST(sum(v*v) AS DOUBLE)/16 AS meansq_p
+             |  FROM blk GROUP BY doc_id)
+             |SELECT i.doc_id AS id, CAST(f.frame AS BIGINT) AS frame,
+             |  f.ftype AS frame_type,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(CASE WHEN f.frame = 1 THEN mean_i ELSE mean_p END, 6)
+             |    AS mean_gray,
+             |  round(CASE WHEN f.frame = 1
+             |    THEN sqrt(meansq_i - mean_i*mean_i)
+             |    ELSE sqrt(meansq_p - mean_p*mean_p) END, 6) AS std_gray
+             |FROM i JOIN p ON p.doc_id = i.doc_id,
+             |  (VALUES (1, 'I'), (2, 'P')) f(frame, ftype)
+             |ORDER BY id, frame""".stripMargin)),
+
     // H.264/avc1 keyframe decode (round 12, VERDICT r11 missing #3:
     // the MODERN-codec fence narrowed): the fixture is a REAL avc1
     // track — avcC record (SPS/PPS), 4-byte length-prefixed IDR NAL

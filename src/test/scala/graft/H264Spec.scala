@@ -500,6 +500,35 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("P inter residuals (round 13): per-4x4 DC over zero-MV copy " +
+      "adds exactly 4c per block; with real motion the residual rides " +
+      "the shifted reference") {
+    // I = flat PCM 100; P1 = zero-MV + per-block DC c_blk -> each 4x4
+    // block is 100 + 4*c_blk exactly (qp 28 dequant: 256c, (256c+32)>>6)
+    val cOf: Int => Int = blk => (blk % 3) - 1
+    val es = H264.encodeIPStream(1, 1, _ => Pcm((_, _) => 100),
+      Seq(_ => H264.PMoveCoded(0, 0, cOf)))
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P'))
+    val p = fs(1)._3
+    for (blk <- 0 until 16; y <- 0 until 4; x <- 0 until 4) {
+      val r = 2 * ((blk >> 2) >> 1) + ((blk & 3) >> 1)
+      val c = 2 * ((blk >> 2) & 1) + (blk & 1)
+      assert(p((r * 4 + y) * 16 + c * 4 + x) == 100 + 4 * cOf(blk),
+        s"blk $blk ($x,$y)")
+    }
+    // real motion: P shifted left 4 px (mv -16 quarter-pel) + one DC
+    // on block z0; reference column x -> pixel 100 + x, edge clamp
+    val es2 = H264.encodeIPStream(1, 1, _ => Pcm((x, _) => 100 + x),
+      Seq(_ => H264.PMoveCoded(-16, 0, blk => if (blk == 0) 2 else 0)))
+    val p2 = H264.decodeFramesLuma(es2, 4)(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val base = 100 + math.max(0, x - 4) // clamp at the left edge
+      val want = base + (if (x < 4 && y < 4) 8 else 0)
+      assert(p2(y * 16 + x) == want, s"motion+resid ($x,$y)")
+    }
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
