@@ -30,16 +30,20 @@ package graft.ext
   * discipline):
   *  - I and P slices. P (round 12b) is the single-reference subset:
   *    list 0 = the previous decoded picture (one short-term ref,
-  *    unreordered, unweighted), macroblocks P_L0_16x16 (quarter-pel
-  *    MC with the 6-tap half-pel filter, edge-clamped fetches,
-  *    8.4.1.3 median MV prediction — round 13 adds INTER RESIDUALS:
-  *    coded_block_pattern through Table 9-4's inter column,
+  *    unreordered, unweighted). Round 13 widened P to EVERY partition
+  *    shape of the profile: P_L0_16x16, P_L0_L0_16x8 / 8x16 (with
+  *    their 8.4.1.3 directional predictor rules), P_8x8 / P_8x8ref0
+  *    with all four sub_mb_types (8x8/8x4/4x8/4x4) — motion state is
+  *    tracked per 4x4 cell so later partitions of the same macroblock
+  *    predict from earlier ones — plus INTER RESIDUALS
+  *    (coded_block_pattern through Table 9-4's inter column,
   *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
-  *    straight (no DC Hadamard) onto the prediction), P_Skip
-  *    (8.4.1.1), and intra refresh (Intra_16x16 or Intra_4x4). Other
-  *    partitions, B slices, CABAC, Intra_8x8 (transform_size_8x8),
-  *    multi-slice-group, field coding, high-profile tools (scaling
-  *    lists, >8-bit, non-4:2:0) return None.
+  *    straight onto the quarter-pel prediction), P_Skip (8.4.1.1),
+  *    and intra refresh (Intra_16x16 or Intra_4x4). B slices, CABAC,
+  *    Intra_8x8 (transform_size_8x8), multi-reference / reordered
+  *    lists, weighted prediction, multi-slice-group, field coding,
+  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
+  *    None.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -680,21 +684,22 @@ object H264 {
   /** In-loop luma deblocking (8.7), frame coding, 4x4 transform: per
     * MB in raster order, the four vertical edges left-to-right, then
     * the four horizontal edges top-to-bottom. bS per 8.7.2.1 for the
-    * decoded subset (intra flags; per-4x4 coefficient presence; one
-    * 16x16 MV per inter MB, single reference). I_PCM macroblocks
+    * decoded subset (intra flags; per-4x4 coefficient presence;
+    * per-4x4 motion vectors, single reference). I_PCM macroblocks
     * filter with QP 0 (8.7.2). Chroma planes are not reconstructed,
     * so only luma is filtered. */
   private def deblockLuma(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
       mbIntra: Array[Boolean], qpMb: Array[Int], lumaNz: NzCtx,
-      interF: Array[Boolean], mvxA: Array[Int], mvyA: Array[Int],
-      offA: Int, offB: Int): Unit = {
+      mv: MvCtx, offA: Int, offB: Int): Unit = {
     def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
         mbEdge: Boolean): Int = {
       if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
       else if (lumaNz.get(bxP, byP) > 0 || lumaNz.get(bxQ, byQ) > 0) 2
       else {
-        val dx = mvxA(mbP) - mvxA(mbQ)
-        val dy = mvyA(mbP) - mvyA(mbQ)
+        val kp = byP * mv.gw + bxP
+        val kq = byQ * mv.gw + bxQ
+        val dx = mv.mvx(kp) - mv.mvx(kq)
+        val dy = mv.mvy(kp) - mv.mvy(kq)
         if (dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1 else 0
       }
     }
@@ -841,61 +846,128 @@ object H264 {
 
   /** 16×16 forward MC: `mv*` in quarter-pel units. */
   private def interPredict16x16(ref: Array[Int], stride: Int, planeH: Int,
-      ox: Int, oy: Int, mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+      ox: Int, oy: Int, mvx: Int, mvy: Int, out: Array[Int]): Unit =
+    interPredictRect(ref, stride, planeH, ox, oy, 16, 16, mvx, mvy,
+      out, 0, 16)
+
+  /** Quarter-pel MC of a w×h luma partition at picture offset
+    * (ox, oy), written into `out` at `outOff` with row stride
+    * `outStride` (round 13: partitions generalized the 16x16-only
+    * path; the arguments let every partition of one macroblock land
+    * in a single 16x16 buffer). */
+  private def interPredictRect(ref: Array[Int], stride: Int, planeH: Int,
+      ox: Int, oy: Int, w: Int, h: Int, mvx: Int, mvy: Int,
+      out: Array[Int], outOff: Int, outStride: Int): Unit = {
     val fx = mvx & 3
     val fy = mvy & 3
     val bx = ox + (mvx >> 2)
     val by = oy + (mvy >> 2)
     if (fx == 0 && fy == 0 && bx >= 0 && by >= 0 &&
-      bx + 15 < stride && by + 15 < planeH) {
+      bx + w - 1 < stride && by + h - 1 < planeH) {
       // integer vector fully in-plane (the common case: zero-MV
       // copies, P_Skip, fixtures): plain row copies, no per-pixel
       // clamp or dispatch
       var y = 0
-      while (y < 16) {
-        System.arraycopy(ref, (by + y) * stride + bx, out, y * 16, 16)
+      while (y < h) {
+        System.arraycopy(ref, (by + y) * stride + bx,
+          out, outOff + y * outStride, w)
         y += 1
       }
       return
     }
     var y = 0
-    while (y < 16) {
+    while (y < h) {
       var x = 0
-      while (x < 16) {
-        out(y * 16 + x) = qpelSample(ref, stride, planeH, bx + x, by + y, fx, fy)
+      while (x < w) {
+        out(outOff + y * outStride + x) =
+          qpelSample(ref, stride, planeH, bx + x, by + y, fx, fy)
         x += 1
       }
       y += 1
     }
   }
 
-  /** Luma 16×16 motion-vector prediction (8.4.1.3): component-wise
-    * median of neighbors A (left), B (above), C (above-right; D
-    * above-left when C is unavailable), where an unavailable or
-    * intra neighbor contributes mv (0,0) with refIdx −1. With the
-    * single-reference subset every inter neighbor has refIdx 0, so
-    * "exactly one neighbor shares the current refIdx" reduces to
-    * "exactly one neighbor is inter". `inter`/`mvx`/`mvy` hold the
-    * per-macroblock state of the CURRENT picture, filled in raster
-    * order. */
-  private def mvPred16x16(mb: Int, mbW: Int,
-      inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
-    val mbX = mb % mbW
-    val hasA = mbX > 0
-    val hasB = mb - mbW >= 0
-    val cIdx = mb - mbW + 1
-    val hasC0 = mb - mbW >= 0 && mbX < mbW - 1
-    val dIdx = mb - mbW - 1
-    val hasD = mb - mbW >= 0 && mbX > 0
-    // C falls back to D when unavailable
-    val (hasC, cUse) = if (hasC0) (true, cIdx) else (hasD, dIdx)
-    if (!hasB && !hasC && hasA) // only A available: mvp = mvA
-      return (mvx(mb - 1), mvy(mb - 1))
-    def info(has: Boolean, idx: Int): (Boolean, Int, Int) =
-      if (has && inter(idx)) (true, mvx(idx), mvy(idx)) else (false, 0, 0)
-    val (ia, ax, ay) = info(hasA, mb - 1)
-    val (ib, bx, by) = info(hasB, mb - mbW)
-    val (ic, cx, cy) = info(hasC, cUse)
+  /** Per-4x4 motion state of the CURRENT picture (round 13: partition
+    * support made the old per-MB arrays too coarse). `done` marks
+    * cells whose macroblock/partition has been decoded — neighbor
+    * availability in 8.4.1.3 is "exists in the picture AND decoded
+    * earlier", which covers earlier partitions of the SAME macroblock
+    * (e.g. an 8x16 right half predicting from the left half). Intra
+    * and PCM macroblocks mark their cells done but not inter. Shared
+    * verbatim by the decoder and the fixture encoder so both derive
+    * identical predictors. */
+  private final class MvCtx(mbW: Int, mbH: Int) {
+    val gw: Int = mbW * 4
+    val gh: Int = mbH * 4
+    val done = new Array[Boolean](gw * gh)
+    val inter = new Array[Boolean](gw * gh)
+    val mvx = new Array[Int](gw * gh)
+    val mvy = new Array[Int](gw * gh)
+    def fill(x4: Int, y4: Int, w4: Int, h4: Int, isInter: Boolean,
+        mx: Int, my: Int): Unit = {
+      var y = y4
+      while (y < y4 + h4) {
+        var x = x4
+        while (x < x4 + w4) {
+          val k = y * gw + x
+          done(k) = true; inter(k) = isInter; mvx(k) = mx; mvy(k) = my
+          x += 1
+        }
+        y += 1
+      }
+    }
+    /** (available-and-inter, mvx, mvy); available = in-picture + done. */
+    def info(x4: Int, y4: Int): (Boolean, Int, Int) =
+      if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) (false, 0, 0)
+      else {
+        val k = y4 * gw + x4
+        if (done(k) && inter(k)) (true, mvx(k), mvy(k)) else (false, 0, 0)
+      }
+    def available(x4: Int, y4: Int): Boolean =
+      x4 >= 0 && y4 >= 0 && x4 < gw && y4 < gh && done(y4 * gw + x4)
+    def zeroRef0(x4: Int, y4: Int): Boolean = {
+      if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) return false
+      val k = y4 * gw + x4
+      done(k) && inter(k) && mvx(k) == 0 && mvy(k) == 0
+    }
+  }
+
+  /** Partition shapes for the 8.4.1.3 directional rules. */
+  private val ShapeMedian = 0
+  private val Shape16x8Top = 1
+  private val Shape16x8Bot = 2
+  private val Shape8x16Left = 3
+  private val Shape8x16Right = 4
+
+  /** Luma motion-vector prediction (8.4.1.3) for the partition whose
+    * top-left 4x4 cell is (x4, y4) with width `w4` cells: neighbors
+    * A (x4-1, y4), B (x4, y4-1), C (x4+w4, y4-1) falling back to
+    * D (x4-1, y4-1), each contributing mv (0,0) when unavailable or
+    * intra. With the single-reference subset every inter neighbor has
+    * refIdx 0, so "shares the current refIdx" reduces to "is inter".
+    * 16x8/8x16 partitions use their directional neighbor when it is
+    * inter (top->B, bottom->A, left->A, right->C); everything else
+    * (and directional fallback) runs the median process, including
+    * the only-A rule when B, C and D are all unavailable. */
+  private def mvPredPart(ctx: MvCtx, x4: Int, y4: Int, w4: Int,
+      shape: Int): (Int, Int) = {
+    val hasA = ctx.available(x4 - 1, y4)
+    val hasB = ctx.available(x4, y4 - 1)
+    val hasC0 = ctx.available(x4 + w4, y4 - 1)
+    val hasD = ctx.available(x4 - 1, y4 - 1)
+    val (ia, ax, ay) = ctx.info(x4 - 1, y4)
+    val (ib, bx, by) = ctx.info(x4, y4 - 1)
+    val (ic, cx, cy) =
+      if (hasC0) ctx.info(x4 + w4, y4 - 1) else ctx.info(x4 - 1, y4 - 1)
+    shape match {
+      case Shape16x8Top if ib => return (bx, by)
+      case Shape16x8Bot if ia => return (ax, ay)
+      case Shape8x16Left if ia => return (ax, ay)
+      case Shape8x16Right if ic => return (cx, cy)
+      case _ => ()
+    }
+    if (!hasB && !hasC0 && !hasD && hasA) // only A available: mvp = mvA
+      return (ax, ay)
     val nInter = (if (ia) 1 else 0) + (if (ib) 1 else 0) + (if (ic) 1 else 0)
     if (nInter == 1) {
       if (ia) (ax, ay) else if (ib) (bx, by) else (cx, cy)
@@ -907,19 +979,15 @@ object H264 {
   }
 
   /** P_Skip motion (8.4.1.1): zero when the left or top neighbor is
-    * unavailable or is an inter MB with refIdx 0 and mv (0,0);
-    * otherwise the 16×16 prediction. */
-  private def skipMv(mb: Int, mbW: Int,
-      inter: Array[Boolean], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
-    val mbX = mb % mbW
-    val hasA = mbX > 0
-    val hasB = mb - mbW >= 0
-    if (!hasA || !hasB) return (0, 0)
-    val a = mb - 1
-    val b = mb - mbW
-    if (inter(a) && mvx(a) == 0 && mvy(a) == 0) return (0, 0)
-    if (inter(b) && mvx(b) == 0 && mvy(b) == 0) return (0, 0)
-    mvPred16x16(mb, mbW, inter, mvx, mvy)
+    * unavailable or is inter with refIdx 0 and mv (0,0); otherwise
+    * the 16×16 prediction. */
+  private def skipMv(ctx: MvCtx, mbX: Int, mbY: Int): (Int, Int) = {
+    val x4 = mbX * 4
+    val y4 = mbY * 4
+    if (!ctx.available(x4 - 1, y4) || !ctx.available(x4, y4 - 1))
+      return (0, 0)
+    if (ctx.zeroRef0(x4 - 1, y4) || ctx.zeroRef0(x4, y4 - 1)) return (0, 0)
+    mvPredPart(ctx, x4, y4, 4, ShapeMedian)
   }
 
   // ---------------------------------------------------------------- decode
@@ -1136,10 +1204,9 @@ object H264 {
     val dcScan = new Array[Int](16)
     val nMbs = mbW * mbH
     val planeH = mbH * 16
-    // per-MB inter state of THIS picture, for MV prediction (8.4.1.3)
-    val interF = new Array[Boolean](nMbs)
-    val mvxA = new Array[Int](nMbs)
-    val mvyA = new Array[Int](nMbs)
+    // per-4x4 inter state of THIS picture, for MV prediction (8.4.1.3)
+    // and the loop filter's bS rule
+    val mv = new MvCtx(mbW, mbH)
     val mc16 = new Array[Int](256)
     // per-MB state for the loop filter (round 13): intra flag and the
     // MB's QP (I_PCM records 0 per 8.7.2); per-4x4 Intra_4x4 modes for
@@ -1220,8 +1287,8 @@ object H264 {
         if (run < 0 || mb + run > nMbs) return None
         var s = 0
         while (s < run) {
-          val (mx, my) = skipMv(mb, mbW, interF, mvxA, mvyA)
-          interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
+          val (mx, my) = skipMv(mv, mb % mbW, mb / mbW)
+          mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true, mx, my)
           qpMbA(mb) = qp
           interPredict16x16(ref, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
@@ -1238,27 +1305,76 @@ object H264 {
       val ox = mbX * 16
       val oy = mbY * 16
       val rawType = br.ue()
-      // P slices: 0 = P_L0_16x16 (decoded); 1..4 = other inter
-      // partitions (refused); >= 5 = intra types shifted by 5 (7.4.5)
-      if (isP && rawType >= 1 && rawType <= 4) return None
-      val mbType = if (isP) { if (rawType == 0) -1 else rawType - 5 }
+      // P slices: 0..4 = inter partition types (7.4.5: P_L0_16x16,
+      // P_L0_L0_16x8, P_L0_L0_8x16, P_8x8, P_8x8ref0 — the last two
+      // identical with one reference); >= 5 = intra types shifted by 5
+      val mbType = if (isP) { if (rawType <= 4) -1 - rawType else rawType - 5 }
         else rawType
-      if (mbType == -1) {
-        // ---- P_L0_16x16: one list-0 16x16 partition. ref_idx_l0 is
-        // absent (list length 1). Round 13: inter RESIDUALS decode —
-        // coded_block_pattern through the Table 9-4 inter column,
-        // mb_qp_delta when cbp > 0, per-8x8-gated 4x4 CAVLC luma
-        // residuals (straight dequant, no DC Hadamard) added onto the
-        // quarter-pel prediction; chroma parsed for sync only.
-        val (px, py) = mvPred16x16(mb, mbW, interF, mvxA, mvyA)
-        val mx = px + br.se()
-        val my = py + br.se()
-        // level-bound guard: a crafted mvd must not walk the clamp
-        // arbitrarily far from the plane
-        if (mx < -2048 * 4 || mx > 2048 * 4 ||
-          my < -2048 * 4 || my > 2048 * 4) return None
-        interF(mb) = true; mvxA(mb) = mx; mvyA(mb) = my
-        interPredict16x16(ref, stride, planeH, ox, oy, mx, my, mc16)
+      if (mbType <= -1 && mbType >= -5) {
+        // ---- inter macroblock (round 13: all P partition shapes).
+        // ref_idx_l0 is absent throughout (list length 1, te(v) with
+        // cMax 0). Each partition: 8.4.1.3 prediction at its own
+        // geometry -> mvd -> per-4x4 fill (later partitions of the
+        // SAME macroblock see earlier ones) -> quarter-pel MC into the
+        // shared 16x16 buffer. Then coded_block_pattern through the
+        // Table 9-4 inter column, mb_qp_delta when cbp > 0, and
+        // per-8x8-gated 4x4 CAVLC luma residuals (straight dequant,
+        // no DC Hadamard) added onto the prediction; chroma parsed
+        // for sync only.
+        val x4 = mbX * 4
+        val y4 = mbY * 4
+        // one partition: predict at (cx4, cy4, w4, h4) with the given
+        // directional shape, read mvd, fill, MC
+        def part(cx4: Int, cy4: Int, w4: Int, h4: Int, shape: Int): Boolean = {
+          val (px, py) = mvPredPart(mv, x4 + cx4, y4 + cy4, w4, shape)
+          val mx = px + br.se()
+          val my = py + br.se()
+          // level-bound guard: a crafted mvd must not walk the clamp
+          // arbitrarily far from the plane
+          if (mx < -2048 * 4 || mx > 2048 * 4 ||
+            my < -2048 * 4 || my > 2048 * 4) return false
+          mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my)
+          interPredictRect(ref, stride, planeH,
+            ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
+            mc16, cy4 * 4 * 16 + cx4 * 4, 16)
+          true
+        }
+        mbType match {
+          case -1 => // P_L0_16x16
+            if (!part(0, 0, 4, 4, ShapeMedian)) return None
+          case -2 => // P_L0_L0_16x8: top then bottom
+            if (!part(0, 0, 4, 2, Shape16x8Top)) return None
+            if (!part(0, 2, 4, 2, Shape16x8Bot)) return None
+          case -3 => // P_L0_L0_8x16: left then right
+            if (!part(0, 0, 2, 4, Shape8x16Left)) return None
+            if (!part(2, 0, 2, 4, Shape8x16Right)) return None
+          case _ => // P_8x8 / P_8x8ref0: sub_mb_type[4] first (7.3.5.2)
+            val subT = new Array[Int](4)
+            var p8 = 0
+            while (p8 < 4) {
+              subT(p8) = br.ue()
+              if (subT(p8) > 3) return None
+              p8 += 1
+            }
+            p8 = 0
+            while (p8 < 4) {
+              val bx8 = (p8 & 1) * 2
+              val by8 = (p8 >> 1) * 2
+              val ok = subT(p8) match {
+                case 0 => part(bx8, by8, 2, 2, ShapeMedian) // 8x8
+                case 1 => part(bx8, by8, 2, 1, ShapeMedian) && // 8x4
+                  part(bx8, by8 + 1, 2, 1, ShapeMedian)
+                case 2 => part(bx8, by8, 1, 2, ShapeMedian) && // 4x8
+                  part(bx8 + 1, by8, 1, 2, ShapeMedian)
+                case _ => part(bx8, by8, 1, 1, ShapeMedian) && // 4x4
+                  part(bx8 + 1, by8, 1, 1, ShapeMedian) &&
+                  part(bx8, by8 + 1, 1, 1, ShapeMedian) &&
+                  part(bx8 + 1, by8 + 1, 1, 1, ShapeMedian)
+              }
+              if (!ok) return None
+              p8 += 1
+            }
+        }
         val cbpCode = br.ue()
         if (cbpCode > 47) return None
         val cbp = CbpInter(cbpCode)
@@ -1307,6 +1423,7 @@ object H264 {
       } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
         mbIntraA(mb) = true
+        mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = 0 // the loop filter treats I_PCM as QP 0 (8.7.2)
         br.byteAlign()
         var y = 0
@@ -1336,6 +1453,7 @@ object H264 {
         br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
         qp = (qp + br.se() + 52) % 52 // mb_qp_delta
         mbIntraA(mb) = true
+        mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = qp
         // prediction (8.3.3) from already-reconstructed neighbors
         val pred = predict16x16(luma, stride, ox, oy, predMode,
@@ -1426,6 +1544,7 @@ object H264 {
         val cbpChroma = cbp >> 4
         if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
         mbIntraA(mb) = true
+        mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = qp
         // residuals: the 16 luma 4x4 blocks in z-order, gated per-8x8
         // group (7.3.5.3); blocks in an uncoded group carry zero
@@ -1489,7 +1608,7 @@ object H264 {
     }
     if (filterOn)
       deblockLuma(luma, stride, mbW, mbH, mbIntraA, qpMbA, lumaNz,
-        interF, mvxA, mvyA, offA, offB)
+        mv, offA, offB)
     Some((sps, luma, !isP))
   }
 
@@ -1843,6 +1962,14 @@ object H264 {
     * the block's 16 predicted samples). */
   final case class PMoveCoded(mvx: Int, mvy: Int,
       dcRes: Int => Int) extends MbP
+  /** P_L0_L0_16x8 (round 13): top and bottom 16x8 partitions, each
+    * with its own quarter-pel MV. */
+  final case class P16x8(top: (Int, Int), bot: (Int, Int)) extends MbP
+  /** P_L0_L0_8x16 (round 13): left and right 8x16 partitions. */
+  final case class P8x16(left: (Int, Int), right: (Int, Int)) extends MbP
+  /** P_8x8 (round 13) with every sub_mb_type = 8x8: four MVs in
+    * raster 8x8 order. */
+  final case class P8x8(subs: Seq[(Int, Int)]) extends MbP
   /** Intra_16x16 refresh inside the P slice. */
   final case class PIntra(spec: I16Dc) extends MbP
 
@@ -1867,49 +1994,51 @@ object H264 {
     bw.putUe(1) // disable_deblocking_filter_idc = 1
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
     val nMbs = mbW * mbH
-    val interF = new Array[Boolean](nMbs)
-    val mvxA = new Array[Int](nMbs)
-    val mvyA = new Array[Int](nMbs)
+    val mvc = new MvCtx(mbW, mbH)
     var skipRun = 0
     var i = 0
     while (i < nMbs) {
       val mbX = i % mbW
       val mbY = i / mbW
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      def zeroLumaNz(): Unit = {
+        var blk = 0
+        while (blk < 16) {
+          lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+          blk += 1
+        }
+      }
+      // one encoded partition: derive the same 8.4.1.3 predictor the
+      // decoder will, emit the differential, record the cells
+      def putPart(cx4: Int, cy4: Int, w4: Int, h4: Int, shape: Int,
+          mvx: Int, mvy: Int): Unit = {
+        val (px, py) = mvPredPart(mvc, x4 + cx4, y4 + cy4, w4, shape)
+        bw.putSe(mvx - px)
+        bw.putSe(mvy - py)
+        mvc.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy)
+      }
       mb(i) match {
         case PSkip =>
-          val (mx, my) = skipMv(i, mbW, interF, mvxA, mvyA)
-          interF(i) = true; mvxA(i) = mx; mvyA(i) = my
-          var blk = 0
-          while (blk < 16) {
-            lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
-            blk += 1
-          }
+          val (mx, my) = skipMv(mvc, mbX, mbY)
+          mvc.fill(x4, y4, 4, 4, isInter = true, mx, my)
+          zeroLumaNz()
           skipRun += 1
         case PMove(mvx, mvy) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
-          val (px, py) = mvPred16x16(i, mbW, interF, mvxA, mvyA)
           bw.putUe(0) // mb_type P_L0_16x16
-          bw.putSe(mvx - px)
-          bw.putSe(mvy - py)
+          putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy)
           bw.putUe(0) // coded_block_pattern: cbp 0
-          interF(i) = true; mvxA(i) = mvx; mvyA(i) = mvy
-          var blk = 0
-          while (blk < 16) {
-            lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
-            blk += 1
-          }
+          zeroLumaNz()
         case PMoveCoded(mvx, mvy, dcOf) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
-          val (px, py) = mvPred16x16(i, mbW, interF, mvxA, mvyA)
           bw.putUe(0) // mb_type P_L0_16x16
-          bw.putSe(mvx - px)
-          bw.putSe(mvy - py)
+          putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy)
           val cbpLuma = (0 until 4).map { g =>
             if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
           }.sum
           bw.putUe(CbpInterInv(cbpLuma)) // coded_block_pattern (chroma 0)
           if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
-          interF(i) = true; mvxA(i) = mvx; mvyA(i) = mvy
           var blk = 0
           while (blk < 16) {
             val r = blkRow(blk); val c = blkCol(blk)
@@ -1921,10 +2050,38 @@ object H264 {
             } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
             blk += 1
           }
+        case P16x8(top, bot) =>
+          bw.putUe(skipRun); skipRun = 0
+          bw.putUe(1) // mb_type P_L0_L0_16x8
+          putPart(0, 0, 4, 2, Shape16x8Top, top._1, top._2)
+          putPart(0, 2, 4, 2, Shape16x8Bot, bot._1, bot._2)
+          bw.putUe(0) // cbp 0
+          zeroLumaNz()
+        case P8x16(left, right) =>
+          bw.putUe(skipRun); skipRun = 0
+          bw.putUe(2) // mb_type P_L0_L0_8x16
+          putPart(0, 0, 2, 4, Shape8x16Left, left._1, left._2)
+          putPart(2, 0, 2, 4, Shape8x16Right, right._1, right._2)
+          bw.putUe(0) // cbp 0
+          zeroLumaNz()
+        case P8x8(subs) =>
+          require(subs.length == 4, "P8x8 needs 4 sub-MV pairs")
+          bw.putUe(skipRun); skipRun = 0
+          bw.putUe(3) // mb_type P_8x8
+          var p8 = 0
+          while (p8 < 4) { bw.putUe(0); p8 += 1 } // sub_mb_type all 8x8
+          p8 = 0
+          while (p8 < 4) {
+            val (mx, my) = subs(p8)
+            putPart((p8 & 1) * 2, (p8 >> 1) * 2, 2, 2, ShapeMedian, mx, my)
+            p8 += 1
+          }
+          bw.putUe(0) // cbp 0
+          zeroLumaNz()
         case PIntra(spec) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
           writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 5)
-          // intra: not an inter neighbor for MV prediction
+          mvc.fill(x4, y4, 4, 4, isInter = false, 0, 0)
       }
       i += 1
     }

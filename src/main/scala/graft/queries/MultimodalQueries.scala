@@ -765,6 +765,56 @@ object MultimodalQueries {
              |  (VALUES (1, 'I'), (2, 'P')) f(frame, ftype)
              |ORDER BY id, frame""".stripMargin)),
 
+    // H.264 P-slice PARTITIONS under the oracle gate (round 13):
+    // I(PCM gradient, bounded to [20, 229]) -> P(P_8x8 with
+    // quadrant-wise MVs: copy / 4-left / 4-up / both, integer
+    // vectors, H.264 edge clamp). Every P pixel is the clamped
+    // gradient sample, so DuckDB replays the partitioned MC
+    // analytically per pixel (mean + std).
+    Q("multimodal_avc_parts",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val base = ((id * 7) % 60).toInt + 20
+            val es = graft.ext.H264.encodeIPStream(1, 1,
+              _ => graft.ext.H264.Pcm((x, y) => base + 3 * x + 7 * y),
+              Seq(_ => graft.ext.H264.P8x8(
+                Seq((0, 0), (-16, 0), (0, -16), (-16, -16)))))
+            Multimodal.decodeAvcFramesTyped(es, 4).map {
+              case (f, t, w, h, m, sd) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH px AS (SELECT doc_id, x, y,
+             |    (doc_id*7) % 60 + 20 + 3*x + 7*y AS iv,
+             |    (doc_id*7) % 60 + 20
+             |      + 3*(CASE WHEN x >= 8 THEN greatest(x - 4, 0) ELSE x END)
+             |      + 7*(CASE WHEN y >= 8 THEN greatest(y - 4, 0) ELSE y END) AS pv
+             |  FROM documents,
+             |    (SELECT unnest(range(16)) AS x), (SELECT unnest(range(16)) AS y)),
+             |m AS (SELECT doc_id,
+             |    CAST(sum(iv) AS DOUBLE)/256 AS mi,
+             |    CAST(sum(iv*iv) AS DOUBLE)/256 AS si,
+             |    CAST(sum(pv) AS DOUBLE)/256 AS mp,
+             |    CAST(sum(pv*pv) AS DOUBLE)/256 AS sp
+             |  FROM px GROUP BY doc_id)
+             |SELECT doc_id AS id, CAST(f.frame AS BIGINT) AS frame,
+             |  f.ftype AS frame_type,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(CASE WHEN f.frame = 1 THEN mi ELSE mp END, 6) AS mean_gray,
+             |  round(CASE WHEN f.frame = 1 THEN sqrt(si - mi*mi)
+             |        ELSE sqrt(sp - mp*mp) END, 6) AS std_gray
+             |FROM m, (VALUES (1, 'I'), (2, 'P')) f(frame, ftype)
+             |ORDER BY id, frame""".stripMargin)),
+
     // H.264/avc1 keyframe decode (round 12, VERDICT r11 missing #3:
     // the MODERN-codec fence narrowed): the fixture is a REAL avc1
     // track — avcC record (SPS/PPS), 4-byte length-prefixed IDR NAL

@@ -529,6 +529,82 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("P partitions (round 13): 16x8, 8x16 and 8x8 sub-blocks each " +
+      "motion-compensate their own region with the edge clamp") {
+    // reference gradient 50 + 3x + 7y (max 200, clip-free)
+    def refPix(x: Int, y: Int): Int = 50 + 3 * x + 7 * y
+    def cl(v: Int): Int = math.max(0, math.min(15, v))
+    // 16x8: top <- 4 px left (clamped), bottom <- 4 px up
+    val es1 = H264.encodeIPStream(1, 1, _ => Pcm(refPix),
+      Seq(_ => H264.P16x8((-16, 0), (0, -16))))
+    val p1 = H264.decodeFramesLuma(es1, 4)(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (y < 8) refPix(cl(x - 4), y) else refPix(x, cl(y - 4))
+      assert(p1(y * 16 + x) == want, s"16x8 ($x,$y)")
+    }
+    // 8x16: left copy, right <- (4 left, 4 up) both clamped
+    val es2 = H264.encodeIPStream(1, 1, _ => Pcm(refPix),
+      Seq(_ => H264.P8x16((0, 0), (-16, -16))))
+    val p2 = H264.decodeFramesLuma(es2, 4)(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (x < 8) refPix(x, y) else refPix(cl(x - 4), cl(y - 4))
+      assert(p2(y * 16 + x) == want, s"8x16 ($x,$y)")
+    }
+    // 8x8: quadrant-wise (0,0) / left / up / both
+    val es3 = H264.encodeIPStream(1, 1, _ => Pcm(refPix),
+      Seq(_ => H264.P8x8(Seq((0, 0), (-16, 0), (0, -16), (-16, -16)))))
+    val p3 = H264.decodeFramesLuma(es3, 4)(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = (x < 8, y < 8) match {
+        case (true, true) => refPix(x, y)
+        case (false, true) => refPix(cl(x - 4), y)
+        case (true, false) => refPix(x, cl(y - 4))
+        case (false, false) => refPix(cl(x - 4), cl(y - 4))
+      }
+      assert(p3(y * 16 + x) == want, s"8x8 ($x,$y)")
+    }
+    // quarter-pel inside a partition: right 8x16 half at (-2, 0) =
+    // half-pel between x-1 and x; 6-tap on the gradient interior
+    // equals the midpoint (linear signal), asserted away from clamps
+    val es4 = H264.encodeIPStream(1, 1, _ => Pcm(refPix),
+      Seq(_ => H264.P8x16((0, 0), (-2, 0))))
+    val p4 = H264.decodeFramesLuma(es4, 4)(1)._3
+    for (y <- 0 until 16; x <- 10 until 13) {
+      val a = refPix(x - 1, y); val b = refPix(x, y)
+      assert(math.abs(p4(y * 16 + x) - ((a + b + 1) / 2)) <= 1,
+        s"qpel 8x16 ($x,$y)")
+    }
+  }
+
+  test("P partition MV prediction: a following 16x16 MB medians over " +
+      "partition-granular neighbors (per-4x4 grid, not per-MB)") {
+    // 2x1 picture: MB0 = 8x16 with very different left/right MVs;
+    // MB1 = PMove((-16,0)). MB1's predictor A = MB0's RIGHT half
+    // (mv (-16,0)), B/C unavailable (mbY 0) -> only-A rule. If the
+    // grid were per-MB (old code recorded the LAST partition write,
+    // here right = (-16,0) too) the distinction needs the LEFT cell:
+    // so flip: right half carries (+16,0) and MB1 moves (16,0) —
+    // predictor must be the right HALF's (+16,0), making the mvd 0;
+    // a per-MB store of the first partition (0,0) would emit mvd 16
+    // and a decoder disagreeing on granularity would mis-decode.
+    def refPix(x: Int, y: Int): Int = 40 + 5 * x + 3 * y
+    val es = H264.encodeIPStream(2, 1, mbi => Pcm((x, y) =>
+        refPix((mbi % 2) * 16 + x, y)),
+      Seq({
+        case 0 => H264.P8x16((0, 0), (16, 0))
+        case _ => H264.PMove(16, 0)
+      }))
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P'))
+    val p = fs(1)._3
+    // MB1 shifted right by 4 px: reads ref x-?? mv +16 quarter-pel =
+    // +4 px -> p(x, y) = ref(x + 4) clamped to the 32-wide plane
+    for (y <- 0 until 16; x <- 16 until 32) {
+      val sx = math.min(31, x + 4)
+      assert(p(y * 32 + x) == refPix(sx, y), s"MB1 ($x,$y)")
+    }
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
