@@ -28,22 +28,23 @@ package graft.ext
   * Honesty bounds, all degrade-to-None (the caller falls back to the
   * byte-histogram fence, never a WRONG decode — the [[Mpeg1]]
   * discipline):
-  *  - I and P slices. P (round 12b) is the single-reference subset:
-  *    list 0 = the previous decoded picture (one short-term ref,
-  *    unreordered, unweighted). Round 13 widened P to EVERY partition
-  *    shape of the profile: P_L0_16x16, P_L0_L0_16x8 / 8x16 (with
-  *    their 8.4.1.3 directional predictor rules), P_8x8 / P_8x8ref0
-  *    with all four sub_mb_types (8x8/8x4/4x8/4x4) — motion state is
+  *  - I and P slices. Round 13 widened P from the old
+  *    single-16x16-cbp0 subset to the profile's full P toolset:
+  *    EVERY partition shape (P_L0_16x16, P_L0_L0_16x8 / 8x16 with
+  *    their 8.4.1.3 directional predictor rules, P_8x8 / P_8x8ref0
+  *    with all four sub_mb_types 8x8/8x4/4x8/4x4 — motion state is
   *    tracked per 4x4 cell so later partitions of the same macroblock
-  *    predict from earlier ones — plus INTER RESIDUALS
+  *    predict from earlier ones), MULTI-REFERENCE list 0 (sliding
+  *    window sized by max_num_ref_frames, te(v) ref_idx_l0 per
+  *    partition, refIdx-aware prediction shortcuts, IDR window reset;
+  *    explicit reordering/MMCO still degrade), INTER RESIDUALS
   *    (coded_block_pattern through Table 9-4's inter column,
   *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
   *    straight onto the quarter-pel prediction), P_Skip (8.4.1.1),
   *    and intra refresh (Intra_16x16 or Intra_4x4). B slices, CABAC,
-  *    Intra_8x8 (transform_size_8x8), multi-reference / reordered
-  *    lists, weighted prediction, multi-slice-group, field coding,
-  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
-  *    None.
+  *    Intra_8x8 (transform_size_8x8), reordered lists, weighted
+  *    prediction, multi-slice-group, field coding, high-profile tools
+  *    (scaling lists, >8-bit, non-4:2:0) return None.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -238,7 +239,7 @@ object H264 {
       id: Int, mbW: Int, mbH: Int,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
-      deltaPocAlwaysZero: Boolean)
+      deltaPocAlwaysZero: Boolean, maxRefFrames: Int)
 
   private final case class Pps(
       id: Int, spsId: Int,
@@ -280,7 +281,8 @@ object H264 {
       var i = 0
       while (i < n) { br.se(); i += 1 }
     } else if (pocType != 2) throw ParseFail
-    br.ue() // max_num_ref_frames
+    val maxRefFrames = br.ue() // sliding-window DPB capacity
+    if (maxRefFrames > 16) throw ParseFail // spec bound (7.4.2.1.1)
     br.bit() // gaps_in_frame_num_allowed
     val mbW = br.ue() + 1
     val mbH = br.ue() + 1
@@ -293,7 +295,7 @@ object H264 {
     // a crafted ue(v) frame size must cost a degrade, not a task OOM
     if (mbW <= 0 || mbH <= 0 || mbW.toLong * mbH > 32768L) throw ParseFail
     Sps(spsId, mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType,
-      log2MaxPocLsb, deltaPocAlwaysZero)
+      log2MaxPocLsb, deltaPocAlwaysZero, math.max(1, maxRefFrames))
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
@@ -903,32 +905,37 @@ object H264 {
     val inter = new Array[Boolean](gw * gh)
     val mvx = new Array[Int](gw * gh)
     val mvy = new Array[Int](gw * gh)
+    /** list-0 reference index per cell; -1 = intra/unset. */
+    val ref = new Array[Int](gw * gh)
     def fill(x4: Int, y4: Int, w4: Int, h4: Int, isInter: Boolean,
-        mx: Int, my: Int): Unit = {
+        mx: Int, my: Int, refIdx: Int = 0): Unit = {
       var y = y4
       while (y < y4 + h4) {
         var x = x4
         while (x < x4 + w4) {
           val k = y * gw + x
           done(k) = true; inter(k) = isInter; mvx(k) = mx; mvy(k) = my
+          ref(k) = if (isInter) refIdx else -1
           x += 1
         }
         y += 1
       }
     }
-    /** (available-and-inter, mvx, mvy); available = in-picture + done. */
-    def info(x4: Int, y4: Int): (Boolean, Int, Int) =
-      if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) (false, 0, 0)
+    /** (available-and-inter, refIdx, mvx, mvy); available = in-picture
+      * + decoded. Unavailable/intra: (false, -1, 0, 0). */
+    def info(x4: Int, y4: Int): (Boolean, Int, Int, Int) =
+      if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) (false, -1, 0, 0)
       else {
         val k = y4 * gw + x4
-        if (done(k) && inter(k)) (true, mvx(k), mvy(k)) else (false, 0, 0)
+        if (done(k) && inter(k)) (true, ref(k), mvx(k), mvy(k))
+        else (false, -1, 0, 0)
       }
     def available(x4: Int, y4: Int): Boolean =
       x4 >= 0 && y4 >= 0 && x4 < gw && y4 < gh && done(y4 * gw + x4)
     def zeroRef0(x4: Int, y4: Int): Boolean = {
       if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) return false
       val k = y4 * gw + x4
-      done(k) && inter(k) && mvx(k) == 0 && mvy(k) == 0
+      done(k) && inter(k) && ref(k) == 0 && mvx(k) == 0 && mvy(k) == 0
     }
   }
 
@@ -940,37 +947,42 @@ object H264 {
   private val Shape8x16Right = 4
 
   /** Luma motion-vector prediction (8.4.1.3) for the partition whose
-    * top-left 4x4 cell is (x4, y4) with width `w4` cells: neighbors
-    * A (x4-1, y4), B (x4, y4-1), C (x4+w4, y4-1) falling back to
-    * D (x4-1, y4-1), each contributing mv (0,0) when unavailable or
-    * intra. With the single-reference subset every inter neighbor has
-    * refIdx 0, so "shares the current refIdx" reduces to "is inter".
-    * 16x8/8x16 partitions use their directional neighbor when it is
-    * inter (top->B, bottom->A, left->A, right->C); everything else
-    * (and directional fallback) runs the median process, including
-    * the only-A rule when B, C and D are all unavailable. */
+    * top-left 4x4 cell is (x4, y4) with width `w4` cells and list-0
+    * reference `refIdx`: neighbors A (x4-1, y4), B (x4, y4-1),
+    * C (x4+w4, y4-1) falling back to D (x4-1, y4-1), each contributing
+    * mv (0,0) when unavailable or intra (available different-ref
+    * neighbors contribute their actual MV to the median). 16x8/8x16
+    * partitions use their directional neighbor when it carries the
+    * SAME refIdx (top->B, bottom->A, left->A, right->C); everything
+    * else (and directional fallback) runs the median process: the
+    * only-A rule when B, C and D are all unavailable, the
+    * exactly-one-neighbor-shares-refIdx shortcut, else the
+    * component-wise median. */
   private def mvPredPart(ctx: MvCtx, x4: Int, y4: Int, w4: Int,
-      shape: Int): (Int, Int) = {
+      shape: Int, refIdx: Int = 0): (Int, Int) = {
     val hasA = ctx.available(x4 - 1, y4)
     val hasB = ctx.available(x4, y4 - 1)
     val hasC0 = ctx.available(x4 + w4, y4 - 1)
     val hasD = ctx.available(x4 - 1, y4 - 1)
-    val (ia, ax, ay) = ctx.info(x4 - 1, y4)
-    val (ib, bx, by) = ctx.info(x4, y4 - 1)
-    val (ic, cx, cy) =
+    val (ia, ra, ax, ay) = ctx.info(x4 - 1, y4)
+    val (ib, rb, bx, by) = ctx.info(x4, y4 - 1)
+    val (ic, rc, cx, cy) =
       if (hasC0) ctx.info(x4 + w4, y4 - 1) else ctx.info(x4 - 1, y4 - 1)
+    val sa = ia && ra == refIdx
+    val sb = ib && rb == refIdx
+    val sc = ic && rc == refIdx
     shape match {
-      case Shape16x8Top if ib => return (bx, by)
-      case Shape16x8Bot if ia => return (ax, ay)
-      case Shape8x16Left if ia => return (ax, ay)
-      case Shape8x16Right if ic => return (cx, cy)
+      case Shape16x8Top if sb => return (bx, by)
+      case Shape16x8Bot if sa => return (ax, ay)
+      case Shape8x16Left if sa => return (ax, ay)
+      case Shape8x16Right if sc => return (cx, cy)
       case _ => ()
     }
     if (!hasB && !hasC0 && !hasD && hasA) // only A available: mvp = mvA
       return (ax, ay)
-    val nInter = (if (ia) 1 else 0) + (if (ib) 1 else 0) + (if (ic) 1 else 0)
-    if (nInter == 1) {
-      if (ia) (ax, ay) else if (ib) (bx, by) else (cx, cy)
+    val nSame = (if (sa) 1 else 0) + (if (sb) 1 else 0) + (if (sc) 1 else 0)
+    if (nSame == 1) {
+      if (sa) (ax, ay) else if (sb) (bx, by) else (cx, cy)
     } else {
       def med(a: Int, b: Int, c: Int): Int =
         math.max(math.min(a, b), math.min(math.max(a, b), c))
@@ -1034,7 +1046,10 @@ object H264 {
         while (i < skip) { br.bits(8); i += 1 }
         br.ue()
       }
-      var ref: Array[Int] = null
+      // sliding-window DPB (round 13, multi-reference): most recent
+      // reference first; capped at the SPS's max_num_ref_frames. An
+      // IDR resets it (8.2.5.1); a geometry change invalidates it.
+      var refList: Vector[Array[Int]] = Vector.empty
       var refMbW = -1
       var refMbH = -1
       nals.foreach { nal =>
@@ -1063,7 +1078,7 @@ object H264 {
                 try decodeSliceFull(unescape(nal, 1), spsById.toMap,
                   ppsById.toMap, poisoned.toSet,
                   nalRefIdc = refIdc, isIdr = typ == 5,
-                  ref = ref, refMbW = refMbW, refMbH = refMbH)
+                  refs = refList, refMbW = refMbW, refMbH = refMbH)
                 catch {
                   case ParseFail => None
                   case _: ArrayIndexOutOfBoundsException => None
@@ -1072,14 +1087,17 @@ object H264 {
                 case Some((sps, plane, isIntra)) =>
                   cropFrame(sps, plane) match {
                     case Some((w, h, cropped)) =>
-                      // only REFERENCE pictures enter the (1-deep)
-                      // DPB: a nal_ref_idc == 0 frame is emitted but
-                      // never referenced (8.2.5; review r12 — the
-                      // old walk promoted every frame and a P after
-                      // a non-reference P would MC against the
-                      // wrong picture)
+                      // only REFERENCE pictures enter the DPB: a
+                      // nal_ref_idc == 0 frame is emitted but never
+                      // referenced (8.2.5; review r12). An IDR resets
+                      // the window; a geometry change invalidates the
+                      // old planes (their strides differ).
                       if (refIdc != 0) {
-                        ref = plane
+                        if (typ == 5 || refMbW != sps.mbW ||
+                            refMbH != sps.mbH)
+                          refList = Vector.empty
+                        refList = (plane +: refList)
+                          .take(math.max(1, sps.maxRefFrames))
                         refMbW = sps.mbW
                         refMbH = sps.mbH
                       }
@@ -1128,7 +1146,7 @@ object H264 {
   private def decodeSliceFull(rbsp: Array[Byte], spsById: Map[Int, Sps],
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean,
-      ref: Array[Int], refMbW: Int = -1,
+      refs: IndexedSeq[Array[Int]], refMbW: Int = -1,
       refMbH: Int = -1): Option[(Sps, Array[Int], Boolean)] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice: single slice only
@@ -1141,9 +1159,9 @@ object H264 {
     val pps = ppsById.getOrElse(ppsId, return None)
     if (poisoned((7, pps.spsId))) return None
     val sps = spsById.getOrElse(pps.spsId, return None)
-    if (isP && (ref == null ||
+    if (isP && (refs.isEmpty ||
         refMbW != sps.mbW || refMbH != sps.mbH ||
-        ref.length != sps.mbW * 16 * sps.mbH * 16))
+        refs.exists(_.length != sps.mbW * 16 * sps.mbH * 16)))
       return None // no reference, or one with a DIFFERENT geometry: a
     // same-area different-shape SPS switch would MC with the wrong
     // stride (review r12) — compare dimensions, not just length
@@ -1160,13 +1178,18 @@ object H264 {
       if (pps.bottomFieldPoc) br.se()
     }
     if (pps.redundantPresent) br.ue()
+    var numRefL0 = 1
     if (isP) {
-      // single-reference subset: list 0 must be exactly the previous
-      // decoded picture, unreordered
-      val numRefL0 =
+      // multi-reference since round 13: list 0 = the last numRefL0
+      // decoded reference pictures in decode order (sliding window,
+      // unreordered — 8.2.4.2's initial P list IS most-recent-first
+      // by descending PicNum with no frame_num gaps); a list longer
+      // than the pictures actually held degrades rather than padding
+      numRefL0 =
         if (br.bit() == 1) br.ue() + 1 // num_ref_idx_active_override
         else pps.numRefIdxL0Default
-      if (numRefL0 != 1) return None
+      if (numRefL0 < 1 || numRefL0 > refs.length || numRefL0 > 32)
+        return None
       if (br.bit() == 1) return None // ref_pic_list_modification_l0
     }
     if (nalRefIdc != 0) {
@@ -1288,9 +1311,10 @@ object H264 {
         var s = 0
         while (s < run) {
           val (mx, my) = skipMv(mv, mb % mbW, mb / mbW)
-          mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true, mx, my)
+          mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
+            mx, my, refIdx = 0)
           qpMbA(mb) = qp
-          interPredict16x16(ref, stride, planeH,
+          interPredict16x16(refs(0), stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
           writeMc((mb % mbW) * 16, (mb / mbW) * 16)
           zeroNz(mb % mbW, mb / mbW)
@@ -1323,32 +1347,45 @@ object H264 {
         // for sync only.
         val x4 = mbX * 4
         val y4 = mbY * 4
+        // ref_idx_l0, te(v) against numRefL0 (absent when 1)
+        def readRefIdx(): Int =
+          if (numRefL0 == 1) 0
+          else if (numRefL0 == 2) 1 - br.bit()
+          else br.ue()
         // one partition: predict at (cx4, cy4, w4, h4) with the given
-        // directional shape, read mvd, fill, MC
-        def part(cx4: Int, cy4: Int, w4: Int, h4: Int, shape: Int): Boolean = {
-          val (px, py) = mvPredPart(mv, x4 + cx4, y4 + cy4, w4, shape)
+        // directional shape and reference, read mvd, fill, MC
+        def part(cx4: Int, cy4: Int, w4: Int, h4: Int, shape: Int,
+            refIdx: Int): Boolean = {
+          if (refIdx < 0 || refIdx >= numRefL0) return false
+          val (px, py) = mvPredPart(mv, x4 + cx4, y4 + cy4, w4, shape, refIdx)
           val mx = px + br.se()
           val my = py + br.se()
           // level-bound guard: a crafted mvd must not walk the clamp
           // arbitrarily far from the plane
           if (mx < -2048 * 4 || mx > 2048 * 4 ||
             my < -2048 * 4 || my > 2048 * 4) return false
-          mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my)
-          interPredictRect(ref, stride, planeH,
+          mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my, refIdx)
+          interPredictRect(refs(refIdx), stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
           true
         }
         mbType match {
           case -1 => // P_L0_16x16
-            if (!part(0, 0, 4, 4, ShapeMedian)) return None
-          case -2 => // P_L0_L0_16x8: top then bottom
-            if (!part(0, 0, 4, 2, Shape16x8Top)) return None
-            if (!part(0, 2, 4, 2, Shape16x8Bot)) return None
+            val r0 = readRefIdx()
+            if (!part(0, 0, 4, 4, ShapeMedian, r0)) return None
+          case -2 => // P_L0_L0_16x8: both ref_idx, then both mvd (7.3.5.1)
+            val r0 = readRefIdx()
+            val r1 = readRefIdx()
+            if (!part(0, 0, 4, 2, Shape16x8Top, r0)) return None
+            if (!part(0, 2, 4, 2, Shape16x8Bot, r1)) return None
           case -3 => // P_L0_L0_8x16: left then right
-            if (!part(0, 0, 2, 4, Shape8x16Left)) return None
-            if (!part(2, 0, 2, 4, Shape8x16Right)) return None
-          case _ => // P_8x8 / P_8x8ref0: sub_mb_type[4] first (7.3.5.2)
+            val r0 = readRefIdx()
+            val r1 = readRefIdx()
+            if (!part(0, 0, 2, 4, Shape8x16Left, r0)) return None
+            if (!part(2, 0, 2, 4, Shape8x16Right, r1)) return None
+          case t => // P_8x8 / P_8x8ref0: sub_mb_type[4], then ref_idx
+            // per 8x8 (absent in P_8x8ref0), then mvds (7.3.5.2)
             val subT = new Array[Int](4)
             var p8 = 0
             while (p8 < 4) {
@@ -1356,20 +1393,26 @@ object H264 {
               if (subT(p8) > 3) return None
               p8 += 1
             }
+            val r8 = new Array[Int](4)
+            if (t == -4) { // P_8x8: ref_idx coded; P_8x8ref0 (-5): all 0
+              p8 = 0
+              while (p8 < 4) { r8(p8) = readRefIdx(); p8 += 1 }
+            }
             p8 = 0
             while (p8 < 4) {
               val bx8 = (p8 & 1) * 2
               val by8 = (p8 >> 1) * 2
+              val rr = r8(p8)
               val ok = subT(p8) match {
-                case 0 => part(bx8, by8, 2, 2, ShapeMedian) // 8x8
-                case 1 => part(bx8, by8, 2, 1, ShapeMedian) && // 8x4
-                  part(bx8, by8 + 1, 2, 1, ShapeMedian)
-                case 2 => part(bx8, by8, 1, 2, ShapeMedian) && // 4x8
-                  part(bx8 + 1, by8, 1, 2, ShapeMedian)
-                case _ => part(bx8, by8, 1, 1, ShapeMedian) && // 4x4
-                  part(bx8 + 1, by8, 1, 1, ShapeMedian) &&
-                  part(bx8, by8 + 1, 1, 1, ShapeMedian) &&
-                  part(bx8 + 1, by8 + 1, 1, 1, ShapeMedian)
+                case 0 => part(bx8, by8, 2, 2, ShapeMedian, rr) // 8x8
+                case 1 => part(bx8, by8, 2, 1, ShapeMedian, rr) && // 8x4
+                  part(bx8, by8 + 1, 2, 1, ShapeMedian, rr)
+                case 2 => part(bx8, by8, 1, 2, ShapeMedian, rr) && // 4x8
+                  part(bx8 + 1, by8, 1, 2, ShapeMedian, rr)
+                case _ => part(bx8, by8, 1, 1, ShapeMedian, rr) && // 4x4
+                  part(bx8 + 1, by8, 1, 1, ShapeMedian, rr) &&
+                  part(bx8, by8 + 1, 1, 1, ShapeMedian, rr) &&
+                  part(bx8 + 1, by8 + 1, 1, 1, ShapeMedian, rr)
               }
               if (!ok) return None
               p8 += 1
@@ -1750,7 +1793,7 @@ object H264 {
 
   /** SPS NAL (baseline profile 66, level 1.0, poc type 0,
     * frame_mbs_only). */
-  def spsNal(mbW: Int, mbH: Int): Array[Byte] = {
+  def spsNal(mbW: Int, mbH: Int, maxRef: Int = 1): Array[Byte] = {
     val bw = new BitWriter
     bw.put(66, 8) // profile_idc baseline
     bw.put(0, 8) // constraint flags
@@ -1759,7 +1802,7 @@ object H264 {
     bw.putUe(0) // log2_max_frame_num_minus4
     bw.putUe(0) // pic_order_cnt_type 0
     bw.putUe(0) // log2_max_pic_order_cnt_lsb_minus4
-    bw.putUe(1) // max_num_ref_frames
+    bw.putUe(maxRef) // max_num_ref_frames
     bw.put(0, 1) // gaps_in_frame_num
     bw.putUe(mbW - 1)
     bw.putUe(mbH - 1)
@@ -1954,8 +1997,9 @@ object H264 {
     * copy when a left/top neighbor is missing or stationary,
     * otherwise the median prediction. */
   case object PSkip extends MbP
-  /** P_L0_16x16 with no residual (cbp 0): pure MC at `(mvx, mvy)`. */
-  final case class PMove(mvx: Int, mvy: Int) extends MbP
+  /** P_L0_16x16 with no residual (cbp 0): pure MC at `(mvx, mvy)`
+    * from list-0 reference `refIdx` (round 13: multi-reference). */
+  final case class PMove(mvx: Int, mvy: Int, refIdx: Int = 0) extends MbP
   /** P_L0_16x16 WITH a luma residual (round 13): MC at `(mvx, mvy)`
     * plus one DC coefficient per 4x4 block from `dcRes(blkIdx)`
     * (z-order; 0 = none — at qp 28 a coefficient c adds exactly 4c to
@@ -1978,16 +2022,22 @@ object H264 {
     * loop filter disabled. Motion differentials are computed against
     * the same 8.4.1.3 predictor the decoder derives. */
   def pNal(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
-      frameNum: Int = 1, refIdc: Int = 2): Array[Byte] = {
+      frameNum: Int = 1, refIdc: Int = 2, numRef: Int = 1): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
+    require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
     val bw = new BitWriter
     bw.putUe(0) // first_mb_in_slice
     bw.putUe(5) // slice_type: P (all)
     bw.putUe(0) // pps_id
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
     bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
-    bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
+    if (numRef == 1)
+      bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
+    else {
+      bw.put(1, 1) // override: numRef references active
+      bw.putUe(numRef - 1)
+    }
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
     bw.putSe(0) // slice_qp_delta
@@ -2012,11 +2062,17 @@ object H264 {
       // one encoded partition: derive the same 8.4.1.3 predictor the
       // decoder will, emit the differential, record the cells
       def putPart(cx4: Int, cy4: Int, w4: Int, h4: Int, shape: Int,
-          mvx: Int, mvy: Int): Unit = {
-        val (px, py) = mvPredPart(mvc, x4 + cx4, y4 + cy4, w4, shape)
+          mvx: Int, mvy: Int, refIdx: Int = 0): Unit = {
+        val (px, py) = mvPredPart(mvc, x4 + cx4, y4 + cy4, w4, shape, refIdx)
         bw.putSe(mvx - px)
         bw.putSe(mvy - py)
-        mvc.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy)
+        mvc.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy, refIdx)
+      }
+      // ref_idx_l0, te(v) against numRef (absent when 1)
+      def putRefIdx(r: Int): Unit = {
+        require(r >= 0 && r < numRef, s"refIdx $r out of numRef $numRef")
+        if (numRef == 2) bw.put(1 - r, 1)
+        else if (numRef > 2) bw.putUe(r)
       }
       mb(i) match {
         case PSkip =>
@@ -2024,15 +2080,17 @@ object H264 {
           mvc.fill(x4, y4, 4, 4, isInter = true, mx, my)
           zeroLumaNz()
           skipRun += 1
-        case PMove(mvx, mvy) =>
+        case PMove(mvx, mvy, refIdx) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
           bw.putUe(0) // mb_type P_L0_16x16
-          putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy)
+          putRefIdx(refIdx)
+          putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy, refIdx)
           bw.putUe(0) // coded_block_pattern: cbp 0
           zeroLumaNz()
         case PMoveCoded(mvx, mvy, dcOf) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
           bw.putUe(0) // mb_type P_L0_16x16
+          putRefIdx(0)
           putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy)
           val cbpLuma = (0 until 4).map { g =>
             if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
@@ -2053,6 +2111,7 @@ object H264 {
         case P16x8(top, bot) =>
           bw.putUe(skipRun); skipRun = 0
           bw.putUe(1) // mb_type P_L0_L0_16x8
+          putRefIdx(0); putRefIdx(0)
           putPart(0, 0, 4, 2, Shape16x8Top, top._1, top._2)
           putPart(0, 2, 4, 2, Shape16x8Bot, bot._1, bot._2)
           bw.putUe(0) // cbp 0
@@ -2060,6 +2119,7 @@ object H264 {
         case P8x16(left, right) =>
           bw.putUe(skipRun); skipRun = 0
           bw.putUe(2) // mb_type P_L0_L0_8x16
+          putRefIdx(0); putRefIdx(0)
           putPart(0, 0, 2, 4, Shape8x16Left, left._1, left._2)
           putPart(2, 0, 2, 4, Shape8x16Right, right._1, right._2)
           bw.putUe(0) // cbp 0
@@ -2070,6 +2130,8 @@ object H264 {
           bw.putUe(3) // mb_type P_8x8
           var p8 = 0
           while (p8 < 4) { bw.putUe(0); p8 += 1 } // sub_mb_type all 8x8
+          p8 = 0
+          while (p8 < 4) { putRefIdx(0); p8 += 1 } // ref_idx_l0 per 8x8
           p8 = 0
           while (p8 < 4) {
             val (mx, my) = subs(p8)

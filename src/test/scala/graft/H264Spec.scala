@@ -605,6 +605,40 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-reference P (round 13): ref_idx selects the older " +
+      "picture from the sliding window; over-long lists degrade") {
+    def refPix(mbi: Int)(x: Int, y: Int): Int = 50 + 3 * (mbi * 16 + x) + 7 * y
+    val sep = Array[Byte](0, 0, 0, 1)
+    val es = sep ++ H264.spsNal(2, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(2, 1, mbi => Pcm(refPix(mbi)), 28) ++
+      sep ++ H264.pNal(2, 1, _ => H264.PMove(-16, 0), 28, frameNum = 1) ++
+      sep ++ H264.pNal(2, 1, {
+        case 0 => H264.PMove(0, 0, refIdx = 1) // <- the I, two back
+        case _ => H264.PMove(0, 0, refIdx = 0) // <- P1
+      }, 28, frameNum = 2, numRef = 2)
+    val fs = H264.decodeFramesLuma(es, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'), s"types ${fs.map(_._4)}")
+    val i0 = fs(0)._3
+    val p1 = fs(1)._3
+    val p2 = fs(2)._3
+    // MB0 of P2 copies the I (refIdx 1); MB1 copies P1 (refIdx 0)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(p2(y * 32 + x) == i0(y * 32 + x), s"MB0 ($x,$y) must be the I")
+      assert(p2(y * 32 + 16 + x) == p1(y * 32 + 16 + x),
+        s"MB1 ($x,$y) must be P1")
+    }
+    assert(p1.toSeq != i0.toSeq, "P1 must differ from I for the pin to bite")
+    // a P asking for 2 references when only the I is decoded: degrade,
+    // keeping the I
+    val bad = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 60 + x + y), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28,
+        frameNum = 1, numRef = 2)
+    assert(H264.decodeFramesLuma(bad, 8).map(_._4) == Seq('I'))
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
