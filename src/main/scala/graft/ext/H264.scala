@@ -41,10 +41,12 @@ package graft.ext
   *    (coded_block_pattern through Table 9-4's inter column,
   *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
   *    straight onto the quarter-pel prediction), P_Skip (8.4.1.1),
-  *    and intra refresh (Intra_16x16 or Intra_4x4). B slices, CABAC,
-  *    Intra_8x8 (transform_size_8x8), reordered lists, weighted
-  *    prediction, multi-slice-group, field coding, high-profile tools
-  *    (scaling lists, >8-bit, non-4:2:0) return None.
+  *    and intra refresh (Intra_16x16 or Intra_4x4), plus EXPLICIT
+  *    WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
+  *    8.4.2.3.2 single-list application; chroma weights parsed for
+  *    sync). B slices, CABAC, Intra_8x8 (transform_size_8x8),
+  *    reordered lists, multi-slice-group, field coding, high-profile
+  *    tools (scaling lists, >8-bit, non-4:2:0) return None.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -1165,7 +1167,6 @@ object H264 {
       return None // no reference, or one with a DIFFERENT geometry: a
     // same-area different-shape SPS switch would MC with the wrong
     // stride (review r12) — compare dimensions, not just length
-    if (isP && pps.weightedPred) return None // explicit weighting: refuse
     if (isP && pps.constrainedIntra) return None // intra-in-P would have
     // to treat inter neighbors as unavailable (8.3.3): not implemented
     br.bits(sps.log2MaxFrameNum) // frame_num
@@ -1191,6 +1192,55 @@ object H264 {
       if (numRefL0 < 1 || numRefL0 > refs.length || numRefL0 > 32)
         return None
       if (br.bit() == 1) return None // ref_pic_list_modification_l0
+    }
+    // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2):
+    // per-ref luma weight/offset; chroma weights parsed for sync only
+    // (chroma is not reconstructed). Default = identity (1<<denom, 0).
+    var wpDenom = 0
+    var wpW: Array[Int] = null
+    var wpO: Array[Int] = null
+    if (isP && pps.weightedPred) {
+      wpDenom = br.ue()
+      if (wpDenom > 7) return None
+      val chromaDenom = br.ue() // chroma_log2_weight_denom
+      if (chromaDenom > 7) return None
+      wpW = Array.fill(numRefL0)(1 << wpDenom)
+      wpO = new Array[Int](numRefL0)
+      var i = 0
+      while (i < numRefL0) {
+        if (br.bit() == 1) { // luma_weight_l0_flag
+          wpW(i) = br.se()
+          wpO(i) = br.se()
+          if (wpW(i) < -128 || wpW(i) > 127 ||
+            wpO(i) < -128 || wpO(i) > 127) return None
+        }
+        if (br.bit() == 1) { // chroma_weight_l0_flag
+          var c = 0
+          while (c < 4) { br.se(); c += 1 }
+        }
+        i += 1
+      }
+    }
+    // weight one rectangle of the MB prediction buffer in place
+    def weightRect(out: Array[Int], off: Int, w: Int, h: Int,
+        refIdx: Int): Unit = {
+      if (wpW == null) return
+      val ww = wpW(refIdx)
+      val oo = wpO(refIdx)
+      val rnd = if (wpDenom > 0) 1 << (wpDenom - 1) else 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = off + y * 16 + x
+          val v =
+            if (wpDenom > 0) ((out(k) * ww + rnd) >> wpDenom) + oo
+            else out(k) * ww + oo
+          out(k) = clip255(v)
+          x += 1
+        }
+        y += 1
+      }
     }
     if (nalRefIdc != 0) {
       if (isIdr) { br.bit(); br.bit() } // no_output_of_prior / long_term
@@ -1316,6 +1366,7 @@ object H264 {
           qpMbA(mb) = qp
           interPredict16x16(refs(0), stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
+          weightRect(mc16, 0, 16, 16, 0)
           writeMc((mb % mbW) * 16, (mb / mbW) * 16)
           zeroNz(mb % mbW, mb / mbW)
           mb += 1
@@ -1368,6 +1419,7 @@ object H264 {
           interPredictRect(refs(refIdx), stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
+          weightRect(mc16, cy4 * 4 * 16 + cx4 * 4, w4 * 4, h4 * 4, refIdx)
           true
         }
         mbType match {
@@ -1818,7 +1870,7 @@ object H264 {
     * the encoder's slices disable the loop filter). `id` lets tests
     * exercise the by-id parameter-set selection (slices reference
     * pps_id 0). */
-  def ppsNal(qp: Int, id: Int = 0): Array[Byte] = {
+  def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
@@ -1826,7 +1878,7 @@ object H264 {
     bw.put(0, 1) // bottom_field_pic_order
     bw.putUe(0) // num_slice_groups_minus1
     bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
-    bw.put(0, 1) // weighted_pred
+    bw.put(if (weighted) 1 else 0, 1) // weighted_pred
     bw.put(0, 2) // weighted_bipred_idc
     bw.putSe(qp - 26) // pic_init_qp_minus26
     bw.putSe(0) // pic_init_qs
@@ -2022,7 +2074,8 @@ object H264 {
     * loop filter disabled. Motion differentials are computed against
     * the same 8.4.1.3 predictor the decoder derives. */
   def pNal(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
-      frameNum: Int = 1, refIdc: Int = 2, numRef: Int = 1): Array[Byte] = {
+      frameNum: Int = 1, refIdc: Int = 2, numRef: Int = 1,
+      weight: Option[(Int, Int, Int)] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
@@ -2039,6 +2092,22 @@ object H264 {
       bw.putUe(numRef - 1)
     }
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    // explicit weighted prediction (only against a weighted PPS):
+    // (log2 denom, luma weight, luma offset) applied to refIdx 0,
+    // defaults for any further references
+    weight.foreach { case (denom, w0, o0) =>
+      bw.putUe(denom) // luma_log2_weight_denom
+      bw.putUe(0) // chroma_log2_weight_denom
+      bw.put(1, 1) // luma_weight_l0_flag[0]
+      bw.putSe(w0)
+      bw.putSe(o0)
+      bw.put(0, 1) // chroma_weight_l0_flag[0]
+      var i = 1
+      while (i < numRef) {
+        bw.put(0, 1); bw.put(0, 1) // default weights for ref i
+        i += 1
+      }
+    }
     if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
     bw.putSe(0) // slice_qp_delta
     bw.putUe(1) // disable_deblocking_filter_idc = 1

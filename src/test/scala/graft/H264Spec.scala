@@ -639,6 +639,38 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeFramesLuma(bad, 8).map(_._4) == Seq('I'))
   }
 
+  test("explicit weighted prediction (round 13): w=3 denom=1 o=10 " +
+      "applies ((g*3+1)>>1)+10 clipped; skip MBs weight too") {
+    def refPix(x: Int, y: Int): Int = 40 + 3 * x + 7 * y
+    def wp(g: Int): Int =
+      math.max(0, math.min(255, ((g * 3 + 1) >> 1) + 10))
+    val sep = Array[Byte](0, 0, 0, 1)
+    val es = sep ++ H264.spsNal(1, 1) ++
+      sep ++ H264.ppsNal(28, weighted = true) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(refPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28,
+        frameNum = 1, weight = Some((1, 3, 10))) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PSkip, 28,
+        frameNum = 2, weight = Some((1, 3, 10)))
+    val fs = H264.decodeFramesLuma(es, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'))
+    val p1 = fs(1)._3
+    val p2 = fs(2)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(p1(y * 16 + x) == wp(refPix(x, y)), s"P1 ($x,$y)")
+      // the skip P weights its reference (= P1) again
+      assert(p2(y * 16 + x) == wp(p1(y * 16 + x)), s"P2 skip ($x,$y)")
+    }
+    // identity weights leave the frame bit-exact
+    val esId = sep ++ H264.spsNal(1, 1) ++
+      sep ++ H264.ppsNal(28, weighted = true) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(refPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28,
+        frameNum = 1, weight = Some((1, 2, 0))) // 1<<denom, offset 0
+    val fsId = H264.decodeFramesLuma(esId, 8)
+    assert(fsId(1)._3.sameElements(fsId(0)._3))
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
