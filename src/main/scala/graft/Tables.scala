@@ -95,13 +95,19 @@ object Tables {
         val reap = (pid, startMs) match {
           case (Some(p), Some(t)) => // tokened: exact owner identity
             ProcessHandle.of(p).map[Boolean] { h =>
-              // unreadable start instant (ADVICE r12): the bare pid is
-              // NOT proof of ownership — a recycled pid on a JVM that
-              // can't read start times would otherwise shield the
-              // orphan forever. Fall back to the same 24h age gate the
-              // legacy token-less names keep for exactly this case.
+              // unreadable start instant (ADVICE r12 + round-13
+              // review): the bare pid is NOT proof of ownership — a
+              // recycled pid on a JVM that can't read start times
+              // would shield the orphan forever — but age-reaping a
+              // LIVE owner is worse. Fall back to the 24h age gate
+              // ONLY when our own start instant is also unreadable
+              // (the whole runtime lacks the API, ADVICE's scenario);
+              // if we can read instants and just can't see this
+              // process's (cross-UID visibility), assume a live
+              // matching owner and keep the dir.
               h.info().startInstant()
-                .map[Boolean](si => si.toEpochMilli != t).orElse(aged)
+                .map[Boolean](si => si.toEpochMilli != t)
+                .orElse(selfStart == -1L && aged)
             }.orElse(true) // pid gone → owner dead
           case (Some(p), None) => // legacy pid-only name: dead pid, or
             // aged (the recycled-pid fallback — undetectable otherwise)

@@ -704,7 +704,12 @@ object H264 {
         val kq = byQ * mv.gw + bxQ
         val dx = mv.mvx(kp) - mv.mvx(kq)
         val dy = mv.mvy(kp) - mv.mvy(kq)
-        if (dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1 else 0
+        // different reference pictures OR a component differing by
+        // >= 4 quarter-pel units -> bS 1 (8.7.2.1; the ref check
+        // matters since round 13's multi-reference lists)
+        if (mv.ref(kp) != mv.ref(kq) ||
+          dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1
+        else 0
       }
     }
     // filter one line across an edge: q0 at `pos`, p0 at `pos - step`
@@ -1054,6 +1059,7 @@ object H264 {
       var refList: Vector[Array[Int]] = Vector.empty
       var refMbW = -1
       var refMbH = -1
+      var prevRefFn = -1
       nals.foreach { nal =>
         if (frames.size >= maxFrames) return frames.toSeq
         if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
@@ -1080,13 +1086,14 @@ object H264 {
                 try decodeSliceFull(unescape(nal, 1), spsById.toMap,
                   ppsById.toMap, poisoned.toSet,
                   nalRefIdc = refIdc, isIdr = typ == 5,
-                  refs = refList, refMbW = refMbW, refMbH = refMbH)
+                  refs = refList, refMbW = refMbW, refMbH = refMbH,
+                  prevRefFrameNum = prevRefFn)
                 catch {
                   case ParseFail => None
                   case _: ArrayIndexOutOfBoundsException => None
                 }
               dec match {
-                case Some((sps, plane, isIntra)) =>
+                case Some((sps, plane, isIntra, frameNum)) =>
                   cropFrame(sps, plane) match {
                     case Some((w, h, cropped)) =>
                       // only REFERENCE pictures enter the DPB: a
@@ -1102,6 +1109,7 @@ object H264 {
                           .take(math.max(1, sps.maxRefFrames))
                         refMbW = sps.mbW
                         refMbH = sps.mbH
+                        prevRefFn = frameNum
                       }
                       frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
                     case None => return frames.toSeq
@@ -1149,7 +1157,8 @@ object H264 {
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean,
       refs: IndexedSeq[Array[Int]], refMbW: Int = -1,
-      refMbH: Int = -1): Option[(Sps, Array[Int], Boolean)] = {
+      refMbH: Int = -1,
+      prevRefFrameNum: Int = -1): Option[(Sps, Array[Int], Boolean, Int)] = {
     val br = new BitReader(rbsp)
     if (br.ue() != 0) return None // first_mb_in_slice: single slice only
     val sliceType = br.ue()
@@ -1169,7 +1178,17 @@ object H264 {
     // stride (review r12) — compare dimensions, not just length
     if (isP && pps.constrainedIntra) return None // intra-in-P would have
     // to treat inter neighbors as unavailable (8.3.3): not implemented
-    br.bits(sps.log2MaxFrameNum) // frame_num
+    val frameNum = br.bits(sps.log2MaxFrameNum)
+    // frame_num continuity (7.4.3, round 13 review): with a
+    // multi-picture DPB a GAP means un-decoded reference frames the
+    // sliding window knows nothing about — degrade rather than MC
+    // against the wrong list. IDR pictures carry frame_num 0;
+    // every later picture (reference or not) carries
+    // (PrevRefFrameNum + 1) mod MaxFrameNum in a gap-free stream.
+    if (isIdr) { if (frameNum != 0) return None }
+    else if (prevRefFrameNum >= 0 &&
+      frameNum != ((prevRefFrameNum + 1) & ((1 << sps.log2MaxFrameNum) - 1)))
+      return None
     if (isIdr) br.ue() // idr_pic_id
     if (sps.pocType == 0) {
       br.bits(sps.log2MaxPocLsb)
@@ -1243,7 +1262,11 @@ object H264 {
       }
     }
     if (nalRefIdc != 0) {
-      if (isIdr) { br.bit(); br.bit() } // no_output_of_prior / long_term
+      if (isIdr) {
+        br.bit() // no_output_of_prior_pics_flag
+        if (br.bit() == 1) return None // long_term_reference_flag: the
+        // sliding window would evict the wrong picture later (8.2.5.1)
+      }
       else if (br.bit() == 1) return None // adaptive_ref_pic_marking:
       // MMCO ops re-arrange the DPB; this decoder keeps exactly one
       // sliding-window reference and never applies them, so a stream
@@ -1704,7 +1727,7 @@ object H264 {
     if (filterOn)
       deblockLuma(luma, stride, mbW, mbH, mbIntraA, qpMbA, lumaNz,
         mv, offA, offB)
-    Some((sps, luma, !isP))
+    Some((sps, luma, !isP, frameNum))
   }
 
   /** Intra_16x16 prediction (8.3.3): mode 0 = V, 1 = H, 2 = DC,

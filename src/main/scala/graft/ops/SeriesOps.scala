@@ -17,7 +17,22 @@ import org.apache.spark.sql.functions._
   * The long→nested transform shuffles once on the series key, which is
   * the natural partitioning for every downstream per-series operator.
   */
-object SeriesOps {
+object SeriesOps extends Serializable {
+
+  /** Spark's round() on a DOUBLE, exactly as its codegen evaluates it:
+    * java.math.BigDecimal.valueOf(x).setScale(0, HALF_UP) followed by
+    * the double->long cast. ONE shared twin (round 13 review: the
+    * periodogram and matrix-profile kernels each carried a private
+    * copy; a future edit to one would silently not apply to the
+    * other). Identical to BigDecimal.decimal(x)... .toLong for every
+    * magnitude the series kernels quantize (|x| far below 2^53). */
+  private def sparkRound(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** [[theilSen]]'s one-slot defensive-cache pool (see its body). */
+  @volatile private var autoCachedTheilSen: Option[DataFrame] = None
+
 
   /** P2 + N1 + N2: drop null values, append whole-column `min_max` and
     * `z_score` columns (app.py:184-192; population stddev, ddof=0).
@@ -480,12 +495,21 @@ object SeriesOps {
     // re-execute the entire upstream plan (e.g. the events
     // group-collect) twice. The scaladoc asked callers to pass a
     // cached frame; enforce it here instead of by convention: cache
-    // the one-row-per-series input if the caller hasn't (bounded —
-    // one small row per series; already-cached inputs pass through
-    // untouched, so the Memo'd registry caller is unaffected).
+    // the one-row-per-series input if the caller hasn't. Round-13
+    // review: the auto-cache is a ONE-SLOT pool — the next theilSen
+    // call over a different uncached input unpersists the previous
+    // auto-cached frame, so repeated calls cannot accumulate pinned
+    // series arrays for the session lifetime (already-cached inputs
+    // pass through untouched: the Memo'd registry caller is
+    // unaffected and never enters the slot).
     val src =
       if (series.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        series.cache()
+        SeriesOps.synchronized {
+          autoCachedTheilSen.foreach(_.unpersist())
+          val c = series.cache()
+          autoCachedTheilSen = Some(c)
+          c
+        }
       else series
     val maxExactPairs = 100000000L
     // EXACT tier (round 12 perf): a tight JVM loop + Arrays.sort per
@@ -932,9 +956,7 @@ object SeriesOps {
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("dominant",
         org.apache.spark.sql.types.BooleanType, nullable = false)))
-    def rnd(x: Double): Long =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    def rnd(x: Double): Long = sparkRound(x)
     series
       .filter(size(col("values")) >= minSize)
       .select(col("series_id"), col("values"))
@@ -1059,12 +1081,10 @@ object SeriesOps {
     // distance (strict >).
     val ww = w
     val kernel = udf { (values: Seq[Double]) =>
-      // Spark's round() on doubles is BigDecimal.decimal(x)
-      // .setScale(0, HALF_UP) — using the identical call keeps the
-      // kernel's quantization bit-equal to the SQL spelling the
-      // oracle replays
-      def rnd(x: Double): Long = BigDecimal.decimal(x)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // Spark's round() on doubles — the shared codegen-exact twin
+      // keeps the kernel's quantization bit-equal to the SQL spelling
+      // the oracle replays
+      def rnd(x: Double): Long = sparkRound(x)
       val xs = values.toArray
       val nw = xs.length - ww + 1
       // per-window z-codes: zq[i](k) = round((x − m)/sd · 10³);

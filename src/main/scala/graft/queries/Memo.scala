@@ -130,6 +130,7 @@ private[graft] object Memo {
       val winner = memo.get(k)
       if (winner != null) {
         if (recordOn) recordingHits.add(k)
+        protectedKeys.remove(k) // a consumer arrived via the race too
         lastTouch.put(k, tick)
         winner
       } else {
