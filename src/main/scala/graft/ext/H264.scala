@@ -44,9 +44,14 @@ package graft.ext
   *    and intra refresh (Intra_16x16 or Intra_4x4), plus EXPLICIT
   *    WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
   *    8.4.2.3.2 single-list application; chroma weights parsed for
-  *    sync). B slices, CABAC, Intra_8x8 (transform_size_8x8),
-  *    reordered lists, multi-slice-group, field coding, high-profile
-  *    tools (scaling lists, >8-bit, non-4:2:0) return None.
+  *    sync) and MULTI-SLICE pictures (in-order slices decode into one
+  *    per-picture state with prediction availability gated to the
+  *    slice; the loop filter honors each slice's own idc/offsets and
+  *    idc 2's cross-slice-boundary exemption; an incompletely covered
+  *    picture never emits). B slices, CABAC, Intra_8x8
+  *    (transform_size_8x8), reordered lists, FMO/ASO, field coding,
+  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
+  *    None.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -191,13 +196,19 @@ object H264 {
     }
     /** more_rbsp_data(): true iff data bits remain BEFORE the
       * rbsp_stop_one_bit (7.4.1: the stop bit is the last 1-bit of
-      * the RBSP; everything after it is alignment zeros). */
+      * the RBSP; everything after it is alignment zeros). The stop
+      * bit is a constant of the buffer — computed once (round 13:
+      * multi-slice decoding calls this per macroblock; a per-call
+      * backward scan would be quadratic). */
+    private var stopBit = Int.MinValue
     def moreRbspData(): Boolean = {
-      if (remaining <= 0) return false
-      var last = limit - 1
-      while (last >= pos &&
-          ((bytes(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
-      last > pos
+      if (stopBit == Int.MinValue) {
+        var last = limit - 1
+        while (last >= 0 &&
+            ((bytes(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+        stopBit = last
+      }
+      stopBit > pos
     }
   }
 
@@ -547,11 +558,16 @@ object H264 {
     * which coeff_token table a block lands in. */
   private final class NzCtx(val bw: Int, val bh: Int) {
     private val nz = new Array[Int](bw * bh)
+    /** Optional availability gate over CELL coords (round 13,
+      * multi-slice: 9.2.1 treats a neighbor in another slice as
+      * unavailable). null = position-only availability (single-slice
+      * and the fixture encoder's full-slice paths). */
+    var gate: (Int, Int) => Boolean = null
     def set(bx: Int, by: Int, v: Int): Unit = nz(by * bw + bx) = v
     def get(bx: Int, by: Int): Int = nz(by * bw + bx)
     def nC(bx: Int, by: Int): Int = {
-      val hasA = bx > 0
-      val hasB = by > 0
+      val hasA = bx > 0 && (gate == null || gate(bx - 1, by))
+      val hasB = by > 0 && (gate == null || gate(bx, by - 1))
       if (hasA && hasB) (nz(by * bw + bx - 1) + nz((by - 1) * bw + bx) + 1) >> 1
       else if (hasA) nz(by * bw + bx - 1)
       else if (hasB) nz((by - 1) * bw + bx)
@@ -578,14 +594,15 @@ object H264 {
     * prediction (row-major) or null when a required neighbor is
     * unavailable (corrupt stream -> degrade). */
   private def predict4x4(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
-      bx: Int, by: Int, mode: Int, curMb: Int, curBlk: Int): Array[Int] = {
+      bx: Int, by: Int, mode: Int, curMb: Int, curBlk: Int,
+      sliceOk: Int => Boolean = _ => true): Array[Int] = {
     val gw = mbW * 4
     val gh = mbH * 4
     def decodedBefore(bx2: Int, by2: Int): Boolean = {
       if (bx2 < 0 || by2 < 0 || bx2 >= gw || by2 >= gh) false
       else {
         val m2 = (by2 >> 2) * mbW + (bx2 >> 2)
-        if (m2 < curMb) true
+        if (m2 < curMb) sliceOk(m2) // another slice is unavailable
         else if (m2 > curMb) false
         else zIdxOf(by2 & 3, bx2 & 3) < curBlk
       }
@@ -694,7 +711,8 @@ object H264 {
     * so only luma is filtered. */
   private def deblockLuma(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
       mbIntra: Array[Boolean], qpMb: Array[Int], lumaNz: NzCtx,
-      mv: MvCtx, offA: Int, offB: Int): Unit = {
+      mv: MvCtx, sliceOf: Array[Int],
+      sliceParams: Array[(Int, Int, Int)]): Unit = {
     def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
         mbEdge: Boolean): Int = {
       if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
@@ -754,8 +772,12 @@ object H264 {
       val mbX = mb % mbW
       val mbY = mb / mbW
       val qpQ = qpMb(mb)
+      // the controlling slice is the CURRENT macroblock's (8.7): idc 1
+      // disables its edges entirely; idc 2 skips macroblock-boundary
+      // edges whose other side lies in a different slice
+      val (idcQ, offA, offB) = sliceParams(sliceOf(mb))
       var vert = 0
-      while (vert < 2) { // 0 = vertical edges, 1 = horizontal edges
+      while (vert < 2 && idcQ != 1) { // 0 = vertical, 1 = horizontal
         var k = 0
         while (k < 4) {
           val boundary = k == 0
@@ -764,6 +786,9 @@ object H264 {
           if (exists) {
             val mbP = if (!boundary) mb
               else if (vert == 0) mb - 1 else mb - mbW
+            if (boundary && idcQ == 2 && sliceOf(mbP) != sliceOf(mb)) {
+              k += 1 // idc 2: do not filter across the slice boundary
+            } else {
             val qpAv = (qpMb(mbP) + qpQ + 1) >> 1
             val indexA = clip3(0, 51, qpAv + offA)
             val indexB = clip3(0, 51, qpAv + offB)
@@ -791,8 +816,9 @@ object H264 {
                 g += 1
               }
             }
-          }
-          k += 1
+            k += 1
+            }
+          } else k += 1
         }
         vert += 1
       }
@@ -928,17 +954,24 @@ object H264 {
         y += 1
       }
     }
+    /** Optional availability gate over 4x4 cell coords (round 13,
+      * multi-slice: neighbors in another slice are unavailable for
+      * prediction; the loop filter reads the raw arrays and is NOT
+      * gated — it runs after the whole picture). */
+    var gate: (Int, Int) => Boolean = null
     /** (available-and-inter, refIdx, mvx, mvy); available = in-picture
-      * + decoded. Unavailable/intra: (false, -1, 0, 0). */
+      * + decoded (+ same slice under the gate). Unavailable/intra:
+      * (false, -1, 0, 0). */
     def info(x4: Int, y4: Int): (Boolean, Int, Int, Int) =
-      if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) (false, -1, 0, 0)
+      if (!available(x4, y4)) (false, -1, 0, 0)
       else {
         val k = y4 * gw + x4
-        if (done(k) && inter(k)) (true, ref(k), mvx(k), mvy(k))
+        if (inter(k)) (true, ref(k), mvx(k), mvy(k))
         else (false, -1, 0, 0)
       }
     def available(x4: Int, y4: Int): Boolean =
-      x4 >= 0 && y4 >= 0 && x4 < gw && y4 < gh && done(y4 * gw + x4)
+      x4 >= 0 && y4 >= 0 && x4 < gw && y4 < gh && done(y4 * gw + x4) &&
+        (gate == null || gate(x4, y4))
     def zeroRef0(x4: Int, y4: Int): Boolean = {
       if (x4 < 0 || y4 < 0 || x4 >= gw || y4 >= gh) return false
       val k = y4 * gw + x4
@@ -1060,6 +1093,41 @@ object H264 {
       var refMbW = -1
       var refMbH = -1
       var prevRefFn = -1
+      // the picture whose slices are still arriving
+      var pending: PicState = null
+      var pendingRefIdc = 0
+      var pendingIdr = false
+      // finish + emit the pending picture; false stops the walk
+      def flushPending(): Boolean = {
+        if (pending == null) return true
+        val st = pending
+        pending = null
+        finishPicture(st) match {
+          case Some((sps, plane, isIntra, frameNum)) =>
+            cropFrame(sps, plane) match {
+              case Some((w, h, cropped)) =>
+                // only REFERENCE pictures enter the DPB: a
+                // nal_ref_idc == 0 frame is emitted but never
+                // referenced (8.2.5; review r12). An IDR resets
+                // the window; a geometry change invalidates the
+                // old planes (their strides differ).
+                if (pendingRefIdc != 0) {
+                  if (pendingIdr || refMbW != sps.mbW ||
+                      refMbH != sps.mbH)
+                    refList = Vector.empty
+                  refList = (plane +: refList)
+                    .take(math.max(1, sps.maxRefFrames))
+                  refMbW = sps.mbW
+                  refMbH = sps.mbH
+                  prevRefFn = frameNum
+                }
+                frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
+                true
+              case None => false
+            }
+          case None => false
+        }
+      }
       nals.foreach { nal =>
         if (frames.size >= maxFrames) return frames.toSeq
         if (nal.nonEmpty && (nal(0) & 0x80) == 0) {
@@ -1080,46 +1148,42 @@ object H264 {
                 catch { case ParseFail => () }
               }
             case 5 | 1 =>
-              // contain per-slice failures: earlier exact frames stay
+              // contain per-slice failures: earlier exact frames stay.
+              // Multi-slice (round 13): a slice with first_mb 0 starts
+              // a new picture — the PENDING one (if any) finishes and
+              // emits first; continuation slices decode into the
+              // pending state. An incomplete or failed picture is
+              // dropped and the walk stops, keeping prior frames.
               val refIdc = (nal(0) >> 5) & 3
+              val rbsp = unescape(nal, 1)
+              val firstMb =
+                try new BitReader(rbsp).ue()
+                catch { case ParseFail => return frames.toSeq }
+              if (firstMb == 0 && !flushPending()) return frames.toSeq
+              if (frames.size >= maxFrames) return frames.toSeq
               val dec =
-                try decodeSliceFull(unescape(nal, 1), spsById.toMap,
+                try decodeSliceInto(rbsp, spsById.toMap,
                   ppsById.toMap, poisoned.toSet,
                   nalRefIdc = refIdc, isIdr = typ == 5,
                   refs = refList, refMbW = refMbW, refMbH = refMbH,
-                  prevRefFrameNum = prevRefFn)
+                  prevRefFrameNum = prevRefFn,
+                  stateIn = if (firstMb == 0) null else pending)
                 catch {
                   case ParseFail => None
                   case _: ArrayIndexOutOfBoundsException => None
                 }
               dec match {
-                case Some((sps, plane, isIntra, frameNum)) =>
-                  cropFrame(sps, plane) match {
-                    case Some((w, h, cropped)) =>
-                      // only REFERENCE pictures enter the DPB: a
-                      // nal_ref_idc == 0 frame is emitted but never
-                      // referenced (8.2.5; review r12). An IDR resets
-                      // the window; a geometry change invalidates the
-                      // old planes (their strides differ).
-                      if (refIdc != 0) {
-                        if (typ == 5 || refMbW != sps.mbW ||
-                            refMbH != sps.mbH)
-                          refList = Vector.empty
-                        refList = (plane +: refList)
-                          .take(math.max(1, sps.maxRefFrames))
-                        refMbW = sps.mbW
-                        refMbH = sps.mbH
-                        prevRefFn = frameNum
-                      }
-                      frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
-                    case None => return frames.toSeq
-                  }
+                case Some(st) =>
+                  pending = st
+                  pendingRefIdc = if (firstMb == 0) refIdc else pendingRefIdc
+                  pendingIdr = if (firstMb == 0) typ == 5 else pendingIdr
                 case None => return frames.toSeq
               }
             case _ => () // SEI/AUD/filler: skip
           }
         }
       }
+      flushPending()
       frames.toSeq
     } catch {
       case ParseFail => frames.toSeq
@@ -1153,14 +1217,70 @@ object H264 {
   /** Decode one slice into its UNCROPPED plane: (sps, plane, isIntra).
     * `ref` is the previous decoded plane (uncropped) for P slices —
     * null refuses them (the I-only entry points). */
-  private def decodeSliceFull(rbsp: Array[Byte], spsById: Map[Int, Sps],
+  /** Per-PICTURE decode state (round 13, multi-slice): every slice of
+    * one coded picture decodes into the same plane and contexts, with
+    * prediction availability gated to the slice being decoded (9.2.1 /
+    * 8.3 / 8.4: a neighbor in another slice is unavailable); the loop
+    * filter runs once per finished picture and is NOT gated (8.7 —
+    * except idc 2 slices, whose macroblock-boundary edges against
+    * another slice are skipped). */
+  private final class PicState(val sps: Sps, val isIdr: Boolean,
+      val frameNum: Int) {
+    val mbW: Int = sps.mbW
+    val mbH: Int = sps.mbH
+    val nMbs: Int = mbW * mbH
+    val stride: Int = mbW * 16
+    val luma = new Array[Int](stride * mbH * 16)
+    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    val cbNz = new NzCtx(mbW * 2, mbH * 2)
+    val crNz = new NzCtx(mbW * 2, mbH * 2)
+    val mv = new MvCtx(mbW, mbH)
+    val mbIntraA = new Array[Boolean](nMbs)
+    val qpMbA = new Array[Int](nMbs)
+    val i4mode: Array[Int] = Array.fill(mbW * 4 * mbH * 4)(-1)
+    /** slice index per decoded macroblock; -1 = not yet decoded. */
+    val sliceOf: Array[Int] = Array.fill(nMbs)(-1)
+    /** per-slice (deblocking idc, alpha offset, beta offset). */
+    val sliceParams =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var mbNext = 0
+    var allIntra = true
+    var curSlice = -1
+    lumaNz.gate = (bx, by) => sliceOf((by >> 2) * mbW + (bx >> 2)) == curSlice
+    cbNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
+    crNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
+    mv.gate = (x4, y4) => sliceOf((y4 >> 2) * mbW + (x4 >> 2)) == curSlice
+  }
+
+  /** Finish a fully-covered picture: run the loop filter per each
+    * slice's own control values and emit the plane. An incompletely
+    * covered picture (a slice degraded or the stream ended mid-
+    * picture) yields None — never a partial frame. */
+  private def finishPicture(
+      st: PicState): Option[(Sps, Array[Int], Boolean, Int)] = {
+    if (st.mbNext != st.nMbs) return None
+    st.curSlice = -2 // close the prediction gates
+    if (st.sliceParams.exists(_._1 != 1))
+      deblockLuma(st.luma, st.stride, st.mbW, st.mbH, st.mbIntraA,
+        st.qpMbA, st.lumaNz, st.mv, st.sliceOf, st.sliceParams.toArray)
+    Some((st.sps, st.luma, st.allIntra, st.frameNum))
+  }
+
+  /** Decode ONE slice into its picture's state. `stateIn` is null for
+    * the first slice of a picture (first_mb_in_slice must be 0);
+    * continuation slices must agree on geometry, IDR-ness and
+    * frame_num and arrive in macroblock order (no FMO/ASO — the PPS
+    * parser already refuses slice groups). Returns the (possibly
+    * fresh) picture state, or None on degrade. */
+  private def decodeSliceInto(rbsp: Array[Byte], spsById: Map[Int, Sps],
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean,
       refs: IndexedSeq[Array[Int]], refMbW: Int = -1,
       refMbH: Int = -1,
-      prevRefFrameNum: Int = -1): Option[(Sps, Array[Int], Boolean, Int)] = {
+      prevRefFrameNum: Int = -1,
+      stateIn: PicState = null): Option[PicState] = {
     val br = new BitReader(rbsp)
-    if (br.ue() != 0) return None // first_mb_in_slice: single slice only
+    val startMb = br.ue() // first_mb_in_slice
     val sliceType = br.ue()
     val isP = sliceType == 0 || sliceType == 5
     if (!isP && sliceType != 2 && sliceType != 7) return None // I/P only
@@ -1185,10 +1305,23 @@ object H264 {
     // against the wrong list. IDR pictures carry frame_num 0;
     // every later picture (reference or not) carries
     // (PrevRefFrameNum + 1) mod MaxFrameNum in a gap-free stream.
-    if (isIdr) { if (frameNum != 0) return None }
-    else if (prevRefFrameNum >= 0 &&
-      frameNum != ((prevRefFrameNum + 1) & ((1 << sps.log2MaxFrameNum) - 1)))
-      return None
+    if (stateIn == null) {
+      if (isIdr) { if (frameNum != 0) return None }
+      else if (prevRefFrameNum >= 0 &&
+        frameNum != ((prevRefFrameNum + 1) & ((1 << sps.log2MaxFrameNum) - 1)))
+        return None
+    }
+    val st =
+      if (stateIn == null) {
+        if (startMb != 0) return None // a picture starts at MB 0
+        new PicState(sps, isIdr, frameNum)
+      } else {
+        if (stateIn.sps != sps || stateIn.isIdr != isIdr ||
+          stateIn.frameNum != frameNum) return None
+        if (startMb != stateIn.mbNext || startMb >= stateIn.nMbs)
+          return None // in-order slices only (no FMO/ASO)
+        stateIn
+      }
     if (isIdr) br.ue() // idr_pic_id
     if (sps.pocType == 0) {
       br.bits(sps.log2MaxPocLsb)
@@ -1277,14 +1410,13 @@ object H264 {
     // in-loop deblocking (round 13): idc 1 disables; idc 0/2 filter
     // (single-slice streams have no cross-slice edges, so 2 == 0
     // here); absent control syntax means ON with zero offsets
-    var filterOn = true
+    var deblockIdc = 0
     var offA = 0
     var offB = 0
     if (pps.deblockPresent) {
-      val idc = br.ue()
-      if (idc > 2) return None
-      if (idc == 1) filterOn = false
-      else {
+      deblockIdc = br.ue()
+      if (deblockIdc > 2) return None
+      if (deblockIdc != 1) {
         offA = br.se() * 2
         offB = br.se() * 2
         if (offA < -12 || offA > 12 || offB < -12 || offB > 12) return None
@@ -1293,25 +1425,24 @@ object H264 {
 
     val mbW = sps.mbW; val mbH = sps.mbH
     val stride = mbW * 16
-    val luma = new Array[Int](stride * mbH * 16)
-    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
-    val cbNz = new NzCtx(mbW * 2, mbH * 2)
-    val crNz = new NzCtx(mbW * 2, mbH * 2)
+    val luma = st.luma
+    val lumaNz = st.lumaNz
+    val cbNz = st.cbNz
+    val crNz = st.crNz
     val dcScan = new Array[Int](16)
     val nMbs = mbW * mbH
     val planeH = mbH * 16
-    // per-4x4 inter state of THIS picture, for MV prediction (8.4.1.3)
-    // and the loop filter's bS rule
-    val mv = new MvCtx(mbW, mbH)
+    val mv = st.mv
     val mc16 = new Array[Int](256)
-    // per-MB state for the loop filter (round 13): intra flag and the
-    // MB's QP (I_PCM records 0 per 8.7.2); per-4x4 Intra_4x4 modes for
-    // 8.3.1.1 prediction (-1 = block not in an Intra_4x4 MB)
-    val mbIntraA = new Array[Boolean](nMbs)
-    val qpMbA = new Array[Int](nMbs)
-    val i4mode = Array.fill(mbW * 4 * mbH * 4)(-1)
+    val mbIntraA = st.mbIntraA
+    val qpMbA = st.qpMbA
+    val i4mode = st.i4mode
+    val sliceIdx = st.sliceParams.length
+    st.curSlice = sliceIdx
+    st.sliceParams += ((deblockIdc, offA, offB))
     def i4ModeAt(bx: Int, by: Int): Int =
       if (bx < 0 || by < 0) 2
+      else if (st.sliceOf((by >> 2) * mbW + (bx >> 2)) != sliceIdx) 2
       else { val m = i4mode(by * (mbW * 4) + bx); if (m < 0) 2 else m }
     // chroma residual parse (sync + nz bookkeeping only; chroma is
     // not reconstructed) — shared by the Intra_16x16 and Intra_4x4
@@ -1373,8 +1504,8 @@ object H264 {
         y += 1
       }
     }
-    var mb = 0
-    var ended = false // P slice consumed by a trailing skip run
+    var mb = startMb
+    var ended = false // slice data exhausted (or trailing skip run)
     while (mb < nMbs && !ended) {
       if (isP) {
         // mb_skip_run precedes every coded macroblock (7.3.4);
@@ -1383,6 +1514,7 @@ object H264 {
         if (run < 0 || mb + run > nMbs) return None
         var s = 0
         while (s < run) {
+          st.sliceOf(mb) = sliceIdx
           val (mx, my) = skipMv(mv, mb % mbW, mb / mbW)
           mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
             mx, my, refIdx = 0)
@@ -1395,9 +1527,12 @@ object H264 {
           mb += 1
           s += 1
         }
-        if (mb >= nMbs) ended = true
+        // a slice may end on a trailing skip run (7.3.4: slice_data
+        // stops when more_rbsp_data() is false)
+        if (mb >= nMbs || !br.moreRbspData()) ended = true
       }
       if (!ended) {
+      st.sliceOf(mb) = sliceIdx
       val mbX = mb % mbW
       val mbY = mb / mbW
       val ox = mbX * 16
@@ -1575,7 +1710,8 @@ object H264 {
         qpMbA(mb) = qp
         // prediction (8.3.3) from already-reconstructed neighbors
         val pred = predict16x16(luma, stride, ox, oy, predMode,
-          hasLeft = mbX > 0, hasTop = mbY > 0)
+          hasLeft = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx,
+          hasTop = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx)
         if (pred == null) return None
         // luma DC: CAVLC with nC as for blkIdx 0 (9.2.1)
         val (dcCoeffs, _) =
@@ -1693,7 +1829,7 @@ object H264 {
           val r = blkRow(blk); val c = blkCol(blk)
           val bx = mbX * 4 + c; val by = mbY * 4 + r
           val pred = predict4x4(luma, stride, mbW, mbH, bx, by,
-            modes(blk), mb, blk)
+            modes(blk), mb, blk, m2 => st.sliceOf(m2) == sliceIdx)
           if (pred == null) return None
           java.util.Arrays.fill(d4, 0)
           val cf = coeffs(blk)
@@ -1722,12 +1858,12 @@ object H264 {
         }
       } else return None // out-of-range mb_type
       mb += 1
+      if (!br.moreRbspData()) ended = true
       }
     }
-    if (filterOn)
-      deblockLuma(luma, stride, mbW, mbH, mbIntraA, qpMbA, lumaNz,
-        mv, offA, offB)
-    Some((sps, luma, !isP, frameNum))
+    st.mbNext = mb
+    if (isP) st.allIntra = false
+    Some(st)
   }
 
   /** Intra_16x16 prediction (8.3.3): mode 0 = V, 1 = H, 2 = DC,
@@ -1921,10 +2057,18 @@ object H264 {
     * IllegalArgumentException at encode time (fixture contract, not a
     * runtime degrade). */
   def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
-      deblock: Boolean = false): Array[Byte] = {
+      deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
+      idcOverride: Int = -1): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    // round 13 multi-slice fixtures: emit ONE slice covering
+    // [firstMb, firstMb+count); default = the whole picture. The
+    // encoder's own neighbor contexts are slice-gated exactly like
+    // the decoder's, so nC and mode prediction agree at boundaries.
+    val count = if (mbCount < 0) mbW * mbH - firstMb else mbCount
+    require(firstMb >= 0 && count >= 1 && firstMb + count <= mbW * mbH,
+      s"slice range out of picture: $firstMb+$count")
     val bw = new BitWriter
-    bw.putUe(0) // first_mb_in_slice
+    bw.putUe(firstMb) // first_mb_in_slice
     bw.putUe(7) // slice_type: I (all)
     bw.putUe(0) // pps_id
     bw.put(0, 4) // frame_num (log2 = 4)
@@ -1932,18 +2076,27 @@ object H264 {
     bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
     bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
     bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
-    if (deblock) {
-      bw.putUe(0) // disable_deblocking_filter_idc = 0: filter ON
+    val idc = if (idcOverride >= 0) idcOverride else if (deblock) 0 else 1
+    bw.putUe(idc) // disable_deblocking_filter_idc
+    if (idc != 1) {
       bw.putSe(0) // slice_alpha_c0_offset_div2
       bw.putSe(0) // slice_beta_offset_div2
-    } else bw.putUe(1) // disable_deblocking_filter_idc = 1
+    }
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    lumaNz.gate = (bx, by) => {
+      val m = (by >> 2) * mbW + (bx >> 2)
+      m >= firstMb && m < firstMb + count
+    }
     val i4grid = Array.fill(mbW * 4 * mbH * 4)(-1)
     def i4At(bx: Int, by: Int): Int =
       if (bx < 0 || by < 0) 2
-      else { val m = i4grid(by * (mbW * 4) + bx); if (m < 0) 2 else m }
-    var i = 0
-    while (i < mbW * mbH) {
+      else {
+        val m = (by >> 2) * mbW + (bx >> 2)
+        if (m < firstMb || m >= firstMb + count) 2
+        else { val mo = i4grid(by * (mbW * 4) + bx); if (mo < 0) 2 else mo }
+      }
+    var i = firstMb
+    while (i < firstMb + count) {
       val mbX = i % mbW
       val mbY = i / mbW
       mb(i) match {

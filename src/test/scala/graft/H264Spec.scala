@@ -671,6 +671,58 @@ class H264Spec extends AnyFunSuite {
     assert(fsId(1)._3.sameElements(fsId(0)._3))
   }
 
+  test("multi-slice pictures (round 13): prediction never crosses the " +
+      "slice boundary; idc 2 exempts the boundary from the loop filter") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    // 1x2 picture, one slice per MB row, I16 DC in both. In a SINGLE
+    // slice MB1's DC predicts from MB0's bottom edge (133) -> 136;
+    // across a slice boundary the top neighbor is UNAVAILABLE -> DC
+    // falls back to 128 -> 131.
+    def stream(slices: Boolean): Array[Byte] = {
+      val head = sep ++ H264.spsNal(1, 2) ++ sep ++ H264.ppsNal(28)
+      if (slices)
+        head ++ sep ++ H264.idrNal(1, 2, _ => I16Dc(5), 28,
+            firstMb = 0, mbCount = 1) ++
+          sep ++ H264.idrNal(1, 2, _ => I16Dc(3), 28,
+            firstMb = 1, mbCount = 1)
+      else head ++ sep ++ H264.idrNal(1, 2,
+        mbi => I16Dc(if (mbi == 0) 5 else 3), 28)
+    }
+    val two = H264.decodeFramesLuma(stream(slices = true), 4)
+    val one = H264.decodeFramesLuma(stream(slices = false), 4)
+    assert(two.map(_._4) == Seq('I') && one.map(_._4) == Seq('I'),
+      "both forms decode one picture")
+    val l2 = two.head._3
+    val l1 = one.head._3
+    assert(l2(0) == 133 && l1(0) == 133, "MB0 identical in both")
+    assert(l1(16 * 16) == 136, "single slice: MB1 predicts from MB0")
+    assert(l2(16 * 16) == 131,
+      "two slices: MB1's top neighbor is another slice -> DC 128 + 3")
+    // deblocking across the boundary: flat 133-vs-131 step at y=16.
+    // idc 0 filters it (bS 4 strong, both sides flat); idc 2 must NOT
+    // filter the cross-slice MB edge and leaves the step bit-exact.
+    def deblocked(idc: Int): Array[Int] = {
+      val es = sep ++ H264.spsNal(1, 2) ++ sep ++ H264.ppsNal(28) ++
+        sep ++ H264.idrNal(1, 2, _ => I16Dc(5), 28,
+          firstMb = 0, mbCount = 1, idcOverride = idc) ++
+        sep ++ H264.idrNal(1, 2, _ => I16Dc(3), 28,
+          firstMb = 1, mbCount = 1, idcOverride = idc)
+      H264.decodeFramesLuma(es, 4).head._3
+    }
+    val f0 = deblocked(0)
+    val f2 = deblocked(2)
+    assert(f2.sameElements(l2),
+      "idc 2: the only active edge is cross-slice -> picture unchanged")
+    val a = 133; val b = 131
+    assert(f0(15 * 16) == (5 * a + 3 * b + 4) >> 3, "idc 0: p0' filtered")
+    assert(f0(16 * 16) == (5 * b + 3 * a + 4) >> 3, "idc 0: q0' filtered")
+    // an incomplete picture (second slice missing) yields NO frame
+    val cut = sep ++ H264.spsNal(1, 2) ++ sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 2, _ => I16Dc(5), 28, firstMb = 0, mbCount = 1)
+    assert(H264.decodeFramesLuma(cut, 4).isEmpty,
+      "half-covered picture must not emit")
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
