@@ -595,7 +595,7 @@ object H264 {
     * unavailable (corrupt stream -> degrade). */
   private def predict4x4(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
       bx: Int, by: Int, mode: Int, curMb: Int, curBlk: Int,
-      sliceOk: Int => Boolean = _ => true): Array[Int] = {
+      sliceOk: Int => Boolean): Array[Int] = {
     val gw = mbW * 4
     val gh = mbH * 4
     def decodedBefore(bx2: Int, by2: Int): Boolean = {
@@ -783,12 +783,13 @@ object H264 {
           val boundary = k == 0
           val exists = if (vert == 0) !boundary || mbX > 0
             else !boundary || mbY > 0
-          if (exists) {
-            val mbP = if (!boundary) mb
-              else if (vert == 0) mb - 1 else mb - mbW
-            if (boundary && idcQ == 2 && sliceOf(mbP) != sliceOf(mb)) {
-              k += 1 // idc 2: do not filter across the slice boundary
-            } else {
+          val mbP = if (!boundary) mb
+            else if (vert == 0) mb - 1 else mb - mbW
+          // idc 2: this slice's cross-slice macroblock-boundary edges
+          // are exempt (8.7)
+          val skip = !exists ||
+            (boundary && idcQ == 2 && sliceOf(mbP) != sliceOf(mb))
+          if (!skip) {
             val qpAv = (qpMb(mbP) + qpQ + 1) >> 1
             val indexA = clip3(0, 51, qpAv + offA)
             val indexB = clip3(0, 51, qpAv + offB)
@@ -816,9 +817,8 @@ object H264 {
                 g += 1
               }
             }
-            k += 1
-            }
-          } else k += 1
+          }
+          k += 1
         }
         vert += 1
       }
@@ -1158,7 +1158,14 @@ object H264 {
               val rbsp = unescape(nal, 1)
               val firstMb =
                 try new BitReader(rbsp).ue()
-                catch { case ParseFail => return frames.toSeq }
+                catch { case ParseFail =>
+                  // a COMPLETE pending picture still emits before the
+                  // walk stops (round-13 review: the old emit-per-
+                  // slice walk kept it; an incomplete one is dropped
+                  // by flushPending itself)
+                  flushPending()
+                  return frames.toSeq
+                }
               if (firstMb == 0 && !flushPending()) return frames.toSeq
               if (frames.size >= maxFrames) return frames.toSeq
               val dec =
@@ -1177,7 +1184,12 @@ object H264 {
                   pending = st
                   pendingRefIdc = if (firstMb == 0) refIdc else pendingRefIdc
                   pendingIdr = if (firstMb == 0) typ == 5 else pendingIdr
-                case None => return frames.toSeq
+                case None =>
+                  // same rule: a complete pending picture (e.g. this
+                  // was an orphan continuation of the NEXT picture)
+                  // emits; an incomplete or slice-corrupted one drops
+                  flushPending()
+                  return frames.toSeq
               }
             case _ => () // SEI/AUD/filler: skip
           }
@@ -1214,9 +1226,6 @@ object H264 {
     Some((w, h, out))
   }
 
-  /** Decode one slice into its UNCROPPED plane: (sps, plane, isIntra).
-    * `ref` is the previous decoded plane (uncropped) for P slices —
-    * null refuses them (the I-only entry points). */
   /** Per-PICTURE decode state (round 13, multi-slice): every slice of
     * one coded picture decodes into the same plane and contexts, with
     * prediction availability gated to the slice being decoded (9.2.1 /
@@ -1407,9 +1416,11 @@ object H264 {
     }
     var qp = pps.picInitQp + br.se()
     if (qp < 0 || qp > 51) return None
-    // in-loop deblocking (round 13): idc 1 disables; idc 0/2 filter
-    // (single-slice streams have no cross-slice edges, so 2 == 0
-    // here); absent control syntax means ON with zero offsets
+    // in-loop deblocking (round 13): idc 1 disables this slice's
+    // edges; idc 0 filters everything; idc 2 filters all but this
+    // slice's cross-slice macroblock-boundary edges (honored in
+    // finishPicture/deblockLuma); absent control syntax means ON
+    // with zero offsets
     var deblockIdc = 0
     var offA = 0
     var offB = 0
@@ -1711,7 +1722,9 @@ object H264 {
         // prediction (8.3.3) from already-reconstructed neighbors
         val pred = predict16x16(luma, stride, ox, oy, predMode,
           hasLeft = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx,
-          hasTop = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx)
+          hasTop = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx,
+          hasTopLeft = mbX > 0 && mbY > 0 &&
+            st.sliceOf(mb - mbW - 1) == sliceIdx)
         if (pred == null) return None
         // luma DC: CAVLC with nC as for blkIdx 0 (9.2.1)
         val (dcCoeffs, _) =
@@ -1870,7 +1883,8 @@ object H264 {
     * 3 = Plane. Returns the 16x16 prediction (row-major) or null when
     * a required neighbor is unavailable. */
   private def predict16x16(luma: Array[Int], stride: Int, ox: Int, oy: Int,
-      mode: Int, hasLeft: Boolean, hasTop: Boolean): Array[Int] = {
+      mode: Int, hasLeft: Boolean, hasTop: Boolean,
+      hasTopLeft: Boolean): Array[Int] = {
     val pred = new Array[Int](256)
     mode match {
       case 0 => // vertical
@@ -1900,7 +1914,10 @@ object H264 {
           else 128
         java.util.Arrays.fill(pred, dc)
       case 3 => // plane
-        if (!hasTop || !hasLeft) return null
+        // 8.3.3.4 also reads the corner p[-1,-1] — in a multi-slice
+        // picture the above-left MB can belong to ANOTHER slice even
+        // when left and top are in this one (round-13 review)
+        if (!hasTop || !hasLeft || !hasTopLeft) return null
         var hAcc = 0; var vAcc = 0
         var i = 0
         while (i < 8) {

@@ -721,6 +721,15 @@ class H264Spec extends AnyFunSuite {
       sep ++ H264.idrNal(1, 2, _ => I16Dc(5), 28, firstMb = 0, mbCount = 1)
     assert(H264.decodeFramesLuma(cut, 4).isEmpty,
       "half-covered picture must not emit")
+    // a COMPLETE pending picture still emits when a LATER slice NAL is
+    // garbage (round-13 review: the walk must flush, not drop)
+    val goodThenBad = sep ++ H264.spsNal(1, 1) ++ sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => I16Dc(5), 28) ++
+      sep ++ Array[Byte](0x65, 0x00) // truncated IDR slice NAL
+    val flushed = H264.decodeFramesLuma(goodThenBad, 4)
+    assert(flushed.map(_._4) == Seq('I'),
+      "complete picture before the bad NAL must emit")
+    assert(flushed.head._3(0) == 133)
   }
 
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
