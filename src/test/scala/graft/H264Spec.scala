@@ -732,6 +732,66 @@ class H264Spec extends AnyFunSuite {
     assert(flushed.head._3(0) == 133)
   }
 
+  test("corruption fuzz: bit flips and truncations over a stream using " +
+      "every decoded feature degrade, never throw, never over-emit") {
+    // one stream exercising multi-slice, I_4x4, deblocking, P
+    // partitions, residuals, multi-reference and weighted prediction
+    val sep = Array[Byte](0, 0, 0, 1)
+    val base = sep ++ H264.spsNal(2, 2, maxRef = 2) ++
+      sep ++ H264.ppsNal(28, weighted = true) ++
+      sep ++ H264.idrNal(2, 2, {
+        case 0 => H264.I4x4(_ => 2, blk => if (blk == 0) 2 else 0)
+        case 1 => Pcm((x, y) => 60 + x + 2 * y)
+        case _ => I16Dc(3)
+      }, 28, deblock = true, firstMb = 0, mbCount = 2) ++
+      sep ++ H264.idrNal(2, 2, {
+        case 2 => I16Dc(-2)
+        case _ => H264.I4x4(_ => 2)
+      }, 28, deblock = true, firstMb = 2, mbCount = 2) ++
+      sep ++ H264.pNal(2, 2, {
+        case 0 => H264.P16x8((0, 0), (4, 0))
+        case 1 => H264.P8x8(Seq((0, 0), (-4, 0), (0, -4), (0, 0)))
+        case 2 => H264.PMoveCoded(0, 0, blk => blk % 3 - 1)
+        case _ => H264.PSkip
+      }, 28, frameNum = 1, weight = Some((1, 3, 4))) ++
+      sep ++ H264.pNal(2, 2, {
+        case 0 => H264.PMove(0, 0, refIdx = 1)
+        case _ => H264.PMove(0, 0)
+        // identity weights: a weighted PPS makes the table mandatory
+      }, 28, frameNum = 2, numRef = 2, weight = Some((1, 2, 0)))
+    // sanity: the clean stream decodes fully
+    assert(H264.decodeFramesLuma(base, 8).map(_._4) == Seq('I', 'P', 'P'))
+    val rnd = new java.util.Random(20260816L)
+    var trials = 0
+    while (trials < 300) {
+      val mutated = base.clone()
+      val kind = trials % 3
+      if (kind == 0) { // flip 1-4 bits anywhere
+        var f = 0
+        val nf = 1 + rnd.nextInt(4)
+        while (f < nf) {
+          val i = rnd.nextInt(mutated.length)
+          mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          f += 1
+        }
+        val out = H264.decodeFramesLuma(mutated, 8)
+        assert(out.length <= 8)
+      } else if (kind == 1) { // truncate
+        val cut = 1 + rnd.nextInt(mutated.length - 1)
+        val out = H264.decodeFramesLuma(mutated.take(cut), 8)
+        assert(out.length <= 8)
+      } else { // splice a garbage run
+        val at = rnd.nextInt(mutated.length)
+        val len = math.min(1 + rnd.nextInt(16), mutated.length - at)
+        var i = 0
+        while (i < len) { mutated(at + i) = rnd.nextInt(256).toByte; i += 1 }
+        val out = H264.decodeFramesLuma(mutated, 8)
+        assert(out.length <= 8)
+      }
+      trials += 1
+    }
+  }
+
   test("deblocking no-op cases: flat picture unchanged; PCM edges " +
       "filter at QP 0 (alpha 0) and stay bit-exact") {
     // flat I_4x4 picture, filter on: every edge has p0 == q0
