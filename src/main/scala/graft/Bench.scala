@@ -253,7 +253,16 @@ object Bench {
         "ts_sliding_window", "ts_ewma", "ts_holt", "ts_periodogram",
         "ts_acf", "ts_anomaly", "ts_crosscorr", "ts_cusum",
         "ts_decompose", "ts_matrix_profile", "ts_paa", "ts_sax",
-        "ts_sax_motifs", "ts_stl_strength"))
+        "ts_sax_motifs", "ts_stl_strength"),
+      // round 14 (VERDICT r13 #4): the artifact tier — each member
+      // WRITES a scratch parquet fixture (compaction rewrite,
+      // month-partitioned prune artifact) or runs two full joins over
+      // the embeddings (Procrustes fit + audit); per-query numbers
+      // ride local-disk and page-cache state, which ambient suite
+      // order shifts by ±0.3-0.5 s on unchanged code (the r13
+      // profile-tier drift). The family sum is the conserved quantity.
+      "profile_family" -> Seq("sim_procrustes_align",
+        "profile_compaction_execute", "profile_partition_prune"))
     // Mirror the groundTruthTwins guard (ADVICE r11): a renamed member
     // would otherwise be SILENTLY dropped by members.flatMap(retried
     // .get) and the family sum would drift without anyone noticing —

@@ -1234,7 +1234,7 @@ object H264 {
     * except idc 2 slices, whose macroblock-boundary edges against
     * another slice are skipped). */
   private final class PicState(val sps: Sps, val isIdr: Boolean,
-      val frameNum: Int) {
+      val frameNum: Int, val ppsId: Int) {
     val mbW: Int = sps.mbW
     val mbH: Int = sps.mbH
     val nMbs: Int = mbW * mbH
@@ -1323,8 +1323,13 @@ object H264 {
     val st =
       if (stateIn == null) {
         if (startMb != 0) return None // a picture starts at MB 0
-        new PicState(sps, isIdr, frameNum)
+        new PicState(sps, isIdr, frameNum, ppsId)
       } else {
+        // 7.4.3: every slice of a picture must reference the SAME
+        // PPS — a crafted stream mixing PPSes (e.g. weighted_pred on
+        // in one slice, off in the next) must degrade, not emit under
+        // inconsistent parameters (ADVICE r13).
+        if (stateIn.ppsId != ppsId) return None
         if (stateIn.sps != sps || stateIn.isIdr != isIdr ||
           stateIn.frameNum != frameNum) return None
         if (startMb != stateIn.mbNext || startMb >= stateIn.nMbs)

@@ -441,9 +441,21 @@ object Mpeg1 {
     * the first unsupported element — everything returned is exact,
     * nothing after the stop is guessed. */
   def decodeFramesLuma(es: Array[Byte],
-      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] = {
+      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] =
+    decodeFramesLumaClean(es, maxFrames)._1
+
+  /** Like [[decodeFramesLuma]] but also reporting whether the decode
+    * ended CLEANLY: true iff it stopped at end-of-stream, a
+    * sequence_end_code, or the frame limit — false iff it degraded
+    * mid-stream (unsupported/corrupt element after zero or more exact
+    * frames). Lets sample-walking callers distinguish "this payload
+    * was fully decoded" from "a nonempty prefix decoded, the rest is
+    * opaque" and stop their walk instead of compacting frame indices
+    * across the gap (ADVICE r13). */
+  private[graft] def decodeFramesLumaClean(es: Array[Byte],
+      maxFrames: Int): (Seq[(Int, Int, Array[Int], Char)], Boolean) = {
     try decodeStream(es, maxFrames)
-    catch { case _: Exception => Seq.empty }
+    catch { case _: Exception => (Seq.empty, false) }
   }
 
   /** Parse a sequence header at the current position (start code
@@ -494,16 +506,16 @@ object Mpeg1 {
   }
 
   private def decodeStream(es: Array[Byte],
-      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] = {
-    if (maxFrames <= 0) return Seq.empty
+      maxFrames: Int): (Seq[(Int, Int, Array[Int], Char)], Boolean) = {
+    if (maxFrames <= 0) return (Seq.empty, true)
     val br = new BitReader(es)
     var sc = br.nextStartCode()
     while (sc != -1 && sc != 0xB3) sc = br.nextStartCode()
-    if (sc != 0xB3) return Seq.empty
+    if (sc != 0xB3) return (Seq.empty, false)
     val intraQ = new Array[Int](64)
     val nonIntraQ = new Array[Int](64)
     val wh = parseSeqHeader(br, intraQ, nonIntraQ)
-    if (wh == null) return Seq.empty
+    if (wh == null) return (Seq.empty, false)
     val (width, height) = wh
     val mbW = (width + 15) / 16
     val mbH = (height + 15) / 16
@@ -515,6 +527,7 @@ object Mpeg1 {
     var anchorPrev: Array[Int] = null
     var anchorLast: Array[Int] = null
     var done = false
+    var seqEnd = false
     sc = br.nextStartCode()
     while (!done && frames.size < maxFrames && sc != -1) {
       if (sc == 0xB8 || sc == 0xB2 || sc == 0xB5) sc = br.nextStartCode()
@@ -588,9 +601,12 @@ object Mpeg1 {
             }
           }
         }
-      } else done = true // unknown element (incl. 0xB7 sequence end)
+      } else { // unknown element; 0xB7 sequence end is a CLEAN stop
+        seqEnd = sc == 0xB7
+        done = true
+      }
     }
-    frames.toSeq
+    (frames.toSeq, !done || seqEnd)
   }
 
   /** Decode ONE picture's slices (picture header already consumed).

@@ -844,12 +844,14 @@ object Multimodal {
       off >= 0 && off + 4 <= bytes.length &&
         bytes(off.toInt) == 0 && bytes(off.toInt + 1) == 0 &&
         bytes(off.toInt + 2) == 1 && (bytes(off.toInt + 3) & 0xFF) == 0xB3
-    def esFrames(es: Array[Byte], limit: Int): Seq[(Char, Int, Int, Double, Double)] =
-      Mpeg1.decodeFramesLuma(es, limit).map { case (w, h, l, t) =>
+    def esFrames(es: Array[Byte], limit: Int): (Seq[(Char, Int, Int, Double, Double)], Boolean) = {
+      val (fs, clean) = Mpeg1.decodeFramesLumaClean(es, limit)
+      (fs.map { case (w, h, l, t) =>
         val (m, sd) = lumaStats(l); (t, w, h, m, sd)
-      }
+      }, clean)
+    }
     if (isEs(0L))
-      esFrames(bytes, maxFrames).zipWithIndex.map { case ((t, w, h, m, sd), i) =>
+      esFrames(bytes, maxFrames)._1.zipWithIndex.map { case ((t, w, h, m, sd), i) =>
         (i + 1, t, w, h, m, sd)
       }
     else trackSamples(bytes).toSeq.flatMap { tracks =>
@@ -865,17 +867,21 @@ object Multimodal {
         // discipline. Skipping bad samples and numbering by decoded
         // count compacted frame indices, so downstream consumers (e.g.
         // scene-cut deltas) saw non-adjacent frames as adjacent; a
-        // clean stop makes the truncation visible instead.
+        // clean stop makes the truncation visible instead. ADVICE r13:
+        // a sample that decodes a nonempty PREFIX and then degrades
+        // is the same gap — the decoder now reports clean/partial, and
+        // a partial sample ends the walk too (its exact prefix frames
+        // are kept; nothing after the gap is renumbered).
         var walking = true
         bounded.indices.foreach { i =>
           if (walking && acc.size < maxFrames) {
             val s = starts(i)
             val len = bounded(i)
             if (s >= 0 && len > 0 && s + len <= bytes.length) {
-              val fs = esFrames(java.util.Arrays.copyOfRange(
+              val (fs, clean) = esFrames(java.util.Arrays.copyOfRange(
                 bytes, s.toInt, (s + len).toInt), maxFrames - acc.size)
-              if (fs.isEmpty) walking = false
-              else fs.foreach { case (t, w, h, m, sd) =>
+              if (!clean || fs.isEmpty) walking = false
+              fs.foreach { case (t, w, h, m, sd) =>
                 acc += ((acc.size + 1, t, w, h, m, sd))
               }
             } else walking = false

@@ -62,9 +62,24 @@ object ConvAE {
       * encoder — the reference's ConvT widths follow its own
       * lenl = IMG_SIZE/((count%2)+1) formula (app.py:585-591) and are
       * one step wider; documented deviation (COVERAGE §2), same class
-      * as the dropped BatchNorm. 256/512 regimes (counts 8/9) remain
-      * out of scope. */
+      * as the dropped BatchNorm. */
     def reference64: Config = Config(imgSize = 64, filters = Seq(16, 32, 64))
+
+    /** The reference's IMG_SIZE = 256 regime (app.py:508-513 flag
+      * '2'): count = log2(256) = 8, so Conv2D(16, 3, s2) plus
+      * count − 4 = 4 further stride-2 convs at the doubling widths
+      * 32, 64, 128, 256 (app.py:566-571, lenl *= 2), landing on the
+      * same 8×8 spatial flatten (8×8×256) → Dense(2). Round 14: the
+      * round-13 variable-depth stack expresses this directly — no new
+      * engine code, just the widths. */
+    def reference256: Config =
+      Config(imgSize = 256, filters = Seq(16, 32, 64, 128, 256))
+
+    /** The reference's IMG_SIZE = 512 regime (flag '3'): count = 9,
+      * five extra convs at widths 32..512, flatten 8×8×512 after six
+      * stride-2 halvings (512 → 8). Same formula, one deeper. */
+    def reference512: Config =
+      Config(imgSize = 512, filters = Seq(16, 32, 64, 128, 256, 512))
   }
 
   /** One tensor's parameters + Adam state. */

@@ -30,8 +30,22 @@ object SeriesOps extends Serializable {
     java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
-  /** [[theilSen]]'s one-slot defensive-cache pool (see its body). */
-  @volatile private var autoCachedTheilSen: Option[DataFrame] = None
+  /** [[theilSen]]'s defensive-cache pool, keyed by the input plan's
+    * semantic hash (see its body). Bounded LRU: at most
+    * [[TheilSenCacheSlots]] distinct uncached inputs stay pinned;
+    * re-calling over the SAME input reuses its slot instead of
+    * unpersisting it, so a lazy result frame from an earlier call
+    * keeps its cache alive across repeated calls (ADVICE r13). */
+  private val TheilSenCacheSlots = 4
+  private val autoCachedTheilSen =
+    new java.util.LinkedHashMap[Int, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, DataFrame]): Boolean = {
+        val evict = size() > TheilSenCacheSlots
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
 
 
   /** P2 + N1 + N2: drop null values, append whole-column `min_max` and
@@ -495,22 +509,32 @@ object SeriesOps extends Serializable {
     // re-execute the entire upstream plan (e.g. the events
     // group-collect) twice. The scaladoc asked callers to pass a
     // cached frame; enforce it here instead of by convention: cache
-    // the one-row-per-series input if the caller hasn't. Round-13
-    // review: the auto-cache is a ONE-SLOT pool — the next theilSen
-    // call over a different uncached input unpersists the previous
-    // auto-cached frame, so repeated calls cannot accumulate pinned
-    // series arrays for the session lifetime (already-cached inputs
-    // pass through untouched: the Memo'd registry caller is
-    // unaffected and never enters the slot).
-    val src =
-      if (series.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        SeriesOps.synchronized {
-          autoCachedTheilSen.foreach(_.unpersist())
+    // the one-row-per-series input if the caller hasn't. ADVICE r13:
+    // the pool is keyed by the analyzed plan's semantic hash with a
+    // bounded LRU — a repeat call over the same input REUSES its slot
+    // (no unpersist, so a lazy result frame from the earlier call
+    // still reads the cache), distinct inputs coexist up to
+    // TheilSenCacheSlots before the eldest is evicted, and both the
+    // storageLevel check and the slot lookup happen under the lock so
+    // concurrent calls can't double-cache or race the eviction
+    // (already-cached inputs pass through untouched: the Memo'd
+    // registry caller is unaffected and never enters the pool).
+    val src = SeriesOps.synchronized {
+      if (series.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        series
+      else {
+        val key = series.queryExecution.analyzed.semanticHash()
+        val hit = autoCachedTheilSen.get(key)
+        if (hit != null &&
+            hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          hit
+        else {
           val c = series.cache()
-          autoCachedTheilSen = Some(c)
+          autoCachedTheilSen.put(key, c)
           c
         }
-      else series
+      }
+    }
     val maxExactPairs = 100000000L
     // EXACT tier (round 12 perf): a tight JVM loop + Arrays.sort per
     // series replaces the Catalyst higher-order-function expression —

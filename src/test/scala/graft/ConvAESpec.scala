@@ -68,6 +68,55 @@ class ConvAESpec extends SparkSpec {
       "two identically-seeded 64x64 fits diverged")
   }
 
+  test("reference IMG_SIZE=256 regime: 5-stage 16..256 stack trains " +
+      "deterministically and reduces MSE (VERDICT r13 #5)") {
+    // the reference's flag-'2' geometry (app.py:508-513, count=8):
+    // 256x256 input through five stride-2 convs 16/32/64/128/256 to
+    // the 8x8x256 flatten. Budgeted tight (6 smooth images, 2
+    // epochs): the pin is geometry + bitwise determinism + learning
+    // at this depth, not convergence — a full-budget 256 fit is
+    // O(minutes) of pure-JVM arithmetic and belongs to a cluster run.
+    val imgs = Array.tabulate(6) { i =>
+      val cls = i % 3 + 1
+      Array.tabulate(256 * 256) { p =>
+        val (y, x) = (p / 256, p % 256)
+        0.5 + 0.4 * math.sin(cls * 0.031 * (y + 1)) * math.cos(cls * 0.027 * (x + 1))
+      }
+    }
+    val cfg = ConvAE.Config.reference256.copy(
+      epochs = 2, patience = 2, batchSize = 3, seed = 5)
+    val (before, after) = ConvAE.mseBeforeAfter(imgs, cfg)
+    assert(after < before,
+      s"256x256 training did not reduce MSE: before $before after $after")
+    val a = ConvAE.fitEmbed(imgs, imgs, cfg)
+    val b = ConvAE.fitEmbed(imgs, imgs, cfg)
+    assert(a.length == 6 && a.forall(_.length == 2))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two identically-seeded 256x256 fits diverged")
+  }
+
+  test("reference IMG_SIZE=512 regime: 6-stage stack embeds " +
+      "deterministically at the 8x8x512 flatten geometry") {
+    // flag-'3' geometry (count=9, six halvings 512->8). One epoch,
+    // two images: geometry + determinism only — same budget rationale
+    // as the 256 test, one depth deeper.
+    val imgs = Array.tabulate(2) { i =>
+      Array.tabulate(512 * 512) { p =>
+        val (y, x) = (p / 512, p % 512)
+        0.5 + 0.3 * math.sin((i + 1) * 0.013 * (y + 1)) *
+          math.cos((i + 1) * 0.017 * (x + 1))
+      }
+    }
+    val cfg = ConvAE.Config.reference512.copy(
+      epochs = 1, patience = 1, batchSize = 2, seed = 7)
+    val a = ConvAE.fitEmbed(imgs, imgs, cfg)
+    val b = ConvAE.fitEmbed(imgs, imgs, cfg)
+    assert(a.length == 2 && a.forall(_.length == 2))
+    assert(a.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two identically-seeded 512x512 fits diverged")
+  }
+
   test("training reduces reconstruction MSE and early-stops within the " +
       "epoch budget") {
     // 3 smooth image classes (the regime GAF/RP images live in, not
