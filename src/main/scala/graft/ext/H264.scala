@@ -48,10 +48,23 @@ package graft.ext
   *    per-picture state with prediction availability gated to the
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
-  *    picture never emits). B slices, CABAC, Intra_8x8
+  *    picture never emits). B slices, CABAC P/B slices, Intra_8x8
   *    (transform_size_8x8), reordered lists, FMO/ASO, field coding,
   *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
   *    None.
+  *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
+  *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
+  *    (incl. the ctx-276 I_PCM escape with engine re-init),
+  *    intra pred modes, coded_block_pattern, mb_qp_delta,
+  *    coded_block_flag / significance map / UEG0 levels across block
+  *    categories 0-4, end_of_slice termination, multi-slice pictures,
+  *    and a strict phantom-bit guard (a truncated slice can never
+  *    emit). Reconstruction is SHARED with the CAVLC walk
+  *    ([[reconI16]]/[[reconI4]]), and the fixture encoder
+  *    ([[idrNalCabac]]) drives the decoder's own ctxIdxInc helpers,
+  *    so entropy-layer correctness is pinned by CAVLC-vs-CABAC pixel
+  *    equality. CABAC P/B need the cabac_init_idc columns of Tables
+  *    9-13..9-33 (see H264Cabac's provenance note) and degrade.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -258,7 +271,8 @@ object H264 {
       id: Int, spsId: Int,
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
       bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
-      weightedPred: Boolean, constrainedIntra: Boolean)
+      weightedPred: Boolean, constrainedIntra: Boolean,
+      cabac: Boolean)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -315,7 +329,9 @@ object H264 {
     val br = new BitReader(rbsp)
     val ppsId = br.ue()
     val spsId = br.ue()
-    if (br.bit() == 1) throw ParseFail // CABAC: not implemented
+    // round 14: CABAC parses; the slice layer decodes CABAC I slices
+    // and degrades CABAC P/B (H264Cabac honesty bounds)
+    val cabac = br.bit() == 1
     val bottomFieldPoc = br.bit() == 1
     if (br.ue() != 0) throw ParseFail // num_slice_groups_minus1
     val numRefIdxL0Default = br.ue() + 1
@@ -334,7 +350,8 @@ object H264 {
       br.se() // second_chroma_qp_index_offset
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
-      bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra)
+      bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra,
+      cabac)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -1249,6 +1266,25 @@ object H264 {
     val i4mode: Array[Int] = Array.fill(mbW * 4 * mbH * 4)(-1)
     /** slice index per decoded macroblock; -1 = not yet decoded. */
     val sliceOf: Array[Int] = Array.fill(nMbs)(-1)
+    // ---- CABAC neighbor state (round 14; written by the CABAC walk
+    // only — CAVLC slices never read these). All derivations gate
+    // availability on sliceOf like the rest of the file.
+    /** 0 = I_NxN, 1 = Intra_16x16, 2 = I_PCM, 3 = inter; -1 = none. */
+    val mbKind: Array[Int] = Array.fill(nMbs)(-1)
+    /** coded_block_pattern per MB (luma | chroma << 4; I_PCM = 47). */
+    val mbCbp = new Array[Int](nMbs)
+    /** intra_chroma_pred_mode per MB (ctx 64 inc, 9.3.3.1.1.8). */
+    val chromaMode = new Array[Int](nMbs)
+    /** coded_block_flag state per transform-block kind (9.3.3.1.1.9):
+      * luma DC (I16 only), luma 4x4/AC per cell, chroma DC per comp,
+      * chroma AC per comp per cell. Values 0/1; blocks that do not
+      * exist in an MB stay 0 (the spec's "block absent" term). */
+    val cbfLumaDc = new Array[Byte](nMbs)
+    val cbfLuma4 = new Array[Byte](mbW * 4 * mbH * 4)
+    val cbfCbDc = new Array[Byte](nMbs)
+    val cbfCrDc = new Array[Byte](nMbs)
+    val cbfCbAc = new Array[Byte](mbW * 2 * mbH * 2)
+    val cbfCrAc = new Array[Byte](mbW * 2 * mbH * 2)
     /** per-slice (deblocking idc, alpha offset, beta offset). */
     val sliceParams =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
@@ -1307,6 +1343,9 @@ object H264 {
     // stride (review r12) — compare dimensions, not just length
     if (isP && pps.constrainedIntra) return None // intra-in-P would have
     // to treat inter neighbors as unavailable (8.3.3): not implemented
+    if (pps.cabac && isP) return None // CABAC P/B slices degrade: their
+    // context init needs the three cabac_init_idc columns of Tables
+    // 9-13..9-33 (H264Cabac honesty bounds); I-slice CABAC decodes
     val frameNum = br.bits(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3, round 13 review): with a
     // multi-picture DPB a GAP means un-decoded reference frames the
@@ -1439,6 +1478,15 @@ object H264 {
       }
     }
 
+    if (pps.cabac) {
+      // cabac_alignment_one_bit (7.3.4): every bit up to the byte
+      // boundary must be 1 — anything else is a malformed stream
+      while ((br.pos & 7) != 0) if (br.bit() != 1) return None
+      val sliceIdx = st.sliceParams.length
+      st.curSlice = sliceIdx
+      st.sliceParams += ((deblockIdc, offA, offB))
+      return cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp)
+    }
     val mbW = sps.mbW; val mbH = sps.mbH
     val stride = mbW * 16
     val luma = st.luma
@@ -1724,20 +1772,10 @@ object H264 {
         mbIntraA(mb) = true
         mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = qp
-        // prediction (8.3.3) from already-reconstructed neighbors
-        val pred = predict16x16(luma, stride, ox, oy, predMode,
-          hasLeft = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx,
-          hasTop = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx,
-          hasTopLeft = mbX > 0 && mbY > 0 &&
-            st.sliceOf(mb - mbW - 1) == sliceIdx)
-        if (pred == null) return None
         // luma DC: CAVLC with nC as for blkIdx 0 (9.2.1)
         val (dcCoeffs, _) =
           residualCavlc(br, lumaNz.nC(mbX * 4, mbY * 4), 16)
-        var s = 0
-        while (s < 16) { dcScan(Zig4(s)) = dcCoeffs(s); s += 1 }
-        val dcF = invHadamard4(dcScan)
-        // per-4x4 AC + reconstruction
+        // per-4x4 AC
         val acCoeffs = new Array[Array[Int]](16)
         var blk = 0
         while (blk < 16) {
@@ -1754,39 +1792,8 @@ object H264 {
         }
         // chroma residuals: parsed for sync + nz bookkeeping only
         parseChroma(cbpChroma, mbX, mbY)
-        // reconstruct luma
-        blk = 0
-        val d = new Array[Int](16)
-        while (blk < 16) {
-          val r = blkRow(blk); val c = blkCol(blk)
-          java.util.Arrays.fill(d, 0)
-          d(0) = scaleDc(dcF(r * 4 + c), qp)
-          val ac = acCoeffs(blk)
-          if (ac != null) {
-            var si = 0
-            while (si < 15) {
-              if (ac(si) != 0) {
-                val raster = Zig4(si + 1)
-                d(raster) = scaleAc(ac(si), raster, qp)
-              }
-              si += 1
-            }
-          }
-          val res = invTransform4x4(d)
-          var y = 0
-          while (y < 4) {
-            var x = 0
-            while (x < 4) {
-              val px = ox + c * 4 + x
-              val py = oy + r * 4 + y
-              luma(py * stride + px) =
-                clip255(pred((r * 4 + y) * 16 + (c * 4 + x)) + res(y * 4 + x))
-              x += 1
-            }
-            y += 1
-          }
-          blk += 1
-        }
+        if (!reconI16(st, sliceIdx, mb, qp, predMode, dcCoeffs, acCoeffs))
+          return None
       } else if (mbType == 0) {
         // ---- Intra_4x4 (I_NxN, round 13). transform_size_8x8_flag
         // is never present: the PPS parser refuses transform_8x8_mode,
@@ -1837,43 +1844,7 @@ object H264 {
           blk += 1
         }
         parseChroma(cbpChroma, mbX, mbY)
-        // reconstruct in z-order: each block's prediction reads
-        // neighbors reconstructed earlier (intra prediction uses
-        // UNFILTERED samples — the loop filter runs after the whole
-        // picture, 8.3.1)
-        blk = 0
-        val d4 = new Array[Int](16)
-        while (blk < 16) {
-          val r = blkRow(blk); val c = blkCol(blk)
-          val bx = mbX * 4 + c; val by = mbY * 4 + r
-          val pred = predict4x4(luma, stride, mbW, mbH, bx, by,
-            modes(blk), mb, blk, m2 => st.sliceOf(m2) == sliceIdx)
-          if (pred == null) return None
-          java.util.Arrays.fill(d4, 0)
-          val cf = coeffs(blk)
-          if (cf != null) {
-            var si = 0
-            while (si < 16) {
-              if (cf(si) != 0) {
-                val raster = Zig4(si)
-                d4(raster) = scaleAc(cf(si), raster, qp)
-              }
-              si += 1
-            }
-          }
-          val res = invTransform4x4(d4)
-          var y = 0
-          while (y < 4) {
-            var x = 0
-            while (x < 4) {
-              luma((by * 4 + y) * stride + bx * 4 + x) =
-                clip255(pred(y * 4 + x) + res(y * 4 + x))
-              x += 1
-            }
-            y += 1
-          }
-          blk += 1
-        }
+        if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return None
       } else return None // out-of-range mb_type
       mb += 1
       if (!br.moreRbspData()) ended = true
@@ -1883,6 +1854,489 @@ object H264 {
     if (isP) st.allIntra = false
     Some(st)
   }
+
+  // ------------------------------------------------------ CABAC slice
+
+  /** Residual-block ctx offsets by ctxBlockCat 0-4 (Intra16DC,
+    * Intra16AC, Luma4x4, ChromaDC, ChromaAC): coded_block_flag base
+    * 85, significant/last bases 105/166, coeff_abs_level base 227. */
+  private val CbfCatOff = Array(0, 4, 8, 12, 16)
+  private val SigCatOff = Array(0, 15, 29, 44, 47)
+  private val LvlCatOff = Array(0, 10, 20, 30, 39)
+  private val MaxCoeffCat = Array(16, 15, 16, 4, 15)
+
+  // ctxIdxInc derivations (9.3.3.1.1.x), shared VERBATIM by the
+  // decoder walk and the fixture encoder — the encoder drives the
+  // same PicState, so the two can never drift on neighbor modeling.
+
+  /** mb_type (I) bin0 inc: neighbors coded as other-than-I_NxN. */
+  private def mbTypeIInc(st: PicState, sliceIdx: Int, mb: Int): Int = {
+    val mbX = mb % st.mbW
+    val mbY = mb / st.mbW
+    val l = mb - 1
+    val t = mb - st.mbW
+    (if (mbX > 0 && st.sliceOf(l) == sliceIdx && st.mbKind(l) != 0) 1 else 0) +
+      (if (mbY > 0 && st.sliceOf(t) == sliceIdx && st.mbKind(t) != 0) 1
+      else 0)
+  }
+
+  /** intra_chroma_pred_mode bin0 inc (9.3.3.1.1.8). */
+  private def chromaModeInc(st: PicState, sliceIdx: Int, mb: Int): Int = {
+    val mbX = mb % st.mbW
+    val mbY = mb / st.mbW
+    def cond(m2: Int, geomOk: Boolean): Int =
+      if (geomOk && st.sliceOf(m2) == sliceIdx && st.mbKind(m2) != 2 &&
+        st.mbKind(m2) != 3 && st.chromaMode(m2) != 0) 1
+      else 0
+    cond(mb - 1, mbX > 0) + 2 * cond(mb - st.mbW, mbY > 0)
+  }
+
+  /** coded_block_pattern luma bin inc for 8x8 block `b8`, given the
+    * bits of THIS MB decoded so far (9.3.3.1.1.4; I_PCM neighbors
+    * carry stored cbp 47, making every rule uniform). */
+  private def cbpLumaInc(st: PicState, sliceIdx: Int, mb: Int, b8: Int,
+      cbpSoFar: Int): Int = {
+    val mbW = st.mbW
+    val mbX = mb % mbW
+    val mbY = mb / mbW
+    val bx8 = b8 & 1
+    val by8 = b8 >> 1
+    val condA =
+      if (bx8 == 1) { if (((cbpSoFar >> (b8 - 1)) & 1) != 0) 0 else 1 }
+      else if (!(mbX > 0 && st.sliceOf(mb - 1) == sliceIdx)) 0
+      else if (((st.mbCbp(mb - 1) >> (by8 * 2 + 1)) & 1) != 0) 0
+      else 1
+    val condB =
+      if (by8 == 1) { if (((cbpSoFar >> (b8 - 2)) & 1) != 0) 0 else 1 }
+      else if (!(mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx)) 0
+      else if (((st.mbCbp(mb - mbW) >> (2 + bx8)) & 1) != 0) 0
+      else 1
+    condA + 2 * condB
+  }
+
+  /** coded_block_pattern chroma bin inc; `bin1` selects the second
+    * stage (cbpChroma == 2 test) vs the first (!= 0 test). */
+  private def cbpChromaInc(st: PicState, sliceIdx: Int, mb: Int,
+      bin1: Boolean): Int = {
+    val mbX = mb % st.mbW
+    val mbY = mb / st.mbW
+    def cond(m2: Int, geomOk: Boolean): Int =
+      if (!geomOk || st.sliceOf(m2) != sliceIdx) 0
+      else {
+        val ch = st.mbCbp(m2) >> 4
+        if (if (bin1) ch == 2 else ch != 0) 1 else 0
+      }
+    cond(mb - 1, mbX > 0) + 2 * cond(mb - st.mbW, mbY > 0)
+  }
+
+  /** coded_block_flag condTermFlag for an MB-level block (luma DC /
+    * chroma DC) of the left/top neighbor; in an intra MB an
+    * unavailable neighbor contributes 1 (9.3.3.1.1.9). `hasBlock`
+    * says whether the neighbor's kind carries that block at all. */
+  private def cbfIncMb(st: PicState, sliceIdx: Int, mb: Int,
+      arr: Array[Byte], hasBlock: Int => Boolean): Int = {
+    val mbX = mb % st.mbW
+    val mbY = mb / st.mbW
+    def cond(m2: Int, geomOk: Boolean): Int =
+      if (!geomOk || st.sliceOf(m2) != sliceIdx) 1 // intra current
+      else if (st.mbKind(m2) == 2) 1
+      else if (!hasBlock(st.mbKind(m2))) 0
+      else arr(m2).toInt
+    cond(mb - 1, mbX > 0) + 2 * cond(mb - st.mbW, mbY > 0)
+  }
+
+  /** coded_block_flag condTermFlag for one neighboring CELL on a
+    * per-4x4 (cellsPerMb = 4) or per-chroma-4x4 (2) grid. `mb` is the
+    * CURRENT macroblock (an intra one: outside-picture/slice -> 1). */
+  private def cbfCondCellAt(st: PicState, sliceIdx: Int, mb: Int,
+      cx0: Int, cy0: Int, grid: Array[Byte], gw: Int,
+      cellsPerMb: Int): Int = {
+    if (cx0 < 0 || cy0 < 0) return 1
+    val m2 = (cy0 / cellsPerMb) * st.mbW + (cx0 / cellsPerMb)
+    if (m2 != mb && st.sliceOf(m2) != sliceIdx) 1
+    else if (st.mbKind(m2) == 2) 1
+    else grid(cy0 * gw + cx0).toInt
+  }
+
+  /** Both-neighbor cell inc: left + 2 * top. */
+  private def cbfIncCell(st: PicState, sliceIdx: Int, mb: Int,
+      cx0: Int, cy0: Int, grid: Array[Byte], gw: Int,
+      cellsPerMb: Int): Int =
+    cbfCondCellAt(st, sliceIdx, mb, cx0 - 1, cy0, grid, gw, cellsPerMb) +
+      2 * cbfCondCellAt(st, sliceIdx, mb, cx0, cy0 - 1, grid, gw,
+        cellsPerMb)
+
+  /** chroma-DC coded_block_flag inc (the DC block exists whenever the
+    * neighbor's cbpChroma != 0). */
+  private def cbfIncChromaDc(st: PicState, sliceIdx: Int, mb: Int,
+      arr: Array[Byte]): Int = {
+    val mbX = mb % st.mbW
+    val mbY = mb / st.mbW
+    def cond(m2: Int, geomOk: Boolean): Int =
+      if (!geomOk || st.sliceOf(m2) != sliceIdx) 1
+      else if (st.mbKind(m2) == 2) 1
+      else if ((st.mbCbp(m2) >> 4) == 0) 0
+      else arr(m2).toInt
+    cond(mb - 1, mbX > 0) + 2 * cond(mb - st.mbW, mbY > 0)
+  }
+
+  /** Decode one residual_block_cabac (7.3.5.3.3): coded_block_flag
+    * at `85 + catOff + cbfInc`, significance map, levels high-to-low
+    * with the 9.3.3.1.3 Eq1/Gt1 adaptation, signs in bypass. Returns
+    * scan-order coefficients (length = maxNumCoeff for the cat) and
+    * the nonzero count, or null on a malformed map/level. */
+  private[ext] def residualCabac(dec: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      cat: Int, cbfInc: Int): (Array[Int], Int) = {
+    val maxC = MaxCoeffCat(cat)
+    val out = new Array[Int](maxC)
+    if (!dec.decision(cx, 85 + CbfCatOff(cat) + cbfInc)) return (out, 0)
+    val sigBase = 105 + SigCatOff(cat)
+    val lastBase = 166 + SigCatOff(cat)
+    val sig = new Array[Boolean](maxC)
+    var lastIdx = maxC - 1
+    var i = 0
+    var done = false
+    while (i < maxC - 1 && !done) {
+      val inc = if (cat == 3) math.min(i, 2) else i
+      if (dec.decision(cx, sigBase + inc)) {
+        sig(i) = true
+        if (dec.decision(cx, lastBase + inc)) { lastIdx = i; done = true }
+      }
+      i += 1
+    }
+    if (!done) sig(maxC - 1) = true // the final position is inferred
+    val lvlBase = 227 + LvlCatOff(cat)
+    val clampMax = if (cat == 3) 3 else 4
+    var numEq1 = 0
+    var numGt1 = 0
+    var nz = 0
+    i = lastIdx
+    while (i >= 0) {
+      if (sig(i)) {
+        var absLvl = 1
+        val inc0 = if (numGt1 != 0) 0 else math.min(clampMax, 1 + numEq1)
+        if (dec.decision(cx, lvlBase + inc0)) {
+          // TU prefix continues at the Gt1 context (constant while
+          // this level decodes), cMax 14, then the UEG0 bypass escape
+          val incG = 5 + math.min(clampMax, numGt1)
+          absLvl = 2
+          while (absLvl < 15 && dec.decision(cx, lvlBase + incG))
+            absLvl += 1
+          if (absLvl == 15) { // escape: abs = 14 + 2^j + suffix
+            var j = 0
+            while (j < 30 && dec.bypass()) j += 1
+            if (j >= 30) return null
+            var v = 1
+            var k = 0
+            while (k < j) { v = (v << 1) | (if (dec.bypass()) 1 else 0); k += 1 }
+            absLvl = v + 14
+          }
+        }
+        val neg = dec.bypass()
+        out(i) = if (neg) -absLvl else absLvl
+        if (absLvl == 1) numEq1 += 1 else numGt1 += 1
+        nz += 1
+      }
+      i -= 1
+    }
+    (out, nz)
+  }
+
+  /** CABAC I-slice macroblock walk (round 14): the mb_type tree
+    * (ctx 3-10 + the 276 I_PCM escape), Intra_4x4 / Intra_16x16 /
+    * I_PCM with full residual decoding across block categories 0-4,
+    * end_of_slice_flag termination. Reconstruction rides the SAME
+    * [[reconI16]]/[[reconI4]] helpers as the CAVLC walk, and the
+    * nz/mv/qp bookkeeping feeds the same loop filter. Neighbor
+    * availability is slice-gated like everywhere else in this file. */
+  private def cabacSliceI(st: PicState, sliceIdx: Int, rbsp: Array[Byte],
+      startBit: Int, startMb: Int, qpInit: Int): Option[PicState] = {
+    val cx = new H264Cabac.Ctx(qpInit)
+    val dec = new H264Cabac.Dec(rbsp, startBit)
+    if (!dec.valid) return None
+    val mbW = st.mbW
+    val nMbs = st.nMbs
+    val stride = st.stride
+    val luma = st.luma
+    var qp = qpInit
+    var prevQpDeltaNz = false
+    var mb = startMb
+    var endOfSlice = false
+    while (mb < nMbs && !endOfSlice) {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      // ---- mb_type (I): bin0 at ctx 3 + inc (neighbors read BEFORE
+      // this MB claims its sliceOf entry)
+      val incT = mbTypeIInc(st, sliceIdx, mb)
+      st.sliceOf(mb) = sliceIdx
+      val isI4 = !dec.decision(cx, 3 + incT)
+      if (!isI4 && dec.terminate()) {
+        // ---- I_PCM (the ctx-276 escape; engine re-inits after)
+        val byteStart = (dec.bitPos + 7) >> 3
+        if (byteStart + 384 > rbsp.length) return None
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            luma((mbY * 16 + y) * stride + mbX * 16 + x) =
+              rbsp(byteStart + y * 16 + x) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        st.mbKind(mb) = 2
+        st.mbCbp(mb) = 47
+        st.cbfLumaDc(mb) = 1
+        st.cbfCbDc(mb) = 1
+        st.cbfCrDc(mb) = 1
+        var blk = 0
+        while (blk < 16) {
+          st.lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
+          st.cbfLuma4((mbY * 4 + blkRow(blk)) * mbW * 4 +
+            mbX * 4 + blkCol(blk)) = 1
+          blk += 1
+        }
+        var cblk = 0
+        while (cblk < 4) {
+          val ccx = mbX * 2 + (cblk & 1)
+          val ccy = mbY * 2 + (cblk >> 1)
+          st.cbNz.set(ccx, ccy, 16)
+          st.crNz.set(ccx, ccy, 16)
+          st.cbfCbAc(ccy * mbW * 2 + ccx) = 1
+          st.cbfCrAc(ccy * mbW * 2 + ccx) = 1
+          cblk += 1
+        }
+        st.mbIntraA(mb) = true
+        st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        st.qpMbA(mb) = 0 // loop filter: I_PCM is QP 0 (8.7.2)
+        prevQpDeltaNz = false
+        if (!dec.reinit((byteStart + 384) * 8)) return None
+      } else {
+        // decode mb_qp_delta (9.3.2.7 U binarization, ctx 60-63)
+        def qpDelta(): Option[Int] = {
+          if (!dec.decision(cx, 60 + (if (prevQpDeltaNz) 1 else 0)))
+            return Some(0)
+          var k = 1
+          if (dec.decision(cx, 62)) {
+            k = 2
+            while (k <= 52 && dec.decision(cx, 63)) k += 1
+            if (k > 52) return None
+          }
+          Some(if ((k & 1) == 1) (k + 1) >> 1 else -(k >> 1))
+        }
+        // intra_chroma_pred_mode (TU cMax 3, ctx 64 + inc then 67)
+        def chromaPredMode(): Int = {
+          val inc = chromaModeInc(st, sliceIdx, mb)
+          if (!dec.decision(cx, 64 + inc)) 0
+          else if (!dec.decision(cx, 67)) 1
+          else if (!dec.decision(cx, 67)) 2
+          else 3
+        }
+        if (isI4) {
+          // ---- I_NxN: 16 pred modes, chroma mode, cbp, residuals
+          val modes = new Array[Int](16)
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            val bx = mbX * 4 + c; val by = mbY * 4 + r
+            val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
+              i4ModeAtSt(st, sliceIdx, bx, by - 1))
+            val mode =
+              if (dec.decision(cx, 68)) pm
+              else {
+                var rem = 0
+                if (dec.decision(cx, 69)) rem |= 1
+                if (dec.decision(cx, 69)) rem |= 2
+                if (dec.decision(cx, 69)) rem |= 4
+                if (rem < pm) rem else rem + 1
+              }
+            if (mode < 0 || mode > 8) return None
+            modes(blk) = mode
+            st.i4mode(by * (mbW * 4) + bx) = mode
+            blk += 1
+          }
+          st.chromaMode(mb) = chromaPredMode()
+          // coded_block_pattern: luma 4 FL bins (ctx 73 + condA +
+          // 2*condB over adjacent 8x8 blocks), then chroma 2 bins
+          var cbpLuma = 0
+          var b8 = 0
+          while (b8 < 4) {
+            val inc = cbpLumaInc(st, sliceIdx, mb, b8, cbpLuma)
+            if (dec.decision(cx, 73 + inc)) cbpLuma |= 1 << b8
+            b8 += 1
+          }
+          var cbpChroma = 0
+          if (dec.decision(cx,
+            77 + cbpChromaInc(st, sliceIdx, mb, bin1 = false)))
+            cbpChroma = if (dec.decision(cx,
+              81 + cbpChromaInc(st, sliceIdx, mb, bin1 = true))) 2
+            else 1
+          st.mbKind(mb) = 0
+          st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
+          if ((cbpLuma | cbpChroma) != 0) {
+            qpDelta() match {
+              case Some(d) =>
+                qp = (qp + d + 52) % 52
+                prevQpDeltaNz = d != 0
+              case None => return None
+            }
+          } else prevQpDeltaNz = false
+          st.mbIntraA(mb) = true
+          st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+          st.qpMbA(mb) = qp
+          // luma residuals (cat 2), z-order, gated per 8x8 group
+          val coeffs = new Array[Array[Int]](16)
+          blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            val bx = mbX * 4 + c; val by = mbY * 4 + r
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
+                st.cbfLuma4, mbW * 4, 4)
+              val rb = residualCabac(dec, cx, 2, inc)
+              if (rb == null) return None
+              coeffs(blk) = rb._1
+              st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
+              st.lumaNz.set(bx, by, rb._2)
+            } else {
+              coeffs(blk) = null
+              st.cbfLuma4(by * mbW * 4 + bx) = 0
+              st.lumaNz.set(bx, by, 0)
+            }
+            blk += 1
+          }
+          if (!cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma))
+            return None
+          if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return None
+        } else {
+          // ---- Intra_16x16 suffix: cbp-luma bit (ctx 6), chroma
+          // ('0' / '10' / '11' at ctx 7 then 8), two pred bits (9, 10)
+          val acFlag = if (dec.decision(cx, 6)) 1 else 0
+          var cbpChroma = 0
+          if (dec.decision(cx, 7))
+            cbpChroma = if (dec.decision(cx, 8)) 2 else 1
+          var predMode = 0
+          if (dec.decision(cx, 9)) predMode |= 2
+          if (dec.decision(cx, 10)) predMode |= 1
+          st.chromaMode(mb) = chromaPredMode()
+          qpDelta() match {
+            case Some(d) =>
+              qp = (qp + d + 52) % 52
+              prevQpDeltaNz = d != 0
+            case None => return None
+          }
+          st.mbKind(mb) = 1
+          st.mbCbp(mb) = (if (acFlag == 1) 15 else 0) | (cbpChroma << 4)
+          st.mbIntraA(mb) = true
+          st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+          st.qpMbA(mb) = qp
+          // luma DC (cat 0): neighbors' DC blocks exist only in I16
+          val dcInc = cbfIncMb(st, sliceIdx, mb, st.cbfLumaDc, _ == 1)
+          val dcRb = residualCabac(dec, cx, 0, dcInc)
+          if (dcRb == null) return None
+          st.cbfLumaDc(mb) = if (dcRb._2 > 0) 1 else 0
+          // luma AC (cat 1), all 16 blocks when acFlag
+          val acCoeffs = new Array[Array[Int]](16)
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            val bx = mbX * 4 + c; val by = mbY * 4 + r
+            if (acFlag == 1) {
+              val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
+                st.cbfLuma4, mbW * 4, 4)
+              val rb = residualCabac(dec, cx, 1, inc)
+              if (rb == null) return None
+              acCoeffs(blk) = rb._1
+              st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
+              st.lumaNz.set(bx, by, rb._2)
+            } else {
+              acCoeffs(blk) = null
+              st.cbfLuma4(by * mbW * 4 + bx) = 0
+              st.lumaNz.set(bx, by, 0)
+            }
+            blk += 1
+          }
+          if (!cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma))
+            return None
+          if (!reconI16(st, sliceIdx, mb, qp, predMode, dcRb._1, acCoeffs))
+            return None
+        }
+      }
+      mb += 1
+      endOfSlice = dec.terminate()
+      if (!endOfSlice && mb >= nMbs) return None // claims MBs past the
+      // picture: malformed
+    }
+    // phantom-bit guard: the bit-serial engine's reads are in exact
+    // renorm lockstep with the encoder's emissions (D = R + 9 = E at
+    // every flush), so a VALID slice never reads past its own bytes —
+    // any overrun means a truncated stream "completed" on fabricated
+    // zero bits and must degrade, never emit (the Mpeg1 discipline)
+    if (dec.overrun > 0) return None
+    st.mbNext = mb
+    Some(st)
+  }
+
+  /** Shared CABAC chroma residual walk (sync + cbf/nz bookkeeping;
+    * chroma is not reconstructed — the CAVLC parseChroma twin). */
+  private def cabacChroma(st: PicState, sliceIdx: Int,
+      dec: H264Cabac.Dec, cx: H264Cabac.Ctx, mb: Int,
+      cbpChroma: Int): Boolean = {
+    val mbW = st.mbW
+    val mbX = mb % mbW
+    val mbY = mb / mbW
+    if (cbpChroma > 0) {
+      // chroma DC (cat 3), Cb then Cr; a neighbor's DC block exists
+      // whenever its cbpChroma != 0
+      var comp = 0
+      while (comp < 2) {
+        val arr = if (comp == 0) st.cbfCbDc else st.cbfCrDc
+        val rb = residualCabac(dec, cx, 3,
+          cbfIncChromaDc(st, sliceIdx, mb, arr))
+        if (rb == null) return false
+        arr(mb) = if (rb._2 > 0) 1 else 0
+        comp += 1
+      }
+    } else {
+      st.cbfCbDc(mb) = 0
+      st.cbfCrDc(mb) = 0
+    }
+    var comp = 0
+    while (comp < 2) {
+      val grid = if (comp == 0) st.cbfCbAc else st.cbfCrAc
+      val nzc = if (comp == 0) st.cbNz else st.crNz
+      var cblk = 0
+      while (cblk < 4) {
+        val ccx = mbX * 2 + (cblk & 1)
+        val ccy = mbY * 2 + (cblk >> 1)
+        if (cbpChroma == 2) {
+          val inc = cbfIncCell(st, sliceIdx, mb, ccx, ccy, grid,
+            mbW * 2, 2)
+          val rb = residualCabac(dec, cx, 4, inc)
+          if (rb == null) return false
+          grid(ccy * mbW * 2 + ccx) = if (rb._2 > 0) 1 else 0
+          nzc.set(ccx, ccy, rb._2)
+        } else {
+          grid(ccy * mbW * 2 + ccx) = 0
+          nzc.set(ccx, ccy, 0)
+        }
+        cblk += 1
+      }
+      comp += 1
+    }
+    true
+  }
+
+  /** Slice-gated Intra_4x4 mode lookup over PicState (the CAVLC
+    * walk's i4ModeAt closure, shared with the CABAC walk). */
+  private def i4ModeAtSt(st: PicState, sliceIdx: Int, bx: Int,
+      by: Int): Int =
+    if (bx < 0 || by < 0) 2
+    else if (st.sliceOf((by >> 2) * st.mbW + (bx >> 2)) != sliceIdx) 2
+    else {
+      val m = st.i4mode(by * (st.mbW * 4) + bx)
+      if (m < 0) 2 else m
+    }
 
   /** Intra_16x16 prediction (8.3.3): mode 0 = V, 1 = H, 2 = DC,
     * 3 = Plane. Returns the 16x16 prediction (row-major) or null when
@@ -1948,6 +2402,114 @@ object H264 {
       case _ => return null
     }
     pred
+  }
+
+  /** Reconstruct one Intra_16x16 macroblock (8.3.3 + 8.5.10-12) from
+    * SCAN-order DC coefficients (16) and per-4x4-block scan-order AC
+    * coefficients (15 each; null = uncoded block). Entropy-agnostic:
+    * the CAVLC and CABAC walks both land here (round 14). Returns
+    * false when a required prediction neighbor is unavailable. */
+  private def reconI16(st: PicState, sliceIdx: Int, mb: Int, qp: Int,
+      predMode: Int, dcCoeffsScan: Array[Int],
+      acCoeffs: Array[Array[Int]]): Boolean = {
+    val mbW = st.mbW
+    val stride = st.stride
+    val luma = st.luma
+    val mbX = mb % mbW
+    val mbY = mb / mbW
+    val ox = mbX * 16
+    val oy = mbY * 16
+    val pred = predict16x16(luma, stride, ox, oy, predMode,
+      hasLeft = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx,
+      hasTop = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx,
+      hasTopLeft = mbX > 0 && mbY > 0 &&
+        st.sliceOf(mb - mbW - 1) == sliceIdx)
+    if (pred == null) return false
+    val dcScan = new Array[Int](16)
+    var s = 0
+    while (s < 16) { dcScan(Zig4(s)) = dcCoeffsScan(s); s += 1 }
+    val dcF = invHadamard4(dcScan)
+    val d = new Array[Int](16)
+    var blk = 0
+    while (blk < 16) {
+      val r = blkRow(blk); val c = blkCol(blk)
+      java.util.Arrays.fill(d, 0)
+      d(0) = scaleDc(dcF(r * 4 + c), qp)
+      val ac = acCoeffs(blk)
+      if (ac != null) {
+        var si = 0
+        while (si < 15) {
+          if (ac(si) != 0) {
+            val raster = Zig4(si + 1)
+            d(raster) = scaleAc(ac(si), raster, qp)
+          }
+          si += 1
+        }
+      }
+      val res = invTransform4x4(d)
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) {
+          val px = ox + c * 4 + x
+          val py = oy + r * 4 + y
+          luma(py * stride + px) =
+            clip255(pred((r * 4 + y) * 16 + (c * 4 + x)) + res(y * 4 + x))
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    true
+  }
+
+  /** Reconstruct one Intra_4x4 macroblock (8.3.1 + 8.5.12) from the
+    * 16 z-order prediction modes and per-block scan-order
+    * coefficients (16 each; null = uncoded). Z-order: each block's
+    * prediction reads neighbors reconstructed earlier (unfiltered,
+    * 8.3.1). Entropy-agnostic (round 14). */
+  private def reconI4(st: PicState, sliceIdx: Int, mb: Int, qp: Int,
+      modes: Array[Int], coeffs: Array[Array[Int]]): Boolean = {
+    val mbW = st.mbW
+    val stride = st.stride
+    val luma = st.luma
+    val mbX = mb % mbW
+    val mbY = mb / mbW
+    var blk = 0
+    val d4 = new Array[Int](16)
+    while (blk < 16) {
+      val r = blkRow(blk); val c = blkCol(blk)
+      val bx = mbX * 4 + c; val by = mbY * 4 + r
+      val pred = predict4x4(luma, stride, mbW, st.mbH, bx, by,
+        modes(blk), mb, blk, m2 => st.sliceOf(m2) == sliceIdx)
+      if (pred == null) return false
+      java.util.Arrays.fill(d4, 0)
+      val cf = coeffs(blk)
+      if (cf != null) {
+        var si = 0
+        while (si < 16) {
+          if (cf(si) != 0) {
+            val raster = Zig4(si)
+            d4(raster) = scaleAc(cf(si), raster, qp)
+          }
+          si += 1
+        }
+      }
+      val res = invTransform4x4(d4)
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) {
+          luma((by * 4 + y) * stride + bx * 4 + x) =
+            clip255(pred(y * 4 + x) + res(y * 4 + x))
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    true
   }
 
   // ---------------------------------------------------------------- encode
@@ -2051,11 +2613,12 @@ object H264 {
     * the encoder's slices disable the loop filter). `id` lets tests
     * exercise the by-id parameter-set selection (slices reference
     * pps_id 0). */
-  def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false): Array[Byte] = {
+  def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false,
+      cabac: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
-    bw.put(0, 1) // entropy: CAVLC
+    bw.put(if (cabac) 1 else 0, 1) // entropy_coding_mode_flag
     bw.put(0, 1) // bottom_field_pic_order
     bw.putUe(0) // num_slice_groups_minus1
     bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
@@ -2184,6 +2747,333 @@ object H264 {
     }
     bw.rbspTrailing()
     nalUnit(0x65, bw.result())
+  }
+
+  /** Encode one residual_block_cabac from scan-order coefficients —
+    * the decoder's [[residualCabac]] mirrored bin for bin. Returns
+    * the nonzero count. */
+  private[ext] def putResidualCabac(enc: H264Cabac.Enc, cxp: H264Cabac.Ctx,
+      cat: Int, cbfInc: Int, coeffs: Array[Int]): Int = {
+    val maxC = MaxCoeffCat(cat)
+    require(coeffs.length == maxC, s"cat $cat wants $maxC coeffs")
+    var nz = 0
+    var lastIdx = -1
+    var i = 0
+    while (i < maxC) {
+      if (coeffs(i) != 0) { nz += 1; lastIdx = i }
+      i += 1
+    }
+    enc.decision(cxp, 85 + CbfCatOff(cat) + cbfInc, nz > 0)
+    if (nz == 0) return 0
+    val sigBase = 105 + SigCatOff(cat)
+    val lastBase = 166 + SigCatOff(cat)
+    i = 0
+    var stop = false
+    while (i < maxC - 1 && !stop) {
+      val inc = if (cat == 3) math.min(i, 2) else i
+      val s = coeffs(i) != 0
+      enc.decision(cxp, sigBase + inc, s)
+      if (s) {
+        val isLast = i == lastIdx
+        enc.decision(cxp, lastBase + inc, isLast)
+        if (isLast) stop = true
+      }
+      i += 1
+    }
+    val lvlBase = 227 + LvlCatOff(cat)
+    val clampMax = if (cat == 3) 3 else 4
+    var numEq1 = 0
+    var numGt1 = 0
+    i = lastIdx
+    while (i >= 0) {
+      val v = coeffs(i)
+      if (v != 0) {
+        val a = math.abs(v)
+        val inc0 = if (numGt1 != 0) 0 else math.min(clampMax, 1 + numEq1)
+        enc.decision(cxp, lvlBase + inc0, a > 1)
+        if (a > 1) {
+          val incG = 5 + math.min(clampMax, numGt1)
+          var k = 2
+          while (k < 15 && k < a) {
+            enc.decision(cxp, lvlBase + incG, bin = true)
+            k += 1
+          }
+          if (a < 15) enc.decision(cxp, lvlBase + incG, bin = false)
+          else { // UEG0 escape: j leading ones, stop, j suffix bits
+            val vv = a - 14
+            var j = 0
+            while ((vv >> (j + 1)) != 0) j += 1
+            var t = 0
+            while (t < j) { enc.bypass(bin = true); t += 1 }
+            enc.bypass(bin = false)
+            var b = j - 1
+            while (b >= 0) { enc.bypass(((vv >> b) & 1) == 1); b -= 1 }
+          }
+        }
+        enc.bypass(v < 0)
+        if (a == 1) numEq1 += 1 else numGt1 += 1
+      }
+      i -= 1
+    }
+    nz
+  }
+
+  /** CABAC twin of [[idrNal]] (round 14): one IDR I slice covering
+    * [firstMb, firstMb+count) encoded with the 9.3.4 engine over the
+    * SAME [[Mb]] vocabulary — Pcm / I16Dc / I4x4 keep their
+    * closed-form reconstruction semantics, so every CAVLC oracle
+    * formula carries over verbatim. Neighbor context modeling drives
+    * a real [[PicState]] through the decoder's own ctxIdxInc helpers
+    * (mbTypeIInc / cbpLumaInc / cbfIncCell / ...), which makes
+    * encoder-decoder context drift structurally impossible. */
+  def idrNalCabac(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
+      deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
+      idcOverride: Int = -1): Array[Byte] = {
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    val count = if (mbCount < 0) mbW * mbH - firstMb else mbCount
+    require(firstMb >= 0 && count >= 1 && firstMb + count <= mbW * mbH,
+      s"slice range out of picture: $firstMb+$count")
+    val bw = new BitWriter
+    bw.putUe(firstMb) // first_mb_in_slice
+    bw.putUe(7) // slice_type: I (all)
+    bw.putUe(0) // pps_id
+    bw.put(0, 4) // frame_num (log2 = 4)
+    bw.putUe(0) // idr_pic_id
+    bw.put(0, 4) // pic_order_cnt_lsb
+    bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
+    bw.putSe(0) // slice_qp_delta
+    val idc = if (idcOverride >= 0) idcOverride else if (deblock) 0 else 1
+    bw.putUe(idc)
+    if (idc != 1) { bw.putSe(0); bw.putSe(0) }
+    while (!bw.byteAligned) bw.put(1, 1) // cabac_alignment_one_bit
+    // shadow state: the decoder-shaped neighbor model
+    val sps = Sps(0, mbW, mbH, 0, 0, 0, 0, 4, 0, 4,
+      deltaPocAlwaysZero = false, maxRefFrames = 1)
+    val st = new PicState(sps, isIdr = true, frameNum = 0, ppsId = 0)
+    val sliceIdx = 0
+    st.sliceParams += ((idc, 0, 0))
+    st.curSlice = sliceIdx
+    val cxp = new H264Cabac.Ctx(qp)
+    var enc = new H264Cabac.Enc
+    var prevQpDeltaNz = false
+    def drainFlushed(): Unit = { enc.drain(b => bw.put(b, 1)) }
+    var i = firstMb
+    while (i < firstMb + count) {
+      val mbX = i % mbW
+      val mbY = i / mbW
+      def zeroChromaState(): Unit = {
+        st.cbfCbDc(i) = 0
+        st.cbfCrDc(i) = 0
+        var cblk = 0
+        while (cblk < 4) {
+          val ccx = mbX * 2 + (cblk & 1)
+          val ccy = mbY * 2 + (cblk >> 1)
+          st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+          st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+          st.cbNz.set(ccx, ccy, 0)
+          st.crNz.set(ccx, ccy, 0)
+          cblk += 1
+        }
+      }
+      def putLumaBlock(blk: Int, cat: Int, lvl: Int,
+          maxC: Int): Unit = {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val bx = mbX * 4 + c; val by = mbY * 4 + r
+        val coeffs = new Array[Int](maxC)
+        coeffs(0) = lvl
+        val inc = cbfIncCell(st, sliceIdx, i, bx, by, st.cbfLuma4,
+          mbW * 4, 4)
+        val nz = putResidualCabac(enc, cxp, cat, inc, coeffs)
+        st.cbfLuma4(by * mbW * 4 + bx) = if (nz > 0) 1 else 0
+        st.lumaNz.set(bx, by, nz)
+      }
+      def zeroLumaBlock(blk: Int): Unit = {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val bx = mbX * 4 + c; val by = mbY * 4 + r
+        st.cbfLuma4(by * mbW * 4 + bx) = 0
+        st.lumaNz.set(bx, by, 0)
+      }
+      mb(i) match {
+        case Pcm(pix) =>
+          enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = true)
+          st.sliceOf(i) = sliceIdx
+          enc.terminate(bin = true) // the ctx-276 I_PCM escape + flush
+          drainFlushed()
+          bw.alignZero() // pcm_alignment_zero_bit
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val v = pix(x, y)
+              require(v >= 0 && v <= 255, s"pcm pixel out of range: $v")
+              bw.putByte(v)
+              x += 1
+            }
+            y += 1
+          }
+          var c = 0
+          while (c < 128) { bw.putByte(128); c += 1 }
+          st.mbKind(i) = 2
+          st.mbCbp(i) = 47
+          st.chromaMode(i) = 0
+          st.cbfLumaDc(i) = 1
+          st.cbfCbDc(i) = 1
+          st.cbfCrDc(i) = 1
+          var blk = 0
+          while (blk < 16) {
+            val bx = mbX * 4 + blkCol(blk)
+            val by = mbY * 4 + blkRow(blk)
+            st.cbfLuma4(by * mbW * 4 + bx) = 1
+            st.lumaNz.set(bx, by, 16)
+            blk += 1
+          }
+          var cblk = 0
+          while (cblk < 4) {
+            val ccx = mbX * 2 + (cblk & 1)
+            val ccy = mbY * 2 + (cblk >> 1)
+            st.cbfCbAc(ccy * mbW * 2 + ccx) = 1
+            st.cbfCrAc(ccy * mbW * 2 + ccx) = 1
+            st.cbNz.set(ccx, ccy, 16)
+            st.crNz.set(ccx, ccy, 16)
+            cblk += 1
+          }
+          prevQpDeltaNz = false
+          enc = new H264Cabac.Enc // engine re-init after PCM (9.3.1)
+        case spec: I16Dc =>
+          val I16Dc(z, ac0, pred, chromaDcTz) = spec
+          require(z >= -7 && z <= 7, s"dc level out of range: $z")
+          require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
+          require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
+          require(chromaDcTz >= -1 && chromaDcTz <= 3,
+            s"chromaDcTz out of range: $chromaDcTz")
+          val acFlag = if (ac0 != 0) 1 else 0
+          val cbpCh = if (chromaDcTz >= 0) 1 else 0
+          enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = true)
+          st.sliceOf(i) = sliceIdx
+          enc.terminate(bin = false) // not I_PCM
+          enc.decision(cxp, 6, acFlag == 1)
+          enc.decision(cxp, 7, cbpCh > 0)
+          if (cbpCh > 0) enc.decision(cxp, 8, bin = false) // cbpCh = 1
+          enc.decision(cxp, 9, ((pred >> 1) & 1) == 1)
+          enc.decision(cxp, 10, (pred & 1) == 1)
+          enc.decision(cxp, 64 + chromaModeInc(st, sliceIdx, i),
+            bin = false) // intra_chroma_pred_mode DC
+          st.chromaMode(i) = 0
+          enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
+            bin = false) // mb_qp_delta 0
+          prevQpDeltaNz = false
+          st.mbKind(i) = 1
+          st.mbCbp(i) = (if (acFlag == 1) 15 else 0) | (cbpCh << 4)
+          // luma DC (cat 0)
+          val dcCoeffs = new Array[Int](16)
+          dcCoeffs(0) = z
+          val dcNz = putResidualCabac(enc, cxp, 0,
+            cbfIncMb(st, sliceIdx, i, st.cbfLumaDc, _ == 1), dcCoeffs)
+          st.cbfLumaDc(i) = if (dcNz > 0) 1 else 0
+          if (acFlag == 1) {
+            var blk = 0
+            while (blk < 16) {
+              putLumaBlock(blk, 1, if (blk == 0) ac0 else 0, 15)
+              blk += 1
+            }
+          } else {
+            var blk = 0
+            while (blk < 16) { zeroLumaBlock(blk); blk += 1 }
+          }
+          if (cbpCh == 1) {
+            var comp = 0
+            while (comp < 2) {
+              val arr = if (comp == 0) st.cbfCbDc else st.cbfCrDc
+              val coeffs = new Array[Int](4)
+              coeffs(chromaDcTz) = 1
+              val nz = putResidualCabac(enc, cxp, 3,
+                cbfIncChromaDc(st, sliceIdx, i, arr), coeffs)
+              arr(i) = if (nz > 0) 1 else 0
+              comp += 1
+            }
+            var cblk = 0
+            while (cblk < 4) {
+              val ccx = mbX * 2 + (cblk & 1)
+              val ccy = mbY * 2 + (cblk >> 1)
+              st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+              st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+              st.cbNz.set(ccx, ccy, 0)
+              st.crNz.set(ccx, ccy, 0)
+              cblk += 1
+            }
+          } else zeroChromaState()
+        case I4x4(modeOf, dcOf) =>
+          enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = false)
+          st.sliceOf(i) = sliceIdx
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            val bx = mbX * 4 + c; val by = mbY * 4 + r
+            val m = modeOf(blk)
+            require(m >= 0 && m <= 8, s"i4x4 mode out of range: $m")
+            val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
+              i4ModeAtSt(st, sliceIdx, bx, by - 1))
+            if (m == pm) enc.decision(cxp, 68, bin = true)
+            else {
+              enc.decision(cxp, 68, bin = false)
+              val rem = if (m < pm) m else m - 1
+              enc.decision(cxp, 69, (rem & 1) == 1)
+              enc.decision(cxp, 69, (rem & 2) == 2)
+              enc.decision(cxp, 69, (rem & 4) == 4)
+            }
+            st.i4mode(by * (mbW * 4) + bx) = m
+            blk += 1
+          }
+          enc.decision(cxp, 64 + chromaModeInc(st, sliceIdx, i),
+            bin = false) // intra_chroma_pred_mode DC
+          st.chromaMode(i) = 0
+          val cbpLuma = (0 until 4).map { g =>
+            if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
+          }.sum
+          var b8 = 0
+          var sofar = 0
+          while (b8 < 4) {
+            val bit = (cbpLuma >> b8) & 1
+            enc.decision(cxp,
+              73 + cbpLumaInc(st, sliceIdx, i, b8, sofar), bit == 1)
+            sofar |= bit << b8
+            b8 += 1
+          }
+          enc.decision(cxp,
+            77 + cbpChromaInc(st, sliceIdx, i, bin1 = false), bin = false)
+          st.mbKind(i) = 0
+          st.mbCbp(i) = cbpLuma
+          if (cbpLuma != 0) {
+            enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
+              bin = false) // mb_qp_delta 0
+          }
+          prevQpDeltaNz = false
+          blk = 0
+          while (blk < 16) {
+            if ((cbpLuma & (1 << (blk >> 2))) != 0)
+              putLumaBlock(blk, 2, dcOf(blk), 16)
+            else zeroLumaBlock(blk)
+            blk += 1
+          }
+          zeroChromaState()
+      }
+      val isLast = i == firstMb + count - 1
+      enc.terminate(isLast) // end_of_slice_flag (+ flush on the last)
+      i += 1
+    }
+    drainFlushed()
+    bw.alignZero() // the flush's final '1' was the rbsp stop bit
+    nalUnit(0x65, bw.result())
+  }
+
+  /** Annex-B CABAC I-frame: SPS + CABAC PPS + CABAC IDR slice. Same
+    * closed-form pixel semantics as [[encodeIFrame]] (qp 28 DC rule
+    * etc.) — only the entropy layer differs. */
+  def encodeIFrameCabac(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28,
+      deblock: Boolean = false): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp, cabac = true) ++ sep ++
+      idrNalCabac(mbW, mbH, mb, qp, deblock)
   }
 
   /** One Intra_16x16 macroblock (shared by the IDR and P-slice

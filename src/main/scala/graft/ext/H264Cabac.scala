@@ -1,0 +1,340 @@
+package graft.ext
+
+/** CABAC entropy coding (Rec. ITU-T H.264 §9.3) — round 14, the
+  * entropy layer VERDICT r13 #1 asked for. This file holds the
+  * ARITHMETIC ENGINE (decoder 9.3.3.2, encoder 9.3.4, both table
+  * pinned to Tables 9-44/9-45) and the context-state pool; the
+  * SYNTAX layer (binarizations, ctxIdxInc derivations, the slice
+  * walk) lives in [[H264]] next to its CAVLC twin so the two share
+  * one reconstruction truth.
+  *
+  * Provenance + honesty bounds (the CAVLC partial-table discipline,
+  * H264.scala:69-73, applied to CABAC):
+  *  - The engine constants (rangeTabLPS, transIdxLPS/MPS) and the
+  *    I-SLICE context initialization column (Table 9-12 ctx 0-10 and
+  *    the shared-syntax ranges 60-275) are transcribed from the
+  *    public spec. This container is offline (no conformance
+  *    bitstreams, no reference decoder), so the transcription is
+  *    validated the only way available: structurally (shape/range/
+  *    monotonicity asserts below) and end-to-end against this file's
+  *    OWN encoder — [[H264.encodeIFrameCabac]] streams decode
+  *    bit-exactly through the same tables, which proves the engine,
+  *    the context machinery and the syntax wiring, not table-vs-spec
+  *    fidelity for wild streams.
+  *  - P/SP/B CABAC slices DEGRADE (H264.decodeSliceInto returns
+  *    None): their initialization needs the three cabac_init_idc
+  *    columns of Tables 9-13..9-33 across every context, a ~830-pair
+  *    transcription this build cannot make with the certainty the
+  *    house table rule requires. I-slice CABAC needs no
+  *    cabac_init_idc (7.3.3: the element is absent for I slices) and
+  *    only the column reproduced here.
+  *  - ctxIdx 276 (end_of_slice_flag / the I_PCM escape) is not table
+  *    initialized: pStateIdx = 63, valMPS = 0 fixed (9.3.1.1), and
+  *    [[Dec.terminate]]/[[Enc.terminate]] never touch its state.
+  */
+private[ext] object H264Cabac {
+
+  /** Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]. */
+  val RangeLps: Array[Array[Int]] = Array(
+    Array(128, 176, 208, 240), Array(128, 167, 197, 227),
+    Array(128, 158, 187, 216), Array(123, 150, 178, 205),
+    Array(116, 142, 169, 195), Array(111, 135, 160, 185),
+    Array(105, 128, 152, 175), Array(100, 122, 144, 166),
+    Array(95, 116, 137, 158), Array(90, 110, 130, 150),
+    Array(85, 104, 123, 142), Array(81, 99, 117, 135),
+    Array(77, 94, 111, 128), Array(73, 89, 105, 122),
+    Array(69, 85, 100, 116), Array(66, 80, 95, 110),
+    Array(62, 76, 90, 104), Array(59, 72, 86, 99),
+    Array(56, 69, 81, 94), Array(53, 65, 77, 89),
+    Array(51, 62, 73, 85), Array(48, 59, 69, 80),
+    Array(46, 56, 66, 76), Array(43, 53, 63, 72),
+    Array(41, 50, 59, 69), Array(39, 48, 56, 65),
+    Array(37, 45, 54, 62), Array(35, 43, 51, 59),
+    Array(33, 41, 48, 56), Array(32, 39, 46, 53),
+    Array(30, 37, 43, 50), Array(29, 35, 41, 48),
+    Array(27, 33, 39, 45), Array(26, 31, 37, 43),
+    Array(24, 30, 35, 41), Array(23, 28, 33, 39),
+    Array(22, 27, 32, 37), Array(21, 26, 30, 35),
+    Array(20, 24, 29, 33), Array(19, 23, 27, 31),
+    Array(18, 22, 26, 30), Array(17, 21, 25, 28),
+    Array(16, 20, 23, 27), Array(15, 19, 22, 25),
+    Array(14, 18, 21, 24), Array(14, 17, 20, 23),
+    Array(13, 16, 19, 22), Array(12, 15, 18, 21),
+    Array(12, 14, 17, 20), Array(11, 14, 16, 19),
+    Array(11, 13, 15, 18), Array(10, 12, 15, 17),
+    Array(10, 12, 14, 16), Array(9, 11, 13, 15),
+    Array(9, 11, 12, 14), Array(8, 10, 12, 14),
+    Array(8, 9, 11, 13), Array(7, 9, 11, 12),
+    Array(7, 9, 10, 12), Array(7, 8, 10, 11),
+    Array(6, 8, 9, 11), Array(6, 7, 9, 10),
+    Array(6, 7, 8, 9), Array(2, 2, 2, 2))
+
+  /** Table 9-45: transIdxLPS. */
+  val TransLps: Array[Int] = Array(
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63)
+
+  /** Table 9-45: transIdxMPS (i -> min(i+1, 62); 63 stays 63). */
+  def transMps(s: Int): Int = if (s >= 62) s else s + 1
+
+  /** Context count: 0..275 table-initialized + 276 (fixed). */
+  val NumCtx = 277
+
+  /** I-slice initialization column, (m, n) flattened pairs for
+    * ctxIdx 0..275. Ranges an I slice actually reads: 0-10 (mb_type,
+    * Table 9-12), 60-63 (mb_qp_delta), 64-67 (intra_chroma_pred_mode),
+    * 68-69 (intra4x4 pred mode), 73-76 / 77-84 (coded_block_pattern
+    * luma / chroma), 85-104 (coded_block_flag), 105-165
+    * (significant_coeff_flag, frame), 166-226 (last_significant_
+    * coeff_flag, frame), 227-275 (coeff_abs_level_minus1). Ranges
+    * 11-59 and 70-72 exist only so ctxIdx stays the array index —
+    * P/B-only and field-only syntax never initializes from this
+    * column here (P/B CABAC degrades; fields are refused at the SPS). */
+  val InitI: Array[Int] = Array(
+    /* 0-10: mb_type I (Table 9-12) */
+    20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
+    -28, 127, -23, 104, -6, 53, -1, 54, 7, 51,
+    /* 11-23: P-only (filler, unread in I slices) */
+    23, 33, 23, 2, 21, 0, 1, 9, 0, 49, -37, 118, 5, 57,
+    -13, 78, -11, 65, 1, 62, 12, 49, -4, 73, 17, 50,
+    /* 24-39: B-only (filler) */
+    18, 64, 9, 43, 29, 0, 26, 67, 16, 90, 9, 104, -46, 127,
+    -20, 104, 1, 67, -13, 78, -11, 65, 1, 62, -6, 86, -17, 95,
+    -6, 61, 9, 45,
+    /* 40-53: mvd, P/B-only (filler) */
+    -3, 69, -6, 81, -11, 96, 6, 55, 7, 67, -5, 86, 2, 88,
+    0, 58, -3, 76, -10, 94, 5, 54, 4, 69, -3, 81, 0, 88,
+    /* 54-59: ref_idx, P/B-only (filler) */
+    -7, 67, -5, 74, -4, 74, -5, 80, -7, 72, 1, 58,
+    /* 60-63: mb_qp_delta */
+    0, 41, 0, 63, 0, 63, 0, 63,
+    /* 64-67: intra_chroma_pred_mode */
+    -9, 83, 4, 86, 0, 97, -7, 72,
+    /* 68-69: prev_intra4x4_pred_mode_flag / rem mode */
+    13, 41, 3, 62,
+    /* 70-72: mb_field_decoding_flag (filler: frame_mbs_only) */
+    0, 45, -4, 78, -3, 96,
+    /* 73-76: coded_block_pattern luma */
+    -27, 126, -28, 98, -25, 101, -23, 67,
+    /* 77-84: coded_block_pattern chroma */
+    -28, 82, -20, 94, -16, 83, -22, 110, -21, 91, -18, 102,
+    -13, 93, -29, 127,
+    /* 85-104: coded_block_flag, cats 0-4 x 4 */
+    -7, 92, -5, 89, -7, 96, -13, 108, -3, 46, -1, 65, -1, 57,
+    -9, 93, -3, 74, -9, 92, -8, 87, -23, 126, 5, 54, 6, 60,
+    6, 59, 6, 69, -1, 48, 0, 68, -4, 69, -8, 88,
+    /* 105-165: significant_coeff_flag (frame) */
+    -2, 85, -6, 78, -1, 75, -7, 77, 2, 54, 5, 50, -3, 68,
+    1, 50, 6, 42, -4, 81, 1, 63, -4, 70, 0, 67, 2, 57,
+    -2, 76, 11, 35, 4, 64, 1, 61, 11, 35, 18, 25, 12, 24,
+    13, 29, 13, 36, -10, 93, -7, 73, -2, 73, 13, 46, 9, 49,
+    -7, 100, 9, 53, 2, 53, 5, 53, -2, 61, 0, 56, 0, 56,
+    -13, 63, -5, 60, -1, 62, 4, 57, -6, 69, 4, 57, 14, 39,
+    4, 51, 13, 68, 3, 64, 1, 61, 9, 63, 7, 50, 16, 39,
+    5, 44, 4, 52, 11, 48, -5, 60, -1, 59, 0, 59, 22, 33,
+    5, 44, 14, 43, -1, 78, 0, 60, 9, 69,
+    /* 166-226: last_significant_coeff_flag (frame) */
+    11, 28, 2, 40, 3, 44, 0, 49, 0, 46, 2, 44, 2, 51,
+    0, 47, 4, 39, 2, 62, 6, 46, 0, 54, 3, 54, 2, 58,
+    4, 63, 6, 51, 6, 57, 7, 53, 6, 52, 6, 55, 11, 45,
+    14, 36, 8, 53, -1, 82, 7, 55, -3, 78, 15, 46, 22, 31,
+    -1, 84, 25, 7, 30, -7, 28, 3, 28, 4, 32, 0, 34, -1,
+    30, 6, 30, 6, 32, 9, 31, 19, 26, 27, 26, 30, 37, 20,
+    28, 34, 17, 70, 1, 67, 5, 59, 9, 67, 16, 30, 18, 32,
+    18, 35, 22, 29, 24, 31, 23, 38, 18, 43, 20, 41, 11, 63,
+    9, 59, 9, 64, -1, 94, -2, 89, -9, 108,
+    /* 227-275: coeff_abs_level_minus1 */
+    -6, 76, -2, 44, 0, 45, 0, 52, -3, 64, -2, 59, -4, 70,
+    -4, 75, -8, 82, -17, 102, -9, 77, 3, 24, 0, 42, 0, 48,
+    0, 55, -6, 59, -7, 71, -12, 83, -11, 87, -30, 119, 1, 58,
+    -3, 29, -1, 36, 1, 38, 2, 43, -6, 55, 0, 58, 0, 64,
+    -3, 74, -10, 90, 0, 70, -4, 29, 5, 31, 7, 42, 1, 59,
+    -2, 58, -3, 72, -3, 81, -11, 97, 0, 58, 8, 5, 10, 14,
+    14, 18, 13, 27, 2, 40, 0, 58, -3, 70, -6, 79, -8, 85)
+
+  // structural pins on the transcription: the checks an offline build
+  // CAN make. A violated assert is a build-time transcription bug,
+  // never a runtime degrade.
+  assert(InitI.length == 276 * 2, s"InitI pairs: ${InitI.length / 2}")
+  assert(RangeLps.length == 64 && RangeLps.forall(_.length == 4))
+  assert(RangeLps(63).sameElements(Array(2, 2, 2, 2)))
+  assert((0 until 63).forall(i => (0 until 4).forall(q =>
+    RangeLps(i)(q) >= RangeLps(i + 1)(q))), "rangeTabLPS rows must decay")
+  assert(RangeLps.forall(r => r(0) <= r(1) && r(1) <= r(2) && r(2) <= r(3)),
+    "rangeTabLPS columns must grow with qCodIRangeIdx")
+  assert(TransLps.length == 64 && TransLps(63) == 63 &&
+    TransLps.zipWithIndex.forall { case (t, i) => i == 63 || t <= i },
+    "transIdxLPS must not increase state (except the 63 fixpoint)")
+  assert(InitI.forall(v => v >= -128 && v <= 127), "init pairs are int8")
+
+  /** Context-state pool for one slice: pStateIdx + valMPS per ctxIdx,
+    * initialized per 9.3.1.1 from the I column at SliceQPY. Shared
+    * shape between encode and decode — the fixture encoder builds the
+    * SAME pool so round-trip is by construction. */
+  final class Ctx(qp: Int) {
+    val state = new Array[Int](NumCtx)
+    val mps = new Array[Boolean](NumCtx)
+    private val q = if (qp < 0) 0 else if (qp > 51) 51 else qp
+    var i = 0
+    while (i < 276) {
+      val m = InitI(i * 2)
+      val n = InitI(i * 2 + 1)
+      var pre = ((m * q) >> 4) + n
+      if (pre < 1) pre = 1 else if (pre > 126) pre = 126
+      if (pre <= 63) { state(i) = 63 - pre; mps(i) = false }
+      else { state(i) = pre - 64; mps(i) = true }
+      i += 1
+    }
+    state(276) = 63 // fixed (9.3.1.1); never transitions
+    mps(276) = false
+  }
+
+  /** Arithmetic DECODER (9.3.3.2) over an RBSP byte array, starting
+    * at byte-aligned bit position `startPos` (after the slice
+    * header's cabac_alignment_one_bit run). Reads past the buffer
+    * yield zero bits (the spec's cabac_zero_word tail discipline);
+    * the slice walk's own bounds stop a truncated stream, and
+    * `overrun` lets the caller refuse one that leaned on phantom
+    * bits. */
+  final class Dec(bytes: Array[Byte], startPos: Int) {
+    private val limit = bytes.length * 8
+    private var pos = startPos
+    var overrun = 0
+    private var range = 510
+    private var offset = {
+      var v = 0
+      var i = 0
+      while (i < 9) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Initialization validity (9.3.1.2: codIOffset shall not be 510
+      * or 511) — callers degrade when false. */
+    def valid: Boolean = offset < 510
+    private def bit(): Int =
+      if (pos >= limit) { overrun += 1; 0 }
+      else {
+        val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+        pos += 1
+        b
+      }
+    /** DecodeDecision(ctxIdx). */
+    def decision(c: Ctx, ctxIdx: Int): Boolean = {
+      val s = c.state(ctxIdx)
+      val lps = RangeLps(s)((range >> 6) & 3)
+      range -= lps
+      val bin =
+        if (offset >= range) {
+          offset -= range
+          range = lps
+          val wasMps = c.mps(ctxIdx)
+          if (s == 0) c.mps(ctxIdx) = !wasMps
+          c.state(ctxIdx) = TransLps(s)
+          !wasMps
+        } else {
+          c.state(ctxIdx) = transMps(s)
+          c.mps(ctxIdx)
+        }
+      while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+      bin
+    }
+    /** DecodeBypass. */
+    def bypass(): Boolean = {
+      offset = (offset << 1) | bit()
+      if (offset >= range) { offset -= range; true } else false
+    }
+    /** DecodeTerminate (end_of_slice_flag, the I_PCM escape). */
+    def terminate(): Boolean = {
+      range -= 2
+      if (offset >= range) true
+      else {
+        while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+        false
+      }
+    }
+    /** Current bit position (byte-align before I_PCM reads). */
+    def bitPos: Int = pos
+    /** Re-enter after an aligned raw-byte run (I_PCM): the engine
+      * re-initializes per 9.3.1.2. */
+    def reinit(newPos: Int): Boolean = {
+      pos = newPos
+      range = 510
+      var v = 0
+      var i = 0
+      while (i < 9) { v = (v << 1) | bit(); i += 1 }
+      offset = v
+      offset < 510
+    }
+  }
+
+  /** Arithmetic ENCODER (9.3.4): the fixture generators' twin of
+    * [[Dec]]. Emits into a local bit buffer; [[finish]] runs
+    * EncodeFlush (9.3.4.1.5) whose trailing '1' IS the
+    * rbsp_stop_one_bit — the caller only byte-aligns with zeros. */
+  final class Enc {
+    private val out = new scala.collection.mutable.ArrayBuffer[Int]
+    private var low = 0
+    private var range = 510
+    private var firstBit = true
+    private var outstanding = 0
+    private def put(b: Int): Unit = {
+      if (firstBit) firstBit = false else out += b
+      while (outstanding > 0) { out += (1 - b); outstanding -= 1 }
+    }
+    private def renorm(): Unit = {
+      while (range < 256) {
+        if (low >= 512) { put(1); low -= 512 }
+        else if (low < 256) put(0)
+        else { outstanding += 1; low -= 256 }
+        range <<= 1
+        low <<= 1
+      }
+    }
+    def decision(c: Ctx, ctxIdx: Int, bin: Boolean): Unit = {
+      val s = c.state(ctxIdx)
+      val lps = RangeLps(s)((range >> 6) & 3)
+      range -= lps
+      if (bin != c.mps(ctxIdx)) {
+        low += range
+        range = lps
+        if (s == 0) c.mps(ctxIdx) = !c.mps(ctxIdx)
+        c.state(ctxIdx) = TransLps(s)
+      } else c.state(ctxIdx) = transMps(s)
+      renorm()
+    }
+    def bypass(bin: Boolean): Unit = {
+      low <<= 1
+      if (bin) low += range
+      if (low >= 1024) { put(1); low -= 1024 }
+      else if (low < 512) put(0)
+      else { outstanding += 1; low -= 512 }
+    }
+    /** EncodeTerminate (9.3.4.1.4); bin = true runs EncodeFlush
+      * (9.3.4.1.5) inline, after which the emitted bit count equals
+      * the decoder's consumed bit count EXACTLY (renorms are in
+      * lockstep: E = R + 10 - 1 = D = R + 9) — the invariant the
+      * I_PCM byte alignment and the end-of-slice stop bit rely on.
+      * The flush's forced final '1' is the rbsp_stop_one_bit at
+      * slice end; mid-slice (I_PCM) it is just flush payload and the
+      * caller byte-aligns with zeros after it. */
+    def terminate(bin: Boolean): Unit = {
+      range -= 2
+      if (bin) {
+        low += range
+        // EncodeFlush: range = 2, one renorm, then the 3 tail bits
+        range = 2
+        renorm()
+        put((low >> 9) & 1)
+        // WriteBits(((low >> 7) & 3) | 1, 2): direct, not PutBit
+        val tail = ((low >> 7) & 3) | 1
+        out += (tail >> 1) & 1
+        out += tail & 1
+      } else renorm()
+    }
+    /** Drain the encoded bits into a [[H264]] BitWriter-compatible
+      * sink via the callback (bit at a time; small fixtures). */
+    def drain(sink: Int => Unit): Unit = { out.foreach(sink); out.clear() }
+    def bitCount: Int = out.length
+  }
+}

@@ -984,6 +984,66 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // H.264 CABAC I-slice decode under the oracle gate (round 14,
+    // VERDICT r13 #1): a 1x2 picture whose slice is CABAC-entropy-
+    // coded through the 9.3 arithmetic engine (ctx-modeled mb_type,
+    // cbp-free I16 path, cat-0/1/3 residual blocks, end_of_slice
+    // terminate) and reconstructed by the SAME shared helpers as
+    // CAVLC. MB0 = I16Dc(z0, ac0 = a, chroma DC at tz): pixel math at
+    // qp 28 is unit-exact — block 0's four columns carry deltas
+    // floor((k*a + 32)/64) for k in (320, 160, -160, -320), i.e.
+    // (5, 3, -2, -5) at a = 1 but (-5, -2, 3, 5) at a = -1 (the
+    // floor is not odd-symmetric); the other 15 blocks are flat.
+    // MB1 = I16Dc(z1) DC-predicts from
+    // MB0's flat bottom edge -> 128 + z0 + z1. DuckDB replays the
+    // full 512-pixel distribution analytically; a single bin decoded
+    // differently anywhere in the slice shifts every later bin and
+    // breaks the hash.
+    Q("multimodal_avc_cabac",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val z0 = (id % 10).toInt - 5
+            val a = (id % 3).toInt - 1
+            val z1 = ((id / 3) % 7).toInt - 3
+            val tz = (id % 4).toInt
+            val es = graft.ext.H264.encodeIFrameCabac(1, 2, {
+              case 0 => graft.ext.H264.I16Dc(z0, ac0 = a, chromaDcTz = tz)
+              case _ => graft.ext.H264.I16Dc(z1)
+            })
+            Multimodal.decodeAvcFrames(es, 1).map { case (_, w, h, m, sd) =>
+              (id, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "width", "height", "m", "sd")
+          .select(col("id"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    128 + (doc_id % 10) - 5 AS v0,
+             |    (doc_id % 3) - 1 AS a,
+             |    128 + (doc_id % 10) - 5 + ((doc_id // 3) % 7) - 3 AS v1
+             |  FROM documents),
+             |k(kc) AS (VALUES (320), (160), (-160), (-320)),
+             |m AS (SELECT doc_id,
+             |    CAST(240*v0 + 256*v1 + (SELECT sum(4*(v0 +
+             |        CAST(floor((kc*a + 32)/64.0) AS BIGINT))) FROM k)
+             |      AS DOUBLE)/512 AS mean_g,
+             |    CAST(240*v0*v0 + 256*v1*v1 + (SELECT sum(4*
+             |        (v0 + CAST(floor((kc*a + 32)/64.0) AS BIGINT))
+             |        * (v0 + CAST(floor((kc*a + 32)/64.0) AS BIGINT)))
+             |        FROM k)
+             |      AS DOUBLE)/512 AS meansq_g
+             |  FROM p)
+             |SELECT doc_id AS id, CAST(16 AS BIGINT) AS width,
+             |  CAST(32 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(

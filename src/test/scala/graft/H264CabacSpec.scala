@@ -1,0 +1,298 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.H264.{I16Dc, I4x4, Pcm}
+
+/** CABAC entropy layer contracts (round 14). The arithmetic engine
+  * round-trips arbitrary bin sequences; fixture streams decode to
+  * the SAME hand-computed pixels as their CAVLC twins (the
+  * reconstruction layer is shared, so equality pins the entropy
+  * layer alone); corruption degrades, never throws, never emits a
+  * frame built on fabricated bits. */
+class H264CabacSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------- engine
+
+  test("arithmetic engine: seeded random decision/bypass/terminate " +
+      "sequences round-trip bit-exactly") {
+    val rnd = new java.util.Random(0xCABAC)
+    var trial = 0
+    while (trial < 50) {
+      val qp = rnd.nextInt(52)
+      val n = 50 + rnd.nextInt(400)
+      // op: 0 = decision(ctx), 1 = bypass; terminate(false) sprinkled;
+      // final terminate(true) flushes
+      val ops = Array.fill(n)(rnd.nextInt(10))
+      val ctxs = Array.fill(n)(rnd.nextInt(276))
+      val bins = Array.fill(n)(rnd.nextBoolean())
+      val encCtx = new H264Cabac.Ctx(qp)
+      val enc = new H264Cabac.Enc
+      var i = 0
+      while (i < n) {
+        if (ops(i) == 0) enc.terminate(bin = false)
+        else if (ops(i) <= 5) enc.decision(encCtx, ctxs(i), bins(i))
+        else enc.bypass(bins(i))
+        i += 1
+      }
+      enc.terminate(bin = true)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      enc.drain(bits += _)
+      // pack to bytes (zero-pad tail like rbsp alignment)
+      val bytes = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, k) =>
+        if (b == 1) bytes(k >> 3) = (bytes(k >> 3) | (1 << (7 - (k & 7)))).toByte
+      }
+      val decCtx = new H264Cabac.Ctx(qp)
+      val dec = new H264Cabac.Dec(bytes, 0)
+      assert(dec.valid, s"trial $trial: invalid init")
+      i = 0
+      while (i < n) {
+        if (ops(i) == 0) assert(!dec.terminate(), s"trial $trial op $i")
+        else if (ops(i) <= 5)
+          assert(dec.decision(decCtx, ctxs(i)) == bins(i),
+            s"trial $trial decision $i (ctx ${ctxs(i)})")
+        else assert(dec.bypass() == bins(i), s"trial $trial bypass $i")
+        i += 1
+      }
+      assert(dec.terminate(), s"trial $trial: final terminate")
+      assert(dec.overrun == 0, s"trial $trial: overrun ${dec.overrun}")
+      // context pools must track identically (same adaptation path)
+      assert(encCtx.state.sameElements(decCtx.state) &&
+        encCtx.mps.sameElements(decCtx.mps),
+        s"trial $trial: context pools diverged")
+      trial += 1
+    }
+  }
+
+  test("engine flush invariant: emitted bits == decoder-consumed bits " +
+      "(the I_PCM alignment contract)") {
+    val rnd = new java.util.Random(99)
+    for (n <- Seq(0, 1, 7, 64, 257)) {
+      val cx = new H264Cabac.Ctx(28)
+      val enc = new H264Cabac.Enc
+      val bins = Array.fill(n)(rnd.nextBoolean())
+      bins.foreach(b => enc.decision(cx, 3 + (n % 270), b))
+      enc.terminate(bin = true)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      enc.drain(bits += _)
+      val bytes = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, k) =>
+        if (b == 1) bytes(k >> 3) = (bytes(k >> 3) | (1 << (7 - (k & 7)))).toByte
+      }
+      val cx2 = new H264Cabac.Ctx(28)
+      val dec = new H264Cabac.Dec(bytes, 0)
+      bins.foreach(b => assert(dec.decision(cx2, 3 + (n % 270)) == b))
+      assert(dec.terminate())
+      assert(dec.bitPos == bits.length,
+        s"n=$n: E=${bits.length} D=${dec.bitPos}")
+    }
+  }
+
+  // -------------------------------------------------------- fixtures
+
+  private def decode(es: Array[Byte]) = H264.decodeIFrameLuma(es)
+
+  private def assertSamePixels(cavlc: Array[Byte], cabac: Array[Byte],
+      tag: String): Unit = {
+    val a = decode(cavlc)
+    val b = decode(cabac)
+    assert(a.isDefined, s"$tag: CAVLC twin failed to decode")
+    assert(b.isDefined, s"$tag: CABAC stream failed to decode")
+    val (w1, h1, l1) = a.get
+    val (w2, h2, l2) = b.get
+    assert(w1 == w2 && h1 == h2, tag)
+    assert(l1.sameElements(l2), s"$tag: pixel mismatch")
+  }
+
+  test("CABAC == CAVLC: mixed I16/I4x4/PCM picture decodes to " +
+      "identical pixels (shared reconstruction pins the entropy layer)") {
+    // mode placement honors neighbor availability: directional modes
+    // only where the needed edge was decoded earlier in the slice
+    def mbs(i: Int): H264.Mb = i match {
+      case 0 => I16Dc(3, ac0 = 1, chromaDcTz = 2)
+      case 1 => Pcm((x, y) => (60 + x * 3 + y * 5) % 256)
+      case 2 => I4x4(_ => 2, blk => if (blk % 5 == 0) 2 else 0)
+      case 3 => I16Dc(-4) // col 0: DC only
+      case 4 => I16Dc(0, ac0 = -1, pred = 0) // top = PCM MB1
+      case _ => I4x4(blk => Seq(2, 0, 1, 2)(blk % 4),
+        blk => blk % 3 - 1) // (2,1): top MB2 + left MB4 exist
+    }
+    assertSamePixels(
+      H264.encodeIFrame(3, 2, mbs),
+      H264.encodeIFrameCabac(3, 2, mbs), "mixed 3x2")
+  }
+
+  test("residual layer: arbitrary coefficient vectors round-trip per " +
+      "category, including UEG0 escape levels far past the TU prefix") {
+    val rnd = new java.util.Random(271828)
+    var trial = 0
+    while (trial < 40) {
+      val cat = trial % 5
+      val maxC = Seq(16, 15, 16, 4, 15)(cat)
+      val coeffs = new Array[Int](maxC)
+      var k = 0
+      while (k < maxC) {
+        coeffs(k) = rnd.nextInt(7) match {
+          case 0 => rnd.nextInt(29) - 14 // small, both signs
+          case 1 => 14 + rnd.nextInt(4) // TU boundary 14..17
+          case 2 => 15 + rnd.nextInt(2000) // deep escape
+          case _ => 0
+        }
+        k += 1
+      }
+      val inc = rnd.nextInt(4)
+      val encCx = new H264Cabac.Ctx(28)
+      val enc = new H264Cabac.Enc
+      val nzIn = H264.putResidualCabac(enc, encCx, cat, inc, coeffs)
+      enc.terminate(bin = true)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      enc.drain(bits += _)
+      val bytes = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, j) =>
+        if (b == 1) bytes(j >> 3) = (bytes(j >> 3) | (1 << (7 - (j & 7)))).toByte
+      }
+      val decCx = new H264Cabac.Ctx(28)
+      val dec = new H264Cabac.Dec(bytes, 0)
+      val out = H264.residualCabac(dec, decCx, cat, inc)
+      assert(out != null, s"trial $trial cat $cat degraded")
+      assert(out._1.sameElements(coeffs),
+        s"trial $trial cat $cat: ${out._1.toSeq} != ${coeffs.toSeq}")
+      assert(out._2 == nzIn)
+      assert(dec.terminate() && dec.overrun == 0)
+      trial += 1
+    }
+  }
+
+  test("CABAC == CAVLC across qp values (init states differ per qp)") {
+    for (qp <- Seq(20, 28, 36, 44)) {
+      def mbs(i: Int): H264.Mb =
+        if (i % 2 == 0) I16Dc(2, ac0 = 1) else I4x4(_ => 2, b => b % 2)
+      assertSamePixels(
+        H264.encodeIFrame(2, 2, mbs, qp),
+        H264.encodeIFrameCabac(2, 2, mbs, qp), s"qp $qp")
+    }
+  }
+
+  test("CABAC == CAVLC with deblocking on (nz/qp bookkeeping feeds " +
+      "the same loop filter)") {
+    def mbs(i: Int): H264.Mb =
+      if (i == 0) I16Dc(7) else if (i == 3) I16Dc(-7) else I4x4(_ => 2)
+    assertSamePixels(
+      H264.encodeIFrame(2, 2, mbs, deblock = true),
+      H264.encodeIFrameCabac(2, 2, mbs, deblock = true), "deblock")
+  }
+
+  test("CABAC escape levels (UEG0 suffix): |coeff| >= 15 decodes " +
+      "closed-form, beyond the CAVLC fixture vocabulary") {
+    // qp 28: a lone level c at scan 0 of a 4x4 block adds exactly 4c
+    // to every sample of the block (LevelScale 256, (256c+32)>>6).
+    // dc 20 -> +80, dc -18 -> -72 on the DC-predicted 128.
+    // only block 0 carries a coefficient: its prediction is the
+    // neighbor-free DC (128), so the corner block is EXACTLY
+    // 128 + 4*20 = 208 (later blocks DC-chain off reconstructed
+    // neighbors — not asserted; the residual-layer test above pins
+    // arbitrary escape levels coefficient-exactly)
+    val es = H264.encodeIFrameCabac(1, 1, _ =>
+      I4x4(_ => 2, blk => if (blk == 0) 20 else 0))
+    val Some((w, h, luma)) = decode(es)
+    assert(w == 16 && h == 16)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(luma(y * 16 + x) == 208, s"($x,$y) = ${luma(y * 16 + x)}")
+  }
+
+  test("multi-slice CABAC == multi-slice CAVLC (per-slice engine and " +
+      "context re-init; slice-gated prediction identical)") {
+    // a slice boundary CHANGES pixels (neighbors become unavailable,
+    // the r13 CAVLC test pins that) — the entropy-layer invariant is
+    // CAVLC-vs-CABAC equality at the SAME slicing, both ways
+    def mbs(i: Int): H264.Mb =
+      if (i < 2) I16Dc(3) else I4x4(_ => 2, b => if (b == 0) 1 else 0)
+    val sep = Array[Byte](0, 0, 0, 1)
+    def stream(cabac: Boolean, split: Boolean): Array[Byte] = {
+      val head = sep ++ H264.spsNal(2, 2) ++ sep ++
+        H264.ppsNal(28, cabac = cabac)
+      def slice(f: Int, n: Int) =
+        if (cabac) H264.idrNalCabac(2, 2, mbs, 28, firstMb = f, mbCount = n)
+        else H264.idrNal(2, 2, mbs, 28, firstMb = f, mbCount = n)
+      if (split) head ++ sep ++ slice(0, 2) ++ sep ++ slice(2, 2)
+      else head ++ sep ++ slice(0, 4)
+    }
+    for (split <- Seq(false, true)) {
+      val a = H264.decodeFramesLuma(stream(cabac = false, split), 2)
+      val b = H264.decodeFramesLuma(stream(cabac = true, split), 2)
+      assert(a.nonEmpty, s"split=$split CAVLC")
+      assert(b.nonEmpty, s"split=$split CABAC")
+      assert(a.head._3.sameElements(b.head._3), s"split=$split pixels")
+    }
+    // and the boundary effect itself reproduces under CABAC: split
+    // vs unsplit differ (MB2's top neighbor crosses the boundary)
+    val u = H264.decodeFramesLuma(stream(cabac = true, split = false), 2)
+    val s2 = H264.decodeFramesLuma(stream(cabac = true, split = true), 2)
+    assert(!u.head._3.sameElements(s2.head._3),
+      "slice gating should change prediction")
+  }
+
+  test("CABAC P slices degrade honestly (init-table honesty bounds)") {
+    // a CAVLC-encoded P slice against a CABAC PPS must return None-
+    // degrade at the slice layer, keeping the I frame
+    val sep = Array[Byte](0, 0, 0, 1)
+    val es = sep ++ H264.spsNal(1, 1) ++ sep ++
+      H264.ppsNal(28, cabac = true) ++ sep ++
+      H264.idrNalCabac(1, 1, _ => I16Dc(2), 28) ++ sep ++
+      H264.pNal(1, 1, _ => H264.PSkip, 28, frameNum = 1)
+    val out = H264.decodeFramesLuma(es, 4)
+    assert(out.map(_._4) == Seq('I'), s"got ${out.map(_._4)}")
+  }
+
+  test("corruption fuzz: 300 byte-level mutations of a CABAC stream " +
+      "degrade or truncate, never throw, never exceed the frame budget") {
+    def mbs(i: Int): H264.Mb = i match {
+      case 0 => I16Dc(3, ac0 = 1, chromaDcTz = 1)
+      case 1 => Pcm((x, y) => (x * 7 + y) % 256)
+      case _ => I4x4(_ => 2, b => if (b % 4 == 0) 3 else 0)
+    }
+    val base = H264.encodeIFrameCabac(2, 2, mbs)
+    assert(decode(base).isDefined)
+    val rnd = new java.util.Random(0xF14)
+    var trials = 0
+    while (trials < 300) {
+      val mutated = base.clone()
+      val kind = trials % 3
+      if (kind == 0) {
+        var f = 0
+        val nf = 1 + rnd.nextInt(4)
+        while (f < nf) {
+          val i = rnd.nextInt(mutated.length)
+          mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          f += 1
+        }
+        assert(H264.decodeFramesLuma(mutated, 4).length <= 4)
+      } else if (kind == 1) {
+        val cut = 1 + rnd.nextInt(mutated.length - 1)
+        assert(H264.decodeFramesLuma(mutated.take(cut), 4).length <= 4)
+      } else {
+        val at = rnd.nextInt(mutated.length)
+        val len = math.min(1 + rnd.nextInt(12), mutated.length - at)
+        var i = 0
+        while (i < len) { mutated(at + i) = rnd.nextInt(256).toByte; i += 1 }
+        assert(H264.decodeFramesLuma(mutated, 4).length <= 4)
+      }
+      trials += 1
+    }
+  }
+
+  test("truncated CABAC slice never emits a frame built on phantom " +
+      "zero bits (overrun guard)") {
+    val base = H264.encodeIFrameCabac(2, 2, _ => I4x4(_ => 2, b => b % 3))
+    val full = decode(base).get._3
+    // cut anywhere inside the slice NAL: either the whole decode
+    // degrades (None) or — impossible here, single slice — matches
+    var cut = base.length - 1
+    while (cut > base.length - 24 && cut > 1) {
+      val out = decode(base.take(cut))
+      assert(out.isEmpty || out.get._3.sameElements(full),
+        s"cut $cut produced a WRONG frame")
+      cut -= 1
+    }
+  }
+}
