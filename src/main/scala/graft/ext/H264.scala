@@ -48,10 +48,23 @@ package graft.ext
   *    per-picture state with prediction availability gated to the
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
-  *    picture never emits). B slices, CABAC P/B slices, Intra_8x8
+  *    picture never emits). CABAC P/B slices, Intra_8x8
   *    (transform_size_8x8), reordered lists, FMO/ASO, field coding,
   *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
   *    None.
+  *  - B slices (round 14, CAVLC): every Table 7-14 two-list 16x16 /
+  *    16x8 / 8x16 partition combination (L0/L1/Bi), POC-derived
+  *    default list construction (8.2.4.2.3 over the sliding-window
+  *    DPB; pocType 0 with full 8.2.1.1 msb wrap, or pocType 2),
+  *    rounded-average bipred (8.4.2.3.1) and explicit weighted
+  *    bipred idc 1 (8.4.2.3.2, both single-list and two-sided),
+  *    per-list 8.4.1.3 motion prediction over separate L0/L1
+  *    contexts, inter residuals, intra refresh, non-reference and
+  *    reference B (pyramid) via the same POC lists. Honesty bounds:
+  *    B_Direct_16x16 / B_Skip / B_8x8 (direct motion 8.4.1.2),
+  *    implicit weighted bipred (idc 2), pocType 1, the bottom-field
+  *    POC delta, and DEBLOCKED B slices (the 8.7.2.1 bS rules
+  *    compare both lists; this filter reads L0 only) all degrade.
   *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
   *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
   *    (incl. the ctx-276 I_PCM escape with engine re-init),
@@ -272,7 +285,7 @@ object H264 {
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
       bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
       weightedPred: Boolean, constrainedIntra: Boolean,
-      cabac: Boolean)
+      cabac: Boolean, numRefIdxL1Default: Int, weightedBipredIdc: Int)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -335,9 +348,9 @@ object H264 {
     val bottomFieldPoc = br.bit() == 1
     if (br.ue() != 0) throw ParseFail // num_slice_groups_minus1
     val numRefIdxL0Default = br.ue() + 1
-    br.ue() // num_ref_idx_l1 default
+    val numRefIdxL1Default = br.ue() + 1
     val weightedPred = br.bit() == 1
-    br.bits(2) // weighted_bipred_idc
+    val weightedBipredIdc = br.bits(2)
     val picInitQp = 26 + br.se()
     br.se() // pic_init_qs
     br.se() // chroma_qp_index_offset
@@ -351,7 +364,7 @@ object H264 {
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
       bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra,
-      cabac)
+      cabac, numRefIdxL1Default, weightedBipredIdc)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -1107,9 +1120,12 @@ object H264 {
       // reference first; capped at the SPS's max_num_ref_frames. An
       // IDR resets it (8.2.5.1); a geometry change invalidates it.
       var refList: Vector[Array[Int]] = Vector.empty
+      var refPocs: Vector[Int] = Vector.empty // parallel (round 14: B)
       var refMbW = -1
       var refMbH = -1
       var prevRefFn = -1
+      var prevPocMsb = 0 // POC decode state (8.2.1.1), from the
+      var prevPocLsb = 0 // previous REFERENCE picture
       // the picture whose slices are still arriving
       var pending: PicState = null
       var pendingRefIdc = 0
@@ -1130,15 +1146,21 @@ object H264 {
                 // old planes (their strides differ).
                 if (pendingRefIdc != 0) {
                   if (pendingIdr || refMbW != sps.mbW ||
-                      refMbH != sps.mbH)
+                      refMbH != sps.mbH) {
                     refList = Vector.empty
-                  refList = (plane +: refList)
-                    .take(math.max(1, sps.maxRefFrames))
+                    refPocs = Vector.empty
+                  }
+                  val cap = math.max(1, sps.maxRefFrames)
+                  refList = (plane +: refList).take(cap)
+                  refPocs = (st.poc +: refPocs).take(cap)
                   refMbW = sps.mbW
                   refMbH = sps.mbH
                   prevRefFn = frameNum
+                  prevPocMsb = st.pocMsb
+                  prevPocLsb = st.pocLsb
                 }
-                frames += ((w, h, cropped, if (isIntra) 'I' else 'P'))
+                frames += ((w, h, cropped,
+                  if (isIntra) 'I' else if (st.hasB) 'B' else 'P'))
                 true
               case None => false
             }
@@ -1191,6 +1213,8 @@ object H264 {
                   nalRefIdc = refIdc, isIdr = typ == 5,
                   refs = refList, refMbW = refMbW, refMbH = refMbH,
                   prevRefFrameNum = prevRefFn,
+                  refPocs = refPocs, prevPocMsb = prevPocMsb,
+                  prevPocLsb = prevPocLsb,
                   stateIn = if (firstMb == 0) null else pending)
                 catch {
                   case ParseFail => None
@@ -1291,10 +1315,19 @@ object H264 {
     var mbNext = 0
     var allIntra = true
     var curSlice = -1
+    /** Round 14 (B slices): list-1 motion state (list 0 lives in
+      * [[mv]]); picture order count + its decode state (8.2.1) for
+      * the walk's POC-based B list construction. */
+    val mvL1 = new MvCtx(mbW, mbH)
+    var hasB = false
+    var poc = 0
+    var pocMsb = 0
+    var pocLsb = 0
     lumaNz.gate = (bx, by) => sliceOf((by >> 2) * mbW + (bx >> 2)) == curSlice
     cbNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
     crNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
     mv.gate = (x4, y4) => sliceOf((y4 >> 2) * mbW + (x4 >> 2)) == curSlice
+    mvL1.gate = mv.gate
   }
 
   /** Finish a fully-covered picture: run the loop filter per each
@@ -1323,29 +1356,40 @@ object H264 {
       refs: IndexedSeq[Array[Int]], refMbW: Int = -1,
       refMbH: Int = -1,
       prevRefFrameNum: Int = -1,
+      refPocs: IndexedSeq[Int] = IndexedSeq.empty,
+      prevPocMsb: Int = 0, prevPocLsb: Int = 0,
       stateIn: PicState = null): Option[PicState] = {
     val br = new BitReader(rbsp)
     val startMb = br.ue() // first_mb_in_slice
     val sliceType = br.ue()
     val isP = sliceType == 0 || sliceType == 5
-    if (!isP && sliceType != 2 && sliceType != 7) return None // I/P only
-    if (isP && isIdr) return None // an IDR slice cannot be P
+    val isB = sliceType == 1 || sliceType == 6 // round 14
+    if (!isP && !isB && sliceType != 2 && sliceType != 7) return None
+    val isInter = isP || isB
+    if (isInter && isIdr) return None // an IDR slice cannot be P/B
     val ppsId = br.ue()
     if (poisoned((8, ppsId))) return None // referenced PPS unparseable
     val pps = ppsById.getOrElse(ppsId, return None)
     if (poisoned((7, pps.spsId))) return None
     val sps = spsById.getOrElse(pps.spsId, return None)
-    if (isP && (refs.isEmpty ||
+    if (isInter && (refs.isEmpty ||
         refMbW != sps.mbW || refMbH != sps.mbH ||
         refs.exists(_.length != sps.mbW * 16 * sps.mbH * 16)))
       return None // no reference, or one with a DIFFERENT geometry: a
     // same-area different-shape SPS switch would MC with the wrong
     // stride (review r12) — compare dimensions, not just length
-    if (isP && pps.constrainedIntra) return None // intra-in-P would have
-    // to treat inter neighbors as unavailable (8.3.3): not implemented
-    if (pps.cabac && isP) return None // CABAC P/B slices degrade: their
-    // context init needs the three cabac_init_idc columns of Tables
-    // 9-13..9-33 (H264Cabac honesty bounds); I-slice CABAC decodes
+    if (isInter && pps.constrainedIntra) return None // intra-in-P/B would
+    // have to treat inter neighbors as unavailable (8.3.3): not done
+    if (pps.cabac && isInter) return None // CABAC P/B slices degrade:
+    // their context init needs the three cabac_init_idc columns of
+    // Tables 9-13..9-33 (H264Cabac honesty bounds); I-slice CABAC
+    // decodes
+    // B honesty bounds (round 14): POC-based list construction needs
+    // pocType 0 (full 8.2.1.1 lsb/msb wrap) or 2 (frame_num order);
+    // type 1 and the bottom-field POC delta degrade, as do implicit
+    // weighted bipred (idc 2) and the direct/skip modes (per-MB below)
+    if (isB && (sps.pocType == 1 || pps.bottomFieldPoc ||
+      pps.weightedBipredIdc == 2)) return None
     val frameNum = br.bits(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3, round 13 review): with a
     // multi-picture DPB a GAP means un-decoded reference frames the
@@ -1376,16 +1420,65 @@ object H264 {
         stateIn
       }
     if (isIdr) br.ue() // idr_pic_id
+    // picture order count (8.2.1; round 14 — the B lists sort on it).
+    // pocType 0: lsb + the 8.2.1.1 msb wrap against the previous
+    // reference picture; pocType 2: decode order (2 * frame_num,
+    // minus 1 for non-reference pictures).
     if (sps.pocType == 0) {
-      br.bits(sps.log2MaxPocLsb)
+      val lsb = br.bits(sps.log2MaxPocLsb)
       if (pps.bottomFieldPoc) br.se()
+      val maxLsb = 1 << sps.log2MaxPocLsb
+      val pMsb = if (isIdr) 0 else prevPocMsb
+      val pLsb = if (isIdr) 0 else prevPocLsb
+      val msb =
+        if (lsb < pLsb && pLsb - lsb >= maxLsb / 2) pMsb + maxLsb
+        else if (lsb > pLsb && lsb - pLsb > maxLsb / 2) pMsb - maxLsb
+        else pMsb
+      if (stateIn == null) {
+        st.pocMsb = msb
+        st.pocLsb = lsb
+        st.poc = msb + lsb
+      }
     } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
       br.se()
       if (pps.bottomFieldPoc) br.se()
+    } else if (sps.pocType == 2 && stateIn == null) {
+      st.poc = 2 * frameNum - (if (nalRefIdc == 0) 1 else 0)
     }
     if (pps.redundantPresent) br.ue()
     var numRefL0 = 1
-    if (isP) {
+    var numRefL1 = 0
+    var listL0: IndexedSeq[Int] = null // indices into refs
+    var listL1: IndexedSeq[Int] = null
+    if (isB) {
+      br.bit() // direct_spatial_mv_pred_flag (direct MBs degrade)
+      if (br.bit() == 1) { // num_ref_idx_active_override
+        numRefL0 = br.ue() + 1
+        numRefL1 = br.ue() + 1
+      } else {
+        numRefL0 = pps.numRefIdxL0Default
+        numRefL1 = pps.numRefIdxL1Default
+      }
+      if (numRefL0 < 1 || numRefL1 < 1 || numRefL0 > 32 || numRefL1 > 32)
+        return None
+      if (br.bit() == 1) return None // ref_pic_list_modification_l0
+      if (br.bit() == 1) return None // ref_pic_list_modification_l1
+      // default B list init (8.2.4.2.3, short-term frames): L0 = POC
+      // before current (descending) then after (ascending); L1 the
+      // mirror; if the lists come out identical with > 1 entry, swap
+      // L1's first two
+      if (refPocs.length != refs.length) return None
+      val curPoc = st.poc
+      val idx = refs.indices
+      val before = idx.filter(refPocs(_) < curPoc).sortBy(k => -refPocs(k))
+      val after = idx.filter(refPocs(_) >= curPoc).sortBy(k => refPocs(k))
+      listL0 = before ++ after
+      listL1 = after ++ before
+      if (listL1.length > 1 && listL0 == listL1)
+        listL1 = IndexedSeq(listL1(1), listL1(0)) ++ listL1.drop(2)
+      if (numRefL0 > listL0.length || numRefL1 > listL1.length)
+        return None
+    } else if (isP) {
       // multi-reference since round 13: list 0 = the last numRefL0
       // decoded reference pictures in decode order (sliding window,
       // unreordered — 8.2.4.2's initial P list IS most-recent-first
@@ -1404,34 +1497,51 @@ object H264 {
     var wpDenom = 0
     var wpW: Array[Int] = null
     var wpO: Array[Int] = null
-    if (isP && pps.weightedPred) {
-      wpDenom = br.ue()
-      if (wpDenom > 7) return None
-      val chromaDenom = br.ue() // chroma_log2_weight_denom
-      if (chromaDenom > 7) return None
-      wpW = Array.fill(numRefL0)(1 << wpDenom)
-      wpO = new Array[Int](numRefL0)
+    var wpW1: Array[Int] = null // list 1 (B, explicit bipred idc 1)
+    var wpO1: Array[Int] = null
+    def readWeights(n: Int): (Array[Int], Array[Int]) = {
+      val w = Array.fill(n)(1 << wpDenom)
+      val o = new Array[Int](n)
       var i = 0
-      while (i < numRefL0) {
-        if (br.bit() == 1) { // luma_weight_l0_flag
-          wpW(i) = br.se()
-          wpO(i) = br.se()
-          if (wpW(i) < -128 || wpW(i) > 127 ||
-            wpO(i) < -128 || wpO(i) > 127) return None
+      while (i < n) {
+        if (br.bit() == 1) { // luma_weight_lX_flag
+          w(i) = br.se()
+          o(i) = br.se()
+          if (w(i) < -128 || w(i) > 127 ||
+            o(i) < -128 || o(i) > 127) throw ParseFail
         }
-        if (br.bit() == 1) { // chroma_weight_l0_flag
+        if (br.bit() == 1) { // chroma_weight_lX_flag (sync only)
           var c = 0
           while (c < 4) { br.se(); c += 1 }
         }
         i += 1
       }
+      (w, o)
+    }
+    if ((isP && pps.weightedPred) ||
+      (isB && pps.weightedBipredIdc == 1)) {
+      wpDenom = br.ue()
+      if (wpDenom > 7) return None
+      val chromaDenom = br.ue() // chroma_log2_weight_denom
+      if (chromaDenom > 7) return None
+      val (w0, o0) = readWeights(numRefL0)
+      wpW = w0
+      wpO = o0
+      if (isB) {
+        val (w1, o1) = readWeights(numRefL1)
+        wpW1 = w1
+        wpO1 = o1
+      }
     }
     // weight one rectangle of the MB prediction buffer in place
+    // (8.4.2.3.2 single-list); `list` picks the L0 or L1 table
     def weightRect(out: Array[Int], off: Int, w: Int, h: Int,
-        refIdx: Int): Unit = {
-      if (wpW == null) return
-      val ww = wpW(refIdx)
-      val oo = wpO(refIdx)
+        refIdx: Int, list: Int = 0): Unit = {
+      val wt = if (list == 0) wpW else wpW1
+      val ot = if (list == 0) wpO else wpO1
+      if (wt == null) return
+      val ww = wt(refIdx)
+      val oo = ot(refIdx)
       val rnd = if (wpDenom > 0) 1 << (wpDenom - 1) else 0
       var y = 0
       while (y < h) {
@@ -1442,6 +1552,27 @@ object H264 {
             if (wpDenom > 0) ((out(k) * ww + rnd) >> wpDenom) + oo
             else out(k) * ww + oo
           out(k) = clip255(v)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // combine the L0 rect (already in `out`) with the L1 rect in `b1`
+    // (both UNWEIGHTED): default bipred = rounded average (8.4.2.3.1);
+    // explicit idc 1 = the 8.4.2.3.2 two-sided formula
+    def bipredRect(out: Array[Int], b1: Array[Int], off: Int, w: Int,
+        h: Int, r0: Int, r1: Int): Unit = {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = off + y * 16 + x
+          val v =
+            if (wpW == null) (out(k) + b1(k) + 1) >> 1
+            else clip255(
+              ((out(k) * wpW(r0) + b1(k) * wpW1(r1) + (1 << wpDenom))
+                >> (wpDenom + 1)) + ((wpO(r0) + wpO1(r1) + 1) >> 1))
+          out(k) = v
           x += 1
         }
         y += 1
@@ -1477,6 +1608,11 @@ object H264 {
         if (offA < -12 || offA > 12 || offB < -12 || offB > 12) return None
       }
     }
+    // B + loop filter: the bS derivation (8.7.2.1) for B edges
+    // compares BOTH lists' refs/vectors; this decoder's filter reads
+    // the L0 state only, so a filtered B slice degrades rather than
+    // filtering with half the motion evidence (round 14)
+    if (isB && deblockIdc != 1) return None
 
     if (pps.cabac) {
       // cabac_alignment_one_bit (7.3.4): every bit up to the byte
@@ -1568,9 +1704,69 @@ object H264 {
         y += 1
       }
     }
+    // coded_block_pattern + mb_qp_delta + per-8x8-gated luma CAVLC
+    // residuals dequantized onto the MB prediction in mc16 — shared
+    // by the P and B inter branches (round 14). Throws ParseFail
+    // upstream; returns false on an out-of-range cbp code.
+    def interResiduals(mb: Int, mbX: Int, mbY: Int): Boolean = {
+      val cbpCode = br.ue()
+      if (cbpCode > 47) return false
+      val cbp = CbpInter(cbpCode)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
+      qpMbA(mb) = qp
+      if (cbp == 0) zeroNz(mbX, mbY)
+      else {
+        val d4 = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+            val (cf, tc) =
+              residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
+            lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+            if (tc > 0) {
+              java.util.Arrays.fill(d4, 0)
+              var si = 0
+              while (si < 16) {
+                if (cf(si) != 0) {
+                  val raster = Zig4(si)
+                  d4(raster) = scaleAc(cf(si), raster, qp)
+                }
+                si += 1
+              }
+              val res = invTransform4x4(d4)
+              var y = 0
+              while (y < 4) {
+                var x = 0
+                while (x < 4) {
+                  val k = (r * 4 + y) * 16 + c * 4 + x
+                  mc16(k) = clip255(mc16(k) + res(y * 4 + x))
+                  x += 1
+                }
+                y += 1
+              }
+            }
+          } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+          blk += 1
+        }
+        parseChroma(cbpChroma, mbX, mbY)
+      }
+      true
+    }
     var mb = startMb
     var ended = false // slice data exhausted (or trailing skip run)
     while (mb < nMbs && !ended) {
+      if (isB) {
+        // mb_skip_run in B slices marks B_Skip macroblocks, which
+        // reconstruct in DIRECT mode (8.4.1.2) — not implemented:
+        // a nonzero run degrades (honesty bounds), run 0 is the
+        // common every-MB-coded case
+        val run = br.ue()
+        if (run != 0) return None
+        if (!br.moreRbspData()) ended = true
+      }
       if (isP) {
         // mb_skip_run precedes every coded macroblock (7.3.4);
         // skipped MBs reconstruct with the P_Skip vector (8.4.1.1)
@@ -1604,8 +1800,17 @@ object H264 {
       val rawType = br.ue()
       // P slices: 0..4 = inter partition types (7.4.5: P_L0_16x16,
       // P_L0_L0_16x8, P_L0_L0_8x16, P_8x8, P_8x8ref0 — the last two
-      // identical with one reference); >= 5 = intra types shifted by 5
-      val mbType = if (isP) { if (rawType <= 4) -1 - rawType else rawType - 5 }
+      // identical with one reference); >= 5 = intra types shifted by 5.
+      // B slices (round 14): 0 = B_Direct_16x16 and 22 = B_8x8 degrade
+      // (direct modes / sub-partitions not implemented); 1..21 = the
+      // two-list partition types (-100 - t namespace); >= 23 = intra.
+      val mbType =
+        if (isP) { if (rawType <= 4) -1 - rawType else rawType - 5 }
+        else if (isB) {
+          if (rawType == 0 || rawType == 22) return None
+          else if (rawType <= 21) -100 - rawType
+          else rawType - 23
+        }
         else rawType
       if (mbType <= -1 && mbType >= -5) {
         // ---- inter macroblock (round 13: all P partition shapes).
@@ -1692,55 +1897,121 @@ object H264 {
               p8 += 1
             }
         }
-        val cbpCode = br.ue()
-        if (cbpCode > 47) return None
-        val cbp = CbpInter(cbpCode)
-        val cbpLuma = cbp & 15
-        val cbpChroma = cbp >> 4
-        if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
-        qpMbA(mb) = qp
-        if (cbp == 0) zeroNz(mbX, mbY)
-        else {
-          val d4 = new Array[Int](16)
-          var blk = 0
-          while (blk < 16) {
-            val r = blkRow(blk); val c = blkCol(blk)
-            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
-              val (cf, tc) =
-                residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
-              lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
-              if (tc > 0) {
-                java.util.Arrays.fill(d4, 0)
-                var si = 0
-                while (si < 16) {
-                  if (cf(si) != 0) {
-                    val raster = Zig4(si)
-                    d4(raster) = scaleAc(cf(si), raster, qp)
-                  }
-                  si += 1
-                }
-                val res = invTransform4x4(d4)
-                var y = 0
-                while (y < 4) {
-                  var x = 0
-                  while (x < 4) {
-                    val k = (r * 4 + y) * 16 + c * 4 + x
-                    mc16(k) = clip255(mc16(k) + res(y * 4 + x))
-                    x += 1
-                  }
-                  y += 1
-                }
-              }
-            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
-            blk += 1
+        if (!interResiduals(mb, mbX, mbY)) return None
+        writeMc(ox, oy)
+      } else if (mbType <= -100) {
+        // ---- B inter macroblock (round 14): Table 7-14 types 1-21 —
+        // every 16x16 / 16x8 / 8x16 L0/L1/Bi combination. Syntax
+        // (7.3.5.1): ref_idx_l0 for the L0-using partitions, then
+        // ref_idx_l1, then mvd_l0s, then mvd_l1s; each list predicts
+        // (8.4.1.3) over its OWN motion context. Bi partitions MC
+        // both lists unweighted and combine per 8.4.2.3.1 (rounded
+        // average) or 8.4.2.3.2 (explicit idc 1). B_Direct_16x16,
+        // B_Skip and B_8x8 degrade before reaching here.
+        val bt = -100 - mbType
+        val x4 = mbX * 4
+        val y4 = mbY * 4
+        // partition geometry: (cx4, cy4, w4, h4, shape)
+        val parts: Seq[(Int, Int, Int, Int, Int)] =
+          if (bt <= 3) Seq((0, 0, 4, 4, ShapeMedian))
+          else if ((bt & 1) == 0) // 16x8
+            Seq((0, 0, 4, 2, Shape16x8Top), (0, 2, 4, 2, Shape16x8Bot))
+          else // 8x16
+            Seq((0, 0, 2, 4, Shape8x16Left), (2, 0, 2, 4, Shape8x16Right))
+        // per-partition pred mode: 0 = L0, 1 = L1, 2 = Bi
+        val pmodes: Seq[Int] =
+          if (bt <= 3) Seq(bt - 1)
+          else Seq(
+            Seq(0, 0), Seq(1, 1), Seq(0, 1), Seq(1, 0), Seq(0, 2),
+            Seq(1, 2), Seq(2, 0), Seq(2, 1), Seq(2, 2))((bt - 4) / 2)
+        def usesL0(m: Int) = m == 0 || m == 2
+        def usesL1(m: Int) = m == 1 || m == 2
+        def readRefIdxN(n: Int): Int =
+          if (n == 1) 0
+          else if (n == 2) 1 - br.bit()
+          else br.ue()
+        val n = parts.length
+        val r0 = new Array[Int](n)
+        val r1 = new Array[Int](n)
+        var p = 0
+        while (p < n) {
+          if (usesL0(pmodes(p))) {
+            r0(p) = readRefIdxN(numRefL0)
+            if (r0(p) < 0 || r0(p) >= numRefL0) return None
           }
-          parseChroma(cbpChroma, mbX, mbY)
+          p += 1
         }
+        p = 0
+        while (p < n) {
+          if (usesL1(pmodes(p))) {
+            r1(p) = readRefIdxN(numRefL1)
+            if (r1(p) < 0 || r1(p) >= numRefL1) return None
+          }
+          p += 1
+        }
+        val bi16 = new Array[Int](256)
+        // pass 1: list-0 mvds in partition order; L0-only partitions
+        // MC (+ single-list weight) straight into mc16
+        p = 0
+        while (p < n) {
+          val (cx4, cy4, w4, h4, shape) = parts(p)
+          val m = pmodes(p)
+          if (usesL0(m)) {
+            val (px, py) = mvPredPart(mv, x4 + cx4, y4 + cy4, w4, shape,
+              r0(p))
+            val mx = px + br.se()
+            val my = py + br.se()
+            if (mx < -2048 * 4 || mx > 2048 * 4 ||
+              my < -2048 * 4 || my > 2048 * 4) return None
+            mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my,
+              r0(p))
+            interPredictRect(refs(listL0(r0(p))), stride, planeH,
+              ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
+              mc16, cy4 * 4 * 16 + cx4 * 4, 16)
+            if (m == 0)
+              weightRect(mc16, cy4 * 4 * 16 + cx4 * 4, w4 * 4, h4 * 4,
+                r0(p), list = 0)
+          } else mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = false, 0, 0)
+          p += 1
+        }
+        // pass 2: list-1 mvds; L1-only MC into mc16, Bi MC into bi16
+        // then combine with the L0 prediction already in place
+        p = 0
+        while (p < n) {
+          val (cx4, cy4, w4, h4, shape) = parts(p)
+          val m = pmodes(p)
+          if (usesL1(m)) {
+            val (px, py) = mvPredPart(st.mvL1, x4 + cx4, y4 + cy4, w4,
+              shape, r1(p))
+            val mx = px + br.se()
+            val my = py + br.se()
+            if (mx < -2048 * 4 || mx > 2048 * 4 ||
+              my < -2048 * 4 || my > 2048 * 4) return None
+            st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true,
+              mx, my, r1(p))
+            val off = cy4 * 4 * 16 + cx4 * 4
+            if (m == 1) {
+              interPredictRect(refs(listL1(r1(p))), stride, planeH,
+                ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
+                mc16, off, 16)
+              weightRect(mc16, off, w4 * 4, h4 * 4, r1(p), list = 1)
+            } else {
+              interPredictRect(refs(listL1(r1(p))), stride, planeH,
+                ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
+                bi16, off, 16)
+              bipredRect(mc16, bi16, off, w4 * 4, h4 * 4, r0(p), r1(p))
+            }
+          } else st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4,
+            isInter = false, 0, 0)
+          p += 1
+        }
+        if (!interResiduals(mb, mbX, mbY)) return None
         writeMc(ox, oy)
       } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
         mbIntraA(mb) = true
         mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        if (isB) st.mvL1.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = 0 // the loop filter treats I_PCM as QP 0 (8.7.2)
         br.byteAlign()
         var y = 0
@@ -1771,6 +2042,7 @@ object H264 {
         qp = (qp + br.se() + 52) % 52 // mb_qp_delta
         mbIntraA(mb) = true
         mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        if (isB) st.mvL1.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = qp
         // luma DC: CAVLC with nC as for blkIdx 0 (9.2.1)
         val (dcCoeffs, _) =
@@ -1824,6 +2096,7 @@ object H264 {
         if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
         mbIntraA(mb) = true
         mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        if (isB) st.mvL1.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
         qpMbA(mb) = qp
         // residuals: the 16 luma 4x4 blocks in z-order, gated per-8x8
         // group (7.3.5.3); blocks in an uncoded group carry zero
@@ -1851,7 +2124,8 @@ object H264 {
       }
     }
     st.mbNext = mb
-    if (isP) st.allIntra = false
+    if (isInter) st.allIntra = false
+    if (isB) st.hasB = true
     Some(st)
   }
 
@@ -2614,7 +2888,7 @@ object H264 {
     * exercise the by-id parameter-set selection (slices reference
     * pps_id 0). */
   def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false,
-      cabac: Boolean = false): Array[Byte] = {
+      cabac: Boolean = false, bipredExplicit: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
@@ -2623,7 +2897,7 @@ object H264 {
     bw.putUe(0) // num_slice_groups_minus1
     bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
     bw.put(if (weighted) 1 else 0, 1) // weighted_pred
-    bw.put(0, 2) // weighted_bipred_idc
+    bw.put(if (bipredExplicit) 1 else 0, 2) // weighted_bipred_idc
     bw.putSe(qp - 26) // pic_init_qp_minus26
     bw.putSe(0) // pic_init_qs
     bw.putSe(0) // chroma_qp_index_offset
@@ -3307,6 +3581,192 @@ object H264 {
     if (skipRun > 0) bw.putUe(skipRun) // trailing skipped macroblocks
     bw.rbspTrailing()
     nalUnit((refIdc << 5) | 1, bw.result()) // non-IDR slice
+  }
+
+  /** Macroblock spec for [[bNal]] B slices (round 14). Vectors in
+    * QUARTER-pel units. List 0 = the temporally EARLIER reference
+    * (the I/P before the B in display order), list 1 = the later one
+    * — the default 8.2.4.2.3 ordering the decoder derives from POC. */
+  sealed trait MbB
+  /** B_L0_16x16: forward-only MC. */
+  final case class BFwd(mvx: Int, mvy: Int) extends MbB
+  /** B_L1_16x16: backward-only MC. */
+  final case class BBwd(mvx: Int, mvy: Int) extends MbB
+  /** B_Bi_16x16: both lists, rounded-average combination
+    * ((L0 + L1 + 1) >> 1, 8.4.2.3.1 default). */
+  final case class BBi(fwd: (Int, Int), bwd: (Int, Int)) extends MbB
+  /** B_L0_16x16 WITH a luma residual: one DC coefficient per 4x4
+    * block from `dcRes` (z-order; at qp 28 coefficient c adds exactly
+    * 4c to the block). */
+  final case class BFwdCoded(mvx: Int, mvy: Int,
+      dcRes: Int => Int) extends MbB
+  /** B 16x8 with per-partition list choice (`topList`/`botList` in
+    * {0, 1}): exercises the two-pass ref/mvd syntax (7.3.5.1). */
+  final case class B16x8(topList: Int, top: (Int, Int),
+      botList: Int, bot: (Int, Int)) extends MbB
+  /** Intra_16x16 refresh inside the B slice (mb_type offset 23). */
+  final case class BIntra(spec: I16Dc) extends MbB
+
+  /** Non-reference B slice NAL (round 14): single slice, every
+    * macroblock from `mb(index)`, lists built by the decoder from
+    * POC (pass a `pocLsb` BETWEEN the two anchors'), loop filter
+    * disabled (B + deblock degrades by design). Motion differentials
+    * are computed against the same per-list 8.4.1.3 predictors the
+    * decoder derives, in the same two-pass L0-then-L1 order. */
+  def bNal(mbW: Int, mbH: Int, mb: Int => MbB, qp: Int,
+      frameNum: Int, pocLsb: Int, refIdc: Int = 0,
+      weight: Option[(Int, Int, Int, Int, Int)] = None): Array[Byte] = {
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
+    val bw = new BitWriter
+    bw.putUe(0) // first_mb_in_slice
+    bw.putUe(6) // slice_type: B (all)
+    bw.putUe(0) // pps_id
+    bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
+    bw.put(pocLsb & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+    bw.put(1, 1) // direct_spatial_mv_pred_flag (no direct MBs emitted)
+    bw.put(0, 1) // num_ref_idx_active_override (PPS defaults: 1 + 1)
+    bw.put(0, 1); bw.put(0, 1) // ref_pic_list_modification l0/l1
+    // explicit bipred weights (only against a bipredExplicit PPS):
+    // (log2 denom, w_l0, o_l0, w_l1, o_l1) applied to refIdx 0 of
+    // each list
+    weight.foreach { case (denom, w0, o0, w1, o1) =>
+      bw.putUe(denom) // luma_log2_weight_denom
+      bw.putUe(0) // chroma_log2_weight_denom
+      bw.put(1, 1); bw.putSe(w0); bw.putSe(o0) // luma_weight_l0[0]
+      bw.put(0, 1) // chroma_weight_l0_flag
+      bw.put(1, 1); bw.putSe(w1); bw.putSe(o1) // luma_weight_l1[0]
+      bw.put(0, 1) // chroma_weight_l1_flag
+    }
+    if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+    bw.putSe(0) // slice_qp_delta
+    bw.putUe(1) // disable_deblocking_filter_idc = 1
+    val lumaNz = new NzCtx(mbW * 4, mbH * 4)
+    val mv0 = new MvCtx(mbW, mbH)
+    val mv1 = new MvCtx(mbW, mbH)
+    val nMbs = mbW * mbH
+    var i = 0
+    while (i < nMbs) {
+      val mbX = i % mbW
+      val mbY = i / mbW
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      def zeroLumaNz(): Unit = {
+        var blk = 0
+        while (blk < 16) {
+          lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 0)
+          blk += 1
+        }
+      }
+      def putMvd(ctx: MvCtx, cx4: Int, cy4: Int, w4: Int, h4: Int,
+          shape: Int, mvx: Int, mvy: Int): Unit = {
+        val (px, py) = mvPredPart(ctx, x4 + cx4, y4 + cy4, w4, shape)
+        bw.putSe(mvx - px)
+        bw.putSe(mvy - py)
+        ctx.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy)
+      }
+      bw.putUe(0) // mb_skip_run (no B_Skip in the fixture vocabulary)
+      mb(i) match {
+        case BFwd(mx, my) =>
+          bw.putUe(1) // B_L0_16x16
+          putMvd(mv0, 0, 0, 4, 4, ShapeMedian, mx, my)
+          mv1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+          bw.putUe(0) // cbp 0
+          zeroLumaNz()
+        case BBwd(mx, my) =>
+          bw.putUe(2) // B_L1_16x16
+          mv0.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+          putMvd(mv1, 0, 0, 4, 4, ShapeMedian, mx, my)
+          bw.putUe(0)
+          zeroLumaNz()
+        case BBi((fx, fy), (bx, by)) =>
+          bw.putUe(3) // B_Bi_16x16
+          putMvd(mv0, 0, 0, 4, 4, ShapeMedian, fx, fy)
+          putMvd(mv1, 0, 0, 4, 4, ShapeMedian, bx, by)
+          bw.putUe(0)
+          zeroLumaNz()
+        case BFwdCoded(mx, my, dcOf) =>
+          bw.putUe(1)
+          putMvd(mv0, 0, 0, 4, 4, ShapeMedian, mx, my)
+          mv1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+          val cbpLuma = (0 until 4).map { g =>
+            if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
+          }.sum
+          bw.putUe(CbpInterInv(cbpLuma))
+          if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val lvl = dcOf(blk)
+              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r),
+                lvl, maxNumCoeff = 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+            blk += 1
+          }
+        case B16x8(tl, (tx, ty), bl, (bx2, by2)) =>
+          require(tl == 0 || tl == 1, s"topList $tl")
+          require(bl == 0 || bl == 1, s"botList $bl")
+          // Table 7-14: (L0,L0)=4, (L1,L1)=6, (L0,L1)=8, (L1,L0)=10
+          val t = (tl, bl) match {
+            case (0, 0) => 4
+            case (1, 1) => 6
+            case (0, 1) => 8
+            case _ => 10
+          }
+          bw.putUe(t)
+          // two-pass order mirrors the decoder: all L0 mvds (filling
+          // both ctxs partition-wise), then all L1 mvds
+          if (tl == 0) putMvd(mv0, 0, 0, 4, 2, Shape16x8Top, tx, ty)
+          else mv0.fill(x4, y4, 4, 2, isInter = false, 0, 0)
+          if (bl == 0) putMvd(mv0, 0, 2, 4, 2, Shape16x8Bot, bx2, by2)
+          else mv0.fill(x4, y4 + 2, 4, 2, isInter = false, 0, 0)
+          if (tl == 1) putMvd(mv1, 0, 0, 4, 2, Shape16x8Top, tx, ty)
+          else mv1.fill(x4, y4, 4, 2, isInter = false, 0, 0)
+          if (bl == 1) putMvd(mv1, 0, 2, 4, 2, Shape16x8Bot, bx2, by2)
+          else mv1.fill(x4, y4 + 2, 4, 2, isInter = false, 0, 0)
+          bw.putUe(0)
+          zeroLumaNz()
+        case BIntra(spec) =>
+          writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 23)
+          mv0.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+          mv1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+      }
+      i += 1
+    }
+    bw.rbspTrailing()
+    nalUnit((refIdc << 5) | 1, bw.result()) // non-IDR slice
+  }
+
+  /** One entry of [[encodeIPBStream]]'s inter-frame sequence. */
+  sealed trait IpbFrame
+  /** A reference P picture (frame_num advances). */
+  final case class Pf(mb: Int => MbP) extends IpbFrame
+  /** A non-reference B picture at the given pic_order_cnt_lsb —
+    * place it BETWEEN its two anchors' POCs (P pictures sit at
+    * 2 * frame_num). */
+  final case class Bf(mb: Int => MbB, pocLsb: Int) extends IpbFrame
+
+  /** Annex-B I + P/B stream (round 14): SPS(maxRef 2) + PPS + IDR +
+    * the given pictures in DECODE order. P pictures are references
+    * (POC = 2 * frame_num); B pictures are non-references whose
+    * lists the decoder builds from POC. */
+  def encodeIPBStream(mbW: Int, mbH: Int, iMb: Int => Mb,
+      frames: Seq[IpbFrame], qp: Int = 28): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    var out = sep ++ spsNal(mbW, mbH, maxRef = 2) ++ sep ++
+      ppsNal(qp) ++ sep ++ idrNal(mbW, mbH, iMb, qp)
+    var fn = 1
+    frames.foreach {
+      case Pf(f) =>
+        out = out ++ sep ++ pNal(mbW, mbH, f, qp, frameNum = fn)
+        fn += 1
+      case Bf(f, poc) =>
+        out = out ++ sep ++ bNal(mbW, mbH, f, qp, frameNum = fn,
+          pocLsb = poc)
+    }
+    out
   }
 
   /** CAVLC block with AT MOST one coefficient, at scan position 0 —
