@@ -766,6 +766,60 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
   }
 
+  /** Same workbook as [[biffWorkbook]] but with the SST split across
+    * two CONTINUE records (round 14, VERDICT r13 #7): "note" breaks
+    * mid-rgb ("no" | flag + "te"), "hello" lives entirely in the
+    * first CONTINUE, and "Ωmega" breaks mid-rgb WITH an encoding
+    * change (UTF-16 "Ωm" | compressed flag + "ega" — the MS-XLS
+    * 2.5.293 per-continuation fHighByte). Cell records are identical,
+    * so the parse must come out byte-for-byte the same. */
+  private def biffWorkbookSplitSst(): Array[Byte] = {
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    val utf16 = java.nio.charset.StandardCharsets.UTF_16LE
+    val seg0 = le32b(5) ++ le32b(5) ++
+      sstStr("user_id", utf16 = false) ++ sstStr("value", utf16 = false) ++
+      le16b(4) ++ Array[Byte](0) ++ "no".getBytes(latin) // "note" header + prefix
+    val seg1 = Array[Byte](0) ++ "te".getBytes(latin) ++ // rgb continuation
+      sstStr("hello", utf16 = false) ++
+      le16b(5) ++ Array[Byte](1) ++ "Ωm".getBytes(utf16) // "Ωmega" split
+    val seg2 = Array[Byte](0) ++ "ega".getBytes(latin) // compressed tail
+    val sst = biffRec(0x00FC, seg0) ++ biffRec(0x003C, seg1) ++
+      biffRec(0x003C, seg2)
+    val bofG = biffBof(0x0005)
+    val eof = biffRec(0x000A, Array.emptyByteArray)
+    val sheetName = "Sheet1".getBytes(latin)
+    val bsLen = 4 + (4 + 2 + 1 + 1 + sheetName.length)
+    val sheetPos = bofG.length + sst.length + bsLen + eof.length
+    val boundsheet = biffRec(0x0085,
+      le32b(sheetPos) ++ le16b(0) ++ Array[Byte](sheetName.length.toByte, 0) ++ sheetName)
+    val numberBits = java.lang.Double.doubleToLongBits(3.25)
+    val number = biffRec(0x0203, le16b(1) ++ le16b(1) ++ le16b(0) ++
+      (0 until 8).map(i => ((numberBits >> (8 * i)) & 0xFF).toByte).toArray)
+    val rk42 = biffRec(0x027E, le16b(1) ++ le16b(0) ++ le16b(0) ++ le32b((42L << 2) | 2))
+    val mulrk = biffRec(0x00BD, le16b(2) ++ le16b(0) ++
+      le16b(0) ++ le32b((7L << 2) | 2) ++
+      le16b(0) ++ le32b((1234L << 2) | 2 | 1) ++
+      le16b(1))
+    val sheet = biffBof(0x0010) ++
+      labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+      rk42 ++ number ++ labelSst(1, 2, 3) ++
+      mulrk ++ labelSst(2, 2, 4) ++ eof
+    bofG ++ sst ++ boundsheet ++ eof ++ sheet
+  }
+
+  test("BIFF8 .xls upload: CONTINUE-split SST round-trips — mid-rgb " +
+      "split, whole-string spill, and a per-continuation encoding " +
+      "change (S2c, round 14)") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      cfb(biffWorkbookSplitSst(), useMini = true))
+    val df = CsvSeries.readUploadXlsBase64(spark, b64, "value")
+    assert(df.columns.toSeq == Seq("user_id", "value", "note"))
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(rows.length == 2)
+    assert(rows(0) == (("42", 3.25, "hello")))
+    assert(rows(1) == (("7", 12.34f.toDouble, "Ωmega")))
+  }
+
   test("BIFF8 .xls upload: mini-stream container, SST/RK/NUMBER/MULRK cells (S2c)") {
     val b64 = java.util.Base64.getEncoder.encodeToString(cfb(biffWorkbook(), useMini = true))
     val df = CsvSeries.readUploadXlsBase64(spark, b64, "value")
