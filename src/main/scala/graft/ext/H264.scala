@@ -36,20 +36,24 @@ package graft.ext
   *    tracked per 4x4 cell so later partitions of the same macroblock
   *    predict from earlier ones), MULTI-REFERENCE list 0 (sliding
   *    window sized by max_num_ref_frames, te(v) ref_idx_l0 per
-  *    partition, refIdx-aware prediction shortcuts, IDR window reset;
-  *    explicit reordering/MMCO still degrade), INTER RESIDUALS
+  *    partition, refIdx-aware prediction shortcuts, IDR window reset),
+  *    INTER RESIDUALS
   *    (coded_block_pattern through Table 9-4's inter column,
   *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
   *    straight onto the quarter-pel prediction), P_Skip (8.4.1.1),
   *    and intra refresh (Intra_16x16 or Intra_4x4), plus EXPLICIT
-  *    WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
+  *    round 14: EXPLICIT LIST REORDERING (8.2.4.3.1 short-term ops
+  *    over PicNum, P and B lists) and MMCO OP 1 (8.2.5.4: marking a
+  *    short-term picture unused evicts it from the window; ops 2-6 —
+  *    long-term management and the mmco5 reset — still degrade),
+  *    EXPLICIT WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
   *    8.4.2.3.2 single-list application; chroma weights parsed for
   *    sync) and MULTI-SLICE pictures (in-order slices decode into one
   *    per-picture state with prediction availability gated to the
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
   *    picture never emits). CABAC P/B slices, Intra_8x8
-  *    (transform_size_8x8), reordered lists, FMO/ASO, field coding,
+  *    (transform_size_8x8), long-term references, FMO/ASO, field coding,
   *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
   *    None.
   *  - B slices (round 14, CAVLC): every Table 7-14 two-list 16x16 /
@@ -1121,6 +1125,7 @@ object H264 {
       // IDR resets it (8.2.5.1); a geometry change invalidates it.
       var refList: Vector[Array[Int]] = Vector.empty
       var refPocs: Vector[Int] = Vector.empty // parallel (round 14: B)
+      var refFns: Vector[Int] = Vector.empty // frame_num per entry
       var refMbW = -1
       var refMbH = -1
       var prevRefFn = -1
@@ -1149,10 +1154,24 @@ object H264 {
                       refMbH != sps.mbH) {
                     refList = Vector.empty
                     refPocs = Vector.empty
+                    refFns = Vector.empty
+                  }
+                  // MMCO op-1 (round 14): the marked pictures leave
+                  // the window before the current one enters
+                  if (st.mmcoDropIdx.nonEmpty) {
+                    val drop = st.mmcoDropIdx.toSet
+                    def keep[T](v: Vector[T]): Vector[T] =
+                      v.zipWithIndex.collect {
+                        case (x, i) if !drop(i) => x
+                      }
+                    refList = keep(refList)
+                    refPocs = keep(refPocs)
+                    refFns = keep(refFns)
                   }
                   val cap = math.max(1, sps.maxRefFrames)
                   refList = (plane +: refList).take(cap)
                   refPocs = (st.poc +: refPocs).take(cap)
+                  refFns = (frameNum +: refFns).take(cap)
                   refMbW = sps.mbW
                   refMbH = sps.mbH
                   prevRefFn = frameNum
@@ -1214,7 +1233,7 @@ object H264 {
                   refs = refList, refMbW = refMbW, refMbH = refMbH,
                   prevRefFrameNum = prevRefFn,
                   refPocs = refPocs, prevPocMsb = prevPocMsb,
-                  prevPocLsb = prevPocLsb,
+                  prevPocLsb = prevPocLsb, refFrameNums = refFns,
                   stateIn = if (firstMb == 0) null else pending)
                 catch {
                   case ParseFail => None
@@ -1323,6 +1342,10 @@ object H264 {
     var poc = 0
     var pocMsb = 0
     var pocLsb = 0
+    /** MMCO op-1 drops (round 14): DPB indices the walk removes from
+      * the reference window when THIS picture is marked (8.2.5.4.1);
+      * resolved at slice-header parse time against the passed DPB. */
+    var mmcoDropIdx: List[Int] = Nil
     lumaNz.gate = (bx, by) => sliceOf((by >> 2) * mbW + (bx >> 2)) == curSlice
     cbNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
     crNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
@@ -1344,6 +1367,47 @@ object H264 {
     Some((st.sps, st.luma, st.allIntra, st.frameNum))
   }
 
+  /** ref_pic_list_modification (7.3.3.1 -> 8.2.4.3.1, round 14):
+    * consume the op list from `br` and reorder `init` (DPB indices,
+    * truncated/validated to `numActive`). Short-term ops only —
+    * idc 2 (long-term) returns None, as does a picNum naming no DPB
+    * picture. PicNum of a frame = FrameNumWrap (8.2.4.1). */
+  private def applyReorder(br: BitReader, init: IndexedSeq[Int],
+      numActive: Int, dpbFrameNums: IndexedSeq[Int], curPicNum: Int,
+      maxPicNum: Int): Option[IndexedSeq[Int]] = {
+    if (init.length < numActive) return None
+    val lst = scala.collection.mutable.ArrayBuffer(init.take(numActive): _*)
+    def picNumOf(dpbIdx: Int): Int = {
+      val fn = dpbFrameNums(dpbIdx)
+      if (fn > curPicNum) fn - maxPicNum else fn
+    }
+    var pred = curPicNum
+    var insertPos = 0
+    var idc = br.ue()
+    var guard = 0
+    while (idc != 3) {
+      if (idc > 1) return None // long-term (2) / invalid
+      val absDiff = br.ue() + 1
+      var noWrap = if (idc == 0) pred - absDiff else pred + absDiff
+      if (noWrap < 0) noWrap += maxPicNum
+      else if (noWrap >= maxPicNum) noWrap -= maxPicNum
+      pred = noWrap
+      val picNum = if (noWrap > curPicNum) noWrap - maxPicNum else noWrap
+      val di = dpbFrameNums.indices.find(picNumOf(_) == picNum)
+        .getOrElse(return None)
+      // 8.2.4.3.1 shuffle: insert at insertPos, drop the later
+      // duplicate (or the overflow tail)
+      lst.insert(insertPos, di)
+      insertPos += 1
+      val dup = lst.indexOf(di, insertPos)
+      if (dup >= 0) lst.remove(dup) else lst.remove(lst.length - 1)
+      guard += 1
+      if (guard > 48) return None
+      idc = br.ue()
+    }
+    Some(lst.toIndexedSeq)
+  }
+
   /** Decode ONE slice into its picture's state. `stateIn` is null for
     * the first slice of a picture (first_mb_in_slice must be 0);
     * continuation slices must agree on geometry, IDR-ness and
@@ -1358,6 +1422,7 @@ object H264 {
       prevRefFrameNum: Int = -1,
       refPocs: IndexedSeq[Int] = IndexedSeq.empty,
       prevPocMsb: Int = 0, prevPocLsb: Int = 0,
+      refFrameNums: IndexedSeq[Int] = IndexedSeq.empty,
       stateIn: PicState = null): Option[PicState] = {
     val br = new BitReader(rbsp)
     val startMb = br.ue() // first_mb_in_slice
@@ -1461,13 +1526,12 @@ object H264 {
       }
       if (numRefL0 < 1 || numRefL1 < 1 || numRefL0 > 32 || numRefL1 > 32)
         return None
-      if (br.bit() == 1) return None // ref_pic_list_modification_l0
-      if (br.bit() == 1) return None // ref_pic_list_modification_l1
       // default B list init (8.2.4.2.3, short-term frames): L0 = POC
       // before current (descending) then after (ascending); L1 the
       // mirror; if the lists come out identical with > 1 entry, swap
       // L1's first two
-      if (refPocs.length != refs.length) return None
+      if (refPocs.length != refs.length ||
+        refFrameNums.length != refs.length) return None
       val curPoc = st.poc
       val idx = refs.indices
       val before = idx.filter(refPocs(_) < curPoc).sortBy(k => -refPocs(k))
@@ -1478,6 +1542,17 @@ object H264 {
         listL1 = IndexedSeq(listL1(1), listL1(0)) ++ listL1.drop(2)
       if (numRefL0 > listL0.length || numRefL1 > listL1.length)
         return None
+      // explicit reordering (round 14): short-term ops rewrite the
+      // initial lists in place; long-term ops degrade
+      val maxPicNum = 1 << sps.log2MaxFrameNum
+      if (br.bit() == 1) { // ref_pic_list_modification_flag_l0
+        listL0 = applyReorder(br, listL0, numRefL0, refFrameNums,
+          frameNum, maxPicNum).getOrElse(return None)
+      }
+      if (br.bit() == 1) { // ref_pic_list_modification_flag_l1
+        listL1 = applyReorder(br, listL1, numRefL1, refFrameNums,
+          frameNum, maxPicNum).getOrElse(return None)
+      }
     } else if (isP) {
       // multi-reference since round 13: list 0 = the last numRefL0
       // decoded reference pictures in decode order (sliding window,
@@ -1489,7 +1564,14 @@ object H264 {
         else pps.numRefIdxL0Default
       if (numRefL0 < 1 || numRefL0 > refs.length || numRefL0 > 32)
         return None
-      if (br.bit() == 1) return None // ref_pic_list_modification_l0
+      listL0 = refs.indices // initial P list IS the sliding window
+      if (br.bit() == 1) { // ref_pic_list_modification_flag_l0
+        // explicit short-term reordering (round 14, 8.2.4.3.1);
+        // long-term ops degrade
+        if (refFrameNums.length != refs.length) return None
+        listL0 = applyReorder(br, listL0, numRefL0, refFrameNums,
+          frameNum, 1 << sps.log2MaxFrameNum).getOrElse(return None)
+      }
     }
     // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2):
     // per-ref luma weight/offset; chroma weights parsed for sync only
@@ -1584,10 +1666,31 @@ object H264 {
         if (br.bit() == 1) return None // long_term_reference_flag: the
         // sliding window would evict the wrong picture later (8.2.5.1)
       }
-      else if (br.bit() == 1) return None // adaptive_ref_pic_marking:
-      // MMCO ops re-arrange the DPB; this decoder keeps exactly one
-      // sliding-window reference and never applies them, so a stream
-      // that uses them must degrade, not silently diverge (review r12)
+      else if (br.bit() == 1) {
+        // adaptive_ref_pic_marking (round 14, 8.2.5.4): op 1 (mark a
+        // short-term picture unused) decodes — the ops resolve to DPB
+        // indices HERE, against the window this slice actually sees,
+        // and the walk applies them when the picture enters the DPB.
+        // Ops 2-6 (long-term management, mmco5 reset) degrade: they
+        // re-base frame_num/POC state this decoder does not model.
+        val maxPicNum = 1 << sps.log2MaxFrameNum
+        var drops = List.empty[Int]
+        var opIdc = br.ue()
+        var guard = 0
+        while (opIdc != 0) {
+          if (opIdc != 1) return None
+          val picNumX = frameNum - (br.ue() + 1)
+          val di = refFrameNums.indices.find { i =>
+            val fn = refFrameNums(i)
+            (if (fn > frameNum) fn - maxPicNum else fn) == picNumX
+          }.getOrElse(return None)
+          drops ::= di
+          guard += 1
+          if (guard > 48) return None
+          opIdc = br.ue()
+        }
+        st.mmcoDropIdx = drops.distinct
+      }
     }
     var qp = pps.picInitQp + br.se()
     if (qp < 0 || qp > 51) return None
@@ -1779,7 +1882,7 @@ object H264 {
           mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
             mx, my, refIdx = 0)
           qpMbA(mb) = qp
-          interPredict16x16(refs(0), stride, planeH,
+          interPredict16x16(refs(listL0(0)), stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
           weightRect(mc16, 0, 16, 16, 0)
           writeMc((mb % mbW) * 16, (mb / mbW) * 16)
@@ -1843,7 +1946,7 @@ object H264 {
           if (mx < -2048 * 4 || mx > 2048 * 4 ||
             my < -2048 * 4 || my > 2048 * 4) return false
           mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my, refIdx)
-          interPredictRect(refs(refIdx), stride, planeH,
+          interPredictRect(refs(listL0(refIdx)), stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
           weightRect(mc16, cy4 * 4 * 16 + cx4 * 4, w4 * 4, h4 * 4, refIdx)
@@ -3437,10 +3540,14 @@ object H264 {
     * the same 8.4.1.3 predictor the decoder derives. */
   def pNal(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
       frameNum: Int = 1, refIdc: Int = 2, numRef: Int = 1,
-      weight: Option[(Int, Int, Int)] = None): Array[Byte] = {
+      weight: Option[(Int, Int, Int)] = None,
+      reorder: Seq[(Int, Int)] = Nil,
+      mmcoDrop: Seq[Int] = Nil): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
+    require(mmcoDrop.isEmpty || refIdc != 0,
+      "MMCO lives in dec_ref_pic_marking: reference slices only")
     val bw = new BitWriter
     bw.putUe(0) // first_mb_in_slice
     bw.putUe(5) // slice_type: P (all)
@@ -3453,7 +3560,19 @@ object H264 {
       bw.put(1, 1) // override: numRef references active
       bw.putUe(numRef - 1)
     }
-    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    // explicit list-0 reordering (round 14): (idc 0/1,
+    // abs_diff_pic_num_minus1) ops; after them refIdx means a slot in
+    // the REORDERED list — the MbP vocabulary is unchanged
+    if (reorder.isEmpty) bw.put(0, 1)
+    else {
+      bw.put(1, 1) // ref_pic_list_modification_flag_l0
+      reorder.foreach { case (idc, absDiffM1) =>
+        require(idc == 0 || idc == 1, s"reorder idc $idc")
+        bw.putUe(idc)
+        bw.putUe(absDiffM1)
+      }
+      bw.putUe(3) // end
+    }
     // explicit weighted prediction (only against a weighted PPS):
     // (log2 denom, luma weight, luma offset) applied to refIdx 0,
     // defaults for any further references
@@ -3470,7 +3589,17 @@ object H264 {
         i += 1
       }
     }
-    if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+    if (refIdc != 0) {
+      if (mmcoDrop.isEmpty) bw.put(0, 1) // adaptive marking off
+      else {
+        bw.put(1, 1) // adaptive_ref_pic_marking_mode_flag
+        mmcoDrop.foreach { diffM1 =>
+          bw.putUe(1) // op 1: mark short-term unused
+          bw.putUe(diffM1) // difference_of_pic_nums_minus1
+        }
+        bw.putUe(0) // end
+      }
+    }
     bw.putSe(0) // slice_qp_delta
     bw.putUe(1) // disable_deblocking_filter_idc = 1
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)

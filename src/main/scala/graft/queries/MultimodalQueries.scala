@@ -984,6 +984,58 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // H.264 explicit reference reordering under the oracle gate
+    // (round 14, VERDICT r13 #8): I(PCM quadrants) -> P1(zero-MV +
+    // per-4x4 DC residual, the r13 rule) -> P2 whose list-0
+    // modification (op 0, abs_diff 2 -> picNum 0) swaps the I ahead
+    // of P1, so its zero-MV copy reproduces the I exactly — without
+    // the reorder it would reproduce P1. Frame means/stds replay with
+    // per-frame multiplier m in (0, 4, 0).
+    Q("multimodal_avc_reorder",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def q(b: Int): Int = ((id * 11 + 4 * b + 60) % 180).toInt + 20
+            val sep = Array[Byte](0, 0, 0, 1)
+            val es = sep ++ graft.ext.H264.spsNal(1, 1, maxRef = 2) ++
+              sep ++ graft.ext.H264.ppsNal(28) ++
+              sep ++ graft.ext.H264.idrNal(1, 1,
+                _ => graft.ext.H264.Pcm((x, y) => q((y / 8) * 2 + x / 8)), 28) ++
+              sep ++ graft.ext.H264.pNal(1, 1,
+                _ => graft.ext.H264.PMoveCoded(0, 0,
+                  blk => ((id + blk) % 5).toInt - 2), 28, frameNum = 1) ++
+              sep ++ graft.ext.H264.pNal(1, 1,
+                _ => graft.ext.H264.PMove(0, 0), 28, frameNum = 2,
+                reorder = Seq((0, 1)))
+            Multimodal.decodeAvcFramesTyped(es, 4).map {
+              case (f, t, w, h, m, sd) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH f(frame, ftype, mult) AS (VALUES (1, 'I', 0),
+             |  (2, 'P', 4), (3, 'P', 0)),
+             |blk AS (SELECT doc_id, frame, ftype, k,
+             |    (doc_id*11 + 4*(k // 4) + 60) % 180 + 20
+             |      + mult*((doc_id + k) % 5 - 2) AS v
+             |  FROM documents, f, (SELECT unnest(range(16)) AS k)),
+             |m AS (SELECT doc_id, frame, ftype,
+             |    CAST(sum(v) AS DOUBLE)/16 AS mean_g,
+             |    CAST(sum(v*v) AS DOUBLE)/16 AS meansq_g
+             |  FROM blk GROUP BY doc_id, frame, ftype)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame, ftype AS frame_type,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // H.264 B-slice decode under the oracle gate (round 14, VERDICT
     // r13 #2): I(PCM quadrants) -> P(zero-MV + per-4x4 DC residual
     // z_blk) -> B(bipredictive average of both anchors, POC-built

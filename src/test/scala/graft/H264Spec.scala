@@ -639,6 +639,79 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeFramesLuma(bad, 8).map(_._4) == Seq('I'))
   }
 
+  test("explicit reference reordering (round 14): an op-0 modification " +
+      "puts the OLDER picture at refIdx 0; naming a missing picNum " +
+      "degrades") {
+    def refPix(mbi: Int)(x: Int, y: Int): Int = 50 + 3 * (mbi * 16 + x) + 7 * y
+    val sep = Array[Byte](0, 0, 0, 1)
+    def stream(withReorder: Boolean) =
+      sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+        sep ++ H264.ppsNal(28) ++
+        sep ++ H264.idrNal(1, 1, _ => Pcm(refPix(0)), 28) ++
+        sep ++ H264.pNal(1, 1, _ => H264.PMoveCoded(0, 0,
+          blk => blk % 3 - 1), 28, frameNum = 1) ++
+        // P2, one active ref: default list head is P1; the reorder op
+        // (idc 0, abs_diff 2 -> picNum 0 = the I) swaps the I in front
+        sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 2,
+          reorder = if (withReorder) Seq((0, 1)) else Nil)
+    val plain = H264.decodeFramesLuma(stream(withReorder = false), 8)
+    val reord = H264.decodeFramesLuma(stream(withReorder = true), 8)
+    assert(plain.map(_._4) == Seq('I', 'P', 'P'))
+    assert(reord.map(_._4) == Seq('I', 'P', 'P'))
+    assert(plain(2)._3.sameElements(plain(1)._3), "default: P2 copies P1")
+    assert(reord(2)._3.sameElements(reord(0)._3), "reordered: P2 copies the I")
+    assert(!plain(1)._3.sameElements(plain(0)._3), "P1 differs (pin bites)")
+    // an op naming picNum -1 (no such picture): the P slice degrades,
+    // earlier frames stay
+    val bad = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(refPix(0)), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 1,
+        reorder = Seq((0, 2)))
+    assert(H264.decodeFramesLuma(bad, 8).map(_._4) == Seq('I'))
+  }
+
+  test("MMCO op 1 (round 14): marking the I unused evicts it — a later " +
+      "two-ref P degrades where the sliding window alone would decode") {
+    def refPix(x: Int, y: Int): Int = 50 + 3 * x + 7 * y
+    val sep = Array[Byte](0, 0, 0, 1)
+    def stream(drop: Boolean) =
+      sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+        sep ++ H264.ppsNal(28) ++
+        sep ++ H264.idrNal(1, 1, _ => Pcm(refPix), 28) ++
+        // P1 marks the I (picNum 0 = CurrPicNum 1 - 1) unused
+        sep ++ H264.pNal(1, 1, _ => H264.PMoveCoded(0, 0,
+          blk => blk % 3 - 1), 28, frameNum = 1,
+          mmcoDrop = if (drop) Seq(0) else Nil) ++
+        // P2 wants BOTH the I and P1 in its list
+        sep ++ H264.pNal(1, 1, {
+          _ => H264.PMove(0, 0, refIdx = 1)
+        }, 28, frameNum = 2, numRef = 2)
+    val kept = H264.decodeFramesLuma(stream(drop = false), 8)
+    assert(kept.map(_._4) == Seq('I', 'P', 'P'))
+    assert(kept(2)._3.sameElements(kept(0)._3), "refIdx 1 reaches the I")
+    val dropped = H264.decodeFramesLuma(stream(drop = true), 8)
+    assert(dropped.map(_._4) == Seq('I', 'P'),
+      s"after MMCO the 2-ref P must degrade: ${dropped.map(_._4)}")
+    // single-ref continuation still decodes against P1 after the drop
+    val ok = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(refPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMoveCoded(0, 0,
+        blk => blk % 3 - 1), 28, frameNum = 1, mmcoDrop = Seq(0)) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 2)
+    val fs = H264.decodeFramesLuma(ok, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P'))
+    assert(fs(2)._3.sameElements(fs(1)._3), "P2 copies P1, the sole ref")
+    // MMCO naming a picture not in the window degrades the P itself
+    val bad = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(refPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 1,
+        mmcoDrop = Seq(3))
+    assert(H264.decodeFramesLuma(bad, 8).map(_._4) == Seq('I'))
+  }
+
   test("explicit weighted prediction (round 13): w=3 denom=1 o=10 " +
       "applies ((g*3+1)>>1)+10 clipped; skip MBs weight too") {
     def refPix(x: Int, y: Int): Int = 40 + 3 * x + 7 * y
