@@ -87,12 +87,13 @@ package graft.ext
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
   *    min(A,B) mode prediction, and the Table 9-4 intra
   *    coded_block_pattern mapping.
-  *  - In-loop deblocking (8.7, round 13): the luma filter is applied
-  *    for real — per-MB raster order, vertical then horizontal edges,
-  *    bS derivation 8.7.2.1 (intra/coeffs/mv rules for the decoded
-  *    subset), Table 8-16 alpha/beta and Table 8-17 tC0, slice
-  *    alpha/beta offsets, I_PCM's qp-0 rule. Chroma planes are not
-  *    reconstructed, so chroma filtering does not apply. Slices with
+  *  - In-loop deblocking (8.7, round 13; chroma round 14): luma AND
+  *    chroma filters applied for real — per-MB raster order, vertical
+  *    then horizontal edges, bS derivation 8.7.2.1 (intra/coeffs/mv
+  *    rules for the decoded subset), Table 8-16 alpha/beta and Table
+  *    8-17 tC0, slice alpha/beta offsets, I_PCM's qp-0 rule; chroma
+  *    edges at every other luma edge with QPc-derived thresholds and
+  *    the p0/q0-only 8.7.2.4 filters. Slices with
   *    disable_deblocking_filter_idc = 1 skip it, as before; idc 0/2
   *    now decode (single-slice streams: 2 has no cross-slice edges
   *    to exempt).
@@ -102,10 +103,14 @@ package graft.ext
   *    than risking a misremembered table row. [[encodeIFrame]] emits
   *    only listed codes, so fixture streams are fully decodable.
   *
-  * Chroma residuals are PARSED when present (bitstream sync and the
-  * nC bookkeeping require it) but only luma is reconstructed — the
-  * consumers are gray-statistics features, as with [[Mpeg1]].
-  */
+  * CHROMA is RECONSTRUCTED for real since round 14 (VERDICT r13 #3):
+  * intra prediction 8.3.4 (per-4x4 DC edge rules, H/V/Plane), the
+  * 2x2 DC transform + QPc dequant chain (8.5.8/8.5.11, both PPS
+  * chroma QP offsets), eighth-pel bilinear inter MC (8.4.2.2.2)
+  * across P and B including weighted/bipred with the chroma weight
+  * tables, I_PCM chroma samples, and chroma deblocking —
+  * [[decodeFramesYuv]] exposes the full 4:2:0 planes, and the luma
+  * APIs are unchanged. */
 object H264 {
 
   /** 4x4 zigzag: scan index -> raster index (8.5.6 / figure 8-8). */
@@ -157,6 +162,17 @@ object H264 {
 
   private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
+
+  /** Table 8-15 qPi -> QPc (identity below 30). */
+  private val QpcTab: Array[Int] = Array(
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+    38, 38, 38, 39, 39, 39, 39)
+
+  /** Chroma QP from the luma QP and a PPS offset (8.5.8). */
+  private def qpChroma(qpY: Int, off: Int): Int = {
+    val qPi = clip3(0, 51, qpY + off)
+    if (qPi < 30) qPi else QpcTab(qPi - 30)
+  }
 
   // ---- deblocking thresholds (8.7.2.2), by index 0..51 ----
 
@@ -278,6 +294,10 @@ object H264 {
 
   // ---------------------------------------------------------------- headers
 
+  /** One DPB entry: luma + both chroma planes (round 14). */
+  private final case class RefPic(y: Array[Int], cb: Array[Int],
+      cr: Array[Int])
+
   private final case class Sps(
       id: Int, mbW: Int, mbH: Int,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
@@ -289,7 +309,8 @@ object H264 {
       picInitQp: Int, deblockPresent: Boolean, redundantPresent: Boolean,
       bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
       weightedPred: Boolean, constrainedIntra: Boolean,
-      cabac: Boolean, numRefIdxL1Default: Int, weightedBipredIdc: Int)
+      cabac: Boolean, numRefIdxL1Default: Int, weightedBipredIdc: Int,
+      chromaQpOff: Int, chromaQpOff2: Int)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -357,18 +378,22 @@ object H264 {
     val weightedBipredIdc = br.bits(2)
     val picInitQp = 26 + br.se()
     br.se() // pic_init_qs
-    br.se() // chroma_qp_index_offset
+    val chromaQpOff = br.se() // chroma_qp_index_offset (round 14)
+    if (chromaQpOff < -12 || chromaQpOff > 12) throw ParseFail
     val deblockPresent = br.bit() == 1
     val constrainedIntra = br.bit() == 1
     val redundantPresent = br.bit() == 1
+    var chromaQpOff2 = chromaQpOff // Cr defaults to the Cb offset
     if (br.moreRbspData()) {
       if (br.bit() == 1) throw ParseFail // transform_8x8_mode
       if (br.bit() == 1) throw ParseFail // pic_scaling_matrix
-      br.se() // second_chroma_qp_index_offset
+      chromaQpOff2 = br.se() // second_chroma_qp_index_offset
+      if (chromaQpOff2 < -12 || chromaQpOff2 > 12) throw ParseFail
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
       bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra,
-      cabac, numRefIdxL1Default, weightedBipredIdc)
+      cabac, numRefIdxL1Default, weightedBipredIdc, chromaQpOff,
+      chromaQpOff2)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -746,7 +771,10 @@ object H264 {
   private def deblockLuma(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
       mbIntra: Array[Boolean], qpMb: Array[Int], lumaNz: NzCtx,
       mv: MvCtx, sliceOf: Array[Int],
-      sliceParams: Array[(Int, Int, Int)]): Unit = {
+      sliceParams: Array[(Int, Int, Int)],
+      cbPlane: Array[Int] = null, crPlane: Array[Int] = null,
+      cqpOffCb: Int = 0, cqpOffCr: Int = 0): Unit = {
+    val strideC = mbW * 8
     def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
         mbEdge: Boolean): Int = {
       if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
@@ -801,6 +829,25 @@ object H264 {
           q1 + clip3(-tc0, tc0, (q2 + ((q0 + p0 + 1) >> 1) - 2 * q1) >> 1)
       }
     }
+    // chroma edge filter (8.7.2.4, round 14): p0/q0 only; tC = tC0+1
+    def filterLineC(plane: Array[Int], pos: Int, step: Int, bSv: Int,
+        indexA: Int, indexB: Int): Unit = {
+      val alpha = AlphaT(indexA)
+      val beta = BetaT(indexB)
+      val q0 = plane(pos); val q1 = plane(pos + step)
+      val p0 = plane(pos - step); val p1 = plane(pos - 2 * step)
+      if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+        math.abs(q1 - q0) >= beta) return
+      if (bSv == 4) {
+        plane(pos - step) = (2 * p1 + p0 + q1 + 2) >> 2
+        plane(pos) = (2 * q1 + q0 + p1 + 2) >> 2
+      } else {
+        val tc = Tc0T(bSv - 1)(indexA) + 1
+        val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+        plane(pos - step) = clip255(p0 + delta)
+        plane(pos) = clip255(q0 - delta)
+      }
+    }
     var mb = 0
     while (mb < mbW * mbH) {
       val mbX = mb % mbW
@@ -847,8 +894,35 @@ object H264 {
                       bs, indexA, indexB)
                     s += 1
                   }
-                }
-                g += 1
+                  // chroma edges exist at every OTHER luma edge
+                  // (4:2:0: k = 0, 2 -> chroma 0, 4); 2 chroma lines
+                  // per 4-luma-line group; thresholds from QPc
+                  if (cbPlane != null && (k & 1) == 0) {
+                    var comp = 0
+                    while (comp < 2) {
+                      val off = if (comp == 0) cqpOffCb else cqpOffCr
+                      val qpAvC = (qpChroma(qpMb(mbP), off) +
+                        qpChroma(qpQ, off) + 1) >> 1
+                      val iA = clip3(0, 51, qpAvC + offA)
+                      val iB = clip3(0, 51, qpAvC + offB)
+                      if (AlphaT(iA) > 0) {
+                        val plane = if (comp == 0) cbPlane else crPlane
+                        var sc = 0
+                        while (sc < 2) {
+                          val pos =
+                            if (vert == 0)
+                              (byQ * 2 + sc) * strideC + bxQ * 2
+                            else byQ * 2 * strideC + bxQ * 2 + sc
+                          filterLineC(plane, pos,
+                            if (vert == 0) 1 else strideC, bs, iA, iB)
+                          sc += 1
+                        }
+                      }
+                      comp += 1
+                    }
+                  }
+                  g += 1
+                } else g += 1
               }
             }
           }
@@ -1106,9 +1180,21 @@ object H264 {
   /** NAL-list form of [[decodeFramesLuma]] (avcC / length-prefixed
     * callers). */
   def decodeFramesLumaNals(nals: Seq[Array[Byte]],
-      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] = {
-    val frames =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int], Char)]
+      maxFrames: Int): Seq[(Int, Int, Array[Int], Char)] =
+    decodeFramesYuvNals(nals, maxFrames)
+      .map { case (w, h, y, _, _, t) => (w, h, y, t) }
+
+  /** Full 4:2:0 decode (round 14): (width, height, luma, cb, cr,
+    * type) per frame in decode order — chroma planes are w/2 x h/2.
+    * Same walk, same degrade discipline as the luma form. */
+  def decodeFramesYuv(es: Array[Byte], maxFrames: Int): Seq[(Int, Int, Array[Int], Array[Int], Array[Int], Char)] =
+    decodeFramesYuvNals(splitAnnexB(es), maxFrames)
+
+  /** NAL-list form of [[decodeFramesYuv]]. */
+  def decodeFramesYuvNals(nals: Seq[Array[Byte]],
+      maxFrames: Int): Seq[(Int, Int, Array[Int], Array[Int], Array[Int], Char)] = {
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Int], Array[Int], Array[Int], Char)]
     if (maxFrames <= 0) return frames.toSeq
     try {
       val spsById = scala.collection.mutable.Map.empty[Int, Sps]
@@ -1123,7 +1209,7 @@ object H264 {
       // sliding-window DPB (round 13, multi-reference): most recent
       // reference first; capped at the SPS's max_num_ref_frames. An
       // IDR resets it (8.2.5.1); a geometry change invalidates it.
-      var refList: Vector[Array[Int]] = Vector.empty
+      var refList: Vector[RefPic] = Vector.empty
       var refPocs: Vector[Int] = Vector.empty // parallel (round 14: B)
       var refFns: Vector[Int] = Vector.empty // frame_num per entry
       var refMbW = -1
@@ -1140,49 +1226,49 @@ object H264 {
         if (pending == null) return true
         val st = pending
         pending = null
-        finishPicture(st) match {
-          case Some((sps, plane, isIntra, frameNum)) =>
-            cropFrame(sps, plane) match {
-              case Some((w, h, cropped)) =>
-                // only REFERENCE pictures enter the DPB: a
-                // nal_ref_idc == 0 frame is emitted but never
-                // referenced (8.2.5; review r12). An IDR resets
-                // the window; a geometry change invalidates the
-                // old planes (their strides differ).
-                if (pendingRefIdc != 0) {
-                  if (pendingIdr || refMbW != sps.mbW ||
-                      refMbH != sps.mbH) {
-                    refList = Vector.empty
-                    refPocs = Vector.empty
-                    refFns = Vector.empty
+        if (!finishPicture(st)) return false
+        val sps = st.sps
+        val frameNum = st.frameNum
+        cropFrame(sps, st.luma) match {
+          case Some((w, h, cropped)) =>
+            // only REFERENCE pictures enter the DPB: a
+            // nal_ref_idc == 0 frame is emitted but never
+            // referenced (8.2.5; review r12). An IDR resets
+            // the window; a geometry change invalidates the
+            // old planes (their strides differ).
+            if (pendingRefIdc != 0) {
+              if (pendingIdr || refMbW != sps.mbW ||
+                  refMbH != sps.mbH) {
+                refList = Vector.empty
+                refPocs = Vector.empty
+                refFns = Vector.empty
+              }
+              // MMCO op-1 (round 14): the marked pictures leave
+              // the window before the current one enters
+              if (st.mmcoDropIdx.nonEmpty) {
+                val drop = st.mmcoDropIdx.toSet
+                def keep[T](v: Vector[T]): Vector[T] =
+                  v.zipWithIndex.collect {
+                    case (x, i) if !drop(i) => x
                   }
-                  // MMCO op-1 (round 14): the marked pictures leave
-                  // the window before the current one enters
-                  if (st.mmcoDropIdx.nonEmpty) {
-                    val drop = st.mmcoDropIdx.toSet
-                    def keep[T](v: Vector[T]): Vector[T] =
-                      v.zipWithIndex.collect {
-                        case (x, i) if !drop(i) => x
-                      }
-                    refList = keep(refList)
-                    refPocs = keep(refPocs)
-                    refFns = keep(refFns)
-                  }
-                  val cap = math.max(1, sps.maxRefFrames)
-                  refList = (plane +: refList).take(cap)
-                  refPocs = (st.poc +: refPocs).take(cap)
-                  refFns = (frameNum +: refFns).take(cap)
-                  refMbW = sps.mbW
-                  refMbH = sps.mbH
-                  prevRefFn = frameNum
-                  prevPocMsb = st.pocMsb
-                  prevPocLsb = st.pocLsb
-                }
-                frames += ((w, h, cropped,
-                  if (isIntra) 'I' else if (st.hasB) 'B' else 'P'))
-                true
-              case None => false
+                refList = keep(refList)
+                refPocs = keep(refPocs)
+                refFns = keep(refFns)
+              }
+              val cap = math.max(1, sps.maxRefFrames)
+              refList = (RefPic(st.luma, st.cb, st.cr) +: refList).take(cap)
+              refPocs = (st.poc +: refPocs).take(cap)
+              refFns = (frameNum +: refFns).take(cap)
+              refMbW = sps.mbW
+              refMbH = sps.mbH
+              prevRefFn = frameNum
+              prevPocMsb = st.pocMsb
+              prevPocLsb = st.pocLsb
             }
+            frames += ((w, h, cropped, cropFrameC(sps, st.cb),
+              cropFrameC(sps, st.cr),
+              if (st.allIntra) 'I' else if (st.hasB) 'B' else 'P'))
+            true
           case None => false
         }
       }
@@ -1286,6 +1372,26 @@ object H264 {
     Some((w, h, out))
   }
 
+  /** Chroma twin of [[cropFrame]]: CropUnit is 1 chroma sample per
+    * unit (7.4.2.1.1, 4:2:0 frame), so the offsets apply directly on
+    * the half-resolution plane. */
+  private def cropFrameC(sps: Sps, plane: Array[Int]): Array[Int] = {
+    val strideC = sps.mbW * 8
+    val w = strideC - (sps.cropL + sps.cropR)
+    val h = sps.mbH * 8 - (sps.cropT + sps.cropB)
+    if (w == strideC && h == sps.mbH * 8) plane
+    else {
+      val o = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(plane, (y + sps.cropT) * strideC + sps.cropL,
+          o, y * w, w)
+        y += 1
+      }
+      o
+    }
+  }
+
   /** Per-PICTURE decode state (round 13, multi-slice): every slice of
     * one coded picture decodes into the same plane and contexts, with
     * prediction availability gated to the slice being decoded (9.2.1 /
@@ -1300,6 +1406,10 @@ object H264 {
     val nMbs: Int = mbW * mbH
     val stride: Int = mbW * 16
     val luma = new Array[Int](stride * mbH * 16)
+    /** 4:2:0 chroma planes (round 14: reconstructed for real). */
+    val strideC: Int = mbW * 8
+    val cb = new Array[Int](strideC * mbH * 8)
+    val cr = new Array[Int](strideC * mbH * 8)
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
     val cbNz = new NzCtx(mbW * 2, mbH * 2)
     val crNz = new NzCtx(mbW * 2, mbH * 2)
@@ -1346,6 +1456,10 @@ object H264 {
       * the reference window when THIS picture is marked (8.2.5.4.1);
       * resolved at slice-header parse time against the passed DPB. */
     var mmcoDropIdx: List[Int] = Nil
+    /** the picture's PPS chroma QP offsets (one PPS per picture,
+      * ADVICE r13) — the loop filter derives chroma thresholds. */
+    var cqpOffCb = 0
+    var cqpOffCr = 0
     lumaNz.gate = (bx, by) => sliceOf((by >> 2) * mbW + (bx >> 2)) == curSlice
     cbNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
     crNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
@@ -1354,17 +1468,17 @@ object H264 {
   }
 
   /** Finish a fully-covered picture: run the loop filter per each
-    * slice's own control values and emit the plane. An incompletely
-    * covered picture (a slice degraded or the stream ended mid-
-    * picture) yields None — never a partial frame. */
-  private def finishPicture(
-      st: PicState): Option[(Sps, Array[Int], Boolean, Int)] = {
-    if (st.mbNext != st.nMbs) return None
+    * slice's own control values. An incompletely covered picture (a
+    * slice degraded or the stream ended mid-picture) yields false —
+    * never a partial frame. */
+  private def finishPicture(st: PicState): Boolean = {
+    if (st.mbNext != st.nMbs) return false
     st.curSlice = -2 // close the prediction gates
     if (st.sliceParams.exists(_._1 != 1))
       deblockLuma(st.luma, st.stride, st.mbW, st.mbH, st.mbIntraA,
-        st.qpMbA, st.lumaNz, st.mv, st.sliceOf, st.sliceParams.toArray)
-    Some((st.sps, st.luma, st.allIntra, st.frameNum))
+        st.qpMbA, st.lumaNz, st.mv, st.sliceOf, st.sliceParams.toArray,
+        st.cb, st.cr, st.cqpOffCb, st.cqpOffCr)
+    true
   }
 
   /** ref_pic_list_modification (7.3.3.1 -> 8.2.4.3.1, round 14):
@@ -1417,7 +1531,7 @@ object H264 {
   private def decodeSliceInto(rbsp: Array[Byte], spsById: Map[Int, Sps],
       ppsById: Map[Int, Pps], poisoned: Set[(Int, Int)],
       nalRefIdc: Int, isIdr: Boolean,
-      refs: IndexedSeq[Array[Int]], refMbW: Int = -1,
+      refs: IndexedSeq[RefPic], refMbW: Int = -1,
       refMbH: Int = -1,
       prevRefFrameNum: Int = -1,
       refPocs: IndexedSeq[Int] = IndexedSeq.empty,
@@ -1439,7 +1553,7 @@ object H264 {
     val sps = spsById.getOrElse(pps.spsId, return None)
     if (isInter && (refs.isEmpty ||
         refMbW != sps.mbW || refMbH != sps.mbH ||
-        refs.exists(_.length != sps.mbW * 16 * sps.mbH * 16)))
+        refs.exists(_.y.length != sps.mbW * 16 * sps.mbH * 16)))
       return None // no reference, or one with a DIFFERENT geometry: a
     // same-area different-shape SPS switch would MC with the wrong
     // stride (review r12) — compare dimensions, not just length
@@ -1573,17 +1687,23 @@ object H264 {
           frameNum, 1 << sps.log2MaxFrameNum).getOrElse(return None)
       }
     }
-    // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2):
-    // per-ref luma weight/offset; chroma weights parsed for sync only
-    // (chroma is not reconstructed). Default = identity (1<<denom, 0).
+    // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2;
+    // round 14: chroma weights applied for real now that chroma
+    // reconstructs). Default = identity (1<<denom, 0).
     var wpDenom = 0
+    var wpDenomC = 0
     var wpW: Array[Int] = null
     var wpO: Array[Int] = null
     var wpW1: Array[Int] = null // list 1 (B, explicit bipred idc 1)
     var wpO1: Array[Int] = null
-    def readWeights(n: Int): (Array[Int], Array[Int]) = {
+    // chroma weights per list x component: (wCb, oCb, wCr, oCr)
+    var wpC: Array[Array[Int]] = null // list 0: 4 arrays
+    var wpC1: Array[Array[Int]] = null
+    def readWeights(n: Int): (Array[Int], Array[Int], Array[Array[Int]]) = {
       val w = Array.fill(n)(1 << wpDenom)
       val o = new Array[Int](n)
+      val cw = Array(Array.fill(n)(1 << wpDenomC), new Array[Int](n),
+        Array.fill(n)(1 << wpDenomC), new Array[Int](n))
       var i = 0
       while (i < n) {
         if (br.bit() == 1) { // luma_weight_lX_flag
@@ -1592,46 +1712,47 @@ object H264 {
           if (w(i) < -128 || w(i) > 127 ||
             o(i) < -128 || o(i) > 127) throw ParseFail
         }
-        if (br.bit() == 1) { // chroma_weight_lX_flag (sync only)
+        if (br.bit() == 1) { // chroma_weight_lX_flag
           var c = 0
-          while (c < 4) { br.se(); c += 1 }
+          while (c < 4) {
+            cw(c)(i) = br.se()
+            if (cw(c)(i) < -128 || cw(c)(i) > 127) throw ParseFail
+            c += 1
+          }
         }
         i += 1
       }
-      (w, o)
+      (w, o, cw)
     }
     if ((isP && pps.weightedPred) ||
       (isB && pps.weightedBipredIdc == 1)) {
       wpDenom = br.ue()
       if (wpDenom > 7) return None
-      val chromaDenom = br.ue() // chroma_log2_weight_denom
-      if (chromaDenom > 7) return None
-      val (w0, o0) = readWeights(numRefL0)
+      wpDenomC = br.ue() // chroma_log2_weight_denom
+      if (wpDenomC > 7) return None
+      val (w0, o0, c0) = readWeights(numRefL0)
       wpW = w0
       wpO = o0
+      wpC = c0
       if (isB) {
-        val (w1, o1) = readWeights(numRefL1)
+        val (w1, o1, c1) = readWeights(numRefL1)
         wpW1 = w1
         wpO1 = o1
+        wpC1 = c1
       }
     }
-    // weight one rectangle of the MB prediction buffer in place
-    // (8.4.2.3.2 single-list); `list` picks the L0 or L1 table
-    def weightRect(out: Array[Int], off: Int, w: Int, h: Int,
-        refIdx: Int, list: Int = 0): Unit = {
-      val wt = if (list == 0) wpW else wpW1
-      val ot = if (list == 0) wpO else wpO1
-      if (wt == null) return
-      val ww = wt(refIdx)
-      val oo = ot(refIdx)
-      val rnd = if (wpDenom > 0) 1 << (wpDenom - 1) else 0
+    // weight one rect in place (8.4.2.3.2 single-list), generic over
+    // buffer stride and weight table
+    def weightRectG(out: Array[Int], off: Int, w: Int, h: Int,
+        stride: Int, ww: Int, oo: Int, denom: Int): Unit = {
+      val rnd = if (denom > 0) 1 << (denom - 1) else 0
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val k = off + y * 16 + x
+          val k = off + y * stride + x
           val v =
-            if (wpDenom > 0) ((out(k) * ww + rnd) >> wpDenom) + oo
+            if (denom > 0) ((out(k) * ww + rnd) >> denom) + oo
             else out(k) * ww + oo
           out(k) = clip255(v)
           x += 1
@@ -1639,27 +1760,57 @@ object H264 {
         y += 1
       }
     }
+    def weightRect(out: Array[Int], off: Int, w: Int, h: Int,
+        refIdx: Int, list: Int = 0): Unit = {
+      val wt = if (list == 0) wpW else wpW1
+      val ot = if (list == 0) wpO else wpO1
+      if (wt == null) return
+      weightRectG(out, off, w, h, 16, wt(refIdx), ot(refIdx), wpDenom)
+    }
+    /** chroma single-list weight: comp 0 = Cb, 1 = Cr; 8-stride. */
+    def weightRectC(out: Array[Int], off: Int, w: Int, h: Int,
+        refIdx: Int, list: Int, comp: Int): Unit = {
+      val ct = if (list == 0) wpC else wpC1
+      if (ct == null) return
+      weightRectG(out, off, w, h, 8, ct(comp * 2)(refIdx),
+        ct(comp * 2 + 1)(refIdx), wpDenomC)
+    }
     // combine the L0 rect (already in `out`) with the L1 rect in `b1`
     // (both UNWEIGHTED): default bipred = rounded average (8.4.2.3.1);
     // explicit idc 1 = the 8.4.2.3.2 two-sided formula
-    def bipredRect(out: Array[Int], b1: Array[Int], off: Int, w: Int,
-        h: Int, r0: Int, r1: Int): Unit = {
+    def bipredRectG(out: Array[Int], b1: Array[Int], off: Int, w: Int,
+        h: Int, stride: Int, w0: Int, w1: Int, o0: Int, o1: Int,
+        denom: Int, explicit: Boolean): Unit = {
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val k = off + y * 16 + x
-          val v =
-            if (wpW == null) (out(k) + b1(k) + 1) >> 1
+          val k = off + y * stride + x
+          out(k) =
+            if (!explicit) (out(k) + b1(k) + 1) >> 1
             else clip255(
-              ((out(k) * wpW(r0) + b1(k) * wpW1(r1) + (1 << wpDenom))
-                >> (wpDenom + 1)) + ((wpO(r0) + wpO1(r1) + 1) >> 1))
-          out(k) = v
+              ((out(k) * w0 + b1(k) * w1 + (1 << denom))
+                >> (denom + 1)) + ((o0 + o1 + 1) >> 1))
           x += 1
         }
         y += 1
       }
     }
+    def bipredRect(out: Array[Int], b1: Array[Int], off: Int, w: Int,
+        h: Int, r0: Int, r1: Int): Unit =
+      bipredRectG(out, b1, off, w, h, 16,
+        if (wpW == null) 0 else wpW(r0),
+        if (wpW1 == null) 0 else wpW1(r1),
+        if (wpO == null) 0 else wpO(r0),
+        if (wpO1 == null) 0 else wpO1(r1), wpDenom, wpW != null)
+    def bipredRectC(out: Array[Int], b1: Array[Int], off: Int, w: Int,
+        h: Int, r0: Int, r1: Int, comp: Int): Unit =
+      bipredRectG(out, b1, off, w, h, 8,
+        if (wpC == null) 0 else wpC(comp * 2)(r0),
+        if (wpC1 == null) 0 else wpC1(comp * 2)(r1),
+        if (wpC == null) 0 else wpC(comp * 2 + 1)(r0),
+        if (wpC1 == null) 0 else wpC1(comp * 2 + 1)(r1),
+        wpDenomC, wpC != null)
     if (nalRefIdc != 0) {
       if (isIdr) {
         br.bit() // no_output_of_prior_pics_flag
@@ -1724,7 +1875,10 @@ object H264 {
       val sliceIdx = st.sliceParams.length
       st.curSlice = sliceIdx
       st.sliceParams += ((deblockIdc, offA, offB))
-      return cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp)
+      st.cqpOffCb = pps.chromaQpOff
+      st.cqpOffCr = pps.chromaQpOff2
+      return cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp,
+        pps.chromaQpOff, pps.chromaQpOff2)
     }
     val mbW = sps.mbW; val mbH = sps.mbH
     val stride = mbW * 16
@@ -1737,12 +1891,18 @@ object H264 {
     val planeH = mbH * 16
     val mv = st.mv
     val mc16 = new Array[Int](256)
+    val mcCb = new Array[Int](64) // MB chroma prediction (round 14)
+    val mcCr = new Array[Int](64)
+    val strideC = st.strideC
+    val planeHC = mbH * 8
     val mbIntraA = st.mbIntraA
     val qpMbA = st.qpMbA
     val i4mode = st.i4mode
     val sliceIdx = st.sliceParams.length
     st.curSlice = sliceIdx
     st.sliceParams += ((deblockIdc, offA, offB))
+    st.cqpOffCb = pps.chromaQpOff
+    st.cqpOffCr = pps.chromaQpOff2
     def i4ModeAt(bx: Int, by: Int): Int =
       if (bx < 0 || by < 0) 2
       else if (st.sliceOf((by >> 2) * mbW + (bx >> 2)) != sliceIdx) 2
@@ -1750,21 +1910,23 @@ object H264 {
     // chroma residual parse (sync + nz bookkeeping only; chroma is
     // not reconstructed) — shared by the Intra_16x16 and Intra_4x4
     // branches, identical cbpChroma semantics
-    def parseChroma(cbpChroma: Int, mbX: Int, mbY: Int): Unit = {
+    def parseChroma(cbpChroma: Int, mbX: Int, mbY: Int): ChromaCoeffs = {
+      val cc = new ChromaCoeffs
       if (cbpChroma > 0) {
-        var comp = 0
-        while (comp < 2) {
-          residualCavlc(br, -1, 4)
-          comp += 1
-        }
+        val (dcb, _) = residualCavlc(br, -1, 4)
+        System.arraycopy(dcb, 0, cc.dcCb, 0, 4)
+        val (dcr, _) = residualCavlc(br, -1, 4)
+        System.arraycopy(dcr, 0, cc.dcCr, 0, 4)
         if (cbpChroma == 2) {
           var comp = 0
           while (comp < 2) {
             val ctx = if (comp == 0) cbNz else crNz
+            val acArr = if (comp == 0) cc.acCb else cc.acCr
             var cblk = 0
             while (cblk < 4) {
-              val (_, tc) = residualCavlc(br,
+              val (coeffs, tc) = residualCavlc(br,
                 ctx.nC(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1)), 15)
+              acArr(cblk) = coeffs
               ctx.set(mbX * 2 + (cblk & 1), mbY * 2 + (cblk >> 1), tc)
               cblk += 1
             }
@@ -1786,6 +1948,24 @@ object H264 {
           cblk += 1
         }
       }
+      cc
+    }
+    // intra chroma prediction + reconstruction for the CURRENT MB
+    // (round 14); availability slice-gated like luma
+    def intraChromaRecon(mb: Int, mbX: Int, mbY: Int, mode: Int,
+        cc: ChromaCoeffs, qpY: Int): Boolean = {
+      val hasL = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx
+      val hasT = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx
+      val hasTL = mbX > 0 && mbY > 0 &&
+        st.sliceOf(mb - mbW - 1) == sliceIdx
+      val pcb = predictChroma(st.cb, st.strideC, mbX * 8, mbY * 8,
+        mode, hasL, hasT, hasTL)
+      val pcr = predictChroma(st.cr, st.strideC, mbX * 8, mbY * 8,
+        mode, hasL, hasT, hasTL)
+      if (pcb == null || pcr == null) return false
+      reconChromaMb(st, mb, qpY, pps.chromaQpOff, pps.chromaQpOff2,
+        cc, pcb, pcr)
+      true
     }
     def zeroNz(mbX: Int, mbY: Int): Unit = {
       var blk = 0
@@ -1811,15 +1991,15 @@ object H264 {
     // residuals dequantized onto the MB prediction in mc16 — shared
     // by the P and B inter branches (round 14). Throws ParseFail
     // upstream; returns false on an out-of-range cbp code.
-    def interResiduals(mb: Int, mbX: Int, mbY: Int): Boolean = {
+    def interResiduals(mb: Int, mbX: Int, mbY: Int): ChromaCoeffs = {
       val cbpCode = br.ue()
-      if (cbpCode > 47) return false
+      if (cbpCode > 47) return null
       val cbp = CbpInter(cbpCode)
       val cbpLuma = cbp & 15
       val cbpChroma = cbp >> 4
       if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
       qpMbA(mb) = qp
-      if (cbp == 0) zeroNz(mbX, mbY)
+      if (cbp == 0) { zeroNz(mbX, mbY); new ChromaCoeffs }
       else {
         val d4 = new Array[Int](16)
         var blk = 0
@@ -1856,7 +2036,6 @@ object H264 {
         }
         parseChroma(cbpChroma, mbX, mbY)
       }
-      true
     }
     var mb = startMb
     var ended = false // slice data exhausted (or trailing skip run)
@@ -1882,10 +2061,18 @@ object H264 {
           mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
             mx, my, refIdx = 0)
           qpMbA(mb) = qp
-          interPredict16x16(refs(listL0(0)), stride, planeH,
+          interPredict16x16(refs(listL0(0)).y, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
           weightRect(mc16, 0, 16, 16, 0)
           writeMc((mb % mbW) * 16, (mb / mbW) * 16)
+          interPredictRectChroma(refs(listL0(0)).cb, strideC, planeHC,
+            (mb % mbW) * 8, (mb / mbW) * 8, 8, 8, mx, my, mcCb, 0, 8)
+          interPredictRectChroma(refs(listL0(0)).cr, strideC, planeHC,
+            (mb % mbW) * 8, (mb / mbW) * 8, 8, 8, mx, my, mcCr, 0, 8)
+          weightRectC(mcCb, 0, 8, 8, 0, 0, 0)
+          weightRectC(mcCr, 0, 8, 8, 0, 0, 1)
+          reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+            new ChromaCoeffs, mcCb, mcCr)
           zeroNz(mb % mbW, mb / mbW)
           mb += 1
           s += 1
@@ -1946,10 +2133,19 @@ object H264 {
           if (mx < -2048 * 4 || mx > 2048 * 4 ||
             my < -2048 * 4 || my > 2048 * 4) return false
           mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my, refIdx)
-          interPredictRect(refs(listL0(refIdx)), stride, planeH,
+          interPredictRect(refs(listL0(refIdx)).y, stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
           weightRect(mc16, cy4 * 4 * 16 + cx4 * 4, w4 * 4, h4 * 4, refIdx)
+          val offC = cy4 * 2 * 8 + cx4 * 2
+          interPredictRectChroma(refs(listL0(refIdx)).cb, strideC,
+            planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+            w4 * 2, h4 * 2, mx, my, mcCb, offC, 8)
+          interPredictRectChroma(refs(listL0(refIdx)).cr, strideC,
+            planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+            w4 * 2, h4 * 2, mx, my, mcCr, offC, 8)
+          weightRectC(mcCb, offC, w4 * 2, h4 * 2, refIdx, 0, 0)
+          weightRectC(mcCr, offC, w4 * 2, h4 * 2, refIdx, 0, 1)
           true
         }
         mbType match {
@@ -2000,8 +2196,11 @@ object H264 {
               p8 += 1
             }
         }
-        if (!interResiduals(mb, mbX, mbY)) return None
+        val ccP = interResiduals(mb, mbX, mbY)
+        if (ccP == null) return None
         writeMc(ox, oy)
+        reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+          ccP, mcCb, mcCr)
       } else if (mbType <= -100) {
         // ---- B inter macroblock (round 14): Table 7-14 types 1-21 —
         // every 16x16 / 16x8 / 8x16 L0/L1/Bi combination. Syntax
@@ -2053,6 +2252,8 @@ object H264 {
           p += 1
         }
         val bi16 = new Array[Int](256)
+        val biCb = new Array[Int](64)
+        val biCr = new Array[Int](64)
         // pass 1: list-0 mvds in partition order; L0-only partitions
         // MC (+ single-list weight) straight into mc16
         p = 0
@@ -2068,12 +2269,22 @@ object H264 {
               my < -2048 * 4 || my > 2048 * 4) return None
             mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my,
               r0(p))
-            interPredictRect(refs(listL0(r0(p))), stride, planeH,
+            interPredictRect(refs(listL0(r0(p))).y, stride, planeH,
               ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
               mc16, cy4 * 4 * 16 + cx4 * 4, 16)
-            if (m == 0)
+            val offC = cy4 * 2 * 8 + cx4 * 2
+            interPredictRectChroma(refs(listL0(r0(p))).cb, strideC,
+              planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+              w4 * 2, h4 * 2, mx, my, mcCb, offC, 8)
+            interPredictRectChroma(refs(listL0(r0(p))).cr, strideC,
+              planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+              w4 * 2, h4 * 2, mx, my, mcCr, offC, 8)
+            if (m == 0) {
               weightRect(mc16, cy4 * 4 * 16 + cx4 * 4, w4 * 4, h4 * 4,
                 r0(p), list = 0)
+              weightRectC(mcCb, offC, w4 * 2, h4 * 2, r0(p), 0, 0)
+              weightRectC(mcCr, offC, w4 * 2, h4 * 2, r0(p), 0, 1)
+            }
           } else mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = false, 0, 0)
           p += 1
         }
@@ -2093,23 +2304,45 @@ object H264 {
             st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true,
               mx, my, r1(p))
             val off = cy4 * 4 * 16 + cx4 * 4
+            val offC = cy4 * 2 * 8 + cx4 * 2
             if (m == 1) {
-              interPredictRect(refs(listL1(r1(p))), stride, planeH,
+              interPredictRect(refs(listL1(r1(p))).y, stride, planeH,
                 ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
                 mc16, off, 16)
               weightRect(mc16, off, w4 * 4, h4 * 4, r1(p), list = 1)
+              interPredictRectChroma(refs(listL1(r1(p))).cb, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, mcCb, offC, 8)
+              interPredictRectChroma(refs(listL1(r1(p))).cr, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, mcCr, offC, 8)
+              weightRectC(mcCb, offC, w4 * 2, h4 * 2, r1(p), 1, 0)
+              weightRectC(mcCr, offC, w4 * 2, h4 * 2, r1(p), 1, 1)
             } else {
-              interPredictRect(refs(listL1(r1(p))), stride, planeH,
+              interPredictRect(refs(listL1(r1(p))).y, stride, planeH,
                 ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
                 bi16, off, 16)
               bipredRect(mc16, bi16, off, w4 * 4, h4 * 4, r0(p), r1(p))
+              interPredictRectChroma(refs(listL1(r1(p))).cb, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, biCb, offC, 8)
+              interPredictRectChroma(refs(listL1(r1(p))).cr, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, biCr, offC, 8)
+              bipredRectC(mcCb, biCb, offC, w4 * 2, h4 * 2, r0(p),
+                r1(p), 0)
+              bipredRectC(mcCr, biCr, offC, w4 * 2, h4 * 2, r0(p),
+                r1(p), 1)
             }
           } else st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4,
             isInter = false, 0, 0)
           p += 1
         }
-        if (!interResiduals(mb, mbX, mbY)) return None
+        val ccB = interResiduals(mb, mbX, mbY)
+        if (ccB == null) return None
         writeMc(ox, oy)
+        reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+          ccB, mcCb, mcCr)
       } else if (mbType == 25) {
         // ---- I_PCM: raw samples (always exact)
         mbIntraA(mb) = true
@@ -2123,8 +2356,21 @@ object H264 {
           while (x < 16) { luma((oy + y) * stride + ox + x) = br.byteAt(); x += 1 }
           y += 1
         }
-        var i = 0
-        while (i < 128) { br.byteAt(); i += 1 } // Cb + Cr 8x8 each (4:2:0)
+        var comp = 0
+        while (comp < 2) { // Cb then Cr, 8x8 each (4:2:0) — stored now
+          val plane = if (comp == 0) st.cb else st.cr
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              plane(((oy >> 1) + cy) * strideC + (ox >> 1) + cx) =
+                br.byteAt()
+              cx += 1
+            }
+            cy += 1
+          }
+          comp += 1
+        }
         var blk = 0
         while (blk < 16) {
           lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
@@ -2141,7 +2387,8 @@ object H264 {
         val predMode = (mbType - 1) % 4
         val cbpChroma = ((mbType - 1) / 4) % 3
         val cbpLumaAc = (mbType - 1) / 12 // 0 or 1 (means all 16 blocks)
-        br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
+        val chromaMode = br.ue() // intra_chroma_pred_mode (round 14)
+        if (chromaMode > 3) return None
         qp = (qp + br.se() + 52) % 52 // mb_qp_delta
         mbIntraA(mb) = true
         mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
@@ -2165,9 +2412,10 @@ object H264 {
           }
           blk += 1
         }
-        // chroma residuals: parsed for sync + nz bookkeeping only
-        parseChroma(cbpChroma, mbX, mbY)
+        val ccI = parseChroma(cbpChroma, mbX, mbY)
         if (!reconI16(st, sliceIdx, mb, qp, predMode, dcCoeffs, acCoeffs))
+          return None
+        if (!intraChromaRecon(mb, mbX, mbY, chromaMode, ccI, qp))
           return None
       } else if (mbType == 0) {
         // ---- Intra_4x4 (I_NxN, round 13). transform_size_8x8_flag
@@ -2190,7 +2438,8 @@ object H264 {
           i4mode(by * (mbW * 4) + bx) = mode
           blk += 1
         }
-        br.ue() // intra_chroma_pred_mode (chroma not reconstructed)
+        val chromaMode = br.ue() // intra_chroma_pred_mode (round 14)
+        if (chromaMode > 3) return None
         val cbpCode = br.ue()
         if (cbpCode > 47) return None
         val cbp = CbpIntra(cbpCode)
@@ -2219,8 +2468,10 @@ object H264 {
           }
           blk += 1
         }
-        parseChroma(cbpChroma, mbX, mbY)
+        val ccI4 = parseChroma(cbpChroma, mbX, mbY)
         if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return None
+        if (!intraChromaRecon(mb, mbX, mbY, chromaMode, ccI4, qp))
+          return None
       } else return None // out-of-range mb_type
       mb += 1
       if (!br.moreRbspData()) ended = true
@@ -2427,7 +2678,26 @@ object H264 {
     * nz/mv/qp bookkeeping feeds the same loop filter. Neighbor
     * availability is slice-gated like everywhere else in this file. */
   private def cabacSliceI(st: PicState, sliceIdx: Int, rbsp: Array[Byte],
-      startBit: Int, startMb: Int, qpInit: Int): Option[PicState] = {
+      startBit: Int, startMb: Int, qpInit: Int, chromaQpOff: Int,
+      chromaQpOff2: Int): Option[PicState] = {
+    // intra chroma prediction + reconstruction (round 14), the CAVLC
+    // walk's twin
+    def intraChromaReconC(mb: Int, mode: Int, cc: ChromaCoeffs,
+        qpY: Int): Boolean = {
+      val mbX = mb % st.mbW
+      val mbY = mb / st.mbW
+      val hasL = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx
+      val hasT = mbY > 0 && st.sliceOf(mb - st.mbW) == sliceIdx
+      val hasTL = mbX > 0 && mbY > 0 &&
+        st.sliceOf(mb - st.mbW - 1) == sliceIdx
+      val pcb = predictChroma(st.cb, st.strideC, mbX * 8, mbY * 8,
+        mode, hasL, hasT, hasTL)
+      val pcr = predictChroma(st.cr, st.strideC, mbX * 8, mbY * 8,
+        mode, hasL, hasT, hasTL)
+      if (pcb == null || pcr == null) return false
+      reconChromaMb(st, mb, qpY, chromaQpOff, chromaQpOff2, cc, pcb, pcr)
+      true
+    }
     val cx = new H264Cabac.Ctx(qpInit)
     val dec = new H264Cabac.Dec(rbsp, startBit)
     if (!dec.valid) return None
@@ -2460,6 +2730,21 @@ object H264 {
             x += 1
           }
           y += 1
+        }
+        var comp = 0
+        while (comp < 2) { // chroma samples stored too (round 14)
+          val plane = if (comp == 0) st.cb else st.cr
+          var cy = 0
+          while (cy < 8) {
+            var cx0 = 0
+            while (cx0 < 8) {
+              plane((mbY * 8 + cy) * st.strideC + mbX * 8 + cx0) =
+                rbsp(byteStart + 256 + comp * 64 + cy * 8 + cx0) & 0xFF
+              cx0 += 1
+            }
+            cy += 1
+          }
+          comp += 1
         }
         st.mbKind(mb) = 2
         st.mbCbp(mb) = 47
@@ -2582,9 +2867,11 @@ object H264 {
             }
             blk += 1
           }
-          if (!cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma))
-            return None
+          val ccC4 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
+          if (ccC4 == null) return None
           if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return None
+          if (!intraChromaReconC(mb, st.chromaMode(mb), ccC4, qp))
+            return None
         } else {
           // ---- Intra_16x16 suffix: cbp-luma bit (ctx 6), chroma
           // ('0' / '10' / '11' at ctx 7 then 8), two pred bits (9, 10)
@@ -2633,9 +2920,11 @@ object H264 {
             }
             blk += 1
           }
-          if (!cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma))
-            return None
+          val ccC16 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
+          if (ccC16 == null) return None
           if (!reconI16(st, sliceIdx, mb, qp, predMode, dcRb._1, acCoeffs))
+            return None
+          if (!intraChromaReconC(mb, st.chromaMode(mb), ccC16, qp))
             return None
         }
       }
@@ -2658,10 +2947,11 @@ object H264 {
     * chroma is not reconstructed — the CAVLC parseChroma twin). */
   private def cabacChroma(st: PicState, sliceIdx: Int,
       dec: H264Cabac.Dec, cx: H264Cabac.Ctx, mb: Int,
-      cbpChroma: Int): Boolean = {
+      cbpChroma: Int): ChromaCoeffs = {
     val mbW = st.mbW
     val mbX = mb % mbW
     val mbY = mb / mbW
+    val out = new ChromaCoeffs
     if (cbpChroma > 0) {
       // chroma DC (cat 3), Cb then Cr; a neighbor's DC block exists
       // whenever its cbpChroma != 0
@@ -2670,7 +2960,9 @@ object H264 {
         val arr = if (comp == 0) st.cbfCbDc else st.cbfCrDc
         val rb = residualCabac(dec, cx, 3,
           cbfIncChromaDc(st, sliceIdx, mb, arr))
-        if (rb == null) return false
+        if (rb == null) return null
+        System.arraycopy(rb._1, 0,
+          if (comp == 0) out.dcCb else out.dcCr, 0, 4)
         arr(mb) = if (rb._2 > 0) 1 else 0
         comp += 1
       }
@@ -2682,6 +2974,7 @@ object H264 {
     while (comp < 2) {
       val grid = if (comp == 0) st.cbfCbAc else st.cbfCrAc
       val nzc = if (comp == 0) st.cbNz else st.crNz
+      val acArr = if (comp == 0) out.acCb else out.acCr
       var cblk = 0
       while (cblk < 4) {
         val ccx = mbX * 2 + (cblk & 1)
@@ -2690,7 +2983,8 @@ object H264 {
           val inc = cbfIncCell(st, sliceIdx, mb, ccx, ccy, grid,
             mbW * 2, 2)
           val rb = residualCabac(dec, cx, 4, inc)
-          if (rb == null) return false
+          if (rb == null) return null
+          acArr(cblk) = rb._1
           grid(ccy * mbW * 2 + ccx) = if (rb._2 > 0) 1 else 0
           nzc.set(ccx, ccy, rb._2)
         } else {
@@ -2701,7 +2995,7 @@ object H264 {
       }
       comp += 1
     }
-    true
+    out
   }
 
   /** Slice-gated Intra_4x4 mode lookup over PicState (the CAVLC
@@ -2889,12 +3183,217 @@ object H264 {
     true
   }
 
+  /** Intra chroma prediction (8.3.4, round 14): one 8x8 component at
+    * (oxC, oyC) on its half-resolution plane. Mode 0 = DC (per-4x4
+    * sub-block edge rules, 8.3.4.1), 1 = Horizontal, 2 = Vertical,
+    * 3 = Plane (8.3.4.4). Returns 64 row-major samples or null when
+    * a required neighbor is unavailable. */
+  private def predictChroma(plane: Array[Int], strideC: Int, oxC: Int,
+      oyC: Int, mode: Int, hasLeft: Boolean, hasTop: Boolean,
+      hasTopLeft: Boolean): Array[Int] = {
+    val pred = new Array[Int](64)
+    def sumTop(x0: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 4) { s += plane((oyC - 1) * strideC + oxC + x0 + i); i += 1 }
+      s
+    }
+    def sumLeft(y0: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 4) { s += plane((oyC + y0 + i) * strideC + oxC - 1); i += 1 }
+      s
+    }
+    mode match {
+      case 0 => // DC, per 4x4 sub-block
+        def fill(bx: Int, by: Int, dc: Int): Unit = {
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) { pred((by * 4 + y) * 8 + bx * 4 + x) = dc; x += 1 }
+            y += 1
+          }
+        }
+        def corner(x0: Int, y0: Int): Int = // blocks (0,0) and (1,1)
+          if (hasTop && hasLeft) (sumTop(x0) + sumLeft(y0) + 4) >> 3
+          else if (hasTop) (sumTop(x0) + 2) >> 2
+          else if (hasLeft) (sumLeft(y0) + 2) >> 2
+          else 128
+        fill(0, 0, corner(0, 0))
+        fill(1, 1, corner(4, 4))
+        fill(1, 0, // top-right: prefer TOP
+          if (hasTop) (sumTop(4) + 2) >> 2
+          else if (hasLeft) (sumLeft(0) + 2) >> 2
+          else 128)
+        fill(0, 1, // bottom-left: prefer LEFT
+          if (hasLeft) (sumLeft(4) + 2) >> 2
+          else if (hasTop) (sumTop(0) + 2) >> 2
+          else 128)
+      case 1 => // horizontal
+        if (!hasLeft) return null
+        var y = 0
+        while (y < 8) {
+          val v = plane((oyC + y) * strideC + oxC - 1)
+          var x = 0
+          while (x < 8) { pred(y * 8 + x) = v; x += 1 }
+          y += 1
+        }
+      case 2 => // vertical
+        if (!hasTop) return null
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            pred(y * 8 + x) = plane((oyC - 1) * strideC + oxC + x)
+            x += 1
+          }
+          y += 1
+        }
+      case 3 => // plane (8.3.4.4, 4:2:0)
+        if (!hasTop || !hasLeft || !hasTopLeft) return null
+        var hAcc = 0; var vAcc = 0
+        var i = 0
+        while (i < 3) {
+          hAcc += (i + 1) * (plane((oyC - 1) * strideC + oxC + 4 + i) -
+            plane((oyC - 1) * strideC + oxC + 2 - i))
+          vAcc += (i + 1) * (plane((oyC + 4 + i) * strideC + oxC - 1) -
+            plane((oyC + 2 - i) * strideC + oxC - 1))
+          i += 1
+        }
+        hAcc += 4 * (plane((oyC - 1) * strideC + oxC + 7) -
+          plane((oyC - 1) * strideC + oxC - 1))
+        vAcc += 4 * (plane((oyC + 7) * strideC + oxC - 1) -
+          plane((oyC - 1) * strideC + oxC - 1))
+        val a = 16 * (plane((oyC + 7) * strideC + oxC - 1) +
+          plane((oyC - 1) * strideC + oxC + 7))
+        val b = (34 * hAcc + 32) >> 6
+        val c = (34 * vAcc + 32) >> 6
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            pred(y * 8 + x) = clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+            x += 1
+          }
+          y += 1
+        }
+      case _ => return null
+    }
+    pred
+  }
+
+  /** Chroma residual coefficients of ONE macroblock, both components:
+    * 2x2 DC (scan order) + per-4x4-block AC (15 scan coeffs, null =
+    * uncoded). Shared by the CAVLC and CABAC walks. */
+  private final class ChromaCoeffs {
+    val dcCb = new Array[Int](4)
+    val dcCr = new Array[Int](4)
+    val acCb = new Array[Array[Int]](4)
+    val acCr = new Array[Array[Int]](4)
+  }
+
+  /** Reconstruct one macroblock's chroma (8.5.11 2x2 DC transform +
+    * AC dequant at QPc) onto the 8x8 PREDICTION buffers already in
+    * `predCb`/`predCr` (row-major 8-stride), writing the planes. */
+  private def reconChromaMb(st: PicState, mb: Int, qpY: Int,
+      chromaQpOff: Int, chromaQpOff2: Int, cc: ChromaCoeffs,
+      predCb: Array[Int], predCr: Array[Int]): Unit = {
+    val mbW = st.mbW
+    val strideC = st.strideC
+    val oxC = (mb % mbW) * 8
+    val oyC = (mb / mbW) * 8
+    var comp = 0
+    while (comp < 2) {
+      val qpc = qpChroma(qpY, if (comp == 0) chromaQpOff else chromaQpOff2)
+      val plane = if (comp == 0) st.cb else st.cr
+      val pred = if (comp == 0) predCb else predCr
+      val dc = if (comp == 0) cc.dcCb else cc.dcCr
+      val ac = if (comp == 0) cc.acCb else cc.acCr
+      // 2x2 DC transform + scaling (8.5.11)
+      val f0 = dc(0) + dc(1) + dc(2) + dc(3)
+      val f1 = dc(0) - dc(1) + dc(2) - dc(3)
+      val f2 = dc(0) + dc(1) - dc(2) - dc(3)
+      val f3 = dc(0) - dc(1) - dc(2) + dc(3)
+      val ls = 16 * NormAdjust(qpc % 6)(0)
+      def dcScaleC(f: Int): Int = ((f * ls) << (qpc / 6)) >> 5
+      val dcC = Array(dcScaleC(f0), dcScaleC(f1), dcScaleC(f2), dcScaleC(f3))
+      val d = new Array[Int](16)
+      var blk = 0
+      while (blk < 4) {
+        val bx = blk & 1
+        val by = blk >> 1
+        java.util.Arrays.fill(d, 0)
+        d(0) = dcC(blk)
+        val a = ac(blk)
+        if (a != null) {
+          var si = 0
+          while (si < 15) {
+            if (a(si) != 0) {
+              val raster = Zig4(si + 1)
+              d(raster) = scaleAc(a(si), raster, qpc)
+            }
+            si += 1
+          }
+        }
+        val res = invTransform4x4(d)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val px = oxC + bx * 4 + x
+            val py = oyC + by * 4 + y
+            plane(py * strideC + px) =
+              clip255(pred((by * 4 + y) * 8 + bx * 4 + x) + res(y * 4 + x))
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      comp += 1
+    }
+  }
+
+  /** Eighth-pel bilinear chroma MC (8.4.2.2.2): a wC x hC rect of the
+    * half-resolution reference at chroma offset (oxC, oyC), luma
+    * quarter-pel vector (mvx, mvy). */
+  private def interPredictRectChroma(ref: Array[Int], strideC: Int,
+      planeHC: Int, oxC: Int, oyC: Int, wC: Int, hC: Int, mvx: Int,
+      mvy: Int, out: Array[Int], outOff: Int, outStride: Int): Unit = {
+    val xF = mvx & 7
+    val yF = mvy & 7
+    val bx = oxC + (mvx >> 3)
+    val by = oyC + (mvy >> 3)
+    def s(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= strideC) strideC - 1 else x
+      val cy = if (y < 0) 0 else if (y >= planeHC) planeHC - 1 else y
+      ref(cy * strideC + cx)
+    }
+    var y = 0
+    while (y < hC) {
+      var x = 0
+      while (x < wC) {
+        val a = s(bx + x, by + y)
+        val b = s(bx + x + 1, by + y)
+        val c = s(bx + x, by + y + 1)
+        val dd = s(bx + x + 1, by + y + 1)
+        out(outOff + y * outStride + x) =
+          ((8 - xF) * (8 - yF) * a + xF * (8 - yF) * b +
+            (8 - xF) * yF * c + xF * yF * dd + 32) >> 6
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   // ---------------------------------------------------------------- encode
 
   /** Macroblock spec for [[encodeIFrame]]. */
   sealed trait Mb
-  /** I_PCM: raw 16x16 luma, `pix(x, y)` in 0..255; chroma neutral. */
-  final case class Pcm(pix: (Int, Int) => Int) extends Mb
+  /** I_PCM: raw 16x16 luma, `pix(x, y)` in 0..255; chroma from
+    * `cbPix`/`crPix` (8x8 each; default neutral 128 — round 14:
+    * stored for real now that chroma reconstructs). */
+  final case class Pcm(pix: (Int, Int) => Int,
+      cbPix: (Int, Int) => Int = (_, _) => 128,
+      crPix: (Int, Int) => Int = (_, _) => 128) extends Mb
   /** Intra_16x16 with a single luma-DC coefficient `z` (|z| <= 7) and
     * optionally one trailing-one AC coefficient (`ac0` in -1..1, scan
     * position 0 of luma block 0; turns on cbp_luma = 15, i.e. all 16
@@ -2908,7 +3407,7 @@ object H264 {
     * parse-only), but the stream exercises the 2x2 chroma-DC
     * coeff_token + total_zeros tables end-to-end. */
   final case class I16Dc(z: Int, ac0: Int = 0, pred: Int = 2,
-      chromaDcTz: Int = -1) extends Mb
+      chromaDcTz: Int = -1, chromaPred: Int = 0) extends Mb
 
   /** One Intra_4x4 macroblock (round 13 fixture vocabulary):
     * `mode(blkIdx)` gives each 4x4 block's prediction mode 0..8
@@ -3062,7 +3561,7 @@ object H264 {
       val mbX = i % mbW
       val mbY = i / mbW
       mb(i) match {
-        case Pcm(pix) =>
+        case Pcm(pix, cbPix, crPix) =>
           bw.putUe(25)
           bw.alignZero()
           var y = 0
@@ -3076,8 +3575,19 @@ object H264 {
             }
             y += 1
           }
-          var c = 0
-          while (c < 128) { bw.putByte(128); c += 1 }
+          Seq(cbPix, crPix).foreach { cp =>
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val v = cp(cx, cy)
+                require(v >= 0 && v <= 255, s"pcm chroma out of range: $v")
+                bw.putByte(v)
+                cx += 1
+              }
+              cy += 1
+            }
+          }
           var blk = 0
           while (blk < 16) {
             lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
@@ -3271,7 +3781,7 @@ object H264 {
         st.lumaNz.set(bx, by, 0)
       }
       mb(i) match {
-        case Pcm(pix) =>
+        case Pcm(pix, cbPix, crPix) =>
           enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = true)
           st.sliceOf(i) = sliceIdx
           enc.terminate(bin = true) // the ctx-276 I_PCM escape + flush
@@ -3288,8 +3798,19 @@ object H264 {
             }
             y += 1
           }
-          var c = 0
-          while (c < 128) { bw.putByte(128); c += 1 }
+          Seq(cbPix, crPix).foreach { cp =>
+            var cy = 0
+            while (cy < 8) {
+              var cx0 = 0
+              while (cx0 < 8) {
+                val v = cp(cx0, cy)
+                require(v >= 0 && v <= 255, s"pcm chroma out of range: $v")
+                bw.putByte(v)
+                cx0 += 1
+              }
+              cy += 1
+            }
+          }
           st.mbKind(i) = 2
           st.mbCbp(i) = 47
           st.chromaMode(i) = 0
@@ -3317,7 +3838,9 @@ object H264 {
           prevQpDeltaNz = false
           enc = new H264Cabac.Enc // engine re-init after PCM (9.3.1)
         case spec: I16Dc =>
-          val I16Dc(z, ac0, pred, chromaDcTz) = spec
+          val I16Dc(z, ac0, pred, chromaDcTz, chromaPred) = spec
+          require(chromaPred >= 0 && chromaPred <= 3,
+            s"chroma pred mode out of range: $chromaPred")
           require(z >= -7 && z <= 7, s"dc level out of range: $z")
           require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
           require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
@@ -3334,8 +3857,10 @@ object H264 {
           enc.decision(cxp, 9, ((pred >> 1) & 1) == 1)
           enc.decision(cxp, 10, (pred & 1) == 1)
           enc.decision(cxp, 64 + chromaModeInc(st, sliceIdx, i),
-            bin = false) // intra_chroma_pred_mode DC
-          st.chromaMode(i) = 0
+            chromaPred > 0) // intra_chroma_pred_mode (TU cMax 3)
+          if (chromaPred > 0) enc.decision(cxp, 67, chromaPred > 1)
+          if (chromaPred > 1) enc.decision(cxp, 67, chromaPred > 2)
+          st.chromaMode(i) = chromaPred
           enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
             bin = false) // mb_qp_delta 0
           prevQpDeltaNz = false
@@ -3457,16 +3982,18 @@ object H264 {
     * encoders; `typeOffset` = 5 inside P slices, 7.4.5). */
   private def writeI16Dc(bw: BitWriter, lumaNz: NzCtx, mbX: Int, mbY: Int,
       spec: I16Dc, typeOffset: Int): Unit = {
-    val I16Dc(z, ac0, pred, chromaDcTz) = spec
+    val I16Dc(z, ac0, pred, chromaDcTz, chromaPred) = spec
     require(z >= -7 && z <= 7, s"dc level out of range: $z")
     require(ac0 >= -1 && ac0 <= 1, s"ac0 out of range: $ac0")
     require(pred >= 0 && pred <= 3, s"pred mode out of range: $pred")
     require(chromaDcTz >= -1 && chromaDcTz <= 3,
       s"chromaDcTz out of range: $chromaDcTz")
+    require(chromaPred >= 0 && chromaPred <= 3,
+      s"chroma pred mode out of range: $chromaPred")
     val cbpAc = if (ac0 != 0) 1 else 0
     val cbpCh = if (chromaDcTz >= 0) 1 else 0
     bw.putUe(typeOffset + 1 + pred + cbpCh * 4 + cbpAc * 12) // I_16x16
-    bw.putUe(0) // intra_chroma_pred_mode DC
+    bw.putUe(chromaPred) // intra_chroma_pred_mode
     bw.putSe(0) // mb_qp_delta
     // luma DC block
     putCavlcSingle(bw, lumaNz.nC(mbX * 4, mbY * 4), z, maxNumCoeff = 16)

@@ -1142,6 +1142,30 @@ object Multimodal {
     }
   }
 
+  /** YUV stats decode (round 14, chroma reconstruction): per frame
+    * (frame, type, w, h, mean_y, mean_u, std_u, mean_v, std_v) over
+    * an Annex-B stream — the curation tier's color-statistics hook
+    * (scene cuts and phash stay luma-based; this surfaces the chroma
+    * planes the decoder now reconstructs for real). */
+  private[graft] def decodeAvcFramesYuvStats(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Char, Int, Int, Double, Double, Double, Double, Double)] = {
+    def stats(p: Array[Int]): (Double, Double) = {
+      var s = 0.0; var sq = 0.0
+      var i = 0
+      while (i < p.length) { val v = p(i).toDouble; s += v; sq += v * v; i += 1 }
+      val n = math.max(1, p.length)
+      val m = s / n
+      (m, math.sqrt(math.max(0.0, sq / n - m * m)))
+    }
+    H264.decodeFramesYuv(bytes, maxFrames).zipWithIndex.map {
+      case ((w, h, y, cb, cr, t), i) =>
+        val (my, _) = stats(y)
+        val (mu, su) = stats(cb)
+        val (mv0, sv) = stats(cr)
+        (i + 1, t, w, h, my, mu, su, mv0, sv)
+    }
+  }
+
   /** Deterministic H.264 MOTION fixture (raw Annex-B): one I frame of
     * PCM quadrants (exact pixels), then P1 — MB0 a zero-MV copy, MB1
     * an Intra_16x16 refresh whose DC predicts from MB0's

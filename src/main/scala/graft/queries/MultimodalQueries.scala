@@ -984,6 +984,77 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // H.264 CHROMA reconstruction under the oracle gate (round 14,
+    // VERDICT r13 #3): a 2x1 picture — MB0 = I16Dc(z0, chroma DC +1
+    // at tz): at QPc 28 the lone 2x2 DC coefficient adds exactly ±2
+    // per quadrant with the tz sign pattern (++++ / left-right /
+    // top-bottom / diagonal); MB1 = I_PCM with closed-form chroma
+    // ramps (no mod wraps, SQL-replayable). Frame 2 is a zero-MV P
+    // copying BOTH planes through the eighth-pel chroma MC path.
+    // mean_u/std_u/mean_v/std_v per frame replay analytically.
+    Q("multimodal_avc_chroma",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val z0 = (id % 10).toInt - 5
+            val tz = (id % 4).toInt
+            val a = ((id * 3) % 170).toInt
+            val b = ((id * 7) % 170).toInt
+            val es = graft.ext.H264.encodeIPStream(2, 1, {
+              case 0 => graft.ext.H264.I16Dc(z0, chromaDcTz = tz)
+              case _ => graft.ext.H264.Pcm((_, _) => 90,
+                (x, y) => a + 5 * x + 7 * y,
+                (x, y) => b + 3 * x + 6 * y)
+            }, Seq(_ => graft.ext.H264.PMove(0, 0)))
+            Multimodal.decodeAvcFramesYuvStats(es, 4).map {
+              case (f, t, w, h, my, mu, su, mv0, sv) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong,
+                  my, mu, su, mv0, sv)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height",
+            "my", "mu", "su", "mv", "sv")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("mu"), 6).as("mean_u"), round(col("su"), 6).as("std_u"),
+            round(col("mv"), 6).as("mean_v"), round(col("sv"), 6).as("std_v"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 4) AS tz,
+             |    (doc_id*3) % 170 AS a, (doc_id*7) % 170 AS b
+             |  FROM documents),
+             |cells AS (SELECT doc_id, tz, a, b, x, y,
+             |    -- MB0: 128 + 2*sign(tz, quadrant)
+             |    128 + 2*(CASE tz WHEN 0 THEN 1
+             |      WHEN 1 THEN 1 - 2*(x // 4)
+             |      WHEN 2 THEN 1 - 2*(y // 4)
+             |      ELSE (1 - 2*(x // 4))*(1 - 2*(y // 4)) END) AS u0,
+             |    a + 5*x + 7*y AS u1,
+             |    128 + 2*(CASE tz WHEN 0 THEN 1
+             |      WHEN 1 THEN 1 - 2*(x // 4)
+             |      WHEN 2 THEN 1 - 2*(y // 4)
+             |      ELSE (1 - 2*(x // 4))*(1 - 2*(y // 4)) END) AS v0,
+             |    b + 3*x + 6*y AS v1
+             |  FROM p, (SELECT unnest(range(8)) AS x),
+             |    (SELECT unnest(range(8)) AS y)),
+             |m AS (SELECT doc_id,
+             |    CAST(sum(u0 + u1) AS DOUBLE)/128 AS mean_u,
+             |    CAST(sum(u0*u0 + u1*u1) AS DOUBLE)/128 AS meansq_u,
+             |    CAST(sum(v0 + v1) AS DOUBLE)/128 AS mean_v,
+             |    CAST(sum(v0*v0 + v1*v1) AS DOUBLE)/128 AS meansq_v
+             |  FROM cells GROUP BY doc_id)
+             |SELECT doc_id AS id, CAST(f.frame AS BIGINT) AS frame,
+             |  f.ftype AS frame_type,
+             |  CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_u, 6) AS mean_u,
+             |  round(sqrt(meansq_u - mean_u*mean_u), 6) AS std_u,
+             |  round(mean_v, 6) AS mean_v,
+             |  round(sqrt(meansq_v - mean_v*mean_v), 6) AS std_v
+             |FROM m, (VALUES (1, 'I'), (2, 'P')) f(frame, ftype)
+             |ORDER BY id, frame""".stripMargin)),
+
     // H.264 explicit reference reordering under the oracle gate
     // (round 14, VERDICT r13 #8): I(PCM quadrants) -> P1(zero-MV +
     // per-4x4 DC residual, the r13 rule) -> P2 whose list-0
