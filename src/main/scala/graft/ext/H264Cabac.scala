@@ -170,25 +170,30 @@ private[ext] object H264Cabac {
   assert(InitI.forall(v => v >= -128 && v <= 127), "init pairs are int8")
 
   /** Context-state pool for one slice: pStateIdx + valMPS per ctxIdx,
-    * initialized per 9.3.1.1 from the I column at SliceQPY. Shared
-    * shape between encode and decode — the fixture encoder builds the
+    * initialized per 9.3.1.1 (the same formula HEVC 9.3.2.2 uses —
+    * round 14: the pool is init-table generic so [[Hevc]] reuses this
+    * exact engine) from flattened (m, n) pairs at SliceQPY. Shared
+    * shape between encode and decode — the fixture encoders build the
     * SAME pool so round-trip is by construction. */
-  final class Ctx(qp: Int) {
-    val state = new Array[Int](NumCtx)
-    val mps = new Array[Boolean](NumCtx)
+  final class Ctx(qp: Int, init: Array[Int]) {
+    /** H.264 pool: the I column + the fixed ctx-276 terminate slot. */
+    def this(qp: Int) = this(qp, InitI)
+    private val pairs = init.length / 2
+    val state = new Array[Int](pairs + 1)
+    val mps = new Array[Boolean](pairs + 1)
     private val q = if (qp < 0) 0 else if (qp > 51) 51 else qp
     var i = 0
-    while (i < 276) {
-      val m = InitI(i * 2)
-      val n = InitI(i * 2 + 1)
+    while (i < pairs) {
+      val m = init(i * 2)
+      val n = init(i * 2 + 1)
       var pre = ((m * q) >> 4) + n
       if (pre < 1) pre = 1 else if (pre > 126) pre = 126
       if (pre <= 63) { state(i) = 63 - pre; mps(i) = false }
       else { state(i) = pre - 64; mps(i) = true }
       i += 1
     }
-    state(276) = 63 // fixed (9.3.1.1); never transitions
-    mps(276) = false
+    state(pairs) = 63 // the fixed terminate slot (9.3.1.1: ctx 276
+    mps(pairs) = false // in H.264); never read by terminate() itself
   }
 
   /** Arithmetic DECODER (9.3.3.2) over an RBSP byte array, starting

@@ -984,6 +984,69 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // HEVC intra-starter decode under the oracle gate (round 14,
+    // VERDICT r13 #6): one 16-px CTU quadtree-split into four 8x8
+    // CUs — three I_PCM flat quadrants plus one DC CU whose
+    // prediction is closed-form: dc = (q1 + q2 + 1) // 2 over the
+    // flat refs, then the 8.4.4.2.5 luma boundary smoothing (corner
+    // (q2 + 2dc + q1 + 2) // 4, first row (q1 + 3dc + 2) // 4, first
+    // col (q2 + 3dc + 2) // 4). The slice is CABAC-coded through the
+    // shared 9.3 engine (split flags, pcm terminate + re-init, MPM
+    // machinery), so a single bin decoded differently breaks the
+    // hash. DuckDB replays the 256-pixel distribution analytically.
+    Q("multimodal_hevc_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            def q(k: Int): Int = ((id * 11 + 4 * k + 60) % 180).toInt + 20
+            val es = graft.ext.Hevc.encodeIFrame(1, 1, _ =>
+              graft.ext.Hevc.Quad(Seq(
+                graft.ext.Hevc.HPcm((_, _) => q(0)),
+                graft.ext.Hevc.HPcm((_, _) => q(1)),
+                graft.ext.Hevc.HPcm((_, _) => q(2)),
+                graft.ext.Hevc.HIntra(1))))
+            val (w, h, luma) = graft.ext.Hevc.decodeIFrameLuma(es)
+              .getOrElse((0, 0, Array.empty[Int]))
+            var sum = 0.0
+            var sq = 0.0
+            luma.foreach { v => sum += v; sq += v.toDouble * v }
+            val n = math.max(1, luma.length)
+            val mean = sum / n
+            (id, w.toLong, h.toLong, mean,
+              math.sqrt(math.max(0.0, sq / n - mean * mean)))
+          })
+          .toDF("id", "width", "height", "m", "sd")
+          .select(col("id"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (doc_id*11 + 60) % 180 + 20 AS q0,
+             |    (doc_id*11 + 64) % 180 + 20 AS q1,
+             |    (doc_id*11 + 68) % 180 + 20 AS q2
+             |  FROM documents),
+             |d AS (SELECT doc_id, q0, q1, q2,
+             |    (q1 + q2 + 1) // 2 AS dc FROM p),
+             |cells(doc_id, cnt, v) AS (
+             |  SELECT doc_id, 64, q0 FROM d
+             |  UNION ALL SELECT doc_id, 64, q1 FROM d
+             |  UNION ALL SELECT doc_id, 64, q2 FROM d
+             |  UNION ALL SELECT doc_id, 1, (q2 + 2*dc + q1 + 2) // 4 FROM d
+             |  UNION ALL SELECT doc_id, 7, (q1 + 3*dc + 2) // 4 FROM d
+             |  UNION ALL SELECT doc_id, 7, (q2 + 3*dc + 2) // 4 FROM d
+             |  UNION ALL SELECT doc_id, 49, dc FROM d),
+             |m AS (SELECT doc_id,
+             |    CAST(sum(cnt*v) AS DOUBLE)/256 AS mean_g,
+             |    CAST(sum(cnt*v*v) AS DOUBLE)/256 AS meansq_g
+             |  FROM cells GROUP BY doc_id)
+             |SELECT doc_id AS id, CAST(16 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id""".stripMargin)),
+
     // H.264 CHROMA reconstruction under the oracle gate (round 14,
     // VERDICT r13 #3): a 2x1 picture — MB0 = I16Dc(z0, chroma DC +1
     // at tz): at QPc 28 the lone 2x2 DC coefficient adds exactly ±2
