@@ -500,6 +500,12 @@ object Hevc {
   /** Decode up to `maxFrames` IDR pictures (intra starter: every
     * picture is independent; non-IDR slices stop the walk). */
   def decodeFramesLuma(es: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Array[Int])] =
+    decodeFramesLumaNals(splitAnnexB(es), maxFrames)
+
+  /** NAL-list form of [[decodeFramesLuma]] (hvcC / length-prefixed
+    * callers, round 14). */
+  def decodeFramesLumaNals(nals: Seq[Array[Byte]],
       maxFrames: Int): Seq[(Int, Int, Array[Int])] = {
     val frames = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Array[Int])]
@@ -507,7 +513,7 @@ object Hevc {
     try {
       var sps: HSps = null
       var pps: HPps = null
-      splitAnnexB(es).foreach { nal =>
+      nals.filter(_.length >= 2).foreach { nal =>
         if (frames.size >= maxFrames) return frames.toSeq
         if ((nal(0) & 0x80) == 0) {
           val typ = (nal(0) >> 1) & 0x3F

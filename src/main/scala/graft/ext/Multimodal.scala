@@ -1142,6 +1142,136 @@ object Multimodal {
     }
   }
 
+  /** Extract the HEVCDecoderConfigurationRecord NALs from an MP4
+    * 'hev1'/'hvc1' track: (parameter-set NALs in array order, NAL
+    * length-prefix size). hvcC lives in the VisualSampleEntry like
+    * avcC; its fixed head is 22 bytes, then typed NAL arrays
+    * (ISO 14496-15). None on anything malformed — degrade. */
+  private[graft] def hevcConfig(bytes: Array[Byte]): Option[(Seq[Array[Byte]], Int)] = {
+    val bw = new BoxWalker(bytes)
+    import bw.{u32, walk, descend}
+    try {
+      var found: Option[(Seq[Array[Byte]], Int)] = None
+      walk(0, bytes.length) { (typ, off, end) =>
+        if (typ == "moov" && found.isEmpty) {
+          walk(off, end) { (t, o, e) =>
+            if (t == "trak" && found.isEmpty) {
+              descend(o, e, List("mdia", "minf", "stbl")) { (t4, o4, e4) =>
+                if (t4 == "stsd" && found.isEmpty && e4 - o4 >= 16 &&
+                    u32(o4 + 4) >= 1) {
+                  val entryOff = o4 + 8
+                  val entrySize = u32(entryOff).toInt
+                  val cc = if (entryOff + 8 <= e4)
+                    new String(bytes, entryOff + 4, 4, "US-ASCII") else ""
+                  if (entrySize >= 94 && entryOff + entrySize <= e4 &&
+                      (cc == "hev1" || cc == "hvc1")) {
+                    walk(entryOff + 86, entryOff + entrySize) { (t5, o5, e5) =>
+                      if (t5 == "hvcC" && found.isEmpty && e5 - o5 >= 23)
+                        found = parseHvcC(bytes, o5, e5)
+                    }
+                    ()
+                  }
+                }
+              }
+            }
+          }
+          ()
+        }
+      }
+      found
+    } catch { case _: Exception => None }
+  }
+
+  private def parseHvcC(bytes: Array[Byte], o5: Int,
+      e5: Int): Option[(Seq[Array[Byte]], Int)] = {
+    val lenSize = (bytes(o5 + 21) & 3) + 1
+    val nArrays = bytes(o5 + 22) & 0xFF
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = o5 + 23
+    var a = 0
+    while (a < nArrays) {
+      if (p + 3 > e5) return None
+      val count = ((bytes(p + 1) & 0xFF) << 8) | (bytes(p + 2) & 0xFF)
+      p += 3
+      var i = 0
+      while (i < count) {
+        if (p + 2 > e5) return None
+        val n = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+        if (p + 2 + n > e5) return None
+        nals += java.util.Arrays.copyOfRange(bytes, p + 2, p + 2 + n)
+        p += 2 + n
+        i += 1
+      }
+      a += 1
+    }
+    if (nals.nonEmpty) Some((nals.toSeq, lenSize)) else None
+  }
+
+  /** Bounded multi-frame HEVC intra walk (round 14): raw Annex-B
+    * streams AND MP4 'hev1'/'hvc1' tracks (hvcC parameter sets +
+    * length-prefixed samples), shaped like [[decodeAvcFrames]]. The
+    * stop-at-first-undecodable discipline applies; each IDR picture
+    * is independent (no inter in the starter subset, so there is no
+    * cross-sample reference hazard to guard). */
+  private[graft] def decodeHevcFrames(bytes: Array[Byte],
+      maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
+    def stat(fs: Seq[(Int, Int, Array[Int])]) =
+      fs.zipWithIndex.map { case ((w, h, l), i) =>
+        var s = 0.0; var sq = 0.0
+        l.foreach { v => s += v; sq += v.toDouble * v }
+        val n = math.max(1, l.length)
+        val m = s / n
+        (i + 1, w, h, m, math.sqrt(math.max(0.0, sq / n - m * m)))
+      }
+    def isAnnexB: Boolean = {
+      var p = 0
+      if (bytes.length >= 6 && bytes(0) == 0 && bytes(1) == 0) {
+        if (bytes(2) == 1) p = 3
+        else if (bytes(2) == 0 && bytes(3) == 1) p = 4
+      }
+      p > 0 && p + 1 < bytes.length && {
+        val t = (bytes(p) >> 1) & 0x3F
+        t == 32 || t == 33 || t == 34 || t == 35 || t == 39
+      }
+    }
+    if (isAnnexB) stat(Hevc.decodeFramesLuma(bytes, maxFrames))
+    else {
+      (for {
+        tracks <- trackSamples(bytes)
+        (off, sizes) <- tracks.collectFirst {
+          case (c, o, ss) if (c == "hev1" || c == "hvc1") && ss.nonEmpty =>
+            (o, ss)
+        }
+        (psNals, lenSize) <- hevcConfig(bytes)
+      } yield {
+        val bounded = sizes.take(maxFrames)
+        val starts = bounded.scanLeft(off)(_ + _)
+        val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var ok = true
+        var i = 0
+        while (ok && i < bounded.length) {
+          val s = starts(i)
+          val len = bounded(i)
+          if (s < 0 || len <= 0 || s + len > bytes.length) ok = false
+          else splitLengthPrefixed(
+            java.util.Arrays.copyOfRange(bytes, s.toInt, (s + len).toInt),
+            lenSize) match {
+            case Some(ns) => nals ++= ns
+            case None => ok = false
+          }
+          i += 1
+        }
+        stat(Hevc.decodeFramesLumaNals(psNals ++ nals.toSeq, maxFrames))
+      }).getOrElse(Seq.empty)
+    }
+  }
+
+  /** First-frame convenience over [[decodeHevcFrames]] — the decode
+    * dispatch's hev1 hook (round 14). */
+  private[graft] def decodeHevcFirstFrame(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeHevcFrames(bytes, 1).headOption
+      .map { case (_, w, h, mean, std) => (w, h, Array(mean, std)) }
+
   /** YUV stats decode (round 14, chroma reconstruction): per frame
     * (frame, type, w, h, mean_y, mean_u, std_u, mean_v, std_v) over
     * an Annex-B stream — the curation tier's color-statistics hook
@@ -1254,6 +1384,69 @@ object Multimodal {
     ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
+  /** Deterministic HEVC-in-MP4 fixture (round 14): same container
+    * layout and the SAME quadrant values as [[syntheticAvcMp4]] —
+    * g_{q,f} = (id*(31+6q) + 11+5q + 29f) mod 256 — but each sample
+    * is one IDR slice whose single CTU quad-splits into four I_PCM
+    * 8x8 CUs (exact pixels), under a REAL 'hev1' sample entry with an
+    * hvcC record (VPS-less parameter arrays + 4-byte NAL length
+    * prefixes), so the decode exercises the genuine
+    * hvcC -> length-prefixed-NAL path a real hev1 file takes. */
+  def syntheticHevcMp4(id: Long, nFrames: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    def be32(v: Long) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val sps = Hevc.spsNal(16, 16).drop(0)
+    val pps = Hevc.ppsNal(28)
+    val samples = (0 until nFrames).map { f =>
+      val idr = Hevc.idrNal(1, 1, _ => Hevc.Quad((0 until 4).map { q =>
+        Hevc.HPcm((_, _) =>
+          ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt)
+      }), qp = 28)
+      be32(idr.length.toLong) ++ idr
+    }
+    val hvcC = box("hvcC",
+      Array[Byte](1) ++ new Array[Byte](12) ++ // profile block
+        Array[Byte](0xF0.toByte, 0, 0xFC.toByte, 0xFD.toByte, 0xF8.toByte,
+          0xF8.toByte) ++ be16(0) ++ // reserved/chroma/depth/fps fields
+        Array[Byte](3) ++ // flags | lengthSizeMinusOne = 3
+        Array[Byte](2) ++ // numOfArrays: SPS + PPS
+        Array[Byte](33) ++ be16(1) ++ be16(sps.length) ++ sps ++
+        Array[Byte](34) ++ be16(1) ++ be16(pps.length) ++ pps)
+    val visual =
+      new Array[Byte](6) ++ be16(1) ++
+        new Array[Byte](16) ++
+        be16(16) ++ be16(16) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+        be16(1) ++ new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatPayloadOff = ftyp.length + 8L
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32((id * 97 + 41) % 100000) ++
+        be32(0x00010000L) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++
+        be32(2))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ box("hev1", visual ++ hvcC))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames.toLong) ++
+      samples.flatMap(j => be32(j.length.toLong)).toArray)
+    val stss = box("stss", be32(0) ++ be32(nFrames.toLong) ++
+      (1 to nFrames).flatMap(f => be32(f.toLong)).toArray)
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stsz ++ stss ++ stco)
+    val trak = box("trak",
+      box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1)) ++
+        box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
   /** Deterministic minimal-but-valid MP4 for id: ftyp(isom) +
     * moov(mvhd v0 + trak×k), each trak carrying a full
     * mdia/minf/stbl with an stsd sample entry and an stss sync-sample
@@ -1331,14 +1524,13 @@ object Multimodal {
   }
 
   /** Decode dispatch: real image decode first, then real MJPEG-track
-    * pixel decode for MP4 AND AVI payloads, then real MPEG-1-intra
-    * and H.264/avc1-intra pixel decode (round 12), byte-histogram
-    * fallback for everything else (non-media payloads and
-    * out-of-subset video — H.264 inter residuals/CABAC/B, hev1 —
-    * which genuinely needs a native decoder; MPEG-1 decodes fully
-    * (I/P/B) and H.264 single-ref P slices decode for real since
-    * round 12b, [[decodeMpeg1FramesTyped]]/[[decodeAvcFramesTyped]]).
-    * The boolean is the
+    * pixel decode for MP4 AND AVI payloads, then real MPEG-1, H.264
+    * and (round 14) HEVC-intra pixel decode, byte-histogram fallback
+    * for everything else (non-media payloads and out-of-subset
+    * video — H.264 CABAC P/B and direct modes, HEVC beyond the
+    * planar/DC/PCM intra starter, vp09/av01). MPEG-1 decodes fully
+    * (I/P/B/D); H.264 decodes I/P/B with CABAC I, reordering, MMCO
+    * op 1 and full chroma. The boolean is the
     * DEGRADE flag: true for real pixels, false for the fallback — the
     * permanent-fence contract consumers filter on. */
   private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Double], Boolean) =
@@ -1346,6 +1538,7 @@ object Multimodal {
       .orElse(decodeMjpegFirstFrame(bytes))
       .orElse(decodeMpeg1FirstFrame(bytes))
       .orElse(decodeAvcFirstFrame(bytes))
+      .orElse(decodeHevcFirstFrame(bytes)) // round 14: intra starter
       .map { case (w, h, f) => (w, h, f, true) }
       .getOrElse {
         val (w, h, f) = byteHistogram(bytes)

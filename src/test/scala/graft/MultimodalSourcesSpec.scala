@@ -658,6 +658,31 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(row.getDouble(1) == 3.5)   // and from the right sheet
   }
 
+  test("hev1-in-MP4 route (round 14): hvcC parameter sets + length-" +
+      "prefixed samples reach the HEVC starter decoder; dispatch " +
+      "flags real pixels") {
+    import graft.ext.Multimodal
+    for (id <- Seq(2L, 9L)) {
+      def g(q: Int, f: Int): Int =
+        ((id * (31 + 6 * q) + 11 + 5 * q + 29L * f) % 256).toInt
+      val mp4 = Multimodal.syntheticHevcMp4(id, nFrames = 2)
+      val fs = Multimodal.decodeHevcFrames(mp4, 4)
+      assert(fs.length == 2, s"id=$id got ${fs.length} frames")
+      for ((f0, k) <- fs.zipWithIndex) {
+        val vals = (0 until 4).map(q => g(q, k).toDouble)
+        val mean = vals.sum / 4
+        val std = math.sqrt(vals.map(v => v * v).sum / 4 - mean * mean)
+        assert(f0._2 == 16 && f0._3 == 16, s"id=$id f$k dims")
+        assert(math.abs(f0._4 - mean) < 1e-9, s"id=$id f$k mean")
+        assert(math.abs(f0._5 - std) < 1e-9, s"id=$id f$k std")
+      }
+      val d = Multimodal.decode(mp4)
+      assert(d._4, s"id=$id dispatch must flag decoded=true")
+      // metadata-only containers (no samples, no hvcC) keep degrading
+      assert(!Multimodal.decode(Multimodal.syntheticMp4(id))._4)
+    }
+  }
+
   // ---- hand-built BIFF8 .xls fixture (MS-CFB + MS-XLS layouts) ----
 
   private def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
