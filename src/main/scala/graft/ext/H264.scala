@@ -1886,7 +1886,6 @@ object H264 {
     val lumaNz = st.lumaNz
     val cbNz = st.cbNz
     val crNz = st.crNz
-    val dcScan = new Array[Int](16)
     val nMbs = mbW * mbH
     val planeH = mbH * 16
     val mv = st.mv
