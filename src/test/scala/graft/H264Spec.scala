@@ -831,9 +831,22 @@ class H264Spec extends AnyFunSuite {
         case 0 => H264.PMove(0, 0, refIdx = 1)
         case _ => H264.PMove(0, 0)
         // identity weights: a weighted PPS makes the table mandatory
-      }, 28, frameNum = 2, numRef = 2, weight = Some((1, 2, 0)))
+      }, 28, frameNum = 2, numRef = 2, weight = Some((1, 2, 0))) ++
+      // round 14: a B picture (POC between the two Ps), an explicitly
+      // REORDERED P (op 0 swaps the older ref in front) and an MMCO
+      // op-1 P (evicts picNum 3) join the fuzz surface
+      sep ++ H264.bNal(2, 2, {
+        case 0 => graft.ext.H264.BBi((0, 0), (0, 0))
+        case 1 => graft.ext.H264.BFwd(0, 0)
+        case _ => graft.ext.H264.BBwd(0, 0)
+      }, 28, frameNum = 3, pocLsb = 3) ++
+      sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 3,
+        reorder = Seq((0, 1)), weight = Some((1, 2, 0))) ++
+      sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 4,
+        mmcoDrop = Seq(0), weight = Some((1, 2, 0)))
     // sanity: the clean stream decodes fully
-    assert(H264.decodeFramesLuma(base, 8).map(_._4) == Seq('I', 'P', 'P'))
+    assert(H264.decodeFramesLuma(base, 8).map(_._4) ==
+      Seq('I', 'P', 'P', 'B', 'P', 'P'))
     val rnd = new java.util.Random(20260816L)
     var trials = 0
     while (trials < 300) {
