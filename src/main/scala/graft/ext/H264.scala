@@ -1892,6 +1892,9 @@ object H264 {
     val mc16 = new Array[Int](256)
     val mcCb = new Array[Int](64) // MB chroma prediction (round 14)
     val mcCr = new Array[Int](64)
+    val bi16 = new Array[Int](256) // list-1 side of Bi partitions
+    val biCb = new Array[Int](64)
+    val biCr = new Array[Int](64)
     val strideC = st.strideC
     val planeHC = mbH * 8
     val mbIntraA = st.mbIntraA
@@ -2250,9 +2253,6 @@ object H264 {
           }
           p += 1
         }
-        val bi16 = new Array[Int](256)
-        val biCb = new Array[Int](64)
-        val biCr = new Array[Int](64)
         // pass 1: list-0 mvds in partition order; L0-only partitions
         // MC (+ single-list weight) straight into mc16
         p = 0

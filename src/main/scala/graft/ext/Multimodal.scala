@@ -1400,7 +1400,7 @@ object Multimodal {
     def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
-    val sps = Hevc.spsNal(16, 16).drop(0)
+    val sps = Hevc.spsNal(16, 16)
     val pps = Hevc.ppsNal(28)
     val samples = (0 until nFrames).map { f =>
       val idr = Hevc.idrNal(1, 1, _ => Hevc.Quad((0 until 4).map { q =>
