@@ -93,6 +93,18 @@ class ConvAESpec extends SparkSpec {
     assert(a.length == 6 && a.forall(_.length == 2))
     assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
       "two identically-seeded 256x256 fits diverged")
+    // cross-session DIGEST pin (the VERDICT r13 #5 tripwire class):
+    // a == b alone would pass a math regression that changed both —
+    // this md5 over the raw doubles pins the exact 256-regime output
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach(_.foreach { v =>
+      md.update(java.nio.ByteBuffer.allocate(8).putDouble(v).array())
+    })
+    assert(md.digest().map("%02x".format(_)).mkString ==
+      "7a197304db53426e04b5d5e76b1157b8",
+      s"256-regime digest drifted; z(0) = ${a(0).toSeq}")
+    assert(a(0)(0) == 10.920777835262419 && a(0)(1) == -4.469668130337769,
+      s"first 256-regime embedding drifted: ${a(0).toSeq}")
   }
 
   test("reference IMG_SIZE=512 regime: 6-stage stack embeds " +
