@@ -874,7 +874,14 @@ object H264 {
             val qpAv = (qpMb(mbP) + qpQ + 1) >> 1
             val indexA = clip3(0, 51, qpAv + offA)
             val indexB = clip3(0, 51, qpAv + offB)
-            if (AlphaT(indexA) > 0) {
+            // luma and chroma gate on their OWN alpha thresholds:
+            // with a low luma QP and a large positive
+            // chroma_qp_index_offset, QPc-derived chroma alpha can be
+            // nonzero while luma alpha is zero (8.7.2.4), so the
+            // chroma edge walk must not hide under the luma gate
+            val lumaOn = AlphaT(indexA) > 0
+            val chromaOn = cbPlane != null && (k & 1) == 0
+            if (lumaOn || chromaOn) {
               var g = 0 // 4-sample groups along the edge
               while (g < 4) {
                 val (bxQ, byQ) =
@@ -884,20 +891,22 @@ object H264 {
                   if (vert == 0) (bxQ - 1, byQ) else (bxQ, byQ - 1)
                 val bs = bS(mbP, mb, bxP, byP, bxQ, byQ, boundary)
                 if (bs > 0) {
-                  var s = 0
-                  while (s < 4) {
-                    val pos =
-                      if (vert == 0)
-                        (byQ * 4 + s) * stride + bxQ * 4
-                      else byQ * 4 * stride + bxQ * 4 + s
-                    filterLine(pos, if (vert == 0) 1 else stride,
-                      bs, indexA, indexB)
-                    s += 1
+                  if (lumaOn) {
+                    var s = 0
+                    while (s < 4) {
+                      val pos =
+                        if (vert == 0)
+                          (byQ * 4 + s) * stride + bxQ * 4
+                        else byQ * 4 * stride + bxQ * 4 + s
+                      filterLine(pos, if (vert == 0) 1 else stride,
+                        bs, indexA, indexB)
+                      s += 1
+                    }
                   }
                   // chroma edges exist at every OTHER luma edge
                   // (4:2:0: k = 0, 2 -> chroma 0, 4); 2 chroma lines
                   // per 4-luma-line group; thresholds from QPc
-                  if (cbPlane != null && (k & 1) == 0) {
+                  if (chromaOn) {
                     var comp = 0
                     while (comp < 2) {
                       val off = if (comp == 0) cqpOffCb else cqpOffCr
@@ -921,8 +930,8 @@ object H264 {
                       comp += 1
                     }
                   }
-                  g += 1
-                } else g += 1
+                }
+                g += 1
               }
             }
           }
@@ -2633,7 +2642,9 @@ object H264 {
     }
     if (!done) sig(maxC - 1) = true // the final position is inferred
     val lvlBase = 227 + LvlCatOff(cat)
-    val clampMax = if (cat == 3) 3 else 4
+    // 9.3.3.1.3: only the Gt1 increment clamps at 3 for chroma DC
+    // (cat 3); bin 0 is Min(4, 1 + numDecodAbsLevelEq1) everywhere.
+    val clampG = if (cat == 3) 3 else 4
     var numEq1 = 0
     var numGt1 = 0
     var nz = 0
@@ -2641,11 +2652,11 @@ object H264 {
     while (i >= 0) {
       if (sig(i)) {
         var absLvl = 1
-        val inc0 = if (numGt1 != 0) 0 else math.min(clampMax, 1 + numEq1)
+        val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
         if (dec.decision(cx, lvlBase + inc0)) {
           // TU prefix continues at the Gt1 context (constant while
           // this level decodes), cMax 14, then the UEG0 bypass escape
-          val incG = 5 + math.min(clampMax, numGt1)
+          val incG = 5 + math.min(clampG, numGt1)
           absLvl = 2
           while (absLvl < 15 && dec.decision(cx, lvlBase + incG))
             absLvl += 1
@@ -3667,7 +3678,7 @@ object H264 {
       i += 1
     }
     val lvlBase = 227 + LvlCatOff(cat)
-    val clampMax = if (cat == 3) 3 else 4
+    val clampG = if (cat == 3) 3 else 4 // Gt1-only clamp, like the decoder
     var numEq1 = 0
     var numGt1 = 0
     i = lastIdx
@@ -3675,10 +3686,10 @@ object H264 {
       val v = coeffs(i)
       if (v != 0) {
         val a = math.abs(v)
-        val inc0 = if (numGt1 != 0) 0 else math.min(clampMax, 1 + numEq1)
+        val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
         enc.decision(cxp, lvlBase + inc0, a > 1)
         if (a > 1) {
-          val incG = 5 + math.min(clampMax, numGt1)
+          val incG = 5 + math.min(clampG, numGt1)
           var k = 2
           while (k < 15 && k < a) {
             enc.decision(cxp, lvlBase + incG, bin = true)

@@ -113,7 +113,12 @@ object Hevc {
   private final case class HSps(
       width: Int, height: Int, ctbLog2: Int, minCbLog2: Int,
       maxTbLog2: Int, minTbLog2: Int, pcmEnabled: Boolean,
-      pcmMinLog2: Int, pcmMaxLog2: Int)
+      pcmMinLog2: Int, pcmMaxLog2: Int,
+      cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0) {
+    /** Conformance-window output size (7.4.3.2.1). */
+    def outW: Int = width - cropL - cropR
+    def outH: Int = height - cropT - cropB
+  }
 
   private final case class HPps(id: Int, spsId: Int, initQp: Int)
 
@@ -130,7 +135,15 @@ object Hevc {
     val height = br.ue()
     if (width <= 0 || height <= 0 ||
       width.toLong * height > 8192L * 4320) throw ParseFail
-    if (br.bit() == 1) { br.ue(); br.ue(); br.ue(); br.ue() } // conf window
+    // ADVICE r14: APPLY the conformance window (offsets are in
+    // chroma units; 4:2:0 -> x2 in luma) instead of emitting the
+    // full coded picture with its padding samples
+    var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+    if (br.bit() == 1) {
+      cropL = br.ue() * 2; cropR = br.ue() * 2
+      cropT = br.ue() * 2; cropB = br.ue() * 2
+      if (cropL + cropR >= width || cropT + cropB >= height) throw ParseFail
+    }
     if (br.ue() != 0) throw ParseFail // bit_depth_luma_minus8
     if (br.ue() != 0) throw ParseFail // bit_depth_chroma_minus8
     val log2MaxPoc = br.ue() + 4
@@ -146,8 +159,11 @@ object Hevc {
     if (ctbLog2 > 6 || minCbLog2 < 3 || maxTbLog2 > 5 ||
       maxTbLog2 > ctbLog2) throw ParseFail
     br.ue() // max_transform_hierarchy_depth_inter
-    br.ue() // max_transform_hierarchy_depth_intra (splits degrade at
-    // the slice layer; depth only gates flag presence we refuse)
+    // ADVICE r14: with depth_intra >= 1 a 2Nx2N CU sized inside
+    // (minTbLog2, maxTbLog2] DOES carry split_transform_flag at
+    // trafoDepth 0 — skipping it would desync, so refuse loudly here
+    // until decodeCqt reads the transform tree.
+    if (br.ue() != 0) throw ParseFail // max_transform_hierarchy_depth_intra
     if (br.bit() == 1) throw ParseFail // scaling_list_enabled
     br.bit() // amp_enabled (irrelevant: intra only)
     if (br.bit() == 1) throw ParseFail // sample_adaptive_offset
@@ -170,7 +186,7 @@ object Hevc {
     // 32x32 bilinear path is out of the starter subset)
     // vui/extensions ignored
     HSps(width, height, ctbLog2, minCbLog2, maxTbLog2, minTbLog2,
-      pcmEnabled, pcmMin, pcmMax)
+      pcmEnabled, pcmMin, pcmMax, cropL, cropR, cropT, cropB)
   }
 
   private def parsePps(rbsp: Array[Byte]): HPps = {
@@ -571,20 +587,23 @@ object Hevc {
       }
       if (ctu < nCtbs) return None // slice ended early: partial picture
       if (dec.overrun > 0) return None // phantom-bit guard
-      // crop the coded plane to the signalled picture size
+      // crop the coded plane to the conformance window (CTB padding
+      // AND the SPS conf_win offsets, ADVICE r14)
+      val ow = sps.outW
+      val oh = sps.outH
       val out =
-        if (pic.stride == sps.width && pic.planeH == sps.height) pic.luma
+        if (pic.stride == ow && pic.planeH == oh) pic.luma
         else {
-          val o = new Array[Int](sps.width * sps.height)
+          val o = new Array[Int](ow * oh)
           var y = 0
-          while (y < sps.height) {
-            System.arraycopy(pic.luma, y * pic.stride, o, y * sps.width,
-              sps.width)
+          while (y < oh) {
+            System.arraycopy(pic.luma,
+              (y + sps.cropT) * pic.stride + sps.cropL, o, y * ow, ow)
             y += 1
           }
           o
         }
-      Some((sps.width, sps.height, out))
+      Some((ow, oh, out))
     } catch {
       case ParseFail => None
       case _: ArrayIndexOutOfBoundsException => None

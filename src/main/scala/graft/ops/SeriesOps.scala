@@ -525,8 +525,14 @@ object SeriesOps extends Serializable {
       else {
         val key = series.queryExecution.analyzed.semanticHash()
         val hit = autoCachedTheilSen.get(key)
+        // ADVICE r14: the 32-bit semanticHash can collide across
+        // DIFFERENT plans; confirm identity with sameResult before
+        // reuse (collision -> fall through and overwrite the slot),
+        // so a hash clash costs a re-cache instead of wrong data.
         if (hit != null &&
-            hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+            hit.queryExecution.analyzed
+              .sameResult(series.queryExecution.analyzed))
           hit
         else {
           val c = series.cache()
