@@ -294,15 +294,21 @@ object H264 {
 
   // ---------------------------------------------------------------- headers
 
-  /** One DPB entry: luma + both chroma planes (round 14). */
+  /** One DPB entry: luma + both chroma planes (round 14). Round 15
+    * adds the picture's own motion field for the spatial-direct
+    * colZeroFlag read (8.4.1.2.2): per 4x4 cell, the L0 (falling back
+    * to L1) refIdx as decoded in THAT picture (-1 = intra/none) and
+    * the quarter-pel vector. */
   private final case class RefPic(y: Array[Int], cb: Array[Int],
-      cr: Array[Int])
+      cr: Array[Int], colRef: Array[Int] = null,
+      colMvx: Array[Int] = null, colMvy: Array[Int] = null)
 
   private final case class Sps(
       id: Int, mbW: Int, mbH: Int,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
-      deltaPocAlwaysZero: Boolean, maxRefFrames: Int)
+      deltaPocAlwaysZero: Boolean, maxRefFrames: Int,
+      direct8x8: Boolean = true)
 
   private final case class Pps(
       id: Int, spsId: Int,
@@ -352,7 +358,8 @@ object H264 {
     val mbW = br.ue() + 1
     val mbH = br.ue() + 1
     if (br.bit() != 1) throw ParseFail // frame_mbs_only required
-    br.bit() // direct_8x8_inference
+    val direct8x8 = br.bit() == 1 // colZero sampling granularity
+    // (8.4.1.2.2: corner 4x4 per 8x8 when set, per 4x4 otherwise)
     var cl = 0; var cr = 0; var ct = 0; var cb = 0
     if (br.bit() == 1) { cl = br.ue(); cr = br.ue(); ct = br.ue(); cb = br.ue() }
     // vui ignored (everything needed is parsed)
@@ -360,7 +367,8 @@ object H264 {
     // a crafted ue(v) frame size must cost a degrade, not a task OOM
     if (mbW <= 0 || mbH <= 0 || mbW.toLong * mbH > 32768L) throw ParseFail
     Sps(spsId, mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType,
-      log2MaxPocLsb, deltaPocAlwaysZero, math.max(1, maxRefFrames))
+      log2MaxPocLsb, deltaPocAlwaysZero, math.max(1, maxRefFrames),
+      direct8x8)
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
@@ -773,8 +781,16 @@ object H264 {
       mv: MvCtx, sliceOf: Array[Int],
       sliceParams: Array[(Int, Int, Int)],
       cbPlane: Array[Int] = null, crPlane: Array[Int] = null,
-      cqpOffCb: Int = 0, cqpOffCr: Int = 0): Unit = {
+      cqpOffCb: Int = 0, cqpOffCr: Int = 0,
+      mvL1: MvCtx = null): Unit = {
     val strideC = mbW * 8
+    // 8.7.2.1 motion-based bS over BOTH lists (round 15: B slices
+    // deblock for real). Reference comparison is by PICTURE (the
+    // per-cell DPB id), never by per-slice index.
+    def mvDiff4(ax: Int, ay: Int, bx: Int, by: Int): Boolean = {
+      val dx = ax - bx; val dy = ay - by
+      dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4
+    }
     def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
         mbEdge: Boolean): Int = {
       if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
@@ -782,14 +798,54 @@ object H264 {
       else {
         val kp = byP * mv.gw + bxP
         val kq = byQ * mv.gw + bxQ
-        val dx = mv.mvx(kp) - mv.mvx(kq)
-        val dy = mv.mvy(kp) - mv.mvy(kq)
-        // different reference pictures OR a component differing by
-        // >= 4 quarter-pel units -> bS 1 (8.7.2.1; the ref check
-        // matters since round 13's multi-reference lists)
-        if (mv.ref(kp) != mv.ref(kq) ||
-          dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1
-        else 0
+        val p0 = mv.inter(kp)
+        val q0 = mv.inter(kq)
+        val p1 = mvL1 != null && mvL1.inter(kp)
+        val q1 = mvL1 != null && mvL1.inter(kq)
+        val np = (if (p0) 1 else 0) + (if (p1) 1 else 0)
+        val nq = (if (q0) 1 else 0) + (if (q1) 1 else 0)
+        if (np != nq) 1 // different number of motion vectors
+        else if (np == 1) {
+          // one vector each: same picture AND < 4 quarter-pel apart
+          val (pp, px, py) =
+            if (p0) (mv.pic(kp), mv.mvx(kp), mv.mvy(kp))
+            else (mvL1.pic(kp), mvL1.mvx(kp), mvL1.mvy(kp))
+          val (qp2, qx, qy) =
+            if (q0) (mv.pic(kq), mv.mvx(kq), mv.mvy(kq))
+            else (mvL1.pic(kq), mvL1.mvx(kq), mvL1.mvy(kq))
+          if (pp != qp2 || mvDiff4(px, py, qx, qy)) 1 else 0
+        } else {
+          // two vectors each: picture SETS must match; with two
+          // distinct pictures compare per picture, with the same
+          // picture twice both the straight and the crossed pairing
+          // must exceed the threshold for bS 1 (8.7.2.1)
+          val pA = mv.pic(kp); val pB = mvL1.pic(kp)
+          val qA = mv.pic(kq); val qB = mvL1.pic(kq)
+          val sameSets = (pA == qA && pB == qB) || (pA == qB && pB == qA)
+          if (!sameSets) 1
+          else if (pA != pB) {
+            // match q's vectors to p's by picture
+            val (qxA, qyA, qxB, qyB) =
+              if (pA == qA) (mv.mvx(kq), mv.mvy(kq),
+                mvL1.mvx(kq), mvL1.mvy(kq))
+              else (mvL1.mvx(kq), mvL1.mvy(kq),
+                mv.mvx(kq), mv.mvy(kq))
+            if (mvDiff4(mv.mvx(kp), mv.mvy(kp), qxA, qyA) ||
+              mvDiff4(mvL1.mvx(kp), mvL1.mvy(kp), qxB, qyB)) 1
+            else 0
+          } else {
+            val straight =
+              mvDiff4(mv.mvx(kp), mv.mvy(kp), mv.mvx(kq), mv.mvy(kq)) ||
+                mvDiff4(mvL1.mvx(kp), mvL1.mvy(kp),
+                  mvL1.mvx(kq), mvL1.mvy(kq))
+            val crossed =
+              mvDiff4(mv.mvx(kp), mv.mvy(kp),
+                mvL1.mvx(kq), mvL1.mvy(kq)) ||
+                mvDiff4(mvL1.mvx(kp), mvL1.mvy(kp),
+                  mv.mvx(kq), mv.mvy(kq))
+            if (straight && crossed) 1 else 0
+          }
+        }
       }
     }
     // filter one line across an edge: q0 at `pos`, p0 at `pos - step`
@@ -1057,8 +1113,13 @@ object H264 {
     val mvy = new Array[Int](gw * gh)
     /** list-0 reference index per cell; -1 = intra/unset. */
     val ref = new Array[Int](gw * gh)
+    /** DPB picture id per cell (refIdx resolved through the slice's
+      * own list) — the loop filter's "same reference PICTURE" test
+      * (8.7.2.1) must compare pictures, not per-slice indices. -1 =
+      * intra/unset. */
+    val pic = new Array[Int](gw * gh)
     def fill(x4: Int, y4: Int, w4: Int, h4: Int, isInter: Boolean,
-        mx: Int, my: Int, refIdx: Int = 0): Unit = {
+        mx: Int, my: Int, refIdx: Int = 0, picId: Int = -1): Unit = {
       var y = y4
       while (y < y4 + h4) {
         var x = x4
@@ -1066,6 +1127,7 @@ object H264 {
           val k = y * gw + x
           done(k) = true; inter(k) = isInter; mvx(k) = mx; mvy(k) = my
           ref(k) = if (isInter) refIdx else -1
+          pic(k) = if (isInter) picId else -1
           x += 1
         }
         y += 1
@@ -1265,7 +1327,28 @@ object H264 {
                 refFns = keep(refFns)
               }
               val cap = math.max(1, sps.maxRefFrames)
-              refList = (RefPic(st.luma, st.cb, st.cr) +: refList).take(cap)
+              // snapshot the picture's motion field for later
+              // spatial-direct colZeroFlag reads (L0 first, L1 when
+              // a B cell used only list 1; intra/unset = -1)
+              val cells = st.mv.gw * st.mv.gh
+              val cRef = new Array[Int](cells)
+              val cMx = new Array[Int](cells)
+              val cMy = new Array[Int](cells)
+              var ck = 0
+              while (ck < cells) {
+                if (st.mv.inter(ck)) {
+                  cRef(ck) = st.mv.ref(ck)
+                  cMx(ck) = st.mv.mvx(ck)
+                  cMy(ck) = st.mv.mvy(ck)
+                } else if (st.mvL1.inter(ck)) {
+                  cRef(ck) = st.mvL1.ref(ck)
+                  cMx(ck) = st.mvL1.mvx(ck)
+                  cMy(ck) = st.mvL1.mvy(ck)
+                } else cRef(ck) = -1
+                ck += 1
+              }
+              refList = (RefPic(st.luma, st.cb, st.cr, cRef, cMx,
+                cMy) +: refList).take(cap)
               refPocs = (st.poc +: refPocs).take(cap)
               refFns = (frameNum +: refFns).take(cap)
               refMbW = sps.mbW
@@ -1486,7 +1569,7 @@ object H264 {
     if (st.sliceParams.exists(_._1 != 1))
       deblockLuma(st.luma, st.stride, st.mbW, st.mbH, st.mbIntraA,
         st.qpMbA, st.lumaNz, st.mv, st.sliceOf, st.sliceParams.toArray,
-        st.cb, st.cr, st.cqpOffCb, st.cqpOffCr)
+        st.cb, st.cr, st.cqpOffCb, st.cqpOffCr, st.mvL1)
     true
   }
 
@@ -1572,12 +1655,12 @@ object H264 {
     // their context init needs the three cabac_init_idc columns of
     // Tables 9-13..9-33 (H264Cabac honesty bounds); I-slice CABAC
     // decodes
-    // B honesty bounds (round 14): POC-based list construction needs
+    // B honesty bounds (round 15): POC-based list construction needs
     // pocType 0 (full 8.2.1.1 lsb/msb wrap) or 2 (frame_num order);
-    // type 1 and the bottom-field POC delta degrade, as do implicit
-    // weighted bipred (idc 2) and the direct/skip modes (per-MB below)
-    if (isB && (sps.pocType == 1 || pps.bottomFieldPoc ||
-      pps.weightedBipredIdc == 2)) return None
+    // type 1 and the bottom-field POC delta degrade. Implicit
+    // weighted bipred (idc 2) and the spatial direct/skip modes
+    // decode since round 15; TEMPORAL direct (flag 0 below) degrades.
+    if (isB && (sps.pocType == 1 || pps.bottomFieldPoc)) return None
     val frameNum = br.bits(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3, round 13 review): with a
     // multi-picture DPB a GAP means un-decoded reference frames the
@@ -1639,7 +1722,10 @@ object H264 {
     var listL0: IndexedSeq[Int] = null // indices into refs
     var listL1: IndexedSeq[Int] = null
     if (isB) {
-      br.bit() // direct_spatial_mv_pred_flag (direct MBs degrade)
+      // spatial direct decodes (8.4.1.2.2, round 15); temporal direct
+      // (8.4.1.2.3: motion scaled from the colocated picture by POC
+      // distance) stays out of the subset and degrades loudly here
+      if (br.bit() != 1) return None // direct_spatial_mv_pred_flag
       if (br.bit() == 1) { // num_ref_idx_active_override
         numRefL0 = br.ue() + 1
         numRefL1 = br.ue() + 1
@@ -1750,6 +1836,26 @@ object H264 {
         wpC1 = c1
       }
     }
+    // implicit weighted bipred (idc 2, 8.4.2.3.2, round 15): w1 from
+    // the POC-distance DistScaleFactor, w0 = 64 - w1, logWD = 5 and
+    // zero offsets; equal-POC / out-of-range pairs fall back to
+    // 32/32. Single-list partitions stay unweighted under idc 2.
+    var wImp: Array[Array[Int]] = null // (r0)(r1) -> w1
+    if (isB && pps.weightedBipredIdc == 2) {
+      val curPoc = st.poc
+      wImp = Array.tabulate(numRefL0, numRefL1) { (a, b) =>
+        val poc0 = refPocs(listL0(a))
+        val poc1 = refPocs(listL1(b))
+        if (poc0 == poc1) 32
+        else {
+          val tb = clip3(-128, 127, curPoc - poc0)
+          val td = clip3(-128, 127, poc1 - poc0)
+          val tx = (16384 + math.abs(td / 2)) / td
+          val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6) >> 2
+          if (dsf < -64 || dsf > 128) 32 else dsf
+        }
+      }
+    }
     // weight one rect in place (8.4.2.3.2 single-list), generic over
     // buffer stride and weight table
     def weightRectG(out: Array[Int], off: Int, w: Int, h: Int,
@@ -1807,14 +1913,20 @@ object H264 {
     }
     def bipredRect(out: Array[Int], b1: Array[Int], off: Int, w: Int,
         h: Int, r0: Int, r1: Int): Unit =
-      bipredRectG(out, b1, off, w, h, 16,
+      if (wImp != null)
+        bipredRectG(out, b1, off, w, h, 16, 64 - wImp(r0)(r1),
+          wImp(r0)(r1), 0, 0, 5, explicit = true)
+      else bipredRectG(out, b1, off, w, h, 16,
         if (wpW == null) 0 else wpW(r0),
         if (wpW1 == null) 0 else wpW1(r1),
         if (wpO == null) 0 else wpO(r0),
         if (wpO1 == null) 0 else wpO1(r1), wpDenom, wpW != null)
     def bipredRectC(out: Array[Int], b1: Array[Int], off: Int, w: Int,
         h: Int, r0: Int, r1: Int, comp: Int): Unit =
-      bipredRectG(out, b1, off, w, h, 8,
+      if (wImp != null) // implicit weights apply to chroma unchanged
+        bipredRectG(out, b1, off, w, h, 8, 64 - wImp(r0)(r1),
+          wImp(r0)(r1), 0, 0, 5, explicit = true)
+      else bipredRectG(out, b1, off, w, h, 8,
         if (wpC == null) 0 else wpC(comp * 2)(r0),
         if (wpC1 == null) 0 else wpC1(comp * 2)(r1),
         if (wpC == null) 0 else wpC(comp * 2 + 1)(r0),
@@ -1871,11 +1983,8 @@ object H264 {
         if (offA < -12 || offA > 12 || offB < -12 || offB > 12) return None
       }
     }
-    // B + loop filter: the bS derivation (8.7.2.1) for B edges
-    // compares BOTH lists' refs/vectors; this decoder's filter reads
-    // the L0 state only, so a filtered B slice degrades rather than
-    // filtering with half the motion evidence (round 14)
-    if (isB && deblockIdc != 1) return None
+    // round 15: B slices deblock for real — the bS derivation above
+    // compares both lists' pictures/vectors per 8.7.2.1.
 
     if (pps.cabac) {
       // cabac_alignment_one_bit (7.3.4): every bit up to the byte
@@ -2048,17 +2157,168 @@ object H264 {
         parseChroma(cbpChroma, mbX, mbY)
       }
     }
+    // ---- spatial direct prediction (8.4.1.2.2, round 15): shared by
+    // B_Skip, B_Direct_16x16 and B_Direct_8x8. Reference indices are
+    // the MinPositive of the 16x16 neighbors' per-list refIdx; motion
+    // is the 8.4.1.3 median for that refIdx; per-block colZeroFlag
+    // (sampled at the 8x8's outer-corner 4x4 under
+    // direct_8x8_inference, per 4x4 otherwise) zeroes the vector of
+    // any list whose refIdx is 0 when the colocated block in
+    // RefPicList1[0] is a near-static refIdx-0 block.
+    // directZeroPrediction (no inter neighbor at all) -> both lists,
+    // refIdx 0, zero motion, colZero ignored.
+    val colPic = if (isB) refs(listL1(0)) else null
+    var directMb = -1 // per-MB derivation cache
+    var dR0 = 0; var dR1 = 0
+    var dM0x = 0; var dM0y = 0; var dM1x = 0; var dM1y = 0
+    var dZeroPred = false
+    def directDerive(mb: Int, mbX: Int, mbY: Int): Boolean = {
+      if (directMb == mb) return true
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      def refOf(ctx: MvCtx, x: Int, y: Int): Int = {
+        val (ok, r, _, _) = ctx.info(x, y)
+        if (ok) r else -1
+      }
+      def minPos(a: Int, b: Int): Int =
+        if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+      def nRef(ctx: MvCtx): Int = {
+        val a = refOf(ctx, x4 - 1, y4)
+        val b = refOf(ctx, x4, y4 - 1)
+        val c =
+          if (ctx.available(x4 + 4, y4 - 1)) refOf(ctx, x4 + 4, y4 - 1)
+          else refOf(ctx, x4 - 1, y4 - 1)
+        minPos(minPos(a, b), c)
+      }
+      val r0 = nRef(mv)
+      val r1 = nRef(st.mvL1)
+      // a previous slice's longer list must not leak an off-list
+      // index into this slice's shorter one
+      if (r0 >= numRefL0 || r1 >= numRefL1) return false
+      dZeroPred = r0 < 0 && r1 < 0
+      if (dZeroPred) {
+        dR0 = 0; dR1 = 0; dM0x = 0; dM0y = 0; dM1x = 0; dM1y = 0
+      } else {
+        dR0 = r0; dR1 = r1
+        if (r0 >= 0) {
+          val (mx, my) = mvPredPart(mv, x4, y4, 4, ShapeMedian, r0)
+          dM0x = mx; dM0y = my
+        } else { dM0x = 0; dM0y = 0 }
+        if (r1 >= 0) {
+          val (mx, my) = mvPredPart(st.mvL1, x4, y4, 4, ShapeMedian, r1)
+          dM1x = mx; dM1y = my
+        } else { dM1x = 0; dM1y = 0 }
+      }
+      directMb = mb
+      true
+    }
+    // reconstruct the direct region [bx0, bx0+n4) x [by0, by0+n4)
+    // (MB-local 4x4 units; (0, 0, 4) = whole MB, a quadrant = 2) into
+    // the MB buffers, filling both motion grids per cell
+    def directRecon(mb: Int, mbX: Int, mbY: Int, bx0: Int, by0: Int,
+        n4: Int): Boolean = {
+      if (!directDerive(mb, mbX, mbY)) return false
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      val ox = mbX * 16
+      val oy = mbY * 16
+      val useL0 = dZeroPred || dR0 >= 0
+      val useL1 = dZeroPred || dR1 >= 0
+      val er0 = math.max(dR0, 0)
+      val er1 = math.max(dR1, 0)
+      var by = by0
+      while (by < by0 + n4) {
+        var bx = bx0
+        while (bx < bx0 + n4) {
+          val (sx, sy) =
+            if (sps.direct8x8) (x4 + (bx >> 1) * 3, y4 + (by >> 1) * 3)
+            else (x4 + bx, y4 + by)
+          val ck = sy * mv.gw + sx
+          val colZero = !dZeroPred && colPic.colRef != null &&
+            colPic.colRef(ck) == 0 &&
+            colPic.colMvx(ck) >= -1 && colPic.colMvx(ck) <= 1 &&
+            colPic.colMvy(ck) >= -1 && colPic.colMvy(ck) <= 1
+          val z0 = colZero && dR0 == 0
+          val z1 = colZero && dR1 == 0
+          val m0x = if (z0) 0 else dM0x
+          val m0y = if (z0) 0 else dM0y
+          val m1x = if (z1) 0 else dM1x
+          val m1y = if (z1) 0 else dM1y
+          if (useL0) mv.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
+            m0x, m0y, er0, picId = listL0(er0))
+          else mv.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
+          if (useL1) st.mvL1.fill(x4 + bx, y4 + by, 1, 1,
+            isInter = true, m1x, m1y, er1, picId = listL1(er1))
+          else st.mvL1.fill(x4 + bx, y4 + by, 1, 1, isInter = false,
+            0, 0)
+          val off = by * 4 * 16 + bx * 4
+          val offC = by * 2 * 8 + bx * 2
+          if (useL0) {
+            interPredictRect(refs(listL0(er0)).y, stride, planeH,
+              ox + bx * 4, oy + by * 4, 4, 4, m0x, m0y, mc16, off, 16)
+            interPredictRectChroma(refs(listL0(er0)).cb, strideC,
+              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+              m0x, m0y, mcCb, offC, 8)
+            interPredictRectChroma(refs(listL0(er0)).cr, strideC,
+              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+              m0x, m0y, mcCr, offC, 8)
+          }
+          if (useL1) {
+            val t16 = if (useL0) bi16 else mc16
+            val tCb = if (useL0) biCb else mcCb
+            val tCr = if (useL0) biCr else mcCr
+            interPredictRect(refs(listL1(er1)).y, stride, planeH,
+              ox + bx * 4, oy + by * 4, 4, 4, m1x, m1y, t16, off, 16)
+            interPredictRectChroma(refs(listL1(er1)).cb, strideC,
+              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+              m1x, m1y, tCb, offC, 8)
+            interPredictRectChroma(refs(listL1(er1)).cr, strideC,
+              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+              m1x, m1y, tCr, offC, 8)
+          }
+          if (useL0 && useL1) {
+            bipredRect(mc16, bi16, off, 4, 4, er0, er1)
+            bipredRectC(mcCb, biCb, offC, 2, 2, er0, er1, 0)
+            bipredRectC(mcCr, biCr, offC, 2, 2, er0, er1, 1)
+          } else if (useL0) {
+            weightRect(mc16, off, 4, 4, er0, list = 0)
+            weightRectC(mcCb, offC, 2, 2, er0, 0, 0)
+            weightRectC(mcCr, offC, 2, 2, er0, 0, 1)
+          } else {
+            weightRect(mc16, off, 4, 4, er1, list = 1)
+            weightRectC(mcCb, offC, 2, 2, er1, 1, 0)
+            weightRectC(mcCr, offC, 2, 2, er1, 1, 1)
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      true
+    }
     var mb = startMb
     var ended = false // slice data exhausted (or trailing skip run)
     while (mb < nMbs && !ended) {
       if (isB) {
         // mb_skip_run in B slices marks B_Skip macroblocks, which
-        // reconstruct in DIRECT mode (8.4.1.2) — not implemented:
-        // a nonzero run degrades (honesty bounds), run 0 is the
-        // common every-MB-coded case
+        // reconstruct in spatial-direct mode with no residual
+        // (8.4.1.2, round 15)
         val run = br.ue()
-        if (run != 0) return None
-        if (!br.moreRbspData()) ended = true
+        if (run < 0 || mb + run > nMbs) return None
+        var s = 0
+        while (s < run) {
+          st.sliceOf(mb) = sliceIdx
+          val mbX = mb % mbW
+          val mbY = mb / mbW
+          if (!directRecon(mb, mbX, mbY, 0, 0, 4)) return None
+          qpMbA(mb) = qp
+          writeMc(mbX * 16, mbY * 16)
+          reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+            new ChromaCoeffs, mcCb, mcCr)
+          zeroNz(mbX, mbY)
+          mb += 1
+          s += 1
+        }
+        if (mb >= nMbs || !br.moreRbspData()) ended = true
       }
       if (isP) {
         // mb_skip_run precedes every coded macroblock (7.3.4);
@@ -2070,7 +2330,7 @@ object H264 {
           st.sliceOf(mb) = sliceIdx
           val (mx, my) = skipMv(mv, mb % mbW, mb / mbW)
           mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
-            mx, my, refIdx = 0)
+            mx, my, refIdx = 0, picId = listL0(0))
           qpMbA(mb) = qp
           interPredict16x16(refs(listL0(0)).y, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
@@ -2102,13 +2362,14 @@ object H264 {
       // P slices: 0..4 = inter partition types (7.4.5: P_L0_16x16,
       // P_L0_L0_16x8, P_L0_L0_8x16, P_8x8, P_8x8ref0 — the last two
       // identical with one reference); >= 5 = intra types shifted by 5.
-      // B slices (round 14): 0 = B_Direct_16x16 and 22 = B_8x8 degrade
-      // (direct modes / sub-partitions not implemented); 1..21 = the
-      // two-list partition types (-100 - t namespace); >= 23 = intra.
+      // B slices: 0 = B_Direct_16x16 (-200), 22 = B_8x8 (-201, round
+      // 15); 1..21 = the two-list partition types (-100 - t
+      // namespace); >= 23 = intra.
       val mbType =
         if (isP) { if (rawType <= 4) -1 - rawType else rawType - 5 }
         else if (isB) {
-          if (rawType == 0 || rawType == 22) return None
+          if (rawType == 0) -200
+          else if (rawType == 22) -201
           else if (rawType <= 21) -100 - rawType
           else rawType - 23
         }
@@ -2143,7 +2404,8 @@ object H264 {
           // arbitrarily far from the plane
           if (mx < -2048 * 4 || mx > 2048 * 4 ||
             my < -2048 * 4 || my > 2048 * 4) return false
-          mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my, refIdx)
+          mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my,
+            refIdx, picId = listL0(refIdx))
           interPredictRect(refs(listL0(refIdx)).y, stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
@@ -2212,6 +2474,179 @@ object H264 {
         writeMc(ox, oy)
         reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
           ccP, mcCb, mcCr)
+      } else if (mbType == -200) {
+        // ---- B_Direct_16x16 (8.4.1.2, round 15): derived motion
+        // over the whole MB, then a coded residual like any inter MB
+        if (!directRecon(mb, mbX, mbY, 0, 0, 4)) return None
+        val ccD = interResiduals(mb, mbX, mbY)
+        if (ccD == null) return None
+        writeMc(ox, oy)
+        reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+          ccD, mcCb, mcCr)
+      } else if (mbType == -201) {
+        // ---- B_8x8 (round 15): sub_mb_type per 8x8 quadrant (Table
+        // 7-18 — direct / L0 / L1 / Bi at 8x8 / 8x4 / 4x8 / 4x4),
+        // ref_idx passes then mvd passes in 7.3.5.2 order. Direct
+        // quadrants derive + reconstruct BEFORE any mvd is read:
+        // their cells are z-earlier than every predictor that can
+        // touch them, so fill order matches decode-order semantics.
+        val x4 = mbX * 4
+        val y4 = mbY * 4
+        val subT = new Array[Int](4)
+        var p8 = 0
+        while (p8 < 4) {
+          subT(p8) = br.ue()
+          if (subT(p8) > 12) return None
+          p8 += 1
+        }
+        def subUsesL0(t: Int) = t == 1 || t == 3 || t == 4 || t == 5 ||
+          t == 8 || t == 9 || t == 10 || t == 12
+        def subUsesL1(t: Int) = t == 2 || t == 3 || t == 6 || t == 7 ||
+          t == 8 || t == 9 || t == 11 || t == 12
+        // sub-partition rects (8x8-local 4x4 units): (bx, by, w4, h4)
+        def subParts(t: Int): Seq[(Int, Int, Int, Int)] = t match {
+          case 1 | 2 | 3 => Seq((0, 0, 2, 2))
+          case 4 | 6 | 8 => Seq((0, 0, 2, 1), (0, 1, 2, 1))
+          case 5 | 7 | 9 => Seq((0, 0, 1, 2), (1, 0, 1, 2))
+          case _ =>
+            Seq((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))
+        }
+        p8 = 0
+        while (p8 < 4) {
+          if (subT(p8) == 0) {
+            if (!directRecon(mb, mbX, mbY, (p8 & 1) * 2, (p8 >> 1) * 2,
+              2)) return None
+          }
+          p8 += 1
+        }
+        def readRefIdxN(n: Int): Int =
+          if (n == 1) 0
+          else if (n == 2) 1 - br.bit()
+          else br.ue()
+        val r0 = new Array[Int](4)
+        val r1 = new Array[Int](4)
+        p8 = 0
+        while (p8 < 4) {
+          if (subT(p8) != 0 && subUsesL0(subT(p8))) {
+            r0(p8) = readRefIdxN(numRefL0)
+            if (r0(p8) < 0 || r0(p8) >= numRefL0) return None
+          }
+          p8 += 1
+        }
+        p8 = 0
+        while (p8 < 4) {
+          if (subT(p8) != 0 && subUsesL1(subT(p8))) {
+            r1(p8) = readRefIdxN(numRefL1)
+            if (r1(p8) < 0 || r1(p8) >= numRefL1) return None
+          }
+          p8 += 1
+        }
+        // pass 1: list-0 mvds; L0-only sub-partitions MC (+ weight)
+        // straight into mc16
+        p8 = 0
+        while (p8 < 4) {
+          val t = subT(p8)
+          if (t != 0) {
+            val bx8 = (p8 & 1) * 2
+            val by8 = (p8 >> 1) * 2
+            val only0 = subUsesL0(t) && !subUsesL1(t)
+            if (subUsesL0(t)) {
+              subParts(t).foreach { case (sbx, sby, w4, h4) =>
+                val cx4 = bx8 + sbx
+                val cy4 = by8 + sby
+                val (px, py) = mvPredPart(mv, x4 + cx4, y4 + cy4, w4,
+                  ShapeMedian, r0(p8))
+                val mx = px + br.se()
+                val my = py + br.se()
+                if (mx < -2048 * 4 || mx > 2048 * 4 ||
+                  my < -2048 * 4 || my > 2048 * 4) return None
+                mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true,
+                  mx, my, r0(p8), picId = listL0(r0(p8)))
+                val off = cy4 * 4 * 16 + cx4 * 4
+                val offC = cy4 * 2 * 8 + cx4 * 2
+                interPredictRect(refs(listL0(r0(p8))).y, stride,
+                  planeH, ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4,
+                  mx, my, mc16, off, 16)
+                interPredictRectChroma(refs(listL0(r0(p8))).cb,
+                  strideC, planeHC, (ox >> 1) + cx4 * 2,
+                  (oy >> 1) + cy4 * 2, w4 * 2, h4 * 2, mx, my, mcCb,
+                  offC, 8)
+                interPredictRectChroma(refs(listL0(r0(p8))).cr,
+                  strideC, planeHC, (ox >> 1) + cx4 * 2,
+                  (oy >> 1) + cy4 * 2, w4 * 2, h4 * 2, mx, my, mcCr,
+                  offC, 8)
+                if (only0) {
+                  weightRect(mc16, off, w4 * 4, h4 * 4, r0(p8), list = 0)
+                  weightRectC(mcCb, offC, w4 * 2, h4 * 2, r0(p8), 0, 0)
+                  weightRectC(mcCr, offC, w4 * 2, h4 * 2, r0(p8), 0, 1)
+                }
+              }
+            } else mv.fill(x4 + bx8, y4 + by8, 2, 2, isInter = false,
+              0, 0)
+          }
+          p8 += 1
+        }
+        // pass 2: list-1 mvds; L1-only MC into mc16, Bi MC into the
+        // bi buffers then combine
+        p8 = 0
+        while (p8 < 4) {
+          val t = subT(p8)
+          if (t != 0) {
+            val bx8 = (p8 & 1) * 2
+            val by8 = (p8 >> 1) * 2
+            val both = subUsesL0(t) && subUsesL1(t)
+            if (subUsesL1(t)) {
+              subParts(t).foreach { case (sbx, sby, w4, h4) =>
+                val cx4 = bx8 + sbx
+                val cy4 = by8 + sby
+                val (px, py) = mvPredPart(st.mvL1, x4 + cx4, y4 + cy4,
+                  w4, ShapeMedian, r1(p8))
+                val mx = px + br.se()
+                val my = py + br.se()
+                if (mx < -2048 * 4 || mx > 2048 * 4 ||
+                  my < -2048 * 4 || my > 2048 * 4) return None
+                st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4,
+                  isInter = true, mx, my, r1(p8),
+                  picId = listL1(r1(p8)))
+                val off = cy4 * 4 * 16 + cx4 * 4
+                val offC = cy4 * 2 * 8 + cx4 * 2
+                val t16 = if (both) bi16 else mc16
+                val tCb = if (both) biCb else mcCb
+                val tCr = if (both) biCr else mcCr
+                interPredictRect(refs(listL1(r1(p8))).y, stride,
+                  planeH, ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4,
+                  mx, my, t16, off, 16)
+                interPredictRectChroma(refs(listL1(r1(p8))).cb,
+                  strideC, planeHC, (ox >> 1) + cx4 * 2,
+                  (oy >> 1) + cy4 * 2, w4 * 2, h4 * 2, mx, my, tCb,
+                  offC, 8)
+                interPredictRectChroma(refs(listL1(r1(p8))).cr,
+                  strideC, planeHC, (ox >> 1) + cx4 * 2,
+                  (oy >> 1) + cy4 * 2, w4 * 2, h4 * 2, mx, my, tCr,
+                  offC, 8)
+                if (both) {
+                  bipredRect(mc16, bi16, off, w4 * 4, h4 * 4, r0(p8),
+                    r1(p8))
+                  bipredRectC(mcCb, biCb, offC, w4 * 2, h4 * 2,
+                    r0(p8), r1(p8), 0)
+                  bipredRectC(mcCr, biCr, offC, w4 * 2, h4 * 2,
+                    r0(p8), r1(p8), 1)
+                } else {
+                  weightRect(mc16, off, w4 * 4, h4 * 4, r1(p8), list = 1)
+                  weightRectC(mcCb, offC, w4 * 2, h4 * 2, r1(p8), 1, 0)
+                  weightRectC(mcCr, offC, w4 * 2, h4 * 2, r1(p8), 1, 1)
+                }
+              }
+            } else st.mvL1.fill(x4 + bx8, y4 + by8, 2, 2,
+              isInter = false, 0, 0)
+          }
+          p8 += 1
+        }
+        val cc8 = interResiduals(mb, mbX, mbY)
+        if (cc8 == null) return None
+        writeMc(ox, oy)
+        reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
+          cc8, mcCb, mcCr)
       } else if (mbType <= -100) {
         // ---- B inter macroblock (round 14): Table 7-14 types 1-21 —
         // every 16x16 / 16x8 / 8x16 L0/L1/Bi combination. Syntax
@@ -2276,7 +2711,7 @@ object H264 {
             if (mx < -2048 * 4 || mx > 2048 * 4 ||
               my < -2048 * 4 || my > 2048 * 4) return None
             mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my,
-              r0(p))
+              r0(p), picId = listL0(r0(p)))
             interPredictRect(refs(listL0(r0(p))).y, stride, planeH,
               ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
               mc16, cy4 * 4 * 16 + cx4 * 4, 16)
@@ -2310,7 +2745,7 @@ object H264 {
             if (mx < -2048 * 4 || mx > 2048 * 4 ||
               my < -2048 * 4 || my > 2048 * 4) return None
             st.mvL1.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true,
-              mx, my, r1(p))
+              mx, my, r1(p), picId = listL1(r1(p)))
             val off = cy4 * 4 * 16 + cx4 * 4
             val offC = cy4 * 2 * 8 + cx4 * 2
             if (m == 1) {
@@ -3500,7 +3935,8 @@ object H264 {
     * exercise the by-id parameter-set selection (slices reference
     * pps_id 0). */
   def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false,
-      cabac: Boolean = false, bipredExplicit: Boolean = false): Array[Byte] = {
+      cabac: Boolean = false, bipredExplicit: Boolean = false,
+      bipredImplicit: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
@@ -3509,7 +3945,8 @@ object H264 {
     bw.putUe(0) // num_slice_groups_minus1
     bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
     bw.put(if (weighted) 1 else 0, 1) // weighted_pred
-    bw.put(if (bipredExplicit) 1 else 0, 2) // weighted_bipred_idc
+    bw.put(if (bipredExplicit) 1 else if (bipredImplicit) 2 else 0,
+      2) // weighted_bipred_idc
     bw.putSe(qp - 26) // pic_init_qp_minus26
     bw.putSe(0) // pic_init_qs
     bw.putSe(0) // chroma_qp_index_offset
@@ -4272,6 +4709,22 @@ object H264 {
       botList: Int, bot: (Int, Int)) extends MbB
   /** Intra_16x16 refresh inside the B slice (mb_type offset 23). */
   final case class BIntra(spec: I16Dc) extends MbB
+  /** B_Skip (round 15): emitted through mb_skip_run; reconstructs in
+    * spatial-direct mode with no residual. */
+  case object BSkip extends MbB
+  /** B_Direct_16x16 (round 15): derived motion, optional one-DC-per-
+    * 4x4 residual (z-order; at qp 28 coefficient c adds exactly 4c). */
+  final case class BDirect(dcRes: Int => Int = _ => 0) extends MbB
+  /** One B_8x8 quadrant (round 15). */
+  sealed trait BSub
+  case object BSubDirect extends BSub
+  final case class BSubL0(mvx: Int, mvy: Int) extends BSub
+  final case class BSubL1(mvx: Int, mvy: Int) extends BSub
+  final case class BSubBi(fwd: (Int, Int), bwd: (Int, Int)) extends BSub
+  /** B_L0_4x4: four list-0 vectors in z order. */
+  final case class BSubL04x4(mvs: Seq[(Int, Int)]) extends BSub
+  /** B_8x8 macroblock: one [[BSub]] per quadrant (z order). */
+  final case class B8x8(subs: Seq[BSub]) extends MbB
 
   /** Non-reference B slice NAL (round 14): single slice, every
     * macroblock from `mb(index)`, lists built by the decoder from
@@ -4281,7 +4734,9 @@ object H264 {
     * decoder derives, in the same two-pass L0-then-L1 order. */
   def bNal(mbW: Int, mbH: Int, mb: Int => MbB, qp: Int,
       frameNum: Int, pocLsb: Int, refIdc: Int = 0,
-      weight: Option[(Int, Int, Int, Int, Int)] = None): Array[Byte] = {
+      weight: Option[(Int, Int, Int, Int, Int)] = None,
+      deblock: Boolean = false,
+      colZeroAt: (Int, Int) => Boolean = (_, _) => false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     val bw = new BitWriter
@@ -4306,11 +4761,13 @@ object H264 {
     }
     if (refIdc != 0) bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag
     bw.putSe(0) // slice_qp_delta
-    bw.putUe(1) // disable_deblocking_filter_idc = 1
+    bw.putUe(if (deblock) 0 else 1) // disable_deblocking_filter_idc
+    if (deblock) { bw.putSe(0); bw.putSe(0) } // alpha/beta offsets
     val lumaNz = new NzCtx(mbW * 4, mbH * 4)
     val mv0 = new MvCtx(mbW, mbH)
     val mv1 = new MvCtx(mbW, mbH)
     val nMbs = mbW * mbH
+    var skipRun = 0 // pending B_Skip macroblocks (round 15)
     var i = 0
     while (i < nMbs) {
       val mbX = i % mbW
@@ -4331,8 +4788,67 @@ object H264 {
         bw.putSe(mvy - py)
         ctx.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy)
       }
-      bw.putUe(0) // mb_skip_run (no B_Skip in the fixture vocabulary)
+      // spatial-direct derivation + per-cell fill, mirroring the
+      // decoder's directDerive/directRecon (round 15). colZeroAt is
+      // the fixture's statement of the colocated picture's motion —
+      // the tests arrange anchors so it is trivially all-true (static
+      // refIdx-0 P anchor) or all-false (intra anchor).
+      def fillDirect(bx0: Int, by0: Int, n4: Int): Unit = {
+        def refOf(ctx: MvCtx, x: Int, y: Int): Int = {
+          val (ok, r, _, _) = ctx.info(x, y)
+          if (ok) r else -1
+        }
+        def minPos(a: Int, b: Int): Int =
+          if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+        def nRef(ctx: MvCtx): Int = {
+          val a = refOf(ctx, x4 - 1, y4)
+          val b = refOf(ctx, x4, y4 - 1)
+          val c =
+            if (ctx.available(x4 + 4, y4 - 1)) refOf(ctx, x4 + 4, y4 - 1)
+            else refOf(ctx, x4 - 1, y4 - 1)
+          minPos(minPos(a, b), c)
+        }
+        val r0 = nRef(mv0)
+        val r1 = nRef(mv1)
+        val zp = r0 < 0 && r1 < 0
+        val (m0x, m0y) =
+          if (!zp && r0 >= 0) mvPredPart(mv0, x4, y4, 4, ShapeMedian, r0)
+          else (0, 0)
+        val (m1x, m1y) =
+          if (!zp && r1 >= 0) mvPredPart(mv1, x4, y4, 4, ShapeMedian, r1)
+          else (0, 0)
+        val useL0 = zp || r0 >= 0
+        val useL1 = zp || r1 >= 0
+        var by = by0
+        while (by < by0 + n4) {
+          var bx = bx0
+          while (bx < bx0 + n4) {
+            // direct_8x8_inference is always 1 in spsNal: sample the
+            // quadrant's outer-corner cell
+            val cz = !zp && colZeroAt(x4 + (bx >> 1) * 3,
+              y4 + (by >> 1) * 3)
+            if (useL0) mv0.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
+              if (cz && r0 == 0) 0 else m0x,
+              if (cz && r0 == 0) 0 else m0y)
+            else mv0.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
+            if (useL1) mv1.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
+              if (cz && r1 == 0) 0 else m1x,
+              if (cz && r1 == 0) 0 else m1y)
+            else mv1.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
+            bx += 1
+          }
+          by += 1
+        }
+      }
       mb(i) match {
+        case BSkip =>
+          fillDirect(0, 0, 4)
+          zeroLumaNz()
+          skipRun += 1
+        case other =>
+          bw.putUe(skipRun) // mb_skip_run
+          skipRun = 0
+          other match {
         case BFwd(mx, my) =>
           bw.putUe(1) // B_L0_16x16
           putMvd(mv0, 0, 0, 4, 4, ShapeMedian, mx, my)
@@ -4398,9 +4914,91 @@ object H264 {
           writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 23)
           mv0.fill(x4, y4, 4, 4, isInter = false, 0, 0)
           mv1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+        case BDirect(dcOf) =>
+          bw.putUe(0) // mb_type B_Direct_16x16
+          fillDirect(0, 0, 4)
+          val cbpLuma = (0 until 4).map { g =>
+            if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g
+            else 0
+          }.sum
+          bw.putUe(CbpInterInv(cbpLuma))
+          if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
+          var blk = 0
+          while (blk < 16) {
+            val r = blkRow(blk); val c = blkCol(blk)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val lvl = dcOf(blk)
+              putCavlcSingle(bw, lumaNz.nC(mbX * 4 + c, mbY * 4 + r),
+                lvl, maxNumCoeff = 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
+            } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+            blk += 1
+          }
+        case B8x8(subs) =>
+          require(subs.length == 4, "B8x8 needs 4 quadrants")
+          bw.putUe(22) // mb_type B_8x8
+          subs.foreach { sub =>
+            bw.putUe(sub match {
+              case BSubDirect => 0
+              case _: BSubL0 => 1
+              case _: BSubL1 => 2
+              case _: BSubBi => 3
+              case _: BSubL04x4 => 10
+            })
+          }
+          // direct quadrants fill before any mvd, like the decoder;
+          // ref_idx fields are absent (both lists have length 1)
+          var q = 0
+          while (q < 4) {
+            if (subs(q) == BSubDirect)
+              fillDirect((q & 1) * 2, (q >> 1) * 2, 2)
+            q += 1
+          }
+          q = 0
+          while (q < 4) { // pass 1: list-0 mvds
+            val bx8 = (q & 1) * 2; val by8 = (q >> 1) * 2
+            subs(q) match {
+              case BSubL0(mx, my) =>
+                putMvd(mv0, bx8, by8, 2, 2, ShapeMedian, mx, my)
+              case BSubBi((fx, fy), _) =>
+                putMvd(mv0, bx8, by8, 2, 2, ShapeMedian, fx, fy)
+              case BSubL04x4(mvs) =>
+                require(mvs.length == 4, "B_L0_4x4 needs 4 vectors")
+                var b = 0
+                while (b < 4) {
+                  putMvd(mv0, bx8 + (b & 1), by8 + (b >> 1), 1, 1,
+                    ShapeMedian, mvs(b)._1, mvs(b)._2)
+                  b += 1
+                }
+              case _: BSubL1 =>
+                mv0.fill(x4 + bx8, y4 + by8, 2, 2, isInter = false, 0, 0)
+              case BSubDirect => ()
+            }
+            q += 1
+          }
+          q = 0
+          while (q < 4) { // pass 2: list-1 mvds
+            val bx8 = (q & 1) * 2; val by8 = (q >> 1) * 2
+            subs(q) match {
+              case BSubL1(mx, my) =>
+                putMvd(mv1, bx8, by8, 2, 2, ShapeMedian, mx, my)
+              case BSubBi(_, (bx2, by2)) =>
+                putMvd(mv1, bx8, by8, 2, 2, ShapeMedian, bx2, by2)
+              case _: BSubL0 | _: BSubL04x4 =>
+                mv1.fill(x4 + bx8, y4 + by8, 2, 2, isInter = false, 0, 0)
+              case BSubDirect => ()
+            }
+            q += 1
+          }
+          bw.putUe(0) // cbp 0
+          zeroLumaNz()
+        case BSkip => () // handled by the outer case; unreachable
+          }
       }
       i += 1
     }
+    if (skipRun > 0) bw.putUe(skipRun) // trailing skip run ends the
+    // slice data (7.3.4: more_rbsp_data() goes false right after)
     bw.rbspTrailing()
     nalUnit((refIdc << 5) | 1, bw.result()) // non-IDR slice
   }
@@ -4419,7 +5017,8 @@ object H264 {
     * (POC = 2 * frame_num); B pictures are non-references whose
     * lists the decoder builds from POC. */
   def encodeIPBStream(mbW: Int, mbH: Int, iMb: Int => Mb,
-      frames: Seq[IpbFrame], qp: Int = 28): Array[Byte] = {
+      frames: Seq[IpbFrame], qp: Int = 28,
+      colZeroAt: (Int, Int) => Boolean = (_, _) => false): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
     var out = sep ++ spsNal(mbW, mbH, maxRef = 2) ++ sep ++
       ppsNal(qp) ++ sep ++ idrNal(mbW, mbH, iMb, qp)
@@ -4430,7 +5029,7 @@ object H264 {
         fn += 1
       case Bf(f, poc) =>
         out = out ++ sep ++ bNal(mbW, mbH, f, qp, frameNum = fn,
-          pocLsb = poc)
+          pocLsb = poc, colZeroAt = colZeroAt)
     }
     out
   }

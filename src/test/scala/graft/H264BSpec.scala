@@ -2,8 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.H264
-import graft.ext.H264.{BBi, BBwd, BFwd, BFwdCoded, BIntra, B16x8, Bf, I16Dc,
-  Pcm, Pf, PMoveCoded}
+import graft.ext.H264.{BBi, BBwd, BDirect, BFwd, BFwdCoded, BIntra, BSkip,
+  BSubBi, BSubDirect, BSubL0, BSubL04x4, BSubL1, B16x8, B8x8, Bf, I16Dc,
+  Pcm, Pf, PMove, PMoveCoded}
 
 /** H.264 B-slice contracts (round 14). Decode order I, P, B with
   * display order I, B, P: the B's list 0 resolves (by POC) to the
@@ -125,8 +126,8 @@ class H264BSpec extends AnyFunSuite {
       "P2 must reproduce P1 exactly (B never referenced)")
   }
 
-  test("B intra refresh (mb_type offset 23) and honest degrades: " +
-      "B_Direct, B_8x8, filtered B, weighted-implicit B") {
+  test("B intra refresh (mb_type offset 23) and degrade containment " +
+      "on a truncated B NAL") {
     val id = 4
     // intra refresh inside a B slice decodes via the shared I16 path
     val fs = H264.decodeFramesLuma(ipbStream(id, _ => BIntra(I16Dc(3))), 4)
@@ -175,6 +176,188 @@ class H264BSpec extends AnyFunSuite {
       assert(bi(2)._3(k) == clip(
         ((iExp(k) * w0 + pExp(k) * w1 + (1 << denom)) >> (denom + 1)) +
           ((o0 + o1 + 1) >> 1)), s"bi $k")
+  }
+
+  // ---- round 15: spatial direct / B_Skip / B_8x8 / implicit / ----
+  // ---- deblocked B -------------------------------------------------
+
+  test("B_Skip and B_Direct_16x16 with no inter neighbors: " +
+      "directZeroPrediction averages the two anchors") {
+    for (id <- Seq(3, 11)) {
+      val iExp = pcmPlane(id)
+      val pExp = pPlane(id)
+      // 1x1 MB picture: the direct MB has no neighbors at all ->
+      // zero-prediction, both lists refIdx 0, mv 0 -> (I + P + 1)>>1
+      for ((bMb, tag) <- Seq[(H264.MbB, String)]((BSkip, "skip"),
+        (BDirect(), "direct"))) {
+        val fs = H264.decodeFramesLuma(ipbStream(id, _ => bMb), 4)
+        assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"$tag types")
+        for (k <- 0 until 256)
+          assert(fs(2)._3(k) == ((iExp(k) + pExp(k) + 1) >> 1),
+            s"$tag id $id px $k")
+      }
+      // direct WITH a residual: average + 4c per 4x4 block at qp 28
+      val fr = H264.decodeFramesLuma(
+        ipbStream(id, _ => BDirect(blk => blk % 3 - 1)), 4)
+      for (k <- 0 until 256) {
+        val x = k % 16; val y = k / 16
+        val blk = ((y / 8) * 2 + (x / 8)) * 4 +
+          ((y / 4 % 2) * 2 + (x / 4 % 2))
+        assert(fr(2)._3(k) ==
+          ((iExp(k) + pExp(k) + 1) >> 1) + 4 * (blk % 3 - 1),
+          s"direct+res id $id px $k")
+      }
+    }
+  }
+
+  test("colZeroFlag true: a static colocated P zeroes the direct " +
+      "motion inherited from a moving L0 neighbor") {
+    // 2x1 MBs over a global-x luma ramp. MB0 = B_L0 with mv -64
+    // (16 px left); MB1 = B_Skip. Spatial direct derives refIdxL0 = 0
+    // (MinPositive over MB0), refIdxL1 = -1 (MB0 carries no L1), and
+    // mvpL0 = (-64, 0) by the only-A rule — but the colocated P is
+    // static refIdx-0 (PMove(0, 0)), so colZeroFlag zeroes the
+    // vector: MB1 must equal the I anchor IN PLACE, not shifted.
+    val es = H264.encodeIPBStream(2, 1,
+      mb => Pcm((x, y) => 20 + 3 * (x + 16 * (mb % 2)) + y),
+      Seq(
+        Pf(_ => PMove(0, 0)),
+        Bf(mb => if (mb == 0) BFwd(-64, 0) else BSkip, pocLsb = 1)),
+      colZeroAt = (_, _) => true)
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"types ${fs.map(_._4)}")
+    val i = fs(0)._3
+    val b = fs(2)._3
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(b(y * 32 + x) == i(y * 32 + x), s"($x,$y) zeroed motion")
+  }
+
+  test("colZeroFlag false: a moving colocated P lets direct keep the " +
+      "neighbor-derived vector") {
+    // same fixture but the P anchor moves 2 px (mv -8): |mvCol| > 1
+    // makes colZeroFlag false, so MB1's direct motion stays (-64, 0)
+    // and its L0-only prediction is the I anchor shifted 16 px left.
+    val es = H264.encodeIPBStream(2, 1,
+      mb => Pcm((x, y) => 20 + 3 * (x + 16 * (mb % 2)) + y),
+      Seq(
+        Pf(_ => PMove(-8, 0)),
+        Bf(mb => if (mb == 0) BFwd(-64, 0) else BSkip, pocLsb = 1)),
+      colZeroAt = (_, _) => false)
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'))
+    val i = fs(0)._3
+    val b = fs(2)._3
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(b(y * 32 + x) == i(y * 32 + x - 16), s"($x,$y) kept motion")
+  }
+
+  test("B_8x8: direct / L0 / L1 / Bi / L0_4x4 quadrants reconstruct " +
+      "from their own lists") {
+    val id = 7
+    val iExp = pcmPlane(id)
+    val pExp = pPlane(id)
+    val fs = H264.decodeFramesLuma(ipbStream(id, _ => B8x8(Seq(
+      BSubL0(0, 0), BSubL1(0, 0), BSubBi((0, 0), (0, 0)),
+      BSubDirect))), 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'))
+    val b = fs(2)._3
+    for (k <- 0 until 256) {
+      val x = k % 16; val y = k / 16
+      // q3 (direct): no MB neighbors on a 1x1 grid -> zero-pred avg
+      val exp =
+        if (y < 8 && x < 8) iExp(k)
+        else if (y < 8) pExp(k)
+        else (iExp(k) + pExp(k) + 1) >> 1
+      assert(b(k) == exp, s"px $k ($x,$y)")
+    }
+    // 4x4 sub-partitions: four explicit zero vectors = L0 pixels
+    val f2 = H264.decodeFramesLuma(ipbStream(id, _ => B8x8(Seq(
+      BSubL04x4(Seq((0, 0), (0, 0), (0, 0), (0, 0))),
+      BSubL0(0, 0), BSubL0(0, 0), BSubL0(0, 0)))), 4)
+    for (k <- 0 until 256)
+      assert(f2(2)._3(k) == iExp(k), s"4x4 px $k")
+  }
+
+  test("implicit weighted bipred (idc 2): POC-distance weights " +
+      "(w0 96, w1 -32) on an off-center B") {
+    val id = 9
+    val sep = Array[Byte](0, 0, 0, 1)
+    // anchors P1 (poc 2) and P2 (poc 4), zero-MV copies of the IDR
+    // with distinct residuals; B at poc 1 -> both anchors are AFTER:
+    // L0 = [P1, P2], L1 swaps to [P2, P1]. tb = 1-2 = -1, td = 4-2 =
+    // 2 -> DistScaleFactor>>2 = -32 -> w1 = -32, w0 = 96.
+    def res1(blk: Int): Int = (id + blk) % 5 - 2
+    def res2(blk: Int): Int = (id + 2 * blk) % 7 - 3
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28, bipredImplicit = true) ++
+      sep ++ H264.idrNal(1, 1,
+        _ => Pcm((x, y) => q(id)((y / 8) * 2 + x / 8)), 28) ++
+      sep ++ H264.pNal(1, 1, _ => PMoveCoded(0, 0, res1), 28,
+        frameNum = 1) ++
+      sep ++ H264.pNal(1, 1, _ => PMoveCoded(0, 0, res2), 28,
+        frameNum = 2) ++
+      sep ++ H264.bNal(1, 1, _ => BBi((0, 0), (0, 0)), 28,
+        frameNum = 3, pocLsb = 1)
+    val fs = H264.decodeFramesLuma(es, 5)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P', 'B'), s"${fs.map(_._4)}")
+    val p1 = fs(1)._3 // poc 2 = L0(0)
+    val p2 = fs(2)._3 // poc 4 = L1(0)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    for (k <- 0 until 256)
+      assert(fs(3)._3(k) ==
+        clip((p1(k) * 96 + p2(k) * (-32) + 32) >> 6), s"px $k")
+  }
+
+  test("B deblocking: bS 0 on same-list same-motion edges (step " +
+      "survives), hand-computed bS-1 weak filter across a " +
+      "different-picture MB edge") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    // I = flat 120 (2x1 MBs); P adds +4 on MB0's block 0 only
+    // (x 0..3, y 0..3); B deblocks (idc 0, qp 28: alpha 20, beta 7,
+    // tC0[bS1] = 1)
+    def flatStream(bMb: Int => H264.MbB) =
+      sep ++ H264.spsNal(2, 1, maxRef = 2) ++
+        sep ++ H264.ppsNal(28) ++
+        sep ++ H264.idrNal(2, 1, _ => Pcm((_, _) => 120), 28) ++
+        sep ++ H264.pNal(2, 1, mb => PMoveCoded(0, 0,
+          blk => if (mb == 0 && blk == 0) 1 else 0), 28,
+          frameNum = 1) ++
+        sep ++ H264.bNal(2, 1, bMb, 28, frameNum = 2, pocLsb = 1,
+          deblock = true)
+    // both MBs Bi with identical lists + vectors: every edge bS 0,
+    // the +2 step of the averaged block-0 survives un-smoothed
+    val fs = H264.decodeFramesLuma(flatStream(_ => BBi((0, 0), (0, 0))), 4)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"${fs.map(_._4)}")
+    val b = fs(2)._3
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val exp = if (x < 4 && y < 4) 122 else 120
+      assert(b(y * 32 + x) == exp, s"bS0 ($x,$y)")
+    }
+    // MB0 L0-only (I: flat 120), MB1 L1-only with mv -64 (P's MB0
+    // area: 124 block lands at x 16..19, y 0..3): the x=16 MB edge
+    // sees ONE vector each side over DIFFERENT pictures -> bS 1.
+    // Rows 0..3 (p side x13..15, q side x16..): p0 = x15 = 120,
+    // q0 = x16 = 124 -> delta = (16 - 4 + 4)>>3 = 2 (tc = 1+ap+aq =
+    // 3), p0' 122, q0' 122; p1' (x14) = 120 +
+    // clip3(+-1, (120+122-240)>>1) = 121; q1' (x17) = 124 +
+    // clip3(+-1, (124+122-248)>>1) = 123. The x=20 edge inside MB1
+    // (same list, same vector) is bS 0: its 124 -> 120 step survives.
+    val fs3 = H264.decodeFramesLuma(flatStream(
+      mb => if (mb == 0) BFwd(0, 0) else BBwd(-64, 0)), 4)
+    assert(fs3.map(_._4) == Seq('I', 'P', 'B'))
+    val b3 = fs3(2)._3
+    for (y <- 0 until 4) {
+      assert(b3(y * 32 + 13) == 120, s"p2 row $y")
+      assert(b3(y * 32 + 14) == 121, s"p1' row $y")
+      assert(b3(y * 32 + 15) == 122, s"p0' row $y")
+      assert(b3(y * 32 + 16) == 122, s"q0' row $y")
+      assert(b3(y * 32 + 17) == 123, s"q1' row $y")
+      assert(b3(y * 32 + 18) == 124, s"q2 row $y")
+      assert(b3(y * 32 + 19) == 124, s"inside 124 block row $y")
+      assert(b3(y * 32 + 20) == 120, s"bS0 step at x=20 row $y")
+    }
+    for (y <- 4 until 16; x <- 12 until 24)
+      assert(b3(y * 32 + x) == 120, s"flat rows ($x,$y)")
   }
 
   test("corruption fuzz: 200 mutations of an I-P-B stream degrade or " +

@@ -840,13 +840,25 @@ class H264Spec extends AnyFunSuite {
         case 1 => graft.ext.H264.BFwd(0, 0)
         case _ => graft.ext.H264.BBwd(0, 0)
       }, 28, frameNum = 3, pocLsb = 3) ++
+      // round 15: direct / skip / B_8x8 / deblocked-B fuzz surface
+      sep ++ H264.bNal(2, 2, {
+        case 0 => graft.ext.H264.BDirect(blk => blk % 3 - 1)
+        case 1 => graft.ext.H264.BSkip
+        case 2 => graft.ext.H264.B8x8(Seq(graft.ext.H264.BSubDirect,
+          graft.ext.H264.BSubL0(0, 0), graft.ext.H264.BSubL1(0, 0),
+          graft.ext.H264.BSubBi((0, 0), (0, 0))))
+        case _ => graft.ext.H264.B8x8(Seq(
+          graft.ext.H264.BSubL04x4(Seq((0, 0), (0, 0), (0, 0), (0, 0))),
+          graft.ext.H264.BSubDirect, graft.ext.H264.BSubDirect,
+          graft.ext.H264.BSubDirect))
+      }, 28, frameNum = 3, pocLsb = 3, deblock = true) ++
       sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 3,
         reorder = Seq((0, 1)), weight = Some((1, 2, 0))) ++
       sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 4,
         mmcoDrop = Seq(0), weight = Some((1, 2, 0)))
     // sanity: the clean stream decodes fully
-    assert(H264.decodeFramesLuma(base, 8).map(_._4) ==
-      Seq('I', 'P', 'P', 'B', 'P', 'P'))
+    assert(H264.decodeFramesLuma(base, 9).map(_._4) ==
+      Seq('I', 'P', 'P', 'B', 'B', 'P', 'P'))
     val rnd = new java.util.Random(20260816L)
     var trials = 0
     while (trials < 300) {
@@ -860,19 +872,19 @@ class H264Spec extends AnyFunSuite {
           mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
           f += 1
         }
-        val out = H264.decodeFramesLuma(mutated, 8)
-        assert(out.length <= 8)
+        val out = H264.decodeFramesLuma(mutated, 9)
+        assert(out.length <= 9)
       } else if (kind == 1) { // truncate
         val cut = 1 + rnd.nextInt(mutated.length - 1)
-        val out = H264.decodeFramesLuma(mutated.take(cut), 8)
-        assert(out.length <= 8)
+        val out = H264.decodeFramesLuma(mutated.take(cut), 9)
+        assert(out.length <= 9)
       } else { // splice a garbage run
         val at = rnd.nextInt(mutated.length)
         val len = math.min(1 + rnd.nextInt(16), mutated.length - at)
         var i = 0
         while (i < len) { mutated(at + i) = rnd.nextInt(256).toByte; i += 1 }
-        val out = H264.decodeFramesLuma(mutated, 8)
-        assert(out.length <= 8)
+        val out = H264.decodeFramesLuma(mutated, 9)
+        assert(out.length <= 9)
       }
       trials += 1
     }
