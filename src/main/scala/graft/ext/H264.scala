@@ -52,23 +52,27 @@ package graft.ext
   *    per-picture state with prediction availability gated to the
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
-  *    picture never emits). CABAC P/B slices, Intra_8x8
+  *    picture never emits). Intra_8x8
   *    (transform_size_8x8), long-term references, FMO/ASO, field coding,
   *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
   *    None.
-  *  - B slices (round 14, CAVLC): every Table 7-14 two-list 16x16 /
-  *    16x8 / 8x16 partition combination (L0/L1/Bi), POC-derived
+  *  - B slices (round 14 two-list; round 15 direct): every Table 7-14
+  *    mb_type including B_Skip / B_Direct_16x16 / B_8x8 (all Table
+  *    7-18 sub_mb_types) through SPATIAL direct motion (8.4.1.2.2 —
+  *    MinPositive refIdx over the MB neighbors, median motion,
+  *    per-block colZeroFlag against the colocated picture's stored
+  *    motion field, direct_8x8_inference corner sampling), POC-derived
   *    default list construction (8.2.4.2.3 over the sliding-window
   *    DPB; pocType 0 with full 8.2.1.1 msb wrap, or pocType 2),
-  *    rounded-average bipred (8.4.2.3.1) and explicit weighted
-  *    bipred idc 1 (8.4.2.3.2, both single-list and two-sided),
-  *    per-list 8.4.1.3 motion prediction over separate L0/L1
-  *    contexts, inter residuals, intra refresh, non-reference and
-  *    reference B (pyramid) via the same POC lists. Honesty bounds:
-  *    B_Direct_16x16 / B_Skip / B_8x8 (direct motion 8.4.1.2),
-  *    implicit weighted bipred (idc 2), pocType 1, the bottom-field
-  *    POC delta, and DEBLOCKED B slices (the 8.7.2.1 bS rules
-  *    compare both lists; this filter reads L0 only) all degrade.
+  *    rounded-average bipred (8.4.2.3.1), explicit weighted bipred
+  *    idc 1 (8.4.2.3.2, single-list and two-sided) AND implicit idc 2
+  *    (POC-distance DistScaleFactor weights), per-list 8.4.1.3 motion
+  *    prediction over separate L0/L1 contexts, inter residuals, intra
+  *    refresh, non-reference and reference B (pyramid), and DEBLOCKED
+  *    B slices (the full 8.7.2.1 two-list bS rules by DPB picture
+  *    identity with the straight/crossed pairing). Honesty bounds:
+  *    TEMPORAL direct (8.4.1.2.3), pocType 1 and the bottom-field
+  *    POC delta degrade.
   *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
   *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
   *    (incl. the ctx-276 I_PCM escape with engine re-init),
@@ -80,8 +84,24 @@ package graft.ext
   *    ([[reconI16]]/[[reconI4]]), and the fixture encoder
   *    ([[idrNalCabac]]) drives the decoder's own ctxIdxInc helpers,
   *    so entropy-layer correctness is pinned by CAVLC-vs-CABAC pixel
-  *    equality. CABAC P/B need the cabac_init_idc columns of Tables
-  *    9-13..9-33 (see H264Cabac's provenance note) and degrade.
+  *    equality.
+  *  - CABAC P/B slices (round 15, VERDICT r14 #1): the full inter
+  *    syntax layer — mb_skip_flag (9.3.3.1.1.1), the mb_type P/B
+  *    trees with the direct-neighbor bin-0 context (9.3.3.1.1.3),
+  *    sub_mb_type, unary ref_idx with the refIdx-zero neighbor term
+  *    (9.3.3.1.1.6), UEG3 mvds with per-cell |mvd| context
+  *    accumulation (9.3.3.1.1.7), inter coded_block_pattern and the
+  *    inter coded_block_flag availability rule (9.3.3.1.1.9) — routed
+  *    through the SAME reconstruction closures as the CAVLC walk
+  *    (direct motion, weighted/implicit bipred, the loop filter) and
+  *    the shared intra tails. cabac_init_idc selects among
+  *    [[H264Cabac.InitPB]]'s three columns — see that constant's
+  *    GRADED provenance note: the inter-syntax ranges are confident
+  *    transcriptions, the residual ranges are an admitted I-column
+  *    stand-in pending spec-text transcription, so wild-stream CABAC
+  *    P/B carries a documented entropy-fidelity bound while every
+  *    local gate (round-trip, CAVLC-vs-CABAC equality, the DuckDB
+  *    oracle) is exact.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1
@@ -1118,8 +1138,16 @@ object H264 {
       * (8.7.2.1) must compare pictures, not per-slice indices. -1 =
       * intra/unset. */
     val pic = new Array[Int](gw * gh)
+    /** |mvd| per cell per component and the skip/direct (inferred
+      * motion) marker — the CABAC mvd (9.3.3.1.1.7) and ref_idx
+      * (9.3.3.1.1.6) neighbor terms (round 15). Inferred partitions
+      * carry amvd 0 by definition. */
+    val amvdx = new Array[Int](gw * gh)
+    val amvdy = new Array[Int](gw * gh)
+    val inferred = new Array[Boolean](gw * gh)
     def fill(x4: Int, y4: Int, w4: Int, h4: Int, isInter: Boolean,
-        mx: Int, my: Int, refIdx: Int = 0, picId: Int = -1): Unit = {
+        mx: Int, my: Int, refIdx: Int = 0, picId: Int = -1,
+        amx: Int = 0, amy: Int = 0, inf: Boolean = false): Unit = {
       var y = y4
       while (y < y4 + h4) {
         var x = x4
@@ -1128,6 +1156,8 @@ object H264 {
           done(k) = true; inter(k) = isInter; mvx(k) = mx; mvy(k) = my
           ref(k) = if (isInter) refIdx else -1
           pic(k) = if (isInter) picId else -1
+          amvdx(k) = amx; amvdy(k) = amy
+          inferred(k) = isInter && inf
           x += 1
         }
         y += 1
@@ -1516,6 +1546,10 @@ object H264 {
     // availability on sliceOf like the rest of the file.
     /** 0 = I_NxN, 1 = Intra_16x16, 2 = I_PCM, 3 = inter; -1 = none. */
     val mbKind: Array[Int] = Array.fill(nMbs)(-1)
+    /** mb_skip_flag per MB (9.3.3.1.1.1 neighbor term, round 15). */
+    val mbSkip = new Array[Boolean](nMbs)
+    /** B_Skip / B_Direct_16x16 per MB (9.3.3.1.1.3 neighbor term). */
+    val mbDirect = new Array[Boolean](nMbs)
     /** coded_block_pattern per MB (luma | chroma << 4; I_PCM = 47). */
     val mbCbp = new Array[Int](nMbs)
     /** intra_chroma_pred_mode per MB (ctx 64 inc, 9.3.3.1.1.8). */
@@ -1651,10 +1685,6 @@ object H264 {
     // stride (review r12) — compare dimensions, not just length
     if (isInter && pps.constrainedIntra) return None // intra-in-P/B would
     // have to treat inter neighbors as unavailable (8.3.3): not done
-    if (pps.cabac && isInter) return None // CABAC P/B slices degrade:
-    // their context init needs the three cabac_init_idc columns of
-    // Tables 9-13..9-33 (H264Cabac honesty bounds); I-slice CABAC
-    // decodes
     // B honesty bounds (round 15): POC-based list construction needs
     // pocType 0 (full 8.2.1.1 lsb/msb wrap) or 2 (frame_num order);
     // type 1 and the bottom-field POC delta degrade. Implicit
@@ -1964,6 +1994,13 @@ object H264 {
         st.mmcoDropIdx = drops.distinct
       }
     }
+    // cabac_init_idc (7.3.3: present for CABAC P/SP/B slices) picks
+    // one of the three Tables 9-13..9-33 init columns (round 15)
+    var cabacInitIdc = 0
+    if (pps.cabac && isInter) {
+      cabacInitIdc = br.ue()
+      if (cabacInitIdc > 2) return None
+    }
     var qp = pps.picInitQp + br.se()
     if (qp < 0 || qp > 51) return None
     // in-loop deblocking (round 13): idc 1 disables this slice's
@@ -1986,18 +2023,6 @@ object H264 {
     // round 15: B slices deblock for real — the bS derivation above
     // compares both lists' pictures/vectors per 8.7.2.1.
 
-    if (pps.cabac) {
-      // cabac_alignment_one_bit (7.3.4): every bit up to the byte
-      // boundary must be 1 — anything else is a malformed stream
-      while ((br.pos & 7) != 0) if (br.bit() != 1) return None
-      val sliceIdx = st.sliceParams.length
-      st.curSlice = sliceIdx
-      st.sliceParams += ((deblockIdc, offA, offB))
-      st.cqpOffCb = pps.chromaQpOff
-      st.cqpOffCr = pps.chromaQpOff2
-      return cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp,
-        pps.chromaQpOff, pps.chromaQpOff2)
-    }
     val mbW = sps.mbW; val mbH = sps.mbH
     val stride = mbW * 16
     val luma = st.luma
@@ -2245,10 +2270,11 @@ object H264 {
           val m1x = if (z1) 0 else dM1x
           val m1y = if (z1) 0 else dM1y
           if (useL0) mv.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
-            m0x, m0y, er0, picId = listL0(er0))
+            m0x, m0y, er0, picId = listL0(er0), inf = true)
           else mv.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
           if (useL1) st.mvL1.fill(x4 + bx, y4 + by, 1, 1,
-            isInter = true, m1x, m1y, er1, picId = listL1(er1))
+            isInter = true, m1x, m1y, er1, picId = listL1(er1),
+            inf = true)
           else st.mvL1.fill(x4 + bx, y4 + by, 1, 1, isInter = false,
             0, 0)
           val off = by * 4 * 16 + bx * 4
@@ -2295,6 +2321,610 @@ object H264 {
       }
       true
     }
+    // ---- CABAC P/B macroblock walk (round 15, VERDICT r14 #1): the
+    // inter binarizations (mb_skip_flag 11-13/24-26, the mb_type P/B
+    // trees at 14-20/27-35, sub_mb_type 21-23/36-39, unary ref_idx
+    // 54-59, UEG3 mvd 40-53) with their 9.3.3.1.1.x neighbor
+    // derivations, routed through the SAME reconstruction closures as
+    // the CAVLC walk below (directRecon, weight/bipred, the 8.4.2 MC
+    // helpers, reconChromaMb) and the shared [[CabacMb]] intra tails.
+    def cabacSliceInter(startBit: Int): Option[PicState] = {
+      val cxp = new H264Cabac.Ctx(qp, H264Cabac.InitPB(cabacInitIdc))
+      val dec = new H264Cabac.Dec(rbsp, startBit)
+      if (!dec.valid) return None
+      val w = new CabacMb(st, sliceIdx, rbsp, dec, cxp,
+        pps.chromaQpOff, pps.chromaQpOff2)
+      w.qp = qp
+      // unary ref_idx (9.3.3.1.1.6); -1 = malformed
+      def refIdxC(list: Int, numRef: Int, x4p: Int, y4p: Int): Int = {
+        if (numRef == 1) return 0 // ref_idx absent (7.3.5.1)
+        val ctxL = if (list == 0) mv else st.mvL1
+        def cond(cx4: Int, cy4: Int): Int =
+          if (!ctxL.available(cx4, cy4)) 0
+          else {
+            val k = cy4 * ctxL.gw + cx4
+            if (!ctxL.inter(k) || ctxL.inferred(k) || ctxL.ref(k) <= 0) 0
+            else 1
+          }
+        val inc = cond(x4p - 1, y4p) + 2 * cond(x4p, y4p - 1)
+        if (!dec.decision(cxp, 54 + inc)) return 0
+        var v = 1
+        var c2 = 58
+        while (v < 32 && dec.decision(cxp, c2)) { v += 1; c2 = 59 }
+        if (v >= 32) -1 else v
+      }
+      // UEG3 mvd (9.3.3.1.1.7): base 40 = x, 47 = y; Int.MinValue =
+      // malformed escape
+      def mvdC(base: Int, list: Int, x4p: Int, y4p: Int): Int = {
+        val ctxL = if (list == 0) mv else st.mvL1
+        def am(cx4: Int, cy4: Int): Int =
+          if (!ctxL.available(cx4, cy4)) 0
+          else {
+            val k = cy4 * ctxL.gw + cx4
+            if (!ctxL.inter(k)) 0
+            else if (base == 40) ctxL.amvdx(k) else ctxL.amvdy(k)
+          }
+        val sum = am(x4p - 1, y4p) + am(x4p, y4p - 1)
+        val inc = if (sum < 3) 0 else if (sum <= 32) 1 else 2
+        if (!dec.decision(cxp, base + inc)) return 0
+        var v = 1
+        var b = 1
+        while (v < 9 && dec.decision(cxp, base + math.min(b + 2, 6))) {
+          v += 1; b += 1
+        }
+        if (v >= 9) { // EG3 bypass suffix for |mvd| - 9
+          var k = 3
+          while (k < 24 && dec.bypass()) { v += 1 << k; k += 1 }
+          if (k >= 24) return Int.MinValue
+          var j = k - 1
+          while (j >= 0) {
+            if (dec.bypass()) v += 1 << j
+            j -= 1
+          }
+        }
+        if (dec.bypass()) -v else v
+      }
+      // mb_type intra suffix inside P/B (ctx base 17 / 32): returns
+      // the I-namespace type (0 I_NxN, 1-24 I16, 25 I_PCM)
+      def intraSuffix(base: Int): Int = {
+        if (!dec.decision(cxp, base)) return 0
+        if (dec.terminate()) return 25
+        var t = 1
+        if (dec.decision(cxp, base + 1)) t += 12
+        if (dec.decision(cxp, base + 2))
+          t += 4 + (if (dec.decision(cxp, base + 2)) 4 else 0)
+        if (dec.decision(cxp, base + 3)) t += 2
+        if (dec.decision(cxp, base + 3)) t += 1
+        t
+      }
+      def clearCbfInter(mb: Int, mbX: Int, mbY: Int): Unit = {
+        st.cbfLumaDc(mb) = 0; st.cbfCbDc(mb) = 0; st.cbfCrDc(mb) = 0
+        var blk = 0
+        while (blk < 16) {
+          st.cbfLuma4((mbY * 4 + blkRow(blk)) * mbW * 4 +
+            mbX * 4 + blkCol(blk)) = 0
+          blk += 1
+        }
+        var cblk = 0
+        while (cblk < 4) {
+          val ccx = mbX * 2 + (cblk & 1)
+          val ccy = mbY * 2 + (cblk >> 1)
+          st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+          st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+          cblk += 1
+        }
+      }
+      var mb = startMb
+      var end = false
+      while (mb < nMbs && !end) {
+        val mbX = mb % mbW
+        val mbY = mb / mbW
+        val ox = mbX * 16
+        val oy = mbY * 16
+        val x4 = mbX * 4
+        val y4 = mbY * 4
+        // mb_skip_flag (9.3.3.1.1.1; neighbors read BEFORE sliceOf
+        // claims the MB)
+        def skipCond(m2: Int, ok: Boolean): Int =
+          if (!ok || st.sliceOf(m2) != sliceIdx || st.mbSkip(m2)) 0
+          else 1
+        val skipInc = skipCond(mb - 1, mbX > 0) +
+          skipCond(mb - mbW, mbY > 0)
+        st.sliceOf(mb) = sliceIdx
+        val skipped =
+          dec.decision(cxp, (if (isB) 24 else 11) + skipInc)
+        if (skipped) {
+          if (isB) {
+            if (!directRecon(mb, mbX, mbY, 0, 0, 4)) return None
+          } else {
+            val (mx, my) = skipMv(mv, mbX, mbY)
+            mv.fill(x4, y4, 4, 4, isInter = true, mx, my, 0,
+              picId = listL0(0), inf = true)
+            interPredict16x16(refs(listL0(0)).y, stride, planeH,
+              ox, oy, mx, my, mc16)
+            weightRect(mc16, 0, 16, 16, 0)
+            interPredictRectChroma(refs(listL0(0)).cb, strideC,
+              planeHC, ox >> 1, oy >> 1, 8, 8, mx, my, mcCb, 0, 8)
+            interPredictRectChroma(refs(listL0(0)).cr, strideC,
+              planeHC, ox >> 1, oy >> 1, 8, 8, mx, my, mcCr, 0, 8)
+            weightRectC(mcCb, 0, 8, 8, 0, 0, 0)
+            weightRectC(mcCr, 0, 8, 8, 0, 0, 1)
+          }
+          writeMc(ox, oy)
+          reconChromaMb(st, mb, w.qp, pps.chromaQpOff,
+            pps.chromaQpOff2, new ChromaCoeffs, mcCb, mcCr)
+          zeroNz(mbX, mbY)
+          qpMbA(mb) = w.qp
+          st.mbSkip(mb) = true
+          st.mbDirect(mb) = isB
+          st.mbKind(mb) = 3
+          st.mbCbp(mb) = 0
+          clearCbfInter(mb, mbX, mbY)
+          w.prevQpDeltaNz = false
+        } else {
+          // mb_type
+          var interShape = -1 // P: 0 16x16 / 1 16x8 / 2 8x16 / 3 8x8;
+          // B: the rawType namespace of the CAVLC walk
+          var intraT = -1
+          if (isP) {
+            if (!dec.decision(cxp, 14)) {
+              interShape =
+                if (!dec.decision(cxp, 15)) {
+                  if (dec.decision(cxp, 16)) 3 else 0
+                } else if (dec.decision(cxp, 17)) 1 else 2
+            } else intraT = intraSuffix(17)
+          } else {
+            // bin0 ctx 27 + inc over non-direct neighbors (9.3.3.1.1.3)
+            def dirCond(m2: Int, ok: Boolean): Int =
+              if (!ok || st.sliceOf(m2) != sliceIdx ||
+                st.mbDirect(m2)) 0
+              else 1
+            val inc = dirCond(mb - 1, mbX > 0) +
+              dirCond(mb - mbW, mbY > 0)
+            if (!dec.decision(cxp, 27 + inc)) interShape = 100 // direct
+            else if (!dec.decision(cxp, 30))
+              interShape = 101 + (if (dec.decision(cxp, 32)) 1 else 0)
+            else {
+              var bits = 0
+              if (dec.decision(cxp, 31)) bits |= 8
+              if (dec.decision(cxp, 32)) bits |= 4
+              if (dec.decision(cxp, 32)) bits |= 2
+              if (dec.decision(cxp, 32)) bits |= 1
+              if (bits < 8) interShape = 100 + bits + 3
+              else if (bits == 13) intraT = intraSuffix(32)
+              else if (bits == 14) interShape = 111
+              else if (bits == 15) interShape = 122
+              else interShape = 100 +
+                (((bits << 1) | (if (dec.decision(cxp, 32)) 1 else 0))
+                  - 4)
+            }
+          }
+          if (intraT >= 0) {
+            // ---- intra refresh inside the inter slice
+            st.mbSkip(mb) = false
+            st.mbDirect(mb) = false
+            if (isB) st.mvL1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+            if (intraT == 25) { if (!w.ipcm(mb)) return None }
+            else if (intraT == 0) { if (!w.intraI4(mb)) return None }
+            else {
+              val t = intraT
+              val acFlag = (t - 1) / 12
+              val cbpChroma = ((t - 1) / 4) % 3
+              val predMode = (t - 1) % 4
+              if (!w.intraI16(mb, acFlag, cbpChroma, predMode))
+                return None
+            }
+          } else {
+            // ---- inter macroblock: motion syntax, then residuals
+            st.mbSkip(mb) = false
+            st.mbDirect(mb) = isB && interShape == 100
+            // MC one partition for a list into the MB buffers
+            def mcTo(list: Int, refIdx: Int, cx4: Int, cy4: Int,
+                w4: Int, h4: Int, mx: Int, my: Int, t16: Array[Int],
+                tCb: Array[Int], tCr: Array[Int]): Unit = {
+              val lst = if (list == 0) listL0 else listL1
+              val off = cy4 * 4 * 16 + cx4 * 4
+              val offC = cy4 * 2 * 8 + cx4 * 2
+              interPredictRect(refs(lst(refIdx)).y, stride, planeH,
+                ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
+                t16, off, 16)
+              interPredictRectChroma(refs(lst(refIdx)).cb, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, tCb, offC, 8)
+              interPredictRectChroma(refs(lst(refIdx)).cr, strideC,
+                planeHC, (ox >> 1) + cx4 * 2, (oy >> 1) + cy4 * 2,
+                w4 * 2, h4 * 2, mx, my, tCr, offC, 8)
+            }
+            // read mvd pair + fill + MC for one partition; mode:
+            // 0 = L0-only, 1 = L1-only, 2 = Bi leg (list selects leg)
+            def partC(list: Int, refIdx: Int, cx4: Int, cy4: Int,
+                w4: Int, h4: Int, shape: Int, mode: Int): Boolean = {
+              val mdx = mvdC(40, list, x4 + cx4, y4 + cy4)
+              if (mdx == Int.MinValue) return false
+              val mdy = mvdC(47, list, x4 + cx4, y4 + cy4)
+              if (mdy == Int.MinValue) return false
+              val ctxL = if (list == 0) mv else st.mvL1
+              val (px, py) = mvPredPart(ctxL, x4 + cx4, y4 + cy4, w4,
+                shape, refIdx)
+              val mx = px + mdx
+              val my = py + mdy
+              if (mx < -2048 * 4 || mx > 2048 * 4 ||
+                my < -2048 * 4 || my > 2048 * 4) return false
+              val lst = if (list == 0) listL0 else listL1
+              ctxL.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true,
+                mx, my, refIdx, picId = lst(refIdx),
+                amx = math.abs(mdx), amy = math.abs(mdy))
+              val toBi = mode == 2 && list == 1
+              val t16 = if (toBi) bi16 else mc16
+              val tCb = if (toBi) biCb else mcCb
+              val tCr = if (toBi) biCr else mcCr
+              mcTo(list, refIdx, cx4, cy4, w4, h4, mx, my, t16, tCb,
+                tCr)
+              val off = cy4 * 4 * 16 + cx4 * 4
+              val offC = cy4 * 2 * 8 + cx4 * 2
+              if (mode != 2) {
+                weightRect(mc16, off, w4 * 4, h4 * 4, refIdx, list)
+                weightRectC(mcCb, offC, w4 * 2, h4 * 2, refIdx, list, 0)
+                weightRectC(mcCr, offC, w4 * 2, h4 * 2, refIdx, list, 1)
+              }
+              true
+            }
+            if (isP) {
+              interShape match {
+                case 0 =>
+                  val r = refIdxC(0, numRefL0, x4, y4)
+                  if (r < 0 || r >= numRefL0) return None
+                  if (!partC(0, r, 0, 0, 4, 4, ShapeMedian, 0))
+                    return None
+                case 1 =>
+                  val rt = refIdxC(0, numRefL0, x4, y4)
+                  if (rt < 0 || rt >= numRefL0) return None
+                  val rb2 = refIdxC(0, numRefL0, x4, y4 + 2)
+                  if (rb2 < 0 || rb2 >= numRefL0) return None
+                  if (!partC(0, rt, 0, 0, 4, 2, Shape16x8Top, 0))
+                    return None
+                  if (!partC(0, rb2, 0, 2, 4, 2, Shape16x8Bot, 0))
+                    return None
+                case 2 =>
+                  val rl = refIdxC(0, numRefL0, x4, y4)
+                  if (rl < 0 || rl >= numRefL0) return None
+                  val rr = refIdxC(0, numRefL0, x4 + 2, y4)
+                  if (rr < 0 || rr >= numRefL0) return None
+                  if (!partC(0, rl, 0, 0, 2, 4, Shape8x16Left, 0))
+                    return None
+                  if (!partC(0, rr, 2, 0, 2, 4, Shape8x16Right, 0))
+                    return None
+                case _ => // P_8x8: sub_mb_type[4] (ctx 21-23), refs,
+                  // then mvds per sub-partition
+                  val subT = new Array[Int](4)
+                  var p8 = 0
+                  while (p8 < 4) {
+                    subT(p8) =
+                      if (dec.decision(cxp, 21)) 0
+                      else if (!dec.decision(cxp, 22)) 1
+                      else if (dec.decision(cxp, 23)) 2
+                      else 3
+                    p8 += 1
+                  }
+                  val r8 = new Array[Int](4)
+                  p8 = 0
+                  while (p8 < 4) {
+                    r8(p8) = refIdxC(0, numRefL0,
+                      x4 + (p8 & 1) * 2, y4 + (p8 >> 1) * 2)
+                    if (r8(p8) < 0 || r8(p8) >= numRefL0) return None
+                    p8 += 1
+                  }
+                  p8 = 0
+                  while (p8 < 4) {
+                    val bx8 = (p8 & 1) * 2
+                    val by8 = (p8 >> 1) * 2
+                    val rr = r8(p8)
+                    val ok = subT(p8) match {
+                      case 0 => partC(0, rr, bx8, by8, 2, 2,
+                        ShapeMedian, 0)
+                      case 1 => partC(0, rr, bx8, by8, 2, 1,
+                        ShapeMedian, 0) &&
+                        partC(0, rr, bx8, by8 + 1, 2, 1, ShapeMedian, 0)
+                      case 2 => partC(0, rr, bx8, by8, 1, 2,
+                        ShapeMedian, 0) &&
+                        partC(0, rr, bx8 + 1, by8, 1, 2, ShapeMedian, 0)
+                      case _ => partC(0, rr, bx8, by8, 1, 1,
+                        ShapeMedian, 0) &&
+                        partC(0, rr, bx8 + 1, by8, 1, 1, ShapeMedian, 0) &&
+                        partC(0, rr, bx8, by8 + 1, 1, 1, ShapeMedian, 0) &&
+                        partC(0, rr, bx8 + 1, by8 + 1, 1, 1,
+                          ShapeMedian, 0)
+                    }
+                    if (!ok) return None
+                    p8 += 1
+                  }
+              }
+            } else interShape match {
+              case 100 => // B_Direct_16x16
+                if (!directRecon(mb, mbX, mbY, 0, 0, 4)) return None
+              case 122 => // B_8x8
+                val subT = new Array[Int](4)
+                var p8 = 0
+                while (p8 < 4) {
+                  subT(p8) =
+                    if (!dec.decision(cxp, 36)) 0
+                    else if (!dec.decision(cxp, 37))
+                      1 + (if (dec.decision(cxp, 39)) 1 else 0)
+                    else {
+                      var t = 3
+                      var done2 = false
+                      if (dec.decision(cxp, 38)) {
+                        if (dec.decision(cxp, 39)) {
+                          t = 11 + (if (dec.decision(cxp, 39)) 1 else 0)
+                          done2 = true
+                        } else t += 4
+                      }
+                      if (!done2) {
+                        if (dec.decision(cxp, 39)) t += 2
+                        if (dec.decision(cxp, 39)) t += 1
+                      }
+                      t
+                    }
+                  p8 += 1
+                }
+                def subUsesL0(t: Int) = t == 1 || t == 3 || t == 4 ||
+                  t == 5 || t == 8 || t == 9 || t == 10 || t == 12
+                def subUsesL1(t: Int) = t == 2 || t == 3 || t == 6 ||
+                  t == 7 || t == 8 || t == 9 || t == 11 || t == 12
+                def subParts(t: Int): Seq[(Int, Int, Int, Int)] =
+                  t match {
+                    case 1 | 2 | 3 => Seq((0, 0, 2, 2))
+                    case 4 | 6 | 8 => Seq((0, 0, 2, 1), (0, 1, 2, 1))
+                    case 5 | 7 | 9 => Seq((0, 0, 1, 2), (1, 0, 1, 2))
+                    case _ => Seq((0, 0, 1, 1), (1, 0, 1, 1),
+                      (0, 1, 1, 1), (1, 1, 1, 1))
+                  }
+                p8 = 0
+                while (p8 < 4) {
+                  if (subT(p8) == 0) {
+                    if (!directRecon(mb, mbX, mbY, (p8 & 1) * 2,
+                      (p8 >> 1) * 2, 2)) return None
+                  }
+                  p8 += 1
+                }
+                val r0a = new Array[Int](4)
+                val r1a = new Array[Int](4)
+                p8 = 0
+                while (p8 < 4) {
+                  if (subT(p8) != 0 && subUsesL0(subT(p8))) {
+                    r0a(p8) = refIdxC(0, numRefL0,
+                      x4 + (p8 & 1) * 2, y4 + (p8 >> 1) * 2)
+                    if (r0a(p8) < 0 || r0a(p8) >= numRefL0) return None
+                  }
+                  p8 += 1
+                }
+                p8 = 0
+                while (p8 < 4) {
+                  if (subT(p8) != 0 && subUsesL1(subT(p8))) {
+                    r1a(p8) = refIdxC(1, numRefL1,
+                      x4 + (p8 & 1) * 2, y4 + (p8 >> 1) * 2)
+                    if (r1a(p8) < 0 || r1a(p8) >= numRefL1) return None
+                  }
+                  p8 += 1
+                }
+                p8 = 0
+                while (p8 < 4) { // pass 1: list-0 mvds
+                  val t = subT(p8)
+                  if (t != 0) {
+                    val bx8 = (p8 & 1) * 2
+                    val by8 = (p8 >> 1) * 2
+                    val mode = if (subUsesL1(t)) 2 else 0
+                    if (subUsesL0(t)) {
+                      val all = subParts(t).forall {
+                        case (sbx, sby, w4s, h4s) =>
+                          partC(0, r0a(p8), bx8 + sbx, by8 + sby, w4s,
+                            h4s, ShapeMedian,
+                            if (mode == 2) 2 else 0)
+                      }
+                      if (!all) return None
+                    } else mv.fill(x4 + bx8, y4 + by8, 2, 2,
+                      isInter = false, 0, 0)
+                  }
+                  p8 += 1
+                }
+                p8 = 0
+                while (p8 < 4) { // pass 2: list-1 mvds (+ combine)
+                  val t = subT(p8)
+                  if (t != 0) {
+                    val bx8 = (p8 & 1) * 2
+                    val by8 = (p8 >> 1) * 2
+                    val both = subUsesL0(t) && subUsesL1(t)
+                    if (subUsesL1(t)) {
+                      val all = subParts(t).forall {
+                        case (sbx, sby, w4s, h4s) =>
+                          val okp = partC(1, r1a(p8), bx8 + sbx,
+                            by8 + sby, w4s, h4s, ShapeMedian,
+                            if (both) 2 else 1)
+                          if (okp && both) {
+                            val cx4 = bx8 + sbx
+                            val cy4 = by8 + sby
+                            val off = cy4 * 4 * 16 + cx4 * 4
+                            val offC = cy4 * 2 * 8 + cx4 * 2
+                            bipredRect(mc16, bi16, off, w4s * 4,
+                              h4s * 4, r0a(p8), r1a(p8))
+                            bipredRectC(mcCb, biCb, offC, w4s * 2,
+                              h4s * 2, r0a(p8), r1a(p8), 0)
+                            bipredRectC(mcCr, biCr, offC, w4s * 2,
+                              h4s * 2, r0a(p8), r1a(p8), 1)
+                          }
+                          okp
+                      }
+                      if (!all) return None
+                    } else st.mvL1.fill(x4 + bx8, y4 + by8, 2, 2,
+                      isInter = false, 0, 0)
+                  }
+                  p8 += 1
+                }
+              case bshape => // two-list 16x16 / 16x8 / 8x16 types
+                val bt = bshape - 100
+                if (bt < 1 || bt > 21) return None
+                val parts: Seq[(Int, Int, Int, Int, Int)] =
+                  if (bt <= 3) Seq((0, 0, 4, 4, ShapeMedian))
+                  else if ((bt & 1) == 0)
+                    Seq((0, 0, 4, 2, Shape16x8Top),
+                      (0, 2, 4, 2, Shape16x8Bot))
+                  else
+                    Seq((0, 0, 2, 4, Shape8x16Left),
+                      (2, 0, 2, 4, Shape8x16Right))
+                val pmodes: Seq[Int] =
+                  if (bt <= 3) Seq(bt - 1)
+                  else Seq(
+                    Seq(0, 0), Seq(1, 1), Seq(0, 1), Seq(1, 0),
+                    Seq(0, 2), Seq(1, 2), Seq(2, 0), Seq(2, 1),
+                    Seq(2, 2))((bt - 4) / 2)
+                def usesL0(m: Int) = m == 0 || m == 2
+                def usesL1(m: Int) = m == 1 || m == 2
+                val n = parts.length
+                val r0 = new Array[Int](n)
+                val r1 = new Array[Int](n)
+                var p = 0
+                while (p < n) {
+                  if (usesL0(pmodes(p))) {
+                    val (cx4, cy4, _, _, _) = parts(p)
+                    r0(p) = refIdxC(0, numRefL0, x4 + cx4, y4 + cy4)
+                    if (r0(p) < 0 || r0(p) >= numRefL0) return None
+                  }
+                  p += 1
+                }
+                p = 0
+                while (p < n) {
+                  if (usesL1(pmodes(p))) {
+                    val (cx4, cy4, _, _, _) = parts(p)
+                    r1(p) = refIdxC(1, numRefL1, x4 + cx4, y4 + cy4)
+                    if (r1(p) < 0 || r1(p) >= numRefL1) return None
+                  }
+                  p += 1
+                }
+                p = 0
+                while (p < n) { // pass 1: list-0 mvds
+                  val (cx4, cy4, w4p, h4p, shape) = parts(p)
+                  val m = pmodes(p)
+                  if (usesL0(m)) {
+                    if (!partC(0, r0(p), cx4, cy4, w4p, h4p, shape,
+                      if (m == 2) 2 else 0)) return None
+                  } else mv.fill(x4 + cx4, y4 + cy4, w4p, h4p,
+                    isInter = false, 0, 0)
+                  p += 1
+                }
+                p = 0
+                while (p < n) { // pass 2: list-1 mvds
+                  val (cx4, cy4, w4p, h4p, shape) = parts(p)
+                  val m = pmodes(p)
+                  if (usesL1(m)) {
+                    if (!partC(1, r1(p), cx4, cy4, w4p, h4p, shape,
+                      if (m == 2) 2 else 1)) return None
+                    if (m == 2) {
+                      val off = cy4 * 4 * 16 + cx4 * 4
+                      val offC = cy4 * 2 * 8 + cx4 * 2
+                      bipredRect(mc16, bi16, off, w4p * 4, h4p * 4,
+                        r0(p), r1(p))
+                      bipredRectC(mcCb, biCb, offC, w4p * 2, h4p * 2,
+                        r0(p), r1(p), 0)
+                      bipredRectC(mcCr, biCr, offC, w4p * 2, h4p * 2,
+                        r0(p), r1(p), 1)
+                    }
+                  } else st.mvL1.fill(x4 + cx4, y4 + cy4, w4p, h4p,
+                    isInter = false, 0, 0)
+                  p += 1
+                }
+            }
+            // ---- coded_block_pattern (ctx 73-84) + mb_qp_delta +
+            // residuals, dequantized onto the MB prediction
+            var cbpLuma = 0
+            var b8 = 0
+            while (b8 < 4) {
+              val inc = cbpLumaInc(st, sliceIdx, mb, b8, cbpLuma)
+              if (dec.decision(cxp, 73 + inc)) cbpLuma |= 1 << b8
+              b8 += 1
+            }
+            var cbpChroma = 0
+            if (dec.decision(cxp,
+              77 + cbpChromaInc(st, sliceIdx, mb, bin1 = false)))
+              cbpChroma = if (dec.decision(cxp,
+                81 + cbpChromaInc(st, sliceIdx, mb, bin1 = true))) 2
+              else 1
+            st.mbKind(mb) = 3
+            st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
+            st.cbfLumaDc(mb) = 0
+            if ((cbpLuma | cbpChroma) != 0) {
+              if (!w.qpDelta()) return None
+            } else w.prevQpDeltaNz = false
+            qpMbA(mb) = w.qp
+            val d4 = new Array[Int](16)
+            var blk = 0
+            while (blk < 16) {
+              val r = blkRow(blk); val c = blkCol(blk)
+              val bx = mbX * 4 + c; val by = mbY * 4 + r
+              if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+                val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
+                  st.cbfLuma4, mbW * 4, 4, curIntra = false)
+                val rb = residualCabac(dec, cxp, 2, inc)
+                if (rb == null) return None
+                st.cbfLuma4(by * mbW * 4 + bx) =
+                  if (rb._2 > 0) 1 else 0
+                lumaNz.set(bx, by, rb._2)
+                if (rb._2 > 0) {
+                  java.util.Arrays.fill(d4, 0)
+                  var si = 0
+                  while (si < 16) {
+                    if (rb._1(si) != 0) {
+                      val raster = Zig4(si)
+                      d4(raster) = scaleAc(rb._1(si), raster, w.qp)
+                    }
+                    si += 1
+                  }
+                  val res = invTransform4x4(d4)
+                  var y = 0
+                  while (y < 4) {
+                    var x = 0
+                    while (x < 4) {
+                      val k = (r * 4 + y) * 16 + c * 4 + x
+                      mc16(k) = clip255(mc16(k) + res(y * 4 + x))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+              } else {
+                st.cbfLuma4(by * mbW * 4 + bx) = 0
+                lumaNz.set(bx, by, 0)
+              }
+              blk += 1
+            }
+            val ccI = cabacChroma(st, sliceIdx, dec, cxp, mb,
+              cbpChroma, curIntra = false)
+            if (ccI == null) return None
+            writeMc(ox, oy)
+            reconChromaMb(st, mb, w.qp, pps.chromaQpOff,
+              pps.chromaQpOff2, ccI, mcCb, mcCr)
+          }
+        }
+        mb += 1
+        end = dec.terminate()
+        if (!end && mb >= nMbs) return None
+      }
+      if (dec.overrun > 0) return None
+      st.mbNext = mb
+      st.allIntra = false
+      if (isB) st.hasB = true
+      Some(st)
+    }
+    // ---- entropy dispatch (round 15: the CABAC branch sits AFTER
+    // the shared reconstruction closures so P/B CABAC reuses them)
+    if (pps.cabac) {
+      // cabac_alignment_one_bit (7.3.4): every bit up to the byte
+      // boundary must be 1 — anything else is a malformed stream
+      while ((br.pos & 7) != 0) if (br.bit() != 1) return None
+      return if (!isInter)
+        cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp,
+          pps.chromaQpOff, pps.chromaQpOff2)
+      else cabacSliceInter(br.pos)
+    }
     var mb = startMb
     var ended = false // slice data exhausted (or trailing skip run)
     while (mb < nMbs && !ended) {
@@ -2330,7 +2960,7 @@ object H264 {
           st.sliceOf(mb) = sliceIdx
           val (mx, my) = skipMv(mv, mb % mbW, mb / mbW)
           mv.fill((mb % mbW) * 4, (mb / mbW) * 4, 4, 4, isInter = true,
-            mx, my, refIdx = 0, picId = listL0(0))
+            mx, my, refIdx = 0, picId = listL0(0), inf = true)
           qpMbA(mb) = qp
           interPredict16x16(refs(listL0(0)).y, stride, planeH,
             (mb % mbW) * 16, (mb / mbW) * 16, mx, my, mc16)
@@ -2405,7 +3035,8 @@ object H264 {
           if (mx < -2048 * 4 || mx > 2048 * 4 ||
             my < -2048 * 4 || my > 2048 * 4) return false
           mv.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mx, my,
-            refIdx, picId = listL0(refIdx))
+            refIdx, picId = listL0(refIdx),
+            amx = math.abs(mx - px), amy = math.abs(my - py))
           interPredictRect(refs(listL0(refIdx)).y, stride, planeH,
             ox + cx4 * 4, oy + cy4 * 4, w4 * 4, h4 * 4, mx, my,
             mc16, cy4 * 4 * 16 + cx4 * 4, 16)
@@ -3005,11 +3636,15 @@ object H264 {
     * unavailable neighbor contributes 1 (9.3.3.1.1.9). `hasBlock`
     * says whether the neighbor's kind carries that block at all. */
   private def cbfIncMb(st: PicState, sliceIdx: Int, mb: Int,
-      arr: Array[Byte], hasBlock: Int => Boolean): Int = {
+      arr: Array[Byte], hasBlock: Int => Boolean,
+      curIntra: Boolean = true): Int = {
     val mbX = mb % st.mbW
     val mbY = mb / st.mbW
     def cond(m2: Int, geomOk: Boolean): Int =
-      if (!geomOk || st.sliceOf(m2) != sliceIdx) 1 // intra current
+      if (!geomOk || st.sliceOf(m2) != sliceIdx) {
+        if (curIntra) 1 else 0 // 9.3.3.1.1.9: unavailable neighbor
+        // reads as coded only when the CURRENT mb is intra
+      }
       else if (st.mbKind(m2) == 2) 1
       else if (!hasBlock(st.mbKind(m2))) 0
       else arr(m2).toInt
@@ -3021,10 +3656,11 @@ object H264 {
     * CURRENT macroblock (an intra one: outside-picture/slice -> 1). */
   private def cbfCondCellAt(st: PicState, sliceIdx: Int, mb: Int,
       cx0: Int, cy0: Int, grid: Array[Byte], gw: Int,
-      cellsPerMb: Int): Int = {
-    if (cx0 < 0 || cy0 < 0) return 1
+      cellsPerMb: Int, curIntra: Boolean = true): Int = {
+    val unavail = if (curIntra) 1 else 0
+    if (cx0 < 0 || cy0 < 0) return unavail
     val m2 = (cy0 / cellsPerMb) * st.mbW + (cx0 / cellsPerMb)
-    if (m2 != mb && st.sliceOf(m2) != sliceIdx) 1
+    if (m2 != mb && st.sliceOf(m2) != sliceIdx) unavail
     else if (st.mbKind(m2) == 2) 1
     else grid(cy0 * gw + cx0).toInt
   }
@@ -3032,19 +3668,20 @@ object H264 {
   /** Both-neighbor cell inc: left + 2 * top. */
   private def cbfIncCell(st: PicState, sliceIdx: Int, mb: Int,
       cx0: Int, cy0: Int, grid: Array[Byte], gw: Int,
-      cellsPerMb: Int): Int =
-    cbfCondCellAt(st, sliceIdx, mb, cx0 - 1, cy0, grid, gw, cellsPerMb) +
+      cellsPerMb: Int, curIntra: Boolean = true): Int =
+    cbfCondCellAt(st, sliceIdx, mb, cx0 - 1, cy0, grid, gw, cellsPerMb,
+      curIntra) +
       2 * cbfCondCellAt(st, sliceIdx, mb, cx0, cy0 - 1, grid, gw,
-        cellsPerMb)
+        cellsPerMb, curIntra)
 
   /** chroma-DC coded_block_flag inc (the DC block exists whenever the
     * neighbor's cbpChroma != 0). */
   private def cbfIncChromaDc(st: PicState, sliceIdx: Int, mb: Int,
-      arr: Array[Byte]): Int = {
+      arr: Array[Byte], curIntra: Boolean = true): Int = {
     val mbX = mb % st.mbW
     val mbY = mb / st.mbW
     def cond(m2: Int, geomOk: Boolean): Int =
-      if (!geomOk || st.sliceOf(m2) != sliceIdx) 1
+      if (!geomOk || st.sliceOf(m2) != sliceIdx) { if (curIntra) 1 else 0 }
       else if (st.mbKind(m2) == 2) 1
       else if ((st.mbCbp(m2) >> 4) == 0) 0
       else arr(m2).toInt
@@ -3115,26 +3752,29 @@ object H264 {
     (out, nz)
   }
 
-  /** CABAC I-slice macroblock walk (round 14): the mb_type tree
-    * (ctx 3-10 + the 276 I_PCM escape), Intra_4x4 / Intra_16x16 /
-    * I_PCM with full residual decoding across block categories 0-4,
-    * end_of_slice_flag termination. Reconstruction rides the SAME
-    * [[reconI16]]/[[reconI4]] helpers as the CAVLC walk, and the
-    * nz/mv/qp bookkeeping feeds the same loop filter. Neighbor
-    * availability is slice-gated like everywhere else in this file. */
-  private def cabacSliceI(st: PicState, sliceIdx: Int, rbsp: Array[Byte],
-      startBit: Int, startMb: Int, qpInit: Int, chromaQpOff: Int,
-      chromaQpOff2: Int): Option[PicState] = {
-    // intra chroma prediction + reconstruction (round 14), the CAVLC
-    // walk's twin
+  /** Shared CABAC macroblock-layer machinery (round 15): the walk
+    * state (qp, mb_qp_delta chain) plus the INTRA macroblock tails —
+    * used by the I-slice walk below AND the P/B walk inside
+    * [[decodeSliceInto]], so intra-in-inter rides the exact same
+    * context modeling and reconstruction. */
+  private final class CabacMb(val st: PicState, val sliceIdx: Int,
+      val rbsp: Array[Byte], val dec: H264Cabac.Dec,
+      val cx: H264Cabac.Ctx, val chromaQpOff: Int,
+      val chromaQpOff2: Int) {
+    var qp = 0
+    var prevQpDeltaNz = false
+    private val mbW = st.mbW
+    private val stride = st.stride
+
+    /** intra chroma prediction + reconstruction, the CAVLC twin. */
     def intraChromaReconC(mb: Int, mode: Int, cc: ChromaCoeffs,
         qpY: Int): Boolean = {
-      val mbX = mb % st.mbW
-      val mbY = mb / st.mbW
+      val mbX = mb % mbW
+      val mbY = mb / mbW
       val hasL = mbX > 0 && st.sliceOf(mb - 1) == sliceIdx
-      val hasT = mbY > 0 && st.sliceOf(mb - st.mbW) == sliceIdx
+      val hasT = mbY > 0 && st.sliceOf(mb - mbW) == sliceIdx
       val hasTL = mbX > 0 && mbY > 0 &&
-        st.sliceOf(mb - st.mbW - 1) == sliceIdx
+        st.sliceOf(mb - mbW - 1) == sliceIdx
       val pcb = predictChroma(st.cb, st.strideC, mbX * 8, mbY * 8,
         mode, hasL, hasT, hasTL)
       val pcr = predictChroma(st.cr, st.strideC, mbX * 8, mbY * 8,
@@ -3143,235 +3783,256 @@ object H264 {
       reconChromaMb(st, mb, qpY, chromaQpOff, chromaQpOff2, cc, pcb, pcr)
       true
     }
+
+    /** mb_qp_delta (9.3.2.7 U binarization, ctx 60-63); updates the
+      * qp chain on success. Returns false on a malformed value. */
+    def qpDelta(): Boolean = {
+      if (!dec.decision(cx, 60 + (if (prevQpDeltaNz) 1 else 0))) {
+        prevQpDeltaNz = false
+        return true
+      }
+      var k = 1
+      if (dec.decision(cx, 62)) {
+        k = 2
+        while (k <= 52 && dec.decision(cx, 63)) k += 1
+        if (k > 52) return false
+      }
+      val d = if ((k & 1) == 1) (k + 1) >> 1 else -(k >> 1)
+      qp = (qp + d + 52) % 52
+      prevQpDeltaNz = d != 0
+      true
+    }
+
+    /** intra_chroma_pred_mode (TU cMax 3, ctx 64 + inc then 67). */
+    def chromaPredMode(mb: Int): Int = {
+      val inc = chromaModeInc(st, sliceIdx, mb)
+      if (!dec.decision(cx, 64 + inc)) 0
+      else if (!dec.decision(cx, 67)) 1
+      else if (!dec.decision(cx, 67)) 2
+      else 3
+    }
+
+    /** I_PCM macroblock (the ctx-276 terminate escape fired): raw
+      * samples + engine re-init. The caller has already read the
+      * escape. */
+    def ipcm(mb: Int): Boolean = {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      val byteStart = (dec.bitPos + 7) >> 3
+      if (byteStart + 384 > rbsp.length) return false
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          st.luma((mbY * 16 + y) * stride + mbX * 16 + x) =
+            rbsp(byteStart + y * 16 + x) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      var comp = 0
+      while (comp < 2) {
+        val plane = if (comp == 0) st.cb else st.cr
+        var cy = 0
+        while (cy < 8) {
+          var cx0 = 0
+          while (cx0 < 8) {
+            plane((mbY * 8 + cy) * st.strideC + mbX * 8 + cx0) =
+              rbsp(byteStart + 256 + comp * 64 + cy * 8 + cx0) & 0xFF
+            cx0 += 1
+          }
+          cy += 1
+        }
+        comp += 1
+      }
+      st.mbKind(mb) = 2
+      st.mbCbp(mb) = 47
+      st.cbfLumaDc(mb) = 1
+      st.cbfCbDc(mb) = 1
+      st.cbfCrDc(mb) = 1
+      var blk = 0
+      while (blk < 16) {
+        st.lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
+        st.cbfLuma4((mbY * 4 + blkRow(blk)) * mbW * 4 +
+          mbX * 4 + blkCol(blk)) = 1
+        blk += 1
+      }
+      var cblk = 0
+      while (cblk < 4) {
+        val ccx = mbX * 2 + (cblk & 1)
+        val ccy = mbY * 2 + (cblk >> 1)
+        st.cbNz.set(ccx, ccy, 16)
+        st.crNz.set(ccx, ccy, 16)
+        st.cbfCbAc(ccy * mbW * 2 + ccx) = 1
+        st.cbfCrAc(ccy * mbW * 2 + ccx) = 1
+        cblk += 1
+      }
+      st.mbIntraA(mb) = true
+      st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+      st.qpMbA(mb) = 0 // loop filter: I_PCM is QP 0 (8.7.2)
+      prevQpDeltaNz = false
+      dec.reinit((byteStart + 384) * 8)
+    }
+
+    /** I_NxN tail: everything after the mb_type bin (16 pred modes,
+      * chroma mode, cbp, qp delta, cat-2 residuals, reconstruction). */
+    def intraI4(mb: Int): Boolean = {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      val modes = new Array[Int](16)
+      var blk = 0
+      while (blk < 16) {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val bx = mbX * 4 + c; val by = mbY * 4 + r
+        val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
+          i4ModeAtSt(st, sliceIdx, bx, by - 1))
+        val mode =
+          if (dec.decision(cx, 68)) pm
+          else {
+            var rem = 0
+            if (dec.decision(cx, 69)) rem |= 1
+            if (dec.decision(cx, 69)) rem |= 2
+            if (dec.decision(cx, 69)) rem |= 4
+            if (rem < pm) rem else rem + 1
+          }
+        if (mode < 0 || mode > 8) return false
+        modes(blk) = mode
+        st.i4mode(by * (mbW * 4) + bx) = mode
+        blk += 1
+      }
+      st.chromaMode(mb) = chromaPredMode(mb)
+      var cbpLuma = 0
+      var b8 = 0
+      while (b8 < 4) {
+        val inc = cbpLumaInc(st, sliceIdx, mb, b8, cbpLuma)
+        if (dec.decision(cx, 73 + inc)) cbpLuma |= 1 << b8
+        b8 += 1
+      }
+      var cbpChroma = 0
+      if (dec.decision(cx,
+        77 + cbpChromaInc(st, sliceIdx, mb, bin1 = false)))
+        cbpChroma = if (dec.decision(cx,
+          81 + cbpChromaInc(st, sliceIdx, mb, bin1 = true))) 2
+        else 1
+      st.mbKind(mb) = 0
+      st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
+      if ((cbpLuma | cbpChroma) != 0) { if (!qpDelta()) return false }
+      else prevQpDeltaNz = false
+      st.mbIntraA(mb) = true
+      st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+      st.qpMbA(mb) = qp
+      val coeffs = new Array[Array[Int]](16)
+      blk = 0
+      while (blk < 16) {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val bx = mbX * 4 + c; val by = mbY * 4 + r
+        if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+          val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
+            st.cbfLuma4, mbW * 4, 4)
+          val rb = residualCabac(dec, cx, 2, inc)
+          if (rb == null) return false
+          coeffs(blk) = rb._1
+          st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
+          st.lumaNz.set(bx, by, rb._2)
+        } else {
+          coeffs(blk) = null
+          st.cbfLuma4(by * mbW * 4 + bx) = 0
+          st.lumaNz.set(bx, by, 0)
+        }
+        blk += 1
+      }
+      val ccC4 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
+      if (ccC4 == null) return false
+      if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return false
+      intraChromaReconC(mb, st.chromaMode(mb), ccC4, qp)
+    }
+
+    /** Intra_16x16 tail: the suffix bins (cbp-luma flag, chroma,
+      * pred mode) are read by the CALLER — their contexts differ
+      * between I slices (6-10) and P/B intra suffixes (17+/32+). */
+    def intraI16(mb: Int, acFlag: Int, cbpChroma: Int,
+        predMode: Int): Boolean = {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      st.chromaMode(mb) = chromaPredMode(mb)
+      if (!qpDelta()) return false
+      st.mbKind(mb) = 1
+      st.mbCbp(mb) = (if (acFlag == 1) 15 else 0) | (cbpChroma << 4)
+      st.mbIntraA(mb) = true
+      st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+      st.qpMbA(mb) = qp
+      val dcInc = cbfIncMb(st, sliceIdx, mb, st.cbfLumaDc, _ == 1)
+      val dcRb = residualCabac(dec, cx, 0, dcInc)
+      if (dcRb == null) return false
+      st.cbfLumaDc(mb) = if (dcRb._2 > 0) 1 else 0
+      val acCoeffs = new Array[Array[Int]](16)
+      var blk = 0
+      while (blk < 16) {
+        val r = blkRow(blk); val c = blkCol(blk)
+        val bx = mbX * 4 + c; val by = mbY * 4 + r
+        if (acFlag == 1) {
+          val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
+            st.cbfLuma4, mbW * 4, 4)
+          val rb = residualCabac(dec, cx, 1, inc)
+          if (rb == null) return false
+          acCoeffs(blk) = rb._1
+          st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
+          st.lumaNz.set(bx, by, rb._2)
+        } else {
+          acCoeffs(blk) = null
+          st.cbfLuma4(by * mbW * 4 + bx) = 0
+          st.lumaNz.set(bx, by, 0)
+        }
+        blk += 1
+      }
+      val ccC16 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
+      if (ccC16 == null) return false
+      if (!reconI16(st, sliceIdx, mb, qp, predMode, dcRb._1, acCoeffs))
+        return false
+      intraChromaReconC(mb, st.chromaMode(mb), ccC16, qp)
+    }
+  }
+
+  /** CABAC I-slice macroblock walk (round 14; round 15 moved the
+    * intra tails into [[CabacMb]] so P/B intra refresh shares them):
+    * the mb_type tree (ctx 3-10 + the 276 I_PCM escape), Intra_4x4 /
+    * Intra_16x16 / I_PCM with full residual decoding across block
+    * categories 0-4, end_of_slice_flag termination. Reconstruction
+    * rides the SAME [[reconI16]]/[[reconI4]] helpers as the CAVLC
+    * walk, and the nz/mv/qp bookkeeping feeds the same loop filter. */
+  private def cabacSliceI(st: PicState, sliceIdx: Int, rbsp: Array[Byte],
+      startBit: Int, startMb: Int, qpInit: Int, chromaQpOff: Int,
+      chromaQpOff2: Int): Option[PicState] = {
     val cx = new H264Cabac.Ctx(qpInit)
     val dec = new H264Cabac.Dec(rbsp, startBit)
     if (!dec.valid) return None
-    val mbW = st.mbW
+    val w = new CabacMb(st, sliceIdx, rbsp, dec, cx, chromaQpOff,
+      chromaQpOff2)
+    w.qp = qpInit
     val nMbs = st.nMbs
-    val stride = st.stride
-    val luma = st.luma
-    var qp = qpInit
-    var prevQpDeltaNz = false
     var mb = startMb
     var endOfSlice = false
     while (mb < nMbs && !endOfSlice) {
-      val mbX = mb % mbW
-      val mbY = mb / mbW
-      // ---- mb_type (I): bin0 at ctx 3 + inc (neighbors read BEFORE
-      // this MB claims its sliceOf entry)
+      // mb_type (I): bin0 at ctx 3 + inc (neighbors read BEFORE this
+      // MB claims its sliceOf entry)
       val incT = mbTypeIInc(st, sliceIdx, mb)
       st.sliceOf(mb) = sliceIdx
       val isI4 = !dec.decision(cx, 3 + incT)
       if (!isI4 && dec.terminate()) {
-        // ---- I_PCM (the ctx-276 escape; engine re-inits after)
-        val byteStart = (dec.bitPos + 7) >> 3
-        if (byteStart + 384 > rbsp.length) return None
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 16) {
-            luma((mbY * 16 + y) * stride + mbX * 16 + x) =
-              rbsp(byteStart + y * 16 + x) & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        var comp = 0
-        while (comp < 2) { // chroma samples stored too (round 14)
-          val plane = if (comp == 0) st.cb else st.cr
-          var cy = 0
-          while (cy < 8) {
-            var cx0 = 0
-            while (cx0 < 8) {
-              plane((mbY * 8 + cy) * st.strideC + mbX * 8 + cx0) =
-                rbsp(byteStart + 256 + comp * 64 + cy * 8 + cx0) & 0xFF
-              cx0 += 1
-            }
-            cy += 1
-          }
-          comp += 1
-        }
-        st.mbKind(mb) = 2
-        st.mbCbp(mb) = 47
-        st.cbfLumaDc(mb) = 1
-        st.cbfCbDc(mb) = 1
-        st.cbfCrDc(mb) = 1
-        var blk = 0
-        while (blk < 16) {
-          st.lumaNz.set(mbX * 4 + blkCol(blk), mbY * 4 + blkRow(blk), 16)
-          st.cbfLuma4((mbY * 4 + blkRow(blk)) * mbW * 4 +
-            mbX * 4 + blkCol(blk)) = 1
-          blk += 1
-        }
-        var cblk = 0
-        while (cblk < 4) {
-          val ccx = mbX * 2 + (cblk & 1)
-          val ccy = mbY * 2 + (cblk >> 1)
-          st.cbNz.set(ccx, ccy, 16)
-          st.crNz.set(ccx, ccy, 16)
-          st.cbfCbAc(ccy * mbW * 2 + ccx) = 1
-          st.cbfCrAc(ccy * mbW * 2 + ccx) = 1
-          cblk += 1
-        }
-        st.mbIntraA(mb) = true
-        st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
-        st.qpMbA(mb) = 0 // loop filter: I_PCM is QP 0 (8.7.2)
-        prevQpDeltaNz = false
-        if (!dec.reinit((byteStart + 384) * 8)) return None
+        if (!w.ipcm(mb)) return None
+      } else if (isI4) {
+        if (!w.intraI4(mb)) return None
       } else {
-        // decode mb_qp_delta (9.3.2.7 U binarization, ctx 60-63)
-        def qpDelta(): Option[Int] = {
-          if (!dec.decision(cx, 60 + (if (prevQpDeltaNz) 1 else 0)))
-            return Some(0)
-          var k = 1
-          if (dec.decision(cx, 62)) {
-            k = 2
-            while (k <= 52 && dec.decision(cx, 63)) k += 1
-            if (k > 52) return None
-          }
-          Some(if ((k & 1) == 1) (k + 1) >> 1 else -(k >> 1))
-        }
-        // intra_chroma_pred_mode (TU cMax 3, ctx 64 + inc then 67)
-        def chromaPredMode(): Int = {
-          val inc = chromaModeInc(st, sliceIdx, mb)
-          if (!dec.decision(cx, 64 + inc)) 0
-          else if (!dec.decision(cx, 67)) 1
-          else if (!dec.decision(cx, 67)) 2
-          else 3
-        }
-        if (isI4) {
-          // ---- I_NxN: 16 pred modes, chroma mode, cbp, residuals
-          val modes = new Array[Int](16)
-          var blk = 0
-          while (blk < 16) {
-            val r = blkRow(blk); val c = blkCol(blk)
-            val bx = mbX * 4 + c; val by = mbY * 4 + r
-            val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
-              i4ModeAtSt(st, sliceIdx, bx, by - 1))
-            val mode =
-              if (dec.decision(cx, 68)) pm
-              else {
-                var rem = 0
-                if (dec.decision(cx, 69)) rem |= 1
-                if (dec.decision(cx, 69)) rem |= 2
-                if (dec.decision(cx, 69)) rem |= 4
-                if (rem < pm) rem else rem + 1
-              }
-            if (mode < 0 || mode > 8) return None
-            modes(blk) = mode
-            st.i4mode(by * (mbW * 4) + bx) = mode
-            blk += 1
-          }
-          st.chromaMode(mb) = chromaPredMode()
-          // coded_block_pattern: luma 4 FL bins (ctx 73 + condA +
-          // 2*condB over adjacent 8x8 blocks), then chroma 2 bins
-          var cbpLuma = 0
-          var b8 = 0
-          while (b8 < 4) {
-            val inc = cbpLumaInc(st, sliceIdx, mb, b8, cbpLuma)
-            if (dec.decision(cx, 73 + inc)) cbpLuma |= 1 << b8
-            b8 += 1
-          }
-          var cbpChroma = 0
-          if (dec.decision(cx,
-            77 + cbpChromaInc(st, sliceIdx, mb, bin1 = false)))
-            cbpChroma = if (dec.decision(cx,
-              81 + cbpChromaInc(st, sliceIdx, mb, bin1 = true))) 2
-            else 1
-          st.mbKind(mb) = 0
-          st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
-          if ((cbpLuma | cbpChroma) != 0) {
-            qpDelta() match {
-              case Some(d) =>
-                qp = (qp + d + 52) % 52
-                prevQpDeltaNz = d != 0
-              case None => return None
-            }
-          } else prevQpDeltaNz = false
-          st.mbIntraA(mb) = true
-          st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
-          st.qpMbA(mb) = qp
-          // luma residuals (cat 2), z-order, gated per 8x8 group
-          val coeffs = new Array[Array[Int]](16)
-          blk = 0
-          while (blk < 16) {
-            val r = blkRow(blk); val c = blkCol(blk)
-            val bx = mbX * 4 + c; val by = mbY * 4 + r
-            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
-              val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
-                st.cbfLuma4, mbW * 4, 4)
-              val rb = residualCabac(dec, cx, 2, inc)
-              if (rb == null) return None
-              coeffs(blk) = rb._1
-              st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
-              st.lumaNz.set(bx, by, rb._2)
-            } else {
-              coeffs(blk) = null
-              st.cbfLuma4(by * mbW * 4 + bx) = 0
-              st.lumaNz.set(bx, by, 0)
-            }
-            blk += 1
-          }
-          val ccC4 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
-          if (ccC4 == null) return None
-          if (!reconI4(st, sliceIdx, mb, qp, modes, coeffs)) return None
-          if (!intraChromaReconC(mb, st.chromaMode(mb), ccC4, qp))
-            return None
-        } else {
-          // ---- Intra_16x16 suffix: cbp-luma bit (ctx 6), chroma
-          // ('0' / '10' / '11' at ctx 7 then 8), two pred bits (9, 10)
-          val acFlag = if (dec.decision(cx, 6)) 1 else 0
-          var cbpChroma = 0
-          if (dec.decision(cx, 7))
-            cbpChroma = if (dec.decision(cx, 8)) 2 else 1
-          var predMode = 0
-          if (dec.decision(cx, 9)) predMode |= 2
-          if (dec.decision(cx, 10)) predMode |= 1
-          st.chromaMode(mb) = chromaPredMode()
-          qpDelta() match {
-            case Some(d) =>
-              qp = (qp + d + 52) % 52
-              prevQpDeltaNz = d != 0
-            case None => return None
-          }
-          st.mbKind(mb) = 1
-          st.mbCbp(mb) = (if (acFlag == 1) 15 else 0) | (cbpChroma << 4)
-          st.mbIntraA(mb) = true
-          st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
-          st.qpMbA(mb) = qp
-          // luma DC (cat 0): neighbors' DC blocks exist only in I16
-          val dcInc = cbfIncMb(st, sliceIdx, mb, st.cbfLumaDc, _ == 1)
-          val dcRb = residualCabac(dec, cx, 0, dcInc)
-          if (dcRb == null) return None
-          st.cbfLumaDc(mb) = if (dcRb._2 > 0) 1 else 0
-          // luma AC (cat 1), all 16 blocks when acFlag
-          val acCoeffs = new Array[Array[Int]](16)
-          var blk = 0
-          while (blk < 16) {
-            val r = blkRow(blk); val c = blkCol(blk)
-            val bx = mbX * 4 + c; val by = mbY * 4 + r
-            if (acFlag == 1) {
-              val inc = cbfIncCell(st, sliceIdx, mb, bx, by,
-                st.cbfLuma4, mbW * 4, 4)
-              val rb = residualCabac(dec, cx, 1, inc)
-              if (rb == null) return None
-              acCoeffs(blk) = rb._1
-              st.cbfLuma4(by * mbW * 4 + bx) = if (rb._2 > 0) 1 else 0
-              st.lumaNz.set(bx, by, rb._2)
-            } else {
-              acCoeffs(blk) = null
-              st.cbfLuma4(by * mbW * 4 + bx) = 0
-              st.lumaNz.set(bx, by, 0)
-            }
-            blk += 1
-          }
-          val ccC16 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
-          if (ccC16 == null) return None
-          if (!reconI16(st, sliceIdx, mb, qp, predMode, dcRb._1, acCoeffs))
-            return None
-          if (!intraChromaReconC(mb, st.chromaMode(mb), ccC16, qp))
-            return None
-        }
+        // Intra_16x16 suffix: cbp-luma bit (ctx 6), chroma ('0' /
+        // '10' / '11' at ctx 7 then 8), two pred bits (9, 10)
+        val acFlag = if (dec.decision(cx, 6)) 1 else 0
+        var cbpChroma = 0
+        if (dec.decision(cx, 7))
+          cbpChroma = if (dec.decision(cx, 8)) 2 else 1
+        var predMode = 0
+        if (dec.decision(cx, 9)) predMode |= 2
+        if (dec.decision(cx, 10)) predMode |= 1
+        if (!w.intraI16(mb, acFlag, cbpChroma, predMode)) return None
       }
       mb += 1
       endOfSlice = dec.terminate()
@@ -3388,11 +4049,12 @@ object H264 {
     Some(st)
   }
 
+
   /** Shared CABAC chroma residual walk (sync + cbf/nz bookkeeping;
     * chroma is not reconstructed — the CAVLC parseChroma twin). */
   private def cabacChroma(st: PicState, sliceIdx: Int,
       dec: H264Cabac.Dec, cx: H264Cabac.Ctx, mb: Int,
-      cbpChroma: Int): ChromaCoeffs = {
+      cbpChroma: Int, curIntra: Boolean = true): ChromaCoeffs = {
     val mbW = st.mbW
     val mbX = mb % mbW
     val mbY = mb / mbW
@@ -3404,7 +4066,7 @@ object H264 {
       while (comp < 2) {
         val arr = if (comp == 0) st.cbfCbDc else st.cbfCrDc
         val rb = residualCabac(dec, cx, 3,
-          cbfIncChromaDc(st, sliceIdx, mb, arr))
+          cbfIncChromaDc(st, sliceIdx, mb, arr, curIntra))
         if (rb == null) return null
         System.arraycopy(rb._1, 0,
           if (comp == 0) out.dcCb else out.dcCr, 0, 4)
@@ -3426,7 +4088,7 @@ object H264 {
         val ccy = mbY * 2 + (cblk >> 1)
         if (cbpChroma == 2) {
           val inc = cbfIncCell(st, sliceIdx, mb, ccx, ccy, grid,
-            mbW * 2, 2)
+            mbW * 2, 2, curIntra)
           val rb = residualCabac(dec, cx, 4, inc)
           if (rb == null) return null
           acArr(cblk) = rb._1
@@ -4423,6 +5085,681 @@ object H264 {
     val sep = Array[Byte](0, 0, 0, 1)
     sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp, cabac = true) ++ sep ++
       idrNalCabac(mbW, mbH, mb, qp, deblock)
+  }
+
+  /** CABAC twin of [[pNal]]/[[bNal]] (round 15): one P or B slice
+    * over the SAME macroblock vocabularies, encoded with the 9.3.4
+    * engine. Like [[idrNalCabac]], the encoder drives a real
+    * [[PicState]] through the decoder's OWN ctxIdxInc helpers and
+    * motion grids (amvd / inferred / refIdx), so encoder-decoder
+    * context drift is structurally impossible; pixel semantics are
+    * IDENTICAL to the CAVLC twins, which is what the
+    * CAVLC-vs-CABAC equality tests pin. Fixture bounds: list
+    * lengths from `numRef` (L0) and 1 (L1), identity weights,
+    * mb_qp_delta 0, chroma cbp 0 on inter MBs. */
+  private def interNalCabac(mbW: Int, mbH: Int, isB: Boolean,
+      pMb: Int => MbP, bMb: Int => MbB, qp: Int, frameNum: Int,
+      pocLsb: Int, numRef: Int, initIdc: Int, deblock: Boolean,
+      refIdc: Int,
+      colZeroAt: (Int, Int) => Boolean): Array[Byte] = {
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require(initIdc >= 0 && initIdc <= 2, s"cabac_init_idc: $initIdc")
+    val bw = new BitWriter
+    bw.putUe(0) // first_mb_in_slice
+    bw.putUe(if (isB) 6 else 5) // slice_type
+    bw.putUe(0) // pps_id
+    bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
+    bw.put((if (isB) pocLsb else frameNum * 2) & 15, 4) // poc lsb
+    if (isB) {
+      bw.put(1, 1) // direct_spatial_mv_pred_flag
+      bw.put(0, 1) // num_ref_idx_active_override (defaults 1 + 1)
+      bw.put(0, 1); bw.put(0, 1) // list modification flags
+    } else {
+      if (numRef == 1) bw.put(0, 1)
+      else { bw.put(1, 1); bw.putUe(numRef - 1) }
+      bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    }
+    if (refIdc != 0) bw.put(0, 1) // adaptive marking off
+    bw.putUe(initIdc) // cabac_init_idc
+    bw.putSe(0) // slice_qp_delta
+    bw.putUe(if (deblock) 0 else 1)
+    if (deblock) { bw.putSe(0); bw.putSe(0) }
+    while (!bw.byteAligned) bw.put(1, 1) // cabac_alignment_one_bit
+    // shadow state (the decoder-shaped neighbor model)
+    val sps = Sps(0, mbW, mbH, 0, 0, 0, 0, 4, 0, 4,
+      deltaPocAlwaysZero = false, maxRefFrames = math.max(1, numRef))
+    val st = new PicState(sps, isIdr = false, frameNum = frameNum,
+      ppsId = 0)
+    val sliceIdx = 0
+    st.sliceParams += ((if (deblock) 0 else 1, 0, 0))
+    st.curSlice = sliceIdx
+    val cxp = new H264Cabac.Ctx(qp, H264Cabac.InitPB(initIdc))
+    val enc = new H264Cabac.Enc
+    var prevQpDeltaNz = false
+    val numL1 = if (isB) 1 else 0
+    def putRefIdx(list: Int, nRef: Int, v: Int, x4p: Int,
+        y4p: Int): Unit = {
+      if (nRef == 1) { require(v == 0, "refIdx out of fixture list"); return }
+      val ctxL = if (list == 0) st.mv else st.mvL1
+      def cond(cx4: Int, cy4: Int): Int =
+        if (!ctxL.available(cx4, cy4)) 0
+        else {
+          val k = cy4 * ctxL.gw + cx4
+          if (!ctxL.inter(k) || ctxL.inferred(k) || ctxL.ref(k) <= 0) 0
+          else 1
+        }
+      val inc = cond(x4p - 1, y4p) + 2 * cond(x4p, y4p - 1)
+      if (v == 0) { enc.decision(cxp, 54 + inc, bin = false); return }
+      enc.decision(cxp, 54 + inc, bin = true)
+      var i2 = 1
+      while (i2 < v) {
+        enc.decision(cxp, if (i2 == 1) 58 else 59, bin = true)
+        i2 += 1
+      }
+      enc.decision(cxp, if (v == 1) 58 else 59, bin = false)
+    }
+    def putMvdComp(base: Int, list: Int, x4p: Int, y4p: Int,
+        mvd: Int): Unit = {
+      val ctxL = if (list == 0) st.mv else st.mvL1
+      def am(cx4: Int, cy4: Int): Int =
+        if (!ctxL.available(cx4, cy4)) 0
+        else {
+          val k = cy4 * ctxL.gw + cx4
+          if (!ctxL.inter(k)) 0
+          else if (base == 40) ctxL.amvdx(k) else ctxL.amvdy(k)
+        }
+      val sum = am(x4p - 1, y4p) + am(x4p, y4p - 1)
+      val inc = if (sum < 3) 0 else if (sum <= 32) 1 else 2
+      if (mvd == 0) { enc.decision(cxp, base + inc, bin = false); return }
+      enc.decision(cxp, base + inc, bin = true)
+      val a = math.abs(mvd)
+      var v = 1
+      var b = 1
+      while (v < 9 && v < a) {
+        enc.decision(cxp, base + math.min(b + 2, 6), bin = true)
+        v += 1; b += 1
+      }
+      if (a < 9) enc.decision(cxp, base + math.min(b + 2, 6), bin = false)
+      else { // EG3 bypass suffix of a - 9
+        var rem = a - 9
+        var k = 3
+        while (rem >= (1 << k)) {
+          enc.bypass(bin = true)
+          rem -= 1 << k
+          k += 1
+        }
+        enc.bypass(bin = false)
+        var j = k - 1
+        while (j >= 0) { enc.bypass(((rem >> j) & 1) == 1); j -= 1 }
+      }
+      enc.bypass(mvd < 0)
+    }
+    // one coded partition: derive the predictor from the SAME grids
+    // the decoder uses, emit the mvd pair, fill with amvd marks
+    def putPart(list: Int, refIdx: Int, x4: Int, y4: Int, cx4: Int,
+        cy4: Int, w4: Int, h4: Int, shape: Int, mvx: Int,
+        mvy: Int): Unit = {
+      val ctxL = if (list == 0) st.mv else st.mvL1
+      val (px, py) = mvPredPart(ctxL, x4 + cx4, y4 + cy4, w4, shape,
+        refIdx)
+      putMvdComp(40, list, x4 + cx4, y4 + cy4, mvx - px)
+      putMvdComp(47, list, x4 + cx4, y4 + cy4, mvy - py)
+      ctxL.fill(x4 + cx4, y4 + cy4, w4, h4, isInter = true, mvx, mvy,
+        refIdx, amx = math.abs(mvx - px), amy = math.abs(mvy - py))
+    }
+    def fillDirectC(x4: Int, y4: Int, bx0: Int, by0: Int,
+        n4: Int): Unit = {
+      def refOf(ctxL: MvCtx, x: Int, y: Int): Int = {
+        val (ok, r, _, _) = ctxL.info(x, y)
+        if (ok) r else -1
+      }
+      def minPos(a: Int, b: Int): Int =
+        if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+      def nRef(ctxL: MvCtx): Int = {
+        val a = refOf(ctxL, x4 - 1, y4)
+        val b = refOf(ctxL, x4, y4 - 1)
+        val c =
+          if (ctxL.available(x4 + 4, y4 - 1)) refOf(ctxL, x4 + 4, y4 - 1)
+          else refOf(ctxL, x4 - 1, y4 - 1)
+        minPos(minPos(a, b), c)
+      }
+      val r0 = nRef(st.mv)
+      val r1 = nRef(st.mvL1)
+      val zp = r0 < 0 && r1 < 0
+      val (m0x, m0y) =
+        if (!zp && r0 >= 0) mvPredPart(st.mv, x4, y4, 4, ShapeMedian, r0)
+        else (0, 0)
+      val (m1x, m1y) =
+        if (!zp && r1 >= 0) mvPredPart(st.mvL1, x4, y4, 4, ShapeMedian,
+          r1)
+        else (0, 0)
+      val useL0 = zp || r0 >= 0
+      val useL1 = zp || r1 >= 0
+      var by = by0
+      while (by < by0 + n4) {
+        var bx = bx0
+        while (bx < bx0 + n4) {
+          val cz = !zp && colZeroAt(x4 + (bx >> 1) * 3,
+            y4 + (by >> 1) * 3)
+          if (useL0) st.mv.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
+            if (cz && r0 == 0) 0 else m0x,
+            if (cz && r0 == 0) 0 else m0y, math.max(r0, 0), inf = true)
+          else st.mv.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
+          if (useL1) st.mvL1.fill(x4 + bx, y4 + by, 1, 1,
+            isInter = true,
+            if (cz && r1 == 0) 0 else m1x,
+            if (cz && r1 == 0) 0 else m1y, math.max(r1, 0), inf = true)
+          else st.mvL1.fill(x4 + bx, y4 + by, 1, 1, isInter = false,
+            0, 0)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    val nMbs = mbW * mbH
+    var i = 0
+    while (i < nMbs) {
+      val mbX = i % mbW
+      val mbY = i / mbW
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      def skipCond(m2: Int, ok: Boolean): Int =
+        if (!ok || st.sliceOf(m2) != sliceIdx || st.mbSkip(m2)) 0 else 1
+      val skipInc = skipCond(i - 1, mbX > 0) + skipCond(i - mbW, mbY > 0)
+      st.sliceOf(i) = sliceIdx
+      def zeroAll(): Unit = { // skip / zero-cbp bookkeeping
+        st.cbfLumaDc(i) = 0; st.cbfCbDc(i) = 0; st.cbfCrDc(i) = 0
+        var blk = 0
+        while (blk < 16) {
+          val bx = mbX * 4 + blkCol(blk)
+          val by = mbY * 4 + blkRow(blk)
+          st.cbfLuma4(by * mbW * 4 + bx) = 0
+          st.lumaNz.set(bx, by, 0)
+          blk += 1
+        }
+        var cblk = 0
+        while (cblk < 4) {
+          val ccx = mbX * 2 + (cblk & 1)
+          val ccy = mbY * 2 + (cblk >> 1)
+          st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+          st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+          st.cbNz.set(ccx, ccy, 0)
+          st.crNz.set(ccx, ccy, 0)
+          cblk += 1
+        }
+      }
+      // coded_block_pattern + one-DC-per-4x4 residuals (fixture
+      // chroma cbp is always 0 on inter MBs, like the CAVLC twins)
+      def putInterResiduals(dcOf: Int => Int): Unit = {
+        val cbpLuma = (0 until 4).map { g =>
+          if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g
+          else 0
+        }.sum
+        var b8 = 0
+        var sofar = 0
+        while (b8 < 4) {
+          val bit = (cbpLuma >> b8) & 1
+          enc.decision(cxp,
+            73 + cbpLumaInc(st, sliceIdx, i, b8, sofar), bit == 1)
+          sofar |= bit << b8
+          b8 += 1
+        }
+        enc.decision(cxp,
+          77 + cbpChromaInc(st, sliceIdx, i, bin1 = false), bin = false)
+        st.mbKind(i) = 3
+        st.mbCbp(i) = cbpLuma
+        st.cbfLumaDc(i) = 0
+        if (cbpLuma != 0)
+          enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
+            bin = false) // mb_qp_delta 0
+        prevQpDeltaNz = false
+        var blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          val bx = mbX * 4 + c; val by = mbY * 4 + r
+          if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+            val coeffs = new Array[Int](16)
+            coeffs(0) = dcOf(blk)
+            val inc = cbfIncCell(st, sliceIdx, i, bx, by, st.cbfLuma4,
+              mbW * 4, 4, curIntra = false)
+            val nz = putResidualCabac(enc, cxp, 2, inc, coeffs)
+            st.cbfLuma4(by * mbW * 4 + bx) = if (nz > 0) 1 else 0
+            st.lumaNz.set(bx, by, nz)
+          } else {
+            st.cbfLuma4(by * mbW * 4 + bx) = 0
+            st.lumaNz.set(bx, by, 0)
+          }
+          blk += 1
+        }
+        st.cbfCbDc(i) = 0
+        st.cbfCrDc(i) = 0
+        var cblk = 0
+        while (cblk < 4) {
+          val ccx = mbX * 2 + (cblk & 1)
+          val ccy = mbY * 2 + (cblk >> 1)
+          st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+          st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+          st.cbNz.set(ccx, ccy, 0)
+          st.crNz.set(ccx, ccy, 0)
+          cblk += 1
+        }
+      }
+      // Intra_16x16 refresh inside the inter slice (suffix at ctx
+      // base 17 / 32 per Table 9-39, then the shared I16 tail)
+      def putIntra16(base: Int, spec: I16Dc): Unit = {
+        val I16Dc(z, ac0, pred, chromaDcTz, chromaPred) = spec
+        require(z >= -7 && z <= 7 && ac0 >= -1 && ac0 <= 1 &&
+          pred >= 0 && pred <= 3 && chromaDcTz >= -1 && chromaDcTz <= 3 &&
+          chromaPred >= 0 && chromaPred <= 3, s"I16Dc out of range")
+        val acFlag = if (ac0 != 0) 1 else 0
+        val cbpCh = if (chromaDcTz >= 0) 1 else 0
+        enc.decision(cxp, base, bin = true) // not I_NxN
+        enc.terminate(bin = false) // not I_PCM
+        enc.decision(cxp, base + 1, acFlag == 1)
+        enc.decision(cxp, base + 2, cbpCh > 0)
+        if (cbpCh > 0) enc.decision(cxp, base + 2, bin = false)
+        enc.decision(cxp, base + 3, ((pred >> 1) & 1) == 1)
+        enc.decision(cxp, base + 3, (pred & 1) == 1)
+        enc.decision(cxp, 64 + chromaModeInc(st, sliceIdx, i),
+          chromaPred > 0)
+        if (chromaPred > 0) enc.decision(cxp, 67, chromaPred > 1)
+        if (chromaPred > 1) enc.decision(cxp, 67, chromaPred > 2)
+        st.chromaMode(i) = chromaPred
+        enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
+          bin = false) // mb_qp_delta 0
+        prevQpDeltaNz = false
+        st.mbKind(i) = 1
+        st.mbCbp(i) = (if (acFlag == 1) 15 else 0) | (cbpCh << 4)
+        st.mbIntraA(i) = true
+        st.mv.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+        if (isB) st.mvL1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+        val dcCoeffs = new Array[Int](16)
+        dcCoeffs(0) = z
+        val dcNz = putResidualCabac(enc, cxp, 0,
+          cbfIncMb(st, sliceIdx, i, st.cbfLumaDc, _ == 1), dcCoeffs)
+        st.cbfLumaDc(i) = if (dcNz > 0) 1 else 0
+        var blk = 0
+        while (blk < 16) {
+          val r = blkRow(blk); val c = blkCol(blk)
+          val bx = mbX * 4 + c; val by = mbY * 4 + r
+          if (acFlag == 1) {
+            val coeffs = new Array[Int](15)
+            coeffs(0) = if (blk == 0) ac0 else 0
+            val inc = cbfIncCell(st, sliceIdx, i, bx, by, st.cbfLuma4,
+              mbW * 4, 4)
+            val nz = putResidualCabac(enc, cxp, 1, inc, coeffs)
+            st.cbfLuma4(by * mbW * 4 + bx) = if (nz > 0) 1 else 0
+            st.lumaNz.set(bx, by, nz)
+          } else {
+            st.cbfLuma4(by * mbW * 4 + bx) = 0
+            st.lumaNz.set(bx, by, 0)
+          }
+          blk += 1
+        }
+        if (cbpCh == 1) {
+          var comp = 0
+          while (comp < 2) {
+            val arr = if (comp == 0) st.cbfCbDc else st.cbfCrDc
+            val coeffs = new Array[Int](4)
+            coeffs(chromaDcTz) = 1
+            val nz = putResidualCabac(enc, cxp, 3,
+              cbfIncChromaDc(st, sliceIdx, i, arr), coeffs)
+            arr(i) = if (nz > 0) 1 else 0
+            comp += 1
+          }
+          var cblk = 0
+          while (cblk < 4) {
+            val ccx = mbX * 2 + (cblk & 1)
+            val ccy = mbY * 2 + (cblk >> 1)
+            st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+            st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+            st.cbNz.set(ccx, ccy, 0)
+            st.crNz.set(ccx, ccy, 0)
+            cblk += 1
+          }
+        } else {
+          st.cbfCbDc(i) = 0
+          st.cbfCrDc(i) = 0
+          var cblk = 0
+          while (cblk < 4) {
+            val ccx = mbX * 2 + (cblk & 1)
+            val ccy = mbY * 2 + (cblk >> 1)
+            st.cbfCbAc(ccy * mbW * 2 + ccx) = 0
+            st.cbfCrAc(ccy * mbW * 2 + ccx) = 0
+            st.cbNz.set(ccx, ccy, 0)
+            st.crNz.set(ccx, ccy, 0)
+            cblk += 1
+          }
+        }
+      }
+      if (!isB) pMb(i) match {
+        case PSkip =>
+          enc.decision(cxp, 11 + skipInc, bin = true)
+          val (mx, my) = skipMv(st.mv, mbX, mbY)
+          st.mv.fill(x4, y4, 4, 4, isInter = true, mx, my, 0,
+            inf = true)
+          st.mbSkip(i) = true
+          st.mbKind(i) = 3
+          st.mbCbp(i) = 0
+          zeroAll()
+          prevQpDeltaNz = false
+        case PIntra(spec) =>
+          enc.decision(cxp, 11 + skipInc, bin = false)
+          enc.decision(cxp, 14, bin = true) // intra prefix
+          putIntra16(17, spec)
+        case other =>
+          enc.decision(cxp, 11 + skipInc, bin = false)
+          other match {
+            case PMove(mx, my, refIdx) =>
+              enc.decision(cxp, 14, bin = false)
+              enc.decision(cxp, 15, bin = false)
+              enc.decision(cxp, 16, bin = false) // P_L0_16x16
+              putRefIdx(0, numRef, refIdx, x4, y4)
+              putPart(0, refIdx, x4, y4, 0, 0, 4, 4, ShapeMedian, mx, my)
+              putInterResiduals(_ => 0)
+            case PMoveCoded(mx, my, dcOf) =>
+              enc.decision(cxp, 14, bin = false)
+              enc.decision(cxp, 15, bin = false)
+              enc.decision(cxp, 16, bin = false)
+              putRefIdx(0, numRef, 0, x4, y4)
+              putPart(0, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, mx, my)
+              putInterResiduals(dcOf)
+            case P16x8((tx, ty), (bx2, by2)) =>
+              enc.decision(cxp, 14, bin = false)
+              enc.decision(cxp, 15, bin = true)
+              enc.decision(cxp, 17, bin = true) // 16x8
+              putRefIdx(0, numRef, 0, x4, y4)
+              putRefIdx(0, numRef, 0, x4, y4 + 2)
+              putPart(0, 0, x4, y4, 0, 0, 4, 2, Shape16x8Top, tx, ty)
+              putPart(0, 0, x4, y4, 0, 2, 4, 2, Shape16x8Bot, bx2, by2)
+              putInterResiduals(_ => 0)
+            case P8x16((lx, ly), (rx, ry)) =>
+              enc.decision(cxp, 14, bin = false)
+              enc.decision(cxp, 15, bin = true)
+              enc.decision(cxp, 17, bin = false) // 8x16
+              putRefIdx(0, numRef, 0, x4, y4)
+              putRefIdx(0, numRef, 0, x4 + 2, y4)
+              putPart(0, 0, x4, y4, 0, 0, 2, 4, Shape8x16Left, lx, ly)
+              putPart(0, 0, x4, y4, 2, 0, 2, 4, Shape8x16Right, rx, ry)
+              putInterResiduals(_ => 0)
+            case P8x8(subs) =>
+              require(subs.length == 4, "P8x8 needs 4 vectors")
+              enc.decision(cxp, 14, bin = false)
+              enc.decision(cxp, 15, bin = false)
+              enc.decision(cxp, 16, bin = true) // P_8x8
+              var q2 = 0
+              while (q2 < 4) { // sub_mb_type: all 8x8
+                enc.decision(cxp, 21, bin = true)
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) {
+                putRefIdx(0, numRef, 0, x4 + (q2 & 1) * 2,
+                  y4 + (q2 >> 1) * 2)
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) {
+                putPart(0, 0, x4, y4, (q2 & 1) * 2, (q2 >> 1) * 2, 2, 2,
+                  ShapeMedian, subs(q2)._1, subs(q2)._2)
+                q2 += 1
+              }
+              putInterResiduals(_ => 0)
+            case PSkip | PIntra(_) =>
+              throw new IllegalStateException("unreachable")
+          }
+      } else bMb(i) match {
+        case BSkip =>
+          enc.decision(cxp, 24 + skipInc, bin = true)
+          fillDirectC(x4, y4, 0, 0, 4)
+          st.mbSkip(i) = true
+          st.mbDirect(i) = true
+          st.mbKind(i) = 3
+          st.mbCbp(i) = 0
+          zeroAll()
+          prevQpDeltaNz = false
+        case other =>
+          enc.decision(cxp, 24 + skipInc, bin = false)
+          def dirCond(m2: Int, ok: Boolean): Int =
+            if (!ok || st.sliceOf(m2) != sliceIdx || st.mbDirect(m2)) 0
+            else 1
+          val dirInc = dirCond(i - 1, mbX > 0) + dirCond(i - mbW, mbY > 0)
+          // B mb_type tree encoder: raw values as in the CAVLC walk
+          def putBType(raw: Int): Unit = {
+            if (raw == 0) { enc.decision(cxp, 27 + dirInc, bin = false); return }
+            enc.decision(cxp, 27 + dirInc, bin = true)
+            if (raw == 1 || raw == 2) {
+              enc.decision(cxp, 30, bin = false)
+              enc.decision(cxp, 32, raw == 2)
+              return
+            }
+            enc.decision(cxp, 30, bin = true)
+            val bits =
+              if (raw >= 3 && raw <= 10) raw - 3
+              else if (raw == 11) 14
+              else if (raw == 22) 15
+              else (raw + 4) >> 1 // 12..21 -> 8..12
+            enc.decision(cxp, 31, (bits & 8) != 0)
+            enc.decision(cxp, 32, (bits & 4) != 0)
+            enc.decision(cxp, 32, (bits & 2) != 0)
+            enc.decision(cxp, 32, (bits & 1) != 0)
+            if (raw >= 12 && raw <= 21)
+              enc.decision(cxp, 32, ((raw + 4) & 1) == 1)
+          }
+          other match {
+            case BDirect(dcOf) =>
+              putBType(0)
+              st.mbDirect(i) = true
+              fillDirectC(x4, y4, 0, 0, 4)
+              putInterResiduals(dcOf)
+            case BFwd(mx, my) =>
+              putBType(1)
+              putRefIdx(0, 1, 0, x4, y4)
+              putPart(0, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, mx, my)
+              st.mvL1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+              putInterResiduals(_ => 0)
+            case BFwdCoded(mx, my, dcOf) =>
+              putBType(1)
+              putRefIdx(0, 1, 0, x4, y4)
+              putPart(0, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, mx, my)
+              st.mvL1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+              putInterResiduals(dcOf)
+            case BBwd(mx, my) =>
+              putBType(2)
+              putRefIdx(1, numL1, 0, x4, y4)
+              st.mv.fill(x4, y4, 4, 4, isInter = false, 0, 0)
+              putPart(1, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, mx, my)
+              putInterResiduals(_ => 0)
+            case BBi((fx, fy), (bx2, by2)) =>
+              putBType(3)
+              putRefIdx(0, 1, 0, x4, y4)
+              putRefIdx(1, numL1, 0, x4, y4)
+              putPart(0, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, fx, fy)
+              putPart(1, 0, x4, y4, 0, 0, 4, 4, ShapeMedian, bx2, by2)
+              putInterResiduals(_ => 0)
+            case B16x8(tl, (tx, ty), bl, (bx2, by2)) =>
+              val raw = (tl, bl) match {
+                case (0, 0) => 4
+                case (1, 1) => 6
+                case (0, 1) => 8
+                case _ => 10
+              }
+              putBType(raw)
+              if (tl == 0) putRefIdx(0, 1, 0, x4, y4)
+              if (bl == 0) putRefIdx(0, 1, 0, x4, y4 + 2)
+              if (tl == 1) putRefIdx(1, numL1, 0, x4, y4)
+              if (bl == 1) putRefIdx(1, numL1, 0, x4, y4 + 2)
+              if (tl == 0) putPart(0, 0, x4, y4, 0, 0, 4, 2,
+                Shape16x8Top, tx, ty)
+              else st.mv.fill(x4, y4, 4, 2, isInter = false, 0, 0)
+              if (bl == 0) putPart(0, 0, x4, y4, 0, 2, 4, 2,
+                Shape16x8Bot, bx2, by2)
+              else st.mv.fill(x4, y4 + 2, 4, 2, isInter = false, 0, 0)
+              if (tl == 1) putPart(1, 0, x4, y4, 0, 0, 4, 2,
+                Shape16x8Top, tx, ty)
+              else st.mvL1.fill(x4, y4, 4, 2, isInter = false, 0, 0)
+              if (bl == 1) putPart(1, 0, x4, y4, 0, 2, 4, 2,
+                Shape16x8Bot, bx2, by2)
+              else st.mvL1.fill(x4, y4 + 2, 4, 2, isInter = false, 0, 0)
+              putInterResiduals(_ => 0)
+            case B8x8(subs) =>
+              require(subs.length == 4, "B8x8 needs 4 quadrants")
+              putBType(22)
+              subs.foreach { sub =>
+                sub match {
+                  case BSubDirect => enc.decision(cxp, 36, bin = false)
+                  case BSubL0(_, _) =>
+                    enc.decision(cxp, 36, bin = true)
+                    enc.decision(cxp, 37, bin = false)
+                    enc.decision(cxp, 39, bin = false)
+                  case BSubL1(_, _) =>
+                    enc.decision(cxp, 36, bin = true)
+                    enc.decision(cxp, 37, bin = false)
+                    enc.decision(cxp, 39, bin = true)
+                  case BSubBi(_, _) =>
+                    enc.decision(cxp, 36, bin = true)
+                    enc.decision(cxp, 37, bin = true)
+                    enc.decision(cxp, 38, bin = false)
+                    enc.decision(cxp, 39, bin = false)
+                    enc.decision(cxp, 39, bin = false)
+                  case BSubL04x4(_) => // type 10 = 7 + 3
+                    enc.decision(cxp, 36, bin = true)
+                    enc.decision(cxp, 37, bin = true)
+                    enc.decision(cxp, 38, bin = true)
+                    enc.decision(cxp, 39, bin = false)
+                    enc.decision(cxp, 39, bin = true)
+                    enc.decision(cxp, 39, bin = true)
+                }
+              }
+              var q2 = 0
+              while (q2 < 4) {
+                if (subs(q2) == BSubDirect)
+                  fillDirectC(x4, y4, (q2 & 1) * 2, (q2 >> 1) * 2, 2)
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) { // ref_idx_l0 pass
+                subs(q2) match {
+                  case BSubL0(_, _) | BSubBi(_, _) | BSubL04x4(_) =>
+                    putRefIdx(0, 1, 0, x4 + (q2 & 1) * 2,
+                      y4 + (q2 >> 1) * 2)
+                  case _ => ()
+                }
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) { // ref_idx_l1 pass
+                subs(q2) match {
+                  case BSubL1(_, _) | BSubBi(_, _) =>
+                    putRefIdx(1, numL1, 0, x4 + (q2 & 1) * 2,
+                      y4 + (q2 >> 1) * 2)
+                  case _ => ()
+                }
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) { // mvd_l0 pass
+                val bx8 = (q2 & 1) * 2
+                val by8 = (q2 >> 1) * 2
+                subs(q2) match {
+                  case BSubL0(mx, my) =>
+                    putPart(0, 0, x4, y4, bx8, by8, 2, 2, ShapeMedian,
+                      mx, my)
+                  case BSubBi((fx, fy), _) =>
+                    putPart(0, 0, x4, y4, bx8, by8, 2, 2, ShapeMedian,
+                      fx, fy)
+                  case BSubL04x4(mvs) =>
+                    require(mvs.length == 4, "B_L0_4x4 needs 4 vectors")
+                    var b2 = 0
+                    while (b2 < 4) {
+                      putPart(0, 0, x4, y4, bx8 + (b2 & 1),
+                        by8 + (b2 >> 1), 1, 1, ShapeMedian,
+                        mvs(b2)._1, mvs(b2)._2)
+                      b2 += 1
+                    }
+                  case BSubL1(_, _) =>
+                    st.mv.fill(x4 + bx8, y4 + by8, 2, 2,
+                      isInter = false, 0, 0)
+                  case BSubDirect => ()
+                }
+                q2 += 1
+              }
+              q2 = 0
+              while (q2 < 4) { // mvd_l1 pass
+                val bx8 = (q2 & 1) * 2
+                val by8 = (q2 >> 1) * 2
+                subs(q2) match {
+                  case BSubL1(mx, my) =>
+                    putPart(1, 0, x4, y4, bx8, by8, 2, 2, ShapeMedian,
+                      mx, my)
+                  case BSubBi(_, (bx2, by2)) =>
+                    putPart(1, 0, x4, y4, bx8, by8, 2, 2, ShapeMedian,
+                      bx2, by2)
+                  case BSubL0(_, _) | BSubL04x4(_) =>
+                    st.mvL1.fill(x4 + bx8, y4 + by8, 2, 2,
+                      isInter = false, 0, 0)
+                  case BSubDirect => ()
+                }
+                q2 += 1
+              }
+              putInterResiduals(_ => 0)
+            case BIntra(spec) => // mb_type intra escape: bits 13
+              enc.decision(cxp, 27 + dirInc, bin = true)
+              enc.decision(cxp, 30, bin = true)
+              enc.decision(cxp, 31, bin = true)
+              enc.decision(cxp, 32, bin = true)
+              enc.decision(cxp, 32, bin = false)
+              enc.decision(cxp, 32, bin = true)
+              putIntra16(32, spec)
+            case BSkip =>
+              throw new IllegalStateException("unreachable")
+          }
+      }
+      val isLast = i == nMbs - 1
+      enc.terminate(isLast) // end_of_slice_flag
+      i += 1
+    }
+    enc.drain(b => bw.put(b, 1))
+    bw.alignZero()
+    nalUnit((refIdc << 5) | 1, bw.result()) // non-IDR slice
+  }
+
+  /** CABAC twin of [[pNal]] (fixture surface). */
+  def pNalCabac(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
+      frameNum: Int = 1, numRef: Int = 1, initIdc: Int = 0,
+      deblock: Boolean = false, refIdc: Int = 2): Array[Byte] =
+    interNalCabac(mbW, mbH, isB = false, mb, _ => BSkip, qp, frameNum,
+      pocLsb = 0, numRef = numRef, initIdc = initIdc, deblock = deblock,
+      refIdc = refIdc, colZeroAt = (_, _) => false)
+
+  /** CABAC twin of [[bNal]] (fixture surface). */
+  def bNalCabac(mbW: Int, mbH: Int, mb: Int => MbB, qp: Int,
+      frameNum: Int, pocLsb: Int, initIdc: Int = 0,
+      deblock: Boolean = false, refIdc: Int = 0,
+      colZeroAt: (Int, Int) => Boolean = (_, _) => false): Array[Byte] =
+    interNalCabac(mbW, mbH, isB = true, _ => PSkip, mb, qp, frameNum,
+      pocLsb = pocLsb, numRef = 1, initIdc = initIdc, deblock = deblock,
+      refIdc = refIdc, colZeroAt = colZeroAt)
+
+  /** CABAC twin of [[encodeIPBStream]]: SPS + CABAC PPS + CABAC IDR +
+    * the given pictures, same vocabularies and pixel semantics. */
+  def encodeIPBStreamCabac(mbW: Int, mbH: Int, iMb: Int => Mb,
+      frames: Seq[IpbFrame], qp: Int = 28, initIdc: Int = 0,
+      colZeroAt: (Int, Int) => Boolean = (_, _) => false): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    var out = sep ++ spsNal(mbW, mbH, maxRef = 2) ++ sep ++
+      ppsNal(qp, cabac = true) ++ sep ++ idrNalCabac(mbW, mbH, iMb, qp)
+    var fn = 1
+    frames.foreach {
+      case Pf(f) =>
+        out = out ++ sep ++ pNalCabac(mbW, mbH, f, qp, frameNum = fn,
+          initIdc = initIdc)
+        fn += 1
+      case Bf(f, poc) =>
+        out = out ++ sep ++ bNalCabac(mbW, mbH, f, qp, frameNum = fn,
+          pocLsb = poc, initIdc = initIdc, colZeroAt = colZeroAt)
+    }
+    out
   }
 
   /** One Intra_16x16 macroblock (shared by the IDR and P-slice

@@ -1286,6 +1286,74 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // H.264 CABAC P/B decode under the oracle gate (round 15, VERDICT
+    // r14 #1): the SAME I-P-B-B-B stream as multimodal_avc_direct but
+    // CABAC-entropy-coded (mb_skip_flag, the P/B mb_type trees,
+    // sub_mb_type, UEG3 mvds, inter cbp + cat-2 residual blocks,
+    // end_of_slice terminates), cabac_init_idc cycling 0/1/2 by
+    // doc_id. Pixel semantics are entropy-independent, so DuckDB
+    // replays the identical closed form — one bin decoded differently
+    // anywhere in any inter slice shifts every later bin and breaks
+    // the hash.
+    Q("multimodal_avc_cabac_pb",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def q(b: Int): Int = ((id * 11 + 4 * b + 60) % 180).toInt + 20
+            val es = graft.ext.H264.encodeIPBStreamCabac(1, 1,
+              _ => graft.ext.H264.Pcm((x, y) => q((y / 8) * 2 + x / 8)),
+              Seq(
+                graft.ext.H264.Pf(_ => graft.ext.H264.PMoveCoded(0, 0,
+                  blk => ((id + blk) % 5).toInt - 2)),
+                graft.ext.H264.Bf(_ => graft.ext.H264.BDirect(
+                  blk => ((id + blk) % 3).toInt - 1), pocLsb = 1),
+                graft.ext.H264.Bf(_ => graft.ext.H264.B8x8(Seq(
+                  graft.ext.H264.BSubL0(0, 0),
+                  graft.ext.H264.BSubL1(0, 0),
+                  graft.ext.H264.BSubBi((0, 0), (0, 0)),
+                  graft.ext.H264.BSubDirect)), pocLsb = 1),
+                graft.ext.H264.Bf(_ => graft.ext.H264.BSkip,
+                  pocLsb = 1)),
+              initIdc = (id % 3).toInt)
+            Multimodal.decodeAvcFramesTyped(es, 8).map {
+              case (f, t, w, h, m, sd) =>
+                (id, f.toLong, t.toString, w.toLong, h.toLong, m, sd)
+            }
+          })
+          .toDF("id", "frame", "frame_type", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("frame_type"),
+            col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH blk AS (SELECT doc_id, k,
+             |    (doc_id*11 + 4*(k // 4) + 60) % 180 + 20 AS vi,
+             |    (doc_id*11 + 4*(k // 4) + 60) % 180 + 20
+             |      + 4*((doc_id + k) % 5 - 2) AS vp
+             |  FROM documents, (SELECT unnest(range(16)) AS k)),
+             |v AS (
+             |  SELECT doc_id, k, 1 AS frame, 'I' AS ftype, vi AS v FROM blk
+             |  UNION ALL SELECT doc_id, k, 2, 'P', vp FROM blk
+             |  UNION ALL SELECT doc_id, k, 3, 'B',
+             |    (vi + vp + 1) // 2 + 4*((doc_id + k) % 3 - 1) FROM blk
+             |  UNION ALL SELECT doc_id, k, 4, 'B',
+             |    CASE WHEN k // 4 = 0 THEN vi WHEN k // 4 = 1 THEN vp
+             |         ELSE (vi + vp + 1) // 2 END FROM blk
+             |  UNION ALL SELECT doc_id, k, 5, 'B',
+             |    (vi + vp + 1) // 2 FROM blk),
+             |m AS (SELECT doc_id, frame, ftype,
+             |    CAST(sum(v) AS DOUBLE)/16 AS mean_g,
+             |    CAST(sum(v*v) AS DOUBLE)/16 AS meansq_g
+             |  FROM v GROUP BY doc_id, frame, ftype)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
+             |  ftype AS frame_type,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // H.264 CABAC I-slice decode under the oracle gate (round 14,
     // VERDICT r13 #1): a 1x2 picture whose slice is CABAC-entropy-
     // coded through the 9.3 arithmetic engine (ctx-modeled mb_type,

@@ -232,16 +232,179 @@ class H264CabacSpec extends AnyFunSuite {
       "slice gating should change prediction")
   }
 
-  test("CABAC P slices degrade honestly (init-table honesty bounds)") {
-    // a CAVLC-encoded P slice against a CABAC PPS must return None-
-    // degrade at the slice layer, keeping the I frame
+  // ---- round 15: CABAC P/B slices -----------------------------------
+
+  test("CABAC P/B == CAVLC P/B: a mixed I-P-B stream with every inter " +
+      "feature decodes pixel-identical under all three cabac_init_idc " +
+      "columns") {
+    import graft.ext.H264._
+    // anchors: PCM quadrants; P1 = every P partition shape incl. a
+    // UEG3-escape vector (|mvd| > 9); P2 = static coded anchor (the
+    // B's colocated picture -> colZero all-true); B1 = direct / skip /
+    // B_8x8 / Bi / intra refresh at poc 3; B2 = two-list shapes at
+    // poc 5 (no direct MBs: its colocated picture is the fancy P1)
+    def iMb(i: Int): Mb = i match {
+      case 0 => Pcm((x, y) => 40 + 2 * x + 3 * y)
+      case 1 => I16Dc(3, ac0 = 1, chromaDcTz = 1)
+      case 2 => I4x4(_ => 2, blk => if (blk == 5) 1 else 0)
+      case _ => I16Dc(-2, pred = 2)
+    }
+    def p1(i: Int): MbP = i match {
+      case 0 => P16x8((0, 0), (4, 0))
+      case 1 => P8x8(Seq((0, 0), (-4, 0), (0, -4), (0, 0)))
+      case 2 => PMoveCoded(-52, 12, blk => blk % 3 - 1) // UEG3 escape
+      case _ => PSkip
+    }
+    def p2(i: Int): MbP = PMoveCoded(0, 0, blk => (i + blk) % 5 - 2)
+    def b1(i: Int): MbB = i match {
+      case 0 => BDirect(blk => blk % 3 - 1)
+      case 1 => B8x8(Seq(BSubDirect, BSubL0(0, 0), BSubL1(0, 0),
+        BSubBi((0, 0), (0, 0))))
+      case 2 => BIntra(I16Dc(2, chromaDcTz = 0))
+      case _ => BSkip
+    }
+    def b2(i: Int): MbB = i match {
+      case 0 => BBi((0, 0), (4, 0))
+      case 1 => B16x8(0, (0, 0), 1, (0, 0))
+      case 2 => BFwdCoded(0, 0, blk => if (blk == 7) -1 else 0)
+      case _ => BBwd(0, 0)
+    }
+    val frames = Seq(Pf(p1), Pf(p2), Bf(b1, pocLsb = 3),
+      Bf(b2, pocLsb = 5))
+    val czAll = (_: Int, _: Int) => true // P2 is static refIdx-0
+    val cavlc = H264.encodeIPBStream(2, 2, iMb, frames,
+      colZeroAt = czAll)
+    val ref = H264.decodeFramesYuv(cavlc, 8)
+    assert(ref.map(_._6) == Seq('I', 'P', 'P', 'B', 'B'),
+      s"CAVLC baseline: ${ref.map(_._6)}")
+    for (idc <- 0 to 2) {
+      val cabac = H264.encodeIPBStreamCabac(2, 2, iMb, frames,
+        initIdc = idc, colZeroAt = czAll)
+      val got = H264.decodeFramesYuv(cabac, 8)
+      assert(got.map(_._6) == ref.map(_._6), s"idc $idc types")
+      ref.zip(got).zipWithIndex.foreach { case ((r, g), fi) =>
+        assert(g._3.sameElements(r._3), s"idc $idc frame $fi luma")
+        assert(g._4.sameElements(r._4), s"idc $idc frame $fi cb")
+        assert(g._5.sameElements(r._5), s"idc $idc frame $fi cr")
+      }
+    }
+  }
+
+  test("CABAC P multi-reference: unary ref_idx with neighbor context " +
+      "matches the CAVLC te(v) twin") {
+    import graft.ext.H264._
     val sep = Array[Byte](0, 0, 0, 1)
-    val es = sep ++ H264.spsNal(1, 1) ++ sep ++
-      H264.ppsNal(28, cabac = true) ++ sep ++
-      H264.idrNalCabac(1, 1, _ => I16Dc(2), 28) ++ sep ++
-      H264.pNal(1, 1, _ => H264.PSkip, 28, frameNum = 1)
-    val out = H264.decodeFramesLuma(es, 4)
-    assert(out.map(_._4) == Seq('I'), s"got ${out.map(_._4)}")
+    def iMb(i: Int): Mb = Pcm((x, y) => 30 + 5 * i + x + y)
+    def pA(i: Int): MbP = PMoveCoded(0, 0, blk => (i + blk) % 3 - 1)
+    // refIdx 1 reaches PAST pA back to the IDR; mixed with refIdx 0
+    def pB(i: Int): MbP = i match {
+      case 0 => PMove(0, 0, refIdx = 1)
+      case 1 => PMove(0, 0, refIdx = 0)
+      case 2 => PMove(-8, 4, refIdx = 1)
+      case _ => PMove(0, 0, refIdx = 1)
+    }
+    val cavlc = sep ++ H264.spsNal(2, 2, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(2, 2, iMb, 28) ++
+      sep ++ H264.pNal(2, 2, pA, 28, frameNum = 1) ++
+      sep ++ H264.pNal(2, 2, pB, 28, frameNum = 2, numRef = 2)
+    val ref = H264.decodeFramesLuma(cavlc, 6)
+    assert(ref.map(_._4) == Seq('I', 'P', 'P'))
+    for (idc <- 0 to 2) {
+      val cabac = sep ++ H264.spsNal(2, 2, maxRef = 2) ++
+        sep ++ H264.ppsNal(28, cabac = true) ++
+        sep ++ H264.idrNalCabac(2, 2, iMb, 28) ++
+        sep ++ H264.pNalCabac(2, 2, pA, 28, frameNum = 1,
+          initIdc = idc) ++
+        sep ++ H264.pNalCabac(2, 2, pB, 28, frameNum = 2, numRef = 2,
+          initIdc = idc)
+      val got = H264.decodeFramesLuma(cabac, 6)
+      assert(got.map(_._4) == Seq('I', 'P', 'P'), s"idc $idc")
+      ref.zip(got).zipWithIndex.foreach { case ((r, g), fi) =>
+        assert(g._3.sameElements(r._3), s"idc $idc frame $fi")
+      }
+    }
+  }
+
+  test("CABAC B deblocking == CAVLC B deblocking (bS over both lists " +
+      "with the CABAC nz bookkeeping)") {
+    import graft.ext.H264._
+    val sep = Array[Byte](0, 0, 0, 1)
+    def iMb(i: Int): Mb = Pcm((_, _) => 120)
+    def pMbF(i: Int): MbP = PMoveCoded(0, 0,
+      blk => if (i == 0 && blk == 0) 1 else 0)
+    def bMbF(i: Int): MbB = if (i == 0) BFwd(0, 0) else BBwd(-64, 0)
+    def stream(cabac: Boolean) = {
+      val head = sep ++ H264.spsNal(2, 1, maxRef = 2) ++
+        sep ++ H264.ppsNal(28, cabac = cabac) ++ sep ++
+        (if (cabac) H264.idrNalCabac(2, 1, iMb, 28)
+        else H264.idrNal(2, 1, iMb, 28))
+      val p = if (cabac) H264.pNalCabac(2, 1, pMbF, 28, frameNum = 1)
+        else H264.pNal(2, 1, pMbF, 28, frameNum = 1)
+      val b = if (cabac) H264.bNalCabac(2, 1, bMbF, 28, frameNum = 2,
+        pocLsb = 1, deblock = true)
+        else H264.bNal(2, 1, bMbF, 28, frameNum = 2, pocLsb = 1,
+          deblock = true)
+      head ++ sep ++ p ++ sep ++ b
+    }
+    val ref = H264.decodeFramesLuma(stream(cabac = false), 4)
+    val got = H264.decodeFramesLuma(stream(cabac = true), 4)
+    assert(ref.map(_._4) == Seq('I', 'P', 'B'))
+    assert(got.map(_._4) == Seq('I', 'P', 'B'))
+    // the hand-computed bS-1 weak filter profile from H264BSpec
+    val b3 = got(2)._3
+    for (y <- 0 until 4) {
+      assert(b3(y * 32 + 14) == 121 && b3(y * 32 + 15) == 122 &&
+        b3(y * 32 + 16) == 122 && b3(y * 32 + 17) == 123,
+        s"filtered profile row $y")
+    }
+    assert(got(2)._3.sameElements(ref(2)._3), "deblocked B equality")
+  }
+
+  test("corruption fuzz: 240 mutations of a CABAC I-P-B stream " +
+      "degrade or truncate, never throw") {
+    import graft.ext.H264._
+    def iMb(i: Int): Mb = i match {
+      case 0 => Pcm((x, y) => 40 + 2 * x + 3 * y)
+      case _ => I16Dc(3, ac0 = 1, chromaDcTz = 1)
+    }
+    val base = H264.encodeIPBStreamCabac(2, 2, iMb, Seq(
+      Pf(i => if (i == 0) P8x8(Seq((0, 0), (-4, 0), (0, -4), (0, 0)))
+        else PMoveCoded(0, 0, blk => blk % 3 - 1)),
+      Pf(_ => PMoveCoded(0, 0, _ => 1)),
+      Bf(i => if (i == 0) BDirect(blk => blk % 3 - 1)
+        else if (i == 1) B8x8(Seq(BSubDirect, BSubL0(0, 0),
+          BSubL1(0, 0), BSubBi((0, 0), (0, 0))))
+        else BSkip, pocLsb = 3)),
+      initIdc = 1, colZeroAt = (_, _) => true)
+    assert(H264.decodeFramesLuma(base, 8).map(_._4) ==
+      Seq('I', 'P', 'P', 'B'))
+    val rnd = new java.util.Random(0x15CABAC)
+    var trials = 0
+    while (trials < 240) {
+      val mutated = base.clone()
+      val kind = trials % 3
+      if (kind == 0) {
+        var f = 0
+        val nf = 1 + rnd.nextInt(4)
+        while (f < nf) {
+          val i = rnd.nextInt(mutated.length)
+          mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          f += 1
+        }
+        assert(H264.decodeFramesLuma(mutated, 8).length <= 8)
+      } else if (kind == 1) {
+        val cut = 1 + rnd.nextInt(mutated.length - 1)
+        assert(H264.decodeFramesLuma(mutated.take(cut), 8).length <= 8)
+      } else {
+        val at = rnd.nextInt(mutated.length)
+        val len = math.min(1 + rnd.nextInt(12), mutated.length - at)
+        var i = 0
+        while (i < len) { mutated(at + i) = rnd.nextInt(256).toByte; i += 1 }
+        assert(H264.decodeFramesLuma(mutated, 8).length <= 8)
+      }
+      trials += 1
+    }
   }
 
   test("corruption fuzz: 300 byte-level mutations of a CABAC stream " +
