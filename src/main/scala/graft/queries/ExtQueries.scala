@@ -196,16 +196,27 @@ object ExtQueries {
     * Returns (pass name, seconds). */
   def warmSharedPasses(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      // record what this pass materializes and PROTECT it from
-      // staleness release until its first consumer (round 13, VERDICT
-      // r12 #6): the consumers run 100+ queries after setup, far
-      // outside the stale window, so unprotected setup entries were
-      // being rebuilt cold anyway
+      // min-of-2 (VERDICT r14 #4): setup passes were single-sample,
+      // so one burst of box contention (the r14 driver record's
+      // setup_token_pass 11 s -> 36 s with unchanged code) landed
+      // unfiltered in the round-over-round comparison. Build twice:
+      // the first build's memo entries (build-MISSES only — hits on
+      // passes built earlier stay untouched) are released so the
+      // second is a genuine rebuild, then the second build's entries
+      // are PROTECTED from staleness release until their first
+      // consumer (round 13, VERDICT r12 #6) and the reported time is
+      // the min of the two samples.
       Memo.startRecording()
+      val t0 = System.nanoTime()
       try body catch { case _: Throwable => () }
+      val d0 = (System.nanoTime() - t0) / 1e9
+      Memo.release(Memo.stopRecording())
+      Memo.startRecording()
+      val t1 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      val d1 = (System.nanoTime() - t1) / 1e9
       Memo.protect(Memo.stopRecording())
-      (name, (System.nanoTime() - t0) / 1e9)
+      (name, math.min(d0, d1))
     }
     Seq(
       timed("setup_minhash_pass") { minhashPairs(s, dir).count(); () },
