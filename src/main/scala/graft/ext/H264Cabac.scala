@@ -31,7 +31,7 @@ package graft.ext
   *    initialized: pStateIdx = 63, valMPS = 0 fixed (9.3.1.1), and
   *    [[Dec.terminate]]/[[Enc.terminate]] never touch its state.
   */
-private[ext] object H264Cabac {
+private[graft] object H264Cabac {
 
   /** Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]. */
   val RangeLps: Array[Array[Int]] = Array(

@@ -1,13 +1,14 @@
 package graft.ext
 
-/** H.265/HEVC (Rec. ITU-T H.265, public spec) INTRA-ONLY starter
-  * tier — round 14, VERDICT r13 #6: turns the one fully-fenced major
-  * codec ('hev1') into the MPEG-1-round-11 state: a subset decoded
-  * for real under degrade-to-None, everything else honest.
+/** H.265/HEVC (Rec. ITU-T H.265, public spec) INTRA decoder —
+  * round 14's starter tier plus the round-15 residual + angular
+  * layer (VERDICT r14 #3/#5): real intra-only pictures decode now,
+  * under degrade-to-None for everything else.
   *
   * Decoded for real (bit-exact per the spec):
   *  - NAL syntax (two-byte headers), emulation prevention, SPS/PPS
-  *    parse for the supported flag set, single-slice IDR pictures.
+  *    parse for the supported flag set, single-slice IDR pictures,
+  *    the conformance window (applied on emit).
   *  - CABAC slice data through the SAME arithmetic engine as H.264
   *    ([[H264Cabac]] — HEVC 9.3.4.3 inherited the engine and its
   *    Tables 9-44/9-45 verbatim; only the context INIT VALUES are
@@ -16,19 +17,34 @@ package graft.ext
   *    neighbor-depth split contexts, part_mode, the pcm_flag
   *    terminate escape with engine re-init, prev/mpm/rem intra mode
   *    coding with the full 8.4.2 candidate-list derivation,
-  *    intra_chroma_pred_mode (parse), cbf flags, end_of_slice.
+  *    intra_chroma_pred_mode (decoded to the real chroma mode — it
+  *    drives the mode-dependent residual scans), cbf flags,
+  *    end_of_slice.
   *  - I_PCM coding units (raw luma samples — always exact).
-  *  - Intra PLANAR (8.4.4.2.4) and DC (8.4.4.2.5, with the luma
-  *    boundary smoothing) prediction, including the 8.4.4.2.2
-  *    reference-sample substitution and the [1 2 1] smoothing filter
-  *    planar uses at nTbS >= 8.
+  *  - Intra PLANAR (8.4.4.2.4), DC (8.4.4.2.5 with the luma boundary
+  *    smoothing) and ALL 33 ANGULAR modes (8.4.4.2.6, round 15 —
+  *    invAngle side projection, 5-bit fraction interpolation, the
+  *    mode-10/26 boundary filters), with 8.4.4.2.2 reference
+  *    substitution and the 8.4.4.2.3 filtering decision.
+  *  - The TRANSFORM TREE (7.3.8.8, round 15): coded
+  *    split_transform_flag, per-depth cbf_cb/cbf_cr inheritance,
+  *    per-TU intra prediction from reconstructed neighbors.
+  *  - LUMA RESIDUALS (7.3.8.11 + 8.6, round 15): last position,
+  *    coded_sub_block_flag, position/pattern significance contexts,
+  *    greater1/greater2 sets, sign bins, Golomb-Rice
+  *    coeff_abs_level_remaining with rice adaptation, the
+  *    mode-dependent scans, dequant (8.6.3) and the 4/8/16/32 inverse
+  *    DCT + 4x4 DST-VII (8.6.4; the 16/32 matrices derive from the
+  *    hardcoded 4/8 rows + canonical odd constants by the standard's
+  *    structural identities). Chroma residuals are PARSED for
+  *    bitstream sync with their own context sets; only luma is
+  *    reconstructed (the avc1 round-12 posture).
   *
-  * Honesty bounds, all degrade-to-None: residual-carrying TUs (any
-  * nonzero cbf), angular intra modes, NxN partitions, inferred or
-  * coded transform splits, P/B slices, SAO, tiles/WPP, dependent or
-  * multiple slice segments, scaling lists, >8-bit, non-4:2:0,
-  * long-term/RPS machinery. Chroma syntax is parsed for bitstream
-  * sync; only luma is reconstructed (the avc1 round-12 posture). */
+  * Honesty bounds, all degrade-to-None: NxN partitions, P/B slices,
+  * SAO, deblocking, tiles/WPP, dependent or multiple slice segments,
+  * scaling lists, transform_skip/transquant_bypass, sign data
+  * hiding, cu_qp_delta, strong intra smoothing, >8-bit, non-4:2:0,
+  * long-term/RPS machinery. */
 object Hevc {
 
   // HEVC context init values (Tables 9-5..9-40 subset, initType 0 =
@@ -43,16 +59,233 @@ object Hevc {
   private val CtxSplitTrafo = 6 // split_transform_flag: 153, 138, 138
   private val CtxCbfLuma = 9 // cbf_luma: 111, 141
   private val CtxCbfC = 11 // cbf_cb / cbf_cr: 94, 138, 182, 154
+  // ---- residual-coding contexts (round 15, Tables 9-x initType 0):
+  // one 18-value row initializes BOTH last-x and last-y pools (the
+  // spec repeats it), 15 luma + 3 chroma each
+  private val CtxLastX = 15
+  private val CtxLastY = 33
+  private val CtxCsbf = 51 // coded_sub_block_flag: 2 luma + 2 chroma
+  private val CtxSig = 55 // sig_coeff_flag: 27 luma + 15 chroma
+  private val CtxGt1 = 97 // greater1: 16 luma + 8 chroma
+  private val CtxGt2 = 121 // greater2: 4 luma + 2 chroma
+  private val LastInit = Array(
+    110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143,
+    127, 111, 79, 108, 123, 63)
   private val InitVals: Array[Int] = Array(
     139, 141, 157, 184, 184, 63, 153, 138, 138, 111, 141,
-    94, 138, 182, 154)
+    94, 138, 182, 154) ++
+    LastInit ++ LastInit ++
+    Array(121, 140, 61, 154) ++ // coded_sub_block_flag
+    Array( // sig_coeff_flag (27 luma + 15 chroma)
+      111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125, 141,
+      179, 153, 125, 107, 125, 141, 179, 153, 125, 107, 125, 141,
+      179, 153, 125, 140, 139, 182, 182, 152, 136, 152, 136, 153,
+      136, 139, 111, 136, 139, 111) ++
+    Array( // coeff_abs_level_greater1 (16 luma + 8 chroma)
+      140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92,
+      139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197) ++
+    Array(138, 153, 136, 167, 152, 152) // greater2 (4 luma + 2 chroma)
+  assert(InitVals.length == 127, s"HEVC ctx pool: ${InitVals.length}")
   private val InitPairs: Array[Int] = InitVals.flatMap { iv =>
     Array((iv >> 4) * 5 - 45, ((iv & 15) << 3) - 16)
+  }
+
+  // ---- scans (round 15): 4x4 in-sub-block position orders as
+  // (y << 2) | x, scan position 0 = DC; 0 = up-right diagonal,
+  // 1 = horizontal, 2 = vertical (6.5.3)
+  private val Scan4: Array[Array[Int]] = {
+    val diag = {
+      val out = new Array[Int](16)
+      var i = 0
+      var d = 0
+      while (d <= 6) { // anti-diagonals, bottom-left to top-right
+        var y = math.min(d, 3)
+        while (y >= 0 && d - y <= 3) {
+          val x = d - y
+          if (x >= 0 && x <= 3) { out(i) = (y << 2) | x; i += 1 }
+          y -= 1
+        }
+        d += 1
+      }
+      out
+    }
+    val hor = Array.tabulate(16)(identity)
+    val ver = Array.tabulate(16)(i => ((i & 3) << 2) | (i >> 2))
+    Array(diag, hor, ver)
+  }
+  /** sub-block scan for an n x n grid of 4x4 sub-blocks, same
+    * pattern; entries (y * n + x). */
+  private def subScan(n: Int, scanIdx: Int): Array[Int] = {
+    val out = new Array[Int](n * n)
+    var i = 0
+    if (scanIdx == 1) { var k = 0; while (k < n * n) { out(k) = k; k += 1 }; i = n * n }
+    else if (scanIdx == 2) {
+      var x = 0
+      while (x < n) { var y = 0; while (y < n) { out(i) = y * n + x; i += 1; y += 1 }; x += 1 }
+    } else {
+      var d = 0
+      while (d <= 2 * (n - 1)) {
+        var y = math.min(d, n - 1)
+        while (y >= 0 && d - y <= n - 1) {
+          out(i) = y * n + (d - y); i += 1; y -= 1
+        }
+        d += 1
+      }
+    }
+    out
+  }
+  /** sig_coeff_flag 4x4 position ctx map (9.3.4.2.5). */
+  private val SigCtx4x4 = Array(
+    0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+  /** intraPredAngle for modes 2..34 (Table 8-5). */
+  private val PredAngle = Array(
+    32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26,
+    -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26,
+    32)
+  /** invAngle for modes 11..25 (Table 8-6). */
+  private val InvAngle = Array(
+    -4096, -1638, -910, -630, -482, -390, -315, -256, -315, -390,
+    -482, -630, -910, -1638, -4096)
+  /** dequant levelScale (8.6.3). */
+  private val LevelScale = Array(40, 45, 51, 57, 64, 72)
+  /** Core transform matrices (8.6.4): T4/T8 hardcoded from the spec;
+    * T16/T32 generated from them by the exact structural identities
+    * of the standard's matrix — even rows are the half-size rows
+    * reflected (T2N[2k][2N-1-n] = TN[k][n]), odd rows index the fixed
+    * odd-phase constant sets via the cosine argument — so the only
+    * transcribed constants are the canonical 4/8/16/32 basis values.
+    * DST-VII 4x4 (intra luma 4x4) uses {29, 55, 74, 84}. */
+  private val Dst4 = Array(
+    Array(29, 55, 74, 84), Array(74, 74, 0, -74),
+    Array(84, -29, -74, 55), Array(55, -84, 74, -29))
+  private val Dct4 = Array(
+    Array(64, 64, 64, 64), Array(83, 36, -36, -83),
+    Array(64, -64, -64, 64), Array(36, -83, 83, -36))
+  private val Dct8: Array[Array[Int]] = {
+    val o = Array(89, 75, 50, 18)
+    val t = Array.ofDim[Int](8, 8)
+    var k = 0
+    while (k < 4) {
+      var n = 0
+      while (n < 4) {
+        t(2 * k)(n) = Dct4(k)(n)
+        t(2 * k)(7 - n) = Dct4(k)(n)
+        n += 1
+      }
+      k += 1
+    }
+    var r = 1
+    while (r < 8) { // odd rows from the cosine index of (2n+1)r/16
+      var n = 0
+      while (n < 8) {
+        var a = ((2 * n + 1) * r) % 32
+        if (a > 16) a = 32 - a
+        t(r)(n) = if (a < 8) o((a - 1) / 2) else -o((16 - a - 1) / 2)
+        n += 1
+      }
+      r += 2
+    }
+    t
+  }
+  private def expandDct(half: Array[Array[Int]],
+      odd: Array[Int]): Array[Array[Int]] = {
+    val m = half.length
+    val nN = 2 * m
+    val t = Array.ofDim[Int](nN, nN)
+    var k = 0
+    while (k < m) {
+      var n = 0
+      while (n < m) {
+        t(2 * k)(n) = half(k)(n)
+        t(2 * k)(nN - 1 - n) = half(k)(n)
+        n += 1
+      }
+      k += 1
+    }
+    var r = 1
+    while (r < nN) {
+      var n = 0
+      while (n < nN) {
+        var a = ((2 * n + 1) * r) % (4 * nN)
+        if (a > 2 * nN) a = 4 * nN - a
+        t(r)(n) =
+          if (a < nN) odd((a - 1) / 2) else -odd((2 * nN - a - 1) / 2)
+        n += 1
+      }
+      r += 2
+    }
+    t
+  }
+  private val Dct16 = expandDct(Dct8,
+    Array(90, 87, 80, 70, 57, 43, 25, 9))
+  private val Dct32 = expandDct(Dct16,
+    Array(90, 90, 88, 85, 82, 78, 73, 67, 61, 54, 46, 38, 31, 22, 13,
+      4))
+  assert(Dct16(1)(0) == 90 && Dct16(2)(0) == 89 && Dct16(15)(0) == 9 &&
+    Dct32(1)(0) == 90 && Dct32(31)(0) == 4, "transform generation pins")
+  private def dctOf(nT: Int): Array[Array[Int]] = nT match {
+    case 4 => Dct4
+    case 8 => Dct8
+    case 16 => Dct16
+    case _ => Dct32
+  }
+
+  /** Inverse transform (8.6.4, 8-bit): two full matrix passes with
+    * the spec's intermediate clip and shifts (7 then 12). `coef` is
+    * raster nT x nT; returns raster residuals. */
+  private def invTransform(coef: Array[Int], nT: Int,
+      dst: Boolean): Array[Int] = {
+    val t = if (dst) Dst4 else dctOf(nT)
+    // pass 1 (columns): e[x][y] = sum_k T[k][y] * coef[x + k*nT]
+    val mid = new Array[Int](nT * nT)
+    var x = 0
+    while (x < nT) {
+      var y = 0
+      while (y < nT) {
+        var acc = 0
+        var k = 0
+        while (k < nT) { acc += t(k)(y) * coef(k * nT + x); k += 1 }
+        var v = (acc + 64) >> 7
+        if (v < -32768) v = -32768 else if (v > 32767) v = 32767
+        mid(y * nT + x) = v
+        y += 1
+      }
+      x += 1
+    }
+    // pass 2 (rows)
+    val out = new Array[Int](nT * nT)
+    var y2 = 0
+    while (y2 < nT) {
+      var x2 = 0
+      while (x2 < nT) {
+        var acc = 0
+        var k = 0
+        while (k < nT) { acc += t(k)(x2) * mid(y2 * nT + k); k += 1 }
+        var v = (acc + 2048) >> 12
+        if (v < -32768) v = -32768 else if (v > 32767) v = 32767
+        out(y2 * nT + x2) = v
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Dequant (8.6.3, no scaling lists, 8-bit): bdShift = log2 + 3. */
+  private def dequant(level: Int, qp: Int, log2Size: Int): Int = {
+    val bd = log2Size + 3
+    val v = ((level * 16 * LevelScale(qp % 6)) << (qp / 6)) +
+      (1 << (bd - 1)) >> bd
+    if (v < -32768) -32768 else if (v > 32767) 32767 else v
   }
 
   private object ParseFail extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
+
+  /** Test hook: a fresh context pool (the I-slice init column). */
+  private[graft] def ctxPool(qp: Int): H264Cabac.Ctx =
+    new H264Cabac.Ctx(qp, InitPairs)
 
   private final class BitReader(val bytes: Array[Byte]) {
     var pos: Int = 0
@@ -114,7 +347,8 @@ object Hevc {
       width: Int, height: Int, ctbLog2: Int, minCbLog2: Int,
       maxTbLog2: Int, minTbLog2: Int, pcmEnabled: Boolean,
       pcmMinLog2: Int, pcmMaxLog2: Int,
-      cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0) {
+      cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0,
+      maxDepthIntra: Int = 0) {
     /** Conformance-window output size (7.4.3.2.1). */
     def outW: Int = width - cropL - cropR
     def outH: Int = height - cropT - cropB
@@ -159,11 +393,9 @@ object Hevc {
     if (ctbLog2 > 6 || minCbLog2 < 3 || maxTbLog2 > 5 ||
       maxTbLog2 > ctbLog2) throw ParseFail
     br.ue() // max_transform_hierarchy_depth_inter
-    // ADVICE r14: with depth_intra >= 1 a 2Nx2N CU sized inside
-    // (minTbLog2, maxTbLog2] DOES carry split_transform_flag at
-    // trafoDepth 0 — skipping it would desync, so refuse loudly here
-    // until decodeCqt reads the transform tree.
-    if (br.ue() != 0) throw ParseFail // max_transform_hierarchy_depth_intra
+    val maxDepthIntra = br.ue() // round 15: the transform tree reads
+    // split_transform_flag for real now (ADVICE r14 closed properly)
+    if (maxDepthIntra > 4) throw ParseFail
     if (br.bit() == 1) throw ParseFail // scaling_list_enabled
     br.bit() // amp_enabled (irrelevant: intra only)
     if (br.bit() == 1) throw ParseFail // sample_adaptive_offset
@@ -186,7 +418,8 @@ object Hevc {
     // 32x32 bilinear path is out of the starter subset)
     // vui/extensions ignored
     HSps(width, height, ctbLog2, minCbLog2, maxTbLog2, minTbLog2,
-      pcmEnabled, pcmMin, pcmMax, cropL, cropR, cropT, cropB)
+      pcmEnabled, pcmMin, pcmMax, cropL, cropR, cropT, cropB,
+      maxDepthIntra)
   }
 
   private def parsePps(rbsp: Array[Byte]): HPps = {
@@ -368,11 +601,109 @@ object Hevc {
     }
   }
 
-  /** PLANAR (8.4.4.2.4) / DC (8.4.4.2.5 with luma boundary smoothing)
-    * prediction written straight into the plane. */
+  /** PLANAR (8.4.4.2.4) / DC (8.4.4.2.5 with luma boundary
+    * smoothing) / ANGULAR 2-34 (8.4.4.2.6, round 15 — including the
+    * invAngle side projection, the 5-bit fraction interpolation and
+    * the mode-10/26 luma boundary filter) written straight into the
+    * plane. Reference filtering per 8.4.4.2.3 (planar at nT >= 8;
+    * angular by minDistVerHor vs the per-size threshold). */
   private def predictIntra(pic: Pic, x0: Int, y0: Int, nT: Int,
       mode: Int): Unit = {
     val lg = Integer.numberOfTrailingZeros(nT)
+    if (mode >= 2) { // angular
+      val thresh = nT match {
+        case 8 => 7
+        case 16 => 1
+        case 32 => 0
+        case _ => 99 // 4x4: never filtered
+      }
+      val minDist = math.min(math.abs(mode - 26), math.abs(mode - 10))
+      val (corner, left, top) =
+        gatherRefs(pic, x0, y0, nT, filter = minDist > thresh)
+      val angle = PredAngle(mode - 2)
+      val off = nT + 1 // ref index offset: ref(-nT..2nT)
+      val ref = new Array[Int](3 * nT + 2)
+      if (mode >= 18) { // main reference = top row
+        ref(off) = corner
+        var x = 1
+        while (x <= 2 * nT) { ref(off + x) = top(x - 1); x += 1 }
+        if (angle < 0) {
+          val lo = (nT * angle) >> 5
+          val inv = InvAngle(mode - 11)
+          var k = -1
+          while (k >= lo) {
+            val j = -1 + ((k * inv + 128) >> 8)
+            ref(off + k) = if (j < 0) corner else left(j)
+            k -= 1
+          }
+        }
+        var y = 0
+        while (y < nT) {
+          val iIdx = ((y + 1) * angle) >> 5
+          val iFact = ((y + 1) * angle) & 31
+          var x2 = 0
+          while (x2 < nT) {
+            val a = ref(off + x2 + iIdx + 1)
+            val v =
+              if (iFact == 0) a
+              else ((32 - iFact) * a +
+                iFact * ref(off + x2 + iIdx + 2) + 16) >> 5
+            pic.luma((y0 + y) * pic.stride + x0 + x2) = v
+            x2 += 1
+          }
+          y += 1
+        }
+        if (mode == 26 && nT < 32) { // vertical boundary filter
+          var y2 = 0
+          while (y2 < nT) {
+            val v = top(0) + ((left(y2) - corner) >> 1)
+            pic.luma((y0 + y2) * pic.stride + x0) =
+              if (v < 0) 0 else if (v > 255) 255 else v
+            y2 += 1
+          }
+        }
+      } else { // modes 2..17: main reference = left column
+        ref(off) = corner
+        var y = 1
+        while (y <= 2 * nT) { ref(off + y) = left(y - 1); y += 1 }
+        if (angle < 0) {
+          val lo = (nT * angle) >> 5
+          val inv = InvAngle(mode - 11)
+          var k = -1
+          while (k >= lo) {
+            val j = -1 + ((k * inv + 128) >> 8)
+            ref(off + k) = if (j < 0) corner else top(j)
+            k -= 1
+          }
+        }
+        var x2 = 0
+        while (x2 < nT) {
+          val iIdx = ((x2 + 1) * angle) >> 5
+          val iFact = ((x2 + 1) * angle) & 31
+          var y2 = 0
+          while (y2 < nT) {
+            val a = ref(off + y2 + iIdx + 1)
+            val v =
+              if (iFact == 0) a
+              else ((32 - iFact) * a +
+                iFact * ref(off + y2 + iIdx + 2) + 16) >> 5
+            pic.luma((y0 + y2) * pic.stride + x0 + x2) = v
+            y2 += 1
+          }
+          x2 += 1
+        }
+        if (mode == 10 && nT < 32) { // horizontal boundary filter
+          var x3 = 0
+          while (x3 < nT) {
+            val v = left(0) + ((top(x3) - corner) >> 1)
+            pic.luma(y0 * pic.stride + x0 + x3) =
+              if (v < 0) 0 else if (v > 255) 255 else v
+            x3 += 1
+          }
+        }
+      }
+      return
+    }
     if (mode == 0) { // planar (refs filtered at nT >= 8)
       val (_, left, top) = gatherRefs(pic, x0, y0, nT, filter = nT >= 8)
       var y = 0
@@ -414,10 +745,513 @@ object Hevc {
     }
   }
 
+  /** Fixture-encoder mirror of [[residualCoding]] (luma): emits one
+    * TU's coefficients through the same scans, contexts and
+    * adaptation, so encode -> decode is exact by construction. */
+  private[graft] def putResidual(enc: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      log2Size: Int, scanIdx: Int, coef: Array[Int]): Unit = {
+    val nT = 1 << log2Size
+    require(coef.length == nT * nT, "coef raster size")
+    val nSb = nT >> 2
+    val sbScan = subScan(nSb, scanIdx)
+    val posScan = Scan4(scanIdx)
+    // locate the last significant coefficient in scan order
+    var lastSb = -1
+    var lastPos = -1
+    var sb = nSb * nSb - 1
+    while (sb >= 0 && lastSb < 0) {
+      val sbX = sbScan(sb) % nSb
+      val sbY = sbScan(sb) / nSb
+      var n = 15
+      while (n >= 0 && lastSb < 0) {
+        val pp = posScan(n)
+        val xC = (sbX << 2) + (pp & 3)
+        val yC = (sbY << 2) + (pp >> 2)
+        if (coef(yC * nT + xC) != 0) { lastSb = sb; lastPos = n }
+        n -= 1
+      }
+      sb -= 1
+    }
+    require(lastSb >= 0, "putResidual needs a nonzero coefficient")
+    val lastSbX = sbScan(lastSb) % nSb
+    val lastSbY = sbScan(lastSb) / nSb
+    val lp = posScan(lastPos)
+    var lastX = (lastSbX << 2) + (lp & 3)
+    var lastY = (lastSbY << 2) + (lp >> 2)
+    if (scanIdx == 2) { val t = lastX; lastX = lastY; lastY = t }
+    val ctxOffset = 3 * (log2Size - 2) + ((log2Size - 1) >> 2)
+    val ctxShift = (log2Size + 1) >> 2
+    val cMax = (log2Size << 1) - 1
+    // 7.3.8.11 order: BOTH prefixes (context-coded), then both
+    // bypass suffixes
+    def prefixOf(v: Int): Int =
+      if (v <= 3) v
+      else {
+        var nb = 1
+        while ((v >> nb) >= 2) nb += 1 // nb = floor(log2 v)
+        // group base (2 + (p & 1)) << ((p >> 1) - 1): p = 2*nb for
+        // v in [2^nb, 3*2^(nb-1)), p = 2*nb + 1 above
+        (nb << 1) + ((v >> (nb - 1)) & 1)
+      }
+    def putLastPrefix(base: Int, prefix: Int): Unit = {
+      var b = 0
+      while (b < prefix) {
+        enc.decision(cx, base + ctxOffset + (b >> ctxShift), bin = true)
+        b += 1
+      }
+      if (prefix < cMax)
+        enc.decision(cx, base + ctxOffset + (prefix >> ctxShift),
+          bin = false)
+    }
+    def putLastSuffix(prefix: Int, v: Int): Unit =
+      if (prefix > 3) {
+        val nBits = (prefix >> 1) - 1
+        val suf = v - ((2 + (prefix & 1)) << nBits)
+        var j = nBits - 1
+        while (j >= 0) { enc.bypass(((suf >> j) & 1) == 1); j -= 1 }
+      }
+    val pfxX = prefixOf(lastX)
+    val pfxY = prefixOf(lastY)
+    putLastPrefix(CtxLastX, pfxX)
+    putLastPrefix(CtxLastY, pfxY)
+    putLastSuffix(pfxX, lastX)
+    putLastSuffix(pfxY, lastY)
+    val csbf = new Array[Boolean](nSb * nSb)
+    var i = 0
+    while (i < nSb * nSb) {
+      val sbX = sbScan(i) % nSb
+      val sbY = sbScan(i) / nSb
+      var any = false
+      var n = 0
+      while (n < 16) {
+        val pp = posScan(n)
+        if (coef(((sbY << 2) + (pp >> 2)) * nT + (sbX << 2) + (pp & 3))
+          != 0) any = true
+        n += 1
+      }
+      csbf(sbScan(i)) = any || i == 0 || i == lastSb
+      i += 1
+    }
+    var gt1Carry = 1
+    sb = lastSb
+    while (sb >= 0) {
+      val sbPos = sbScan(sb)
+      val sbX = sbPos % nSb
+      val sbY = sbPos / nSb
+      val explicit = sb != lastSb && sb != 0 && nSb > 1
+      if (explicit) {
+        val right = sbX + 1 < nSb && csbf(sbY * nSb + sbX + 1)
+        val below = sbY + 1 < nSb && csbf((sbY + 1) * nSb + sbX)
+        enc.decision(cx, CtxCsbf + (if (right || below) 1 else 0),
+          csbf(sbPos))
+      }
+      if (csbf(sbPos)) {
+        val prevCsbf =
+          (if (sbX + 1 < nSb && csbf(sbY * nSb + sbX + 1)) 1 else 0) |
+            (if (sbY + 1 < nSb && csbf((sbY + 1) * nSb + sbX)) 2 else 0)
+        val sigPos = new Array[Int](16)
+        val sigVal = new Array[Int](16)
+        var nSig = 0
+        def cAt(n: Int): Int = {
+          val pp = posScan(n)
+          coef(((sbY << 2) + (pp >> 2)) * nT + (sbX << 2) + (pp & 3))
+        }
+        if (sb == lastSb) {
+          sigPos(nSig) = lastPos; sigVal(nSig) = cAt(lastPos); nSig += 1
+        }
+        var n = if (sb == lastSb) lastPos - 1 else 15
+        while (n >= 0) {
+          val pp = posScan(n)
+          val xB = pp & 3
+          val yB = pp >> 2
+          val xC = (sbX << 2) + xB
+          val yC = (sbY << 2) + yB
+          val v = coef(yC * nT + xC)
+          val inferDc = n == 0 && explicit && nSig == 0
+          if (inferDc) require(v != 0,
+            "explicit coded sub-block with only a zero DC is unencodable")
+          if (!inferDc) {
+            val sigCtx =
+              if (log2Size == 2) SigCtx4x4(pp)
+              else if (xC == 0 && yC == 0) 0
+              else {
+                var c0 = prevCsbf match {
+                  case 0 =>
+                    if (xB + yB == 0) 2 else if (xB + yB < 3) 1 else 0
+                  case 1 => if (yB == 0) 2 else if (yB == 1) 1 else 0
+                  case 2 => if (xB == 0) 2 else if (xB == 1) 1 else 0
+                  case _ => 2
+                }
+                if ((sbX | sbY) != 0) c0 += 3
+                c0 + (if (log2Size == 3) { if (scanIdx == 0) 9 else 15 }
+                else 21)
+              }
+            enc.decision(cx, CtxSig + sigCtx, v != 0)
+          }
+          if (v != 0) { sigPos(nSig) = n; sigVal(nSig) = v; nSig += 1 }
+          n -= 1
+        }
+        if (nSig > 0) {
+          val ctxSet0 = (if (sb > 0) 2 else 0) +
+            (if (gt1Carry == 0) 1 else 0)
+          var c1 = 1
+          var firstG2 = -1
+          var k = 0
+          val nGt1 = math.min(nSig, 8)
+          while (k < nGt1) {
+            val g = math.abs(sigVal(k)) > 1
+            enc.decision(cx, CtxGt1 + ctxSet0 * 4 + c1, g)
+            if (g) { c1 = 0; if (firstG2 < 0) firstG2 = k }
+            else if (c1 > 0 && c1 < 3) c1 += 1
+            k += 1
+          }
+          gt1Carry = c1
+          if (firstG2 >= 0)
+            enc.decision(cx, CtxGt2 + ctxSet0,
+              math.abs(sigVal(firstG2)) > 2)
+          k = 0
+          while (k < nSig) { enc.bypass(sigVal(k) < 0); k += 1 }
+          var rice = 0
+          k = 0
+          while (k < nSig) {
+            val a = math.abs(sigVal(k))
+            val baseLevel =
+              if (k < 8) {
+                if (k == firstG2) math.min(a, 3) else math.min(a, 2)
+              } else 1
+            val flagged =
+              if (k < 8) { if (k == firstG2) 3 else 2 } else 1
+            if (baseLevel == flagged && a >= flagged) {
+              val rem = a - flagged
+              // Golomb-Rice with the 4-run escape, mirror of decode
+              val q = rem >> rice
+              if (q < 4) {
+                var b = 0
+                while (b < q) { enc.bypass(bin = true); b += 1 }
+                enc.bypass(bin = false)
+                var j = rice - 1
+                while (j >= 0) { enc.bypass(((rem >> j) & 1) == 1); j -= 1 }
+              } else {
+                // prefix p > 3: rem = ((2^(p-3) + 2) << rice) + suffix
+                var pfx = 4
+                while (rem >= (((1 << (pfx - 3)) + 3 - 1) << rice) +
+                  (1 << (pfx - 3 + rice))) pfx += 1
+                var b = 0
+                while (b < pfx) { enc.bypass(bin = true); b += 1 }
+                enc.bypass(bin = false)
+                val nb = pfx - 3 + rice
+                val suf = rem - ((((1 << (pfx - 3)) + 3 - 1) << rice))
+                require(suf >= 0 && suf < (1 << nb), s"rice escape: $rem")
+                var j = nb - 1
+                while (j >= 0) { enc.bypass(((suf >> j) & 1) == 1); j -= 1 }
+              }
+            }
+            if (a > (3 << rice) && rice < 4) rice += 1
+            k += 1
+          }
+        }
+      }
+      sb -= 1
+    }
+  }
+
+  /** Mode-dependent scan selection (6.5.3 / 7.4.9.11): horizontal
+    * for near-vertical modes 22-30, vertical for near-horizontal
+    * 6-14, diagonal otherwise; only for 4x4/8x8 luma and 4x4 chroma
+    * intra TUs. */
+  private def scanIdxOf(log2Size: Int, cIdx: Int, mode: Int): Int =
+    if ((cIdx == 0 && log2Size <= 3) || (cIdx > 0 && log2Size == 2)) {
+      if (mode >= 6 && mode <= 14) 2
+      else if (mode >= 22 && mode <= 30) 1
+      else 0
+    } else 0
+
+  /** residual_coding (7.3.8.11, round 15): returns the raster
+    * coefficient array (nT x nT) or null on a malformed stream. The
+    * SAME helper parses chroma blocks (cIdx > 0) for bitstream sync —
+    * chroma stays unreconstructed. */
+  private[graft] def residualCoding(dec: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      log2Size: Int, cIdx: Int, scanIdx: Int): Array[Int] = {
+    val nT = 1 << log2Size
+    val luma = cIdx == 0
+    // last_sig_coeff_{x,y}: TR prefix over size-dependent contexts +
+    // FL bypass suffix (9.3.4.2.3)
+    val ctxOffset = if (luma) 3 * (log2Size - 2) + ((log2Size - 1) >> 2) else 15
+    val ctxShift = if (luma) (log2Size + 1) >> 2 else log2Size - 2
+    val cMax = (log2Size << 1) - 1
+    def lastPrefix(base: Int): Int = {
+      var v = 0
+      while (v < cMax &&
+        dec.decision(cx, base + ctxOffset + (v >> ctxShift))) v += 1
+      v
+    }
+    def lastVal(prefix: Int): Int =
+      if (prefix <= 3) prefix
+      else {
+        val nBits = (prefix >> 1) - 1
+        var suf = 0
+        var i = 0
+        while (i < nBits) { suf = (suf << 1) | (if (dec.bypass()) 1 else 0); i += 1 }
+        ((2 + (prefix & 1)) << nBits) + suf
+      }
+    val px = lastPrefix(CtxLastX)
+    val py = lastPrefix(CtxLastY)
+    var lastX = lastVal(px)
+    var lastY = lastVal(py)
+    if (scanIdx == 2) { val t = lastX; lastX = lastY; lastY = t }
+    if (lastX >= nT || lastY >= nT) return null
+    val nSb = nT >> 2 // sub-blocks per side
+    val sbScan = subScan(nSb, scanIdx)
+    val posScan = Scan4(scanIdx)
+    // locate the last coefficient's (sub-block scan idx, in-sb idx)
+    val lastSbX = lastX >> 2
+    val lastSbY = lastY >> 2
+    var lastSb = -1
+    var i = 0
+    while (i < nSb * nSb && lastSb < 0) {
+      if (sbScan(i) == lastSbY * nSb + lastSbX) lastSb = i
+      i += 1
+    }
+    var lastPos = -1
+    i = 0
+    while (i < 16 && lastPos < 0) {
+      val p = posScan(i)
+      if ((p >> 2) == (lastY & 3) && (p & 3) == (lastX & 3)) lastPos = i
+      i += 1
+    }
+    if (lastSb < 0 || lastPos < 0) return null
+    val coef = new Array[Int](nT * nT)
+    val csbf = new Array[Boolean](nSb * nSb)
+    csbf(lastSbY * nSb + lastSbX) = true
+    csbf(0) = true
+    // greater1 context-set carry across THIS TU's sub-blocks
+    // (9.3.4.2.6: +1 set when the previous sub-block ended c1 == 0)
+    var gt1Carry = 1
+    var sb = lastSb
+    while (sb >= 0) {
+      val sbPos = sbScan(sb)
+      val sbX = sbPos % nSb
+      val sbY = sbPos / nSb
+      val explicit = sb != lastSb && sb != 0 && nSb > 1
+      val coded =
+        if (!explicit) csbf(sbPos)
+        else {
+          val right = sbX + 1 < nSb && csbf(sbY * nSb + sbX + 1)
+          val below = sbY + 1 < nSb && csbf((sbY + 1) * nSb + sbX)
+          val inc = (if (right || below) 1 else 0) + (if (luma) 0 else 2)
+          val c = dec.decision(cx, CtxCsbf + inc)
+          csbf(sbPos) = c
+          c
+        }
+      if (coded) {
+        val prevCsbf =
+          (if (sbX + 1 < nSb && csbf(sbY * nSb + sbX + 1)) 1 else 0) |
+            (if (sbY + 1 < nSb && csbf((sbY + 1) * nSb + sbX)) 2 else 0)
+        // significance map (descending scan), last coeff implicit
+        val sigPos = new Array[Int](16)
+        var nSig = 0
+        if (sb == lastSb) { sigPos(nSig) = lastPos; nSig += 1 }
+        var n = if (sb == lastSb) lastPos - 1 else 15
+        while (n >= 0) {
+          val p = posScan(n)
+          val xB = p & 3
+          val yB = p >> 2
+          val xC = (sbX << 2) + xB
+          val yC = (sbY << 2) + yB
+          val inferDc = n == 0 && explicit && nSig == 0
+          val sig =
+            if (inferDc) true
+            else {
+              val sigCtx =
+                if (log2Size == 2) SigCtx4x4(p)
+                else if (xC == 0 && yC == 0) 0
+                else {
+                  var c0 = prevCsbf match {
+                    case 0 =>
+                      if (xB + yB == 0) 2 else if (xB + yB < 3) 1 else 0
+                    case 1 => if (yB == 0) 2 else if (yB == 1) 1 else 0
+                    case 2 => if (xB == 0) 2 else if (xB == 1) 1 else 0
+                    case _ => 2
+                  }
+                  if (luma && (sbX | sbY) != 0) c0 += 3
+                  c0 + (if (log2Size == 3) { if (scanIdx == 0) 9 else 15 }
+                  else if (luma) 21
+                  else 12)
+                }
+              dec.decision(cx,
+                CtxSig + (if (luma) 0 else 27) + sigCtx)
+            }
+          if (sig) { sigPos(nSig) = n; nSig += 1 }
+          n -= 1
+        }
+        if (nSig > 0) {
+          // greater1 (first 8), greater2 (first gt1), signs, remaining
+          val absC = new Array[Int](nSig)
+          val ctxSet0 = (if (sb > 0 && luma) 2 else 0) +
+            (if (gt1Carry == 0) 1 else 0)
+          var c1 = 1
+          var firstG2 = -1
+          var k = 0
+          val nGt1 = math.min(nSig, 8)
+          while (k < nGt1) {
+            val g = dec.decision(cx,
+              CtxGt1 + (if (luma) 0 else 16) + ctxSet0 * 4 + c1)
+            if (g) {
+              c1 = 0
+              if (firstG2 < 0) firstG2 = k
+            } else if (c1 > 0 && c1 < 3) c1 += 1
+            absC(k) = if (g) 2 else 1
+            k += 1
+          }
+          gt1Carry = c1
+          while (k < nSig) { absC(k) = 1; k += 1 }
+          if (firstG2 >= 0) {
+            if (dec.decision(cx,
+              CtxGt2 + (if (luma) 0 else 4) + ctxSet0)) absC(firstG2) += 1
+          }
+          val neg = new Array[Boolean](nSig)
+          k = 0
+          while (k < nSig) { neg(k) = dec.bypass(); k += 1 }
+          var rice = 0
+          k = 0
+          while (k < nSig) {
+            val baseLevel =
+              if (k < 8) { if (k == firstG2) 3 else 2 } else 1
+            var lvl = absC(k)
+            if (lvl == baseLevel) {
+              // coeff_abs_level_remaining: Golomb-Rice + EG escape
+              var prefix = 0
+              while (prefix < 24 && dec.bypass()) prefix += 1
+              if (prefix >= 24) return null
+              var rem = 0
+              if (prefix <= 3) {
+                var b = 0
+                while (b < rice) {
+                  rem = (rem << 1) | (if (dec.bypass()) 1 else 0)
+                  b += 1
+                }
+                rem += prefix << rice
+              } else {
+                val nb = prefix - 3 + rice
+                if (nb > 24) return null
+                var v2 = 0
+                var b = 0
+                while (b < nb) {
+                  v2 = (v2 << 1) | (if (dec.bypass()) 1 else 0)
+                  b += 1
+                }
+                rem = (((1 << (prefix - 3)) + 3 - 1) << rice) + v2
+              }
+              lvl += rem
+            }
+            if (lvl > (3 << rice) && rice < 4) rice += 1
+            val p = posScan(sigPos(k))
+            val xC = (sbX << 2) + (p & 3)
+            val yC = (sbY << 2) + (p >> 2)
+            coef(yC * nT + xC) = if (neg(k)) -lvl else lvl
+            if (lvl > 32767) return null
+            k += 1
+          }
+        }
+      }
+      sb -= 1
+    }
+    coef
+  }
+  /** transform_tree + transform_unit (7.3.8.8/7.3.8.10, round 15,
+    * intra 2Nx2N): coded split_transform_flag with the 5-log2 ctx,
+    * per-depth cbf_cb/cbf_cr (4x4 leaves inherit the 8x8 parent's;
+    * their chroma residual rides blkIdx 3), cbf_luma with the
+    * trafoDepth-0 ctx, per-TU intra prediction from RECONSTRUCTED
+    * neighbors, luma residual decode + dequant + inverse DST/DCT,
+    * chroma residuals parsed for sync (house posture: luma-only
+    * reconstruction). */
+  private def transformTree(pic: Pic, dec: H264Cabac.Dec,
+      cx: H264Cabac.Ctx, x0: Int, y0: Int, log2Size: Int,
+      trafoDepth: Int, mode: Int, chromaMode: Int, qp: Int,
+      parentCbfCb: Boolean, parentCbfCr: Boolean, blkIdx: Int,
+      xBase: Int, yBase: Int): Boolean = {
+    val sps = pic.sps
+    val forced = log2Size > sps.maxTbLog2
+    val split =
+      if (forced) true
+      else if (log2Size > sps.minTbLog2 &&
+        trafoDepth < sps.maxDepthIntra)
+        dec.decision(cx, CtxSplitTrafo + (5 - log2Size))
+      else false
+    var cbfCb = parentCbfCb
+    var cbfCr = parentCbfCr
+    if (log2Size > 2) {
+      if (trafoDepth == 0 || parentCbfCb)
+        cbfCb = dec.decision(cx, CtxCbfC + trafoDepth)
+      if (trafoDepth == 0 || parentCbfCr)
+        cbfCr = dec.decision(cx, CtxCbfC + trafoDepth)
+    }
+    if (split) {
+      val half = 1 << (log2Size - 1)
+      var i = 0
+      while (i < 4) {
+        if (!transformTree(pic, dec, cx, x0 + (i & 1) * half,
+          y0 + (i >> 1) * half, log2Size - 1, trafoDepth + 1, mode,
+          chromaMode, qp, cbfCb, cbfCr, i, x0, y0)) return false
+        i += 1
+      }
+      return true
+    }
+    // ---- transform_unit leaf
+    val cbfLuma = dec.decision(cx,
+      CtxCbfLuma + (if (trafoDepth == 0) 1 else 0))
+    val nT = 1 << log2Size
+    // intra-predict THIS TU now: split trees predict each TU from
+    // already-reconstructed neighbors (8.4.4.2.1)
+    predictIntra(pic, x0, y0, nT, mode)
+    pic.cellsSet(x0, y0, nT, -1, mode) // availability for later TUs;
+    // depth is rewritten at the CU level afterwards
+    if (cbfLuma) {
+      val scan = scanIdxOf(log2Size, 0, mode)
+      val coef = residualCoding(dec, cx, log2Size, 0, scan)
+      if (coef == null) return false
+      val dst = log2Size == 2 // intra luma 4x4: DST-VII
+      val dq = new Array[Int](nT * nT)
+      var k = 0
+      while (k < nT * nT) {
+        if (coef(k) != 0) dq(k) = dequant(coef(k), qp, log2Size)
+        k += 1
+      }
+      val res = invTransform(dq, nT, dst)
+      var y = 0
+      while (y < nT) {
+        var x = 0
+        while (x < nT) {
+          val kk = (y0 + y) * pic.stride + x0 + x
+          val v = pic.luma(kk) + res(y * nT + x)
+          pic.luma(kk) = if (v < 0) 0 else if (v > 255) 255 else v
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // chroma residuals: at this leaf when its chroma TU exists
+    // (log2 > 2), else on the parent's behalf at blkIdx 3
+    if (log2Size > 2) {
+      val cl = log2Size - 1
+      if (cbfCb && residualCoding(dec, cx, cl, 1,
+        scanIdxOf(cl, 1, chromaMode)) == null) return false
+      if (cbfCr && residualCoding(dec, cx, cl, 2,
+        scanIdxOf(cl, 2, chromaMode)) == null) return false
+    } else if (blkIdx == 3) {
+      if (cbfCb && residualCoding(dec, cx, 2, 1,
+        scanIdxOf(2, 1, chromaMode)) == null) return false
+      if (cbfCr && residualCoding(dec, cx, 2, 2,
+        scanIdxOf(2, 2, chromaMode)) == null) return false
+    }
+    true
+  }
+
   /** Decode one coding quadtree node; returns false on degrade. */
   private def decodeCqt(pic: Pic, dec: H264Cabac.Dec, cx: H264Cabac.Ctx,
       rbsp: Array[Byte], x0: Int, y0: Int, log2Size: Int,
-      depth: Int): Boolean = {
+      depth: Int, qp: Int): Boolean = {
     val sps = pic.sps
     val size = 1 << log2Size
     val inPicR = x0 + size <= sps.width
@@ -440,7 +1274,7 @@ object Hevc {
         val y1 = y0 + (i >> 1) * half
         if (x1 < sps.width && y1 < sps.height) {
           if (!decodeCqt(pic, dec, cx, rbsp, x1, y1, log2Size - 1,
-            depth + 1)) return false
+            depth + 1, qp)) return false
         }
         i += 1
       }
@@ -489,21 +1323,22 @@ object Hevc {
         while (k < 3) { if (m >= sorted(k)) m += 1; k += 1 }
         m
       }
-    if (mode > 1) return false // angular: out of the starter subset
-    // intra_chroma_pred_mode: '0' = derived (DM); '1' + 2 bypass =
-    // explicit list (parse-only; chroma not reconstructed)
-    if (dec.decision(cx, CtxChromaMode)) { dec.bypass(); dec.bypass() }
-    // transform tree: a CU wider than the max TU would force a split
-    // (out of subset); at CU == TU no split flag is read in the
-    // configurations this tier accepts (hierarchy depth gates it out)
-    if (log2Size > sps.maxTbLog2) return false
-    // cbf_cb, cbf_cr (trafoDepth 0), then cbf_luma — nonzero
-    // residuals degrade
-    if (dec.decision(cx, CtxCbfC)) return false
-    if (dec.decision(cx, CtxCbfC)) return false
-    if (dec.decision(cx, CtxCbfLuma + 1)) return false // ctxInc 1 at
-    // trafoDepth 0
-    predictIntra(pic, x0, y0, size, mode)
+    if (mode < 0 || mode > 34) return false
+    // intra_chroma_pred_mode (7.4.9.5/8.4.3): '0' = DM (the luma
+    // mode); '1' + 2 bypass bins index {planar, vertical, horizontal,
+    // DC} with the 34-substitution when the entry equals the luma
+    // mode. Chroma stays unreconstructed — the mode only drives the
+    // mode-dependent residual scan.
+    val chromaMode =
+      if (!dec.decision(cx, CtxChromaMode)) mode
+      else {
+        val idx = (if (dec.bypass()) 2 else 0) | (if (dec.bypass()) 1 else 0)
+        val m2 = Array(0, 26, 10, 1)(idx)
+        if (m2 == mode) 34 else m2
+      }
+    if (!transformTree(pic, dec, cx, x0, y0, log2Size, 0, mode,
+      chromaMode, qp, parentCbfCb = false, parentCbfCr = false,
+      blkIdx = 0, xBase = x0, yBase = y0)) return false
     pic.cellsSet(x0, y0, size, depth, mode)
     true
   }
@@ -579,7 +1414,7 @@ object Hevc {
       while (ctu < nCtbs && !end) {
         val x0 = (ctu % pic.ctbW) << sps.ctbLog2
         val y0 = (ctu / pic.ctbW) << sps.ctbLog2
-        if (!decodeCqt(pic, dec, cx, rbsp, x0, y0, sps.ctbLog2, 0))
+        if (!decodeCqt(pic, dec, cx, rbsp, x0, y0, sps.ctbLog2, 0, qp))
           return None
         ctu += 1
         end = dec.terminate() // end_of_slice_segment_flag
@@ -616,8 +1451,20 @@ object Hevc {
   sealed trait Cu
   /** I_PCM: raw luma, `pix(x, y)` local to the CU; chroma neutral. */
   final case class HPcm(pix: (Int, Int) => Int) extends Cu
-  /** Intra PLANAR (0) or DC (1), no residual. */
+  /** Intra mode 0-34 (planar/DC/angular since round 15), no
+    * residual. */
   final case class HIntra(mode: Int) extends Cu
+  /** Intra CU whose single TU carries sparse luma coefficients:
+    * (rasterPos, level) pairs over the nT x nT block (round 15). */
+  final case class HIntraCoded(mode: Int,
+      coeffs: Seq[(Int, Int)]) extends Cu
+  /** 16x16 intra CU with a SPLIT transform tree: four 8x8 TUs, one
+    * DC level each (z order; 0 = uncoded). Needs an SPS with
+    * max_transform_hierarchy_depth_intra >= 1. */
+  final case class HIntraSplit(mode: Int, dcs: Seq[Int]) extends Cu
+  /** 8x8 intra CU (inside a Quad) splitting into four 4x4 TUs — the
+    * DST-VII path. Same depth_intra >= 1 requirement. */
+  final case class HIntraSplit8(mode: Int, dcs: Seq[Int]) extends Cu
   /** One CTU: a single CU at full CTB size, or a one-level split into
     * four quadrant CUs (z order). */
   sealed trait Ctu
@@ -668,7 +1515,7 @@ object Hevc {
 
   /** SPS NAL: 4:2:0 8-bit, CTB 16 / min CU 8 / max TU 16, PCM 8..16,
     * no SAO, deblocking handled at the PPS, no RPS. */
-  def spsNal(width: Int, height: Int): Array[Byte] = {
+  def spsNal(width: Int, height: Int, depthIntra: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.put(0, 4) // vps id
     bw.put(0, 3) // max_sub_layers_minus1
@@ -692,7 +1539,8 @@ object Hevc {
     bw.putUe(1) // log2_diff -> CTB 16
     bw.putUe(0) // log2_min_tb_minus2 -> 4
     bw.putUe(2) // log2_diff tb -> max TU 16
-    bw.putUe(0); bw.putUe(0) // transform hierarchy depths
+    bw.putUe(0) // max_transform_hierarchy_depth_inter
+    bw.putUe(depthIntra) // max_transform_hierarchy_depth_intra
     bw.put(0, 1) // scaling_list
     bw.put(0, 1) // amp
     bw.put(0, 1) // sao
@@ -748,10 +1596,12 @@ object Hevc {
   /** IDR slice NAL over a ctbW x ctbH grid of 16-px CTUs, each from
     * `ctu(index)` (raster order). The encoder drives the SAME grids,
     * candidate lists and contexts as the decoder. */
-  def idrNal(ctbW: Int, ctbH: Int, ctu: Int => Ctu, qp: Int): Array[Byte] = {
+  def idrNal(ctbW: Int, ctbH: Int, ctu: Int => Ctu, qp: Int,
+      depthIntra: Int = 0): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     val sps = HSps(ctbW * 16, ctbH * 16, 4, 3, 4, 2,
-      pcmEnabled = true, pcmMinLog2 = 3, pcmMaxLog2 = 4)
+      pcmEnabled = true, pcmMinLog2 = 3, pcmMaxLog2 = 4,
+      maxDepthIntra = depthIntra)
     val pic = new Pic(sps)
     val bw = new BitWriter
     bw.put(1, 1) // first_slice_segment_in_pic
@@ -788,8 +1638,16 @@ object Hevc {
           while (c < 2 * (size >> 1) * (size >> 1)) { bw.putByte(128); c += 1 }
           pic.cellsSet(x0, y0, size, depth, 1)
           enc = new H264Cabac.Enc
-        case HIntra(mode) =>
-          require(mode == 0 || mode == 1, s"starter modes: planar/DC, got $mode")
+        case intra @ (HIntra(_) | HIntraCoded(_, _) | HIntraSplit(_, _) |
+            HIntraSplit8(_, _)) =>
+          val mode = intra match {
+            case HIntra(m) => m
+            case HIntraCoded(m, _) => m
+            case HIntraSplit(m, _) => m
+            case HIntraSplit8(m, _) => m
+            case _ => 0
+          }
+          require(mode >= 0 && mode <= 34, s"intra mode out of range: $mode")
           enc.terminate(bin = false) // pcm_flag 0
           val cands = candList(pic, x0, y0)
           val idx = cands.indexOf(mode)
@@ -807,12 +1665,109 @@ object Hevc {
             while (b >= 0) { enc.bypass(((rem >> b) & 1) == 1); b -= 1 }
           }
           enc.decision(cx, CtxChromaMode, bin = false) // chroma DM
-          enc.decision(cx, CtxCbfC, bin = false) // cbf_cb
-          enc.decision(cx, CtxCbfC, bin = false) // cbf_cr
-          enc.decision(cx, CtxCbfLuma + 1, bin = false) // cbf_luma
-          // reconstruct in the encoder's shadow picture so later CUs
-          // predict from the same samples the decoder sees
-          predictIntra(pic, x0, y0, size, mode)
+          // transform tree, mirroring the decoder's flag-presence
+          // rule: split flag at this CU when coded
+          val splitPresent = log2Size > sps.minTbLog2 &&
+            0 < sps.maxDepthIntra && log2Size <= sps.maxTbLog2
+          // dequant + inverse transform + add onto the shadow plane
+          def applyResidual(tx0: Int, ty0: Int, lg: Int,
+              coef: Array[Int]): Unit = {
+            val nT = 1 << lg
+            val dq = new Array[Int](nT * nT)
+            var k2 = 0
+            while (k2 < nT * nT) {
+              if (coef(k2) != 0) dq(k2) = dequant(coef(k2), qp, lg)
+              k2 += 1
+            }
+            val res = invTransform(dq, nT, lg == 2)
+            var y = 0
+            while (y < nT) {
+              var x = 0
+              while (x < nT) {
+                val kk = (ty0 + y) * pic.stride + tx0 + x
+                val v = pic.luma(kk) + res(y * nT + x)
+                pic.luma(kk) = if (v < 0) 0 else if (v > 255) 255 else v
+                x += 1
+              }
+              y += 1
+            }
+          }
+          intra match {
+            case HIntra(_) =>
+              if (splitPresent)
+                enc.decision(cx, CtxSplitTrafo + (5 - log2Size),
+                  bin = false)
+              enc.decision(cx, CtxCbfC, bin = false) // cbf_cb
+              enc.decision(cx, CtxCbfC, bin = false) // cbf_cr
+              enc.decision(cx, CtxCbfLuma + 1, bin = false) // cbf_luma
+              predictIntra(pic, x0, y0, size, mode)
+            case HIntraCoded(_, coeffs) =>
+              if (splitPresent)
+                enc.decision(cx, CtxSplitTrafo + (5 - log2Size),
+                  bin = false)
+              enc.decision(cx, CtxCbfC, bin = false)
+              enc.decision(cx, CtxCbfC, bin = false)
+              enc.decision(cx, CtxCbfLuma + 1, bin = true)
+              predictIntra(pic, x0, y0, size, mode)
+              val coef = new Array[Int](size * size)
+              coeffs.foreach { case (pos, lvl) =>
+                require(pos >= 0 && pos < size * size, s"coef pos $pos")
+                coef(pos) = lvl
+              }
+              putResidual(enc, cx, log2Size,
+                scanIdxOf(log2Size, 0, mode), coef)
+              applyResidual(x0, y0, log2Size, coef)
+            case HIntraSplit(_, dcs) =>
+              require(dcs.length == 4, "HIntraSplit needs 4 DC levels")
+              require(log2Size == 4 && sps.maxDepthIntra >= 1,
+                "HIntraSplit: 16x16 CU under depth_intra >= 1")
+              enc.decision(cx, CtxSplitTrafo + (5 - log2Size),
+                bin = true)
+              enc.decision(cx, CtxCbfC, bin = false) // depth-0 cb
+              enc.decision(cx, CtxCbfC, bin = false) // depth-0 cr
+              var q2 = 0
+              while (q2 < 4) {
+                val tx0 = x0 + (q2 & 1) * 8
+                val ty0 = y0 + (q2 >> 1) * 8
+                if (1 < sps.maxDepthIntra) // child split flag
+                  enc.decision(cx, CtxSplitTrafo + (5 - 3), bin = false)
+                enc.decision(cx, CtxCbfLuma, dcs(q2) != 0) // depth 1
+                predictIntra(pic, tx0, ty0, 8, mode)
+                if (dcs(q2) != 0) {
+                  val coef = new Array[Int](64)
+                  coef(0) = dcs(q2)
+                  putResidual(enc, cx, 3, scanIdxOf(3, 0, mode), coef)
+                  applyResidual(tx0, ty0, 3, coef)
+                }
+                pic.cellsSet(tx0, ty0, 8, -1, mode)
+                q2 += 1
+              }
+            case HIntraSplit8(_, dcs) =>
+              require(dcs.length == 4, "HIntraSplit8 needs 4 DC levels")
+              require(log2Size == 3 && sps.maxDepthIntra >= 1,
+                "HIntraSplit8: 8x8 CU under depth_intra >= 1")
+              enc.decision(cx, CtxSplitTrafo + (5 - 3), bin = true)
+              enc.decision(cx, CtxCbfC, bin = false) // depth-0 cb
+              enc.decision(cx, CtxCbfC, bin = false) // depth-0 cr
+              var q2 = 0
+              while (q2 < 4) {
+                val tx0 = x0 + (q2 & 1) * 4
+                val ty0 = y0 + (q2 >> 1) * 4
+                // 4x4 TU: no split flag (at minTbLog2), chroma cbfs
+                // inherited (parent false)
+                enc.decision(cx, CtxCbfLuma, dcs(q2) != 0) // depth 1
+                predictIntra(pic, tx0, ty0, 4, mode)
+                if (dcs(q2) != 0) {
+                  val coef = new Array[Int](16)
+                  coef(0) = dcs(q2)
+                  putResidual(enc, cx, 2, scanIdxOf(2, 0, mode), coef)
+                  applyResidual(tx0, ty0, 2, coef)
+                }
+                pic.cellsSet(tx0, ty0, 4, -1, mode)
+                q2 += 1
+              }
+            case _ => ()
+          }
           pic.cellsSet(x0, y0, size, depth, mode)
       }
     }
@@ -851,9 +1806,9 @@ object Hevc {
 
   /** Annex-B HEVC I-frame: SPS + PPS + IDR over 16-px CTUs. */
   def encodeIFrame(ctbW: Int, ctbH: Int, ctu: Int => Ctu,
-      qp: Int = 28): Array[Byte] = {
+      qp: Int = 28, depthIntra: Int = 0): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
-    sep ++ spsNal(ctbW * 16, ctbH * 16) ++ sep ++ ppsNal(qp) ++ sep ++
-      idrNal(ctbW, ctbH, ctu, qp)
+    sep ++ spsNal(ctbW * 16, ctbH * 16, depthIntra) ++ sep ++
+      ppsNal(qp) ++ sep ++ idrNal(ctbW, ctbH, ctu, qp, depthIntra)
   }
 }

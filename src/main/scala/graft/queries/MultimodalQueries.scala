@@ -984,16 +984,21 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
-    // HEVC intra-starter decode under the oracle gate (round 14,
-    // VERDICT r13 #6): one 16-px CTU quadtree-split into four 8x8
-    // CUs — three I_PCM flat quadrants plus one DC CU whose
-    // prediction is closed-form: dc = (q1 + q2 + 1) // 2 over the
-    // flat refs, then the 8.4.4.2.5 luma boundary smoothing (corner
-    // (q2 + 2dc + q1 + 2) // 4, first row (q1 + 3dc + 2) // 4, first
-    // col (q2 + 3dc + 2) // 4). The slice is CABAC-coded through the
-    // shared 9.3 engine (split flags, pcm terminate + re-init, MPM
-    // machinery), so a single bin decoded differently breaks the
-    // hash. DuckDB replays the 256-pixel distribution analytically.
+    // HEVC intra decode under the oracle gate (round 14; EXTENDED
+    // round 15 with the residual + angular paths, VERDICT r14 #3/#5):
+    // one 16-px CTU quadtree-split into four 8x8 CUs — two I_PCM flat
+    // quadrants, one VERTICAL (mode 26) CU copying q0's bottom row
+    // (its left refs substitute to the same flat value, so the
+    // boundary filter is a no-op), and one DC CU carrying a CODED
+    // DC coefficient c: prediction dc = (q0 + q1 + 1) // 2 over the
+    // flat refs (left = the mode-26 quadrant = q0, top = q1), the
+    // 8.4.4.2.5 boundary smoothing, then +2c per sample (8x8 dequant
+    // at qp 28 + the two DCT stages are exactly 2c for these
+    // magnitudes). The slice is CABAC-coded through the shared 9.3
+    // engine including the residual chain (last position, sig map,
+    // greater1/2, sign, remaining), so a single bin decoded
+    // differently breaks the hash. DuckDB replays the 256-pixel
+    // distribution analytically.
     Q("multimodal_hevc_decode",
       (s, dir) => {
         val spark = s
@@ -1001,12 +1006,14 @@ object MultimodalQueries {
         Tables.documents(s, dir).select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             def q(k: Int): Int = ((id * 11 + 4 * k + 60) % 180).toInt + 20
+            val c0 = (id % 9).toInt - 4
+            val c = if (c0 == 0) 5 else c0
             val es = graft.ext.Hevc.encodeIFrame(1, 1, _ =>
               graft.ext.Hevc.Quad(Seq(
                 graft.ext.Hevc.HPcm((_, _) => q(0)),
                 graft.ext.Hevc.HPcm((_, _) => q(1)),
-                graft.ext.Hevc.HPcm((_, _) => q(2)),
-                graft.ext.Hevc.HIntra(1))))
+                graft.ext.Hevc.HIntra(26),
+                graft.ext.Hevc.HIntraCoded(1, Seq((0, c))))))
             val (w, h, luma) = graft.ext.Hevc.decodeIFrameLuma(es)
               .getOrElse((0, 0, Array.empty[Int]))
             var sum = 0.0
@@ -1025,18 +1032,20 @@ object MultimodalQueries {
       Some("""WITH p AS (SELECT doc_id,
              |    (doc_id*11 + 60) % 180 + 20 AS q0,
              |    (doc_id*11 + 64) % 180 + 20 AS q1,
-             |    (doc_id*11 + 68) % 180 + 20 AS q2
+             |    CASE WHEN doc_id % 9 = 4 THEN 5
+             |         ELSE doc_id % 9 - 4 END AS c
              |  FROM documents),
-             |d AS (SELECT doc_id, q0, q1, q2,
-             |    (q1 + q2 + 1) // 2 AS dc FROM p),
+             |d AS (SELECT doc_id, q0, q1, c,
+             |    (q0 + q1 + 1) // 2 AS dc FROM p),
              |cells(doc_id, cnt, v) AS (
              |  SELECT doc_id, 64, q0 FROM d
              |  UNION ALL SELECT doc_id, 64, q1 FROM d
-             |  UNION ALL SELECT doc_id, 64, q2 FROM d
-             |  UNION ALL SELECT doc_id, 1, (q2 + 2*dc + q1 + 2) // 4 FROM d
-             |  UNION ALL SELECT doc_id, 7, (q1 + 3*dc + 2) // 4 FROM d
-             |  UNION ALL SELECT doc_id, 7, (q2 + 3*dc + 2) // 4 FROM d
-             |  UNION ALL SELECT doc_id, 49, dc FROM d),
+             |  UNION ALL SELECT doc_id, 64, q0 FROM d
+             |  UNION ALL SELECT doc_id, 1,
+             |    (q0 + 2*dc + q1 + 2) // 4 + 2*c FROM d
+             |  UNION ALL SELECT doc_id, 7, (q1 + 3*dc + 2) // 4 + 2*c FROM d
+             |  UNION ALL SELECT doc_id, 7, (q0 + 3*dc + 2) // 4 + 2*c FROM d
+             |  UNION ALL SELECT doc_id, 49, dc + 2*c FROM d),
              |m AS (SELECT doc_id,
              |    CAST(sum(cnt*v) AS DOUBLE)/256 AS mean_g,
              |    CAST(sum(cnt*v*v) AS DOUBLE)/256 AS meansq_g
