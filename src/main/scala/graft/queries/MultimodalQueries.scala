@@ -1227,6 +1227,51 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id, frame""".stripMargin)),
 
+    // Chroma-aware scene cuts under the oracle gate (round 15,
+    // VERDICT r14 #7): three single-MB I_PCM pictures whose LUMA is
+    // constant while the chroma planes jump — frame 2 moves Cb by du,
+    // frame 3 moves Cr by dv (closed form in doc_id). The luma-only
+    // detector sees nothing; sceneCutsYuv flags |dU| / |dV| >= 2.5.
+    Q("multimodal_scene_cuts_yuv",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val stats = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val l = ((id * 11 + 60) % 180).toInt + 20
+            val du = (id % 11).toInt - 5
+            val dv = (id % 7).toInt - 3
+            val sep = Array[Byte](0, 0, 0, 1)
+            def idr(u: Int, v: Int) = graft.ext.H264.idrNal(1, 1,
+              _ => graft.ext.H264.Pcm((_, _) => l, (_, _) => u,
+                (_, _) => v), 28)
+            val es = sep ++ graft.ext.H264.spsNal(1, 1) ++
+              sep ++ graft.ext.H264.ppsNal(28) ++
+              sep ++ idr(100, 140) ++
+              sep ++ idr(100 + du, 140) ++
+              sep ++ idr(100 + du, 140 + dv)
+            Multimodal.decodeAvcFramesYuvStats(es, 4).map {
+              case (f, _, _, _, my, mu, _, mv0, _) =>
+                (id, f.toLong, my, mu, mv0)
+            }
+          })
+          .toDF("id", "frame", "mean_y", "mean_u", "mean_v")
+        Multimodal.sceneCutsYuv(stats, 1.0, 2.5).orderBy("id", "frame")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    doc_id % 11 - 5 AS du, doc_id % 7 - 3 AS dv
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, 2 AS frame, 0.0 AS delta_y,
+             |    CAST(du AS DOUBLE) AS delta_u, 0.0 AS delta_v,
+             |    abs(du) >= 2.5 AS is_cut FROM p
+             |  UNION ALL SELECT doc_id, 3, 0.0, 0.0,
+             |    CAST(dv AS DOUBLE), abs(dv) >= 2.5 FROM p)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
+             |  round(delta_y, 6) AS delta_y, round(delta_u, 6) AS delta_u,
+             |  round(delta_v, 6) AS delta_v, is_cut
+             |FROM r ORDER BY id, frame""".stripMargin)),
+
     // H.264 spatial-direct / B_Skip / B_8x8 decode under the oracle
     // gate (round 15, VERDICT r14 #2): decode order I, P, B, B, B on
     // a 1x1-MB picture. B1 = B_Direct_16x16 with a one-DC-per-4x4
