@@ -42,10 +42,16 @@ package graft.ext
   *    mb_qp_delta, per-8x8-gated 4x4 CAVLC luma residuals dequantized
   *    straight onto the quarter-pel prediction), P_Skip (8.4.1.1),
   *    and intra refresh (Intra_16x16 or Intra_4x4), plus EXPLICIT
-  *    round 14: EXPLICIT LIST REORDERING (8.2.4.3.1 short-term ops
-  *    over PicNum, P and B lists) and MMCO OP 1 (8.2.5.4: marking a
-  *    short-term picture unused evicts it from the window; ops 2-6 —
-  *    long-term management and the mmco5 reset — still degrade),
+  *    round 14: EXPLICIT LIST REORDERING (8.2.4.3.1 over PicNum and,
+  *    round 15, long_term_pic_num), the FULL MMCO SET (8.2.5.4 ops
+  *    1-6, round 15: short/long-term unmarking, short-to-long
+  *    conversion, MaxLongTermFrameIdx eviction, the mmco5
+  *    all-unused + frame_num/POC re-base, current-picture long-term
+  *    marking, the IDR long_term_reference_flag) with LONG-TERM
+  *    REFERENCES as first-class DPB entries (they never slide out,
+  *    join P lists after the short-term window and B lists after the
+  *    POC-ordered part, are excluded from PicNum derivations, force
+  *    implicit-bipred 32/32 and colZeroFlag 0),
   *    EXPLICIT WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
   *    8.4.2.3.2 single-list application; chroma weights parsed for
   *    sync) and MULTI-SLICE pictures (in-order slices decode into one
@@ -53,7 +59,7 @@ package graft.ext
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
   *    picture never emits). Intra_8x8
-  *    (transform_size_8x8), long-term references, FMO/ASO, field coding,
+  *    (transform_size_8x8), FMO/ASO, field coding,
   *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
   *    None.
   *  - B slices (round 14 two-list; round 15 direct): every Table 7-14
@@ -313,6 +319,23 @@ object H264 {
   }
 
   // ---------------------------------------------------------------- headers
+
+  /** Memory-management control operations (8.2.5.4, round 15),
+    * resolved to DPB indices at slice-header parse time against the
+    * window the slice actually sees; applied in order when the
+    * picture enters the DPB. */
+  private sealed trait Mmco
+  /** op 1 / op 2: mark a short-term / long-term picture unused. */
+  private final case class MmcoDrop(dpbIdx: Int) extends Mmco
+  /** op 3: assign LongTermFrameIdx to a short-term picture. */
+  private final case class MmcoMakeLong(dpbIdx: Int, lt: Int) extends Mmco
+  /** op 4: MaxLongTermFrameIdx = value - 1 (0 = no long-terms). */
+  private final case class MmcoMaxLt(maxPlus1: Int) extends Mmco
+  /** op 5: mark ALL unused + re-base frame_num / POC. */
+  private case object MmcoReset extends Mmco
+  /** op 6 (and the IDR long_term_reference_flag): the CURRENT
+    * picture enters the DPB long-term at this index. */
+  private final case class MmcoCurLong(lt: Int) extends Mmco
 
   /** One DPB entry: luma + both chroma planes (round 14). Round 15
     * adds the picture's own motion field for the spatial-direct
@@ -1313,6 +1336,8 @@ object H264 {
       var refList: Vector[RefPic] = Vector.empty
       var refPocs: Vector[Int] = Vector.empty // parallel (round 14: B)
       var refFns: Vector[Int] = Vector.empty // frame_num per entry
+      var refLongs: Vector[Int] = Vector.empty // LongTermFrameIdx;
+      // -1 = short-term (round 15)
       var refMbW = -1
       var refMbH = -1
       var prevRefFn = -1
@@ -1343,19 +1368,62 @@ object H264 {
                 refList = Vector.empty
                 refPocs = Vector.empty
                 refFns = Vector.empty
+                refLongs = Vector.empty
               }
-              // MMCO op-1 (round 14): the marked pictures leave
-              // the window before the current one enters
-              if (st.mmcoDropIdx.nonEmpty) {
-                val drop = st.mmcoDropIdx.toSet
-                def keep[T](v: Vector[T]): Vector[T] =
-                  v.zipWithIndex.collect {
-                    case (x, i) if !drop(i) => x
-                  }
-                refList = keep(refList)
-                refPocs = keep(refPocs)
-                refFns = keep(refFns)
-              }
+              // MMCO (round 15, full 8.2.5.4 set): ops apply in
+              // decode order over the ORIGINAL window indexing the
+              // slice header resolved against, before the current
+              // picture enters
+              var reset = false
+              var curLong = -1
+              if (st.mmcoOps.nonEmpty) {
+                val n = refList.length
+                val alive = Array.fill(n)(true)
+                val lt = Array.tabulate(n)(i =>
+                  if (i < refLongs.length) refLongs(i) else -1)
+                st.mmcoOps.foreach {
+                  case MmcoDrop(i) =>
+                    if (i < n) alive(i) = false
+                  case MmcoMakeLong(i, v) =>
+                    if (i < n && alive(i)) { // no resurrecting a
+                      // picture an earlier op already dropped
+                      var j = 0 // an existing holder of v drops first
+                      while (j < n) {
+                        if (j != i && lt(j) == v) alive(j) = false
+                        j += 1
+                      }
+                      lt(i) = v
+                    }
+                  case MmcoMaxLt(maxPlus1) =>
+                    var j = 0
+                    while (j < n) {
+                      if (lt(j) >= 0 && lt(j) > maxPlus1 - 1)
+                        alive(j) = false
+                      j += 1
+                    }
+                  case MmcoReset =>
+                    var j = 0
+                    while (j < n) { alive(j) = false; j += 1 }
+                    reset = true
+                  case MmcoCurLong(v) =>
+                    var j = 0
+                    while (j < n) {
+                      if (lt(j) == v) alive(j) = false
+                      j += 1
+                    }
+                    curLong = v
+                }
+                val keepIdx = (0 until n).filter(alive)
+                refList = keepIdx.map(refList).toVector
+                refPocs = keepIdx.map(refPocs).toVector
+                refFns = keepIdx.map(refFns).toVector
+                refLongs = keepIdx.map(lt).toVector
+              } else if (refLongs.length != refList.length)
+                refLongs = Vector.fill(refList.length)(-1)
+              // mmco5 re-base (8.2.5.4.5): the current picture's
+              // frame_num and POC read as 0 from here on
+              val fnStored = if (reset) 0 else frameNum
+              val pocStored = if (reset) 0 else st.poc
               val cap = math.max(1, sps.maxRefFrames)
               // snapshot the picture's motion field for later
               // spatial-direct colZeroFlag reads (L0 first, L1 when
@@ -1377,15 +1445,29 @@ object H264 {
                 } else cRef(ck) = -1
                 ck += 1
               }
-              refList = (RefPic(st.luma, st.cb, st.cr, cRef, cMx,
-                cMy) +: refList).take(cap)
-              refPocs = (st.poc +: refPocs).take(cap)
-              refFns = (frameNum +: refFns).take(cap)
+              refList = RefPic(st.luma, st.cb, st.cr, cRef, cMx,
+                cMy) +: refList
+              refPocs = pocStored +: refPocs
+              refFns = fnStored +: refFns
+              refLongs = curLong +: refLongs
+              // sliding window (8.2.5.3): only SHORT-TERM pictures
+              // slide out; a window of nothing but long-terms over
+              // the cap is a non-conforming stream — degrade
+              while (refList.length > cap) {
+                val victim = refLongs.lastIndexWhere(_ < 0)
+                if (victim < 0) return false
+                def rm[T](v: Vector[T]): Vector[T] =
+                  v.patch(victim, Nil, 1)
+                refList = rm(refList)
+                refPocs = rm(refPocs)
+                refFns = rm(refFns)
+                refLongs = rm(refLongs)
+              }
               refMbW = sps.mbW
               refMbH = sps.mbH
-              prevRefFn = frameNum
-              prevPocMsb = st.pocMsb
-              prevPocLsb = st.pocLsb
+              prevRefFn = fnStored
+              prevPocMsb = if (reset) 0 else st.pocMsb
+              prevPocLsb = if (reset) 0 else st.pocLsb
             }
             frames += ((w, h, cropped, cropFrameC(sps, st.cb),
               cropFrameC(sps, st.cr),
@@ -1442,6 +1524,7 @@ object H264 {
                   prevRefFrameNum = prevRefFn,
                   refPocs = refPocs, prevPocMsb = prevPocMsb,
                   prevPocLsb = prevPocLsb, refFrameNums = refFns,
+                  refLongIdx = refLongs,
                   stateIn = if (firstMb == 0) null else pending)
                 catch {
                   case ParseFail => None
@@ -1578,10 +1661,10 @@ object H264 {
     var poc = 0
     var pocMsb = 0
     var pocLsb = 0
-    /** MMCO op-1 drops (round 14): DPB indices the walk removes from
-      * the reference window when THIS picture is marked (8.2.5.4.1);
-      * resolved at slice-header parse time against the passed DPB. */
-    var mmcoDropIdx: List[Int] = Nil
+    /** MMCO ops (round 15: the full 8.2.5.4 set), resolved at
+      * slice-header parse time against the passed DPB and applied by
+      * the walk when THIS picture enters the window. */
+    var mmcoOps: List[Mmco] = Nil
     /** the picture's PPS chroma QP offsets (one PPS per picture,
       * ADVICE r13) — the loop filter derives chroma thresholds. */
     var cqpOffCb = 0
@@ -1614,7 +1697,8 @@ object H264 {
     * picture. PicNum of a frame = FrameNumWrap (8.2.4.1). */
   private def applyReorder(br: BitReader, init: IndexedSeq[Int],
       numActive: Int, dpbFrameNums: IndexedSeq[Int], curPicNum: Int,
-      maxPicNum: Int): Option[IndexedSeq[Int]] = {
+      maxPicNum: Int, longOf: Int => Int = _ => -1
+      ): Option[IndexedSeq[Int]] = {
     if (init.length < numActive) return None
     val lst = scala.collection.mutable.ArrayBuffer(init.take(numActive): _*)
     def picNumOf(dpbIdx: Int): Int = {
@@ -1626,15 +1710,24 @@ object H264 {
     var idc = br.ue()
     var guard = 0
     while (idc != 3) {
-      if (idc > 1) return None // long-term (2) / invalid
-      val absDiff = br.ue() + 1
-      var noWrap = if (idc == 0) pred - absDiff else pred + absDiff
-      if (noWrap < 0) noWrap += maxPicNum
-      else if (noWrap >= maxPicNum) noWrap -= maxPicNum
-      pred = noWrap
-      val picNum = if (noWrap > curPicNum) noWrap - maxPicNum else noWrap
-      val di = dpbFrameNums.indices.find(picNumOf(_) == picNum)
-        .getOrElse(return None)
+      if (idc > 2) return None
+      val di =
+        if (idc == 2) { // long-term op (round 15): by long_term_pic_num
+          val lt = br.ue()
+          dpbFrameNums.indices.find(longOf(_) == lt)
+            .getOrElse(return None)
+        } else {
+          val absDiff = br.ue() + 1
+          var noWrap = if (idc == 0) pred - absDiff else pred + absDiff
+          if (noWrap < 0) noWrap += maxPicNum
+          else if (noWrap >= maxPicNum) noWrap -= maxPicNum
+          pred = noWrap // long-term ops do NOT touch the prediction
+          val picNum = if (noWrap > curPicNum) noWrap - maxPicNum
+            else noWrap
+          dpbFrameNums.indices.find(i =>
+            longOf(i) < 0 && picNumOf(i) == picNum)
+            .getOrElse(return None)
+        }
       // 8.2.4.3.1 shuffle: insert at insertPos, drop the later
       // duplicate (or the overflow tail)
       lst.insert(insertPos, di)
@@ -1663,6 +1756,7 @@ object H264 {
       refPocs: IndexedSeq[Int] = IndexedSeq.empty,
       prevPocMsb: Int = 0, prevPocLsb: Int = 0,
       refFrameNums: IndexedSeq[Int] = IndexedSeq.empty,
+      refLongIdx: IndexedSeq[Int] = IndexedSeq.empty,
       stateIn: PicState = null): Option[PicState] = {
     val br = new BitReader(rbsp)
     val startMb = br.ue() // first_mb_in_slice
@@ -1720,6 +1814,9 @@ object H264 {
           return None // in-order slices only (no FMO/ASO)
         stateIn
       }
+    // long-term status per DPB index (round 15); -1 = short-term
+    def longOf(i: Int): Int =
+      if (i < refLongIdx.length) refLongIdx(i) else -1
     if (isIdr) br.ue() // idr_pic_id
     // picture order count (8.2.1; round 14 — the B lists sort on it).
     // pocType 0: lsb + the 8.2.1.1 msb wrap against the previous
@@ -1773,10 +1870,14 @@ object H264 {
         refFrameNums.length != refs.length) return None
       val curPoc = st.poc
       val idx = refs.indices
-      val before = idx.filter(refPocs(_) < curPoc).sortBy(k => -refPocs(k))
-      val after = idx.filter(refPocs(_) >= curPoc).sortBy(k => refPocs(k))
-      listL0 = before ++ after
-      listL1 = after ++ before
+      // 8.2.4.2.3/4: short-term entries by POC, then long-term
+      // entries by ascending LongTermFrameIdx appended to BOTH lists
+      val shorts = idx.filter(longOf(_) < 0)
+      val longs = idx.filter(longOf(_) >= 0).sortBy(longOf)
+      val before = shorts.filter(refPocs(_) < curPoc).sortBy(k => -refPocs(k))
+      val after = shorts.filter(refPocs(_) >= curPoc).sortBy(k => refPocs(k))
+      listL0 = before ++ after ++ longs
+      listL1 = after ++ before ++ longs
       if (listL1.length > 1 && listL0 == listL1)
         listL1 = IndexedSeq(listL1(1), listL1(0)) ++ listL1.drop(2)
       if (numRefL0 > listL0.length || numRefL1 > listL1.length)
@@ -1786,11 +1887,11 @@ object H264 {
       val maxPicNum = 1 << sps.log2MaxFrameNum
       if (br.bit() == 1) { // ref_pic_list_modification_flag_l0
         listL0 = applyReorder(br, listL0, numRefL0, refFrameNums,
-          frameNum, maxPicNum).getOrElse(return None)
+          frameNum, maxPicNum, longOf).getOrElse(return None)
       }
       if (br.bit() == 1) { // ref_pic_list_modification_flag_l1
         listL1 = applyReorder(br, listL1, numRefL1, refFrameNums,
-          frameNum, maxPicNum).getOrElse(return None)
+          frameNum, maxPicNum, longOf).getOrElse(return None)
       }
     } else if (isP) {
       // multi-reference since round 13: list 0 = the last numRefL0
@@ -1803,13 +1904,17 @@ object H264 {
         else pps.numRefIdxL0Default
       if (numRefL0 < 1 || numRefL0 > refs.length || numRefL0 > 32)
         return None
-      listL0 = refs.indices // initial P list IS the sliding window
+      // 8.2.4.2.1 (round 15): short-term window (most recent first =
+      // descending PicNum in a gap-free stream), then long-term
+      // entries by ascending LongTermFrameIdx
+      listL0 = refs.indices.filter(longOf(_) < 0) ++
+        refs.indices.filter(longOf(_) >= 0).sortBy(longOf)
       if (br.bit() == 1) { // ref_pic_list_modification_flag_l0
-        // explicit short-term reordering (round 14, 8.2.4.3.1);
-        // long-term ops degrade
+        // explicit reordering (8.2.4.3.1; round 15: long-term ops too)
         if (refFrameNums.length != refs.length) return None
         listL0 = applyReorder(br, listL0, numRefL0, refFrameNums,
-          frameNum, 1 << sps.log2MaxFrameNum).getOrElse(return None)
+          frameNum, 1 << sps.log2MaxFrameNum, longOf)
+          .getOrElse(return None)
       }
     }
     // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2;
@@ -1876,7 +1981,9 @@ object H264 {
       wImp = Array.tabulate(numRefL0, numRefL1) { (a, b) =>
         val poc0 = refPocs(listL0(a))
         val poc1 = refPocs(listL1(b))
-        if (poc0 == poc1) 32
+        // 8.4.2.3.2: long-term references fall back to 32/32
+        if (poc0 == poc1 || longOf(listL0(a)) >= 0 ||
+          longOf(listL1(b)) >= 0) 32
         else {
           val tb = clip3(-128, 127, curPoc - poc0)
           val td = clip3(-128, 127, poc1 - poc0)
@@ -1965,33 +2072,63 @@ object H264 {
     if (nalRefIdc != 0) {
       if (isIdr) {
         br.bit() // no_output_of_prior_pics_flag
-        if (br.bit() == 1) return None // long_term_reference_flag: the
-        // sliding window would evict the wrong picture later (8.2.5.1)
+        // long_term_reference_flag (round 15): the IDR enters the DPB
+        // as LongTermFrameIdx 0 instead of degrading
+        if (br.bit() == 1) st.mmcoOps = List(MmcoCurLong(0))
       }
       else if (br.bit() == 1) {
-        // adaptive_ref_pic_marking (round 14, 8.2.5.4): op 1 (mark a
-        // short-term picture unused) decodes — the ops resolve to DPB
-        // indices HERE, against the window this slice actually sees,
-        // and the walk applies them when the picture enters the DPB.
-        // Ops 2-6 (long-term management, mmco5 reset) degrade: they
-        // re-base frame_num/POC state this decoder does not model.
+        // adaptive_ref_pic_marking (8.2.5.4; round 15: the FULL op
+        // set). Ops resolve to DPB indices HERE, against the window
+        // this slice actually sees; the walk applies them in order
+        // when the picture enters the DPB. Long-term entries are
+        // excluded from PicNum searches (8.2.4.1 derives PicNum for
+        // short-term pictures only).
         val maxPicNum = 1 << sps.log2MaxFrameNum
-        var drops = List.empty[Int]
+        if (refLongIdx.length != refs.length && refs.nonEmpty)
+          return None
+        def shortByPicNum(picNumX: Int): Option[Int] =
+          refFrameNums.indices.find { i =>
+            val fn = refFrameNums(i)
+            refLongIdx(i) < 0 &&
+              (if (fn > frameNum) fn - maxPicNum else fn) == picNumX
+          }
+        var ops = List.empty[Mmco]
         var opIdc = br.ue()
         var guard = 0
         while (opIdc != 0) {
-          if (opIdc != 1) return None
-          val picNumX = frameNum - (br.ue() + 1)
-          val di = refFrameNums.indices.find { i =>
-            val fn = refFrameNums(i)
-            (if (fn > frameNum) fn - maxPicNum else fn) == picNumX
-          }.getOrElse(return None)
-          drops ::= di
+          opIdc match {
+            case 1 => // mark short-term unused
+              val di = shortByPicNum(frameNum - (br.ue() + 1))
+                .getOrElse(return None)
+              ops ::= MmcoDrop(di)
+            case 2 => // mark long-term unused (by long_term_pic_num)
+              val lt = br.ue()
+              val di = refLongIdx.indices
+                .find(refLongIdx(_) == lt).getOrElse(return None)
+              ops ::= MmcoDrop(di)
+            case 3 => // short-term -> long-term at the given index
+              val di = shortByPicNum(frameNum - (br.ue() + 1))
+                .getOrElse(return None)
+              val lt = br.ue()
+              if (lt > 15) return None
+              ops ::= MmcoMakeLong(di, lt)
+            case 4 => // max_long_term_frame_idx_plus1
+              val v = br.ue()
+              if (v > 16) return None
+              ops ::= MmcoMaxLt(v)
+            case 5 => // mark all unused + frame_num / POC re-base
+              ops ::= MmcoReset
+            case 6 => // the CURRENT picture becomes long-term
+              val lt = br.ue()
+              if (lt > 15) return None
+              ops ::= MmcoCurLong(lt)
+            case _ => return None
+          }
           guard += 1
           if (guard > 48) return None
           opIdc = br.ue()
         }
-        st.mmcoDropIdx = drops.distinct
+        st.mmcoOps = ops.reverse // decode order matters (op 4 vs 3/6)
       }
     }
     // cabac_init_idc (7.3.3: present for CABAC P/SP/B slices) picks
@@ -2193,6 +2330,8 @@ object H264 {
     // directZeroPrediction (no inter neighbor at all) -> both lists,
     // refIdx 0, zero motion, colZero ignored.
     val colPic = if (isB) refs(listL1(0)) else null
+    // 8.4.1.2.2: colZeroFlag requires a SHORT-TERM colocated picture
+    val colPicShort = isB && longOf(listL1(0)) < 0
     var directMb = -1 // per-MB derivation cache
     var dR0 = 0; var dR1 = 0
     var dM0x = 0; var dM0y = 0; var dM1x = 0; var dM1y = 0
@@ -2259,8 +2398,8 @@ object H264 {
             if (sps.direct8x8) (x4 + (bx >> 1) * 3, y4 + (by >> 1) * 3)
             else (x4 + bx, y4 + by)
           val ck = sy * mv.gw + sx
-          val colZero = !dZeroPred && colPic.colRef != null &&
-            colPic.colRef(ck) == 0 &&
+          val colZero = !dZeroPred && colPicShort &&
+            colPic.colRef != null && colPic.colRef(ck) == 0 &&
             colPic.colMvx(ck) >= -1 && colPic.colMvx(ck) <= 1 &&
             colPic.colMvy(ck) >= -1 && colPic.colMvy(ck) <= 1
           val z0 = colZero && dR0 == 0
@@ -4628,7 +4767,7 @@ object H264 {
     * runtime degrade). */
   def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
       deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
-      idcOverride: Int = -1): Array[Byte] = {
+      idcOverride: Int = -1, longTermRef: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     // round 13 multi-slice fixtures: emit ONE slice covering
     // [firstMb, firstMb+count); default = the whole picture. The
@@ -4644,7 +4783,8 @@ object H264 {
     bw.put(0, 4) // frame_num (log2 = 4)
     bw.putUe(0) // idr_pic_id
     bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
-    bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
+    bw.put(0, 1) // no_output_of_prior_pics
+    bw.put(if (longTermRef) 1 else 0, 1) // long_term_reference_flag
     bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
     val idc = if (idcOverride >= 0) idcOverride else if (deblock) 0 else 1
     bw.putUe(idc) // disable_deblocking_filter_idc
@@ -5853,7 +5993,8 @@ object H264 {
       frameNum: Int = 1, refIdc: Int = 2, numRef: Int = 1,
       weight: Option[(Int, Int, Int)] = None,
       reorder: Seq[(Int, Int)] = Nil,
-      mmcoDrop: Seq[Int] = Nil): Array[Byte] = {
+      mmcoDrop: Seq[Int] = Nil,
+      mmcoOps: Seq[Seq[Int]] = Nil): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
@@ -5877,10 +6018,12 @@ object H264 {
     if (reorder.isEmpty) bw.put(0, 1)
     else {
       bw.put(1, 1) // ref_pic_list_modification_flag_l0
-      reorder.foreach { case (idc, absDiffM1) =>
-        require(idc == 0 || idc == 1, s"reorder idc $idc")
+      reorder.foreach { case (idc, v) =>
+        // idc 0/1: abs_diff_pic_num_minus1; idc 2 (round 15):
+        // long_term_pic_num
+        require(idc >= 0 && idc <= 2, s"reorder idc $idc")
         bw.putUe(idc)
-        bw.putUe(absDiffM1)
+        bw.putUe(v)
       }
       bw.putUe(3) // end
     }
@@ -5901,12 +6044,17 @@ object H264 {
       }
     }
     if (refIdc != 0) {
-      if (mmcoDrop.isEmpty) bw.put(0, 1) // adaptive marking off
+      val rawOps = mmcoOps ++ mmcoDrop.map(d => Seq(1, d))
+      if (rawOps.isEmpty) bw.put(0, 1) // adaptive marking off
       else {
         bw.put(1, 1) // adaptive_ref_pic_marking_mode_flag
-        mmcoDrop.foreach { diffM1 =>
-          bw.putUe(1) // op 1: mark short-term unused
-          bw.putUe(diffM1) // difference_of_pic_nums_minus1
+        // raw op encoding (round 15): Seq(op, operands...) — op 1/3
+        // carry difference_of_pic_nums_minus1 (+ idx for 3), op 2
+        // long_term_pic_num, op 4 max+1, op 5 none, op 6 idx
+        rawOps.foreach { op =>
+          require(op.nonEmpty && op.head >= 1 && op.head <= 6,
+            s"mmco op ${op.headOption}")
+          op.foreach(bw.putUe)
         }
         bw.putUe(0) // end
       }

@@ -1151,8 +1151,22 @@ object MultimodalQueries {
                   blk => ((id + blk) % 5).toInt - 2), 28, frameNum = 1) ++
               sep ++ graft.ext.H264.pNal(1, 1,
                 _ => graft.ext.H264.PMove(0, 0), 28, frameNum = 2,
-                reorder = Seq((0, 1)))
-            Multimodal.decodeAvcFramesTyped(es, 4).map {
+                reorder = Seq((0, 1))) ++
+              // round 15 (VERDICT r14 #6): P3 self-marks long-term
+              // (copies P2 = I pixels), P4 re-codes the residual over
+              // the remaining short-term, P5's second list slot is
+              // the LONG-TERM P3 that already outlived the window
+              sep ++ graft.ext.H264.pNal(1, 1,
+                _ => graft.ext.H264.PMove(0, 0), 28, frameNum = 3,
+                mmcoOps = Seq(Seq(6, 0))) ++
+              sep ++ graft.ext.H264.pNal(1, 1,
+                _ => graft.ext.H264.PMoveCoded(0, 0,
+                  blk => ((id + blk) % 5).toInt - 2), 28,
+                frameNum = 4) ++
+              sep ++ graft.ext.H264.pNal(1, 1,
+                _ => graft.ext.H264.PMove(0, 0, refIdx = 1), 28,
+                frameNum = 5, numRef = 2)
+            Multimodal.decodeAvcFramesTyped(es, 8).map {
               case (f, t, w, h, m, sd) =>
                 (id, f.toLong, t.toString, w.toLong, h.toLong, m, sd)
             }
@@ -1164,7 +1178,8 @@ object MultimodalQueries {
           .orderBy("id", "frame")
       },
       Some("""WITH f(frame, ftype, mult) AS (VALUES (1, 'I', 0),
-             |  (2, 'P', 4), (3, 'P', 0)),
+             |  (2, 'P', 4), (3, 'P', 0), (4, 'P', 0), (5, 'P', 4),
+             |  (6, 'P', 0)),
              |blk AS (SELECT doc_id, frame, ftype, k,
              |    (doc_id*11 + 4*(k // 4) + 60) % 180 + 20
              |      + mult*((doc_id + k) % 5 - 2) AS v

@@ -805,6 +805,118 @@ class H264Spec extends AnyFunSuite {
     assert(flushed.head._3(0) == 133)
   }
 
+  // ---- round 15: long-term references + MMCO ops 2-6 ---------------
+
+  test("MMCO op 6: a self-marked long-term picture survives the " +
+      "sliding window and op 2 evicts it") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    def res1(blk: Int): Int = blk % 3 - 1
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 60 + x + 2 * y), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMoveCoded(0, 0, res1), 28,
+        frameNum = 1, mmcoOps = Seq(Seq(6, 0))) ++ // P1 long-term 0
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 2) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 3) ++
+      // P4: window holds [P3 short, P1 long] — refIdx 1 hits the
+      // long-term P1 even though P2 already slid out
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0, refIdx = 1), 28,
+        frameNum = 4, numRef = 2) ++
+      // P5 drops the long-term (op 2, long_term_pic_num 0)
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 5,
+        mmcoOps = Seq(Seq(2, 0))) ++
+      // P6: [P5, P4] — refIdx 1 is now P4, not P1
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0, refIdx = 1), 28,
+        frameNum = 6, numRef = 2)
+    val fs = H264.decodeFramesLuma(es, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P', 'P', 'P', 'P', 'P'),
+      s"${fs.map(_._4)}")
+    assert(fs(4)._3.sameElements(fs(1)._3),
+      "P4 must reproduce the long-term P1 exactly")
+    assert(fs(6)._3.sameElements(fs(4)._3),
+      "after op 2 the second list slot is P4")
+  }
+
+  test("MMCO op 3 converts a short-term to long-term; reorder idc 2 " +
+      "addresses it by long_term_pic_num; op 4 evicts it") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    def res1(blk: Int): Int = (blk + 1) % 3 - 1
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 70 + 2 * x + y), 28) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMoveCoded(0, 0, res1), 28,
+        frameNum = 1) ++
+      // P2 converts P1 (picNumX = 1) to LongTermFrameIdx 0
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 2,
+        mmcoOps = Seq(Seq(3, 0, 0))) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 3) ++
+      // P4 reorders the long-term to the FRONT of its list
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 4,
+        reorder = Seq((2, 0))) ++
+      // P5 drops every long-term via op 4 (max_long_term+1 = 0), then
+      // P6's two-slot list is short-terms only
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 5,
+        mmcoOps = Seq(Seq(4, 0))) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0, refIdx = 1), 28,
+        frameNum = 6, numRef = 2)
+    val fs = H264.decodeFramesLuma(es, 8)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P', 'P', 'P', 'P', 'P'),
+      s"${fs.map(_._4)}")
+    assert(fs(4)._3.sameElements(fs(1)._3),
+      "reorder idc 2 must front the converted long-term P1")
+    assert(fs(6)._3.sameElements(fs(4)._3),
+      "after op 4 the second slot is the short-term P4")
+  }
+
+  test("MMCO op 5 resets the window and re-bases frame_num: the next " +
+      "picture carries frame_num 1 and sees only the reset picture") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    def head = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 90 + x + y), 28) ++
+      sep ++ H264.pNal(1, 1,
+        _ => H264.PMoveCoded(0, 0, blk => blk % 3 - 1), 28,
+        frameNum = 1)
+    val withReset = head ++
+      sep ++ H264.pNal(1, 1,
+        _ => H264.PMoveCoded(0, 0, blk => (blk + 1) % 3 - 1), 28,
+        frameNum = 2, mmcoOps = Seq(Seq(5))) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 1)
+    val fs = H264.decodeFramesLuma(withReset, 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P', 'P'), s"${fs.map(_._4)}")
+    assert(fs(3)._3.sameElements(fs(2)._3),
+      "post-reset P copies the mmco5 picture")
+    // control: the same frame_num-1 continuation WITHOUT the reset
+    // violates frame_num continuity and degrades
+    val without = head ++
+      sep ++ H264.pNal(1, 1,
+        _ => H264.PMoveCoded(0, 0, blk => (blk + 1) % 3 - 1), 28,
+        frameNum = 2) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 1)
+    assert(H264.decodeFramesLuma(without, 6).map(_._4) ==
+      Seq('I', 'P', 'P'), "no reset -> fn gap degrade")
+  }
+
+  test("IDR long_term_reference_flag: the IDR persists as long-term " +
+      "index 0 past the sliding window") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 45 + 3 * x + y), 28,
+        longTermRef = true) ++
+      sep ++ H264.pNal(1, 1,
+        _ => H264.PMoveCoded(0, 0, blk => blk % 5 - 2), 28,
+        frameNum = 1) ++
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0), 28, frameNum = 2) ++
+      // window: [P2 short, IDR long] — P1 slid out; refIdx 1 = IDR
+      sep ++ H264.pNal(1, 1, _ => H264.PMove(0, 0, refIdx = 1), 28,
+        frameNum = 3, numRef = 2)
+    val fs = H264.decodeFramesLuma(es, 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'P', 'P'), s"${fs.map(_._4)}")
+    assert(fs(3)._3.sameElements(fs(0)._3),
+      "P3's second list slot must be the long-term IDR")
+  }
+
   test("corruption fuzz: bit flips and truncations over a stream using " +
       "every decoded feature degrade, never throw, never over-emit") {
     // one stream exercising multi-slice, I_4x4, deblocking, P
@@ -855,10 +967,17 @@ class H264Spec extends AnyFunSuite {
       sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 3,
         reorder = Seq((0, 1)), weight = Some((1, 2, 0))) ++
       sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 4,
-        mmcoDrop = Seq(0), weight = Some((1, 2, 0)))
+        mmcoDrop = Seq(0), weight = Some((1, 2, 0))) ++
+      // round 15: long-term ops join the fuzz surface — op 6
+      // self-marking, then a reorder-to-long (idc 2) + op-2 drop
+      sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0), 28, frameNum = 5,
+        mmcoOps = Seq(Seq(6, 0)), weight = Some((1, 2, 0))) ++
+      sep ++ H264.pNal(2, 2, _ => H264.PMove(0, 0, refIdx = 1), 28,
+        frameNum = 6, numRef = 2, reorder = Seq((2, 0)),
+        mmcoOps = Seq(Seq(2, 0)), weight = Some((1, 2, 0)))
     // sanity: the clean stream decodes fully
-    assert(H264.decodeFramesLuma(base, 9).map(_._4) ==
-      Seq('I', 'P', 'P', 'B', 'B', 'P', 'P'))
+    assert(H264.decodeFramesLuma(base, 10).map(_._4) ==
+      Seq('I', 'P', 'P', 'B', 'B', 'P', 'P', 'P', 'P'))
     val rnd = new java.util.Random(20260816L)
     var trials = 0
     while (trials < 300) {
@@ -872,19 +991,19 @@ class H264Spec extends AnyFunSuite {
           mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
           f += 1
         }
-        val out = H264.decodeFramesLuma(mutated, 9)
-        assert(out.length <= 9)
+        val out = H264.decodeFramesLuma(mutated, 10)
+        assert(out.length <= 10)
       } else if (kind == 1) { // truncate
         val cut = 1 + rnd.nextInt(mutated.length - 1)
-        val out = H264.decodeFramesLuma(mutated.take(cut), 9)
-        assert(out.length <= 9)
+        val out = H264.decodeFramesLuma(mutated.take(cut), 10)
+        assert(out.length <= 10)
       } else { // splice a garbage run
         val at = rnd.nextInt(mutated.length)
         val len = math.min(1 + rnd.nextInt(16), mutated.length - at)
         var i = 0
         while (i < len) { mutated(at + i) = rnd.nextInt(256).toByte; i += 1 }
-        val out = H264.decodeFramesLuma(mutated, 9)
-        assert(out.length <= 9)
+        val out = H264.decodeFramesLuma(mutated, 10)
+        assert(out.length <= 10)
       }
       trials += 1
     }
