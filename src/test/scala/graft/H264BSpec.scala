@@ -360,6 +360,46 @@ class H264BSpec extends AnyFunSuite {
       assert(b3(y * 32 + x) == 120, s"flat rows ($x,$y)")
   }
 
+  test("long-term reference in a B list: L1(0) resolves to the " +
+      "long-term IDR, colZeroFlag stays off, implicit bipred falls " +
+      "back to 32/32") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    // IDR marks itself long-term; P1 (the only short) sits AFTER the
+    // B in POC, so listL1 = [P1, IDR-long] == listL0 -> the
+    // identical-list swap fronts the LONG-TERM IDR in L1
+    def stream(bMb: Int => H264.MbB, implicitW: Boolean) =
+      sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+        sep ++ H264.ppsNal(28, bipredImplicit = implicitW) ++
+        sep ++ H264.idrNal(1, 1, _ => Pcm((x, y) => 50 + 2 * x + y),
+          28, longTermRef = true) ++
+        sep ++ H264.pNal(1, 1,
+          _ => PMoveCoded(0, 0, blk => blk % 5 - 2), 28,
+          frameNum = 1) ++
+        sep ++ H264.bNal(1, 1, bMb, 28, frameNum = 2, pocLsb = 1)
+    val fs = H264.decodeFramesLuma(stream(_ => BBwd(0, 0),
+      implicitW = false), 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"${fs.map(_._4)}")
+    assert(fs(2)._3.sameElements(fs(0)._3),
+      "L1(0) must be the long-term IDR")
+    // B_Skip: spatial direct with a LONG-TERM colocated picture ->
+    // colZeroFlag 0 by rule; with no inter neighbors the derivation
+    // is zero-prediction anyway, so pixels are the rounded average
+    val fsk = H264.decodeFramesLuma(stream(_ => BSkip,
+      implicitW = false), 6)
+    assert(fsk.map(_._4) == Seq('I', 'P', 'B'))
+    for (k <- 0 until 256)
+      assert(fsk(2)._3(k) ==
+        ((fsk(1)._3(k) + fsk(0)._3(k) + 1) >> 1), s"skip px $k")
+    // implicit bipred against a long-term reference: weights fall
+    // back to 32/32, which is EXACTLY the rounded average
+    val fim = H264.decodeFramesLuma(stream(_ => BBi((0, 0), (0, 0)),
+      implicitW = true), 6)
+    assert(fim.map(_._4) == Seq('I', 'P', 'B'))
+    for (k <- 0 until 256)
+      assert(fim(2)._3(k) ==
+        ((fim(1)._3(k) + fim(0)._3(k) + 1) >> 1), s"implicit px $k")
+  }
+
   test("corruption fuzz: 200 mutations of an I-P-B stream degrade or " +
       "truncate, never throw") {
     val id = 6
