@@ -40,11 +40,16 @@ package graft.ext
   *    bitstream sync with their own context sets; only luma is
   *    reconstructed (the avc1 round-12 posture).
   *
-  * Honesty bounds, all degrade-to-None: NxN partitions, P/B slices,
-  * SAO, deblocking, tiles/WPP, dependent or multiple slice segments,
-  * scaling lists, transform_skip/transquant_bypass, sign data
-  * hiding, cu_qp_delta, strong intra smoothing, >8-bit, non-4:2:0,
-  * long-term/RPS machinery. */
+  *  - PART_NxN coding units (round 15): four PUs with their own
+  *    modes (two-pass prev-flag/payload syntax, z-scan candidate
+  *    availability across the CU), one chroma mode (DM = PU 0), and
+  *    the IntraSplitFlag-forced transform split (MaxTrafoDepth + 1).
+  *
+  * Honesty bounds, all degrade-to-None: P/B slices, SAO, deblocking,
+  * tiles/WPP, dependent or multiple slice segments, scaling lists,
+  * transform_skip/transquant_bypass, sign data hiding, cu_qp_delta,
+  * strong intra smoothing, >8-bit, non-4:2:0, long-term/RPS
+  * machinery. */
 object Hevc {
 
   // HEVC context init values (Tables 9-5..9-40 subset, initType 0 =
@@ -1170,13 +1175,12 @@ object Hevc {
       cx: H264Cabac.Ctx, x0: Int, y0: Int, log2Size: Int,
       trafoDepth: Int, mode: Int, chromaMode: Int, qp: Int,
       parentCbfCb: Boolean, parentCbfCr: Boolean, blkIdx: Int,
-      xBase: Int, yBase: Int): Boolean = {
+      xBase: Int, yBase: Int, maxDepth: Int): Boolean = {
     val sps = pic.sps
     val forced = log2Size > sps.maxTbLog2
     val split =
       if (forced) true
-      else if (log2Size > sps.minTbLog2 &&
-        trafoDepth < sps.maxDepthIntra)
+      else if (log2Size > sps.minTbLog2 && trafoDepth < maxDepth)
         dec.decision(cx, CtxSplitTrafo + (5 - log2Size))
       else false
     var cbfCb = parentCbfCb
@@ -1193,7 +1197,8 @@ object Hevc {
       while (i < 4) {
         if (!transformTree(pic, dec, cx, x0 + (i & 1) * half,
           y0 + (i >> 1) * half, log2Size - 1, trafoDepth + 1, mode,
-          chromaMode, qp, cbfCb, cbfCr, i, x0, y0)) return false
+          chromaMode, qp, cbfCb, cbfCr, i, x0, y0, maxDepth))
+          return false
         i += 1
       }
       return true
@@ -1281,9 +1286,88 @@ object Hevc {
       return true
     }
     // ---- coding unit (intra; I slice)
+    var partNxN = false
     if (log2Size == sps.minCbLog2) {
-      // part_mode: bin 1 = PART_2Nx2N; 0 = NxN (out of subset)
-      if (!dec.decision(cx, CtxPart)) return false
+      // part_mode: bin 1 = PART_2Nx2N; 0 = NxN (round 15: decodes)
+      partNxN = !dec.decision(cx, CtxPart)
+    }
+    // the NxN luma mode reader, shared with the 2Nx2N path below
+    def readMode(cands: Array[Int], prev: Boolean): Int =
+      if (prev) {
+        var idx = 0
+        if (dec.bypass()) { idx = 1; if (dec.bypass()) idx = 2 }
+        cands(idx)
+      } else {
+        var rem = 0
+        var b = 0
+        while (b < 5) { rem = (rem << 1) | (if (dec.bypass()) 1 else 0); b += 1 }
+        val sorted = cands.sorted
+        var m = rem
+        var k = 0
+        while (k < 3) { if (m >= sorted(k)) m += 1; k += 1 }
+        m
+      }
+    def chromaModeOf(luma: Int): Int =
+      if (!dec.decision(cx, CtxChromaMode)) luma
+      else {
+        val idx = (if (dec.bypass()) 2 else 0) | (if (dec.bypass()) 1 else 0)
+        val m2 = Array(0, 26, 10, 1)(idx)
+        if (m2 == luma) 34 else m2
+      }
+    if (partNxN) {
+      // ---- PART_NxN (7.3.8.5, round 15): four PUs at half size; no
+      // pcm_flag; all four prev_intra flags first, then the four
+      // mode payloads (each PU's candidate list sees the earlier
+      // PUs' modes — z-scan availability), one chroma mode (DM = the
+      // FIRST PU's mode, 8.4.3 for 4:2:0), and an IntraSplitFlag-
+      // forced transform split whose children carry their PU's mode
+      // and may split one level deeper (MaxTrafoDepth + 1).
+      val half = size >> 1
+      val prevFlags = new Array[Boolean](4)
+      var j = 0
+      while (j < 4) {
+        prevFlags(j) = dec.decision(cx, CtxPrevIntra)
+        j += 1
+      }
+      val modes = new Array[Int](4)
+      j = 0
+      while (j < 4) {
+        val px = x0 + (j & 1) * half
+        val py = y0 + (j >> 1) * half
+        val m = readMode(candList(pic, px, py), prevFlags(j))
+        if (m < 0 || m > 34) return false
+        modes(j) = m
+        // mark mode cells now for the NEXT PU's candidates; the
+        // pixel `decoded` state is only read through gatherRefs,
+        // whose left/top windows never touch a LATER z-order TU of
+        // this CU
+        pic.cellsSet(px, py, half, depth, m)
+        j += 1
+      }
+      val cmN = chromaModeOf(modes(0))
+      var cbfCbN = false
+      var cbfCrN = false
+      if (log2Size > 2) {
+        cbfCbN = dec.decision(cx, CtxCbfC)
+        cbfCrN = dec.decision(cx, CtxCbfC)
+      }
+      j = 0
+      while (j < 4) {
+        if (!transformTree(pic, dec, cx, x0 + (j & 1) * half,
+          y0 + (j >> 1) * half, log2Size - 1, 1, modes(j), cmN, qp,
+          cbfCbN, cbfCrN, j, x0, y0,
+          maxDepth = sps.maxDepthIntra + 1)) return false
+        j += 1
+      }
+      // restore the CU depth the transform leaves overwrote with -1
+      // (split_cu contexts of later CUs read it), keeping per-PU modes
+      j = 0
+      while (j < 4) {
+        pic.cellsSet(x0 + (j & 1) * half, y0 + (j >> 1) * half, half,
+          depth, modes(j))
+        j += 1
+      }
+      return true
     }
     var isPcm = false
     if (sps.pcmEnabled && log2Size >= sps.pcmMinLog2 &&
@@ -1306,39 +1390,18 @@ object Hevc {
       pic.cellsSet(x0, y0, size, depth, 1) // PCM neighbors read as DC
       return dec.reinit((byteStart + lumaBytes + chromaBytes) * 8)
     }
-    // prev_intra_luma_pred_flag + mpm_idx / rem_intra (one PU)
-    val cands = candList(pic, x0, y0)
-    val mode =
-      if (dec.decision(cx, CtxPrevIntra)) {
-        var idx = 0
-        if (dec.bypass()) { idx = 1; if (dec.bypass()) idx = 2 }
-        cands(idx)
-      } else {
-        var rem = 0
-        var b = 0
-        while (b < 5) { rem = (rem << 1) | (if (dec.bypass()) 1 else 0); b += 1 }
-        val sorted = cands.sorted
-        var m = rem
-        var k = 0
-        while (k < 3) { if (m >= sorted(k)) m += 1; k += 1 }
-        m
-      }
+    // prev_intra_luma_pred_flag + mpm_idx / rem_intra (one PU), then
+    // intra_chroma_pred_mode ('0' = DM; '1' + 2 bypass bins index
+    // {planar, vertical, horizontal, DC} with the 34-substitution).
+    // Chroma stays unreconstructed — the mode drives the scans.
+    val prevF = dec.decision(cx, CtxPrevIntra)
+    val mode = readMode(candList(pic, x0, y0), prevF)
     if (mode < 0 || mode > 34) return false
-    // intra_chroma_pred_mode (7.4.9.5/8.4.3): '0' = DM (the luma
-    // mode); '1' + 2 bypass bins index {planar, vertical, horizontal,
-    // DC} with the 34-substitution when the entry equals the luma
-    // mode. Chroma stays unreconstructed — the mode only drives the
-    // mode-dependent residual scan.
-    val chromaMode =
-      if (!dec.decision(cx, CtxChromaMode)) mode
-      else {
-        val idx = (if (dec.bypass()) 2 else 0) | (if (dec.bypass()) 1 else 0)
-        val m2 = Array(0, 26, 10, 1)(idx)
-        if (m2 == mode) 34 else m2
-      }
+    val chromaMode = chromaModeOf(mode)
     if (!transformTree(pic, dec, cx, x0, y0, log2Size, 0, mode,
       chromaMode, qp, parentCbfCb = false, parentCbfCr = false,
-      blkIdx = 0, xBase = x0, yBase = y0)) return false
+      blkIdx = 0, xBase = x0, yBase = y0,
+      maxDepth = sps.maxDepthIntra)) return false
     pic.cellsSet(x0, y0, size, depth, mode)
     true
   }
@@ -1465,6 +1528,10 @@ object Hevc {
   /** 8x8 intra CU (inside a Quad) splitting into four 4x4 TUs — the
     * DST-VII path. Same depth_intra >= 1 requirement. */
   final case class HIntraSplit8(mode: Int, dcs: Seq[Int]) extends Cu
+  /** PART_NxN 8x8 CU (inside a Quad, round 15): four 4x4 PUs with
+    * their own intra modes and optional per-TU DC levels. */
+  final case class HIntraNxN(modes: Seq[Int],
+      dcs: Seq[Int] = Seq(0, 0, 0, 0)) extends Cu
   /** One CTU: a single CU at full CTB size, or a one-level split into
     * four quadrant CUs (z order). */
   sealed trait Ctu
@@ -1616,6 +1683,115 @@ object Hevc {
     def drain(): Unit = enc.drain(b => bw.put(b, 1))
     def putCu(x0: Int, y0: Int, log2Size: Int, depth: Int, cu: Cu): Unit = {
       val size = 1 << log2Size
+      cu match {
+        case HIntraNxN(modes, dcs) =>
+          require(log2Size == sps.minCbLog2,
+            "HIntraNxN: a minimum-size CU only")
+          require(modes.length == 4 && dcs.length == 4 &&
+            modes.forall(m => m >= 0 && m <= 34), "HIntraNxN shape")
+          enc.decision(cx, CtxPart, bin = false) // PART_NxN (no pcm)
+          val half = size >> 1
+          // all four prev flags, then the four payloads with the
+          // per-PU candidate lists the decoder derives
+          val prevF = new Array[Boolean](4)
+          var j = 0
+          while (j < 4) {
+            val px = x0 + (j & 1) * half
+            val py = y0 + (j >> 1) * half
+            // candidate list at payload time includes earlier PUs;
+            // the FLAG pass only needs membership, which is the same
+            // question — but the list can change between the two
+            // passes (earlier PUs set their cells), so the flag must
+            // be decided against the PAYLOAD-time list. Emit flags
+            // from a dry-run that mirrors the decoder's two passes.
+            prevF(j) = true // placeholder; fixed below
+            j += 1
+          }
+          // dry run: compute payload-time candidate lists by
+          // replaying cell updates on a scratch copy is equivalent to
+          // sequential emission — but flags are emitted BEFORE any
+          // payload. Restrict the fixture to the decidable case: a
+          // mode is flagged MPM iff it is in its payload-time list,
+          // which depends only on modes of EARLIER PUs (known here).
+          val simModes = new Array[Int](4)
+          val inMpm = new Array[Boolean](4)
+          j = 0
+          while (j < 4) {
+            val px = x0 + (j & 1) * half
+            val py = y0 + (j >> 1) * half
+            val cands = candList(pic, px, py)
+            inMpm(j) = cands.contains(modes(j))
+            simModes(j) = modes(j)
+            pic.cellsSet(px, py, half, depth, modes(j))
+            j += 1
+          }
+          // rewind is unnecessary: cells now hold the final modes,
+          // and the flag/payload emission below re-derives candidate
+          // lists from OUTSIDE-CU neighbors plus these same cells —
+          // identical to what the decoder sees at payload time only
+          // if earlier-PU cells were already set, which they are.
+          j = 0
+          while (j < 4) {
+            enc.decision(cx, CtxPrevIntra, inMpm(j))
+            j += 1
+          }
+          j = 0
+          while (j < 4) {
+            val px = x0 + (j & 1) * half
+            val py = y0 + (j >> 1) * half
+            val cands = candList(pic, px, py)
+            if (inMpm(j)) {
+              val idx = cands.indexOf(modes(j))
+              require(idx >= 0, "MPM drift")
+              enc.bypass(idx > 0)
+              if (idx > 0) enc.bypass(idx > 1)
+            } else {
+              val sorted = cands.sorted
+              var rem = modes(j)
+              var k = 2
+              while (k >= 0) { if (modes(j) > sorted(k)) rem -= 1; k -= 1 }
+              var b = 4
+              while (b >= 0) { enc.bypass(((rem >> b) & 1) == 1); b -= 1 }
+            }
+            j += 1
+          }
+          enc.decision(cx, CtxChromaMode, bin = false) // DM = PU 0
+          enc.decision(cx, CtxCbfC, bin = false) // depth-0 cb
+          enc.decision(cx, CtxCbfC, bin = false) // depth-0 cr
+          j = 0
+          while (j < 4) {
+            val px = x0 + (j & 1) * half
+            val py = y0 + (j >> 1) * half
+            // forced split; child at minTb: no split flag
+            enc.decision(cx, CtxCbfLuma, dcs(j) != 0) // depth 1
+            predictIntra(pic, px, py, half, modes(j))
+            if (dcs(j) != 0) {
+              val coef = new Array[Int](half * half)
+              coef(0) = dcs(j)
+              putResidual(enc, cx, log2Size - 1,
+                scanIdxOf(log2Size - 1, 0, modes(j)), coef)
+              val dq = coef.map(c =>
+                if (c != 0) dequant(c, qp, log2Size - 1) else 0)
+              val res = invTransform(dq, half, log2Size - 1 == 2)
+              var y = 0
+              while (y < half) {
+                var x = 0
+                while (x < half) {
+                  val kk = (py + y) * pic.stride + px + x
+                  val v = pic.luma(kk) + res(y * half + x)
+                  pic.luma(kk) =
+                    if (v < 0) 0 else if (v > 255) 255 else v
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            pic.cellsSet(px, py, half, depth, modes(j))
+            j += 1
+          }
+          return
+        case _ => ()
+      }
       if (log2Size == sps.minCbLog2)
         enc.decision(cx, CtxPart, bin = true) // PART_2Nx2N
       cu match {

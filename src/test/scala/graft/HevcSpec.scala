@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Hevc
-import graft.ext.Hevc.{HIntra, HIntraCoded, HIntraSplit, HIntraSplit8,
-  HPcm, Leaf, Quad}
+import graft.ext.Hevc.{HIntra, HIntraCoded, HIntraNxN, HIntraSplit,
+  HIntraSplit8, HPcm, Leaf, Quad}
 
 /** HEVC intra-starter contracts (round 14). Expected pixels are
   * HAND-COMPUTED from the spec formulas (8.4.4.2.x), never from the
@@ -249,11 +249,67 @@ class HevcSpec extends AnyFunSuite {
     }
   }
 
+  test("PART_NxN: four 4x4 PUs with their own modes — hand-computed " +
+      "V/V/H/angular cascade over ramp neighbors") {
+    // CTU quadrants: q0 = x-ramp PCM, q1 = x-ramp continuation,
+    // q2 = y-ramp PCM, q3 = NxN with PUs (26 V, 26 V, 10 H, 2).
+    // Hand-derived per 8.4.4.2.6 + the mode-26/10 boundary filters:
+    //  PU0 (8..11, 8..11) V: cols [boundary-filtered, 78, 80, 82];
+    //    col 8 rows = 76 + ((q2RightCol - 74) >> 1) = [139,137,136,134]
+    //  PU1 V: flat cols [84, 86, 88, 90] (boundary filter is 0: its
+    //    left ref is PU0's flat 82 col and corner 82)
+    //  PU2 (8..11, 12..15) H: rows [159/131/132/133 (filtered row
+    //    12), 185, 182, 179]
+    //  PU3 (12..15, 12..15) mode 2: pred[x][y] = left(x + y + 1)
+    //    over PU2's right col extended by substitution = 179
+    val es = Hevc.encodeIFrame(1, 1, _ => Quad(Seq(
+      HPcm((x, _) => 60 + 2 * x),
+      HPcm((x, _) => 60 + 2 * (x + 8)),
+      HPcm((_, y) => 200 - 3 * y),
+      HIntraNxN(Seq(26, 26, 10, 2)))))
+    val Some((_, _, l)) = Hevc.decodeIFrameLuma(es): @unchecked
+    def px(x: Int, y: Int) = l(y * 16 + x)
+    // PU0
+    assert(Seq(px(8, 8), px(8, 9), px(8, 10), px(8, 11)) ==
+      Seq(139, 137, 136, 134), "PU0 filtered col 8")
+    for (y <- 8 to 11; x <- 9 to 11)
+      assert(px(x, y) == 60 + 2 * x, s"PU0 V ($x,$y)")
+    // PU1
+    for (y <- 8 to 11; x <- 12 to 15)
+      assert(px(x, y) == 60 + 2 * x, s"PU1 V ($x,$y)")
+    // PU2
+    assert(Seq(px(8, 12), px(9, 12), px(10, 12), px(11, 12)) ==
+      Seq(159, 131, 132, 133), "PU2 filtered row 12")
+    for (y <- 13 to 15; x <- 8 to 11)
+      assert(px(x, y) == 200 - 3 * (y - 8), s"PU2 H ($x,$y)")
+    // PU3: left = PU2 right col [133, 185, 182, 179] + substitution
+    val lf = Seq(133, 185, 182, 179, 179, 179, 179, 179)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(px(12 + x, 12 + y) == lf(x + y + 1), s"PU3 ($x,$y)")
+  }
+
+  test("PART_NxN with a DST residual on PU0: flat DC PUs carry the " +
+      "hand-computed 4x4 basis ramp and the rest stays deterministic") {
+    val es = Hevc.encodeIFrame(1, 1, _ => Quad(Seq(
+      HPcm((_, _) => 100), HPcm((_, _) => 100), HPcm((_, _) => 100),
+      HIntraNxN(Seq(1, 1, 1, 1), Seq(1, 0, 0, 0)))))
+    val Some((_, _, l)) = Hevc.decodeIFrameLuma(es): @unchecked
+    val want = Array(
+      Array(1, 2, 2, 2), Array(2, 3, 4, 5),
+      Array(2, 4, 5, 6), Array(2, 5, 6, 7))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(l((8 + y) * 16 + 8 + x) == 100 + want(y)(x),
+        s"PU0 DST ($x,$y)")
+    val again = Hevc.decodeIFrameLuma(es)
+    assert(again.get._3.sameElements(l), "deterministic")
+  }
+
   test("angular + coded CTUs survive the corruption fuzz (degrade or " +
       "truncate, never throw)") {
     val base = Hevc.encodeIFrame(2, 1, ctb =>
       if (ctb == 0) Quad(Seq(HPcm((x, y) => 40 + x + y),
-        HIntra(30), HIntraSplit8(10, Seq(2, 0, -1, 3)), HIntra(2)))
+        HIntra(30), HIntraSplit8(10, Seq(2, 0, -1, 3)),
+        HIntraNxN(Seq(1, 26, 10, 0), Seq(0, 1, 0, -2))))
       else Leaf(HIntraCoded(26, Seq((0, 5), (3, -2)))),
       qp = 28, depthIntra = 1)
     assert(Hevc.decodeIFrameLuma(base).nonEmpty, "clean stream decodes")
