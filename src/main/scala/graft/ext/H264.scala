@@ -51,7 +51,10 @@ package graft.ext
   *    REFERENCES as first-class DPB entries (they never slide out,
   *    join P lists after the short-term window and B lists after the
   *    POC-ordered part, are excluded from PicNum derivations, force
-  *    implicit-bipred 32/32 and colZeroFlag 0),
+  *    implicit-bipred 32/32 and colZeroFlag 0), and POC TYPE 1
+  *    (8.2.1.2, round 15: the frame_num cycle with
+  *    offset_for_ref_frame / offset_for_non_ref_pic and the
+  *    FrameNumOffset decode-order chain, mmco5-aware),
   *    EXPLICIT WEIGHTED PREDICTION (7.3.3.2 luma weights/offsets per ref,
   *    8.4.2.3.2 single-list application; chroma weights parsed for
   *    sync) and MULTI-SLICE pictures (in-order slices decode into one
@@ -69,7 +72,7 @@ package graft.ext
   *    per-block colZeroFlag against the colocated picture's stored
   *    motion field, direct_8x8_inference corner sampling), POC-derived
   *    default list construction (8.2.4.2.3 over the sliding-window
-  *    DPB; pocType 0 with full 8.2.1.1 msb wrap, or pocType 2),
+  *    DPB; all three pocTypes since round 15),
   *    rounded-average bipred (8.4.2.3.1), explicit weighted bipred
   *    idc 1 (8.4.2.3.2, single-list and two-sided) AND implicit idc 2
   *    (POC-distance DistScaleFactor weights), per-list 8.4.1.3 motion
@@ -77,8 +80,8 @@ package graft.ext
   *    refresh, non-reference and reference B (pyramid), and DEBLOCKED
   *    B slices (the full 8.7.2.1 two-list bS rules by DPB picture
   *    identity with the straight/crossed pairing). Honesty bounds:
-  *    TEMPORAL direct (8.4.1.2.3), pocType 1 and the bottom-field
-  *    POC delta degrade.
+  *    TEMPORAL direct (8.4.1.2.3) and the bottom-field POC delta
+  *    degrade.
   *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
   *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
   *    (incl. the ctx-276 I_PCM escape with engine re-init),
@@ -351,7 +354,9 @@ object H264 {
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       deltaPocAlwaysZero: Boolean, maxRefFrames: Int,
-      direct8x8: Boolean = true)
+      direct8x8: Boolean = true,
+      offsetNonRef: Int = 0, offsetTopBottom: Int = 0,
+      offsetsForRef: IndexedSeq[Int] = IndexedSeq.empty)
 
   private final case class Pps(
       id: Int, spsId: Int,
@@ -388,13 +393,17 @@ object H264 {
       log2MaxPocLsb = br.ue() + 4
       if (log2MaxPocLsb > 16) throw ParseFail
     }
-    else if (pocType == 1) {
+    var offsetNonRef = 0
+    var offsetTopBottom = 0
+    var offsetsForRef: IndexedSeq[Int] = IndexedSeq.empty
+    if (pocType == 1) { // 8.2.1.2 cycle parameters (round 15)
       deltaPocAlwaysZero = br.bit() == 1
-      br.se(); br.se()
+      offsetNonRef = br.se()
+      offsetTopBottom = br.se()
       val n = br.ue()
-      var i = 0
-      while (i < n) { br.se(); i += 1 }
-    } else if (pocType != 2) throw ParseFail
+      if (n > 255) throw ParseFail
+      offsetsForRef = IndexedSeq.fill(n)(br.se())
+    } else if (pocType != 0 && pocType != 2) throw ParseFail
     val maxRefFrames = br.ue() // sliding-window DPB capacity
     if (maxRefFrames > 16) throw ParseFail // spec bound (7.4.2.1.1)
     br.bit() // gaps_in_frame_num_allowed
@@ -411,7 +420,7 @@ object H264 {
     if (mbW <= 0 || mbH <= 0 || mbW.toLong * mbH > 32768L) throw ParseFail
     Sps(spsId, mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType,
       log2MaxPocLsb, deltaPocAlwaysZero, math.max(1, maxRefFrames),
-      direct8x8)
+      direct8x8, offsetNonRef, offsetTopBottom, offsetsForRef)
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
@@ -1343,6 +1352,8 @@ object H264 {
       var prevRefFn = -1
       var prevPocMsb = 0 // POC decode state (8.2.1.1), from the
       var prevPocLsb = 0 // previous REFERENCE picture
+      var prevFnOffset = 0 // pocType 1 state (8.2.1.2), from the
+      var prevPicFn = 0 // previous picture in DECODE order (round 15)
       // the picture whose slices are still arriving
       var pending: PicState = null
       var pendingRefIdc = 0
@@ -1357,6 +1368,15 @@ object H264 {
         val frameNum = st.frameNum
         cropFrame(sps, st.luma) match {
           case Some((w, h, cropped)) =>
+            // pocType 1 decode-order chain (8.2.1.2): every picture
+            // (reference or not) advances it; an mmco5 re-bases it
+            if (st.mmcoOps.contains(MmcoReset)) {
+              prevFnOffset = 0
+              prevPicFn = 0
+            } else {
+              prevFnOffset = st.frameNumOffset
+              prevPicFn = frameNum
+            }
             // only REFERENCE pictures enter the DPB: a
             // nal_ref_idc == 0 frame is emitted but never
             // referenced (8.2.5; review r12). An IDR resets
@@ -1525,6 +1545,8 @@ object H264 {
                   refPocs = refPocs, prevPocMsb = prevPocMsb,
                   prevPocLsb = prevPocLsb, refFrameNums = refFns,
                   refLongIdx = refLongs,
+                  prevFrameNumOffset = prevFnOffset,
+                  prevPicFrameNum = prevPicFn,
                   stateIn = if (firstMb == 0) null else pending)
                 catch {
                   case ParseFail => None
@@ -1661,6 +1683,9 @@ object H264 {
     var poc = 0
     var pocMsb = 0
     var pocLsb = 0
+    /** pocType 1 FrameNumOffset (8.2.1.2, round 15) — the walk
+      * threads it to the next picture in decode order. */
+    var frameNumOffset = 0
     /** MMCO ops (round 15: the full 8.2.5.4 set), resolved at
       * slice-header parse time against the passed DPB and applied by
       * the walk when THIS picture enters the window. */
@@ -1757,6 +1782,7 @@ object H264 {
       prevPocMsb: Int = 0, prevPocLsb: Int = 0,
       refFrameNums: IndexedSeq[Int] = IndexedSeq.empty,
       refLongIdx: IndexedSeq[Int] = IndexedSeq.empty,
+      prevFrameNumOffset: Int = 0, prevPicFrameNum: Int = 0,
       stateIn: PicState = null): Option[PicState] = {
     val br = new BitReader(rbsp)
     val startMb = br.ue() // first_mb_in_slice
@@ -1779,12 +1805,11 @@ object H264 {
     // stride (review r12) — compare dimensions, not just length
     if (isInter && pps.constrainedIntra) return None // intra-in-P/B would
     // have to treat inter neighbors as unavailable (8.3.3): not done
-    // B honesty bounds (round 15): POC-based list construction needs
-    // pocType 0 (full 8.2.1.1 lsb/msb wrap) or 2 (frame_num order);
-    // type 1 and the bottom-field POC delta degrade. Implicit
-    // weighted bipred (idc 2) and the spatial direct/skip modes
-    // decode since round 15; TEMPORAL direct (flag 0 below) degrades.
-    if (isB && (sps.pocType == 1 || pps.bottomFieldPoc)) return None
+    // B honesty bounds (round 15): all three pocTypes decode (type 1
+    // via the full 8.2.1.2 cycle derivation below); the bottom-field
+    // POC delta still degrades for B, and TEMPORAL direct (flag 0
+    // below) degrades.
+    if (isB && pps.bottomFieldPoc) return None
     val frameNum = br.bits(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3, round 13 review): with a
     // multi-picture DPB a GAP means un-decoded reference frames the
@@ -1837,9 +1862,47 @@ object H264 {
         st.pocLsb = lsb
         st.poc = msb + lsb
       }
-    } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
-      br.se()
-      if (pps.bottomFieldPoc) br.se()
+    } else if (sps.pocType == 1) {
+      // 8.2.1.2 (round 15): POC from the frame_num cycle. Frames
+      // only (frame_mbs_only is enforced at the SPS): TopFieldOrderCnt
+      // = expected + delta[0]; the frame POC is min(top, bottom).
+      val delta0 =
+        if (!sps.deltaPocAlwaysZero) br.se()
+        else 0
+      val delta1 =
+        if (!sps.deltaPocAlwaysZero && pps.bottomFieldPoc) br.se()
+        else 0
+      if (stateIn == null) {
+        val maxFn = 1 << sps.log2MaxFrameNum
+        val fnOffset =
+          if (isIdr) 0
+          else if (prevPicFrameNum > frameNum)
+            prevFrameNumOffset + maxFn
+          else prevFrameNumOffset
+        val nCycle = sps.offsetsForRef.length
+        var absFrameNum =
+          if (nCycle != 0) fnOffset + frameNum else 0
+        if (nalRefIdc == 0 && absFrameNum > 0) absFrameNum -= 1
+        var expected = 0
+        if (absFrameNum > 0) {
+          val cycleCnt = (absFrameNum - 1) / nCycle
+          val inCycle = (absFrameNum - 1) % nCycle
+          var sum = 0L
+          var i2 = 0
+          while (i2 < nCycle) { sum += sps.offsetsForRef(i2); i2 += 1 }
+          var part = 0L
+          i2 = 0
+          while (i2 <= inCycle) { part += sps.offsetsForRef(i2); i2 += 1 }
+          val e = cycleCnt.toLong * sum + part
+          if (e < Int.MinValue / 2 || e > Int.MaxValue / 2) return None
+          expected = e.toInt
+        }
+        if (nalRefIdc == 0) expected += sps.offsetNonRef
+        val top = expected + delta0
+        val bottom = top + sps.offsetTopBottom + delta1
+        st.poc = math.min(top, bottom)
+        st.frameNumOffset = fnOffset
+      }
     } else if (sps.pocType == 2 && stateIn == null) {
       st.poc = 2 * frameNum - (if (nalRefIdc == 0) 1 else 0)
     }
@@ -4710,15 +4773,27 @@ object H264 {
 
   /** SPS NAL (baseline profile 66, level 1.0, poc type 0,
     * frame_mbs_only). */
-  def spsNal(mbW: Int, mbH: Int, maxRef: Int = 1): Array[Byte] = {
+  def spsNal(mbW: Int, mbH: Int, maxRef: Int = 1,
+      pocCycle: Seq[Int] = Nil, offsetNonRef: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.put(66, 8) // profile_idc baseline
     bw.put(0, 8) // constraint flags
     bw.put(10, 8) // level 1.0
     bw.putUe(0) // sps_id
     bw.putUe(0) // log2_max_frame_num_minus4
-    bw.putUe(0) // pic_order_cnt_type 0
-    bw.putUe(0) // log2_max_pic_order_cnt_lsb_minus4
+    if (pocCycle.isEmpty) {
+      bw.putUe(0) // pic_order_cnt_type 0
+      bw.putUe(0) // log2_max_pic_order_cnt_lsb_minus4
+    } else {
+      // pocType 1 (round 15): delta_pic_order_always_zero, so the
+      // slice headers carry no POC syntax at all
+      bw.putUe(1) // pic_order_cnt_type 1
+      bw.put(1, 1) // delta_pic_order_always_zero_flag
+      bw.putSe(offsetNonRef)
+      bw.putSe(0) // offset_for_top_to_bottom_field
+      bw.putUe(pocCycle.length)
+      pocCycle.foreach(bw.putSe)
+    }
     bw.putUe(maxRef) // max_num_ref_frames
     bw.put(0, 1) // gaps_in_frame_num
     bw.putUe(mbW - 1)
@@ -4767,7 +4842,8 @@ object H264 {
     * runtime degrade). */
   def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
       deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
-      idcOverride: Int = -1, longTermRef: Boolean = false): Array[Byte] = {
+      idcOverride: Int = -1, longTermRef: Boolean = false,
+      pocType1: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     // round 13 multi-slice fixtures: emit ONE slice covering
     // [firstMb, firstMb+count); default = the whole picture. The
@@ -4782,7 +4858,8 @@ object H264 {
     bw.putUe(0) // pps_id
     bw.put(0, 4) // frame_num (log2 = 4)
     bw.putUe(0) // idr_pic_id
-    bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
+    if (!pocType1)
+      bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
     bw.put(0, 1) // no_output_of_prior_pics
     bw.put(if (longTermRef) 1 else 0, 1) // long_term_reference_flag
     bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
@@ -5994,7 +6071,8 @@ object H264 {
       weight: Option[(Int, Int, Int)] = None,
       reorder: Seq[(Int, Int)] = Nil,
       mmcoDrop: Seq[Int] = Nil,
-      mmcoOps: Seq[Seq[Int]] = Nil): Array[Byte] = {
+      mmcoOps: Seq[Seq[Int]] = Nil,
+      pocType1: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
@@ -6005,7 +6083,8 @@ object H264 {
     bw.putUe(5) // slice_type: P (all)
     bw.putUe(0) // pps_id
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
-    bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+    if (!pocType1)
+      bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
     if (numRef == 1)
       bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
     else {
@@ -6221,7 +6300,8 @@ object H264 {
       frameNum: Int, pocLsb: Int, refIdc: Int = 0,
       weight: Option[(Int, Int, Int, Int, Int)] = None,
       deblock: Boolean = false,
-      colZeroAt: (Int, Int) => Boolean = (_, _) => false): Array[Byte] = {
+      colZeroAt: (Int, Int) => Boolean = (_, _) => false,
+      pocType1: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     val bw = new BitWriter
@@ -6229,7 +6309,8 @@ object H264 {
     bw.putUe(6) // slice_type: B (all)
     bw.putUe(0) // pps_id
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
-    bw.put(pocLsb & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+    if (!pocType1)
+      bw.put(pocLsb & 15, 4) // pic_order_cnt_lsb (log2 = 4)
     bw.put(1, 1) // direct_spatial_mv_pred_flag (no direct MBs emitted)
     bw.put(0, 1) // num_ref_idx_active_override (PPS defaults: 1 + 1)
     bw.put(0, 1); bw.put(0, 1) // ref_pic_list_modification l0/l1

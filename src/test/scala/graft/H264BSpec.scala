@@ -400,6 +400,43 @@ class H264BSpec extends AnyFunSuite {
         ((fim(1)._3(k) + fim(0)._3(k) + 1) >> 1), s"implicit px $k")
   }
 
+  test("pocType 1: the 8.2.1.2 cycle derivation builds the B lists " +
+      "(no POC syntax in any slice header)") {
+    // cycle = [4], offset_for_non_ref_pic = -2: I (idr, fn0) poc 0,
+    // P (ref, fn1) poc 4, B (non-ref, fn2) poc 4 - 2 = 2 — strictly
+    // BETWEEN the anchors, so L0(0) = I and L1(0) = P exactly as in
+    // the pocType-0 fixtures. delta_pic_order_always_zero: the slice
+    // headers carry zero POC bits.
+    val sep = Array[Byte](0, 0, 0, 1)
+    def q(b: Int): Int = (7 * 11 + 4 * b + 60) % 180 + 20
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2,
+      pocCycle = Seq(4), offsetNonRef = -2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1,
+        _ => Pcm((x, y) => q((y / 8) * 2 + x / 8)), 28,
+        pocType1 = true) ++
+      sep ++ H264.pNal(1, 1,
+        _ => PMoveCoded(0, 0, blk => (7 + blk) % 5 - 2), 28,
+        frameNum = 1, pocType1 = true) ++
+      sep ++ H264.bNal(1, 1, _ => BBi((0, 0), (0, 0)), 28,
+        frameNum = 2, pocLsb = 0, pocType1 = true)
+    val fs = H264.decodeFramesLuma(es, 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"${fs.map(_._4)}")
+    val i = fs(0)._3
+    val p = fs(1)._3
+    for (k <- 0 until 256)
+      assert(fs(2)._3(k) == ((i(k) + p(k) + 1) >> 1), s"px $k")
+    // direction check: a backward-only B must equal the P anchor
+    // (L1(0) = the poc-4 P), not the I
+    val es2 = es.dropRight(
+      es.length - es.lastIndexOfSlice(sep)) ++
+      sep ++ H264.bNal(1, 1, _ => BBwd(0, 0), 28, frameNum = 2,
+        pocLsb = 0, pocType1 = true)
+    val fs2 = H264.decodeFramesLuma(es2, 6)
+    assert(fs2.map(_._4) == Seq('I', 'P', 'B'))
+    assert(fs2(2)._3.sameElements(p), "L1(0) must be the later anchor")
+  }
+
   test("corruption fuzz: 200 mutations of an I-P-B stream degrade or " +
       "truncate, never throw") {
     val id = 6
