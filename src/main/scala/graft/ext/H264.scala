@@ -67,10 +67,15 @@ package graft.ext
   *    None.
   *  - B slices (round 14 two-list; round 15 direct): every Table 7-14
   *    mb_type including B_Skip / B_Direct_16x16 / B_8x8 (all Table
-  *    7-18 sub_mb_types) through SPATIAL direct motion (8.4.1.2.2 —
-  *    MinPositive refIdx over the MB neighbors, median motion,
-  *    per-block colZeroFlag against the colocated picture's stored
-  *    motion field, direct_8x8_inference corner sampling), POC-derived
+  *    7-18 sub_mb_types) through BOTH direct modes — SPATIAL
+  *    (8.4.1.2.2: MinPositive refIdx over the MB neighbors, median
+  *    motion, per-block colZeroFlag against the colocated picture's
+  *    stored motion field, direct_8x8_inference corner sampling) and
+  *    TEMPORAL (8.4.1.2.3: colocated motion scaled by the
+  *    DistScaleFactor POC chain, the referenced picture resolved
+  *    across window shifts by a stable serial, intra colocated
+  *    blocks reading as zero against the colocated picture's own
+  *    RefPicList0[0], evicted references degrading) — POC-derived
   *    default list construction (8.2.4.2.3 over the sliding-window
   *    DPB; all three pocTypes since round 15),
   *    rounded-average bipred (8.4.2.3.1), explicit weighted bipred
@@ -80,8 +85,7 @@ package graft.ext
   *    refresh, non-reference and reference B (pyramid), and DEBLOCKED
   *    B slices (the full 8.7.2.1 two-list bS rules by DPB picture
   *    identity with the straight/crossed pairing). Honesty bounds:
-  *    TEMPORAL direct (8.4.1.2.3) and the bottom-field POC delta
-  *    degrade.
+  *    the bottom-field POC delta degrades.
   *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
   *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
   *    (incl. the ctx-276 I_PCM escape with engine re-init),
@@ -347,7 +351,9 @@ object H264 {
     * the quarter-pel vector. */
   private final case class RefPic(y: Array[Int], cb: Array[Int],
       cr: Array[Int], colRef: Array[Int] = null,
-      colMvx: Array[Int] = null, colMvy: Array[Int] = null)
+      colMvx: Array[Int] = null, colMvy: Array[Int] = null,
+      serial: Int = -1, colRefSerial: Array[Int] = null,
+      firstL0Serial: Int = -1)
 
   private final case class Sps(
       id: Int, mbW: Int, mbH: Int,
@@ -1347,6 +1353,8 @@ object H264 {
       var refFns: Vector[Int] = Vector.empty // frame_num per entry
       var refLongs: Vector[Int] = Vector.empty // LongTermFrameIdx;
       // -1 = short-term (round 15)
+      var picSerial = 0 // stable picture identity across window
+      // shifts (round 15, temporal direct)
       var refMbW = -1
       var refMbH = -1
       var prevRefFn = -1
@@ -1452,21 +1460,33 @@ object H264 {
               val cRef = new Array[Int](cells)
               val cMx = new Array[Int](cells)
               val cMy = new Array[Int](cells)
+              // referenced-PICTURE serials per cell (round 15,
+              // temporal direct): resolved via the DPB this picture
+              // decoded against, which is still intact here
+              val cSer = new Array[Int](cells)
+              def serialAt(dpbIdx: Int): Int =
+                if (dpbIdx >= 0 && dpbIdx < refList.length)
+                  refList(dpbIdx).serial
+                else -1
               var ck = 0
               while (ck < cells) {
                 if (st.mv.inter(ck)) {
                   cRef(ck) = st.mv.ref(ck)
                   cMx(ck) = st.mv.mvx(ck)
                   cMy(ck) = st.mv.mvy(ck)
+                  cSer(ck) = serialAt(st.mv.pic(ck))
                 } else if (st.mvL1.inter(ck)) {
                   cRef(ck) = st.mvL1.ref(ck)
                   cMx(ck) = st.mvL1.mvx(ck)
                   cMy(ck) = st.mvL1.mvy(ck)
-                } else cRef(ck) = -1
+                  cSer(ck) = serialAt(st.mvL1.pic(ck))
+                } else { cRef(ck) = -1; cSer(ck) = -1 }
                 ck += 1
               }
+              picSerial += 1
               refList = RefPic(st.luma, st.cb, st.cr, cRef, cMx,
-                cMy) +: refList
+                cMy, serial = picSerial, colRefSerial = cSer,
+                firstL0Serial = serialAt(st.firstL0Dpb)) +: refList
               refPocs = pocStored +: refPocs
               refFns = fnStored +: refFns
               refLongs = curLong +: refLongs
@@ -1686,6 +1706,10 @@ object H264 {
     /** pocType 1 FrameNumOffset (8.2.1.2, round 15) — the walk
       * threads it to the next picture in decode order. */
     var frameNumOffset = 0
+    /** The first inter slice's RefPicList0[0] as a DPB index (round
+      * 15, temporal direct: an INTRA colocated block reads as mvCol 0
+      * with refIdxCol 0 — i.e. this picture, 8.4.1.2.3). -1 = none. */
+    var firstL0Dpb = -1
     /** MMCO ops (round 15: the full 8.2.5.4 set), resolved at
       * slice-header parse time against the passed DPB and applied by
       * the walk when THIS picture enters the window. */
@@ -1911,11 +1935,12 @@ object H264 {
     var numRefL1 = 0
     var listL0: IndexedSeq[Int] = null // indices into refs
     var listL1: IndexedSeq[Int] = null
+    var directSpatial = true
     if (isB) {
-      // spatial direct decodes (8.4.1.2.2, round 15); temporal direct
-      // (8.4.1.2.3: motion scaled from the colocated picture by POC
-      // distance) stays out of the subset and degrades loudly here
-      if (br.bit() != 1) return None // direct_spatial_mv_pred_flag
+      // both direct modes decode (round 15): spatial 8.4.1.2.2 and
+      // temporal 8.4.1.2.3 (motion scaled from the colocated picture
+      // by POC distance over the serial-resolved reference chain)
+      directSpatial = br.bit() == 1 // direct_spatial_mv_pred_flag
       if (br.bit() == 1) { // num_ref_idx_active_override
         numRefL0 = br.ue() + 1
         numRefL1 = br.ue() + 1
@@ -1980,6 +2005,8 @@ object H264 {
           .getOrElse(return None)
       }
     }
+    if (isInter && st.firstL0Dpb < 0 && listL0 != null &&
+      listL0.nonEmpty) st.firstL0Dpb = listL0(0)
     // explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2;
     // round 14: chroma weights applied for real now that chroma
     // reconstructs). Default = identity (1<<denom, 0).
@@ -2439,16 +2466,133 @@ object H264 {
       directMb = mb
       true
     }
+    // fill + MC + combine ONE direct 4x4 cell with the given per-list
+    // usage, reference indices and vectors (shared by the spatial and
+    // temporal modes)
+    def directCell(mbX: Int, mbY: Int, bx: Int, by: Int,
+        useL0: Boolean, useL1: Boolean, er0: Int, er1: Int,
+        m0x: Int, m0y: Int, m1x: Int, m1y: Int): Unit = {
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      val ox = mbX * 16
+      val oy = mbY * 16
+      if (useL0) mv.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
+        m0x, m0y, er0, picId = listL0(er0), inf = true)
+      else mv.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
+      if (useL1) st.mvL1.fill(x4 + bx, y4 + by, 1, 1,
+        isInter = true, m1x, m1y, er1, picId = listL1(er1),
+        inf = true)
+      else st.mvL1.fill(x4 + bx, y4 + by, 1, 1, isInter = false,
+        0, 0)
+      val off = by * 4 * 16 + bx * 4
+      val offC = by * 2 * 8 + bx * 2
+      if (useL0) {
+        interPredictRect(refs(listL0(er0)).y, stride, planeH,
+          ox + bx * 4, oy + by * 4, 4, 4, m0x, m0y, mc16, off, 16)
+        interPredictRectChroma(refs(listL0(er0)).cb, strideC,
+          planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+          m0x, m0y, mcCb, offC, 8)
+        interPredictRectChroma(refs(listL0(er0)).cr, strideC,
+          planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+          m0x, m0y, mcCr, offC, 8)
+      }
+      if (useL1) {
+        val t16 = if (useL0) bi16 else mc16
+        val tCb = if (useL0) biCb else mcCb
+        val tCr = if (useL0) biCr else mcCr
+        interPredictRect(refs(listL1(er1)).y, stride, planeH,
+          ox + bx * 4, oy + by * 4, 4, 4, m1x, m1y, t16, off, 16)
+        interPredictRectChroma(refs(listL1(er1)).cb, strideC,
+          planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+          m1x, m1y, tCb, offC, 8)
+        interPredictRectChroma(refs(listL1(er1)).cr, strideC,
+          planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
+          m1x, m1y, tCr, offC, 8)
+      }
+      if (useL0 && useL1) {
+        bipredRect(mc16, bi16, off, 4, 4, er0, er1)
+        bipredRectC(mcCb, biCb, offC, 2, 2, er0, er1, 0)
+        bipredRectC(mcCr, biCr, offC, 2, 2, er0, er1, 1)
+      } else if (useL0) {
+        weightRect(mc16, off, 4, 4, er0, list = 0)
+        weightRectC(mcCb, offC, 2, 2, er0, 0, 0)
+        weightRectC(mcCr, offC, 2, 2, er0, 0, 1)
+      } else {
+        weightRect(mc16, off, 4, 4, er1, list = 1)
+        weightRectC(mcCb, offC, 2, 2, er1, 1, 0)
+        weightRectC(mcCr, offC, 2, 2, er1, 1, 1)
+      }
+    }
+    // TEMPORAL direct (8.4.1.2.3, round 15): per sampled block, the
+    // colocated motion scales by the POC distances to the picture the
+    // colocated block referenced — resolved across windows by the
+    // stable picture serial; an intra colocated block reads as mvCol
+    // (0,0) against the colocated picture's own RefPicList0[0].
+    val colPicPoc = if (isB) refPocs(listL1(0)) else 0
+    def directReconTemporal(mbX: Int, mbY: Int, bx0: Int, by0: Int,
+        n4: Int): Boolean = {
+      if (colPic.colRefSerial == null) return false
+      val x4 = mbX * 4
+      val y4 = mbY * 4
+      var by = by0
+      while (by < by0 + n4) {
+        var bx = bx0
+        while (bx < bx0 + n4) {
+          val (sx, sy) =
+            if (sps.direct8x8) (x4 + (bx >> 1) * 3, y4 + (by >> 1) * 3)
+            else (x4 + bx, y4 + by)
+          val ck = sy * mv.gw + sx
+          val (ser, mcx, mcy) =
+            if (colPic.colRef(ck) < 0) // intra colocated block
+              (colPic.firstL0Serial, 0, 0)
+            else (colPic.colRefSerial(ck), colPic.colMvx(ck),
+              colPic.colMvy(ck))
+          if (ser < 0) return false
+          var j = -1
+          var jj = 0
+          while (jj < refs.length && j < 0) {
+            if (refs(jj).serial == ser) j = jj
+            jj += 1
+          }
+          if (j < 0) return false // referenced picture left the DPB
+          // lowest L0 index naming that picture
+          var r0 = -1
+          var rr = 0
+          while (rr < numRefL0 && r0 < 0) {
+            if (listL0(rr) == j) r0 = rr
+            rr += 1
+          }
+          if (r0 < 0) return false
+          val refPoc = refPocs(j)
+          val td0 = clip3(-128, 127, colPicPoc - refPoc)
+          val (m0x, m0y, m1x, m1y) =
+            if (longOf(j) >= 0 || td0 == 0) (mcx, mcy, 0, 0)
+            else {
+              val tb = clip3(-128, 127, st.poc - refPoc)
+              val tx = (16384 + math.abs(td0 / 2)) / td0
+              val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+              val ax = (dsf * mcx + 128) >> 8
+              val ay = (dsf * mcy + 128) >> 8
+              (ax, ay, ax - mcx, ay - mcy)
+            }
+          directCell(mbX, mbY, bx, by, useL0 = true, useL1 = true,
+            r0, 0, m0x, m0y, m1x, m1y)
+          bx += 1
+        }
+        by += 1
+      }
+      true
+    }
     // reconstruct the direct region [bx0, bx0+n4) x [by0, by0+n4)
     // (MB-local 4x4 units; (0, 0, 4) = whole MB, a quadrant = 2) into
     // the MB buffers, filling both motion grids per cell
     def directRecon(mb: Int, mbX: Int, mbY: Int, bx0: Int, by0: Int,
         n4: Int): Boolean = {
+      if (!directSpatial)
+        return directReconTemporal(mbX, mbY, bx0, by0, n4)
       if (!directDerive(mb, mbX, mbY)) return false
       val x4 = mbX * 4
       val y4 = mbY * 4
-      val ox = mbX * 16
-      val oy = mbY * 16
       val useL0 = dZeroPred || dR0 >= 0
       val useL1 = dZeroPred || dR1 >= 0
       val er0 = math.max(dR0, 0)
@@ -2467,56 +2611,9 @@ object H264 {
             colPic.colMvy(ck) >= -1 && colPic.colMvy(ck) <= 1
           val z0 = colZero && dR0 == 0
           val z1 = colZero && dR1 == 0
-          val m0x = if (z0) 0 else dM0x
-          val m0y = if (z0) 0 else dM0y
-          val m1x = if (z1) 0 else dM1x
-          val m1y = if (z1) 0 else dM1y
-          if (useL0) mv.fill(x4 + bx, y4 + by, 1, 1, isInter = true,
-            m0x, m0y, er0, picId = listL0(er0), inf = true)
-          else mv.fill(x4 + bx, y4 + by, 1, 1, isInter = false, 0, 0)
-          if (useL1) st.mvL1.fill(x4 + bx, y4 + by, 1, 1,
-            isInter = true, m1x, m1y, er1, picId = listL1(er1),
-            inf = true)
-          else st.mvL1.fill(x4 + bx, y4 + by, 1, 1, isInter = false,
-            0, 0)
-          val off = by * 4 * 16 + bx * 4
-          val offC = by * 2 * 8 + bx * 2
-          if (useL0) {
-            interPredictRect(refs(listL0(er0)).y, stride, planeH,
-              ox + bx * 4, oy + by * 4, 4, 4, m0x, m0y, mc16, off, 16)
-            interPredictRectChroma(refs(listL0(er0)).cb, strideC,
-              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
-              m0x, m0y, mcCb, offC, 8)
-            interPredictRectChroma(refs(listL0(er0)).cr, strideC,
-              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
-              m0x, m0y, mcCr, offC, 8)
-          }
-          if (useL1) {
-            val t16 = if (useL0) bi16 else mc16
-            val tCb = if (useL0) biCb else mcCb
-            val tCr = if (useL0) biCr else mcCr
-            interPredictRect(refs(listL1(er1)).y, stride, planeH,
-              ox + bx * 4, oy + by * 4, 4, 4, m1x, m1y, t16, off, 16)
-            interPredictRectChroma(refs(listL1(er1)).cb, strideC,
-              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
-              m1x, m1y, tCb, offC, 8)
-            interPredictRectChroma(refs(listL1(er1)).cr, strideC,
-              planeHC, (ox >> 1) + bx * 2, (oy >> 1) + by * 2, 2, 2,
-              m1x, m1y, tCr, offC, 8)
-          }
-          if (useL0 && useL1) {
-            bipredRect(mc16, bi16, off, 4, 4, er0, er1)
-            bipredRectC(mcCb, biCb, offC, 2, 2, er0, er1, 0)
-            bipredRectC(mcCr, biCr, offC, 2, 2, er0, er1, 1)
-          } else if (useL0) {
-            weightRect(mc16, off, 4, 4, er0, list = 0)
-            weightRectC(mcCb, offC, 2, 2, er0, 0, 0)
-            weightRectC(mcCr, offC, 2, 2, er0, 0, 1)
-          } else {
-            weightRect(mc16, off, 4, 4, er1, list = 1)
-            weightRectC(mcCb, offC, 2, 2, er1, 1, 0)
-            weightRectC(mcCr, offC, 2, 2, er1, 1, 1)
-          }
+          directCell(mbX, mbY, bx, by, useL0, useL1, er0, er1,
+            if (z0) 0 else dM0x, if (z0) 0 else dM0y,
+            if (z1) 0 else dM1x, if (z1) 0 else dM1y)
           bx += 1
         }
         by += 1
@@ -5328,7 +5425,8 @@ object H264 {
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
     bw.put((if (isB) pocLsb else frameNum * 2) & 15, 4) // poc lsb
     if (isB) {
-      bw.put(1, 1) // direct_spatial_mv_pred_flag
+      bw.put(1, 1) // direct_spatial_mv_pred_flag (CABAC fixtures
+      // stay spatial)
       bw.put(0, 1) // num_ref_idx_active_override (defaults 1 + 1)
       bw.put(0, 1); bw.put(0, 1) // list modification flags
     } else {
@@ -6301,7 +6399,8 @@ object H264 {
       weight: Option[(Int, Int, Int, Int, Int)] = None,
       deblock: Boolean = false,
       colZeroAt: (Int, Int) => Boolean = (_, _) => false,
-      pocType1: Boolean = false): Array[Byte] = {
+      pocType1: Boolean = false,
+      temporal: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     val bw = new BitWriter
@@ -6311,7 +6410,10 @@ object H264 {
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
     if (!pocType1)
       bw.put(pocLsb & 15, 4) // pic_order_cnt_lsb (log2 = 4)
-    bw.put(1, 1) // direct_spatial_mv_pred_flag (no direct MBs emitted)
+    // temporal fixtures (round 15): the encoder does not model the
+    // colocated motion, so direct/skip MBs must not PRECEDE any coded
+    // MB whose mvd prediction could read their cells
+    bw.put(if (temporal) 0 else 1, 1) // direct_spatial_mv_pred_flag (no direct MBs emitted)
     bw.put(0, 1) // num_ref_idx_active_override (PPS defaults: 1 + 1)
     bw.put(0, 1); bw.put(0, 1) // ref_pic_list_modification l0/l1
     // explicit bipred weights (only against a bipredExplicit PPS):

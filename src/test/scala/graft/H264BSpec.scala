@@ -437,6 +437,62 @@ class H264BSpec extends AnyFunSuite {
     assert(fs2(2)._3.sameElements(p), "L1(0) must be the later anchor")
   }
 
+  test("temporal direct (8.4.1.2.3): colocated motion scales by POC " +
+      "distance; intra colocated blocks read as zero against the " +
+      "colocated picture's own L0(0); evicted references degrade") {
+    val sep = Array[Byte](0, 0, 0, 1)
+    // I = x-ramp; P = uniform 2-px-left copy of I (mvCol = (-8, 0));
+    // B at poc 1 between I (0) and P (2): tb = 1, td = 2 ->
+    // DistScaleFactor = 128, mvL0 = (128*-8 + 128) >> 8 = -4 (1 px),
+    // mvL1 = -4 + 8 = +4. BOTH legs land on I shifted one pixel left
+    // (P(x+1) = I(x-1)), edge-clamped.
+    def iPix(x: Int, y: Int): Int = 20 + 3 * x + y
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(iPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => PMove(-8, 0), 28, frameNum = 1) ++
+      sep ++ H264.bNal(1, 1, _ => BSkip, 28, frameNum = 2,
+        pocLsb = 1, temporal = true)
+    val fs = H264.decodeFramesLuma(es, 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"${fs.map(_._4)}")
+    val b = fs(2)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val exp =
+        if (x <= 14) iPix(math.max(0, x - 1), y)
+        else (iPix(14, y) + iPix(13, y) + 1) >> 1 // L1 leg clamps
+      assert(b(y * 16 + x) == exp, s"($x,$y)")
+    }
+    // intra colocated blocks: a P with an intra refresh MB — both
+    // lists collapse to zero motion against the colocated picture's
+    // own first reference, so the B is the plain anchor average
+    val es2 = sep ++ H264.spsNal(2, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(2, 1, mb => Pcm((x, y) =>
+        40 + 2 * (x + 16 * (mb % 2)) + y), 28) ++
+      sep ++ H264.pNal(2, 1, mb =>
+        if (mb == 0) PMoveCoded(0, 0, blk => blk % 3 - 1)
+        else H264.PIntra(I16Dc(3)), 28, frameNum = 1) ++
+      sep ++ H264.bNal(2, 1, _ => BSkip, 28, frameNum = 2,
+        pocLsb = 1, temporal = true)
+    val fs2 = H264.decodeFramesLuma(es2, 6)
+    assert(fs2.map(_._4) == Seq('I', 'P', 'B'), s"${fs2.map(_._4)}")
+    for (k <- 0 until 16 * 32)
+      assert(fs2(2)._3(k) ==
+        ((fs2(0)._3(k) + fs2(1)._3(k) + 1) >> 1), s"intra-col px $k")
+    // eviction degrade: a late B whose colocated picture references
+    // the I that already slid out of the 2-deep window keeps the
+    // exact frames decoded so far
+    val es3 = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28) ++
+      sep ++ H264.idrNal(1, 1, _ => Pcm(iPix), 28) ++
+      sep ++ H264.pNal(1, 1, _ => PMove(0, 0), 28, frameNum = 1) ++
+      sep ++ H264.pNal(1, 1, _ => PMove(0, 0), 28, frameNum = 2) ++
+      sep ++ H264.bNal(1, 1, _ => BSkip, 28, frameNum = 3,
+        pocLsb = 5, temporal = true)
+    assert(H264.decodeFramesLuma(es3, 6).map(_._4) ==
+      Seq('I', 'P', 'P'), "evicted colocated reference degrades")
+  }
+
   test("corruption fuzz: 200 mutations of an I-P-B stream degrade or " +
       "truncate, never throw") {
     val id = 6
