@@ -82,10 +82,10 @@ package graft.ext
   *    idc 1 (8.4.2.3.2, single-list and two-sided) AND implicit idc 2
   *    (POC-distance DistScaleFactor weights), per-list 8.4.1.3 motion
   *    prediction over separate L0/L1 contexts, inter residuals, intra
-  *    refresh, non-reference and reference B (pyramid), and DEBLOCKED
+  *    refresh, non-reference and reference B (pyramid), DEBLOCKED
   *    B slices (the full 8.7.2.1 two-list bS rules by DPB picture
-  *    identity with the straight/crossed pairing). Honesty bounds:
-  *    the bottom-field POC delta degrades.
+  *    identity with the straight/crossed pairing), and the
+  *    bottom-field POC delta (frame PicOrderCnt = Min(top, bottom)).
   *  - CABAC I slices (round 14, VERDICT r13 #1): the full 9.3
   *    arithmetic engine ([[H264Cabac]]) with context-modeled mb_type
   *    (incl. the ctx-276 I_PCM escape with engine re-init),
@@ -1829,11 +1829,9 @@ object H264 {
     // stride (review r12) — compare dimensions, not just length
     if (isInter && pps.constrainedIntra) return None // intra-in-P/B would
     // have to treat inter neighbors as unavailable (8.3.3): not done
-    // B honesty bounds (round 15): all three pocTypes decode (type 1
-    // via the full 8.2.1.2 cycle derivation below); the bottom-field
-    // POC delta still degrades for B, and TEMPORAL direct (flag 0
-    // below) degrades.
-    if (isB && pps.bottomFieldPoc) return None
+    // round 15: all three pocTypes decode for B (type 1 via the full
+    // 8.2.1.2 cycle derivation below), including the bottom-field
+    // frame delta (PicOrderCnt = Min(top, bottom), 8.2.1).
     val frameNum = br.bits(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3, round 13 review): with a
     // multi-picture DPB a GAP means un-decoded reference frames the
@@ -1873,7 +1871,9 @@ object H264 {
     // minus 1 for non-reference pictures).
     if (sps.pocType == 0) {
       val lsb = br.bits(sps.log2MaxPocLsb)
-      if (pps.bottomFieldPoc) br.se()
+      // delta_pic_order_cnt_bottom (round 15): a frame's POC is
+      // Min(TopFieldOrderCnt, BottomFieldOrderCnt) = top + Min(0, d)
+      val deltaBottom = if (pps.bottomFieldPoc) br.se() else 0
       val maxLsb = 1 << sps.log2MaxPocLsb
       val pMsb = if (isIdr) 0 else prevPocMsb
       val pLsb = if (isIdr) 0 else prevPocLsb
@@ -1884,7 +1884,7 @@ object H264 {
       if (stateIn == null) {
         st.pocMsb = msb
         st.pocLsb = lsb
-        st.poc = msb + lsb
+        st.poc = msb + lsb + math.min(0, deltaBottom)
       }
     } else if (sps.pocType == 1) {
       // 8.2.1.2 (round 15): POC from the frame_num cycle. Frames
@@ -4909,12 +4909,13 @@ object H264 {
     * pps_id 0). */
   def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false,
       cabac: Boolean = false, bipredExplicit: Boolean = false,
-      bipredImplicit: Boolean = false): Array[Byte] = {
+      bipredImplicit: Boolean = false,
+      bottomPoc: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
     bw.put(if (cabac) 1 else 0, 1) // entropy_coding_mode_flag
-    bw.put(0, 1) // bottom_field_pic_order
+    bw.put(if (bottomPoc) 1 else 0, 1) // bottom_field_pic_order
     bw.putUe(0) // num_slice_groups_minus1
     bw.putUe(0); bw.putUe(0) // num_ref_idx defaults
     bw.put(if (weighted) 1 else 0, 1) // weighted_pred
@@ -4940,7 +4941,8 @@ object H264 {
   def idrNal(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
       deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
       idcOverride: Int = -1, longTermRef: Boolean = false,
-      pocType1: Boolean = false): Array[Byte] = {
+      pocType1: Boolean = false,
+      pocBottomDelta: Option[Int] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     // round 13 multi-slice fixtures: emit ONE slice covering
     // [firstMb, firstMb+count); default = the whole picture. The
@@ -4955,8 +4957,10 @@ object H264 {
     bw.putUe(0) // pps_id
     bw.put(0, 4) // frame_num (log2 = 4)
     bw.putUe(0) // idr_pic_id
-    if (!pocType1)
+    if (!pocType1) {
       bw.put(0, 4) // pic_order_cnt_lsb (log2 = 4)
+      pocBottomDelta.foreach(bw.putSe) // vs a bottomPoc PPS only
+    }
     bw.put(0, 1) // no_output_of_prior_pics
     bw.put(if (longTermRef) 1 else 0, 1) // long_term_reference_flag
     bw.putSe(0) // slice_qp_delta (QP = pic_init_qp)
@@ -6170,7 +6174,8 @@ object H264 {
       reorder: Seq[(Int, Int)] = Nil,
       mmcoDrop: Seq[Int] = Nil,
       mmcoOps: Seq[Seq[Int]] = Nil,
-      pocType1: Boolean = false): Array[Byte] = {
+      pocType1: Boolean = false,
+      pocBottomDelta: Option[Int] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     require(numRef >= 1 && numRef <= 16, s"numRef out of range: $numRef")
@@ -6181,8 +6186,10 @@ object H264 {
     bw.putUe(5) // slice_type: P (all)
     bw.putUe(0) // pps_id
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
-    if (!pocType1)
+    if (!pocType1) {
       bw.put((frameNum * 2) & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+      pocBottomDelta.foreach(bw.putSe) // vs a bottomPoc PPS only
+    }
     if (numRef == 1)
       bw.put(0, 1) // num_ref_idx_active_override (PPS default = 1 ref)
     else {
@@ -6400,7 +6407,8 @@ object H264 {
       deblock: Boolean = false,
       colZeroAt: (Int, Int) => Boolean = (_, _) => false,
       pocType1: Boolean = false,
-      temporal: Boolean = false): Array[Byte] = {
+      temporal: Boolean = false,
+      pocBottomDelta: Option[Int] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(refIdc >= 0 && refIdc <= 3, s"refIdc out of range: $refIdc")
     val bw = new BitWriter
@@ -6408,8 +6416,10 @@ object H264 {
     bw.putUe(6) // slice_type: B (all)
     bw.putUe(0) // pps_id
     bw.put(frameNum & 15, 4) // frame_num (log2 = 4)
-    if (!pocType1)
+    if (!pocType1) {
       bw.put(pocLsb & 15, 4) // pic_order_cnt_lsb (log2 = 4)
+      pocBottomDelta.foreach(bw.putSe) // vs a bottomPoc PPS only
+    }
     // temporal fixtures (round 15): the encoder does not model the
     // colocated motion, so direct/skip MBs must not PRECEDE any coded
     // MB whose mvd prediction could read their cells

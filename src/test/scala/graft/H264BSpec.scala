@@ -493,6 +493,38 @@ class H264BSpec extends AnyFunSuite {
       Seq('I', 'P', 'P'), "evicted colocated reference degrades")
   }
 
+  test("bottom-field POC delta: PicOrderCnt = Min(top, bottom) flips " +
+      "the B's list construction") {
+    // PPS with bottom_field_pic_order_in_frame_present: the B carries
+    // lsb 3 but delta_pic_order_cnt_bottom -4 -> poc -1, BEFORE both
+    // anchors (I at 0, P at 2): its L0(0) becomes the I. Without the
+    // min(top, bottom) rule the poc would be 3 and L0(0) the P.
+    val sep = Array[Byte](0, 0, 0, 1)
+    def q(b: Int): Int = (5 * 11 + 4 * b + 60) % 180 + 20
+    val es = sep ++ H264.spsNal(1, 1, maxRef = 2) ++
+      sep ++ H264.ppsNal(28, bottomPoc = true) ++
+      sep ++ H264.idrNal(1, 1,
+        _ => Pcm((x, y) => q((y / 8) * 2 + x / 8)), 28,
+        pocBottomDelta = Some(0)) ++
+      sep ++ H264.pNal(1, 1,
+        _ => PMoveCoded(0, 0, blk => (5 + blk) % 5 - 2), 28,
+        frameNum = 1, pocBottomDelta = Some(0)) ++
+      sep ++ H264.bNal(1, 1, _ => BFwd(0, 0), 28, frameNum = 2,
+        pocLsb = 3, pocBottomDelta = Some(-4))
+    val fs = H264.decodeFramesLuma(es, 6)
+    assert(fs.map(_._4) == Seq('I', 'P', 'B'), s"${fs.map(_._4)}")
+    assert(fs(2)._3.sameElements(fs(0)._3),
+      "poc -1 fronts the I in L0")
+    // control: delta 0 keeps poc 3 -> L0(0) is the P anchor
+    val es2 = es.dropRight(es.length - es.lastIndexOfSlice(sep)) ++
+      sep ++ H264.bNal(1, 1, _ => BFwd(0, 0), 28, frameNum = 2,
+        pocLsb = 3, pocBottomDelta = Some(0))
+    val fs2 = H264.decodeFramesLuma(es2, 6)
+    assert(fs2.map(_._4) == Seq('I', 'P', 'B'))
+    assert(fs2(2)._3.sameElements(fs2(1)._3),
+      "delta 0 keeps the P in front")
+  }
+
   test("corruption fuzz: 200 mutations of an I-P-B stream degrade or " +
       "truncate, never throw") {
     val id = 6
