@@ -110,11 +110,14 @@ package graft.ext
   *    the shared intra tails. cabac_init_idc selects among
   *    [[H264Cabac.InitPB]]'s three columns — see that constant's
   *    GRADED provenance note: the inter-syntax ranges are confident
-  *    transcriptions, the residual ranges are an admitted I-column
-  *    stand-in pending spec-text transcription, so wild-stream CABAC
-  *    P/B carries a documented entropy-fidelity bound while every
-  *    local gate (round-trip, CAVLC-vs-CABAC equality, the DuckDB
-  *    oracle) is exact.
+  *    transcriptions and, since round 16, the residual ranges are
+  *    TRANSCRIBED per-idc columns too (the former I-column stand-in
+  *    is gone; round 16 likewise corrected InitI's residual ranges,
+  *    which rounds 14-15 had filled with the idc-0 column by
+  *    mistake). Every local gate (round-trip, CAVLC-vs-CABAC
+  *    equality, the DuckDB oracle) is exact by construction; the
+  *    remaining wild-stream bound is the per-column confidence
+  *    grading at the definition site.
   *  - Intra_4x4 (I_NxN, round 13 — VERDICT r12 #2): all nine 4x4
   *    prediction modes (8.3.1.2.1-9) with the spec's neighbor
   *    availability and p[x,-1] x=4..7 substitution rules, the 8.3.1.1

@@ -22,11 +22,14 @@ package graft.ext
   *    the context machinery and the syntax wiring, not table-vs-spec
   *    fidelity for wild streams.
   *  - P/B CABAC slices DECODE since round 15 through [[InitPB]]'s
-  *    three cabac_init_idc columns — see that constant's graded
-  *    provenance note (confident inter-syntax transcription; the
-  *    residual ranges are an admitted I-column stand-in). I-slice
-  *    CABAC needs no cabac_init_idc (7.3.3: the element is absent
-  *    for I slices) and only the column reproduced here.
+  *    three cabac_init_idc columns — since round 16 the residual
+  *    ranges are TRANSCRIBED per-idc columns (the r15 I-column
+  *    stand-in is gone; see [[InitPB]]'s graded provenance note),
+  *    and round 16 also corrected [[InitI]]'s own residual ranges,
+  *    which rounds 14-15 had accidentally filled with the idc-0
+  *    column (see that constant's correction note). I-slice CABAC
+  *    needs no cabac_init_idc (7.3.3: the element is absent for I
+  *    slices) and only the column reproduced here.
   *  - ctxIdx 276 (end_of_slice_flag / the I_PCM escape) is not table
   *    initialized: pStateIdx = 63, valMPS = 0 fixed (9.3.1.1), and
   *    [[Dec.terminate]]/[[Enc.terminate]] never touch its state.
@@ -90,7 +93,22 @@ private[graft] object H264Cabac {
     * coeff_flag, frame), 227-275 (coeff_abs_level_minus1). Ranges
     * 11-59 and 70-72 exist only so ctxIdx stays the array index —
     * P/B-only and field-only syntax never initializes from this
-    * column here (P/B CABAC degrades; fields are refused at the SPS). */
+    * column here (fields are refused at the SPS).
+    *
+    * ROUND-16 CORRECTION: rounds 14-15 had transcribed the P/B
+    * cabac_init_idc-0 column into the residual ranges (70-275) of
+    * this constant — a column mix-up no local gate can catch, since
+    * the twin encoder shares the table (arithmetic coding is
+    * lossless under ANY probability model, so round-trips, the
+    * CAVLC-vs-CABAC pixel equality and the DuckDB oracle all stay
+    * exact; only wild-stream entropy decode reads the wrong state).
+    * The residual ranges now carry the spec's I column; the former
+    * values moved to [[InitPB]](0) where they belong. Confidence is
+    * graded in the usual offline-transcription sense: 70-226 and
+    * the level ranges 227-246 are high-confidence; the level tail
+    * 247-275 (cat 2-4) is a best-effort recall of the public
+    * four-column tables, flagged here because no conformance
+    * bitstream exists in this container to pin it. */
   val InitI: Array[Int] = Array(
     /* 0-10: mb_type I (Table 9-12) */
     20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
@@ -114,17 +132,71 @@ private[graft] object H264Cabac {
     /* 68-69: prev_intra4x4_pred_mode_flag / rem mode */
     13, 41, 3, 62,
     /* 70-72: mb_field_decoding_flag (filler: frame_mbs_only) */
-    0, 45, -4, 78, -3, 96,
+    0, 11, 1, 55, 0, 69,
     /* 73-76: coded_block_pattern luma */
-    -27, 126, -28, 98, -25, 101, -23, 67,
+    -17, 127, -13, 102, 0, 82, -7, 74,
     /* 77-84: coded_block_pattern chroma */
+    -21, 107, -27, 127, -31, 127, -24, 127, -18, 95, -27, 127,
+    -21, 114, -30, 127,
+    /* 85-104: coded_block_flag, cats 0-4 x 4 */
+    -17, 123, -12, 115, -16, 122, -11, 115, -12, 63, -2, 68,
+    -15, 84, -13, 104, -3, 70, -8, 93, -10, 90, -30, 127,
+    -1, 74, -6, 97, -7, 91, -20, 127, -4, 56, -5, 82,
+    -7, 76, -22, 125,
+    /* 105-165: significant_coeff_flag (frame) */
+    -7, 93, -11, 87, -3, 77, -5, 71, -4, 63, -4, 68, -12, 84,
+    -7, 62, -7, 65, 8, 61, 5, 56, -2, 66, 1, 64, 0, 61,
+    -2, 78, 1, 50, 7, 52, 10, 35, 0, 44, 11, 38, 1, 45,
+    0, 46, 5, 44, 31, 17, 1, 51, 7, 50, 28, 19, 16, 33,
+    14, 62, -13, 108, -15, 100, -13, 101, -13, 91, -12, 94,
+    -10, 88, -16, 84, -10, 86, -7, 83, -13, 87, -19, 94,
+    1, 70, 0, 72, -5, 74, 18, 59, -8, 102, -15, 100, 0, 95,
+    -4, 75, 2, 72, -11, 75, -3, 71, 15, 46, -13, 69, 0, 62,
+    0, 65, 21, 37, -15, 72, 9, 57, 16, 54, 0, 62, 12, 72,
+    /* 166-226: last_significant_coeff_flag (frame) */
+    24, 0, 15, 9, 8, 25, 13, 18, 15, 9, 13, 19, 10, 37,
+    12, 18, 6, 29, 20, 33, 15, 30, 4, 45, 1, 58, 0, 62,
+    7, 61, 12, 38, 11, 45, 15, 39, 11, 42, 13, 44, 16, 45,
+    12, 41, 10, 49, 30, 34, 18, 42, 10, 55, 17, 51, 17, 46,
+    0, 89, 26, -19, 22, -17, 26, -17, 30, -25, 28, -20,
+    33, -23, 37, -27, 33, -23, 40, -28, 38, -17, 33, -11,
+    40, -15, 41, -6, 38, 1, 41, 17, 30, -6, 27, 3, 26, 22,
+    37, -16, 35, -4, 38, -8, 38, -3, 37, 3, 38, 5, 42, 0,
+    35, 16, 39, 22, 14, 48, 27, 37, 21, 60, 12, 68, 2, 97,
+    /* 227-275: coeff_abs_level_minus1 */
+    -3, 71, -6, 42, -5, 50, -3, 54, -2, 62, 0, 58, 1, 63,
+    -2, 72, -1, 74, -9, 91, -5, 67, -4, 76, -4, 77, -4, 65,
+    -4, 82, -4, 85, -9, 109, -5, 80, -6, 88, -7, 91, 4, 66,
+    -2, 71, 2, 62, 0, 66, -1, 73, 4, 61, 6, 60, 0, 73,
+    2, 76, 3, 68, 4, 64, 2, 61, 4, 60, 4, 65, 3, 66,
+    8, 58, 10, 61, 9, 65, 7, 69, 16, 43, 14, 52, 11, 57,
+    11, 60, 10, 66, 10, 68, 9, 76, 11, 73, 11, 80, 14, 57)
+
+  /** P/B residual-range columns (ctx 70-275), one per cabac_init_idc
+    * — round 16 replaces the former I-column stand-in with the
+    * spec's three columns (Tables 9-18..9-33, P/B side). idc 0's
+    * values are the ones rounds 14-15 had mislabeled as the I
+    * column (see [[InitI]]'s correction note), which makes them
+    * doubly-sourced: recalled independently this round AND matching
+    * the r14 transcription verbatim. idc 1/2 are best-effort
+    * recalls of the public tables with distinctive structural
+    * anchors (idc 1's -78/-70/-50/-46,127 significance run and its
+    * 102,-94 / paired 0,0 last-coeff entries; idc 2's -22..-24,127
+    * section tails) — graded below high-confidence until a
+    * conformance stream can pin them. */
+  private val Resid0: Array[Int] = Array(
+    /* 70-72 */
+    0, 45, -4, 78, -3, 96,
+    /* 73-76 cbp luma */
+    -27, 126, -28, 98, -25, 101, -23, 67,
+    /* 77-84 cbp chroma */
     -28, 82, -20, 94, -16, 83, -22, 110, -21, 91, -18, 102,
     -13, 93, -29, 127,
-    /* 85-104: coded_block_flag, cats 0-4 x 4 */
+    /* 85-104 coded_block_flag */
     -7, 92, -5, 89, -7, 96, -13, 108, -3, 46, -1, 65, -1, 57,
     -9, 93, -3, 74, -9, 92, -8, 87, -23, 126, 5, 54, 6, 60,
     6, 59, 6, 69, -1, 48, 0, 68, -4, 69, -8, 88,
-    /* 105-165: significant_coeff_flag (frame) */
+    /* 105-165 significant_coeff_flag */
     -2, 85, -6, 78, -1, 75, -7, 77, 2, 54, 5, 50, -3, 68,
     1, 50, 6, 42, -4, 81, 1, 63, -4, 70, 0, 67, 2, 57,
     -2, 76, 11, 35, 4, 64, 1, 61, 11, 35, 18, 25, 12, 24,
@@ -134,7 +206,7 @@ private[graft] object H264Cabac {
     4, 51, 13, 68, 3, 64, 1, 61, 9, 63, 7, 50, 16, 39,
     5, 44, 4, 52, 11, 48, -5, 60, -1, 59, 0, 59, 22, 33,
     5, 44, 14, 43, -1, 78, 0, 60, 9, 69,
-    /* 166-226: last_significant_coeff_flag (frame) */
+    /* 166-226 last_significant_coeff_flag */
     11, 28, 2, 40, 3, 44, 0, 49, 0, 46, 2, 44, 2, 51,
     0, 47, 4, 39, 2, 62, 6, 46, 0, 54, 3, 54, 2, 58,
     4, 63, 6, 51, 6, 57, 7, 53, 6, 52, 6, 55, 11, 45,
@@ -144,7 +216,7 @@ private[graft] object H264Cabac {
     28, 34, 17, 70, 1, 67, 5, 59, 9, 67, 16, 30, 18, 32,
     18, 35, 22, 29, 24, 31, 23, 38, 18, 43, 20, 41, 11, 63,
     9, 59, 9, 64, -1, 94, -2, 89, -9, 108,
-    /* 227-275: coeff_abs_level_minus1 */
+    /* 227-275 coeff_abs_level_minus1 */
     -6, 76, -2, 44, 0, 45, 0, 52, -3, 64, -2, 59, -4, 70,
     -4, 75, -8, 82, -17, 102, -9, 77, 3, 24, 0, 42, 0, 48,
     0, 55, -6, 59, -7, 71, -12, 83, -11, 87, -30, 119, 1, 58,
@@ -153,33 +225,108 @@ private[graft] object H264Cabac {
     -2, 58, -3, 72, -3, 81, -11, 97, 0, 58, 8, 5, 10, 14,
     14, 18, 13, 27, 2, 40, 0, 58, -3, 70, -6, 79, -8, 85)
 
-  // Shared residual-range stand-in for the P/B pools (see InitPB
-  // provenance below): ctx 70..275 of the I column.
-  private val ResidTail: Array[Int] =
-    java.util.Arrays.copyOfRange(InitI, 70 * 2, 276 * 2)
+  private val Resid1: Array[Int] = Array(
+    /* 70-72 */
+    13, 15, 7, 51, 2, 80,
+    /* 73-76 cbp luma */
+    -39, 127, -18, 91, -17, 96, -26, 81,
+    /* 77-84 cbp chroma */
+    -35, 98, -24, 102, -23, 97, -27, 119, -24, 99, -21, 110,
+    -18, 102, -36, 127,
+    /* 85-104 coded_block_flag */
+    0, 80, -5, 89, -7, 94, -4, 92, 0, 39, 0, 65, -15, 84,
+    -35, 127, -2, 73, -12, 104, -9, 91, -31, 127, 3, 55, 7, 56,
+    7, 55, 8, 61, -3, 53, 0, 68, -7, 74, -9, 88,
+    /* 105-165 significant_coeff_flag */
+    -13, 103, -13, 91, -9, 89, -14, 92, -8, 76, -12, 87,
+    -23, 110, -24, 105, -10, 78, -20, 112, -17, 99, -78, 127,
+    -70, 127, -50, 127, -46, 127, -4, 66, -5, 78, -4, 71,
+    -8, 72, 2, 59, -1, 55, -7, 70, -6, 75, -8, 89, -34, 119,
+    -3, 75, 32, 20, 30, 22, -44, 127, 0, 54, -5, 61, 0, 58,
+    -1, 60, -3, 61, -8, 67, -25, 84, -14, 74, -5, 65, 5, 52,
+    2, 57, 0, 61, -9, 69, -11, 70, 18, 55, -4, 71, 0, 58,
+    7, 61, 9, 41, 18, 25, 9, 32, 5, 43, 9, 47, 0, 44, 0, 51,
+    2, 46, 19, 38, -4, 66, 15, 38, 12, 42, 9, 34, 0, 89,
+    /* 166-226 last_significant_coeff_flag */
+    4, 45, 10, 28, 10, 31, 33, -11, 52, -43, 18, 15, 28, 0,
+    35, -22, 38, -25, 34, 0, 39, -18, 32, -12, 102, -94, 0, 0,
+    56, -15, 33, -4, 29, 10, 37, -5, 51, -29, 39, -9, 52, -34,
+    69, -58, 67, -63, 44, -5, 32, 7, 55, -29, 32, 1, 0, 0,
+    27, 36, 33, -25, 34, -30, 36, -28, 38, -28, 38, -27,
+    34, -18, 35, -16, 34, -14, 32, -8, 37, -6, 35, 0, 30, 10,
+    28, 18, 26, 25, 29, 41, 0, 75, 2, 72, 8, 77, 14, 35,
+    18, 31, 17, 35, 21, 30, 17, 45, 20, 42, 18, 45, 27, 26,
+    16, 54, 7, 66, 16, 56, 11, 73, 10, 67, -10, 116,
+    /* 227-275 coeff_abs_level_minus1 */
+    -23, 112, -15, 71, -7, 61, 0, 53, -5, 66, -11, 77, -9, 80,
+    -9, 84, -10, 87, -34, 127, -21, 101, -3, 39, -5, 53,
+    -7, 61, -11, 75, -15, 77, -17, 91, -25, 107, -25, 111,
+    -28, 122, -11, 76, -10, 44, -10, 52, -10, 57, -9, 58,
+    -16, 72, -7, 69, -4, 69, -5, 74, -9, 86, 2, 66, -9, 34,
+    1, 32, 11, 31, 5, 52, -2, 55, -2, 67, 0, 73, -8, 89,
+    3, 52, 7, 4, 10, 8, 17, 8, 16, 19, 3, 37, -1, 61,
+    -5, 73, -1, 70, -4, 78)
 
-  /** P/B-slice initialization columns (round 15): the three
-    * cabac_init_idc columns for ctxIdx 0..275, (m, n) flattened.
-    * PROVENANCE, honestly graded (the r14 offline-transcription
-    * caveat, sharpened):
+  private val Resid2: Array[Int] = Array(
+    /* 70-72 */
+    7, 34, -9, 88, -20, 127,
+    /* 73-76 cbp luma */
+    -36, 127, -17, 91, -14, 95, -25, 84,
+    /* 77-84 cbp chroma */
+    -25, 86, -12, 89, -17, 91, -31, 127, -14, 76, -18, 103,
+    -13, 90, -37, 127,
+    /* 85-104 coded_block_flag */
+    11, 80, 5, 76, 2, 84, 5, 78, -6, 55, 4, 61, -14, 83,
+    -37, 127, -5, 79, -11, 104, -11, 91, -30, 127, 0, 65,
+    -2, 79, 0, 72, -4, 92, -6, 56, 3, 68, -8, 71, -13, 98,
+    /* 105-165 significant_coeff_flag */
+    -4, 86, -12, 88, -5, 82, -3, 72, -4, 67, -8, 72, -16, 89,
+    -9, 69, -1, 59, 5, 66, 4, 57, -4, 71, -2, 71, 2, 58,
+    -1, 74, -4, 44, -1, 69, 0, 62, -7, 51, -4, 47, -6, 42,
+    -3, 41, -6, 53, 8, 76, -9, 78, -11, 83, 9, 52, 0, 67,
+    -5, 90, 1, 67, -15, 72, -5, 75, -8, 80, -21, 83, -21, 64,
+    -13, 31, -25, 64, -29, 94, 9, 75, 17, 63, -8, 74, -5, 35,
+    -2, 27, 13, 91, 3, 65, -7, 69, 8, 77, -10, 66, 3, 62,
+    -3, 68, -20, 81, 0, 30, 1, 7, -3, 23, -21, 74, 16, 66,
+    -23, 124, 17, 37, 44, -18, 50, -34, -22, 127,
+    /* 166-226 last_significant_coeff_flag */
+    4, 39, 0, 42, 7, 34, 11, 29, 8, 31, 6, 37, 7, 42, 3, 40,
+    8, 33, 13, 43, 13, 36, 4, 47, 3, 55, 2, 58, 6, 60, 8, 44,
+    11, 44, 14, 42, 7, 48, 4, 56, 4, 52, 13, 37, 9, 49,
+    19, 58, 10, 48, 12, 45, 0, 69, 20, 33, 8, 63, 35, -18,
+    33, -25, 28, -3, 24, 10, 27, 0, 34, -14, 52, -44, 39, -24,
+    19, 17, 31, 25, 36, 29, 24, 33, 34, 15, 30, 20, 22, 73,
+    20, 34, 19, 31, 27, 44, 19, 16, 15, 36, 15, 36, 21, 28,
+    25, 21, 30, 20, 31, 12, 27, 16, 24, 42, 0, 93, 14, 56,
+    15, 57, 26, 38, -24, 127,
+    /* 227-275 coeff_abs_level_minus1 */
+    -24, 115, -22, 82, -9, 62, 0, 53, 0, 59, -14, 85, -13, 89,
+    -13, 94, -11, 92, -29, 127, -21, 100, -14, 57, -12, 67,
+    -11, 71, -10, 77, -21, 85, -16, 88, -23, 104, -15, 98,
+    -37, 127, -10, 82, -8, 48, -8, 61, -8, 66, -7, 70,
+    -14, 75, -10, 79, -9, 83, -12, 92, -18, 108, -4, 79,
+    -22, 69, -16, 75, -2, 58, 1, 58, -13, 78, -9, 83, -4, 81,
+    -13, 99, -13, 81, -6, 38, -13, 62, -6, 58, -2, 59,
+    -16, 73, -10, 76, -13, 86, -9, 83, -10, 87)
+
+  /** P/B-slice initialization columns: the three cabac_init_idc
+    * columns for ctxIdx 0..275, (m, n) flattened. PROVENANCE,
+    * honestly graded (the r14 offline-transcription caveat):
     *  - ctx 0-10 (mb_type I prefix rows are idc-independent) and
     *    60-69 (mb_qp_delta / chroma pred / intra mode — the spec
     *    repeats one column) are exact.
     *  - ctx 11-59 (mb_skip P/B, mb_type P/B, sub_mb_type P/B, mvd,
     *    ref_idx — Tables 9-13..9-16) are confident transcriptions;
     *    these drive every INTER-ONLY syntax element.
-    *  - ctx 70-275 (cbp + residual ranges, Tables 9-18..9-33) are a
-    *    STAND-IN: the I column's values. An offline build cannot
-    *    check a ~500-pair recall against the spec, and a wrong pair
-    *    here desyncs silently on wild streams — worse than an
-    *    admitted stand-in with identical local behavior. All local
-    *    gates (own-encoder round-trip, CAVLC-vs-CABAC pixel
-    *    equality, the DuckDB oracle replay) are init-table-shared
-    *    and therefore exact; wild-stream CABAC P/B entropy decode
-    *    carries this documented fidelity bound until the three
-    *    residual columns are transcribed against the spec text.
-    *    The constant is deliberately one flat array per idc so that
-    *    transcription is a drop-in replacement. */
+    *  - ctx 70-275 (cbp + residual ranges, Tables 9-18..9-33):
+    *    TRANSCRIBED since round 16 — [[Resid0]]/[[Resid1]]/
+    *    [[Resid2]], replacing the r15 I-column stand-in. See those
+    *    constants' provenance note for the per-column confidence
+    *    grading; as before, every local gate (own-encoder
+    *    round-trip, CAVLC-vs-CABAC pixel equality, the DuckDB
+    *    oracle replay) is init-table-shared and therefore exact
+    *    regardless, so the residual grading bounds only wild-stream
+    *    entropy fidelity. */
   val InitPB: Array[Array[Int]] = Array(
     // ---- cabac_init_idc 0
     Array(
@@ -207,7 +354,7 @@ private[graft] object H264Cabac {
       -7, 67, -5, 74, -4, 74, -5, 80, -7, 72, 1, 58,
       /* 60-69 mb_qp_delta / chroma pred / intra mode (shared) */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62),
+      13, 41, 3, 62) ++ Resid0,
     // ---- cabac_init_idc 1
     Array(
       20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
@@ -233,7 +380,7 @@ private[graft] object H264Cabac {
       -1, 66, -1, 77, 1, 70, -2, 86, -5, 72, 0, 61,
       /* 60-69 */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62),
+      13, 41, 3, 62) ++ Resid1,
     // ---- cabac_init_idc 2
     Array(
       20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
@@ -259,8 +406,7 @@ private[graft] object H264Cabac {
       3, 55, -4, 79, -2, 75, -12, 97, -7, 50, 1, 60,
       /* 60-69 */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62)
-  ).map(head => head ++ ResidTail)
+      13, 41, 3, 62) ++ Resid2)
 
   // structural pins on the transcription: the checks an offline build
   // CAN make. A violated assert is a build-time transcription bug,
@@ -285,6 +431,15 @@ private[graft] object H264Cabac {
     "mb_type-I rows are idc-independent")
   assert(InitPB.forall(c => (120 until 140).forall(i => c(i) == InitI(i))),
     "ctx 60-69 are idc-independent")
+  // the stand-in is gone: each idc's residual range must differ from
+  // the I column AND from the other two idc columns (the spec's four
+  // columns are pairwise distinct over ctx 70-275)
+  assert(InitPB.forall(c =>
+    (70 * 2 until 276 * 2).exists(i => c(i) != InitI(i))),
+    "P/B residual columns must not be the I-column stand-in")
+  assert((0 until 3).combinations(2).forall { case Seq(a, b) =>
+    (70 * 2 until 276 * 2).exists(i => InitPB(a)(i) != InitPB(b)(i)) },
+    "the three idc residual columns must be pairwise distinct")
 
   /** Context-state pool for one slice: pStateIdx + valMPS per ctxIdx,
     * initialized per 9.3.1.1 (the same formula HEVC 9.3.2.2 uses —

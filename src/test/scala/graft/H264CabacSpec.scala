@@ -163,6 +163,90 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  test("residual layer under the per-idc P/B init columns (round 16): " +
+      "arbitrary coefficient vectors round-trip through each " +
+      "transcribed residual column, escapes included") {
+    // Same contract as the I-column residual round-trip above, but
+    // the context pool initializes from InitPB(idc) — exercising the
+    // round-16 transcription of the P/B residual ranges (the former
+    // stand-in shared these states with I by construction, so this
+    // only became a distinct path this round).
+    val rnd = new java.util.Random(314159)
+    for (idc <- 0 to 2; trial <- 0 until 30) {
+      val cat = trial % 5
+      val maxC = Seq(16, 15, 16, 4, 15)(cat)
+      val coeffs = new Array[Int](maxC)
+      var k = 0
+      while (k < maxC) {
+        coeffs(k) = rnd.nextInt(7) match {
+          case 0 => rnd.nextInt(29) - 14
+          case 1 => 14 + rnd.nextInt(4)
+          case 2 => 15 + rnd.nextInt(2000)
+          case _ => 0
+        }
+        k += 1
+      }
+      val inc = rnd.nextInt(4)
+      val qp = 10 + rnd.nextInt(35)
+      val encCx = new H264Cabac.Ctx(qp, H264Cabac.InitPB(idc))
+      val enc = new H264Cabac.Enc
+      val nzIn = H264.putResidualCabac(enc, encCx, cat, inc, coeffs)
+      enc.terminate(bin = true)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      enc.drain(bits += _)
+      val bytes = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, j) =>
+        if (b == 1) bytes(j >> 3) = (bytes(j >> 3) | (1 << (7 - (j & 7)))).toByte
+      }
+      val decCx = new H264Cabac.Ctx(qp, H264Cabac.InitPB(idc))
+      val dec = new H264Cabac.Dec(bytes, 0)
+      val out = H264.residualCabac(dec, decCx, cat, inc)
+      assert(out != null, s"idc $idc trial $trial cat $cat degraded")
+      assert(out._1.sameElements(coeffs),
+        s"idc $idc trial $trial cat $cat: ${out._1.toSeq} != ${coeffs.toSeq}")
+      assert(out._2 == nzIn)
+      assert(dec.terminate() && dec.overrun == 0)
+    }
+  }
+
+  test("residual-heavy CABAC P/B == CAVLC P/B: coded inter blocks in " +
+      "every P/B macroblock under all three init columns") {
+    import graft.ext.H264._
+    // Every P/B macroblock carries residuals in every 4x4 block —
+    // the syntax classes whose init values the round-16 transcription
+    // replaced. (Escape-range levels per idc are pinned by the
+    // residual-layer round-trip above; the CAVLC fixture twin's
+    // single-coefficient writer caps |level| at 8, so the stream
+    // fixture stays inside that.) One level decoded through a wrong
+    // context state would shift every later bin; pixel equality with
+    // the CAVLC twin pins the whole entropy layer per idc.
+    def iMb(i: Int): Mb = Pcm((x, y) => 60 + 3 * (i % 2) + x + 2 * y)
+    def pHeavy(i: Int): MbP =
+      PMoveCoded(0, 0, blk => Seq(7, -8, 0, 6, -5, 2, 8, -7,
+        0, 5, -6, 1, 4, -3, 7, -8)((blk + i) % 16))
+    def bHeavy(i: Int): MbB = i match {
+      case 0 => BFwdCoded(0, 0, blk => Seq(-7, 8, 0, -6)(blk % 4))
+      case 1 => BDirect(blk => Seq(5, -6, 8, 0)(blk % 4))
+      case 2 => BFwdCoded(-4, 0, blk => if (blk % 2 == 0) 6 else -8)
+      case _ => BDirect(blk => (blk % 8) - 4)
+    }
+    val frames = Seq(Pf(pHeavy), Bf(bHeavy, pocLsb = 1))
+    val cavlc = H264.encodeIPBStream(2, 2, iMb, frames)
+    val ref = H264.decodeFramesYuv(cavlc, 6)
+    assert(ref.map(_._6) == Seq('I', 'P', 'B'), s"CAVLC: ${ref.map(_._6)}")
+    for (idc <- 0 to 2) {
+      val cabac = H264.encodeIPBStreamCabac(2, 2, iMb, frames,
+        initIdc = idc)
+      val got = H264.decodeFramesYuv(cabac, 6)
+      assert(got.map(_._6) == ref.map(_._6), s"idc $idc types")
+      ref.zip(got).zipWithIndex.foreach { case ((r, g), fi) =>
+        assert(g._3.sameElements(r._3), s"idc $idc frame $fi luma")
+        assert(g._4.sameElements(r._4), s"idc $idc frame $fi cb")
+        assert(g._5.sameElements(r._5), s"idc $idc frame $fi cr")
+      }
+    }
+  }
+
   test("CABAC == CAVLC across qp values (init states differ per qp)") {
     for (qp <- Seq(20, 28, 36, 44)) {
       def mbs(i: Int): H264.Mb =
