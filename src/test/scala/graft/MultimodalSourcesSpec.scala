@@ -414,6 +414,56 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("dHashYuv: luma channel bit-identical to dHash64; a chroma-only " +
+      "recolor flips the U/V hashes while luma stays put") {
+    val bmp = Multimodal.syntheticBmp(7L, 18, 16)
+    val yuv = Multimodal.dHashYuv(bmp)
+    assert(yuv.isDefined)
+    // channel 1 IS dHash64 (same integer BT.601 luma, same box grid)
+    assert(yuv.get._1 == Multimodal.dHash64(bmp).get)
+    // noisy near-dup: every channel within the pairing threshold
+    val noisy = Multimodal.dHashYuv(
+      Multimodal.syntheticBmp(7L, 18, 16, noisy = true)).get
+    assert(java.lang.Long.bitCount(yuv.get._1 ^ noisy._1) <= 3)
+    assert(java.lang.Long.bitCount(yuv.get._2 ^ noisy._2) <= 3)
+    assert(java.lang.Long.bitCount(yuv.get._3 ^ noisy._3) <= 3)
+    // hand-built 18x16 BMP pair with IDENTICAL integer luma but a
+    // spatially-alternating chroma tint (a uniform tint would be
+    // invisible to a gradient hash by design, so the tint flips per
+    // 2-pixel box column)
+    def rgbBmp(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    // ramp stays in [100, 217]: +34 on R and -89 on B never clamp,
+    // and the integer luma numerator moves by 299*34 - 114*89 = +20,
+    // which the /1000 floor erases — tinted luma == gray luma EXACTLY
+    def ramp(x: Int, y: Int): Int = 100 + x * 6 + y
+    val grayRamp = rgbBmp((x, y) => {
+      val v = ramp(x, y); (v << 16) | (v << 8) | v
+    })
+    val tinted = rgbBmp((x, y) => {
+      val v = ramp(x, y)
+      if ((x / 2) % 2 == 0) ((v + 34) << 16) | (v << 8) | (v - 89)
+      else (v << 16) | (v << 8) | v
+    })
+    val gray = Multimodal.dHashYuv(grayRamp).get
+    val tint = Multimodal.dHashYuv(tinted).get
+    assert(tint._1 == gray._1, "luma hash must survive the equal-luma recolor")
+    // chroma alternates 77/128-ish per box column → strong horizontal
+    // chroma gradients the gray image (flat 128) has none of
+    val du = java.lang.Long.bitCount(tint._2 ^ gray._2)
+    val dv = java.lang.Long.bitCount(tint._3 ^ gray._3)
+    assert(du > 3 && dv > 3, s"chroma must see the recolor: u=$du v=$dv")
+    // non-tiling input: None
+    assert(Multimodal.dHashYuv(Multimodal.syntheticBmp(7L, 8, 8)).isEmpty)
+    assert(Multimodal.dHashYuv("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val media = Seq(Multimodal.MediaRow(1L, Array.fill[Byte](300)(7))).toDS()
     val frames = Multimodal.sampleFrames(media, 64, 2).collect()
