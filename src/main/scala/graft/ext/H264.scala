@@ -166,6 +166,84 @@ object H264 {
     else 2
   }
 
+  /** 8x8 zigzag (frame) scan: scan index -> raster (8.5.8, Fig 8-9 —
+    * the classic 8x8 zigzag). */
+  private val Zig8: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** normAdjust8x8 (8.5.9 Table, qp%6 x position class 0-5). */
+  private val NormAdjust8: Array[Array[Int]] = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 46, 43))
+
+  /** 8.5.9's six 8x8 position classes by (i%4, j%4) pattern. */
+  private def posClass8(raster: Int): Int = {
+    val i = raster >> 3; val j = raster & 7
+    if ((i & 3) == 0 && (j & 3) == 0) 0
+    else if ((i & 1) == 1 && (j & 1) == 1) 1
+    else if ((i & 3) == 2 && (j & 3) == 2) 2
+    else if (((i & 3) == 0 && (j & 1) == 1) || ((i & 1) == 1 && (j & 3) == 0)) 3
+    else if (((i & 3) == 0 && (j & 3) == 2) || ((i & 3) == 2 && (j & 3) == 0)) 4
+    else 5
+  }
+
+  // Default scaling lists (Tables 7-3 / 7-4), SCAN order as printed
+  // in the spec (round 16, High profile).
+  private val Def4Intra: Array[Int] = Array(
+    6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42)
+  private val Def4Inter: Array[Int] = Array(
+    10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34)
+  private val Def8Intra: Array[Int] = Array(
+    6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
+    23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31,
+    31, 31, 31, 33, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 38, 40)
+  private val Def8Inter: Array[Int] = Array(
+    9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
+    21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
+    24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 28, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 32, 33)
+
+  /** Flat (weight 16) lists: the Main-profile / matrix-absent case. */
+  private val Flat4: Array[Int] = Array.fill(16)(16)
+  private val Flat8: Array[Int] = Array.fill(64)(16)
+  private val FlatW4: Array[Array[Int]] = Array.fill(6)(Flat4)
+  private val FlatW8: Array[Array[Int]] = Array.fill(2)(Flat8)
+
+  /** Scan-order values -> raster-order weight matrix. */
+  private def scanToRaster(scanVals: Array[Int], zig: Array[Int]): Array[Int] = {
+    val out = new Array[Int](zig.length)
+    var j = 0
+    while (j < zig.length) { out(zig(j)) = scanVals(j); j += 1 }
+    out
+  }
+
+  /** scaling_list() (7.3.2.1.1.1). Returns raster-order weights, or
+    * null for UseDefaultScalingMatrix (a first delta that lands
+    * nextScale on 0). */
+  private def parseScalingList(br: BitReader, zig: Array[Int]): Array[Int] = {
+    val out = new Array[Int](zig.length)
+    var lastScale = 8
+    var nextScale = 8
+    var j = 0
+    while (j < zig.length) {
+      if (nextScale != 0) {
+        val delta = br.se()
+        nextScale = ((lastScale + delta) % 256 + 256) % 256
+        if (j == 0 && nextScale == 0) return null
+      }
+      val v = if (nextScale == 0) lastScale else nextScale
+      out(zig(j)) = v
+      lastScale = v
+      j += 1
+    }
+    out
+  }
+
   /** Table 9-4: codeNum -> coded_block_pattern for Intra_4x4
     * macroblocks (ChromaArrayType 1). */
   private val CbpIntra: Array[Int] = Array(
@@ -365,7 +443,12 @@ object H264 {
       deltaPocAlwaysZero: Boolean, maxRefFrames: Int,
       direct8x8: Boolean = true,
       offsetNonRef: Int = 0, offsetTopBottom: Int = 0,
-      offsetsForRef: IndexedSeq[Int] = IndexedSeq.empty)
+      offsetsForRef: IndexedSeq[Int] = IndexedSeq.empty,
+      /** seq scaling matrix, fall-back rule A resolved at parse time
+        * (round 16): 6 raster 4x4 lists + 2 raster 8x8 lists; null =
+        * seq_scaling_matrix_present_flag == 0 (flat 16). */
+      scalW4: Array[Array[Int]] = null,
+      scalW8: Array[Array[Int]] = null)
 
   private final case class Pps(
       id: Int, spsId: Int,
@@ -373,7 +456,15 @@ object H264 {
       bottomFieldPoc: Boolean, numRefIdxL0Default: Int,
       weightedPred: Boolean, constrainedIntra: Boolean,
       cabac: Boolean, numRefIdxL1Default: Int, weightedBipredIdc: Int,
-      chromaQpOff: Int, chromaQpOff2: Int)
+      chromaQpOff: Int, chromaQpOff2: Int,
+      /** round 16 (High profile): transform_8x8_mode_flag plus the
+        * pic scaling matrix — per-index parsed raster lists with null
+        * = "fall back" (rule B, resolved against the SPS at slice
+        * decode); picL4/picL8 are themselves null when
+        * pic_scaling_matrix_present_flag == 0. */
+      transform8x8: Boolean = false,
+      picL4: Array[Array[Int]] = null,
+      picL8: Array[Array[Int]] = null)
 
   /** Profiles whose SPS carries the chroma/bit-depth/scaling block. */
   private val HighProfiles =
@@ -385,13 +476,41 @@ object H264 {
     br.bits(8) // constraint flags + reserved
     br.bits(8) // level_idc
     val spsId = br.ue()
+    var scalW4: Array[Array[Int]] = null
+    var scalW8: Array[Array[Int]] = null
     if (HighProfiles.contains(profile)) {
       val chromaFormat = br.ue()
       if (chromaFormat != 1) throw ParseFail // 4:2:0 only
       if (br.ue() != 0) throw ParseFail // bit_depth_luma_minus8
       if (br.ue() != 0) throw ParseFail // bit_depth_chroma_minus8
       br.bit() // qpprime_y_zero_transform_bypass
-      if (br.bit() == 1) throw ParseFail // seq_scaling_matrix: not implemented
+      if (br.bit() == 1) { // seq_scaling_matrix_present (round 16)
+        // fall-back rule A (Table 7-2): absent anchor lists (0, 3,
+        // 6, 7) and UseDefaultScalingMatrix lists take the DEFAULT
+        // (non-flat!) list; absent non-anchors take the previous
+        // resolved list
+        val l4 = new Array[Array[Int]](6)
+        var i = 0
+        while (i < 6) {
+          val parsed = if (br.bit() == 1) parseScalingList(br, Zig4)
+            else { if (i == 0 || i == 3) null else l4(i - 1) }
+          l4(i) =
+            if (parsed != null) parsed
+            else if (i < 3) scanToRaster(Def4Intra, Zig4)
+            else scanToRaster(Def4Inter, Zig4)
+          i += 1
+        }
+        val l8 = new Array[Array[Int]](2)
+        i = 0
+        while (i < 2) {
+          val parsed = if (br.bit() == 1) parseScalingList(br, Zig8) else null
+          l8(i) = if (parsed != null) parsed
+            else scanToRaster(if (i == 0) Def8Intra else Def8Inter, Zig8)
+          i += 1
+        }
+        scalW4 = l4
+        scalW8 = l8
+      }
     }
     val log2MaxFrameNum = br.ue() + 4
     if (log2MaxFrameNum > 16) throw ParseFail // spec bound (7.4.2.1)
@@ -429,7 +548,8 @@ object H264 {
     if (mbW <= 0 || mbH <= 0 || mbW.toLong * mbH > 32768L) throw ParseFail
     Sps(spsId, mbW, mbH, cl, cr, ct, cb, log2MaxFrameNum, pocType,
       log2MaxPocLsb, deltaPocAlwaysZero, math.max(1, maxRefFrames),
-      direct8x8, offsetNonRef, offsetTopBottom, offsetsForRef)
+      direct8x8, offsetNonRef, offsetTopBottom, offsetsForRef,
+      scalW4, scalW8)
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
@@ -453,16 +573,86 @@ object H264 {
     val constrainedIntra = br.bit() == 1
     val redundantPresent = br.bit() == 1
     var chromaQpOff2 = chromaQpOff // Cr defaults to the Cb offset
+    var transform8x8 = false
+    var picL4: Array[Array[Int]] = null
+    var picL8: Array[Array[Int]] = null
     if (br.moreRbspData()) {
-      if (br.bit() == 1) throw ParseFail // transform_8x8_mode
-      if (br.bit() == 1) throw ParseFail // pic_scaling_matrix
+      transform8x8 = br.bit() == 1 // transform_8x8_mode (round 16)
+      if (br.bit() == 1) { // pic_scaling_matrix_present (round 16)
+        // present lists resolve UseDefaultScalingMatrix here; absent
+        // lists stay null for the SPS-dependent fall-back rule B at
+        // slice-decode time (resolveWeights)
+        picL4 = new Array[Array[Int]](6)
+        var i = 0
+        while (i < 6) {
+          if (br.bit() == 1) {
+            val parsed = parseScalingList(br, Zig4)
+            picL4(i) = if (parsed != null) parsed
+              else scanToRaster(if (i < 3) Def4Intra else Def4Inter, Zig4)
+          }
+          i += 1
+        }
+        if (transform8x8) {
+          picL8 = new Array[Array[Int]](2)
+          i = 0
+          while (i < 2) {
+            if (br.bit() == 1) {
+              val parsed = parseScalingList(br, Zig8)
+              picL8(i) = if (parsed != null) parsed
+                else scanToRaster(if (i == 0) Def8Intra else Def8Inter, Zig8)
+            }
+            i += 1
+          }
+        }
+      }
       chromaQpOff2 = br.se() // second_chroma_qp_index_offset
       if (chromaQpOff2 < -12 || chromaQpOff2 > 12) throw ParseFail
     }
     Pps(ppsId, spsId, picInitQp, deblockPresent, redundantPresent,
       bottomFieldPoc, numRefIdxL0Default, weightedPred, constrainedIntra,
       cabac, numRefIdxL1Default, weightedBipredIdc, chromaQpOff,
-      chromaQpOff2)
+      chromaQpOff2, transform8x8, picL4, picL8)
+  }
+
+  /** Resolve the active scaling weights from the SPS/PPS pair
+    * (7.4.2.1.1.1 fall-back rules, round 16): 6 raster 4x4 lists +
+    * 2 raster 8x8 lists, flat 16s when neither carries a matrix. */
+  private def resolveWeights(sps: Sps,
+      pps: Pps): (Array[Array[Int]], Array[Array[Int]]) = {
+    val seq4 = sps.scalW4
+    val seq8 = sps.scalW8
+    if (pps.picL4 == null)
+      return (if (seq4 != null) seq4 else FlatW4,
+        if (seq8 != null) seq8 else FlatW8)
+    // fall-back rule B: absent anchor lists (0/3 and 6/7) inherit
+    // the SPS's resolved list when the SPS carries a matrix, the
+    // default list otherwise; absent non-anchors take the previous
+    // resolved list
+    val w4 = new Array[Array[Int]](6)
+    var i = 0
+    while (i < 6) {
+      val p = pps.picL4(i)
+      w4(i) =
+        if (p != null) p
+        else if (i == 0 || i == 3) {
+          if (seq4 != null) seq4(i)
+          else scanToRaster(if (i == 0) Def4Intra else Def4Inter, Zig4)
+        } else w4(i - 1)
+      i += 1
+    }
+    val w8 = new Array[Array[Int]](2)
+    i = 0
+    while (i < 2) {
+      val p = if (pps.picL8 != null) pps.picL8(i) else null
+      w8(i) =
+        if (p != null) p
+        else if (seq8 != null) seq8(i)
+        else if (pps.picL8 != null)
+          scanToRaster(if (i == 0) Def8Intra else Def8Inter, Zig8)
+        else Flat8
+      i += 1
+    }
+    (w4, w8)
   }
 
   // ---------------------------------------------------------------- CAVLC
@@ -665,18 +855,75 @@ object H264 {
     out
   }
 
-  /** Luma-DC scaling (8.5.10), flat weight scale 16. */
-  private def scaleDc(f: Int, qp: Int): Int = {
-    val ls = 16 * NormAdjust(qp % 6)(0)
+  /** Luma-DC scaling (8.5.10); `w0` = weightScale(0,0) of the active
+    * intra luma list (16 = flat, round 16: scaling matrices). */
+  private def scaleDc(f: Int, qp: Int, w0: Int = 16): Int = {
+    val ls = w0 * NormAdjust(qp % 6)(0)
     if (qp >= 36) (f * ls) << (qp / 6 - 6)
     else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
 
-  /** AC coefficient dequant (8.5.12.1), flat weight scale 16. */
-  private def scaleAc(c: Int, raster: Int, qp: Int): Int = {
-    val ls = 16 * NormAdjust(qp % 6)(posClass(raster))
+  /** AC coefficient dequant (8.5.12.1) under a raster weight matrix
+    * (Flat4 = the matrix-absent case). */
+  private def scaleAc(c: Int, raster: Int, qp: Int,
+      w: Array[Int] = Flat4): Int = {
+    val ls = w(raster) * NormAdjust(qp % 6)(posClass(raster))
     if (qp >= 24) (c * ls) << (qp / 6 - 4)
     else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
+
+  /** 8x8 coefficient dequant (8.5.13.2, round 16: High profile). */
+  private def scaleAc8(c: Int, raster: Int, qp: Int, w: Array[Int]): Int = {
+    val ls = w(raster) * NormAdjust8(qp % 6)(posClass8(raster))
+    if (qp >= 36) (c * ls) << (qp / 6 - 6)
+    else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** 8x8 inverse transform (8.5.13.1, round 16): rows then columns,
+    * final (x + 32) >> 6 on the column pass. */
+  private def invTransform8x8(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](64)
+    var r = 0
+    while (r < 8) {
+      val o = r * 8
+      val p0 = d(o); val p1 = d(o + 1); val p2 = d(o + 2); val p3 = d(o + 3)
+      val p4 = d(o + 4); val p5 = d(o + 5); val p6 = d(o + 6); val p7 = d(o + 7)
+      val a0 = p0 + p4; val a2 = p0 - p4
+      val a4 = (p2 >> 1) - p6; val a6 = p2 + (p6 >> 1)
+      val b0 = a0 + a6; val b2 = a2 + a4; val b4 = a2 - a4; val b6 = a0 - a6
+      val a1 = -p3 + p5 - p7 - (p7 >> 1)
+      val a3 = p1 + p7 - p3 - (p3 >> 1)
+      val a5 = -p1 + p7 + p5 + (p5 >> 1)
+      val a7 = p3 + p5 + p1 + (p1 >> 1)
+      val b1 = (a7 >> 2) + a1; val b3 = a3 + (a5 >> 2)
+      val b5 = (a3 >> 2) - a5; val b7 = a7 - (a1 >> 2)
+      t(o) = b0 + b7; t(o + 7) = b0 - b7
+      t(o + 1) = b2 + b5; t(o + 6) = b2 - b5
+      t(o + 2) = b4 + b3; t(o + 5) = b4 - b3
+      t(o + 3) = b6 + b1; t(o + 4) = b6 - b1
+      r += 1
+    }
+    val out = new Array[Int](64)
+    var c = 0
+    while (c < 8) {
+      val p0 = t(c); val p1 = t(8 + c); val p2 = t(16 + c); val p3 = t(24 + c)
+      val p4 = t(32 + c); val p5 = t(40 + c); val p6 = t(48 + c); val p7 = t(56 + c)
+      val a0 = p0 + p4; val a2 = p0 - p4
+      val a4 = (p2 >> 1) - p6; val a6 = p2 + (p6 >> 1)
+      val b0 = a0 + a6; val b2 = a2 + a4; val b4 = a2 - a4; val b6 = a0 - a6
+      val a1 = -p3 + p5 - p7 - (p7 >> 1)
+      val a3 = p1 + p7 - p3 - (p3 >> 1)
+      val a5 = -p1 + p7 + p5 + (p5 >> 1)
+      val a7 = p3 + p5 + p1 + (p1 >> 1)
+      val b1 = (a7 >> 2) + a1; val b3 = a3 + (a5 >> 2)
+      val b5 = (a3 >> 2) - a5; val b7 = a7 - (a1 >> 2)
+      out(c) = (b0 + b7 + 32) >> 6; out(56 + c) = (b0 - b7 + 32) >> 6
+      out(8 + c) = (b2 + b5 + 32) >> 6; out(48 + c) = (b2 - b5 + 32) >> 6
+      out(16 + c) = (b4 + b3 + 32) >> 6; out(40 + c) = (b4 - b3 + 32) >> 6
+      out(24 + c) = (b6 + b1 + 32) >> 6; out(32 + c) = (b6 - b1 + 32) >> 6
+      c += 1
+    }
+    out
   }
 
   // ---------------------------------------------------------------- nC grid
@@ -828,6 +1075,167 @@ object H264 {
     out
   }
 
+  // ------------------------------------------------------- Intra_8x8
+
+  /** Intra_8x8 prediction (8.3.2, round 16 — High profile) of the
+    * 8x8 block at 8x8 grid (b8x, b8y), mode 0..8. The reference
+    * samples are LOW-PASS FILTERED first (8.3.2.2.1: 121 taps with
+    * 3-tap ends; the corner blends into both arms), then the nine
+    * modes apply the same geometric formulas as their 4x4 twins at
+    * double size. Unavailable p[x,-1] x = 8..15 substitute p[7,-1]
+    * BEFORE filtering. `curBlk8` is the z-order 8x8 index within the
+    * MB for decode-order availability. Returns 64 row-major samples
+    * or null when a required neighbor is unavailable. */
+  private def predict8x8(luma: Array[Int], stride: Int, mbW: Int, mbH: Int,
+      b8x: Int, b8y: Int, mode: Int, curMb: Int, curBlk8: Int,
+      sliceOk: Int => Boolean): Array[Int] = {
+    val gw = mbW * 2
+    val gh = mbH * 2
+    def decodedBefore(x8: Int, y8: Int): Boolean = {
+      if (x8 < 0 || y8 < 0 || x8 >= gw || y8 >= gh) false
+      else {
+        val m2 = (y8 >> 1) * mbW + (x8 >> 1)
+        if (m2 < curMb) sliceOk(m2)
+        else if (m2 > curMb) false
+        else ((y8 & 1) * 2 + (x8 & 1)) < curBlk8
+      }
+    }
+    val availLeft = decodedBefore(b8x - 1, b8y)
+    val availTop = decodedBefore(b8x, b8y - 1)
+    val availTL = decodedBefore(b8x - 1, b8y - 1)
+    val availTR = decodedBefore(b8x + 1, b8y - 1)
+    val need = mode match {
+      case 0 | 3 | 7 => availTop
+      case 1 | 8 => availLeft
+      case 2 => true
+      case 4 | 5 | 6 => availLeft && availTop && availTL
+      case _ => false
+    }
+    if (!need) return null
+    val x0 = b8x * 8
+    val y0 = b8y * 8
+    // raw references: t(0) = p[-1,-1], t(1+i) = p[i,-1] i = 0..15,
+    // l(j) = p[-1, j] j = 0..7
+    val t = new Array[Int](17)
+    val l = new Array[Int](8)
+    if (availTL) t(0) = luma((y0 - 1) * stride + x0 - 1)
+    if (availTop) {
+      var i = 0
+      while (i < 8) { t(1 + i) = luma((y0 - 1) * stride + x0 + i); i += 1 }
+      if (availTR) {
+        i = 8
+        while (i < 16) { t(1 + i) = luma((y0 - 1) * stride + x0 + i); i += 1 }
+      } else {
+        i = 8
+        while (i < 16) { t(1 + i) = t(8); i += 1 } // duplicate p[7,-1]
+      }
+    }
+    if (availLeft) {
+      var j = 0
+      while (j < 8) { l(j) = luma((y0 + j) * stride + x0 - 1); j += 1 }
+    }
+    // 8.3.2.2.1 reference filtering into t' / l'
+    val tf = new Array[Int](17)
+    val lf = new Array[Int](8)
+    if (availTop) {
+      tf(1) =
+        if (availTL) (t(0) + 2 * t(1) + t(2) + 2) >> 2
+        else (3 * t(1) + t(2) + 2) >> 2
+      var i = 1
+      while (i < 15) {
+        tf(1 + i) = (t(i) + 2 * t(1 + i) + t(2 + i) + 2) >> 2
+        i += 1
+      }
+      tf(16) = (t(15) + 3 * t(16) + 2) >> 2
+    }
+    if (availTL) {
+      tf(0) =
+        if (availTop && availLeft) (t(1) + 2 * t(0) + l(0) + 2) >> 2
+        else if (availTop) (3 * t(0) + t(1) + 2) >> 2
+        else if (availLeft) (3 * t(0) + l(0) + 2) >> 2
+        else t(0)
+    }
+    if (availLeft) {
+      lf(0) =
+        if (availTL) (t(0) + 2 * l(0) + l(1) + 2) >> 2
+        else (3 * l(0) + l(1) + 2) >> 2
+      var j = 1
+      while (j < 7) {
+        lf(j) = (l(j - 1) + 2 * l(j) + l(j + 1) + 2) >> 2
+        j += 1
+      }
+      lf(7) = (l(6) + 3 * l(7) + 2) >> 2
+    }
+    def pt(i: Int): Int = tf(1 + i) // p'[i,-1]; i may be -1 (corner)
+    def pl(j: Int): Int = if (j < 0) tf(0) else lf(j)
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val v = mode match {
+          case 0 => pt(x)
+          case 1 => pl(y)
+          case 2 =>
+            if (availLeft && availTop) {
+              var s = 8
+              var i = 0
+              while (i < 8) { s += pt(i) + pl(i); i += 1 }
+              s >> 4
+            } else if (availLeft) {
+              var s = 4
+              var j = 0
+              while (j < 8) { s += pl(j); j += 1 }
+              s >> 3
+            } else if (availTop) {
+              var s = 4
+              var i = 0
+              while (i < 8) { s += pt(i); i += 1 }
+              s >> 3
+            } else 128
+          case 3 => // diagonal down-left
+            if (x == 7 && y == 7) (pt(14) + 3 * pt(15) + 2) >> 2
+            else (pt(x + y) + 2 * pt(x + y + 1) + pt(x + y + 2) + 2) >> 2
+          case 4 => // diagonal down-right
+            if (x > y) (pt(x - y - 2) + 2 * pt(x - y - 1) + pt(x - y) + 2) >> 2
+            else if (x < y) (pl(y - x - 2) + 2 * pl(y - x - 1) + pl(y - x) + 2) >> 2
+            else (pt(0) + 2 * tf(0) + pl(0) + 2) >> 2
+          case 5 => // vertical right
+            val zVR = 2 * x - y
+            if (zVR >= 0 && (zVR & 1) == 0)
+              (pt(x - (y >> 1) - 1) + pt(x - (y >> 1)) + 1) >> 1
+            else if (zVR >= 0)
+              (pt(x - (y >> 1) - 2) + 2 * pt(x - (y >> 1) - 1) + pt(x - (y >> 1)) + 2) >> 2
+            else if (zVR == -1) (pl(0) + 2 * tf(0) + pt(0) + 2) >> 2
+            else (pl(y - 2 * x - 1) + 2 * pl(y - 2 * x - 2) + pl(y - 2 * x - 3) + 2) >> 2
+          case 6 => // horizontal down
+            val zHD = 2 * y - x
+            if (zHD >= 0 && (zHD & 1) == 0)
+              (pl(y - (x >> 1) - 1) + pl(y - (x >> 1)) + 1) >> 1
+            else if (zHD >= 0)
+              (pl(y - (x >> 1) - 2) + 2 * pl(y - (x >> 1) - 1) + pl(y - (x >> 1)) + 2) >> 2
+            else if (zHD == -1) (pl(0) + 2 * tf(0) + pt(0) + 2) >> 2
+            else (pt(x - 2 * y - 1) + 2 * pt(x - 2 * y - 2) + pt(x - 2 * y - 3) + 2) >> 2
+          case 7 => // vertical left
+            if ((y & 1) == 0) (pt(x + (y >> 1)) + pt(x + (y >> 1) + 1) + 1) >> 1
+            else (pt(x + (y >> 1)) + 2 * pt(x + (y >> 1) + 1) + pt(x + (y >> 1) + 2) + 2) >> 2
+          case _ => // 8: horizontal up
+            val zHU = x + 2 * y
+            if (zHU <= 12 && (zHU & 1) == 0)
+              (pl(y + (x >> 1)) + pl(y + (x >> 1) + 1) + 1) >> 1
+            else if (zHU <= 11) // odd < 13
+              (pl(y + (x >> 1)) + 2 * pl(y + (x >> 1) + 1) + pl(y + (x >> 1) + 2) + 2) >> 2
+            else if (zHU == 13) (pl(6) + 3 * pl(7) + 2) >> 2
+            else pl(7) // zHU > 13
+        }
+        out(y * 8 + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------- deblocking
 
   /** In-loop luma deblocking (8.7), frame coding, 4x4 transform: per
@@ -843,7 +1251,8 @@ object H264 {
       sliceParams: Array[(Int, Int, Int)],
       cbPlane: Array[Int] = null, crPlane: Array[Int] = null,
       cqpOffCb: Int = 0, cqpOffCr: Int = 0,
-      mvL1: MvCtx = null): Unit = {
+      mvL1: MvCtx = null,
+      mbT8: Array[Boolean] = null, nz8: Array[Boolean] = null): Unit = {
     val strideC = mbW * 8
     // 8.7.2.1 motion-based bS over BOTH lists (round 15: B slices
     // deblock for real). Reference comparison is by PICTURE (the
@@ -854,8 +1263,12 @@ object H264 {
     }
     def bS(mbP: Int, mbQ: Int, bxP: Int, byP: Int, bxQ: Int, byQ: Int,
         mbEdge: Boolean): Int = {
+      def coded(mbi: Int, bx: Int, by: Int): Boolean =
+        if (mbT8 != null && mbT8(mbi))
+          nz8((by >> 1) * (mv.gw >> 1) + (bx >> 1))
+        else lumaNz.get(bx, by) > 0
       if (mbIntra(mbP) || mbIntra(mbQ)) { if (mbEdge) 4 else 3 }
-      else if (lumaNz.get(bxP, byP) > 0 || lumaNz.get(bxQ, byQ) > 0) 2
+      else if (coded(mbP, bxP, byP) || coded(mbQ, bxQ, byQ)) 2
       else {
         val kp = byP * mv.gw + bxP
         val kq = byQ * mv.gw + bxQ
@@ -996,7 +1409,11 @@ object H264 {
             // chroma_qp_index_offset, QPc-derived chroma alpha can be
             // nonzero while luma alpha is zero (8.7.2.4), so the
             // chroma edge walk must not hide under the luma gate
-            val lumaOn = AlphaT(indexA) > 0
+            // round 16: under the 8x8 transform the MB's internal
+            // 4x4 edges (k = 1, 3) are not transform boundaries and
+            // are not filtered (8.7: transformSize8x8Flag edge set)
+            val lumaOn = AlphaT(indexA) > 0 &&
+              !(mbT8 != null && mbT8(mb) && (k & 1) == 1)
             val chromaOn = cbPlane != null && (k & 1) == 0
             if (lumaOn || chromaOn) {
               var g = 0 // 4-sample groups along the edge
@@ -1721,6 +2138,15 @@ object H264 {
       * ADVICE r13) — the loop filter derives chroma thresholds. */
     var cqpOffCb = 0
     var cqpOffCr = 0
+    /** Round 16 (High profile): the resolved scaling weights (6
+      * raster 4x4 lists, 2 raster 8x8 lists; flat 16 default) and
+      * per-MB transform_size_8x8_flag + per-8x8-block coded flags
+      * (the loop filter's bS consults the 8x8 granularity for t8
+      * macroblocks, 8.7.2.1). */
+    var w4: Array[Array[Int]] = FlatW4
+    var w8: Array[Array[Int]] = FlatW8
+    val mbT8 = new Array[Boolean](nMbs)
+    val nz8 = new Array[Boolean](mbW * 2 * mbH * 2)
     lumaNz.gate = (bx, by) => sliceOf((by >> 2) * mbW + (bx >> 2)) == curSlice
     cbNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
     crNz.gate = (bx, by) => sliceOf((by >> 1) * mbW + (bx >> 1)) == curSlice
@@ -1738,7 +2164,8 @@ object H264 {
     if (st.sliceParams.exists(_._1 != 1))
       deblockLuma(st.luma, st.stride, st.mbW, st.mbH, st.mbIntraA,
         st.qpMbA, st.lumaNz, st.mv, st.sliceOf, st.sliceParams.toArray,
-        st.cb, st.cr, st.cqpOffCb, st.cqpOffCr, st.mvL1)
+        st.cb, st.cr, st.cqpOffCb, st.cqpOffCr, st.mvL1,
+        st.mbT8, st.nz8)
     true
   }
 
@@ -2278,6 +2705,11 @@ object H264 {
     st.sliceParams += ((deblockIdc, offA, offB))
     st.cqpOffCb = pps.chromaQpOff
     st.cqpOffCr = pps.chromaQpOff2
+    locally { // round 16: resolve the active scaling matrices
+      val (w4r, w8r) = resolveWeights(sps, pps)
+      st.w4 = w4r
+      st.w8 = w8r
+    }
     def i4ModeAt(bx: Int, by: Int): Int =
       if (bx < 0 || by < 0) 2
       else if (st.sliceOf((by >> 2) * mbW + (bx >> 2)) != sliceIdx) 2
@@ -2366,12 +2798,20 @@ object H264 {
     // residuals dequantized onto the MB prediction in mc16 — shared
     // by the P and B inter branches (round 14). Throws ParseFail
     // upstream; returns false on an out-of-range cbp code.
-    def interResiduals(mb: Int, mbX: Int, mbY: Int): ChromaCoeffs = {
+    def interResiduals(mb: Int, mbX: Int, mbY: Int,
+        t8Allowed: Boolean = true): ChromaCoeffs = {
       val cbpCode = br.ue()
       if (cbpCode > 47) return null
       val cbp = CbpInter(cbpCode)
       val cbpLuma = cbp & 15
       val cbpChroma = cbp >> 4
+      // round 16: transform_size_8x8_flag for INTER macroblocks
+      // (7.3.5: present under a t8 PPS when luma cbp != 0 and every
+      // partition is >= 8x8) — parsed for bitstream sync; the inter
+      // 8x8-transform residual path is fenced (degrade, never
+      // misparse). Intra t8 decodes for real (reconI8).
+      if (pps.transform8x8 && cbpLuma != 0 && t8Allowed &&
+        br.bit() == 1) return null
       if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
       qpMbA(mb) = qp
       if (cbp == 0) { zeroNz(mbX, mbY); new ChromaCoeffs }
@@ -2390,7 +2830,7 @@ object H264 {
               while (si < 16) {
                 if (cf(si) != 0) {
                   val raster = Zig4(si)
-                  d4(raster) = scaleAc(cf(si), raster, qp)
+                  d4(raster) = scaleAc(cf(si), raster, qp, st.w4(3))
                 }
                 si += 1
               }
@@ -3176,7 +3616,8 @@ object H264 {
                   while (si < 16) {
                     if (rb._1(si) != 0) {
                       val raster = Zig4(si)
-                      d4(raster) = scaleAc(rb._1(si), raster, w.qp)
+                      d4(raster) = scaleAc(rb._1(si), raster, w.qp,
+                        st.w4(3))
                     }
                     si += 1
                   }
@@ -3219,6 +3660,10 @@ object H264 {
     // ---- entropy dispatch (round 15: the CABAC branch sits AFTER
     // the shared reconstruction closures so P/B CABAC reuses them)
     if (pps.cabac) {
+      // round 16 fence: CABAC + transform_8x8_mode needs the ctx
+      // 399-401 flag and the cat-5 residual contexts, which this
+      // walk does not yet model — degrade rather than misparse
+      if (pps.transform8x8) return None
       // cabac_alignment_one_bit (7.3.4): every bit up to the byte
       // boundary must be 1 — anything else is a malformed stream
       while ((br.pos & 7) != 0) if (br.bit() != 1) return None
@@ -3354,6 +3799,7 @@ object H264 {
           weightRectC(mcCr, offC, w4 * 2, h4 * 2, refIdx, 0, 1)
           true
         }
+        var t8Ok = true // noSubMbPartSizeLessThan8x8Flag (7.3.5)
         mbType match {
           case -1 => // P_L0_16x16
             val r0 = readRefIdx()
@@ -3377,6 +3823,7 @@ object H264 {
               if (subT(p8) > 3) return None
               p8 += 1
             }
+            t8Ok = subT.forall(_ == 0) // only P_L0_8x8 subs keep t8
             val r8 = new Array[Int](4)
             if (t == -4) { // P_8x8: ref_idx coded; P_8x8ref0 (-5): all 0
               p8 = 0
@@ -3402,7 +3849,7 @@ object H264 {
               p8 += 1
             }
         }
-        val ccP = interResiduals(mb, mbX, mbY)
+        val ccP = interResiduals(mb, mbX, mbY, t8Ok)
         if (ccP == null) return None
         writeMc(ox, oy)
         reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
@@ -3411,7 +3858,7 @@ object H264 {
         // ---- B_Direct_16x16 (8.4.1.2, round 15): derived motion
         // over the whole MB, then a coded residual like any inter MB
         if (!directRecon(mb, mbX, mbY, 0, 0, 4)) return None
-        val ccD = interResiduals(mb, mbX, mbY)
+        val ccD = interResiduals(mb, mbX, mbY, sps.direct8x8)
         if (ccD == null) return None
         writeMc(ox, oy)
         reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
@@ -3575,7 +4022,9 @@ object H264 {
           }
           p8 += 1
         }
-        val cc8 = interResiduals(mb, mbX, mbY)
+        val cc8 = interResiduals(mb, mbX, mbY,
+          subT.forall(t => t == 1 || t == 2 || t == 3 ||
+            (t == 0 && sps.direct8x8)))
         if (cc8 == null) return None
         writeMc(ox, oy)
         reconChromaMb(st, mb, qp, pps.chromaQpOff, pps.chromaQpOff2,
@@ -3793,10 +4242,92 @@ object H264 {
           return None
         if (!intraChromaRecon(mb, mbX, mbY, chromaMode, ccI, qp))
           return None
+      } else if (mbType == 0 && pps.transform8x8 && br.bit() == 1) {
+        // ---- Intra_8x8 (I_NxN + transform_size_8x8_flag, round 16 —
+        // High profile). Four prediction modes in z order; prediction
+        // per 8.3.2.1 is the same min(modeA, modeB) over the covering
+        // neighbor blocks — each 8x8's mode is stored into all four
+        // covered 4x4 cells, so i4ModeAt answers for both 4x4 and 8x8
+        // neighbors.
+        val modes = new Array[Int](4)
+        var blk = 0
+        while (blk < 4) {
+          val bx = mbX * 4 + (blk & 1) * 2
+          val by = mbY * 4 + (blk >> 1) * 2
+          val predMode = math.min(i4ModeAt(bx - 1, by), i4ModeAt(bx, by - 1))
+          val mode =
+            if (br.bit() == 1) predMode
+            else { val rem = br.bits(3); if (rem < predMode) rem else rem + 1 }
+          if (mode < 0 || mode > 8) return None
+          modes(blk) = mode
+          var cy = 0
+          while (cy < 2) {
+            var cx = 0
+            while (cx < 2) {
+              i4mode((by + cy) * (mbW * 4) + bx + cx) = mode
+              cx += 1
+            }
+            cy += 1
+          }
+          blk += 1
+        }
+        val chromaMode8 = br.ue()
+        if (chromaMode8 > 3) return None
+        val cbpCode8 = br.ue()
+        if (cbpCode8 > 47) return None
+        val cbp8 = CbpIntra(cbpCode8)
+        val cbpLuma8 = cbp8 & 15
+        val cbpChroma8 = cbp8 >> 4
+        if (cbp8 != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta
+        mbIntraA(mb) = true
+        st.mbT8(mb) = true
+        mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        if (isB) st.mvL1.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+        qpMbA(mb) = qp
+        // residuals: one 64-coefficient 8x8 block per coded quadrant,
+        // CAVLC-coded as FOUR interleaved 4x4 sub-blocks (7.4.5.3.3 /
+        // 9.2.1: level8x8[4k + i] = level4x4[i][k]; each sub-block
+        // takes nC from its own 4x4 cell and records its TotalCoeff)
+        val coeffs8 = new Array[Array[Int]](4)
+        blk = 0
+        while (blk < 4) {
+          if ((cbpLuma8 & (1 << blk)) != 0) {
+            val c8 = new Array[Int](64)
+            var any = false
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk * 4 + i4
+              val r = blkRow(sub); val c = blkCol(sub)
+              val (cf, tc) =
+                residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+              if (tc > 0) any = true
+              var k = 0
+              while (k < 16) { c8(4 * k + i4) = cf(k); k += 1 }
+              i4 += 1
+            }
+            coeffs8(blk) = if (any) c8 else null
+            st.nz8((mbY * 2 + (blk >> 1)) * (mbW * 2) + mbX * 2 + (blk & 1)) =
+              any
+          } else {
+            coeffs8(blk) = null
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk * 4 + i4
+              lumaNz.set(mbX * 4 + blkCol(sub), mbY * 4 + blkRow(sub), 0)
+              i4 += 1
+            }
+          }
+          blk += 1
+        }
+        val ccI8 = parseChroma(cbpChroma8, mbX, mbY)
+        if (!reconI8(st, sliceIdx, mb, qp, modes, coeffs8)) return None
+        if (!intraChromaRecon(mb, mbX, mbY, chromaMode8, ccI8, qp))
+          return None
       } else if (mbType == 0) {
-        // ---- Intra_4x4 (I_NxN, round 13). transform_size_8x8_flag
-        // is never present: the PPS parser refuses transform_8x8_mode,
-        // so reaching here implies the 4x4 transform.
+        // ---- Intra_4x4 (I_NxN, round 13; under a t8 PPS the
+        // transform_size_8x8_flag was read as 0 in the branch guard
+        // above, so reaching here implies the 4x4 transform).
         // 16 prediction modes, bitstream order = z-order; prediction
         // per 8.3.1.1: min(modeA, modeB), DC (2) for unavailable or
         // non-Intra_4x4 neighbors
@@ -3867,7 +4398,27 @@ object H264 {
   private val CbfCatOff = Array(0, 4, 8, 12, 16)
   private val SigCatOff = Array(0, 15, 29, 44, 47)
   private val LvlCatOff = Array(0, 10, 20, 30, 39)
-  private val MaxCoeffCat = Array(16, 15, 16, 4, 15)
+  /** cat 5 (round 16) = the High-profile 8x8 luma block: 64 coeffs,
+    * NO coded_block_flag in 4:2:0 (7.3.5.3.3 sends the block iff its
+    * cbp bit is set), sig/last at 402/417 through the Table 9-43
+    * position maps, levels at 426. */
+  private val MaxCoeffCat = Array(16, 15, 16, 4, 15, 64)
+
+  /** Table 9-43: ctxIdxInc per scan position for the 8x8
+    * significant_coeff_flag (frame coded). */
+  private val SigMap8: Array[Int] = Array(
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+
+  /** Table 9-43: ctxIdxInc per scan position for the 8x8
+    * last_significant_coeff_flag (frame coded). */
+  private val LastMap8: Array[Int] = Array(
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
+    4, 4, 4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 6, 7, 8)
 
   // ctxIdxInc derivations (9.3.3.1.1.x), shared VERBATIM by the
   // decoder walk and the fixture encoder — the encoder drives the
@@ -3999,23 +4550,28 @@ object H264 {
       cat: Int, cbfInc: Int): (Array[Int], Int) = {
     val maxC = MaxCoeffCat(cat)
     val out = new Array[Int](maxC)
-    if (!dec.decision(cx, 85 + CbfCatOff(cat) + cbfInc)) return (out, 0)
-    val sigBase = 105 + SigCatOff(cat)
-    val lastBase = 166 + SigCatOff(cat)
+    // cat 5 has no coded_block_flag in 4:2:0 (the cbp bit gates it)
+    if (cat != 5 &&
+      !dec.decision(cx, 85 + CbfCatOff(cat) + cbfInc)) return (out, 0)
+    val sigBase = if (cat == 5) 402 else 105 + SigCatOff(cat)
+    val lastBase = if (cat == 5) 417 else 166 + SigCatOff(cat)
     val sig = new Array[Boolean](maxC)
     var lastIdx = maxC - 1
     var i = 0
     var done = false
     while (i < maxC - 1 && !done) {
-      val inc = if (cat == 3) math.min(i, 2) else i
+      val inc =
+        if (cat == 5) SigMap8(i)
+        else if (cat == 3) math.min(i, 2) else i
       if (dec.decision(cx, sigBase + inc)) {
         sig(i) = true
-        if (dec.decision(cx, lastBase + inc)) { lastIdx = i; done = true }
+        val lastInc = if (cat == 5) LastMap8(i) else inc
+        if (dec.decision(cx, lastBase + lastInc)) { lastIdx = i; done = true }
       }
       i += 1
     }
     if (!done) sig(maxC - 1) = true // the final position is inferred
-    val lvlBase = 227 + LvlCatOff(cat)
+    val lvlBase = if (cat == 5) 426 else 227 + LvlCatOff(cat)
     // 9.3.3.1.3: only the Gt1 increment clamps at 3 for chroma DC
     // (cat 3); bin 0 is Min(4, 1 + numDecodAbsLevelEq1) everywhere.
     val clampG = if (cat == 3) 3 else 4
@@ -4514,14 +5070,14 @@ object H264 {
     while (blk < 16) {
       val r = blkRow(blk); val c = blkCol(blk)
       java.util.Arrays.fill(d, 0)
-      d(0) = scaleDc(dcF(r * 4 + c), qp)
+      d(0) = scaleDc(dcF(r * 4 + c), qp, st.w4(0)(0))
       val ac = acCoeffs(blk)
       if (ac != null) {
         var si = 0
         while (si < 15) {
           if (ac(si) != 0) {
             val raster = Zig4(si + 1)
-            d(raster) = scaleAc(ac(si), raster, qp)
+            d(raster) = scaleAc(ac(si), raster, qp, st.w4(0))
           }
           si += 1
         }
@@ -4571,7 +5127,7 @@ object H264 {
         while (si < 16) {
           if (cf(si) != 0) {
             val raster = Zig4(si)
-            d4(raster) = scaleAc(cf(si), raster, qp)
+            d4(raster) = scaleAc(cf(si), raster, qp, st.w4(0))
           }
           si += 1
         }
@@ -4583,6 +5139,54 @@ object H264 {
         while (x < 4) {
           luma((by * 4 + y) * stride + bx * 4 + x) =
             clip255(pred(y * 4 + x) + res(y * 4 + x))
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    true
+  }
+
+  /** Reconstruct an Intra_8x8 macroblock (round 16, High profile):
+    * four 8x8 blocks in z order, filtered-reference prediction
+    * (8.3.2), 8x8 dequant (8.5.13.2, intra-luma 8x8 weight list) and
+    * the 8x8 inverse transform. `coeffs(blk8)` is the 64-entry SCAN
+    * order vector (null = uncoded). */
+  private def reconI8(st: PicState, sliceIdx: Int, mb: Int, qp: Int,
+      modes: Array[Int], coeffs: Array[Array[Int]]): Boolean = {
+    val mbW = st.mbW
+    val stride = st.stride
+    val luma = st.luma
+    val mbX = mb % mbW
+    val mbY = mb / mbW
+    val d8 = new Array[Int](64)
+    var blk = 0
+    while (blk < 4) {
+      val b8x = mbX * 2 + (blk & 1)
+      val b8y = mbY * 2 + (blk >> 1)
+      val pred = predict8x8(luma, stride, mbW, st.mbH, b8x, b8y,
+        modes(blk), mb, blk, m2 => st.sliceOf(m2) == sliceIdx)
+      if (pred == null) return false
+      java.util.Arrays.fill(d8, 0)
+      val cf = coeffs(blk)
+      if (cf != null) {
+        var si = 0
+        while (si < 64) {
+          if (cf(si) != 0) {
+            val raster = Zig8(si)
+            d8(raster) = scaleAc8(cf(si), raster, qp, st.w8(0))
+          }
+          si += 1
+        }
+      }
+      val res = invTransform8x8(d8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          luma((b8y * 8 + y) * stride + b8x * 8 + x) =
+            clip255(pred(y * 8 + x) + res(y * 8 + x))
           x += 1
         }
         y += 1
@@ -4716,12 +5320,14 @@ object H264 {
       val pred = if (comp == 0) predCb else predCr
       val dc = if (comp == 0) cc.dcCb else cc.dcCr
       val ac = if (comp == 0) cc.acCb else cc.acCr
+      // round 16: chroma scaling list — intra 1/2, inter 4/5
+      val wc = st.w4((if (st.mbIntraA(mb)) 1 else 4) + comp)
       // 2x2 DC transform + scaling (8.5.11)
       val f0 = dc(0) + dc(1) + dc(2) + dc(3)
       val f1 = dc(0) - dc(1) + dc(2) - dc(3)
       val f2 = dc(0) + dc(1) - dc(2) - dc(3)
       val f3 = dc(0) - dc(1) - dc(2) + dc(3)
-      val ls = 16 * NormAdjust(qpc % 6)(0)
+      val ls = wc(0) * NormAdjust(qpc % 6)(0)
       def dcScaleC(f: Int): Int = ((f * ls) << (qpc / 6)) >> 5
       val dcC = Array(dcScaleC(f0), dcScaleC(f1), dcScaleC(f2), dcScaleC(f3))
       val d = new Array[Int](16)
@@ -4737,7 +5343,7 @@ object H264 {
           while (si < 15) {
             if (a(si) != 0) {
               val raster = Zig4(si + 1)
-              d(raster) = scaleAc(a(si), raster, qpc)
+              d(raster) = scaleAc(a(si), raster, qpc, wc)
             }
             si += 1
           }
@@ -4828,6 +5434,15 @@ object H264 {
   final case class I4x4(mode: Int => Int,
       dcRes: Int => Int = _ => 0) extends Mb
 
+  /** Intra_8x8 (round 16 — High profile): `mode(blk8)` gives the
+    * 8.3.2 prediction mode per z-order 8x8 block; `dcRes(blk8)` one
+    * DC coefficient (8x8 scan position 0). At qp 28 with flat
+    * weights the DC dequant is 128c and the 8x8 inverse transform of
+    * a lone DC is uniform: residual = (128c + 32) >> 6 = 2c per
+    * sample. Requires a transform_8x8_mode PPS. */
+  final case class I8x8(mode: Int => Int,
+      dcRes: Int => Int = _ => 0) extends Mb
+
   private final class BitWriter {
     private val buf = new scala.collection.mutable.ArrayBuffer[Byte]
     private var cur = 0
@@ -4873,13 +5488,57 @@ object H264 {
 
   /** SPS NAL (baseline profile 66, level 1.0, poc type 0,
     * frame_mbs_only). */
+  /** Emit one scaling_list() as first-value + running deltas from
+    * SCAN-order values (round 16 fixture encoder). */
+  private def putScalingList(bw: BitWriter, scanVals: Array[Int]): Unit = {
+    var lastScale = 8
+    var j = 0
+    while (j < scanVals.length) {
+      val v = scanVals(j)
+      require(v >= 1 && v <= 255, s"scaling weight out of range: $v")
+      var delta = v - lastScale
+      if (delta > 127) delta -= 256
+      if (delta < -128) delta += 256
+      bw.putSe(delta)
+      lastScale = v
+      j += 1
+    }
+  }
+
   def spsNal(mbW: Int, mbH: Int, maxRef: Int = 1,
-      pocCycle: Seq[Int] = Nil, offsetNonRef: Int = 0): Array[Byte] = {
+      pocCycle: Seq[Int] = Nil, offsetNonRef: Int = 0,
+      high: Boolean = false,
+      seqScal4: Seq[Array[Int]] = Nil,
+      seqScal8: Seq[Array[Int]] = Nil): Array[Byte] = {
     val bw = new BitWriter
-    bw.put(66, 8) // profile_idc baseline
+    // round 16: profile 100 carries the chroma/bit-depth/scaling
+    // block; the fixture emits 4:2:0, 8-bit, with the given SCAN-
+    // order scaling lists (all-present when any are given)
+    bw.put(if (high) 100 else 66, 8) // profile_idc
     bw.put(0, 8) // constraint flags
     bw.put(10, 8) // level 1.0
     bw.putUe(0) // sps_id
+    if (high) {
+      bw.putUe(1) // chroma_format_idc 4:2:0
+      bw.putUe(0) // bit_depth_luma_minus8
+      bw.putUe(0) // bit_depth_chroma_minus8
+      bw.put(0, 1) // qpprime_y_zero_transform_bypass
+      if (seqScal4.nonEmpty || seqScal8.nonEmpty) {
+        require(seqScal4.length == 6 && seqScal8.length == 2,
+          "fixture SPS matrices are all-present: 6 4x4 + 2 8x8 lists")
+        bw.put(1, 1) // seq_scaling_matrix_present
+        // a null entry = scaling_list_present_flag 0 (the fall-back
+        // rules are then on trial at decode)
+        seqScal4.foreach { l =>
+          if (l == null) bw.put(0, 1)
+          else { require(l.length == 16); bw.put(1, 1); putScalingList(bw, l) }
+        }
+        seqScal8.foreach { l =>
+          if (l == null) bw.put(0, 1)
+          else { require(l.length == 64); bw.put(1, 1); putScalingList(bw, l) }
+        }
+      } else bw.put(0, 1) // seq_scaling_matrix_present
+    }
     bw.putUe(0) // log2_max_frame_num_minus4
     if (pocCycle.isEmpty) {
       bw.putUe(0) // pic_order_cnt_type 0
@@ -4913,7 +5572,10 @@ object H264 {
   def ppsNal(qp: Int, id: Int = 0, weighted: Boolean = false,
       cabac: Boolean = false, bipredExplicit: Boolean = false,
       bipredImplicit: Boolean = false,
-      bottomPoc: Boolean = false): Array[Byte] = {
+      bottomPoc: Boolean = false,
+      transform8x8: Boolean = false,
+      picScal4: Seq[Array[Int]] = Nil,
+      picScal8: Seq[Array[Int]] = Nil): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(id) // pps_id
     bw.putUe(0) // sps_id
@@ -4930,6 +5592,25 @@ object H264 {
     bw.put(1, 1) // deblocking_filter_control_present
     bw.put(0, 1) // constrained_intra_pred
     bw.put(0, 1) // redundant_pic_cnt_present
+    if (transform8x8 || picScal4.nonEmpty) { // round 16: the High tail
+      bw.put(if (transform8x8) 1 else 0, 1) // transform_8x8_mode
+      if (picScal4.nonEmpty) {
+        require(picScal4.length == 6, "fixture PPS matrices: 6 4x4 lists")
+        bw.put(1, 1) // pic_scaling_matrix_present
+        picScal4.foreach { l =>
+          if (l == null) bw.put(0, 1)
+          else { require(l.length == 16); bw.put(1, 1); putScalingList(bw, l) }
+        }
+        if (transform8x8) {
+          require(picScal8.length == 2, "t8 PPS matrices: 2 8x8 lists")
+          picScal8.foreach { l =>
+            if (l == null) bw.put(0, 1)
+            else { require(l.length == 64); bw.put(1, 1); putScalingList(bw, l) }
+          }
+        }
+      } else bw.put(0, 1) // pic_scaling_matrix_present
+      bw.putSe(0) // second_chroma_qp_index_offset
+    }
     bw.rbspTrailing()
     nalUnit(0x68, bw.result())
   }
@@ -4945,7 +5626,8 @@ object H264 {
       deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
       idcOverride: Int = -1, longTermRef: Boolean = false,
       pocType1: Boolean = false,
-      pocBottomDelta: Option[Int] = None): Array[Byte] = {
+      pocBottomDelta: Option[Int] = None,
+      t8Pps: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     // round 13 multi-slice fixtures: emit ONE slice covering
     // [firstMb, firstMb+count); default = the whole picture. The
@@ -5027,6 +5709,7 @@ object H264 {
           writeI16Dc(bw, lumaNz, mbX, mbY, spec, typeOffset = 0)
         case I4x4(modeOf, dcOf) =>
           bw.putUe(0) // mb_type I_NxN
+          if (t8Pps) bw.put(0, 1) // transform_size_8x8_flag: 4x4
           var blk = 0
           while (blk < 16) {
             val r = blkRow(blk); val c = blkCol(blk)
@@ -5057,6 +5740,57 @@ object H264 {
                 lvl, maxNumCoeff = 16)
               lumaNz.set(mbX * 4 + c, mbY * 4 + r, if (lvl != 0) 1 else 0)
             } else lumaNz.set(mbX * 4 + c, mbY * 4 + r, 0)
+            blk += 1
+          }
+        case I8x8(modeOf, dcOf) =>
+          require(t8Pps, "I8x8 fixture needs a transform_8x8_mode PPS")
+          bw.putUe(0) // mb_type I_NxN
+          bw.put(1, 1) // transform_size_8x8_flag: 8x8
+          var blk = 0
+          while (blk < 4) {
+            val bx = mbX * 4 + (blk & 1) * 2
+            val by = mbY * 4 + (blk >> 1) * 2
+            val m = modeOf(blk)
+            require(m >= 0 && m <= 8, s"i8x8 mode out of range: $m")
+            val predMode = math.min(i4At(bx - 1, by), i4At(bx, by - 1))
+            if (m == predMode) bw.put(1, 1)
+            else {
+              bw.put(0, 1)
+              bw.put(if (m < predMode) m else m - 1, 3)
+            }
+            var cy = 0
+            while (cy < 2) {
+              var cx = 0
+              while (cx < 2) {
+                i4grid((by + cy) * (mbW * 4) + bx + cx) = m
+                cx += 1
+              }
+              cy += 1
+            }
+            blk += 1
+          }
+          bw.putUe(0) // intra_chroma_pred_mode DC
+          val cbpLuma = (0 until 4).map { g =>
+            if (dcOf(g) != 0) 1 << g else 0
+          }.sum
+          bw.putUe(CbpIntraInv(cbpLuma)) // cbp (chroma 0)
+          if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
+          // interleaved sub-blocks (7.4.5.3.3): the 8x8's lone DC
+          // (scan 0) is sub-block 0's k = 0; subs 1-3 are zero blocks
+          blk = 0
+          while (blk < 4) {
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk * 4 + i4
+              val cx = mbX * 4 + blkCol(sub)
+              val cyy = mbY * 4 + blkRow(sub)
+              if ((cbpLuma & (1 << blk)) != 0) {
+                val lvl = if (i4 == 0) dcOf(blk) else 0
+                putCavlcSingle(bw, lumaNz.nC(cx, cyy), lvl, maxNumCoeff = 16)
+                lumaNz.set(cx, cyy, if (lvl != 0) 1 else 0)
+              } else lumaNz.set(cx, cyy, 0)
+              i4 += 1
+            }
             blk += 1
           }
       }
@@ -6177,6 +6911,7 @@ object H264 {
       reorder: Seq[(Int, Int)] = Nil,
       mmcoDrop: Seq[Int] = Nil,
       mmcoOps: Seq[Seq[Int]] = Nil,
+      t8Pps: Boolean = false,
       pocType1: Boolean = false,
       pocBottomDelta: Option[Int] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
@@ -6302,6 +7037,10 @@ object H264 {
             if ((0 until 4).exists(b => dcOf(g * 4 + b) != 0)) 1 << g else 0
           }.sum
           bw.putUe(CbpInterInv(cbpLuma)) // coded_block_pattern (chroma 0)
+          // round 16: a t8 PPS makes transform_size_8x8_flag present
+          // for this coded 16x16 partition — the fixture stays on the
+          // 4x4 transform (flag 0), pinning the inter sync path
+          if (t8Pps && cbpLuma != 0) bw.put(0, 1)
           if (cbpLuma != 0) bw.putSe(0) // mb_qp_delta
           var blk = 0
           while (blk < 16) {
@@ -6753,6 +7492,25 @@ object H264 {
     val sep = Array[Byte](0, 0, 0, 1)
     sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp) ++ sep ++
       idrNal(mbW, mbH, mb, qp, deblock)
+  }
+
+  /** Annex-B HIGH-profile I-frame (round 16): SPS profile 100 with
+    * optional seq scaling matrices + PPS with optional pic matrices
+    * (SCAN-order lists, all-present when given). With non-flat
+    * matrices the dequant weight w replaces 16, so an I4x4 DC
+    * coefficient c at qp 28 adds (16·w₀·c + 32) >> 6 per sample. */
+  def encodeIFrameHigh(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int = 28,
+      deblock: Boolean = false,
+      seqScal4: Seq[Array[Int]] = Nil, seqScal8: Seq[Array[Int]] = Nil,
+      picScal4: Seq[Array[Int]] = Nil,
+      picScal8: Seq[Array[Int]] = Nil,
+      transform8x8: Boolean = false): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    sep ++ spsNal(mbW, mbH, high = true, seqScal4 = seqScal4,
+      seqScal8 = seqScal8) ++
+      sep ++ ppsNal(qp, transform8x8 = transform8x8,
+        picScal4 = picScal4, picScal8 = picScal8) ++
+      sep ++ idrNal(mbW, mbH, mb, qp, deblock, t8Pps = transform8x8)
   }
 
   /** Annex-B I + P stream: SPS + PPS + IDR + one P slice per entry of

@@ -81,8 +81,52 @@ private[graft] object H264Cabac {
   /** Table 9-45: transIdxMPS (i -> min(i+1, 62); 63 stays 63). */
   def transMps(s: Int): Int = if (s >= 62) s else s + 1
 
-  /** Context count: 0..275 table-initialized + 276 (fixed). */
-  val NumCtx = 277
+  /** Context count: 0..435 table-initialized (276 itself is the
+    * fixed terminate context — its table slot is filler) + the extra
+    * engine terminate slot appended by [[Ctx]]. Round 16 extends the
+    * pool past 275 for the High-profile 8x8 contexts: 399-401
+    * (transform_size_8x8_flag) and 402-435 (cat-5 sig/last/level,
+    * frame coded). 277-398 are the FIELD-coded significance ranges —
+    * fields are refused at the SPS, so those slots are explicit
+    * never-read filler. */
+  val NumCtx = 437
+
+  /** Never-read filler pairs for ctx 276 (the fixed terminate slot)
+    * and 277-398 (field-coded ranges; frame_mbs_only is enforced at
+    * the SPS): (0, 0) initializes to a valid clamped state and keeps
+    * ctxIdx == array index. */
+  private val FieldFiller: Array[Int] = new Array[Int]((399 - 276) * 2)
+
+  /** High-profile 8x8 context initialization, I column (round 16):
+    * ctx 399-401 transform_size_8x8_flag, 402-416 significant (frame,
+    * Table 9-43 mapped), 417-425 last, 426-435 coeff_abs_level.
+    * PROVENANCE: best-effort offline transcription of the public
+    * tables, one confidence grade below the main 0-275 column (fewer
+    * independent anchors); the own-encoder twin keeps every local
+    * gate exact regardless. */
+  private val I8x8Tail: Array[Int] = Array(
+    /* 399-401 transform_size_8x8_flag */
+    31, 21, 31, 31, 25, 50,
+    /* 402-416 significant_coeff_flag (8x8 frame) */
+    -17, 120, -20, 112, -18, 114, -11, 85, -15, 92, -14, 89,
+    -26, 71, -15, 81, -14, 80, 0, 68, -14, 70, -24, 56,
+    -23, 68, -24, 50, -11, 74,
+    /* 417-425 last_significant_coeff_flag (8x8 frame) */
+    23, -13, 26, -13, 40, -15, 49, -14, 44, 3, 45, 6,
+    44, 34, 33, 54, 19, 82,
+    /* 426-435 coeff_abs_level_minus1 (8x8) */
+    -3, 75, -1, 23, 1, 34, 1, 43, 0, 54, -2, 55,
+    0, 61, 1, 64, 0, 68, -9, 92)
+
+  /** P/B 8x8 tails: the three idc columns carry their OWN
+    * transform_size_8x8_flag rows (399-401 — the only 8x8 contexts a
+    * P/B slice reads here: intra-t8 and inter-t8 RESIDUALS inside
+    * P/B slices are fenced to degrade, see H264.scala), and the
+    * I column's 402-435 as explicit never-read filler. */
+  private def pbT8Tail(f0: (Int, Int), f1: (Int, Int),
+      f2: (Int, Int)): Array[Int] =
+    Array(f0._1, f0._2, f1._1, f1._2, f2._1, f2._2) ++
+      java.util.Arrays.copyOfRange(I8x8Tail, 6, I8x8Tail.length)
 
   /** I-slice initialization column, (m, n) flattened pairs for
     * ctxIdx 0..275. Ranges an I slice actually reads: 0-10 (mb_type,
@@ -170,7 +214,8 @@ private[graft] object H264Cabac {
     -2, 71, 2, 62, 0, 66, -1, 73, 4, 61, 6, 60, 0, 73,
     2, 76, 3, 68, 4, 64, 2, 61, 4, 60, 4, 65, 3, 66,
     8, 58, 10, 61, 9, 65, 7, 69, 16, 43, 14, 52, 11, 57,
-    11, 60, 10, 66, 10, 68, 9, 76, 11, 73, 11, 80, 14, 57)
+    11, 60, 10, 66, 10, 68, 9, 76, 11, 73, 11, 80, 14, 57) ++
+    FieldFiller ++ I8x8Tail
 
   /** P/B residual-range columns (ctx 70-275), one per cabac_init_idc
     * — round 16 replaces the former I-column stand-in with the
@@ -354,7 +399,8 @@ private[graft] object H264Cabac {
       -7, 67, -5, 74, -4, 74, -5, 80, -7, 72, 1, 58,
       /* 60-69 mb_qp_delta / chroma pred / intra mode (shared) */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62) ++ Resid0,
+      13, 41, 3, 62) ++ Resid0 ++ FieldFiller ++
+      pbT8Tail((12, 40), (11, 51), (14, 59)),
     // ---- cabac_init_idc 1
     Array(
       20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
@@ -380,7 +426,8 @@ private[graft] object H264Cabac {
       -1, 66, -1, 77, 1, 70, -2, 86, -5, 72, 0, 61,
       /* 60-69 */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62) ++ Resid1,
+      13, 41, 3, 62) ++ Resid1 ++ FieldFiller ++
+      pbT8Tail((25, 32), (21, 49), (21, 54)),
     // ---- cabac_init_idc 2
     Array(
       20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
@@ -406,12 +453,13 @@ private[graft] object H264Cabac {
       3, 55, -4, 79, -2, 75, -12, 97, -7, 50, 1, 60,
       /* 60-69 */
       0, 41, 0, 63, 0, 63, 0, 63, -9, 83, 4, 86, 0, 97, -7, 72,
-      13, 41, 3, 62) ++ Resid2)
+      13, 41, 3, 62) ++ Resid2 ++ FieldFiller ++
+      pbT8Tail((21, 33), (19, 50), (17, 61)))
 
   // structural pins on the transcription: the checks an offline build
   // CAN make. A violated assert is a build-time transcription bug,
   // never a runtime degrade.
-  assert(InitI.length == 276 * 2, s"InitI pairs: ${InitI.length / 2}")
+  assert(InitI.length == 436 * 2, s"InitI pairs: ${InitI.length / 2}")
   assert(RangeLps.length == 64 && RangeLps.forall(_.length == 4))
   assert(RangeLps(63).sameElements(Array(2, 2, 2, 2)))
   assert((0 until 63).forall(i => (0 until 4).forall(q =>
@@ -423,7 +471,7 @@ private[graft] object H264Cabac {
     "transIdxLPS must not increase state (except the 63 fixpoint)")
   assert(InitI.forall(v => v >= -128 && v <= 127), "init pairs are int8")
   assert(InitPB.length == 3 &&
-    InitPB.forall(_.length == 276 * 2), s"InitPB columns must cover ctx 0-275")
+    InitPB.forall(_.length == 436 * 2), s"InitPB columns must cover ctx 0-435")
   assert(InitPB.forall(_.forall(v => v >= -128 && v <= 127)),
     "P/B init pairs are int8")
   // the idc-independent rows must agree across all four columns

@@ -1583,6 +1583,74 @@ object MultimodalQueries {
              |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
              |FROM m ORDER BY id""".stripMargin)),
 
+    // H.264 HIGH profile decode under the oracle gate (round 16,
+    // VERDICT r15 #2 + #5): a profile-100 stream per doc whose I
+    // macroblock is Intra_8x8 (transform_size_8x8_flag = 1) with one
+    // DC coefficient per 8x8 quadrant, in TWO variants — flat
+    // weights and a seq scaling matrix with a uniform-20 8x8 intra
+    // list. At qp 28 the 8x8 DC dequant is 128c (flat) or 160c
+    // (w=20), the 8x8 inverse transform of a lone DC is uniform
+    // (dq + 32) >> 6, and the 8.3.2 DC prediction chain composes the
+    // quadrants: q0 = 128+r0, q1 = q0+r1, q2 = q0+r2,
+    // q3 = ((q1+q2+1) >> 1) + r3. DuckDB replays the whole chain in
+    // closed form — a wrong scan, dequant weight, transform tap or
+    // prediction neighbor anywhere shifts a quadrant and breaks the
+    // hash.
+    Q("multimodal_avc_high",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def c(k: Int): Int = ((id + 7 * k) % 11).toInt - 5
+            val mbs = (_: Int) => graft.ext.H264.I8x8(_ => 2, c)
+            val variants = Seq(
+              ("flat", graft.ext.H264.encodeIFrameHigh(1, 1, mbs,
+                transform8x8 = true)),
+              ("scaled", graft.ext.H264.encodeIFrameHigh(1, 1, mbs,
+                seqScal4 = Seq.fill(6)(Array.fill(16)(16)),
+                seqScal8 = Seq.fill(2)(Array.fill(64)(20)),
+                transform8x8 = true)))
+            variants.flatMap { case (vn, es) =>
+              Multimodal.decodeAvcFrames(es, 1).map { case (_, w, h, m, sd) =>
+                (id, vn, w.toLong, h.toLong, m, sd)
+              }
+            }
+          })
+          .toDF("id", "variant", "width", "height", "m", "sd")
+          .select(col("id"), col("variant"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "variant")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    (doc_id % 11) - 5 AS c0,
+             |    ((doc_id + 7) % 11) - 5 AS c1,
+             |    ((doc_id + 14) % 11) - 5 AS c2,
+             |    ((doc_id + 21) % 11) - 5 AS c3
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, 'flat' AS variant,
+             |    2*c0 AS r0, 2*c1 AS r1, 2*c2 AS r2, 2*c3 AS r3 FROM base
+             |  UNION ALL
+             |  SELECT doc_id, 'scaled',
+             |    CAST(floor((160*c0 + 32)/64.0) AS BIGINT),
+             |    CAST(floor((160*c1 + 32)/64.0) AS BIGINT),
+             |    CAST(floor((160*c2 + 32)/64.0) AS BIGINT),
+             |    CAST(floor((160*c3 + 32)/64.0) AS BIGINT) FROM base),
+             |q AS (SELECT doc_id, variant,
+             |    128 + r0 AS q0, 128 + r0 + r1 AS q1, 128 + r0 + r2 AS q2,
+             |    (256 + 2*r0 + r1 + r2 + 1) // 2 + r3 AS q3
+             |  FROM v),
+             |m AS (SELECT doc_id, variant,
+             |    (q0 + q1 + q2 + q3) / 4.0 AS mean_g,
+             |    CAST(q0*q0 + q1*q1 + q2*q2 + q3*q3 AS DOUBLE) / 4.0 AS meansq
+             |  FROM q)
+             |SELECT doc_id AS id, variant, CAST(16 AS BIGINT) AS width,
+             |  CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, variant""".stripMargin)),
+
     // Binary metadata: byte length + checksum — oracle-checked
     Q("multimodal_metadata",
       (s, dir) => Multimodal.asBinaryTable(
