@@ -3660,16 +3660,18 @@ object H264 {
     // ---- entropy dispatch (round 15: the CABAC branch sits AFTER
     // the shared reconstruction closures so P/B CABAC reuses them)
     if (pps.cabac) {
-      // round 16 fence: CABAC + transform_8x8_mode needs the ctx
-      // 399-401 flag and the cat-5 residual contexts, which this
-      // walk does not yet model — degrade rather than misparse
-      if (pps.transform8x8) return None
+      // round 16: CABAC I slices decode transform_8x8_mode for real
+      // (ctx 399-401 + the cat-5 residual layer); CABAC P/B slices
+      // under a t8 PPS still degrade at entry — their flag sits
+      // inside the inter residual syntax this walk does not yet
+      // model t8 for. Degrade, never misparse.
+      if (pps.transform8x8 && isInter) return None
       // cabac_alignment_one_bit (7.3.4): every bit up to the byte
       // boundary must be 1 — anything else is a malformed stream
       while ((br.pos & 7) != 0) if (br.bit() != 1) return None
       return if (!isInter)
         cabacSliceI(st, sliceIdx, rbsp, br.pos, startMb, qp,
-          pps.chromaQpOff, pps.chromaQpOff2)
+          pps.chromaQpOff, pps.chromaQpOff2, t8Mode = pps.transform8x8)
       else cabacSliceInter(br.pos)
     }
     var mb = startMb
@@ -4425,6 +4427,16 @@ object H264 {
   // same PicState, so the two can never drift on neighbor modeling.
 
   /** mb_type (I) bin0 inc: neighbors coded as other-than-I_NxN. */
+  /** transform_size_8x8_flag ctxIdxInc (9.3.3.1.1.10): neighbor
+    * macroblocks with the flag set, slice-gated like every other
+    * derivation. */
+  private def t8IncSt(st: PicState, sliceIdx: Int, mb: Int): Int = {
+    val mbX = mb % st.mbW
+    def cond(m2: Int, ok: Boolean): Int =
+      if (ok && st.sliceOf(m2) == sliceIdx && st.mbT8(m2)) 1 else 0
+    cond(mb - 1, mbX > 0) + cond(mb - st.mbW, mb >= st.mbW)
+  }
+
   private def mbTypeIInc(st: PicState, sliceIdx: Int, mb: Int): Int = {
     val mbX = mb % st.mbW
     val mbY = mb / st.mbW
@@ -4805,6 +4817,111 @@ object H264 {
       intraChromaReconC(mb, st.chromaMode(mb), ccC4, qp)
     }
 
+    /** Intra_8x8 under CABAC (round 16 — High profile): the I_NxN
+      * walk with transform_size_8x8_flag = 1 already consumed. Four
+      * prediction modes at the SAME ctx 68/69 pair as 4x4, cbp at
+      * 73-84, then one ctxBlockCat-5 residual per coded quadrant
+      * (sig/last through the Table 9-43 maps; no coded_block_flag in
+      * 4:2:0). The 8x8 coded flag spreads into the 4x4 cbf/nz grids
+      * for neighbor modeling (9.3.3.1.1.9's covering-block rule). */
+    def intraI8(mb: Int): Boolean = {
+      val mbX = mb % mbW
+      val mbY = mb / mbW
+      val modes = new Array[Int](4)
+      var blk = 0
+      while (blk < 4) {
+        val bx = mbX * 4 + (blk & 1) * 2
+        val by = mbY * 4 + (blk >> 1) * 2
+        val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
+          i4ModeAtSt(st, sliceIdx, bx, by - 1))
+        val mode =
+          if (dec.decision(cx, 68)) pm
+          else {
+            var rem = 0
+            if (dec.decision(cx, 69)) rem |= 1
+            if (dec.decision(cx, 69)) rem |= 2
+            if (dec.decision(cx, 69)) rem |= 4
+            if (rem < pm) rem else rem + 1
+          }
+        if (mode < 0 || mode > 8) return false
+        modes(blk) = mode
+        var cy = 0
+        while (cy < 2) {
+          var cxx = 0
+          while (cxx < 2) {
+            st.i4mode((by + cy) * (mbW * 4) + bx + cxx) = mode
+            cxx += 1
+          }
+          cy += 1
+        }
+        blk += 1
+      }
+      st.chromaMode(mb) = chromaPredMode(mb)
+      var cbpLuma = 0
+      var b8 = 0
+      while (b8 < 4) {
+        val inc = cbpLumaInc(st, sliceIdx, mb, b8, cbpLuma)
+        if (dec.decision(cx, 73 + inc)) cbpLuma |= 1 << b8
+        b8 += 1
+      }
+      var cbpChroma = 0
+      if (dec.decision(cx,
+        77 + cbpChromaInc(st, sliceIdx, mb, bin1 = false)))
+        cbpChroma = if (dec.decision(cx,
+          81 + cbpChromaInc(st, sliceIdx, mb, bin1 = true))) 2
+        else 1
+      st.mbKind(mb) = 0
+      st.mbT8(mb) = true
+      st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
+      if ((cbpLuma | cbpChroma) != 0) { if (!qpDelta()) return false }
+      else prevQpDeltaNz = false
+      st.mbIntraA(mb) = true
+      st.mv.fill(mbX * 4, mbY * 4, 4, 4, isInter = false, 0, 0)
+      st.qpMbA(mb) = qp
+      val coeffs8 = new Array[Array[Int]](4)
+      blk = 0
+      while (blk < 4) {
+        val cellX = mbX * 2 + (blk & 1)
+        val cellY = mbY * 2 + (blk >> 1)
+        var coded = false
+        if ((cbpLuma & (1 << blk)) != 0) {
+          val rb = residualCabac(dec, cx, 5, 0)
+          if (rb == null) return false
+          coeffs8(blk) = rb._1
+          coded = rb._2 > 0
+          st.nz8(cellY * (mbW * 2) + cellX) = coded
+          val f: Byte = if (coded) 1 else 0
+          val nzv = math.min(16, rb._2)
+          var i4 = 0
+          while (i4 < 4) {
+            val sub = blk * 4 + i4
+            val bx = mbX * 4 + blkCol(sub)
+            val by = mbY * 4 + blkRow(sub)
+            st.cbfLuma4(by * mbW * 4 + bx) = f
+            st.lumaNz.set(bx, by, nzv)
+            i4 += 1
+          }
+        } else {
+          coeffs8(blk) = null
+          st.nz8(cellY * (mbW * 2) + cellX) = false
+          var i4 = 0
+          while (i4 < 4) {
+            val sub = blk * 4 + i4
+            val bx = mbX * 4 + blkCol(sub)
+            val by = mbY * 4 + blkRow(sub)
+            st.cbfLuma4(by * mbW * 4 + bx) = 0
+            st.lumaNz.set(bx, by, 0)
+            i4 += 1
+          }
+        }
+        blk += 1
+      }
+      val ccC8 = cabacChroma(st, sliceIdx, dec, cx, mb, cbpChroma)
+      if (ccC8 == null) return false
+      if (!reconI8(st, sliceIdx, mb, qp, modes, coeffs8)) return false
+      intraChromaReconC(mb, st.chromaMode(mb), ccC8, qp)
+    }
+
     /** Intra_16x16 tail: the suffix bins (cbp-luma flag, chroma,
       * pred mode) are read by the CALLER — their contexts differ
       * between I slices (6-10) and P/B intra suffixes (17+/32+). */
@@ -4860,7 +4977,7 @@ object H264 {
     * walk, and the nz/mv/qp bookkeeping feeds the same loop filter. */
   private def cabacSliceI(st: PicState, sliceIdx: Int, rbsp: Array[Byte],
       startBit: Int, startMb: Int, qpInit: Int, chromaQpOff: Int,
-      chromaQpOff2: Int): Option[PicState] = {
+      chromaQpOff2: Int, t8Mode: Boolean = false): Option[PicState] = {
     val cx = new H264Cabac.Ctx(qpInit)
     val dec = new H264Cabac.Dec(rbsp, startBit)
     if (!dec.valid) return None
@@ -4879,7 +4996,11 @@ object H264 {
       if (!isI4 && dec.terminate()) {
         if (!w.ipcm(mb)) return None
       } else if (isI4) {
-        if (!w.intraI4(mb)) return None
+        // round 16: transform_size_8x8_flag (ctx 399-401) selects the
+        // Intra_8x8 walk under a t8 PPS
+        if (t8Mode && dec.decision(cx, 399 + t8IncSt(st, sliceIdx, mb))) {
+          if (!w.intraI8(mb)) return None
+        } else if (!w.intraI4(mb)) return None
       } else {
         // Intra_16x16 suffix: cbp-luma bit (ctx 6), chroma ('0' /
         // '10' / '11' at ctx 7 then 8), two pred bits (9, 10)
@@ -5814,24 +5935,29 @@ object H264 {
       if (coeffs(i) != 0) { nz += 1; lastIdx = i }
       i += 1
     }
-    enc.decision(cxp, 85 + CbfCatOff(cat) + cbfInc, nz > 0)
+    if (cat != 5)
+      enc.decision(cxp, 85 + CbfCatOff(cat) + cbfInc, nz > 0)
+    else require(nz > 0, "a coded 8x8 block carries >= 1 coefficient")
     if (nz == 0) return 0
-    val sigBase = 105 + SigCatOff(cat)
-    val lastBase = 166 + SigCatOff(cat)
+    val sigBase = if (cat == 5) 402 else 105 + SigCatOff(cat)
+    val lastBase = if (cat == 5) 417 else 166 + SigCatOff(cat)
     i = 0
     var stop = false
     while (i < maxC - 1 && !stop) {
-      val inc = if (cat == 3) math.min(i, 2) else i
+      val inc =
+        if (cat == 5) SigMap8(i)
+        else if (cat == 3) math.min(i, 2) else i
       val s = coeffs(i) != 0
       enc.decision(cxp, sigBase + inc, s)
       if (s) {
         val isLast = i == lastIdx
-        enc.decision(cxp, lastBase + inc, isLast)
+        val lastInc = if (cat == 5) LastMap8(i) else inc
+        enc.decision(cxp, lastBase + lastInc, isLast)
         if (isLast) stop = true
       }
       i += 1
     }
-    val lvlBase = 227 + LvlCatOff(cat)
+    val lvlBase = if (cat == 5) 426 else 227 + LvlCatOff(cat)
     val clampG = if (cat == 3) 3 else 4 // Gt1-only clamp, like the decoder
     var numEq1 = 0
     var numGt1 = 0
@@ -5879,7 +6005,7 @@ object H264 {
     * encoder-decoder context drift structurally impossible. */
   def idrNalCabac(mbW: Int, mbH: Int, mb: Int => Mb, qp: Int,
       deblock: Boolean = false, firstMb: Int = 0, mbCount: Int = -1,
-      idcOverride: Int = -1): Array[Byte] = {
+      idcOverride: Int = -1, t8Pps: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     val count = if (mbCount < 0) mbW * mbH - firstMb else mbCount
     require(firstMb >= 0 && count >= 1 && firstMb + count <= mbW * mbH,
@@ -6071,6 +6197,8 @@ object H264 {
         case I4x4(modeOf, dcOf) =>
           enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = false)
           st.sliceOf(i) = sliceIdx
+          if (t8Pps) // transform_size_8x8_flag: 4x4
+            enc.decision(cxp, 399 + t8IncSt(st, sliceIdx, i), bin = false)
           var blk = 0
           while (blk < 16) {
             val r = blkRow(blk); val c = blkCol(blk)
@@ -6122,6 +6250,93 @@ object H264 {
             blk += 1
           }
           zeroChromaState()
+        case I8x8(modeOf, dcOf) =>
+          require(t8Pps, "CABAC I8x8 fixture needs a transform_8x8 PPS")
+          enc.decision(cxp, 3 + mbTypeIInc(st, sliceIdx, i), bin = false)
+          st.sliceOf(i) = sliceIdx
+          enc.decision(cxp, 399 + t8IncSt(st, sliceIdx, i), bin = true)
+          var blk = 0
+          while (blk < 4) {
+            val bx = mbX * 4 + (blk & 1) * 2
+            val by = mbY * 4 + (blk >> 1) * 2
+            val m = modeOf(blk)
+            require(m >= 0 && m <= 8, s"i8x8 mode out of range: $m")
+            val pm = math.min(i4ModeAtSt(st, sliceIdx, bx - 1, by),
+              i4ModeAtSt(st, sliceIdx, bx, by - 1))
+            if (m == pm) enc.decision(cxp, 68, bin = true)
+            else {
+              enc.decision(cxp, 68, bin = false)
+              val rem = if (m < pm) m else m - 1
+              enc.decision(cxp, 69, (rem & 1) == 1)
+              enc.decision(cxp, 69, (rem & 2) == 2)
+              enc.decision(cxp, 69, (rem & 4) == 4)
+            }
+            var cy = 0
+            while (cy < 2) {
+              var cxx = 0
+              while (cxx < 2) {
+                st.i4mode((by + cy) * (mbW * 4) + bx + cxx) = m
+                cxx += 1
+              }
+              cy += 1
+            }
+            blk += 1
+          }
+          enc.decision(cxp, 64 + chromaModeInc(st, sliceIdx, i),
+            bin = false) // intra_chroma_pred_mode DC
+          st.chromaMode(i) = 0
+          val cbpLuma8 = (0 until 4).map { g =>
+            if (dcOf(g) != 0) 1 << g else 0
+          }.sum
+          var b8c = 0
+          var sofar8 = 0
+          while (b8c < 4) {
+            val bit = (cbpLuma8 >> b8c) & 1
+            enc.decision(cxp,
+              73 + cbpLumaInc(st, sliceIdx, i, b8c, sofar8), bit == 1)
+            sofar8 |= bit << b8c
+            b8c += 1
+          }
+          enc.decision(cxp,
+            77 + cbpChromaInc(st, sliceIdx, i, bin1 = false), bin = false)
+          st.mbKind(i) = 0
+          st.mbT8(i) = true
+          st.mbCbp(i) = cbpLuma8
+          if (cbpLuma8 != 0) {
+            enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
+              bin = false) // mb_qp_delta 0
+          }
+          prevQpDeltaNz = false
+          blk = 0
+          while (blk < 4) {
+            val cellX = mbX * 2 + (blk & 1)
+            val cellY = mbY * 2 + (blk >> 1)
+            if ((cbpLuma8 & (1 << blk)) != 0) {
+              val coeffs = new Array[Int](64)
+              coeffs(0) = dcOf(blk)
+              val nz = putResidualCabac(enc, cxp, 5, 0, coeffs)
+              st.nz8(cellY * (mbW * 2) + cellX) = nz > 0
+              var i4 = 0
+              while (i4 < 4) {
+                val sub = blk * 4 + i4
+                val bx = mbX * 4 + blkCol(sub)
+                val by = mbY * 4 + blkRow(sub)
+                st.cbfLuma4(by * mbW * 4 + bx) = if (nz > 0) 1 else 0
+                st.lumaNz.set(bx, by, math.min(16, nz))
+                i4 += 1
+              }
+            } else {
+              st.nz8(cellY * (mbW * 2) + cellX) = false
+              var i4 = 0
+              while (i4 < 4) {
+                val sub = blk * 4 + i4
+                zeroLumaBlock(sub)
+                i4 += 1
+              }
+            }
+            blk += 1
+          }
+          zeroChromaState()
       }
       val isLast = i == firstMb + count - 1
       enc.terminate(isLast) // end_of_slice_flag (+ flush on the last)
@@ -6140,6 +6355,20 @@ object H264 {
     val sep = Array[Byte](0, 0, 0, 1)
     sep ++ spsNal(mbW, mbH) ++ sep ++ ppsNal(qp, cabac = true) ++ sep ++
       idrNalCabac(mbW, mbH, mb, qp, deblock)
+  }
+
+  /** CABAC High-profile I-frame (round 16): profile-100 SPS with
+    * optional matrices + CABAC transform_8x8 PPS + a CABAC IDR whose
+    * I_NxN macroblocks carry transform_size_8x8_flag. */
+  def encodeIFrameHighCabac(mbW: Int, mbH: Int, mb: Int => Mb,
+      qp: Int = 28, deblock: Boolean = false,
+      seqScal4: Seq[Array[Int]] = Nil, seqScal8: Seq[Array[Int]] = Nil,
+      transform8x8: Boolean = true): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    sep ++ spsNal(mbW, mbH, high = true, seqScal4 = seqScal4,
+      seqScal8 = seqScal8) ++
+      sep ++ ppsNal(qp, cabac = true, transform8x8 = transform8x8) ++
+      sep ++ idrNalCabac(mbW, mbH, mb, qp, deblock, t8Pps = transform8x8)
   }
 
   /** CABAC twin of [[pNal]]/[[bNal]] (round 15): one P or B slice

@@ -1610,7 +1610,11 @@ object MultimodalQueries {
               ("scaled", graft.ext.H264.encodeIFrameHigh(1, 1, mbs,
                 seqScal4 = Seq.fill(6)(Array.fill(16)(16)),
                 seqScal8 = Seq.fill(2)(Array.fill(64)(20)),
-                transform8x8 = true)))
+                transform8x8 = true)),
+              // round 16: the same picture CABAC-entropy-coded (ctx
+              // 399-401 flag + cat-5 residuals) — pixel semantics are
+              // entropy-independent, so the oracle row equals 'flat'
+              ("cabac", graft.ext.H264.encodeIFrameHighCabac(1, 1, mbs)))
             variants.flatMap { case (vn, es) =>
               Multimodal.decodeAvcFrames(es, 1).map { case (_, w, h, m, sd) =>
                 (id, vn, w.toLong, h.toLong, m, sd)
@@ -1631,6 +1635,9 @@ object MultimodalQueries {
              |v AS (
              |  SELECT doc_id, 'flat' AS variant,
              |    2*c0 AS r0, 2*c1 AS r1, 2*c2 AS r2, 2*c3 AS r3 FROM base
+             |  UNION ALL
+             |  SELECT doc_id, 'cabac',
+             |    2*c0, 2*c1, 2*c2, 2*c3 FROM base
              |  UNION ALL
              |  SELECT doc_id, 'scaled',
              |    CAST(floor((160*c0 + 32)/64.0) AS BIGINT),

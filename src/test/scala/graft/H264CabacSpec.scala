@@ -247,6 +247,42 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  test("CABAC cat-5 residual layer: arbitrary 64-coefficient vectors " +
+      "round-trip through the Table 9-43 maps, escapes included") {
+    val rnd = new java.util.Random(1693)
+    for (trial <- 0 until 25) {
+      val coeffs = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        coeffs(k) = rnd.nextInt(6) match {
+          case 0 => rnd.nextInt(29) - 14
+          case 1 => 14 + rnd.nextInt(4)
+          case 2 => 15 + rnd.nextInt(3000)
+          case _ => 0
+        }
+        k += 1
+      }
+      if (coeffs.forall(_ == 0)) coeffs(rnd.nextInt(64)) = 1
+      val qp = 10 + rnd.nextInt(35)
+      val encCx = new H264Cabac.Ctx(qp)
+      val enc = new H264Cabac.Enc
+      val nzIn = H264.putResidualCabac(enc, encCx, 5, 0, coeffs)
+      enc.terminate(bin = true)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      enc.drain(bits += _)
+      val bytes = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, j) =>
+        if (b == 1) bytes(j >> 3) = (bytes(j >> 3) | (1 << (7 - (j & 7)))).toByte
+      }
+      val decCx = new H264Cabac.Ctx(qp)
+      val dec = new H264Cabac.Dec(bytes, 0)
+      val out = H264.residualCabac(dec, decCx, 5, 0)
+      assert(out != null && out._1.sameElements(coeffs) && out._2 == nzIn,
+        s"trial $trial: ${out._1.toSeq.take(8)} vs ${coeffs.toSeq.take(8)}")
+      assert(dec.terminate() && dec.overrun == 0)
+    }
+  }
+
   test("CABAC == CAVLC across qp values (init states differ per qp)") {
     for (qp <- Seq(20, 28, 36, 44)) {
       def mbs(i: Int): H264.Mb =

@@ -258,6 +258,39 @@ class H264HighSpec extends AnyFunSuite {
     }
   }
 
+  test("CABAC Intra_8x8 == CAVLC Intra_8x8: a mixed I8x8/I4x4/I16/PCM " +
+      "High picture decodes pixel-identical through both entropy " +
+      "layers (ctx 399-401 flag + cat-5 residuals on trial)") {
+    import graft.ext.H264.I8x8
+    def mbs(i: Int): graft.ext.H264.Mb = i match {
+      case 0 => I8x8(_ => 2, Seq(5, -3, 2, 4))
+      case 1 => I4x4(_ => 2, blk => if (blk == 5) 1 else 0)
+      case 2 => Pcm((x, y) => 50 + 3 * x + y)
+      case _ => I8x8(blk => Seq(2, 0, 1, 2)(blk), Seq(-2, 6, 0, -7))
+    }
+    val cavlc = H264.decodeFramesLuma(
+      H264.encodeIFrameHigh(2, 2, mbs, transform8x8 = true), 2)
+    val cabac = H264.decodeFramesLuma(
+      H264.encodeIFrameHighCabac(2, 2, mbs), 2)
+    assert(cavlc.length == 1 && cabac.length == 1)
+    assert(cabac.head._3.sameElements(cavlc.head._3),
+      "CABAC and CAVLC High pictures must reconstruct identically")
+  }
+
+  test("CABAC P/B slices under a t8 PPS degrade at slice entry, " +
+      "never misparse (the documented round-16 fence)") {
+    import graft.ext.H264._
+    val sep = Array[Byte](0, 0, 0, 1)
+    def iMb(i: Int): Mb = Pcm((x, y) => 60 + x + y)
+    val es = sep ++ spsNal(1, 1, high = true) ++
+      sep ++ ppsNal(28, cabac = true, transform8x8 = true) ++
+      sep ++ idrNalCabac(1, 1, iMb, 28, t8Pps = true) ++
+      sep ++ pNalCabac(1, 1, _ => PSkip, 28, frameNum = 1)
+    val fs = H264.decodeFramesLuma(es, 4)
+    // the I frame decodes; the P slice degrades (not misdecodes)
+    assert(fs.length == 1, s"expected the I frame alone, got ${fs.length}")
+  }
+
   test("corruption fuzz: 120 mutations of a High-profile scaled stream " +
       "degrade or truncate, never throw") {
     val base = H264.encodeIFrameHigh(2, 2,
