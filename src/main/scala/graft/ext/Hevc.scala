@@ -284,6 +284,15 @@ object Hevc {
     if (v < -32768) -32768 else if (v > 32767) 32767 else v
   }
 
+  /** Chroma QP (Table 8-10, 4:2:0, zero cb/cr offsets). */
+  private def qpC(qpY: Int): Int = {
+    val qPi = if (qpY < 0) 0 else if (qpY > 57) 57 else qpY
+    if (qPi < 30) qPi
+    else if (qPi > 43) qPi - 6
+    else Array(29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37,
+      37)(qPi - 30)
+  }
+
   private object ParseFail extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
@@ -471,6 +480,11 @@ object Hevc {
     val stride: Int = ctbW << sps.ctbLog2
     val planeH: Int = ctbH << sps.ctbLog2
     val luma = new Array[Int](stride * planeH)
+    /** 4:2:0 chroma planes (round 16: chroma reconstructs). */
+    val strideC: Int = stride >> 1
+    val planeHC: Int = planeH >> 1
+    val cb = new Array[Int](strideC * planeHC)
+    val cr = new Array[Int](strideC * planeHC)
     val gw: Int = stride >> 2
     val gh: Int = planeH >> 2
     val decoded = new Array[Boolean](gw * gh)
@@ -521,7 +535,13 @@ object Hevc {
     * (x0, y0) (8.4.4.2.2), optionally [1 2 1]-filtered (planar at
     * nT >= 8). Returns (corner, left[2nT], top[2nT]) or all-128. */
   private def gatherRefs(pic: Pic, x0: Int, y0: Int, nT: Int,
-      filter: Boolean): (Int, Array[Int], Array[Int]) = {
+      filter: Boolean, cIdx: Int = 0): (Int, Array[Int], Array[Int]) = {
+    // cIdx > 0 (round 16): the half-resolution plane; availability is
+    // the co-located luma cell's
+    val plane = if (cIdx == 0) pic.luma else if (cIdx == 1) pic.cb else pic.cr
+    val strideP = if (cIdx == 0) pic.stride else pic.strideC
+    val sh = if (cIdx == 0) 0 else 1
+    def availC(px: Int, py: Int): Boolean = pic.avail(px << sh, py << sh)
     val left = new Array[Int](2 * nT)
     val top = new Array[Int](2 * nT)
     val haveL = new Array[Boolean](2 * nT)
@@ -531,20 +551,20 @@ object Hevc {
     var any = false
     var i = 0
     while (i < 2 * nT) {
-      if (pic.avail(x0 - 1, y0 + i)) {
-        left(i) = pic.luma((y0 + i) * pic.stride + x0 - 1)
+      if (availC(x0 - 1, y0 + i)) {
+        left(i) = plane((y0 + i) * strideP + x0 - 1)
         haveL(i) = true
         any = true
       }
-      if (pic.avail(x0 + i, y0 - 1)) {
-        top(i) = pic.luma((y0 - 1) * pic.stride + x0 + i)
+      if (availC(x0 + i, y0 - 1)) {
+        top(i) = plane((y0 - 1) * strideP + x0 + i)
         haveT(i) = true
         any = true
       }
       i += 1
     }
-    if (pic.avail(x0 - 1, y0 - 1)) {
-      corner = pic.luma((y0 - 1) * pic.stride + x0 - 1)
+    if (availC(x0 - 1, y0 - 1)) {
+      corner = plane((y0 - 1) * strideP + x0 - 1)
       haveC = true
       any = true
     }
@@ -613,7 +633,12 @@ object Hevc {
     * plane. Reference filtering per 8.4.4.2.3 (planar at nT >= 8;
     * angular by minDistVerHor vs the per-size threshold). */
   private def predictIntra(pic: Pic, x0: Int, y0: Int, nT: Int,
-      mode: Int): Unit = {
+      mode: Int, cIdx: Int = 0): Unit = {
+    // chroma (round 16): no reference filtering, no DC boundary
+    // smoothing, no mode-10/26 edge filters (8.4.4.2.3/.5/.6 gate all
+    // three on cIdx == 0); the geometry is otherwise identical
+    val plane = if (cIdx == 0) pic.luma else if (cIdx == 1) pic.cb else pic.cr
+    val strideP = if (cIdx == 0) pic.stride else pic.strideC
     val lg = Integer.numberOfTrailingZeros(nT)
     if (mode >= 2) { // angular
       val thresh = nT match {
@@ -624,7 +649,8 @@ object Hevc {
       }
       val minDist = math.min(math.abs(mode - 26), math.abs(mode - 10))
       val (corner, left, top) =
-        gatherRefs(pic, x0, y0, nT, filter = minDist > thresh)
+        gatherRefs(pic, x0, y0, nT,
+          filter = cIdx == 0 && minDist > thresh, cIdx)
       val angle = PredAngle(mode - 2)
       val off = nT + 1 // ref index offset: ref(-nT..2nT)
       val ref = new Array[Int](3 * nT + 2)
@@ -653,16 +679,16 @@ object Hevc {
               if (iFact == 0) a
               else ((32 - iFact) * a +
                 iFact * ref(off + x2 + iIdx + 2) + 16) >> 5
-            pic.luma((y0 + y) * pic.stride + x0 + x2) = v
+            plane((y0 + y) * strideP + x0 + x2) = v
             x2 += 1
           }
           y += 1
         }
-        if (mode == 26 && nT < 32) { // vertical boundary filter
+        if (cIdx == 0 && mode == 26 && nT < 32) { // vertical boundary filter
           var y2 = 0
           while (y2 < nT) {
             val v = top(0) + ((left(y2) - corner) >> 1)
-            pic.luma((y0 + y2) * pic.stride + x0) =
+            plane((y0 + y2) * strideP + x0) =
               if (v < 0) 0 else if (v > 255) 255 else v
             y2 += 1
           }
@@ -692,16 +718,16 @@ object Hevc {
               if (iFact == 0) a
               else ((32 - iFact) * a +
                 iFact * ref(off + y2 + iIdx + 2) + 16) >> 5
-            pic.luma((y0 + y2) * pic.stride + x0 + x2) = v
+            plane((y0 + y2) * strideP + x0 + x2) = v
             y2 += 1
           }
           x2 += 1
         }
-        if (mode == 10 && nT < 32) { // horizontal boundary filter
+        if (cIdx == 0 && mode == 10 && nT < 32) { // horizontal boundary filter
           var x3 = 0
           while (x3 < nT) {
             val v = left(0) + ((top(x3) - corner) >> 1)
-            pic.luma(y0 * pic.stride + x0 + x3) =
+            plane(y0 * strideP + x0 + x3) =
               if (v < 0) 0 else if (v > 255) 255 else v
             x3 += 1
           }
@@ -709,13 +735,14 @@ object Hevc {
       }
       return
     }
-    if (mode == 0) { // planar (refs filtered at nT >= 8)
-      val (_, left, top) = gatherRefs(pic, x0, y0, nT, filter = nT >= 8)
+    if (mode == 0) { // planar (refs filtered at nT >= 8, luma only)
+      val (_, left, top) = gatherRefs(pic, x0, y0, nT,
+        filter = cIdx == 0 && nT >= 8, cIdx)
       var y = 0
       while (y < nT) {
         var x = 0
         while (x < nT) {
-          pic.luma((y0 + y) * pic.stride + x0 + x) =
+          plane((y0 + y) * strideP + x0 + x) =
             ((nT - 1 - x) * left(y) + (x + 1) * top(nT) +
               (nT - 1 - y) * top(x) + (y + 1) * left(nT) + nT) >> (lg + 1)
           x += 1
@@ -723,7 +750,7 @@ object Hevc {
         y += 1
       }
     } else { // DC (never filtered)
-      val (_, left, top) = gatherRefs(pic, x0, y0, nT, filter = false)
+      val (_, left, top) = gatherRefs(pic, x0, y0, nT, filter = false, cIdx)
       var s = nT
       var i = 0
       while (i < nT) { s += left(i) + top(i); i += 1 }
@@ -732,18 +759,18 @@ object Hevc {
       while (y < nT) {
         var x = 0
         while (x < nT) {
-          pic.luma((y0 + y) * pic.stride + x0 + x) = dc
+          plane((y0 + y) * strideP + x0 + x) = dc
           x += 1
         }
         y += 1
       }
-      if (nT < 32) { // luma boundary smoothing
-        pic.luma(y0 * pic.stride + x0) =
+      if (cIdx == 0 && nT < 32) { // luma boundary smoothing
+        plane(y0 * strideP + x0) =
           (left(0) + 2 * dc + top(0) + 2) >> 2
         var k = 1
         while (k < nT) {
-          pic.luma(y0 * pic.stride + x0 + k) = (top(k) + 3 * dc + 2) >> 2
-          pic.luma((y0 + k) * pic.stride + x0) = (left(k) + 3 * dc + 2) >> 2
+          plane(y0 * strideP + x0 + k) = (top(k) + 3 * dc + 2) >> 2
+          plane((y0 + k) * strideP + x0) = (left(k) + 3 * dc + 2) >> 2
           k += 1
         }
       }
@@ -754,7 +781,9 @@ object Hevc {
     * TU's coefficients through the same scans, contexts and
     * adaptation, so encode -> decode is exact by construction. */
   private[graft] def putResidual(enc: H264Cabac.Enc, cx: H264Cabac.Ctx,
-      log2Size: Int, scanIdx: Int, coef: Array[Int]): Unit = {
+      log2Size: Int, scanIdx: Int, coef: Array[Int],
+      cIdx: Int = 0): Unit = {
+    val luma = cIdx == 0
     val nT = 1 << log2Size
     require(coef.length == nT * nT, "coef raster size")
     val nSb = nT >> 2
@@ -784,8 +813,9 @@ object Hevc {
     var lastX = (lastSbX << 2) + (lp & 3)
     var lastY = (lastSbY << 2) + (lp >> 2)
     if (scanIdx == 2) { val t = lastX; lastX = lastY; lastY = t }
-    val ctxOffset = 3 * (log2Size - 2) + ((log2Size - 1) >> 2)
-    val ctxShift = (log2Size + 1) >> 2
+    val ctxOffset =
+      if (luma) 3 * (log2Size - 2) + ((log2Size - 1) >> 2) else 15
+    val ctxShift = if (luma) (log2Size + 1) >> 2 else log2Size - 2
     val cMax = (log2Size << 1) - 1
     // 7.3.8.11 order: BOTH prefixes (context-coded), then both
     // bypass suffixes
@@ -847,8 +877,8 @@ object Hevc {
       if (explicit) {
         val right = sbX + 1 < nSb && csbf(sbY * nSb + sbX + 1)
         val below = sbY + 1 < nSb && csbf((sbY + 1) * nSb + sbX)
-        enc.decision(cx, CtxCsbf + (if (right || below) 1 else 0),
-          csbf(sbPos))
+        enc.decision(cx, CtxCsbf + (if (right || below) 1 else 0) +
+          (if (luma) 0 else 2), csbf(sbPos))
       }
       if (csbf(sbPos)) {
         val prevCsbf =
@@ -887,17 +917,19 @@ object Hevc {
                   case 2 => if (xB == 0) 2 else if (xB == 1) 1 else 0
                   case _ => 2
                 }
-                if ((sbX | sbY) != 0) c0 += 3
+                if (luma && (sbX | sbY) != 0) c0 += 3
                 c0 + (if (log2Size == 3) { if (scanIdx == 0) 9 else 15 }
-                else 21)
+                else if (luma) 21
+                else 12)
               }
-            enc.decision(cx, CtxSig + sigCtx, v != 0)
+            enc.decision(cx, CtxSig + (if (luma) 0 else 27) + sigCtx,
+              v != 0)
           }
           if (v != 0) { sigPos(nSig) = n; sigVal(nSig) = v; nSig += 1 }
           n -= 1
         }
         if (nSig > 0) {
-          val ctxSet0 = (if (sb > 0) 2 else 0) +
+          val ctxSet0 = (if (sb > 0 && luma) 2 else 0) +
             (if (gt1Carry == 0) 1 else 0)
           var c1 = 1
           var firstG2 = -1
@@ -905,14 +937,15 @@ object Hevc {
           val nGt1 = math.min(nSig, 8)
           while (k < nGt1) {
             val g = math.abs(sigVal(k)) > 1
-            enc.decision(cx, CtxGt1 + ctxSet0 * 4 + c1, g)
+            enc.decision(cx, CtxGt1 + (if (luma) 0 else 16) +
+              ctxSet0 * 4 + c1, g)
             if (g) { c1 = 0; if (firstG2 < 0) firstG2 = k }
             else if (c1 > 0 && c1 < 3) c1 += 1
             k += 1
           }
           gt1Carry = c1
           if (firstG2 >= 0)
-            enc.decision(cx, CtxGt2 + ctxSet0,
+            enc.decision(cx, CtxGt2 + (if (luma) 0 else 4) + ctxSet0,
               math.abs(sigVal(firstG2)) > 2)
           k = 0
           while (k < nSig) { enc.bypass(sigVal(k) < 0); k += 1 }
@@ -1236,19 +1269,50 @@ object Hevc {
         y += 1
       }
     }
-    // chroma residuals: at this leaf when its chroma TU exists
-    // (log2 > 2), else on the parent's behalf at blkIdx 3
+    // chroma TU (round 16: RECONSTRUCTED, not just parsed): at this
+    // leaf when its chroma TU exists (log2 > 2), else on the parent's
+    // behalf at blkIdx 3. Prediction runs whether or not residuals
+    // are coded; residuals dequant at QPc and inverse-DCT (DST is
+    // luma-4x4-intra only, 8.6.4).
+    def chromaTu(xC: Int, yC: Int, cl: Int): Boolean = {
+      val nC = 1 << cl
+      val qc = qpC(qp)
+      var comp = 1
+      while (comp <= 2) {
+        predictIntra(pic, xC, yC, nC, chromaMode, comp)
+        val coded = if (comp == 1) cbfCb else cbfCr
+        if (coded) {
+          val coef = residualCoding(dec, cx, cl, comp,
+            scanIdxOf(cl, comp, chromaMode))
+          if (coef == null) return false
+          val dq = new Array[Int](nC * nC)
+          var k = 0
+          while (k < nC * nC) {
+            if (coef(k) != 0) dq(k) = dequant(coef(k), qc, cl)
+            k += 1
+          }
+          val res = invTransform(dq, nC, dst = false)
+          val plane = if (comp == 1) pic.cb else pic.cr
+          var y = 0
+          while (y < nC) {
+            var x = 0
+            while (x < nC) {
+              val kk = (yC + y) * pic.strideC + xC + x
+              val v = plane(kk) + res(y * nC + x)
+              plane(kk) = if (v < 0) 0 else if (v > 255) 255 else v
+              x += 1
+            }
+            y += 1
+          }
+        }
+        comp += 1
+      }
+      true
+    }
     if (log2Size > 2) {
-      val cl = log2Size - 1
-      if (cbfCb && residualCoding(dec, cx, cl, 1,
-        scanIdxOf(cl, 1, chromaMode)) == null) return false
-      if (cbfCr && residualCoding(dec, cx, cl, 2,
-        scanIdxOf(cl, 2, chromaMode)) == null) return false
+      if (!chromaTu(x0 >> 1, y0 >> 1, log2Size - 1)) return false
     } else if (blkIdx == 3) {
-      if (cbfCb && residualCoding(dec, cx, 2, 1,
-        scanIdxOf(2, 1, chromaMode)) == null) return false
-      if (cbfCr && residualCoding(dec, cx, 2, 2,
-        scanIdxOf(2, 2, chromaMode)) == null) return false
+      if (!chromaTu(xBase >> 1, yBase >> 1, 2)) return false
     }
     true
   }
@@ -1387,6 +1451,22 @@ object Hevc {
         }
         y += 1
       }
+      // pcm_sample_chroma (round 16): all Cb then all Cr (7.3.8.7)
+      val sc = size >> 1
+      val xC = x0 >> 1
+      val yC = y0 >> 1
+      var cy = 0
+      while (cy < sc) {
+        var cx0 = 0
+        while (cx0 < sc) {
+          pic.cb((yC + cy) * pic.strideC + xC + cx0) =
+            rbsp(byteStart + lumaBytes + cy * sc + cx0) & 0xFF
+          pic.cr((yC + cy) * pic.strideC + xC + cx0) =
+            rbsp(byteStart + lumaBytes + sc * sc + cy * sc + cx0) & 0xFF
+          cx0 += 1
+        }
+        cy += 1
+      }
       pic.cellsSet(x0, y0, size, depth, 1) // PCM neighbors read as DC
       return dec.reinit((byteStart + lumaBytes + chromaBytes) * 8)
     }
@@ -1411,6 +1491,12 @@ object Hevc {
   def decodeIFrameLuma(es: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeFramesLuma(es, 1).headOption
 
+  /** YUV form (round 16): (width, height, luma, cb, cr) per frame,
+    * chroma at half resolution, all planes conformance-cropped. */
+  def decodeFramesYuv(es: Array[Byte], maxFrames: Int
+      ): Seq[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodeFramesYuvNals(splitAnnexB(es), maxFrames)
+
   /** Decode up to `maxFrames` IDR pictures (intra starter: every
     * picture is independent; non-IDR slices stop the walk). */
   def decodeFramesLuma(es: Array[Byte],
@@ -1420,9 +1506,14 @@ object Hevc {
   /** NAL-list form of [[decodeFramesLuma]] (hvcC / length-prefixed
     * callers, round 14). */
   def decodeFramesLumaNals(nals: Seq[Array[Byte]],
-      maxFrames: Int): Seq[(Int, Int, Array[Int])] = {
+      maxFrames: Int): Seq[(Int, Int, Array[Int])] =
+    decodeFramesYuvNals(nals, maxFrames).map(f => (f._1, f._2, f._3))
+
+  private def decodeFramesYuvNals(nals: Seq[Array[Byte]],
+      maxFrames: Int
+      ): Seq[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
     val frames = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Array[Int])]
+      .empty[(Int, Int, Array[Int], Array[Int], Array[Int])]
     if (maxFrames <= 0) return frames.toSeq
     try {
       var sps: HSps = null
@@ -1454,7 +1545,7 @@ object Hevc {
   }
 
   private def decodeIdrSlice(rbsp: Array[Byte], sps: HSps,
-      pps: HPps): Option[(Int, Int, Array[Int])] = {
+      pps: HPps): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
     try {
       val br = new BitReader(rbsp)
       if (br.bit() != 1) return None // first_slice_segment_in_pic
@@ -1501,7 +1592,23 @@ object Hevc {
           }
           o
         }
-      Some((ow, oh, out))
+      def cropC(plane: Array[Int]): Array[Int] = {
+        val cw = ow >> 1
+        val ch = oh >> 1
+        if (pic.strideC == cw && pic.planeHC == ch) plane
+        else {
+          val o = new Array[Int](cw * ch)
+          var y = 0
+          while (y < ch) {
+            System.arraycopy(plane,
+              (y + (sps.cropT >> 1)) * pic.strideC + (sps.cropL >> 1),
+              o, y * cw, cw)
+            y += 1
+          }
+          o
+        }
+      }
+      Some((ow, oh, out, cropC(pic.cb), cropC(pic.cr)))
     } catch {
       case ParseFail => None
       case _: ArrayIndexOutOfBoundsException => None
@@ -1512,15 +1619,21 @@ object Hevc {
 
   /** Coding-unit vocabulary for [[encodeIFrame]]. */
   sealed trait Cu
-  /** I_PCM: raw luma, `pix(x, y)` local to the CU; chroma neutral. */
-  final case class HPcm(pix: (Int, Int) => Int) extends Cu
+  /** I_PCM: raw samples, `pix(x, y)` local to the CU; chroma from
+    * the half-resolution `cbPix`/`crPix` (default neutral 128). */
+  final case class HPcm(pix: (Int, Int) => Int,
+      cbPix: (Int, Int) => Int = (_, _) => 128,
+      crPix: (Int, Int) => Int = (_, _) => 128) extends Cu
   /** Intra mode 0-34 (planar/DC/angular since round 15), no
     * residual. */
   final case class HIntra(mode: Int) extends Cu
   /** Intra CU whose single TU carries sparse luma coefficients:
     * (rasterPos, level) pairs over the nT x nT block (round 15). */
   final case class HIntraCoded(mode: Int,
-      coeffs: Seq[(Int, Int)]) extends Cu
+      coeffs: Seq[(Int, Int)],
+      /** round 16: one chroma DC per component (0 = uncoded); the
+        * chroma TU is half the CU, mode DM (= luma mode). */
+      cbDc: Int = 0, crDc: Int = 0) extends Cu
   /** 16x16 intra CU with a SPLIT transform tree: four 8x8 TUs, one
     * DC level each (z order; 0 = uncoded). Needs an SPS with
     * max_transform_hierarchy_depth_intra >= 1. */
@@ -1795,7 +1908,7 @@ object Hevc {
       if (log2Size == sps.minCbLog2)
         enc.decision(cx, CtxPart, bin = true) // PART_2Nx2N
       cu match {
-        case HPcm(pix) =>
+        case HPcm(pix, cbPix, crPix) =>
           enc.terminate(bin = true) // pcm_flag (flush inside)
           drain()
           bw.alignZero()
@@ -1810,15 +1923,26 @@ object Hevc {
             }
             y += 1
           }
-          var c = 0
-          while (c < 2 * (size >> 1) * (size >> 1)) { bw.putByte(128); c += 1 }
+          Seq(cbPix, crPix).foreach { cp =>
+            var cy = 0
+            while (cy < (size >> 1)) {
+              var cx0 = 0
+              while (cx0 < (size >> 1)) {
+                val v = cp(cx0, cy)
+                require(v >= 0 && v <= 255, s"pcm chroma out of range: $v")
+                bw.putByte(v)
+                cx0 += 1
+              }
+              cy += 1
+            }
+          }
           pic.cellsSet(x0, y0, size, depth, 1)
           enc = new H264Cabac.Enc
-        case intra @ (HIntra(_) | HIntraCoded(_, _) | HIntraSplit(_, _) |
-            HIntraSplit8(_, _)) =>
+        case intra @ (HIntra(_) | HIntraCoded(_, _, _, _) |
+            HIntraSplit(_, _) | HIntraSplit8(_, _)) =>
           val mode = intra match {
             case HIntra(m) => m
-            case HIntraCoded(m, _) => m
+            case c: HIntraCoded => c.mode
             case HIntraSplit(m, _) => m
             case HIntraSplit8(m, _) => m
             case _ => 0
@@ -1877,12 +2001,12 @@ object Hevc {
               enc.decision(cx, CtxCbfC, bin = false) // cbf_cr
               enc.decision(cx, CtxCbfLuma + 1, bin = false) // cbf_luma
               predictIntra(pic, x0, y0, size, mode)
-            case HIntraCoded(_, coeffs) =>
+            case HIntraCoded(_, coeffs, cbDc, crDc) =>
               if (splitPresent)
                 enc.decision(cx, CtxSplitTrafo + (5 - log2Size),
                   bin = false)
-              enc.decision(cx, CtxCbfC, bin = false)
-              enc.decision(cx, CtxCbfC, bin = false)
+              enc.decision(cx, CtxCbfC, cbDc != 0)
+              enc.decision(cx, CtxCbfC, crDc != 0)
               enc.decision(cx, CtxCbfLuma + 1, bin = true)
               predictIntra(pic, x0, y0, size, mode)
               val coef = new Array[Int](size * size)
@@ -1893,6 +2017,16 @@ object Hevc {
               putResidual(enc, cx, log2Size,
                 scanIdxOf(log2Size, 0, mode), coef)
               applyResidual(x0, y0, log2Size, coef)
+              // chroma TU residuals (round 16): DM mode, half size
+              val cl = log2Size - 1
+              Seq((cbDc, 1), (crDc, 2)).foreach { case (dc, comp) =>
+                if (dc != 0) {
+                  val coefC = new Array[Int]((1 << cl) * (1 << cl))
+                  coefC(0) = dc
+                  putResidual(enc, cx, cl,
+                    scanIdxOf(cl, comp, mode), coefC, comp)
+                }
+              }
             case HIntraSplit(_, dcs) =>
               require(dcs.length == 4, "HIntraSplit needs 4 DC levels")
               require(log2Size == 4 && sps.maxDepthIntra >= 1,

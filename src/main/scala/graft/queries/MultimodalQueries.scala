@@ -1108,34 +1108,53 @@ object MultimodalQueries {
             def q(k: Int): Int = ((id * 11 + 4 * k + 60) % 180).toInt + 20
             val c0 = (id % 9).toInt - 4
             val c = if (c0 == 0) 5 else c0
+            // round 16: chroma DCs ride the same coded CU — PCM CUs
+            // carry flat (q0, q1) chroma so the DM-DC prediction of
+            // CU3's chroma is closed-form like its luma
+            val cbc = (id % 7).toInt - 3
+            val crc = ((id / 2) % 7).toInt - 3
             val es = graft.ext.Hevc.encodeIFrame(1, 1, _ =>
               graft.ext.Hevc.Quad(Seq(
-                graft.ext.Hevc.HPcm((_, _) => q(0)),
-                graft.ext.Hevc.HPcm((_, _) => q(1)),
+                graft.ext.Hevc.HPcm((_, _) => q(0),
+                  (_, _) => q(0), (_, _) => q(1)),
+                graft.ext.Hevc.HPcm((_, _) => q(1),
+                  (_, _) => q(1), (_, _) => q(0)),
                 graft.ext.Hevc.HIntra(26),
-                graft.ext.Hevc.HIntraCoded(1, Seq((0, c))))))
-            val (w, h, luma) = graft.ext.Hevc.decodeIFrameLuma(es)
-              .getOrElse((0, 0, Array.empty[Int]))
-            var sum = 0.0
-            var sq = 0.0
-            luma.foreach { v => sum += v; sq += v.toDouble * v }
-            val n = math.max(1, luma.length)
-            val mean = sum / n
-            (id, w.toLong, h.toLong, mean,
-              math.sqrt(math.max(0.0, sq / n - mean * mean)))
+                graft.ext.Hevc.HIntraCoded(1, Seq((0, c)),
+                  cbDc = cbc, crDc = crc))))
+            val (w, h, luma, cbP, crP) = graft.ext.Hevc
+              .decodeFramesYuv(es, 1).headOption
+              .getOrElse((0, 0, Array.empty[Int], Array.empty[Int],
+                Array.empty[Int]))
+            def stats(p: Array[Int]): (Double, Double) = {
+              var sum = 0.0
+              var sq = 0.0
+              p.foreach { v => sum += v; sq += v.toDouble * v }
+              val n = math.max(1, p.length)
+              val mean = sum / n
+              (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
+            }
+            val (my, sy) = stats(luma)
+            val (mu, su) = stats(cbP)
+            val (mvv, sv) = stats(crP)
+            (id, w.toLong, h.toLong, my, sy, mu, su, mvv, sv)
           })
-          .toDF("id", "width", "height", "m", "sd")
+          .toDF("id", "width", "height", "m", "sd", "mu", "su", "mv", "sv")
           .select(col("id"), col("width"), col("height"),
-            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"))
+            round(col("m"), 6).as("mean_gray"), round(col("sd"), 6).as("std_gray"),
+            round(col("mu"), 6).as("mean_u"), round(col("su"), 6).as("std_u"),
+            round(col("mv"), 6).as("mean_v"), round(col("sv"), 6).as("std_v"))
           .orderBy("id")
       },
       Some("""WITH p AS (SELECT doc_id,
              |    (doc_id*11 + 60) % 180 + 20 AS q0,
              |    (doc_id*11 + 64) % 180 + 20 AS q1,
              |    CASE WHEN doc_id % 9 = 4 THEN 5
-             |         ELSE doc_id % 9 - 4 END AS c
+             |         ELSE doc_id % 9 - 4 END AS c,
+             |    (doc_id % 7) - 3 AS cbc,
+             |    ((doc_id // 2) % 7) - 3 AS crc
              |  FROM documents),
-             |d AS (SELECT doc_id, q0, q1, c,
+             |d AS (SELECT doc_id, q0, q1, c, cbc, crc,
              |    (q0 + q1 + 1) // 2 AS dc FROM p),
              |cells(doc_id, cnt, v) AS (
              |  SELECT doc_id, 64, q0 FROM d
@@ -1149,12 +1168,37 @@ object MultimodalQueries {
              |m AS (SELECT doc_id,
              |    CAST(sum(cnt*v) AS DOUBLE)/256 AS mean_g,
              |    CAST(sum(cnt*v*v) AS DOUBLE)/256 AS meansq_g
-             |  FROM cells GROUP BY doc_id)
-             |SELECT doc_id AS id, CAST(16 AS BIGINT) AS width,
+             |  FROM cells GROUP BY doc_id),
+             |ccells(doc_id, comp, cnt, v) AS (
+             |  -- chroma 8x8: PCM quadrants flat; CU2 (DM vertical)
+             |  -- copies CU0's bottom row; CU3 (DM DC) averages CU2's
+             |  -- right column and CU1's bottom row (no smoothing for
+             |  -- chroma) + the 4c dequant chain at QPc(28) = 28
+             |  SELECT doc_id, 'u', 16, q0 FROM d
+             |  UNION ALL SELECT doc_id, 'u', 16, q1 FROM d
+             |  UNION ALL SELECT doc_id, 'u', 16, q0 FROM d
+             |  UNION ALL SELECT doc_id, 'u', 16,
+             |    (4*q0 + 4*q1 + 4) // 8 + 4*cbc FROM d
+             |  UNION ALL SELECT doc_id, 'v', 16, q1 FROM d
+             |  UNION ALL SELECT doc_id, 'v', 16, q0 FROM d
+             |  UNION ALL SELECT doc_id, 'v', 16, q1 FROM d
+             |  UNION ALL SELECT doc_id, 'v', 16,
+             |    (4*q1 + 4*q0 + 4) // 8 + 4*crc FROM d),
+             |cm AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN comp = 'u' THEN cnt*v END) AS DOUBLE)/64 AS mean_u,
+             |    CAST(sum(CASE WHEN comp = 'u' THEN cnt*v*v END) AS DOUBLE)/64 AS msq_u,
+             |    CAST(sum(CASE WHEN comp = 'v' THEN cnt*v END) AS DOUBLE)/64 AS mean_v,
+             |    CAST(sum(CASE WHEN comp = 'v' THEN cnt*v*v END) AS DOUBLE)/64 AS msq_v
+             |  FROM ccells GROUP BY doc_id)
+             |SELECT m.doc_id AS id, CAST(16 AS BIGINT) AS width,
              |  CAST(16 AS BIGINT) AS height,
              |  round(mean_g, 6) AS mean_gray,
-             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
-             |FROM m ORDER BY id""".stripMargin)),
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray,
+             |  round(mean_u, 6) AS mean_u,
+             |  round(sqrt(msq_u - mean_u*mean_u), 6) AS std_u,
+             |  round(mean_v, 6) AS mean_v,
+             |  round(sqrt(msq_v - mean_v*mean_v), 6) AS std_v
+             |FROM m JOIN cm ON cm.doc_id = m.doc_id ORDER BY id""".stripMargin)),
 
     // H.264 CHROMA reconstruction under the oracle gate (round 14,
     // VERDICT r13 #3): a 2x1 picture — MB0 = I16Dc(z0, chroma DC +1

@@ -362,4 +362,74 @@ class HevcSpec extends AnyFunSuite {
       trials += 1
     }
   }
+
+  test("chroma reconstruction (round 16): PCM chroma round-trips; a " +
+      "chroma DC on a DM-DC CU adds exactly 4c per sample at qp 28") {
+    import graft.ext.Hevc._
+    // CTU = Quad(PCM, PCM, vertical, coded-DC): chroma plane 8x8.
+    // PCM CUs carry a flat 100/200 chroma; CU2 (DM = mode 26,
+    // vertical) predicts its chroma from CU0's bottom chroma row
+    // (= 100); CU3 (DM = DC) predicts from CU2's right column (100)
+    // and CU1's bottom row (200) -> DC = (4*100 + 4*200 + 4) >> 3 =
+    // 150 (no chroma boundary smoothing), plus the dequant chain
+    // 4*cb / 4*cr.
+    val es = encodeIFrame(1, 1, _ => Quad(Seq(
+      HPcm((_, _) => 90, (_, _) => 100, (_, _) => 100),
+      HPcm((_, _) => 90, (_, _) => 200, (_, _) => 200),
+      HIntra(26),
+      HIntraCoded(1, Seq((0, 2)), cbDc = 3, crDc = -5))))
+    val fs = Hevc.decodeFramesYuv(es, 2)
+    assert(fs.length == 1)
+    val (w, h, _, cb, cr) = fs.head
+    assert(w == 16 && h == 16)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      assert(cb(y * 8 + x) == 100, s"cb q0 ($x,$y): ${cb(y * 8 + x)}")
+      assert(cb(y * 8 + 4 + x) == 200, s"cb q1 ($x,$y)")
+      assert(cb((y + 4) * 8 + x) == 100, s"cb q2 ($x,$y): ${cb((y + 4) * 8 + x)}")
+      assert(cb((y + 4) * 8 + 4 + x) == 150 + 12,
+        s"cb q3 ($x,$y): ${cb((y + 4) * 8 + 4 + x)}")
+      assert(cr((y + 4) * 8 + 4 + x) == 150 - 20,
+        s"cr q3 ($x,$y): ${cr((y + 4) * 8 + 4 + x)}")
+    }
+  }
+
+  test("chroma DM angular: vertical mode copies the neighbor's bottom " +
+      "chroma row without the luma-only edge filter") {
+    import graft.ext.Hevc._
+    // CU0's chroma is a horizontal ramp; CU2 below it (mode 26) must
+    // copy cbPix(x, 3) down every row EXACTLY (the 8.4.4.2.6 edge
+    // filter is luma-only; left refs differ so a filtered first
+    // column would deviate)
+    val es = encodeIFrame(1, 1, _ => Quad(Seq(
+      HPcm((_, _) => 90, (x, y) => 60 + 10 * x + 2 * y, (_, _) => 128),
+      HPcm((_, _) => 90),
+      HIntra(26),
+      HIntra(1))))
+    val fs = Hevc.decodeFramesYuv(es, 2)
+    assert(fs.length == 1)
+    val cb = fs.head._4
+    for (y <- 4 until 8; x <- 0 until 4)
+      assert(cb(y * 8 + x) == 60 + 10 * x + 6,
+        s"($x,$y): ${cb(y * 8 + x)} != ${60 + 10 * x + 6}")
+  }
+
+  test("chroma QP table: qp 34 maps to QPc 33 (dequant 912c -> " +
+      "residual 7c-ish, hand-computed)") {
+    import graft.ext.Hevc._
+    // qp 34: luma ls = 64 << 5; chroma QPc = 33, ls(3) = 57:
+    // dq = 912c; DC-only 4x4 DCT: mid = (64*912c + 64) >> 7 = 456c,
+    // out = (64*456c + 2048) >> 12 -> c = 1: 7, c = -1: -7
+    val es = encodeIFrame(1, 1, _ => Quad(Seq(
+      HPcm((_, _) => 90), HPcm((_, _) => 90), HIntra(26),
+      HIntraCoded(1, Seq((0, 2)), cbDc = 1, crDc = -1))),
+      qp = 34)
+    val fs = Hevc.decodeFramesYuv(es, 2)
+    assert(fs.length == 1)
+    val (_, _, _, cb, cr) = fs.head
+    // CU3 chroma pred: DC of 128-neighbors = 128
+    for (y <- 4 until 8; x <- 4 until 8) {
+      assert(cb(y * 8 + x) == 128 + 7, s"cb ($x,$y): ${cb(y * 8 + x)}")
+      assert(cr(y * 8 + x) == 128 - 7, s"cr ($x,$y): ${cr(y * 8 + x)}")
+    }
+  }
 }
