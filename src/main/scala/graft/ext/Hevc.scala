@@ -360,7 +360,7 @@ object Hevc {
   private final case class HSps(
       width: Int, height: Int, ctbLog2: Int, minCbLog2: Int,
       maxTbLog2: Int, minTbLog2: Int, pcmEnabled: Boolean,
-      pcmMinLog2: Int, pcmMaxLog2: Int,
+      pcmMinLog2: Int, pcmMaxLog2: Int, pcmLfOff: Boolean = false,
       cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0,
       maxDepthIntra: Int = 0) {
     /** Conformance-window output size (7.4.3.2.1). */
@@ -368,7 +368,11 @@ object Hevc {
     def outH: Int = height - cropT - cropB
   }
 
-  private final case class HPps(id: Int, spsId: Int, initQp: Int)
+  private final case class HPps(id: Int, spsId: Int, initQp: Int,
+      /** round 16: in-loop deblocking (8.7.2) + its offsets; the
+        * across-slices flag decides a slice-header bit. */
+      deblockOn: Boolean = false, betaOff: Int = 0, tcOff: Int = 0,
+      acrossSlices: Boolean = true)
 
   private def parseSps(rbsp: Array[Byte]): HSps = {
     val br = new BitReader(rbsp)
@@ -416,13 +420,14 @@ object Hevc {
     var pcmEnabled = false
     var pcmMin = 3
     var pcmMax = 3
+    var pcmLfOff = false
     if (br.bit() == 1) { // pcm_enabled
       pcmEnabled = true
       if (br.bits(4) != 7) throw ParseFail // pcm luma depth-1: 8-bit
       if (br.bits(4) != 7) throw ParseFail
       pcmMin = br.ue() + 3
       pcmMax = pcmMin + br.ue()
-      br.bit() // pcm_loop_filter_disabled
+      pcmLfOff = br.bit() == 1 // pcm_loop_filter_disabled (round 16)
       if (pcmMax > ctbLog2) throw ParseFail
     }
     if (br.ue() != 0) throw ParseFail // num_short_term_ref_pic_sets
@@ -432,7 +437,7 @@ object Hevc {
     // 32x32 bilinear path is out of the starter subset)
     // vui/extensions ignored
     HSps(width, height, ctbLog2, minCbLog2, maxTbLog2, minTbLog2,
-      pcmEnabled, pcmMin, pcmMax, cropL, cropR, cropT, cropB,
+      pcmEnabled, pcmMin, pcmMax, pcmLfOff, cropL, cropR, cropT, cropB,
       maxDepthIntra)
   }
 
@@ -451,23 +456,35 @@ object Hevc {
     if (br.bit() == 1) throw ParseFail // constrained_intra_pred
     if (br.bit() == 1) throw ParseFail // transform_skip
     if (br.bit() == 1) throw ParseFail // cu_qp_delta_enabled
-    br.se(); br.se() // pps cb/cr qp offsets (chroma not reconstructed)
+    // round 16: chroma reconstructs — nonzero QP offsets are outside
+    // the decoded subset (degrade, never mis-dequant)
+    if (br.se() != 0 || br.se() != 0) throw ParseFail // cb/cr qp offsets
     if (br.bit() == 1) throw ParseFail // slice_chroma_qp_offsets
     br.bit(); br.bit() // weighted pred flags (I-only: unused)
     if (br.bit() == 1) throw ParseFail // transquant_bypass
     if (br.bit() == 1) throw ParseFail // tiles_enabled
     if (br.bit() == 1) throw ParseFail // entropy_coding_sync (WPP)
-    br.bit() // loop_filter_across_slices
+    val across = br.bit() == 1 // loop_filter_across_slices
+    // round 16: the deblocking filter DECODES (8.7.2) — PPS-level
+    // control only (slice override still degrades)
+    var deblockOn = true
+    var betaOff = 0
+    var tcOff = 0
     if (br.bit() == 1) { // deblocking_filter_control_present
       if (br.bit() == 1) throw ParseFail // override_enabled
-      if (br.bit() != 1) throw ParseFail // pps_deblocking MUST be
-      // disabled: the HEVC loop filter is outside the starter subset
-    } else throw ParseFail // absent control => deblocking ON: degrade
+      if (br.bit() == 1) deblockOn = false // pps_deblocking_disabled
+      else {
+        betaOff = br.se() << 1
+        tcOff = br.se() << 1
+        if (betaOff < -12 || betaOff > 12 ||
+          tcOff < -12 || tcOff > 12) throw ParseFail
+      }
+    }
     if (br.bit() == 1) throw ParseFail // pps_scaling_list
     br.bit() // lists_modification (I-only: unused)
     br.ue() // log2_parallel_merge_level_minus2
     if (br.bit() == 1) throw ParseFail // slice_header_extension
-    HPps(id, spsId, initQp)
+    HPps(id, spsId, initQp, deblockOn, betaOff, tcOff, across)
   }
 
   /** Per-picture decode state: luma plane + per-4x4-cell decoded /
@@ -489,6 +506,23 @@ object Hevc {
     val gh: Int = planeH >> 2
     val decoded = new Array[Boolean](gw * gh)
     val depth = new Array[Int](gw * gh)
+    /** round 16 (deblocking): a TU/CU boundary runs along the LEFT /
+      * TOP side of this 4x4 cell AND sits on the 8-sample deblock
+      * grid. Marked at every TU leaf and PCM CU. */
+    val vE = new Array[Boolean](gw * gh)
+    val hE = new Array[Boolean](gw * gh)
+    /** a PCM CU decoded (the pcm_loop_filter_disabled fence). */
+    var hasPcm = false
+    def markEdges(x0: Int, y0: Int, nT: Int): Unit = {
+      if (x0 > 0 && (x0 & 7) == 0) {
+        var y = y0 >> 2
+        while (y < ((y0 + nT) >> 2)) { vE(y * gw + (x0 >> 2)) = true; y += 1 }
+      }
+      if (y0 > 0 && (y0 & 7) == 0) {
+        var x = x0 >> 2
+        while (x < ((x0 + nT) >> 2)) { hE((y0 >> 2) * gw + x) = true; x += 1 }
+      }
+    }
     val mode = Array.fill(gw * gh)(-1) // intra mode; -1 undecoded;
     // PCM cells carry DC (1) per the 8.4.2 neighbor rule
     def cellsSet(x0: Int, y0: Int, size: Int, d: Int, m: Int): Unit = {
@@ -1243,6 +1277,7 @@ object Hevc {
     // intra-predict THIS TU now: split trees predict each TU from
     // already-reconstructed neighbors (8.4.4.2.1)
     predictIntra(pic, x0, y0, nT, mode)
+    pic.markEdges(x0, y0, nT) // deblock edge map (round 16)
     pic.cellsSet(x0, y0, nT, -1, mode) // availability for later TUs;
     // depth is rewritten at the CU level afterwards
     if (cbfLuma) {
@@ -1467,6 +1502,8 @@ object Hevc {
         }
         cy += 1
       }
+      pic.markEdges(x0, y0, size) // deblock edge map (round 16)
+      pic.hasPcm = true
       pic.cellsSet(x0, y0, size, depth, 1) // PCM neighbors read as DC
       return dec.reinit((byteStart + lumaBytes + chromaBytes) * 8)
     }
@@ -1544,6 +1581,173 @@ object Hevc {
     }
   }
 
+  // ------------------------------------------------- deblocking (8.7.2)
+
+  /** Table 8-12 beta' (Q 0-51). */
+  private val BetaT: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+    26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+    58, 60, 62, 64)
+
+  /** Table 8-12 tc' (Q 0-53). */
+  private val TcT: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+    4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24)
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+  private def clip255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** In-loop deblocking over one decoded INTRA picture (8.7.2):
+    * every marked TU/CU boundary on the 8-sample grid carries bS 2
+    * (both sides intra), so beta/tc are picture constants (constant
+    * slice QP, cu_qp_delta outside the subset). All vertical edges
+    * filter first, then all horizontal edges over the vertically
+    * filtered samples; chroma edges live on the 16-luma-sample grid
+    * and run the p0/q0-only 8.7.2.5.5 filter at QPc. */
+  private def deblockPicture(pic: Pic, qp: Int, betaOff: Int,
+      tcOff: Int): Unit = {
+    val sps = pic.sps
+    val beta = BetaT(clip3(0, 51, qp + betaOff))
+    val tc = TcT(clip3(0, 53, qp + 2 + tcOff)) // bS = 2
+    val qcQ = clip3(0, 53, qpC(qp) + 2 + tcOff)
+    val tcC = TcT(qcQ)
+    val stride = pic.stride
+    val luma = pic.luma
+    def filterLumaSeg(pos0: Int, step: Int, line: Int): Unit = {
+      // pos0 = q0 of segment line 0; p side at pos - step
+      def p(i: Int, l: Int) = luma(pos0 + l * line - (i + 1) * step)
+      def q(i: Int, l: Int) = luma(pos0 + l * line + i * step)
+      def set(off: Int, l: Int, v: Int): Unit =
+        luma(pos0 + l * line + off * step) = v
+      val dp0 = math.abs(p(2, 0) - 2 * p(1, 0) + p(0, 0))
+      val dp3 = math.abs(p(2, 3) - 2 * p(1, 3) + p(0, 3))
+      val dq0 = math.abs(q(2, 0) - 2 * q(1, 0) + q(0, 0))
+      val dq3 = math.abs(q(2, 3) - 2 * q(1, 3) + q(0, 3))
+      if (dp0 + dp3 + dq0 + dq3 >= beta) return
+      def strongLine(l: Int): Boolean =
+        2 * ((if (l == 0) dp0 + dq0 else dp3 + dq3)) < (beta >> 2) &&
+          math.abs(p(3, l) - p(0, l)) + math.abs(q(0, l) - q(3, l)) <
+            (beta >> 3) &&
+          math.abs(p(0, l) - q(0, l)) < ((5 * tc + 1) >> 1)
+      if (strongLine(0) && strongLine(3)) {
+        var l = 0
+        while (l < 4) {
+          val (p3, p2, p1, p0) = (p(3, l), p(2, l), p(1, l), p(0, l))
+          val (q0, q1, q2, q3) = (q(0, l), q(1, l), q(2, l), q(3, l))
+          set(-1, l, clip3(p0 - 2 * tc, p0 + 2 * tc,
+            (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3))
+          set(-2, l, clip3(p1 - 2 * tc, p1 + 2 * tc,
+            (p2 + p1 + p0 + q0 + 2) >> 2))
+          set(-3, l, clip3(p2 - 2 * tc, p2 + 2 * tc,
+            (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3))
+          set(0, l, clip3(q0 - 2 * tc, q0 + 2 * tc,
+            (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3))
+          set(1, l, clip3(q1 - 2 * tc, q1 + 2 * tc,
+            (q2 + q1 + q0 + p0 + 2) >> 2))
+          set(2, l, clip3(q2 - 2 * tc, q2 + 2 * tc,
+            (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3))
+          l += 1
+        }
+      } else {
+        val dEp1 = dp0 + dp3 < ((beta + (beta >> 1)) >> 3)
+        val dEq1 = dq0 + dq3 < ((beta + (beta >> 1)) >> 3)
+        var l = 0
+        while (l < 4) {
+          val (p2, p1, p0) = (p(2, l), p(1, l), p(0, l))
+          val (q0, q1, q2) = (q(0, l), q(1, l), q(2, l))
+          var d = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+          if (math.abs(d) < tc * 10) {
+            d = clip3(-tc, tc, d)
+            set(-1, l, clip255(p0 + d))
+            set(0, l, clip255(q0 - d))
+            if (dEp1) {
+              val dp = clip3(-(tc >> 1), tc >> 1,
+                (((p2 + p0 + 1) >> 1) - p1 + d) >> 1)
+              set(-2, l, clip255(p1 + dp))
+            }
+            if (dEq1) {
+              val dq = clip3(-(tc >> 1), tc >> 1,
+                (((q2 + q0 + 1) >> 1) - q1 - d) >> 1)
+              set(1, l, clip255(q1 + dq))
+            }
+          }
+          l += 1
+        }
+      }
+    }
+    def filterChromaSeg(plane: Array[Int], pos0: Int, step: Int,
+        line: Int, lines: Int): Unit = {
+      if (tcC == 0) return
+      var l = 0
+      while (l < lines) {
+        val p1 = plane(pos0 + l * line - 2 * step)
+        val p0 = plane(pos0 + l * line - step)
+        val q0 = plane(pos0 + l * line)
+        val q1 = plane(pos0 + l * line + step)
+        val d = clip3(-tcC, tcC,
+          ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+        plane(pos0 + l * line - step) = clip255(p0 + d)
+        plane(pos0 + l * line) = clip255(q0 - d)
+        l += 1
+      }
+    }
+    if (beta == 0) return
+    val gw = pic.gw
+    // vertical luma edges (whole picture), then horizontal
+    var vert = 0
+    while (vert < 2) {
+      var y4 = 0
+      while (y4 < (sps.height >> 2)) {
+        var x4 = 0
+        while (x4 < (sps.width >> 2)) {
+          val marked = if (vert == 0) pic.vE(y4 * gw + x4)
+            else pic.hE(y4 * gw + x4)
+          if (marked) {
+            val pos0 =
+              if (vert == 0) (y4 * 4) * stride + x4 * 4
+              else (y4 * 4) * stride + x4 * 4
+            filterLumaSeg(pos0,
+              if (vert == 0) 1 else stride,
+              if (vert == 0) stride else 1)
+          }
+          x4 += 1
+        }
+        y4 += 1
+      }
+      vert += 1
+    }
+    // chroma edges on the 16-luma grid: cell (x4, y4) marked AND the
+    // edge coordinate is a multiple of 16; two chroma lines per cell
+    vert = 0
+    while (vert < 2) {
+      var y4 = 0
+      while (y4 < (sps.height >> 2)) {
+        var x4 = 0
+        while (x4 < (sps.width >> 2)) {
+          val marked = if (vert == 0) pic.vE(y4 * gw + x4) && (x4 & 3) == 0
+            else pic.hE(y4 * gw + x4) && (y4 & 3) == 0
+          if (marked) {
+            val cx = x4 * 2
+            val cy = y4 * 2
+            val pos0 = cy * pic.strideC + cx
+            Seq(pic.cb, pic.cr).foreach { plane =>
+              filterChromaSeg(plane, pos0,
+                if (vert == 0) 1 else pic.strideC,
+                if (vert == 0) pic.strideC else 1, 2)
+            }
+          }
+          x4 += 1
+        }
+        y4 += 1
+      }
+      vert += 1
+    }
+  }
+
   private def decodeIdrSlice(rbsp: Array[Byte], sps: HSps,
       pps: HPps): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
     try {
@@ -1554,8 +1758,11 @@ object Hevc {
       if (br.ue() != 2) return None // slice_type: I only
       val qp = pps.initQp + br.se()
       if (qp < 0 || qp > 51) return None
-      // deblocking disabled at the PPS; no sao, no tiles/wpp -> the
-      // header ends here. byte_alignment: a one bit then zeros.
+      // round 16: with PPS deblocking on and loop_filter_across
+      // enabled the header carries one more flag (7.3.6.1; value
+      // irrelevant in a single-slice picture). No sao/tiles/wpp ->
+      // then byte_alignment: a one bit then zeros.
+      if (pps.acrossSlices && pps.deblockOn) br.bit()
       if (br.bit() != 1) return None // alignment_bit_equal_to_one
       while ((br.pos & 7) != 0) if (br.bit() != 0) return None
       val pic = new Pic(sps)
@@ -1576,6 +1783,13 @@ object Hevc {
       }
       if (ctu < nCtbs) return None // slice ended early: partial picture
       if (dec.overrun > 0) return None // phantom-bit guard
+      // round 16: the in-loop deblocking filter (8.7.2). PCM CUs
+      // under pcm_loop_filter_disabled would need per-CU sample
+      // exemption — outside the subset, degrade.
+      if (pps.deblockOn) {
+        if (sps.pcmLfOff && pic.hasPcm) return None
+        deblockPicture(pic, qp, pps.betaOff, pps.tcOff)
+      }
       // crop the coded plane to the conformance window (CTB padding
       // AND the SPS conf_win offsets, ADVICE r14)
       val ow = sps.outW
@@ -1728,7 +1942,7 @@ object Hevc {
     bw.put(7, 4); bw.put(7, 4) // pcm bit depths (8)
     bw.putUe(0) // log2_min_pcm_cb_minus3 -> 8
     bw.putUe(1) // log2_diff -> max pcm 16
-    bw.put(1, 1) // pcm_loop_filter_disabled
+    bw.put(0, 1) // pcm_loop_filter_disabled: PCM deblocks normally
     bw.putUe(0) // num_short_term_ref_pic_sets
     bw.put(0, 1) // long_term_ref_pics
     bw.put(0, 1) // temporal_mvp
@@ -1740,7 +1954,7 @@ object Hevc {
   }
 
   /** PPS NAL: everything off, deblocking disabled. */
-  def ppsNal(qp: Int): Array[Byte] = {
+  def ppsNal(qp: Int, deblock: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.putUe(0) // pps id
     bw.putUe(0) // sps id
@@ -1760,10 +1974,13 @@ object Hevc {
     bw.put(0, 1) // transquant_bypass
     bw.put(0, 1) // tiles
     bw.put(0, 1) // entropy_coding_sync
-    bw.put(1, 1) // loop_filter_across_slices
+    // across-slices stays 0 when the filter runs so the slice header
+    // shape is unchanged (7.3.6.1's extra flag is gated on it)
+    bw.put(if (deblock) 0 else 1, 1) // loop_filter_across_slices
     bw.put(1, 1) // deblocking_filter_control_present
     bw.put(0, 1) // override_enabled
-    bw.put(1, 1) // pps_deblocking_filter_disabled
+    bw.put(if (deblock) 0 else 1, 1) // pps_deblocking_filter_disabled
+    if (deblock) { bw.putSe(0); bw.putSe(0) } // beta/tc offsets
     bw.put(0, 1) // pps_scaling_list
     bw.put(0, 1) // lists_modification
     bw.putUe(0) // log2_parallel_merge_level_minus2
@@ -2116,9 +2333,10 @@ object Hevc {
 
   /** Annex-B HEVC I-frame: SPS + PPS + IDR over 16-px CTUs. */
   def encodeIFrame(ctbW: Int, ctbH: Int, ctu: Int => Ctu,
-      qp: Int = 28, depthIntra: Int = 0): Array[Byte] = {
+      qp: Int = 28, depthIntra: Int = 0,
+      deblock: Boolean = false): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
     sep ++ spsNal(ctbW * 16, ctbH * 16, depthIntra) ++ sep ++
-      ppsNal(qp) ++ sep ++ idrNal(ctbW, ctbH, ctu, qp, depthIntra)
+      ppsNal(qp, deblock) ++ sep ++ idrNal(ctbW, ctbH, ctu, qp, depthIntra)
   }
 }

@@ -1200,6 +1200,103 @@ object MultimodalQueries {
              |  round(sqrt(msq_v - mean_v*mean_v), 6) AS std_v
              |FROM m JOIN cm ON cm.doc_id = m.doc_id ORDER BY id""".stripMargin)),
 
+    // HEVC in-loop DEBLOCKING under the oracle gate (round 16,
+    // VERDICT r15 #4): a 32x16 two-CTU picture with a flat step of
+    // d = 1..5 across the CU edge, decoded twice — filter on and the
+    // no-filter control. At qp 28 (beta 18, tc 2) d <= 4 takes the
+    // STRONG branch (3 samples a side, hand formulas), d = 5 the
+    // WEAK branch (delta clip 2, dEp1/dEq1 side taps); chroma rides
+    // the 16-grid edge with the p0/q0-only filter. DuckDB replays
+    // every branch in closed form over the per-column value counts.
+    Q("multimodal_hevc_deblock",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val a = ((id * 7) % 160).toInt + 40
+            val d = (id % 5).toInt + 1
+            val b = a + d
+            def mk(deblock: Boolean) = graft.ext.Hevc.encodeIFrame(2, 1, {
+              case 0 => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
+                (_, _) => a, (_, _) => a, (_, _) => a))
+              case _ => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
+                (_, _) => b, (_, _) => b, (_, _) => b))
+            }, deblock = deblock)
+            Seq(("off", false), ("on", true)).map { case (vn, db) =>
+              val (w, h, luma, cbP, crP) =
+                graft.ext.Hevc.decodeFramesYuv(mk(db), 1).head
+              def stats(p: Array[Int]): (Double, Double) = {
+                var sum = 0.0; var sq = 0.0
+                p.foreach { v => sum += v; sq += v.toDouble * v }
+                val n = math.max(1, p.length)
+                val mean = sum / n
+                (mean, math.sqrt(math.max(0.0, sq / n - mean * mean)))
+              }
+              val (my, sy) = stats(luma)
+              val (mu, _) = stats(cbP)
+              val (mvv, _) = stats(crP)
+              (id, vn, w.toLong, h.toLong, my, sy, mu, mvv)
+            }
+          })
+          .toDF("id", "filter", "width", "height", "m", "sd", "mu", "mv")
+          .select(col("id"), col("filter"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"),
+            round(col("sd"), 6).as("std_gray"),
+            round(col("mu"), 6).as("mean_u"),
+            round(col("mv"), 6).as("mean_v"))
+          .orderBy("id", "filter")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (doc_id*7) % 160 + 40 AS a,
+             |    (doc_id % 5) + 1 AS d
+             |  FROM documents),
+             |-- per-row luma column values after the filter: 13x a,
+             |-- then (p2', p1', p0', q0', q1', q2'), then 13x b
+             |f AS (SELECT doc_id, a, d, a + d AS b,
+             |    CASE WHEN d <= 4 THEN (7*a + (a+d) + 4) // 8 ELSE a END AS p2f,
+             |    CASE WHEN d <= 4 THEN (3*a + (a+d) + 2) // 4
+             |         ELSE a + 1 END AS p1f,
+             |    CASE WHEN d <= 4 THEN (5*a + 3*(a+d) + 4) // 8
+             |         ELSE a + 2 END AS p0f,
+             |    CASE WHEN d <= 4 THEN (5*(a+d) + 3*a + 4) // 8
+             |         ELSE a + d - 2 END AS q0f,
+             |    CASE WHEN d <= 4 THEN (3*(a+d) + a + 2) // 4
+             |         ELSE a + d - 1 END AS q1f,
+             |    CASE WHEN d <= 4 THEN (7*(a+d) + a + 4) // 8
+             |         ELSE a + d END AS q2f,
+             |    -- chroma: delta = clip2(((d<<2) + 4) // 8)
+             |    least(2, (4*d + 4) // 8) AS dc
+             |  FROM p),
+             |cells(doc_id, filter, cnt, v) AS (
+             |  SELECT doc_id, 'off', 16, a FROM f
+             |  UNION ALL SELECT doc_id, 'off', 16, b FROM f
+             |  UNION ALL SELECT doc_id, 'on', 13, a FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, p2f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, p1f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, p0f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, q0f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, q1f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 1, q2f FROM f
+             |  UNION ALL SELECT doc_id, 'on', 13, b FROM f),
+             |m AS (SELECT doc_id, filter,
+             |    CAST(sum(cnt*v) AS DOUBLE)/32 AS mean_g,
+             |    CAST(sum(cnt*v*v) AS DOUBLE)/32 AS meansq_g
+             |  FROM cells GROUP BY doc_id, filter),
+             |cm AS (SELECT doc_id, 'off' AS filter,
+             |    (a + 0.0 + a + d)/2 AS mean_c FROM f
+             |  UNION ALL SELECT doc_id, 'on',
+             |    CAST(7*a + (a + dc) + ((a+d) - dc) + 7*(a+d)
+             |      AS DOUBLE)/16 FROM f)
+             |SELECT m.doc_id AS id, m.filter AS filter,
+             |  CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray,
+             |  round(mean_c, 6) AS mean_u, round(mean_c, 6) AS mean_v
+             |FROM m JOIN cm ON cm.doc_id = m.doc_id
+             |  AND cm.filter = m.filter
+             |ORDER BY id, m.filter""".stripMargin)),
+
     // H.264 CHROMA reconstruction under the oracle gate (round 14,
     // VERDICT r13 #3): a 2x1 picture — MB0 = I16Dc(z0, chroma DC +1
     // at tz): at QPc 28 the lone 2x2 DC coefficient adds exactly ±2

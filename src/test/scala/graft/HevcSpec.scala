@@ -432,4 +432,84 @@ class HevcSpec extends AnyFunSuite {
       assert(cr(y * 8 + x) == 128 - 7, s"cr ($x,$y): ${cr(y * 8 + x)}")
     }
   }
+
+  test("deblocking weak filter (8.7.2.5.4): a 12-step CU edge at qp 28 " +
+      "smooths to the hand formula; the no-filter control keeps it sharp") {
+    import graft.ext.Hevc._
+    def mk(deblock: Boolean) = encodeIFrame(2, 1, {
+      case 0 => Leaf(HPcm((_, _) => 60, (_, _) => 100, (_, _) => 100))
+      case _ => Leaf(HPcm((_, _) => 72, (_, _) => 140, (_, _) => 140))
+    }, deblock = deblock)
+    val off = Hevc.decodeFramesYuv(mk(false), 1).head
+    for (y <- 0 until 16) {
+      assert(off._3(y * 32 + 15) == 60 && off._3(y * 32 + 16) == 72)
+      if (y < 8) assert(off._4(y * 16 + 7) == 100 && off._4(y * 16 + 8) == 140)
+    }
+    val on = Hevc.decodeFramesYuv(mk(true), 1).head
+    // beta(28) = 18, tc(30) = 2; |p0-q0| = 12 >= (5tc+1)>>1 = 5 -> weak:
+    // delta = (9*12 - 3*12 + 8) >> 4 = 5 -> clip 2; dEp1/dEq1 on ->
+    // p1 += 1, q1 -= 1
+    val wantRow = Array.fill(32)(60)
+    for (x <- 16 until 32) wantRow(x) = 72
+    wantRow(14) = 61; wantRow(15) = 62; wantRow(16) = 70; wantRow(17) = 71
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(on._3(y * 32 + x) == wantRow(x),
+        s"($x,$y): ${on._3(y * 32 + x)} != ${wantRow(x)}")
+    // chroma (16-grid edge): tcC = 2; delta = ((40<<2) + 100 - 140 + 4)
+    // >> 3 = 15 -> clip 2
+    for (y <- 0 until 8) {
+      assert(on._4(y * 16 + 7) == 102, s"cb p0 row $y: ${on._4(y * 16 + 7)}")
+      assert(on._4(y * 16 + 8) == 138, s"cb q0 row $y")
+      assert(on._4(y * 16 + 6) == 100 && on._4(y * 16 + 9) == 140)
+    }
+  }
+
+  test("deblocking strong filter: a 4-step edge passes the strong " +
+      "checks and runs the 3-tap chain on three samples per side") {
+    import graft.ext.Hevc._
+    val es = encodeIFrame(2, 1, {
+      case 0 => Leaf(HPcm((_, _) => 60))
+      case _ => Leaf(HPcm((_, _) => 64))
+    }, deblock = true)
+    val luma = Hevc.decodeFramesYuv(es, 1).head._3
+    // |p0-q0| = 4 < 5, flatness zero -> strong:
+    // p2' = (7*60 + 64 + 4) >> 3 = 61, p1' = (3*60 + 64 + 2) >> 2 = 61,
+    // p0' = (5*60 + 3*64 + 4) >> 3 = 62, q0' = 63, q1' = 63, q2' = 64
+    val want = Array.fill(32)(60)
+    for (x <- 16 until 32) want(x) = 64
+    want(13) = 61; want(14) = 61; want(15) = 62
+    want(16) = 63; want(17) = 63; want(18) = 64
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(luma(y * 32 + x) == want(x),
+        s"($x,$y): ${luma(y * 32 + x)} != ${want(x)}")
+  }
+
+  test("deblocking horizontal edges run after vertical, on a 1x2 stack") {
+    import graft.ext.Hevc._
+    val es = encodeIFrame(1, 2, {
+      case 0 => Leaf(HPcm((_, _) => 60))
+      case _ => Leaf(HPcm((_, _) => 72))
+    }, deblock = true)
+    val luma = Hevc.decodeFramesYuv(es, 1).head._3
+    val wantCol = Array.fill(32)(60)
+    for (y <- 16 until 32) wantCol(y) = 72
+    wantCol(14) = 61; wantCol(15) = 62; wantCol(16) = 70; wantCol(17) = 71
+    for (y <- 0 until 32; x <- 0 until 16)
+      assert(luma(y * 16 + x) == wantCol(y),
+        s"($x,$y): ${luma(y * 16 + x)} != ${wantCol(y)}")
+  }
+
+  test("deblocking is an identity on flat content and leaves " +
+      "sub-threshold interior TU edges intact (d < beta gate)") {
+    import graft.ext.Hevc._
+    val flatOff = Hevc.decodeFramesYuv(encodeIFrame(1, 1,
+      _ => Quad(Seq(HPcm((_, _) => 90), HPcm((_, _) => 90),
+        HIntra(26), HIntra(1)))), 1).head
+    val flatOn = Hevc.decodeFramesYuv(encodeIFrame(1, 1,
+      _ => Quad(Seq(HPcm((_, _) => 90), HPcm((_, _) => 90),
+        HIntra(26), HIntra(1))), deblock = true), 1).head
+    assert(flatOn._3.sameElements(flatOff._3))
+    assert(flatOn._4.sameElements(flatOff._4))
+    assert(flatOn._5.sameElements(flatOff._5))
+  }
 }
