@@ -64,6 +64,10 @@ object Hevc {
   private val CtxSplitTrafo = 6 // split_transform_flag: 153, 138, 138
   private val CtxCbfLuma = 9 // cbf_luma: 111, 141
   private val CtxCbfC = 11 // cbf_cb / cbf_cr: 94, 138, 182, 154
+  // round 16 (SAO): appended at the pool's end so earlier indices
+  // stay put
+  private val CtxSaoMerge = 127 // sao_merge_left/up: 153
+  private val CtxSaoType = 128 // sao_type_idx bin 0: 200
   // ---- residual-coding contexts (round 15, Tables 9-x initType 0):
   // one 18-value row initializes BOTH last-x and last-y pools (the
   // spec repeats it), 15 luma + 3 chroma each
@@ -89,8 +93,9 @@ object Hevc {
     Array( // coeff_abs_level_greater1 (16 luma + 8 chroma)
       140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92,
       139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197) ++
-    Array(138, 153, 136, 167, 152, 152) // greater2 (4 luma + 2 chroma)
-  assert(InitVals.length == 127, s"HEVC ctx pool: ${InitVals.length}")
+    Array(138, 153, 136, 167, 152, 152) ++ // greater2 (4 luma + 2 chroma)
+    Array(153, 200) // sao_merge, sao_type_idx (round 16)
+  assert(InitVals.length == 129, s"HEVC ctx pool: ${InitVals.length}")
   private val InitPairs: Array[Int] = InitVals.flatMap { iv =>
     Array((iv >> 4) * 5 - 45, ((iv & 15) << 3) - 16)
   }
@@ -361,6 +366,7 @@ object Hevc {
       width: Int, height: Int, ctbLog2: Int, minCbLog2: Int,
       maxTbLog2: Int, minTbLog2: Int, pcmEnabled: Boolean,
       pcmMinLog2: Int, pcmMaxLog2: Int, pcmLfOff: Boolean = false,
+      saoOn: Boolean = false,
       cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0,
       maxDepthIntra: Int = 0) {
     /** Conformance-window output size (7.4.3.2.1). */
@@ -416,7 +422,7 @@ object Hevc {
     if (maxDepthIntra > 4) throw ParseFail
     if (br.bit() == 1) throw ParseFail // scaling_list_enabled
     br.bit() // amp_enabled (irrelevant: intra only)
-    if (br.bit() == 1) throw ParseFail // sample_adaptive_offset
+    val saoOn = br.bit() == 1 // sample_adaptive_offset (round 16)
     var pcmEnabled = false
     var pcmMin = 3
     var pcmMax = 3
@@ -437,7 +443,8 @@ object Hevc {
     // 32x32 bilinear path is out of the starter subset)
     // vui/extensions ignored
     HSps(width, height, ctbLog2, minCbLog2, maxTbLog2, minTbLog2,
-      pcmEnabled, pcmMin, pcmMax, pcmLfOff, cropL, cropR, cropT, cropB,
+      pcmEnabled, pcmMin, pcmMax, pcmLfOff, saoOn,
+      cropL, cropR, cropT, cropB,
       maxDepthIntra)
   }
 
@@ -513,6 +520,12 @@ object Hevc {
     val hE = new Array[Boolean](gw * gh)
     /** a PCM CU decoded (the pcm_loop_filter_disabled fence). */
     var hasPcm = false
+    /** round 16 (SAO): per-CTB per-component params — type (0 off,
+      * 1 band, 2 edge), four SIGNED offsets, band position / EO
+      * class. Indexed [ctb][cIdx]. */
+    var saoType: Array[Array[Int]] = null
+    var saoOff: Array[Array[Array[Int]]] = null
+    var saoArg: Array[Array[Int]] = null // bandPos or eoClass
     def markEdges(x0: Int, y0: Int, nT: Int): Unit = {
       if (x0 > 0 && (x0 & 7) == 0) {
         var y = y0 >> 2
@@ -1748,6 +1761,160 @@ object Hevc {
     }
   }
 
+  // ------------------------------------------------------- SAO (8.7.3)
+
+  /** Parse one CTB's sao() (7.3.8.3) into pic.sao*. `saoL`/`saoC`
+    * are the slice-header component switches. Returns false on a
+    * malformed payload. */
+  private def parseSao(pic: Pic, dec: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      ctu: Int, saoL: Boolean, saoC: Boolean): Boolean = {
+    val ctbW = pic.ctbW
+    val rx = ctu % ctbW
+    val ry = ctu / ctbW
+    def copyFrom(src: Int): Unit = {
+      var c = 0
+      while (c < 3) {
+        pic.saoType(ctu)(c) = pic.saoType(src)(c)
+        pic.saoArg(ctu)(c) = pic.saoArg(src)(c)
+        System.arraycopy(pic.saoOff(src)(c), 0, pic.saoOff(ctu)(c), 0, 4)
+        c += 1
+      }
+    }
+    if (rx > 0 && dec.decision(cx, CtxSaoMerge)) {
+      copyFrom(ctu - 1); return true
+    }
+    if (ry > 0 && dec.decision(cx, CtxSaoMerge)) {
+      copyFrom(ctu - ctbW); return true
+    }
+    var c = 0
+    while (c < 3) {
+      val on = if (c == 0) saoL else saoC
+      if (!on) { pic.saoType(ctu)(c) = 0 }
+      else if (c == 2) {
+        // Cr inherits Cb's type and EO class; offsets are its own
+        pic.saoType(ctu)(2) = pic.saoType(ctu)(1)
+        pic.saoArg(ctu)(2) = pic.saoArg(ctu)(1)
+      } else {
+        // sao_type_idx: one context bin then a bypass bin (TR cMax 2)
+        val t =
+          if (!dec.decision(cx, CtxSaoType)) 0
+          else if (dec.bypass()) 2
+          else 1
+        pic.saoType(ctu)(c) = t
+      }
+      val t = pic.saoType(ctu)(c)
+      if (on && t != 0) {
+        val abs = new Array[Int](4)
+        var i = 0
+        while (i < 4) { // sao_offset_abs: TR bypass, cMax 7 (8-bit)
+          var v = 0
+          while (v < 7 && dec.bypass()) v += 1
+          abs(i) = v
+          i += 1
+        }
+        if (t == 1) { // band: signs + position
+          i = 0
+          while (i < 4) {
+            pic.saoOff(ctu)(c)(i) =
+              if (abs(i) != 0 && dec.bypass()) -abs(i) else abs(i)
+            i += 1
+          }
+          var bp = 0
+          i = 0
+          while (i < 5) { bp = (bp << 1) | (if (dec.bypass()) 1 else 0); i += 1 }
+          pic.saoArg(ctu)(c) = bp
+        } else { // edge: first two positive, last two negative
+          pic.saoOff(ctu)(c)(0) = abs(0)
+          pic.saoOff(ctu)(c)(1) = abs(1)
+          pic.saoOff(ctu)(c)(2) = -abs(2)
+          pic.saoOff(ctu)(c)(3) = -abs(3)
+          if (c < 2) { // sao_eo_class: 2 bypass bits (Cr inherits)
+            val cls = ((if (dec.bypass()) 1 else 0) << 1) |
+              (if (dec.bypass()) 1 else 0)
+            pic.saoArg(ctu)(c) = cls
+          }
+        }
+      }
+      c += 1
+    }
+    true
+  }
+
+  /** Apply SAO (8.7.3.1) over the deblocked picture: band offsets by
+    * 5-bit band index window; edge offsets by the 2-neighbor sign
+    * pattern along the EO class, reading PRE-SAO samples (a plane
+    * copy) and skipping samples whose neighbor leaves the picture. */
+  private def applySao(pic: Pic): Unit = {
+    val sps = pic.sps
+    val planes = Seq(
+      (0, pic.luma, pic.stride, sps.width, sps.height),
+      (1, pic.cb, pic.strideC, sps.width >> 1, sps.height >> 1),
+      (2, pic.cr, pic.strideC, sps.width >> 1, sps.height >> 1))
+    planes.foreach { case (cIdx, plane, stride, w, h) =>
+      val src = plane.clone()
+      val sh = if (cIdx == 0) 0 else 1
+      val ctbSize = (1 << sps.ctbLog2) >> sh
+      var ctu = 0
+      while (ctu < pic.ctbW * pic.ctbH) {
+        val t = pic.saoType(ctu)(cIdx)
+        if (t != 0) {
+          val off = pic.saoOff(ctu)(cIdx)
+          val x0 = (ctu % pic.ctbW) * ctbSize
+          val y0 = (ctu / pic.ctbW) * ctbSize
+          val x1 = math.min(x0 + ctbSize, w)
+          val y1 = math.min(y0 + ctbSize, h)
+          if (t == 1) { // band
+            val bp = pic.saoArg(ctu)(cIdx)
+            val bandOf = new Array[Int](32)
+            var k = 0
+            while (k < 4) { bandOf((bp + k) & 31) = off(k); k += 1 }
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val v = src(y * stride + x)
+                val o = bandOf(v >> 3)
+                if (o != 0) plane(y * stride + x) = clip255(v + o)
+                x += 1
+              }
+              y += 1
+            }
+          } else { // edge
+            val (dx, dy) = pic.saoArg(ctu)(cIdx) match {
+              case 0 => (1, 0)
+              case 1 => (0, 1)
+              case 2 => (1, 1)
+              case _ => (1, -1)
+            }
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val xa = x - dx; val ya = y - dy
+                val xb = x + dx; val yb = y + dy
+                if (xa >= 0 && xb >= 0 && xa < w && xb < w &&
+                  ya >= 0 && yb >= 0 && ya < h && yb < h) {
+                  val c0 = src(y * stride + x)
+                  val a = src(ya * stride + xa)
+                  val b = src(yb * stride + xb)
+                  val idx = 2 + Integer.signum(c0 - a) +
+                    Integer.signum(c0 - b)
+                  if (idx != 2) {
+                    val o = off(if (idx < 2) idx else idx - 1)
+                    if (o != 0) plane(y * stride + x) = clip255(c0 + o)
+                  }
+                }
+                x += 1
+              }
+              y += 1
+            }
+          }
+        }
+        ctu += 1
+      }
+    }
+  }
+
   private def decodeIdrSlice(rbsp: Array[Byte], sps: HSps,
       pps: HPps): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
     try {
@@ -1756,13 +1923,20 @@ object Hevc {
       br.bit() // no_output_of_prior_pics (IRAP)
       if (br.ue() != pps.id) return None // slice_pic_parameter_set_id
       if (br.ue() != 2) return None // slice_type: I only
+      // round 16: SAO slice switches (7.3.6.1)
+      var saoL = false
+      var saoC = false
+      if (sps.saoOn) {
+        saoL = br.bit() == 1
+        saoC = br.bit() == 1
+      }
       val qp = pps.initQp + br.se()
       if (qp < 0 || qp > 51) return None
-      // round 16: with PPS deblocking on and loop_filter_across
-      // enabled the header carries one more flag (7.3.6.1; value
-      // irrelevant in a single-slice picture). No sao/tiles/wpp ->
-      // then byte_alignment: a one bit then zeros.
-      if (pps.acrossSlices && pps.deblockOn) br.bit()
+      // round 16: with in-loop filtering active and
+      // loop_filter_across enabled the header carries one more flag
+      // (7.3.6.1; value irrelevant in a single-slice picture). No
+      // tiles/wpp -> then byte_alignment: a one bit then zeros.
+      if (pps.acrossSlices && (pps.deblockOn || saoL || saoC)) br.bit()
       if (br.bit() != 1) return None // alignment_bit_equal_to_one
       while ((br.pos & 7) != 0) if (br.bit() != 0) return None
       val pic = new Pic(sps)
@@ -1770,11 +1944,18 @@ object Hevc {
       val dec = new H264Cabac.Dec(rbsp, br.pos)
       if (!dec.valid) return None
       val nCtbs = pic.ctbW * pic.ctbH
+      if (saoL || saoC) {
+        pic.saoType = Array.fill(nCtbs)(new Array[Int](3))
+        pic.saoOff = Array.fill(nCtbs, 3)(new Array[Int](4))
+        pic.saoArg = Array.fill(nCtbs)(new Array[Int](3))
+      }
       var ctu = 0
       var end = false
       while (ctu < nCtbs && !end) {
         val x0 = (ctu % pic.ctbW) << sps.ctbLog2
         val y0 = (ctu / pic.ctbW) << sps.ctbLog2
+        if ((saoL || saoC) &&
+          !parseSao(pic, dec, cx, ctu, saoL, saoC)) return None
         if (!decodeCqt(pic, dec, cx, rbsp, x0, y0, sps.ctbLog2, 0, qp))
           return None
         ctu += 1
@@ -1789,6 +1970,12 @@ object Hevc {
       if (pps.deblockOn) {
         if (sps.pcmLfOff && pic.hasPcm) return None
         deblockPicture(pic, qp, pps.betaOff, pps.tcOff)
+      }
+      // round 16: SAO over the deblocked picture (8.7.3); PCM CUs
+      // under pcm_loop_filter_disabled would be exempt — same fence
+      if (saoL || saoC) {
+        if (sps.pcmLfOff && pic.hasPcm) return None
+        applySao(pic)
       }
       // crop the coded plane to the conformance window (CTB padding
       // AND the SPS conf_win offsets, ADVICE r14)
@@ -1859,6 +2046,17 @@ object Hevc {
     * their own intra modes and optional per-TU DC levels. */
   final case class HIntraNxN(modes: Seq[Int],
       dcs: Seq[Int] = Seq(0, 0, 0, 0)) extends Cu
+  /** Fixture SAO spec (round 16): one luma-component parameter set
+    * applied identically at every CTB (full syntax per CTB, no
+    * merges). */
+  sealed trait HSao
+  /** Band offsets: 4 SIGNED values (|o| <= 7) over the 4 bands at
+    * `bandPos` (0-31; band = sample >> 3). */
+  final case class HSaoBand(offsets: Seq[Int], bandPos: Int) extends HSao
+  /** Edge offsets: 4 NON-NEGATIVE magnitudes (the first two apply as
+    * +, the last two as -), `eoClass` 0-3 (H / V / 135 / 45). */
+  final case class HSaoEdge(absOffsets: Seq[Int], eoClass: Int) extends HSao
+
   /** One CTU: a single CU at full CTB size, or a one-level split into
     * four quadrant CUs (z order). */
   sealed trait Ctu
@@ -1909,7 +2107,8 @@ object Hevc {
 
   /** SPS NAL: 4:2:0 8-bit, CTB 16 / min CU 8 / max TU 16, PCM 8..16,
     * no SAO, deblocking handled at the PPS, no RPS. */
-  def spsNal(width: Int, height: Int, depthIntra: Int = 0): Array[Byte] = {
+  def spsNal(width: Int, height: Int, depthIntra: Int = 0,
+      sao: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.put(0, 4) // vps id
     bw.put(0, 3) // max_sub_layers_minus1
@@ -1937,7 +2136,7 @@ object Hevc {
     bw.putUe(depthIntra) // max_transform_hierarchy_depth_intra
     bw.put(0, 1) // scaling_list
     bw.put(0, 1) // amp
-    bw.put(0, 1) // sao
+    bw.put(if (sao) 1 else 0, 1) // sample_adaptive_offset
     bw.put(1, 1) // pcm_enabled
     bw.put(7, 4); bw.put(7, 4) // pcm bit depths (8)
     bw.putUe(0) // log2_min_pcm_cb_minus3 -> 8
@@ -1974,9 +2173,9 @@ object Hevc {
     bw.put(0, 1) // transquant_bypass
     bw.put(0, 1) // tiles
     bw.put(0, 1) // entropy_coding_sync
-    // across-slices stays 0 when the filter runs so the slice header
-    // shape is unchanged (7.3.6.1's extra flag is gated on it)
-    bw.put(if (deblock) 0 else 1, 1) // loop_filter_across_slices
+    // across-slices stays 0 so the slice header never carries the
+    // 7.3.6.1 extra flag regardless of the deblock/SAO switches
+    bw.put(0, 1) // loop_filter_across_slices
     bw.put(1, 1) // deblocking_filter_control_present
     bw.put(0, 1) // override_enabled
     bw.put(if (deblock) 0 else 1, 1) // pps_deblocking_filter_disabled
@@ -1994,7 +2193,7 @@ object Hevc {
     * `ctu(index)` (raster order). The encoder drives the SAME grids,
     * candidate lists and contexts as the decoder. */
   def idrNal(ctbW: Int, ctbH: Int, ctu: Int => Ctu, qp: Int,
-      depthIntra: Int = 0): Array[Byte] = {
+      depthIntra: Int = 0, sao: Option[HSao] = None): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     val sps = HSps(ctbW * 16, ctbH * 16, 4, 3, 4, 2,
       pcmEnabled = true, pcmMinLog2 = 3, pcmMaxLog2 = 4,
@@ -2005,7 +2204,12 @@ object Hevc {
     bw.put(0, 1) // no_output_of_prior_pics
     bw.putUe(0) // pps id
     bw.putUe(2) // slice_type I
+    if (sao.isDefined) {
+      bw.put(1, 1) // slice_sao_luma_flag
+      bw.put(0, 1) // slice_sao_chroma_flag
+    }
     bw.putSe(0) // slice_qp_delta
+    // loop_filter_across stays 0 in the fixture PPS, so no extra flag
     bw.put(1, 1) // byte alignment: one bit
     bw.alignZero()
     val cx = new H264Cabac.Ctx(qp, InitPairs)
@@ -2310,6 +2514,40 @@ object Hevc {
           pic.depth(((y0 - 1) >> 2) * pic.gw + (x0 >> 2)) > 0) 1 else 0
         condL + condA
       }
+      sao.foreach { sp => // sao() per CTB (7.3.8.3), luma only
+        val rx = t % ctbW
+        val ry = t / ctbW
+        if (rx > 0) enc.decision(cx, CtxSaoMerge, bin = false)
+        if (ry > 0) enc.decision(cx, CtxSaoMerge, bin = false)
+        enc.decision(cx, CtxSaoType, bin = true)
+        sp match {
+          case HSaoBand(offs, bandPos) =>
+            require(offs.length == 4 && offs.forall(o => o.abs <= 7))
+            require(bandPos >= 0 && bandPos < 32)
+            enc.bypass(bin = false) // type 1: band
+            offs.foreach { o =>
+              var v = 0
+              while (v < o.abs) { enc.bypass(bin = true); v += 1 }
+              if (o.abs < 7) enc.bypass(bin = false)
+            }
+            offs.foreach(o => if (o != 0) enc.bypass(o < 0))
+            var b = 4
+            while (b >= 0) {
+              enc.bypass(((bandPos >> b) & 1) == 1); b -= 1
+            }
+          case HSaoEdge(offs, cls) =>
+            require(offs.length == 4 && offs.forall(o => o >= 0 && o <= 7))
+            require(cls >= 0 && cls < 4)
+            enc.bypass(bin = true) // type 2: edge
+            offs.foreach { o =>
+              var v = 0
+              while (v < o) { enc.bypass(bin = true); v += 1 }
+              if (o < 7) enc.bypass(bin = false)
+            }
+            enc.bypass(((cls >> 1) & 1) == 1)
+            enc.bypass((cls & 1) == 1)
+        }
+      }
       ctu(t) match {
         case Leaf(cu) =>
           enc.decision(cx, CtxSplit0 + splitCtx, bin = false)
@@ -2334,9 +2572,12 @@ object Hevc {
   /** Annex-B HEVC I-frame: SPS + PPS + IDR over 16-px CTUs. */
   def encodeIFrame(ctbW: Int, ctbH: Int, ctu: Int => Ctu,
       qp: Int = 28, depthIntra: Int = 0,
-      deblock: Boolean = false): Array[Byte] = {
+      deblock: Boolean = false,
+      sao: Option[HSao] = None): Array[Byte] = {
     val sep = Array[Byte](0, 0, 0, 1)
-    sep ++ spsNal(ctbW * 16, ctbH * 16, depthIntra) ++ sep ++
-      ppsNal(qp, deblock) ++ sep ++ idrNal(ctbW, ctbH, ctu, qp, depthIntra)
+    sep ++ spsNal(ctbW * 16, ctbH * 16, depthIntra,
+      sao = sao.isDefined) ++ sep ++
+      ppsNal(qp, deblock) ++ sep ++
+      idrNal(ctbW, ctbH, ctu, qp, depthIntra, sao)
   }
 }

@@ -1200,10 +1200,12 @@ object MultimodalQueries {
              |  round(sqrt(msq_v - mean_v*mean_v), 6) AS std_v
              |FROM m JOIN cm ON cm.doc_id = m.doc_id ORDER BY id""".stripMargin)),
 
-    // HEVC in-loop DEBLOCKING under the oracle gate (round 16,
+    // HEVC in-loop DEBLOCKING + SAO under the oracle gate (round 16,
     // VERDICT r15 #4): a 32x16 two-CTU picture with a flat step of
-    // d = 1..5 across the CU edge, decoded twice — filter on and the
-    // no-filter control. At qp 28 (beta 18, tc 2) d <= 4 takes the
+    // d = 1..5 across the CU edge, decoded three ways — no filter,
+    // deblock, and deblock + a band-offset SAO window at a's band
+    // (the luma samples still in that band after deblocking shift
+    // by +2, replayed generically in SQL by the band test). At qp 28 (beta 18, tc 2) d <= 4 takes the
     // STRONG branch (3 samples a side, hand formulas), d = 5 the
     // WEAK branch (delta clip 2, dEp1/dEq1 side taps); chroma rides
     // the 16-grid edge with the p0/q0-only filter. DuckDB replays
@@ -1223,9 +1225,19 @@ object MultimodalQueries {
               case _ => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
                 (_, _) => b, (_, _) => b, (_, _) => b))
             }, deblock = deblock)
-            Seq(("off", false), ("on", true)).map { case (vn, db) =>
+            // 'sao' = deblock + a one-band +2 window at a's band
+            // (8.7.3 over the deblocked picture)
+            def mkSao = graft.ext.Hevc.encodeIFrame(2, 1, {
+              case 0 => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
+                (_, _) => a, (_, _) => a, (_, _) => a))
+              case _ => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
+                (_, _) => b, (_, _) => b, (_, _) => b))
+            }, deblock = true,
+              sao = Some(graft.ext.Hevc.HSaoBand(Seq(2, 0, 0, 0), a >> 3)))
+            Seq(("off", mk(false)), ("on", mk(true)),
+              ("sao", mkSao)).map { case (vn, es) =>
               val (w, h, luma, cbP, crP) =
-                graft.ext.Hevc.decodeFramesYuv(mk(db), 1).head
+                graft.ext.Hevc.decodeFramesYuv(es, 1).head
               def stats(p: Array[Int]): (Double, Double) = {
                 var sum = 0.0; var sq = 0.0
                 p.foreach { v => sum += v; sq += v.toDouble * v }
@@ -1268,17 +1280,22 @@ object MultimodalQueries {
              |    -- chroma: delta = clip2(((d<<2) + 4) // 8)
              |    least(2, (4*d + 4) // 8) AS dc
              |  FROM p),
+             |onc(doc_id, a, cnt, v) AS (
+             |  SELECT doc_id, a, 13, a FROM f
+             |  UNION ALL SELECT doc_id, a, 1, p2f FROM f
+             |  UNION ALL SELECT doc_id, a, 1, p1f FROM f
+             |  UNION ALL SELECT doc_id, a, 1, p0f FROM f
+             |  UNION ALL SELECT doc_id, a, 1, q0f FROM f
+             |  UNION ALL SELECT doc_id, a, 1, q1f FROM f
+             |  UNION ALL SELECT doc_id, a, 1, q2f FROM f
+             |  UNION ALL SELECT doc_id, a, 13, b FROM f),
              |cells(doc_id, filter, cnt, v) AS (
              |  SELECT doc_id, 'off', 16, a FROM f
              |  UNION ALL SELECT doc_id, 'off', 16, b FROM f
-             |  UNION ALL SELECT doc_id, 'on', 13, a FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, p2f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, p1f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, p0f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, q0f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, q1f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 1, q2f FROM f
-             |  UNION ALL SELECT doc_id, 'on', 13, b FROM f),
+             |  UNION ALL SELECT doc_id, 'on', cnt, v FROM onc
+             |  UNION ALL SELECT doc_id, 'sao', cnt,
+             |    v + CASE WHEN v // 8 = a // 8 THEN 2 ELSE 0 END
+             |    FROM onc),
              |m AS (SELECT doc_id, filter,
              |    CAST(sum(cnt*v) AS DOUBLE)/32 AS mean_g,
              |    CAST(sum(cnt*v*v) AS DOUBLE)/32 AS meansq_g
@@ -1286,6 +1303,9 @@ object MultimodalQueries {
              |cm AS (SELECT doc_id, 'off' AS filter,
              |    (a + 0.0 + a + d)/2 AS mean_c FROM f
              |  UNION ALL SELECT doc_id, 'on',
+             |    CAST(7*a + (a + dc) + ((a+d) - dc) + 7*(a+d)
+             |      AS DOUBLE)/16 FROM f
+             |  UNION ALL SELECT doc_id, 'sao', -- luma-only SAO
              |    CAST(7*a + (a + dc) + ((a+d) - dc) + 7*(a+d)
              |      AS DOUBLE)/16 FROM f)
              |SELECT m.doc_id AS id, m.filter AS filter,

@@ -512,4 +512,60 @@ class HevcSpec extends AnyFunSuite {
     assert(flatOn._4.sameElements(flatOff._4))
     assert(flatOn._5.sameElements(flatOff._5))
   }
+
+  test("SAO band offset (8.7.3): samples inside the 4-band window " +
+      "shift by their band's signed offset; outside stays put") {
+    import graft.ext.Hevc._
+    // flat 90 = band 11; flat 130 = band 16. Window at bandPos 10
+    // covers bands 10-13 with offsets (1, 3, -2, 0): band 11 -> +3;
+    // band 16 untouched.
+    val es = encodeIFrame(2, 1, {
+      case 0 => Leaf(HPcm((_, _) => 90))
+      case _ => Leaf(HPcm((_, _) => 130))
+    }, sao = Some(HSaoBand(Seq(1, 3, -2, 0), 10)))
+    val luma = Hevc.decodeFramesYuv(es, 1).head._3
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = if (x < 16) 93 else 130
+      assert(luma(y * 32 + x) == want, s"($x,$y): ${luma(y * 32 + x)}")
+    }
+  }
+
+  test("SAO edge offset class 0: local minima/maxima along the row " +
+      "move by the +/- offsets; picture-boundary columns are skipped") {
+    import graft.ext.Hevc._
+    // luma row pattern by PCM: 80 at even x, 84 at odd x -> along
+    // class 0 (horizontal): even cols are minima (edgeIdx 0 -> +o0),
+    // odd cols maxima (edgeIdx 4 -> -o3); x = 0 and x = 15 of each
+    // row have no out-of-picture neighbor handling issue except the
+    // true picture edges (x = 0, x = 31) which stay unmodified.
+    val es = encodeIFrame(2, 1, i => Leaf(HPcm(
+      (x, _) => if (((x + i * 16) & 1) == 0) 80 else 84)),
+      sao = Some(HSaoEdge(Seq(2, 1, 1, 3), 0)))
+    val luma = Hevc.decodeFramesYuv(es, 1).head._3
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want =
+        if (x == 0 || x == 31) (if ((x & 1) == 0) 80 else 84)
+        else if ((x & 1) == 0) 82 // min: +2
+        else 81 // max: -3
+      assert(luma(y * 32 + x) == want, s"($x,$y): ${luma(y * 32 + x)}")
+    }
+  }
+
+  test("SAO rides the deblocked picture: filter + band offset compose") {
+    import graft.ext.Hevc._
+    // the weak-filter 60|72 step from the deblock spec, then a band
+    // window covering band 7 (56-63) with +4: deblocked values 60,
+    // 61, 62 sit in band 7 -> +4; 70, 71, 72 in band 8/9 untouched.
+    val es = encodeIFrame(2, 1, {
+      case 0 => Leaf(HPcm((_, _) => 60))
+      case _ => Leaf(HPcm((_, _) => 72))
+    }, deblock = true, sao = Some(HSaoBand(Seq(4, 0, 0, 0), 7)))
+    val luma = Hevc.decodeFramesYuv(es, 1).head._3
+    val want = Array.fill(32)(64)
+    for (x <- 16 until 32) want(x) = 72
+    want(14) = 65; want(15) = 66; want(16) = 70; want(17) = 71
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(luma(y * 32 + x) == want(x),
+        s"($x,$y): ${luma(y * 32 + x)} != ${want(x)}")
+  }
 }
