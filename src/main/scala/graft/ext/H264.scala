@@ -61,10 +61,39 @@ package graft.ext
   *    per-picture state with prediction availability gated to the
   *    slice; the loop filter honors each slice's own idc/offsets and
   *    idc 2's cross-slice-boundary exemption; an incompletely covered
-  *    picture never emits). Intra_8x8
-  *    (transform_size_8x8), FMO/ASO, field coding,
-  *    high-profile tools (scaling lists, >8-bit, non-4:2:0) return
-  *    None.
+  *    picture never emits). ROUND 16 — High profile decodes:
+  *    SCALING MATRICES (seq + pic with the Table 7-2 fall-back
+  *    rules, threaded through every dequant chain), Intra_8x8
+  *    (8.3.2 filtered-reference prediction, the 8x8 scan/dequant/
+  *    inverse transform) under CAVLC AND CABAC (ctx 399-401 +
+  *    ctxBlockCat 5), INTER 8x8-transform residuals under CAVLC,
+  *    and the deblocking edge-set interaction. Still degrading:
+  *    CABAC P/B slices under a transform_8x8 PPS (slice-entry
+  *    fence), FMO/ASO, field coding (PicAFF/MBAFF — see the field
+  *    triage note below), >8-bit, non-4:2:0.
+  *
+  *  - FIELD-CODING TRIAGE (round 16, VERDICT r15 #8): the fence
+  *    STAYS, decided rather than deferred. Basis: (a) this container
+  *    is offline, so the asked-for wild-corpus frequency sample
+  *    cannot be measured here — the claim below is the decision
+  *    input a connected round should re-verify; (b) interlaced
+  *    coding exists for interlaced CONTENT, which in practice means
+  *    broadcast-era material: every consumer capture pipeline of the
+  *    last decade (phones, webcams, screen capture) and every major
+  *    web delivery path emits progressive streams, so a
+  *    training-data corpus drawn from web video encounters
+  *    frame_mbs_only_flag = 0 in a small tail dominated by TV
+  *    archive uploads; (c) the cost side is outsized — MBAFF
+  *    restructures NEIGHBOR DERIVATION globally (every ctxIdxInc,
+  *    mode predictor, nC and deblock rule gains frame/field
+  *    variants; the spec dedicates clause 6.4.10 to it), the
+  *    opposite of a contained feature. The degrade is clean and
+  *    self-labeling: frame_mbs_only_flag = 0 fails at the SPS, so a
+  *    field-coded stream costs a `decoded = false` histogram row,
+  *    never a wrong pixel. If a future corpus sample contradicts
+  *    (b), PicAFF (field PICTURES: POC/DPB pairing, no per-MB
+  *    adaptivity) is the first tier to lift — it reuses the frame
+  *    MB layer unchanged.
   *  - B slices (round 14 two-list; round 15 direct): every Table 7-14
   *    mb_type including B_Skip / B_Direct_16x16 / B_8x8 (all Table
   *    7-18 sub_mb_types) through BOTH direct modes — SPATIAL
@@ -2807,14 +2836,74 @@ object H264 {
       val cbpChroma = cbp >> 4
       // round 16: transform_size_8x8_flag for INTER macroblocks
       // (7.3.5: present under a t8 PPS when luma cbp != 0 and every
-      // partition is >= 8x8) — parsed for bitstream sync; the inter
-      // 8x8-transform residual path is fenced (degrade, never
-      // misparse). Intra t8 decodes for real (reconI8).
-      if (pps.transform8x8 && cbpLuma != 0 && t8Allowed &&
-        br.bit() == 1) return null
+      // partition is >= 8x8). Flag = 1 DECODES: the luma residual is
+      // four interleaved-CAVLC 8x8 blocks through the 8.5.13 chain
+      // onto the MB prediction.
+      val t8 = pps.transform8x8 && cbpLuma != 0 && t8Allowed &&
+        br.bit() == 1
       if (cbp != 0) qp = (qp + br.se() + 52) % 52 // mb_qp_delta (7.3.5)
       qpMbA(mb) = qp
       if (cbp == 0) { zeroNz(mbX, mbY); new ChromaCoeffs }
+      else if (t8) {
+        st.mbT8(mb) = true
+        val d8 = new Array[Int](64)
+        var blk8 = 0
+        while (blk8 < 4) {
+          val cellX = mbX * 2 + (blk8 & 1)
+          val cellY = mbY * 2 + (blk8 >> 1)
+          if ((cbpLuma & (1 << blk8)) != 0) {
+            val c8 = new Array[Int](64)
+            var any = false
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk8 * 4 + i4
+              val r = blkRow(sub); val c = blkCol(sub)
+              val (cf, tc) =
+                residualCavlc(br, lumaNz.nC(mbX * 4 + c, mbY * 4 + r), 16)
+              lumaNz.set(mbX * 4 + c, mbY * 4 + r, tc)
+              if (tc > 0) any = true
+              var k = 0
+              while (k < 16) { c8(4 * k + i4) = cf(k); k += 1 }
+              i4 += 1
+            }
+            st.nz8(cellY * (mbW * 2) + cellX) = any
+            if (any) {
+              java.util.Arrays.fill(d8, 0)
+              var si = 0
+              while (si < 64) {
+                if (c8(si) != 0) {
+                  val raster = Zig8(si)
+                  d8(raster) = scaleAc8(c8(si), raster, qp, st.w8(1))
+                }
+                si += 1
+              }
+              val res = invTransform8x8(d8)
+              val ox8 = (blk8 & 1) * 8
+              val oy8 = (blk8 >> 1) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val k = (oy8 + y) * 16 + ox8 + x
+                  mc16(k) = clip255(mc16(k) + res(y * 8 + x))
+                  x += 1
+                }
+                y += 1
+              }
+            }
+          } else {
+            st.nz8(cellY * (mbW * 2) + cellX) = false
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk8 * 4 + i4
+              lumaNz.set(mbX * 4 + blkCol(sub), mbY * 4 + blkRow(sub), 0)
+              i4 += 1
+            }
+          }
+          blk8 += 1
+        }
+        parseChroma(cbpChroma, mbX, mbY)
+      }
       else {
         val d4 = new Array[Int](16)
         var blk = 0
@@ -7119,6 +7208,13 @@ object H264 {
     * the block's 16 predicted samples). */
   final case class PMoveCoded(mvx: Int, mvy: Int,
       dcRes: Int => Int) extends MbP
+  /** P_L0_16x16 under the 8x8 TRANSFORM (round 16, High profile):
+    * MC at `(mvx, mvy)` plus one 8x8-scan-DC coefficient per 8x8
+    * block from `dcRes(blk8)` (z order; at qp 28 with flat weights a
+    * coefficient c adds exactly 2c to the block's 64 samples).
+    * Requires a transform_8x8_mode PPS (pNal t8Pps). */
+  final case class PMoveCoded8(mvx: Int, mvy: Int,
+      dcRes: Int => Int) extends MbP
   /** P_L0_L0_16x8 (round 13): top and bottom 16x8 partitions, each
     * with its own quarter-pel MV. */
   final case class P16x8(top: (Int, Int), bot: (Int, Int)) extends MbP
@@ -7257,6 +7353,37 @@ object H264 {
           putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy, refIdx)
           bw.putUe(0) // coded_block_pattern: cbp 0
           zeroLumaNz()
+        case PMoveCoded8(mvx, mvy, dcOf) =>
+          require(t8Pps, "PMoveCoded8 needs a transform_8x8_mode PPS")
+          bw.putUe(skipRun); skipRun = 0 // mb_skip_run
+          bw.putUe(0) // mb_type P_L0_16x16
+          putRefIdx(0)
+          putPart(0, 0, 4, 4, ShapeMedian, mvx, mvy)
+          val cbpLuma8 = (0 until 4).map { g =>
+            if (dcOf(g) != 0) 1 << g else 0
+          }.sum
+          bw.putUe(CbpInterInv(cbpLuma8)) // coded_block_pattern (chroma 0)
+          if (cbpLuma8 != 0) {
+            bw.put(1, 1) // transform_size_8x8_flag: 8x8
+            bw.putSe(0) // mb_qp_delta
+          }
+          var blk8e = 0
+          while (blk8e < 4) {
+            var i4 = 0
+            while (i4 < 4) {
+              val sub = blk8e * 4 + i4
+              val cxp = mbX * 4 + blkCol(sub)
+              val cyp = mbY * 4 + blkRow(sub)
+              if ((cbpLuma8 & (1 << blk8e)) != 0) {
+                val lvl = if (i4 == 0) dcOf(blk8e) else 0
+                putCavlcSingle(bw, lumaNz.nC(cxp, cyp), lvl,
+                  maxNumCoeff = 16)
+                lumaNz.set(cxp, cyp, if (lvl != 0) 1 else 0)
+              } else lumaNz.set(cxp, cyp, 0)
+              i4 += 1
+            }
+            blk8e += 1
+          }
         case PMoveCoded(mvx, mvy, dcOf) =>
           bw.putUe(skipRun); skipRun = 0 // mb_skip_run
           bw.putUe(0) // mb_type P_L0_16x16

@@ -1775,10 +1775,26 @@ object MultimodalQueries {
               // round 16: the same picture CABAC-entropy-coded (ctx
               // 399-401 flag + cat-5 residuals) — pixel semantics are
               // entropy-independent, so the oracle row equals 'flat'
-              ("cabac", graft.ext.H264.encodeIFrameHighCabac(1, 1, mbs)))
+              ("cabac", graft.ext.H264.encodeIFrameHighCabac(1, 1, mbs)),
+              // round 16: INTER 8x8 transform — a P frame whose coded
+              // 16x16 adds one 8x8-DC per quadrant (2d each) onto the
+              // zero-MV copy of the I picture; the row reports the P
+              // frame's stats
+              ("inter", {
+                val sep = Array[Byte](0, 0, 0, 1)
+                sep ++ graft.ext.H264.spsNal(1, 1, high = true) ++
+                  sep ++ graft.ext.H264.ppsNal(28, transform8x8 = true) ++
+                  sep ++ graft.ext.H264.idrNal(1, 1, mbs, 28,
+                    t8Pps = true) ++
+                  sep ++ graft.ext.H264.pNal(1, 1,
+                    _ => graft.ext.H264.PMoveCoded8(0, 0,
+                      k => ((id + 3 * k) % 9).toInt - 4),
+                    28, frameNum = 1, t8Pps = true)
+              }))
             variants.flatMap { case (vn, es) =>
-              Multimodal.decodeAvcFrames(es, 1).map { case (_, w, h, m, sd) =>
-                (id, vn, w.toLong, h.toLong, m, sd)
+              Multimodal.decodeAvcFrames(es, 2).takeRight(1).map {
+                case (_, w, h, m, sd) =>
+                  (id, vn, w.toLong, h.toLong, m, sd)
               }
             }
           })
@@ -1805,10 +1821,19 @@ object MultimodalQueries {
              |    CAST(floor((160*c1 + 32)/64.0) AS BIGINT),
              |    CAST(floor((160*c2 + 32)/64.0) AS BIGINT),
              |    CAST(floor((160*c3 + 32)/64.0) AS BIGINT) FROM base),
-             |q AS (SELECT doc_id, variant,
+             |q0t AS (SELECT doc_id, variant,
              |    128 + r0 AS q0, 128 + r0 + r1 AS q1, 128 + r0 + r2 AS q2,
              |    (256 + 2*r0 + r1 + r2 + 1) // 2 + r3 AS q3
              |  FROM v),
+             |-- 'inter': the P frame = the flat I picture + 2*d per
+             |-- quadrant (zero-MV copy + one 8x8-DC residual each)
+             |q AS (SELECT * FROM q0t
+             |  UNION ALL SELECT doc_id, 'inter',
+             |    q0 + 2*((doc_id % 9) - 4),
+             |    q1 + 2*(((doc_id + 3) % 9) - 4),
+             |    q2 + 2*(((doc_id + 6) % 9) - 4),
+             |    q3 + 2*(((doc_id + 9) % 9) - 4)
+             |  FROM q0t WHERE variant = 'flat'),
              |m AS (SELECT doc_id, variant,
              |    (q0 + q1 + q2 + q3) / 4.0 AS mean_g,
              |    CAST(q0*q0 + q1*q1 + q2*q2 + q3*q3 AS DOUBLE) / 4.0 AS meansq

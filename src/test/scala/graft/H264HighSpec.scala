@@ -291,6 +291,47 @@ class H264HighSpec extends AnyFunSuite {
     assert(fs.length == 1, s"expected the I frame alone, got ${fs.length}")
   }
 
+  test("inter 8x8 transform (CAVLC): a coded P 16x16 with flag = 1 " +
+      "adds 2c per 8x8 quadrant onto the MC prediction at qp 28") {
+    import graft.ext.H264._
+    val sep = Array[Byte](0, 0, 0, 1)
+    def iMb(i: Int): Mb = Pcm((_, _) => 100)
+    val dcs = Seq(5, -3, 0, 7)
+    val es = sep ++ spsNal(1, 1, high = true) ++
+      sep ++ ppsNal(28, transform8x8 = true) ++
+      sep ++ idrNal(1, 1, iMb, 28, t8Pps = true) ++
+      sep ++ pNal(1, 1, _ => PMoveCoded8(0, 0, dcs), 28,
+        frameNum = 1, t8Pps = true)
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.length == 2, s"frames: ${fs.length}")
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val blk8 = (y / 8) * 2 + (x / 8)
+      val want = 100 + 2 * dcs(blk8)
+      assert(p(y * 16 + x) == want, s"($x,$y): ${p(y * 16 + x)} != $want")
+    }
+  }
+
+  test("inter 8x8 transform under an 8x8 scaling list: the INTER list " +
+      "(index 1) scales the dequant — (160c + 32) >> 6 at w = 20") {
+    import graft.ext.H264._
+    val sep = Array[Byte](0, 0, 0, 1)
+    // intra 8x8 list flat 16, INTER 8x8 list uniform 20: a decoder
+    // picking the wrong list produces 2c instead of the scaled value
+    val es = sep ++ spsNal(1, 1, high = true,
+      seqScal4 = Seq.fill(6)(uniform4(16)),
+      seqScal8 = Seq(uniform8(16), uniform8(20))) ++
+      sep ++ ppsNal(28, transform8x8 = true) ++
+      sep ++ idrNal(1, 1, _ => Pcm((_, _) => 100), 28, t8Pps = true) ++
+      sep ++ pNal(1, 1, _ => PMoveCoded8(0, 0, _ => 4), 28,
+        frameNum = 1, t8Pps = true)
+    val fs = H264.decodeFramesLuma(es, 4)
+    assert(fs.length == 2)
+    val want = 100 + ((160 * 4 + 32) >> 6) // 110, not 108 (flat)
+    assert(fs(1)._3.forall(_ == want),
+      s"${fs(1)._3.take(4).toSeq} != $want")
+  }
+
   test("corruption fuzz: 120 mutations of a High-profile scaled stream " +
       "degrade or truncate, never throw") {
     val base = H264.encodeIFrameHigh(2, 2,
