@@ -3336,7 +3336,17 @@ object H264 {
             st.mbDirect(mb) = false
             if (isB) st.mvL1.fill(x4, y4, 4, 4, isInter = false, 0, 0)
             if (intraT == 25) { if (!w.ipcm(mb)) return None }
-            else if (intraT == 0) { if (!w.intraI4(mb)) return None }
+            else if (intraT == 0) {
+              // round 16: I_NxN inside a P/B slice carries the t8
+              // flag under a t8 PPS (7.3.5). Flag = 1 degrades for
+              // the same reason as the inter case — intraI8's cat-5
+              // residuals would read the P/B pool's untranscribed
+              // 402-435 rows.
+              if (pps.transform8x8 &&
+                dec.decision(cxp, 399 + t8IncSt(st, sliceIdx, mb)))
+                return None
+              if (!w.intraI4(mb)) return None
+            }
             else {
               val t = intraT
               val acFlag = (t - 1) / 12
@@ -3349,6 +3359,9 @@ object H264 {
             // ---- inter macroblock: motion syntax, then residuals
             st.mbSkip(mb) = false
             st.mbDirect(mb) = isB && interShape == 100
+            // noSubMbPartSizeLessThan8x8Flag for the t8 flag (7.3.5)
+            var t8OkC = true
+            if (isB && interShape == 100) t8OkC = sps.direct8x8
             // MC one partition for a list into the MB buffers
             def mcTo(list: Int, refIdx: Int, cx4: Int, cy4: Int,
                 w4: Int, h4: Int, mx: Int, my: Int, t16: Array[Int],
@@ -3437,6 +3450,7 @@ object H264 {
                       else 3
                     p8 += 1
                   }
+                  t8OkC = subT.forall(_ == 0)
                   val r8 = new Array[Int](4)
                   p8 = 0
                   while (p8 < 4) {
@@ -3498,6 +3512,8 @@ object H264 {
                     }
                   p8 += 1
                 }
+                t8OkC = subT.forall(t => t == 1 || t == 2 || t == 3 ||
+                  (t == 0 && sps.direct8x8))
                 def subUsesL0(t: Int) = t == 1 || t == 3 || t == 4 ||
                   t == 5 || t == 8 || t == 9 || t == 10 || t == 12
                 def subUsesL1(t: Int) = t == 2 || t == 3 || t == 6 ||
@@ -3682,10 +3698,23 @@ object H264 {
             st.mbKind(mb) = 3
             st.mbCbp(mb) = cbpLuma | (cbpChroma << 4)
             st.cbfLumaDc(mb) = 0
+            // round 16: transform_size_8x8_flag (ctx 399-401, the
+            // transcribed per-idc rows) for coded inter macroblocks
+            // under a t8 PPS. Flag = 1 DEGRADES: the cat-5 residual
+            // init values of the P/B columns (ctx 402-435) are an
+            // I-column stand-in pending transcription, and decoding
+            // through them would desync silently on wild streams —
+            // the exact class this round eliminated from the main
+            // table. CAVLC inter t8 decodes for real; CABAC waits
+            // for the Tables 9-34..9-43-era P/B columns.
+            if (pps.transform8x8 && cbpLuma != 0 && t8OkC &&
+              dec.decision(cxp, 399 + t8IncSt(st, sliceIdx, mb)))
+              return None
             if ((cbpLuma | cbpChroma) != 0) {
               if (!w.qpDelta()) return None
             } else w.prevQpDeltaNz = false
             qpMbA(mb) = w.qp
+            locally {
             val d4 = new Array[Int](16)
             var blk = 0
             while (blk < 16) {
@@ -3734,6 +3763,7 @@ object H264 {
             writeMc(ox, oy)
             reconChromaMb(st, mb, w.qp, pps.chromaQpOff,
               pps.chromaQpOff2, ccI, mcCb, mcCr)
+            }
           }
         }
         mb += 1
@@ -3750,11 +3780,12 @@ object H264 {
     // the shared reconstruction closures so P/B CABAC reuses them)
     if (pps.cabac) {
       // round 16: CABAC I slices decode transform_8x8_mode for real
-      // (ctx 399-401 + the cat-5 residual layer); CABAC P/B slices
-      // under a t8 PPS still degrade at entry — their flag sits
-      // inside the inter residual syntax this walk does not yet
-      // model t8 for. Degrade, never misparse.
-      if (pps.transform8x8 && isInter) return None
+      // (ctx 399-401 + the I-column cat-5 layer). CABAC P/B slices
+      // PARSE the per-MB flag (the per-idc 399-401 rows are
+      // transcribed) and degrade when it is SET — their cat-5 init
+      // rows are an I-column stand-in (see H264Cabac.pbT8Tail), and
+      // decoding through a stand-in would desync silently. A t8 PPS
+      // with all-4x4 inter macroblocks decodes fully.
       // cabac_alignment_one_bit (7.3.4): every bit up to the byte
       // boundary must be 1 — anything else is a malformed stream
       while ((br.pos & 7) != 0) if (br.bit() != 1) return None
@@ -6474,7 +6505,8 @@ object H264 {
       pMb: Int => MbP, bMb: Int => MbB, qp: Int, frameNum: Int,
       pocLsb: Int, numRef: Int, initIdc: Int, deblock: Boolean,
       refIdc: Int,
-      colZeroAt: (Int, Int) => Boolean): Array[Byte] = {
+      colZeroAt: (Int, Int) => Boolean,
+      t8Pps: Boolean = false): Array[Byte] = {
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require(initIdc >= 0 && initIdc <= 2, s"cabac_init_idc: $initIdc")
     val bw = new BitWriter
@@ -6683,6 +6715,10 @@ object H264 {
         st.mbKind(i) = 3
         st.mbCbp(i) = cbpLuma
         st.cbfLumaDc(i) = 0
+        // round 16: the fixture's coded 16x16 is always t8-eligible,
+        // so a t8 PPS makes the flag present — stay 4x4 (bin 0)
+        if (t8Pps && cbpLuma != 0)
+          enc.decision(cxp, 399 + t8IncSt(st, sliceIdx, i), bin = false)
         if (cbpLuma != 0)
           enc.decision(cxp, 60 + (if (prevQpDeltaNz) 1 else 0),
             bin = false) // mb_qp_delta 0
@@ -7101,10 +7137,11 @@ object H264 {
   /** CABAC twin of [[pNal]] (fixture surface). */
   def pNalCabac(mbW: Int, mbH: Int, mb: Int => MbP, qp: Int,
       frameNum: Int = 1, numRef: Int = 1, initIdc: Int = 0,
-      deblock: Boolean = false, refIdc: Int = 2): Array[Byte] =
+      deblock: Boolean = false, refIdc: Int = 2,
+      t8Pps: Boolean = false): Array[Byte] =
     interNalCabac(mbW, mbH, isB = false, mb, _ => BSkip, qp, frameNum,
       pocLsb = 0, numRef = numRef, initIdc = initIdc, deblock = deblock,
-      refIdc = refIdc, colZeroAt = (_, _) => false)
+      refIdc = refIdc, colZeroAt = (_, _) => false, t8Pps = t8Pps)
 
   /** CABAC twin of [[bNal]] (fixture surface). */
   def bNalCabac(mbW: Int, mbH: Int, mb: Int => MbB, qp: Int,

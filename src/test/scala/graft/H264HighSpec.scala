@@ -277,18 +277,35 @@ class H264HighSpec extends AnyFunSuite {
       "CABAC and CAVLC High pictures must reconstruct identically")
   }
 
-  test("CABAC P/B slices under a t8 PPS degrade at slice entry, " +
-      "never misparse (the documented round-16 fence)") {
+  test("CABAC P under a t8 PPS: skip and 4x4-coded macroblocks decode " +
+      "(flag 0 parses in sync); the t8 flag itself stays fenced") {
     import graft.ext.H264._
     val sep = Array[Byte](0, 0, 0, 1)
     def iMb(i: Int): Mb = Pcm((x, y) => 60 + x + y)
-    val es = sep ++ spsNal(1, 1, high = true) ++
+    def pMb(i: Int): MbP = PMoveCoded(0, 0, blk => (blk % 3) - 1)
+    // t8 PPS, all-4x4 inter MBs: the per-MB flag decodes as 0 and the
+    // P frame reconstructs exactly like the non-t8 twin
+    val t8 = sep ++ spsNal(1, 1, high = true) ++
+      sep ++ ppsNal(28, cabac = true, transform8x8 = true) ++
+      sep ++ idrNalCabac(1, 1, iMb, 28, t8Pps = true) ++
+      sep ++ pNalCabac(1, 1, pMb, 28, frameNum = 1, t8Pps = true)
+    val plain = sep ++ spsNal(1, 1) ++
+      sep ++ ppsNal(28, cabac = true) ++
+      sep ++ idrNalCabac(1, 1, iMb, 28) ++
+      sep ++ pNalCabac(1, 1, pMb, 28, frameNum = 1)
+    val a = H264.decodeFramesLuma(t8, 4)
+    val b = H264.decodeFramesLuma(plain, 4)
+    assert(a.length == 2 && b.length == 2,
+      s"frames: t8=${a.length} plain=${b.length}")
+    a.zip(b).foreach { case (fa, fb) =>
+      assert(fa._3.sameElements(fb._3))
+    }
+    // PSkip-only P slice also decodes under the t8 PPS (no cbp, no flag)
+    val skips = sep ++ spsNal(1, 1, high = true) ++
       sep ++ ppsNal(28, cabac = true, transform8x8 = true) ++
       sep ++ idrNalCabac(1, 1, iMb, 28, t8Pps = true) ++
       sep ++ pNalCabac(1, 1, _ => PSkip, 28, frameNum = 1)
-    val fs = H264.decodeFramesLuma(es, 4)
-    // the I frame decodes; the P slice degrades (not misdecodes)
-    assert(fs.length == 1, s"expected the I frame alone, got ${fs.length}")
+    assert(H264.decodeFramesLuma(skips, 4).length == 2)
   }
 
   test("inter 8x8 transform (CAVLC): a coded P 16x16 with flag = 1 " +
