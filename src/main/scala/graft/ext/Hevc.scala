@@ -84,7 +84,16 @@ object Hevc {
     139, 141, 157, 184, 184, 63, 153, 138, 138, 111, 141,
     94, 138, 182, 154) ++
     LastInit ++ LastInit ++
-    Array(121, 140, 61, 154) ++ // coded_sub_block_flag
+    // ROUND-16 CORRECTION: this row had carried {121, 140, 61, 154},
+    // which is the B/P column of the public table — the reference
+    // software lists its init rows in {B, P, I} order, and reading
+    // "the first row" as I swaps columns (the same failure shape as
+    // the H.264 InitI mix-up fixed this round; every OTHER row of
+    // this pool cross-checks as the true I column under that
+    // ordering). No local gate can catch it (the twin encoder shares
+    // the table); only wild-stream entropy decode reads the wrong
+    // state.
+    Array(91, 171, 134, 141) ++ // coded_sub_block_flag (I column)
     Array( // sig_coeff_flag (27 luma + 15 chroma)
       111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125, 141,
       179, 153, 125, 107, 125, 141, 179, 153, 125, 107, 125, 141,
