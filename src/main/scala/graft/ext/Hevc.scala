@@ -68,6 +68,16 @@ object Hevc {
   // stay put
   private val CtxSaoMerge = 127 // sao_merge_left/up: 153
   private val CtxSaoType = 128 // sao_type_idx bin 0: 200
+  // round 16 (P slices): inter-only contexts, appended; the I column
+  // carries never-read 154 fillers in these slots
+  private val CtxCuSkip = 129 // 3 ctxs (neighbor-skip inc)
+  private val CtxPredMode = 132 // pred_mode_flag
+  private val CtxMergeFlag = 133
+  private val CtxMergeIdx = 134 // bin 0; rest bypass
+  private val CtxMvp = 135 // mvp_l0_flag
+  private val CtxRqtRoot = 136 // rqt_root_cbf
+  private val CtxMvdGr0 = 137 // abs_mvd_greater0 (both comps)
+  private val CtxMvdGr1 = 138 // abs_mvd_greater1 (both comps)
   // ---- residual-coding contexts (round 15, Tables 9-x initType 0):
   // one 18-value row initializes BOTH last-x and last-y pools (the
   // spec repeats it), 15 luma + 3 chroma each
@@ -103,11 +113,53 @@ object Hevc {
       140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92,
       139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197) ++
     Array(138, 153, 136, 167, 152, 152) ++ // greater2 (4 luma + 2 chroma)
-    Array(153, 200) // sao_merge, sao_type_idx (round 16)
-  assert(InitVals.length == 129, s"HEVC ctx pool: ${InitVals.length}")
-  private val InitPairs: Array[Int] = InitVals.flatMap { iv =>
+    Array(153, 200) ++ // sao_merge, sao_type_idx (round 16)
+    Array(154, 154, 154, 154, 154, 154, 154, 154, 154, 154) // inter
+    // slots 129-138: never read in I slices (filler)
+  assert(InitVals.length == 139, s"HEVC ctx pool: ${InitVals.length}")
+
+  /** initType-1 (P slice) column, same index order as [[InitVals]]
+    * (round 16). Transcribed from the public table with the {B, P, I}
+    * row ordering this round validated against 12 independent rows;
+    * the own-encoder twin keeps local gates exact regardless. */
+  private val InitValsP: Array[Int] = Array(
+    107, 139, 126, // split_cu_flag
+    154, // part_mode bin 0
+    154, // prev_intra_luma_pred_flag
+    152, // intra_chroma_pred_mode
+    124, 138, 94, // split_transform_flag
+    153, 111, // cbf_luma
+    149, 107, 167, 154) ++ // cbf_cb / cbf_cr
+    {
+      val lastP = Array(125, 110, 94, 110, 95, 79, 125, 111, 110,
+        78, 110, 111, 111, 95, 94, 108, 123, 108)
+      lastP ++ lastP
+    } ++
+    Array(121, 140, 61, 154) ++ // coded_sub_block_flag (P column)
+    Array( // sig_coeff_flag (27 luma + 15 chroma, P column)
+      155, 154, 139, 153, 139, 123, 123, 63, 153, 166, 183, 140,
+      136, 153, 154, 166, 183, 140, 136, 153, 154, 166, 183, 140,
+      136, 153, 154, 170, 153, 123, 123, 107, 121, 107, 121, 167,
+      151, 183, 140, 151, 183, 140) ++
+    Array( // coeff_abs_level_greater1 (P column)
+      154, 196, 196, 167, 154, 152, 167, 182, 182, 134, 149, 136,
+      153, 121, 136, 137, 169, 194, 166, 167, 154, 167, 137, 182) ++
+    Array(107, 167, 91, 107, 107, 167) ++ // greater2 (P column)
+    Array(153, 185) ++ // sao_merge, sao_type_idx
+    Array(197, 185, 201) ++ // cu_skip_flag
+    Array(149) ++ // pred_mode_flag
+    Array(110) ++ // merge_flag
+    Array(122) ++ // merge_idx
+    Array(168) ++ // mvp_l0_flag
+    Array(79) ++ // rqt_root_cbf
+    Array(140, 198) // abs_mvd_greater0 / greater1
+  assert(InitValsP.length == 139,
+    s"HEVC P ctx pool: ${InitValsP.length}")
+  private def toPairs(vals: Array[Int]): Array[Int] = vals.flatMap { iv =>
     Array((iv >> 4) * 5 - 45, ((iv & 15) << 3) - 16)
   }
+  private val InitPairs: Array[Int] = toPairs(InitVals)
+  private val InitPairsP: Array[Int] = toPairs(InitValsP)
 
   // ---- scans (round 15): 4x4 in-sub-block position orders as
   // (y << 2) | x, scan position 0 = DC; 0 = up-right diagonal,
@@ -376,6 +428,10 @@ object Hevc {
       maxTbLog2: Int, minTbLog2: Int, pcmEnabled: Boolean,
       pcmMinLog2: Int, pcmMaxLog2: Int, pcmLfOff: Boolean = false,
       saoOn: Boolean = false,
+      /** round 16 (P slices): POC lsb width, the inter transform
+        * hierarchy depth, and sps_temporal_mvp (whose slice flag
+        * must then be parsed; enabled TMVP degrades). */
+      log2MaxPoc: Int = 8, maxDepthInter: Int = 0, tmvp: Boolean = false,
       cropL: Int = 0, cropR: Int = 0, cropT: Int = 0, cropB: Int = 0,
       maxDepthIntra: Int = 0) {
     /** Conformance-window output size (7.4.3.2.1). */
@@ -387,7 +443,7 @@ object Hevc {
       /** round 16: in-loop deblocking (8.7.2) + its offsets; the
         * across-slices flag decides a slice-header bit. */
       deblockOn: Boolean = false, betaOff: Int = 0, tcOff: Int = 0,
-      acrossSlices: Boolean = true)
+      acrossSlices: Boolean = true, numRefL0Def: Int = 1)
 
   private def parseSps(rbsp: Array[Byte]): HSps = {
     val br = new BitReader(rbsp)
@@ -425,7 +481,8 @@ object Hevc {
     val maxTbLog2 = minTbLog2 + br.ue()
     if (ctbLog2 > 6 || minCbLog2 < 3 || maxTbLog2 > 5 ||
       maxTbLog2 > ctbLog2) throw ParseFail
-    br.ue() // max_transform_hierarchy_depth_inter
+    val maxDepthInter = br.ue() // round 16: P-slice transform trees
+    if (maxDepthInter > 4) throw ParseFail
     val maxDepthIntra = br.ue() // round 15: the transform tree reads
     // split_transform_flag for real now (ADVICE r14 closed properly)
     if (maxDepthIntra > 4) throw ParseFail
@@ -447,12 +504,13 @@ object Hevc {
     }
     if (br.ue() != 0) throw ParseFail // num_short_term_ref_pic_sets
     if (br.bit() == 1) throw ParseFail // long_term_ref_pics_present
-    br.bit() // sps_temporal_mvp
+    val tmvp = br.bit() == 1 // sps_temporal_mvp (round 16: stored)
     if (br.bit() == 1) throw ParseFail // strong_intra_smoothing (the
     // 32x32 bilinear path is out of the starter subset)
     // vui/extensions ignored
     HSps(width, height, ctbLog2, minCbLog2, maxTbLog2, minTbLog2,
       pcmEnabled, pcmMin, pcmMax, pcmLfOff, saoOn,
+      log2MaxPoc, maxDepthInter, tmvp,
       cropL, cropR, cropT, cropB,
       maxDepthIntra)
   }
@@ -466,7 +524,8 @@ object Hevc {
     if (br.bits(3) != 0) throw ParseFail // num_extra_slice_header_bits
     if (br.bit() == 1) throw ParseFail // sign_data_hiding
     if (br.bit() == 1) throw ParseFail // cabac_init_present
-    br.ue(); br.ue() // num_ref_idx defaults
+    val numRefL0Def = br.ue() + 1 // round 16: P header default
+    br.ue() // num_ref_idx_l1 default (B: out of the subset)
     val initQp = 26 + br.se()
     if (initQp < 0 || initQp > 51) throw ParseFail
     if (br.bit() == 1) throw ParseFail // constrained_intra_pred
@@ -500,7 +559,8 @@ object Hevc {
     br.bit() // lists_modification (I-only: unused)
     br.ue() // log2_parallel_merge_level_minus2
     if (br.bit() == 1) throw ParseFail // slice_header_extension
-    HPps(id, spsId, initQp, deblockOn, betaOff, tcOff, across)
+    HPps(id, spsId, initQp, deblockOn, betaOff, tcOff, across,
+      numRefL0Def)
   }
 
   /** Per-picture decode state: luma plane + per-4x4-cell decoded /
@@ -529,6 +589,30 @@ object Hevc {
     val hE = new Array[Boolean](gw * gh)
     /** a PCM CU decoded (the pcm_loop_filter_disabled fence). */
     var hasPcm = false
+    /** round 16 (P slices): per-4x4-cell motion state — inter flag,
+      * quarter-pel MV (single list, refIdx always 0 in the starter
+      * subset) and the cu_skip flag for its ctxIdxInc. */
+    val interF = new Array[Boolean](gw * gh)
+    val skipF = new Array[Boolean](gw * gh)
+    /** TU carried coded luma coefficients (deblock bS-1 term). */
+    val codedF = new Array[Boolean](gw * gh)
+    val mvXg = new Array[Int](gw * gh)
+    val mvYg = new Array[Int](gw * gh)
+    def motionSet(x0: Int, y0: Int, size: Int, mvx: Int, mvy: Int,
+        skip: Boolean): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + size) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + size) >> 2)) {
+          interF(y * gw + x) = true
+          skipF(y * gw + x) = skip
+          mvXg(y * gw + x) = mvx
+          mvYg(y * gw + x) = mvy
+          x += 1
+        }
+        y += 1
+      }
+    }
     /** round 16 (SAO): per-CTB per-component params — type (0 off,
       * 1 band, 2 edge), four SIGNED offsets, band position / EO
       * class. Indexed [ctb][cIdx]. */
@@ -1292,21 +1376,38 @@ object Hevc {
       }
       return true
     }
-    // ---- transform_unit leaf
-    val cbfLuma = dec.decision(cx,
-      CtxCbfLuma + (if (trafoDepth == 0) 1 else 0))
+    // ---- transform_unit leaf. mode == -1 (round 16) = an INTER TU:
+    // the prediction is already in the planes (MC), cbf_luma is
+    // inferred 1 at depth 0 with no chroma cbf (7.3.8.8), and the
+    // 4x4 DST-VII stays intra-only (8.6.4).
+    val isIntra = mode >= 0
+    val cbfLuma =
+      if (!isIntra && trafoDepth == 0 && !cbfCb && !cbfCr) true
+      else dec.decision(cx,
+        CtxCbfLuma + (if (trafoDepth == 0) 1 else 0))
     val nT = 1 << log2Size
     // intra-predict THIS TU now: split trees predict each TU from
     // already-reconstructed neighbors (8.4.4.2.1)
-    predictIntra(pic, x0, y0, nT, mode)
+    if (isIntra) {
+      predictIntra(pic, x0, y0, nT, mode)
+      pic.cellsSet(x0, y0, nT, -1, mode) // availability for later TUs;
+      // depth is rewritten at the CU level afterwards
+    }
     pic.markEdges(x0, y0, nT) // deblock edge map (round 16)
-    pic.cellsSet(x0, y0, nT, -1, mode) // availability for later TUs;
-    // depth is rewritten at the CU level afterwards
     if (cbfLuma) {
+      var cy2 = y0 >> 2
+      while (cy2 < ((y0 + nT) >> 2)) {
+        var cx2 = x0 >> 2
+        while (cx2 < ((x0 + nT) >> 2)) {
+          pic.codedF(cy2 * pic.gw + cx2) = true
+          cx2 += 1
+        }
+        cy2 += 1
+      }
       val scan = scanIdxOf(log2Size, 0, mode)
       val coef = residualCoding(dec, cx, log2Size, 0, scan)
       if (coef == null) return false
-      val dst = log2Size == 2 // intra luma 4x4: DST-VII
+      val dst = isIntra && log2Size == 2 // intra luma 4x4: DST-VII
       val dq = new Array[Int](nT * nT)
       var k = 0
       while (k < nT * nT) {
@@ -1336,7 +1437,7 @@ object Hevc {
       val qc = qpC(qp)
       var comp = 1
       while (comp <= 2) {
-        predictIntra(pic, xC, yC, nC, chromaMode, comp)
+        if (isIntra) predictIntra(pic, xC, yC, nC, chromaMode, comp)
         val coded = if (comp == 1) cbfCb else cbfCr
         if (coded) {
           val coef = residualCoding(dec, cx, cl, comp,
@@ -1377,7 +1478,9 @@ object Hevc {
   /** Decode one coding quadtree node; returns false on degrade. */
   private def decodeCqt(pic: Pic, dec: H264Cabac.Dec, cx: H264Cabac.Ctx,
       rbsp: Array[Byte], x0: Int, y0: Int, log2Size: Int,
-      depth: Int, qp: Int): Boolean = {
+      depth: Int, qp: Int,
+      refPic: Pic = null, maxMerge: Int = 5): Boolean = {
+    val sliceP = refPic != null
     val sps = pic.sps
     val size = 1 << log2Size
     val inPicR = x0 + size <= sps.width
@@ -1400,13 +1503,110 @@ object Hevc {
         val y1 = y0 + (i >> 1) * half
         if (x1 < sps.width && y1 < sps.height) {
           if (!decodeCqt(pic, dec, cx, rbsp, x1, y1, log2Size - 1,
-            depth + 1, qp)) return false
+            depth + 1, qp, refPic, maxMerge)) return false
         }
         i += 1
       }
       return true
     }
-    // ---- coding unit (intra; I slice)
+    // ---- coding unit. P slices (round 16): cu_skip_flag, then
+    // pred_mode_flag; inter CUs decode PART_2Nx2N with merge or
+    // AMVP+mvd motion, single-list single-reference MC, and an
+    // optional inter transform tree behind rqt_root_cbf. Non-2Nx2N
+    // inter partitions degrade (starter subset).
+    if (sliceP) {
+      def skipCond(px: Int, py: Int): Int = {
+        if (px < 0 || py < 0) return 0
+        val cell = (py >> 2) * pic.gw + (px >> 2)
+        if (px < sps.width && py < sps.height && pic.decoded(cell) &&
+          pic.skipF(cell)) 1 else 0
+      }
+      val skipInc = skipCond(x0 - 1, y0) + skipCond(x0, y0 - 1)
+      def readMergeIdx(): Int =
+        if (maxMerge <= 1) 0
+        else if (!dec.decision(cx, CtxMergeIdx)) 0
+        else {
+          var v = 1
+          while (v < maxMerge - 1 && dec.bypass()) v += 1
+          v
+        }
+      def mcCu(mvx: Int, mvy: Int): Unit = {
+        mcLuma(refPic, pic, x0, y0, size, size, mvx, mvy)
+        mcChroma(refPic.cb, refPic, pic.cb, pic, x0 >> 1, y0 >> 1,
+          size >> 1, size >> 1, mvx, mvy)
+        mcChroma(refPic.cr, refPic, pic.cr, pic, x0 >> 1, y0 >> 1,
+          size >> 1, size >> 1, mvx, mvy)
+      }
+      if (dec.decision(cx, CtxCuSkip + skipInc)) { // cu_skip_flag
+        val idx = readMergeIdx()
+        val (mvx, mvy) = mergeList(pic, x0, y0, size, maxMerge)(idx)
+        mcCu(mvx, mvy)
+        pic.markEdges(x0, y0, size)
+        pic.motionSet(x0, y0, size, mvx, mvy, skip = true)
+        pic.cellsSet(x0, y0, size, depth, 1) // inter reads as DC
+        return true
+      }
+      if (!dec.decision(cx, CtxPredMode)) { // pred_mode_flag: inter
+        // part_mode bin 0: PART_2Nx2N = 1; anything else degrades
+        if (!dec.decision(cx, CtxPart)) return false
+        var mvx = 0
+        var mvy = 0
+        if (dec.decision(cx, CtxMergeFlag)) {
+          val idx = readMergeIdx()
+          val m = mergeList(pic, x0, y0, size, maxMerge)(idx)
+          mvx = m._1
+          mvy = m._2
+        } else {
+          // mvd_coding (7.3.8.9; ref_idx absent with one active ref)
+          val gr0x = dec.decision(cx, CtxMvdGr0)
+          val gr0y = dec.decision(cx, CtxMvdGr0)
+          val gr1x = gr0x && dec.decision(cx, CtxMvdGr1)
+          val gr1y = gr0y && dec.decision(cx, CtxMvdGr1)
+          def readComp(gr0: Boolean, gr1: Boolean): Int = {
+            if (!gr0) return 0
+            var a = 1
+            if (gr1) { // abs_mvd_minus2: order-1 exp-Golomb, bypass
+              var k = 1
+              var sym = 0
+              while (dec.bypass()) {
+                sym += 1 << k
+                k += 1
+                if (k > 24) return Int.MinValue
+              }
+              var v = 0
+              var b = 0
+              while (b < k) {
+                v = (v << 1) | (if (dec.bypass()) 1 else 0)
+                b += 1
+              }
+              a = 2 + sym + v
+            }
+            if (dec.bypass()) -a else a
+          }
+          val adx = readComp(gr0x, gr1x)
+          val ady = readComp(gr0y, gr1y)
+          if (adx == Int.MinValue || ady == Int.MinValue) return false
+          val mvpIdx = if (dec.decision(cx, CtxMvp)) 1 else 0
+          val mvp = mvpList(pic, x0, y0, size)(mvpIdx)
+          mvx = mvp._1 + adx
+          mvy = mvp._2 + ady
+          if (mvx < -(1 << 15) || mvx >= (1 << 15) ||
+            mvy < -(1 << 15) || mvy >= (1 << 15)) return false
+        }
+        mcCu(mvx, mvy)
+        pic.markEdges(x0, y0, size)
+        pic.motionSet(x0, y0, size, mvx, mvy, skip = false)
+        pic.cellsSet(x0, y0, size, depth, 1)
+        if (dec.decision(cx, CtxRqtRoot)) { // rqt_root_cbf
+          if (!transformTree(pic, dec, cx, x0, y0, log2Size, 0,
+            -1, -1, qp, parentCbfCb = false, parentCbfCr = false,
+            blkIdx = 0, xBase = x0, yBase = y0,
+            maxDepth = sps.maxDepthInter)) return false
+        }
+        return true
+      }
+      // pred_mode_flag = intra: fall through to the intra CU path
+    }
     var partNxN = false
     if (log2Size == sps.minCbLog2) {
       // part_mode: bin 1 = PART_2Nx2N; 0 = NxN (round 15: decodes)
@@ -1577,6 +1777,9 @@ object Hevc {
     try {
       var sps: HSps = null
       var pps: HPps = null
+      var prevPoc = 0
+      var prevPic: Pic = null
+      def emit(pic: Pic): Unit = frames += cropYuv(pic)
       nals.filter(_.length >= 2).foreach { nal =>
         if (frames.size >= maxFrames) return frames.toSeq
         if ((nal(0) & 0x80) == 0) {
@@ -1586,12 +1789,27 @@ object Hevc {
             case 34 => pps = parsePps(unescape(nal, 2))
             case 19 | 20 => // IDR_W_RADL / IDR_N_LP
               if (sps == null || pps == null) return frames.toSeq
-              decodeIdrSlice(unescape(nal, 2), sps, pps) match {
-                case Some(f) => frames += f
+              decodeSlice(unescape(nal, 2), sps, pps, isIdr = true,
+                prevPoc = 0, prevPic = null) match {
+                case Some((poc, pic)) =>
+                  prevPoc = poc
+                  prevPic = pic
+                  emit(pic)
+                case None => return frames.toSeq
+              }
+            case 0 | 1 => // TRAIL_N / TRAIL_R: P slice (round 16)
+              if (sps == null || pps == null || prevPic == null)
+                return frames.toSeq
+              decodeSlice(unescape(nal, 2), sps, pps, isIdr = false,
+                prevPoc = prevPoc, prevPic = prevPic) match {
+                case Some((poc, pic)) =>
+                  prevPoc = poc
+                  prevPic = pic
+                  emit(pic)
                 case None => return frames.toSeq
               }
             case 32 | 35 | 39 | 40 => () // VPS / AUD / SEI: skip
-            case t if t < 32 => return frames.toSeq // non-IDR slice
+            case t if t < 32 => return frames.toSeq // other slices
             case _ => ()
           }
         }
@@ -1601,6 +1819,217 @@ object Hevc {
       case ParseFail => frames.toSeq
       case _: ArrayIndexOutOfBoundsException => frames.toSeq
     }
+  }
+
+  // ---------------------------------------------- inter prediction (P)
+
+  /** 8-tap luma DCT-IF per quarter-pel phase (8.5.4.2.2.1). */
+  private val LumaFilt: Array[Array[Int]] = Array(
+    Array(0, 0, 0, 64, 0, 0, 0, 0),
+    Array(-1, 4, -10, 58, 17, -5, 1, 0),
+    Array(-1, 4, -11, 40, 40, -11, 4, -1),
+    Array(0, 1, -5, 17, 58, -10, 4, -1))
+
+  /** 4-tap chroma filters per eighth-pel phase (8.5.4.2.2.2). */
+  private val ChromaFilt: Array[Array[Int]] = Array(
+    Array(0, 64, 0, 0), Array(-2, 58, 10, -2), Array(-4, 54, 16, -2),
+    Array(-6, 46, 28, -4), Array(-4, 36, 36, -4), Array(-4, 28, 46, -6),
+    Array(-2, 16, 54, -4), Array(-2, 10, 58, -2))
+
+  /** Quarter-pel luma MC of a w x h rect from `ref` into `dst` at
+    * (x0, y0): separable 8-tap chain with the 14-bit intermediate
+    * (shift1 = 0 at 8-bit, shift2 = 6) and the default uni-pred
+    * rounding (pred + 32) >> 6. Out-of-picture fetches clamp. */
+  private def mcLuma(ref: Pic, dst: Pic, x0: Int, y0: Int, w: Int,
+      h: Int, mvx: Int, mvy: Int): Unit = {
+    val xi = x0 + (mvx >> 2)
+    val yi = y0 + (mvy >> 2)
+    val fx = mvx & 3
+    val fy = mvy & 3
+    val fw = ref.sps.width
+    val fh = ref.sps.height
+    def sm(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= fw) fw - 1 else x
+      val cy = if (y < 0) 0 else if (y >= fh) fh - 1 else y
+      ref.luma(cy * ref.stride + cx)
+    }
+    if (fx == 0 && fy == 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          dst.luma((y0 + y) * dst.stride + x0 + x) = sm(xi + x, yi + y)
+          x += 1
+        }
+        y += 1
+      }
+    } else if (fy == 0) {
+      val f = LumaFilt(fx)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var acc = 0
+          var i = 0
+          while (i < 8) { acc += f(i) * sm(xi + x + i - 3, yi + y); i += 1 }
+          dst.luma((y0 + y) * dst.stride + x0 + x) = clip255((acc + 32) >> 6)
+          x += 1
+        }
+        y += 1
+      }
+    } else if (fx == 0) {
+      val f = LumaFilt(fy)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var acc = 0
+          var j = 0
+          while (j < 8) { acc += f(j) * sm(xi + x, yi + y + j - 3); j += 1 }
+          dst.luma((y0 + y) * dst.stride + x0 + x) = clip255((acc + 32) >> 6)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val fh2 = LumaFilt(fx)
+      val fv = LumaFilt(fy)
+      val tmp = new Array[Int]((h + 7) * w)
+      var ty = 0
+      while (ty < h + 7) {
+        var x = 0
+        while (x < w) {
+          var acc = 0
+          var i = 0
+          while (i < 8) { acc += fh2(i) * sm(xi + x + i - 3, yi + ty - 3); i += 1 }
+          tmp(ty * w + x) = acc
+          x += 1
+        }
+        ty += 1
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var acc = 0
+          var j = 0
+          while (j < 8) { acc += fv(j) * tmp((y + j) * w + x); j += 1 }
+          dst.luma((y0 + y) * dst.stride + x0 + x) =
+            clip255(((acc >> 6) + 32) >> 6)
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  /** Eighth-pel 4-tap chroma MC of one component (same shift
+    * structure as [[mcLuma]]); (xC, yC) in chroma units, luma MV. */
+  private def mcChroma(refP: Array[Int], refPic: Pic, dstP: Array[Int],
+      dst: Pic, xC: Int, yC: Int, wC: Int, hC: Int, mvx: Int,
+      mvy: Int): Unit = {
+    val xi = xC + (mvx >> 3)
+    val yi = yC + (mvy >> 3)
+    val fx = mvx & 7
+    val fy = mvy & 7
+    val cw = refPic.sps.width >> 1
+    val ch = refPic.sps.height >> 1
+    def sm(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= cw) cw - 1 else x
+      val cy = if (y < 0) 0 else if (y >= ch) ch - 1 else y
+      refP(cy * refPic.strideC + cx)
+    }
+    if (fx == 0 && fy == 0) {
+      var y = 0
+      while (y < hC) {
+        var x = 0
+        while (x < wC) {
+          dstP((yC + y) * dst.strideC + xC + x) = sm(xi + x, yi + y)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val tmp = new Array[Int]((hC + 3) * wC)
+      val fh2 = ChromaFilt(fx)
+      var ty = 0
+      while (ty < hC + 3) {
+        var x = 0
+        while (x < wC) {
+          var acc = 0
+          var i = 0
+          while (i < 4) { acc += fh2(i) * sm(xi + x + i - 1, yi + ty - 1); i += 1 }
+          tmp(ty * wC + x) = acc
+          x += 1
+        }
+        ty += 1
+      }
+      val fv = ChromaFilt(fy)
+      var y = 0
+      while (y < hC) {
+        var x = 0
+        while (x < wC) {
+          var acc = 0
+          var j = 0
+          while (j < 4) { acc += fv(j) * tmp((y + j) * wC + x); j += 1 }
+          dstP((yC + y) * dst.strideC + xC + x) =
+            clip255(((acc >> 6) + 32) >> 6)
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  /** Motion of the 4x4 cell covering luma sample (px, py), when that
+    * cell is decoded and inter (shared by merge and AMVP). */
+  private def motAt(pic: Pic, px: Int, py: Int): Option[(Int, Int)] =
+    if (px < 0 || py < 0 || px >= pic.sps.width || py >= pic.sps.height)
+      None
+    else {
+      val cell = (py >> 2) * pic.gw + (px >> 2)
+      if (pic.decoded(cell) && pic.interF(cell))
+        Some((pic.mvXg(cell), pic.mvYg(cell)))
+      else None
+    }
+
+  /** Spatial merge candidate list (8.5.3.2.2-.2.6; single list, one
+    * reference, PART_2Nx2N): A1 B1 B0 A0 (+B2 when < 4 so far),
+    * pairwise pruned, zero-padded to `maxCand`. Shared verbatim by
+    * the decoder and the fixture encoder. */
+  private def mergeList(pic: Pic, x0: Int, y0: Int, nCbS: Int,
+      maxCand: Int): IndexedSeq[(Int, Int)] = {
+    val a1 = motAt(pic, x0 - 1, y0 + nCbS - 1)
+    val b1 = motAt(pic, x0 + nCbS - 1, y0 - 1)
+    val b0 = motAt(pic, x0 + nCbS, y0 - 1)
+    val a0 = motAt(pic, x0 - 1, y0 + nCbS)
+    val b2 = motAt(pic, x0 - 1, y0 - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    a1.foreach(out += _)
+    b1.foreach(m => if (!a1.contains(m)) out += m)
+    b0.foreach(m => if (!b1.contains(m)) out += m)
+    a0.foreach(m => if (!a1.contains(m)) out += m)
+    if (out.length < 4)
+      b2.foreach(m => if (!a1.contains(m) && !b1.contains(m)) out += m)
+    while (out.length < maxCand) out += ((0, 0))
+    out.take(maxCand).toIndexedSeq
+  }
+
+  /** AMVP predictor pair (8.5.3.2.8; single same-ref list, no
+    * scaling): first inter of (A0, A1), first inter of (B0, B1, B2),
+    * deduped, zero-padded to 2. */
+  private def mvpList(pic: Pic, x0: Int, y0: Int,
+      nCbS: Int): IndexedSeq[(Int, Int)] = {
+    val candA = motAt(pic, x0 - 1, y0 + nCbS)
+      .orElse(motAt(pic, x0 - 1, y0 + nCbS - 1))
+    val candB = motAt(pic, x0 + nCbS, y0 - 1)
+      .orElse(motAt(pic, x0 + nCbS - 1, y0 - 1))
+      .orElse(motAt(pic, x0 - 1, y0 - 1))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    candA.foreach(out += _)
+    candB.foreach(m => if (!candA.contains(m)) out += m)
+    while (out.length < 2) out += ((0, 0))
+    out.take(2).toIndexedSeq
   }
 
   // ------------------------------------------------- deblocking (8.7.2)
@@ -1634,12 +2063,25 @@ object Hevc {
       tcOff: Int): Unit = {
     val sps = pic.sps
     val beta = BetaT(clip3(0, 51, qp + betaOff))
-    val tc = TcT(clip3(0, 53, qp + 2 + tcOff)) // bS = 2
+    val tcOf = Array( // per-bS tc (8.7.2.5.3): Q = qp + 2(bS-1)
+      0, TcT(clip3(0, 53, qp + tcOff)),
+      TcT(clip3(0, 53, qp + 2 + tcOff)))
     val qcQ = clip3(0, 53, qpC(qp) + 2 + tcOff)
     val tcC = TcT(qcQ)
     val stride = pic.stride
     val luma = pic.luma
-    def filterLumaSeg(pos0: Int, step: Int, line: Int): Unit = {
+    // round 16 (P pictures): per-edge boundary strength — 2 when
+    // either side is intra, 1 on coded coefficients or a >= 1-sample
+    // MV delta, else 0 (8.7.2.4; single list, one reference)
+    def bsAt(cellP: Int, cellQ: Int): Int =
+      if (!pic.interF(cellP) || !pic.interF(cellQ)) 2
+      else if (pic.codedF(cellP) || pic.codedF(cellQ)) 1
+      else {
+        val dx = pic.mvXg(cellP) - pic.mvXg(cellQ)
+        val dy = pic.mvYg(cellP) - pic.mvYg(cellQ)
+        if (dx <= -4 || dx >= 4 || dy <= -4 || dy >= 4) 1 else 0
+      }
+    def filterLumaSeg(pos0: Int, step: Int, line: Int, tc: Int): Unit = {
       // pos0 = q0 of segment line 0; p side at pos - step
       def p(i: Int, l: Int) = luma(pos0 + l * line - (i + 1) * step)
       def q(i: Int, l: Int) = luma(pos0 + l * line + i * step)
@@ -1729,12 +2171,15 @@ object Hevc {
           val marked = if (vert == 0) pic.vE(y4 * gw + x4)
             else pic.hE(y4 * gw + x4)
           if (marked) {
-            val pos0 =
-              if (vert == 0) (y4 * 4) * stride + x4 * 4
-              else (y4 * 4) * stride + x4 * 4
-            filterLumaSeg(pos0,
-              if (vert == 0) 1 else stride,
-              if (vert == 0) stride else 1)
+            val cellQ = y4 * gw + x4
+            val cellP = if (vert == 0) cellQ - 1 else cellQ - gw
+            val bs = bsAt(cellP, cellQ)
+            if (bs > 0) {
+              val pos0 = (y4 * 4) * stride + x4 * 4
+              filterLumaSeg(pos0,
+                if (vert == 0) 1 else stride,
+                if (vert == 0) stride else 1, tcOf(bs))
+            }
           }
           x4 += 1
         }
@@ -1750,8 +2195,13 @@ object Hevc {
       while (y4 < (sps.height >> 2)) {
         var x4 = 0
         while (x4 < (sps.width >> 2)) {
-          val marked = if (vert == 0) pic.vE(y4 * gw + x4) && (x4 & 3) == 0
+          val markedE = if (vert == 0) pic.vE(y4 * gw + x4) && (x4 & 3) == 0
             else pic.hE(y4 * gw + x4) && (y4 & 3) == 0
+          val marked = markedE && {
+            val cellQ = y4 * gw + x4
+            val cellP = if (vert == 0) cellQ - 1 else cellQ - gw
+            bsAt(cellP, cellQ) == 2 // chroma: intra edges only
+          }
           if (marked) {
             val cx = x4 * 2
             val cy = y4 * 2
@@ -1924,20 +2374,54 @@ object Hevc {
     }
   }
 
-  private def decodeIdrSlice(rbsp: Array[Byte], sps: HSps,
-      pps: HPps): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] = {
+  private def decodeSlice(rbsp: Array[Byte], sps: HSps, pps: HPps,
+      isIdr: Boolean, prevPoc: Int,
+      prevPic: Pic): Option[(Int, Pic)] = {
     try {
       val br = new BitReader(rbsp)
       if (br.bit() != 1) return None // first_slice_segment_in_pic
-      br.bit() // no_output_of_prior_pics (IRAP)
+      if (isIdr) br.bit() // no_output_of_prior_pics (IRAP only)
       if (br.ue() != pps.id) return None // slice_pic_parameter_set_id
-      if (br.ue() != 2) return None // slice_type: I only
+      val sliceType = br.ue()
+      var poc = 0
+      var maxMerge = 5
+      if (isIdr) {
+        if (sliceType != 2) return None // IDR: I only
+      } else {
+        // round 16 (P slices): POC lsb + a slice-header short-term
+        // RPS naming exactly the previous picture; B and multi-ref
+        // shapes degrade (starter subset)
+        if (sliceType != 1) return None
+        poc = br.bits(sps.log2MaxPoc) // lsb == poc (no wrap handling:
+        // a wrap fails the RPS delta check below and degrades)
+        if (br.bit() != 0) return None // short_term_ref_pic_set_sps
+        val numNeg = br.ue()
+        val numPos = br.ue()
+        if (numNeg != 1 || numPos != 0) return None
+        val deltaPoc = br.ue() + 1 // delta_poc_s0_minus1
+        if (br.bit() != 1) return None // used_by_curr_pic_s0
+        if (prevPic == null || prevPoc != poc - deltaPoc) return None
+        if (sps.tmvp && br.bit() == 1) return None // slice TMVP: out
+        // of the subset (collocated syntax would follow)
+      }
       // round 16: SAO slice switches (7.3.6.1)
       var saoL = false
       var saoC = false
       if (sps.saoOn) {
         saoL = br.bit() == 1
         saoC = br.bit() == 1
+      }
+      if (!isIdr) {
+        // num_ref_idx_active_override (one active L0 ref only)
+        val active =
+          if (br.bit() == 1) br.ue() + 1
+          else pps.numRefL0Def
+        if (active != 1) return None
+        // pps lists_modification is refused; NumPocTotalCurr == 1
+        // keeps the modification block absent regardless (7.3.6.1)
+        // cabac_init_flag absent (pps cabac_init_present refused)
+        maxMerge = 5 - br.ue() // five_minus_max_num_merge_cand
+        if (maxMerge < 1 || maxMerge > 5) return None
       }
       val qp = pps.initQp + br.se()
       if (qp < 0 || qp > 51) return None
@@ -1949,7 +2433,8 @@ object Hevc {
       if (br.bit() != 1) return None // alignment_bit_equal_to_one
       while ((br.pos & 7) != 0) if (br.bit() != 0) return None
       val pic = new Pic(sps)
-      val cx = new H264Cabac.Ctx(qp, InitPairs)
+      val cx = new H264Cabac.Ctx(qp,
+        if (isIdr) InitPairs else InitPairsP)
       val dec = new H264Cabac.Dec(rbsp, br.pos)
       if (!dec.valid) return None
       val nCtbs = pic.ctbW * pic.ctbH
@@ -1965,8 +2450,9 @@ object Hevc {
         val y0 = (ctu / pic.ctbW) << sps.ctbLog2
         if ((saoL || saoC) &&
           !parseSao(pic, dec, cx, ctu, saoL, saoC)) return None
-        if (!decodeCqt(pic, dec, cx, rbsp, x0, y0, sps.ctbLog2, 0, qp))
-          return None
+        if (!decodeCqt(pic, dec, cx, rbsp, x0, y0, sps.ctbLog2, 0, qp,
+          refPic = if (isIdr) null else prevPic,
+          maxMerge = maxMerge)) return None
         ctu += 1
         end = dec.terminate() // end_of_slice_segment_flag
         if (!end && ctu >= nCtbs) return None
@@ -1986,43 +2472,49 @@ object Hevc {
         if (sps.pcmLfOff && pic.hasPcm) return None
         applySao(pic)
       }
-      // crop the coded plane to the conformance window (CTB padding
-      // AND the SPS conf_win offsets, ADVICE r14)
-      val ow = sps.outW
-      val oh = sps.outH
-      val out =
-        if (pic.stride == ow && pic.planeH == oh) pic.luma
-        else {
-          val o = new Array[Int](ow * oh)
-          var y = 0
-          while (y < oh) {
-            System.arraycopy(pic.luma,
-              (y + sps.cropT) * pic.stride + sps.cropL, o, y * ow, ow)
-            y += 1
-          }
-          o
-        }
-      def cropC(plane: Array[Int]): Array[Int] = {
-        val cw = ow >> 1
-        val ch = oh >> 1
-        if (pic.strideC == cw && pic.planeHC == ch) plane
-        else {
-          val o = new Array[Int](cw * ch)
-          var y = 0
-          while (y < ch) {
-            System.arraycopy(plane,
-              (y + (sps.cropT >> 1)) * pic.strideC + (sps.cropL >> 1),
-              o, y * cw, cw)
-            y += 1
-          }
-          o
-        }
-      }
-      Some((ow, oh, out, cropC(pic.cb), cropC(pic.cr)))
+      Some((poc, pic))
     } catch {
       case ParseFail => None
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  /** Conformance-window crop of a decoded picture's three planes
+    * (CTB padding AND the SPS conf_win offsets, ADVICE r14). */
+  private def cropYuv(pic: Pic
+      ): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    val sps = pic.sps
+    val ow = sps.outW
+    val oh = sps.outH
+    val out =
+      if (pic.stride == ow && pic.planeH == oh) pic.luma
+      else {
+        val o = new Array[Int](ow * oh)
+        var y = 0
+        while (y < oh) {
+          System.arraycopy(pic.luma,
+            (y + sps.cropT) * pic.stride + sps.cropL, o, y * ow, ow)
+          y += 1
+        }
+        o
+      }
+    def cropC(plane: Array[Int]): Array[Int] = {
+      val cw = ow >> 1
+      val ch = oh >> 1
+      if (pic.strideC == cw && pic.planeHC == ch) plane
+      else {
+        val o = new Array[Int](cw * ch)
+        var y = 0
+        while (y < ch) {
+          System.arraycopy(plane,
+            (y + (sps.cropT >> 1)) * pic.strideC + (sps.cropL >> 1),
+            o, y * cw, cw)
+          y += 1
+        }
+        o
+      }
+    }
+    (ow, oh, out, cropC(pic.cb), cropC(pic.cr))
   }
 
   // ---------------------------------------------------------------- encode
@@ -2576,6 +3068,161 @@ object Hevc {
     drain()
     bw.alignZero() // flush's final '1' was the rbsp stop bit
     nalUnit(19, bw.result()) // IDR_W_RADL
+  }
+
+  /** P-slice CU vocabulary (round 16): one 16x16 CU per CTU. */
+  sealed trait PCu
+  /** cu_skip: merge candidate `idx`'s motion, no residual. */
+  final case class HPSkip(idx: Int = 0) extends PCu
+  /** Explicit motion (AMVP predictor 0 + mvd), quarter-pel luma MV,
+    * optional 16x16-DC residual (at qp 28 coefficient c adds exactly
+    * c per sample). */
+  final case class HPMv(mvx: Int, mvy: Int, dc: Int = 0) extends PCu
+  /** merge_flag = 1 with candidate `idx`, optional DC residual. */
+  final case class HPMerge(idx: Int, dc: Int = 0) extends PCu
+
+  /** One P slice (TRAIL_R) over 16x16 inter CUs, referencing the
+    * previous picture through a slice-header RPS at `pocDelta`. The
+    * shadow Pic drives the SAME merge/AMVP derivations and contexts
+    * as the decoder. */
+  def pSliceNal(ctbW: Int, ctbH: Int, cu: Int => PCu, qp: Int,
+      poc: Int, pocDelta: Int = 1): Array[Byte] = {
+    require(qp >= 0 && qp <= 51 && poc >= 1 && pocDelta >= 1)
+    val sps = HSps(ctbW * 16, ctbH * 16, 4, 3, 4, 2,
+      pcmEnabled = true, pcmMinLog2 = 3, pcmMaxLog2 = 4,
+      log2MaxPoc = 4)
+    val pic = new Pic(sps)
+    val bw = new BitWriter
+    bw.put(1, 1) // first_slice_segment_in_pic
+    bw.putUe(0) // pps id
+    bw.putUe(1) // slice_type P
+    bw.put(poc & 15, 4) // slice_pic_order_cnt_lsb (log2 = 4)
+    bw.put(0, 1) // short_term_ref_pic_set_sps_flag
+    bw.putUe(1) // num_negative_pics
+    bw.putUe(0) // num_positive_pics
+    bw.putUe(pocDelta - 1) // delta_poc_s0_minus1
+    bw.put(1, 1) // used_by_curr_pic_s0
+    bw.put(1, 1) // num_ref_idx_active_override
+    bw.putUe(0) // num_ref_idx_l0_active_minus1 -> 1
+    bw.putUe(0) // five_minus_max_num_merge_cand -> 5
+    bw.putSe(0) // slice_qp_delta
+    bw.put(1, 1) // byte alignment: one bit
+    bw.alignZero()
+    val cx = new H264Cabac.Ctx(qp, InitPairsP)
+    val enc = new H264Cabac.Enc
+    def drain(): Unit = enc.drain(b => bw.put(b, 1))
+    val maxMerge = 5
+    def putMergeIdx(idx: Int): Unit = {
+      require(idx >= 0 && idx < maxMerge, s"merge idx $idx")
+      enc.decision(cx, CtxMergeIdx, idx > 0)
+      if (idx > 0) {
+        var k = 1
+        while (k < idx) { enc.bypass(bin = true); k += 1 }
+        if (idx < maxMerge - 1) enc.bypass(bin = false)
+      }
+    }
+    def putMvdComp(d: Int): Unit = { // one mvd component's gr1+tail
+      val a = math.abs(d)
+      if (a > 0) {
+        if (a > 1) { // abs_mvd_minus2: EG1 bypass
+          var v = a - 2
+          var k = 1
+          while (v >= (1 << k)) { enc.bypass(bin = true); v -= 1 << k; k += 1 }
+          enc.bypass(bin = false)
+          var b = k - 1
+          while (b >= 0) { enc.bypass(((v >> b) & 1) == 1); b -= 1 }
+        }
+        enc.bypass(d < 0) // mvd_sign
+      }
+    }
+    val nCtbs = ctbW * ctbH
+    var t = 0
+    while (t < nCtbs) {
+      val x0 = (t % ctbW) << 4
+      val y0 = (t / ctbW) << 4
+      def splitCtx: Int = {
+        val condL = if (pic.avail(x0 - 1, y0) &&
+          pic.depth((y0 >> 2) * pic.gw + ((x0 - 1) >> 2)) > 0) 1 else 0
+        val condA = if (pic.avail(x0, y0 - 1) &&
+          pic.depth(((y0 - 1) >> 2) * pic.gw + (x0 >> 2)) > 0) 1 else 0
+        condL + condA
+      }
+      def skipCond(px: Int, py: Int): Int =
+        if (px >= 0 && py >= 0 && px < sps.width && py < sps.height &&
+          pic.decoded((py >> 2) * pic.gw + (px >> 2)) &&
+          pic.skipF((py >> 2) * pic.gw + (px >> 2))) 1 else 0
+      val skipInc = skipCond(x0 - 1, y0) + skipCond(x0, y0 - 1)
+      cu(t) match {
+        case HPSkip(idx) =>
+          enc.decision(cx, CtxSplit0 + splitCtx, bin = false)
+          enc.decision(cx, CtxCuSkip + skipInc, bin = true)
+          putMergeIdx(idx)
+          val m = mergeList(pic, x0, y0, 16, maxMerge)(idx)
+          pic.motionSet(x0, y0, 16, m._1, m._2, skip = true)
+          pic.cellsSet(x0, y0, 16, 0, 1)
+        case HPMerge(idx, dc) =>
+          enc.decision(cx, CtxSplit0 + splitCtx, bin = false)
+          enc.decision(cx, CtxCuSkip + skipInc, bin = false)
+          enc.decision(cx, CtxPredMode, bin = false) // inter
+          enc.decision(cx, CtxPart, bin = true) // PART_2Nx2N
+          enc.decision(cx, CtxMergeFlag, bin = true)
+          putMergeIdx(idx)
+          val m = mergeList(pic, x0, y0, 16, maxMerge)(idx)
+          pic.motionSet(x0, y0, 16, m._1, m._2, skip = false)
+          pic.cellsSet(x0, y0, 16, 0, 1)
+          enc.decision(cx, CtxRqtRoot, dc != 0)
+          if (dc != 0) {
+            enc.decision(cx, CtxCbfC, bin = false) // cbf_cb
+            enc.decision(cx, CtxCbfC, bin = false) // cbf_cr
+            // cbf_luma inferred 1 (inter, depth 0, no chroma cbf)
+            val coef = new Array[Int](256)
+            coef(0) = dc
+            putResidual(enc, cx, 4, 0, coef)
+          }
+        case HPMv(mvx, mvy, dc) =>
+          enc.decision(cx, CtxSplit0 + splitCtx, bin = false)
+          enc.decision(cx, CtxCuSkip + skipInc, bin = false)
+          enc.decision(cx, CtxPredMode, bin = false) // inter
+          enc.decision(cx, CtxPart, bin = true) // PART_2Nx2N
+          enc.decision(cx, CtxMergeFlag, bin = false)
+          val mvp = mvpList(pic, x0, y0, 16)(0)
+          val dx = mvx - mvp._1
+          val dy = mvy - mvp._2
+          enc.decision(cx, CtxMvdGr0, dx != 0)
+          enc.decision(cx, CtxMvdGr0, dy != 0)
+          if (dx != 0) enc.decision(cx, CtxMvdGr1, math.abs(dx) > 1)
+          if (dy != 0) enc.decision(cx, CtxMvdGr1, math.abs(dy) > 1)
+          putMvdComp(dx)
+          putMvdComp(dy)
+          enc.decision(cx, CtxMvp, bin = false) // mvp_l0_flag = 0
+          pic.motionSet(x0, y0, 16, mvx, mvy, skip = false)
+          pic.cellsSet(x0, y0, 16, 0, 1)
+          enc.decision(cx, CtxRqtRoot, dc != 0)
+          if (dc != 0) {
+            enc.decision(cx, CtxCbfC, bin = false)
+            enc.decision(cx, CtxCbfC, bin = false)
+            val coef = new Array[Int](256)
+            coef(0) = dc
+            putResidual(enc, cx, 4, 0, coef)
+          }
+      }
+      t += 1
+      enc.terminate(t == nCtbs) // end_of_slice_segment_flag
+    }
+    drain()
+    bw.alignZero()
+    nalUnit(1, bw.result()) // TRAIL_R
+  }
+
+  /** Annex-B HEVC I + P stream: SPS + PPS + IDR + one P slice per
+    * entry (decode order, each referencing the previous picture). */
+  def encodeIPStream(ctbW: Int, ctbH: Int, iCtu: Int => Ctu,
+      pFrames: Seq[Int => PCu], qp: Int = 28): Array[Byte] = {
+    val sep = Array[Byte](0, 0, 0, 1)
+    encodeIFrame(ctbW, ctbH, iCtu, qp) ++
+      pFrames.zipWithIndex.flatMap { case (f, k) =>
+        sep ++ pSliceNal(ctbW, ctbH, f, qp, poc = k + 1)
+      }
   }
 
   /** Annex-B HEVC I-frame: SPS + PPS + IDR over 16-px CTUs. */

@@ -1317,6 +1317,71 @@ object MultimodalQueries {
              |  AND cm.filter = m.filter
              |ORDER BY id, m.filter""".stripMargin)),
 
+    // HEVC P-SLICE decode under the oracle gate (round 16, VERDICT
+    // r15 #7): a 32x16 two-CTU I picture (flat PCM a | b) followed by
+    // two P slices over slice-header RPS references — P1: an explicit
+    // zero-MV CU with a 16x16-DC residual (+c1 at qp 28) beside a
+    // merge-skip CU (A1 inherits the zero motion -> copy); P2: a skip
+    // CU (copy of P1) beside an integer-MV +2-sample CU with +c2 on
+    // flat content (the shift is invisible on a flat quadrant, the
+    // residual is not). DuckDB replays all three frames closed-form;
+    // one wrong merge candidate, mvd bin, MC tap or dequant anywhere
+    // shifts a quadrant and breaks the hash.
+    Q("multimodal_hevc_inter",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val a = ((id * 7) % 170).toInt + 30
+            val b = ((id * 13) % 170).toInt + 30
+            val c1 = (id % 9).toInt - 4
+            val c2 = ((id / 3) % 9).toInt - 4
+            val es = graft.ext.Hevc.encodeIPStream(2, 1,
+              i => graft.ext.Hevc.Leaf(graft.ext.Hevc.HPcm(
+                (_, _) => if (i == 0) a else b)),
+              Seq(
+                i => if (i == 0) graft.ext.Hevc.HPMv(0, 0, dc = c1)
+                else graft.ext.Hevc.HPSkip(0),
+                i => if (i == 0) graft.ext.Hevc.HPSkip(0)
+                else graft.ext.Hevc.HPMv(8, 0, dc = c2)))
+            graft.ext.Hevc.decodeFramesYuv(es, 4).zipWithIndex.map {
+              case ((w, h, luma, _, _), fi) =>
+                var sum = 0.0
+                var sq = 0.0
+                luma.foreach { v => sum += v; sq += v.toDouble * v }
+                val n = math.max(1, luma.length)
+                val mean = sum / n
+                (id, (fi + 1).toLong, w.toLong, h.toLong, mean,
+                  math.sqrt(math.max(0.0, sq / n - mean * mean)))
+            }
+          })
+          .toDF("id", "frame", "width", "height", "m", "sd")
+          .select(col("id"), col("frame"), col("width"), col("height"),
+            round(col("m"), 6).as("mean_gray"),
+            round(col("sd"), 6).as("std_gray"))
+          .orderBy("id", "frame")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (doc_id*7) % 170 + 30 AS a,
+             |    (doc_id*13) % 170 + 30 AS b,
+             |    (doc_id % 9) - 4 AS c1,
+             |    ((doc_id // 3) % 9) - 4 AS c2
+             |  FROM documents),
+             |v(doc_id, frame, va, vb) AS (
+             |  SELECT doc_id, 1, a, b FROM p
+             |  UNION ALL SELECT doc_id, 2, a + c1, b FROM p
+             |  UNION ALL SELECT doc_id, 3, a + c1, b + c2 FROM p),
+             |m AS (SELECT doc_id, frame,
+             |    (va + vb) / 2.0 AS mean_g,
+             |    CAST(va*va + vb*vb AS DOUBLE) / 2.0 AS meansq_g
+             |  FROM v)
+             |SELECT doc_id AS id, CAST(frame AS BIGINT) AS frame,
+             |  CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  round(mean_g, 6) AS mean_gray,
+             |  round(sqrt(meansq_g - mean_g*mean_g), 6) AS std_gray
+             |FROM m ORDER BY id, frame""".stripMargin)),
+
     // H.264 CHROMA reconstruction under the oracle gate (round 14,
     // VERDICT r13 #3): a 2x1 picture — MB0 = I16Dc(z0, chroma DC +1
     // at tz): at QPc 28 the lone 2x2 DC coefficient adds exactly ±2

@@ -568,4 +568,105 @@ class HevcSpec extends AnyFunSuite {
       assert(luma(y * 32 + x) == want(x),
         s"($x,$y): ${luma(y * 32 + x)} != ${want(x)}")
   }
+
+  test("P slice (round 16): skip CUs copy the reference; an explicit " +
+      "zero-MV CU with a 16x16 DC adds exactly c at qp 28") {
+    import graft.ext.Hevc._
+    val es = encodeIPStream(1, 1,
+      _ => Leaf(HPcm((x, y) => 40 + 3 * x + y,
+        (x, y) => 60 + 2 * x, (x, y) => 200 - 2 * y)),
+      Seq(_ => HPMv(0, 0, dc = 5), _ => HPSkip(0)))
+    val fs = Hevc.decodeFramesYuv(es, 4)
+    assert(fs.length == 3, s"frames: ${fs.length}")
+    val i0 = fs(0)
+    val p1 = fs(1)
+    val p2 = fs(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(p1._3(y * 16 + x) == i0._3(y * 16 + x) + 5,
+        s"P1 ($x,$y): ${p1._3(y * 16 + x)}")
+      assert(p2._3(y * 16 + x) == p1._3(y * 16 + x), s"P2 ($x,$y)")
+    }
+    // chroma rides the zero-MV copy untouched (no chroma residual)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert(p1._4(y * 8 + x) == i0._4(y * 8 + x), s"cb ($x,$y)")
+      assert(p2._5(y * 8 + x) == i0._5(y * 8 + x), s"cr ($x,$y)")
+    }
+  }
+
+  test("P slice integer-MV motion: a +2-sample shift reads the " +
+      "reference with right-edge clamp") {
+    import graft.ext.Hevc._
+    val es = encodeIPStream(1, 1,
+      _ => Leaf(HPcm((x, _) => 40 + 10 * x)),
+      Seq(_ => HPMv(8, 0))) // +2 luma samples
+    val fs = Hevc.decodeFramesYuv(es, 4)
+    assert(fs.length == 2)
+    val ref = fs(0)._3
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val sx = math.min(15, x + 2)
+      assert(p(y * 16 + x) == ref(y * 16 + sx),
+        s"($x,$y): ${p(y * 16 + x)} != ${ref(y * 16 + sx)}")
+    }
+  }
+
+  test("P slice half-pel MC: the 8-tap filter lands on the exact " +
+      "midpoint of a slope-2 ramp (interior columns)") {
+    import graft.ext.Hevc._
+    val es = encodeIPStream(2, 1,
+      i => Leaf(HPcm((x, _) => 40 + 2 * (x + 16 * i))),
+      Seq(_ => HPMv(2, 0))) // half-pel horizontal
+    val fs = Hevc.decodeFramesYuv(es, 4)
+    assert(fs.length == 2)
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 4 until 27) // away from clamp regions
+      assert(p(y * 32 + x) == 40 + 2 * x + 1,
+        s"($x,$y): ${p(y * 32 + x)} != ${40 + 2 * x + 1}")
+  }
+
+  test("P slice merge: a skip CU inherits its left neighbor's " +
+      "explicit motion through candidate A1") {
+    import graft.ext.Hevc._
+    // CTU0 carries mv (+8, 0) = +2 samples; CTU1 = skip idx 0 whose
+    // A1 candidate is CTU0's motion -> both shift by +2
+    val es = encodeIPStream(2, 1,
+      i => Leaf(HPcm((x, _) => ((x + 16 * i) * 7) % 200)),
+      Seq(i => if (i == 0) HPMv(8, 0) else HPSkip(0)))
+    val fs = Hevc.decodeFramesYuv(es, 4)
+    assert(fs.length == 2)
+    val ref = fs(0)._3
+    val p = fs(1)._3
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val sx = math.min(31, x + 2)
+      assert(p(y * 32 + x) == ref(y * 32 + sx),
+        s"($x,$y): ${p(y * 32 + x)} != ${ref(y * 32 + sx)}")
+    }
+  }
+
+  test("P-slice corruption fuzz: 120 mutations of an I-P stream " +
+      "degrade or truncate, never throw") {
+    import graft.ext.Hevc._
+    val base = encodeIPStream(2, 1,
+      i => Leaf(HPcm((x, y) => (40 + 3 * x + 5 * y + i) % 250)),
+      Seq(_ => HPMv(5, -3, dc = 2), i => HPSkip(i % 2)))
+    val rnd = new java.util.Random(0x9E5C)
+    for (t <- 0 until 120) {
+      val m = base.clone()
+      t % 3 match {
+        case 0 =>
+          val i = rnd.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+          assert(Hevc.decodeFramesLuma(m, 4).length <= 4)
+        case 1 =>
+          val cut = 1 + rnd.nextInt(m.length - 1)
+          assert(Hevc.decodeFramesLuma(m.take(cut), 4).length <= 4)
+        case _ =>
+          val at = rnd.nextInt(m.length)
+          val len = math.min(1 + rnd.nextInt(8), m.length - at)
+          var i = 0
+          while (i < len) { m(at + i) = rnd.nextInt(256).toByte; i += 1 }
+          assert(Hevc.decodeFramesLuma(m, 4).length <= 4)
+      }
+    }
+  }
 }
