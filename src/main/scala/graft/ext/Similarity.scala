@@ -744,12 +744,17 @@ object Similarity {
     * so consumers read it through tolerance contracts
     * ([[procrustesAudit]]), never bitwise pins. */
   def fitProcrustes(a: DataFrame, b: DataFrame, idCol: String,
-      vecCol: String): Array[Array[Double]] = {
-    val paired = a.select(col(idCol).as("__id"),
+      vecCol: String): Array[Array[Double]] =
+    fitProcrustesPaired(a.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__va"))
       .join(b.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__vb")), "__id")
-      .select("__va", "__vb")
+      .select("__va", "__vb"))
+
+  /** [[fitProcrustes]] over an already-joined (__va, __vb) pair frame —
+    * lets [[procrustesAudit]] pay the id equi-join ONCE for the fit
+    * pass and the residual pass instead of twice. */
+  private def fitProcrustesPaired(paired: DataFrame): Array[Array[Double]] = {
     val spark = paired.sparkSession
     import spark.implicits._
     val ds = paired.as[(Seq[Double], Seq[Double])]
@@ -793,7 +798,18 @@ object Similarity {
     * class); everything around it is one join + one aggregate. */
   def procrustesAudit(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val wMat = fitProcrustes(a, b, idCol, vecCol)
+    // ONE id equi-join feeds both the fit's outer-product pass and the
+    // residual aggregate (r17: the audit used to run the join — and
+    // snapshot B's derivation — twice). persist() scopes to this call:
+    // both consumers are actions inside it, and the cache is released
+    // before returning, so every bench run still pays the real build.
+    val paired = a.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__va"))
+      .join(b.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__vb")), "__id")
+      .persist()
+    val wMat = try fitProcrustesPaired(paired.select("__va", "__vb"))
+      catch { case e: Throwable => paired.unpersist(false); throw e }
     val dim = wMat.length
     var maxDev = 0.0
     var i = 0
@@ -819,16 +835,13 @@ object Similarity {
       }
       acc
     })
-    val paired = a.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__va"))
-      .join(b.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__vb")), "__id")
-    val sums = paired.agg(
+    val sums = try paired.agg(
       count(lit(1)).as("n"),
       sum(expr("""aggregate(zip_with(__va, __vb,
           (x, y) -> cast(round((y - x) * (y - x) * 1e6) as bigint)),
         0L, (acc, q) -> acc + q)""")).as("pre"),
       sum(postRes(col("__va"), col("__vb"))).as("post")).head()
+      finally paired.unpersist(false)
     val (n, pre, post) = (sums.getLong(0), sums.getLong(1), sums.getLong(2))
     val spark = a.sparkSession
     import spark.implicits._

@@ -56,7 +56,15 @@ object Profile {
     val cells = df.groupBy(cellCols.map(col): _*)
       .agg(sum(col(sizeCol)).as("bytes"))
     val plan = compactionPlan(cells, cellCols, "bytes", targetBytes)
+    // the documented "one shuffle onto the bin key": without it the
+    // write inherits the SCAN's partitioning (often one task for a
+    // small input; at 100 TB, input-file-aligned tasks), so a single
+    // writer emits every bin's file sequentially and each task that
+    // holds k bins opens k files. Hash-distributing by bin gives a
+    // parallel write with exactly one file per bin (guide §6: cluster
+    // by the partition key before a partitioned write).
     df.join(plan.select(cellCols.map(col) :+ col("bin"): _*), cellCols)
+      .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
       .groupBy(col("bin").cast("long").as("bin"))
@@ -86,6 +94,12 @@ object Profile {
       outDir: String): DataFrame = {
     df.withColumn("__ym",
         (year(col(tsCol)) * 100 + month(col(tsCol))).cast("int"))
+      // shuffle onto the partition key before the partitioned write:
+      // the source scan is one task per input split, so without this
+      // one writer emits all ~|months| files sequentially (and every
+      // task holding m months opens m files). Hash-distribution by ym
+      // writes months in parallel, one file per month (guide §6).
+      .repartition(col("__ym"))
       .write.mode("overwrite").partitionBy("__ym").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
       .groupBy(col("__ym").cast("long").as("ym"))

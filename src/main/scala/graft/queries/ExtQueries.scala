@@ -240,7 +240,29 @@ object ExtQueries {
       timed("setup_series_pass") {
         graft.queries.CoreQueries.eventSeries(s, dir).count()
         ()
-      })
+      },
+      // r17: the quality frame (stopword fold over every doc) and the
+      // NB classifier train+score frame are now Memo'd shared passes —
+      // five and two registry consumers respectively; built here so
+      // their consumers report the steady serving cost and the
+      // ingest-shaped builds are harness-accounted (the lm-pass rule,
+      // VERDICT r12 #1a). The NB build consumes the quality frame (its
+      // weak label) and the Memo'd tf pass, so the order matters.
+      timed("setup_quality_pass") {
+        graft.ext.TextOps.quality(
+          Tables.documents(s, dir), "doc_id", "text").count()
+        ()
+      },
+      timed("setup_nb_pass") { nbScored(s, dir).count(); () })
+  }
+
+  /** The NB classifier score frame both classifier queries consume —
+    * ONE definition so their Memo keys coincide by construction. */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = TextOps.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
+    TextOps.nbQuality(docs, "doc_id", "text", labels)
   }
 
   /** Shared DuckDB CTEs: cosine-LSH candidate pairs ≥ 0.45 over
@@ -3166,12 +3188,7 @@ object ExtQueries {
     // algebra, so the driver oracle checks the MODEL, not just the
     // plumbing. Rides the Memo'd (id,w,tf) pass of the TF-IDF family.
     Q("text_quality_classifier",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val labels = TextOps.quality(docs, "doc_id", "text")
-          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
-        TextOps.nbQuality(docs, "doc_id", "text", labels).orderBy("doc_id")
-      },
+      (s, dir) => nbScored(s, dir).orderBy("doc_id"),
       Some(s"""WITH lab AS (SELECT doc_id,
               |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
               |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
@@ -3211,15 +3228,9 @@ object ExtQueries {
     // one-partition-window anti-pattern); per-bin fractions are exact
     // count divisions.
     Q("text_classifier_lift",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val labels = TextOps.quality(docs, "doc_id", "text")
-          .select(col("doc_id"), (col("stopword_ratio") >= 0.03).as("label"))
-        TextOps.classifierLift(
-          TextOps.nbQuality(docs, "doc_id", "text", labels),
+      (s, dir) => TextOps.classifierLift(nbScored(s, dir),
           "nb_score", "label_weak", 8)
-          .orderBy("bin")
-      },
+        .orderBy("bin"),
       Some(s"""WITH lab AS (SELECT doc_id,
               |    round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
               |        w -> list_contains(${TextOps.stopwordArraySql}, w)))
