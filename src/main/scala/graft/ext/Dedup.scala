@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-(session, corpus) cache of the LSH prep frame's (min, max)
+    * dimension row — bounded by distinct call sites per session. */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.Row]
+
   /** Exact duplicate groups keyed by md5 of the raw text. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
@@ -805,8 +810,14 @@ object Dedup {
         .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v")))))
     // derive + validate the vector dimension in one tiny aggregate: an
     // empty table yields an empty pair frame (not a head() crash), and
-    // ragged dimensions fail loudly instead of silently mis-projecting
-    val dimRow = e.agg(min(size(col("v"))).as("mn"), max(size(col("v"))).as("mx")).head()
+    // ragged dimensions fail loudly instead of silently mis-projecting.
+    // r17: the (min, max) row is cached per (session, corpus) beside
+    // the Memo'd prep frame — deterministic input makes it a constant,
+    // and re-deriving it cost one aggregate job per invocation.
+    val dimKey = s"${System.identityHashCode(spark)}|coslshdim|$idCol|$vecCol|" +
+      s"${emb.queryExecution.logical.semanticHash()}"
+    val dimRow = dimCache.computeIfAbsent(dimKey, _ =>
+      e.agg(min(size(col("v"))).as("mn"), max(size(col("v"))).as("mx")).head())
     if (dimRow.isNullAt(0))
       return e.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cosine")).limit(0)

@@ -4537,8 +4537,12 @@ object H264 {
   /** Table 9-43: ctxIdxInc per scan position for the 8x8
     * last_significant_coeff_flag (frame coded). */
   private val LastMap8: Array[Int] = Array(
+    // r17 (ADVICE r16 #1): entries 22-23 were 2 — the public
+    // last_coeff_flag_offset_8x8 table keeps inc 1 through scan 23 and
+    // starts 2 at 24; the shared-map encoder masked the slip locally,
+    // but a wild stream with a last coefficient at scan 22-23 desynced.
     0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
     2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
     4, 4, 4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 6, 7, 8)
 

@@ -535,7 +535,13 @@ object Hevc {
     // the decoded subset (degrade, never mis-dequant)
     if (br.se() != 0 || br.se() != 0) throw ParseFail // cb/cr qp offsets
     if (br.bit() == 1) throw ParseFail // slice_chroma_qp_offsets
-    br.bit(); br.bit() // weighted pred flags (I-only: unused)
+    // r17 (ADVICE r16 #2): weighted_pred_flag=1 puts pred_weight_table()
+    // in every P slice header, which the header parser does not read —
+    // the stream would silently desync instead of degrading. Fence it
+    // like the other unsupported tools now that P slices decode.
+    // weighted_bipred stays ignorable: B slices are refused earlier.
+    if (br.bit() == 1) throw ParseFail // weighted_pred (P header unparsed)
+    br.bit() // weighted_bipred (B slices refused)
     if (br.bit() == 1) throw ParseFail // transquant_bypass
     if (br.bit() == 1) throw ParseFail // tiles_enabled
     if (br.bit() == 1) throw ParseFail // entropy_coding_sync (WPP)

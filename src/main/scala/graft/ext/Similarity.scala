@@ -1118,16 +1118,25 @@ object Similarity {
       explode(col("__bands")).as("b"))
       .select(col("id"), col("__code"), col("b.bi").as("bi"),
         col("b.bv").as("bv"))
-    val cand = bnd.as("x").join(bnd.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.__code").as("__ca"), col("y.__code").as("__cb"))
-      .distinct()
-    val verified = cand.withColumn("hamming", expr(
-        """CAST(aggregate(zip_with(__ca, __cb, (a, b) -> bit_count(a ^ b)),
-          |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
-      .filter(col("hamming") <= radius)
+    // Memo'd (r17): the verified within-radius pair set is consumed by
+    // TWO registry queries — the pair diagnosis and the dedup-groups
+    // closure built on the same edges — each of which used to re-run
+    // the band self-join + popcount verify. Build once per
+    // (corpus, radius); the id-join for cosine and the components
+    // closure stay per-run work.
+    val verified = graft.queries.Memo.cached(emb.sparkSession, s"bandham|" +
+      s"$idCol|$vecCol|$radius|${emb.queryExecution.logical.semanticHash()}") {
+      bnd.as("x").join(bnd.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.__code").as("__ca"), col("y.__code").as("__cb"))
+        .distinct()
+        .withColumn("hamming", expr(
+          """CAST(aggregate(zip_with(__ca, __cb, (a, b) -> bit_count(a ^ b)),
+            |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
+        .filter(col("hamming") <= radius)
+    }
     verified
       .join(e.select(col(idCol).as("id_a"), col("v").as("__va"),
         col("nrm").as("__na")), Seq("id_a"))

@@ -165,6 +165,47 @@ object Ivf {
     graft.ext.Similarity.rankTopK(scored, k)
   }
 
+  /** ONE-PASS recall-curve probe (r17): per-query candidates from the
+    * `probes.max` nearest cells, each carrying its CELL RANK, then one
+    * bounded top-k per requested nprobe over the rank-prefix of that
+    * single candidate set. Because [[probeUdf]]'s cell list is sorted
+    * by distance, the cells probed at nprobe = p are EXACTLY the first
+    * p entries of the list probed at probes.max — nested prefixes — so
+    * each per-p top-k here equals [[topK]](..., nprobe = p) row for
+    * row (same scoring expression, same [[graft.ext.Similarity.aggTopK]]
+    * ordering), while the fit, the probe explode, the cell-pruned
+    * index join and the scoring run ONCE instead of once per point.
+    * Output: (nprobe, q_id, n_id). The curve query's five topK calls
+    * (~20 jobs) collapse to one probe + one union job. */
+  private[graft] def topKCurve(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: String, k: Int, nlist: Int, probes: Seq[Int],
+      seed: Long = 42): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nlist),
+      s"probes must be within 1..nlist, got $probes")
+    val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
+    val spark = bucketed.sparkSession
+    GraftFunctions.register(spark)
+    val probe = probeUdf(spark, centers, probes.max)
+    val (queries, index) = pruneToCells(bucketed,
+      bucketed.filter(expr(queryPred))
+        .select(col(idCol).as("q_id"), col("vn").as("qv"),
+          posexplode(probe(col("vn"))).as(Seq("__cellrank", "centroid_id"))))
+    // materialize the scored candidate superset once (localCheckpoint,
+    // the pruneToCells discipline) so the per-nprobe top-k union does
+    // not re-run the probe join per point
+    val scored = queries.join(index, "centroid_id")
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col("__cellrank"), col(idCol).as("n_id"),
+        call_function("array_dot", col("qv"), col("vn")).as("cosine"))
+      .localCheckpoint()
+    probes.map { p =>
+      graft.ext.Similarity.aggTopK(
+          scored.filter(col("__cellrank") < p).drop("__cellrank"),
+          k, "cosine", asc = false)
+        .select(lit(p).as("nprobe"), col("q_id"), col("n_id"))
+    }.reduce(_ unionAll _)
+  }
+
   /** The fitted coarse-quantizer centers for `emb` — the OFFLINE index
     * artifact a streaming ingest freezes (nlist × dim doubles,
     * metadata-sized). Rides the memoized [[indexed]] fit. */
@@ -322,7 +363,12 @@ object Ivf {
   def saveIndex(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long, path: String): Unit = {
     val (bucketed, centers) = indexed(emb, idCol, vecCol, nlist, seed)
-    bucketed.write.mode("overwrite").partitionBy("centroid_id")
+    // r17: shuffle onto the list key before the partitioned write —
+    // one writer per inverted list instead of every scan task opening
+    // a writer per cell it happens to hold (guide §6; same fix as the
+    // compaction/prune artifacts). Probe results are layout-invariant.
+    bucketed.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/lists")
     val spark = emb.sparkSession
     import spark.implicits._

@@ -26,13 +26,22 @@ object Basket {
   def liftPairs(items: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxBasket: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val present = items
-      .select(col(basketCol).as("__b"), col(itemCol).cast("long").as("__i"))
-      .na.drop().distinct()
-    val sized = present
-      .withColumn("__bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("__b")))
-      .filter(col("__bn") <= maxBasket)
+    // Memo'd (r17): the deduped, size-capped presence table is consumed
+    // FOUR times by one lift computation (both self-join sides, the
+    // item marginals, the basket total) — un-materialized, Catalyst
+    // re-derived the distinct + size window for each consumer (4
+    // Window subtrees / ~14 Exchanges in the r17 before-plan). One
+    // build per (items, maxBasket); the cached partitioning (__b, from
+    // the window) feeds the self-join without a new Exchange.
+    val sized = graft.queries.Memo.cached(items.sparkSession, s"basket|" +
+      s"${items.queryExecution.logical.semanticHash()}|$maxBasket") {
+      items
+        .select(col(basketCol).as("__b"), col(itemCol).cast("long").as("__i"))
+        .na.drop().distinct()
+        .withColumn("__bn", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("__b")))
+        .filter(col("__bn") <= maxBasket)
+    }
     // basket total rides as a 1-row broadcast, not an eager driver
     // count at construction time (the ADVICE r9 lazy-stat rule)
     val nb = sized.agg(countDistinct(col("__b")).as("__N"))

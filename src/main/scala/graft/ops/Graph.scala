@@ -43,6 +43,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-(session, node-plan) cache of the int64-safety gate count —
+    * bounded by distinct pageRank call sites per session. */
+  private val nodeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   /** PageRank over `edges` (src, dst BIGINT) restricted to `nodes`
     * (node BIGINT): `iters` integer-exact damped iterations. Output:
     * (node, rank_nano BIGINT, n_in BIGINT) — rank in per-node
@@ -59,9 +64,13 @@ object Graph {
     // ~9e8 nodes the nano-unit contribution sums can wrap 2^63 under
     // Spark's non-ANSI long sum() while the DuckDB oracle sums in
     // HUGEINT — the engines would diverge SILENTLY. Fail loudly at
-    // the contract edge instead; the count is one cheap scan of the
-    // node frame next to `iters` join rounds.
-    val nNodes = nd.count()
+    // the contract edge instead. r17: the gate count is cached per
+    // (session, node-plan) — deterministic sources make it a constant,
+    // and re-counting cost one full scan job on every invocation.
+    val ndKey = s"${System.identityHashCode(nodes.sparkSession)}|" +
+      s"${nodes.queryExecution.logical.semanticHash()}"
+    val nNodes = nodeCountCache.computeIfAbsent(ndKey, _ => nd.count())
+      .longValue()
     require(nNodes <= 900000000L,
       s"pageRank int64-safety bound exceeded: $nNodes nodes > 9e8 — " +
         "nano-unit rank sums can wrap past 2^63 (silent divergence vs " +

@@ -253,6 +253,15 @@ object ExtQueries {
           Tables.documents(s, dir), "doc_id", "text").count()
         ()
       },
+      // the (id, w, tf) pass is the lexical tier's ingest artifact
+      // (termFrequencies Memo) — warmed in its OWN entry so the NB
+      // setup below (and the first bm25-family query) measures its
+      // own build, not the tf build it rides on
+      timed("setup_tf_pass") {
+        graft.ext.TextOps.termFrequencies(
+          Tables.documents(s, dir), "doc_id", "text").count()
+        ()
+      },
       timed("setup_nb_pass") { nbScored(s, dir).count(); () })
   }
 

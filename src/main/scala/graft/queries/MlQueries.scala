@@ -782,12 +782,16 @@ object MlQueries {
         val nEx = exact.count()
         val nQ = exact.select(countDistinct(col("q_id"))).head().getLong(0)
         val probes = Seq(1, 2, 4, 8, 16)
-        val hits = probes.map { np =>
-          val ivf = graft.ml.Ivf.topK(emb, "vec_id", "embedding",
-              "vec_id < 10", 5, 16, np)
-            .select(col("q_id"), col("n_id"))
-          np -> exact.join(ivf, Seq("q_id", "n_id")).count()
-        }
+        // r17: all five curve points ride ONE probe pass (topKCurve —
+        // nested-prefix cell sets make each per-nprobe top-k equal the
+        // per-point topK call row for row), and the five hit counts
+        // come back from one join + groupBy instead of five join jobs
+        val curve = graft.ml.Ivf.topKCurve(emb, "vec_id", "embedding",
+          "vec_id < 10", 5, 16, probes)
+        val hitMap = exact.join(curve, Seq("q_id", "n_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val hits = probes.map(np => np -> hitMap.getOrElse(np, 0L))
         exact.unpersist()
         val rows = hits.zip(0L +: hits.map(_._2)).map {
           case ((np, hit), prev) =>
@@ -1031,17 +1035,23 @@ object MlQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val eps = 0.4
+        // r17: the brute all-pairs ground truth, its within-cluster
+        // restriction, and the confined scan each feed THREE of the
+        // five count legs — un-materialized, Catalyst re-ran the 2M-pair
+        // cosine scan (and the confined probe) once per leg.
+        // localCheckpoint scopes to this invocation: every run still
+        // pays each pass once, never zero.
         val exact = graft.ext.Dedup.cosinePairs(emb, "vec_id", "embedding", eps)
-          .select(col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b")).localCheckpoint()
         val asg = graft.ml.SemDedup.assignments(emb, "vec_id", "embedding", 32)
           .select(col("vec_id"), col("centroid_id"))
         val within = exact
           .join(asg.select(col("vec_id").as("id_a"), col("centroid_id").as("ca")), "id_a")
           .join(asg.select(col("vec_id").as("id_b"), col("centroid_id").as("cb")), "id_b")
           .filter(col("ca") === col("cb"))
-          .select(col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b")).localCheckpoint()
         val confined = graft.ml.SemDedup.epsPairs(
-          emb, "vec_id", "embedding", 32, eps)
+          emb, "vec_id", "embedding", 32, eps).localCheckpoint()
         val nE = exact.agg(count(lit(1)).as("n_exact"))
         val nW = within.agg(count(lit(1)).as("n_within"))
         val nC = confined.agg(count(lit(1)).as("n_confined"))
