@@ -828,7 +828,12 @@ object Dedup {
       when(call_function("array_dot", col("v"),
         typedLit(hyperplane(b, dim))) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = e.withColumn("sig", sigBits)
+    // Memo'd (r17): the nBits-hyperplane signature pass is an index
+    // artifact (built once per corpus, like the ANN code tables) that
+    // both band-join sides — and every re-run — otherwise recompute
+    val sig = graft.queries.Memo.cached(spark, s"coslshsig|$idCol|$vecCol|" +
+      s"$nBits|${emb.queryExecution.logical.semanticHash()}")(
+      e.withColumn("sig", sigBits))
     val numBands = nBits / rowsPerBand
     val mask = (1L << rowsPerBand) - 1
     val bandCols = (0 until numBands).map { b =>

@@ -139,9 +139,27 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val scored = bitextScored(emb, idCol, vecCol, langOf, langCol,
       srcLang, tgtLang)
-    val fwd = bitextMarginTail(scored, k, threshold)
-    val bwd = bitextMarginTail(scored.select(col("n_id").as("q_id"),
-      col("q_id").as("n_id"), col("c5")), k, threshold)
+    mutualFromScored(scored, k, threshold)
+  }
+
+  /** Both directions' margin tails over one (q, n, c5) pool, sharing
+    * the per-side k-nearest averages (r17: the forward tail's backward
+    * average IS the backward tail's forward average — four aggregations
+    * collapse to two, identical expressions). */
+  private def mutualFromScored(scored: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val transposed = scored.select(col("n_id").as("q_id"),
+      col("q_id").as("n_id"), col("c5"))
+    val srcAvg = kNearestAvg(scored, k, "q_id")
+    val tgtAvg = kNearestAvg(transposed, k, "q_id")
+    val fwd = bitextMarginTailFrom(scored,
+      srcAvg.withColumnRenamed("__avg", "__fa"),
+      tgtAvg.withColumnRenamed("q_id", "n_id")
+        .withColumnRenamed("__avg", "__ba"), threshold)
+    val bwd = bitextMarginTailFrom(transposed,
+      tgtAvg.withColumnRenamed("__avg", "__fa"),
+      srcAvg.withColumnRenamed("q_id", "n_id")
+        .withColumnRenamed("__avg", "__ba"), threshold)
     fwd.join(bwd.select(col("src_id").as("tgt_id"),
         col("tgt_id").as("src_id"), col("score").as("score_bwd")),
         Seq("src_id", "tgt_id"))
@@ -157,21 +175,34 @@ object Similarity {
     * already follows (ADVICE r9). */
   private def bitextMarginTail(scored: DataFrame, k: Int,
       threshold: Double): DataFrame = {
+    val fwd = kNearestAvg(scored, k, "q_id").withColumnRenamed("__avg", "__fa")
+    val bwd = kNearestAvg(scored.select(col("n_id").as("q_id"),
+      col("q_id").as("n_id"), col("c5")), k, "n_id")
+      .withColumnRenamed("__avg", "__ba")
+    bitextMarginTailFrom(scored, fwd, bwd, threshold)
+  }
+
+  /** Per-side k-nearest average (exact integer sum over the bounded
+    * top-k heap) — factored out so [[bitextMutual]]/[[bitextMutualIvf]]
+    * can compute each side's average ONCE and feed both directions'
+    * tails (the forward tail's backward average IS the backward tail's
+    * forward average — r17: mutual used to aggregate all four). */
+  private def kNearestAvg(df: DataFrame, k: Int, keyOut: String): DataFrame = {
     val tk = udaf(new graft.functions.TopKRows(k, asc = false),
       graft.functions.TopKRows.inputEncoder)
-    // per-side k-nearest averages as exact integer sums over the heap
-    def kAvg(df: DataFrame, keyOut: String): DataFrame = df
-      .groupBy(col("q_id").as(keyOut))
+    df.groupBy(col("q_id").as(keyOut))
       .agg(tk(col("c5").cast("double"), col("n_id").cast("long"), lit(0L))
         .as("__tk"))
       .withColumn("__avg", expr(
         "CAST(aggregate(__tk, 0L, (a, h) -> a + CAST(h.key AS LONG)) AS DOUBLE)"
           + " / size(__tk)"))
       .select(col(keyOut), col("__avg"))
-    val fwd = kAvg(scored, "q_id").withColumnRenamed("__avg", "__fa")
-    val bwd = kAvg(scored.select(col("n_id").as("q_id"),
-      col("q_id").as("n_id"), col("c5")), "n_id")
-      .withColumnRenamed("__avg", "__ba")
+  }
+
+  /** The margin tail AFTER the two k-nearest-average frames: `fwd`
+    * keyed q_id as __fa, `bwd` keyed n_id as __ba. */
+  private def bitextMarginTailFrom(scored: DataFrame, fwd: DataFrame,
+      bwd: DataFrame, threshold: Double): DataFrame = {
     scored.join(fwd, "q_id").join(bwd, "n_id")
       .withColumn("__score",
         lit(2.0) * col("c5") / (col("__fa") + col("__ba")))
@@ -252,14 +283,7 @@ object Similarity {
     require(cand >= k, s"cand ($cand) must be >= k ($k)")
     val scored = bitextScoredIvf(emb, idCol, vecCol, langOf, langCol,
       srcLang, tgtLang, cand, nlist, nprobe, seed)
-    val fwd = bitextMarginTail(scored, k, threshold)
-    val bwd = bitextMarginTail(scored.select(col("n_id").as("q_id"),
-      col("q_id").as("n_id"), col("c5")), k, threshold)
-    fwd.join(bwd.select(col("src_id").as("tgt_id"),
-        col("tgt_id").as("src_id"), col("score").as("score_bwd")),
-        Seq("src_id", "tgt_id"))
-      .select(col("src_id"), col("tgt_id"), col("cosine"),
-        col("score").as("score_fwd"), col("score_bwd"))
+    mutualFromScored(scored, k, threshold)
   }
 
   /** ROBUST per-dimension statistics ([EXT]): exact lower-quartile /
@@ -758,27 +782,44 @@ object Similarity {
     val spark = paired.sparkSession
     import spark.implicits._
     val ds = paired.as[(Seq[Double], Seq[Double])]
-    val first = ds.limit(1).collect()
-    require(first.nonEmpty, "fitProcrustes: snapshots share no ids")
-    val dim = first(0)._1.length
-    // column-major accumulation of M(i,j) = Σ vb(i)·va(j)  (= BᵀA)
+    // column-major accumulation of M(i,j) = Σ vb(i)·va(j)  (= BᵀA).
+    // r17: dim is derived from each partition's FIRST row instead of a
+    // separate limit(1) probe job; empty partitions contribute null and
+    // are dropped in the reduce. Same per-partition accumulation order,
+    // same reduce order — bitwise the old M.
     val m = ds.mapPartitions { it =>
-      val acc = Array.ofDim[Double](dim * dim)
-      it.foreach { case (va, vb) =>
-        require(va.length == dim && vb.length == dim,
-          s"fitProcrustes: ragged embedding (expected dim $dim, " +
-            s"got ${va.length}/${vb.length})")
-        var i = 0
-        while (i < dim) {
-          val bi = vb(i); var j = 0
-          while (j < dim) { acc(i + j * dim) += bi * va(j); j += 1 }
-          i += 1
+      if (!it.hasNext) Iterator.empty
+      else {
+        val h = it.next()
+        val dim = h._1.length
+        val acc = Array.ofDim[Double](dim * dim)
+        var cur = h
+        var more = true
+        while (more) {
+          val (va, vb) = cur
+          require(va.length == dim && vb.length == dim,
+            s"fitProcrustes: ragged embedding (expected dim $dim, " +
+              s"got ${va.length}/${vb.length})")
+          var i = 0
+          while (i < dim) {
+            val bi = vb(i); var j = 0
+            while (j < dim) { acc(i + j * dim) += bi * va(j); j += 1 }
+            i += 1
+          }
+          if (it.hasNext) cur = it.next() else more = false
         }
+        Iterator.single(acc)
       }
-      Iterator.single(acc)
-    }.reduce { (x, y) =>
+    }.collect().reduceOption { (x, y) =>
+      require(x.length == y.length,
+        "fitProcrustes: ragged embedding dims across partitions")
       var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
-    }
+      // driver-side merge in PARTITION-INDEX order (collect preserves
+      // it) — the old task-completion-order reduce could permute the
+      // float merge; consumers still read W through tolerance contracts
+    }.getOrElse(Array.emptyDoubleArray)
+    require(m.nonEmpty, "fitProcrustes: snapshots share no ids")
+    val dim = math.sqrt(m.length).toInt
     val dec = breeze.linalg.svd(new breeze.linalg.DenseMatrix(dim, dim, m))
     val w = dec.U * dec.Vt
     Array.tabulate(dim, dim)((i, j) => w(i, j))

@@ -66,7 +66,13 @@ object Profile {
     df.join(plan.select(cellCols.map(col) :+ col("bin"): _*), cellCols)
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)
-    df.sparkSession.read.parquet(outDir)
+    // explicit read-back schema (input columns + the bin partition key):
+    // skips the footer-sampling schema inference over ~|bins| directories
+    df.sparkSession.read
+      .schema(org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "bin", org.apache.spark.sql.types.LongType)))
+      .parquet(outDir)
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(countDistinct(struct(cellCols.map(col): _*)).as("n_cells"),
         count(lit(1)).as("n_docs"),
@@ -101,7 +107,13 @@ object Profile {
       // writes months in parallel, one file per month (guide §6).
       .repartition(col("__ym"))
       .write.mode("overwrite").partitionBy("__ym").parquet(outDir)
-    df.sparkSession.read.parquet(outDir)
+    // explicit read-back schema — no footer-sampling inference over
+    // the ~|months| partition directories
+    df.sparkSession.read
+      .schema(org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__ym", org.apache.spark.sql.types.IntegerType)))
+      .parquet(outDir)
       .groupBy(col("__ym").cast("long").as("ym"))
       .agg(count(lit(1)).as("n_rows"),
         // NTZ sources cast through TimestampType under the pinned UTC
